@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.AnalyticsQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the beyond-reference
+  * LLM-pipeline operators) registers a named query here plus, where the
+  * semantics are ANSI-SQL-expressible, a DuckDB oracle statement over the
+  * same parquet tables. Column names are aligned between the Spark plan and
+  * the oracle SQL because the driver's compare sorts columns by name before
+  * hashing.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    AnalyticsQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    AnalyticsQueries.oracles
+
+  /** Headline subset used by Bench (kept fast enough for per-round runs). */
+  def benchQueries: Seq[String] = Seq(
+    "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q7_window_top_orders", "q9_topk_orders",
+    "q13_events_hourly")
 }

@@ -1,0 +1,311 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables._
+
+/** Core analytical query surface.
+  *
+  * The reference (`/root/reference/data_to_orc_converter.sh`) converts data
+  * *into* ORC precisely so that downstream engines can run queries like
+  * these (README.md:191-218 shows Spark/Presto/`WHERE age > 25` examples as
+  * the product's point). This module is that declared capability made real:
+  * scans, filters, joins, aggregations, windows, sorts, set ops, JSON
+  * extraction — all as declarative DataFrame plans so Catalyst supplies
+  * pushdown, pruning, join selection, and whole-stage codegen.
+  *
+  * Scale posture (100 TB): every query is a pure DataFrame plan — no
+  * collect(), no driver loops. Small dimensions (region/nation/supplier/
+  * customer) are broadcast-hinted so the big fact tables (lineitem/orders)
+  * never shuffle for those joins; the remaining shuffles are the minimal
+  * key-partitioned exchanges for fact-fact joins and aggregations, which AQE
+  * re-plans at runtime (skew split + partition coalescing).
+  *
+  * Determinism: see [[graft.Tables]] — double aggregates go through exact
+  * DECIMAL sums so the DuckDB oracle hashes match bit-for-bit.
+  */
+object AnalyticsQueries {
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** CAST((1 - dec(c)) AS DECIMAL(18,8)) — mirrored literally in oracle SQL. */
+  private def oneMinus(c: Column): Column =
+    (lit(1) - dec(c)).cast(DecimalType(18, 8))
+  private def onePlus(c: Column): Column =
+    (lit(1) + dec(c)).cast(DecimalType(18, 8))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= ts("2001-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsumr(col("l_extendedprice")).as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec(col("l_extendedprice")) * (oneMinus(col("l_discount")) * onePlus(col("l_tax"))).cast(DecimalType(18, 8))), 2)
+            .cast("double").as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q3_top_unshipped_orders" -> { (s, d) =>
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < ts("1996-06-15"))
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > ts("1996-06-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))).as("rev_exact"))
+        .orderBy(col("rev_exact").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"),
+          round(col("rev_exact"), 2).cast("double").as("revenue"))
+    },
+
+    "q4_order_priority" -> { (s, d) =>
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      // EXISTS(lineitem shipped after order date) as a left-semi join:
+      // Catalyst plans a shuffled semi-join on the order key; no row
+      // duplication, no distinct needed.
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") && li("l_shipdate") > ord("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q5_local_supplier_volume" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val ord = t(s, d, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      val cust = t(s, d, "customer")
+      val supp = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(dec(col("l_extendedprice")) * oneMinus(col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("n_name"))
+    },
+
+    "q6_forecast_revenue" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(
+          round(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))), 2)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    "q7_window_top_orders" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    "q8_distinct_counts" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q9_topk_orders" -> { (s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    },
+
+    "q10_except_customers" -> { (s, d) =>
+      val ord = t(s, d, "orders")
+      ord.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+        .except(ord.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+        .orderBy(col("o_custkey"))
+    },
+
+    "q11_intersect_customers" -> { (s, d) =>
+      t(s, d, "customer").select(col("c_custkey").as("custkey"))
+        .intersect(t(s, d, "orders").select(col("o_custkey").as("custkey")))
+        .orderBy(col("custkey"))
+    },
+
+    "q12_events_json" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+
+    "q13_events_hourly" -> { (s, d) =>
+      t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+
+    "q14_orders_without_lines" -> { (s, d) =>
+      val ord = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orders_no_lines"))
+    },
+
+    "q15_customer_stats" -> { (s, d) =>
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          davg(col("c_acctbal")).as("avg_bal"),
+          min(col("c_acctbal")).as("min_bal"),
+          max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    "q16_rollup_counts" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    })
+
+  /** DuckDB-runnable oracle SQL. Column names and value-level arithmetic
+    * mirror the Spark plans above term-for-term (exact decimal sums, one
+    * final ROUND + CAST TO DOUBLE), so the driver's sorted-column hash
+    * compare is bit-exact. */
+  def oracles: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_disc_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8)) * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(18,8)) AS DECIMAL(18,8))), 2) AS DOUBLE) AS sum_charge,
+        | ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_unshipped_orders" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-15'
+        |  AND l_shipdate > TIMESTAMP '1996-06-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8))) DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS n
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(18,8))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q7_window_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3""".stripMargin,
+
+    "q8_distinct_counts" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS n_parts,
+        | COUNT(DISTINCT l_suppkey) AS n_supps,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q9_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q10_except_customers" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "q11_intersect_customers" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders""".stripMargin,
+
+    "q12_events_json" ->
+      """SELECT event_type,
+        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q13_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q14_orders_without_lines" ->
+      """SELECT COUNT(*) AS n_orders_no_lines FROM orders
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)""".stripMargin,
+
+    "q15_customer_stats" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_bal,
+        | MIN(c_acctbal) AS min_bal,
+        | MAX(c_acctbal) AS max_bal
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "q16_rollup_counts" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+}
