@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{CsvSource, JdbcSource, SqlDumpSource}
+import graft.ConversionJob.{JobConfig, JobReport}
+
+/** Non-interactive CLI mirroring the reference's three argv contracts
+  * (SURVEY.md §2.7; reference README.md:143-156):
+  *
+  * {{{
+  * graft.Cli mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
+  * graft.Cli dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
+  * graft.Cli csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
+  * }}}
+  *
+  * `tables` is comma-separated or the `all` sentinel. Env knobs
+  * PARALLEL_WORKERS and CHUNK_SIZE (declared in the reference README but
+  * never read there — SURVEY.md §2.8) are honored via JobConfig defaults.
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("universal-data-to-orc")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val report = run(spark, args.toIndexedSeq)
+    spark.stop()
+    if (report.exists(r => r.successes != r.total)) sys.exit(1)
+  }
+
+  /** Dispatch; returns None for usage errors (after printing usage). */
+  def run(spark: SparkSession, args: Seq[String]): Option[JobReport] = args.toList match {
+    case "mysql" :: host :: port :: user :: password :: database :: outDir :: compression :: tables :: Nil =>
+      val cfg = JdbcSource.MySqlConfig(host = host, port = port.toInt, user = user,
+        password = password, database = database,
+        chunkSize = sys.env.get("CHUNK_SIZE").map(_.toInt).getOrElse(50000))
+      val names = tableSelection(tables, () => JdbcSource.tableList(cfg).getOrElse(Nil))
+      Some(ConversionJob.run(
+        names.map(t => t -> (() => JdbcSource.read(spark, cfg, t))),
+        JobConfig(outputDir = outDir, compression = compression)))
+
+    case "dump" :: sqlFile :: outDir :: rest if rest.length <= 2 =>
+      val compression = rest.headOption.getOrElse("snappy")
+      val tables = rest.lift(1).getOrElse("all").split(',').map(_.trim).toSeq
+      val dfs = SqlDumpSource.parse(spark, sqlFile, tables)
+      Some(ConversionJob.run(
+        dfs.toSeq.sortBy(_._1).map { case (t, df) => t -> (() => df) },
+        JobConfig(outputDir = outDir, compression = compression)))
+
+    case "csv" :: csvPath :: outDir :: rest if rest.length <= 3 =>
+      val delimiter = rest.headOption.getOrElse(",")
+      val hasHeader = rest.lift(1).forall(_.toBoolean)
+      val compression = rest.lift(2).getOrElse("snappy")
+      val opts = CsvSource.CsvOptions(delimiter = delimiter, hasHeader = hasHeader)
+      // per-input output naming (K3): each CSV file -> outdir/<basename>/
+      val inputs = CsvSource.listInputs(spark, csvPath)
+      Some(ConversionJob.run(
+        inputs.map(f => CsvSource.baseName(f) -> (() => CsvSource.read(spark, f, opts))),
+        JobConfig(outputDir = outDir, compression = compression)))
+
+    case _ =>
+      System.err.println(
+        """usage:
+          |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
+          |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
+          |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]""".stripMargin)
+      None
+  }
+
+  private def tableSelection(spec: String, all: () => Seq[String]): Seq[String] = {
+    val names = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (names.isEmpty || names.map(_.toLowerCase).contains("all")) all() else names
+  }
+}

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.AnalyticsQueries
+import graft.queries.{AnalyticsQueries, ConverterQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AnalyticsQueries.queries
+    AnalyticsQueries.queries ++ ConverterQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AnalyticsQueries.oracles
+    AnalyticsQueries.oracles ++ ConverterQueries.oracles
 
   /** Headline subset used by Bench (kept fast enough for per-round runs). */
   def benchQueries: Seq[String] = Seq(

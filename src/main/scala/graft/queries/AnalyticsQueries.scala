@@ -283,7 +283,7 @@ object AnalyticsQueries {
 
     "q12_events_json" ->
       """SELECT event_type,
-        | SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
 

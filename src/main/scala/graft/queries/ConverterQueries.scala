@@ -1,0 +1,93 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.sinks.OrcSink
+import graft.sources.{CsvSource, SqlDumpFixture, SqlDumpSource}
+
+/** Converter round-trips under the correctness gate.
+  *
+  * Each query drives a full reference pipeline — source → ORC table
+  * directory → read-back — then aggregates the result; the DuckDB oracle
+  * computes the same aggregate directly from the original parquet. A hash
+  * match therefore proves the converter preserved every row and type, not
+  * just that it ran.
+  */
+object ConverterQueries {
+
+  /** Scratch space per (sf, stage); Verify/Bench may run concurrently on
+    * different sf dirs, so the path embeds the sf dir. */
+  private def tmp(sfDir: String, name: String): String =
+    s"/tmp/graft_conv/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CSV path (reference S5/S6 + K1): parquet -> CSV files -> CsvSource
+    // (header, inferSchema for real) -> OrcSink -> read-back -> aggregate.
+    "conv_csv_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "csv")
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          col("l_returnflag"), col("l_shipdate"))
+        .write.mode("overwrite").option("header", true).csv(s"$base/in/lineitem")
+      val csv = CsvSource.read(s, s"$base/in/lineitem")
+      OrcSink.write(csv, s"$base/orc", "lineitem")
+      OrcSink.read(s, s"$base/orc/lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsumr(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // SQL-dump path (reference S7/S8 + K2): parquet -> mysqldump text ->
+    // tokenizer parse (typed schema from CREATE TABLE) -> aggregate.
+    "conv_dump_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "dump")
+      val dumpPath = s"$base/customer.sql"
+      SqlDumpFixture.writeDump(
+        t(s, d, "customer"), "customer", dumpPath,
+        typeOverrides = Map("c_acctbal" -> "DECIMAL(12,2)", "c_nationkey" -> "INT",
+          "c_name" -> "VARCHAR(64)", "c_mktsegment" -> "VARCHAR(16)"))
+      val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ORC sink contract (reference K1/K4/K5 + README.md:189): multi-part
+    // write under zlib, directory read-back merges parts losslessly.
+    "conv_orc_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "orc")
+      OrcSink.write(t(s, d, "orders"), base, "orders",
+        compression = "zlib", maxRecordsPerFile = 2000)
+      OrcSink.read(s, s"$base/orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "conv_csv_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "conv_dump_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_orc_roundtrip" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+}

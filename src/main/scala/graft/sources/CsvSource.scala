@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** CSV source mirroring the reference CSV converter's surface
+  * (`/root/reference/data_to_orc_converter.sh:425-527`): a single file or a
+  * directory of `*.csv`, custom delimiter, optional header row (positional
+  * `_c0.._cN` names when absent, matching pandas `header=None` column
+  * numbering, sh:471), and a schema-inference toggle — the reference
+  * collected that toggle but never wired it (SURVEY.md §2.8); here it is
+  * real (`inferSchema`).
+  *
+  * Scale posture: Spark's CSV reader is a vectorized, partitioned file scan
+  * — a 100 TB directory of CSVs splits across executors by
+  * `spark.sql.files.maxPartitionBytes`; schema inference samples instead of
+  * reading everything when `samplingRatio` is set.
+  */
+object CsvSource {
+
+  final case class CsvOptions(
+      delimiter: String = ",",
+      hasHeader: Boolean = true,
+      inferSchema: Boolean = true,
+      nullValue: String = "",
+      timestampFormat: Option[String] = None)
+
+  /** Read one CSV file or an entire directory as a single DataFrame. */
+  def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    var r = spark.read
+      .option("sep", opts.delimiter)
+      .option("header", opts.hasHeader)
+      .option("inferSchema", opts.inferSchema)
+      .option("nullValue", opts.nullValue)
+      .option("mode", "PERMISSIVE")
+    opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
+    r.csv(path)
+  }
+
+  /** Expand a path to individual CSV inputs, mirroring the reference's
+    * file-vs-directory dispatch (sh:449-456): a file is itself; a directory
+    * yields its `*.csv` members. Used for the per-input-output contract
+    * (K3) where each CSV becomes its own ORC table directory. */
+  def listInputs(spark: SparkSession, path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).map(_.getPath)
+        .filter(_.getName.toLowerCase.endsWith(".csv"))
+        .map(_.toString).toSeq.sorted
+    else Seq(path)
+  }
+
+  /** Base name without extension — the reference's output naming unit
+    * (`outdir/<basename>.orc`, sh:464-465; here `outdir/<basename>/` since
+    * Spark writes table directories — documented divergence, SURVEY §2.2 K3). */
+  def baseName(path: String): String = {
+    val name = new Path(path).getName
+    val dot = name.lastIndexOf('.')
+    if (dot > 0) name.substring(0, dot) else name
+  }
+}

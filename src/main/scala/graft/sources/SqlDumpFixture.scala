@@ -1,0 +1,106 @@
+package graft.sources
+
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** mysqldump-style fixture writer: DataFrame -> `.sql` dump text.
+  *
+  * Exists because the reference's dump *input* format (CREATE TABLE +
+  * multi-row INSERT, `/root/reference/data_to_orc_converter.sh:299-421`)
+  * has no producer in this environment; round-trip tests and the
+  * `conv_dump_roundtrip` oracle query generate dumps from the parquet
+  * fixtures and parse them back with [[SqlDumpSource]].
+  *
+  * Fixture-scale only: rows pass through the driver (`toLocalIterator`,
+  * so memory stays bounded, but throughput is single-node). Production
+  * dumps come from mysqldump, not from us.
+  */
+object SqlDumpFixture {
+
+  /** Write `df` as a dump. `typeOverrides` pins a column's declared MySQL
+    * type (e.g. "c_acctbal" -> "DECIMAL(12,2)"); values are serialized per
+    * the declared type (decimals at declared scale, HALF_UP). */
+  def writeDump(df: DataFrame, tableName: String, path: String,
+                typeOverrides: Map[String, String] = Map.empty,
+                rowsPerInsert: Int = 500): Unit = {
+    val schema = df.schema
+    val declared = schema.fields.map(f =>
+      f.name -> typeOverrides.getOrElse(f.name, defaultMysqlType(f.dataType))).toMap
+
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new BufferedWriter(new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8))
+    try {
+      out.write("-- graft test fixture dump\n")
+      out.write("/* statement scanner must skip this block comment; it contains ';' and ')' */\n")
+      out.write(s"CREATE TABLE `$tableName` (\n")
+      val colDefs = schema.fields.map(f => s"  `${f.name}` ${declared(f.name)}")
+      out.write(colDefs.mkString(",\n"))
+      schema.fields.headOption.foreach(f => out.write(s",\n  PRIMARY KEY (`${f.name}`)"))
+      out.write("\n);\n")
+
+      val it = df.toLocalIterator()
+      val batch = new scala.collection.mutable.ArrayBuffer[String](rowsPerInsert)
+      def flush(): Unit = if (batch.nonEmpty) {
+        out.write(s"INSERT INTO `$tableName` VALUES ")
+        out.write(batch.mkString(","))
+        out.write(";\n")
+        batch.clear()
+      }
+      while (it.hasNext) {
+        batch += tupleLiteral(it.next(), schema, declared)
+        if (batch.size >= rowsPerInsert) flush()
+      }
+      flush()
+    } finally out.close()
+  }
+
+  def defaultMysqlType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType => "BIGINT"
+    case DoubleType | FloatType => "DOUBLE"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case DateType => "DATE"
+    case TimestampType => "DATETIME"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BLOB"
+    case _ => "VARCHAR(255)"
+  }
+
+  private def tupleLiteral(row: Row, schema: StructType, declared: Map[String, String]): String = {
+    val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+      if (row.isNullAt(i)) "NULL"
+      else {
+        val decl = declared(f.name).toUpperCase
+        (f.dataType, row.get(i)) match {
+          case (DoubleType, v: Double) if decl.startsWith("DECIMAL") =>
+            val scale = decl.drop(decl.indexOf(',') + 1).takeWhile(_.isDigit).toInt
+            java.math.BigDecimal.valueOf(v).setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+          case (DoubleType, v: Double) => java.math.BigDecimal.valueOf(v).toPlainString
+          case (LongType | IntegerType | ShortType | ByteType, v) => v.toString
+          case (TimestampType, v: java.sql.Timestamp) => s"'${v.toString.stripSuffix(".0")}'"
+          case (DateType, v: java.sql.Date) => s"'${v.toString}'"
+          case (BooleanType, v: Boolean) => if (v) "1" else "0"
+          case (_, v) => quote(v.toString)
+        }
+      }
+    }
+    cells.mkString("(", ",", ")")
+  }
+
+  /** MySQL string literal with backslash + doubled-quote escaping. */
+  def quote(s: String): String = {
+    val sb = new StringBuilder("'")
+    s.foreach {
+      case '\'' => sb.append("''")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\u0000' => sb.append("\\0")
+      case c => sb.append(c)
+    }
+    sb.append("'").toString
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sinks.OrcSink
+import graft.sources.CsvSource
+import graft.ConversionJob.JobConfig
+
+class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ORC round-trip under every declared codec") {
+    val df = Tables.t(spark, sf, "supplier")
+    val want = df.collect().toSet
+    for (codec <- Seq("none", "snappy", "zlib", "lzo", "zstd")) {
+      val dir = Files.createTempDirectory(s"orc_$codec").toString
+      val report = OrcSink.write(df, dir, "supplier", codec)
+      assert(report.rows == want.size, codec)
+      val got = OrcSink.read(spark, s"$dir/supplier").collect().toSet
+      assert(got == want, codec)
+    }
+  }
+
+  test("multi-part directory contract: many part files read as one table") {
+    val df = Tables.t(spark, sf, "lineitem") // 6000 rows
+    val dir = Files.createTempDirectory("orc_parts").toString
+    val report = OrcSink.write(df, dir, "lineitem", "snappy", maxRecordsPerFile = 500)
+    assert(report.files >= 2, s"expected multi-part output, got ${report.files}")
+    assert(OrcSink.read(spark, s"$dir/lineitem").count() == df.count())
+  }
+
+  test("unsupported codec rejected") {
+    val df = Tables.t(spark, sf, "region")
+    intercept[IllegalArgumentException] {
+      OrcSink.write(df, "/tmp/never", "region", "brotli")
+    }
+  }
+
+  test("CSV option matrix: header/delimiter/no-header positional names") {
+    val dir = Files.createTempDirectory("csvspec").toString
+    val cust = Tables.t(spark, sf, "customer")
+
+    cust.write.option("header", true).csv(s"$dir/with_header")
+    val h = CsvSource.read(spark, s"$dir/with_header")
+    assert(h.columns.toSeq == cust.columns.toSeq)
+    assert(h.count() == cust.count())
+    // inferSchema is real (reference collected the toggle but never used it)
+    assert(h.schema("c_custkey").dataType != org.apache.spark.sql.types.StringType)
+
+    cust.write.option("header", true).option("sep", ";").csv(s"$dir/semicolon")
+    val semi = CsvSource.read(spark, s"$dir/semicolon", CsvSource.CsvOptions(delimiter = ";"))
+    assert(semi.count() == cust.count())
+    assert(semi.columns.length == cust.columns.length)
+
+    cust.write.option("header", false).csv(s"$dir/no_header")
+    val nh = CsvSource.read(spark, s"$dir/no_header", CsvSource.CsvOptions(hasHeader = false))
+    assert(nh.columns.forall(_.startsWith("_c"))) // positional, like pandas header=None
+    assert(nh.count() == cust.count())
+  }
+
+  test("CSV listInputs: file vs directory glob") {
+    val dir = Files.createTempDirectory("csvlist").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x\n1\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"), "x\n2\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/notes.txt"), "ignored")
+    val listed = CsvSource.listInputs(spark, dir)
+    assert(listed.map(CsvSource.baseName) == Seq("a", "b"))
+    assert(CsvSource.listInputs(spark, s"$dir/a.csv").map(CsvSource.baseName) == Seq("a"))
+  }
+
+  test("ConversionJob isolates failures and tallies (reference P4)") {
+    val out = Files.createTempDirectory("job").toString
+    val report = ConversionJob.run(
+      Seq(
+        "good" -> (() => Tables.t(spark, sf, "region")),
+        "bad" -> (() => spark.read.parquet("/nonexistent/path.parquet")),
+        "also_good" -> (() => Tables.t(spark, sf, "nation"))),
+      JobConfig(outputDir = out, parallelWorkers = 2, retries = 1, retryBackoffMs = 10))
+    assert(report.total == 3)
+    assert(report.successes == 2)
+    assert(report.summary == "Export completed: 2/3 tables successful")
+    val bad = report.results.find(_.table == "bad").get
+    assert(!bad.success && bad.attempts == 2 && bad.error.nonEmpty)
+    assert(OrcSink.read(spark, s"$out/good").count() == 5)
+  }
+
+  test("Cli csv subcommand: per-input table dirs (K3 contract)") {
+    val in = Files.createTempDirectory("cliin").toString
+    val out = Files.createTempDirectory("cliout").toString
+    Tables.t(spark, sf, "region").write.option("header", true).csv(s"$in/region.csv.d")
+    // single CSV file path
+    val one = Files.list(java.nio.file.Paths.get(s"$in/region.csv.d"))
+      .filter(_.toString.endsWith(".csv")).findFirst().get()
+    Files.copy(one, java.nio.file.Paths.get(s"$in/region.csv"))
+    val report = Cli.run(spark, Seq("csv", s"$in/region.csv", out)).get
+    assert(report.successes == 1)
+    assert(OrcSink.read(spark, s"$out/region").count() == 5)
+  }
+
+  test("Cli usage error returns None") {
+    assert(Cli.run(spark, Seq("bogus")).isEmpty)
+  }
+}
