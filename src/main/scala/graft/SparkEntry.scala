@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ConverterQueries}
+import graft.queries.{AnalyticsQueries, ConverterQueries, LlmQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,16 +21,19 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AnalyticsQueries.queries ++ ConverterQueries.queries
+    AnalyticsQueries.queries ++ ConverterQueries.queries ++ LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AnalyticsQueries.oracles ++ ConverterQueries.oracles
+    AnalyticsQueries.oracles ++ ConverterQueries.oracles ++ LlmQueries.oracles
 
   /** Headline subset used by Bench (kept fast enough for per-round runs). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_window_top_orders", "q9_topk_orders",
-    "q13_events_hourly")
+    "q13_events_hourly",
+    "text_stats", "dedup_exact_docs", "dedup_minhash_full",
+    "emb_cosine_topk", "ann_lsh_topk",
+    "conv_csv_roundtrip", "conv_orc_roundtrip")
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash+LSH near-dup, SimHash near-dup, and n-gram Jaccard.
+  *
+  * Scale design (the whole point at 100 TB):
+  *  - everything is DataFrame -> DataFrame; no driver materialization;
+  *  - shingling/minhashing/simhashing are per-row `Column` expressions
+  *    (codegen'd, shuffle-free);
+  *  - candidate generation is the only shuffle: an equi-join on
+  *    (band, bandHash) buckets — exactly the hash-partitioned join Spark
+  *    does well — instead of the O(n²) all-pairs compare;
+  *  - exact Jaccard verification runs only on the candidate set.
+  *
+  * Hash functions are Spark's `xxhash64` (codegen'd, deterministic across
+  * partitionings and cluster sizes — a signature computed on 1 executor
+  * equals one computed on 1000).
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------
+  // Shingling + n-gram Jaccard
+  // ------------------------------------------------------------------
+
+  /** Distinct character n-gram shingles of a string column. */
+  def shingles(c: Column, n: Int): Column = {
+    val t = TextAnalysis.normText(c)
+    array_distinct(
+      transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+        i => t.substr(i, lit(n))))
+  }
+
+  /** Exact Jaccard similarity of two distinct-element array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    inter / (size(a) + size(b) - inter)
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold via shingle-inverted-index join
+    * (explode shingles, equi-join on shingle, count intersections). The
+    * join shuffles on the shingle key — linear in total shingle count, not
+    * quadratic in documents. Returns (a_id, b_id, jaccard). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double): DataFrame = {
+    val withSize = df.select(col(idCol).as("id"),
+      shingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inverted = withSize.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+    val a = inverted.as("a")
+    val b = inverted.as("b")
+    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.nsh").as("na"), col("b.nsh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** k-wide MinHash signature over n-gram shingles of the normalized text.
+    * Delegates to the native codegen'd [[graft.functions.MinHashSig]]
+    * expression — the built-in higher-order-function formulation is
+    * interpreted per lambda application and measured ~100x slower. */
+  def minhashSignature(c: Column, k: Int, shingleSize: Int): Column =
+    graft.functions.MinHashSig.minhashSig(TextAnalysis.normText(c), k, shingleSize)
+
+  /** LSH banding: array of one xxhash64 per band over its signature slice
+    * (band index seeds the hash so buckets never collide across bands). */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sig, b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))
+
+  /** Candidate near-dup pairs via MinHash LSH: docs sharing any band
+    * bucket. Returns (a_id, b_id) distinct, a_id < b_id.
+    * The self-join shuffles on the band hash — the LSH trick that replaces
+    * the O(n²) compare with bucket-local joins. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 16, shingleSize: Int = 5,
+                        bands: Int = 8): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, shingleSize).as("sig"))
+    val banded = sig.select(col("id"), explode(lshBandHashes(col("sig"), bands, r)).as("bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"))
+      .distinct()
+  }
+
+  /** MinHash LSH candidates verified with exact n-gram Jaccard.
+    * Three-stage funnel so cost scales with true near-dups, not candidates:
+    *  1. banding join -> candidate pairs (superset);
+    *  2. signature-estimate filter: est jaccard = matching sig components / k
+    *     — a k-long zip per pair, orders of magnitude cheaper than shingle
+    *     intersection. Pairs below `threshold - estMargin` drop here
+    *     (estMargin absorbs MinHash variance ~ sqrt(j(1-j)/k));
+    *  3. exact Jaccard on the survivors only.
+    * Returns (a_id, b_id, jaccard). */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 16, shingleSize: Int = 5, bands: Int = 8,
+                           threshold: Double = 0.0,
+                           estMargin: Double = 0.15): DataFrame = {
+    val cand = minhashCandidates(df, idCol, textCol, k, shingleSize, bands)
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), k, shingleSize).as("sig"))
+    val estimated = cand
+      .join(sig.as("ga"), col("a_id") === col("ga.id"))
+      .join(sig.as("gb"), col("b_id") === col("gb.id"))
+      .withColumn("est",
+        size(filter(zip_with(col("ga.sig"), col("gb.sig"), (x, y) => x === y),
+          m => m)) / lit(k))
+      .filter(col("est") >= threshold - estMargin)
+      .select(col("a_id"), col("b_id"))
+    // Shingle arrays are only materialized for ids that survived the
+    // estimate filter (semi-join pruning) — shingling is interpreted
+    // (higher-order fns) and the arrays are big, so don't build them for
+    // the whole corpus.
+    val ids = estimated.select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .join(ids, "id")
+    estimated
+      .join(sh.as("sa"), col("a_id") === col("sa.id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * xxhash64s, folded into one long. Single pass over the token array with
+    * a 64-wide accumulator — all `functions._`, fully codegen'd. */
+  def simhash64(c: Column): Column = {
+    val words = split(TextAnalysis.normText(c), " ")
+    val hashes = transform(words, w => xxhash64(w))
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val counts = aggregate(hashes, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, masks,
+        (cnt, m) => cnt + when(h.bitwiseAND(m) =!= 0, 1).otherwise(-1)))
+    aggregate(zip_with(counts, masks, (cnt, m) => when(cnt > 0, m).otherwise(0L)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with hamming <= maxDistance.
+    * Candidate generation blocks on signature quarters (a pair within
+    * hamming 16 of a 64-bit simhash must agree exactly on at least one of
+    * 4 16-bit blocks — pigeonhole), so the join is bucket-local like LSH
+    * rather than all-pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val blocks = sig.select(col("id"), col("sig"),
+      explode(array((0 until 4).map(q =>
+        struct(lit(q).as("q"),
+          shiftright(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL)).as("blk"))): _*)).as("qb"))
+    blocks.as("x").join(blocks.as("y"),
+        col("x.qb.q") === col("y.qb.q") && col("x.qb.blk") === col("y.qb.blk") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        hamming64(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  // ------------------------------------------------------------------
+  // Exact dedup
+  // ------------------------------------------------------------------
+
+  /** Exact dedup groups by normalized-text fingerprint: one row per
+    * distinct content with the min id kept and the duplicate count.
+    * A single hash-partitioned aggregation — the canonical scalable
+    * exact-dedup plan (map-side partial agg halves the shuffle). */
+  def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+}

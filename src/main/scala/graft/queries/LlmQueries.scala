@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** LLM training-data pipeline operators under the correctness gate.
+  *
+  * SQL-expressible operators (token stats, quality, lang-ID, exact dedup,
+  * n-gram Jaccard, embedding cosine) carry DuckDB oracles whose arithmetic
+  * mirrors the Spark expressions term-for-term. Hash-based operators
+  * (MinHash LSH, SimHash, LSH ANN) depend on xxhash64 — not reproducible in
+  * DuckDB — so they register rows-only queries here and are verified by
+  * planted-duplicate ScalaTest specs instead.
+  */
+object LlmQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_m"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.punctCount(col("text")).as("n_punct"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_quality" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_langid_counts" -> { (s, d) =>
+      t(s, d, "documents")
+        .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    },
+
+    "dedup_exact_docs" -> { (s, d) =>
+      Dedup.exactDedupGroups(t(s, d, "documents"), "doc_id", "text")
+        .orderBy(col("fp"))
+    },
+
+    "dedup_ngram_jaccard" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(
+          t(s, d, "documents").filter(col("doc_id") < 60), "doc_id", "text",
+          n = 5, threshold = 0.2)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    "dedup_embedding_cosine" -> { (s, d) =>
+      Similarity.cosineNearDupPairs(
+          t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
+          threshold = 0.35)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    "emb_cosine_topk" -> { (s, d) =>
+      Similarity.bruteForceTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // ---- hash-based (no SQL oracle; verified by planted-dup specs) ----
+
+    "dedup_minhash_pairs" -> { (s, d) =>
+      Dedup.minhashVerifiedPairs(
+          t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+          k = 8, shingleSize = 5, bands = 8)
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(20)
+    },
+
+    // Unbounded MinHash over the whole documents table — the scale probe
+    // the bench runs at sf0.1 (LSH join cost grows with corpus, not n²).
+    "dedup_minhash_full" -> { (s, d) =>
+      Dedup.minhashVerifiedPairs(
+          t(s, d, "documents"), "doc_id", "text",
+          k = 32, shingleSize = 5, bands = 8, threshold = 0.6)
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+        .limit(100)
+    },
+
+    "dedup_simhash_near" -> { (s, d) =>
+      Dedup.simhashPairs(
+          t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+          maxDistance = 30)
+        .orderBy(col("hamming"), col("a_id"), col("b_id"))
+        .limit(20)
+    },
+
+    "ann_lsh_topk" -> { (s, d) =>
+      Similarity.lshTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, tables = 8, nBits = 4)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """WITH n AS (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents)
+        |SELECT doc_id,
+        | CAST(CASE WHEN length(t) = 0 THEN 0
+        |      ELSE length(t) - length(translate(t, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+        | length(text) AS n_chars_m,
+        | md5(t) AS fp,
+        | CAST(length(text) - length(translate(text, '.,;:!?', '')) AS BIGINT) AS n_punct
+        |FROM n""".stripMargin,
+
+    "text_quality" ->
+      """WITH n AS (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents)
+        |SELECT doc_id,
+        | CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |  ROUND(
+        |   LEAST(1.0, (CASE WHEN length(t) = 0 THEN 0
+        |               ELSE length(t) - length(translate(t, ' ', '')) + 1 END) / 50.0)
+        |   * (1.0 - (length(text) - length(translate(text, '.,;:!?', ''))) / length(text))
+        |   * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
+        |  4) END AS quality
+        |FROM n""".stripMargin,
+
+    "text_langid_counts" ->
+      """WITH n AS (
+        | SELECT doc_id, text,
+        |        ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' ' AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, text,
+        |  (length(t) - length(replace(t, ' the ', '')))/5 + (length(t) - length(replace(t, ' and ', '')))/5
+        |   + (length(t) - length(replace(t, ' is ', '')))/4 + (length(t) - length(replace(t, ' of ', '')))/4 AS en,
+        |  (length(t) - length(replace(t, ' el ', '')))/4 + (length(t) - length(replace(t, ' la ', '')))/4
+        |   + (length(t) - length(replace(t, ' de ', '')))/4 + (length(t) - length(replace(t, ' y ', '')))/3 AS es,
+        |  (length(t) - length(replace(t, ' der ', '')))/5 + (length(t) - length(replace(t, ' und ', '')))/5
+        |   + (length(t) - length(replace(t, ' die ', '')))/5 + (length(t) - length(replace(t, ' das ', '')))/5 AS de,
+        |  (length(t) - length(replace(t, ' le ', '')))/4 + (length(t) - length(replace(t, ' et ', '')))/4
+        |   + (length(t) - length(replace(t, ' les ', '')))/5 + (length(t) - length(replace(t, ' des ', '')))/5 AS fr
+        | FROM n)
+        |SELECT lang_pred, COUNT(*) AS n FROM (
+        | SELECT CASE
+        |  WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |  WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |  WHEN de >= fr AND de > 0 THEN 'de'
+        |  WHEN fr > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred
+        | FROM s)
+        |GROUP BY lang_pred""".stripMargin,
+
+    "dedup_exact_docs" ->
+      """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
+        | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents
+        |GROUP BY 1""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id < 60),
+        |s AS (
+        | SELECT DISTINCT doc_id, substr(t, i.i, 5) AS g
+        | FROM n, generate_series(1, 600) i(i)
+        | WHERE i.i <= GREATEST(length(t) - 4, 1)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(inter / (na.nsh + nb.nsh - inter), 4) AS jaccard
+        |FROM pairs
+        |JOIN ds na ON na.doc_id = a_id
+        |JOIN ds nb ON nb.doc_id = b_id
+        |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.2""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    "emb_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT query_id, neighbor_id, rank, score FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |                     ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rank,
+        |  ROUND(list_cosine_similarity(q.v, e.v), 4) AS score
+        | FROM q, e WHERE e.vec_id != q.vec_id)
+        |WHERE rank <= 5""".stripMargin)
+}

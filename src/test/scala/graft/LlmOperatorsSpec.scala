@@ -1,0 +1,159 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Planted-duplicate verification for the hash-based operators the DuckDB
+  * oracle can't mirror (xxhash64-based MinHash/SimHash/LSH), plus unit
+  * behavior of the text-analysis expressions. */
+class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  // ---- text analysis ----
+
+  test("tokenCount handles empties, runs of whitespace, single token") {
+    val df = Seq("", "  ", "one", "a b  c", " pad ").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("n"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(0L, 0L, 1L, 3L, 1L))
+  }
+
+  test("fingerprint is whitespace-insensitive but content-sensitive") {
+    val fps = Seq("a b c", "a  b   c", " a b c ", "a b d").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t")).as("fp"))
+      .collect().map(_.getString(0))
+    assert(fps(0) == fps(1) && fps(1) == fps(2))
+    assert(fps(0) != fps(3))
+  }
+
+  test("langId picks dominant marker language; CJK short-circuits to zh") {
+    val df = Seq(
+      ("the cat and the dog is here", "en"),
+      ("el gato y la casa de madrid", "es"),
+      ("der hund und die katze das haus", "de"),
+      ("le chat et les maisons des amis", "fr"),
+      ("没有 markers here", "zh"),
+      ("nothing matching at all", "und")).toDF("t", "want")
+    val got = df.select(TextAnalysis.langId(col("t")).as("got"), col("want")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  // ---- exact dedup ----
+
+  test("exactDedupGroups collapses whitespace-variant copies") {
+    val df = Seq((1L, "hello world"), (2L, "hello  world"), (3L, "other doc"))
+      .toDF("id", "text")
+    val groups = Dedup.exactDedupGroups(df, "id", "text").collect()
+    assert(groups.length == 2)
+    val dup = groups.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") == 1L)
+  }
+
+  // ---- MinHash + LSH with planted near-dups ----
+
+  private def corpusWithPlantedDups = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "graft", "spark", "orc", "parquet")
+    val base = (0L until 40L).map(i =>
+      (i, Seq.fill(60)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // 3 near-dup copies: one word changed out of 60 (jaccard ~0.95+)
+    val dups = Seq(100L -> base(3), 101L -> base(17), 102L -> base(29)).map {
+      case (nid, (_, text)) =>
+        val words = text.split(" ")
+        words(30) = "CHANGED"
+        (nid, words.mkString(" "))
+    }
+    (base ++ dups).toDF("id", "text")
+  }
+
+  test("MinHash LSH finds planted near-duplicates with high verified jaccard") {
+    val pairs = Dedup.minhashVerifiedPairs(corpusWithPlantedDups, "id", "text",
+        k = 16, shingleSize = 5, bands = 8, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(Set((3L, 100L), (17L, 101L), (29L, 102L)).subsetOf(pairs),
+      s"missing planted pairs, got $pairs")
+  }
+
+  test("MinHash signature is deterministic across repartitioning") {
+    val df = corpusWithPlantedDups
+    val sig1 = df.repartition(1).select(col("id"),
+      Dedup.minhashSignature(col("text"), 8, 5).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sig4 = df.repartition(4).select(col("id"),
+      Dedup.minhashSignature(col("text"), 8, 5).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sig1 == sig4)
+  }
+
+  // ---- SimHash ----
+
+  test("SimHash: identical texts hamming 0; near-dup small; unrelated large") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "entirely different content about spark orc parquet columnar engines"))
+      .toDF("id", "text")
+    val sigs = df.select(col("id"), Dedup.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < 20, s"near-dup hamming ${ham(1L, 3L)}")
+    assert(ham(1L, 4L) > ham(1L, 3L))
+  }
+
+  test("simhashPairs blocking finds identical + near-dup pairs") {
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxDistance = 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- similarity search ----
+
+  private def plantedVectors = {
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    def randVec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val base = (0L until 50L).map(i => (i, randVec()))
+    // planted: 100+i is a tiny perturbation of i (cosine ~0.999)
+    val dups = (0L until 5L).map { i =>
+      val v = base(i.toInt)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      (100L + i, v)
+    }
+    (base ++ dups).toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK: planted near-identical vector is rank-1 neighbor") {
+    val top = Similarity.bruteForceTopK(plantedVectors, "vec_id", "embedding",
+        queryIds = _ < 5, k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    (0L until 5L).foreach(q => assert(top(q) == 100L + q, s"query $q -> ${top(q)}"))
+    val score1 = Similarity.bruteForceTopK(plantedVectors, "vec_id", "embedding",
+        queryIds = _ === 0, k = 1).collect()(0).getAs[Double]("score")
+    assert(score1 > 0.99)
+  }
+
+  test("lshTopK recalls the planted rank-1 neighbors (recall@1 >= 0.8)") {
+    val got = Similarity.lshTopK(plantedVectors, "vec_id", "embedding",
+        queryIds = _ < 5, k = 1, tables = 8, nBits = 4, seed = 42L)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = (0L until 5L).count(q => got.get(q).contains(100L + q))
+    assert(hits >= 4, s"recall@1 $hits/5")
+  }
+
+  test("cosine self-similarity is exactly 1.0 for identical vectors") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val c = df.select(Similarity.cosine(
+      col("embedding").cast("array<double>"),
+      col("embedding").cast("array<double>")).as("c")).collect()(0).getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-12)
+  }
+}
