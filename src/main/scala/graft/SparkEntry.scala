@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, ConverterQueries, LlmQueries}
+import graft.queries.{AnalyticsQueries, ConverterQueries, LlmQueries, PipelineQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -21,12 +21,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AnalyticsQueries.queries ++ ConverterQueries.queries ++ LlmQueries.queries
+    AnalyticsQueries.queries ++ ConverterQueries.queries ++ LlmQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    AnalyticsQueries.oracles ++ ConverterQueries.oracles ++ LlmQueries.oracles
+    AnalyticsQueries.oracles ++ ConverterQueries.oracles ++ LlmQueries.oracles ++
+      PipelineQueries.oracles
 
   /** Headline subset used by Bench (kept fast enough for per-round runs). */
   def benchQueries: Seq[String] = Seq(

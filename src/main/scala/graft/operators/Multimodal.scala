@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque binary payloads + typed metadata,
+  * with per-partition feature extraction.
+  *
+  * Real multimodal corpora carry image/audio/video bytes; this container
+  * has no media codecs, so the DECODE STEP IS A DETERMINISTIC STUB
+  * (identity over bytes) — clearly marked below. Everything around it is
+  * the real Spark plumbing a 100 TB pipeline needs and is tested:
+  *  - `binary` payload column + `struct` metadata through scan/shuffle/sink;
+  *  - batched per-partition extraction via `mapPartitions` (one iterator
+  *    per task — the Scala analogue of `mapInPandas`: amortizes model/codec
+  *    init per partition instead of per row, the pattern a real decoder
+  *    plugs into);
+  *  - fixed-width feature vectors (`array<float>`) out, ready for the
+  *    Similarity operators.
+  */
+object Multimodal {
+
+  /** documents -> multimodal layout: (doc_id, payload binary, meta struct).
+    * Text bytes stand in for media bytes. */
+  def toMultimodal(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        lit("text/plain").as("kind"),
+        octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        col("source").as("origin")).as("meta"))
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false))))
+
+  /** STUB DECODER — stands in for image/audio decode. Deterministic
+    * identity: a real pipeline would replace this with the codec call
+    * (and keep everything else unchanged). */
+  private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+
+  /** Batched per-partition feature extraction: 16-bin normalized byte
+    * histogram per payload (a deterministic fake "embedding" with the same
+    * shape/cost profile as a features head). */
+  def extractFeatures(spark: SparkSession, mm: DataFrame): DataFrame = {
+    val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      // per-partition init happens here (codec/model load in a real pipeline)
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = decodeStub(r.getAs[Array[Byte]](1))
+        val hist = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1f; i += 1 }
+        val total = math.max(bytes.length, 1).toFloat
+        var b = 0
+        while (b < 16) { hist(b) /= total; b += 1 }
+        Row(id, hist.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+}

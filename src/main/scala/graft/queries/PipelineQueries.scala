@@ -1,0 +1,72 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.operators.Multimodal
+import graft.streaming.EventStream
+
+/** Streaming + multimodal queries under the correctness gate.
+  *
+  * The streaming entries run a real Structured Streaming query (file
+  * source -> memory sink, driven to completion) and are compared against
+  * batch SQL oracles — the exactly-once contract: streaming output on the
+  * fixed dataset must equal the batch answer.
+  */
+object PipelineQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_hourly_agg" -> { (s, d) =>
+      EventStream.hourlyAgg(s, d).orderBy(col("hour"), col("event_type"))
+    },
+
+    "stream_session_counts" -> { (s, d) =>
+      // Update-mode memory sink appends one row per key per micro-batch;
+      // the final state per user is the max session count.
+      EventStream.sessionCounts(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n_sessions"))
+        .orderBy(col("user_id"))
+    },
+
+    "multimodal_bytes" -> { (s, d) =>
+      Multimodal.toMultimodal(t(s, d, "documents"))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.kind").as("kind"))
+        .orderBy(col("doc_id"))
+    },
+
+    // rows-only: histogram features have no SQL mirror; spec asserts
+    // determinism + unit mass.
+    "multimodal_features" -> { (s, d) =>
+      val mm = Multimodal.toMultimodal(t(s, d, "documents"))
+      Multimodal.extractFeatures(s, mm)
+        .select(col("doc_id"), size(col("features")).cast("long").as("n_dims"),
+          round(aggregate(col("features").cast("array<double>"), lit(0.0), _ + _), 4).as("mass"))
+        .orderBy(col("doc_id"))
+    })
+
+  def oracles: Map[String, String] = Map(
+    "stream_hourly_agg" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "stream_session_counts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),
+        |g AS (
+        | SELECT user_id,
+        |  CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+        |        OR epoch_us(tsu) - epoch_us(lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e)
+        |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    "multimodal_bytes" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | 'text/plain' AS kind
+        |FROM documents""".stripMargin)
+}

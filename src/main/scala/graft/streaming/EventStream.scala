@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+import graft.Tables.dsumr
+
+/** Encoder row types for the stateful session operator (top-level public:
+  * Catalyst's generated deserializers cannot touch private nested types). */
+final case class SessEvent(user_id: Long, ts_us: Long)
+final case class SessCount(user_id: Long, n_sessions: Long)
+
+/** Structured Streaming surface over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2.4: no streaming anywhere; its
+  * README's "streaming reads" claim is chunked-batch at best), so this is
+  * beyond-reference capability built the Spark-native way: `readStream` →
+  * event-time window aggregation with a watermark, and
+  * `flatMapGroupsWithState` for custom session state.
+  *
+  * Local smoke uses the parquet fixture as a file-source stream with a
+  * memory sink and `processAllAvailable()` — the identical plan runs
+  * against a real source (Kafka/files) on a cluster, where the watermark
+  * bounds state and late data. The correctness gate compares streaming
+  * output against the batch SQL oracle: the streaming answer must equal
+  * the batch answer on the same data (the exactly-once contract).
+  */
+object EventStream {
+
+  /** events.parquet schema with `ts` as raw nanos (see Tables.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The streaming file source requires a directory (it monitors for new
+    // files); the fixture is a single parquet file, so stage it into a
+    // scratch dir — on a cluster this would be the landing directory a
+    // producer appends to.
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spark.readStream.schema(rawSchema).parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 1-hour watermark, run to
+    * completion on the fixture. Returns the final (hour, event_type, n,
+    * sum_value) table — equal to the batch date_trunc aggregation. */
+  def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+    runToMemory(spark, agg, "graft_stream_hourly", OutputMode.Complete())
+  }
+
+  /** Per-user session counting (30-min inactivity gap) via
+    * flatMapGroupsWithState — the custom-state streaming primitive. State
+    * carries (last event time, session count) across micro-batches; events
+    * within a batch are sorted in the state function (arrival order within
+    * a group is unordered). */
+  def sessionCounts(spark: SparkSession, sfDir: String,
+                    gapMinutes: Long = 30): DataFrame = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    def fn(userId: Long, events: Iterator[SessEvent],
+           state: GroupState[(Long, Long)]): Iterator[SessCount] = {
+      val sorted = events.map(_.ts_us).toArray.sorted
+      var (lastTs, sessions) = state.getOption.getOrElse((Long.MinValue, 0L))
+      sorted.foreach { t =>
+        if (lastTs == Long.MinValue || t - lastTs > gapUs) sessions += 1
+        lastTs = t
+      }
+      state.update((lastTs, sessions))
+      Iterator.single(SessCount(userId, sessions))
+    }
+
+    val events = readEventStream(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .as[SessEvent]
+    val out = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+    runToMemory(spark, out.toDF(), "graft_stream_sessions", OutputMode.Update())
+  }
+
+  /** Drive a streaming DataFrame to a memory sink until exhausted; return
+    * the sink table snapshot (latest row per key for Update mode is
+    * handled by the caller's aggregation shape). */
+  private def runToMemory(spark: SparkSession, df: DataFrame,
+                          name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

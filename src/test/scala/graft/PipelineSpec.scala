@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+import graft.streaming.EventStream
+
+class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg equals batch aggregation (exactly-once contract)") {
+    val streamed = EventStream.hourlyAgg(spark, sf)
+      .select("hour", "event_type", "n", "sum_value").collect().toSet
+    val batch = Tables.t(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Tables.dsumr(col("value")).as("sum_value"))
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming session counts match a batch gaps-and-islands computation") {
+    val streamed = EventStream.sessionCounts(spark, sf)
+      .groupBy(col("user_id")).agg(max(col("n_sessions")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("tsu"))
+    val batch = Tables.t(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("tsu"))
+      .withColumn("brk",
+        when(lag(col("tsu"), 1).over(w).isNull ||
+          col("tsu") - lag(col("tsu"), 1).over(w) > 1800000000L, 1L).otherwise(0L))
+      .groupBy(col("user_id")).agg(sum(col("brk")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum > streamed.size, "expected multi-session users")
+  }
+
+  test("multimodal layout carries binary payload + typed metadata") {
+    val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents"))
+    val row = mm.orderBy(col("doc_id")).first()
+    val payload = row.getAs[Array[Byte]]("payload")
+    val meta = row.getStruct(row.fieldIndex("meta"))
+    assert(payload.length == meta.getAs[Long]("n_bytes"))
+    assert(meta.getAs[String]("kind") == "text/plain")
+    // survives an ORC round-trip (binary + struct through the sink)
+    val dir = java.nio.file.Files.createTempDirectory("mm").toString
+    graft.sinks.OrcSink.write(mm, dir, "mm")
+    val back = graft.sinks.OrcSink.read(spark, s"$dir/mm")
+    assert(back.count() == mm.count())
+    assert(back.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
+  }
+
+  test("feature extraction is deterministic with unit mass and fixed width") {
+    val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents"))
+    val f1 = Multimodal.extractFeatures(spark, mm)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val f2 = Multimodal.extractFeatures(spark, mm.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2)
+    f1.values.foreach { v =>
+      assert(v.length == 16)
+      assert(math.abs(v.sum - 1.0f) < 1e-3)
+    }
+  }
+}
