@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints `explain("formatted")` for selected queries so
+  * pushdown (PushedFilters/ReadSchema), join strategies (broadcast vs
+  * shuffle), and WholeStageCodegen spans can be inspected per round.
+  *
+  * Usage: runMain graft.Explain [sfDir] [query ...]  (default: audit set)
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Seq("q1_pricing_summary", "q3_top_unshipped_orders",
+        "q5_local_supplier_volume", "q6_forecast_revenue",
+        "dedup_minhash_full", "emb_cosine_topk")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n========== $n ==========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

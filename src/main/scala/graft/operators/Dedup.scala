@@ -108,28 +108,33 @@ object Dedup {
                            k: Int = 16, shingleSize: Int = 5, bands: Int = 8,
                            threshold: Double = 0.0,
                            estMargin: Double = 0.15): DataFrame = {
-    val cand = minhashCandidates(df, idCol, textCol, k, shingleSize, bands)
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), k, shingleSize).as("sig"))
-    val estimated = cand
-      .join(sig.as("ga"), col("a_id") === col("ga.id"))
-      .join(sig.as("gb"), col("b_id") === col("gb.id"))
-      .withColumn("est",
-        size(filter(zip_with(col("ga.sig"), col("gb.sig"), (x, y) => x === y),
-          m => m)) / lit(k))
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    // Signatures ride along through the banding so candidate generation and
+    // estimation happen in ONE self-join (no re-join against a signature
+    // table, no pre-filter distinct over raw collisions).
+    val banded = df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleSize).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(lshBandHashes(col("sig"), bands, r)).as("bh"))
+    val estimated = banded.as("x").join(banded.as("y"),
+        col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
+        graft.functions.SigAgree.sigAgree(col("x.sig"), col("y.sig")).as("est"))
       .filter(col("est") >= threshold - estMargin)
       .select(col("a_id"), col("b_id"))
-    // Shingle arrays are only materialized for ids that survived the
-    // estimate filter (semi-join pruning) — shingling is interpreted
-    // (higher-order fns) and the arrays are big, so don't build them for
-    // the whole corpus.
-    val ids = estimated.select(explode(array(col("a_id"), col("b_id"))).as("id")).distinct()
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
-      .join(ids, "id")
+      .distinct() // a pair can collide in several bands
+    // Exact verification joins the raw normalized texts (~100x smaller than
+    // shingle arrays) and computes Jaccard with the native one-pass
+    // expression — no array materialization, no interpreted set ops.
+    val txt = df.select(col(idCol).as("id"),
+      TextAnalysis.normText(col(textCol)).as("t"))
     estimated
-      .join(sh.as("sa"), col("a_id") === col("sa.id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.id"))
-      .select(col("a_id"), col("b_id"), jaccard(col("sa.sh"), col("sb.sh")).as("jaccard"))
+      .join(txt.as("ta"), col("a_id") === col("ta.id"))
+      .join(txt.as("tb"), col("b_id") === col("tb.id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.NgramJaccard.ngramJaccard(col("ta.t"), col("tb.t"), shingleSize)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two array<double> columns (sequential fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+  /** Dot product of two array<double> columns. Native codegen'd expression
+    * (sequential sum, bit-identical to the higher-order-function fold it
+    * replaces but ~50x faster — HOF lambdas evaluate interpreted). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.vecDot(a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
