@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.sinks.OrcSink
+import graft.sources.{CsvSource, SqlDumpFixture, SqlDumpSource}
+
+/** Property-based coverage per FIXTURES.md §3/§5, using raw ScalaCheck Gen
+  * with fixed seeds (the scalatest-scalacheck bridge isn't in the offline
+  * dependency cache):
+  *  - adversarial INSERT statements (quotes, commas, parens, semicolons,
+  *    escapes, NULLs, newlines) round-trip through the dump
+  *    writer -> tokenizer exactly;
+  *  - arbitrary rows survive ORC under every codec;
+  *  - adversarial CSV cells survive CSV -> ORC.
+  */
+class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val cellGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(20)),
+    // each of these breaks the reference's regex parser (SURVEY §4.3.4)
+    Gen.oneOf("a,b", "a'b", "a''b", "a\\b", "(paren)", "semi;colon",
+      "quote'with,all;(of)it", "", " leading and trailing ",
+      "O'Brien, Ltd. (Pty)", "tab\tchar", "multi\nline", "NULL"))
+
+  private val rowGen: Gen[(String, Option[Double])] = for {
+    s <- cellGen
+    d <- Gen.option(Gen.choose(-99999.99, 99999.99))
+  } yield (s, d)
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def mkDf(rows: Seq[(String, Option[Double])]) = {
+    val data = rows.zipWithIndex.map { case ((s, d), i) =>
+      Row(i.toLong, s, d.map(Double.box).orNull)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data, 2),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("s", StringType),
+        StructField("d", DoubleType))))
+  }
+
+  test("property: generated dumps with adversarial strings parse back exactly") {
+    for (trial <- 0 until 8) {
+      val rows = samples(Gen.listOfN(40, rowGen), 1, 1000L * trial).head
+      val df = mkDf(rows)
+      val dir = Files.createTempDirectory("prop_dump").toString
+      SqlDumpFixture.writeDump(df, "t", s"$dir/t.sql")
+      val got = SqlDumpSource.parse(spark, s"$dir/t.sql")("t").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      val want = rows.zipWithIndex.map { case ((s, d), i) => (i.toLong, s, d) }.toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
+  test("property: arbitrary rows survive ORC round-trip under every codec") {
+    for (trial <- 0 until 2) {
+      val rows = samples(Gen.listOfN(50, rowGen), 1, 77L + trial).head
+      val df = mkDf(rows)
+      val want = df.collect().toSet
+      for (codec <- Seq("none", "snappy", "zlib", "zstd", "lzo")) {
+        val dir = Files.createTempDirectory("prop_orc").toString
+        OrcSink.write(df, dir, "t", codec)
+        assert(OrcSink.read(spark, s"$dir/t").collect().toSet == want,
+          s"trial $trial codec $codec")
+      }
+    }
+  }
+
+  test("property: adversarial CSV cells survive CSV -> ORC round-trip") {
+    for (trial <- 0 until 8) {
+      // CSV caveats (standard Spark behavior, not ours): no embedded
+      // newlines without multiLine; empty string reads back as null
+      // (nullValue default); writer trims by default - disabled below.
+      val cells = samples(Gen.listOfN(40, cellGen), 1, 31337L + trial).head
+        .map(_.replace("\n", " ")).filter(_.nonEmpty)
+      val data = cells.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 1),
+        StructType(Seq(
+          StructField("id", LongType, nullable = false),
+          StructField("s", StringType))))
+      val dir = Files.createTempDirectory("prop_csv").toString
+      df.write.option("header", true)
+        .option("ignoreLeadingWhiteSpace", false)
+        .option("ignoreTrailingWhiteSpace", false)
+        .csv(s"$dir/in")
+      val back = CsvSource.read(spark, s"$dir/in")
+      OrcSink.write(back, s"$dir/orc", "t")
+      // inferSchema narrows small ids to int — read width-agnostically
+      val got = OrcSink.read(spark, s"$dir/orc/t").collect()
+        .map(r => r.getAs[Number](0).longValue() -> r.getString(1)).toMap
+      cells.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i.toLong) == s, s"trial $trial cell $i: ${s.toSeq}")
+      }
+    }
+  }
+}
