@@ -35,7 +35,8 @@ object SparkEntry {
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_window_top_orders", "q9_topk_orders",
     "q13_events_hourly",
-    "text_stats", "dedup_exact_docs", "dedup_minhash_full",
-    "emb_cosine_topk", "ann_lsh_topk",
-    "conv_csv_roundtrip", "conv_orc_roundtrip")
+    "q18_large_orders",
+    "text_stats", "text_bpe_tokens", "dedup_exact_docs", "dedup_minhash_full",
+    "emb_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc")
 }

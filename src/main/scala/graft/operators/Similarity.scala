@@ -96,6 +96,48 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))
   }
 
+  /** IVF (inverted-file) ANN top-k: the corpus is partitioned into
+    * `nCentroids` cells (nearest-centroid assignment; centroids are the
+    * lowest-id corpus vectors — deterministic "training" without an
+    * order-dependent averaging step), queries probe their `nProbe` nearest
+    * cells, and candidates are scored exactly.
+    *
+    * Scale shape: assignment is one corpus scan (centroids broadcast as
+    * literals); the probe join is an equi-join on cell id, so each query
+    * touches ~nProbe/nCentroids of the corpus instead of all of it. The
+    * standard IVF recall/cost dial is (nCentroids, nProbe). */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Column => Column, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val centroids: Seq[Seq[Double]] = emb
+      .orderBy(col(idCol)).limit(nCentroids)
+      .select(asDouble(col(vecCol))).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+    /** array<struct<c,i>> of (cosine to centroid i, i), for argmax/top-probe. */
+    def cells(vec: Column): Column = sort_array(
+      array(centroids.zipWithIndex.map { case (ct, i) =>
+        struct(cosine(vec, typedLit(ct)).as("c"), lit(i).as("i"))
+      }: _*), asc = false)
+
+    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("cell", cells(col("nvec")).getItem(0).getField("i"))
+    val q = emb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", explode(slice(cells(col("qvec")), 1, nProbe).getField("i")))
+
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
+    corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
+      .distinct() // a neighbor can sit in several probed cells across tables
+      .withColumn("score_raw", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))
+  }
+
   /** All embedding pairs with cosine >= threshold (near-dup detection by
     * embedding). Brute-force all-pairs — use for bounded id ranges or as
     * verification; the LSH path is the scale route. */

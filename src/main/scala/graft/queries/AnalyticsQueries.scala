@@ -193,6 +193,64 @@ object AnalyticsQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Correlated-scalar-subquery shape (TPC-H Q17): parts whose lineitems
+    // fall below 20% of that part's average quantity. Expressed as a
+    // per-key aggregate + equi-join — the plan Catalyst would decorrelate
+    // to anyway, and the shuffle is on the join key either way.
+    // (l_quantity is small-integer-valued, so double AVG is exact and
+    // engine-independent.)
+    "q17_small_qty_revenue" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val avgq = li.groupBy(col("l_partkey").as("pk"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      li.join(avgq, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          round(sum(dec(col("l_extendedprice"))).cast("double") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    },
+
+    // Large-order customers (TPC-H Q18): HAVING over a fact aggregate,
+    // then joins back to orders/customer.
+    "q18_large_orders" -> { (s, d) =>
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // GROUPING SETS via the SQL surface (DataFrame API only exposes
+    // rollup/cube; registered views + spark.sql is the idiomatic route).
+    "q19_grouping_sets" -> { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Semi + anti join combo: suppliers that shipped in 1996 but never at
+    // a deep discount.
+    "q20_clean_suppliers" -> { (s, d) =>
+      val li = t(s, d, "lineitem")
+      val supp = t(s, d, "supplier")
+      val shipped96 = li.filter(col("l_shipdate") >= ts("1996-01-01")
+        && col("l_shipdate") < ts("1997-01-01"))
+      val deepDiscount = li.filter(col("l_discount") > 0.08)
+      supp
+        .join(shipped96, supp("s_suppkey") === shipped96("l_suppkey"), "left_semi")
+        .join(deepDiscount, supp("s_suppkey") === deepDiscount("l_suppkey"), "left_anti")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
     })
 
   /** DuckDB-runnable oracle SQL. Column names and value-level arithmetic
@@ -307,5 +365,39 @@ object AnalyticsQueries {
 
     "q16_rollup_counts" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
-        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin)
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH avgq AS (
+        | SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+        | FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        | ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
+        | COUNT(*) AS n
+        |FROM lineitem JOIN avgq ON l_partkey = pk
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        | SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        | FROM lineitem GROUP BY l_orderkey
+        | HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) > 300)
+        |SELECT c_custkey, o_orderkey, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q19_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q20_clean_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+        |              AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey
+        |                  AND l_discount > 0.08)""".stripMargin)
 }

@@ -60,6 +60,16 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Headline conversion-throughput probe: the biggest fixture table
+    // through the full parquet->ORC->read-back path (the reference's
+    // single-table export is the ~38k rows/s baseline to beat).
+    "conv_lineitem_orc" -> { (s, d) =>
+      val base = tmp(d, "li_orc")
+      OrcSink.write(t(s, d, "lineitem"), base, "lineitem")
+      OrcSink.read(s, s"$base/lineitem")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    },
+
     // ORC sink contract (reference K1/K4/K5 + README.md:189): multi-part
     // write under zlib, directory read-back merges parts losslessly.
     "conv_orc_roundtrip" -> { (s, d) =>
@@ -85,6 +95,11 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_lineitem_orc" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem""".stripMargin,
 
     "conv_orc_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -42,6 +42,17 @@ object LlmQueries {
         .orderBy(col("lang_pred"))
     },
 
+    // BPE-ish subword tokenization: alnum runs + individual punctuation
+    // (the pre-tokenization split every BPE implementation starts from).
+    "text_bpe_tokens" -> { (s, d) =>
+      val toks = regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))
+      t(s, d, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_unique_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_exact_docs" -> { (s, d) =>
       Dedup.exactDedupGroups(t(s, d, "documents"), "doc_id", "text")
         .orderBy(col("fp"))
@@ -102,6 +113,13 @@ object LlmQueries {
           t(s, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, tables = 8, nBits = 4)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    "ann_ivf_topk" -> { (s, d) =>
+      Similarity.ivfTopK(
+          t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)
+        .orderBy(col("query_id"), col("rank"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -153,6 +171,12 @@ object LlmQueries {
         |  ELSE 'und' END AS lang_pred
         | FROM s)
         |GROUP BY lang_pred""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
+        | len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS n_unique_tokens
+        |FROM documents""".stripMargin,
 
     "dedup_exact_docs" ->
       """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,

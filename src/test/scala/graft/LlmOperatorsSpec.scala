@@ -149,6 +149,14 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 4, s"recall@1 $hits/5")
   }
 
+  test("ivfTopK recalls the planted rank-1 neighbors (recall@1 >= 0.8)") {
+    val got = Similarity.ivfTopK(plantedVectors, "vec_id", "embedding",
+        queryIds = _ < 5, k = 1, nCentroids = 8, nProbe = 3)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = (0L until 5L).count(q => got.get(q).contains(100L + q))
+    assert(hits >= 4, s"recall@1 $hits/5")
+  }
+
   test("cosine self-similarity is exactly 1.0 for identical vectors") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val c = df.select(Similarity.cosine(
