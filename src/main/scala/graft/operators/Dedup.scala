@@ -138,6 +138,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Stock-Spark-ML variant of MinHash near-dup detection, for parity with
+    * the `org.apache.spark.ml.feature` route (preference (a): compose
+    * existing ops): binary HashingTF over shingles -> MinHashLSH ->
+    * approxSimilarityJoin at the given Jaccard-distance threshold.
+    * Returns (a_id, b_id, jaccard_est). The custom
+    * [[minhashVerifiedPairs]] funnel is the default (native signature
+    * expression + exact verification); this exists as the
+    * library-primitive baseline and cross-check. */
+  def minhashMlPairs(df: DataFrame, idCol: String, textCol: String,
+                     shingleSize: Int = 5, numHashTables: Int = 8,
+                     maxJaccardDistance: Double = 0.5): DataFrame = {
+    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), shingleSize).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 18)
+    val feat = tf.transform(sh)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(42L)
+    val model = mh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, maxJaccardDistance, "dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(col("datasetA.id").as("a_id"), col("datasetB.id").as("b_id"),
+        (lit(1.0) - col("dist")).as("jaccard_est"))
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

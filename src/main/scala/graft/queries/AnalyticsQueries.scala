@@ -238,6 +238,18 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Exact percentiles (linear interpolation — same definition as the
+    // oracle's quantile_cont).
+    "q21_percentiles" -> { (s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("med"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Semi + anti join combo: suppliers that shipped in 1996 but never at
     // a deep discount.
     "q20_clean_suppliers" -> { (s, d) =>
@@ -393,6 +405,13 @@ object AnalyticsQueries {
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q21_percentiles" ->
+      """SELECT o_orderstatus,
+        | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med,
+        | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+        | COUNT(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q20_clean_suppliers" ->
       """SELECT s_suppkey, s_name FROM supplier

@@ -80,6 +80,22 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Composed curation pipeline — the operators chained the way a real
+    // training-data run uses them: quality gate -> length gate -> exact
+    // dedup -> corpus stats. One declarative plan; Catalyst fuses the
+    // filters into the scan and the dedup is a single hash aggregation.
+    "pipeline_curate_corpus" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+      docs.groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), min(col("n_tokens")).as("n_tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          min(col("keep_id")).as("first_doc"))
+    },
+
     // ---- hash-based (no SQL oracle; verified by planted-dup specs) ----
 
     "dedup_minhash_pairs" -> { (s, d) =>
@@ -177,6 +193,29 @@ object LlmQueries {
         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
         | len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS n_unique_tokens
         |FROM documents""".stripMargin,
+
+    "pipeline_curate_corpus" ->
+      """WITH n AS (
+        | SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, t,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |       ELSE length(t) - length(translate(t, ' ', '')) + 1 END AS BIGINT) AS n_tokens,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |   ROUND(
+        |    LEAST(1.0, (CASE WHEN length(t) = 0 THEN 0
+        |                ELSE length(t) - length(translate(t, ' ', '')) + 1 END) / 50.0)
+        |    * (1.0 - (length(text) - length(translate(text, '.,;:!?', ''))) / length(text))
+        |    * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
+        |   4) END AS quality
+        | FROM n),
+        |f AS (SELECT * FROM s WHERE quality >= 0.5 AND n_tokens >= 20),
+        |d AS (SELECT md5(t) AS fp, MIN(doc_id) AS keep_id, MIN(n_tokens) AS n_tokens
+        |      FROM f GROUP BY 1)
+        |SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        | MIN(keep_id) AS first_doc
+        |FROM d""".stripMargin,
 
     "dedup_exact_docs" ->
       """SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp,
