@@ -30,9 +30,66 @@ object Cli {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val report = run(spark, args.toIndexedSeq)
+    // No args = interactive session, like the reference's `./data_to_orc_
+    // converter.sh` prompt flow (sh:84-173).
+    val report =
+      if (args.isEmpty)
+        interactive(spark,
+          new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+          System.out)
+      else run(spark, args.toIndexedSeq)
     spark.stop()
     if (report.exists(r => r.successes != r.total)) sys.exit(1)
+  }
+
+  /** Interactive prompt flow mirroring the reference's UX (sh:84-173):
+    * input type -> per-type config (with the reference's defaults) ->
+    * output dir + compression + workers. Testable via injected reader. */
+  def interactive(spark: SparkSession, in: java.io.BufferedReader,
+                  out: java.io.PrintStream): Option[JobReport] = {
+    def ask(msg: String, default: String): String = {
+      out.print(s"$msg [$default]: ")
+      val line = Option(in.readLine()).map(_.trim).getOrElse("")
+      if (line.isEmpty) default else line
+    }
+    def required(msg: String): Option[String] = {
+      val v = ask(msg, "")
+      if (v.isEmpty) { out.println(s"error: $msg is required"); None } else Some(v)
+    }
+    out.println("Select input type:\n  1) MySQL database\n  2) SQL dump file\n  3) CSV file/directory")
+    val choice = ask("Choice", "3")
+    val argv: Seq[String] = choice match {
+      case "1" =>
+        val host = ask("MySQL host", "localhost")
+        val port = ask("MySQL port", "3306")
+        val user = ask("MySQL user", "root")
+        val pass = ask("MySQL password", "")
+        val db = ask("Database", "")
+        val outDir = ask("Output directory", "./orc_output")
+        val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
+        val tables = ask("Tables (comma-separated or 'all')", "all")
+        Seq("mysql", host, port, user, pass, db, outDir, codec, tables)
+      case "2" =>
+        required("SQL dump file") match {
+          case None => return None
+          case Some(file) =>
+            val outDir = ask("Output directory", "./orc_output")
+            val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
+            val tables = ask("Tables (comma-separated or 'all')", "all")
+            Seq("dump", file, outDir, codec, tables)
+        }
+      case _ =>
+        required("CSV file or directory") match {
+          case None => return None
+          case Some(path) =>
+            val outDir = ask("Output directory", "./orc_output")
+            val delim = ask("Delimiter", ",")
+            val header = ask("Has header row? (true/false)", "true")
+            val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
+            Seq("csv", path, outDir, delim, header, codec)
+        }
+    }
+    run(spark, argv)
   }
 
   /** Dispatch; returns None for usage errors (after printing usage). */

@@ -250,6 +250,18 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Approximate distinct counts (HLL++) next to their exact values.
+    // No oracle — HLL sketches aren't engine-portable; the spec bounds the
+    // relative error instead. At 100 TB the approx path is the one that
+    // avoids a count-distinct shuffle explosion.
+    "q22_approx_distinct" -> { (s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+    },
+
     // Semi + anti join combo: suppliers that shipped in 1996 but never at
     // a deep discount.
     "q20_clean_suppliers" -> { (s, d) =>

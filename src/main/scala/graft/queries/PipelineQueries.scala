@@ -30,6 +30,10 @@ object PipelineQueries {
         .orderBy(col("user_id"))
     },
 
+    "stream_sliding_agg" -> { (s, d) =>
+      EventStream.slidingAgg(s, d).orderBy(col("w_start"), col("event_type"))
+    },
+
     "multimodal_bytes" -> { (s, d) =>
       Multimodal.toMultimodal(t(s, d, "documents"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -64,6 +68,20 @@ object PipelineQueries {
         | FROM e)
         |SELECT user_id, CAST(SUM(brk) AS BIGINT) AS n_sessions
         |FROM g GROUP BY user_id""".stripMargin,
+
+    // Sliding windows as SQL: each event belongs to the two 1-hour windows
+    // starting at floor30(ts) and floor30(ts)-30min (integer-µs floor math
+    // so both engines bucket identically).
+    "stream_sliding_agg" ->
+      """WITH e AS (
+        | SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type, value FROM events),
+        |slid AS (
+        | SELECT make_timestamp((epoch_us(tsu) // 1800000000) * 1800000000 - k.k * 1800000000) AS w_start,
+        |        event_type, value
+        | FROM e, (SELECT 0 AS k UNION ALL SELECT 1) k)
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM slid GROUP BY 1, 2""".stripMargin,
 
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

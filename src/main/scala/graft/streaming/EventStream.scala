@@ -64,6 +64,18 @@ object EventStream {
     runToMemory(spark, agg, "graft_stream_hourly", OutputMode.Complete())
   }
 
+  /** Sliding-window aggregation: 1-hour windows every 30 minutes (each
+    * event lands in exactly 2 windows). Same drive-to-completion contract
+    * as [[hourlyAgg]]. */
+  def slidingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+    runToMemory(spark, agg, "graft_stream_sliding", OutputMode.Complete())
+  }
+
   /** Per-user session counting (30-min inactivity gap) via
     * flatMapGroupsWithState — the custom-state streaming primitive. State
     * carries (last event time, session count) across micro-batches; events

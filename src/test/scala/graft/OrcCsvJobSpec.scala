@@ -103,4 +103,28 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
   test("Cli usage error returns None") {
     assert(Cli.run(spark, Seq("bogus")).isEmpty)
   }
+
+  test("Cli interactive flow drives the CSV path with defaults") {
+    val in = Files.createTempDirectory("cliint").toString
+    val out = Files.createTempDirectory("cliintout").toString
+    Tables.t(spark, sf, "nation").write.option("header", true).csv(s"$in/nation.d")
+    val one = Files.list(java.nio.file.Paths.get(s"$in/nation.d"))
+      .filter(_.toString.endsWith(".csv")).findFirst().get()
+    Files.copy(one, java.nio.file.Paths.get(s"$in/nation.csv"))
+    // choice=3 (default), path, outDir, then defaults for delim/header/codec
+    val script = s"\n$in/nation.csv\n$out\n\n\n\n"
+    val report = Cli.interactive(spark,
+      new java.io.BufferedReader(new java.io.StringReader(script)),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream())).get
+    assert(report.successes == 1)
+    assert(OrcSink.read(spark, s"$out/nation").count() == 25)
+  }
+
+  test("approx_count_distinct stays within 5% of exact") {
+    val row = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()(0)
+    val (ap, ep) = (row.getAs[Long]("approx_parts"), row.getAs[Long]("exact_parts"))
+    val (ao, eo) = (row.getAs[Long]("approx_orders"), row.getAs[Long]("exact_orders"))
+    assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$ap vs $ep")
+    assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$ao vs $eo")
+  }
 }
