@@ -250,6 +250,22 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // As-of join: for each error event, the user's most recent click at or
+    // before it. Oracle = DuckDB's native ASOF LEFT JOIN.
+    "q23_asof_clicks" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val err = e.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"))
+      graft.operators.AsOfJoin.lastValueAsOf(
+          err, clk, key = "user_id", leftTime = "ts",
+          rightTime = "click_ts", rightValue = "click_ts",
+          outCol = "prev_click_ts")
+        .select(col("event_id"), col("user_id"), col("prev_click_ts"))
+        .orderBy(col("event_id"))
+    },
+
     // Approximate distinct counts (HLL++) next to their exact values.
     // No oracle — HLL sketches aren't engine-portable; the spec bounds the
     // relative error instead. At 100 TB the approx path is the one that
@@ -417,6 +433,13 @@ object AnalyticsQueries {
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q23_asof_clicks" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type FROM events)
+        |SELECT err.event_id, err.user_id, clk.tsu AS prev_click_ts
+        |FROM (SELECT * FROM e WHERE event_type = 'error') err
+        |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') clk
+        | ON err.user_id = clk.user_id AND err.tsu >= clk.tsu""".stripMargin,
 
     "q21_percentiles" ->
       """SELECT o_orderstatus,

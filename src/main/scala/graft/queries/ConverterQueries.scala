@@ -70,6 +70,35 @@ object ConverterQueries {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // Partition-pruned layout: events partitioned by event_type; the
+    // read-back filter prunes to one directory before any I/O.
+    "conv_partitioned_orc" -> { (s, d) =>
+      val base = tmp(d, "part_orc")
+      OrcSink.write(t(s, d, "events"), base, "events",
+        partitionBy = Seq("event_type"))
+      OrcSink.read(s, s"$base/events")
+        .filter(col("event_type") === "click")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"))
+    },
+
+    // Bucketed co-located join: both fact tables bucketed+sorted on the
+    // join key -> the join plans with NO shuffle exchange (checked by
+    // ScaleLayoutSpec; here the result is value-verified by the oracle).
+    "conv_bucketed_join" -> { (s, d) =>
+      OrcSink.writeBucketed(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice")),
+        "graft_li_b", Seq("l_orderkey"), 8)
+      OrcSink.writeBucketed(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
+        "graft_ord_b", Seq("o_orderkey"), 8)
+      s.table("graft_li_b")
+        .join(s.table("graft_ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsumr(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ORC sink contract (reference K1/K4/K5 + README.md:189): multi-part
     // write under zlib, directory read-back merges parts losslessly.
     "conv_orc_roundtrip" -> { (s, d) =>
@@ -100,6 +129,18 @@ object ConverterQueries {
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin,
+
+    "conv_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "conv_partitioned_orc" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY event_type""".stripMargin,
 
     "conv_orc_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -27,16 +27,21 @@ object OrcSink {
 
   final case class WriteReport(table: String, dir: String, rows: Long, files: Int)
 
-  /** Write `df` as `outDir/<table>/part-*.orc`. */
+  /** Write `df` as `outDir/<table>/part-*.orc`. With `partitionBy`, the
+    * table lays out as `<table>/<col>=<value>/part-*.orc` — the standard
+    * big-table layout: readers with a partition-column predicate prune
+    * whole directories before any I/O (PartitionFilters in the plan). */
   def write(df: DataFrame, outDir: String, table: String,
             compression: String = "snappy",
-            maxRecordsPerFile: Long = 0L): WriteReport = {
+            maxRecordsPerFile: Long = 0L,
+            partitionBy: Seq[String] = Nil,
+            mode: String = "overwrite"): WriteReport = {
     val codec = compression.toLowerCase
     require(SupportedCodecs.contains(codec), s"unsupported ORC codec: $compression")
     val dir = s"$outDir/$table"
-    val writer = df.write.mode("overwrite").option("compression", codec)
-    val w = if (maxRecordsPerFile > 0) writer.option("maxRecordsPerFile", maxRecordsPerFile)
-            else writer
+    var w = df.write.mode(mode).option("compression", codec)
+    if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.orc(dir)
     verify(df.sparkSession, dir, table)
   }
@@ -48,7 +53,10 @@ object OrcSink {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"output dir missing: $dir")
-    val orcFiles = fs.listStatus(p).count(_.getPath.getName.endsWith(".orc"))
+    // recursive: partitioned layouts nest part files under <col>=<val>/ dirs
+    val it = fs.listFiles(p, true)
+    var orcFiles = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".orc")) orcFiles += 1
     require(orcFiles > 0, s"no .orc part files in $dir")
     val rows = spark.read.orc(dir).count()
     WriteReport(table, dir, rows, orcFiles)
@@ -57,4 +65,33 @@ object OrcSink {
   /** Read a table directory back (README.md:189 contract: the directory IS
     * the table; the reader merges part files). */
   def read(spark: SparkSession, dir: String): DataFrame = spark.read.orc(dir)
+
+  /** Read with per-file schema merging — the ORC schema-evolution
+    * capability the reference README declares ("add columns without
+    * breaking existing data", README.md:27): files appended later with
+    * extra columns union into one schema; old rows read null. */
+  def readMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", true).orc(dir)
+
+  /** Write as a bucketed catalog table (`bucketBy` requires the table
+    * catalog, not a bare path). Two tables bucketed the same way on the
+    * join key co-locate: the join runs with NO shuffle on either side —
+    * at 100 TB this converts every fact-fact join on the bucket key from
+    * a full-network exchange into a local merge. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, compression: String = "snappy"): Unit = {
+    val spark = df.sparkSession
+    // Idempotence across JVMs: an in-memory catalog forgets tables between
+    // sessions but their warehouse directories persist; clear both.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new Path(spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    df.write.mode("overwrite")
+      .format("orc")
+      .option("compression", compression.toLowerCase)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+  }
 }

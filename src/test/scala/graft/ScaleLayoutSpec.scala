@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType, StringType}
+import org.apache.spark.sql.Row
+
+import graft.sinks.OrcSink
+
+/** Scale-layout capabilities: partition pruning, bucketed no-shuffle
+  * joins, ORC schema evolution, and the as-of join composition. */
+class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("partitionBy layout prunes: filtered read plans PartitionFilters") {
+    val dir = Files.createTempDirectory("partorc").toString
+    val events = Tables.t(spark, sf, "events")
+    val report = OrcSink.write(events, dir, "events", partitionBy = Seq("event_type"))
+    assert(report.rows == events.count())
+    val filtered = OrcSink.read(spark, s"$dir/events")
+      .filter(col("event_type") === "click")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), plan.take(500))
+    val expected = events.filter(col("event_type") === "click").count()
+    assert(filtered.count() == expected)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      OrcSink.writeBucketed(
+        Tables.t(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+        "li_bucketed", Seq("l_orderkey"), 8)
+      OrcSink.writeBucketed(
+        Tables.t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        "ord_bucketed", Seq("o_orderkey"), 8)
+      val joined = spark.table("li_bucketed")
+        .join(spark.table("ord_bucketed"),
+          col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n${plan.take(800)}")
+      assert(joined.count() ==
+        Tables.t(spark, sf, "lineitem").join(Tables.t(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey")).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("ORC schema evolution: appended files with new columns merge") {
+    val dir = Files.createTempDirectory("evolve").toString
+    val v1 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, "a"), Row(2L, "b"))),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    OrcSink.write(v1, dir, "t")
+    val v2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(3L, "c", 30L))),
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType),
+        StructField("extra", LongType))))
+    OrcSink.write(v2, dir, "t", mode = "append")
+    val merged = OrcSink.readMerged(spark, s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "s", "extra"))
+    val byId = merged.collect().map(r => r.getLong(0) ->
+      Option(r.get(r.fieldIndex("extra")))).toMap
+    assert(byId(1L).isEmpty && byId(3L).contains(30L))
+  }
+
+  test("as-of join matches a per-row reference computation") {
+    val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (3L, 50L, 103L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "r@10"), (1L, 20L, "r@20"), (2L, 6L, "r@6"))
+      .toDF("k", "rt", "v")
+    val got = graft.operators.AsOfJoin.lastValueAsOf(
+        left, right, "k", "t", "rt", "v", "asof_v")
+      .collect().map(r => r.getAs[Long]("lid") -> Option(r.getAs[String]("asof_v"))).toMap
+    assert(got(100L).contains("r@10")) // inclusive at equal time
+    assert(got(101L).contains("r@20"))
+    assert(got(102L).isEmpty)         // right row is later than left
+    assert(got(103L).isEmpty)         // key with no right rows
+  }
+}
