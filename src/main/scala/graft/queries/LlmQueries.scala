@@ -96,6 +96,60 @@ object LlmQueries {
           min(col("keep_id")).as("first_doc"))
     },
 
+    // Data-mixing cap: keep the top-N highest-quality docs per source
+    // (window top-k per group — the standard source-balancing step).
+    "pipeline_cap_per_source" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          round(sum(dec(col("quality"))), 4).cast("double").as("sum_quality"))
+        .orderBy(col("source"))
+    },
+
+    // Token-budget sequence packing: running token count per source
+    // (ordered by doc_id), packed greedily into 2048-token bins — the
+    // deterministic prefix-sum formulation of training-sequence packing.
+    "pipeline_token_packing" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack", expr("(cum - n_tokens) div 2048"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("pack")).as("n_packs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("source"))
+    },
+
+    // Contamination check: exact-fingerprint overlap between the corpus
+    // and a held-out set (every 10th doc stands in for the benchmark).
+    "pipeline_contamination" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("fp").as("bench_fp")).distinct()
+      docs.join(bench, col("fp") === col("bench_fp"), "left_semi")
+        .agg(count(lit(1)).as("n_contaminated"),
+          countDistinct(col("fp")).as("n_distinct_contaminated"))
+    },
+
+    // PII-style scrubbing: digit runs replaced with a placeholder;
+    // reports how many docs changed and the scrubbed byte volume.
+    "text_scrub" -> { (s, d) =>
+      t(s, d, "documents")
+        .withColumn("scrubbed", regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+        .agg(
+          sum(when(col("scrubbed") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+          sum(length(col("scrubbed")).cast("long")).cast("long").as("total_chars"))
+    },
+
     // ---- hash-based (no SQL oracle; verified by planted-dup specs) ----
 
     "dedup_minhash_pairs" -> { (s, d) =>
@@ -192,6 +246,55 @@ object LlmQueries {
       """SELECT doc_id,
         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
         | len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS n_unique_tokens
+        |FROM documents""".stripMargin,
+
+    "pipeline_cap_per_source" ->
+      """WITH n AS (
+        | SELECT doc_id, source, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, source,
+        |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |   ROUND(
+        |    LEAST(1.0, (CASE WHEN length(t) = 0 THEN 0
+        |                ELSE length(t) - length(translate(t, ' ', '')) + 1 END) / 50.0)
+        |    * (1.0 - (length(text) - length(translate(text, '.,;:!?', ''))) / length(text))
+        |    * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
+        |   4) END AS quality
+        | FROM n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn FROM s)
+        |SELECT source, COUNT(*) AS n_kept,
+        | CAST(ROUND(SUM(CAST(quality AS DECIMAL(18,4))), 4) AS DOUBLE) AS sum_quality
+        |FROM r WHERE rn <= 3 GROUP BY source""".stripMargin,
+
+    "pipeline_token_packing" ->
+      """WITH n AS (
+        | SELECT doc_id, source,
+        |  CAST(CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0 THEN 0
+        |       ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |            - length(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1 END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT source, n_tokens,
+        |      SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM n)
+        |SELECT source,
+        | CAST(COUNT(DISTINCT (cum - n_tokens) // 2048) AS BIGINT) AS n_packs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY source""".stripMargin,
+
+    "pipeline_contamination" ->
+      """WITH f AS (
+        | SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |b AS (SELECT DISTINCT fp FROM f WHERE doc_id % 10 = 0)
+        |SELECT COUNT(*) AS n_contaminated,
+        | CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_contaminated
+        |FROM f WHERE fp IN (SELECT fp FROM b)""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT
+        | CAST(SUM(CASE WHEN regexp_replace(text, '[0-9]+', '<NUM>', 'g') != text
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        | CAST(SUM(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
 
     "pipeline_curate_corpus" ->
