@@ -278,6 +278,18 @@ object AnalyticsQueries {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     },
 
+    // Mergeable-sketch distinct counts (DataSketches HLL as a custom
+    // TypedImperativeAggregate) beside exact values. No oracle — sketch
+    // estimates aren't engine-portable; the spec bounds relative error.
+    "q24_sketch_distinct" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          graft.functions.HllSketchAgg.hllDistinct(col("l_partkey")).as("sketch_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Semi + anti join combo: suppliers that shipped in 1996 but never at
     // a deep discount.
     "q20_clean_suppliers" -> { (s, d) =>

@@ -120,6 +120,16 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(OrcSink.read(spark, s"$out/nation").count() == 25)
   }
 
+  test("HLL sketch aggregate stays within 5% of exact across repartitionings") {
+    for (parts <- Seq(1, 7)) {
+      val rows = SparkEntry.queries("q24_sketch_distinct")(spark, sf).collect()
+      rows.foreach { r =>
+        val (sk, ex) = (r.getAs[Long]("sketch_parts"), r.getAs[Long]("exact_parts"))
+        assert(math.abs(sk - ex).toDouble / ex < 0.05, s"parts=$parts: $sk vs $ex")
+      }
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val row = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()(0)
     val (ap, ep) = (row.getAs[Long]("approx_parts"), row.getAs[Long]("exact_parts"))
