@@ -73,6 +73,19 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Per-label centroid vectors (cluster statistics): exact decimal sums
+    // per (label, dimension) so the centroid is identical on any cluster
+    // size — the aggregation pattern for embedding rollups.
+    "emb_label_centroids" -> { (s, d) =>
+      t(s, d, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(round(sum(col("v").cast("decimal(18,9)")).cast("double") / count(lit(1)), 6)
+          .as("centroid"))
+        .filter(col("dim") < 8) // bounded output; full vector same pattern
+        .orderBy(col("label"), col("dim"))
+    },
+
     "emb_cosine_topk" -> { (s, d) =>
       Similarity.bruteForceTopK(
           t(s, d, "embeddings"), "vec_id", "embedding",
@@ -352,6 +365,12 @@ object LlmQueries {
         | ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a, e b
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    "emb_label_centroids" ->
+      """SELECT label, CAST(i.i - 1 AS BIGINT) AS dim,
+        | ROUND(CAST(SUM(CAST(embedding[i.i] AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS centroid
+        |FROM embeddings, generate_series(1, 8) i(i)
+        |GROUP BY label, i.i""".stripMargin,
 
     "emb_cosine_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
