@@ -74,16 +74,18 @@ object Similarity {
               tables: Int = 8, nBits: Int = 6, seed: Long = 42L): DataFrame = {
     val dim = emb.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(tables, nBits, dim, seed)
+    // (table, bucket) pairs from the native one-pass LshBits expression;
+    // posexplode supplies the table index.
     val bucketsArr: Column => Column = vec =>
-      array(planes.zipWithIndex.map { case (tp, t) =>
-        struct(lit(t).as("t"), bucketFor(vec, tp).as("b"))
-      }: _*)
+      graft.functions.LshBits.lshBits(vec, planes)
 
     val e = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
-      .withColumn("tb", explode(bucketsArr(col("nvec"))))
+      .select(col("nid"), col("nvec"), posexplode(bucketsArr(col("nvec"))).as(Seq("t", "b")))
+      .withColumn("tb", struct(col("t"), col("b"))).drop("t", "b")
     val q = emb.filter(queryIds(col(idCol)))
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("tb", explode(bucketsArr(col("qvec"))))
+      .select(col("qid"), col("qvec"), posexplode(bucketsArr(col("qvec"))).as(Seq("t", "b")))
+      .withColumn("tb", struct(col("t"), col("b"))).drop("t", "b")
 
     val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
     e.join(broadcast(q), e("tb") === q("tb") && col("nid") =!= col("qid"))

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+
+class GraftFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  test("native expressions are callable from SQL after registration") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       ngram_jaccard('abcdef', 'abcdef', 3) AS j_same,
+        |       ngram_jaccard('abcdef', 'uvwxyz', 3) AS j_diff,
+        |       size(minhash_sig('hello world', 8, 5)) AS sig_len,
+        |       sig_agree(minhash_sig('hello world', 8, 5),
+        |                 minhash_sig('hello world', 8, 5)) AS agree
+        |""".stripMargin).collect()(0)
+    assert(row.getAs[Double]("d") == 11.0)
+    assert(row.getAs[Double]("j_same") == 1.0)
+    assert(row.getAs[Double]("j_diff") == 0.0)
+    assert(row.getAs[Int]("sig_len") == 8)
+    assert(row.getAs[Double]("agree") == 1.0)
+  }
+
+  test("sketch aggregate works through SQL") {
+    GraftFunctions.register(spark)
+    Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .createOrReplaceTempView("li_fn_v")
+    val row = spark.sql(
+      "SELECT hll_sketch_distinct(l_partkey) AS sk, COUNT(DISTINCT l_partkey) AS ex FROM li_fn_v")
+      .collect()(0)
+    val (sk, ex) = (row.getAs[Long]("sk"), row.getAs[Long]("ex"))
+    assert(math.abs(sk - ex).toDouble / ex < 0.05, s"$sk vs $ex")
+  }
+}
