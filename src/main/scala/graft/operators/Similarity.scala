@@ -116,17 +116,14 @@ object Similarity {
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
 
-    /** array<struct<c,i>> of (cosine to centroid i, i), for argmax/top-probe. */
-    def cells(vec: Column): Column = sort_array(
-      array(centroids.zipWithIndex.map { case (ct, i) =>
-        struct(cosine(vec, typedLit(ct)).as("c"), lit(i).as("i"))
-      }: _*), asc = false)
-
+    // native one-pass probe expression (argmax = probe with nProbe=1)
     val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
-      .withColumn("cell", cells(col("nvec")).getItem(0).getField("i"))
+      .withColumn("cell",
+        graft.functions.NearestCells.nearestCells(col("nvec"), centroids, 1).getItem(0))
     val q = emb.filter(queryIds(col(idCol)))
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
-      .withColumn("cell", explode(slice(cells(col("qvec")), 1, nProbe).getField("i")))
+      .withColumn("cell",
+        explode(graft.functions.NearestCells.nearestCells(col("qvec"), centroids, nProbe)))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
     corpus.join(broadcast(q), Seq("cell"))
