@@ -278,6 +278,20 @@ object AnalyticsQueries {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     },
 
+    // Range join: event pairs of the same user within a 5-minute window.
+    // Equi-key (user) + range predicate -> Catalyst plans a sort-merge
+    // join on the user key with the range as a post-filter; at scale the
+    // equi key bounds the pair explosion to within-user windows.
+    "q25_range_join_pairs" -> { (s, d) =>
+      val e = t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"))
+      e.as("a").join(e.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.ts") > col("a.ts") &&
+            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("a.user_id")).as("n_users"))
+    },
+
     // Mergeable-sketch distinct counts (DataSketches HLL as a custom
     // TypedImperativeAggregate) beside exact values. No oracle — sketch
     // estimates aren't engine-portable; the spec bounds relative error.
@@ -445,6 +459,15 @@ object AnalyticsQueries {
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q25_range_join_pairs" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events)
+        |SELECT COUNT(*) AS n_pairs,
+        | CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        | AND b.tsu > a.tsu
+        | AND b.tsu <= a.tsu + INTERVAL 5 MINUTE""".stripMargin,
 
     "q23_asof_clicks" ->
       """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu, event_type FROM events)
