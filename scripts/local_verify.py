@@ -8,8 +8,8 @@ Usage: python3 scripts/local_verify.py <verifyOutDir> [sfDir]
 Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify) and
 <verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB with views over
 the sfDir parquet tables, and compares: sorted columns by name, sorted rows,
-exact value equality (floats compared exactly first, then with 1e-9 rel
-tolerance reported separately)."""
+exact stringified value equality (intentionally strict — the query layer is
+responsible for determinism via exact decimal arithmetic and rounding)."""
 import json, math, sys
 import duckdb
 

@@ -39,7 +39,9 @@ object Cli {
           System.out)
       else run(spark, args.toIndexedSeq)
     spark.stop()
-    if (report.exists(r => r.successes != r.total)) sys.exit(1)
+    // usage errors / aborted sessions (None) are failures too — a caller
+    // must never see exit 0 when nothing converted
+    if (report.forall(r => r.successes != r.total)) sys.exit(1)
   }
 
   /** Interactive prompt flow mirroring the reference's UX (sh:84-173):

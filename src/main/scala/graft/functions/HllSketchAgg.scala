@@ -5,6 +5,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -28,7 +29,12 @@ case class HllSketchAgg(
     lgK: Int = 12,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[HllSketch] {
+  extends TypedImperativeAggregate[HllSketch] with ImplicitCastInputTypes {
+
+  // Analysis-time typing: int/short/byte inputs widen to long; strings and
+  // other types fail at analysis instead of ClassCastException per task.
+  // (Seq[DataType] <: Seq[AbstractDataType]; the parent type is sql-private.)
+  override def inputTypes: Seq[DataType] = Seq(LongType)
 
   override def createAggregationBuffer(): HllSketch = new HllSketch(lgK)
 

@@ -70,7 +70,9 @@ object NearestCells {
       val n = math.min(xs.length, p.length)
       var j = 0
       while (j < n) { s += xs(j) * p(j); j += 1 }
-      scores(c) = if (vNorm == 0 || cNorms(c) == 0) 0.0 else s / (vNorm * cNorms(c))
+      val raw = if (vNorm == 0 || cNorms(c) == 0) 0.0 else s / (vNorm * cNorms(c))
+      // NaN (corrupt embedding) ranks last instead of poisoning selection
+      scores(c) = if (java.lang.Double.isNaN(raw)) Double.NegativeInfinity else raw
       c += 1
     }
     // selection of top nProbe by (score desc, index asc)
@@ -83,7 +85,9 @@ object NearestCells {
       var bestScore = Double.NegativeInfinity
       var idx = 0
       while (idx < scores.length) {
-        if (!used(idx) && scores(idx) > bestScore) { best = idx; bestScore = scores(idx) }
+        if (!used(idx) && (best == -1 || scores(idx) > bestScore)) {
+          best = idx; bestScore = scores(idx)
+        }
         idx += 1
       }
       used(best) = true

@@ -26,13 +26,17 @@ object AsOfJoin {
                     outCol: String): DataFrame = {
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val valueType = right.schema(rightValue).dataType
+    // The carried value is wrapped in a presence struct: ignoreNulls must
+    // skip the LEFT rows' sentinel, but a genuinely NULL right-side value
+    // is still a match (DuckDB/pandas ASOF semantics) — so the null-ness
+    // used by last() is the wrapper's, never the value's.
     val leftTagged = left.select(
       col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__src"),
-      lit(null).cast(valueType).as("__v"), leftStruct.as("__row"))
+      lit(null).cast(s"struct<v:${valueType.sql}>").as("__v"), leftStruct.as("__row"))
     val rowType = leftTagged.schema("__row").dataType
     val rightTagged = right.select(
       col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__src"),
-      col(rightValue).cast(valueType).as("__v"),
+      struct(col(rightValue).cast(valueType).as("v")).as("__v"),
       lit(null).cast(rowType).as("__row"))
 
     // right (__src=0) sorts first at equal __t => inclusive as-of
@@ -42,6 +46,6 @@ object AsOfJoin {
       .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
       .filter(col("__src") === 1)
     val leftCols = left.columns.map(c => col("__row").getField(c).as(c))
-    joined.select(leftCols.toIndexedSeq :+ col("__asof").as(outCol): _*)
+    joined.select(leftCols.toIndexedSeq :+ col("__asof").getField("v").as(outCol): _*)
   }
 }

@@ -186,18 +186,25 @@ object Dedup {
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** SimHash near-dup pairs with hamming <= maxDistance.
-    * Candidate generation blocks on signature quarters (a pair within
-    * hamming 16 of a 64-bit simhash must agree exactly on at least one of
-    * 4 16-bit blocks — pigeonhole), so the join is bucket-local like LSH
-    * rather than all-pairs. */
+    * Candidate generation blocks the 64-bit signature into `blocks` equal
+    * bit-slices: by pigeonhole, a pair within hamming `blocks - 1` MUST
+    * agree exactly on at least one slice, so detection is complete for
+    * maxDistance < blocks and the join stays bucket-local (Manku et al.'s
+    * simhash-dedup blocking). Larger maxDistance values still work but
+    * with recall < 1 — callers wanting completeness pick
+    * blocks > maxDistance (more blocks = smaller slices = bigger buckets,
+    * the standard recall/cost dial). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int): DataFrame = {
+                   maxDistance: Int, blocks: Int = 4): DataFrame = {
+    require(64 % blocks == 0, "blocks must divide 64")
+    val width = 64 / blocks
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val sig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
-    val blocks = sig.select(col("id"), col("sig"),
-      explode(array((0 until 4).map(q =>
+    val blocked = sig.select(col("id"), col("sig"),
+      explode(array((0 until blocks).map(q =>
         struct(lit(q).as("q"),
-          shiftright(col("sig"), q * 16).bitwiseAND(lit(0xFFFFL)).as("blk"))): _*)).as("qb"))
-    blocks.as("x").join(blocks.as("y"),
+          shiftright(col("sig"), q * width).bitwiseAND(lit(mask)).as("blk"))): _*)).as("qb"))
+    blocked.as("x").join(blocked.as("y"),
         col("x.qb.q") === col("y.qb.q") && col("x.qb.blk") === col("y.qb.blk") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),

@@ -61,12 +61,6 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Bucket id for one table: sign bits of the plane projections. */
-  def bucketFor(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p)) > 0, lit(1 << i)).otherwise(lit(0))
-    }.reduce(_ + _)
-
   /** LSH ANN top-k: candidates from L bucket tables, scored exactly.
     * Same output shape as [[bruteForceTopK]]. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,

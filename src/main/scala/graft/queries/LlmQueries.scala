@@ -184,9 +184,11 @@ object LlmQueries {
     },
 
     "dedup_simhash_near" -> { (s, d) =>
+      // blocks=16 (4-bit slices) > maxDistance=15 => detection is COMPLETE
+      // for the requested radius (pigeonhole guarantee), not best-effort.
       Dedup.simhashPairs(
           t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
-          maxDistance = 30)
+          maxDistance = 15, blocks = 16)
         .orderBy(col("hamming"), col("a_id"), col("b_id"))
         .limit(20)
     },

@@ -33,10 +33,12 @@ import org.apache.spark.sql.types._
   *    split into statements by Hadoop `TextInputFormat` with record
   *    delimiter `";\n"` (mysqldump terminates every statement with `;\n`),
   *    so a 1 TB dump parses across the cluster without any single node
-  *    holding the file. Caveat: a string literal containing the exact byte
-  *    sequence `";\n"` would split early — impossible for mysqldump output
-  *    of single-line rows, but `parseStreaming` exists as the
-  *    always-correct fallback.
+  *    holding the file. Caveat: a string literal OR comment containing the
+  *    exact byte sequence `";\n"` splits a record early (the affected
+  *    statement's rows are lost) — impossible for mysqldump output of
+  *    single-line rows without mid-statement comments, but
+  *    `parseStreaming` exists as the always-correct fallback for
+  *    arbitrary hand-written dumps.
   *  - `parseStreaming`: constant-memory driver-side statement iterator
   *    (fixes the reference's double whole-file read, sh:325-326 + 371-372),
   *    then parallelized per batch. Correct for any input, bounded by driver
@@ -143,8 +145,33 @@ object SqlDumpSource {
 
   final case class TableDef(name: String, schema: StructType)
 
-  private val CreateTableRe =
-    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?([\w$]+)[`"]?\s*\((.*)\)[^)]*""".r
+  private val CreateTablePrefixRe =
+    """(?is)\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?([\w$]+)[`"]?\s*\(.*""".r
+
+  /** Extract the balanced-paren column-list body starting at the first
+    * '(' (quote-aware). A greedy regex would capture through trailing
+    * parenthesized clauses (PARTITION BY lists, COMMENT='..(..)') and
+    * corrupt the schema. Returns None when parens never balance. */
+  private def balancedBody(stmt: String): Option[String] = {
+    val start = stmt.indexOf('(')
+    if (start < 0) return None
+    var depth = 0
+    var i = start
+    while (i < stmt.length) {
+      stmt.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val (_, ni) = consumeQuotedAt(stmt, i, stmt.charAt(i))
+          i = ni
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some(stmt.substring(start + 1, i))
+          i += 1
+        case _ => i += 1
+      }
+    }
+    None
+  }
 
   /** Declared MySQL→Spark type mapping (reference README.md:252-259),
     * extended to the rest of MySQL's scalar types. */
@@ -175,7 +202,8 @@ object SqlDumpSource {
 
   /** Parse a CREATE TABLE statement into a TableDef; None if not one. */
   def parseCreateTable(stmt: String): Option[TableDef] = stmt match {
-    case CreateTableRe(name, body) =>
+    case CreateTablePrefixRe(name) =>
+      val body = balancedBody(stmt).getOrElse(return None)
       val cols = splitTopLevel(body, ',').flatMap { colDef =>
         val d = colDef.trim
         if (d.isEmpty) None

@@ -71,6 +71,29 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(byId(1L).isEmpty && byId(3L).contains(30L))
   }
 
+  test("as-of join: genuinely NULL right-side values are matches, not skipped") {
+    val left = Seq((1L, 30L, 200L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, Some("early")), (1L, 20L, Option.empty[String]))
+      .toDF("k", "rt", "v")
+    val got = graft.operators.AsOfJoin.lastValueAsOf(
+        left, right, "k", "t", "rt", "v", "asof_v")
+      .collect()(0)
+    // latest right row (t=20) has v=NULL; ASOF semantics return that NULL,
+    // not the older 'early'
+    assert(got.isNullAt(got.fieldIndex("asof_v")), got.toString)
+  }
+
+  test("simhash blocking is complete when blocks > maxDistance") {
+    // two signatures differing by exactly 1 bit in each 16-bit quarter
+    // (hamming 4) defeat 4-block blocking but not 16-block blocking
+    import graft.operators.Dedup
+    val base = "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"
+    val df = Seq((1L, base), (2L, base)).toDF("id", "text")
+    val pairs16 = Dedup.simhashPairs(df, "id", "text", maxDistance = 15, blocks = 16)
+      .collect()
+    assert(pairs16.length == 1 && pairs16(0).getAs[Int]("hamming") == 0)
+  }
+
   test("as-of join matches a per-row reference computation") {
     val left = Seq((1L, 10L, 100L), (1L, 25L, 101L), (2L, 5L, 102L), (3L, 50L, 103L))
       .toDF("k", "t", "lid")

@@ -58,6 +58,21 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(td.schema("c_seen").dataType == TimestampType)
   }
 
+  test("CREATE TABLE with trailing parenthesized clauses keeps a clean schema") {
+    val ddl =
+      """CREATE TABLE t (
+        |  `id` INT,
+        |  `v` VARCHAR(10)
+        |) PARTITION BY RANGE (id) (
+        |  PARTITION p0 VALUES LESS THAN (10),
+        |  PARTITION p1 VALUES LESS THAN (20)
+        |) COMMENT='weird (paren) comment'""".stripMargin
+    val td = SqlDumpSource.parseCreateTable(ddl).get
+    assert(td.name == "t")
+    assert(td.schema.fields.map(_.name).toSeq == Seq("id", "v"))
+    assert(td.schema("id").dataType == LongType)
+  }
+
   test("adversarial INSERT values parse exactly") {
     val (table, rows) = SqlDumpSource.parseInsert(
       """INSERT INTO `t` VALUES (1,'O''Brien, Ltd. (Pty)',NULL,-42.5),(2,'back\\slash and \'quote\'','x;y',0.01)"""
