@@ -278,6 +278,30 @@ object AnalyticsQueries {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     },
 
+    // Pivot: events per hour-of-day x event_type as columns. Spark's pivot
+    // compiles to the same conditional aggregation the oracle spells out.
+    "q26_pivot_events" -> { (s, d) =>
+      t(s, d, "events")
+        .withColumn("hour_of_day", hour(col("ts")).cast("long"))
+        .groupBy(col("hour_of_day"))
+        .pivot("event_type", Seq("click", "view", "error", "purchase", "signup"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("hour_of_day"))
+    },
+
+    // Null-safe equality (<=>): join on possibly-null derived keys, where
+    // NULL must match NULL (IS NOT DISTINCT FROM in ANSI/DuckDB terms).
+    "q27_null_safe_join" -> { (s, d) =>
+      // bounded slice: the NULL bucket matches itself pairwise, so the
+      // join is quadratic in the null count by design — cap the input.
+      val ord = t(s, d, "orders").filter(col("o_orderkey") < 2000)
+        .withColumn("bucket",
+          when(col("o_totalprice") > 400000, col("o_orderpriority")).otherwise(lit(null)))
+      ord.as("a").join(ord.as("b"), col("a.bucket") <=> col("b.bucket"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     // Range join: event pairs of the same user within a 5-minute window.
     // Equi-key (user) + range predicate -> Catalyst plans a sort-merge
     // join on the user key with the range as a post-filter; at scale the
@@ -459,6 +483,22 @@ object AnalyticsQueries {
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q26_pivot_events" ->
+      """SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+        | CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        | CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+        | CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q27_null_safe_join" ->
+      """WITH o AS (
+        | SELECT CASE WHEN o_totalprice > 400000 THEN o_orderpriority END AS bucket
+        | FROM orders WHERE o_orderkey < 2000)
+        |SELECT COUNT(*) AS n_pairs
+        |FROM o a JOIN o b ON a.bucket IS NOT DISTINCT FROM b.bucket""".stripMargin,
 
     "q25_range_join_pairs" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events)
