@@ -40,8 +40,9 @@ object Cli {
       else run(spark, args.toIndexedSeq)
     spark.stop()
     // usage errors / aborted sessions (None) are failures too — a caller
-    // must never see exit 0 when nothing converted
-    if (report.forall(r => r.successes != r.total)) sys.exit(1)
+    // must never see exit 0 when nothing converted, including the vacuous
+    // total == 0 case (dump with no tables, directory with no CSVs)
+    if (report.forall(r => r.total == 0 || r.successes != r.total)) sys.exit(1)
   }
 
   /** Interactive prompt flow mirroring the reference's UX (sh:84-173):

@@ -52,7 +52,16 @@ object SqlDumpSource {
 
   /** Split SQL text into `;`-terminated statements, quote/escape/comment
     * aware. Pure, incremental (works on a streaming Reader). */
-  def statements(in: Reader): Iterator[String] = new Iterator[String] {
+  def statements(in: Reader): Iterator[String] = new StatementScanner(in)
+
+  /** The statement scanner as a class so callers can inspect
+    * `unterminatedQuote` after draining: hitting EOF inside a string literal
+    * means the input was truncated mid-statement — for the distributed read
+    * path that is the signature of the `";\n"` record delimiter having split
+    * a record inside a literal, which would silently lose rows. */
+  final class StatementScanner(in: Reader) extends Iterator[String] {
+    /** True once EOF was reached inside an unterminated quoted literal. */
+    var unterminatedQuote: Boolean = false
     private val sb = new StringBuilder
     private var nextStmt: String = null
     private var eof = false
@@ -100,13 +109,14 @@ object SqlDumpSource {
       var done = false
       while (!done) {
         val c = readWithPushback()
-        if (c < 0) { eof = true; done = true }
+        if (c < 0) { eof = true; done = true; unterminatedQuote = true }
         else {
           val ch = c.toChar
           sb.append(ch)
           if (ch == '\\' && q != '`') {
             val e = readWithPushback()
-            if (e >= 0) sb.append(e.toChar) else { eof = true; done = true }
+            if (e >= 0) sb.append(e.toChar)
+            else { eof = true; done = true; unterminatedQuote = true }
           } else if (ch == q) {
             // '' / "" / `` doubling = escaped quote, keep consuming
             val n = readWithPushback()
@@ -208,8 +218,11 @@ object SqlDumpSource {
         val d = colDef.trim
         if (d.isEmpty) None
         else {
-          val (colName, rest) = parseIdentifier(d)
-          if (colName.isEmpty || ConstraintPrefixes.contains(colName.toUpperCase)) None
+          val (colName, rest, quoted) = parseIdentifier(d)
+          // Constraint clauses (PRIMARY KEY, INDEX, CHECK, ...) are always
+          // unquoted in dumps; a backtick-quoted `key`/`index`/... is a real
+          // column and must be kept, or every later column shifts position.
+          if (colName.isEmpty || (!quoted && ConstraintPrefixes.contains(colName.toUpperCase))) None
           else {
             val typeTok = rest.trim.takeWhile(c => !c.isWhitespace) match {
               case tt if tt.contains("(") && !tt.contains(")") =>
@@ -227,16 +240,17 @@ object SqlDumpSource {
     case _ => None
   }
 
-  /** First identifier of a column definition: backtick/double-quoted or bare. */
-  private def parseIdentifier(s: String): (String, String) = {
+  /** First identifier of a column definition: backtick/double-quoted or bare.
+    * Returns (identifier, rest, wasQuoted). */
+  private def parseIdentifier(s: String): (String, String, Boolean) = {
     val t = s.trim
     if (t.startsWith("`") || t.startsWith("\"")) {
       val q = t.head
       val end = t.indexOf(q, 1)
-      if (end < 0) ("", "") else (t.substring(1, end), t.substring(end + 1))
+      if (end < 0) ("", "", true) else (t.substring(1, end), t.substring(end + 1), true)
     } else {
       val end = t.indexWhere(c => c.isWhitespace)
-      if (end < 0) (t, "") else (t.take(end), t.drop(end))
+      if (end < 0) (t, "", false) else (t.take(end), t.drop(end), false)
     }
   }
 
@@ -285,12 +299,25 @@ object SqlDumpSource {
   // ---------------------------------------------------------------------
 
   private val InsertRe =
-    """(?is)\s*INSERT\s+(?:IGNORE\s+)?INTO\s+[`"]?([\w$]+)[`"]?\s*(?:\([^)]*\))?\s*VALUES\s*(.*)""".r
+    """(?is)\s*INSERT\s+(?:IGNORE\s+)?INTO\s+[`"]?([\w$]+)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)""".r
 
-  /** Parse an INSERT statement: table name + raw cell strings per row.
-    * A cell is None for SQL NULL, otherwise the unescaped literal text. */
-  def parseInsert(stmt: String): Option[(String, Seq[Seq[Option[String]]])] = stmt match {
-    case InsertRe(table, values) => Some((table, parseValueTuples(values)))
+  /** An INSERT statement: table name, the explicit column list when present
+    * (names unquoted, dump order), and raw cell strings per row. A cell is
+    * None for SQL NULL, otherwise the unescaped literal text. */
+  final case class InsertStmt(table: String, columns: Option[Seq[String]],
+                              rows: Seq[Seq[Option[String]]])
+
+  /** Parse an INSERT statement. An explicit column list (legal SQL, emitted
+    * by some dump tools for reordered/partial inserts) is captured so cells
+    * can be mapped by NAME onto the CREATE TABLE schema — discarding it
+    * would map values positionally into the wrong columns with no error. */
+  def parseInsert(stmt: String): Option[InsertStmt] = stmt match {
+    case InsertRe(table, colList, values) =>
+      val cols = Option(colList).map { cl =>
+        cl.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")
+          .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+      }.filter(_.nonEmpty)
+      Some(InsertStmt(table, cols, parseValueTuples(values)))
     case _ => None
   }
 
@@ -327,6 +354,9 @@ object SqlDumpSource {
       val c = s.charAt(i)
       c match {
         case '\'' | '"' =>
+          // whitespace between the separator and the opening quote is not
+          // part of the literal ("(1, 'b')" -> "b", not " b")
+          if (!quoted && cur.forall(_.isWhitespace)) cur.clear()
           quoted = true
           i = consumeQuotedUnescaped(s, i, c, cur)
         case ',' => flush(); i += 1
@@ -336,7 +366,8 @@ object SqlDumpSource {
           while (i < s.length && depth > 0) {
             val cc = s.charAt(i)
             if (cc == '(') depth += 1 else if (cc == ')') depth -= 1
-            if (depth > 0) cur.append(cc)
+            // the ')' that closes this nested group belongs to the cell text
+            cur.append(cc)
             i += 1
           }
         case _ => cur.append(c); i += 1
@@ -374,7 +405,7 @@ object SqlDumpSource {
   // Typed row materialization
   // ---------------------------------------------------------------------
 
-  /** Convert raw cells to a typed Row per the table schema. */
+  /** Convert raw cells to a typed Row per the table schema (positional). */
   def toTypedRow(cells: Seq[Option[String]], schema: StructType): Row = {
     val vals = schema.fields.zipWithIndex.map { case (f, idx) =>
       cells.lift(idx).flatten match {
@@ -383,6 +414,31 @@ object SqlDumpSource {
       }
     }
     Row.fromSeq(vals.toIndexedSeq)
+  }
+
+  /** Convert raw cells to a typed Row, mapping by NAME when the INSERT
+    * carried an explicit column list (reordered/partial lists are legal SQL);
+    * omitted schema columns become null. Unknown column names fail loudly —
+    * silently dropping them would lose data. Case-insensitive, matching
+    * MySQL's default identifier comparison. */
+  def toTypedRow(cells: Seq[Option[String]], schema: StructType,
+                 columns: Option[Seq[String]]): Row = columns match {
+    case None => toTypedRow(cells, schema)
+    case Some(cols) =>
+      val schemaIdx = schema.fields.map(_.name.toLowerCase).zipWithIndex.toMap
+      cols.foreach { c =>
+        require(schemaIdx.contains(c.toLowerCase),
+          s"INSERT column `$c` not in table schema ${schema.fieldNames.mkString("(", ",", ")")}")
+      }
+      val cellIdxByField: Map[Int, Int] =
+        cols.zipWithIndex.map { case (c, i) => schemaIdx(c.toLowerCase) -> i }.toMap
+      val vals = schema.fields.zipWithIndex.map { case (f, fi) =>
+        cellIdxByField.get(fi).flatMap(ci => cells.lift(ci).flatten) match {
+          case None => null
+          case Some(raw) => castCell(raw, f.dataType)
+        }
+      }
+      Row.fromSeq(vals.toIndexedSeq)
   }
 
   private def castCell(raw: String, dt: DataType): Any = dt match {
@@ -433,6 +489,17 @@ object SqlDumpSource {
                                select: Seq[TableDef] => Seq[TableDef]): Map[String, DataFrame] = {
     val stmts = statementsRdd(spark, path)
     stmts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Silent-loss guard: a record that ends inside an unterminated string
+    // literal means the ";\n" delimiter split a statement mid-literal and
+    // positional rows would be lost/corrupted. Fall back to the statement
+    // scanner over the whole file, which is correct for any input.
+    if (stmts.filter(_ == UnterminatedMarker).take(1).nonEmpty) {
+      stmts.unpersist(blocking = false)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dump $path contains a string literal spanning a ';\\n' record boundary; " +
+          "falling back to the single-reader streaming parse")
+      return parseStreaming(spark, path, select)
+    }
     val defs = select(
       stmts.filter(s => s.toUpperCase.contains("CREATE") && s.toUpperCase.contains("TABLE"))
         .flatMap(parseCreateTable(_))
@@ -442,7 +509,8 @@ object SqlDumpSource {
       val tname = td.name
       val rows = stmts.flatMap { stmt =>
         parseInsert(stmt) match {
-          case Some((t, tuples)) if t == tname => tuples.map(toTypedRow(_, schema))
+          case Some(ins) if ins.table == tname =>
+            ins.rows.map(toTypedRow(_, schema, ins.columns))
           case _ => Nil
         }
       }
@@ -467,10 +535,10 @@ object SqlDumpSource {
             defs += td
             byTable.getOrElseUpdate(td.name, ArrayBuffer.empty[Row])
           case None =>
-            parseInsert(stmt).foreach { case (t, tuples) =>
-              defs.find(_.name == t).foreach { td =>
-                byTable.getOrElseUpdate(t, ArrayBuffer.empty[Row]) ++=
-                  tuples.map(toTypedRow(_, td.schema))
+            parseInsert(stmt).foreach { ins =>
+              defs.find(_.name == ins.table).foreach { td =>
+                byTable.getOrElseUpdate(ins.table, ArrayBuffer.empty[Row]) ++=
+                  ins.rows.map(toTypedRow(_, td.schema, ins.columns))
               }
             }
         }
@@ -486,12 +554,21 @@ object SqlDumpSource {
     * Each raw record is re-run through the character scanner so comments are
     * stripped and any further `;`-separated statements inside the record
     * split correctly (the scanner is quote-aware, so `;` in strings stays). */
+  /** Sentinel statement emitted when a record's scan ended inside an
+    * unterminated quoted literal (see parseDistributed guard). The NUL
+    * bytes make collision with real SQL impossible. */
+  private[sources] val UnterminatedMarker = "\u0000graft:unterminated-quote\u0000"
+
   private def statementsRdd(spark: SparkSession, path: String) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", ";\n")
     spark.sparkContext
       .newAPIHadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
-      .flatMap(r => statements(new java.io.StringReader(r._2.toString)).toList)
+      .flatMap { r =>
+        val sc = new StatementScanner(new java.io.StringReader(r._2.toString))
+        val list = sc.toList
+        if (sc.unterminatedQuote) list :+ UnterminatedMarker else list
+      }
       .filter(_.trim.nonEmpty)
   }
 

@@ -121,12 +121,21 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("HLL sketch aggregate stays within 5% of exact across repartitionings") {
+    import org.apache.spark.sql.functions._
+    // repartition the INPUT so the TypedImperativeAggregate merge path runs
+    // over genuinely different partial-buffer layouts (1 = no merge, 7 =
+    // seven partials merged at the final reduce)
+    var last: Option[Long] = None
     for (parts <- Seq(1, 7)) {
-      val rows = SparkEntry.queries("q24_sketch_distinct")(spark, sf).collect()
-      rows.foreach { r =>
-        val (sk, ex) = (r.getAs[Long]("sketch_parts"), r.getAs[Long]("exact_parts"))
-        assert(math.abs(sk - ex).toDouble / ex < 0.05, s"parts=$parts: $sk vs $ex")
-      }
+      val li = Tables.t(spark, sf, "lineitem").repartition(parts)
+      val r = li.agg(
+        graft.functions.HllSketchAgg.hllDistinct(col("l_partkey")).as("sketch_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts")).collect()(0)
+      val (sk, ex) = (r.getAs[Long]("sketch_parts"), r.getAs[Long]("exact_parts"))
+      assert(math.abs(sk - ex).toDouble / ex < 0.05, s"parts=$parts: $sk vs $ex")
+      // the sketch estimate must be partitioning-invariant (merge = union)
+      last.foreach(prev => assert(prev == sk, s"estimate changed across partitionings"))
+      last = Some(sk)
     }
   }
 

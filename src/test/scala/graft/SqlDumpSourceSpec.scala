@@ -74,18 +74,83 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("adversarial INSERT values parse exactly") {
-    val (table, rows) = SqlDumpSource.parseInsert(
+    val ins = SqlDumpSource.parseInsert(
       """INSERT INTO `t` VALUES (1,'O''Brien, Ltd. (Pty)',NULL,-42.5),(2,'back\\slash and \'quote\'','x;y',0.01)"""
     ).get
-    assert(table == "t")
-    assert(rows.size == 2)
-    assert(rows(0) == Seq(Some("1"), Some("O'Brien, Ltd. (Pty)"), None, Some("-42.5")))
-    assert(rows(1) == Seq(Some("2"), Some("back\\slash and 'quote'"), Some("x;y"), Some("0.01")))
+    assert(ins.table == "t")
+    assert(ins.columns.isEmpty)
+    assert(ins.rows.size == 2)
+    assert(ins.rows(0) == Seq(Some("1"), Some("O'Brien, Ltd. (Pty)"), None, Some("-42.5")))
+    assert(ins.rows(1) == Seq(Some("2"), Some("back\\slash and 'quote'"), Some("x;y"), Some("0.01")))
   }
 
   test("empty string stays distinct from NULL") {
-    val (_, rows) = SqlDumpSource.parseInsert("INSERT INTO t VALUES ('',NULL)").get
+    val rows = SqlDumpSource.parseInsert("INSERT INTO t VALUES ('',NULL)").get.rows
     assert(rows.head == Seq(Some(""), None))
+  }
+
+  test("backtick-quoted constraint-keyword column names are real columns") {
+    // mysqldump backtick-quotes every column; a column named `key` (or
+    // `index`, `check`, ...) must NOT be dropped as a constraint clause —
+    // dropping it shifts every later column (silent corruption).
+    val ddl =
+      """CREATE TABLE `kv` (
+        |  `id` INT NOT NULL,
+        |  `key` VARCHAR(32),
+        |  `index` INT,
+        |  `check` DECIMAL(8,2),
+        |  `value` VARCHAR(64),
+        |  PRIMARY KEY (`id`),
+        |  KEY `idx_key` (`key`),
+        |  CONSTRAINT ck CHECK (`index` >= 0)
+        |)""".stripMargin
+    val td = SqlDumpSource.parseCreateTable(ddl).get
+    assert(td.schema.fields.map(_.name).toSeq == Seq("id", "key", "index", "check", "value"))
+    assert(td.schema("key").dataType == StringType)
+    assert(td.schema("index").dataType == LongType)
+    assert(td.schema("check").dataType == DecimalType(8, 2))
+  }
+
+  test("INSERT explicit column list maps cells by name, not position") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("bal", DecimalType(10, 2))))
+    // reordered + partial column list: name/id swapped, bal omitted
+    val ins = SqlDumpSource.parseInsert(
+      "INSERT INTO t (`name`, `id`) VALUES ('alice', 7)").get
+    assert(ins.columns.contains(Seq("name", "id")))
+    val row = SqlDumpSource.toTypedRow(ins.rows.head, schema, ins.columns)
+    assert(row.getLong(0) == 7L)
+    assert(row.getString(1) == "alice")
+    assert(row.isNullAt(2)) // omitted column -> null
+    // unknown column name fails loudly instead of silently dropping data
+    val bad = SqlDumpSource.parseInsert("INSERT INTO t (nope) VALUES (1)").get
+    intercept[IllegalArgumentException] {
+      SqlDumpSource.toTypedRow(bad.rows.head, schema, bad.columns)
+    }
+  }
+
+  test("INSERT column-list round-trip through the full parse") {
+    val dir = Files.createTempDirectory("dumpspec-cols").toFile
+    val path = s"$dir/cols.sql"
+    val sql =
+      """CREATE TABLE `t` (`id` INT, `name` VARCHAR(10), `bal` DECIMAL(10,2));
+        |INSERT INTO `t` (`name`, `id`) VALUES ('a', 1);
+        |INSERT INTO `t` VALUES (2, 'b', 3.50);
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(path), sql)
+    for (distributed <- Seq(true, false)) {
+      val t = SqlDumpSource.parse(spark, path, Seq("all"), distributed)("t")
+      val got = t.collect().map(r =>
+        (r.getLong(0), r.getString(1), Option(r.get(2)).map(_.toString))).toSet
+      assert(got == Set((1L, "a", None), (2L, "b", Some("3.50"))), s"distributed=$distributed")
+    }
+  }
+
+  test("unquoted function-call cell keeps its closing paren") {
+    val rows = SqlDumpSource.parseInsert(
+      "INSERT INTO t VALUES (point(1,2), 'x')").get.rows
+    assert(rows.head == Seq(Some("point(1,2)"), Some("x")))
   }
 
   test("typed rows: dates, timestamps, decimals, booleans") {
@@ -129,6 +194,21 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val onlyB = SqlDumpSource.parse(spark, path, Seq("b"), distributed)
       assert(onlyB.keySet == Set("b"))
     }
+  }
+
+  test("distributed parse auto-falls back when ';\\n' appears inside a literal") {
+    // The ";\n" record delimiter splits this dump mid-literal; the guard
+    // must detect the unterminated-quote record and fall back to the
+    // streaming scanner instead of silently losing/corrupting the row.
+    val dir = Files.createTempDirectory("dumpspec-guard").toFile
+    val path = s"$dir/tricky.sql"
+    val sql = "CREATE TABLE `t` (`id` INT, `txt` VARCHAR(64));\n" +
+      "INSERT INTO `t` VALUES (1,'first;\nsecond line'),(2,'plain');\n" +
+      "INSERT INTO `t` VALUES (3,'tail');\n"
+    Files.writeString(java.nio.file.Paths.get(path), sql)
+    val t = SqlDumpSource.parse(spark, path, Seq("all"), distributed = true)("t")
+    val got = t.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "first;\nsecond line"), (2L, "plain"), (3L, "tail")))
   }
 
   test("fixture writer -> parser round-trip is lossless (nation table)") {
