@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.sinks.OrcSink
-import graft.sources.{CsvSource, SqlDumpFixture, SqlDumpSource}
+import graft.sources.{CsvSource, JdbcFixture, JdbcSource, SqlDumpFixture, SqlDumpSource}
 
 /** Converter round-trips under the correctness gate.
   *
@@ -99,6 +99,26 @@ object ConverterQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // JDBC path (reference S1-S4 + K1, the reference's PRIMARY input):
+    // parquet -> live embedded-Derby database (the JDBC engine shipped
+    // with Spark's jars) -> range-partitioned JdbcSource read with the
+    // declared INT->LONG mapping -> OrcSink -> read-back -> aggregate.
+    // Exercises the same engine-generic code path Cli mysql drives.
+    "conv_jdbc_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "jdbc") + "/" + java.util.UUID.randomUUID()
+      val conn = JdbcSource.derby(s"$base/db")
+      JdbcFixture.loadTable(t(s, d, "supplier"), conn, "supplier",
+        primaryKey = Some("s_suppkey"))
+      val fromDb = JdbcSource.read(s, conn, "supplier")
+      OrcSink.write(fromDb, s"$base/orc", "supplier")
+      OrcSink.read(s, s"$base/orc/supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("s_acctbal")).as("sum_bal"),
+          sum(col("s_suppkey")).as("sum_key"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // ORC sink contract (reference K1/K4/K5 + README.md:189): multi-part
     // write under zlib, directory read-back merges parts losslessly.
     "conv_orc_roundtrip" -> { (s, d) =>
@@ -145,5 +165,11 @@ object ConverterQueries {
     "conv_orc_roundtrip" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY o_orderstatus""".stripMargin)
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "conv_jdbc_roundtrip" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(s_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(s_suppkey) AS BIGINT) AS sum_key
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
   *  - Thread-unsafe shared connection (sh:205-208 + 260-264): Spark JDBC
   *    opens one connection per partition.
   *  - SQL injection/identifier quoting (sh:216, 236): identifiers are
-  *    backtick-quoted; credentials travel in connection Properties, not
+  *    quoted; credentials travel in connection Properties, not
   *    argv-interpolated SQL.
   *
   * The declared MySQL→ORC type mapping (reference README.md:252-259) is
@@ -34,12 +34,26 @@ import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, ByteType}
   * rows-per-partition sizing; parallelism is numPartitions across
   * executors, not a 4-thread driver pool.
   *
-  * NOTE: no MySQL server or driver jar exists in this build environment, so
-  * runtime behavior is exercised only on a live cluster; everything here is
-  * config/plan construction + the type-mapping transform, which unit tests
-  * cover without a live database.
+  * The core is engine-generic (`JdbcConn`): the production path is MySQL
+  * (`MySqlConfig`), and the runtime contract — catalog listing, row count,
+  * range-partitioned read, type mapping — is exercised end-to-end against
+  * embedded Apache Derby (the JDBC database shipped with Spark's jars),
+  * since no MySQL server exists in this build environment.
   */
 object JdbcSource {
+
+  /** Engine-generic connection descriptor. `catalog`/`schemaPattern` feed
+    * `DatabaseMetaData` lookups: MySQL maps databases to JDBC catalogs;
+    * Derby (and most others) use schemas. */
+  final case class JdbcConn(
+      url: String,
+      user: String = "",
+      password: String = "",
+      catalog: Option[String] = None,
+      schemaPattern: Option[String] = None,
+      quoteChar: Char = '`',
+      chunkSize: Int = 50000, // reference default, sh:192
+      numPartitions: Int = 8)
 
   final case class MySqlConfig(
       host: String,
@@ -47,69 +61,96 @@ object JdbcSource {
       user: String,
       password: String,
       database: String,
-      chunkSize: Int = 50000, // reference default, sh:192
-      numPartitions: Int = 8)
+      chunkSize: Int = 50000,
+      numPartitions: Int = 8) {
+    def conn: JdbcConn = JdbcConn(
+      url = JdbcSource.url(this), user = user, password = password,
+      catalog = Some(database), schemaPattern = None, quoteChar = '`',
+      chunkSize = chunkSize, numPartitions = numPartitions)
+  }
 
   def url(cfg: MySqlConfig): String =
     s"jdbc:mysql://${cfg.host}:${cfg.port}/${cfg.database}" +
       "?useUnicode=true&characterEncoding=utf8mb4&zeroDateTimeBehavior=convertToNull"
 
-  def connectionProps(cfg: MySqlConfig): Properties = {
+  /** Embedded Derby database at `dbDir` (created on first connect). Derby
+    * folds unquoted identifiers to upper case, so all identifiers go
+    * through `"`-quoting to stay case-exact. */
+  def derby(dbDir: String, create: Boolean = true): JdbcConn = {
+    // keep derby.log out of the working directory
+    if (System.getProperty("derby.stream.error.file") == null)
+      System.setProperty("derby.stream.error.file", "/tmp/derby.log")
+    // Derby ≥10.15 splits the driver across derby/derbytools jars; force
+    // registration in case JDBC4 ServiceLoader autoload did not fire.
+    Try(Class.forName("org.apache.derby.jdbc.EmbeddedDriver"))
+    JdbcConn(
+      url = s"jdbc:derby:$dbDir${if (create) ";create=true" else ""}",
+      schemaPattern = Some("APP"), quoteChar = '"')
+  }
+
+  def connectionProps(conn: JdbcConn): Properties = {
     val p = new Properties()
-    p.setProperty("user", cfg.user)
-    p.setProperty("password", cfg.password)
-    p.setProperty("fetchsize", cfg.chunkSize.toString)
+    if (conn.user.nonEmpty) p.setProperty("user", conn.user)
+    if (conn.password.nonEmpty) p.setProperty("password", conn.password)
+    p.setProperty("fetchsize", conn.chunkSize.toString)
     p
   }
+  def connectionProps(cfg: MySqlConfig): Properties = connectionProps(cfg.conn)
 
-  /** Backtick-quote an identifier (defence for sh:216/236's f-strings). */
+  /** Quote an identifier (defence for sh:216/236's f-strings). */
+  def quoteIdent(conn: JdbcConn, name: String): String = {
+    val q = conn.quoteChar
+    s"$q${name.replace(q.toString, s"$q$q")}$q"
+  }
   def quoteIdent(name: String): String = "`" + name.replace("`", "``") + "`"
 
-  /** Connection probe (reference `test_mysql_connection`, sh:583-589). */
-  def testConnection(cfg: MySqlConfig): Try[Unit] = Try {
-    val c = DriverManager.getConnection(url(cfg), connectionProps(cfg))
-    try { c.isValid(5); () } finally c.close()
+  private def withConnection[A](conn: JdbcConn)(f: Connection => A): A = {
+    val c = DriverManager.getConnection(conn.url, connectionProps(conn))
+    try f(c) finally c.close()
   }
 
-  /** Catalog listing (reference `SHOW TABLES`, sh:570-580) via
-    * information_schema — returns base tables only. */
-  def tableList(cfg: MySqlConfig): Try[Seq[String]] = Try {
-    val c = DriverManager.getConnection(url(cfg), connectionProps(cfg))
-    try {
-      val st = c.prepareStatement(
-        "SELECT table_name FROM information_schema.tables " +
-          "WHERE table_schema = ? AND table_type = 'BASE TABLE' ORDER BY table_name")
-      st.setString(1, cfg.database)
-      val rs = st.executeQuery()
+  /** Connection probe (reference `test_mysql_connection`, sh:583-589). */
+  def testConnection(conn: JdbcConn): Try[Unit] =
+    Try(withConnection(conn) { c => c.isValid(5); () })
+  def testConnection(cfg: MySqlConfig): Try[Unit] = testConnection(cfg.conn)
+
+  /** Catalog listing (reference `SHOW TABLES`, sh:570-580): base tables
+    * only, sorted. `DatabaseMetaData.getTables` is the portable equivalent
+    * of the reference's information_schema query. */
+  def tableList(conn: JdbcConn): Try[Seq[String]] = Try {
+    withConnection(conn) { c =>
+      val rs = c.getMetaData.getTables(
+        conn.catalog.orNull, conn.schemaPattern.orNull, null, Array("TABLE"))
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (rs.next()) out += rs.getString(1)
-      out.toSeq
-    } finally c.close()
+      while (rs.next()) out += rs.getString("TABLE_NAME")
+      out.sorted.toSeq
+    }
   }
+  def tableList(cfg: MySqlConfig): Try[Seq[String]] = tableList(cfg.conn)
 
   /** Row count (reference `get_table_row_count`, sh:214-219), pushed down. */
-  def rowCount(cfg: MySqlConfig, table: String): Try[Long] = Try {
-    val c = DriverManager.getConnection(url(cfg), connectionProps(cfg))
-    try {
+  def rowCount(conn: JdbcConn, table: String): Try[Long] = Try {
+    withConnection(conn) { c =>
       val rs = c.createStatement()
-        .executeQuery(s"SELECT COUNT(*) FROM ${quoteIdent(table)}")
+        .executeQuery(s"SELECT COUNT(*) FROM ${quoteIdent(conn, table)}")
       rs.next(); rs.getLong(1)
-    } finally c.close()
+    }
   }
+  def rowCount(cfg: MySqlConfig, table: String): Try[Long] = rowCount(cfg.conn, table)
 
   /** Pick an integral partition column (first integer-typed primary-key
     * column, else any integer column) and its min/max for range reads. */
-  def partitionSpec(cfg: MySqlConfig, table: String): Option[(String, Long, Long)] = {
+  def partitionSpec(conn: JdbcConn, table: String): Option[(String, Long, Long)] = {
     def integral(c: Connection): Option[String] = {
       val md = c.getMetaData
       val pks = {
-        val rs = md.getPrimaryKeys(cfg.database, null, table)
+        val rs = md.getPrimaryKeys(conn.catalog.orNull, conn.schemaPattern.orNull, table)
         val b = scala.collection.mutable.ArrayBuffer.empty[String]
         while (rs.next()) b += rs.getString("COLUMN_NAME")
         b.toSeq
       }
       val intCols = {
-        val rs = md.getColumns(cfg.database, null, table, null)
+        val rs = md.getColumns(conn.catalog.orNull, conn.schemaPattern.orNull, table, null)
         val b = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
         while (rs.next()) b += ((rs.getString("COLUMN_NAME"), rs.getInt("DATA_TYPE")))
         b.filter { case (_, t) =>
@@ -120,37 +161,46 @@ object JdbcSource {
       pks.find(intCols.contains).orElse(intCols.headOption)
     }
     Try {
-      val c = DriverManager.getConnection(url(cfg), connectionProps(cfg))
-      try integral(c).flatMap { colName =>
-        val rs = c.createStatement().executeQuery(
-          s"SELECT MIN(${quoteIdent(colName)}), MAX(${quoteIdent(colName)}) FROM ${quoteIdent(table)}")
-        if (rs.next()) Some((colName, rs.getLong(1), rs.getLong(2))) else None
-      } finally c.close()
+      withConnection(conn) { c =>
+        integral(c).flatMap { colName =>
+          val rs = c.createStatement().executeQuery(
+            s"SELECT MIN(${quoteIdent(conn, colName)}), MAX(${quoteIdent(conn, colName)}) " +
+              s"FROM ${quoteIdent(conn, table)}")
+          if (rs.next()) Some((colName, rs.getLong(1), rs.getLong(2))) else None
+        }
+      }
     } match {
       case Success(v) => v
       case Failure(_) => None
     }
   }
+  def partitionSpec(cfg: MySqlConfig, table: String): Option[(String, Long, Long)] =
+    partitionSpec(cfg.conn, table)
 
   /** Partitioned table read. With an integral key: numPartitions parallel
     * range scans. Without: one streaming partition (fetchsize-bounded). */
-  def read(spark: SparkSession, cfg: MySqlConfig, table: String): DataFrame = {
+  def read(spark: SparkSession, conn: JdbcConn, table: String): DataFrame = {
     val base = spark.read.format("jdbc")
-      .option("url", url(cfg))
-      .option("dbtable", quoteIdent(table))
-      .option("user", cfg.user)
-      .option("password", cfg.password)
-      .option("fetchsize", cfg.chunkSize)
-    val withParts = partitionSpec(cfg, table) match {
+      .option("url", conn.url)
+      .option("dbtable", quoteIdent(conn, table))
+      .option("fetchsize", conn.chunkSize)
+    val withAuth =
+      if (conn.user.nonEmpty) base.option("user", conn.user).option("password", conn.password)
+      else base
+    val withParts = partitionSpec(conn, table) match {
       case Some((colName, lo, hi)) if hi > lo =>
-        base.option("partitionColumn", colName)
+        // raw name: Spark resolves it against the schema and quotes it
+        // through the engine's JdbcDialect itself
+        withAuth.option("partitionColumn", colName)
           .option("lowerBound", lo)
           .option("upperBound", hi + 1)
-          .option("numPartitions", cfg.numPartitions)
-      case _ => base
+          .option("numPartitions", conn.numPartitions)
+      case _ => withAuth
     }
     applyDeclaredTypeMapping(withParts.load())
   }
+  def read(spark: SparkSession, cfg: MySqlConfig, table: String): DataFrame =
+    read(spark, cfg.conn, table)
 
   /** Enforce the declared MySQL→ORC mapping (README.md:252-259): every
     * integral column widens to LONG. DECIMAL/DATE/TIMESTAMP already arrive
