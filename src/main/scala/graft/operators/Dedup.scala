@@ -26,12 +26,13 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** Distinct character n-gram shingles of a string column. */
-  def shingles(c: Column, n: Int): Column = {
-    val t = TextAnalysis.normText(c)
+  def shingles(c: Column, n: Int): Column = shinglesOf(TextAnalysis.normText(c), n)
+
+  /** Shingles of an ALREADY-normalized text column. */
+  private def shinglesOf(t: Column, n: Int): Column =
     array_distinct(
       transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
         i => t.substr(i, lit(n))))
-  }
 
   /** Exact Jaccard similarity of two distinct-element array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -39,25 +40,62 @@ object Dedup {
     inter / (size(a) + size(b) - inter)
   }
 
-  /** All-pairs n-gram Jaccard >= threshold via shingle-inverted-index join
-    * (explode shingles, equi-join on shingle, count intersections). The
-    * join shuffles on the shingle key — linear in total shingle count, not
-    * quadratic in documents. Returns (a_id, b_id, jaccard). */
+  /** Candidate pairs for n-gram Jaccard >= threshold via PREFIX-FILTERED
+    * inverted-index join (Chaudhuri et al.'s SSJoin prefix filter, the
+    * MapReduce formulation of Vernica et al., VLDB'10).
+    *
+    * A naive inverted-index join (explode ALL shingles, equi-join) has a
+    * skew hazard: one ubiquitous "stop shingle" (" the ") appearing in
+    * every document makes a single shuffle key quadratic. Instead, each
+    * document indexes only the `nsh - ceil(t*nsh) + 1` globally RAREST of
+    * its shingles (order: ascending document frequency, shingle text as
+    * tie-break). Completeness is exact, not heuristic: any pair with
+    * Jaccard >= t overlaps in >= ceil(t*|s|) shingles for each member s,
+    * and the frequency-order-minimal common shingle must then sit inside
+    * BOTH prefixes (if it were outside a's prefix, the >= |a|-prefix(a)+1
+    * = ceil(t*|a|) shingles before it would all be non-shared, capping the
+    * overlap at ceil(t*|a|)-1 — contradiction). Stop shingles have maximal
+    * document frequency, so they sort last and never enter a prefix:
+    * the hot key disappears while recall stays 100%. */
+  private[graft] def ngramCandidates(df: DataFrame, idCol: String, textCol: String,
+                                     n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = df.select(col(idCol).as("id"),
+        shinglesOf(TextAnalysis.normText(col(textCol)), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val inv = sh.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
+    // shingle document frequency: one hash agg, map-side combined
+    val dfreq = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // keep each doc's prefix in (df, g) order; the 1e-9 nudge errs toward
+    // a LONGER prefix when t*nsh lands on an ulp above an integer
+    // (extra candidates are harmless; a shorter prefix would lose recall)
+    val prefixes = inv.join(dfreq, "g")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("g"))))
+      .filter(col("rk") <= col("nsh") - ceil(col("nsh") * threshold - 1e-9) + 1)
+      .select(col("id"), col("g"))
+    prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold: prefix-filtered candidates
+    * (see [[ngramCandidates]] — linear in shingles, stop-shingle-proof),
+    * then EXACT Jaccard on the survivors via the native one-pass
+    * [[graft.functions.NgramJaccard]] expression.
+    * Returns (a_id, b_id, jaccard). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double): DataFrame = {
-    val withSize = df.select(col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
-      .withColumn("nsh", size(col("sh")))
-    val inverted = withSize.select(col("id"), col("nsh"), explode(col("sh")).as("g"))
-    val a = inverted.as("a")
-    val b = inverted.as("b")
-    a.join(b, col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.nsh").as("na"), col("b.nsh").as("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
+    val txt = df.select(col(idCol).as("id"),
+      TextAnalysis.normText(col(textCol)).as("t"))
+    ngramCandidates(df, idCol, textCol, n, threshold)
+      .join(txt.as("ta"), col("a_id") === col("ta.id"))
+      .join(txt.as("tb"), col("b_id") === col("tb.id"))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.NgramJaccard.ngramJaccard(col("ta.t"), col("tb.t"), n)
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
   // ------------------------------------------------------------------

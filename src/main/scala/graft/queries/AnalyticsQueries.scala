@@ -303,17 +303,20 @@ object AnalyticsQueries {
     },
 
     // Range join: event pairs of the same user within a 5-minute window.
-    // Equi-key (user) + range predicate -> Catalyst plans a sort-merge
-    // join on the user key with the range as a post-filter; at scale the
-    // equi key bounds the pair explosion to within-user windows.
+    // Skew-safe formulation: joining on user_id alone with the range as a
+    // post-filter makes one hot user (10^9 events) a single quadratic
+    // shuffle key. Instead both sides bucket time into window-width (5-min)
+    // buckets and join on the COMPOSITE key (user_id, bucket): a partner
+    // within (a.ts, a.ts+5min] lives in a's bucket or the next one, so the
+    // probe side expands into exactly {k, k+1} and the exact range predicate
+    // filters inside each bucket-local join group. Pair explosion is
+    // bounded per (user, 5-min window) — the true output size — and a hot
+    // user's events spread across as many shuffle keys as buckets.
     "q25_range_join_pairs" -> { (s, d) =>
-      val e = t(s, d, "events").select(col("user_id"), col("ts"), col("event_id"))
-      e.as("a").join(e.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("b.ts") > col("a.ts") &&
-            col("b.ts") <= col("a.ts") + expr("INTERVAL 5 MINUTES"))
+      graft.operators.RangeJoin.pairs(
+          t(s, d, "events"), "user_id", "ts", "event_id", windowSec = 300)
         .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("a.user_id")).as("n_users"))
+          countDistinct(col("user_id")).as("n_users"))
     },
 
     // Mergeable-sketch distinct counts (DataSketches HLL as a custom

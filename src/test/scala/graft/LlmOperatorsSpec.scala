@@ -51,6 +51,40 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(dup.getAs[Long]("keep_id") == 1L)
   }
 
+  test("ngram prefix filter: planted stop-shingle does not explode candidates") {
+    // every doc shares one ubiquitous phrase (a "stop shingle" in every
+    // inverted list); pairwise similarity is otherwise low. A naive
+    // inverted-index join makes all C(40,2)=780 pairs candidates through
+    // the hot key; the prefix filter indexes only each doc's rarest
+    // shingles, so the ubiquitous ones never generate candidates.
+    val rnd = new scala.util.Random(11)
+    val stop = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = (0L until 40L).map { i =>
+      val unique = Seq.fill(12)(rnd.alphanumeric.take(8).mkString).mkString(" ")
+      (i, s"$stop $unique")
+    }
+    // plus one true near-dup pair sharing unique content (jaccard >= 0.5)
+    val a = docs(5)._2
+    val all = (docs :+ ((100L, a.dropRight(3) + "xyz"))).toDF("id", "text")
+
+    val cands = Dedup.ngramCandidates(all, "id", "text", n = 5, threshold = 0.5)
+    val nCands = cands.count()
+    assert(nCands < 100, s"prefix filter must bound candidates, got $nCands of 820 pairs")
+
+    // completeness: results equal brute-force exact Jaccard over all pairs
+    val got = Dedup.ngramJaccardPairs(all, "id", "text", n = 5, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val txt = all.select(col("id"), TextAnalysis.normText(col("text")).as("t"))
+    val brute = txt.as("x").crossJoin(txt.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id"), col("y.id"),
+        graft.functions.NgramJaccard.ngramJaccard(col("x.t"), col("y.t"), 5).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"prefix filter lost pairs: ${brute.diff(got)}")
+    assert(got.contains((5L, 100L)), "planted near-dup pair must be found")
+  }
+
   // ---- MinHash + LSH with planted near-dups ----
 
   private def corpusWithPlantedDups = {
