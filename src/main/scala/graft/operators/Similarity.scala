@@ -102,13 +102,53 @@ object Similarity {
     * literals); the probe join is an equi-join on cell id, so each query
     * touches ~nProbe/nCentroids of the corpus instead of all of it. The
     * standard IVF recall/cost dial is (nCentroids, nProbe). */
+  /** Deterministic Lloyd refinement of IVF centroids: each iteration
+    * assigns every vector to its nearest centroid (native one-pass probe)
+    * and recomputes each cell's mean with EXACT decimal sums — so the
+    * result is identical on any partitioning/cluster size (double sums
+    * would drift with aggregation order). Collects only
+    * nCentroids x dim aggregates per iteration (bounded, not data-sized).
+    * Lloyd never increases total distortion, so refined centroids are
+    * at least as good as the init; empty cells keep their previous
+    * centroid. */
+  def refineCentroids(vecs: DataFrame, vecCol: String,
+                      init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = init
+    for (_ <- 0 until iters) {
+      val cellSums = vecs
+        .withColumn("cell",
+          graft.functions.NearestCells.nearestCells(col(vecCol), cents, 1).getItem(0))
+        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("x").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("cnt"))
+        .collect()
+      val byCell = cellSums.groupBy(_.getAs[Int]("cell"))
+      cents = cents.indices.map { ci =>
+        byCell.get(ci) match {
+          case Some(rows) =>
+            rows.sortBy(_.getAs[Int]("dim"))
+              .map(r => r.getAs[java.math.BigDecimal]("s").doubleValue() /
+                r.getAs[Long]("cnt")).toIndexedSeq
+          case None => cents(ci)
+        }
+      }.toIndexedSeq
+    }
+    cents
+  }
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Column => Column, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val centroids: Seq[Seq[Double]] = emb
+              nCentroids: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val init: Seq[Seq[Double]] = emb
       .orderBy(col(idCol)).limit(nCentroids)
       .select(asDouble(col(vecCol))).collect()
       .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+    // lowest-id init is deterministic but data-dependent; a few Lloyd
+    // rounds spread the centroids toward the true cluster structure
+    val centroids = refineCentroids(
+      emb.select(asDouble(col(vecCol)).as("v")), "v", init, lloydIters)
 
     // native one-pass probe expression (argmax = probe with nProbe=1)
     val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
@@ -132,14 +172,53 @@ object Similarity {
   }
 
   /** All embedding pairs with cosine >= threshold (near-dup detection by
-    * embedding). Brute-force all-pairs — use for bounded id ranges or as
-    * verification; the LSH path is the scale route. */
+    * embedding). Brute-force all-pairs: O(n²) BY DEFINITION, so the input
+    * size is ENFORCED (`maxInputRows`, default 10k ≈ 50M comparisons) —
+    * exceeding it throws instead of silently launching a cluster-melting
+    * nested loop. This is the recall oracle / bounded-verification tool;
+    * [[lshNearDupPairs]] is the scale path. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                         threshold: Double): DataFrame = {
+                         threshold: Double,
+                         maxInputRows: Long = 10000): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    val n = e.count()
+    require(n <= maxInputRows,
+      s"cosineNearDupPairs is all-pairs (O(n^2)); input has $n rows > " +
+        s"maxInputRows=$maxInputRows. Use lshNearDupPairs for large inputs " +
+        "or raise the bound explicitly.")
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         cosine(col("a.vec"), col("b.vec")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cosine"))
+  }
+
+  /** Near-dup pairs by embedding at scale: random-hyperplane LSH candidate
+    * generation (pairs sharing any of L table buckets — a bucket-local
+    * equi-join, linear in corpus size) followed by EXACT cosine re-scoring,
+    * so precision is 1 and only recall depends on (tables, nBits).
+    * Candidates travel as bare id pairs; vectors re-join only for the
+    * surviving candidates (the shuffle carries ids, not embeddings).
+    * Output matches [[cosineNearDupPairs]]: (a_id, b_id, cosine). */
+  def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double,
+                      tables: Int = 8, nBits: Int = 6, seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val planes = hyperplanes(tables, nBits, dim, seed)
+    val banded = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .select(col("id"), posexplode(
+        graft.functions.LshBits.lshBits(col("vec"), planes)).as(Seq("t", "b")))
+      .select(col("id"), struct(col("t"), col("b")).as("tb"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct() // a pair can collide in several tables
+    val vecs = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+    cand
+      .join(vecs.as("va"), col("a_id") === col("va.id"))
+      .join(vecs.as("vb"), col("b_id") === col("vb.id"))
+      .select(col("a_id"), col("b_id"),
+        cosine(col("va.vec"), col("vb.vec")).as("cos_raw"))
       .filter(col("cos_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cosine"))
   }

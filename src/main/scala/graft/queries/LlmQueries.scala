@@ -73,6 +73,34 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Precision gate for the scale path: LSH candidates -> exact re-score
+    // can only MISS pairs, never invent them, so (lsh UNION brute-force)
+    // must equal the brute-force answer the DuckDB oracle computes. A
+    // false positive from the bucketing or re-scoring surfaces as an
+    // extra row -> hash mismatch.
+    "dedup_embedding_lsh" -> { (s, d) =>
+      val e = t(s, d, "embeddings").filter(col("vec_id") < 200)
+      Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.35)
+        .union(Similarity.cosineNearDupPairs(e, "vec_id", "embedding", threshold = 0.35))
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Same construction for MinHash: the verified funnel's output UNION
+    // the exact prefix-filtered answer must equal the exact answer
+    // (precision = 1 because stage 3 re-computes exact Jaccard; this gate
+    // pins that contract against the DuckDB all-pairs oracle).
+    "dedup_minhash_precision" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 60)
+      Dedup.minhashVerifiedPairs(docs, "doc_id", "text",
+          k = 16, shingleSize = 5, bands = 8, threshold = 0.2)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        .union(Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.2)
+          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard")))
+        .distinct()
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Per-label centroid vectors (cluster statistics): exact decimal sums
     // per (label, dimension) so the centroid is identical on any cluster
     // size — the aggregation pattern for embedding rollups.
@@ -367,6 +395,37 @@ object LlmQueries {
         | ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a, e b
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    // identical to dedup_embedding_cosine: the union-with-exact Spark query
+    // must collapse to exactly the brute-force answer (precision check)
+    "dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        | ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    // identical to dedup_ngram_jaccard: minhash-verified UNION exact must
+    // collapse to exactly the exact answer (precision check)
+    "dedup_minhash_precision" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id < 60),
+        |s AS (
+        | SELECT DISTINCT doc_id, substr(t, i.i, 5) AS g
+        | FROM n, generate_series(1, 600) i(i)
+        | WHERE i.i <= GREATEST(length(t) - 4, 1)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY 1),
+        |pairs AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, ROUND(inter / (na.nsh + nb.nsh - inter), 4) AS jaccard
+        |FROM pairs
+        |JOIN ds na ON na.doc_id = a_id
+        |JOIN ds nb ON nb.doc_id = b_id
+        |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.2""".stripMargin,
 
     "emb_label_centroids" ->
       """SELECT label, CAST(i.i - 1 AS BIGINT) AS dim,

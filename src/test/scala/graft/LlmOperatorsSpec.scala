@@ -191,6 +191,73 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 4, s"recall@1 $hits/5")
   }
 
+  test("Lloyd refinement cuts IVF distortion, is partition-invariant, lifts recall") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    val dim = 16
+    // 4 well-separated clusters; ids ordered so lowest-id init puts ALL
+    // centroids inside cluster 0 (the worst case for the id-based init)
+    def member(c: Int) =
+      Array.tabulate(dim)(j => (if (j == c * 4) 10.0 else 0.0) + 0.3 * rnd.nextGaussian())
+    val base = (0 until 100).map(i => (i.toLong, member(i / 25).map(_.toFloat)))
+    val dups = (0 until 4).map(c =>
+      (200L + c, base(c * 25)._2.map(x => x + 0.01f * rnd.nextGaussian().toFloat)))
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val vecs = df.select(col("embedding").cast("array<double>").as("v"))
+
+    val init = df.orderBy(col("vec_id")).limit(4)
+      .select(col("embedding").cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+
+    def distortion(cents: Seq[Seq[Double]]): Double = {
+      val all = vecs.collect().map(_.getSeq[Double](0))
+      all.map(v => cents.map(c =>
+        c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum).min).sum
+    }
+    val refined = Similarity.refineCentroids(vecs, "v", init, iters = 3)
+    assert(distortion(refined) < distortion(init) * 0.5,
+      s"Lloyd must cut distortion: ${distortion(init)} -> ${distortion(refined)}")
+
+    // exact decimal means => identical centroids under any partitioning
+    val refined7 = Similarity.refineCentroids(vecs.repartition(7), "v", init, iters = 3)
+    assert(refined == refined7, "refinement must be partition-invariant")
+
+    // recall at nProbe=1: the id-based init collapses cells into cluster 0;
+    // refined centroids separate the clusters
+    def recall(iters: Int): Int = {
+      val got = Similarity.ivfTopK(df, "vec_id", "embedding",
+          queryIds = c => c >= 200L, k = 1, nCentroids = 4, nProbe = 1, lloydIters = iters)
+        .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+      (0 until 4).count(c => got.get(200L + c).contains(c * 25L))
+    }
+    assert(recall(2) >= recall(0), "refined recall must not regress")
+    assert(recall(2) >= 3, s"refined recall ${recall(2)}/4")
+  }
+
+  test("lshNearDupPairs recalls planted near-dups; brute force is the oracle") {
+    // planted (i, 100+i) pairs have cosine ~0.999; threshold 0.98 isolates
+    // them. LSH output must be a subset of brute force (precision 1) and
+    // recall the planted pairs.
+    val brute = Similarity.cosineNearDupPairs(plantedVectors, "vec_id", "embedding",
+        threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDupPairs(plantedVectors, "vec_id", "embedding",
+        threshold = 0.98, tables = 8, nBits = 4, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), s"false positives: ${lsh.diff(brute)}")
+    val planted = (0L until 5L).map(i => (i, 100L + i)).toSet
+    assert(planted.subsetOf(brute))
+    val hits = planted.count(lsh.contains)
+    assert(hits >= 4, s"recall $hits/5 on planted near-dups")
+  }
+
+  test("cosineNearDupPairs enforces its all-pairs input bound") {
+    intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(plantedVectors, "vec_id", "embedding",
+        threshold = 0.5, maxInputRows = 10)
+    }
+  }
+
   test("cosine self-similarity is exactly 1.0 for identical vectors") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
     val c = df.select(Similarity.cosine(
