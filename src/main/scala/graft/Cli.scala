@@ -1,5 +1,7 @@
 package graft
 
+import scala.util.Try
+
 import org.apache.spark.sql.SparkSession
 
 import graft.sources.{CsvSource, JdbcSource, SqlDumpSource}
@@ -59,44 +61,63 @@ object Cli {
       val v = ask(msg, "")
       if (v.isEmpty) { out.println(s"error: $msg is required"); None } else Some(v)
     }
+    // common output config (reference get_output_config, sh:164-173:
+    // output dir + compression + parallel workers)
+    def outputConfig(): (String, String, Int) = {
+      val outDir = ask("Output directory", "./orc_output")
+      val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
+      val workers = Try(ask("Parallel workers", "4").toInt).getOrElse(4)
+      (outDir, codec, workers)
+    }
     out.println("Select input type:\n  1) MySQL database\n  2) SQL dump file\n  3) CSV file/directory")
     val choice = ask("Choice", "3")
-    val argv: Seq[String] = choice match {
+    choice match {
       case "1" =>
         val host = ask("MySQL host", "localhost")
         val port = ask("MySQL port", "3306")
         val user = ask("MySQL user", "root")
         val pass = ask("MySQL password", "")
         val db = ask("Database", "")
-        val outDir = ask("Output directory", "./orc_output")
-        val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
         val tables = ask("Tables (comma-separated or 'all')", "all")
-        Seq("mysql", host, port, user, pass, db, outDir, codec, tables)
+        val (outDir, codec, workers) = outputConfig()
+        run(spark, Seq("mysql", host, port, user, pass, db, outDir, codec, tables),
+          workers = Some(workers))
       case "2" =>
         required("SQL dump file") match {
-          case None => return None
+          case None => None
           case Some(file) =>
-            val outDir = ask("Output directory", "./orc_output")
-            val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
             val tables = ask("Tables (comma-separated or 'all')", "all")
-            Seq("dump", file, outDir, codec, tables)
+            val (outDir, codec, workers) = outputConfig()
+            run(spark, Seq("dump", file, outDir, codec, tables), workers = Some(workers))
         }
       case _ =>
         required("CSV file or directory") match {
-          case None => return None
+          case None => None
           case Some(path) =>
-            val outDir = ask("Output directory", "./orc_output")
-            val delim = ask("Delimiter", ",")
+            // per-type config order mirrors get_csv_config (sh:148-159):
+            // delimiter -> header -> infer-schema, then output config
+            val delim = ask("CSV delimiter", ",")
             val header = ask("Has header row? (true/false)", "true")
-            val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
-            Seq("csv", path, outDir, delim, header, codec)
+            val infer = ask("Infer schema from data? (true/false)", "true")
+            val (outDir, codec, workers) = outputConfig()
+            run(spark, Seq("csv", path, outDir, delim, header, codec),
+              workers = Some(workers), inferSchema = Try(infer.toBoolean).toOption)
         }
     }
-    run(spark, argv)
   }
 
-  /** Dispatch; returns None for usage errors (after printing usage). */
-  def run(spark: SparkSession, args: Seq[String]): Option[JobReport] = args.toList match {
+  /** Dispatch; returns None for usage errors (after printing usage).
+    * `workers`/`inferSchema` carry interactive-only prompt answers that
+    * have no slot in the reference argv contracts (they arrive via env
+    * vars in batch mode). */
+  def run(spark: SparkSession, args: Seq[String],
+          workers: Option[Int] = None,
+          inferSchema: Option[Boolean] = None): Option[JobReport] = {
+    def jobConfig(outDir: String, compression: String): JobConfig = {
+      val base = JobConfig(outputDir = outDir, compression = compression)
+      workers.fold(base)(w => base.copy(parallelWorkers = w))
+    }
+    args.toList match {
     case "mysql" :: host :: port :: user :: password :: database :: outDir :: compression :: tables :: Nil =>
       val cfg = JdbcSource.MySqlConfig(host = host, port = port.toInt, user = user,
         password = password, database = database,
@@ -104,7 +125,7 @@ object Cli {
       val names = tableSelection(tables, () => JdbcSource.tableList(cfg).getOrElse(Nil))
       Some(ConversionJob.run(
         names.map(t => t -> (() => JdbcSource.read(spark, cfg, t))),
-        JobConfig(outputDir = outDir, compression = compression)))
+        jobConfig(outDir, compression)))
 
     case "dump" :: sqlFile :: outDir :: rest if rest.length <= 2 =>
       val compression = rest.headOption.getOrElse("snappy")
@@ -112,18 +133,19 @@ object Cli {
       val dfs = SqlDumpSource.parse(spark, sqlFile, tables)
       Some(ConversionJob.run(
         dfs.toSeq.sortBy(_._1).map { case (t, df) => t -> (() => df) },
-        JobConfig(outputDir = outDir, compression = compression)))
+        jobConfig(outDir, compression)))
 
     case "csv" :: csvPath :: outDir :: rest if rest.length <= 3 =>
       val delimiter = rest.headOption.getOrElse(",")
       val hasHeader = rest.lift(1).forall(_.toBoolean)
       val compression = rest.lift(2).getOrElse("snappy")
-      val opts = CsvSource.CsvOptions(delimiter = delimiter, hasHeader = hasHeader)
+      val opts = CsvSource.CsvOptions(delimiter = delimiter, hasHeader = hasHeader,
+        inferSchema = inferSchema.getOrElse(true))
       // per-input output naming (K3): each CSV file -> outdir/<basename>/
       val inputs = CsvSource.listInputs(spark, csvPath)
       Some(ConversionJob.run(
         inputs.map(f => CsvSource.baseName(f) -> (() => CsvSource.read(spark, f, opts))),
-        JobConfig(outputDir = outDir, compression = compression)))
+        jobConfig(outDir, compression)))
 
     case _ =>
       System.err.println(
@@ -132,6 +154,7 @@ object Cli {
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]""".stripMargin)
       None
+    }
   }
 
   private def tableSelection(spec: String, all: () => Seq[String]): Seq[String] = {

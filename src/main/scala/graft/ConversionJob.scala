@@ -6,6 +6,7 @@ import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import scala.util.{Failure, Success, Try}
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 
 import graft.sinks.OrcSink
@@ -16,6 +17,14 @@ import graft.sinks.OrcSink
   * isolation and a success tally (`/root/reference/data_to_orc_converter.sh:
   * 258-278`), plus a declared-but-unwired auto-retry (README.md:52) and
   * PARALLEL_WORKERS env (README.md:161) — both honored for real here.
+  *
+  * Log shape parity: every message is timestamped and teed to the
+  * reference's log file (`data_to_orc.log`, sh:19 + 22-24), and table
+  * exports emit incremental `Progress <table>: <n>/<total> rows` lines at
+  * chunk granularity (sh:249 logs every CHUNK_SIZE rows). Here the chunk
+  * lines come from real executor output metrics via a SparkListener —
+  * cumulative records written by completed write tasks — not a driver-side
+  * loop, so they stay truthful under distributed writes.
   *
   * Parallelism model: Spark already parallelizes *within* a table across
   * executors; the driver-side future pool only overlaps independent table
@@ -30,7 +39,11 @@ object ConversionJob {
       parallelWorkers: Int = sys.env.get("PARALLEL_WORKERS").flatMap(s => Try(s.toInt).toOption).getOrElse(4),
       maxRecordsPerFile: Long = sys.env.get("CHUNK_SIZE").flatMap(s => Try(s.toLong).toOption).getOrElse(0L),
       retries: Int = 2,
-      retryBackoffMs: Long = 1000)
+      retryBackoffMs: Long = 1000,
+      // progress line granularity (reference CHUNK_SIZE default, sh:192)
+      progressChunk: Long = sys.env.get("CHUNK_SIZE").flatMap(s => Try(s.toLong).toOption).getOrElse(50000L),
+      // reference tees every log line to data_to_orc.log (sh:19); None = console only
+      logFile: Option[String] = Some(sys.env.getOrElse("GRAFT_LOG_FILE", "data_to_orc.log")))
 
   final case class TableResult(table: String, success: Boolean, rows: Long,
                                files: Int, attempts: Int, error: Option[String])
@@ -45,44 +58,105 @@ object ConversionJob {
   /** Convert named tables (lazy DataFrame thunks) to ORC with per-table
     * isolation + bounded retry. Table order of the report is input order. */
   def run(tables: Seq[(String, () => DataFrame)], cfg: JobConfig): JobReport = {
+    val logger = new JobLogger(cfg.logFile)
     val pool = Executors.newFixedThreadPool(math.max(1, cfg.parallelWorkers))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
       val futures = tables.map { case (name, thunk) =>
-        Future(convertOne(name, thunk, cfg))
+        Future(convertOne(name, thunk, cfg, logger))
       }
       val results = futures.map(f => Await.result(f, Duration.Inf))
       val report = JobReport(results)
-      log(report.summary)
+      logger.log(report.summary)
       report
     } finally pool.shutdown()
   }
 
-  private def convertOne(name: String, thunk: () => DataFrame, cfg: JobConfig): TableResult = {
+  private def convertOne(name: String, thunk: () => DataFrame, cfg: JobConfig,
+                         logger: JobLogger): TableResult = {
     var attempt = 0
     var lastError: Option[String] = None
     while (attempt <= cfg.retries) {
       attempt += 1
       Try {
         val df = thunk()
-        OrcSink.write(df, cfg.outputDir, name, cfg.compression, cfg.maxRecordsPerFile)
+        val sc = df.sparkSession.sparkContext
+        // row count first, like the reference (sh:214-219), so progress
+        // lines can report n/total
+        val total = df.count()
+        // job group is thread-local: it scopes the listener to THIS
+        // table's write jobs even with parallel table futures
+        val group = s"graft-convert-$name-${java.util.UUID.randomUUID()}"
+        sc.setJobGroup(group, s"convert $name")
+        val listener = new ProgressListener(name, total, math.max(1L, cfg.progressChunk),
+          group, logger.log)
+        sc.addSparkListener(listener)
+        try OrcSink.write(df, cfg.outputDir, name, cfg.compression, cfg.maxRecordsPerFile)
+        finally { sc.removeSparkListener(listener); sc.clearJobGroup() }
       } match {
         case Success(r) =>
-          log(s"Progress $name: ${r.rows}/${r.rows} rows") // reference shape, sh:249
+          // final progress + success lines (reference shape, sh:249-251)
+          logger.log(s"Progress $name: ${fmt(r.rows)}/${fmt(r.rows)} rows")
+          logger.log(s"Successfully exported $name to ${cfg.outputDir}/$name")
           return TableResult(name, success = true, r.rows, r.files, attempt, None)
         case Failure(e) =>
           lastError = Some(e.getMessage)
-          log(s"Error converting $name (attempt $attempt/${cfg.retries + 1}): ${e.getMessage}")
+          logger.log(s"Error converting $name (attempt $attempt/${cfg.retries + 1}): ${e.getMessage}")
           if (attempt <= cfg.retries) Thread.sleep(cfg.retryBackoffMs * attempt)
       }
     }
     TableResult(name, success = false, 0L, 0, attempt, lastError)
   }
 
-  private def log(msg: String): Unit = {
+  /** Thousands-separated count, matching the reference's `{n:,}` (sh:249). */
+  private def fmt(n: Long): String = String.format(java.util.Locale.US, "%,d", n)
+
+  /** Incremental progress from executor output metrics: tracks the stages
+    * of this table's job group and logs cumulative records written each
+    * time the count crosses a chunk boundary. The final (n == total) line
+    * is emitted synchronously by convertOne, so listener-bus lag can never
+    * lose the completion message. */
+  private final class ProgressListener(table: String, total: Long, chunk: Long,
+                                       group: String, logFn: String => Unit)
+      extends SparkListener {
+    private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    private val cum = new java.util.concurrent.atomic.AtomicLong(0)
+    private val nextMark = new java.util.concurrent.atomic.AtomicLong(chunk)
+
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      if (Option(j.properties).exists(p => group == p.getProperty("spark.jobGroup.id")))
+        j.stageIds.foreach(id => stages.add(id))
+
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+      if (stages.contains(t.stageId)) {
+        val written = Option(t.taskMetrics).map(_.outputMetrics.recordsWritten).getOrElse(0L)
+        if (written > 0) {
+          val c = cum.addAndGet(written)
+          var mark = nextMark.get()
+          if (c >= mark && c < total) {
+            while (mark <= c) mark += chunk
+            nextMark.set(mark)
+            logFn(s"Progress $table: ${fmt(c)}/${fmt(total)} rows")
+          }
+        }
+      }
+  }
+}
+
+/** Timestamped console logger teed to the reference's log file
+  * (`data_to_orc.log`; sh:19 + 22-24 `log()` is `echo | tee -a LOG_FILE`).
+  * Append is synchronized — table futures log concurrently. */
+private[graft] final class JobLogger(logFile: Option[String]) {
+  def log(msg: String): Unit = {
     val ts = java.time.LocalDateTime.now().format(
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-    // Timestamped console shape of the reference logger (sh:22-24).
-    println(s"[$ts] $msg")
+    val line = s"[$ts] $msg"
+    println(line)
+    logFile.foreach { f =>
+      synchronized {
+        val w = new java.io.FileWriter(f, true)
+        try w.write(line + System.lineSeparator()) finally w.close()
+      }
+    }
   }
 }

@@ -111,13 +111,40 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val one = Files.list(java.nio.file.Paths.get(s"$in/nation.d"))
       .filter(_.toString.endsWith(".csv")).findFirst().get()
     Files.copy(one, java.nio.file.Paths.get(s"$in/nation.csv"))
-    // choice=3 (default), path, outDir, then defaults for delim/header/codec
-    val script = s"\n$in/nation.csv\n$out\n\n\n\n"
+    // choice=3 (default), path, defaults for delim/header/inferSchema,
+    // then outDir and defaults for codec/workers (reference prompt order)
+    val script = s"\n$in/nation.csv\n\n\n\n$out\n\n\n"
     val report = Cli.interactive(spark,
       new java.io.BufferedReader(new java.io.StringReader(script)),
       new java.io.PrintStream(new java.io.ByteArrayOutputStream())).get
     assert(report.successes == 1)
     assert(OrcSink.read(spark, s"$out/nation").count() == 25)
+  }
+
+  test("log file tee + incremental progress lines (reference log contract)") {
+    val out = Files.createTempDirectory("logjob").toString
+    val logFile = s"$out/data_to_orc.log"
+    // 3 write tasks over 5 rows with chunk=2 -> at least one intermediate
+    // "Progress region: <n>/5 rows" line from executor output metrics
+    // (the n == total line is suppressed in the listener; convertOne logs it)
+    val report = ConversionJob.run(
+      Seq("region" -> (() => Tables.t(spark, sf, "region").repartition(3))),
+      JobConfig(outputDir = out, logFile = Some(logFile), progressChunk = 2))
+    assert(report.successes == 1)
+    def content() = if (Files.exists(java.nio.file.Paths.get(logFile)))
+      Files.readString(java.nio.file.Paths.get(logFile)) else ""
+    // listener events are async; final lines are synchronous
+    val deadline = System.currentTimeMillis() + 10000
+    while (!content().matches("(?s).*Progress region: [1-4]/5 rows.*") &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    val text = content()
+    assert(text.contains("Export completed: 1/1 tables successful"), text)
+    assert(text.contains("Progress region: 5/5 rows"), text)
+    assert(text.contains(s"Successfully exported region to $out/region"), text)
+    assert(text.matches("(?s).*Progress region: [1-4]/5 rows.*"),
+      s"expected an intermediate chunk progress line:\n$text")
+    // every line is timestamped like the reference logger (sh:22-24)
+    assert(text.linesIterator.forall(_.matches("""\[\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\] .*""")), text)
   }
 
   test("HLL sketch aggregate stays within 5% of exact across repartitionings") {
