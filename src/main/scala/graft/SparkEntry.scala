@@ -30,13 +30,19 @@ object SparkEntry {
     AnalyticsQueries.oracles ++ ConverterQueries.oracles ++ LlmQueries.oracles ++
       PipelineQueries.oracles
 
-  /** Headline subset used by Bench (kept fast enough for per-round runs). */
+  /** Headline subset used by Bench (kept fast enough for per-round runs).
+    * Covers every plan family for round-over-round regression tracking:
+    * scans/aggs, joins (broadcast, as-of, range, bucketed co-located),
+    * windows, pivot, streaming-equivalent, text, dedup, ANN, converters. */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q7_window_top_orders", "q9_topk_orders",
     "q13_events_hourly",
     "q18_large_orders",
+    "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
+    "stream_hourly_agg",
     "text_stats", "text_bpe_tokens", "dedup_exact_docs", "dedup_minhash_full",
     "emb_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc")
+    "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
+    "conv_bucketed_join")
 }
