@@ -141,14 +141,21 @@ object Similarity {
               queryIds: Column => Column, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
               lloydIters: Int = 2): DataFrame = {
-    val init: Seq[Seq[Double]] = emb
-      .orderBy(col(idCol)).limit(nCentroids)
-      .select(asDouble(col(vecCol))).collect()
-      .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
-    // lowest-id init is deterministic but data-dependent; a few Lloyd
-    // rounds spread the centroids toward the true cluster structure
-    val centroids = refineCentroids(
-      emb.select(asDouble(col(vecCol)).as("v")), "v", init, lloydIters)
+    // the init collect + each Lloyd iteration is a full corpus pass; cache
+    // the casted projection so those passes hit memory, not parquet+cast
+    // (unpersisted before return — the final query plan re-reads the
+    // source, keeping the returned DataFrame cache-independent)
+    val projected = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("v"))
+    projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = try {
+      val init: Seq[Seq[Double]] = projected
+        .orderBy(col("pid")).limit(nCentroids)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      // lowest-id init is deterministic but data-dependent; a few Lloyd
+      // rounds spread the centroids toward the true cluster structure
+      refineCentroids(projected.select(col("v")), "v", init, lloydIters)
+    } finally projected.unpersist(blocking = false)
 
     // native one-pass probe expression (argmax = probe with nProbe=1)
     val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))

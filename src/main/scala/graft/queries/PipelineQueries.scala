@@ -34,6 +34,10 @@ object PipelineQueries {
       EventStream.slidingAgg(s, d).orderBy(col("w_start"), col("event_type"))
     },
 
+    "stream_dedup_pairs" -> { (s, d) =>
+      EventStream.dedupPairs(s, d).orderBy(col("user_id"), col("event_type"))
+    },
+
     "multimodal_bytes" -> { (s, d) =>
       Multimodal.toMultimodal(t(s, d, "documents"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -86,5 +90,9 @@ object PipelineQueries {
     "multimodal_bytes" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 'text/plain' AS kind
-        |FROM documents""".stripMargin)
+        |FROM documents""".stripMargin,
+
+    // streaming first-occurrence dedup on key columns == batch DISTINCT
+    "stream_dedup_pairs" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
 }

@@ -106,6 +106,35 @@ object EventStream {
     runToMemory(spark, out.toDF(), "graft_stream_sessions", OutputMode.Update())
   }
 
+  /** Streaming exact deduplication: `dropDuplicates` keeps per-key state
+    * across micro-batches and emits only each key's first occurrence.
+    * Selecting only the key columns makes the output the distinct key set
+    * — deterministic regardless of arrival order, so the batch DISTINCT
+    * oracle applies (exactly-once contract). State grows with distinct
+    * keys BY DESIGN for global dedup; [[dedupWithinWatermark]] is the
+    * bounded-state variant for endless streams. */
+  def dedupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val out = readEventStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    runToMemory(spark, out, "graft_stream_dedup", OutputMode.Append())
+  }
+
+  /** Watermark-bounded streaming dedup: duplicates arriving within the
+    * watermark delay of a key's first occurrence are dropped and the key's
+    * state is evicted once the watermark passes — bounded state, the
+    * production shape for endless streams. A key recurring after eviction
+    * re-emits, so the global-DISTINCT oracle does NOT apply (spec-verified
+    * instead). */
+  def dedupWithinWatermark(spark: SparkSession, sfDir: String,
+                           delay: String = "1 hour"): DataFrame = {
+    val out = readEventStream(spark, sfDir)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    runToMemory(spark, out, "graft_stream_dedup_wm", OutputMode.Append())
+  }
+
   /** Drive a streaming DataFrame to a memory sink until exhausted; return
     * the sink table snapshot (latest row per key for Update mode is
     * handled by the caller's aggregation shape). */

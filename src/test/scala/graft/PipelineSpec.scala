@@ -39,6 +39,23 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(streamed.values.sum > streamed.size, "expected multi-session users")
   }
 
+  test("streaming dedup equals batch DISTINCT; watermark variant emits no in-window dup") {
+    val streamed = EventStream.dedupPairs(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val batch = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+
+    // bounded-state variant: within one processing pass no key may be
+    // emitted twice (duplicates inside the watermark window are dropped)
+    val wm = EventStream.dedupWithinWatermark(spark, sf)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    assert(wm == 0, s"watermark dedup emitted $wm duplicated keys")
+  }
+
   test("multimodal layout carries binary payload + typed metadata") {
     val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents"))
     val row = mm.orderBy(col("doc_id")).first()
