@@ -27,6 +27,7 @@ object GraftFunctions {
       MinHashSig(exprs(0), intArg(exprs(1), "k"), intArg(exprs(2), "shingleSize"))),
     "ngram_jaccard" -> (exprs =>
       NgramJaccard(exprs(0), exprs(1), intArg(exprs(2), "n"))),
+    "lang_id_markers" -> (exprs => LangIdExpr(exprs.head)),
     "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()))
 
   /** Install into an existing session (temp functions). */

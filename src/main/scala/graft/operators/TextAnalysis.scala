@@ -31,11 +31,9 @@ object TextAnalysis {
     * exact-dedup key (reference has no analogue; standard pipeline op). */
   def fingerprint(c: Column): Column = md5(normText(c))
 
-  /** Occurrences of a literal marker in `in`, via length arithmetic. */
-  private def occ(in: Column, marker: String): Column =
-    (length(in) - length(call_function("replace", in, lit(marker), lit("")))) / lit(marker.length)
-
-  /** Marker words per language; counted space-padded on lowercased text. */
+  /** Marker words per language; counted space-padded on lowercased text.
+    * (The per-row counting lives in [[graft.functions.LangIdExpr]], which
+    * mirrors these markers and the tie-break order.) */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq(" the ", " and ", " is ", " of "),
     "es" -> Seq(" el ", " la ", " de ", " y "),
@@ -44,17 +42,19 @@ object TextAnalysis {
 
   /** Deterministic n-gram-marker language ID. CJK chars short-circuit to
     * zh; otherwise the language with the highest marker count wins, ties
-    * broken by the fixed priority en > es > de > fr; no markers -> "und". */
+    * broken by the fixed priority en > es > de > fr; no markers -> "und".
+    *
+    * The marker counting + tie-break runs in the native one-pass
+    * [[graft.functions.LangIdExpr]]: the equivalent pure-Column
+    * formulation (16 x `length(replace(...))`, each duplicated across
+    * `when` branches) exceeds janino's method limit, dropping the whole
+    * stage out of codegen and re-evaluating the duplicated chains
+    * interpreted per row. Semantics are unchanged — the SQL-mirror oracle
+    * still verifies the results hash-exactly. */
   def langId(c: Column): Column = {
     val t = concat(lit(" "), normText(lower(c)), lit(" "))
-    def score(lang: String): Column = LangMarkers(lang).map(m => occ(t, m)).reduce(_ + _)
-    val (en, es, de, fr) = (score("en"), score("es"), score("de"), score("fr"))
     when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
-      .when(en >= es && en >= de && en >= fr && en > 0, "en")
-      .when(es >= de && es >= fr && es > 0, "es")
-      .when(de >= fr && de > 0, "de")
-      .when(fr > 0, "fr")
-      .otherwise("und")
+      .otherwise(graft.functions.LangIdExpr.langIdMarkers(t))
   }
 
   /** Punctuation character count (.,;:!?). */
