@@ -47,15 +47,41 @@ object Cli {
     if (report.forall(r => r.total == 0 || r.successes != r.total)) sys.exit(1)
   }
 
+  /** Optional `KEY=value` config file (reference `CONFIG_FILE`, sh:18 —
+    * reserved beside the script but never read there; honored here).
+    * Recognized keys override the interactive prompt defaults, e.g.
+    * OUTPUT_DIR, COMPRESSION, PARALLEL_WORKERS, CSV_DELIMITER. Lines
+    * starting with '#' and blanks are ignored; keys are case-insensitive. */
+  def loadConfig(path: String): Map[String, String] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines()
+        .map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#") && l.contains('='))
+        .map { l =>
+          val i = l.indexOf('=')
+          l.take(i).trim.toUpperCase -> l.drop(i + 1).trim
+        }.toMap
+      finally src.close()
+    }
+  }
+
   /** Interactive prompt flow mirroring the reference's UX (sh:84-173):
     * input type -> per-type config (with the reference's defaults) ->
-    * output dir + compression + workers. Testable via injected reader. */
+    * output dir + compression + workers. Testable via injected reader.
+    * `configFile` defaults (reference `data_to_orc_config.conf`, sh:17-18)
+    * replace the built-in prompt defaults when present. */
   def interactive(spark: SparkSession, in: java.io.BufferedReader,
-                  out: java.io.PrintStream): Option[JobReport] = {
-    def ask(msg: String, default: String): String = {
-      out.print(s"$msg [$default]: ")
+                  out: java.io.PrintStream,
+                  configFile: String = "data_to_orc_config.conf"): Option[JobReport] = {
+    val conf = loadConfig(configFile)
+    def ask(msg: String, default: String, confKey: String = ""): String = {
+      val d = if (confKey.nonEmpty) conf.getOrElse(confKey.toUpperCase, default) else default
+      out.print(s"$msg [$d]: ")
       val line = Option(in.readLine()).map(_.trim).getOrElse("")
-      if (line.isEmpty) default else line
+      if (line.isEmpty) d else line
     }
     def required(msg: String): Option[String] = {
       val v = ask(msg, "")
@@ -64,21 +90,21 @@ object Cli {
     // common output config (reference get_output_config, sh:164-173:
     // output dir + compression + parallel workers)
     def outputConfig(): (String, String, Int) = {
-      val outDir = ask("Output directory", "./orc_output")
-      val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy")
-      val workers = Try(ask("Parallel workers", "4").toInt).getOrElse(4)
+      val outDir = ask("Output directory", "./orc_output", "OUTPUT_DIR")
+      val codec = ask("Compression (snappy/zlib/lzo/zstd/none)", "snappy", "COMPRESSION")
+      val workers = Try(ask("Parallel workers", "4", "PARALLEL_WORKERS").toInt).getOrElse(4)
       (outDir, codec, workers)
     }
     out.println("Select input type:\n  1) MySQL database\n  2) SQL dump file\n  3) CSV file/directory")
     val choice = ask("Choice", "3")
     choice match {
       case "1" =>
-        val host = ask("MySQL host", "localhost")
-        val port = ask("MySQL port", "3306")
-        val user = ask("MySQL user", "root")
+        val host = ask("MySQL host", "localhost", "MYSQL_HOST")
+        val port = ask("MySQL port", "3306", "MYSQL_PORT")
+        val user = ask("MySQL user", "root", "MYSQL_USER")
         val pass = ask("MySQL password", "")
-        val db = ask("Database", "")
-        val tables = ask("Tables (comma-separated or 'all')", "all")
+        val db = ask("Database", "", "MYSQL_DATABASE")
+        val tables = ask("Tables (comma-separated or 'all')", "all", "TABLES")
         val (outDir, codec, workers) = outputConfig()
         run(spark, Seq("mysql", host, port, user, pass, db, outDir, codec, tables),
           workers = Some(workers))
@@ -96,9 +122,9 @@ object Cli {
           case Some(path) =>
             // per-type config order mirrors get_csv_config (sh:148-159):
             // delimiter -> header -> infer-schema, then output config
-            val delim = ask("CSV delimiter", ",")
-            val header = ask("Has header row? (true/false)", "true")
-            val infer = ask("Infer schema from data? (true/false)", "true")
+            val delim = ask("CSV delimiter", ",", "CSV_DELIMITER")
+            val header = ask("Has header row? (true/false)", "true", "CSV_HEADER")
+            val infer = ask("Infer schema from data? (true/false)", "true", "INFER_SCHEMA")
             val (outDir, codec, workers) = outputConfig()
             run(spark, Seq("csv", path, outDir, delim, header, codec),
               workers = Some(workers), inferSchema = Try(infer.toBoolean).toOption)

@@ -121,6 +121,32 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(OrcSink.read(spark, s"$out/nation").count() == 25)
   }
 
+  test("config file overrides interactive prompt defaults (CONFIG_FILE honored)") {
+    val in = Files.createTempDirectory("clicfg").toString
+    val out = Files.createTempDirectory("clicfgout").toString
+    Tables.t(spark, sf, "region").write.option("header", true).csv(s"$in/region.d")
+    val one = Files.list(java.nio.file.Paths.get(s"$in/region.d"))
+      .filter(_.toString.endsWith(".csv")).findFirst().get()
+    Files.copy(one, java.nio.file.Paths.get(s"$in/region.csv"))
+    val cfgFile = s"$in/data_to_orc_config.conf"
+    Files.writeString(java.nio.file.Paths.get(cfgFile),
+      s"""# reference-reserved config file (sh:18), honored here
+         |OUTPUT_DIR=$out
+         |compression = zlib
+         |PARALLEL_WORKERS=2
+         |""".stripMargin)
+    assert(Cli.loadConfig(cfgFile)("COMPRESSION") == "zlib")
+    assert(Cli.loadConfig("/nonexistent.conf").isEmpty)
+    // all prompts answered with empty input -> config values become defaults
+    val script = s"\n$in/region.csv\n\n\n\n\n\n\n"
+    val report = Cli.interactive(spark,
+      new java.io.BufferedReader(new java.io.StringReader(script)),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream()),
+      configFile = cfgFile).get
+    assert(report.successes == 1)
+    assert(OrcSink.read(spark, s"$out/region").count() == 5)
+  }
+
   test("log file tee + incremental progress lines (reference log contract)") {
     val out = Files.createTempDirectory("logjob").toString
     val logFile = s"$out/data_to_orc.log"
