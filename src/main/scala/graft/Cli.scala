@@ -112,7 +112,7 @@ object Cli {
         required("SQL dump file") match {
           case None => None
           case Some(file) =>
-            val tables = ask("Tables (comma-separated or 'all')", "all")
+            val tables = ask("Tables (comma-separated or 'all')", "all", "TABLES")
             val (outDir, codec, workers) = outputConfig()
             run(spark, Seq("dump", file, outDir, codec, tables), workers = Some(workers))
         }

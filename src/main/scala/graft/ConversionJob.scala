@@ -42,6 +42,11 @@ object ConversionJob {
       retryBackoffMs: Long = 1000,
       // progress line granularity (reference CHUNK_SIZE default, sh:192)
       progressChunk: Long = sys.env.get("CHUNK_SIZE").flatMap(s => Try(s.toLong).toOption).getOrElse(50000L),
+      // n/total progress denominators need a count pass first (the
+      // reference's pushed-down COUNT(*), sh:214-219 — cheap on a database,
+      // a full extra scan on file sources). false = chunk lines without a
+      // denominator, no extra pass: the right setting at 100 TB.
+      progressTotals: Boolean = true,
       // reference tees every log line to data_to_orc.log (sh:19); None = console only
       logFile: Option[String] = Some(sys.env.getOrElse("GRAFT_LOG_FILE", "data_to_orc.log")))
 
@@ -76,14 +81,20 @@ object ConversionJob {
                          logger: JobLogger): TableResult = {
     var attempt = 0
     var lastError: Option[String] = None
+    // total is computed at most once: retries reuse the first successful
+    // count instead of re-scanning the source per attempt
+    var knownTotal: Option[Long] = None
     while (attempt <= cfg.retries) {
       attempt += 1
       Try {
         val df = thunk()
         val sc = df.sparkSession.sparkContext
         // row count first, like the reference (sh:214-219), so progress
-        // lines can report n/total
-        val total = df.count()
+        // lines can report n/total; skipped when progressTotals=false
+        // (file sources at scale, where COUNT is a full extra pass)
+        val total: Option[Long] =
+          if (!cfg.progressTotals) None
+          else knownTotal.orElse { knownTotal = Some(df.count()); knownTotal }
         // job group is thread-local: it scopes the listener to THIS
         // table's write jobs even with parallel table futures
         val group = s"graft-convert-$name-${java.util.UUID.randomUUID()}"
@@ -115,8 +126,9 @@ object ConversionJob {
     * of this table's job group and logs cumulative records written each
     * time the count crosses a chunk boundary. The final (n == total) line
     * is emitted synchronously by convertOne, so listener-bus lag can never
-    * lose the completion message. */
-  private final class ProgressListener(table: String, total: Long, chunk: Long,
+    * lose the completion message. `total` None = no denominator (the
+    * no-extra-count-pass mode). */
+  private final class ProgressListener(table: String, total: Option[Long], chunk: Long,
                                        group: String, logFn: String => Unit)
       extends SparkListener {
     private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
@@ -133,10 +145,11 @@ object ConversionJob {
         if (written > 0) {
           val c = cum.addAndGet(written)
           var mark = nextMark.get()
-          if (c >= mark && c < total) {
+          if (c >= mark && total.forall(c < _)) {
             while (mark <= c) mark += chunk
             nextMark.set(mark)
-            logFn(s"Progress $table: ${fmt(c)}/${fmt(total)} rows")
+            val denom = total.map(t => s"/${fmt(t)}").getOrElse("")
+            logFn(s"Progress $table: ${fmt(c)}$denom rows")
           }
         }
       }

@@ -37,6 +37,18 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Vector width from the first row, or None for an empty corpus (or a
+    * null leading vector) — callers return an empty, correctly-shaped
+    * result instead of crashing in plan construction. */
+  private def vecDim(emb: DataFrame, vecCol: String): Option[Int] =
+    emb.select(size(col(vecCol)).as("d")).head(1).toSeq
+      .collectFirst { case r if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0) }
+
+  /** Zero-row frame in the (query_id, neighbor_id, rank, score) shape. */
+  private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
+    emb.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+      lit(0L).as("rank"), lit(0.0).as("score")).limit(0)
+
   /** Exact top-k by cosine for each query id. Output:
     * (query_id, neighbor_id, rank, score) with rank 1..k, self excluded,
     * ties broken by neighbor id. */
@@ -66,7 +78,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Column => Column, k: Int,
               tables: Int = 8, nBits: Int = 6, seed: Long = 42L): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val dim = vecDim(emb, vecCol).getOrElse(return emptyTopK(emb, idCol))
     val planes = hyperplanes(tables, nBits, dim, seed)
     // (table, bucket) pairs from the native one-pass LshBits expression;
     // posexplode supplies the table index.
@@ -145,6 +157,7 @@ object Similarity {
     // the casted projection so those passes hit memory, not parquet+cast
     // (unpersisted before return — the final query plan re-reads the
     // source, keeping the returned DataFrame cache-independent)
+    if (vecDim(emb, vecCol).isEmpty) return emptyTopK(emb, idCol)
     val projected = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("v"))
     projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = try {
@@ -188,9 +201,11 @@ object Similarity {
                          threshold: Double,
                          maxInputRows: Long = 10000): DataFrame = {
     val e = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
-    val n = e.count()
-    require(n <= maxInputRows,
-      s"cosineNearDupPairs is all-pairs (O(n^2)); input has $n rows > " +
+    // limit-probe instead of a full count: the guard must itself stay cheap
+    // on the giant inputs it exists to reject
+    val over = e.limit((maxInputRows + 1).min(Int.MaxValue).toInt).count() > maxInputRows
+    require(!over,
+      s"cosineNearDupPairs is all-pairs (O(n^2)); input exceeds " +
         s"maxInputRows=$maxInputRows. Use lshNearDupPairs for large inputs " +
         "or raise the bound explicitly.")
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
@@ -210,7 +225,9 @@ object Similarity {
   def lshNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                       threshold: Double,
                       tables: Int = 8, nBits: Int = 6, seed: Long = 42L): DataFrame = {
-    val dim = emb.select(size(col(vecCol))).first().getInt(0)
+    val dim = vecDim(emb, vecCol).getOrElse(
+      return emb.select(col(idCol).as("a_id"), col(idCol).as("b_id"),
+        lit(0.0).as("cosine")).limit(0))
     val planes = hyperplanes(tables, nBits, dim, seed)
     val banded = emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
       .select(col("id"), posexplode(

@@ -53,8 +53,11 @@ object TextAnalysis {
     * still verifies the results hash-exactly. */
   def langId(c: Column): Column = {
     val t = concat(lit(" "), normText(lower(c)), lit(" "))
+    // coalesce: NULL text must yield "und" (the no-markers answer, and what
+    // the SQL mirror's CASE ... ELSE 'und' returns for NULL), not NULL —
+    // LangIdExpr is null-safe and would propagate the null
     when(c.rlike("[\\u4e00-\\u9fff]"), "zh")
-      .otherwise(graft.functions.LangIdExpr.langIdMarkers(t))
+      .otherwise(coalesce(graft.functions.LangIdExpr.langIdMarkers(t), lit("und")))
   }
 
   /** Punctuation character count (.,;:!?). */

@@ -54,14 +54,21 @@ object SqlDumpSource {
     * aware. Pure, incremental (works on a streaming Reader). */
   def statements(in: Reader): Iterator[String] = new StatementScanner(in)
 
-  /** The statement scanner as a class so callers can inspect
-    * `unterminatedQuote` after draining: hitting EOF inside a string literal
-    * means the input was truncated mid-statement — for the distributed read
-    * path that is the signature of the `";\n"` record delimiter having split
-    * a record inside a literal, which would silently lose rows. */
+  /** The statement scanner as a class so callers can inspect the
+    * truncation flags after draining: hitting EOF inside a string literal
+    * OR inside a comment means the input was cut mid-construct — for the
+    * distributed read path that is the signature of the `";\n"` record
+    * delimiter having split a record inside a literal/comment, which would
+    * silently lose or corrupt rows. (A file legitimately ending in a line
+    * comment without a trailing newline also trips the comment flag; the
+    * cost is only an unnecessary fall back to the always-correct streaming
+    * parse.) */
   final class StatementScanner(in: Reader) extends Iterator[String] {
     /** True once EOF was reached inside an unterminated quoted literal. */
     var unterminatedQuote: Boolean = false
+    /** True once EOF was reached inside a line/block comment (line: before
+      * its terminating newline; block: before the closing star-slash). */
+    var unterminatedComment: Boolean = false
     private val sb = new StringBuilder
     private var nextStmt: String = null
     private var eof = false
@@ -131,12 +138,14 @@ object SqlDumpSource {
     private def consumeLineComment(): Unit = {
       var c = readWithPushback()
       while (c >= 0 && c.toChar != '\n') c = readWithPushback()
+      if (c < 0) unterminatedComment = true
     }
 
     private def consumeBlockComment(): Unit = {
       var prev = ' '
       var c = readWithPushback()
       while (c >= 0 && !(prev == '*' && c.toChar == '/')) { prev = c.toChar; c = readWithPushback() }
+      if (c < 0) unterminatedComment = true
     }
 
     override def hasNext: Boolean = {
@@ -359,6 +368,10 @@ object SqlDumpSource {
           if (!quoted && cur.forall(_.isWhitespace)) cur.clear()
           quoted = true
           i = consumeQuotedUnescaped(s, i, c, cur)
+        case w if quoted && w.isWhitespace =>
+          // ...nor is whitespace between the closing quote and the
+          // separator ("('a' , 2)" -> "a", not "a ")
+          i += 1
         case ',' => flush(); i += 1
         case ')' => flush(); i += 1; done = true
         case '(' => // nested paren in an unquoted cell (rare; function call) - keep text
@@ -496,8 +509,8 @@ object SqlDumpSource {
     if (stmts.filter(_ == UnterminatedMarker).take(1).nonEmpty) {
       stmts.unpersist(blocking = false)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dump $path contains a string literal spanning a ';\\n' record boundary; " +
-          "falling back to the single-reader streaming parse")
+        s"dump $path has a string literal or comment spanning a ';\\n' record " +
+          "boundary; falling back to the single-reader streaming parse")
       return parseStreaming(spark, path, select)
     }
     val defs = select(
@@ -567,7 +580,8 @@ object SqlDumpSource {
       .flatMap { r =>
         val sc = new StatementScanner(new java.io.StringReader(r._2.toString))
         val list = sc.toList
-        if (sc.unterminatedQuote) list :+ UnterminatedMarker else list
+        if (sc.unterminatedQuote || sc.unterminatedComment) list :+ UnterminatedMarker
+        else list
       }
       .filter(_.trim.nonEmpty)
   }

@@ -28,6 +28,19 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(fps(0) != fps(3))
   }
 
+  test("langId maps NULL and empty text to 'und', not NULL") {
+    val df = Seq(Option.empty[String], Some(""), Some("   ")).toDF("t")
+      .select(TextAnalysis.langId(col("t")).as("l"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("und", "und", "und"))
+  }
+
+  test("lshNearDupPairs and topK operators return empty results on empty input") {
+    val empty = plantedVectors.filter(col("vec_id") < 0)
+    assert(Similarity.lshNearDupPairs(empty, "vec_id", "embedding", 0.9).count() == 0)
+    assert(Similarity.lshTopK(empty, "vec_id", "embedding", _ < 5, k = 3).count() == 0)
+    assert(Similarity.ivfTopK(empty, "vec_id", "embedding", _ < 5, k = 3).count() == 0)
+  }
+
   test("langId picks dominant marker language; CJK short-circuits to zh") {
     val df = Seq(
       ("the cat and the dog is here", "en"),

@@ -211,6 +211,24 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Set((1L, "first;\nsecond line"), (2L, "plain"), (3L, "tail")))
   }
 
+  test("distributed parse also falls back when ';\\n' sits inside a comment") {
+    val dir = Files.createTempDirectory("dumpspec-cguard").toFile
+    val path = s"$dir/comment.sql"
+    val sql = "CREATE TABLE `t` (`id` INT);\n" +
+      "/* step 1;\n done */ INSERT INTO `t` VALUES (1);\n" +
+      "INSERT INTO `t` VALUES (2);\n"
+    Files.writeString(java.nio.file.Paths.get(path), sql)
+    val t = SqlDumpSource.parse(spark, path, Seq("all"), distributed = true)("t")
+    assert(t.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("whitespace around quoted cells is separator padding, not content") {
+    val rows = SqlDumpSource.parseInsert(
+      "INSERT INTO t VALUES ( 'a' , 2 ), ('b'  ,  'c' )").get.rows
+    assert(rows(0) == Seq(Some("a"), Some("2")))
+    assert(rows(1) == Seq(Some("b"), Some("c")))
+  }
+
   test("fixture writer -> parser round-trip is lossless (nation table)") {
     val dir = Files.createTempDirectory("dumpspec2").toFile
     val path = s"$dir/nation.sql"
