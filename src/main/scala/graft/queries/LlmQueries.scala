@@ -28,6 +28,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus heavy hitters: explode tokens -> hash agg (map-side combined)
+    // -> top-k without a global sort. The vocabulary-statistics shape every
+    // training-data pipeline runs; at 100 TB the only shuffle is the
+    // term-keyed partial-aggregated exchange.
+    "text_top_terms" -> { (s, d) =>
+      val toks = split(TextAnalysis.normText(lower(col("text"))), " ")
+      t(s, d, "documents")
+        .select(explode(toks).as("term"))
+        .filter(length(col("term")) >= 3)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(25)
+    },
+
     "text_quality" -> { (s, d) =>
       t(s, d, "documents").select(
         col("doc_id"),
@@ -245,6 +260,16 @@ object LlmQueries {
         | md5(t) AS fp,
         | CAST(length(text) - length(translate(text, '.,;:!?', '')) AS BIGINT) AS n_punct
         |FROM n""".stripMargin,
+
+    "text_top_terms" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+        | FROM documents)
+        |SELECT term, COUNT(*) AS n FROM toks
+        |WHERE length(term) >= 3
+        |GROUP BY term
+        |ORDER BY n DESC, term
+        |LIMIT 25""".stripMargin,
 
     "text_quality" ->
       """WITH n AS (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents)
