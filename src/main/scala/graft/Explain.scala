@@ -14,7 +14,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_pricing_summary", "q3_top_unshipped_orders",
         "q5_local_supplier_volume", "q6_forecast_revenue",
-        "dedup_minhash_full", "emb_cosine_topk")
+        "dedup_minhash_full", "emb_cosine_topk",
+        "q25_range_join_pairs", "dedup_ngram_jaccard",
+        "dedup_embedding_lsh", "text_top_terms", "text_langid_counts")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
