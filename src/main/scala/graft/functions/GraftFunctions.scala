@@ -28,6 +28,7 @@ object GraftFunctions {
     "ngram_jaccard" -> (exprs =>
       NgramJaccard(exprs(0), exprs(1), intArg(exprs(2), "n"))),
     "lang_id_markers" -> (exprs => LangIdExpr(exprs.head)),
+    "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
     "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()))
 
   /** Install into an existing session (temp functions). */

@@ -207,9 +207,18 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * xxhash64s, folded into one long. Single pass over the token array with
-    * a 64-wide accumulator — all `functions._`, fully codegen'd. */
-  def simhash64(c: Column): Column = {
+    * xxhash64s, folded into one long. Runs in the native one-pass
+    * [[graft.functions.SimHash64Expr]] — the higher-order-function
+    * formulation ([[simhash64Hof]]) evaluates O(tokens x 64) interpreted
+    * lambda applications per row. */
+  def simhash64(c: Column): Column =
+    graft.functions.SimHash64Expr.simhash64Norm(TextAnalysis.normText(c))
+
+  /** Reference `functions._` formulation of [[simhash64]], kept as the
+    * equivalence oracle for the native expression's spec (and as the
+    * readable specification of the algorithm). Interpreted — do not use
+    * in hot paths. */
+  private[graft] def simhash64Hof(c: Column): Column = {
     val words = split(TextAnalysis.normText(c), " ")
     val hashes = transform(words, w => xxhash64(w))
     val masks = array((0 until 64).map(b => lit(1L << b)): _*)

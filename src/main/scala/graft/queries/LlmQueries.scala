@@ -226,6 +226,17 @@ object LlmQueries {
         .limit(100)
     },
 
+    // Unbounded SimHash over the whole documents table — the scale probe
+    // the bench runs at sf0.1 (native one-pass signatures + block-bucket
+    // join; cost grows with corpus, not n²). blocks=4 > maxDistance=3
+    // keeps the pigeonhole completeness guarantee.
+    "dedup_simhash_full" -> { (s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+          maxDistance = 3, blocks = 4)
+        .orderBy(col("hamming"), col("a_id"), col("b_id"))
+        .limit(100)
+    },
+
     "dedup_simhash_near" -> { (s, d) =>
       // blocks=16 (4-bit slices) > maxDistance=15 => detection is COMPLETE
       // for the requested radius (pigeonhole guarantee), not best-effort.

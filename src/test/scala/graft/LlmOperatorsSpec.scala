@@ -137,6 +137,19 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   // ---- SimHash ----
 
+  test("native SimHash64 is bit-identical to the functions._ formulation") {
+    val texts = Seq("", " ", "one", "a b  c", " pad ", "tab\tand\nnewline",
+      "unicode héllo wörld 你好", "the quick brown fox jumps over the lazy dog",
+      "x " * 200)
+    val df = texts.toDF("t")
+    val rows = df.select(
+      Dedup.simhash64(col("t")).as("native"),
+      Dedup.simhash64Hof(col("t")).as("hof")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"mismatch for '$t'")
+    }
+  }
+
   test("SimHash: identical texts hamming 0; near-dup small; unrelated large") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
