@@ -28,6 +28,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Sliding-window document chunking (64-token chunks, 16-token
+    // overlap): the pre-tokenization step before sequence packing.
+    // chunk_text is md5'd so the gate output stays compact; the hash
+    // pins every token boundary.
+    "pipeline_chunk_docs" -> { (s, d) =>
+      graft.operators.TextChunker.chunk(
+          t(s, d, "documents"), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // Corpus heavy hitters: explode tokens -> hash agg (map-side combined)
     // -> top-k without a global sort. The vocabulary-statistics shape every
     // training-data pipeline runs; at 100 TB the only shuffle is the
@@ -271,6 +284,23 @@ object LlmQueries {
         | md5(t) AS fp,
         | CAST(length(text) - length(translate(text, '.,;:!?', '')) AS BIGINT) AS n_punct
         |FROM n""".stripMargin,
+
+    "pipeline_chunk_docs" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id, toks, len(toks) AS n,
+        |  GREATEST(CAST(CEIL((len(toks) - 16) / 48.0) AS BIGINT), 1) AS nc
+        | FROM n),
+        |e AS (
+        | SELECT doc_id, toks, n, unnest(generate_series(0, nc - 1)) AS chunk_idx
+        | FROM c)
+        |SELECT doc_id, chunk_idx,
+        | LEAST(64, n - chunk_idx * 48) AS n_chunk_tokens,
+        | md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+        |FROM e""".stripMargin,
 
     "text_top_terms" ->
       """WITH toks AS (

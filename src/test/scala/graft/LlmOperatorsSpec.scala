@@ -98,6 +98,27 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.contains((5L, 100L)), "planted near-dup pair must be found")
   }
 
+  test("TextChunker: overlapping windows cover every token with the set stride") {
+    import graft.operators.TextChunker
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, ""), (3L, "short doc")).toDF("doc_id", "text")
+    val chunks = TextChunker.chunk(df, "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val doc1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // 100 tokens, stride 48: ceil((100-16)/48) = 2 chunks
+    assert(doc1.length == 2)
+    assert(doc1(0)._3 == 64 && doc1(0)._4.startsWith("w1 ") && doc1(0)._4.endsWith(" w64"))
+    assert(doc1(1)._3 == 52 && doc1(1)._4.startsWith("w49 ") && doc1(1)._4.endsWith(" w100"))
+    // consecutive chunks share exactly the 16-token overlap
+    val t0 = doc1(0)._4.split(" ").takeRight(16).toSeq
+    val t1 = doc1(1)._4.split(" ").take(16).toSeq
+    assert(t0 == t1)
+    // empty + short docs emit exactly one chunk
+    assert(chunks.count(_._1 == 2L) == 1)
+    assert(chunks.filter(_._1 == 3L).toSeq.map(c => (c._2, c._3, c._4)) ==
+      Seq((0L, 2L, "short doc")))
+  }
+
   // ---- MinHash + LSH with planted near-dups ----
 
   private def corpusWithPlantedDups = {
