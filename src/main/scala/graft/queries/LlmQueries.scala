@@ -28,6 +28,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic data-mixing sampler: per-source keep rates decided by
+    // a content-hash bucket, so the sample is identical on any cluster
+    // size and exactly reproducible by the oracle engine.
+    "pipeline_sample_mix" -> { (s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+          t(s, d, "documents"), "source", col("text"),
+          rates = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+          defaultRate = 0.1)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))
+    },
+
     // Sliding-window document chunking (64-token chunks, 16-token
     // overlap): the pre-tokenization step before sequence packing.
     // chunk_text is md5'd so the gate output stays compact; the hash
@@ -284,6 +297,15 @@ object LlmQueries {
         | md5(t) AS fp,
         | CAST(length(text) - length(translate(text, '.,;:!?', '')) AS BIGINT) AS n_punct
         |FROM n""".stripMargin,
+
+    "pipeline_sample_mix" ->
+      """WITH s AS (
+        | SELECT source, doc_id, substr(md5(text), 1, 4) AS b FROM documents)
+        |SELECT source, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc
+        |FROM s
+        |WHERE b < CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |               WHEN 'src2' THEN '4000' ELSE '1999' END
+        |GROUP BY source""".stripMargin,
 
     "pipeline_chunk_docs" ->
       """WITH n AS (

@@ -98,6 +98,24 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.contains((5L, 100L)), "planted near-dup pair must be found")
   }
 
+  test("stratified sampling: deterministic, partition-invariant, near-rate") {
+    import graft.operators.Sampling
+    val df = (1 to 2000).map(i =>
+      (i.toLong, s"document number $i with some content", if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "text", "src")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(d, "src", col("text"), Map("a" -> 0.5), 0.1)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val s1 = ids(df)
+    assert(s1 == ids(df.repartition(7)), "sample must not depend on partitioning")
+    val nA = s1.count(_ % 2 == 0); val nB = s1.size - nA
+    assert(math.abs(nA - 500) < 100, s"stratum a kept $nA of 1000 at rate 0.5")
+    assert(math.abs(nB - 100) < 60, s"stratum b kept $nB of 1000 at rate 0.1")
+    // boundary rates: 1.0 keeps all, 0.0 keeps none
+    assert(Sampling.stratifiedSample(df, "src", col("text"), Map.empty, 1.0).count() == 2000)
+    assert(Sampling.stratifiedSample(df, "src", col("text"), Map.empty, 0.0).count() == 0)
+  }
+
   test("TextChunker: overlapping windows cover every token with the set stride") {
     import graft.operators.TextChunker
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
