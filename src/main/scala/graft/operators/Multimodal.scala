@@ -41,6 +41,64 @@ object Multimodal {
     * (and keep everything else unchanged). */
   private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
 
+  private val frameSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** STUB FRAME SAMPLER — stands in for video keyframe extraction. Emits
+    * up to `maxFrames` consecutive `frameBytes`-wide windows of the
+    * decoded payload as one row per frame (empty payloads emit none); a
+    * real pipeline replaces the window slicing with the codec's keyframe
+    * calls and keeps the row shape (doc_id, frame_idx, frame binary) and
+    * per-partition batching unchanged. Frame math is pure arithmetic on
+    * byte counts, so the correctness gate mirrors it in SQL. */
+  def sampleFrames(spark: SparkSession, mm: DataFrame,
+                   frameBytes: Int = 256, maxFrames: Int = 8): DataFrame = {
+    require(frameBytes > 0 && maxFrames > 0)
+    val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = decodeStub(r.getAs[Array[Byte]](1))
+        val nFrames = math.min(maxFrames.toLong,
+          (bytes.length + frameBytes - 1L) / frameBytes).toInt
+        (0 until nFrames).iterator.map { f =>
+          val from = f * frameBytes
+          val until = math.min(bytes.length, from + frameBytes)
+          Row(id, f, java.util.Arrays.copyOfRange(bytes, from, until))
+        }
+      }
+    }
+    spark.createDataFrame(rows, frameSchema)
+  }
+
+  /** STUB RESIZER — stands in for image resizing. Normalizes every decoded
+    * payload to exactly `targetBytes` (truncate, or cycle the payload to
+    * pad; empty payloads become zero bytes) and rewrites `meta.n_bytes`
+    * to match — the metadata-consistency contract a real resizer must
+    * keep. Deterministic, so the spec pins outputs across runs. */
+  def resizePayloads(spark: SparkSession, mm: DataFrame, targetBytes: Int): DataFrame = {
+    require(targetBytes >= 0)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false),
+      StructField("meta", StructType(Seq(
+        StructField("kind", StringType),
+        StructField("n_bytes", LongType),
+        StructField("origin", StringType))))))
+    val rows = mm.select(col("doc_id"), col("payload"),
+      col("meta.kind"), col("meta.origin")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = decodeStub(r.getAs[Array[Byte]](1))
+        val out = new Array[Byte](if (bytes.isEmpty) 0 else targetBytes)
+        var i = 0
+        while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
+        Row(r.getLong(0), out, Row(r.getString(2), out.length.toLong, r.getString(3)))
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Batched per-partition feature extraction: 16-bin normalized byte
     * histogram per payload (a deterministic fake "embedding" with the same
     * shape/cost profile as a features head). */

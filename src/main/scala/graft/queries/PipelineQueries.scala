@@ -45,6 +45,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Frame-sampling plumbing: per-doc frame counts + sampled byte totals
+    // are pure arithmetic over payload sizes, so the oracle mirrors the
+    // stub sampler exactly (window slicing stands in for codec keyframes).
+    "multimodal_frames" -> { (s, d) =>
+      val mm = Multimodal.toMultimodal(t(s, d, "documents"))
+      Multimodal.sampleFrames(s, mm, frameBytes = 256, maxFrames = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(octet_length(col("frame")).cast("long")).as("bytes_sampled"))
+        .orderBy(col("doc_id"))
+    },
+
     // rows-only: histogram features have no SQL mirror; spec asserts
     // determinism + unit mass.
     "multimodal_features" -> { (s, d) =>
@@ -91,6 +103,14 @@ object PipelineQueries {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | 'text/plain' AS kind
         |FROM documents""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH m AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+        |f AS (SELECT doc_id, nb,
+        |        LEAST(CAST(CEIL(nb / 256.0) AS BIGINT), 8) AS n_frames
+        |      FROM m)
+        |SELECT doc_id, n_frames, LEAST(nb, n_frames * 256) AS bytes_sampled
+        |FROM f WHERE n_frames > 0""".stripMargin,
 
     // streaming first-occurrence dedup on key columns == batch DISTINCT
     "stream_dedup_pairs" ->

@@ -71,6 +71,30 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(back.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
   }
 
+  test("frame sampling reconstructs the payload prefix; resize keeps metadata honest") {
+    val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents"))
+    val frames = Multimodal.sampleFrames(spark, mm, frameBytes = 64, maxFrames = 4)
+      .collect().groupBy(_.getLong(0))
+    val payloads = mm.select(col("doc_id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    frames.foreach { case (id, fr) =>
+      val joined = fr.sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2))
+      val expectLen = math.min(payloads(id).length, 4 * 64)
+      assert(joined.toSeq == payloads(id).take(expectLen).toSeq,
+        s"doc $id frames must be the consecutive payload prefix")
+      assert(fr.length == math.min(4, (payloads(id).length + 63) / 64))
+    }
+
+    val resized = Multimodal.resizePayloads(spark, mm, targetBytes = 128).collect()
+    resized.foreach { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(p.length == 128 || (p.isEmpty && payloads(r.getLong(0)).isEmpty))
+      assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes") == p.length,
+        "meta.n_bytes must track the resized payload")
+    }
+    assert(resized.nonEmpty)
+  }
+
   test("feature extraction is deterministic with unit mass and fixed width") {
     val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents"))
     val f1 = Multimodal.extractFeatures(spark, mm)
