@@ -319,6 +319,21 @@ object AnalyticsQueries {
           countDistinct(col("user_id")).as("n_users"))
     },
 
+    // Batch sessionization (gaps-and-islands, 30-min inactivity): per-user
+    // session count + densest session. One shuffle on user_id; both
+    // windows and the session aggregate pipeline in that partitioning.
+    "q28_user_sessions" -> { (s, d) =>
+      graft.operators.Sessionize.assign(
+          t(s, d, "events").select(col("user_id"), col("ts")),
+          "user_id", "ts", gapMinutes = 30)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+
     // Mergeable-sketch distinct counts (DataSketches HLL as a custom
     // TypedImperativeAggregate) beside exact values. No oracle — sketch
     // estimates aren't engine-portable; the spec bounds relative error.
@@ -495,6 +510,23 @@ object AnalyticsQueries {
         | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q28_user_sessions" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (
+        | SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |s AS (
+        | SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS sess
+        | FROM b),
+        |c AS (SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        | CAST(MAX(n) AS BIGINT) AS max_session_events
+        |FROM c GROUP BY user_id""".stripMargin,
 
     "q27_null_safe_join" ->
       """WITH o AS (
