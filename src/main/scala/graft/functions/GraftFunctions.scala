@@ -20,6 +20,13 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  /** `regexp_replace(trim(e), "\s+", " ")` — the TextAnalysis.normText
+    * normalization as a raw Catalyst tree, for SQL builders. */
+  private def normalizeWs(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringTrim}
+    RegExpReplace(StringTrim(e), Literal("\\s+"), Literal(" "))
+  }
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
     "sig_agree" -> (exprs => SigAgree(exprs(0), exprs(1))),
@@ -28,7 +35,10 @@ object GraftFunctions {
     "ngram_jaccard" -> (exprs =>
       NgramJaccard(exprs(0), exprs(1), intArg(exprs(2), "n"))),
     "lang_id_markers" -> (exprs => LangIdExpr(exprs.head)),
-    "simhash64" -> (exprs => SimHash64Expr(exprs.head)),
+    // SQL simhash64 takes RAW text, like Dedup.simhash64: whitespace
+    // normalization happens inside the builder so both surfaces produce
+    // identical signatures for the same document
+    "simhash64" -> (exprs => SimHash64Expr(normalizeWs(exprs.head))),
     "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()))
 
   /** Install into an existing session (temp functions). */

@@ -79,21 +79,20 @@ object Multimodal {
     * keep. Deterministic, so the spec pins outputs across runs. */
   def resizePayloads(spark: SparkSession, mm: DataFrame, targetBytes: Int): DataFrame = {
     require(targetBytes >= 0)
-    val schema = StructType(Seq(
-      StructField("doc_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false),
-      StructField("meta", StructType(Seq(
-        StructField("kind", StringType),
-        StructField("n_bytes", LongType),
-        StructField("origin", StringType))))))
-    val rows = mm.select(col("doc_id"), col("payload"),
-      col("meta.kind"), col("meta.origin")).rdd.mapPartitions { it =>
+    // output shape == input shape: derive the schema from the input so the
+    // meta struct contract lives in ONE place (toMultimodal); only the
+    // n_bytes field is rewritten, positionally by name
+    val proj = mm.select(col("doc_id"), col("payload"), col("meta"))
+    val schema = proj.schema
+    val nBytesIdx = schema("meta").dataType.asInstanceOf[StructType].fieldIndex("n_bytes")
+    val rows = proj.rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = decodeStub(r.getAs[Array[Byte]](1))
         val out = new Array[Byte](if (bytes.isEmpty) 0 else targetBytes)
         var i = 0
         while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
-        Row(r.getLong(0), out, Row(r.getString(2), out.length.toLong, r.getString(3)))
+        val meta = r.getStruct(2)
+        Row(r.get(0), out, Row.fromSeq(meta.toSeq.updated(nBytesIdx, out.length.toLong)))
       }
     }
     spark.createDataFrame(rows, schema)

@@ -20,13 +20,16 @@ object Sessionize {
     * columns are preserved. */
   def assign(df: DataFrame, keyCol: String, tsCol: String,
              gapMinutes: Long): DataFrame = {
+    val (us, brk) = ("__graft_sess_us", "__graft_sess_brk")
+    require(!df.columns.contains(us) && !df.columns.contains(brk),
+      s"input must not already contain the scratch columns $us/$brk")
     val gapUs = gapMinutes * 60L * 1000000L
-    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
-    val prev: Column = lag(col("__us"), 1).over(w)
-    df.withColumn("__us", unix_micros(col(tsCol)))
-      .withColumn("__brk",
-        when(prev.isNull || col("__us") - prev > gapUs, 1L).otherwise(0L))
-      .withColumn("session_idx", sum(col("__brk")).over(w))
-      .drop("__us", "__brk")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(us))
+    val prev: Column = lag(col(us), 1).over(w)
+    df.withColumn(us, unix_micros(col(tsCol)))
+      .withColumn(brk,
+        when(prev.isNull || col(us) - prev > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col(brk)).over(w))
+      .drop(us, brk)
   }
 }

@@ -253,9 +253,13 @@ object LlmQueries {
     },
 
     // Unbounded SimHash over the whole documents table — the scale probe
-    // the bench runs at sf0.1 (native one-pass signatures + block-bucket
-    // join; cost grows with corpus, not n²). blocks=4 > maxDistance=3
-    // keeps the pigeonhole completeness guarantee.
+    // the bench runs at sf0.1. Native one-pass signatures; the candidate
+    // join buckets on 16-bit signature slices, so expected candidates are
+    // ~blocks * N²/2^16 for near-uniform signatures — a 16k-fold reduction
+    // over all-pairs, not a linear guarantee (wider slices = fewer
+    // candidates = lower recall headroom: the blocks dial).
+    // blocks=4 > maxDistance=3 keeps the pigeonhole completeness
+    // guarantee.
     "dedup_simhash_full" -> { (s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
           maxDistance = 3, blocks = 4)

@@ -23,6 +23,20 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getAs[Double]("agree") == 1.0)
   }
 
+  test("SQL simhash64 normalizes like the Scala API (identical signatures)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val messy = Seq("a\tb  c", " padded text ", "plain words here", "")
+    messy.toDF("t").createOrReplaceTempView("sh_fn_v")
+    val viaSql = spark.sql("SELECT simhash64(t) AS h FROM sh_fn_v")
+      .collect().map(_.getLong(0)).toSeq
+    val viaApi = messy.toDF("t")
+      .select(graft.operators.Dedup.simhash64(col("t")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaSql == viaApi)
+  }
+
   test("sketch aggregate works through SQL") {
     GraftFunctions.register(spark)
     Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
