@@ -53,6 +53,38 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("plan contracts: chunker shuffles zero times; candidates joins stay equi") {
+    // TextChunker must be a pure map: NO Exchange anywhere in its plan
+    val docs = Tables.t(spark, sf, "documents")
+    val chunkPlan = graft.operators.TextChunker
+      .chunk(docs, "doc_id", "text", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunking must not shuffle:\n${chunkPlan.take(600)}")
+
+    // candidate-generation joins must never degrade to nested loops
+    for ((name, plan) <- Seq(
+      "ngramCandidates" -> graft.operators.Dedup
+        .ngramCandidates(docs, "doc_id", "text", 5, 0.5)
+        .queryExecution.executedPlan.toString,
+      "lshNearDupPairs" -> graft.operators.Similarity
+        .lshNearDupPairs(Tables.t(spark, sf, "embeddings"), "vec_id", "embedding", 0.9)
+        .queryExecution.executedPlan.toString)) {
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"$name degraded to a nested loop:\n${plan.take(600)}")
+    }
+
+    // sessionization: exactly one hash exchange (the user_id partitioning
+    // both windows and the session aggregate reuse)
+    val sessPlan = graft.operators.Sessionize
+      .assign(Tables.t(spark, sf, "events").select(col("user_id"), col("ts")),
+        "user_id", "ts", 30)
+      .queryExecution.executedPlan.toString
+    val nExchanges = "Exchange hashpartitioning".r.findAllIn(sessPlan).length
+    assert(nExchanges == 1,
+      s"sessionize should shuffle once on the key, found $nExchanges:\n${sessPlan.take(600)}")
+  }
+
   test("ORC schema evolution: appended files with new columns merge") {
     val dir = Files.createTempDirectory("evolve").toString
     val v1 = spark.createDataFrame(
