@@ -35,6 +35,10 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** Serializes the fixture staging copy: several streaming queries may
+    * initialize concurrently (parallel Verify) and they share the target. */
+  private val stageLock = new Object
+
   private def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The streaming file source requires a directory (it monitors for new
@@ -43,11 +47,15 @@ object EventStream {
     // producer appends to.
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events")
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      dir.resolve("events.parquet"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    stageLock.synchronized {
+      val target = dir.resolve("events.parquet")
+      if (!java.nio.file.Files.exists(target)) {
+        java.nio.file.Files.createDirectories(dir)
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$sfDir/events.parquet"), target,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
     spark.readStream.schema(rawSchema).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
