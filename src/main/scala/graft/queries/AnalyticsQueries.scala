@@ -250,6 +250,22 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Mergeable quantile sketch beside exact percentiles: approx_percentile
+    // is Spark's KLL-style mergeable aggregate — the scale path when an
+    // exact percentile's full sort-per-group is too expensive. No oracle
+    // (sketch internals aren't engine-portable); the spec bounds the error
+    // against the exact values.
+    "q29_quantile_sketch" -> { (s, d) =>
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)")
+            .as("approx_q"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("exact_q"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // As-of join: for each error event, the user's most recent click at or
     // before it. Oracle = DuckDB's native ASOF LEFT JOIN.
     "q23_asof_clicks" -> { (s, d) =>

@@ -192,6 +192,19 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("approx_percentile sketch stays within 1% of exact per group") {
+    val rows = SparkEntry.queries("q29_quantile_sketch")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getSeq[Double](r.fieldIndex("approx_q"))
+      val exact = r.getSeq[Double](r.fieldIndex("exact_q"))
+      approx.zip(exact).foreach { case (a, e) =>
+        assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) < 0.01,
+          s"${r.get(0)}: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("approx_count_distinct stays within 5% of exact") {
     val row = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()(0)
     val (ap, ep) = (row.getAs[Long]("approx_parts"), row.getAs[Long]("exact_parts"))
