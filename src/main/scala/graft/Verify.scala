@@ -20,7 +20,8 @@ object Verify {
     // the many small queries no longer serialize behind the heavy ones.
     // Each query writes its own output directory; shared fixtures
     // (streaming staging) synchronize internally.
-    val threads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "4").toInt
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(4)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, threads))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)

@@ -20,11 +20,26 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
-  /** `regexp_replace(trim(e), "\s+", " ")` — the TextAnalysis.normText
-    * normalization as a raw Catalyst tree, for SQL builders. */
+  // NOTE: these builders cannot reuse the Column-API functions directly —
+  // Spark 4 Column nodes carry UnresolvedFunctions that never resolve
+  // inside a FunctionRegistry builder (Unevaluable at codegen) — so the
+  // normalization is restated as raw Catalyst trees. The SQL==Scala parity
+  // spec in GraftFunctionsSpec pins the two surfaces together.
+
+  /** `regexp_replace(trim(e), "\s+", " ")` — TextAnalysis.normText. */
   private def normalizeWs(e: Expression): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{RegExpReplace, StringTrim}
     RegExpReplace(StringTrim(e), Literal("\\s+"), Literal(" "))
+  }
+
+  /** Full TextAnalysis.langId semantics over raw text: CJK short-circuit,
+    * padded normalized lowercase marker counting, NULL -> 'und'. */
+  private def langIdTree(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Coalesce, Concat, Lower, RLike}
+    val padded = Concat(Seq(Literal(" "), normalizeWs(Lower(e)), Literal(" ")))
+    CaseWhen(
+      Seq((RLike(e, Literal("[\\u4e00-\\u9fff]")), Literal("zh"))),
+      Coalesce(Seq(LangIdExpr(padded), Literal("und"))))
   }
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
@@ -34,10 +49,11 @@ object GraftFunctions {
       MinHashSig(exprs(0), intArg(exprs(1), "k"), intArg(exprs(2), "shingleSize"))),
     "ngram_jaccard" -> (exprs =>
       NgramJaccard(exprs(0), exprs(1), intArg(exprs(2), "n"))),
-    "lang_id_markers" -> (exprs => LangIdExpr(exprs.head)),
-    // SQL simhash64 takes RAW text, like Dedup.simhash64: whitespace
-    // normalization happens inside the builder so both surfaces produce
-    // identical signatures for the same document
+    // SQL lang_id / simhash64 take RAW text like their Scala APIs
+    // (TextAnalysis.langId, Dedup.simhash64): normalization, padding and
+    // null handling come from the same Column functions, so both surfaces
+    // return identical results for identical documents
+    "lang_id" -> (exprs => langIdTree(exprs.head)),
     "simhash64" -> (exprs => SimHash64Expr(normalizeWs(exprs.head))),
     "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()))
 

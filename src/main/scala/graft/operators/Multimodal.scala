@@ -92,7 +92,10 @@ object Multimodal {
         var i = 0
         while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
         val meta = r.getStruct(2)
-        Row(r.get(0), out, Row.fromSeq(meta.toSeq.updated(nBytesIdx, out.length.toLong)))
+        val newMeta =
+          if (meta == null) null
+          else Row.fromSeq(meta.toSeq.updated(nBytesIdx, out.length.toLong))
+        Row(r.get(0), out, newMeta)
       }
     }
     spark.createDataFrame(rows, schema)

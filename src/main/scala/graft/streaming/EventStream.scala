@@ -48,13 +48,15 @@ object EventStream {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events")
     stageLock.synchronized {
-      val target = dir.resolve("events.parquet")
-      if (!java.nio.file.Files.exists(target)) {
-        java.nio.file.Files.createDirectories(dir)
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$sfDir/events.parquet"), target,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      // copy to a temp sibling + ATOMIC_MOVE: always refreshes (a stale or
+      // truncated fixture from a killed JVM self-heals) and a concurrent
+      // reader in another process never observes a half-written file
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(s"events.parquet.tmp-${java.util.UUID.randomUUID()}")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), tmp)
+      java.nio.file.Files.move(tmp, dir.resolve("events.parquet"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
     spark.readStream.schema(rawSchema).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

@@ -23,17 +23,19 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(row.getAs[Double]("agree") == 1.0)
   }
 
-  test("SQL simhash64 normalizes like the Scala API (identical signatures)") {
+  test("SQL simhash64/lang_id equal the Scala APIs on raw text") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     GraftFunctions.register(spark)
-    val messy = Seq("a\tb  c", " padded text ", "plain words here", "")
+    val messy = Seq("a\tb  c", " padded text ", "plain words here", "",
+      "the cat and the dog is here", "el gato y la casa")
     messy.toDF("t").createOrReplaceTempView("sh_fn_v")
-    val viaSql = spark.sql("SELECT simhash64(t) AS h FROM sh_fn_v")
-      .collect().map(_.getLong(0)).toSeq
+    val viaSql = spark.sql("SELECT simhash64(t) AS h, lang_id(t) AS l FROM sh_fn_v")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val viaApi = messy.toDF("t")
-      .select(graft.operators.Dedup.simhash64(col("t")).as("h"))
-      .collect().map(_.getLong(0)).toSeq
+      .select(graft.operators.Dedup.simhash64(col("t")).as("h"),
+        graft.operators.TextAnalysis.langId(col("t")).as("l"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(viaSql == viaApi)
   }
 
