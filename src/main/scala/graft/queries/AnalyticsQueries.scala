@@ -250,6 +250,39 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Full outer join with unmatched rows on BOTH sides (overlapping key
+    // ranges force left-only and right-only groups): completes the join
+    // family (inner/semi/anti/left/asof/range are covered elsewhere).
+    "q30_full_outer" -> { (s, d) =>
+      val c = t(s, d, "customer").filter(col("c_custkey") < 500)
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders").filter(col("o_custkey") >= 300)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(
+          count(col("c_custkey")).as("n_left"),
+          count(col("o_custkey")).as("n_right"),
+          sum(when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, 1)
+            .otherwise(0)).as("n_matched"),
+          sum(when(col("o_custkey").isNull, 1).otherwise(0)).as("n_left_only"),
+          sum(when(col("c_custkey").isNull, 1).otherwise(0)).as("n_right_only"))
+    },
+
+    // Rolling window FRAME (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) over
+    // a deterministic total order: per-customer 3-order moving revenue.
+    // Decimal sums keep the frame aggregation order-independent.
+    "q31_rolling_revenue" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(-2, Window.currentRow)
+      t(s, d, "orders").filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum(dec(col("o_totalprice"))).over(w), 2).cast("double")
+            .as("rolling_rev_3"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+
     // Mergeable quantile sketch beside exact percentiles: approx_percentile
     // is Spark's KLL-style mergeable aggregate — the scale path when an
     // exact percentile's full sort-per-group is too expensive. No oracle
@@ -526,6 +559,24 @@ object AnalyticsQueries {
         | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q30_full_outer" ->
+      """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 500),
+        |o AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |      WHERE o_custkey >= 300 GROUP BY o_custkey)
+        |SELECT COUNT(c_custkey) AS n_left, COUNT(o_custkey) AS n_right,
+        | CAST(SUM(CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        | CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_only,
+        | CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_only
+        |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey""".stripMargin,
+
+    "q31_rolling_revenue" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS rolling_rev_3
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
 
     "q28_user_sessions" ->
       """WITH e AS (
