@@ -195,6 +195,16 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // CUBE: all 2^k grouping combinations (ROLLUP and GROUPING SETS are
+    // covered by q16/q19); completes the multi-dimensional agg family.
+    "q32_cube_counts" -> { (s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
     // Correlated-scalar-subquery shape (TPC-H Q17): parts whose lineitems
     // fall below 20% of that part's average quantity. Expressed as a
     // per-key aggregate + equi-join — the plan Catalyst would decorrelate
@@ -523,6 +533,11 @@ object AnalyticsQueries {
     "q16_rollup_counts" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q32_cube_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "q17_small_qty_revenue" ->
       """WITH avgq AS (
