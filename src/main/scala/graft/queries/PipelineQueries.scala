@@ -38,6 +38,14 @@ object PipelineQueries {
       EventStream.dedupPairs(s, d).orderBy(col("user_id"), col("event_type"))
     },
 
+    "stream_click_error_join" -> { (s, d) =>
+      // aggregate the joined pairs in batch from the sink snapshot (one
+      // stateful operator per streaming query keeps Append semantics clean)
+      EventStream.clickErrorJoin(s, d)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
     "multimodal_bytes" -> { (s, d) =>
       Multimodal.toMultimodal(t(s, d, "documents"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -114,5 +122,18 @@ object PipelineQueries {
 
     // streaming first-occurrence dedup on key columns == batch DISTINCT
     "stream_dedup_pairs" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    // stream-stream join == the batch join over the same data
+    "stream_click_error_join" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type
+        | FROM events)
+        |SELECT COUNT(*) AS n_pairs,
+        | CAST(COUNT(DISTINCT err.user_id) AS BIGINT) AS n_users
+        |FROM e err JOIN e clk
+        |  ON err.event_type = 'error' AND clk.event_type = 'click'
+        | AND err.user_id = clk.user_id
+        | AND clk.tsu <= err.tsu
+        | AND clk.tsu > err.tsu - INTERVAL 5 MINUTE""".stripMargin)
 }

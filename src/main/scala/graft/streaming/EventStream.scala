@@ -145,6 +145,34 @@ object EventStream {
     runToMemory(spark, out, "graft_stream_dedup_wm", OutputMode.Append())
   }
 
+  /** Stream-stream inner join with event-time constraints: for every
+    * error event, the same user's clicks within the `windowMinutes` before
+    * it (inclusive). Both sides carry watermarks and the join condition
+    * bounds event-time distance, so state on each side is evicted once the
+    * other side's watermark passes — the bounded-state contract that makes
+    * stream-stream joins feasible on endless streams. Returns the joined
+    * pairs (user_id, err_id, click_id); exactly-once contract = the batch
+    * join over the same data. */
+  def clickErrorJoin(spark: SparkSession, sfDir: String,
+                     windowMinutes: Long = 5): DataFrame = {
+    val clicks = readEventStream(spark, sfDir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val errors = readEventStream(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("user_id"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", "1 hour")
+    val joined = errors.join(clicks,
+      expr(s"""user_id = c_user AND
+               click_ts <= err_ts AND
+               click_ts > err_ts - INTERVAL $windowMinutes MINUTES"""))
+      .select(col("user_id"), col("err_id"), col("click_id"))
+    runToMemory(spark, joined, "graft_stream_ssjoin", OutputMode.Append())
+  }
+
   /** Drive a streaming DataFrame to a memory sink until exhausted; return
     * the sink table snapshot (latest row per key for Update mode is
     * handled by the caller's aggregation shape). */

@@ -71,6 +71,24 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(back.schema("payload").dataType == org.apache.spark.sql.types.BinaryType)
   }
 
+  test("stream-stream join equals the batch join (exactly-once contract)") {
+    val streamed = EventStream.clickErrorJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = Tables.t(spark, sf, "events")
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"), col("event_id").as("err_id"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+    val batch = errors.join(clicks,
+        col("user_id") === col("cu") &&
+          col("click_ts") <= col("err_ts") &&
+          col("click_ts") > col("err_ts") - expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("err_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("frame sampling reconstructs the payload prefix; resize keeps metadata honest") {
     val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents"))
     val frames = Multimodal.sampleFrames(spark, mm, frameBytes = 64, maxFrames = 4)
