@@ -54,6 +54,29 @@ object LlmQueries {
         .orderBy(col("doc_id"), col("chunk_idx"))
     },
 
+    // Gopher-style quality-rule signals (repetition / word shape / symbol
+    // density) — the per-document filter inputs large-corpus curation
+    // applies before training. Pure Column arithmetic, zero shuffle,
+    // SQL-mirrored exactly.
+    "text_gopher_quality" -> { (s, d) =>
+      val tn = graft.operators.TextAnalysis.normText(col("text"))
+      val toks = split(tn, " ")
+      val nToks = size(toks)
+      t(s, d, "documents").select(
+        col("doc_id"),
+        // chars excluding separators / tokens (normText has single spaces)
+        round((length(tn) - (nToks - 1)).cast("double") / nToks, 4)
+          .as("mean_word_len"),
+        // fraction of tokens that repeat an earlier token
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks, 4)
+          .as("rep_token_frac"),
+        // markup/symbol character density over the RAW text
+        round((length(col("text")) -
+          length(translate(col("text"), "#*>=_~|", ""))).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("symbol_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus heavy hitters: explode tokens -> hash agg (map-side combined)
     // -> top-k without a global sort. The vocabulary-statistics shape every
     // training-data pipeline runs; at 100 TB the only shuffle is the
@@ -327,6 +350,18 @@ object LlmQueries {
         | LEAST(64, n - chunk_idx * 48) AS n_chunk_tokens,
         | md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
         |FROM e""".stripMargin,
+
+    "text_gopher_quality" ->
+      """WITH n AS (
+        | SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |x AS (SELECT doc_id, text, t, string_split(t, ' ') AS toks FROM n)
+        |SELECT doc_id,
+        | ROUND(CAST(length(t) - (len(toks) - 1) AS DOUBLE) / len(toks), 4) AS mean_word_len,
+        | ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS rep_token_frac,
+        | ROUND(CAST(length(text) - length(translate(text, '#*>=_~|', '')) AS DOUBLE)
+        |       / GREATEST(length(text), 1), 4) AS symbol_frac
+        |FROM x""".stripMargin,
 
     "text_top_terms" ->
       """WITH toks AS (
