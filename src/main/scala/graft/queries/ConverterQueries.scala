@@ -99,6 +99,23 @@ object ConverterQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // JSONL path (beyond-reference source; the dominant interchange format
+    // for training corpora): parquet -> JSON Lines (escaped newlines/quotes
+    // intact) -> schema-inferred read -> ORC -> read-back -> aggregate.
+    "conv_jsonl_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "jsonl")
+      t(s, d, "documents").select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .write.mode("overwrite").json(s"$base/in/documents")
+      val back = s.read.json(s"$base/in/documents")
+      OrcSink.write(back, s"$base/orc", "documents")
+      OrcSink.read(s, s"$base/orc/documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
     // JDBC path (reference S1-S4 + K1, the reference's PRIMARY input):
     // parquet -> live embedded-Derby database (the JDBC engine shipped
     // with Spark's jars) -> range-partitioned JdbcSource read with the
@@ -166,6 +183,11 @@ object ConverterQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "conv_jsonl_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        | CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "conv_jdbc_roundtrip" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, COUNT(*) AS n,
