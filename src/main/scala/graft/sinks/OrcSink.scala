@@ -73,6 +73,39 @@ object OrcSink {
   def readMerged(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", true).orc(dir)
 
+  /** Compact a table directory's small files: rewrite into
+    * ceil(totalBytes / targetFileBytes) parts (at least 1). The lakehouse
+    * maintenance op for streaming/incremental sinks that accrete tiny
+    * files — many-small-files kills scan planning and NameNode/listing at
+    * scale. Crash-safe: the compacted copy is written to a temp sibling,
+    * row-count-verified, and swapped in via rename; the original survives
+    * any failure before the swap. Returns the post-compaction report. */
+  def compact(spark: SparkSession, dir: String, table: String,
+              targetFileBytes: Long = 128L << 20,
+              compression: String = "snappy"): WriteReport = {
+    require(targetFileBytes > 0)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".orc")) bytes += f.getLen
+    }
+    val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val before = read(spark, dir)
+    val expected = before.count()
+    val tmp = new Path(p.getParent, p.getName + ".compact-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    before.coalesce(parts).write.mode("overwrite")
+      .option("compression", compression.toLowerCase).orc(tmp.toString)
+    val got = spark.read.orc(tmp.toString).count()
+    require(got == expected, s"compaction row mismatch: $got != $expected")
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"failed to swap compacted table into $dir")
+    verify(spark, dir, table)
+  }
+
   /** Write as a bucketed catalog table (`bucketBy` requires the table
     * catalog, not a bare path). Two tables bucketed the same way on the
     * join key co-locate: the join runs with NO shuffle on either side —

@@ -32,6 +32,19 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(OrcSink.read(spark, s"$dir/lineitem").count() == df.count())
   }
 
+  test("compact collapses many small part files losslessly") {
+    val df = Tables.t(spark, sf, "lineitem")
+    val want = df.collect().toSet
+    val dir = Files.createTempDirectory("orc_compact").toString
+    val report = OrcSink.write(df, dir, "lineitem", maxRecordsPerFile = 200)
+    assert(report.files > 10, s"fixture should start fragmented, got ${report.files}")
+    val compacted = OrcSink.compact(spark, s"$dir/lineitem", "lineitem",
+      targetFileBytes = 1L << 30)
+    assert(compacted.files == 1, s"expected 1 file, got ${compacted.files}")
+    assert(compacted.rows == want.size)
+    assert(OrcSink.read(spark, s"$dir/lineitem").collect().toSet == want)
+  }
+
   test("unsupported codec rejected") {
     val df = Tables.t(spark, sf, "region")
     intercept[IllegalArgumentException] {
