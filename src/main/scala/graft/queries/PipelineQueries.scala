@@ -38,6 +38,19 @@ object PipelineQueries {
       EventStream.dedupPairs(s, d).orderBy(col("user_id"), col("event_type"))
     },
 
+    // Streaming converter: landing dir -> ORC table via writeStream; the
+    // aggregate over the converted table must equal the batch answer on
+    // the source (conversion exactly-once + lossless).
+    "conv_stream_orc" -> { (s, d) =>
+      val base = s"/tmp/graft_conv/${d.replaceAll("[^A-Za-z0-9.]", "_")}/stream_orc/" +
+        java.util.UUID.randomUUID()
+      EventStream.streamToOrc(s, d, base)
+      graft.sinks.OrcSink.read(s, s"$base/events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.Tables.dsumr(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+
     "stream_click_error_join" -> { (s, d) =>
       // aggregate the joined pairs in batch from the sink snapshot (one
       // stateful operator per streaming query keeps Append semantics clean)
@@ -123,6 +136,11 @@ object PipelineQueries {
     // streaming first-occurrence dedup on key columns == batch DISTINCT
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "conv_stream_orc" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // stream-stream join == the batch join over the same data
     "stream_click_error_join" ->

@@ -173,6 +173,23 @@ object EventStream {
     runToMemory(spark, joined, "graft_stream_ssjoin", OutputMode.Append())
   }
 
+  /** Continuous converter: stream the landing directory into an ORC table
+    * (append mode, exactly-once via the checkpoint) — the reference's
+    * batch converter re-expressed as a running pipeline: new files landing
+    * in the source directory flow into the table as they arrive. Driven to
+    * completion here; on a cluster the query just keeps running. */
+  def streamToOrc(spark: SparkSession, sfDir: String, outDir: String,
+                  compression: String = "snappy"): Unit = {
+    val q = readEventStream(spark, sfDir).writeStream
+      .format("orc")
+      .option("path", s"$outDir/events")
+      .option("checkpointLocation", s"$outDir/_checkpoint")
+      .option("compression", compression)
+      .outputMode(OutputMode.Append())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drive a streaming DataFrame to a memory sink until exhausted; return
     * the sink table snapshot (latest row per key for Update mode is
     * handled by the caller's aggregation shape). */
