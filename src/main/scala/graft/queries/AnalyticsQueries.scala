@@ -260,6 +260,30 @@ object AnalyticsQueries {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Distributed Pearson correlation via EXACT decimal moments: the
+    // built-in corr() sums doubles in partition order (answers drift
+    // across cluster sizes); decimal sums commute, so these moments — and
+    // the one double formula computed from them — are identical on any
+    // partitioning and in the oracle engine.
+    "q33_corr_stats" -> { (s, d) =>
+      val x = col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(8, 4))
+      val y = col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(14, 4))
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+          sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              sqrt((col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                (col("n").cast("double") * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("corr_qty_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Full outer join with unmatched rows on BOTH sides (overlapping key
     // ranges force left-only and right-only groups): completes the join
     // family (inner/semi/anti/left/asof/range are covered elsewhere).
@@ -574,6 +598,22 @@ object AnalyticsQueries {
         | CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         | CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q33_corr_stats" ->
+      """WITH m AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  SUM(CAST(l_quantity AS DECIMAL(8,4))) AS sx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+        |  SUM(CAST(l_quantity AS DECIMAL(8,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy,
+        |  SUM(CAST(l_quantity AS DECIMAL(8,4)) * CAST(l_quantity AS DECIMAL(8,4))) AS sxx,
+        |  SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        | ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |   SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  AS corr_qty_price
+        |FROM m""".stripMargin,
 
     "q30_full_outer" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 500),
