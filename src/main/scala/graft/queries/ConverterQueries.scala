@@ -18,8 +18,9 @@ import graft.sources.{CsvSource, JdbcFixture, JdbcSource, SqlDumpFixture, SqlDum
 object ConverterQueries {
 
   /** Scratch space per (sf, stage); Verify/Bench may run concurrently on
-    * different sf dirs, so the path embeds the sf dir. */
-  private def tmp(sfDir: String, name: String): String =
+    * different sf dirs, so the path embeds the sf dir. (Shared with
+    * PipelineQueries' converter-shaped queries.) */
+  private[queries] def tmp(sfDir: String, name: String): String =
     s"/tmp/graft_conv/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/$name"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -42,8 +42,7 @@ object PipelineQueries {
     // aggregate over the converted table must equal the batch answer on
     // the source (conversion exactly-once + lossless).
     "conv_stream_orc" -> { (s, d) =>
-      val base = s"/tmp/graft_conv/${d.replaceAll("[^A-Za-z0-9.]", "_")}/stream_orc/" +
-        java.util.UUID.randomUUID()
+      val base = ConverterQueries.tmp(d, "stream_orc") + "/" + java.util.UUID.randomUUID()
       EventStream.streamToOrc(s, d, base)
       graft.sinks.OrcSink.read(s, s"$base/events")
         .groupBy(col("event_type"))

@@ -84,6 +84,8 @@ object OrcSink {
               targetFileBytes: Long = 128L << 20,
               compression: String = "snappy"): WriteReport = {
     require(targetFileBytes > 0)
+    val codec = compression.toLowerCase
+    require(SupportedCodecs.contains(codec), s"unsupported ORC codec: $compression")
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(p, true)
@@ -93,17 +95,49 @@ object OrcSink {
       if (f.getPath.getName.endsWith(".orc")) bytes += f.getLen
     }
     val parts = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // partitioned layouts (<col>=<val>/ nesting) are re-applied on the
+    // rewrite so compaction preserves partition pruning
+    val partitionCols = detectPartitionCols(fs, p)
     val before = read(spark, dir)
     val expected = before.count()
     val tmp = new Path(p.getParent, p.getName + ".compact-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    before.coalesce(parts).write.mode("overwrite")
-      .option("compression", compression.toLowerCase).orc(tmp.toString)
-    val got = spark.read.orc(tmp.toString).count()
-    require(got == expected, s"compaction row mismatch: $got != $expected")
-    fs.delete(p, true)
-    require(fs.rename(tmp, p), s"failed to swap compacted table into $dir")
+    var w = before.coalesce(parts).write.mode("overwrite")
+      .option("compression", codec)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.orc(tmp.toString)
+    val back = spark.read.orc(tmp.toString)
+    require(back.count() == expected, s"compaction row mismatch vs $expected")
+    require(back.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      before.schema.fields.map(f => (f.name, f.dataType)).toSet,
+      s"compaction schema drift: ${back.schema} vs ${before.schema}")
+    // crash-safe swap: the original is renamed ASIDE (not deleted) before
+    // the compacted copy moves in — data is recoverable at every step
+    val aside = new Path(p.getParent, p.getName + ".compact-old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    require(fs.rename(p, aside), s"failed to move original aside: $dir")
+    require(fs.rename(tmp, p), s"failed to swap compacted table into $dir " +
+      s"(original preserved at $aside)")
+    fs.delete(aside, true)
     verify(spark, dir, table)
+  }
+
+  /** Partition columns of a table directory, outermost first, by walking
+    * the `<col>=<val>/` nesting. */
+  private def detectPartitionCols(fs: FileSystem, root: Path): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = root
+    var descend = true
+    while (descend) {
+      descend = false
+      val sub = fs.listStatus(cur).filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      sub.headOption.foreach { d =>
+        cols += d.getPath.getName.substring(0, d.getPath.getName.indexOf('='))
+        cur = d.getPath
+        descend = true
+      }
+    }
+    cols.toSeq
   }
 
   /** Write as a bucketed catalog table (`bucketBy` requires the table

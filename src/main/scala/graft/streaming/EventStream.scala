@@ -35,9 +35,11 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Serializes the fixture staging copy: several streaming queries may
-    * initialize concurrently (parallel Verify) and they share the target. */
+  /** Serializes the fixture staging copy and memoizes staged keys: several
+    * streaming queries may initialize concurrently (parallel Verify) and
+    * they share the target. */
   private val stageLock = new Object
+  private val staged = scala.collection.mutable.Set.empty[String]
 
   private def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -48,15 +50,22 @@ object EventStream {
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events")
     stageLock.synchronized {
-      // copy to a temp sibling + ATOMIC_MOVE: always refreshes (a stale or
-      // truncated fixture from a killed JVM self-heals) and a concurrent
-      // reader in another process never observes a half-written file
-      java.nio.file.Files.createDirectories(dir)
-      val tmp = dir.resolve(s"events.parquet.tmp-${java.util.UUID.randomUUID()}")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), tmp)
-      java.nio.file.Files.move(tmp, dir.resolve("events.parquet"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // staged once per (key, JVM): the first touch in each JVM refreshes
+      // (a stale fixture from a killed process self-heals), and later
+      // queries in the same JVM never re-copy while sibling streams are
+      // already reading the directory. The temp name is dot-prefixed so a
+      // concurrently LISTING file source ignores it (hidden-file rule),
+      // and the ATOMIC_MOVE means readers see the old or new file, never
+      // a partial one.
+      if (!staged.contains(key)) {
+        java.nio.file.Files.createDirectories(dir)
+        val tmp = dir.resolve(s".events.parquet.tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), tmp)
+        java.nio.file.Files.move(tmp, dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        staged += key
+      }
     }
     spark.readStream.schema(rawSchema).parquet(dir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -180,6 +189,8 @@ object EventStream {
     * completion here; on a cluster the query just keeps running. */
   def streamToOrc(spark: SparkSession, sfDir: String, outDir: String,
                   compression: String = "snappy"): Unit = {
+    require(graft.sinks.OrcSink.SupportedCodecs.contains(compression.toLowerCase),
+      s"unsupported ORC codec: $compression")
     val q = readEventStream(spark, sfDir).writeStream
       .format("orc")
       .option("path", s"$outDir/events")

@@ -43,6 +43,20 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(compacted.files == 1, s"expected 1 file, got ${compacted.files}")
     assert(compacted.rows == want.size)
     assert(OrcSink.read(spark, s"$dir/lineitem").collect().toSet == want)
+
+    // partitioned layout: compaction must preserve the <col>=<val>/ nesting
+    // (and with it, partition pruning)
+    val events = Tables.t(spark, sf, "events")
+    val pdir = Files.createTempDirectory("orc_compact_part").toString
+    OrcSink.write(events, pdir, "events", partitionBy = Seq("event_type"),
+      maxRecordsPerFile = 500)
+    val n = events.count()
+    OrcSink.compact(spark, s"$pdir/events", "events", targetFileBytes = 1L << 30)
+    val filtered = OrcSink.read(spark, s"$pdir/events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    assert(filtered.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+      "compaction must keep the partitioned layout")
+    assert(OrcSink.read(spark, s"$pdir/events").count() == n)
   }
 
   test("unsupported codec rejected") {
