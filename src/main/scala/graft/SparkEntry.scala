@@ -40,7 +40,8 @@ object SparkEntry {
     "q13_events_hourly",
     "q18_large_orders",
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
-    "stream_hourly_agg",
+    "q28_user_sessions",
+    "stream_hourly_agg", "conv_stream_orc",
     "text_stats", "text_bpe_tokens", "dedup_exact_docs", "dedup_minhash_full",
     "dedup_simhash_full",
     "emb_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",

@@ -64,6 +64,38 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("property: chunker windows tile every document with the exact stride") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(99)
+    val docs = (0 until 30).map { i =>
+      val n = rnd.nextInt(300) // 0..299 tokens
+      (i.toLong, (1 to n).map(k => s"t$k").mkString(" "))
+    }
+    val df = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val (chunk, overlap, stride) = (32, 8, 24)
+    val rows = graft.operators.TextChunker
+      .chunk(df, "doc_id", "text", chunk, overlap)
+      .collect()
+      .groupBy(_.getLong(0))
+    docs.foreach { case (id, text) =>
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val chunks = rows(id).sortBy(_.getLong(1))
+      // stride tiling: chunk j starts at token j*stride (0-based)
+      chunks.foreach { c =>
+        val j = c.getLong(1).toInt
+        val want = toks.slice(j * stride, j * stride + chunk)
+        val got = c.getString(3).split(" ").filter(_.nonEmpty)
+        assert(got.toSeq == want.toSeq, s"doc $id chunk $j")
+      }
+      // every token is covered by at least one chunk
+      val covered = chunks.flatMap { c =>
+        val j = c.getLong(1).toInt
+        j * stride until math.min(toks.length, j * stride + chunk)
+      }.toSet
+      assert(covered == toks.indices.toSet, s"doc $id coverage gap")
+    }
+  }
+
   test("property: arbitrary rows survive ORC round-trip under every codec") {
     for (trial <- 0 until 2) {
       val rows = samples(Gen.listOfN(50, rowGen), 1, 77L + trial).head
