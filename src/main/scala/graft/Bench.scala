@@ -3,13 +3,40 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark main. Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"errors":{...},"sf":...}
   *
   * Runs the headline queries (SparkEntry.benchQueries) against
   * SPARK_GRAFT_SF_DIR on local[32] with AQE enabled — the same session
   * shape a production cluster job would use, minus the cluster manager.
+  *
+  * Failures are LOUD: a query that throws is recorded under "errors"
+  * (and counted in "n_errors") instead of silently contributing a
+  * fast-looking time. Between queries the session is quiesced — any
+  * straggling streaming queries are stopped — so one probe's async
+  * cancellation doesn't bleed into the next probe's timing.
   */
 object Bench {
+
+  /** Stop anything still running from the previous query (streaming probes
+    * leave micro-batch machinery behind) so timings don't cross-talk. */
+  private def quiesce(spark: SparkSession): Unit = {
+    spark.streams.active.foreach { q =>
+      try { q.stop(); q.awaitTermination(10000) }
+      catch { case _: Throwable => () }
+    }
+  }
+
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,27 +50,43 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     // Warm-up: JIT + codegen cache + file-listing, excluded from timing.
     names.headOption.foreach { n =>
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
+      quiesce(spark)
     }
     // best-of-2 per query: first run pays file-listing/codegen, second is
     // the steady-state number a long-running cluster job would see.
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
+      var err: Option[String] = None
       val times = (0 until 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          err = Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        quiesce(spark) // settle outside the timed window
+        dt
       }
-      name -> times.min
+      (name, times.min, err)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      "\"" + k + "\":\"" + jsonEscape(e) + "\""
+    }
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errs.mkString("{", ",", "}")
+    // errors surface in the JSON (not via exit code: the driver still needs
+    // the timing line for the queries that DID run)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errs.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,12 +37,17 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Vector width from the first row, or None for an empty corpus (or a
-    * null leading vector) — callers return an empty, correctly-shaped
-    * result instead of crashing in plan construction. */
+  /** Vector width from the first row with a real (non-null, non-empty)
+    * vector, or None when no row qualifies — callers return an empty,
+    * correctly-shaped result instead of crashing in plan construction.
+    * Probing past leading nulls matters: `head(1)` order is
+    * partitioning-dependent, so keying off an arbitrary first row would
+    * make a corpus with a few null vectors nondeterministically return
+    * zero rows. */
   private def vecDim(emb: DataFrame, vecCol: String): Option[Int] =
-    emb.select(size(col(vecCol)).as("d")).head(1).toSeq
-      .collectFirst { case r if !r.isNullAt(0) && r.getInt(0) > 0 => r.getInt(0) }
+    emb.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull && col("d") > 0)
+      .head(1).toSeq.headOption.map(_.getInt(0))
 
   /** Zero-row frame in the (query_id, neighbor_id, rank, score) shape. */
   private def emptyTopK(emb: DataFrame, idCol: String): DataFrame =
@@ -94,10 +99,15 @@ object Similarity {
       .withColumn("tb", struct(col("t"), col("b"))).drop("t", "b")
 
     val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
+    // Score BEFORE dedup: a pair colliding in several tables recomputes its
+    // (map-side, codegen'd) cosine per collision, but the distinct + window
+    // shuffle then carries only (qid, nid, score) scalars instead of both
+    // embedding vectors per candidate row — at 100 TB the candidate shuffle
+    // is the bottleneck, not the dot products.
     e.join(broadcast(q), e("tb") === q("tb") && col("nid") =!= col("qid"))
-      .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
-      .distinct() // a pair can collide in several tables
       .withColumn("score_raw", cosine(col("qvec"), col("nvec")))
+      .select(col("qid"), col("nid"), col("score_raw"))
+      .distinct() // same pair => same score, so duplicates collapse exactly
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
@@ -116,35 +126,31 @@ object Similarity {
     * standard IVF recall/cost dial is (nCentroids, nProbe). */
   /** Deterministic Lloyd refinement of IVF centroids: each iteration
     * assigns every vector to its nearest centroid (native one-pass probe)
-    * and recomputes each cell's mean with EXACT decimal sums — so the
-    * result is identical on any partitioning/cluster size (double sums
-    * would drift with aggregation order). Collects only
-    * nCentroids x dim aggregates per iteration (bounded, not data-sized).
+    * and recomputes each cell's mean with the one-pass [[graft.functions
+    * .VecMeanAgg]] — exact decimal sums, so the result is identical on any
+    * partitioning/cluster size (double sums would drift with aggregation
+    * order). Each iteration is ONE corpus scan whose shuffle carries only
+    * nCentroids (count, sums) buffers — NOT a rows x dim explode — and
+    * collects nCentroids mean vectors (bounded, not data-sized).
     * Lloyd never increases total distortion, so refined centroids are
     * at least as good as the init; empty cells keep their previous
     * centroid. */
   def refineCentroids(vecs: DataFrame, vecCol: String,
                       init: Seq[Seq[Double]], iters: Int): Seq[Seq[Double]] = {
-    import org.apache.spark.sql.types.DecimalType
     var cents = init
     for (_ <- 0 until iters) {
-      val cellSums = vecs
+      val cellMeans = vecs
         .withColumn("cell",
           graft.functions.NearestCells.nearestCells(col(vecCol), cents, 1).getItem(0))
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("dim", "x")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("x").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("cnt"))
+        .groupBy(col("cell"))
+        .agg(graft.functions.VecMeanAgg.vecMean(col(vecCol)).as("mean"))
         .collect()
-      val byCell = cellSums.groupBy(_.getAs[Int]("cell"))
-      cents = cents.indices.map { ci =>
-        byCell.get(ci) match {
-          case Some(rows) =>
-            rows.sortBy(_.getAs[Int]("dim"))
-              .map(r => r.getAs[java.math.BigDecimal]("s").doubleValue() /
-                r.getAs[Long]("cnt")).toIndexedSeq
-          case None => cents(ci)
-        }
-      }.toIndexedSeq
+      val byCell = cellMeans.iterator
+        .filter(r => !r.isNullAt(r.fieldIndex("mean")))
+        .map(r => r.getAs[Int]("cell") ->
+          r.getSeq[Double](r.fieldIndex("mean")).toIndexedSeq)
+        .toMap
+      cents = cents.indices.map(ci => byCell.getOrElse(ci, cents(ci))).toIndexedSeq
     }
     cents
   }
@@ -156,9 +162,13 @@ object Similarity {
     // the init collect + each Lloyd iteration is a full corpus pass; cache
     // the casted projection so those passes hit memory, not parquet+cast
     // (unpersisted before return — the final query plan re-reads the
-    // source, keeping the returned DataFrame cache-independent)
-    if (vecDim(emb, vecCol).isEmpty) return emptyTopK(emb, idCol)
-    val projected = emb.select(col(idCol).as("pid"), asDouble(col(vecCol)).as("v"))
+    // source, keeping the returned DataFrame cache-independent).
+    // Null/empty vectors are filtered here, which both keeps degenerate
+    // rows out of the init centroids and doubles as the empty-corpus probe
+    // (no separate vecDim scan).
+    val projected = emb
+      .select(col(idCol).as("pid"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
     projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val centroids = try {
       val init: Seq[Seq[Double]] = projected
@@ -167,8 +177,10 @@ object Similarity {
         .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
       // lowest-id init is deterministic but data-dependent; a few Lloyd
       // rounds spread the centroids toward the true cluster structure
-      refineCentroids(projected.select(col("v")), "v", init, lloydIters)
+      if (init.isEmpty) IndexedSeq.empty
+      else refineCentroids(projected.select(col("v")), "v", init, lloydIters)
     } finally projected.unpersist(blocking = false)
+    if (centroids.isEmpty) return emptyTopK(emb, idCol)
 
     // native one-pass probe expression (argmax = probe with nProbe=1)
     val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
@@ -180,11 +192,13 @@ object Similarity {
         explode(graft.functions.NearestCells.nearestCells(col("qvec"), centroids, nProbe)))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
+    // Score before dedup (see lshTopK): the distinct + window shuffle
+    // carries (qid, nid, score) scalars, never the embedding vectors.
     corpus.join(broadcast(q), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("qvec"), col("nid"), col("nvec"))
-      .distinct() // a neighbor can sit in several probed cells across tables
       .withColumn("score_raw", cosine(col("qvec"), col("nvec")))
+      .select(col("qid"), col("nid"), col("score_raw"))
+      .distinct() // a neighbor can sit in several probed cells; same score
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),

@@ -21,11 +21,14 @@ object TextAnalysis {
 
   /** Token count of normalized text = spaces + 1 (0 for empty).
     * Arithmetic instead of split() so the SQL mirror is engine-agnostic. */
-  def tokenCount(c: Column): Column = {
-    val t = normText(c)
-    when(length(t) === 0, lit(0L))
-      .otherwise((length(t) - length(translate(t, " ", "")) + 1).cast("long"))
-  }
+  def tokenCount(c: Column): Column = tokenCountNorm(normText(c))
+
+  /** [[tokenCount]] over ALREADY-normalized text — callers that need the
+    * normalized column for several outputs materialize [[normText]] once
+    * (its regex is the expensive part) and fan out from it. */
+  def tokenCountNorm(tn: Column): Column =
+    when(length(tn) === 0, lit(0L))
+      .otherwise((length(tn) - length(translate(tn, " ", "")) + 1).cast("long"))
 
   /** Document fingerprint: md5 of normalized text. Whitespace-insensitive
     * exact-dedup key (reference has no analogue; standard pipeline op). */

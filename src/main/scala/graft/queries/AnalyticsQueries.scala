@@ -323,13 +323,23 @@ object AnalyticsQueries {
     // (sketch internals aren't engine-portable); the spec bounds the error
     // against the exact values.
     "q29_quantile_sketch" -> { (s, d) =>
+      // Scalar output columns (not arrays): the gate harness sorts the
+      // result dump column-wise, which requires hashable scalar cells.
       t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)")
-            .as("approx_q"),
-          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("exact_q"),
+            .as("aq"),
+          expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("eq"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          col("aq").getItem(0).as("approx_q25"),
+          col("aq").getItem(1).as("approx_q50"),
+          col("aq").getItem(2).as("approx_p95"),
+          col("eq").getItem(0).as("exact_q25"),
+          col("eq").getItem(1).as("exact_q50"),
+          col("eq").getItem(2).as("exact_p95"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     },
 

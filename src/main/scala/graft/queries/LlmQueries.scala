@@ -19,12 +19,20 @@ object LlmQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, d) =>
-      t(s, d, "documents").select(
-        col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
-        length(col("text")).cast("long").as("n_chars_m"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        TextAnalysis.punctCount(col("text")).as("n_punct"))
+      // normText's regex is the expensive part: materialize it ONCE in its
+      // own projection and fan the consumers out from the alias. Inlined,
+      // the regex re-evaluates per output column (tokenCount alone
+      // references it three times), and CollapseProject keeps this shape
+      // because it never duplicates a non-cheap alias used more than once.
+      t(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.normText(col("text")).as("tn"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCountNorm(col("tn")).as("n_tokens"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          md5(col("tn")).as("fp"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"))
         .orderBy(col("doc_id"))
     },
 
@@ -109,11 +117,17 @@ object LlmQueries {
     // BPE-ish subword tokenization: alnum runs + individual punctuation
     // (the pre-tokenization split every BPE implementation starts from).
     "text_bpe_tokens" -> { (s, d) =>
-      val toks = regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))
-      t(s, d, "documents").select(
-        col("doc_id"),
-        size(toks).cast("long").as("n_bpe_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_unique_tokens"))
+      // The regex extraction runs ONCE per row (own projection); the two
+      // size() consumers read the materialized array instead of each
+      // re-running regexp_extract_all over the document.
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          regexp_extract_all(col("text"),
+            lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0)).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_unique_tokens"))
         .orderBy(col("doc_id"))
     },
 

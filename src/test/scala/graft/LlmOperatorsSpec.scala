@@ -256,6 +256,33 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 4, s"recall@1 $hits/5")
   }
 
+  test("VecMeanAgg matches the posexplode+decimal formulation bit for bit") {
+    import org.apache.spark.sql.types.DecimalType
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 500)
+      .map(i => (i % 7, Array.fill(24)(rnd.nextGaussian())))
+      .toDF("cell", "v")
+    def viaAgg(d: org.apache.spark.sql.DataFrame): Map[Int, Seq[Double]] =
+      d.groupBy(col("cell"))
+        .agg(graft.functions.VecMeanAgg.vecMean(col("v")).as("mean"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val viaExplode = df
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("x").cast(DecimalType(28, 12))).as("s"), count(lit(1)).as("cnt"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1))
+          .map(r => r.getAs[java.math.BigDecimal]("s").doubleValue() /
+            r.getAs[Long]("cnt")).toIndexedSeq
+      }
+    val one = viaAgg(df)
+    assert(one == viaExplode, "vec_mean must equal the exploded decimal means")
+    // exact decimal buffers => identical result under any partitioning
+    assert(one == viaAgg(df.repartition(13)), "vec_mean must be partition-invariant")
+  }
+
   test("Lloyd refinement cuts IVF distortion, is partition-invariant, lifts recall") {
     import graft.operators.Similarity
     val rnd = new scala.util.Random(5)
