@@ -134,6 +134,10 @@ object ConversionJob {
     private val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     private val cum = new java.util.concurrent.atomic.AtomicLong(0)
     private val nextMark = new java.util.concurrent.atomic.AtomicLong(chunk)
+    // per-(stage, partition) max written: retried/speculative duplicate
+    // attempts would otherwise double-count and overshoot the total
+    private val perPartition =
+      new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
 
     override def onJobStart(j: SparkListenerJobStart): Unit =
       if (Option(j.properties).exists(p => group == p.getProperty("spark.jobGroup.id")))
@@ -143,7 +147,16 @@ object ConversionJob {
       if (stages.contains(t.stageId)) {
         val written = Option(t.taskMetrics).map(_.outputMetrics.recordsWritten).getOrElse(0L)
         if (written > 0) {
-          val c = cum.addAndGet(written)
+          val key: java.lang.Long =
+            (t.stageId.toLong << 32) | (t.taskInfo.index.toLong & 0xffffffffL)
+          var delta = 0L
+          perPartition.compute(key, (_, prev) => {
+            val p: Long = if (prev == null) 0L else prev
+            delta = math.max(p, written) - p
+            math.max(p, written)
+          })
+          if (delta == 0) return
+          val c = cum.addAndGet(delta)
           var mark = nextMark.get()
           if (c >= mark && total.forall(c < _)) {
             while (mark <= c) mark += chunk

@@ -36,10 +36,16 @@ object Multimodal {
     StructField("doc_id", LongType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false))))
 
-  /** STUB DECODER — stands in for image/audio decode. Deterministic
-    * identity: a real pipeline would replace this with the codec call
-    * (and keep everything else unchanged). */
-  private def decodeStub(payload: Array[Byte]): Array[Byte] = payload
+  /** A payload decoder: raw stored bytes -> decoded media bytes. Runs on
+    * executors, so implementations must be serializable (a plain function
+    * literal or a static method reference is). */
+  type Decoder = Array[Byte] => Array[Byte]
+
+  /** STUB DECODER (the default) — stands in for image/audio decode.
+    * Deterministic identity: a real pipeline passes its codec call as the
+    * `decode` parameter of [[sampleFrames]]/[[resizePayloads]]/
+    * [[extractFeatures]] and keeps everything else unchanged. */
+  val identityDecoder: Decoder = payload => payload
 
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -54,12 +60,13 @@ object Multimodal {
     * per-partition batching unchanged. Frame math is pure arithmetic on
     * byte counts, so the correctness gate mirrors it in SQL. */
   def sampleFrames(spark: SparkSession, mm: DataFrame,
-                   frameBytes: Int = 256, maxFrames: Int = 8): DataFrame = {
+                   frameBytes: Int = 256, maxFrames: Int = 8,
+                   decode: Decoder = identityDecoder): DataFrame = {
     require(frameBytes > 0 && maxFrames > 0)
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.flatMap { r =>
         val id = r.getLong(0)
-        val bytes = decodeStub(r.getAs[Array[Byte]](1))
+        val bytes = decode(r.getAs[Array[Byte]](1))
         val nFrames = math.min(maxFrames.toLong,
           (bytes.length + frameBytes - 1L) / frameBytes).toInt
         (0 until nFrames).iterator.map { f =>
@@ -77,7 +84,8 @@ object Multimodal {
     * pad; empty payloads become zero bytes) and rewrites `meta.n_bytes`
     * to match — the metadata-consistency contract a real resizer must
     * keep. Deterministic, so the spec pins outputs across runs. */
-  def resizePayloads(spark: SparkSession, mm: DataFrame, targetBytes: Int): DataFrame = {
+  def resizePayloads(spark: SparkSession, mm: DataFrame, targetBytes: Int,
+                     decode: Decoder = identityDecoder): DataFrame = {
     require(targetBytes >= 0)
     // output shape == input shape: derive the schema from the input so the
     // meta struct contract lives in ONE place (toMultimodal); only the
@@ -87,7 +95,7 @@ object Multimodal {
     val nBytesIdx = schema("meta").dataType.asInstanceOf[StructType].fieldIndex("n_bytes")
     val rows = proj.rdd.mapPartitions { it =>
       it.map { r =>
-        val bytes = decodeStub(r.getAs[Array[Byte]](1))
+        val bytes = decode(r.getAs[Array[Byte]](1))
         val out = new Array[Byte](if (bytes.isEmpty) 0 else targetBytes)
         var i = 0
         while (i < out.length) { out(i) = bytes(i % bytes.length); i += 1 }
@@ -101,15 +109,40 @@ object Multimodal {
     spark.createDataFrame(rows, schema)
   }
 
+  private val histSchema = StructType(
+    StructField("doc_id", LongType, nullable = false) +:
+      StructField("n_bytes", LongType, nullable = false) +:
+      (0 until 16).map(b => StructField(s"c$b", LongType, nullable = false)))
+
+  /** Exact 16-bin byte histogram (high nibble) per decoded payload as
+    * SCALAR count columns — the oracle-checkable integer core of
+    * [[extractFeatures]], which normalizes the same counts to floats.
+    * Integer counts hash-match across engines; normalized float32 division
+    * would drift in the last ulp. */
+  def byteHistogram(spark: SparkSession, mm: DataFrame,
+                    decode: Decoder = identityDecoder): DataFrame = {
+    val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val bytes = decode(r.getAs[Array[Byte]](1))
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1L; i += 1 }
+        Row.fromSeq(r.getLong(0) +: bytes.length.toLong +: hist.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, histSchema)
+  }
+
   /** Batched per-partition feature extraction: 16-bin normalized byte
     * histogram per payload (a deterministic fake "embedding" with the same
     * shape/cost profile as a features head). */
-  def extractFeatures(spark: SparkSession, mm: DataFrame): DataFrame = {
+  def extractFeatures(spark: SparkSession, mm: DataFrame,
+                      decode: Decoder = identityDecoder): DataFrame = {
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       // per-partition init happens here (codec/model load in a real pipeline)
       it.map { r =>
         val id = r.getLong(0)
-        val bytes = decodeStub(r.getAs[Array[Byte]](1))
+        val bytes = decode(r.getAs[Array[Byte]](1))
         val hist = new Array[Float](16)
         var i = 0
         while (i < bytes.length) { hist((bytes(i) & 0xFF) >> 4) += 1f; i += 1 }

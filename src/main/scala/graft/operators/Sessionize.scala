@@ -23,6 +23,9 @@ object Sessionize {
     val (us, brk) = ("__graft_sess_us", "__graft_sess_brk")
     require(!df.columns.contains(us) && !df.columns.contains(brk),
       s"input must not already contain the scratch columns $us/$brk")
+    require(!df.columns.contains("session_idx"),
+      "input already contains the output column session_idx; " +
+        "rename it first — assign would silently overwrite it")
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy(col(keyCol)).orderBy(col(us))
     val prev: Column = lag(col(us), 1).over(w)

@@ -77,14 +77,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // rows-only: histogram features have no SQL mirror; spec asserts
-    // determinism + unit mass.
+    // The feature extractor's integer core (exact per-bin byte counts as
+    // scalar columns) — hash-checkable in DuckDB via the hex-string list
+    // comprehension below. The float normalization on top is covered by
+    // the determinism/unit-mass spec (float32 division would drift in the
+    // last ulp across engines).
     "multimodal_features" -> { (s, d) =>
       val mm = Multimodal.toMultimodal(t(s, d, "documents"))
-      Multimodal.extractFeatures(s, mm)
-        .select(col("doc_id"), size(col("features")).cast("long").as("n_dims"),
-          round(aggregate(col("features").cast("array<double>"), lit(0.0), _ + _), 4).as("mass"))
-        .orderBy(col("doc_id"))
+      Multimodal.byteHistogram(s, mm).orderBy(col("doc_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -131,6 +131,22 @@ object PipelineQueries {
         |      FROM m)
         |SELECT doc_id, n_frames, LEAST(nb, n_frames * 256) AS bytes_sampled
         |FROM f WHERE n_frames > 0""".stripMargin,
+
+    // Byte histogram via list comprehension over the hex dump: byte i's
+    // high nibble is the hex digit at (1-based) position 2i+1, so each bin
+    // counts its digit at odd positions. Exact integers — hash-identical
+    // to the Spark mapPartitions histogram.
+    "multimodal_features" -> {
+      val bins = (0 until 16).map { b =>
+        val digit = Integer.toHexString(b).toUpperCase
+        s"CAST(len(list_filter(range(0, n_bytes), i -> substr(h, CAST(2*i+1 AS INT), 1) = '$digit')) AS BIGINT) AS c$b"
+      }.mkString(",\n ")
+      s"""WITH m AS (SELECT doc_id, hex(encode(text)) AS h,
+         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents)
+         |SELECT doc_id, n_bytes,
+         | $bins
+         |FROM m""".stripMargin
+    },
 
     // streaming first-occurrence dedup on key columns == batch DISTINCT
     "stream_dedup_pairs" ->

@@ -74,9 +74,25 @@ object JdbcFixture {
     case other => throw new IllegalArgumentException(s"no JDBC fixture mapping for $other")
   }
 
+  /** Spark type -> java.sql.Types constant for typed NULLs. Embedded Derby
+    * rejects untyped `setObject(i, null)` (SQLState 22005); it requires
+    * `setNull` with the JDBC type. */
+  private def jdbcType(dt: DataType): Int = dt match {
+    case LongType => java.sql.Types.BIGINT
+    case IntegerType => java.sql.Types.INTEGER
+    case ShortType | ByteType => java.sql.Types.SMALLINT
+    case DoubleType | FloatType => java.sql.Types.DOUBLE
+    case _: DecimalType => java.sql.Types.DECIMAL
+    case DateType => java.sql.Types.DATE
+    case TimestampType => java.sql.Types.TIMESTAMP
+    case BooleanType => java.sql.Types.BOOLEAN
+    case BinaryType => java.sql.Types.BLOB
+    case _ => java.sql.Types.VARCHAR
+  }
+
   private def setCell(st: PreparedStatement, idx: Int, dt: DataType, v: Any): Unit =
     (dt, v) match {
-      case (_, null) => st.setObject(idx, null)
+      case (_, null) => st.setNull(idx, jdbcType(dt))
       case (LongType, x: Long) => st.setLong(idx, x)
       case (IntegerType, x: Int) => st.setInt(idx, x)
       case (ShortType, x: Short) => st.setShort(idx, x)

@@ -307,8 +307,9 @@ object SqlDumpSource {
   // INSERT parsing
   // ---------------------------------------------------------------------
 
-  private val InsertRe =
-    """(?is)\s*INSERT\s+(?:IGNORE\s+)?INTO\s+[`"]?([\w$]+)[`"]?\s*(?:\(([^)]*)\))?\s*VALUES\s*(.*)""".r
+  private val InsertPrefixRe =
+    """(?is)\s*INSERT\s+(?:IGNORE\s+)?INTO\s+[`"]?([\w$]+)[`"]?\s*(.*)""".r
+  private val ValuesRe = """(?is)\s*VALUES\s*(.*)""".r
 
   /** An INSERT statement: table name, the explicit column list when present
     * (names unquoted, dump order), and raw cell strings per row. A cell is
@@ -319,14 +320,25 @@ object SqlDumpSource {
   /** Parse an INSERT statement. An explicit column list (legal SQL, emitted
     * by some dump tools for reordered/partial inserts) is captured so cells
     * can be mapped by NAME onto the CREATE TABLE schema — discarding it
-    * would map values positionally into the wrong columns with no error. */
+    * would map values positionally into the wrong columns with no error.
+    * The list is extracted with the same quote-aware balanced-paren scanner
+    * as CREATE TABLE bodies, so quoted identifiers containing ',' or ')'
+    * parse correctly instead of truncating the list. */
   def parseInsert(stmt: String): Option[InsertStmt] = stmt match {
-    case InsertRe(table, colList, values) =>
-      val cols = Option(colList).map { cl =>
-        cl.split(',').toSeq.map(_.trim.stripPrefix("`").stripSuffix("`")
-          .stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-      }.filter(_.nonEmpty)
-      Some(InsertStmt(table, cols, parseValueTuples(values)))
+    case InsertPrefixRe(table, rest) =>
+      val t = rest.dropWhile(_.isWhitespace)
+      val (cols, afterCols) =
+        if (t.startsWith("(")) {
+          val body = balancedBody(t).getOrElse(return None)
+          val names = splitTopLevel(body, ',')
+            .map(c => parseIdentifier(c.trim)._1)
+            .filter(_.nonEmpty)
+          (if (names.nonEmpty) Some(names) else None, t.substring(body.length + 2))
+        } else (None, t)
+      afterCols match {
+        case ValuesRe(values) => Some(InsertStmt(table, cols, parseValueTuples(values)))
+        case _ => None // INSERT ... SELECT / SET syntax — not row data
+      }
     case _ => None
   }
 
@@ -438,6 +450,12 @@ object SqlDumpSource {
                  columns: Option[Seq[String]]): Row = columns match {
     case None => toTypedRow(cells, schema)
     case Some(cols) =>
+      // A tuple wider than the column list would silently drop the extra
+      // cells (data loss); narrower would null-fill columns the dump meant
+      // to set. Both are malformed input — fail loudly.
+      require(cells.length == cols.length,
+        s"INSERT row has ${cells.length} values for ${cols.length} named columns " +
+          cols.mkString("(", ",", ")"))
       val schemaIdx = schema.fields.map(_.name.toLowerCase).zipWithIndex.toMap
       cols.foreach { c =>
         require(schemaIdx.contains(c.toLowerCase),
@@ -493,42 +511,45 @@ object SqlDumpSource {
   }
 
   /** Statement-level distributed parse (see class doc for the delimiter
-    * contract). The statement RDD is cached once; schema discovery collects
-    * only the TableDefs, then each table's filter+parse is an
-    * embarrassingly parallel map over the cached statements — at 100 TB
-    * the statements partition across the cluster and no single node holds
-    * the file. */
+    * contract). The statement RDD is cached only WITHIN this call (the
+    * split-guard probe and schema discovery share one file read) and
+    * unpersisted before the DataFrames are returned — pinning the whole
+    * dump in cluster memory for the session would accrete across dumps.
+    * Each returned table's evaluation re-reads the file: stateless and
+    * memory-safe; at 100 TB the statements partition across the cluster
+    * and no single node holds the file. */
   private def parseDistributed(spark: SparkSession, path: String,
                                select: Seq[TableDef] => Seq[TableDef]): Map[String, DataFrame] = {
     val stmts = statementsRdd(spark, path)
     stmts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Silent-loss guard: a record that ends inside an unterminated string
-    // literal means the ";\n" delimiter split a statement mid-literal and
-    // positional rows would be lost/corrupted. Fall back to the statement
-    // scanner over the whole file, which is correct for any input.
-    if (stmts.filter(_ == UnterminatedMarker).take(1).nonEmpty) {
-      stmts.unpersist(blocking = false)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dump $path has a string literal or comment spanning a ';\\n' record " +
-          "boundary; falling back to the single-reader streaming parse")
-      return parseStreaming(spark, path, select)
-    }
-    val defs = select(
-      stmts.filter(s => s.toUpperCase.contains("CREATE") && s.toUpperCase.contains("TABLE"))
-        .flatMap(parseCreateTable(_))
-        .collect().toSeq)
-    defs.map { td =>
-      val schema = td.schema
-      val tname = td.name
-      val rows = stmts.flatMap { stmt =>
-        parseInsert(stmt) match {
-          case Some(ins) if ins.table == tname =>
-            ins.rows.map(toTypedRow(_, schema, ins.columns))
-          case _ => Nil
-        }
+    try {
+      // Silent-loss guard: a record that ends inside an unterminated string
+      // literal means the ";\n" delimiter split a statement mid-literal and
+      // positional rows would be lost/corrupted. Fall back to the statement
+      // scanner over the whole file, which is correct for any input.
+      if (stmts.filter(_ == UnterminatedMarker).take(1).nonEmpty) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"dump $path has a string literal or comment spanning a ';\\n' record " +
+            "boundary; falling back to the single-reader streaming parse")
+        return parseStreaming(spark, path, select)
       }
-      tname -> spark.createDataFrame(rows, schema)
-    }.toMap
+      val defs = select(
+        stmts.filter(s => s.toUpperCase.contains("CREATE") && s.toUpperCase.contains("TABLE"))
+          .flatMap(parseCreateTable(_))
+          .collect().toSeq)
+      defs.map { td =>
+        val schema = td.schema
+        val tname = td.name
+        val rows = stmts.flatMap { stmt =>
+          parseInsert(stmt) match {
+            case Some(ins) if ins.table == tname =>
+              ins.rows.map(toTypedRow(_, schema, ins.columns))
+            case _ => Nil
+          }
+        }
+        tname -> spark.createDataFrame(rows, schema)
+      }.toMap
+    } finally stmts.unpersist(blocking = false)
   }
 
   /** Constant-memory driver-side single-pass parse (fixes the reference's

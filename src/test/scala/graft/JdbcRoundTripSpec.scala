@@ -38,6 +38,23 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(JdbcSource.tableList(conn).get == Seq("nation", "region"))
   }
 
+  test("fixture loader round-trips NULL cells (typed setNull, Derby 22005)") {
+    import org.apache.spark.sql.Row
+    val conn = freshConn()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DoubleType), StructField("ts", TimestampType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, null, 2.5, null),
+        Row(2L, "x", null, java.sql.Timestamp.valueOf("2024-01-02 03:04:05")))),
+      schema)
+    JdbcFixture.loadTable(df, conn, "nullable_t")
+    val back = JdbcSource.read(spark, conn, "nullable_t").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(back == Set((1L, None, Some(2.5)), (2L, Some("x"), None)))
+  }
+
   test("row count is pushed down (S2)") {
     val conn = freshConn()
     JdbcFixture.loadTable(Tables.t(spark, sf, "nation"), conn, "nation")

@@ -1,0 +1,133 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, ResultSet, ResultSetMetaData}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.execution.datasources.jdbc.JdbcUtils
+import org.apache.spark.sql.jdbc.JdbcDialects
+import org.apache.spark.sql.types._
+
+import graft.sources.JdbcSource
+
+/** MySQL-dialect hardening without a live MySQL server (none exists in
+  * this environment — reference sh:95-119 connects to one in production).
+  *
+  * A live read resolves column types as: Connector/J reports per-column
+  * JDBC metadata -> Spark's `JdbcUtils.getSchema` consults `MySQLDialect`
+  * (falling back to the default JDBC mapping) -> our
+  * `applyDeclaredTypeMapping` widening (README.md:252-259). Everything
+  * after the driver is real Spark/our code, so the MySQL-only types Derby
+  * cannot represent (UNSIGNED widths, YEAR, DATETIME) are pinned here by
+  * replaying RECORDED driver metadata — the (DATA_TYPE, TYPE_NAME,
+  * precision, scale, signed) tuples Connector/J documents — through the
+  * exact `getSchema` path a production read executes. The live-Derby
+  * round-trip (JdbcRoundTripSpec) covers the shared engine-generic path.
+  */
+class MySqlDialectSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val dialect = JdbcDialects.get("jdbc:mysql://example:3306/db")
+
+  /** (name, DATA_TYPE, TYPE_NAME, precision, scale, signed) as recorded
+    * from MySQL Connector/J for a table exercising the MySQL-only types. */
+  private val recorded = Seq(
+    ("id_int_unsigned", java.sql.Types.INTEGER, "INT UNSIGNED", 10, 0, false),
+    ("n_int", java.sql.Types.INTEGER, "INT", 10, 0, true),
+    ("n_bigint_unsigned", java.sql.Types.BIGINT, "BIGINT UNSIGNED", 20, 0, false),
+    ("n_bigint", java.sql.Types.BIGINT, "BIGINT", 19, 0, true),
+    ("n_smallint_unsigned", java.sql.Types.SMALLINT, "SMALLINT UNSIGNED", 5, 0, false),
+    ("n_tinyint", java.sql.Types.TINYINT, "TINYINT", 3, 0, true),
+    ("n_tinyint_unsigned", java.sql.Types.TINYINT, "TINYINT UNSIGNED", 3, 0, false),
+    ("y_year", java.sql.Types.DATE, "YEAR", 4, 0, true), // driver default yearIsDateType=true
+    ("d_date", java.sql.Types.DATE, "DATE", 10, 0, true),
+    ("ts_datetime", java.sql.Types.TIMESTAMP, "DATETIME", 19, 0, true),
+    ("m_decimal", java.sql.Types.DECIMAL, "DECIMAL", 12, 2, true),
+    ("s_varchar", java.sql.Types.VARCHAR, "VARCHAR", 255, 0, true))
+
+  /** Mock ResultSet+metadata replaying the recorded tuples; the Connection
+    * proxy throws if touched (schema resolution must not need it for
+    * plain columns). */
+  private def mockResultSet(): ResultSet = {
+    val md = Proxy.newProxyInstance(getClass.getClassLoader,
+      Array[Class[_]](classOf[ResultSetMetaData]),
+      new InvocationHandler {
+        def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+          def col = args(0).asInstanceOf[Int] - 1
+          m.getName match {
+            case "getColumnCount" => Int.box(recorded.length)
+            case "getColumnLabel" | "getColumnName" => recorded(col)._1
+            case "getColumnType" => Int.box(recorded(col)._2)
+            case "getColumnTypeName" => recorded(col)._3
+            case "getPrecision" => Int.box(recorded(col)._4)
+            case "getScale" => Int.box(recorded(col)._5)
+            case "isSigned" => Boolean.box(recorded(col)._6)
+            case "isNullable" => Int.box(ResultSetMetaData.columnNullable)
+            case other => throw new UnsupportedOperationException(other)
+          }
+        }
+      }).asInstanceOf[ResultSetMetaData]
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array[Class[_]](classOf[ResultSet]),
+      (_: Any, m: Method, _: Array[AnyRef]) => m.getName match {
+        case "getMetaData" => md
+        case other => throw new UnsupportedOperationException(other)
+      }).asInstanceOf[ResultSet]
+  }
+
+  private def mockConnection(): Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array[Class[_]](classOf[Connection]),
+      (_: Any, m: Method, _: Array[AnyRef]) =>
+        throw new UnsupportedOperationException(m.getName)
+    ).asInstanceOf[Connection]
+
+  test("recorded MySQL metadata resolves to the declared Spark types") {
+    val schema = JdbcUtils.getSchema(mockConnection(), mockResultSet(), dialect,
+      alwaysNullable = false, isTimestampNTZ = false)
+    val byName = schema.fields.map(f => f.name -> f.dataType).toMap
+    // UNSIGNED widening: the declared INT->LONG mapping must hold for the
+    // full unsigned INT range (max 4294967295 overflows IntegerType)
+    assert(byName("id_int_unsigned") == LongType)
+    assert(byName("n_int") == IntegerType) // widened to LONG by stage 2 below
+    // BIGINT UNSIGNED (max 2^64-1) cannot fit LongType; DECIMAL(20,0) is
+    // the lossless representation
+    assert(byName("n_bigint_unsigned") == DecimalType(20, 0))
+    assert(byName("n_bigint") == LongType)
+    assert(byName("n_smallint_unsigned") == IntegerType)
+    assert(byName("n_tinyint") == ByteType)
+    assert(byName("n_tinyint_unsigned") == ShortType)
+    // YEAR arrives as DATE under the driver's default yearIsDateType=true
+    assert(byName("y_year") == DateType)
+    assert(byName("d_date") == DateType)
+    // DATETIME -> TIMESTAMP with micros ("microsecond precision",
+    // README.md:259)
+    assert(byName("ts_datetime") == TimestampType)
+    // DECIMAL "precision preserved" (README.md:257) — exact p/s, not float
+    assert(byName("m_decimal") == DecimalType(12, 2))
+    assert(byName("s_varchar") == StringType)
+
+    // stage 2: our declared INT-family -> LONG widening on top
+    val df = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val widened = JdbcSource.applyDeclaredTypeMapping(df).schema
+    val wByName = widened.fields.map(f => f.name -> f.dataType).toMap
+    for (c <- Seq("n_int", "n_smallint_unsigned", "n_tinyint", "n_tinyint_unsigned"))
+      assert(wByName(c) == LongType, s"$c must widen to LONG (README.md:252-259)")
+    assert(wByName("id_int_unsigned") == LongType)
+    assert(wByName("n_bigint_unsigned") == DecimalType(20, 0)) // lossless, not narrowed
+    assert(wByName("m_decimal") == DecimalType(12, 2)) // untouched
+  }
+
+  test("MySQL URL carries utf8mb4 + zero-date convertToNull options") {
+    // zero dates ('0000-00-00') are invalid as java.sql.Date; the driver
+    // must be told to surface them as NULL instead of throwing mid-export
+    // (reference connects with utf8mb4, sh:207)
+    val url = JdbcSource.url(JdbcSource.MySqlConfig(
+      host = "h", user = "u", password = "p", database = "db"))
+    assert(url.startsWith("jdbc:mysql://h:3306/db?"))
+    assert(url.contains("zeroDateTimeBehavior=convertToNull"))
+    assert(url.contains("characterEncoding=utf8mb4"))
+    assert(url.contains("useUnicode=true"))
+  }
+}

@@ -113,6 +113,40 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(resized.nonEmpty)
   }
 
+  test("a custom decoder plugs into sampleFrames/extractFeatures/resizePayloads") {
+    val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents")
+      .filter(col("doc_id") < 20))
+    // "codec": reverse the payload bytes — observable, deterministic
+    val reverse: Multimodal.Decoder = b => b.reverse
+    val payloads = mm.select(col("doc_id"), col("payload")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+
+    val frames = Multimodal.sampleFrames(spark, mm, frameBytes = 64, maxFrames = 4,
+        decode = reverse).collect().groupBy(_.getLong(0))
+    frames.foreach { case (id, fr) =>
+      val joined = fr.sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2))
+      val decoded = payloads(id).reverse
+      assert(joined.toSeq == decoded.take(math.min(decoded.length, 256)).toSeq,
+        s"doc $id frames must come from the DECODED payload")
+    }
+
+    val feats = Multimodal.extractFeatures(spark, mm, decode = reverse)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val featsId = Multimodal.extractFeatures(spark, mm)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // byte histogram is order-insensitive, so reverse must equal identity:
+    // proves the custom decoder flowed through without corrupting bytes
+    assert(feats == featsId)
+
+    val res = Multimodal.resizePayloads(spark, mm, targetBytes = 8, decode = reverse)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    res.foreach { case (id, p) =>
+      val decoded = payloads(id).reverse
+      val expect = Array.tabulate(if (decoded.isEmpty) 0 else 8)(i => decoded(i % decoded.length))
+      assert(p.toSeq == expect.toSeq, s"doc $id resize must start from decoded bytes")
+    }
+  }
+
   test("feature extraction is deterministic with unit mass and fixed width") {
     val mm = Multimodal.toMultimodal(Tables.t(spark, sf, "documents"))
     val f1 = Multimodal.extractFeatures(spark, mm)

@@ -85,6 +85,15 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"sessionize should shuffle once on the key, found $nExchanges:\n${sessPlan.take(600)}")
   }
 
+  test("Sessionize rejects inputs that already carry session_idx") {
+    val in = Tables.t(spark, sf, "events")
+      .select(col("user_id"), col("ts"), lit(9L).as("session_idx"))
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Sessionize.assign(in, "user_id", "ts", 30)
+    }
+    assert(e.getMessage.contains("session_idx"))
+  }
+
   test("ORC schema evolution: appended files with new columns merge") {
     val dir = Files.createTempDirectory("evolve").toString
     val v1 = spark.createDataFrame(

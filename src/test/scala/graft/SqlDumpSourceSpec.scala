@@ -130,6 +130,43 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("quoted INSERT column identifiers containing ',' and ')' parse intact") {
+    val schema = StructType(Seq(
+      StructField("a,b", StringType), StructField("c)d", LongType)))
+    val ins = SqlDumpSource.parseInsert(
+      "INSERT INTO t (`a,b`, `c)d`) VALUES ('x', 5)").get
+    assert(ins.columns.contains(Seq("a,b", "c)d")))
+    val row = SqlDumpSource.toTypedRow(ins.rows.head, schema, ins.columns)
+    assert(row.getString(0) == "x" && row.getLong(1) == 5L)
+  }
+
+  test("INSERT tuple wider or narrower than its column list fails loudly") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val wide = SqlDumpSource.parseInsert(
+      "INSERT INTO t (id) VALUES (1, 'extra')").get
+    intercept[IllegalArgumentException] {
+      SqlDumpSource.toTypedRow(wide.rows.head, schema, wide.columns)
+    }
+    val narrow = SqlDumpSource.parseInsert(
+      "INSERT INTO t (id, name) VALUES (1)").get
+    intercept[IllegalArgumentException] {
+      SqlDumpSource.toTypedRow(narrow.rows.head, schema, narrow.columns)
+    }
+  }
+
+  test("distributed parse retains no cached RDDs after returning") {
+    val dir = Files.createTempDirectory("dumpspec-cache").toFile
+    val path = s"$dir/c.sql"
+    Files.writeString(java.nio.file.Paths.get(path),
+      "CREATE TABLE `t` (`id` INT);\nINSERT INTO `t` VALUES (1),(2);\n")
+    val dfs = SqlDumpSource.parse(spark, path, Seq("all"), distributed = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "statements RDD must be unpersisted before parse returns")
+    assert(dfs("t").count() == 2) // evaluation re-reads the file, uncached
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("INSERT column-list round-trip through the full parse") {
     val dir = Files.createTempDirectory("dumpspec-cols").toFile
     val path = s"$dir/cols.sql"
