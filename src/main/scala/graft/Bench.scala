@@ -60,12 +60,16 @@ object Bench {
       catch { case _: Throwable => () }
       quiesce(spark)
     }
-    // best-of-2 per query: first run pays file-listing/codegen, second is
-    // the steady-state number a long-running cluster job would see.
+    // best-of-N per query (default 3): the first run pays
+    // file-listing/codegen, the min over the rest is the steady-state
+    // number a long-running cluster job would see. N=3 + a GC outside the
+    // timed window keeps back-to-back rounds within noise (JIT/GC jitter
+    // dominates sub-second queries on local[32]).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       var err: Option[String] = None
-      val times = (0 until 2).map { _ =>
+      val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -73,6 +77,7 @@ object Bench {
         }
         val dt = (System.nanoTime() - t0) / 1e9
         quiesce(spark) // settle outside the timed window
+        System.gc()
         dt
       }
       (name, times.min, err)
