@@ -261,6 +261,84 @@ object Dedup {
   }
 
   // ------------------------------------------------------------------
+  // Cluster resolution (pairs -> components)
+  // ------------------------------------------------------------------
+
+  /** Resolve duplicate PAIRS into duplicate CLUSTERS: connected components
+    * over the pair graph, labeling every member with the smallest id in
+    * its component — the canonical "keeper" a dedup pipeline retains while
+    * dropping the rest. Returns (id, cluster_id), one row per id appearing
+    * in `pairs` (singletons never enter the pair list; callers union them
+    * back with cluster_id = id if needed).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two hash equi-joins + min-aggregations over bare id pairs, and the
+    * edge set converges to per-component stars in O(log^2 n) rounds even
+    * on pathological long-chain graphs (plain min-label propagation needs
+    * diameter rounds). Nothing data-sized ever reaches the driver: the
+    * per-round convergence check is a (count, hash-sum) aggregate, and
+    * `localCheckpoint` truncates the otherwise exponentially growing
+    * iterative lineage. Deterministic on any partitioning: every step is
+    * a min over ids. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
+                          bCol: String = "b_id", maxIters: Int = 30): DataFrame = {
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    // (count, xor-of-hashes): order-independent, overflow-free under ANSI
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
+    var it = 0
+    var converged = sig._1 == 0L
+    while (!converged && it < maxIters) {
+      // large-star: every node links its strictly LARGER neighbors to the
+      // min of its closed neighborhood
+      val und = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val mins = und.groupBy(col("x")).agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val afterLarge = und.join(mins, "x")
+        .filter(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star: every node links its smaller neighbors (and itself) to
+      // the min of the neighborhood (edges are (larger -> smaller) here)
+      val minsS = afterLarge.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = afterLarge.join(minsS, "u")
+        .select(col("v").as("n"), col("m"))
+        .union(minsS.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      edges = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIters rounds")
+    // at fixpoint the edges are stars (member -> component min); the
+    // centers label themselves
+    val members = edges.select(col("u").as("id"), col("v").as("cluster_id"))
+    val centers = edges.select(col("v").as("id")).distinct()
+      .join(edges.select(col("u").as("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster_id"))
+    members.union(centers)
+  }
+
+  // ------------------------------------------------------------------
   // Exact dedup
   // ------------------------------------------------------------------
 

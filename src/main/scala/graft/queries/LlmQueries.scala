@@ -144,6 +144,18 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Pairs -> clusters: connected components over the near-dup pair graph
+    // (alternating large-star/small-star), labeling every doc with its
+    // component's min id — the canonical-keeper step between pair
+    // generation and the actual drop. Oracle = DuckDB recursive-CTE
+    // transitive closure over the SAME pair definition.
+    "dedup_clusters" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        n = 5, threshold = 0.25)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    },
+
     "dedup_embedding_cosine" -> { (s, d) =>
       Similarity.cosineNearDupPairs(
           t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
@@ -528,6 +540,35 @@ object LlmQueries {
         |JOIN ds na ON na.doc_id = a_id
         |JOIN ds nb ON nb.doc_id = b_id
         |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.2""".stripMargin,
+
+    // Same shingle/pair pipeline as dedup_ngram_jaccard (wider id range,
+    // higher threshold for multi-cluster structure), then transitive
+    // closure by recursive CTE; cluster label = min reachable id.
+    "dedup_clusters" ->
+      """WITH RECURSIVE n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id < 150),
+        |s AS (
+        | SELECT DISTINCT doc_id, substr(t, i.i, 5) AS g
+        | FROM n, generate_series(1, 600) i(i)
+        | WHERE i.i <= GREATEST(length(t) - 4, 1)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY 1),
+        |ip AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT a_id, b_id FROM ip
+        | JOIN ds na ON na.doc_id = a_id
+        | JOIN ds nb ON nb.doc_id = b_id
+        | WHERE inter / (na.nsh + nb.nsh - inter) >= 0.25),
+        |und AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(u, v) AS (
+        | SELECT u, v FROM und
+        | UNION
+        | SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u)
+        |SELECT CAST(u AS BIGINT) AS id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY u""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -256,6 +256,35 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 4, s"recall@1 $hits/5")
   }
 
+  test("connectedComponents labels chains, cliques and bridges with the min id") {
+    // chain 0-1-2-...-24 (diameter stress: label must travel 24 hops),
+    // clique {100..104}, bridge pair {200,201}, plus an isolated pair
+    val chain = (0L until 24L).map(i => (i, i + 1))
+    val clique = (for (a <- 100L to 104L; b <- (a + 1) to 104L) yield (a, b))
+    val pairs = (chain ++ clique ++ Seq((200L, 201L))).toDF("a_id", "b_id")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 24L).forall(got(_) == 0L), s"chain must collapse to 0: $got")
+    assert((100L to 104L).forall(got(_) == 100L))
+    assert(got(200L) == 200L && got(201L) == 200L)
+    assert(got.size == 25 + 5 + 2)
+
+    // deterministic under any partitioning
+    val got7 = Dedup.connectedComponents(pairs.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got7 == got)
+
+    // pair order / direction must not matter
+    val flipped = pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
+    val gotF = Dedup.connectedComponents(flipped).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotF == got)
+
+    // empty input -> empty output, correct shape
+    val empty = Dedup.connectedComponents(pairs.limit(0))
+    assert(empty.columns.toSeq == Seq("id", "cluster_id") && empty.count() == 0)
+  }
+
   test("VecMeanAgg matches the posexplode+decimal formulation bit for bit") {
     import org.apache.spark.sql.types.DecimalType
     val rnd = new scala.util.Random(11)
