@@ -107,6 +107,33 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-document distinctive terms by tf-idf: term-keyed partial-agg
+    // shuffle for tf, a tiny broadcast doc-frequency side, top-3 per doc.
+    // Rank on the ROUNDED score (ties by term) so the ordering is
+    // reproducible across engines — raw doubles could flip near-equal
+    // ranks on a last-ulp ln() difference.
+    "text_tfidf_top" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val toks = docs.select(col("doc_id"),
+          explode(split(TextAnalysis.normText(lower(col("text"))), " ")).as("term"))
+        .filter(length(col("term")) >= 3)
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 4))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk").cast("long").as("rk"),
+          col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
     "text_langid_counts" -> { (s, d) =>
       t(s, d, "documents")
         .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
@@ -410,6 +437,30 @@ object LlmQueries {
         |   * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
         |  4) END AS quality
         |FROM n""".stripMargin,
+
+    // tf-idf mirrored term-for-term (DuckDB ln == Spark log, both natural);
+    // ranks compare the ROUNDED score so a last-ulp ln() divergence cannot
+    // flip near-equal orders
+    "text_tfidf_top" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |ft AS (
+        | SELECT doc_id, term, COUNT(*) AS tf FROM tok
+        | WHERE length(term) >= 3 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df_t FROM ft GROUP BY 1),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM n),
+        |scored AS (
+        | SELECT f.doc_id, f.term,
+        |        ROUND(f.tf * ln(CAST(nd.n_docs AS DOUBLE) / d.df_t), 4) AS score
+        | FROM ft f JOIN dfreq d ON f.term = d.term, nd),
+        |ranked AS (
+        | SELECT doc_id, term, score,
+        |   row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        | FROM scored)
+        |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, score
+        |FROM ranked WHERE rk <= 3""".stripMargin,
 
     "text_langid_counts" ->
       """WITH n AS (
