@@ -42,8 +42,9 @@ object SparkEntry {
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
     "q28_user_sessions",
     "stream_hourly_agg", "conv_stream_orc",
-    "text_stats", "text_bpe_tokens", "dedup_exact_docs", "dedup_minhash_full",
-    "dedup_simhash_full",
+    "text_stats", "text_bpe_tokens", "text_tfidf_top",
+    "dedup_exact_docs", "dedup_minhash_full",
+    "dedup_simhash_full", "dedup_clusters",
     "emb_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_bucketed_join")

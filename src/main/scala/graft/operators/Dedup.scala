@@ -271,21 +271,27 @@ object Dedup {
     * in `pairs` (singletons never enter the pair list; callers union them
     * back with cluster_id = id if needed).
     *
-    * Algorithm: alternating large-star / small-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
-    * is two hash equi-joins + min-aggregations over bare id pairs, and the
-    * edge set converges to per-component stars in O(log^2 n) rounds even
-    * on pathological long-chain graphs (plain min-label propagation needs
-    * diameter rounds). Nothing data-sized ever reaches the driver: the
-    * per-round convergence check is a (count, hash-sum) aggregate, and
-    * `localCheckpoint` truncates the otherwise exponentially growing
-    * iterative lineage. Deterministic on any partitioning: every step is
-    * a min over ids. */
+    * Two regimes, same deterministic answer:
+    *  - graphs with <= `smallGraphEdges` distinct edges (default 1M) solve
+    *    via exact min-rooted union-find on the driver — a bounded,
+    *    explicitly-dialed collect (the [[Similarity.cosineNearDupPairs]]
+    *    cap pattern) that beats several Spark rounds of fixed overhead;
+    *  - larger graphs run alternating large-star / small-star (Kiveris et
+    *    al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    *    each round is two hash equi-joins + min-aggregations over bare id
+    *    pairs, converging to per-component stars in O(log^2 n) rounds even
+    *    on pathological long-chain graphs (plain min-label propagation
+    *    needs diameter rounds). There the driver sees only (count,
+    *    xor-hash) convergence probes, and `localCheckpoint` truncates the
+    *    otherwise exponentially growing iterative lineage.
+    * Both label by component-min, so the cutover is invisible. Ids must be
+    * integral (cast to long). */
   def connectedComponents(pairs: DataFrame, aCol: String = "a_id",
-                          bCol: String = "b_id", maxIters: Int = 30): DataFrame = {
+                          bCol: String = "b_id", maxIters: Int = 30,
+                          smallGraphEdges: Long = 1L << 20): DataFrame = {
     var edges = pairs
-      .select(greatest(col(aCol), col(bCol)).as("u"),
-        least(col(aCol), col(bCol)).as("v"))
+      .select(greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("u"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
@@ -298,6 +304,15 @@ object Dedup {
     }
 
     var sig = signature(edges)
+    // Small graphs (<= smallGraphEdges distinct edges, default 1M ≈ 16 MB)
+    // solve exactly on the driver: min-rooted union-find is microseconds
+    // where every distributed round costs several shuffles — and the
+    // result is IDENTICAL (component-min labels are order-independent), so
+    // the cutover is invisible to callers. The collect is BOUNDED by the
+    // explicit dial (the cosineNearDupPairs cap pattern); 0 forces the
+    // distributed path.
+    if (sig._1 > 0 && sig._1 <= smallGraphEdges)
+      return unionFindComponents(pairs.sparkSession, edges)
     var it = 0
     var converged = sig._1 == 0L
     while (!converged && it < maxIters) {
@@ -336,6 +351,36 @@ object Dedup {
       .join(edges.select(col("u").as("id")), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("cluster_id"))
     members.union(centers)
+  }
+
+  /** Exact min-rooted union-find over an already-bounded edge list (the
+    * small-graph path of [[connectedComponents]]). Union-by-min + path
+    * compression: the root of every set is its smallest member, so labels
+    * match the distributed algorithm exactly. */
+  private def unionFindComponents(spark: org.apache.spark.sql.SparkSession,
+                                  edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val nodes = scala.collection.mutable.SortedSet.empty[Long]
+    edges.collect().foreach { e =>
+      val (a, b) = (e.getLong(0), e.getLong(1))
+      nodes += a; nodes += b
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row](nodes.size)
+    nodes.foreach(n => rows.add(Row(n, find(n))))
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("cluster_id", LongType, nullable = false))))
   }
 
   // ------------------------------------------------------------------

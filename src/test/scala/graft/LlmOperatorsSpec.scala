@@ -274,6 +274,12 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got7 == got)
 
+    // the distributed large-star/small-star path (forced with
+    // smallGraphEdges = 0) must agree with the driver union-find exactly
+    val gotDist = Dedup.connectedComponents(pairs, smallGraphEdges = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDist == got, "distributed and union-find labels must agree")
+
     // pair order / direction must not matter
     val flipped = pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id"))
     val gotF = Dedup.connectedComponents(flipped).collect()
