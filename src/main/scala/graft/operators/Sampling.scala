@@ -40,4 +40,24 @@ object Sampling {
     }
     df.filter(hashBucketHex(hashOn) < threshold)
   }
+
+  /** Deterministic train/validation/test assignment: adds `split` from the
+    * content-hash bucket of `hashOn`, cutting the 65536 buckets at
+    * floor(trainFrac*65536) and floor((trainFrac+valFrac)*65536). The same
+    * row lands in the same split on any cluster size, any run, any engine
+    * with md5 — the reproducibility/leakage-audit contract a training
+    * pipeline needs (a `sample()`-based split silently reshuffles examples
+    * between train and test across runs). Zero shuffle: one per-row
+    * expression fused into the scan. */
+  def trainValTestSplit(df: DataFrame, hashOn: Column,
+                        trainFrac: Double, valFrac: Double): DataFrame = {
+    require(trainFrac >= 0 && valFrac >= 0 && trainFrac + valFrac <= 1.0,
+      s"fractions must be non-negative with trainFrac+valFrac <= 1, " +
+        s"got $trainFrac/$valFrac")
+    val b = hashBucketHex(hashOn)
+    df.withColumn("split",
+      when(b < lit(thresholdHex(trainFrac)), "train")
+        .when(b < lit(thresholdHex(trainFrac + valFrac)), "val")
+        .otherwise("test"))
+  }
 }

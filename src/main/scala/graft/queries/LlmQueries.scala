@@ -49,6 +49,17 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Deterministic train/val/test assignment (80/10/10 by content-hash
+    // bucket): same example -> same split on any run/cluster/engine, the
+    // reproducibility contract a sample()-based split breaks.
+    "pipeline_split" -> { (s, d) =>
+      graft.operators.Sampling.trainValTestSplit(
+          t(s, d, "documents"), col("text"), trainFrac = 0.8, valFrac = 0.1)
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("split"))
+    },
+
     // Sliding-window document chunking (64-token chunks, 16-token
     // overlap): the pre-tokenization step before sequence packing.
     // chunk_text is md5'd so the gate output stays compact; the hash
@@ -386,6 +397,17 @@ object LlmQueries {
         |WHERE b < CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |               WHEN 'src2' THEN '4000' ELSE '1999' END
         |GROUP BY source""".stripMargin,
+
+    // split thresholds: floor(0.8*65536)=0xcccc, floor(0.9*65536)=0xe666
+    "pipeline_split" ->
+      """WITH b AS (
+        | SELECT source, doc_id,
+        |  CASE WHEN substr(md5(text), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(text), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT source, split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     "pipeline_chunk_docs" ->
       """WITH n AS (

@@ -116,6 +116,26 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Sampling.stratifiedSample(df, "src", col("text"), Map.empty, 0.0).count() == 0)
   }
 
+  test("train/val/test split: exhaustive, disjoint, near-fraction, invariant") {
+    import graft.operators.Sampling
+    val df = (1 to 2000).map(i => (i.toLong, s"document number $i body"))
+      .toDF("id", "text")
+    def splits(d: org.apache.spark.sql.DataFrame) =
+      Sampling.trainValTestSplit(d, col("text"), 0.8, 0.1)
+        .select("id", "split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s1 = splits(df)
+    assert(s1.size == 2000, "every row gets exactly one split")
+    assert(s1 == splits(df.repartition(7)), "split must not depend on partitioning")
+    val bySplit = s1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(bySplit("train") - 1600) < 100, s"train ${bySplit.get("train")}")
+    assert(math.abs(bySplit.getOrElse("val", 0) - 200) < 80, s"val ${bySplit.get("val")}")
+    assert(math.abs(bySplit.getOrElse("test", 0) - 200) < 80, s"test ${bySplit.get("test")}")
+    intercept[IllegalArgumentException] {
+      Sampling.trainValTestSplit(df, col("text"), 0.8, 0.3)
+    }
+  }
+
   test("TextChunker: overlapping windows cover every token with the set stride") {
     import graft.operators.TextChunker
     val text = (1 to 100).map(i => s"w$i").mkString(" ")

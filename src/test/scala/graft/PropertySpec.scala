@@ -64,6 +64,36 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("property: reordered column-list INSERTs with adversarial values map by name") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("d", DoubleType)))
+    for (trial <- 0 until 8) {
+      val vals = samples(Gen.listOfN(20, rowGen), 1, 7000L * trial).head
+      // reorder the column list per statement; SqlDumpSource must put every
+      // cell back in schema position by NAME
+      val perms = Seq(Seq("id", "s", "d"), Seq("s", "d", "id"), Seq("d", "id", "s"))
+      val stmts = vals.zipWithIndex.map { case ((s, d), i) =>
+        val cols = perms(i % perms.length)
+        val byName = Map(
+          "id" -> i.toString,
+          "s" -> ("'" + s.replace("\\", "\\\\").replace("'", "''") + "'"),
+          "d" -> d.map(_.toString).getOrElse("NULL"))
+        s"INSERT INTO `t` (${cols.map(c => s"`$c`").mkString(", ")}) " +
+          s"VALUES (${cols.map(byName).mkString(", ")});"
+      }
+      val dir = Files.createTempDirectory("prop_cols").toString
+      Files.writeString(java.nio.file.Paths.get(s"$dir/t.sql"),
+        "CREATE TABLE `t` (`id` BIGINT, `s` VARCHAR(64), `d` DOUBLE);\n" +
+          stmts.mkString("\n") + "\n")
+      val got = SqlDumpSource.parse(spark, s"$dir/t.sql")("t").collect()
+        .map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+      val want = vals.zipWithIndex.map { case ((s, d), i) => (i.toLong, s, d) }.toSet
+      assert(got == want, s"trial $trial")
+    }
+  }
+
   test("property: chunker windows tile every document with the exact stride") {
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(99)
