@@ -180,12 +180,15 @@ object ConverterQueries {
         .orderBy(col("s_nationkey"))
     },
 
-    // ORC sink contract (reference K1/K4/K5 + README.md:189): multi-part
-    // write under zlib, directory read-back merges parts losslessly.
+    // ORC sink contract (reference K1/K4/K5 + README.md:189): chunked
+    // write under zlib at the reference's own 50k-row chunk default
+    // (sh:192), directory read-back merges parts losslessly. (The
+    // many-tiny-parts variant is unit-spec'd; 75 deliberately undersized
+    // files would time ORC writer init, not conversion.)
     "conv_orc_roundtrip" -> { (s, d) =>
       val base = tmp(d, "orc")
       OrcSink.write(t(s, d, "orders"), base, "orders",
-        compression = "zlib", maxRecordsPerFile = 2000)
+        compression = "zlib", maxRecordsPerFile = 50000)
       OrcSink.read(s, s"$base/orders")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), dsumr(col("o_totalprice")).as("sum_price"))
