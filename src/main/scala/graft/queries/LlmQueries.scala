@@ -189,7 +189,7 @@ object LlmQueries {
     // transitive closure over the SAME pair definition.
     "dedup_clusters" -> { (s, d) =>
       val pairs = Dedup.ngramJaccardPairs(
-        t(s, d, "documents").filter(col("doc_id") < 150), "doc_id", "text",
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
         n = 5, threshold = 0.25)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
@@ -620,7 +620,7 @@ object LlmQueries {
     "dedup_clusters" ->
       """WITH RECURSIVE n AS (
         | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
-        | FROM documents WHERE doc_id < 150),
+        | FROM documents WHERE doc_id < 100),
         |s AS (
         | SELECT DISTINCT doc_id, substr(t, i.i, 5) AS g
         | FROM n, generate_series(1, 600) i(i)
