@@ -40,7 +40,7 @@ object SparkEntry {
     "q13_events_hourly",
     "q18_large_orders",
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
-    "q28_user_sessions",
+    "q28_user_sessions", "pipeline_split",
     "stream_hourly_agg", "conv_stream_orc",
     "text_stats", "text_bpe_tokens", "text_tfidf_top",
     "dedup_exact_docs", "dedup_minhash_full",

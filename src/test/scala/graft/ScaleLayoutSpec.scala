@@ -85,6 +85,25 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"sessionize should shuffle once on the key, found $nExchanges:\n${sessPlan.take(600)}")
   }
 
+  test("plan contracts: tf-idf prunes top-k map-side; split is scan-fused") {
+    // tf-idf must plan a WindowGroupLimit BELOW the window exchange (map-side
+    // per-doc top-k pruning) and broadcast the doc-frequency side
+    val tfidfPlan = SparkEntry.queries("text_tfidf_top")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(tfidfPlan.contains("WindowGroupLimit"),
+      s"tf-idf should prune top-k before the window exchange:\n${tfidfPlan.take(600)}")
+    assert(tfidfPlan.contains("BroadcastHashJoin"),
+      s"doc-frequency side should broadcast:\n${tfidfPlan.take(600)}")
+
+    // split assignment must be a pure per-row expression: no Exchange until
+    // the caller aggregates
+    val splitPlan = graft.operators.Sampling
+      .trainValTestSplit(Tables.t(spark, sf, "documents"), col("text"), 0.8, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"),
+      s"split must not shuffle:\n${splitPlan.take(600)}")
+  }
+
   test("Sessionize rejects inputs that already carry session_idx") {
     val in = Tables.t(spark, sf, "events")
       .select(col("user_id"), col("ts"), lit(9L).as("session_idx"))
