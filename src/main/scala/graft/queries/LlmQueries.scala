@@ -152,6 +152,29 @@ object LlmQueries {
         .orderBy(col("lang_pred"))
     },
 
+    // Gopher-style repetition signal over word 2-grams: the fraction of a
+    // document's 2-grams occupied by its most frequent one. Explode ->
+    // (doc, gram) partial-agg -> per-doc max/total; the only shuffle is the
+    // gram-keyed exchange with map-side combine. Docs with <2 tokens have no
+    // 2-grams and drop out (matching the oracle's unnest), so the per-doc
+    // division is never 0/0.
+    "text_dup_ngrams" -> { (s, d) =>
+      val toks = split(TextAnalysis.normText(lower(col("text"))), " ")
+      val n = greatest(size(toks) - 1, lit(0))
+      val grams = zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+        (a, b) => concat_ws(" ", a, b))
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(grams).as("gram"))
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_2grams"), max(col("c")).as("top_count"))
+        .select(col("doc_id"), col("n_2grams"), col("top_count"),
+          round(col("top_count").cast("double") / col("n_2grams"), 4)
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // BPE-ish subword tokenization: alnum runs + individual punctuation
     // (the pre-tokenization split every BPE implementation starts from).
     "text_bpe_tokens" -> { (s, d) =>
@@ -437,6 +460,26 @@ object LlmQueries {
         | ROUND(CAST(length(text) - length(translate(text, '#*>=_~|', '')) AS DOUBLE)
         |       / GREATEST(length(text), 1), 4) AS symbol_frac
         |FROM x""".stripMargin,
+
+    // DuckDB generate_series(1, 0) is empty (inclusive bounds, start>stop),
+    // mirroring the Spark side's zero-length slices for <2-token docs.
+    // SUM over BIGINT widens to HUGEINT in DuckDB -> cast back.
+    "text_dup_ngrams" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |g AS (
+        | SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                        i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        | FROM n),
+        |c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        | CAST(SUM(c) AS BIGINT) AS n_2grams,
+        | MAX(c) AS top_count,
+        | ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 4) AS dup_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_top_terms" ->
       """WITH toks AS (
