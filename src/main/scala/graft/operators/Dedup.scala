@@ -394,4 +394,90 @@ object Dedup {
   def exactDedupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Keeps one canonical document per near-dup cluster: resolve `pairs`
+    * to connected components, then drop every member that is not its
+    * cluster's min id. Documents never appearing in `pairs` pass through
+    * untouched. The corpus side is one left-anti hash join against the
+    * (pair-bounded, id-only) drop set — `df` itself is never collected,
+    * so a 100 TB corpus streams through with a single shuffle-free probe
+    * when the drop set broadcasts. */
+  def keepCanonical(df: DataFrame, pairs: DataFrame, idCol: String,
+      aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val drop = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
+  /** Incremental exact dedup — the production pattern for a corpus that
+    * grows batch by batch: of the `batch` docs, keep the min-`idCol` copy
+    * of each distinct normalized text, then drop those whose fingerprint
+    * already exists in `corpus`. The corpus reduces to a distinct-
+    * fingerprint projection feeding a left-anti join, so an existing
+    * 100 TB corpus costs one column scan + hash-distinct per batch and is
+    * never rewritten. Output: the surviving batch rows + their `fp`. */
+  def incrementalDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    require(!batch.columns.contains("fp"),
+      "batch already contains the output column fp")
+    val corpusFp = corpus
+      .select(TextAnalysis.fingerprint(col(textCol)).as("fp")).distinct()
+    val inBatchKeep = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col(idCol))
+    batch.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(inBatchKeep))
+      .filter(col("rn") === 1).drop("rn")
+      .join(corpusFp, Seq("fp"), "left_anti")
+  }
+
+  // ------------------------------------------------------------------
+  // Exact substring-span dedup
+  // ------------------------------------------------------------------
+
+  /** Pairs of documents sharing at least one exact run of `spanTokens`
+    * consecutive tokens — the exact-substring dedup pass of large-corpus
+    * training pipelines (cf. Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", ACL'22, who build suffix arrays; here
+    * re-expressed as a distributed window-hash equi-join: each document
+    * emits one 64-bit `xxhash64` per token window, pairs emerge from a
+    * hash-keyed shuffle join — never an all-pairs compare, so the plan is
+    * the same shape Spark already scales for any equi-join).
+    *
+    * `maxDf` (document-frequency cap) drops windows occurring in more
+    * than that many documents before the pair join. A window shared by f
+    * documents contributes f·(f-1)/2 pairs, so corpus-wide boilerplate
+    * (headers, license blocks) makes the join output quadratic in its
+    * frequency; such spans indicate boilerplate to strip, not duplicated
+    * content. 0 = uncapped.
+    *
+    * Output: (a_id, b_id, n_shared_spans) with a_id < b_id and
+    * n_shared_spans = number of DISTINCT shared windows. */
+  def spanPairs(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, maxDf: Int = 0): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val toks = split(TextAnalysis.normText(col(textCol)), " ")
+    val nWin = size(toks) - (spanTokens - 1)
+    // Guarded: Spark's sequence(1, 0) DESCENDS ([1, 0]); a doc shorter
+    // than the span must yield an empty window set, not a crash.
+    val spans = when(nWin >= 1,
+        array_distinct(transform(sequence(lit(1), greatest(nWin, lit(1))),
+          i => xxhash64(concat_ws(" ", slice(toks, i, lit(spanTokens)))))))
+      .otherwise(array().cast("array<bigint>"))
+    val dw = df.select(col(idCol).as("id"), explode(spans).as("h"))
+    val kept =
+      if (maxDf <= 0) dw
+      else {
+        // df-filter is itself a scalable partial-agg + semi-join, and the
+        // count it produces is exact (dw is already distinct per doc).
+        val freq = dw.groupBy(col("h")).agg(count(lit(1)).as("df_h"))
+          .filter(col("df_h") <= maxDf).select(col("h"))
+        dw.join(freq, Seq("h"), "left_semi")
+      }
+    kept.as("a")
+      .join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
 }

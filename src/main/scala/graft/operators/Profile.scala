@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Table profiling: one output row per profiled column with row / null /
+  * distinct counts and value bounds (bounds rendered as strings so the
+  * output schema is independent of the profiled column types) — the
+  * data-quality snapshot a pipeline takes before and after every
+  * transform stage.
+  *
+  * Scale design: all per-column aggregates are computed in ONE
+  * `Aggregate` over the table (a single scan, no per-column jobs or
+  * driver loops); the one-row result is then unpivoted driver-free with
+  * an `explode` of per-column structs. `exact` uses `count_distinct`,
+  * which Spark plans via Expand into a two-phase aggregate — exact but
+  * the shuffle carries one stream per distinct aggregate. `approx` swaps
+  * in HLL++ `approx_count_distinct` (one ordinary partial-agg pass,
+  * fixed-size sketch per column), the right profile for a 100 TB table
+  * where ±2 % on cardinality is fine.
+  */
+object Profile {
+
+  /** Exact per-column profile of `cols`. Output:
+    * (col_name, n_rows, n_nulls, n_distinct, min_v, max_v). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols, exactDistinct = true)
+
+  /** Same shape with approximate distinct counts (HLL++, default rsd). */
+  def approx(df: DataFrame, cols: Seq[String]): DataFrame =
+    profile(df, cols, exactDistinct = false)
+
+  private def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in input: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        (if (exactDistinct) count_distinct(col(c))
+         else approx_count_distinct(col(c))).as(s"${c}__nd"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__nn").as("nn"),
+        col(s"${c}__nd").as("nd"), col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"))
+    }
+    one.select(col("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("p.nn")).as("n_nulls"),
+        col("p.nd").as("n_distinct"), col("p.min_v"), col("p.max_v"))
+  }
+}

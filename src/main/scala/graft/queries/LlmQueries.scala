@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Profile, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators under the correctness gate.
   *
@@ -197,6 +197,27 @@ object LlmQueries {
         .orderBy(col("fp"))
     },
 
+    // Exact-substring pass: pairs sharing a full 8-token window, via a
+    // window-hash equi-join (never all-pairs). Oracle joins the literal
+    // span text where Spark joins its xxhash64 — identical answers
+    // because the hash only stands in for span equality.
+    "dedup_span_exact" -> { (s, d) =>
+      Dedup.spanPairs(t(s, d, "documents"), "doc_id", "text", spanTokens = 8)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Batch-over-corpus incremental dedup: docs 400+ arrive as the new
+    // batch, everything before is the standing corpus; in-batch dup copies
+    // and batch docs already present in the corpus are dropped.
+    "dedup_incremental" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.incrementalDedup(
+          docs.filter(col("doc_id") >= 400),
+          docs.filter(col("doc_id") < 400), "doc_id", "text")
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     "dedup_ngram_jaccard" -> { (s, d) =>
       Dedup.ngramJaccardPairs(
           t(s, d, "documents").filter(col("doc_id") < 60), "doc_id", "text",
@@ -215,6 +236,26 @@ object LlmQueries {
         t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
         n = 5, threshold = 0.25)
       Dedup.connectedComponents(pairs).orderBy(col("id"))
+    },
+
+    // Clusters -> filtered corpus: the end of the dedup funnel. Same pair
+    // definition as dedup_clusters; each cluster's min-id doc survives,
+    // every other member is dropped, untouched docs pass through.
+    "dedup_keep_canonical" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.25)
+      Dedup.keepCanonical(docs, pairs, "doc_id")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // One-scan table profile (null/distinct/bounds per column) — the
+    // before/after data-quality snapshot of every pipeline stage.
+    "profile_documents" -> { (s, d) =>
+      Profile.exact(t(s, d, "documents"),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy(col("col_name"))
     },
 
     "dedup_embedding_cosine" -> { (s, d) =>
@@ -638,6 +679,35 @@ object LlmQueries {
         |FROM documents
         |GROUP BY 1""".stripMargin,
 
+    // Spans joined by literal text where Spark joins xxhash64(span) —
+    // equal answers because the hash only stands in for span equality.
+    // DISTINCT mirrors the Spark side's array_distinct per doc.
+    "dedup_span_exact" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT DISTINCT doc_id,
+        |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM n, generate_series(1, 200) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |p AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS n_shared_spans
+        | FROM w a JOIN w b ON a.span = b.span AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2)
+        |SELECT a_id, b_id, n_shared_spans FROM p ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH n AS (
+        | SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |b AS (SELECT fp, MIN(doc_id) AS doc_id FROM n WHERE doc_id >= 400 GROUP BY 1)
+        |SELECT doc_id, fp FROM b
+        |WHERE NOT EXISTS (
+        | SELECT 1 FROM n c WHERE c.doc_id < 400 AND c.fp = b.fp)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram_jaccard" ->
       """WITH n AS (
         | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
@@ -685,6 +755,59 @@ object LlmQueries {
         | SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u)
         |SELECT CAST(u AS BIGINT) AS id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY u""".stripMargin,
+
+    // Same recursive closure as dedup_clusters, then the actual drop:
+    // non-min cluster members go, untouched docs stay.
+    "dedup_keep_canonical" ->
+      """WITH RECURSIVE n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id < 100),
+        |s AS (
+        | SELECT DISTINCT doc_id, substr(t, i.i, 5) AS g
+        | FROM n, generate_series(1, 600) i(i)
+        | WHERE i.i <= GREATEST(length(t) - 4, 1)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY 1),
+        |ip AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT a_id, b_id FROM ip
+        | JOIN ds na ON na.doc_id = a_id
+        | JOIN ds nb ON nb.doc_id = b_id
+        | WHERE inter / (na.nsh + nb.nsh - inter) >= 0.25),
+        |und AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(u, v) AS (
+        | SELECT u, v FROM und
+        | UNION
+        | SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+        |drop_ids AS (
+        | SELECT u AS id FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) <> u)
+        |SELECT doc_id, md5(t) AS fp FROM n
+        |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+        |ORDER BY doc_id""".stripMargin,
+
+    // One UNION ALL branch per profiled column; min/max rendered VARCHAR
+    // to match the Spark side's type-independent output schema.
+    "profile_documents" ->
+      """WITH d AS (SELECT * FROM documents)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v FROM (
+        | SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct,
+        |  CAST(MIN(doc_id) AS VARCHAR) AS min_v, CAST(MAX(doc_id) AS VARCHAR) AS max_v FROM d
+        | UNION ALL
+        | SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+        |  MIN(text), MAX(text) FROM d
+        | UNION ALL
+        | SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang), COUNT(DISTINCT lang),
+        |  MIN(lang), MAX(lang) FROM d
+        | UNION ALL
+        | SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |  MIN(source), MAX(source) FROM d
+        | UNION ALL
+        | SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
+        |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM d
+        |) ORDER BY col_name""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v

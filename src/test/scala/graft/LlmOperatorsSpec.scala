@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Profile, Similarity, TextAnalysis}
 
 /** Planted-duplicate verification for the hash-based operators the DuckDB
   * oracle can't mirror (xxhash64-based MinHash/SimHash/LSH), plus unit
@@ -411,5 +411,98 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       col("embedding").cast("array<double>"),
       col("embedding").cast("array<double>")).as("c")).collect()(0).getDouble(0)
     assert(math.abs(c - 1.0) < 1e-12)
+  }
+
+  // ---- exact substring-span dedup ----
+
+  test("spanPairs finds a planted shared span and counts distinct windows") {
+    val run = (1 to 10).map(i => s"w$i").mkString(" ") // 10 shared tokens
+    val docs = Seq(
+      (1L, s"intro alpha $run tail one"),
+      (2L, s"other beta start $run closing words two"),
+      (3L, "completely different text with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanPairs(docs, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a 10-token shared run has 3 distinct 8-token windows
+    assert(got.toSeq == Seq((1L, 2L, 3L)))
+  }
+
+  test("spanPairs: docs shorter than the span yield no windows, no crash") {
+    val docs = Seq((1L, "just three tokens"), (2L, "just three tokens"),
+      (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.spanPairs(docs, "doc_id", "text", spanTokens = 8).count() == 0)
+  }
+
+  test("spanPairs maxDf drops corpus-wide boilerplate spans") {
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    // every doc carries the boilerplate span; only 1 and 2 share real content
+    val real = (1 to 8).map(i => s"r$i").mkString(" ")
+    val docs = (1L to 6L).map { i =>
+      val body = if (i <= 2) real else s"unique$i " + (1 to 7).map(j => s"u${i}_$j").mkString(" ")
+      (i, s"$boiler $body")
+    }.toDF("doc_id", "text")
+    val uncapped = Dedup.spanPairs(docs, "doc_id", "text", spanTokens = 8)
+      .count()
+    assert(uncapped == 15, "uncapped: all 6-choose-2 pairs via boilerplate")
+    val capped = Dedup.spanPairs(docs, "doc_id", "text", spanTokens = 8, maxDf = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq == Seq((1L, 2L)), "capped: only the real shared content")
+  }
+
+  // ---- cluster resolution -> canonical keep ----
+
+  test("keepCanonical keeps min-id per cluster and passes untouched docs") {
+    val docs = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val kept = Dedup.keepCanonical(docs, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // cluster {1,2,3} -> keep 1; {5,6} -> keep 5; 4 untouched
+    assert(kept == Seq(1L, 4L, 5L))
+  }
+
+  // ---- incremental dedup ----
+
+  test("incrementalDedup drops corpus-known and in-batch duplicate texts") {
+    val corpus = Seq((1L, "known text"), (2L, "other known")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "known  text"),   // dup of corpus doc 1 modulo whitespace
+      (11L, "fresh content"),
+      (12L, "fresh content"), // in-batch dup, higher id loses
+      (13L, "more new stuff")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, corpus, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(11L, 13L))
+  }
+
+  // ---- table profile ----
+
+  test("Profile.exact computes per-column null/distinct/bounds in one scan") {
+    val df = Seq(
+      (1L, Some("a"), 10),
+      (2L, None, 10),
+      (3L, Some("c"), 30)
+    ).toDF("id", "s", "v")
+    val p = Profile.exact(df, Seq("id", "s", "v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq.sortBy(_._1)
+    assert(p == Seq(
+      ("id", 3L, 0L, 3L, "1", "3"),
+      ("s", 3L, 1L, 2L, "a", "c"),
+      ("v", 3L, 0L, 2L, "10", "30")))
+    // one-pass contract: a single scan of the input feeds the profile
+    val scans = Profile.exact(df, Seq("id", "s", "v"))
+      .queryExecution.executedPlan.collectLeaves().size
+    assert(scans == 1, s"profile must read the table once, saw $scans scans")
+  }
+
+  test("Profile.approx matches exact on a small table (HLL exact regime)") {
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("id", "s")
+    val ex = Profile.exact(df, Seq("id", "s")).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    val ap = Profile.approx(df, Seq("id", "s")).collect()
+      .map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(ex == ap)
   }
 }
