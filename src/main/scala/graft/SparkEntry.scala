@@ -44,7 +44,8 @@ object SparkEntry {
     "stream_hourly_agg", "conv_stream_orc",
     "text_stats", "text_bpe_tokens", "text_tfidf_top",
     "dedup_exact_docs", "dedup_minhash_full",
-    "dedup_simhash_full", "dedup_clusters",
+    "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
+    "dedup_incremental", "profile_documents",
     "emb_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_bucketed_join")

@@ -456,14 +456,13 @@ object Dedup {
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, maxDf: Int = 0): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    val toks = split(TextAnalysis.normText(col(textCol)), " ")
-    val nWin = size(toks) - (spanTokens - 1)
-    // Guarded: Spark's sequence(1, 0) DESCENDS ([1, 0]); a doc shorter
-    // than the span must yield an empty window set, not a crash.
-    val spans = when(nWin >= 1,
-        array_distinct(transform(sequence(lit(1), greatest(nWin, lit(1))),
-          i => xxhash64(concat_ws(" ", slice(toks, i, lit(spanTokens)))))))
-      .otherwise(array().cast("array<bigint>"))
+    // Window hashing is the per-row hot loop -> native compiled expression
+    // (graft.functions.SpanHashes); the HOF formulation
+    // (transform(sequence) + slice + concat_ws) evaluates interpreted and
+    // was ~8x this probe's cost at sf0.1. Docs shorter than the span
+    // yield an empty window set.
+    val spans = graft.functions.SpanHashes.spanHashes(
+      TextAnalysis.normText(col(textCol)), spanTokens)
     val dw = df.select(col(idCol).as("id"), explode(spans).as("h"))
     val kept =
       if (maxDf <= 0) dw

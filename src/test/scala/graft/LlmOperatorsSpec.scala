@@ -428,6 +428,30 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq == Seq((1L, 2L, 3L)))
   }
 
+  test("SpanHashes matches a naive split-based reference on varied inputs") {
+    def naive(s: String, span: Int): Set[Long] = {
+      val toks = s.trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < span) Set.empty
+      else toks.sliding(span).map { w =>
+        val str = w.mkString(" ")
+        var h = 0xcbf29ce484222325L
+        str.foreach(c => h = (h ^ c) * 0x100000001b3L)
+        var x = h
+        x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+        x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+        x ^= x >>> 33
+        x
+      }.toSet
+    }
+    val cases = Seq("", "one", "a b", "a b c", "a b c d e f g h i j",
+      "x y x y x y x y", ("tok " * 50).trim)
+    for (s <- cases; span <- Seq(2, 3, 8)) {
+      val norm = s.trim.replaceAll("\\s+", " ")
+      val got = graft.functions.SpanHashes.compute(norm, span).toSet
+      assert(got == naive(norm, span), s"mismatch for '$s' span=$span")
+    }
+  }
+
   test("spanPairs: docs shorter than the span yield no windows, no crash") {
     val docs = Seq((1L, "just three tokens"), (2L, "just three tokens"),
       (3L, ""), (4L, "   ")).toDF("doc_id", "text")
