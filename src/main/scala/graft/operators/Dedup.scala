@@ -207,12 +207,14 @@ object Dedup {
   // ------------------------------------------------------------------
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * xxhash64s, folded into one long. Runs in the native one-pass
+    * hashes, folded into one long. Runs in the native one-pass
     * [[graft.functions.SimHash64Expr]] — the higher-order-function
     * formulation ([[simhash64Hof]]) evaluates O(tokens x 64) interpreted
-    * lambda applications per row. */
-  def simhash64(c: Column): Column =
-    graft.functions.SimHash64Expr.simhash64Norm(TextAnalysis.normText(c))
+    * lambda applications per row. `portable = true` swaps the token hash
+    * from xxhash64 to MD5-low-64 so the signature is reproducible by
+    * other engines (the correctness oracle recomputes it in DuckDB). */
+  def simhash64(c: Column, portable: Boolean = false): Column =
+    graft.functions.SimHash64Expr.simhash64Norm(TextAnalysis.normText(c), portable)
 
   /** Reference `functions._` formulation of [[simhash64]], kept as the
     * equivalence oracle for the native expression's spec (and as the
@@ -242,11 +244,12 @@ object Dedup {
     * blocks > maxDistance (more blocks = smaller slices = bigger buckets,
     * the standard recall/cost dial). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDistance: Int, blocks: Int = 4): DataFrame = {
+                   maxDistance: Int, blocks: Int = 4,
+                   portable: Boolean = false): DataFrame = {
     require(64 % blocks == 0, "blocks must divide 64")
     val width = 64 / blocks
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val sig = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sig = df.select(col(idCol).as("id"), simhash64(col(textCol), portable).as("sig"))
     val blocked = sig.select(col("id"), col("sig"),
       explode(array((0 until blocks).map(q =>
         struct(lit(q).as("q"),

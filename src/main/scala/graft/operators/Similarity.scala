@@ -205,6 +205,32 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))
   }
 
+  /** Recall-at-k gate: for each query, how many of `approx`'s returned
+    * neighbors are of near-top-k QUALITY — i.e. score at least the exact
+    * k-th best score minus `eps` for that query (score-based matching with
+    * slack, the standard epsilon-recall ANN quality measure; it is immune
+    * to equal-score tie ordering between the approximate and exact
+    * rankings). Emits one row per query id in `exact`:
+    * (query_id, recall_ok = hits >= minHits).
+    *
+    * Both inputs are in the bruteForceTopK output shape. With a fixed seed
+    * the approximate result is fully deterministic (hashes are
+    * partition-count-invariant), so on a fixed corpus `recall_ok` is a
+    * deterministic boolean the correctness oracle can pin to `true` — this
+    * turns the rows-only ANN probes into hard oracle gates. */
+  def recallGate(approx: DataFrame, exact: DataFrame, minHits: Int,
+                 eps: Double = 0.0): DataFrame = {
+    val kth = exact.groupBy(col("query_id"))
+      .agg(min(col("score")).as("kth_score"))
+    val hits = approx.join(kth, Seq("query_id"))
+      .filter(col("score") >= col("kth_score") - eps)
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    kth.join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (coalesce(col("hits"), lit(0L)) >= minHits).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** All embedding pairs with cosine >= threshold (near-dup detection by
     * embedding). Brute-force all-pairs: O(n²) BY DEFINITION, so the input
     * size is ENFORCED (`maxInputRows`, default 10k ≈ 50M comparisons) —

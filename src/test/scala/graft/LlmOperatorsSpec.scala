@@ -234,6 +234,46 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("portable SimHash: single-token signature IS the MD5-low-64 token hash") {
+    // With one token every bit votes exactly once, so the signature equals
+    // the token hash itself. The pinned value is DuckDB's
+    // CAST('0x' || substr(md5('hello'), 1, 16) AS UBIGINT) — the
+    // cross-engine contract the portable mode exists for.
+    val got = Seq("hello").toDF("t")
+      .select(Dedup.simhash64(col("t"), portable = true)).head().getLong(0)
+    assert(got == 0x5d41402abc4b2a76L, f"got 0x$got%016x")
+    // empty text = one empty token = md5("") low 64 = 0xd41d8cd98f00b204
+    val empty = Seq("").toDF("t")
+      .select(Dedup.simhash64(col("t"), portable = true)).head().getLong(0)
+    assert(empty == 0xd41d8cd98f00b204L, f"got 0x$empty%016x")
+  }
+
+  test("portable SimHash: near-dup structure matches default mode") {
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+      (2L, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq")).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", "text", maxDistance = 3,
+        portable = true)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("recallGate: exact vs itself passes at k; crippled approx fails") {
+    val brute = Similarity.bruteForceTopK(plantedVectors, "vec_id", "embedding",
+      _ < 3, k = 3)
+    val allOk = Similarity.recallGate(brute, brute, minHits = 3).collect()
+    assert(allOk.length == 3 && allOk.forall(_.getBoolean(1)))
+    // approx returning only rank-1 rows cannot meet minHits = 2
+    val crippled = brute.filter(col("rank") === 1)
+    val failed = Similarity.recallGate(crippled, brute, minHits = 2).collect()
+    assert(failed.length == 3 && failed.forall(!_.getBoolean(1)))
+    // eps slack counts near-top-k-quality neighbors
+    val okWithEps = Similarity.recallGate(crippled, brute, minHits = 1, eps = 0.0)
+      .collect()
+    assert(okWithEps.forall(_.getBoolean(1)))
+  }
+
   // ---- similarity search ----
 
   private def plantedVectors = {
