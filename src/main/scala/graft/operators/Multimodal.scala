@@ -7,10 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * with per-partition feature extraction.
   *
-  * Real multimodal corpora carry image/audio/video bytes; this container
-  * has no media codecs, so the DECODE STEP IS A DETERMINISTIC STUB
-  * (identity over bytes) — clearly marked below. Everything around it is
-  * the real Spark plumbing a 100 TB pipeline needs and is tested:
+  * The decode step is REAL for images: [[imageDecoder]] sniffs the payload
+  * magic and decodes PNG/BMP through the pure-JVM `javax.imageio` codecs
+  * (present in every JRE — no new dependency) into a deterministic
+  * `[w][h][RGB...]` byte layout. Payloads that are not a supported image
+  * format (e.g. the text/plain fixtures) fall back to the identity
+  * mapping, so byte-level plumbing keeps working for arbitrary media.
+  * Audio/video codecs are not in the JRE; those payloads take the
+  * identity path and a production pipeline passes its own codec as the
+  * `decode` parameter. Everything around the decode is the real Spark
+  * plumbing a 100 TB pipeline needs and is tested:
   *  - `binary` payload column + `struct` metadata through scan/shuffle/sink;
   *  - batched per-partition extraction via `mapPartitions` (one iterator
   *    per task — the Scala analogue of `mapInPandas`: amortizes model/codec
@@ -41,11 +47,124 @@ object Multimodal {
     * literal or a static method reference is). */
   type Decoder = Array[Byte] => Array[Byte]
 
-  /** STUB DECODER (the default) — stands in for image/audio decode.
-    * Deterministic identity: a real pipeline passes its codec call as the
-    * `decode` parameter of [[sampleFrames]]/[[resizePayloads]]/
-    * [[extractFeatures]] and keeps everything else unchanged. */
+  /** Identity decoder — the fallback for payload formats without a JRE
+    * codec (plain text, audio, video). A real pipeline passes its codec
+    * call as the `decode` parameter of [[sampleFrames]]/
+    * [[resizePayloads]]/[[extractFeatures]] and keeps everything else
+    * unchanged. */
   val identityDecoder: Decoder = payload => payload
+
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
+  private def isBmp(b: Array[Byte]): Boolean =
+    b.length > 2 && b(0) == 'B' && b(1) == 'M'
+
+  /** REAL image decoder (the default `decode`): payloads carrying a PNG or
+    * BMP magic number decode through the pure-JVM `javax.imageio` codecs
+    * into the deterministic layout
+    * `[width int32 BE][height int32 BE][R G B per pixel, row-major]` —
+    * PNG/BMP decoding is lossless, so the pixel bytes are identical on any
+    * JVM and the correctness oracle can predict them exactly. Anything
+    * else (unsupported format, corrupt image) falls back to the identity
+    * mapping rather than failing the task: at corpus scale a few broken
+    * payloads must not kill a 10-hour job, and the fallback keeps the
+    * byte-level plumbing total. */
+  val imageDecoder: Decoder = payload => {
+    if (!isPng(payload) && !isBmp(payload)) payload
+    else {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) payload
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](8 + 3 * w * h)
+        out(0) = (w >> 24).toByte; out(1) = (w >> 16).toByte
+        out(2) = (w >> 8).toByte; out(3) = w.toByte
+        out(4) = (h >> 24).toByte; out(5) = (h >> 16).toByte
+        out(6) = (h >> 8).toByte; out(7) = h.toByte
+        var idx = 8
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(idx) = ((rgb >> 16) & 0xFF).toByte
+            out(idx + 1) = ((rgb >> 8) & 0xFF).toByte
+            out(idx + 2) = (rgb & 0xFF).toByte
+            idx += 3
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Deterministic grayscale PNG encoder for fixtures/gates: pixel index
+    * `i = y*w + x` gets gray level `gray(i)` (masked to 0..255) in all
+    * three channels. Uses the JRE's own PNG writer, so the
+    * [[imageDecoder]] round-trip exercises the real codec path end to
+    * end. */
+  def synthPng(w: Int, h: Int, gray: Int => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = gray(y * w + x) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val imageStatsSchema = StructType(
+    StructField("doc_id", LongType, nullable = false) +:
+      StructField("width", LongType, nullable = false) +:
+      StructField("height", LongType, nullable = false) +:
+      (0 until 16).map(b => StructField(s"c$b", LongType, nullable = false)))
+
+  /** Decoded-image statistics: runs [[imageDecoder]] on each payload,
+    * parses the `[w][h][RGB...]` layout, and emits the dimensions plus the
+    * exact 16-bin high-nibble histogram of the PIXEL bytes — the
+    * oracle-checkable core of image feature extraction (the gate
+    * synthesizes formulaic PNGs whose pixel distribution SQL can predict).
+    * Rows whose payload did not decode to the image layout (identity
+    * fallback) emit width = height = -1 with the histogram over the raw
+    * payload bytes. */
+  def decodeImageStats(spark: SparkSession, mm: DataFrame,
+                       decode: Decoder = imageDecoder): DataFrame = {
+    val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val raw = r.getAs[Array[Byte]](1)
+        val dec = decode(raw)
+        val decoded = !(dec eq raw) && dec.length >= 8
+        val (w, h, from) =
+          if (decoded) {
+            val w0 = ((dec(0) & 0xFF) << 24) | ((dec(1) & 0xFF) << 16) |
+              ((dec(2) & 0xFF) << 8) | (dec(3) & 0xFF)
+            val h0 = ((dec(4) & 0xFF) << 24) | ((dec(5) & 0xFF) << 16) |
+              ((dec(6) & 0xFF) << 8) | (dec(7) & 0xFF)
+            (w0.toLong, h0.toLong, 8)
+          } else (-1L, -1L, 0)
+        val hist = new Array[Long](16)
+        var i = from
+        while (i < dec.length) { hist((dec(i) & 0xFF) >> 4) += 1L; i += 1 }
+        Row.fromSeq(id +: w +: h +: hist.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, imageStatsSchema)
+  }
 
   private val frameSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
@@ -61,7 +180,7 @@ object Multimodal {
     * byte counts, so the correctness gate mirrors it in SQL. */
   def sampleFrames(spark: SparkSession, mm: DataFrame,
                    frameBytes: Int = 256, maxFrames: Int = 8,
-                   decode: Decoder = identityDecoder): DataFrame = {
+                   decode: Decoder = imageDecoder): DataFrame = {
     require(frameBytes > 0 && maxFrames > 0)
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.flatMap { r =>
@@ -85,7 +204,7 @@ object Multimodal {
     * to match — the metadata-consistency contract a real resizer must
     * keep. Deterministic, so the spec pins outputs across runs. */
   def resizePayloads(spark: SparkSession, mm: DataFrame, targetBytes: Int,
-                     decode: Decoder = identityDecoder): DataFrame = {
+                     decode: Decoder = imageDecoder): DataFrame = {
     require(targetBytes >= 0)
     // output shape == input shape: derive the schema from the input so the
     // meta struct contract lives in ONE place (toMultimodal); only the
@@ -120,7 +239,7 @@ object Multimodal {
     * Integer counts hash-match across engines; normalized float32 division
     * would drift in the last ulp. */
   def byteHistogram(spark: SparkSession, mm: DataFrame,
-                    decode: Decoder = identityDecoder): DataFrame = {
+                    decode: Decoder = imageDecoder): DataFrame = {
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = decode(r.getAs[Array[Byte]](1))
@@ -137,7 +256,7 @@ object Multimodal {
     * histogram per payload (a deterministic fake "embedding" with the same
     * shape/cost profile as a features head). */
   def extractFeatures(spark: SparkSession, mm: DataFrame,
-                      decode: Decoder = identityDecoder): DataFrame = {
+                      decode: Decoder = imageDecoder): DataFrame = {
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       // per-partition init happens here (codec/model load in a real pipeline)
       it.map { r =>

@@ -85,6 +85,29 @@ object PipelineQueries {
     "multimodal_features" -> { (s, d) =>
       val mm = Multimodal.toMultimodal(t(s, d, "documents"))
       Multimodal.byteHistogram(s, mm).orderBy(col("doc_id"))
+    },
+
+    // REAL codec gate: synthesize a formulaic grayscale PNG per doc (the
+    // JRE's own PNG writer), decode it back through the javax.imageio
+    // codec in Multimodal.imageDecoder, and emit dimensions + the exact
+    // 16-bin histogram of the decoded pixel bytes. PNG is lossless, so
+    // the oracle predicts every count analytically from the pixel formula
+    // gray(i) = (doc_id*31 + i) mod 256 — if the decode path ever stops
+    // reproducing the encoded pixels bit-for-bit, the hash mismatches.
+    "multimodal_decode" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 200).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.map { r =>
+        val id = r.getLong(0)
+        val w = 4 + (id % 5).toInt
+        val h = 3 + (id % 7).toInt
+        Row(id, Multimodal.synthPng(w, h, i => ((id * 31 + i) % 256).toInt))
+      }, schema)
+      Multimodal.decodeImageStats(s, payloads).orderBy(col("doc_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -146,6 +169,27 @@ object PipelineQueries {
          |SELECT doc_id, n_bytes,
          | $bins
          |FROM m""".stripMargin
+    },
+
+    // The decoded-PNG pixel stream is fully predicted by the synthesis
+    // formula: pixel i of doc d is gray level (d*31 + i) mod 256 in all
+    // three RGB channels, so bin b's count is 3x the count of pixel
+    // indexes whose gray level has high nibble b.
+    "multimodal_decode" -> {
+      val bins = (0 until 16).map { b =>
+        s"CAST(3 * COUNT(*) FILTER (WHERE nib = $b) AS BIGINT) AS c$b"
+      }.mkString(",\n ")
+      s"""WITH px AS (
+         | SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+         | FROM documents WHERE doc_id < 200),
+         |e AS (
+         | SELECT doc_id, w, h, unnest(generate_series(0, w*h - 1)) AS i
+         | FROM px),
+         |v AS (SELECT doc_id, w, h, ((doc_id*31 + i) % 256) // 16 AS nib FROM e)
+         |SELECT doc_id, CAST(MAX(w) AS BIGINT) AS width,
+         | CAST(MAX(h) AS BIGINT) AS height,
+         | $bins
+         |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     // streaming first-occurrence dedup on key columns == batch DISTINCT

@@ -159,4 +159,63 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(math.abs(v.sum - 1.0f) < 1e-3)
     }
   }
+
+  test("imageDecoder: PNG round-trip reproduces every pixel exactly") {
+    val w = 5; val h = 3
+    val png = Multimodal.synthPng(w, h, i => (i * 37 + 11) % 256)
+    val dec = Multimodal.imageDecoder(png)
+    assert(dec.length == 8 + 3 * w * h)
+    val gotW = java.nio.ByteBuffer.wrap(dec, 0, 4).getInt
+    val gotH = java.nio.ByteBuffer.wrap(dec, 4, 4).getInt
+    assert(gotW == w && gotH == h)
+    for (i <- 0 until w * h; c <- 0 until 3) {
+      val expected = ((i * 37 + 11) % 256).toByte
+      assert(dec(8 + 3 * i + c) == expected, s"pixel $i channel $c")
+    }
+  }
+
+  test("imageDecoder: BMP decodes; non-image and corrupt payloads fall back") {
+    // BMP through the same JRE codec
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val dec = Multimodal.imageDecoder(bos.toByteArray)
+    assert(dec.length == 8 + 12)
+    assert(dec.slice(8, 11).toSeq == Seq(0xFF.toByte, 0, 0)) // red first
+    // non-image payload: identity
+    val txt = "just some text".getBytes("UTF-8")
+    assert(Multimodal.imageDecoder(txt) eq txt)
+    // PNG magic but corrupt body: identity fallback, no exception
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      1, 2, 3, 4, 5)
+    assert(Multimodal.imageDecoder(corrupt) eq corrupt)
+  }
+
+  test("decodeImageStats: histogram over decoded pixels matches the formula") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = (0L until 10L).map { id =>
+      val w = 4 + (id % 5).toInt; val h = 3 + (id % 7).toInt
+      Row(id, Multimodal.synthPng(w, h, i => ((id * 31 + i) % 256).toInt))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+    val got = Multimodal.decodeImageStats(spark, df)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 10L) {
+      val w = 4 + (id % 5).toInt; val h = 3 + (id % 7).toInt
+      val r = got(id)
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      val expected = new Array[Long](16)
+      for (i <- 0 until w * h) expected((((id * 31 + i) % 256) >> 4).toInt) += 3L
+      val gotHist = (0 until 16).map(b => r.getLong(3 + b))
+      assert(gotHist == expected.toSeq, s"doc $id")
+    }
+  }
 }
