@@ -313,7 +313,9 @@ object SqlDumpSource {
 
   /** An INSERT statement: table name, the explicit column list when present
     * (names unquoted, dump order), and raw cell strings per row. A cell is
-    * None for SQL NULL, otherwise the unescaped literal text. */
+    * None for SQL NULL, otherwise the unescaped literal text; hex/binary
+    * literals (`0x4142`, `X'41'`) are carried as [[HexMarker]] + normalized
+    * digits and decoded by type at row materialization. */
   final case class InsertStmt(table: String, columns: Option[Seq[String]],
                               rows: Seq[Seq[Option[String]]])
 
@@ -356,24 +358,63 @@ object SqlDumpSource {
     rows.toSeq
   }
 
+  /** Internal cell marker for hex/binary literals (`0x4142`, `X'41'` —
+    * mysqldump emits the former for BLOB columns by default): the cell
+    * string is this prefix followed by the normalized (lowercase,
+    * even-length) hex digits, and [[castCell]] decodes it per the target
+    * type with MySQL semantics (bytes for BLOB/text, base-16 integer for
+    * numerics). The NUL-containing prefix cannot be produced by an
+    * unquoted token and no real dump text cell starts with it. */
+  private[graft] final val HexMarker = "\u0000hex\u0000:"
+
+  private def isHexCell(raw: String): Boolean = raw.startsWith(HexMarker)
+  private def hexDigits(raw: String): String = raw.substring(HexMarker.length)
+  private def hexToBytes(digits: String): Array[Byte] = {
+    val out = new Array[Byte](digits.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Integer.parseInt(digits.substring(2 * i, 2 * i + 2), 16).toByte
+      i += 1
+    }
+    out
+  }
+  private def normalizeHexDigits(d: String, context: String): String = {
+    require(d.forall(c => Character.digit(c, 16) >= 0),
+      s"malformed hex literal $context: non-hex digit in '$d'")
+    val lower = d.toLowerCase
+    if (lower.length % 2 == 0) lower else "0" + lower
+  }
+
   /** Parse one tuple body starting after '('; returns (cells, idx after ')'). */
   private def parseTuple(s: String, start: Int): (Seq[Option[String]], Int) = {
     val cells = ArrayBuffer.empty[Option[String]]
     val cur = new StringBuilder
     var quoted = false    // cell came from a quoted literal (keeps "" distinct from NULL)
     var i = start
+    val UnquotedHexRe = """(?i)0x([0-9a-f]+)""".r
     def flush(): Unit = {
       val raw = cur.toString
       val trimmed = raw.trim
       if (quoted) cells += Some(raw)
       else if (trimmed.equalsIgnoreCase("NULL")) cells += None
-      else cells += Some(trimmed)
+      else trimmed match {
+        case UnquotedHexRe(d) => cells += Some(HexMarker + normalizeHexDigits(d, trimmed))
+        case _ => cells += Some(trimmed)
+      }
       cur.clear(); quoted = false
     }
     var done = false
     while (i < s.length && !done) {
       val c = s.charAt(i)
       c match {
+        case '\'' if !quoted && cur.toString.trim.equalsIgnoreCase("x") =>
+          // X'4142' / x'4142' hex-string literal: the quoted content is raw
+          // hex digits (no escapes are legal inside), decoded like 0x4142
+          val tmp = new StringBuilder
+          i = consumeQuotedUnescaped(s, i, c, tmp)
+          cur.clear()
+          cur.append(HexMarker).append(normalizeHexDigits(tmp.toString, s"X'${tmp}'"))
+          quoted = true // verbatim through flush (never NULL, never re-trimmed)
         case '\'' | '"' =>
           // whitespace between the separator and the opening quote is not
           // part of the literal ("(1, 'b')" -> "b", not " b")
@@ -472,17 +513,31 @@ object SqlDumpSource {
       Row.fromSeq(vals.toIndexedSeq)
   }
 
-  private def castCell(raw: String, dt: DataType): Any = dt match {
-    case LongType => raw.trim.toLong
-    case DoubleType => raw.trim.toDouble
-    case _: DecimalType => new java.math.BigDecimal(raw.trim)
-    case DateType => java.sql.Date.valueOf(raw.trim)
-    case TimestampType => java.sql.Timestamp.valueOf(raw.trim)
-    case BooleanType =>
-      val t = raw.trim
-      t == "1" || t.equalsIgnoreCase("true")
-    case BinaryType => raw.getBytes(StandardCharsets.UTF_8)
-    case _ => raw
+  private def castCell(raw: String, dt: DataType): Any =
+    if (isHexCell(raw)) castHexCell(hexDigits(raw), dt)
+    else dt match {
+      case LongType => raw.trim.toLong
+      case DoubleType => raw.trim.toDouble
+      case _: DecimalType => new java.math.BigDecimal(raw.trim)
+      case DateType => java.sql.Date.valueOf(raw.trim)
+      case TimestampType => java.sql.Timestamp.valueOf(raw.trim)
+      case BooleanType =>
+        val t = raw.trim
+        t == "1" || t.equalsIgnoreCase("true")
+      case BinaryType => raw.getBytes(StandardCharsets.UTF_8)
+      case _ => raw
+    }
+
+  /** Hex literal (`0x4142` / `X'4142'`) per MySQL semantics: a binary
+    * string in string/binary context (mysqldump --hex-blob emits these for
+    * every BLOB/BINARY column), a base-16 integer in numeric context. */
+  private def castHexCell(digits: String, dt: DataType): Any = dt match {
+    case BinaryType => hexToBytes(digits)
+    case LongType => java.lang.Long.parseLong(digits, 16)
+    case DoubleType => new java.math.BigInteger(digits, 16).doubleValue()
+    case _: DecimalType => new java.math.BigDecimal(new java.math.BigInteger(digits, 16))
+    case BooleanType => new java.math.BigInteger(digits, 16).signum() != 0
+    case _ => new String(hexToBytes(digits), StandardCharsets.UTF_8)
   }
 
   // ---------------------------------------------------------------------

@@ -190,6 +190,55 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(rows.head == Seq(Some("point(1,2)"), Some("x")))
   }
 
+  test("hex literals: 0x... and X'...' tokenize as hex; quoted text does not") {
+    val rows = SqlDumpSource.parseInsert(
+      "INSERT INTO t VALUES (0x4142, X'00ff10', x'A', '0x41', 0xdead)").get.rows
+    val m = SqlDumpSource.HexMarker
+    assert(rows.head == Seq(Some(m + "4142"), Some(m + "00ff10"),
+      Some(m + "0a"), Some("0x41"), Some(m + "dead")))
+  }
+
+  test("hex literals decode per target type (MySQL semantics)") {
+    val schema = StructType(Seq(
+      StructField("b", BinaryType), StructField("n", LongType),
+      StructField("s", StringType)))
+    val m = SqlDumpSource.HexMarker
+    val row = SqlDumpSource.toTypedRow(
+      Seq(Some(m + "00ff10"), Some(m + "10"), Some(m + "4142")), schema)
+    assert(row.getAs[Array[Byte]](0).toSeq == Seq(0x00.toByte, 0xff.toByte, 0x10.toByte))
+    assert(row.getLong(1) == 16L)
+    assert(row.getString(2) == "AB")
+  }
+
+  test("BLOB column round-trips hex INSERT cells through the full parse") {
+    // mysqldump --hex-blob emits 0x... for every BLOB/BINARY column
+    val dir = Files.createTempDirectory("dumpspec-hex").toFile
+    val path = s"$dir/hex.sql"
+    val sql =
+      """CREATE TABLE `t` (`id` INT, `payload` BLOB, `note` VARCHAR(20));
+        |INSERT INTO `t` VALUES (1, 0x89504e470d0a1a0a, 'png magic');
+        |INSERT INTO `t` VALUES (2, X'CAFEBABE', NULL), (3, NULL, '0x6e6f74686578');
+        |""".stripMargin
+    Files.writeString(java.nio.file.Paths.get(path), sql)
+    for (distributed <- Seq(true, false)) {
+      val t = SqlDumpSource.parse(spark, path, Seq("all"), distributed)("t")
+      val got = t.collect().map(r => (r.getLong(0),
+        Option(r.getAs[Array[Byte]](1)).map(_.toSeq), Option(r.getString(2)))).toSet
+      assert(got == Set(
+        (1L, Some(Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)),
+          Some("png magic")),
+        (2L, Some(Seq(0xCA, 0xFE, 0xBA, 0xBE).map(_.toByte)), None),
+        // quoted text is NOT a hex literal — it survives verbatim
+        (3L, None, Some("0x6e6f74686578"))), s"distributed=$distributed")
+    }
+  }
+
+  test("malformed hex literal fails loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      SqlDumpSource.parseInsert("INSERT INTO t VALUES (X'zz')")
+    }
+  }
+
   test("typed rows: dates, timestamps, decimals, booleans") {
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("d", DateType),
