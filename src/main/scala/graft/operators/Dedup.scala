@@ -452,12 +452,15 @@ object Dedup {
     * documents contributes f·(f-1)/2 pairs, so corpus-wide boilerplate
     * (headers, license blocks) makes the join output quadratic in its
     * frequency; such spans indicate boilerplate to strip, not duplicated
-    * content. 0 = uncapped.
+    * content. The DEFAULT is capped at 1000 (≈0.5M pairs from a single
+    * maximal-frequency window — bounded even when nobody remembers the
+    * dial at corpus scale); pass 0 to opt out explicitly when the corpus
+    * is known boilerplate-free.
     *
     * Output: (a_id, b_id, n_shared_spans) with a_id < b_id and
     * n_shared_spans = number of DISTINCT shared windows. */
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
-      spanTokens: Int, maxDf: Int = 0): DataFrame = {
+      spanTokens: Int, maxDf: Int = 1000): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
     // Window hashing is the per-row hot loop -> native compiled expression
     // (graft.functions.SpanHashes); the HOF formulation

@@ -243,6 +243,19 @@ object LlmQueries {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
 
+    // Same pair graph FORCED through the distributed large-star/small-star
+    // path (smallGraphEdges = 0 disables the union-find cutover): both
+    // regimes must produce identical component-min labels at gate scale,
+    // proven against the same recursive-CTE oracle — the sf0.01 graphs
+    // otherwise sit under the 1M-edge dial and only specs would cover the
+    // shuffle-only path a 100 TB corpus actually runs.
+    "dedup_clusters_dist" -> { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(
+        t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
+        n = 5, threshold = 0.25)
+      Dedup.connectedComponents(pairs, smallGraphEdges = 0).orderBy(col("id"))
+    },
+
     // Clusters -> filtered corpus: the end of the dedup funnel. Same pair
     // definition as dedup_clusters; each cluster's min-id doc survives,
     // every other member is dropped, untouched docs pass through.
@@ -477,7 +490,12 @@ object LlmQueries {
         minHits = 4, eps = 0.02)
     })
 
-  def oracles: Map[String, String] = Map(
+  // the distributed-path probe must satisfy the SAME transitive-closure
+  // oracle as the union-find path — identical labels is the contract
+  def oracles: Map[String, String] =
+    baseOracles + ("dedup_clusters_dist" -> baseOracles("dedup_clusters"))
+
+  private def baseOracles: Map[String, String] = Map(
     "text_stats" ->
       """WITH n AS (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents)
         |SELECT doc_id,

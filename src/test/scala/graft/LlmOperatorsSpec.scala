@@ -506,7 +506,8 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       val body = if (i <= 2) real else s"unique$i " + (1 to 7).map(j => s"u${i}_$j").mkString(" ")
       (i, s"$boiler $body")
     }.toDF("doc_id", "text")
-    val uncapped = Dedup.spanPairs(docs, "doc_id", "text", spanTokens = 8)
+    val uncapped = Dedup.spanPairs(docs, "doc_id", "text", spanTokens = 8,
+        maxDf = 0) // explicit opt-out (the default caps at 1000)
       .count()
     assert(uncapped == 15, "uncapped: all 6-choose-2 pairs via boilerplate")
     val capped = Dedup.spanPairs(docs, "doc_id", "text", spanTokens = 8, maxDf = 3)
