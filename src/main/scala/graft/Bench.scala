@@ -60,16 +60,18 @@ object Bench {
       catch { case _: Throwable => () }
       quiesce(spark)
     }
-    // best-of-N per query (default 3): the first run pays
-    // file-listing/codegen, the min over the rest is the steady-state
-    // number a long-running cluster job would see. N=3 + a GC outside the
-    // timed window keeps back-to-back rounds within noise (JIT/GC jitter
-    // dominates sub-second queries on local[32]).
+    // Per-query timing: best-of-N (default 3) for queries at or above 1 s
+    // (the first run pays file-listing/codegen; the min over the rest is
+    // the steady-state number a long-running cluster job would see).
+    // Sub-second probes escalate to MEDIAN-of-5: on local[32] JIT/GC
+    // jitter is a +-20-30% band at that scale, and the median over five
+    // runs keeps back-to-back rounds within +-15% so round-over-round
+    // deltas are signal, not noise (BENCH_NOTES.md).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       var err: Option[String] = None
-      val times = (0 until runs).map { _ =>
+      def timedRun(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch { case e: Throwable =>
@@ -80,7 +82,14 @@ object Bench {
         System.gc()
         dt
       }
-      (name, times.min, err)
+      val base = (0 until runs).map(_ => timedRun())
+      val t =
+        if (base.min >= 1.0 || err.nonEmpty) base.min
+        else {
+          val five = base ++ (0 until math.max(0, 5 - runs)).map(_ => timedRun())
+          five.sorted.apply(five.length / 2)
+        }
+      (name, t, err)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
