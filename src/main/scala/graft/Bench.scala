@@ -86,8 +86,12 @@ object Bench {
       val t =
         if (base.min >= 1.0 || err.nonEmpty) base.min
         else {
-          val five = base ++ (0 until math.max(0, 5 - runs)).map(_ => timedRun())
-          five.sorted.apply(five.length / 2)
+          // drop the cold first sample (file-listing + codegen) and take
+          // the median of five warm runs — the cold sample otherwise sits
+          // inside the median window and widens run-to-run spread
+          val warm = base.drop(1) ++
+            (0 until math.max(0, 6 - runs)).map(_ => timedRun())
+          warm.sorted.apply(warm.length / 2)
         }
       (name, t, err)
     }
