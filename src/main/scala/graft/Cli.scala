@@ -75,7 +75,9 @@ object Cli {
     * replace the built-in prompt defaults when present. */
   def interactive(spark: SparkSession, in: java.io.BufferedReader,
                   out: java.io.PrintStream,
-                  configFile: String = "data_to_orc_config.conf"): Option[JobReport] = {
+                  configFile: String = "data_to_orc_config.conf",
+                  connFor: JdbcSource.MySqlConfig => JdbcSource.JdbcConn = _.conn)
+      : Option[JobReport] = {
     val conf = loadConfig(configFile)
     def ask(msg: String, default: String, confKey: String = ""): String = {
       val d = if (confKey.nonEmpty) conf.getOrElse(confKey.toUpperCase, default) else default
@@ -107,7 +109,7 @@ object Cli {
         val tables = ask("Tables (comma-separated or 'all')", "all", "TABLES")
         val (outDir, codec, workers) = outputConfig()
         run(spark, Seq("mysql", host, port, user, pass, db, outDir, codec, tables),
-          workers = Some(workers))
+          workers = Some(workers), connFor = connFor)
       case "2" =>
         required("SQL dump file") match {
           case None => None
@@ -135,10 +137,16 @@ object Cli {
   /** Dispatch; returns None for usage errors (after printing usage).
     * `workers`/`inferSchema` carry interactive-only prompt answers that
     * have no slot in the reference argv contracts (they arrive via env
-    * vars in batch mode). */
+    * vars in batch mode). `connFor` maps the prompt-level MySQL settings
+    * to the actual JDBC connection — the production default builds the
+    * jdbc:mysql URL; tests inject an embedded-Derby connection so the
+    * whole mysql branch runs end to end without a MySQL server (no such
+    * server exists in this build environment). */
   def run(spark: SparkSession, args: Seq[String],
           workers: Option[Int] = None,
-          inferSchema: Option[Boolean] = None): Option[JobReport] = {
+          inferSchema: Option[Boolean] = None,
+          connFor: JdbcSource.MySqlConfig => JdbcSource.JdbcConn = _.conn)
+      : Option[JobReport] = {
     def jobConfig(outDir: String, compression: String): JobConfig = {
       val base = JobConfig(outputDir = outDir, compression = compression)
       workers.fold(base)(w => base.copy(parallelWorkers = w))
@@ -148,9 +156,10 @@ object Cli {
       val cfg = JdbcSource.MySqlConfig(host = host, port = port.toInt, user = user,
         password = password, database = database,
         chunkSize = sys.env.get("CHUNK_SIZE").map(_.toInt).getOrElse(50000))
-      val names = tableSelection(tables, () => JdbcSource.tableList(cfg).getOrElse(Nil))
+      val conn = connFor(cfg)
+      val names = tableSelection(tables, () => JdbcSource.tableList(conn).getOrElse(Nil))
       Some(ConversionJob.run(
-        names.map(t => t -> (() => JdbcSource.read(spark, cfg, t))),
+        names.map(t => t -> (() => JdbcSource.read(spark, conn, t))),
         jobConfig(outDir, compression)))
 
     case "dump" :: sqlFile :: outDir :: rest if rest.length <= 2 =>

@@ -148,6 +148,29 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(OrcSink.read(spark, s"$out/nation").count() == 25)
   }
 
+  test("Cli interactive flow drives the MySQL branch end to end (Derby stand-in)") {
+    // the reference's interactive MySQL flow (sh:84-146) scripted: choice=1,
+    // host/port/user/password/database, tables='all', then output config.
+    // No MySQL server exists in this environment; the injected connFor
+    // resolves the prompt-level MySQL settings to an embedded Derby
+    // database carrying a real TPC-H table, so discovery (tableList) ->
+    // range-partitioned read -> ORC write all run for real.
+    val dbDir = Files.createTempDirectory("cliderby").toString
+    val out = Files.createTempDirectory("cliderbyout").toString
+    val conn = graft.sources.JdbcSource.derby(s"$dbDir/db")
+    graft.sources.JdbcFixture.loadTable(Tables.t(spark, sf, "region"), conn, "region")
+    val script = "1\nlocalhost\n\nroot\nsecret\ntpch\nall\n" + s"$out\n\n\n"
+    val report = Cli.interactive(spark,
+      new java.io.BufferedReader(new java.io.StringReader(script)),
+      new java.io.PrintStream(new java.io.ByteArrayOutputStream()),
+      connFor = _ => conn).get
+    assert(report.successes == 1 && report.total == 1)
+    val got = OrcSink.read(spark, s"$out/region")
+    assert(got.count() == 5)
+    assert(got.columns.map(_.toLowerCase).toSet ==
+      Tables.t(spark, sf, "region").columns.map(_.toLowerCase).toSet)
+  }
+
   test("config file overrides interactive prompt defaults (CONFIG_FILE honored)") {
     val in = Files.createTempDirectory("clicfg").toString
     val out = Files.createTempDirectory("clicfgout").toString
