@@ -3,6 +3,7 @@ package graft
 import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 
 import graft.sinks.OrcSink
 import graft.sources.CsvSource
@@ -243,23 +244,40 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("approx_percentile sketch stays within 1% of exact per group") {
-    val rows = SparkEntry.queries("q29_quantile_sketch")(spark, sf).collect()
+    // tighter than the gate's 2% verdict tolerance: computed directly so
+    // the spec keeps the stricter bound while the gate keeps headroom
+    val rows = Tables.t(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.95), 10000)").as("aq"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.95))").as("eq"))
+      .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      Seq("q25", "q50", "p95").foreach { q =>
-        val a = r.getAs[Double](s"approx_$q")
-        val e = r.getAs[Double](s"exact_$q")
+      r.getSeq[Double](1).zip(r.getSeq[Double](2)).foreach { case (a, e) =>
         assert(math.abs(a - e) / math.max(math.abs(e), 1e-9) < 0.01,
-          s"${r.get(0)}: approx $a vs exact $e ($q)")
+          s"${r.get(0)}: approx $a vs exact $e")
       }
+    }
+    // and the gate's own verdicts must all hold
+    val gate = SparkEntry.queries("q29_quantile_sketch")(spark, sf).collect()
+    gate.foreach { r =>
+      Seq("q25_ok", "q50_ok", "p95_ok").foreach(c =>
+        assert(r.getAs[Boolean](c), s"${r.get(0)}: $c"))
     }
   }
 
   test("approx_count_distinct stays within 5% of exact") {
-    val row = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()(0)
-    val (ap, ep) = (row.getAs[Long]("approx_parts"), row.getAs[Long]("exact_parts"))
-    val (ao, eo) = (row.getAs[Long]("approx_orders"), row.getAs[Long]("exact_orders"))
+    val row = Tables.t(spark, sf, "lineitem").agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+      countDistinct(col("l_partkey")).as("ep"),
+      approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+      countDistinct(col("l_orderkey")).as("eo")).collect()(0)
+    val (ap, ep) = (row.getAs[Long]("ap"), row.getAs[Long]("ep"))
+    val (ao, eo) = (row.getAs[Long]("ao"), row.getAs[Long]("eo"))
     assert(math.abs(ap - ep).toDouble / ep < 0.05, s"$ap vs $ep")
     assert(math.abs(ao - eo).toDouble / eo < 0.05, s"$ao vs $eo")
+    val gate = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()(0)
+    assert(gate.getAs[Boolean]("approx_parts_ok") && gate.getAs[Boolean]("approx_orders_ok"))
   }
 }
