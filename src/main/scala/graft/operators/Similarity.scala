@@ -220,11 +220,13 @@ object Similarity {
     * turns the rows-only ANN probes into hard oracle gates. */
   def recallGate(approx: DataFrame, exact: DataFrame, minHits: Int,
                  eps: Double = 0.0): DataFrame = {
-    val kth = exact.groupBy(col("query_id"))
-      .agg(min(col("score")).as("kth_score"))
-    val hits = approx.join(kth, Seq("query_id"))
+    // both join operands are one-row-per-query frames — broadcast them
+    // rather than letting the static planner pick a sort-merge join
+    val kth = broadcast(exact.groupBy(col("query_id"))
+      .agg(min(col("score")).as("kth_score")))
+    val hits = broadcast(approx.join(kth, Seq("query_id"))
       .filter(col("score") >= col("kth_score") - eps)
-      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits")))
     kth.join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         (coalesce(col("hits"), lit(0L)) >= minHits).as("recall_ok"))
