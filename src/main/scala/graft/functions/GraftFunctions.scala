@@ -54,7 +54,14 @@ object GraftFunctions {
     // null handling come from the same Column functions, so both surfaces
     // return identical results for identical documents
     "lang_id" -> (exprs => langIdTree(exprs.head)),
-    "simhash64" -> (exprs => SimHash64Expr(normalizeWs(exprs.head))),
+    // optional 2nd arg: portable=true swaps the token hash to MD5-low-64
+    // (engine-portable signatures — see SimHash64Expr)
+    "simhash64" -> (exprs => SimHash64Expr(normalizeWs(exprs.head),
+      portable = exprs.lift(1).exists {
+        case Literal(b: Boolean, _) => b
+        case other => throw new IllegalArgumentException(
+          s"simhash64 portable flag must be a boolean literal, got $other")
+      })),
     "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()))
 
   /** Install into an existing session (temp functions). */

@@ -37,6 +37,16 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
         graft.operators.TextAnalysis.langId(col("t")).as("l"))
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(viaSql == viaApi)
+    // portable (MD5) mode through SQL: single-token signature IS the
+    // MD5-low-64 hash (same pinned value as the expression spec)
+    val p = spark.sql("SELECT simhash64('hello', true) AS h").head().getLong(0)
+    assert(p == 0x5d41402abc4b2a76L)
+    val pApi = messy.toDF("t")
+      .select(graft.operators.Dedup.simhash64(col("t"), portable = true).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val pSql = spark.sql("SELECT simhash64(t, true) AS h FROM sh_fn_v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(pSql == pApi)
   }
 
   test("sketch aggregate works through SQL") {
