@@ -7,16 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * with per-partition feature extraction.
   *
-  * The decode step is REAL for images: [[imageDecoder]] sniffs the payload
-  * magic and decodes PNG/BMP through the pure-JVM `javax.imageio` codecs
-  * (present in every JRE — no new dependency) into a deterministic
-  * `[w][h][RGB...]` byte layout. Payloads that are not a supported image
-  * format (e.g. the text/plain fixtures) fall back to the identity
-  * mapping, so byte-level plumbing keeps working for arbitrary media.
-  * Audio/video codecs are not in the JRE; those payloads take the
-  * identity path and a production pipeline passes its own codec as the
-  * `decode` parameter. Everything around the decode is the real Spark
-  * plumbing a 100 TB pipeline needs and is tested:
+  * The decode step is REAL for images and audio: the default
+  * [[mediaDecoder]] sniffs the payload magic and decodes PNG/BMP through
+  * the pure-JVM `javax.imageio` codecs and PCM WAV through
+  * `javax.sound.sampled` (both present in every JRE — no new dependency)
+  * into deterministic byte layouts. Payloads that are not a supported
+  * format (e.g. the text/plain fixtures, video) fall back to the
+  * identity mapping, so byte-level plumbing keeps working for arbitrary
+  * media; no video codec ships with the JRE, so a production pipeline
+  * passes its own as the `decode` parameter. Everything around the
+  * decode is the real Spark plumbing a 100 TB pipeline needs and is
+  * tested:
   *  - `binary` payload column + `struct` metadata through scan/shuffle/sink;
   *  - batched per-partition extraction via `mapPartitions` (one iterator
   *    per task — the Scala analogue of `mapInPandas`: amortizes model/codec
@@ -48,10 +49,9 @@ object Multimodal {
   type Decoder = Array[Byte] => Array[Byte]
 
   /** Identity decoder — the fallback for payload formats without a JRE
-    * codec (plain text, audio, video). A real pipeline passes its codec
-    * call as the `decode` parameter of [[sampleFrames]]/
-    * [[resizePayloads]]/[[extractFeatures]] and keeps everything else
-    * unchanged. */
+    * codec (plain text, video). A real pipeline passes its codec call as
+    * the `decode` parameter of [[sampleFrames]]/[[resizePayloads]]/
+    * [[extractFeatures]] and keeps everything else unchanged. */
   val identityDecoder: Decoder = payload => payload
 
   private def isPng(b: Array[Byte]): Boolean =
@@ -127,6 +127,113 @@ object Multimodal {
     bos.toByteArray
   }
 
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  /** REAL audio decoder: payloads carrying a RIFF/WAVE magic decode
+    * through the JRE's own `javax.sound.sampled` codec into the
+    * deterministic layout
+    * `[sampleRate int32 BE][channels int32 BE][PCM frames as stored]`.
+    * PCM WAV is lossless, so the sample bytes are identical on any JVM.
+    * Non-WAV or corrupt payloads fall back to the identity mapping (same
+    * rationale as [[imageDecoder]]). */
+  val wavDecoder: Decoder = payload => {
+    if (!isWav(payload)) payload
+    else {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (in == null) payload
+      else
+        try {
+          val fmt = in.getFormat
+          val pcm = in.readAllBytes()
+          val rate = math.round(fmt.getSampleRate)
+          val ch = fmt.getChannels
+          val out = new Array[Byte](8 + pcm.length)
+          out(0) = (rate >> 24).toByte; out(1) = (rate >> 16).toByte
+          out(2) = (rate >> 8).toByte; out(3) = rate.toByte
+          out(4) = (ch >> 24).toByte; out(5) = (ch >> 16).toByte
+          out(6) = (ch >> 8).toByte; out(7) = ch.toByte
+          System.arraycopy(pcm, 0, out, 8, pcm.length)
+          out
+        } finally in.close()
+    }
+  }
+
+  /** Default decode: sniffs the payload magic and routes to the real JRE
+    * codec — PNG/BMP via [[imageDecoder]], PCM WAV via [[wavDecoder]] —
+    * with identity as the unknown-format fallback. Video stays identity:
+    * no video codec ships with the JRE, so a production pipeline injects
+    * its own (the `decode` parameter exists for exactly that). */
+  val mediaDecoder: Decoder = payload =>
+    if (isWav(payload)) wavDecoder(payload) else imageDecoder(payload)
+
+  /** Deterministic mono 16-bit-LE PCM WAV encoder for fixtures/gates:
+    * sample i is `samples(i)`. Uses the JRE's own WAV writer, so the
+    * [[wavDecoder]] round-trip exercises the real codec path. */
+  def synthWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val pcm = new Array[Byte](2 * samples.length)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xFF).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  private val audioStatsSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_samples", LongType, nullable = false)))
+
+  /** Decoded-audio statistics: runs [[wavDecoder]] on each payload,
+    * parses the `[rate][channels][PCM]` layout (16-bit LE signed
+    * samples), and emits rate/channels/sample count/exact sample sum —
+    * the oracle-checkable core of audio feature extraction. Payloads that
+    * did not decode emit -1 rates with zero counts. */
+  def decodeAudioStats(spark: SparkSession, mm: DataFrame,
+                       decode: Decoder = wavDecoder): DataFrame = {
+    val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val raw = r.getAs[Array[Byte]](1)
+        val dec = decode(raw)
+        val decoded = !(dec eq raw) && dec.length >= 8 && (dec.length - 8) % 2 == 0
+        if (!decoded) Row(id, -1L, -1L, 0L, 0L)
+        else {
+          val rate = ((dec(0) & 0xFF) << 24) | ((dec(1) & 0xFF) << 16) |
+            ((dec(2) & 0xFF) << 8) | (dec(3) & 0xFF)
+          val ch = ((dec(4) & 0xFF) << 24) | ((dec(5) & 0xFF) << 16) |
+            ((dec(6) & 0xFF) << 8) | (dec(7) & 0xFF)
+          val n = (dec.length - 8) / 2
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            sum += ((dec(8 + 2 * i) & 0xFF) | (dec(9 + 2 * i) << 8)).toShort
+            i += 1
+          }
+          Row(id, rate.toLong, ch.toLong, n.toLong, sum)
+        }
+      }
+    }
+    spark.createDataFrame(rows, audioStatsSchema)
+  }
+
   private val imageStatsSchema = StructType(
     StructField("doc_id", LongType, nullable = false) +:
       StructField("width", LongType, nullable = false) +:
@@ -180,7 +287,7 @@ object Multimodal {
     * byte counts, so the correctness gate mirrors it in SQL. */
   def sampleFrames(spark: SparkSession, mm: DataFrame,
                    frameBytes: Int = 256, maxFrames: Int = 8,
-                   decode: Decoder = imageDecoder): DataFrame = {
+                   decode: Decoder = mediaDecoder): DataFrame = {
     require(frameBytes > 0 && maxFrames > 0)
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.flatMap { r =>
@@ -204,7 +311,7 @@ object Multimodal {
     * to match — the metadata-consistency contract a real resizer must
     * keep. Deterministic, so the spec pins outputs across runs. */
   def resizePayloads(spark: SparkSession, mm: DataFrame, targetBytes: Int,
-                     decode: Decoder = imageDecoder): DataFrame = {
+                     decode: Decoder = mediaDecoder): DataFrame = {
     require(targetBytes >= 0)
     // output shape == input shape: derive the schema from the input so the
     // meta struct contract lives in ONE place (toMultimodal); only the
@@ -239,7 +346,7 @@ object Multimodal {
     * Integer counts hash-match across engines; normalized float32 division
     * would drift in the last ulp. */
   def byteHistogram(spark: SparkSession, mm: DataFrame,
-                    decode: Decoder = imageDecoder): DataFrame = {
+                    decode: Decoder = mediaDecoder): DataFrame = {
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       it.map { r =>
         val bytes = decode(r.getAs[Array[Byte]](1))
@@ -256,7 +363,7 @@ object Multimodal {
     * histogram per payload (a deterministic fake "embedding" with the same
     * shape/cost profile as a features head). */
   def extractFeatures(spark: SparkSession, mm: DataFrame,
-                      decode: Decoder = imageDecoder): DataFrame = {
+                      decode: Decoder = mediaDecoder): DataFrame = {
     val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
       // per-partition init happens here (codec/model load in a real pipeline)
       it.map { r =>

@@ -108,6 +108,29 @@ object PipelineQueries {
         Row(id, Multimodal.synthPng(w, h, i => ((id * 31 + i) % 256).toInt))
       }, schema)
       Multimodal.decodeImageStats(s, payloads).orderBy(col("doc_id"))
+    },
+
+    // REAL audio-codec gate: synthesize a formulaic mono 16-bit PCM WAV
+    // per doc (the JRE's own WAV writer), decode it back through the
+    // javax.sound.sampled codec in Multimodal.wavDecoder, and emit
+    // rate/channels/sample count/exact sample sum. PCM is lossless, so
+    // the oracle predicts every value analytically from the sample
+    // formula s(i) = ((doc_id*7919 + i*104729) mod 65536) - 32768.
+    "multimodal_audio" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 200).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.map { r =>
+        val id = r.getLong(0)
+        val n = 50 + (id % 17).toInt
+        val samples = Array.tabulate[Short](n)(i =>
+          (((id * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+        Row(id, Multimodal.synthWav(8000, samples))
+      }, schema)
+      Multimodal.decodeAudioStats(s, payloads).orderBy(col("doc_id"))
     })
 
   def oracles: Map[String, String] = Map(
@@ -191,6 +214,19 @@ object PipelineQueries {
          | $bins
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // The decoded PCM stream is fully predicted by the synthesis formula.
+    "multimodal_audio" ->
+      """WITH d AS (
+        | SELECT doc_id, 50 + doc_id % 17 AS n
+        | FROM documents WHERE doc_id < 200),
+        |e AS (
+        | SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        | CAST(1 AS BIGINT) AS channels,
+        | CAST(MAX(n) AS BIGINT) AS n_samples,
+        | CAST(SUM((doc_id*7919 + i*104729) % 65536 - 32768) AS BIGINT) AS sum_samples
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // streaming first-occurrence dedup on key columns == batch DISTINCT
     "stream_dedup_pairs" ->

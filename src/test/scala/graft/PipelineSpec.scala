@@ -194,6 +194,28 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Multimodal.imageDecoder(corrupt) eq corrupt)
   }
 
+  test("wavDecoder: PCM WAV round-trip reproduces every sample exactly") {
+    val samples = Array.tabulate[Short](37)(i => ((i * 1000 - 18000) % 32768).toShort)
+    val wav = Multimodal.synthWav(8000, samples)
+    val dec = Multimodal.wavDecoder(wav)
+    assert(dec.length == 8 + 2 * samples.length)
+    assert(java.nio.ByteBuffer.wrap(dec, 0, 4).getInt == 8000)
+    assert(java.nio.ByteBuffer.wrap(dec, 4, 4).getInt == 1)
+    for (i <- samples.indices) {
+      val got = ((dec(8 + 2 * i) & 0xFF) | (dec(9 + 2 * i) << 8)).toShort
+      assert(got == samples(i), s"sample $i")
+    }
+    // non-WAV and corrupt-RIFF payloads fall back to identity
+    val txt = "not audio".getBytes("UTF-8")
+    assert(Multimodal.wavDecoder(txt) eq txt)
+    val corrupt = "RIFFxxxxWAVEbroken".getBytes("UTF-8")
+    assert(Multimodal.wavDecoder(corrupt) eq corrupt)
+    // mediaDecoder routes by magic: WAV -> wav layout, PNG -> image layout
+    assert(Multimodal.mediaDecoder(wav).toSeq == dec.toSeq)
+    val png = Multimodal.synthPng(2, 2, _ => 7)
+    assert(java.nio.ByteBuffer.wrap(Multimodal.mediaDecoder(png), 0, 4).getInt == 2)
+  }
+
   test("decodeImageStats: histogram over decoded pixels matches the formula") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
