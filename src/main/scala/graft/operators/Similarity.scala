@@ -233,6 +233,35 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Scalar int8 quantization of an embedding column — the standard 4x
+    * memory/IO reduction for corpus-scale ANN (a 100 TB float32 embedding
+    * store becomes 25 TB; candidate generation runs on the quantized
+    * vectors, exact re-scoring on the float originals). Per-vector affine
+    * quantization: code(i) = round((v(i) - min) / scale) in 0..255 with
+    * scale = (max - min) / 255, stored alongside (min, scale) so
+    * [[dequantize]] reconstructs within scale/2 per element. All math is
+    * plain Column double arithmetic (codegen'd, engine-portable).
+    * Degenerate constant vectors (max == min) get scale 0 and codes 0.
+    * Output: idCol, codes array<int>, q_min double, q_scale double. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val mn = array_min(v)
+    val sc = (array_max(v) - array_min(v)) / 255.0
+    emb.select(
+      col(idCol),
+      transform(v, x =>
+        when(sc === 0.0, lit(0))
+          .otherwise(round((x - mn) / sc, 0).cast("int"))).as("codes"),
+      mn.as("q_min"),
+      sc.as("q_scale"))
+  }
+
+  /** Reconstruct doubles from [[quantizeInt8]] output:
+    * v'(i) = q_min + codes(i) * q_scale. Max per-element error is
+    * q_scale / 2 by construction. */
+  def dequantize(codes: Column, qMin: Column, qScale: Column): Column =
+    transform(codes, c => qMin + c.cast("double") * qScale)
+
   /** All embedding pairs with cosine >= threshold (near-dup detection by
     * embedding). Brute-force all-pairs: O(n²) BY DEFINITION, so the input
     * size is ENFORCED (`maxInputRows`, default 10k ≈ 50M comparisons) —

@@ -15,10 +15,10 @@ import graft.operators.{Dedup, Profile, Similarity, TextAnalysis}
   * epsilon-recall-vs-brute-force verdicts, the MinHash funnel gates on
   * set-equality with the exact all-pairs Jaccard answer (full recall at
   * the gate dials, measured), and the SimHash probes run in portable
-  * MD5-hash mode so DuckDB recomputes every signature from scratch. Only
-  * the DataSketches gates (q22/q24/q29-style) remain rows-only by design;
-  * planted-duplicate ScalaTest specs cover the operator dials the gates
-  * don't exercise.
+  * MD5-hash mode so DuckDB recomputes every signature from scratch. (The
+  * sketch gates in AnalyticsQueries use the same verdict pattern, so NO
+  * gate is rows-only.) Planted-duplicate ScalaTest specs cover the
+  * operator dials the gates don't exercise.
   */
 object LlmQueries {
 
@@ -130,7 +130,9 @@ object LlmQueries {
     // ranks on a last-ulp ln() difference.
     "text_tfidf_top" -> { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val docs = t(s, d, "documents").filter(col("doc_id") < 50)
+      val docs = t(s, d, "documents") // FULL corpus — the gated
+      // configuration exercises the same path the bench and a production
+      // run take (tf-idf is linear in tokens; the oracle stays cheap)
       val toks = docs.select(col("doc_id"),
           explode(split(TextAnalysis.normText(lower(col("text"))), " ")).as("term"))
         .filter(length(col("term")) >= 3)
@@ -329,6 +331,29 @@ object LlmQueries {
           t(s, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // int8 scalar quantization (the 4x embedding-store shrink for
+    // corpus-scale ANN): the affine code math is identical IEEE double
+    // arithmetic in both engines, so DuckDB recomputes every code and the
+    // gate hash-matches code sums exactly; the reconstruction-error bound
+    // (<= scale/2 per element, by construction) rides along as a pinned
+    // verdict.
+    "emb_quantize_int8" -> { (s, d) =>
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 500)
+      val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+      val orig = emb.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val dq = Similarity.dequantize(col("codes"), col("q_min"), col("q_scale"))
+      q.join(orig, "vec_id")
+        .select(
+          col("vec_id"),
+          size(col("codes")).cast("long").as("n_dims"),
+          round(col("q_min"), 6).as("q_min_r"),
+          expr("aggregate(codes, CAST(0 AS BIGINT), (a, x) -> a + x)").as("codes_sum"),
+          (array_max(zip_with(dq, col("v"), (a, b) => abs(a - b)))
+            <= col("q_scale") * 0.5000001 + lit(1e-12)).as("recon_ok"))
+        .orderBy(col("vec_id"))
     },
 
     // Composed curation pipeline — the operators chained the way a real
@@ -603,7 +628,7 @@ object LlmQueries {
     "text_tfidf_top" ->
       """WITH n AS (
         | SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
-        | FROM documents WHERE doc_id < 50),
+        | FROM documents),
         |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
         |ft AS (
         | SELECT doc_id, term, COUNT(*) AS tf FROM tok
@@ -925,6 +950,24 @@ object LlmQueries {
     "ann_lsh_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // Affine int8 codes recomputed from scratch: list_min/list_max are
+    // exact, the (x - min)/scale doubles are the identical IEEE ops, and
+    // ROUND is half-away-from-zero in both engines (values are >= 0).
+    "emb_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn,
+        |       (list_max(v) - list_min(v)) / 255.0 AS sc FROM e),
+        |c AS (SELECT vec_id, mn, sc,
+        |       list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+        |         ELSE CAST(ROUND((x - mn) / sc) AS INTEGER) END) AS codes
+        |      FROM m)
+        |SELECT vec_id, CAST(len(codes) AS BIGINT) AS n_dims,
+        | ROUND(mn, 6) AS q_min_r,
+        | CAST(list_sum(codes) AS BIGINT) AS codes_sum,
+        | true AS recon_ok
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "ann_ivf_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok

@@ -259,6 +259,31 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("quantizeInt8: codes in 0..255, reconstruction within scale/2, constant vectors degenerate cleanly") {
+    val df = Seq(
+      (1L, Array(0.1f, -0.5f, 2.0f, 0.0f)),
+      (2L, Array(7.0f, 7.0f, 7.0f, 7.0f)), // constant -> scale 0, codes 0
+      (3L, Array(-3.0f, 3.0f, 1.5f, -1.5f)))
+      .toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "vec_id", "embedding")
+    val joined = q.join(df.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v")), "vec_id")
+      .select(col("vec_id"), col("codes"), col("q_min"), col("q_scale"),
+        Similarity.dequantize(col("codes"), col("q_min"), col("q_scale")).as("dq"),
+        col("v"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    joined.values.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val scale = r.getDouble(3)
+      val err = r.getSeq[Double](4).zip(r.getSeq[Double](5)).map { case (a, b) => math.abs(a - b) }
+      assert(err.forall(_ <= scale / 2 + 1e-12), s"vec ${r.getLong(0)}: $err vs $scale")
+    }
+    val const = joined(2L)
+    assert(const.getDouble(3) == 0.0 && const.getSeq[Int](1).forall(_ == 0))
+    assert(const.getSeq[Double](4).forall(_ == 7.0)) // exact reconstruction
+  }
+
   test("recallGate: exact vs itself passes at k; crippled approx fails") {
     val brute = Similarity.bruteForceTopK(plantedVectors, "vec_id", "embedding",
       _ < 3, k = 3)
