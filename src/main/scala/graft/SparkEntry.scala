@@ -47,6 +47,7 @@ object SparkEntry {
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_incremental", "profile_documents",
     "emb_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "multimodal_decode",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_bucketed_join")
 }
