@@ -459,6 +459,26 @@ object Dedup {
     *
     * Output: (a_id, b_id, n_shared_spans) with a_id < b_id and
     * n_shared_spans = number of DISTINCT shared windows. */
+  /** N-gram decontamination: corpus docs sharing at least one exact run
+    * of `spanTokens` consecutive tokens with ANY benchmark document — the
+    * n-gram-overlap rule large-model pipelines use for benchmark
+    * decontamination (cf. the 8- and 13-gram overlap checks of the GPT-3
+    * and Gopher appendices), re-expressed as a window-hash semi-join.
+    * The benchmark side is small by nature, so its distinct window-hash
+    * set broadcasts and the corpus STREAMS through with no shuffle; only
+    * the contaminated ids (a tiny fraction) shuffle for the distinct.
+    * Returns one row per contaminated corpus id, column named `idCol`. */
+  def spanContaminated(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    def spans(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      explode(graft.functions.SpanHashes.spanHashes(
+        TextAnalysis.normText(col(textCol)), spanTokens)).as("h"))
+    val benchSpans = broadcast(spans(bench).select(col("h")).distinct())
+    spans(corpus).join(benchSpans, Seq("h"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+  }
+
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, maxDf: Int = 1000): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")

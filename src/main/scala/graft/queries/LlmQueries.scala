@@ -213,6 +213,20 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // N-gram benchmark decontamination (every 10th doc stands in for the
+    // held-out set): corpus docs sharing any exact 8-token run with a
+    // benchmark doc. Complements the exact-fingerprint
+    // pipeline_contamination gate with the overlap rule production
+    // pipelines actually apply.
+    "pipeline_contamination_ngram" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.spanContaminated(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", spanTokens = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Batch-over-corpus incremental dedup: docs 400+ arrive as the new
     // batch, everything before is the standing corpus; in-batch dup copies
     // and batch docs already present in the corpus are dropped.
@@ -775,6 +789,23 @@ object LlmQueries {
         | FROM w a JOIN w b ON a.span = b.span AND a.doc_id < b.doc_id
         | GROUP BY 1, 2)
         |SELECT a_id, b_id, n_shared_spans FROM p ORDER BY a_id, b_id""".stripMargin,
+
+    // Same window construction as dedup_span_exact; contamination = a
+    // corpus doc whose 8-token window set intersects the benchmark's.
+    "pipeline_contamination_ngram" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT DISTINCT doc_id,
+        |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM n, generate_series(1, 200) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |b AS (SELECT DISTINCT span FROM w WHERE doc_id % 10 = 0)
+        |SELECT DISTINCT doc_id FROM w
+        |WHERE doc_id % 10 <> 0 AND span IN (SELECT span FROM b)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH n AS (

@@ -517,6 +517,20 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("spanContaminated flags corpus docs sharing a benchmark 8-gram") {
+    val run = (1 to 9).map(i => s"q$i").mkString(" ") // 9 shared tokens
+    val bench = Seq((100L, s"benchmark question $run answer")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"a training doc that contains $run verbatim inside"),
+      (2L, "a clean training document with entirely original content here"),
+      (3L, s"short $run"), // shares the run too
+      (4L, "q1 q2 q3 q4 q5 q6 q7 only seven of the benchmark tokens")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanContaminated(corpus, bench, "doc_id", "text", spanTokens = 8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
+  }
+
   test("spanPairs: docs shorter than the span yield no windows, no crash") {
     val docs = Seq((1L, "just three tokens"), (2L, "just three tokens"),
       (3L, ""), (4L, "   ")).toDF("doc_id", "text")
