@@ -88,7 +88,17 @@ object ScaleRehearsal {
           spanTokens = 8).count()),
       "ann_ivf_topk" -> (() =>
         Similarity.ivfTopK(t(spark, d, "embeddings"), "vec_id", "embedding",
-          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4).count())
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4).count()),
+      "contamination_ngram" -> (() => {
+        val docs = t(spark, d, "documents")
+        Dedup.spanContaminated(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", spanTokens = 8).count()
+      }),
+      "quantize_int8" -> (() =>
+        Similarity.quantizeInt8(t(spark, d, "embeddings"), "vec_id", "embedding")
+          .agg(sum(size(col("codes")))).head().getLong(0))
     )
 
     val meter = new ShuffleMeter
