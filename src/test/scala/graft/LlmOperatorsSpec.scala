@@ -531,6 +531,20 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("spanContaminated is partitioning-invariant") {
+    val run = (1 to 9).map(i => s"q$i").mkString(" ")
+    val bench = Seq((100L, s"benchmark $run end")).toDF("doc_id", "text")
+    val corpus = (1L to 20L).map { i =>
+      (i, if (i % 4 == 0) s"doc $i contains $run inline" else s"doc $i clean original content words")
+    }.toDF("doc_id", "text")
+    val a = Dedup.spanContaminated(corpus, bench, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Dedup.spanContaminated(corpus.repartition(7), bench.repartition(3),
+        "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a == Seq(4L, 8L, 12L, 16L, 20L))
+  }
+
   test("spanPairs: docs shorter than the span yield no windows, no crash") {
     val docs = Seq((1L, "just three tokens"), (2L, "just three tokens"),
       (3L, ""), (4L, "   ")).toDF("doc_id", "text")
