@@ -16,7 +16,10 @@ object Explain {
         "q5_local_supplier_volume", "q6_forecast_revenue",
         "dedup_minhash_full", "emb_cosine_topk",
         "q25_range_join_pairs", "dedup_ngram_jaccard",
-        "dedup_embedding_lsh", "text_top_terms", "text_langid_counts")
+        "dedup_embedding_lsh", "text_top_terms", "text_langid_counts",
+        // round-4 additions: recall gates, decontamination, LM scoring
+        "ann_lsh_topk", "pipeline_contamination_ngram",
+        "text_unigram_logprob", "emb_quantize_int8")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
