@@ -25,7 +25,13 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, threads))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev dial: SPARK_GRAFT_VERIFY_ONLY=q1,q2 restricts the dump for fast
+    // local iteration (the driver never sets it — full dump per round).
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val futures = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       scala.concurrent.Future {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

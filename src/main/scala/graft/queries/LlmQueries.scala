@@ -22,6 +22,54 @@ import graft.operators.{Dedup, Profile, Similarity, TextAnalysis}
   */
 object LlmQueries {
 
+  /** Pinned BPE merges table: learned once from the sf0.01 documents
+    * corpus by `graft.BpeTrain` (BpeLearner.learnMerges, numMerges = 48,
+    * maxWords = 100000, deterministic count-desc/pair-asc tie-break) and
+    * frozen here, the way a production pipeline pins its tokenizer
+    * vocabulary. The learned subwords are corpus-real ("join", "hash",
+    * "column", "customer", "vector", "order"...), so the gate exercises
+    * genuine multi-level merge cascades (e.g. v+ector <- e+ctor <- ct+or
+    * <- c+t). */
+  val PinnedBpeMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"), ("s", "mall"),
+    ("g", "e"), ("l", "ow"), ("mer", "ge"), ("s", "low"), ("c", "t"),
+    ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
+    ("v", "ector"))
+
+  /** DuckDB recomputation of the BPE merge cascade. Encoding: every
+    * symbol is wrapped `§sym§` (each token carries its OWN delimiters, so
+    * consuming a pair never eats a neighbour's boundary and one global
+    * leftmost-non-overlapping `replace` per merge is exactly the
+    * rank-order merge pass); pre-tokens are joined with `¶` so no merge
+    * crosses a pre-token boundary. Both markers are non-ASCII and the
+    * corpus is ASCII-only (verified), so they cannot collide with data.
+    * Token count = half the § count; distinct tokens unwrap via regex. */
+  private def bpeOracleSql: String = {
+    val S = "§" // section sign: per-symbol delimiter
+    val B = "¶" // pilcrow: pre-token boundary
+    def esc(s: String) = s.replace("'", "''")
+    val wrapped =
+      s"array_to_string(list_transform(" +
+        s"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]+'), " +
+        s"t -> regexp_replace(t, '(.)', '$S\\1$S', 'g')), '$B')"
+    val cascade = PinnedBpeMerges.foldLeft("s0") { case (acc, (x, y)) =>
+      s"replace($acc, '$S${esc(x)}$S$S${esc(y)}$S', '$S${esc(x)}${esc(y)}$S')"
+    }
+    s"""WITH w AS (SELECT doc_id, $wrapped AS s0 FROM documents),
+       |m AS (SELECT doc_id, $cascade AS s FROM w)
+       |SELECT doc_id,
+       | CAST((length(s) - length(replace(s, '$S', ''))) // 2 AS BIGINT) AS n_bpe_tokens,
+       | CAST(len(list_distinct(regexp_extract_all(s, '$S([^$S$B]+)$S', 1))) AS BIGINT) AS n_unique_tokens
+       |FROM m""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, d) =>
       // normText's regex is the expensive part: materialize it ONCE in its
@@ -206,16 +254,17 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
-    // BPE-ish subword tokenization: alnum runs + individual punctuation
-    // (the pre-tokenization split every BPE implementation starts from).
+    // True byte-level BPE over the pinned merges table (gate_def v2 —
+    // replaces the round-1..4 regexp stand-in): pre-token split, bytes as
+    // initial symbols, the 48 learned merges applied in rank order by the
+    // native BpeEncode expression. The oracle replays the identical merge
+    // cascade in SQL as a chain of string replaces over a wrapped-symbol
+    // encoding (see bpeOracleSql), so every count is a real cross-engine
+    // recomputation, not a pinned constant.
     "text_bpe_tokens" -> { (s, d) =>
-      // The regex extraction runs ONCE per row (own projection); the two
-      // size() consumers read the materialized array instead of each
-      // re-running regexp_extract_all over the document.
       t(s, d, "documents")
         .select(col("doc_id"),
-          regexp_extract_all(col("text"),
-            lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0)).as("toks"))
+          graft.functions.BpeEncode.bpeTokens(col("text"), PinnedBpeMerges).as("toks"))
         .select(
           col("doc_id"),
           size(col("toks")).cast("long").as("n_bpe_tokens"),
@@ -730,11 +779,7 @@ object LlmQueries {
         | FROM s)
         |GROUP BY lang_pred""".stripMargin,
 
-    "text_bpe_tokens" ->
-      """SELECT doc_id,
-        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS n_bpe_tokens,
-        | len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]'))) AS n_unique_tokens
-        |FROM documents""".stripMargin,
+    "text_bpe_tokens" -> bpeOracleSql,
 
     "pipeline_cap_per_source" ->
       """WITH n AS (
