@@ -479,6 +479,50 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
   }
 
+  /** Doc-level n-gram decontamination report — the published recipe
+    * (GPT-3 appendix C, PaLM): for each corpus doc, the fraction of its
+    * DISTINCT `spanTokens`-gram windows that appear anywhere in the
+    * benchmark set, flagged `contaminated` when the fraction reaches
+    * `minOverlapFrac`. With `normalize = true` (the default) both sides
+    * are lowercased and punctuation-collapsed first
+    * ([[TextAnalysis.normTextAggressive]]), so a cased or re-punctuated
+    * near-copy of a benchmark string still matches — the fuzzy hardening
+    * that exact-mode [[spanContaminated]] deliberately omits.
+    *
+    * Scale shape is identical to [[spanContaminated]]: the benchmark
+    * window-hash set broadcasts (the held-out set is small by nature),
+    * the corpus streams through it once with no corpus shuffle, and only
+    * per-doc (count, hit-count) scalars shuffle for the group-by.
+    * Output: (idCol, n_windows, n_hit, overlap_frac, contaminated), one
+    * row per corpus doc with at least one window; docs shorter than the
+    * span carry no k-gram and are omitted. */
+  def spanContaminationReport(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, spanTokens: Int,
+      minOverlapFrac: Double, normalize: Boolean = true): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    require(minOverlapFrac >= 0.0 && minOverlapFrac <= 1.0,
+      s"minOverlapFrac must be in [0,1], got $minOverlapFrac")
+    val norm: Column => Column =
+      if (normalize) TextAnalysis.normTextAggressive _ else TextAnalysis.normText _
+    def spans(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      explode(graft.functions.SpanHashes.spanHashes(
+        norm(col(textCol)), spanTokens)).as("h"))
+    val benchSpans = broadcast(spans(bench).select(col("h")).distinct()
+      .withColumn("hit", lit(1L)))
+    // left-outer against the broadcast set marks hits without a second
+    // corpus pass; SpanHashes emits distinct hashes per doc, so count()
+    // is the distinct-window count the overlap fraction is defined over
+    val frac = col("n_hit").cast("double") / col("n_windows")
+    spans(corpus)
+      .join(benchSpans, Seq("h"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum(col("hit")), lit(0L)).as("n_hit"))
+      .select(col("id").as(idCol), col("n_windows"), col("n_hit"),
+        round(frac, 4).as("overlap_frac"),
+        (frac >= minOverlapFrac).as("contaminated"))
+  }
+
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, maxDf: Int = 1000): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")

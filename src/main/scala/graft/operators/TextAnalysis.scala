@@ -19,6 +19,15 @@ object TextAnalysis {
   /** Whitespace-normalized text: trimmed, runs of whitespace collapsed. */
   def normText(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
 
+  /** Aggressively-normalized text for fuzzy matching: lowercased, every
+    * run of non-alphanumeric characters collapsed to one space, trimmed.
+    * This is the normalization the published decontamination recipes
+    * (GPT-3 appendix C, PaLM) apply before n-gram overlap, so a cased or
+    * re-punctuated copy of a benchmark string still matches. Kept to
+    * ASCII [a-z0-9] so the SQL-mirror oracle is engine-exact. */
+  def normTextAggressive(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z0-9]+", " "))
+
   /** Token count of normalized text = spaces + 1 (0 for empty).
     * Arithmetic instead of split() so the SQL mirror is engine-agnostic. */
   def tokenCount(c: Column): Column = tokenCountNorm(normText(c))

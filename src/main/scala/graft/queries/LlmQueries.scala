@@ -300,6 +300,21 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Normalized decontamination with doc-level overlap fractions — the
+    // published recipe: both sides lowercased + punctuation-collapsed
+    // before 8-gram window hashing, and each corpus doc reports what
+    // fraction of its distinct 8-grams hit the benchmark set (flagged at
+    // >= 0.2). Complements the exact-mode gate above: a case-variant copy
+    // of a benchmark span matches here and not there.
+    "pipeline_contamination_norm" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.spanContaminationReport(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", spanTokens = 8, minOverlapFrac = 0.2)
+        .orderBy(col("doc_id"))
+    },
+
     // Batch-over-corpus incremental dedup: docs 400+ arrive as the new
     // batch, everything before is the standing corpus; in-batch dup copies
     // and batch docs already present in the corpus are dropped.
@@ -894,6 +909,28 @@ object LlmQueries {
         |SELECT DISTINCT doc_id FROM w
         |WHERE doc_id % 10 <> 0 AND span IN (SELECT span FROM b)
         |ORDER BY doc_id""".stripMargin,
+
+    "pipeline_contamination_norm" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT DISTINCT doc_id,
+        |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM n, generate_series(1, 400) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |b AS (SELECT DISTINCT span FROM w WHERE doc_id % 10 = 0),
+        |c AS (
+        | SELECT doc_id, COUNT(*) AS n_windows,
+        |  COUNT(*) FILTER (WHERE span IN (SELECT span FROM b)) AS n_hit
+        | FROM w WHERE doc_id % 10 <> 0 GROUP BY 1)
+        |SELECT doc_id,
+        | CAST(n_windows AS BIGINT) AS n_windows,
+        | CAST(n_hit AS BIGINT) AS n_hit,
+        | ROUND(n_hit * 1.0 / n_windows, 4) AS overlap_frac,
+        | (n_hit * 1.0 / n_windows >= 0.2) AS contaminated
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "dedup_incremental" ->
       """WITH n AS (

@@ -531,6 +531,59 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("spanContaminationReport: normalized mode catches the case-variant " +
+      "near-miss exact mode skips, with the right overlap fractions") {
+    val run = (1 to 9).map(i => s"w$i").mkString(" ") // 9 shared tokens
+    val bench = Seq((100L, s"benchmark question $run answer")).toDF("doc_id", "text")
+    val caseVariant = run.split(' ').map(_.capitalize).mkString(", ")
+    val corpus = Seq(
+      (1L, s"training doc containing $run verbatim"), // exact hit
+      (2L, s"punctuated copy: $caseVariant!"),        // hit only after norm
+      (3L, "clean original content with its own twelve completely fresh tokens here now")
+    ).toDF("doc_id", "text")
+    // exact mode: only doc 1 flagged (legacy spanContaminated behavior)
+    val exact = Dedup.spanContaminated(corpus, bench, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(exact == Seq(1L))
+    // normalized mode flags both; fractions are hits over distinct windows
+    val rep = Dedup.spanContaminationReport(corpus, bench, "doc_id", "text",
+        spanTokens = 8, minOverlapFrac = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    // doc 1: "training doc containing w1..w9 verbatim" = 13 tokens -> 6
+    // windows; the 2 windows inside w1..w9 hit
+    assert(rep(1L) == ((6L, 2L, true)))
+    // doc 2 normalized = "punctuated copy w1 ... w9" = 11 tokens -> 4
+    // windows, the 2 all-inside-the-run windows hit
+    assert(rep(2L) == ((4L, 2L, true)))
+    assert(rep(3L)._2 == 0L && !rep(3L)._3)
+    // exact mode via the report API agrees with spanContaminated
+    val repExact = Dedup.spanContaminationReport(corpus, bench, "doc_id",
+        "text", spanTokens = 8, minOverlapFrac = 0.2, normalize = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(repExact(1L) > 0L && repExact(2L) == 0L)
+  }
+
+  test("spanContaminationReport is partitioning-invariant and flags at " +
+      "exactly the threshold") {
+    val run = (1 to 8).map(i => s"t$i").mkString(" ")
+    val bench = Seq((9L, s"the bench holds $run only")).toDF("doc_id", "text")
+    val corpus = (1L to 12L).map { i =>
+      (i, if (i % 3 == 0) s"doc $i has $run plus " + (1 to 20).map(j => s"f${i}_$j").mkString(" ")
+          else s"doc $i entirely clean " + (1 to 26).map(j => s"c${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val a = Dedup.spanContaminationReport(corpus, bench, "doc_id", "text", 8, 0.02)
+    val b = Dedup.spanContaminationReport(corpus.repartition(7),
+      bench.repartition(2), "doc_id", "text", 8, 0.02)
+    assert(a.collect().toSet == b.collect().toSet)
+    val flagged = a.filter(col("contaminated")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(flagged == Seq(3L, 6L, 9L, 12L))
+    // threshold is inclusive: a doc with frac exactly minOverlapFrac flags
+    val f = a.filter(col("doc_id") === 3L).head()
+    val frac = f.getLong(2).toDouble / f.getLong(1)
+    assert(frac >= 0.02 && f.getBoolean(4))
+  }
+
   test("spanContaminated is partitioning-invariant") {
     val run = (1 to 9).map(i => s"q$i").mkString(" ")
     val bench = Seq((100L, s"benchmark $run end")).toDF("doc_id", "text")
