@@ -155,14 +155,15 @@ object Similarity {
     cents
   }
 
-  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
-              queryIds: Column => Column, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 2): DataFrame = {
-    // the init collect + each Lloyd iteration is a full corpus pass; cache
-    // the casted projection so those passes hit memory, not parquet+cast
-    // (unpersisted before return — the final query plan re-reads the
-    // source, keeping the returned DataFrame cache-independent).
+  /** Centroid training shared by the IVF variants: lowest-id init
+    * (deterministic, no order-dependent averaging) + Lloyd refinement.
+    * Returns empty when the corpus has no usable vectors. The init
+    * collect + each Lloyd iteration is a full corpus pass, so the casted
+    * projection is cached for the duration (unpersisted before return —
+    * the caller's final query plan re-reads the source, keeping the
+    * returned DataFrame cache-independent). */
+  private def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                             nCentroids: Int, lloydIters: Int): Seq[Seq[Double]] = {
     // Null/empty vectors are filtered here, which both keeps degenerate
     // rows out of the init centroids and doubles as the empty-corpus probe
     // (no separate vecDim scan).
@@ -170,7 +171,7 @@ object Similarity {
       .select(col(idCol).as("pid"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
     projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = try {
+    try {
       val init: Seq[Seq[Double]] = projected
         .orderBy(col("pid")).limit(nCentroids)
         .select(col("v")).collect()
@@ -180,6 +181,13 @@ object Similarity {
       if (init.isEmpty) IndexedSeq.empty
       else refineCentroids(projected.select(col("v")), "v", init, lloydIters)
     } finally projected.unpersist(blocking = false)
+  }
+
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Column => Column, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              lloydIters: Int = 2): DataFrame = {
+    val centroids = trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters)
     if (centroids.isEmpty) return emptyTopK(emb, idCol)
 
     // native one-pass probe expression (argmax = probe with nProbe=1)
@@ -200,6 +208,78 @@ object Similarity {
       .select(col("qid"), col("nid"), col("score_raw"))
       .distinct() // a neighbor can sit in several probed cells; same score
       .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))
+  }
+
+  /** IVF ANN over the int8-quantized embedding store — the corpus-scale
+    * serving shape: candidate generation touches ONLY the 4x-smaller
+    * quantized index (cell probe + dot products against int8-reconstructed
+    * vectors), and the float originals are read back just for the exact
+    * re-rank of each query's `shortlist` best candidates. Output shape
+    * matches [[bruteForceTopK]] and scores are EXACT float cosines, so
+    * quantization error affects recall only, never the reported scores.
+    *
+    * Scale shape: the quantized index is one corpus scan (centroids
+    * broadcast); the probe join is an equi-join on cell id carrying
+    * (qid, nid, approx-score) scalars; the float re-read is a broadcast
+    * semi-join against the tiny (queries x shortlist) id set, so the full
+    * float store is never shuffled. `shortlist` defaults to 3k — the
+    * standard re-rank headroom for scalar int8 quantization. */
+  def ivfTopKInt8(emb: DataFrame, idCol: String, vecCol: String,
+                  queryIds: Column => Column, k: Int,
+                  nCentroids: Int = 16, nProbe: Int = 4,
+                  lloydIters: Int = 2, shortlist: Int = 0): DataFrame = {
+    val shortlistN = if (shortlist > 0) shortlist else 3 * k
+    require(shortlistN >= k, s"shortlist must be >= k, got $shortlistN < $k")
+    val centroids = trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters)
+    if (centroids.isEmpty) return emptyTopK(emb, idCol)
+
+    // int8 index build: per-vector affine codes (identical math to
+    // [[quantizeInt8]]) + cell assignment from the float vector — both
+    // available at index-build time; serving reads only this frame.
+    val v = asDouble(col(vecCol))
+    val mn = array_min(v)
+    val sc = (array_max(v) - array_min(v)) / 255.0
+    val index = emb
+      .filter(v.isNotNull && size(v) > 0)
+      .select(col(idCol).as("nid"),
+        transform(v, x =>
+          when(sc === 0.0, lit(0))
+            .otherwise(round((x - mn) / sc, 0).cast("int"))).as("codes"),
+        mn.as("q_min"), sc.as("q_scale"),
+        graft.functions.NearestCells.nearestCells(v, centroids, 1)
+          .getItem(0).as("cell"))
+
+    val q = emb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell",
+        explode(graft.functions.NearestCells.nearestCells(col("qvec"), centroids, nProbe)))
+
+    // approximate scoring against the reconstructed int8 vectors; the
+    // distinct + window shuffle carries (qid, nid, score) scalars only
+    val wq = Window.partitionBy(col("qid")).orderBy(col("score_q").desc, col("nid"))
+    val short = index.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score_q",
+        cosine(col("qvec"), dequantize(col("codes"), col("q_min"), col("q_scale"))))
+      .select(col("qid"), col("nid"), col("score_q"))
+      .distinct() // a neighbor can sit in several probed cells; same score
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rq") <= shortlistN)
+      .select(col("qid"), col("nid"))
+
+    // exact re-rank: float vectors re-join only for the shortlist ids —
+    // broadcast the tiny shortlist so the float store streams, unshuffled
+    val floats = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val qv = emb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    val wr = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
+    floats.join(broadcast(short), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("score_raw", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))

@@ -634,6 +634,22 @@ object LlmQueries {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           queryIds = _ < 10, k = 5),
         minHits = 4, eps = 0.02)
+    },
+
+    // Quantized IVF end-to-end (the actual 100 TB serving shape):
+    // candidate generation probes cells and scores against the int8
+    // index only, float vectors re-join for the exact re-rank of the
+    // 3k-candidate shortlist. Gated on the same deterministic
+    // epsilon-recall verdict as the float IVF probe (measured: every
+    // query passes the >=4-hit floor at sf0.001/0.01/0.1).
+    "ann_ivf_int8_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.recallGate(
+        Similarity.ivfTopKInt8(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 4, eps = 0.02)
     })
 
   // the distributed-path probe must satisfy the SAME transitive-closure
@@ -1130,6 +1146,10 @@ object LlmQueries {
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "ann_int8_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "ann_ivf_int8_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 

@@ -341,6 +341,32 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 4, s"recall@1 $hits/5")
   }
 
+  test("ivfTopKInt8: exact re-rank reports float scores and recalls the " +
+      "planted rank-1 neighbors") {
+    val got = Similarity.ivfTopKInt8(plantedVectors, "vec_id", "embedding",
+        queryIds = _ < 5, k = 3, nCentroids = 8, nProbe = 3)
+      .collect()
+    val top1 = got.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    val hits = (0L until 5L).count(q => top1.get(q).contains(100L + q))
+    assert(hits >= 4, s"recall@1 $hits/5")
+    // scores are EXACT cosines (not quantized): every (query, neighbor)
+    // the int8 path returns must carry the same score brute force reports
+    val exact = Similarity.bruteForceTopK(plantedVectors, "vec_id", "embedding",
+        queryIds = _ < 5, k = 20)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("score")).toMap
+    got.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      exact.get(key).foreach(s =>
+        assert(s == r.getAs[Double]("score"), s"score drift at $key"))
+    }
+    // empty corpus stays safe, same as the float variants
+    val empty = plantedVectors.filter(col("vec_id") < 0)
+    assert(Similarity.ivfTopKInt8(empty, "vec_id", "embedding", _ < 5, k = 3).count() == 0)
+  }
+
   test("connectedComponents labels chains, cliques and bridges with the min id") {
     // chain 0-1-2-...-24 (diameter stress: label must travel 24 hops),
     // clique {100..104}, bridge pair {200,201}, plus an isolated pair
