@@ -52,11 +52,14 @@ object Bench {
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // gated queries + bench-only engine probes (ANN approximate paths
+    // timed without their oracle's brute-force reference)
+    val lookup = SparkEntry.queries ++ SparkEntry.benchOnlyQueries
+    val names = SparkEntry.benchQueries.filter(lookup.contains)
       .filter(n => only.forall(_.contains(n)))
     // Warm-up: JIT + codegen cache + file-listing, excluded from timing.
     names.headOption.foreach { n =>
-      try SparkEntry.queries(n)(spark, sfDir).count()
+      try lookup(n)(spark, sfDir).count()
       catch { case _: Throwable => () }
       quiesce(spark)
     }
@@ -69,7 +72,7 @@ object Bench {
     // deltas are signal, not noise (BENCH_NOTES.md).
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = lookup(name)
       var err: Option[String] = None
       def timedRun(): Double = {
         val t0 = System.nanoTime()
@@ -102,9 +105,13 @@ object Bench {
     }
     val total = results.map(_._2).sum
     val errJson = errs.mkString("{", ",", "}")
+    // per-row gate-definition version: cross-round tooling auto-excludes
+    // redefinitions (version bumps) from delta comparisons
+    val vers = names.map(n => "\"" + n + "\":" + SparkEntry.gateDefVersion(n))
+      .mkString("{", ",", "}")
     // errors surface in the JSON (not via exit code: the driver still needs
     // the timing line for the queries that DID run)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errs.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errs.size},"gate_def_version":$vers,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,9 +45,46 @@ object SparkEntry {
     "text_stats", "text_bpe_tokens", "text_tfidf_top",
     "dedup_exact_docs", "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
-    "dedup_incremental", "profile_documents",
-    "emb_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_incremental", "pipeline_contamination_norm", "profile_documents",
+    "emb_cosine_topk",
+    "ann_lsh_topk", "ann_lsh_topk_engine",
+    "ann_ivf_topk", "ann_ivf_topk_engine",
+    "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine",
     "multimodal_decode",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_bucketed_join")
+
+  /** Bench-only engine probes — NOT part of the correctness contract.
+    * The gated ANN rows time approximate top-k PLUS the brute-force
+    * reference PLUS the recall join (the deterministic oracle needs all
+    * three), which hides the approximate path's own cost — the number
+    * that matters at the scale where brute force is unrunnable. These
+    * time just the engine, with the same dials as the gated rows. */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.Tables.t
+    import graft.operators.Similarity
+    Map(
+      "ann_lsh_topk_engine" -> ((s, d) =>
+        Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, tables = 8, nBits = 3)),
+      "ann_ivf_topk_engine" -> ((s, d) =>
+        Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),
+      "ann_ivf_int8_topk_engine" -> ((s, d) =>
+        Similarity.ivfTopKInt8(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)))
+  }
+
+  /** Gate-definition version per bench row: bumped whenever a query's
+    * DEFINITION changes (scope, dials, timed span — not a faster plan for
+    * the same definition), so cross-round tooling can auto-exclude
+    * redefinitions instead of parsing BENCH_NOTES prose. Unlisted
+    * queries are at version 1. */
+  def gateDefVersion: Map[String, Int] = Map(
+    "ann_lsh_topk" -> 2,      // r4: times the full recall gate; nBits 4->3
+    "ann_ivf_topk" -> 2,      // r4: times the full recall gate
+    "dedup_span_exact" -> 2,  // r4: default maxDf=1000 df-pass included
+    "dedup_simhash_full" -> 2, // r4: portable MD5 token-hash mode
+    "text_tfidf_top" -> 2     // r4: full corpus (was doc_id < 50 slice)
+  ).withDefaultValue(1)
 }

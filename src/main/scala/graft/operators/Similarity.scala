@@ -239,31 +239,50 @@ object Similarity {
     // int8 index build: per-vector affine codes (identical math to
     // [[quantizeInt8]]) + cell assignment from the float vector — both
     // available at index-build time; serving reads only this frame.
+    // Candidate scoring must NOT evaluate `cosine(q, dequantize(codes))`
+    // literally: `dequantize` is a higher-order `transform` (interpreted,
+    // CodegenFallback), the cosine references it three times — each
+    // re-evaluated per candidate row — and its presence drops the whole
+    // probe stage out of codegen (measured 2.3x the float engine at
+    // sf0.1). Instead the cosine over the affine reconstruction is
+    // expanded algebraically so per-candidate work is ONE native VecDot:
+    //   dot(q, mn + sc*c)  = mn*sum(q) + sc*dot(q, c)
+    //   |mn + sc*c|^2      = d*mn^2 + 2*mn*sc*sum(c) + sc^2*dot(c, c)
+    // with every sum/dot on the right either per-query or precomputed at
+    // index build. Same math (reassociated, so equal to within ulps —
+    // ranking input only; reported scores come from the exact re-rank).
     val v = asDouble(col(vecCol))
-    val mn = array_min(v)
-    val sc = (array_max(v) - array_min(v)) / 255.0
+    val dot_ = graft.functions.VecDot.vecDot _
+    def sumArr(c: Column): Column = dot_(c, array_repeat(lit(1.0), size(c)))
+    val qz = graft.functions.Int8Quantize.int8Quantize(v)
     val index = emb
       .filter(v.isNotNull && size(v) > 0)
-      .select(col(idCol).as("nid"),
-        transform(v, x =>
-          when(sc === 0.0, lit(0))
-            .otherwise(round((x - mn) / sc, 0).cast("int"))).as("codes"),
-        mn.as("q_min"), sc.as("q_scale"),
+      .select(col(idCol).as("nid"), qz.as("qz"),
         graft.functions.NearestCells.nearestCells(v, centroids, 1)
           .getItem(0).as("cell"))
+      .select(col("nid"), col("cell"),
+        col("qz.codes").cast("array<double>").as("cd"),
+        col("qz.q_min").as("q_min"), col("qz.q_scale").as("q_scale"))
+      .withColumn("deq_norm", sqrt(
+        size(col("cd")) * col("q_min") * col("q_min")
+          + lit(2.0) * col("q_min") * col("q_scale") * sumArr(col("cd"))
+          + col("q_scale") * col("q_scale") * dot_(col("cd"), col("cd"))))
 
     val q = emb.filter(queryIds(col(idCol)))
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("q_norm", sqrt(dot_(col("qvec"), col("qvec"))))
+      .withColumn("s_q", sumArr(col("qvec")))
       .withColumn("cell",
         explode(graft.functions.NearestCells.nearestCells(col("qvec"), centroids, nProbe)))
 
-    // approximate scoring against the reconstructed int8 vectors; the
-    // distinct + window shuffle carries (qid, nid, score) scalars only
+    // approximate scoring against the int8 index; the distinct + window
+    // shuffle carries (qid, nid, score) scalars only
     val wq = Window.partitionBy(col("qid")).orderBy(col("score_q").desc, col("nid"))
     val short = index.join(broadcast(q), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("score_q",
-        cosine(col("qvec"), dequantize(col("codes"), col("q_min"), col("q_scale"))))
+        (col("q_min") * col("s_q") + col("q_scale") * dot_(col("qvec"), col("cd")))
+          / (col("q_norm") * col("deq_norm")))
       .select(col("qid"), col("nid"), col("score_q"))
       .distinct() // a neighbor can sit in several probed cells; same score
       .withColumn("rq", row_number().over(wq))
@@ -324,16 +343,14 @@ object Similarity {
     * Degenerate constant vectors (max == min) get scale 0 and codes 0.
     * Output: idCol, codes array<int>, q_min double, q_scale double. */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val v = asDouble(col(vecCol))
-    val mn = array_min(v)
-    val sc = (array_max(v) - array_min(v)) / 255.0
-    emb.select(
-      col(idCol),
-      transform(v, x =>
-        when(sc === 0.0, lit(0))
-          .otherwise(round((x - mn) / sc, 0).cast("int"))).as("codes"),
-      mn.as("q_min"),
-      sc.as("q_scale"))
+    // one compiled pass per row ([[graft.functions.Int8Quantize]]); the
+    // equivalent transform() lambda re-scans the vector per element
+    // (array_min/max inlined into the lambda — O(d²) interpreted) and
+    // drops the stage out of codegen. Bit-equivalence spec'd.
+    val qz = graft.functions.Int8Quantize.int8Quantize(asDouble(col(vecCol)))
+    emb.select(col(idCol), qz.as("qz"))
+      .select(col(idCol), col("qz.codes").as("codes"),
+        col("qz.q_min").as("q_min"), col("qz.q_scale").as("q_scale"))
   }
 
   /** Reconstruct doubles from [[quantizeInt8]] output:

@@ -341,6 +341,33 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(hits >= 4, s"recall@1 $hits/5")
   }
 
+  test("native Int8Quantize is bit-identical to the Column formulation") {
+    val rnd = new scala.util.Random(7)
+    val vecs: Seq[Seq[Double]] = Seq(
+      Seq.fill(64)(rnd.nextGaussian()),
+      Seq.fill(7)(rnd.nextDouble() * 1e-9),     // tiny spread
+      Seq.fill(5)(3.25),                        // constant -> scale 0
+      Seq(-2.5, 0.0, 2.5),                      // negatives
+      Seq(1.0),                                 // single element
+      Seq.empty[Double])                        // empty -> null min/scale
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    // the old pure-Column affine formulation, verbatim
+    val v = col("v")
+    val mn = array_min(v)
+    val sc = (array_max(v) - array_min(v)) / 255.0
+    val legacy = df.select(col("id"),
+      transform(v, x =>
+        when(sc === 0.0, lit(0))
+          .otherwise(round((x - mn) / sc, 0).cast("int"))).as("codes"),
+      mn.as("q_min"), sc.as("q_scale"))
+    val native = Similarity.quantizeInt8(df, "id", "v")
+    val l = legacy.collect().map(r => r.getLong(0) ->
+      ((r.getSeq[Int](1), Option(r.get(2)), Option(r.get(3))))).toMap
+    val n = native.collect().map(r => r.getLong(0) ->
+      ((r.getSeq[Int](1), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(l == n)
+  }
+
   test("ivfTopKInt8: exact re-rank reports float scores and recalls the " +
       "planted rank-1 neighbors") {
     val got = Similarity.ivfTopKInt8(plantedVectors, "vec_id", "embedding",
