@@ -19,7 +19,9 @@ object Explain {
         "dedup_embedding_lsh", "text_top_terms", "text_langid_counts",
         // round-4 additions: recall gates, decontamination, LM scoring
         "ann_lsh_topk", "pipeline_contamination_ngram",
-        "text_unigram_logprob", "emb_quantize_int8")
+        "text_unigram_logprob", "emb_quantize_int8",
+        // round-6 additions: normalized decontamination, quantized IVF
+        "pipeline_contamination_norm", "ann_ivf_int8_topk")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
