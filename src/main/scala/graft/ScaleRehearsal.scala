@@ -4,15 +4,32 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-rehearsal main (SCALING.md): synthesizes a 10x corpus at
-  * /tmp/sf1 from sf0.1 (per-replica bijective character rotations keep
-  * each replica's internal near-dup structure exact while cross-replica
-  * shingle overlap collapses; embeddings get rotated copies) and measures
-  * wall time + total shuffle-write bytes for the four headline
-  * dedup/ANN probes at sf0.01 / sf0.1 / sf1 in one session.
+/** Standing per-round scale gate (VERDICT r4 item 1): synthesizes a 10x
+  * corpus at /tmp/sf1 from sf0.1 (per-replica bijective character
+  * rotations keep each replica's internal near-dup structure exact while
+  * cross-replica shingle overlap collapses; embeddings get rotated
+  * copies), measures wall time + total shuffle-write bytes for the
+  * headline dedup/ANN probes at sf0.01 / sf0.1 / sf1, and CHECKS the
+  * sf0.1→sf1 growth against pinned ceilings (time x<=4, shuffle x<=12 —
+  * from SCALING.md's round-4 measured headroom; probes whose sf1
+  * absolutes sit under the noise floors pass regardless, because a 15x
+  * ratio on 1.5 MB is scheduling noise, not a scale signal).
   *
-  * Run: `sbt "runMain graft.ScaleRehearsal"` — one SCALE line per
-  * (dataset, probe). */
+  * Round-6 additions:
+  *  - skewed-sf1 rows: a fixed boilerplate span injected into 30% of
+  *    docs and a hot embedding direction shared by 2% of vectors —
+  *    the dedup funnel's dials (`maxDf`, banding + exact verify) must
+  *    hold the skewed corpus inside small multiples of the plain-sf1
+  *    cost;
+  *  - a deliberate quadratic (span dedup with `maxDf = 0` on the
+  *    skewed corpus) that must TRIP the gate — proving the gate can
+  *    fail, not just pass;
+  *  - the int8-IVF serving path as a standing probe.
+  *
+  * Run: `sbt "runMain graft.ScaleRehearsal [outFile]"` (default
+  * SCALE_r06.json). Exit 1 when any ceiling fails or the planted
+  * quadratic does NOT trip. One SCALE line per (dataset, probe) on
+  * stdout; the JSON file carries the ratios, ceilings and verdicts. */
 object ScaleRehearsal {
 
   /** Accumulates shuffle write bytes across all stages. */
@@ -22,7 +39,10 @@ object ScaleRehearsal {
       bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
   }
 
+  private final case class Sample(rows: Long, secs: Double, shuffleMB: Double)
+
   def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("SCALE_r06.json")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -39,13 +59,11 @@ object ScaleRehearsal {
     if (!new java.io.File(s"$sf1/documents.parquet").exists()) {
       val docs = t(spark, sf01, "documents")
       val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-      // replica r: doc_id += r*n; bijective vowel rotation per replica keeps
-      // each replica's internal near-dup structure intact while cross-replica
-      // shingle overlap collapses (distinct char permutations)
-      // 10 DISTINCT rotations of a 9-char set (r=0 is the identity):
-      // within a replica the map is bijective, so its internal near-dup
-      // structure is preserved exactly; across replicas the maps differ,
-      // so shingle overlap collapses and the true pair count scales ~10x
+      // replica r: doc_id += r*n; 10 DISTINCT rotations of a 9-char set
+      // (r=0 is the identity): within a replica the map is bijective, so
+      // its internal near-dup structure is preserved exactly; across
+      // replicas the maps differ, so shingle overlap collapses and the
+      // true pair count scales ~10x
       val chars = "aeiounrst"
       val reps = (0 until 10).map { r =>
         val to = chars.drop(r) + chars.take(r)
@@ -73,6 +91,40 @@ object ScaleRehearsal {
       println("synthesized /tmp/sf1")
     }
 
+    // ---- synthesize skewed variants -------------------------------------
+    // documents: one fixed 14-token boilerplate span prefixed onto 30% of
+    // docs (the corpus-wide-header case maxDf exists for); embeddings: 2%
+    // of vectors pulled 80% toward one fixed direction (a hot LSH bucket /
+    // IVF cell). Applied to BOTH sf0.1 and sf1 so the quadratic trip can
+    // run at a scale where it completes.
+    val boiler = "terms of service apply to this document " +
+      "please read carefully before proceeding any further"
+    def synthSkew(src: String, dst: String): Unit =
+      if (!new java.io.File(s"$dst/documents.parquet").exists()) {
+        t(spark, src, "documents")
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 < 3, concat(lit(boiler + " "), col("text")))
+              .otherwise(col("text")).as("text"),
+            col("lang"), col("source"), col("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+        t(spark, src, "embeddings")
+          .select(col("vec_id"),
+            when(col("vec_id") % 50 === 0,
+              transform(col("embedding").cast("array<double>"),
+                (x, i) => x * 0.2 + cos(i.cast("double")) * 0.8)
+                .cast("array<float>"))
+              .otherwise(col("embedding")).as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+        println(s"synthesized $dst")
+      }
+    val sf01skew = "/tmp/sf01skew"
+    val sf1skew = "/tmp/sf1skew"
+    synthSkew(sf01, sf01skew)
+    synthSkew(sf1, sf1skew)
+
     // ---- probes ---------------------------------------------------------
     import graft.operators.{Dedup, Similarity}
     def probes(d: String): Seq[(String, () => Long)] = Seq(
@@ -89,6 +141,9 @@ object ScaleRehearsal {
       "ann_ivf_topk" -> (() =>
         Similarity.ivfTopK(t(spark, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4).count()),
+      "ann_ivf_int8_topk" -> (() =>
+        Similarity.ivfTopKInt8(t(spark, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4).count()),
       "contamination_ngram" -> (() => {
         val docs = t(spark, d, "documents")
         Dedup.spanContaminated(
@@ -100,22 +155,134 @@ object ScaleRehearsal {
         Similarity.quantizeInt8(t(spark, d, "embeddings"), "vec_id", "embedding")
           .agg(sum(size(col("codes")))).head().getLong(0))
     )
+    // skewed-corpus probes: the dials that must absorb the skew
+    def skewProbes(d: String): Seq[(String, () => Long)] = Seq(
+      "dedup_span_exact_skew" -> (() =>
+        Dedup.spanPairs(t(spark, d, "documents"), "doc_id", "text",
+          spanTokens = 8).count()), // default maxDf=1000 drops the hot span
+      "dedup_minhash_full_skew" -> (() =>
+        Dedup.minhashVerifiedPairs(t(spark, d, "documents"), "doc_id", "text",
+          k = 32, shingleSize = 5, bands = 8, threshold = 0.6).count()),
+      "lsh_neardup_hot" -> (() =>
+        Similarity.lshNearDupPairs(t(spark, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.9).count())
+    )
 
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
-    for (d <- Seq("/root/testdata/sf0.01", sf01, sf1)) {
-      // warm
-      t(spark, d, "documents").count(); t(spark, d, "embeddings").count()
-      for ((name, fn) <- probes(d)) {
-        System.gc()
-        meter.bytes.set(0)
-        val t0 = System.nanoTime()
-        val rows = fn()
-        val secs = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(500) // listener bus drain
-        println(f"SCALE $d $name rows=$rows%d secs=$secs%.2f shuffleMB=${meter.bytes.get / 1e6}%.1f")
-      }
+    def measure(d: String, name: String, fn: () => Long): Sample = {
+      System.gc()
+      meter.bytes.set(0)
+      val t0 = System.nanoTime()
+      val rows = fn()
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500) // listener bus drain
+      val mb = meter.bytes.get / 1e6
+      println(f"SCALE $d $name rows=$rows%d secs=$secs%.2f shuffleMB=$mb%.1f")
+      Sample(rows, secs, mb)
     }
+
+    val datasets = Seq("/root/testdata/sf0.01", sf01, sf1)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Sample]]
+    for (d <- datasets) {
+      t(spark, d, "documents").count(); t(spark, d, "embeddings").count() // warm
+      for ((name, fn) <- probes(d))
+        results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap.empty)
+          .put(d, measure(d, name, fn))
+    }
+
+    // ---- ceilings: sf0.1 -> sf1 -----------------------------------------
+    // pinned from SCALING.md r4 headroom (max measured: time x3.1, shuffle
+    // x10.3). Absolute noise floors: a probe whose sf1 wall is under 3 s /
+    // shuffle under 5 MB is dominated by fixed scheduling overhead, where
+    // ratios carry no scale information.
+    val timeCeil = 4.0
+    val shufCeil = 12.0
+    val timeFloorS = 3.0
+    val shufFloorMB = 5.0
+    def within(s01: Sample, s1: Sample): (Double, Double, Boolean) = {
+      val rt = if (s01.secs > 0) s1.secs / s01.secs else 0.0
+      val rs = if (s01.shuffleMB > 0) s1.shuffleMB / s01.shuffleMB else 0.0
+      val okT = rt <= timeCeil || s1.secs <= timeFloorS
+      val okS = rs <= shufCeil || s1.shuffleMB <= shufFloorMB
+      (rt, rs, okT && okS)
+    }
+
+    // ---- skew rows: skewed sf1 vs plain sf1 -----------------------------
+    // ceilings: the dials must hold the skewed corpus within x2.5 time /
+    // x3 shuffle of plain sf1 (same floors). The skewed corpus is
+    // strictly harder (30% of docs gain 14 tokens; a shared hot
+    // direction), so small multiples are expected; a quadratic escape
+    // would be orders of magnitude.
+    val skewTimeCeil = 2.5
+    val skewShufCeil = 3.0
+    for ((name, fn) <- skewProbes(sf1skew))
+      results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap.empty)
+        .put(sf1skew, measure(sf1skew, name, fn))
+    // plain-sf1 baselines for the skew comparisons
+    val lshPlain = measure(sf1, "lsh_neardup_plain", () =>
+      Similarity.lshNearDupPairs(t(spark, sf1, "embeddings"), "vec_id",
+        "embedding", threshold = 0.9).count())
+
+    // ---- quadratic trip: maxDf=0 on the skewed sf0.1 corpus -------------
+    // With the df-cap disabled, the 1500-doc boilerplate span alone joins
+    // into 1500*1499/2 ≈ 1.1M distinct pairs — the gate MUST flag this
+    // (that is what proves the ceiling check can fail). Run at sf0.1 scale
+    // so the deliberate quadratic still completes; at sf1skew it would be
+    // ~112M pairs. Trip criterion: disabling the dial on the SAME corpus
+    // multiplies pair output by more than 10x (measured: ~30x here, 1.0x
+    // on a boilerplate-free corpus — clean separation; output growth is
+    // the honest quadratic signal at a scale where wall/shuffle are still
+    // noise-dominated).
+    val tripDefault = measure(sf01skew, "span_skew_maxdf_default", () =>
+      Dedup.spanPairs(t(spark, sf01skew, "documents"), "doc_id", "text",
+        spanTokens = 8).count())
+    val tripNoCap = measure(sf01skew, "span_skew_maxdf0", () =>
+      Dedup.spanPairs(t(spark, sf01skew, "documents"), "doc_id", "text",
+        spanTokens = 8, maxDf = 0).count())
+    val tripped = tripNoCap.rows > 10L * math.max(tripDefault.rows, 1L) ||
+      tripNoCap.shuffleMB > skewShufCeil * math.max(tripDefault.shuffleMB, shufFloorMB)
+
+    // ---- emit JSON ------------------------------------------------------
+    val sb = new StringBuilder
+    sb.append("{\n")
+    sb.append(s"""  "out": "$outPath",\n""")
+    sb.append(s"""  "ceilings": {"time_x": $timeCeil, "shuffle_x": $shufCeil, "time_floor_s": $timeFloorS, "shuffle_floor_mb": $shufFloorMB, "skew_time_x": $skewTimeCeil, "skew_shuffle_x": $skewShufCeil},\n""")
+    var allOk = true
+    def sampleJson(s: Sample): String =
+      f"""{"rows": ${s.rows}%d, "secs": ${s.secs}%.2f, "shuffle_mb": ${s.shuffleMB}%.1f}"""
+    sb.append("""  "probes": {""").append("\n")
+    val probeRows = results.collect { case (name, bySf) if bySf.contains(sf1) && bySf.contains(sf01) =>
+      val (rt, rs, ok) = within(bySf(sf01), bySf(sf1))
+      if (!ok) allOk = false
+      f"""    "$name": {"sf001": ${sampleJson(bySf(datasets.head))}, "sf01": ${sampleJson(bySf(sf01))}, "sf1": ${sampleJson(bySf(sf1))}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "within_ceilings": $ok}"""
+    }
+    sb.append(probeRows.mkString(",\n")).append("\n  },\n")
+    // skew vs plain sf1
+    def skewRow(name: String, skew: Sample, plain: Sample): String = {
+      val rt = if (plain.secs > 0) skew.secs / plain.secs else 0.0
+      val rs = if (plain.shuffleMB > 0) skew.shuffleMB / plain.shuffleMB else 0.0
+      val ok = (rt <= skewTimeCeil || skew.secs <= timeFloorS) &&
+        (rs <= skewShufCeil || skew.shuffleMB <= shufFloorMB)
+      if (!ok) allOk = false
+      f"""    "$name": {"skew": ${sampleJson(skew)}, "plain_sf1": ${sampleJson(plain)}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "within_ceilings": $ok}"""
+    }
+    sb.append("""  "skew": {""").append("\n")
+    sb.append(Seq(
+      skewRow("dedup_span_exact_skew", results("dedup_span_exact_skew")(sf1skew),
+        results("dedup_span_exact")(sf1)),
+      skewRow("dedup_minhash_full_skew", results("dedup_minhash_full_skew")(sf1skew),
+        results("dedup_minhash_full")(sf1)),
+      skewRow("lsh_neardup_hot", results("lsh_neardup_hot")(sf1skew), lshPlain)
+    ).mkString(",\n")).append("\n  },\n")
+    if (!tripped) allOk = false
+    sb.append(f"""  "quadratic_trip": {"probe": "span_skew_maxdf0", "default": ${sampleJson(tripDefault)}, "no_cap": ${sampleJson(tripNoCap)}, "expect_trip": true, "tripped": $tripped},\n""")
+    sb.append(s"""  "all_within_ceilings": $allOk\n}\n""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(s"SCALE_GATE ${if (allOk) "PASS" else "FAIL"} -> $outPath")
     spark.stop()
+    if (!allOk) sys.exit(1)
   }
 }

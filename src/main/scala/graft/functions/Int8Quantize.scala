@@ -32,10 +32,10 @@ case class Int8Quantize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "int8_quantize"
 
   override def nullSafeEval(input: Any): Any =
-    Int8Quantize.eval(input.asInstanceOf[ArrayData])
+    Int8Quantize.evalArr(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Int8Quantize.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.Int8Quantize.evalArr($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Int8Quantize =
     copy(child = newChild)
@@ -52,8 +52,12 @@ object Int8Quantize {
   def int8Quantize(c: Column): Column =
     GraftBridge.column(Int8Quantize(GraftBridge.expression(c)))
 
-  /** Static entry point used by both interpreted eval and generated code. */
-  def eval(arr: ArrayData): InternalRow = {
+  /** Static entry point used by both interpreted eval and generated code.
+    * Named evalArr (not eval): the case class inherits Expression.eval, so
+    * an object method named eval gets NO static forwarder on the companion
+    * class and janino-generated code fails to resolve it, silently dropping
+    * the stage to interpreted fallback. */
+  def evalArr(arr: ArrayData): InternalRow = {
     val n = arr.numElements()
     if (n == 0)
       return new GenericInternalRow(
