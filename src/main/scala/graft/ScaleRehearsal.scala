@@ -138,6 +138,9 @@ object ScaleRehearsal {
       "dedup_span_exact" -> (() =>
         Dedup.spanPairs(t(spark, d, "documents"), "doc_id", "text",
           spanTokens = 8).count()),
+      "dedup_span_scrub" -> (() =>
+        Dedup.removeDuplicateSpans(t(spark, d, "documents"), "doc_id", "text",
+          spanTokens = 8).agg(sum(col("n_removed"))).head().getLong(0)),
       "ann_ivf_topk" -> (() =>
         Similarity.ivfTopK(t(spark, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4).count()),
@@ -163,6 +166,12 @@ object ScaleRehearsal {
       "dedup_minhash_full_skew" -> (() =>
         Dedup.minhashVerifiedPairs(t(spark, d, "documents"), "doc_id", "text",
           k = 32, shingleSize = 5, bands = 8, threshold = 0.6).count()),
+      // span REMOVAL has no maxDf dial and none is needed: occurrences,
+      // not pairs, so the 15k-doc boilerplate span costs 15k rows — the
+      // linear-on-boilerplate claim measured directly
+      "dedup_span_scrub_skew" -> (() =>
+        Dedup.removeDuplicateSpans(t(spark, d, "documents"), "doc_id", "text",
+          spanTokens = 8).agg(sum(col("n_removed"))).head().getLong(0)),
       "lsh_neardup_hot" -> (() =>
         Similarity.lshNearDupPairs(t(spark, d, "embeddings"), "vec_id",
           "embedding", threshold = 0.9).count())
@@ -272,6 +281,8 @@ object ScaleRehearsal {
     sb.append(Seq(
       skewRow("dedup_span_exact_skew", results("dedup_span_exact_skew")(sf1skew),
         results("dedup_span_exact")(sf1)),
+      skewRow("dedup_span_scrub_skew", results("dedup_span_scrub_skew")(sf1skew),
+        results("dedup_span_scrub")(sf1)),
       skewRow("dedup_minhash_full_skew", results("dedup_minhash_full_skew")(sf1skew),
         results("dedup_minhash_full")(sf1)),
       skewRow("lsh_neardup_hot", results("lsh_neardup_hot")(sf1skew), lshPlain)

@@ -45,6 +45,7 @@ object SparkEntry {
     "text_stats", "text_bpe_tokens", "text_tfidf_top",
     "dedup_exact_docs", "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
+    "dedup_span_scrub",
     "dedup_incremental", "pipeline_contamination_norm", "profile_documents",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine",

@@ -523,6 +523,53 @@ object Dedup {
         (frac >= minOverlapFrac).as("contaminated"))
   }
 
+  /** Exact-substring span REMOVAL — the surgery step of Lee et al.'s
+    * ExactSubstr dedup (ACL'22): instead of dropping whole documents,
+    * cut the duplicated token runs out of them. A `spanTokens`-token
+    * window is duplicated when it occurs in >= 2 documents; the lowest
+    * doc id containing it keeps its occurrences, every other document
+    * removes the tokens covered by the UNION of its flagged window
+    * intervals (overlaps merge, so a shared 12-token run disappears as
+    * one piece). Output: (idCol, clean_text, n_removed) over normalized
+    * text, for every input doc (untouched docs pass through with
+    * n_removed = 0). Content-defined keeper -> partition-invariant.
+    *
+    * Scale shape: this is LINEAR even on corpus-wide boilerplate —
+    * unlike [[spanPairs]] there is no pair join, so a window shared by
+    * f documents costs f occurrence rows, not f²/2 pairs (no `maxDf`
+    * dial needed). One window-hash aggregation (partial-agg'd distinct
+    * (id, hash)), one occurrence-to-flag equi-join on hash, one bounded
+    * per-doc collect of cut positions (<= tokens per doc), and a
+    * compiled one-pass cut ([[graft.functions.CutTokenSpans]]). */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val base = df.select(col(idCol).as("id"),
+      TextAnalysis.normText(col(textCol)).as("t"))
+    val occ = base.select(col("id"),
+      explode(graft.functions.SpanHashesPos.spanHashesPos(col("t"), spanTokens)).as("w"))
+      .select(col("id"), col("w.h").as("h"), col("w.pos").as("pos"))
+    // per-window doc stats from the distinct (doc, window) set: windows
+    // in >= 2 docs are duplicated; min id is the keeper
+    val flagged = occ.select(col("id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("keeper"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("keeper"))
+    // occurrences to cut: flagged windows in non-keeper docs; the cut
+    // positions per doc are bounded by the doc's own token count
+    val cuts = occ.join(flagged, Seq("h"))
+      .filter(col("id") =!= col("keeper"))
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    val surgery = graft.functions.CutTokenSpans.cutTokenSpans(
+      col("t"), coalesce(col("starts"), array().cast("array<int>")), spanTokens)
+    base.join(cuts, Seq("id"), "left_outer")
+      .select(col("id"), surgery.as("c"))
+      .select(col("id").as(idCol), col("c.clean").as("clean_text"),
+        col("c.removed").cast("long").as("n_removed"))
+  }
+
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, maxDf: Int = 1000): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")

@@ -300,6 +300,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Exact-substring span REMOVAL (the ACL'22 surgery step): duplicated
+    // 8-token windows are cut out of every non-keeper doc (keeper = min
+    // doc id containing the window), overlapping windows merging into one
+    // cut. Gate verifies the full cleaned TEXT of every doc plus the
+    // removed-token count. Linear even on boilerplate: occurrences, not
+    // pairs, so no maxDf dial exists to mis-set.
+    "dedup_span_scrub" -> { (s, d) =>
+      Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          spanTokens = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Normalized decontamination with doc-level overlap fractions — the
     // published recipe: both sides lowercased + punctuation-collapsed
     // before 8-gram window hashing, and each corpus doc reports what
@@ -925,6 +937,39 @@ object LlmQueries {
         |SELECT DISTINCT doc_id FROM w
         |WHERE doc_id % 10 <> 0 AND span IN (SELECT span FROM b)
         |ORDER BY doc_id""".stripMargin,
+
+    "dedup_span_scrub" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents),
+        |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+        |w AS (
+        | SELECT doc_id, i.i AS pos,
+        |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM tok, generate_series(1, 400) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |f AS (
+        | SELECT span, MIN(doc_id) AS keeper
+        | FROM (SELECT DISTINCT doc_id, span FROM w) GROUP BY 1
+        | HAVING COUNT(*) >= 2),
+        |cov AS (
+        | SELECT DISTINCT w.doc_id, gs.g AS tp
+        | FROM w JOIN f ON w.span = f.span AND w.doc_id <> f.keeper
+        | CROSS JOIN generate_series(1, 400) gs(g)
+        | WHERE gs.g BETWEEN w.pos AND w.pos + 7),
+        |surv AS (
+        | SELECT tok.doc_id, j.j AS j, toks[j.j] AS tk, (cov.tp IS NOT NULL) AS cut
+        | FROM tok CROSS JOIN generate_series(1, 400) j(j)
+        | LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.tp = j.j
+        | WHERE j.j <= len(toks)),
+        |agg AS (
+        | SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT cut THEN tk END, ' ' ORDER BY j), '') AS clean_text,
+        |  COUNT(*) FILTER (WHERE cut) AS n_removed
+        | FROM surv GROUP BY doc_id)
+        |SELECT n.doc_id,
+        | COALESCE(agg.clean_text, '') AS clean_text,
+        | CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "pipeline_contamination_norm" ->
       """WITH n AS (

@@ -584,6 +584,51 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("removeDuplicateSpans cuts the duplicated run from non-keeper docs, " +
+      "merging overlapping windows into one cut") {
+    val run = (1 to 9).map(i => s"d$i").mkString(" ") // 9 tokens = 2 windows
+    val docs = Seq(
+      (1L, s"keeper doc holds $run and keeps it"),
+      (2L, s"prefix words here $run suffix tail words"),
+      (3L, "totally original content with no duplicated runs at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // doc 1 is the keeper for both windows of the run: untouched
+    assert(got(1L) == ((s"keeper doc holds $run and keeps it", 0L)))
+    // doc 2 loses the 9 covered tokens as ONE merged cut (2 windows union)
+    assert(got(2L) == (("prefix words here suffix tail words", 9L)))
+    assert(got(3L)._2 == 0L)
+  }
+
+  test("removeDuplicateSpans: an exact duplicate doc is fully erased; " +
+      "partition-invariant") {
+    val body = (1 to 12).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      (5L, body), (9L, body), // 9 duplicates 5 entirely
+      (7L, "unrelated words forming a completely separate twelve token doc y1 y2")
+    ).toDF("doc_id", "text")
+    val a = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanTokens = 8)
+    val got = a.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(5L) == ((body, 0L)))   // min id keeps
+    assert(got(9L) == (("", 12L)))    // fully covered -> empty
+    assert(got(7L)._2 == 0L)
+    val b = Dedup.removeDuplicateSpans(docs.repartition(7), "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(b == got)
+  }
+
+  test("removeDuplicateSpans: short and empty docs pass through untouched") {
+    val docs = Seq((1L, "just three tokens"), (2L, "just three tokens"),
+      (3L, ""), (4L, "   ")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // all docs shorter than the span: no windows anywhere, nothing cut
+    assert(got == Map(
+      1L -> (("just three tokens", 0L)), 2L -> (("just three tokens", 0L)),
+      3L -> (("", 0L)), 4L -> (("", 0L))))
+  }
+
   test("spanContaminationReport: normalized mode catches the case-variant " +
       "near-miss exact mode skips, with the right overlap fractions") {
     val run = (1 to 9).map(i => s"w$i").mkString(" ") // 9 shared tokens
