@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
 
 /** Write-side ORC tuning sweep (VERDICT r4 item 8): writes the sf0.1
   * lineitem table once per supported codec — with and without ORC's
@@ -35,6 +36,19 @@ object CodecSweep {
       b
     }
 
+    // Full-decode read probe: count() alone reads only stripe metadata
+    // (empty required schema — no decompression happens at all), so the
+    // read timing hashes every column of every row instead.
+    def fullRead(dir: String): Long = {
+      val d = spark.read.orc(dir)
+      d.select(expr("bit_xor(xxhash64(struct(*)))")).head(); rows
+    }
+    // warm-up write+read (JIT + codegen + committer init) so the first
+    // swept config doesn't absorb the cold costs
+    df.coalesce(8).write.mode("overwrite").option("compression", "snappy")
+      .orc(s"$out/warmup")
+    fullRead(s"$out/warmup")
+
     println(s"rows=$rows")
     println("| codec | dict | MB | write s | read s |")
     println("|---|---|---|---|---|")
@@ -50,8 +64,9 @@ object CodecSweep {
         .orc(dir)
       val wSecs = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val back = spark.read.orc(dir).count()
+      fullRead(dir)
       val rSecs = (System.nanoTime() - t1) / 1e9
+      val back = spark.read.orc(dir).count()
       require(back == rows, s"row loss: $back != $rows")
       println(f"| $codec | $dict | ${dirBytes(dir) / 1e6}%.1f | $wSecs%.2f | $rSecs%.2f |")
     }

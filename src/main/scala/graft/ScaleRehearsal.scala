@@ -226,6 +226,10 @@ object ScaleRehearsal {
     // would be orders of magnitude.
     val skewTimeCeil = 2.5
     val skewShufCeil = 3.0
+    // warm the skew dataset like every plain dataset (file listing +
+    // footers outside the timed window — the skew/plain ratios gate
+    // against tight ceilings, so both sides must be measured warm)
+    t(spark, sf1skew, "documents").count(); t(spark, sf1skew, "embeddings").count()
     for ((name, fn) <- skewProbes(sf1skew))
       results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap.empty)
         .put(sf1skew, measure(sf1skew, name, fn))
@@ -244,6 +248,7 @@ object ScaleRehearsal {
     // on a boilerplate-free corpus — clean separation; output growth is
     // the honest quadratic signal at a scale where wall/shuffle are still
     // noise-dominated).
+    t(spark, sf01skew, "documents").count() // warm, as above
     val tripDefault = measure(sf01skew, "span_skew_maxdf_default", () =>
       Dedup.spanPairs(t(spark, sf01skew, "documents"), "doc_id", "text",
         spanTokens = 8).count())

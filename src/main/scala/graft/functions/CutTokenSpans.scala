@@ -48,28 +48,20 @@ object CutTokenSpans {
     GraftBridge.column(CutTokenSpans(
       GraftBridge.expression(text), GraftBridge.expression(starts), spanTokens))
 
-  /** Static entry point used by both interpreted eval and generated code. */
+  /** Static entry point used by both interpreted eval and generated code.
+    * Token boundaries come from [[SpanHashes.tokenStarts]] — the same
+    * definition the window hashers use, so cut positions line up. */
   def evalCut(input: UTF8String, startsArr: ArrayData, spanTokens: Int): InternalRow = {
     val s = input.toString
     val len = s.length
     val nStarts = startsArr.numElements()
     if (len == 0 || nStarts == 0)
       return new GenericInternalRow(Array[Any](input, 0))
-    // token boundaries of the single-space-normalized string
-    var nTokens = 1
-    var i = 0
-    while (i < len) { if (s.charAt(i) == ' ') nTokens += 1; i += 1 }
-    val starts = new Array[Int](nTokens + 1)
-    var t = 1
-    i = 0
-    while (i < len) {
-      if (s.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = len + 1
+    val starts = SpanHashes.tokenStarts(s)
+    val nTokens = starts.length - 1
     // coverage bitmap over token indices
     val covered = new Array[Boolean](nTokens)
-    i = 0
+    var i = 0
     while (i < nStarts) {
       var p = startsArr.getInt(i)
       val end = math.min(p + spanTokens, nTokens)

@@ -62,25 +62,37 @@ object Int8Quantize {
     if (n == 0)
       return new GenericInternalRow(
         Array[Any](new GenericArrayData(Array.emptyIntArray), null, null))
+    // min/max under Catalyst's double ordering (java.lang.Double.compare:
+    // -0.0 < 0.0, NaN greatest) — bit-identical to array_min/array_max,
+    // which the legacy Column formulation used
     var mn = arr.getDouble(0)
     var mx = mn
     var i = 1
     while (i < n) {
       val x = arr.getDouble(i)
-      if (x < mn) mn = x
-      if (x > mx) mx = x
+      if (java.lang.Double.compare(x, mn) < 0) mn = x
+      if (java.lang.Double.compare(x, mx) > 0) mx = x
       i += 1
     }
     val sc = (mx - mn) / 255.0
     val codes = new Array[Int](n)
-    if (sc != 0.0) {
-      i = 0
+    if (sc != 0.0) { // NaN != 0.0 is true: NaN-poisoned vectors take this
+      i = 0         // branch and produce code 0 per element, like legacy
       while (i < n) {
-        // (x - mn) / sc is in [0, 255]; BigDecimal HALF_UP on the exact
-        // double value is bit-compatible with Spark round(_, 0)
         val y = (arr.getDouble(i) - mn) / sc
-        codes(i) = new java.math.BigDecimal(y)
-          .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
+        // non-finite y (NaN-poisoned or overflowing spread): TOTAL
+        // saturating semantics — code 0 for NaN, Int.Min/Max for +/-Inf.
+        // The Column formulation ERRORS here under ANSI (CAST_OVERFLOW);
+        // a corrupt embedding must not kill a 100 TB quantization job,
+        // so this intentional divergence is spec'd as such. Finite y:
+        // BigDecimal HALF_UP on the exact double value is bit-compatible
+        // with round(_, 0) ((x-mn)/sc >= 0 here)
+        codes(i) =
+          if (java.lang.Double.isNaN(y)) 0
+          else if (java.lang.Double.isInfinite(y))
+            (if (y > 0) Int.MaxValue else Int.MinValue)
+          else new java.math.BigDecimal(y)
+            .setScale(0, java.math.RoundingMode.HALF_UP).intValue()
         i += 1
       }
     }

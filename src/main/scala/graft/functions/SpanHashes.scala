@@ -55,13 +55,34 @@ object SpanHashes {
     new GenericArrayData(compute(input.toString, spanTokens))
 
   def compute(s: String, spanTokens: Int): Array[Long] = {
+    val starts = tokenStarts(s)
+    val nTokens = starts.length - 1
+    if (nTokens < spanTokens) return Array.emptyLongArray
+    val nWin = nTokens - spanTokens + 1
+    val seen = new java.util.LinkedHashSet[java.lang.Long](nWin * 2)
+    var w = 0
+    while (w < nWin) {
+      seen.add(windowHash(s, starts(w), starts(w + spanTokens) - 1))
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Token start offsets of a single-space-normalized string, with a
+    * sentinel "start of one-past-last token" (= length + 1) appended, so
+    * token k spans chars [starts(k), starts(k+1) - 1). Empty string =>
+    * a single empty token. SHARED by [[SpanHashes]], [[SpanHashesPos]]
+    * and [[CutTokenSpans]] — window identity across the span operators
+    * depends on all three agreeing on boundaries. */
+  private[functions] def tokenStarts(s: String): Array[Int] = {
     val len = s.length
-    if (len == 0) return Array.emptyLongArray
-    // token start offsets in the single-space-normalized string
     var nTokens = 1
     var i = 0
     while (i < len) { if (s.charAt(i) == ' ') nTokens += 1; i += 1 }
-    if (nTokens < spanTokens) return Array.emptyLongArray
     val starts = new Array[Int](nTokens + 1)
     var t = 1
     i = 0
@@ -69,24 +90,17 @@ object SpanHashes {
       if (s.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
       i += 1
     }
-    starts(nTokens) = len + 1 // sentinel: "start of one-past-last token"
-    val nWin = nTokens - spanTokens + 1
-    val seen = new java.util.LinkedHashSet[java.lang.Long](nWin * 2)
-    var w = 0
-    while (w < nWin) {
-      val from = starts(w)
-      val until = starts(w + spanTokens) - 1 // char before next token's space
-      var h = 0xcbf29ce484222325L
-      var j = from
-      while (j < until) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
-      seen.add(fmix64(h))
-      w += 1
-    }
-    val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
-    out
+    starts(nTokens) = len + 1
+    starts
+  }
+
+  /** FNV-1a over the char range [from, until) + fmix64 finalizer — the
+    * single definition of window identity for every span operator. */
+  private[functions] def windowHash(s: String, from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = from
+    while (j < until) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
+    fmix64(h)
   }
 
   @inline private def fmix64(x0: Long): Long = {

@@ -44,43 +44,23 @@ object SpanHashesPos {
   def spanHashesPos(c: Column, spanTokens: Int): Column =
     GraftBridge.column(SpanHashesPos(GraftBridge.expression(c), spanTokens))
 
-  /** Static entry point used by both interpreted eval and generated code. */
+  /** Static entry point used by both interpreted eval and generated code.
+    * Boundaries and hashing come from [[SpanHashes.tokenStarts]] /
+    * [[SpanHashes.windowHash]] — one definition of window identity. */
   def evalUTF8(input: UTF8String, spanTokens: Int): ArrayData = {
     val s = input.toString
-    val len = s.length
-    if (len == 0) return new GenericArrayData(Array.empty[Any])
-    var nTokens = 1
-    var i = 0
-    while (i < len) { if (s.charAt(i) == ' ') nTokens += 1; i += 1 }
+    if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val starts = SpanHashes.tokenStarts(s)
+    val nTokens = starts.length - 1
     if (nTokens < spanTokens) return new GenericArrayData(Array.empty[Any])
-    val starts = new Array[Int](nTokens + 1)
-    var t = 1
-    i = 0
-    while (i < len) {
-      if (s.charAt(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = len + 1 // sentinel: "start of one-past-last token"
     val nWin = nTokens - spanTokens + 1
     val out = new Array[Any](nWin)
     var w = 0
     while (w < nWin) {
-      val from = starts(w)
-      val until = starts(w + spanTokens) - 1 // char before next token's space
-      var h = 0xcbf29ce484222325L
-      var j = from
-      while (j < until) { h = (h ^ s.charAt(j)) * 0x100000001b3L; j += 1 }
-      out(w) = new GenericInternalRow(Array[Any](fmix64(h), w))
+      out(w) = new GenericInternalRow(Array[Any](
+        SpanHashes.windowHash(s, starts(w), starts(w + spanTokens) - 1), w))
       w += 1
     }
     new GenericArrayData(out)
-  }
-
-  @inline private def fmix64(x0: Long): Long = {
-    var x = x0
-    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
-    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
-    x ^= x >>> 33
-    x
   }
 }

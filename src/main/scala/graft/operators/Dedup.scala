@@ -544,8 +544,10 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    // NULL text folds to "" so those docs pass through as ("", 0) like the
+    // oracle's COALESCE, instead of null-propagating through the surgery
     val base = df.select(col(idCol).as("id"),
-      TextAnalysis.normText(col(textCol)).as("t"))
+      TextAnalysis.normText(coalesce(col(textCol), lit(""))).as("t"))
     val occ = base.select(col("id"),
       explode(graft.functions.SpanHashesPos.spanHashesPos(col("t"), spanTokens)).as("w"))
       .select(col("id"), col("w.h").as("h"), col("w.pos").as("pos"))

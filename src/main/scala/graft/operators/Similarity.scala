@@ -200,13 +200,14 @@ object Similarity {
         explode(graft.functions.NearestCells.nearestCells(col("qvec"), centroids, nProbe)))
 
     val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
-    // Score before dedup (see lshTopK): the distinct + window shuffle
-    // carries (qid, nid, score) scalars, never the embedding vectors.
+    // No dedup needed (unlike lshTopK): each corpus vector is assigned
+    // exactly ONE cell and a query's probed cells are distinct, so a
+    // (qid, nid) pair can appear at most once. The window shuffle carries
+    // (qid, nid, score) scalars, never the embedding vectors.
     corpus.join(broadcast(q), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
       .withColumn("score_raw", cosine(col("qvec"), col("nvec")))
       .select(col("qid"), col("nid"), col("score_raw"))
-      .distinct() // a neighbor can sit in several probed cells; same score
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
@@ -225,8 +226,9 @@ object Similarity {
     * broadcast); the probe join is an equi-join on cell id carrying
     * (qid, nid, approx-score) scalars; the float re-read is a broadcast
     * semi-join against the tiny (queries x shortlist) id set, so the full
-    * float store is never shuffled. `shortlist` defaults to 3k — the
-    * standard re-rank headroom for scalar int8 quantization. */
+    * float store is never shuffled. `shortlist` defaults to 3*k
+    * candidates per query (pass an explicit value to widen the re-rank
+    * headroom when the quantization error budget demands it). */
   def ivfTopKInt8(emb: DataFrame, idCol: String, vecCol: String,
                   queryIds: Column => Column, k: Int,
                   nCentroids: Int = 16, nProbe: Int = 4,
@@ -275,8 +277,9 @@ object Similarity {
       .withColumn("cell",
         explode(graft.functions.NearestCells.nearestCells(col("qvec"), centroids, nProbe)))
 
-    // approximate scoring against the int8 index; the distinct + window
-    // shuffle carries (qid, nid, score) scalars only
+    // approximate scoring against the int8 index; no dedup needed — one
+    // cell per index vector, distinct probed cells per query, so (qid,
+    // nid) pairs are unique; the window shuffle carries scalars only
     val wq = Window.partitionBy(col("qid")).orderBy(col("score_q").desc, col("nid"))
     val short = index.join(broadcast(q), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
@@ -284,7 +287,6 @@ object Similarity {
         (col("q_min") * col("s_q") + col("q_scale") * dot_(col("qvec"), col("cd")))
           / (col("q_norm") * col("deq_norm")))
       .select(col("qid"), col("nid"), col("score_q"))
-      .distinct() // a neighbor can sit in several probed cells; same score
       .withColumn("rq", row_number().over(wq))
       .filter(col("rq") <= shortlistN)
       .select(col("qid"), col("nid"))

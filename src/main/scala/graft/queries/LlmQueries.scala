@@ -651,7 +651,7 @@ object LlmQueries {
     // Quantized IVF end-to-end (the actual 100 TB serving shape):
     // candidate generation probes cells and scores against the int8
     // index only, float vectors re-join for the exact re-rank of the
-    // 3k-candidate shortlist. Gated on the same deterministic
+    // 3*k-candidate shortlist. Gated on the same deterministic
     // epsilon-recall verdict as the float IVF probe (measured: every
     // query passes the >=4-hit floor at sf0.001/0.01/0.1).
     "ann_ivf_int8_topk" -> { (s, d) =>

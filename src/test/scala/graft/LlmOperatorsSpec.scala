@@ -349,7 +349,8 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       Seq.fill(5)(3.25),                        // constant -> scale 0
       Seq(-2.5, 0.0, 2.5),                      // negatives
       Seq(1.0),                                 // single element
-      Seq.empty[Double])                        // empty -> null min/scale
+      Seq.empty[Double],                        // empty -> null min/scale
+      Seq(-0.0, 0.0, 1.0))                      // array_min orders -0.0 < 0.0
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
     // the old pure-Column affine formulation, verbatim
     val v = col("v")
@@ -361,11 +362,32 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
           .otherwise(round((x - mn) / sc, 0).cast("int"))).as("codes"),
       mn.as("q_min"), sc.as("q_scale"))
     val native = Similarity.quantizeInt8(df, "id", "v")
+    // BIT-level double comparison: NaN must equal NaN and -0.0 must
+    // differ from 0.0, which Scala's == gets wrong in both directions
+    def bits(v: Any): Any = v match {
+      case d: java.lang.Double => java.lang.Double.doubleToLongBits(d)
+      case x => x
+    }
     val l = legacy.collect().map(r => r.getLong(0) ->
-      ((r.getSeq[Int](1), Option(r.get(2)), Option(r.get(3))))).toMap
+      ((r.getSeq[Int](1), bits(r.get(2)), bits(r.get(3))))).toMap
     val n = native.collect().map(r => r.getLong(0) ->
-      ((r.getSeq[Int](1), Option(r.get(2)), Option(r.get(3))))).toMap
+      ((r.getSeq[Int](1), bits(r.get(2)), bits(r.get(3))))).toMap
     assert(l == n)
+  }
+
+  test("Int8Quantize is TOTAL on NaN/Inf vectors where the Column " +
+      "formulation errors under ANSI") {
+    // intentional divergence: a corrupt embedding must not kill a 100 TB
+    // quantization job — NaN-poisoned scale yields code 0 per element,
+    // infinite y saturates; the legacy cast raises CAST_OVERFLOW instead
+    val df = Seq(
+      (1L, Seq(1.0, Double.NaN, 2.0)),
+      (2L, Seq(Double.NegativeInfinity, 0.0, 5.0))).toDF("id", "v")
+    val got = Similarity.quantizeInt8(df, "id", "v")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(got(1L) == Seq(0, 0, 0)) // sc = NaN poisons every element
+    // mn = -Inf, sc = Inf: y = (x-(-Inf))/Inf = NaN for finite x
+    assert(got(2L) == Seq(0, 0, 0))
   }
 
   test("ivfTopKInt8: exact re-rank reports float scores and recalls the " +
@@ -582,6 +604,24 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val got = Dedup.spanContaminated(corpus, bench, "doc_id", "text", spanTokens = 8)
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
+  }
+
+  test("SpanHashesPos agrees with SpanHashes on window identity") {
+    // removal correctness depends on the positional and distinct-set
+    // hashers computing the same hashes from the same boundaries
+    val cases = Seq("", "one", "a b", "a b c d e f g h i j",
+      "x y x y x y x y x y", ("tok " * 50).trim)
+    for (s <- cases; span <- Seq(2, 8)) {
+      val posArr = graft.functions.SpanHashesPos.evalUTF8(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), span)
+      val posHashes = (0 until posArr.numElements())
+        .map(i => posArr.getStruct(i, 2).getLong(0))
+      assert(posHashes.toSet ==
+        graft.functions.SpanHashes.compute(s, span).toSet, s"'$s' span=$span")
+      // positions are 0..nWin-1 in order
+      assert((0 until posArr.numElements())
+        .forall(i => posArr.getStruct(i, 2).getInt(1) == i))
+    }
   }
 
   test("removeDuplicateSpans cuts the duplicated run from non-keeper docs, " +
