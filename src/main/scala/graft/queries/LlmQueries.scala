@@ -51,7 +51,10 @@ object LlmQueries {
     * crosses a pre-token boundary. Both markers are non-ASCII and the
     * corpus is ASCII-only (verified), so they cannot collide with data.
     * Token count = half the § count; distinct tokens unwrap via regex. */
-  private def bpeOracleSql: String = {
+  /** Shared CTE chain ending in `bc(doc_id, source, n_tokens, s)` — the
+    * per-doc BPE token counts plus the merged symbol string — reused by
+    * both the per-doc count gate and the BPE-aware packing gate. */
+  private def bpeCtes: String = {
     val S = "§" // section sign: per-symbol delimiter
     val B = "¶" // pilcrow: pre-token boundary
     def esc(s: String) = s.replace("'", "''")
@@ -62,13 +65,28 @@ object LlmQueries {
     val cascade = PinnedBpeMerges.foldLeft("s0") { case (acc, (x, y)) =>
       s"replace($acc, '$S${esc(x)}$S$S${esc(y)}$S', '$S${esc(x)}${esc(y)}$S')"
     }
-    s"""WITH w AS (SELECT doc_id, $wrapped AS s0 FROM documents),
-       |m AS (SELECT doc_id, $cascade AS s FROM w)
-       |SELECT doc_id,
-       | CAST((length(s) - length(replace(s, '$S', ''))) // 2 AS BIGINT) AS n_bpe_tokens,
-       | CAST(len(list_distinct(regexp_extract_all(s, '$S([^$S$B]+)$S', 1))) AS BIGINT) AS n_unique_tokens
-       |FROM m""".stripMargin
+    s"""w AS (SELECT doc_id, source, $wrapped AS s0 FROM documents),
+       |m AS (SELECT doc_id, source, $cascade AS s FROM w),
+       |bc AS (SELECT doc_id, source,
+       | CAST((length(s) - length(replace(s, '$S', ''))) // 2 AS BIGINT) AS n_tokens,
+       | s FROM m)""".stripMargin
   }
+
+  private def bpeOracleSql: String =
+    s"""WITH $bpeCtes
+       |SELECT doc_id,
+       | n_tokens AS n_bpe_tokens,
+       | CAST(len(list_distinct(regexp_extract_all(s, '§([^§¶]+)§', 1))) AS BIGINT) AS n_unique_tokens
+       |FROM bc""".stripMargin
+
+  private def bpePackingOracleSql: String =
+    s"""WITH $bpeCtes,
+       |c AS (SELECT source, n_tokens,
+       |      SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum FROM bc)
+       |SELECT source,
+       | CAST(COUNT(DISTINCT (cum - n_tokens) // 2048) AS BIGINT) AS n_packs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM c GROUP BY source""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, d) =>
@@ -518,6 +536,26 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Sequence packing by the REAL tokenizer's counts: what the
+    // whitespace-count packing above approximates, a training pipeline
+    // does with its BPE vocabulary — per-source greedy prefix-sum bins of
+    // 2048 BPE tokens (same native BpeEncode pass as text_bpe_tokens, so
+    // pack boundaries match what the training run sees).
+    "pipeline_token_packing_bpe" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("n_tokens",
+          size(graft.functions.BpeEncode.bpeTokens(col("text"), PinnedBpeMerges))
+            .cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack", expr("(cum - n_tokens) div 2048"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("pack")).as("n_packs"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .orderBy(col("source"))
+    },
+
     // Contamination check: exact-fingerprint overlap between the corpus
     // and a held-out set (every 10th doc stands in for the benchmark).
     "pipeline_contamination" -> { (s, d) =>
@@ -823,6 +861,8 @@ object LlmQueries {
         |GROUP BY lang_pred""".stripMargin,
 
     "text_bpe_tokens" -> bpeOracleSql,
+
+    "pipeline_token_packing_bpe" -> bpePackingOracleSql,
 
     "pipeline_cap_per_source" ->
       """WITH n AS (
