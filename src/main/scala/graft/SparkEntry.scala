@@ -50,7 +50,7 @@ object SparkEntry {
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine",
     "ann_ivf_topk", "ann_ivf_topk_engine",
-    "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine",
+    "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "multimodal_decode",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_bucketed_join")
@@ -64,6 +64,15 @@ object SparkEntry {
   def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] = {
     import graft.Tables.t
     import graft.operators.Similarity
+    // index-build memo for the serve-only probe: a production deployment
+    // trains centroids once at index build; the serve row must not
+    // re-time that (JVM-memoized per sfDir, same pattern as the
+    // converter probes' staged fixtures)
+    val trained = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+    def centroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
+      trained.computeIfAbsent(d, _ =>
+        Similarity.trainIvfCentroids(t(s, d, "embeddings"), "vec_id",
+          "embedding", nCentroids = 16, lloydIters = 2))
     Map(
       "ann_lsh_topk_engine" -> ((s, d) =>
         Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -73,7 +82,13 @@ object SparkEntry {
           queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),
       "ann_ivf_int8_topk_engine" -> ((s, d) =>
         Similarity.ivfTopKInt8(t(s, d, "embeddings"), "vec_id", "embedding",
-          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)))
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),
+      // serving cost with FROZEN centroids — index built once, excluded
+      // from the timed window (the recurring per-batch cost at scale)
+      "ann_ivf_int8_serve" -> ((s, d) =>
+        Similarity.ivfTopKInt8Serve(t(s, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5,
+          centroids = centroidsFor(s, d), nProbe = 4)))
   }
 
   /** Gate-definition version per bench row: bumped whenever a query's

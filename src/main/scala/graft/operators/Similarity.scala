@@ -183,11 +183,27 @@ object Similarity {
     } finally projected.unpersist(blocking = false)
   }
 
+  /** Public index-build entry: train IVF centroids ONCE and reuse them
+    * across query batches via [[ivfTopKServe]] / [[ivfTopKInt8Serve]] —
+    * the serve-many shape. [[ivfTopK]] / [[ivfTopKInt8]] train per call
+    * (right for one-shot gates); a production deployment trains at index
+    * build and serves with frozen centroids, skipping the init collect +
+    * Lloyd corpus passes on every batch. */
+  def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int = 16, lloydIters: Int = 2): Seq[Seq[Double]] =
+    trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters)
+
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Column => Column, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4,
-              lloydIters: Int = 2): DataFrame = {
-    val centroids = trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters)
+              lloydIters: Int = 2): DataFrame =
+    ivfTopKServe(emb, idCol, vecCol, queryIds, k,
+      trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters), nProbe)
+
+  /** IVF serve path against FROZEN centroids (see [[trainIvfCentroids]]). */
+  def ivfTopKServe(emb: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Column => Column, k: Int,
+                   centroids: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
     if (centroids.isEmpty) return emptyTopK(emb, idCol)
 
     // native one-pass probe expression (argmax = probe with nProbe=1)
@@ -232,10 +248,19 @@ object Similarity {
   def ivfTopKInt8(emb: DataFrame, idCol: String, vecCol: String,
                   queryIds: Column => Column, k: Int,
                   nCentroids: Int = 16, nProbe: Int = 4,
-                  lloydIters: Int = 2, shortlist: Int = 0): DataFrame = {
+                  lloydIters: Int = 2, shortlist: Int = 0): DataFrame =
+    ivfTopKInt8Serve(emb, idCol, vecCol, queryIds, k,
+      trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters),
+      nProbe, shortlist)
+
+  /** Int8 IVF serve path against FROZEN centroids (see
+    * [[trainIvfCentroids]]). */
+  def ivfTopKInt8Serve(emb: DataFrame, idCol: String, vecCol: String,
+                       queryIds: Column => Column, k: Int,
+                       centroids: Seq[Seq[Double]], nProbe: Int = 4,
+                       shortlist: Int = 0): DataFrame = {
     val shortlistN = if (shortlist > 0) shortlist else 3 * k
     require(shortlistN >= k, s"shortlist must be >= k, got $shortlistN < $k")
-    val centroids = trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters)
     if (centroids.isEmpty) return emptyTopK(emb, idCol)
 
     // int8 index build: per-vector affine codes (identical math to

@@ -416,6 +416,25 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Similarity.ivfTopKInt8(empty, "vec_id", "embedding", _ < 5, k = 3).count() == 0)
   }
 
+  test("frozen-centroid serve paths equal the train-per-call results") {
+    val cents = Similarity.trainIvfCentroids(plantedVectors, "vec_id",
+      "embedding", nCentroids = 8, lloydIters = 2)
+    val perCall = Similarity.ivfTopK(plantedVectors, "vec_id", "embedding",
+      _ < 5, k = 3, nCentroids = 8, nProbe = 3).collect().toSet
+    val served = Similarity.ivfTopKServe(plantedVectors, "vec_id", "embedding",
+      _ < 5, k = 3, centroids = cents, nProbe = 3).collect().toSet
+    assert(perCall == served)
+    val perCall8 = Similarity.ivfTopKInt8(plantedVectors, "vec_id", "embedding",
+      _ < 5, k = 3, nCentroids = 8, nProbe = 3).collect().toSet
+    val served8 = Similarity.ivfTopKInt8Serve(plantedVectors, "vec_id",
+      "embedding", _ < 5, k = 3, centroids = cents, nProbe = 3).collect().toSet
+    assert(perCall8 == served8)
+    // a second batch against the same frozen centroids (serve-many)
+    val batch2 = Similarity.ivfTopKServe(plantedVectors, "vec_id", "embedding",
+      c => c >= 5 && c < 10, k = 3, centroids = cents, nProbe = 3)
+    assert(batch2.count() > 0)
+  }
+
   test("connectedComponents labels chains, cliques and bridges with the min id") {
     // chain 0-1-2-...-24 (diameter stress: label must travel 24 hops),
     // clique {100..104}, bridge pair {200,201}, plus an isolated pair
