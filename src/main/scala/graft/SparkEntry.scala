@@ -51,6 +51,7 @@ object SparkEntry {
     "ann_lsh_topk", "ann_lsh_topk_engine",
     "ann_ivf_topk", "ann_ivf_topk_engine",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
+    "dedup_semdedup", "dedup_semdedup_engine",
     "multimodal_decode",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_bucketed_join")
@@ -88,7 +89,12 @@ object SparkEntry {
       "ann_ivf_int8_serve" -> ((s, d) =>
         Similarity.ivfTopKInt8Serve(t(s, d, "embeddings"), "vec_id",
           "embedding", queryIds = _ < 10, k = 5,
-          centroids = centroidsFor(s, d), nProbe = 4)))
+          centroids = centroidsFor(s, d), nProbe = 4)),
+      // the SemDeDup sweep alone — the gated row re-replays every
+      // decision in Column space, roughly tripling the timed work
+      "dedup_semdedup_engine" -> ((s, d) =>
+        Similarity.semDedupServe(t(s, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.40, centroids = centroidsFor(s, d))))
   }
 
   /** Gate-definition version per bench row: bumped whenever a query's

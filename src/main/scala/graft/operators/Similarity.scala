@@ -4,6 +4,54 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Encoder row types for the SemDeDup per-cell sweep (top-level public:
+  * Catalyst's generated deserializers cannot touch private nested types). */
+final case class SemDedupRow(id: Long, cell: Int, v: Seq[Double])
+final case class SemDedupDecision(id: Long, cell: Int, kept: Boolean,
+                                  keeper_id: Long)
+
+object SemDedupRow {
+  /** Sequential dot product — the same IEEE operation order as
+    * [[graft.functions.VecDot]], so cosines computed here are
+    * bit-identical to the Column-space replay in the gate. */
+  private def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Id-ordered greedy maximal independent set of one cell's threshold
+    * graph: scan members by ascending id; a member joins the kept set
+    * unless some already-kept member clears the cosine threshold, in
+    * which case it drops with the FIRST such keeper (smallest kept id).
+    * First-match early exit; O(m²·d) worst case with m cell-bounded. */
+  def greedySweep(cell: Int, it: Iterator[SemDedupRow],
+                  threshold: Double): Iterator[SemDedupDecision] = {
+    val rows = it.toArray.sortBy(_.id)
+    val vecs = rows.map(_.v.toArray)
+    val norms = vecs.map(x => math.sqrt(dot(x, x)))
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = new Array[SemDedupDecision](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      var keeper = -1L
+      var k = 0
+      while (keeper < 0 && k < kept.length) {
+        val j = kept(k)
+        if (dot(vecs(i), vecs(j)) / (norms(i) * norms(j)) >= threshold)
+          keeper = rows(j).id
+        k += 1
+      }
+      out(i) =
+        if (keeper >= 0) SemDedupDecision(rows(i).id, cell, kept = false, keeper)
+        else { kept += i; SemDedupDecision(rows(i).id, cell, kept = true, rows(i).id) }
+      i += 1
+    }
+    out.iterator
+  }
+}
+
 /** Similarity search over embedding columns (`Array[Float]`).
   *
   * Two paths, per the standard ANN architecture:
@@ -440,5 +488,126 @@ object Similarity {
         cosine(col("va.vec"), col("vb.vec")).as("cos_raw"))
       .filter(col("cos_raw") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cosine"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — the published
+    * embedding-space dedup recipe for LLM corpora): k-means the embedding
+    * space, then drop within-cluster items whose cosine to an already-kept
+    * item clears the threshold, keeping one representative per duplicate
+    * neighborhood. The clustering is what makes this tractable at corpus
+    * scale — the quadratic comparison runs per cell (~n/k rows each),
+    * never across the whole corpus, so total work is n²/k and the operator
+    * scales by raising `nCentroids` with corpus size (k ≈ n / targetCell
+    * keeps per-cell work constant; the paper uses 110k clusters for
+    * LAION). Retention is the id-ordered greedy maximal independent set of
+    * each cell's threshold graph — exactly the paper's sequential sweep
+    * with min-id representatives (the paper keeps a random/low-centroid
+    * member; documented divergence). This gives the two guarantees the
+    * gate replays: no two KEPT items in a cell are near-dups, and every
+    * DROPPED item has a direct near-dup among the kept (its keeper) —
+    * transitive-closure labeling (connectedComponents) would violate the
+    * second on chains, which is why dedup here is NOT the MinHash funnel.
+    *
+    * Spark shape: centroids are trained once ([[trainIvfCentroids]] —
+    * deterministic), broadcast as literals inside the one-pass
+    * [[graft.functions.NearestCells]] argmax, so cell assignment is a
+    * zero-shuffle scan. The only corpus shuffle is the groupByKey on cell
+    * id; the per-cell greedy sweep is local, O(cell²·dim) worst case with
+    * first-match early exit, and per-group memory is cell-bounded by
+    * design (the nCentroids dial). Dot products accumulate sequentially —
+    * the identical IEEE operation order as [[VecDot]]/[[cosine]] — so the
+    * gate's Column-space replay reproduces the same doubles bit-for-bit.
+    *
+    * Rows with null/empty vectors are kept (nothing to compare), cell -1.
+    * Output: (id, cell, kept, keeper_id) — keeper_id = own id for kept
+    * rows, the retained near-dup for dropped rows. */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               threshold: Double, nCentroids: Int = 16,
+               lloydIters: Int = 2): DataFrame =
+    semDedupServe(emb, idCol, vecCol, threshold,
+      trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters))
+
+  /** [[semDedup]] against FROZEN centroids (see [[trainIvfCentroids]]). */
+  def semDedupServe(emb: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, centroids: Seq[Seq[Double]]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val ids = emb.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"))
+    if (centroids.isEmpty)
+      // empty/degenerate corpus: everything kept, no cells
+      return ids.select(col("id"), lit(-1).as("cell"), lit(true).as("kept"),
+        col("id").as("keeper_id"))
+
+    val assigned = ids.withColumn("cell",
+      when(col("v").isNotNull && size(col("v")) > 0,
+        graft.functions.NearestCells.nearestCells(col("v"), centroids, 1)
+          .getItem(0))
+        .otherwise(lit(-1)))
+
+    // the unassignable rows bypass the grouped sweep untouched
+    val passthrough = assigned.filter(col("cell") < 0)
+      .select(col("id"), col("cell"), lit(true).as("kept"),
+        col("id").as("keeper_id"))
+
+    val swept = assigned.filter(col("cell") >= 0)
+      .select(col("id"), col("cell"), col("v"))
+      .as[SemDedupRow]
+      .groupByKey(_.cell)
+      .flatMapGroups((cell, it) => SemDedupRow.greedySweep(cell, it, threshold))
+      .toDF()
+
+    swept.unionByName(passthrough)
+  }
+
+  /** Hard correctness gate for [[semDedup]] in the house verdict style
+    * (see [[recallGate]]): one row per corpus id with a boolean the oracle
+    * pins `true`. `sem_ok` asserts the decision is internally sound —
+    *  - dropped rows: the keeper is itself KEPT, lives in the same cell,
+    *    and the exact cosine between the row and its keeper clears the
+    *    threshold (the drop is justified by a genuinely-close retained
+    *    representative);
+    *  - kept rows: no OTHER kept row in the same cell clears the threshold
+    *    (the greedy sweep produced a true independent set — two surviving
+    *    near-dups mean the sweep broke).
+    * Both verdicts recompute the identical [[cosine]] expression the
+    * operator filtered on, so they are exact replays, not epsilon checks.
+    * With deterministic centroids the whole frame is deterministic; any
+    * regression in cell assignment, pair generation, or component
+    * resolution flips rows to false and hash-mismatches the gate. */
+  def semDedupGate(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, nCentroids: Int = 16): DataFrame = {
+    val res = semDedup(emb, idCol, vecCol, threshold, nCentroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val vecs = emb.select(col(idCol).cast("long").as("id"),
+        asDouble(col(vecCol)).as("v"))
+      val withV = res.join(vecs, Seq("id"))
+
+      // dropped: keeper kept + same cell + exact cosine >= threshold
+      val keepers = withV.filter(col("kept"))
+        .select(col("id").as("keeper_id"), col("cell").as("k_cell"),
+          col("v").as("kv"), lit(true).as("k_kept"))
+      val droppedOk = withV.filter(!col("kept"))
+        .join(keepers, Seq("keeper_id"), "left")
+        .select(col("id"),
+          (coalesce(col("k_kept"), lit(false)) &&
+            col("k_cell") === col("cell") &&
+            cosine(col("v"), col("kv")) >= threshold).as("sem_ok"))
+
+      // kept: no other kept row in the same cell above threshold
+      val keptRows = withV.filter(col("kept") && col("cell") >= 0)
+        .select(col("cell"), col("id"), col("v"))
+      val violators = keptRows.as("a").join(keptRows.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+        .filter(cosine(col("a.v"), col("b.v")) >= threshold)
+        .select(col("a.id").as("id")).distinct()
+      val keptOk = res.filter(col("kept"))
+        .join(violators.withColumn("bad", lit(true)), Seq("id"), "left")
+        .select(col("id"), col("bad").isNull.as("sem_ok"))
+
+      droppedOk.unionByName(keptOk).orderBy(col("id"))
+        .select(col("id").as("vec_id"), col("sem_ok"))
+    } finally res.unpersist(blocking = false)
   }
 }

@@ -700,6 +700,21 @@ object LlmQueries {
         Similarity.bruteForceTopK(emb, "vec_id", "embedding",
           queryIds = _ < 10, k = 5),
         minHits = 4, eps = 0.02)
+    },
+
+    // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
+    // pair scan, within-cell cosine >= threshold marks semantic dups,
+    // component-min keeps one representative. The gate emits one row per
+    // corpus vector with a soundness verdict (dropped => justified by a
+    // kept same-cell keeper above threshold; kept => no surviving
+    // same-cell near-dup) that the oracle pins true — see
+    // Similarity.semDedupGate. Threshold 0.40 sits inside the measured
+    // pair-cosine range of the fixture embeddings (max ~0.51 in the
+    // 64-dim label-cluster cloud), so the dedup actually fires: drops
+    // occur at every SF and a labeling/assignment regression flips rows.
+    "dedup_semdedup" -> { (s, d) =>
+      Similarity.semDedupGate(t(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.40, nCentroids = 16)
     })
 
   // the distributed-path probe must satisfy the SAME transitive-closure
@@ -1237,6 +1252,14 @@ object LlmQueries {
     "ann_ivf_int8_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // SemDeDup soundness verdict over the WHOLE corpus (one row per
+    // vector): with deterministic centroids the keep/drop frame is
+    // deterministic and every row's internal-consistency replay (exact
+    // cosine vs threshold, keeper kept, no surviving same-cell dup)
+    // must hold, so the oracle pins sem_ok true for all ids.
+    "dedup_semdedup" ->
+      """SELECT vec_id, true AS sem_ok FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // Unigram log-probs mirrored term-for-term (ln natural in both
     // engines; per-token log-probs rounded to 6 before the exact decimal

@@ -435,6 +435,71 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(batch2.count() > 0)
   }
 
+  test("semDedup drops planted near-identical vectors, keeps min-id rep") {
+    val res = Similarity.semDedup(plantedVectors, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getLong(3))).toMap
+    assert(res.size == 55)
+    // every planted dup 100+i (cosine ~0.999 to base i) is dropped with
+    // the base vector as its keeper; the base vector survives
+    (0L until 5L).foreach { i =>
+      assert(res(100L + i) == (false, i), s"dup ${100 + i}")
+      assert(res(i)._1, s"base $i must be kept")
+    }
+    // nothing else is near-duplicate at 0.95 in a 32-dim gaussian cloud
+    assert(res.count(!_._2._1) == 5)
+  }
+
+  test("semDedup gate verdicts all true; serve path matches train path") {
+    val gate = Similarity.semDedupGate(plantedVectors, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 4).collect()
+    assert(gate.length == 55 && gate.forall(_.getBoolean(1)))
+    val cents = Similarity.trainIvfCentroids(plantedVectors, "vec_id",
+      "embedding", nCentroids = 4, lloydIters = 2)
+    val served = Similarity.semDedupServe(plantedVectors, "vec_id",
+      "embedding", threshold = 0.95, centroids = cents).collect().toSet
+    val trained = Similarity.semDedup(plantedVectors, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 4).collect().toSet
+    assert(served == trained)
+  }
+
+  test("semDedup is a greedy MIS, not transitive closure: chain middle " +
+      "drops, endpoint survives") {
+    // a~b and b~c clear the threshold but a~c does not (35 deg steps,
+    // threshold cos(40 deg)): the id-ordered sweep keeps a, drops b
+    // against a, then KEEPS c (its only near-dup b was dropped).
+    // Component labeling would wrongly drop c with keeper a.
+    def rot(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val df = Seq((0L, rot(0)), (1L, rot(35)), (2L, rot(70)))
+      .toDF("vec_id", "embedding")
+    val res = Similarity.semDedup(df, "vec_id", "embedding",
+        threshold = math.cos(math.toRadians(40)), nCentroids = 1)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getLong(3))).toMap
+    assert(res(0L) == (true, 0L))
+    assert(res(1L) == (false, 0L))
+    assert(res(2L) == (true, 2L))
+  }
+
+  test("semDedup keeps null-vector rows and survives an empty corpus") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val withNull = plantedVectors.unionByName(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(999L, null), Row(998L, Seq.empty[Float]))), schema))
+    val res = Similarity.semDedup(withNull, "vec_id", "embedding",
+      threshold = 0.95, nCentroids = 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    assert(res(999L) == (-1, true) && res(998L) == (-1, true))
+    val empty = plantedVectors.filter(col("vec_id") < 0)
+    assert(Similarity.semDedup(empty, "vec_id", "embedding", 0.95).count() == 0)
+  }
+
   test("connectedComponents labels chains, cliques and bridges with the min id") {
     // chain 0-1-2-...-24 (diameter stress: label must travel 24 hops),
     // clique {100..104}, bridge pair {200,201}, plus an isolated pair
