@@ -42,7 +42,7 @@ object SparkEntry {
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
     "q28_user_sessions", "pipeline_split",
     "stream_hourly_agg", "conv_stream_orc",
-    "text_stats", "text_bpe_tokens", "text_tfidf_top",
+    "text_stats", "text_bpe_tokens", "text_tfidf_top", "text_repetition_full",
     "dedup_exact_docs", "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",

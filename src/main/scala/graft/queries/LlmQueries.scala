@@ -272,6 +272,19 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Full Gopher repetition-rule family (Rae et al. 2021 Table A1):
+    // top-{2,3,4}-gram char fractions (overlap-blind, the published
+    // accounting) plus duplicated-5-gram char coverage via token-space
+    // interval union — see operators/Repetition. The oracle recomputes
+    // every column from scratch with the identical window-function
+    // formulation (1-based positions; the interval math is
+    // shift-invariant).
+    "text_repetition_full" -> { (s, d) =>
+      graft.operators.Repetition.signals(t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // True byte-level BPE over the pinned merges table (gate_def v2 —
     // replaces the round-1..4 regexp stand-in): pre-token split, bytes as
     // initial symbols, the 48 learned merges applied in rank order by the
@@ -801,6 +814,82 @@ object LlmQueries {
         | MAX(c) AS top_count,
         | ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS BIGINT), 4) AS dup_frac
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_repetition_full" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm,
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |tok AS (
+        | SELECT doc_id, length(norm) AS total_chars, len(toks) AS n_toks,
+        |  unnest(generate_series(1, len(toks))) AS pos, toks
+        | FROM n),
+        |tk AS (
+        | SELECT doc_id, total_chars, n_toks, pos,
+        |  length(toks[pos]) AS tok_len,
+        |  CASE WHEN pos + 1 <= n_toks THEN toks[pos] || ' ' || toks[pos+1] END AS g2,
+        |  CASE WHEN pos + 2 <= n_toks THEN toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] END AS g3,
+        |  CASE WHEN pos + 3 <= n_toks THEN toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' ' || toks[pos+3] END AS g4,
+        |  CASE WHEN pos + 4 <= n_toks THEN toks[pos] || ' ' || toks[pos+1] || ' ' || toks[pos+2] || ' ' || toks[pos+3] || ' ' || toks[pos+4] END AS g5,
+        |  SUM(length(toks[pos])) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM tok),
+        |t2 AS (
+        | SELECT doc_id, ROUND(c * length(gram) / CAST(total_chars AS DOUBLE), 4) AS top2_frac FROM (
+        |  SELECT doc_id, total_chars, gram, c,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, length(gram) DESC, gram ASC) AS rk
+        |  FROM (SELECT doc_id, total_chars, g2 AS gram, COUNT(*) AS c FROM tk WHERE g2 IS NOT NULL GROUP BY 1, 2, 3))
+        | WHERE rk = 1),
+        |t3 AS (
+        | SELECT doc_id, ROUND(c * length(gram) / CAST(total_chars AS DOUBLE), 4) AS top3_frac FROM (
+        |  SELECT doc_id, total_chars, gram, c,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, length(gram) DESC, gram ASC) AS rk
+        |  FROM (SELECT doc_id, total_chars, g3 AS gram, COUNT(*) AS c FROM tk WHERE g3 IS NOT NULL GROUP BY 1, 2, 3))
+        | WHERE rk = 1),
+        |t4 AS (
+        | SELECT doc_id, ROUND(c * length(gram) / CAST(total_chars AS DOUBLE), 4) AS top4_frac FROM (
+        |  SELECT doc_id, total_chars, gram, c,
+        |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, length(gram) DESC, gram ASC) AS rk
+        |  FROM (SELECT doc_id, total_chars, g4 AS gram, COUNT(*) AS c FROM tk WHERE g4 IS NOT NULL GROUP BY 1, 2, 3))
+        | WHERE rk = 1),
+        |occ AS (
+        | SELECT doc_id, pos AS s, pos + 5 AS e FROM (
+        |  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY doc_id, g5) AS c
+        |  FROM tk WHERE g5 IS NOT NULL)
+        | WHERE c > 1),
+        |isl AS (
+        | SELECT doc_id, island, MIN(s) AS is_s, MAX(e) AS is_e FROM (
+        |  SELECT doc_id, s, e,
+        |   SUM(brk) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM (
+        |   SELECT doc_id, s, e,
+        |    CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END AS brk
+        |   FROM (
+        |    SELECT doc_id, s, e,
+        |     MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+        |    FROM occ)))
+        | GROUP BY 1, 2),
+        |dc AS (
+        | SELECT i.doc_id,
+        |  SUM(e.cum - s.cum + s.tok_len + (i.is_e - i.is_s - 1)) AS dup5_chars
+        | FROM isl i
+        | JOIN tk s ON s.doc_id = i.doc_id AND s.pos = i.is_s
+        | JOIN tk e ON e.doc_id = i.doc_id AND e.pos = i.is_e - 1
+        | GROUP BY 1)
+        |SELECT b.doc_id,
+        | CAST(b.n_toks AS BIGINT) AS n_tokens,
+        | COALESCE(t2.top2_frac, 0.0) AS top2_frac,
+        | COALESCE(t3.top3_frac, 0.0) AS top3_frac,
+        | COALESCE(t4.top4_frac, 0.0) AS top4_frac,
+        | CAST(COALESCE(dc.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+        | ROUND(CAST(COALESCE(dc.dup5_chars, 0) AS BIGINT) / CAST(b.total_chars AS DOUBLE), 4) AS dup5_frac
+        |FROM (SELECT doc_id, len(toks) AS n_toks, length(norm) AS total_chars FROM n) b
+        |LEFT JOIN t2 USING (doc_id)
+        |LEFT JOIN t3 USING (doc_id)
+        |LEFT JOIN t4 USING (doc_id)
+        |LEFT JOIN dc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_top_terms" ->
       """WITH toks AS (

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Profile, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Profile, Repetition, Similarity, TextAnalysis}
 
 /** Planted-duplicate verification for the hash-based operators the DuckDB
   * oracle can't mirror (xxhash64-based MinHash/SimHash/LSH), plus unit
@@ -433,6 +433,32 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val batch2 = Similarity.ivfTopKServe(plantedVectors, "vec_id", "embedding",
       c => c >= 5 && c < 10, k = 3, centroids = cents, nProbe = 3)
     assert(batch2.count() > 0)
+  }
+
+  test("Repetition.signals: hand-computed Gopher fractions") {
+    val docs = Seq(
+      (1L, "a b a b a b"),            // top2 "a b"x3; top3 tie -> 2*5/11
+      (2L, "x y z w v x y z w v q"),  // dup 5-gram at 0 and 5 -> union 19/21
+      (3L, "q"),                      // too short for every rule
+      (4L, "a a a a a a a")           // overlapping dup 5-grams -> full cover
+    ).toDF("doc_id", "text")
+    val got = Repetition.signals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def d(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: norm len 11
+    assert(got(1L).getDouble(2) == d(3.0 * 3 / 11))   // top2
+    assert(got(1L).getDouble(3) == d(2.0 * 5 / 11))   // top3 (tie -> "a b a")
+    assert(got(1L).getDouble(4) == d(2.0 * 7 / 11))   // top4 (>1: overlap-blind)
+    assert(got(1L).getLong(5) == 0L)                  // no dup 5-grams
+    // doc 2: merged [0,10) covers 10 tokens + 9 spaces = 19 of 21 chars
+    assert(got(2L).getLong(5) == 19L)
+    assert(got(2L).getDouble(6) == d(19.0 / 21))
+    assert(got(2L).getDouble(2) == d(2.0 * 3 / 21))
+    // doc 3: no rule fires
+    assert(got(3L).getLong(1) == 1L)
+    (2 to 6).foreach(i => assert(got(3L).get(i) == (if (i == 5) 0L else 0.0)))
+    // doc 4: three overlapping occurrences union to the whole doc
+    assert(got(4L).getLong(5) == 13L && got(4L).getDouble(6) == 1.0)
   }
 
   test("semDedup drops planted near-identical vectors, keeps min-id rep") {
