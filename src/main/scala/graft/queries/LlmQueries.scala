@@ -249,6 +249,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-classifier curation (the GPT-3 recipe): binary Naive Bayes
+    // over unigrams trained to separate a curated seed (sources src0-2
+    // stand in for WebText/books/Wikipedia) from the rest of the crawl,
+    // then every document scored by its tf-weighted mean token log-odds.
+    // Train + score are deterministic smoothing arithmetic, so the oracle
+    // recomputes the whole pipeline — counts, smoothing, rounding, the
+    // decimal order-independent mean — from scratch in SQL.
+    "text_quality_classifier" -> { (s, d) =>
+      graft.operators.QualityClassifier.score(
+          t(s, d, "documents"), "doc_id", "text",
+          positive = col("source").isin("src0", "src1", "src2"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher-style repetition signal over word 2-grams: the fraction of a
     // document's 2-grams occupied by its most frequent one. Explode ->
     // (doc, gram) partial-agg -> per-doc max/total; the only shuffle is the
@@ -1367,6 +1381,38 @@ object LlmQueries {
         |       / SUM(tf), 4) AS mean_logprob,
         | CAST(SUM(tf) AS BIGINT) AS n_tokens
         |FROM tf JOIN cf USING (term), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Naive-Bayes train + score replayed end-to-end: per-term class
+    // counts, Laplace smoothing over the shared vocabulary, log-odds
+    // rounded to 6, decimal tf-weighted per-doc mean rounded to 4 —
+    // term-for-term the Spark arithmetic.
+    "text_quality_classifier" ->
+      """WITH n AS (
+        | SELECT doc_id, source IN ('src0','src1','src2') AS pos,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |tok AS (
+        | SELECT doc_id, pos, unnest(string_split(t, ' ')) AS term FROM n),
+        |tok2 AS (SELECT * FROM tok WHERE term != ''),
+        |cf AS (
+        | SELECT term,
+        |  SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS cf_pos,
+        |  SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS cf_neg
+        | FROM tok2 GROUP BY 1),
+        |tot AS (SELECT SUM(cf_pos) AS tot_pos, SUM(cf_neg) AS tot_neg,
+        |        COUNT(*) AS vocab FROM cf),
+        |w AS (
+        | SELECT term,
+        |  CAST(ROUND(ln((cf_pos + 1) / (tot_pos + vocab))
+        |           - ln((cf_neg + 1) / (tot_neg + vocab)), 6)
+        |       AS DECIMAL(18,6)) AS logodds
+        | FROM cf, tot),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+        | ROUND(CAST(SUM(tf * logodds) AS DOUBLE) / SUM(tf), 4) + 0.0 AS score,
+        | (ROUND(CAST(SUM(tf * logodds) AS DOUBLE) / SUM(tf), 4) + 0.0 > 0.0) AS keep
+        |FROM tf JOIN w USING (term)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // Exact all-pairs Jaccard over the gate slice (identical formulation

@@ -924,4 +924,64 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => (r.getString(0), r.getLong(3))).toMap
     assert(ex == ap)
   }
+
+  // ---- quality classifier (NB log-odds) ----
+
+  test("QualityClassifier matches hand-computed log-odds on a fixture") {
+    import graft.operators.QualityClassifier
+    // positive seed: docs 1,2; negative: 3,4. Vocabulary {good, bad, meh}.
+    val docs = Seq(
+      (1L, "good good meh", true),
+      (2L, "good", true),
+      (3L, "bad bad meh", false),
+      (4L, "bad", false)).toDF("doc_id", "text", "seed")
+    val table = QualityClassifier
+      .tokenLogOdds(docs, "doc_id", "text", col("seed"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // totals: pos=4 tokens, neg=4 tokens, vocab=3
+    def lo(p: Long, n: Long): Double =
+      BigDecimal(math.log((p + 1.0) / 7.0) - math.log((n + 1.0) / 7.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(table("good") == ((3L, 0L, lo(3, 0))))
+    assert(table("bad") == ((0L, 3L, lo(0, 3))))
+    assert(table("meh") == ((1L, 1L, 0.0)))
+    val scores = QualityClassifier
+      .score(docs, "doc_id", "text", col("seed"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    // doc 1: (2*lo(good) + 1*0.0) / 3 ; doc 4: lo(bad) < 0 => dropped
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scores(1L) == ((3L, r4(2 * lo(3, 0) / 3), true)))
+    assert(scores(2L) == ((1L, r4(lo(3, 0)), true)))
+    assert(scores(4L) == ((1L, r4(lo(0, 3)), false)))
+    // adding a negative meh-only doc RETRAINS the table (meh becomes
+    // negative evidence: cf 1 vs 2, totals 4 vs 5) — the score must
+    // reflect the new corpus, not a stale table
+    val neutral = Seq((9L, "meh", false)).toDF("doc_id", "text", "seed")
+    val all = docs.unionByName(neutral)
+    val s9 = QualityClassifier.score(all, "doc_id", "text", col("seed"))
+      .filter(col("doc_id") === 9L).collect().head
+    val mehRetrained = BigDecimal(
+        math.log(2.0 / 7.0) - math.log(3.0 / 8.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(s9.getDouble(2) == r4(mehRetrained) && !s9.getBoolean(3))
+  }
+
+  test("QualityClassifier drops empty docs and broadcasts the token table") {
+    import graft.operators.QualityClassifier
+    val docs = Seq(
+      (1L, "alpha beta", true),
+      (2L, "", false),
+      (3L, "   ", false),
+      (4L, "alpha", false)).toDF("doc_id", "text", "seed")
+    val out = QualityClassifier.score(docs, "doc_id", "text", col("seed"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 4L))
+    // scoring join must broadcast the vocabulary-sized table, never
+    // shuffle the corpus side
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
 }
