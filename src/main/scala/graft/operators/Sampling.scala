@@ -41,6 +41,40 @@ object Sampling {
     df.filter(hashBucketHex(hashOn) < threshold)
   }
 
+  /** Greedy per-stratum token-budget fill — the data-mixing step that
+    * caps each source at a target token count (training mixes are
+    * specified in tokens, not documents: "x B tokens of source A, y B of
+    * source B"). Rows in each stratum are ordered by content-hash bucket
+    * (+ caller-supplied unique tie-break, so ties at the cutoff cannot
+    * make the kept set order-dependent) and kept while the stratum's
+    * cumulative token count BEFORE the row is inside its budget — i.e.
+    * the greedy fill takes the first row that crosses the line and stops.
+    * Hash ordering makes the fill a deterministic uniform sample of the
+    * stratum, reproducible on any cluster size and in any engine with md5.
+    *
+    * Scale shape: ONE shuffle (the per-stratum window). Strata counts are
+    * small (sources/domains), so per-partition work is bounded by stratum
+    * size; a skewed giant stratum is the same skew a groupBy(source) has —
+    * salt upstream if one source dominates. */
+  def capTokenBudget(df: DataFrame, strataCol: String, tokensCol: Column,
+                     hashOn: Column, tieBreak: Column,
+                     budgets: Map[String, Long],
+                     defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (stratum, b)) =>
+        when(col(strataCol) === stratum, lit(b)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashBucketHex(hashOn), tieBreak)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokensCol.cast("long")).over(w))
+      .filter(col("cum_tokens") - tokensCol.cast("long") < budget)
+  }
+
   /** Deterministic train/validation/test assignment: adds `split` from the
     * content-hash bucket of `hashOn`, cutting the 65536 buckets at
     * floor(trainFrac*65536) and floor((trainFrac+valFrac)*65536). The same

@@ -120,6 +120,26 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Token-budget mixture fill: each source capped at a target TOKEN
+    // count (training mixes are specified in tokens, not documents) by a
+    // deterministic greedy fill in content-hash order — the first doc to
+    // cross the budget line is kept, then the stratum stops. One window
+    // shuffle; the kept set is a reproducible uniform sample of each
+    // source, and the oracle replays the identical ROWS-frame prefix sum.
+    "pipeline_mixture_budget" -> { (s, d) =>
+      graft.operators.Sampling.capTokenBudget(
+          t(s, d, "documents"), "source",
+          tokensCol = TextAnalysis.tokenCount(col("text")),
+          hashOn = col("text"), tieBreak = col("doc_id"),
+          budgets = Map("src0" -> 2000L, "src1" -> 1000L, "src2" -> 500L),
+          defaultBudget = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("cum_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))
+    },
+
     // Deterministic train/val/test assignment (80/10/10 by content-hash
     // bucket): same example -> same split on any run/cluster/engine, the
     // reproducibility contract a sample()-based split breaks.
@@ -779,6 +799,33 @@ object LlmQueries {
         | FROM documents)
         |SELECT source, split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_doc
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Identical ROWS-frame prefix sum in hash order; the CASE mirrors the
+    // per-stratum budget when-chain.
+    "pipeline_mixture_budget" ->
+      """WITH n AS (
+        | SELECT doc_id, source, text,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, source, substr(md5(text), 1, 4) AS bkt,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |       ELSE length(t) - length(translate(t, ' ', '')) + 1 END AS BIGINT)
+        |   AS n_tok
+        | FROM n),
+        |c AS (
+        | SELECT doc_id, source, n_tok,
+        |  SUM(n_tok) OVER (PARTITION BY source ORDER BY bkt, doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM s),
+        |k AS (
+        | SELECT * FROM c
+        | WHERE cum - n_tok < CASE source WHEN 'src0' THEN 2000
+        |                                 WHEN 'src1' THEN 1000
+        |                                 WHEN 'src2' THEN 500 ELSE 300 END)
+        |SELECT source, COUNT(*) AS n_docs, CAST(MAX(cum) AS BIGINT) AS n_tokens,
+        | MIN(doc_id) AS first_doc
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_chunk_docs" ->
       """WITH n AS (

@@ -136,6 +136,44 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("capTokenBudget: greedy fill keeps the crossing row, is invariant") {
+    import graft.operators.Sampling
+    val df = (1 to 100).map(i =>
+        (i.toLong, s"doc $i " + ("tok " * (i % 7 + 1)).trim,
+          if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "text", "src")
+    val tokens = graft.operators.TextAnalysis.tokenCount(col("text"))
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      Sampling.capTokenBudget(d, "src", tokens, col("text"), col("id"),
+          budgets = Map("a" -> 40L), defaultBudget = 25L)
+        .select("id", "cum_tokens").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val k1 = kept(df)
+    assert(k1 == kept(df.repartition(13)), "fill must not depend on partitioning")
+    // per-stratum totals: everything under budget kept, exactly one
+    // crossing row allowed over the line, nothing after it
+    val tok = df.select(col("id"), tokens.as("n"), col("src")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    for ((stratum, budget) <- Seq("a" -> 40L, "b" -> 25L)) {
+      val rows = k1.filter { case (id, _) => tok(id)._2 == stratum }
+      // toSeq before mapping to counts — keys is a Set and equal token
+      // counts would otherwise collapse in the sum
+      val total = rows.keys.toSeq.map(id => tok(id)._1).sum
+      val maxTok = rows.keys.toSeq.map(id => tok(id)._1).max
+      assert(total >= budget, s"stratum $stratum underfilled: $total < $budget")
+      assert(total - maxTok < budget,
+        s"stratum $stratum kept a row past the crossing one")
+      assert(rows.values.max == total, "cum_tokens of last kept row = total")
+    }
+    // zero budget keeps nothing; negative budget rejected
+    assert(Sampling.capTokenBudget(df, "src", tokens, col("text"), col("id"),
+      Map.empty, 0L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Sampling.capTokenBudget(df, "src", tokens, col("text"), col("id"),
+        Map("a" -> -1L), 10L)
+    }
+  }
+
   test("TextChunker: overlapping windows cover every token with the set stride") {
     import graft.operators.TextChunker
     val text = (1 to 100).map(i => s"w$i").mkString(" ")
