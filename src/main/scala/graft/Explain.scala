@@ -20,8 +20,11 @@ object Explain {
         // round-4 additions: recall gates, decontamination, LM scoring
         "ann_lsh_topk", "pipeline_contamination_ngram",
         "text_unigram_logprob", "emb_quantize_int8",
-        // round-6 additions: normalized decontamination, quantized IVF
-        "pipeline_contamination_norm", "ann_ivf_int8_topk")
+        // round-6 additions: normalized decontamination, quantized IVF,
+        // IVF-PQ, the NB quality classifier, token-budget mixture fill
+        "pipeline_contamination_norm", "ann_ivf_int8_topk",
+        "ann_ivf_pq_topk", "text_quality_classifier",
+        "pipeline_mixture_budget")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

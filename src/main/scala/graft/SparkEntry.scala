@@ -51,6 +51,7 @@ object SparkEntry {
     "ann_lsh_topk", "ann_lsh_topk_engine",
     "ann_ivf_topk", "ann_ivf_topk_engine",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
+    "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",
     "dedup_semdedup", "dedup_semdedup_engine",
     "multimodal_decode",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
@@ -74,6 +75,12 @@ object SparkEntry {
       trained.computeIfAbsent(d, _ =>
         Similarity.trainIvfCentroids(t(s, d, "embeddings"), "vec_id",
           "embedding", nCentroids = 16, lloydIters = 2))
+    val trainedPq =
+      new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+    def codebooksFor(s: SparkSession, d: String): Seq[Seq[Seq[Double]]] =
+      trainedPq.computeIfAbsent(d, _ =>
+        Similarity.trainPqCodebooks(t(s, d, "embeddings"), "vec_id",
+          "embedding", m = 8, ksub = 32, lloydIters = 2))
     Map(
       "ann_lsh_topk_engine" -> ((s, d) =>
         Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -90,6 +97,17 @@ object SparkEntry {
         Similarity.ivfTopKInt8Serve(t(s, d, "embeddings"), "vec_id",
           "embedding", queryIds = _ < 10, k = 5,
           centroids = centroidsFor(s, d), nProbe = 4)),
+      "ann_ivf_pq_topk_engine" -> ((s, d) =>
+        Similarity.ivfTopKPq(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4,
+          m = 8, ksub = 32, shortlist = 60)),
+      // IVF-PQ serving with FROZEN coarse centroids + codebooks — index
+      // trained once outside the timed window, the recurring cost shape
+      "ann_ivf_pq_serve" -> ((s, d) =>
+        Similarity.ivfTopKPqServe(t(s, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5,
+          centroids = centroidsFor(s, d), codebooks = codebooksFor(s, d),
+          nProbe = 4, shortlist = 60)),
       // the SemDeDup sweep alone — the gated row re-replays every
       // decision in Column space, roughly tripling the timed work
       "dedup_semdedup_engine" -> ((s, d) =>

@@ -364,8 +364,17 @@ object Similarity {
       .filter(col("rq") <= shortlistN)
       .select(col("qid"), col("nid"))
 
-    // exact re-rank: float vectors re-join only for the shortlist ids —
-    // broadcast the tiny shortlist so the float store streams, unshuffled
+    exactReRank(emb, idCol, vecCol, queryIds, short, k)
+  }
+
+  /** Exact float re-rank of a (qid, nid) shortlist — the final stage every
+    * quantized serving path shares: float vectors re-join ONLY for the
+    * shortlist ids (broadcast, so the float store streams unshuffled) and
+    * the reported scores are exact cosines; quantization error can affect
+    * recall, never scores. */
+  private def exactReRank(emb: DataFrame, idCol: String, vecCol: String,
+                          queryIds: Column => Column, short: DataFrame,
+                          k: Int): DataFrame = {
     val floats = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
     val qv = emb.filter(queryIds(col(idCol)))
       .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
@@ -377,6 +386,139 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
         col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))
+  }
+
+  /** Train `m` per-subspace PQ codebooks (Jégou et al. 2011): the vector
+    * splits into m contiguous subspaces of dim/m dims; each subspace gets
+    * its own `ksub`-centroid L2 k-means codebook — lowest-id init (the
+    * same deterministic convention as the IVF coarse training) + Lloyd
+    * refinement with exact-decimal [[graft.functions.VecMeanAgg]] means,
+    * so the codebooks are identical on any partitioning/cluster size.
+    *
+    * Assignment inside Lloyd uses the SAME L2 argmin as [[graft.functions
+    * .PqEncode]] (one native pass computing all m subspace codes), so
+    * training optimizes exactly the quantizer that encoding applies.
+    * Each iteration is one cached-corpus scan per subspace whose shuffle
+    * carries ksub (count, sum) buffers. `trainLimit` > 0 trains on the
+    * lowest-`trainLimit`-id rows only — the production dial: PQ codebooks
+    * are trained on a bounded sample (100k-1M rows), never the full
+    * 100 TB corpus.
+    *
+    * Returns empty when the corpus has no usable vectors. Requires
+    * dim % m == 0 (contiguous equal subspaces). */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
+                       trainLimit: Int = 0): Seq[Seq[Seq[Double]]] = {
+    require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got $m/$ksub")
+    val projected0 = emb
+      .select(col(idCol).as("pid"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+    val projected =
+      if (trainLimit > 0) projected0.orderBy(col("pid")).limit(trainLimit)
+      else projected0
+    projected.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val initRows = projected.orderBy(col("pid")).limit(ksub)
+        .select(col("v")).collect()
+        .map(_.getSeq[Double](0).toIndexedSeq).toIndexedSeq
+      if (initRows.isEmpty) return IndexedSeq.empty
+      val dim = initRows.head.length
+      require(dim % m == 0, s"vector dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      // m codebooks initialized from the lowest-id rows' subspace slices
+      var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+        (0 until m).map(j => initRows.map(v => v.slice(j * sub, (j + 1) * sub)))
+      for (_ <- 0 until lloydIters) {
+        // ONE native pass computes every subspace's assignment; then each
+        // subspace folds its slice means (ksub buffers across the shuffle)
+        val assigned = projected.withColumn("codes",
+          graft.functions.PqEncode.pqEncode(col("v"),
+            books.map(_.map(_.toSeq).toSeq).toSeq).getField("codes"))
+        books = (0 until m).map { j =>
+          val means = assigned
+            .groupBy(col("codes").getItem(j).as("cell"))
+            .agg(graft.functions.VecMeanAgg.vecMean(
+              slice(col("v"), j * sub + 1, sub)).as("mean"))
+            .collect()
+          val byCell = means.iterator
+            .filter(r => !r.isNullAt(r.fieldIndex("mean")))
+            .map(r => r.getAs[Int]("cell") ->
+              r.getSeq[Double](r.fieldIndex("mean")).toIndexedSeq)
+            .toMap
+          books(j).indices.map(c => byCell.getOrElse(c, books(j)(c))).toIndexedSeq
+        }.toIndexedSeq
+      }
+      books.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]]).toSeq
+    } finally projected.unpersist(blocking = false)
+  }
+
+  /** IVF-PQ ANN (IVFADC, Jégou et al. 2011 §IV — non-residual variant):
+    * coarse IVF cells bound which candidates each query touches, and
+    * within the probed cells scoring runs against the PQ-compressed index
+    * — m small ints + one norm per vector instead of d doubles, the
+    * ~10-30x index shrink that makes the candidate scan affordable when
+    * the embedding store is 100 TB. Scores for the shortlist are exact
+    * float cosines (asymmetric re-rank), so compression affects recall
+    * only, never reported scores. Trains coarse centroids + codebooks per
+    * call; production serves frozen ones via [[ivfTopKPqServe]]. */
+  def ivfTopKPq(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Column => Column, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, lloydIters: Int = 2,
+                shortlist: Int = 0): DataFrame =
+    ivfTopKPqServe(emb, idCol, vecCol, queryIds, k,
+      trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters),
+      trainPqCodebooks(emb, idCol, vecCol, m, ksub, lloydIters),
+      nProbe, shortlist)
+
+  /** IVF-PQ serve path against FROZEN coarse centroids + codebooks.
+    *
+    * Index build (once): cell assignment from the float vector + PQ codes
+    * + reconstruction norm — one corpus scan, all native expressions.
+    * Serving: the probe equi-join carries (qid, nid, approx-score)
+    * scalars; per-candidate work is ONE compiled ADC dot against the
+    * compressed codes; the float store re-joins only for the broadcast
+    * shortlist id set. */
+  def ivfTopKPqServe(emb: DataFrame, idCol: String, vecCol: String,
+                     queryIds: Column => Column, k: Int,
+                     centroids: Seq[Seq[Double]],
+                     codebooks: Seq[Seq[Seq[Double]]],
+                     nProbe: Int = 4, shortlist: Int = 0): DataFrame = {
+    val shortlistN = if (shortlist > 0) shortlist else 3 * k
+    require(shortlistN >= k, s"shortlist must be >= k, got $shortlistN < $k")
+    if (centroids.isEmpty || codebooks.isEmpty) return emptyTopK(emb, idCol)
+
+    val v = asDouble(col(vecCol))
+    val pq = graft.functions.PqEncode.pqEncode(v, codebooks)
+    val index = emb
+      .filter(v.isNotNull && size(v) > 0)
+      .select(col(idCol).as("nid"),
+        graft.functions.NearestCells.nearestCells(v, centroids, 1)
+          .getItem(0).as("cell"),
+        pq.getField("codes").as("codes"),
+        pq.getField("recon_norm").as("recon_norm"))
+
+    val q = emb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("q_norm",
+        sqrt(graft.functions.VecDot.vecDot(col("qvec"), col("qvec"))))
+      .withColumn("cell",
+        explode(graft.functions.NearestCells.nearestCells(col("qvec"), centroids, nProbe)))
+
+    // approximate cosine against the compressed index; no dedup needed —
+    // one cell per index vector, distinct probed cells per query
+    val wq = Window.partitionBy(col("qid")).orderBy(col("score_q").desc, col("nid"))
+    val short = index.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score_q",
+        graft.functions.PqAdcDot.pqAdcDot(col("qvec"), col("codes"), codebooks)
+          / (col("q_norm") * col("recon_norm")))
+      .select(col("qid"), col("nid"), col("score_q"))
+      .withColumn("rq", row_number().over(wq))
+      .filter(col("rq") <= shortlistN)
+      .select(col("qid"), col("nid"))
+
+    exactReRank(emb, idCol, vecCol, queryIds, short, k)
   }
 
   /** Recall-at-k gate: for each query, how many of `approx`'s returned

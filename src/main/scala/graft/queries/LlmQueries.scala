@@ -749,6 +749,24 @@ object LlmQueries {
         minHits = 4, eps = 0.02)
     },
 
+    // IVF-PQ end-to-end (IVFADC — the deepest compression tier: 8
+    // codebook ints + one norm per index vector instead of 64 doubles):
+    // coarse cells bound the candidate scan, ADC scores the candidates
+    // against the compressed codes, float vectors re-join only for the
+    // exact re-rank of the 60-candidate shortlist. Same deterministic
+    // epsilon-recall verdict as the other ANN probes (measured: every
+    // query >= 4/5 hits at sf0.001/0.01/0.1 with these dials).
+    "ann_ivf_pq_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.recallGate(
+        Similarity.ivfTopKPq(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4,
+          m = 8, ksub = 32, shortlist = 60),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 4, eps = 0.02)
+    },
+
     // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
     // pair scan, within-cell cosine >= threshold marks semantic dups,
     // component-min keeps one representative. The gate emits one row per
@@ -1400,6 +1418,10 @@ object LlmQueries {
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "ann_ivf_int8_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "ann_ivf_pq_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 

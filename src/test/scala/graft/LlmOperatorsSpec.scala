@@ -963,6 +963,129 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ex == ap)
   }
 
+  // ---- product quantization (IVF-PQ ANN) ----
+
+  test("PqEncode matches a driver-side reference bit-exactly") {
+    import graft.functions.PqEncode
+    val rnd = new scala.util.Random(7)
+    val m = 4; val ksub = 5; val sub = 3
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m)(Seq.fill(ksub)(Seq.fill(sub)(rnd.nextGaussian())))
+    val vecs = (0L until 40L).map(i => (i, Seq.fill(m * sub)(rnd.nextGaussian())))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"), PqEncode.pqEncode(col("v"), books).as("pq"))
+      .select(col("id"), col("pq.codes"), col("pq.recon_norm"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toSeq, r.getDouble(2))).toMap
+    for ((id, v) <- vecs) {
+      val codes = (0 until m).map { j =>
+        val slice = v.slice(j * sub, (j + 1) * sub)
+        (0 until ksub).minBy { c =>
+          val cent = books(j)(c)
+          var n2 = 0.0; var d = 0.0
+          for (t <- 0 until sub) { n2 += cent(t) * cent(t); d += slice(t) * cent(t) }
+          n2 - 2.0 * d
+        }
+      }
+      val norm = math.sqrt((0 until m).map { j =>
+        books(j)(codes(j)).map(x => x * x).sum
+      }.sum)
+      assert(got(id)._1 == codes, s"codes differ for vec $id")
+      assert(got(id)._2 == norm, s"recon_norm differs for vec $id")
+    }
+  }
+
+  test("PqAdcDot equals the dot against the materialized reconstruction") {
+    import graft.functions.{PqAdcDot, PqEncode}
+    val rnd = new scala.util.Random(13)
+    val m = 8; val ksub = 16; val sub = 4
+    val books: Seq[Seq[Seq[Double]]] =
+      Seq.fill(m)(Seq.fill(ksub)(Seq.fill(sub)(rnd.nextGaussian())))
+    val q = Seq.fill(m * sub)(rnd.nextGaussian())
+    val vecs = (0L until 20L).map(i => (i, Seq.fill(m * sub)(rnd.nextGaussian())))
+    val got = vecs.toDF("id", "v")
+      .select(col("id"),
+        PqAdcDot.pqAdcDot(
+          typedLit(q), PqEncode.pqEncode(col("v"), books).getField("codes"),
+          books).as("adc"),
+        PqEncode.pqEncode(col("v"), books).getField("codes").as("codes"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Int](2).toSeq))
+    for ((id, adc, codes) <- got) {
+      // reference: per-subspace sequential dots, accumulated in j order —
+      // the identical float op sequence, so equality is exact
+      var ref = 0.0
+      for (j <- 0 until m; t <- 0 until sub)
+        ref += q(j * sub + t) * books(j)(codes(j))(t)
+      assert(adc == ref, s"ADC dot differs for vec $id")
+    }
+  }
+
+  test("trainPqCodebooks: deterministic, partition-invariant, dim-checked") {
+    val b1 = Similarity.trainPqCodebooks(plantedVectors, "vec_id", "embedding",
+      m = 4, ksub = 8, lloydIters = 2)
+    val b2 = Similarity.trainPqCodebooks(plantedVectors.repartition(7),
+      "vec_id", "embedding", m = 4, ksub = 8, lloydIters = 2)
+    assert(b1 == b2, "codebooks must not depend on partitioning")
+    assert(b1.length == 4 && b1.forall(_.length == 8)
+      && b1.forall(_.forall(_.length == 8)))
+    // dim 32 does not split into 5 subspaces
+    intercept[IllegalArgumentException] {
+      Similarity.trainPqCodebooks(plantedVectors, "vec_id", "embedding",
+        m = 5, ksub = 4)
+    }
+    // empty corpus -> empty codebooks; serve path returns empty frame
+    val empty = plantedVectors.filter(col("vec_id") < 0)
+    assert(Similarity.trainPqCodebooks(empty, "vec_id", "embedding").isEmpty)
+    assert(Similarity.ivfTopKPq(empty, "vec_id", "embedding", _ < 5, k = 3)
+      .count() == 0)
+  }
+
+  test("ivfTopKPq finds planted near-dups; serve equals per-call training") {
+    val top = Similarity.ivfTopKPq(plantedVectors, "vec_id", "embedding",
+        queryIds = _ < 5, k = 3, nCentroids = 4, nProbe = 2,
+        m = 4, ksub = 8, shortlist = 20)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L until 5L)
+      assert(top(i) == 100L + i, s"query $i: expected planted dup, got ${top(i)}")
+    val coarse = Similarity.trainIvfCentroids(plantedVectors, "vec_id",
+      "embedding", nCentroids = 4, lloydIters = 2)
+    val books = Similarity.trainPqCodebooks(plantedVectors, "vec_id",
+      "embedding", m = 4, ksub = 8, lloydIters = 2)
+    val served = Similarity.ivfTopKPqServe(plantedVectors, "vec_id",
+        "embedding", queryIds = _ < 5, k = 3, coarse, books,
+        nProbe = 2, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val trainedPerCall = Similarity.ivfTopKPq(plantedVectors, "vec_id",
+        "embedding", queryIds = _ < 5, k = 3, nCentroids = 4, nProbe = 2,
+        m = 4, ksub = 8, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == trainedPerCall,
+      "frozen-codebook serving must equal per-call training")
+  }
+
+  test("PQ Lloyd refinement does not worsen quantization distortion") {
+    import graft.functions.PqEncode
+    def distortion(iters: Int): Double = {
+      val books = Similarity.trainPqCodebooks(plantedVectors, "vec_id",
+        "embedding", m = 4, ksub = 8, lloydIters = iters)
+      val sub = 8
+      plantedVectors
+        .select(col("embedding").cast("array<double>").as("v"),
+          PqEncode.pqEncode(col("embedding").cast("array<double>"), books)
+            .getField("codes").as("codes"))
+        .collect().map { r =>
+          val v = r.getSeq[Double](0); val codes = r.getSeq[Int](1)
+          (0 until 4).map { j =>
+            val cent = books(j)(codes(j))
+            (0 until sub).map(t => math.pow(v(j * sub + t) - cent(t), 2)).sum
+          }.sum
+        }.sum
+    }
+    assert(distortion(2) <= distortion(0) + 1e-9,
+      "Lloyd iterations must not increase total squared error")
+  }
+
   // ---- quality classifier (NB log-odds) ----
 
   test("QualityClassifier matches hand-computed log-odds on a fixture") {
