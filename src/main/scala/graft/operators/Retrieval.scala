@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical and hybrid retrieval over the documents corpus — the query
+  * side of a training-data / RAG pipeline (find the docs most relevant
+  * to a probe query, lexically and semantically, then fuse).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - The query set is tiny and pinned; everything derived from it
+  *    (distinct query terms, per-term idf, per-query term lists) is
+  *    broadcast. The corpus is NEVER shuffled by query: the only wide
+  *    exchange is the (doc_id, term)-keyed tf aggregation, which is
+  *    map-side partial and restricted to query terms BEFORE the
+  *    exchange (a semi-join against the broadcast term list), so its
+  *    volume is proportional to matching postings, not corpus tokens.
+  *  - Document length / avgdl come from a second pass over the same
+  *    exploded scan; both aggregations are partial (map-side combine)
+  *    and doc-keyed, i.e. they re-use the natural partitioning of the
+  *    corpus, no join back until the per-doc row count is already
+  *    reduced to one row per doc.
+  *  - Top-k per query is a rank-over-window on the (small) scored set —
+  *    candidates are only docs that matched at least one query term.
+  *
+  * Scoring is Lucene's BM25 variant (public: Robertson & Zaragoza 2009,
+  * "The Probabilistic Relevance Framework: BM25 and Beyond";
+  * idf = ln(1 + (N - df + 0.5)/(df + 0.5)) which is always positive):
+  * score(q, d) = sum over t in q of
+  *   idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl/avgdl)).
+  * Scores are ROUNDED to 4 places before ranking (ties broken by
+  * doc_id) so the ranking is reproducible across engines — raw doubles
+  * could flip near-equal ranks on a last-ulp ln() difference.
+  */
+object Retrieval {
+
+  /** Pinned benchmark queries: corpus-real terms (the synthetic corpus
+    * is a closed data-engineering vocabulary) spanning common terms
+    * (low idf), rarer ones, and one term per query that differentiates
+    * ranking. Pinned the way a production relevance harness pins its
+    * query set. */
+  val PinnedQueries: Seq[(Int, String)] = Seq(
+    0 -> "customer order window",
+    1 -> "vector hash join",
+    2 -> "stream filter sort merge",
+    3 -> "spark query scan")
+
+  /** Tokenize matching the corpus-wide convention (TextAnalysis.normText
+    * + lowercase + whitespace split) — identical to the tf-idf gate so
+    * df/dl statistics are comparable across operators. */
+  private def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      explode(split(TextAnalysis.normText(lower(col(textCol))), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+
+  /** BM25 top-k: one row per (query_id, doc_id) with rank 1..k and the
+    * rounded score. Only documents matching >= 1 query term are
+    * candidates (an inner join against the broadcast query-term list —
+    * structurally, not via a score>0 filter). */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // Query-side: (query_id, term) pairs, whitespace-tokenized with the
+    // same normalization as the corpus. Tiny by construction -> broadcast.
+    val qTerms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(TextAnalysis.normText(lower(col("qtext"))), " ")).as("term"))
+      .distinct()
+    val qVocab = qTerms.select("term").distinct()
+
+    val toks = tokens(docs, idCol, textCol)
+
+    // Per-doc length over ALL tokens (BM25 normalizes by full doc length,
+    // not just matching terms); avgdl is a 1-row broadcast.
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"),
+      count(lit(1)).cast("double").as("n_docs"))
+
+    // Postings restricted to query terms BEFORE the wide tf aggregation.
+    val tf = toks.join(broadcast(qVocab), "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // df per query term = docs containing it (restriction by term does
+    // not change per-term doc counts).
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+
+    val idf: Column = log(lit(1.0) +
+      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+
+    // Per-term contributions rounded to 6 places, then exactly summed as
+    // DECIMAL so the per-query score is independent of aggregation order
+    // (and bit-equal to the single-node oracle).
+    val scored = tf
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(round(idf * tfNorm, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 4)
+        .as("score"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col(idCol), col("rank"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (public: Cormack, Clarke & Buettcher 2009):
+    * rrf(d) = sum over input lists of 1/(c + rank_list(d)), missing
+    * entries contribute 0. Both inputs must carry (query_id, id, rank);
+    * ranks beyond each list's k are absent by construction. The fusion
+    * itself is a union + doc-keyed agg over two already-tiny top-k
+    * frames — trivially broadcastable at any corpus scale.
+    *
+    * rrfScore is rounded to 6 places (sums of 1/(60+r) for r<=k are
+    * exactly representable nowhere, but at 6 places ties collapse
+    * identically in both engines; ties break by id). */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, k: Int,
+              c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contribs = lists.map(_.select(col("query_id"), col(idCol),
+      round(lit(1.0) / (lit(c) + col("rank")), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("contrib")))
+    val all = contribs.reduce(_ unionByName _)
+    val fused = all.groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(col("contrib")).cast("double"), 6).as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("rank"), col("rrf_score"))
+  }
+
+  /** Hybrid retrieval: BM25 lexical top-kIn per pinned query fused with
+    * embedding-cosine top-kIn for the SAME query ids (query vector =
+    * the corpus embedding whose vec_id equals the query id — the
+    * fixture aligns documents.doc_id 1:1 with embeddings.vec_id), then
+    * RRF top-kOut. The vector leg reuses the oracle-proven brute-force
+    * path; at scale it swaps for ivfTopK unchanged (same output shape). */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, queries: Seq[(Int, String)],
+                 kIn: Int, kOut: Int): DataFrame = {
+    val qIds = queries.map(_._1)
+    val lexical = bm25TopK(docs, queries, kIn)
+    val vector = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryIds = c => c.isin(qIds: _*), k = kIn)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank"))
+    rrfFuse(Seq(lexical.select("query_id", "doc_id", "rank"), vector),
+      "doc_id", kOut)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Dedup, Profile, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Profile, Retrieval, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators under the correctness gate.
   *
@@ -70,6 +70,46 @@ object LlmQueries {
        |bc AS (SELECT doc_id, source,
        | CAST((length(s) - length(replace(s, '$S', ''))) // 2 AS BIGINT) AS n_tokens,
        | s FROM m)""".stripMargin
+  }
+
+  /** DuckDB replay of the BM25 pipeline (shared by the lexical gate and
+    * the hybrid-fusion gate): VALUES-pinned queries, the corpus-wide
+    * normalization/tokenization, Lucene's always-positive idf, per-term
+    * contributions rounded to 6 then decimal-summed and rounded to 4,
+    * rank by (score DESC, doc_id). Ends in the CTE
+    * `lex(query_id, doc_id, rank, score)` capped at `k`. */
+  private def bm25Ctes(k: Int): String = {
+    val values = Retrieval.PinnedQueries
+      .map { case (i, q) => s"($i, '${q.replace("'", "''")}')" }
+      .mkString(", ")
+    s"""q(query_id, qtext) AS (VALUES $values),
+       |qt AS (SELECT DISTINCT query_id,
+       |  unnest(string_split(regexp_replace(trim(lower(qtext)), '\\s+', ' ', 'g'), ' ')) AS term
+       | FROM q),
+       |tok0 AS (SELECT doc_id,
+       |  unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS term
+       | FROM documents),
+       |tok AS (SELECT doc_id, term FROM tok0 WHERE len(term) > 0),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |st AS (SELECT AVG(dl) AS avgdl, CAST(COUNT(*) AS DOUBLE) AS n_docs FROM dl),
+       |btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY 1, 2),
+       |dfq AS (SELECT term, COUNT(*) AS df_t FROM btf GROUP BY 1),
+       |sc AS (
+       | SELECT qt.query_id, btf.doc_id,
+       |  ROUND(CAST(SUM(CAST(ROUND(
+       |    ln(1 + (st.n_docs - dfq.df_t + 0.5) / (dfq.df_t + 0.5)) *
+       |    btf.tf * (1.2 + 1) /
+       |    (btf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+       |   6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+       | FROM btf JOIN qt USING (term) JOIN dfq USING (term)
+       |  JOIN dl USING (doc_id), st
+       | GROUP BY 1, 2),
+       |lex AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank, score FROM (
+       | SELECT query_id, doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank, score
+       | FROM sc) WHERE rank <= $k)""".stripMargin
   }
 
   private def bpeOracleSql: String =
@@ -243,6 +283,27 @@ object LlmQueries {
         .groupBy(TextAnalysis.langId(col("text")).as("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred"))
+    },
+
+    // Lexical retrieval: Okapi BM25 (Lucene idf variant) top-10 per
+    // pinned query. Corpus never shuffles by query — postings are
+    // restricted to the broadcast query vocabulary before the one
+    // term-keyed tf exchange; per-term contributions round to 6 places
+    // then decimal-sum so ranking is engine-identical.
+    "text_bm25_topk" -> { (s, d) =>
+      Retrieval.bm25TopK(t(s, d, "documents"), Retrieval.PinnedQueries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Hybrid retrieval: BM25 lexical top-20 fused with embedding-cosine
+    // top-20 (query vector = the embedding whose vec_id equals the
+    // query id) by reciprocal-rank fusion, top-10 out. The fusion input
+    // is two already-tiny ranked lists, so the hybrid layer adds zero
+    // corpus-scale work on top of its two legs.
+    "text_hybrid_rrf" -> { (s, d) =>
+      Retrieval.hybridTopK(t(s, d, "documents"), t(s, d, "embeddings"),
+          Retrieval.PinnedQueries, kIn = 20, kOut = 10)
+        .orderBy(col("query_id"), col("rank"))
     },
 
     // Unigram LM quality score (the CCNet-style proxy for LM-perplexity
@@ -1432,6 +1493,40 @@ object LlmQueries {
     // must hold, so the oracle pins sem_ok true for all ids.
     "dedup_semdedup" ->
       """SELECT vec_id, true AS sem_ok FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    // BM25 replayed end-to-end: same normalization/tokenization, Lucene
+    // idf, round-6-then-decimal-sum scores rounded to 4, rank ties by
+    // doc_id — term-for-term the Spark arithmetic.
+    "text_bm25_topk" ->
+      s"""WITH ${bm25Ctes(10)}
+         |SELECT query_id, doc_id, rank, score FROM lex
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Hybrid fusion: the BM25 CTE chain at k=20 plus the proven
+    // brute-force cosine ranking, RRF contributions rounded to 6 then
+    // decimal-summed, final rank ties by doc_id.
+    "text_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(20)},
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qv AS (SELECT vec_id, v FROM e WHERE vec_id IN (${Retrieval.PinnedQueries.map(_._1).mkString(", ")})),
+         |vr AS (SELECT query_id, doc_id, rank FROM (
+         | SELECT qv.vec_id AS query_id, e.vec_id AS doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY qv.vec_id
+         |    ORDER BY list_cosine_similarity(qv.v, e.v) DESC, e.vec_id) AS rank
+         | FROM qv, e WHERE e.vec_id != qv.vec_id) WHERE rank <= 20),
+         |u AS (
+         | SELECT query_id, doc_id,
+         |  CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS contrib FROM lex
+         | UNION ALL
+         | SELECT query_id, doc_id,
+         |  CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS contrib FROM vr),
+         |f AS (SELECT query_id, doc_id,
+         |  ROUND(CAST(SUM(contrib) AS DOUBLE), 6) AS rrf_score FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, rank, rrf_score FROM (
+         | SELECT query_id, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS rank, rrf_score FROM f)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     // Unigram log-probs mirrored term-for-term (ln natural in both
     // engines; per-token log-probs rounded to 6 before the exact decimal
