@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Bigram language-model perplexity scoring — the CCNet-style quality
+  * filter (public: Wenzek et al. 2020 "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data" filters on KenLM
+  * perplexity; Heafield 2011 for the KN estimator): train an
+  * interpolated Kneser-Ney bigram LM on a curated reference slice, then
+  * score every document by its mean per-token log-probability — low
+  * scores (high perplexity) flag text unlike the reference corpus.
+  *
+  * Estimator (absolute discount D, interpolated KN — Chen & Goodman
+  * 1998, eq. 4.25 at bigram order):
+  *   P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+  *            + D * N1+(w1,*)/c(w1) * Pcont(w2)
+  *   Pcont(w2) = N1+(*,w2) / |distinct bigram types|
+  * with c(w1) summed over training bigrams from w1 (so every history
+  * distributes exactly unit mass). Score-time backoff for words the
+  * training slice never saw is pinned: an unseen history scores its
+  * successor by Pcont alone; an unseen successor gets
+  * P_unk = 1/(2B) (half the smallest possible continuation mass, so
+  * OOV is always strictly less probable than any seen continuation).
+  *
+  * Scale shape: the model is three aggregate tables over the CURATED
+  * slice only (bigram counts, per-history stats, continuation counts) —
+  * broadcast here (the gate model is tiny) and swappable for plain
+  * shuffle hash joins when a production model outgrows broadcast (same
+  * plan shape, AQE decides). The corpus side is one scan: per-doc
+  * bigram tf (the only corpus-wide exchange, doc+bigram-keyed and
+  * map-side partial) joined against the model, then a doc-keyed exact
+  * decimal mean. Per-bigram log-probs round to 6 places BEFORE the
+  * decimal tf-weighted sum, so results are independent of aggregation
+  * order and bit-equal to a single-node replay.
+  */
+object NgramLm {
+
+  val Discount = 0.75
+
+  /** Per-doc (doc_id, w1, w2, tf) bigram bag: adjacent pairs within a
+    * doc under the corpus-wide tokenization; docs shorter than 2 tokens
+    * contribute nothing. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(TextAnalysis.normText(lower(col(textCol))), " ")
+    docs.select(col(idCol), toks.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** The trained model: (bigram counts, history stats, continuation
+    * counts, total bigram types). */
+  final case class Model(bigram: DataFrame, history: DataFrame,
+                         continuation: DataFrame, types: DataFrame)
+
+  /** Train on the given slice (typically the curated sources). */
+  def train(trainDocs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): Model = {
+    val bg = bigrams(trainDocs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val hist = bg.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
+    val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
+    val types = bg.agg(count(lit(1)).cast("double").as("b_types"))
+    Model(bg, hist, cont, types)
+  }
+
+  /** Score every document: (doc_id, n_bigrams, mean_logprob, ppl).
+    * ppl = exp(-mean_logprob), rounded after the rounded mean, so it
+    * adds no extra float-order sensitivity. */
+  def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val d = lit(Discount)
+    val bg = bigrams(docs, idCol, textCol)
+    val pCont: Column = col("nc") / col("b_types")
+    val pUnk: Column = lit(1.0) / (lit(2.0) * col("b_types"))
+    val pSucc: Column = when(col("nc").isNotNull, pCont).otherwise(pUnk)
+    val p: Column = when(col("c1").isNotNull,
+      greatest(coalesce(col("c12"), lit(0L)) - d, lit(0.0)) / col("c1") +
+        d * col("n1p") / col("c1") * pSucc)
+      .otherwise(pSucc)
+    bg.join(broadcast(model.bigram), Seq("w1", "w2"), "left")
+      .join(broadcast(model.history), Seq("w1"), "left")
+      .join(broadcast(model.continuation), Seq("w2"), "left")
+      .crossJoin(broadcast(model.types))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        round(sum(col("tf") * round(log(p), 6).cast(DecimalType(18, 6)))
+          .cast("double") / sum(col("tf")), 4).as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 4))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Dedup, Profile, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{Dedup, NgramLm, Profile, Retrieval, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators under the correctness gate.
   *
@@ -304,6 +304,18 @@ object LlmQueries {
       Retrieval.hybridTopK(t(s, d, "documents"), t(s, d, "embeddings"),
           Retrieval.PinnedQueries, kIn = 20, kOut = 10)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Bigram-LM perplexity filter (the CCNet recipe, KenLM order
+    // dropped to 2 so the oracle can replay the estimator exactly):
+    // interpolated Kneser-Ney trained on the curated sources src0-2,
+    // every doc scored by mean bigram log-prob + perplexity. Model
+    // tables broadcast; one doc+bigram-keyed corpus exchange.
+    "text_kn_bigram" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(
+        docs.filter(col("source").isin("src0", "src1", "src2")))
+      NgramLm.score(docs, model).orderBy(col("doc_id"))
     },
 
     // Unigram LM quality score (the CCNet-style proxy for LM-perplexity
@@ -1527,6 +1539,47 @@ object LlmQueries {
          |  ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY rrf_score DESC, doc_id) AS rank, rrf_score FROM f)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // The Kneser-Ney estimator replayed from scratch: training bigram /
+    // history / continuation counts over the curated slice, the same
+    // discount interpolation expression structure (IEEE double ops in
+    // the same order), per-bigram ln rounded to 6 then decimal
+    // tf-weighted mean rounded to 4. DuckDB lists are 1-based, so
+    // adjacency is t[i], t[i+1] for i in 1..len-1.
+    "text_kn_bigram" ->
+      """WITH n AS (
+        | SELECT doc_id, source,
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        | FROM documents),
+        |bgall AS (
+        | SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |  SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+        |  FROM n WHERE len(t) >= 2)),
+        |dtf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM bgall GROUP BY 1, 2, 3),
+        |tbg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgall
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1, 2),
+        |hist AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM tbg GROUP BY 1),
+        |cont AS (SELECT w2, COUNT(*) AS nc FROM tbg GROUP BY 1),
+        |ty AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM tbg),
+        |sc AS (
+        | SELECT dtf.doc_id, dtf.tf,
+        |  CASE WHEN hist.c1 IS NOT NULL THEN
+        |   GREATEST(COALESCE(tbg.c12, 0) - 0.75, 0.0) / hist.c1
+        |   + 0.75 * hist.n1p / hist.c1 *
+        |     (CASE WHEN cont.nc IS NOT NULL THEN cont.nc / ty.b
+        |           ELSE 1.0 / (2.0 * ty.b) END)
+        |  ELSE (CASE WHEN cont.nc IS NOT NULL THEN cont.nc / ty.b
+        |             ELSE 1.0 / (2.0 * ty.b) END)
+        |  END AS p
+        | FROM dtf LEFT JOIN tbg USING (w1, w2)
+        |  LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2), ty),
+        |ag AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+        | ROUND(CAST(SUM(tf * CAST(ROUND(ln(p), 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |       / SUM(tf), 4) AS mean_logprob
+        | FROM sc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, mean_logprob,
+        | ROUND(exp(-mean_logprob), 4) AS ppl
+        |FROM ag ORDER BY doc_id""".stripMargin,
 
     // Unigram log-probs mirrored term-for-term (ln natural in both
     // engines; per-token log-probs rounded to 6 before the exact decimal
