@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** DSIR — Data Selection via Importance Resampling (public: Xie et al.
+  * 2023, arXiv:2302.03169): estimate a target ("curated") and a raw
+  * n-gram distribution over HASHED feature buckets, weight every raw
+  * document by its log importance ratio
+  * log w(x) = sum over gram instances g in x of
+  *            [ln p_target(bucket(g)) - ln p_raw(bucket(g))],
+  * and keep the top-weighted docs. The paper resamples with Gumbel
+  * noise; the gated variant is the deterministic top-n by weight (the
+  * seeded-noise path is a trivial score perturbation on top and would
+  * make the oracle chase RNG streams instead of the estimator).
+  *
+  * Features are unigrams + bigrams hashed into `buckets` buckets via a
+  * PORTABLE hash (first 8 hex digits of md5, mod buckets) so an
+  * independent engine can recompute every bucket id exactly. Bucket
+  * probabilities use add-alpha smoothing over the full bucket space.
+  *
+  * Scale shape: the model side collapses to one `buckets`-row table
+  * (log-ratio per bucket) — broadcast. The corpus side is one scan into
+  * a (doc, bucket)-keyed tf aggregation (map-side partial), a broadcast
+  * join against the ratio table, and a doc-keyed exact decimal sum.
+  * Top-n is TakeOrderedAndProject (no global sort); per-bucket
+  * log-ratios round to 6 places before the decimal tf-weighted sum so
+  * weights are aggregation-order-independent. */
+object Dsir {
+
+  val Buckets = 4096
+  val Alpha = 0.5
+
+  /** (id, bucket, tf): hashed unigram+bigram bag per document. */
+  def bucketTf(docs: DataFrame, idCol: String, textCol: String,
+               buckets: Int = Buckets): DataFrame = {
+    val toks = filter(
+      split(TextAnalysis.normText(lower(col(textCol))), " "),
+      x => x =!= "")
+    val grams = docs.select(col(idCol), toks.as("t"))
+      .select(col(idCol), explode(concat(col("t"),
+        when(size(col("t")) >= 2, expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
+          .otherwise(array()))).as("g"))
+    grams.select(col(idCol),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
+          .as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+  }
+
+  /** Select the top-n docs by DSIR importance weight. `isTarget` marks
+    * the curated slice (evaluated against `docs` columns). Output:
+    * (id, n_feats, logw, rank), rank 1..n by (logw DESC, id). */
+  def select(docs: DataFrame, isTarget: Column, n: Int,
+             idCol: String = "doc_id", textCol: String = "text",
+             buckets: Int = Buckets, alpha: Double = Alpha): DataFrame = {
+    val feats = bucketTf(docs, idCol, textCol, buckets)
+    val targetIds = docs.filter(isTarget).select(col(idCol))
+
+    val raw = feats.groupBy(col("bucket")).agg(sum(col("tf")).as("cr"))
+    val tgt = feats.join(targetIds, idCol)
+      .groupBy(col("bucket")).agg(sum(col("tf")).as("ct"))
+    val totals = raw.agg(sum(col("cr")).cast("double").as("crtot"))
+      .crossJoin(tgt.agg(sum(col("ct")).cast("double").as("cttot")))
+
+    val aB = alpha * buckets
+    val llr = raw.join(tgt, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(log((coalesce(col("ct"), lit(0L)) + alpha) / (col("cttot") + aB)) -
+              log((col("cr") + alpha) / (col("crtot") + aB)), 6)
+          .cast(DecimalType(18, 6)).as("llr"))
+
+    val weighted = feats.join(broadcast(llr), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).cast("long").as("n_feats"),
+        round(sum(col("tf") * col("llr")).cast("double"), 4).as("logw"))
+
+    import org.apache.spark.sql.expressions.Window
+    val top = weighted.orderBy(col("logw").desc, col(idCol)).limit(n)
+    // rank assigned inside the already-tiny top-n frame, so the global
+    // ordering stays a TakeOrderedAndProject, never a full sort
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("logw").desc, col(idCol)))
+          .cast("long"))
+      .select(col(idCol), col("n_feats"), col("logw"), col("rank"))
+  }
+}

@@ -306,6 +306,17 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    // importance weights against the curated sources, deterministic
+    // top-50. The hash is portable (md5 hex prefix mod 4096) so the
+    // oracle recomputes every bucket id; the per-bucket log-ratio table
+    // broadcasts and the corpus sees one (doc, bucket)-keyed exchange.
+    "pipeline_dsir_select" -> { (s, d) =>
+      graft.operators.Dsir.select(t(s, d, "documents"),
+          isTarget = col("source").isin("src0", "src1", "src2"), n = 50)
+        .orderBy(col("rank"))
+    },
+
     // Bigram-LM perplexity filter (the CCNet recipe, KenLM order
     // dropped to 2 so the oracle can replay the estimator exactly):
     // interpolated Kneser-Ney trained on the curated sources src0-2,
@@ -1539,6 +1550,40 @@ object LlmQueries {
          |  ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY rrf_score DESC, doc_id) AS rank, rrf_score FROM f)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // DSIR replayed from scratch: portable bucket hash (md5 hex prefix
+    // mod 4096), add-0.5 smoothing over the full bucket space, ln-ratio
+    // rounded to 6 then decimal tf-weighted sum rounded to 4, rank ties
+    // by doc_id.
+    "pipeline_dsir_select" ->
+      """WITH n AS (SELECT doc_id, source,
+        |  list_filter(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '),
+        |              x -> x != '') AS t
+        | FROM documents),
+        |uni AS (SELECT doc_id, source, unnest(t) AS g FROM n),
+        |bi AS (SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g FROM (
+        |  SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+        |  FROM n WHERE len(t) >= 2)),
+        |grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        |f AS (SELECT doc_id, source,
+        |  CAST(CAST('0x' || substr(md5(g), 1, 8) AS UBIGINT) % 4096 AS BIGINT) AS bucket,
+        |  COUNT(*) AS tf FROM grams GROUP BY 1, 2, 3),
+        |raw AS (SELECT bucket, SUM(tf) AS cr FROM f GROUP BY 1),
+        |tgt AS (SELECT bucket, SUM(tf) AS ct FROM f
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(SUM(cr) AS DOUBLE) FROM raw) AS crtot,
+        |               (SELECT CAST(SUM(ct) AS DOUBLE) FROM tgt) AS cttot),
+        |llr AS (SELECT raw.bucket,
+        |  CAST(ROUND(ln((COALESCE(tgt.ct, 0) + 0.5) / (tot.cttot + 2048.0))
+        |           - ln((raw.cr + 0.5) / (tot.crtot + 2048.0)), 6) AS DECIMAL(18,6)) AS llr
+        | FROM raw LEFT JOIN tgt USING (bucket), tot),
+        |w AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_feats,
+        |  ROUND(CAST(SUM(tf * llr) AS DOUBLE), 4) AS logw
+        | FROM f JOIN llr USING (bucket) GROUP BY 1)
+        |SELECT doc_id, n_feats, logw, rank FROM (
+        | SELECT doc_id, n_feats, logw,
+        |  ROW_NUMBER() OVER (ORDER BY logw DESC, doc_id) AS rank FROM w)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
     // The Kneser-Ney estimator replayed from scratch: training bigram /
     // history / continuation counts over the curated slice, the same
