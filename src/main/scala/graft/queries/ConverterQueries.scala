@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
@@ -83,6 +83,43 @@ object ConverterQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // CDC incremental merge (the converter's incremental-sync mode):
+    // full export of customer to ORC, then a deterministic change batch
+    // — updates (one superseded by a later sequence, one stale change
+    // that must lose), deletes, inserts — merged last-writer-wins and
+    // written back to ORC. The oracle recomputes the merge from the
+    // original parquet, so a hash match proves the merge semantics AND
+    // the ORC round-trip of the merged table.
+    "conv_cdc_merge" -> { (s, d) =>
+      val base = tmp(d, "cdc")
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+      stageOnce(s"$base/base") {
+        OrcSink.write(t(s, d, "customer").select(cols.map(col): _*),
+          s"$base/base", "customer")
+      }
+      val baseDf = OrcSink.read(s, s"$base/base/customer")
+      val cust = t(s, d, "customer").select(cols.map(col): _*)
+      def ch(filter: Column, bal: Column, keyShift: Long, op: String, seq: Long) =
+        cust.filter(filter)
+          .withColumn("c_acctbal", bal)
+          .withColumn("c_custkey", col("c_custkey") + keyShift)
+          .withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val changes =
+        ch(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0, 0, "U", 1L)
+          .unionByName(ch(col("c_custkey") % 20 === 0, col("c_acctbal") + 200.0, 0, "U", 2L))
+          .unionByName(ch(col("c_custkey") % 10 === 0, col("c_acctbal") - 999.0, 0, "U", 0L))
+          .unionByName(ch(col("c_custkey") % 10 === 1, col("c_acctbal"), 0, "D", 1L))
+          .unionByName(ch(col("c_custkey") % 10 === 2, lit(1.11), 1000000L, "I", 1L))
+      val merged = OrcSink.mergeUpsert(baseDf, changes, keyCols = Seq("c_custkey"))
+      OrcSink.write(merged, s"$base/merged", "customer")
+      OrcSink.read(s, s"$base/merged/customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
           sum(col("c_custkey")).as("sum_key"))
         .orderBy(col("c_mktsegment"))
     },
@@ -208,6 +245,34 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    // The synthetic change batch and the last-writer-wins merge replayed
+    // in SQL over the original parquet; base rows at seq -1, the stale
+    // seq-0 update and the superseded seq-1 update must lose to later
+    // sequences, deletes drop keys, inserts land at key+1000000.
+    "conv_cdc_merge" ->
+      """WITH base AS (
+        | SELECT c_custkey, c_mktsegment, c_acctbal, -1 AS seq, 'B' AS op
+        | FROM customer),
+        |ch AS (
+        | SELECT c_custkey, c_mktsegment, c_acctbal + 100.0, 1, 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0
+        | UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal + 200.0, 2, 'U'
+        |  FROM customer WHERE c_custkey % 20 = 0
+        | UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal - 999.0, 0, 'U'
+        |  FROM customer WHERE c_custkey % 10 = 0
+        | UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal, 1, 'D'
+        |  FROM customer WHERE c_custkey % 10 = 1
+        | UNION ALL SELECT c_custkey + 1000000, c_mktsegment, 1.11, 1, 'I'
+        |  FROM customer WHERE c_custkey % 10 = 2),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+        |m AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM u)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM m WHERE rn = 1 AND op != 'D'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "conv_lineitem_orc" ->
       """SELECT COUNT(*) AS n,

@@ -122,6 +122,44 @@ object OrcSink {
     verify(spark, dir, table)
   }
 
+  /** CDC upsert-merge (the incremental-sync half of a converter: after
+    * the initial full export, apply change batches instead of
+    * re-exporting the table). `changes` carries the base's columns plus
+    * an op column ('I' insert / 'U' update / 'D' delete) and a
+    * monotonically increasing sequence column; the merge keeps, per key,
+    * the row with the highest sequence (base rows participate at
+    * seq = -1, so every change supersedes them) and drops keys whose
+    * winner is a delete. (seq, key) pairs must be unique — out-of-order
+    * DELIVERY is fine (the window sorts), duplicate sequence numbers for
+    * one key are a contract violation the caller must dedupe first.
+    *
+    * Scale shape: one key-partitioned window (rank-1 filter plans as
+    * WindowGroupLimit, pruning to the max-seq row map-side before the
+    * exchange). For repeated large merges, write base and batches
+    * bucketed by key ([[writeBucketed]]) and the exchange disappears on
+    * the base side entirely. */
+  def mergeUpsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                  opCol: String = "__op", seqCol: String = "__seq"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val dataCols = base.columns.toSeq
+    require(keyCols.nonEmpty && keyCols.forall(dataCols.contains),
+      s"key columns $keyCols must exist in the base schema")
+    require(!dataCols.contains(opCol) && !dataCols.contains(seqCol),
+      s"base must not already contain $opCol/$seqCol")
+    require(changes.columns.toSet == dataCols.toSet + opCol + seqCol,
+      s"changes must carry the base columns plus $opCol and $seqCol; " +
+        s"got ${changes.columns.toSeq.sorted}")
+    val ordered = (dataCols :+ opCol :+ seqCol).map(col)
+    val all = base.withColumn(opCol, lit("B")).withColumn(seqCol, lit(-1L))
+      .select(ordered: _*)
+      .unionByName(changes.select(ordered: _*))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    all.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1 && col(opCol) =!= "D")
+      .drop("__graft_rn", opCol, seqCol)
+  }
+
   /** Partition columns of a table directory, outermost first, by walking
     * the `<col>=<val>/` nesting. */
   private def detectPartitionCols(fs: FileSystem, root: Path): Seq[String] = {
