@@ -24,7 +24,10 @@ object Explain {
         // IVF-PQ, the NB quality classifier, token-budget mixture fill
         "pipeline_contamination_norm", "ann_ivf_int8_topk",
         "ann_ivf_pq_topk", "text_quality_classifier",
-        "pipeline_mixture_budget")
+        "pipeline_mixture_budget",
+        // round-6 retrieval + LM + selection + CDC additions
+        "text_bm25_topk", "text_hybrid_rrf", "text_kn_bigram",
+        "pipeline_dsir_select", "conv_cdc_merge")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -32,50 +32,65 @@ object Dsir {
   val Buckets = 4096
   val Alpha = 0.5
 
-  /** (id, bucket, tf): hashed unigram+bigram bag per document. */
-  def bucketTf(docs: DataFrame, idCol: String, textCol: String,
-               buckets: Int = Buckets): DataFrame = {
+  /** One row per gram INSTANCE: (id, carried..., bucket). Never
+    * aggregated at (doc, bucket) width — both consumers below reduce it
+    * map-side to something tiny before any exchange. */
+  private def gramBuckets(docs: DataFrame, idCol: String, textCol: String,
+                          buckets: Int, carry: Seq[String]): DataFrame = {
     val toks = filter(
       split(TextAnalysis.normText(lower(col(textCol))), " "),
       x => x =!= "")
-    val grams = docs.select(col(idCol), toks.as("t"))
-      .select(col(idCol), explode(concat(col("t"),
+    docs.select((idCol +: carry).map(col) :+ toks.as("t"): _*)
+      .select((idCol +: carry).map(col) :+ explode(concat(col("t"),
         when(size(col("t")) >= 2, expr(
           "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
-          .otherwise(array()))).as("g"))
-    grams.select(col(idCol),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
-          .as("bucket"))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
+          .otherwise(array()))).as("g"): _*)
+      .withColumn("bucket",
+        conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets)
+      .drop("g")
   }
+
+  /** (id, bucket, tf): hashed unigram+bigram bag per document (the
+    * explicit feature matrix — spec/diagnostic surface; [[select]] never
+    * materializes this shape). */
+  def bucketTf(docs: DataFrame, idCol: String, textCol: String,
+               buckets: Int = Buckets): DataFrame =
+    gramBuckets(docs, idCol, textCol, buckets, Seq.empty)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("tf"))
 
   /** Select the top-n docs by DSIR importance weight. `isTarget` marks
     * the curated slice (evaluated against `docs` columns). Output:
-    * (id, n_feats, logw, rank), rank 1..n by (logw DESC, id). */
+    * (id, n_feats, logw, rank), rank 1..n by (logw DESC, id).
+    *
+    * Two linear passes over the gram stream, neither shuffling at gram
+    * width: (1) bucket statistics collapse map-side to `buckets` rows
+    * per partition before a `buckets`-row exchange; (2) weights join the
+    * gram stream against the broadcast log-ratio table and reduce
+    * doc-keyed (map-side partial). The (doc, bucket) feature matrix is
+    * never materialized or shuffled. */
   def select(docs: DataFrame, isTarget: Column, n: Int,
              idCol: String = "doc_id", textCol: String = "text",
              buckets: Int = Buckets, alpha: Double = Alpha): DataFrame = {
-    val feats = bucketTf(docs, idCol, textCol, buckets)
-    val targetIds = docs.filter(isTarget).select(col(idCol))
+    val grams = gramBuckets(docs.withColumn("__graft_t", isTarget),
+      idCol, textCol, buckets, Seq("__graft_t"))
 
-    val raw = feats.groupBy(col("bucket")).agg(sum(col("tf")).as("cr"))
-    val tgt = feats.join(targetIds, idCol)
-      .groupBy(col("bucket")).agg(sum(col("tf")).as("ct"))
-    val totals = raw.agg(sum(col("cr")).cast("double").as("crtot"))
-      .crossJoin(tgt.agg(sum(col("ct")).cast("double").as("cttot")))
+    val cnt = grams.groupBy(col("bucket")).agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("__graft_t"), 1L).otherwise(0L)).as("ct"))
+    val totals = cnt.agg(sum(col("cr")).cast("double").as("crtot"),
+      sum(col("ct")).cast("double").as("cttot"))
 
     val aB = alpha * buckets
-    val llr = raw.join(tgt, Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
+    val llr = cnt.crossJoin(broadcast(totals))
       .select(col("bucket"),
-        round(log((coalesce(col("ct"), lit(0L)) + alpha) / (col("cttot") + aB)) -
+        round(log((col("ct") + alpha) / (col("cttot") + aB)) -
               log((col("cr") + alpha) / (col("crtot") + aB)), 6)
           .cast(DecimalType(18, 6)).as("llr"))
 
-    val weighted = feats.join(broadcast(llr), "bucket")
+    val weighted = grams.join(broadcast(llr), "bucket")
       .groupBy(col(idCol))
-      .agg(sum(col("tf")).cast("long").as("n_feats"),
-        round(sum(col("tf") * col("llr")).cast("double"), 4).as("logw"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum(col("llr")).cast("double"), 4).as("logw"))
 
     import org.apache.spark.sql.expressions.Window
     val top = weighted.orderBy(col("logw").desc, col(idCol)).limit(n)

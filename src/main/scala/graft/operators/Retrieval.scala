@@ -11,16 +11,11 @@ import org.apache.spark.sql.functions._
   * Scale shape (the part that matters at 100 TB):
   *  - The query set is tiny and pinned; everything derived from it
   *    (distinct query terms, per-term idf, per-query term lists) is
-  *    broadcast. The corpus is NEVER shuffled by query: the only wide
-  *    exchange is the (doc_id, term)-keyed tf aggregation, which is
-  *    map-side partial and restricted to query terms BEFORE the
-  *    exchange (a semi-join against the broadcast term list), so its
-  *    volume is proportional to matching postings, not corpus tokens.
-  *  - Document length / avgdl come from a second pass over the same
-  *    exploded scan; both aggregations are partial (map-side combine)
-  *    and doc-keyed, i.e. they re-use the natural partitioning of the
-  *    corpus, no join back until the per-doc row count is already
-  *    reduced to one row per doc.
+  *    broadcast. The corpus is scanned ONCE and never shuffled at token
+  *    width: every token folds map-side into a (doc, query-term-or-null)
+  *    cell (non-matching tokens share the null cell), so the single
+  *    corpus-wide exchange carries <= |Q|+1 rows per doc. tf, document
+  *    length, df, and avgdl all derive from that persisted compact frame.
   *  - Top-k per query is a rank-over-window on the (small) scored set —
   *    candidates are only docs that matched at least one query term.
   *
@@ -64,53 +59,73 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // Query-side: (query_id, term) pairs, whitespace-tokenized with the
-    // same normalization as the corpus. Tiny by construction -> broadcast.
+    // Query-side vocabulary, tokenized driver-side with the exact
+    // normalization the corpus gets (the query set is pinned and tiny).
+    val qVocabSeq: Seq[String] = queries
+      .flatMap(_._2.toLowerCase.trim.replaceAll("\\s+", " ").split(" "))
+      .filter(_.nonEmpty).distinct
     val qTerms = queries.toDF("query_id", "qtext")
       .select(col("query_id"),
         explode(split(TextAnalysis.normText(lower(col("qtext"))), " ")).as("term"))
       .distinct()
-    val qVocab = qTerms.select("term").distinct()
 
-    val toks = tokens(docs, idCol, textCol)
+    // ONE corpus scan: every token folds into a (doc, query-term-or-null)
+    // cell — non-query tokens all land in the null cell, so map-side
+    // combine collapses each partition to <= |Q|+1 rows per doc before
+    // the only corpus-wide exchange. dl / tf / df / avgdl all derive
+    // from this compact frame; it is persisted and materialized once
+    // (divergent column pruning would otherwise defeat ReuseExchange and
+    // re-run the scan per statistic), and the operator is EAGER — it
+    // executes on call and returns the <= |Q| x k result locally, the
+    // shape of a retrieval endpoint — so the cache can be released
+    // before returning instead of leaking into the session.
+    val cell = tokens(docs, idCol, textCol)
+      .withColumn("qterm",
+        when(col("term").isin(qVocabSeq: _*), col("term")))
+      .groupBy(col(idCol), col("qterm")).agg(count(lit(1)).as("cnt"))
+    cell.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cell.count() // materialize: the only pass over the corpus
 
-    // Per-doc length over ALL tokens (BM25 normalizes by full doc length,
-    // not just matching terms); avgdl is a 1-row broadcast.
-    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(avg(col("dl")).as("avgdl"),
-      count(lit(1)).cast("double").as("n_docs"))
+      // Per-doc length over ALL tokens (BM25 normalizes by full doc length,
+      // not just matching terms); avgdl is a 1-row broadcast.
+      val dl = cell.groupBy(col(idCol)).agg(sum(col("cnt")).as("dl"))
+      val stats = dl.agg(avg(col("dl")).as("avgdl"),
+        count(lit(1)).cast("double").as("n_docs"))
 
-    // Postings restricted to query terms BEFORE the wide tf aggregation.
-    val tf = toks.join(broadcast(qVocab), "term")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // df per query term = docs containing it (restriction by term does
-    // not change per-term doc counts).
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+      val tf = cell.filter(col("qterm").isNotNull)
+        .select(col(idCol), col("qterm").as("term"), col("cnt").as("tf"))
+      // df per query term = docs containing it (restriction by term does
+      // not change per-term doc counts).
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
 
-    val idf: Column = log(lit(1.0) +
-      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
-    val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+      val idf: Column = log(lit(1.0) +
+        (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+      val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
 
-    // Per-term contributions rounded to 6 places, then exactly summed as
-    // DECIMAL so the per-query score is independent of aggregation order
-    // (and bit-equal to the single-node oracle).
-    val scored = tf
-      .join(broadcast(qTerms), "term")
-      .join(broadcast(dfreq), "term")
-      .join(dl, idCol)
-      .crossJoin(broadcast(stats))
-      .groupBy(col("query_id"), col(idCol))
-      .agg(round(sum(round(idf * tfNorm, 6)
-        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 4)
-        .as("score"))
+      // Per-term contributions rounded to 6 places, then exactly summed as
+      // DECIMAL so the per-query score is independent of aggregation order
+      // (and bit-equal to the single-node oracle).
+      val scored = tf
+        .join(broadcast(qTerms), "term")
+        .join(broadcast(dfreq), "term")
+        .join(dl, idCol)
+        .crossJoin(broadcast(stats))
+        .groupBy(col("query_id"), col(idCol))
+        .agg(round(sum(round(idf * tfNorm, 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 4)
+          .as("score"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col(idCol))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id").cast("long").as("query_id"),
-        col(idCol), col("rank"), col("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col(idCol))
+      val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id").cast("long").as("query_id"),
+          col(idCol), col("rank"), col("score"))
+      val rows = out.collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    } finally cell.unpersist(blocking = false)
   }
 
   /** Reciprocal-rank fusion (public: Cormack, Clarke & Buettcher 2009):
