@@ -41,7 +41,7 @@ object SparkEntry {
     "q18_large_orders",
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
     "q28_user_sessions", "pipeline_split",
-    "stream_hourly_agg", "conv_stream_orc",
+    "stream_hourly_agg", "conv_stream_orc", "conv_cdc_stream",
     "text_stats", "text_bpe_tokens", "text_tfidf_top", "text_repetition_full",
     "text_bm25_topk", "text_hybrid_rrf", "text_kn_bigram",
     "dedup_exact_docs", "dedup_minhash_full",

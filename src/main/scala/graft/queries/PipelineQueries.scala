@@ -50,6 +50,56 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     },
 
+    // Streaming CDC apply loop: base customer exported to ORC, three
+    // ordered change batches landed as files, each micro-batch merged
+    // last-writer-wins and swapped in crash-safely. The batch-3 update
+    // REPLACES batch-1's value for the same keys (row replacement, not
+    // increment), batch-2 deletes a disjoint key class, inserts land at
+    // key+2000000 — so the oracle can state the final table closed-form.
+    "conv_cdc_stream" -> { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val base = ConverterQueries.tmp(d, "cdc_stream") + "/" + java.util.UUID.randomUUID()
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+      val cust = t(s, d, "customer").select(cols.map(col): _*)
+      graft.sinks.OrcSink.write(cust, base, "customer")
+      val chDir = s"$base/changes"
+      new java.io.File(chDir).mkdirs()
+      def ch(filter: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column,
+             keyShift: Long, op: String, seq: Long) =
+        cust.filter(filter)
+          .withColumn("c_acctbal", bal)
+          .withColumn("c_custkey", col("c_custkey") + keyShift)
+          .withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val batches = Seq(
+        ch(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0, 0, "U", 1L),
+        ch(col("c_custkey") % 7 === 1, col("c_acctbal"), 0, "D", 2L),
+        ch(col("c_custkey") % 7 === 0, col("c_acctbal") + 75.0, 0, "U", 3L)
+          .unionByName(ch(col("c_custkey") % 7 === 2, lit(9.99), 2000000L, "I", 3L)))
+      // land each batch as ONE flat file with strictly increasing mtime
+      // and name: the file source applies oldest-first, and the CDC
+      // contract requires in-order application across batches
+      val t0 = System.currentTimeMillis() - 600000L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val staging = s"$base/stage$i"
+        b.coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val landed = new java.io.File(chDir, f"batch_$i%03d.parquet")
+        java.nio.file.Files.move(part.toPath, landed.toPath)
+        landed.setLastModified(t0 + i * 2000L)
+      }
+      val changeSchema = StructType(cust.schema.fields ++ Seq(
+        StructField("__op", StringType), StructField("__seq", LongType)))
+      EventStream.cdcApply(s, chDir, changeSchema, base, "customer",
+        keyCols = Seq("c_custkey"), checkpointDir = s"$base/_checkpoint")
+      graft.sinks.OrcSink.read(s, s"$base/customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     "stream_click_error_join" -> { (s, d) =>
       // aggregate the joined pairs in batch from the sink snapshot (one
       // stateful operator per streaming query keeps Append semantics clean)
@@ -134,6 +184,23 @@ object PipelineQueries {
     })
 
   def oracles: Map[String, String] = Map(
+    // The three ordered CDC batches collapse to a closed form: %7==0
+    // keys end at base+75 (batch 3 replaces batch 1's row), %7==1 keys
+    // are deleted, %7==2 keys gain an insert at key+2000000 with 9.99.
+    "conv_cdc_stream" ->
+      """WITH f AS (
+        | SELECT c_custkey, c_mktsegment,
+        |  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 75.0
+        |       ELSE c_acctbal END AS c_acctbal
+        | FROM customer WHERE c_custkey % 7 != 1
+        | UNION ALL
+        | SELECT c_custkey + 2000000, c_mktsegment, 9.99
+        | FROM customer WHERE c_custkey % 7 = 2)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "stream_hourly_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
         | COUNT(*) AS n,

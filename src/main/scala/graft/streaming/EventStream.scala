@@ -201,6 +201,42 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming CDC apply loop: change-batch files (parquet, the base
+    * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
+    * land in `changesDir`; each micro-batch merges ONE batch file into
+    * the ORC table at `tableRoot/table` and swaps the merged copy in
+    * crash-safely ([[graft.sinks.OrcSink.replaceTable]]). This is the
+    * incremental-sync architecture at cluster scale: the change queue is
+    * the streaming source, the table rewrite is the micro-batch body,
+    * and the checkpoint makes re-delivery idempotent-per-file.
+    *
+    * Batches must be APPLIED IN LANDING ORDER (maxFilesPerTrigger=1 +
+    * the file source's oldest-first ordering): the merged table does not
+    * retain per-row sequence numbers, so cross-batch convergence relies
+    * on ordered application — the same contract as any CDC log consumer.
+    * Within a batch, sequence numbers order freely. */
+  def cdcApply(spark: SparkSession, changesDir: String,
+               changeSchema: StructType, tableRoot: String, table: String,
+               keyCols: Seq[String], checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(changeSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(changesDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val dir = s"$tableRoot/$table"
+          val base = graft.sinks.OrcSink.read(spark, dir)
+          val merged = graft.sinks.OrcSink.mergeUpsert(base, batch.toDF(), keyCols)
+          graft.sinks.OrcSink.replaceTable(spark, dir, table, merged)
+          ()
+        }
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Drive a streaming DataFrame to a memory sink until exhausted; return
     * the sink table snapshot (latest row per key for Update mode is
     * handled by the caller's aggregation shape). */
