@@ -124,6 +124,25 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Sorted (range-clustered) layout: events written ordered by
+    // user_id, so a user-keyed read-back filter skips every stripe
+    // whose [min, max] excludes the key (ScaleLayoutSpec proves the
+    // skip by scan-row metrics; here the filtered result is
+    // value-verified against the oracle).
+    "conv_sorted_orc" -> { (s, d) =>
+      val base = tmp(d, "sorted_orc")
+      stageOnce(base) {
+        OrcSink.writeSorted(t(s, d, "events"), base, "events",
+          sortCols = Seq("user_id"), maxRecordsPerFile = 2000L)
+      }
+      OrcSink.read(s, s"$base/events")
+        .filter(col("user_id") < 10)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"),
+          sum(col("user_id")).as("sum_uid"))
+        .orderBy(col("event_type"))
+    },
+
     // Headline conversion-throughput probe: the biggest fixture table
     // through the full parquet->ORC->read-back path (the reference's
     // single-table export is the ~38k rows/s baseline to beat).
@@ -273,6 +292,13 @@ object ConverterQueries {
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM m WHERE rn = 1 AND op != 'D'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "conv_sorted_orc" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+        | CAST(SUM(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE user_id < 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "conv_lineitem_orc" ->
       """SELECT COUNT(*) AS n,

@@ -122,6 +122,26 @@ object OrcSink {
     verify(spark, dir, table)
   }
 
+  /** Sorted (range-clustered) table layout: rows are range-partitioned
+    * and sorted on `sortCols` before writing, so every output file — and
+    * every ORC stripe within it — covers a narrow [min, max] slice of
+    * the sort key. Readers filtering on that key then skip whole stripes
+    * via ORC's pushed-down SearchArgument against stripe statistics: the
+    * data-LAYOUT half of predicate pushdown, which schema and filters
+    * alone cannot deliver on an unsorted table (every stripe's key range
+    * spans the domain, so nothing skips). The standard clustering move
+    * for a 100 TB table with a dominant filter column. */
+  def writeSorted(df: DataFrame, outDir: String, table: String,
+                  sortCols: Seq[String], compression: String = "snappy",
+                  maxRecordsPerFile: Long = 0L): WriteReport = {
+    require(sortCols.nonEmpty && sortCols.forall(df.columns.contains),
+      s"sort columns $sortCols must exist in the schema")
+    import org.apache.spark.sql.functions.col
+    val clustered = df.repartitionByRange(sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+    write(clustered, outDir, table, compression, maxRecordsPerFile)
+  }
+
   /** Replace a table directory's contents with `df`, crash-safely: the
     * replacement is written to a temp sibling, row-count-verified, and
     * swapped in via rename with the original kept aside until the swap

@@ -31,6 +31,34 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(filtered.count() == expected)
   }
 
+  test("sorted layout skips stripes: scan emits far fewer rows than unsorted") {
+    val dir = Files.createTempDirectory("graft_sorted").toString
+    // 20k rows over 200 keys, many small files -> many stripes; the
+    // sorted layout gives each stripe a narrow key range
+    val df = spark.range(20000)
+      .select((col("id") % 200).as("k"), col("id").as("payload"))
+    OrcSink.writeSorted(df, dir, "sorted", Seq("k"), maxRecordsPerFile = 1000L)
+    OrcSink.write(df.repartition(20), dir, "unsorted", maxRecordsPerFile = 1000L)
+
+    def scannedRows(table: String): Long = {
+      val q = OrcSink.read(spark, s"$dir/$table").filter(col("k") === 7)
+      assert(q.collect().length == 100) // same answer either way
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val sorted = scannedRows("sorted")
+    val unsorted = scannedRows("unsorted")
+    // unsorted: every stripe's [min,max] spans all keys -> nothing skips,
+    // the reader surfaces ~all 20k rows for the Filter to discard.
+    // sorted: only the stripe(s) containing k=7 are read.
+    assert(unsorted > 10000, s"expected near-full scan on unsorted, got $unsorted")
+    assert(sorted <= 2000, s"expected stripe-skip on sorted layout, got $sorted")
+    val plan = OrcSink.read(spark, s"$dir/sorted").filter(col("k") === 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(k,7)"),
+      s"filter not pushed to the ORC scan:\n$plan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
