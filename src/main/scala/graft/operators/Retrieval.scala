@@ -99,33 +99,84 @@ object Retrieval {
       // not change per-term doc counts).
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
 
-      val idf: Column = log(lit(1.0) +
-        (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
-      val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
-        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
-
-      // Per-term contributions rounded to 6 places, then exactly summed as
-      // DECIMAL so the per-query score is independent of aggregation order
-      // (and bit-equal to the single-node oracle).
-      val scored = tf
-        .join(broadcast(qTerms), "term")
-        .join(broadcast(dfreq), "term")
-        .join(dl, idCol)
-        .crossJoin(broadcast(stats))
-        .groupBy(col("query_id"), col(idCol))
-        .agg(round(sum(round(idf * tfNorm, 6)
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 4)
-          .as("score"))
-
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("score").desc, col(idCol))
-      val out = scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= k)
-        .select(col("query_id").cast("long").as("query_id"),
-          col(idCol), col("rank"), col("score"))
+      val out = scoreAndRank(tf, dl, stats, qTerms, dfreq, k, k1, b, idCol)
       val rows = out.collect().toSeq
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
     } finally cell.unpersist(blocking = false)
+  }
+
+  /** Persisted inverted index for [[bm25Serve]]: a production search
+    * deployment builds the index ONCE (the only corpus scan) and serves
+    * every query batch from it without touching the corpus again.
+    * Layout: `indexDir/postings` = (term, doc, tf) ORC sorted by term —
+    * each stripe covers a narrow term slice, so a query's pushed-down
+    * term filter skips everything else ([[graft.sinks.OrcSink.writeSorted]]);
+    * `indexDir/doclens` = (doc, dl); `indexDir/stats` = one row
+    * (avgdl, n_docs). */
+  def buildBm25Index(docs: DataFrame, indexDir: String,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): Unit = {
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    graft.sinks.OrcSink.writeSorted(tf, indexDir, "postings", Seq("term"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    graft.sinks.OrcSink.write(dl, indexDir, "doclens")
+    graft.sinks.OrcSink.write(
+      dl.agg(avg(col("dl")).as("avgdl"),
+        count(lit(1)).cast("double").as("n_docs")),
+      indexDir, "stats")
+  }
+
+  /** Serve BM25 top-k from a prebuilt index — zero corpus scans: the
+    * postings read is term-filtered (pushed to the ORC scan, stripes
+    * skip via the term-sorted layout), df comes from the filtered
+    * postings themselves, doc lengths join in doc-keyed, stats
+    * broadcast. Output is identical to [[bm25TopK]] on the same corpus
+    * (the gate pins this: same oracle). */
+  def bm25Serve(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                queries: Seq[(Int, String)], k: Int,
+                k1: Double = 1.2, b: Double = 0.75,
+                idCol: String = "doc_id"): DataFrame = {
+    import spark.implicits._
+    val qVocabSeq: Seq[String] = queries
+      .flatMap(_._2.toLowerCase.trim.replaceAll("\\s+", " ").split(" "))
+      .filter(_.nonEmpty).distinct
+    val qTerms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(split(TextAnalysis.normText(lower(col("qtext"))), " ")).as("term"))
+      .distinct()
+    val tf = graft.sinks.OrcSink.read(spark, s"$indexDir/postings")
+      .filter(col("term").isin(qVocabSeq: _*))
+    val dl = graft.sinks.OrcSink.read(spark, s"$indexDir/doclens")
+    val stats = graft.sinks.OrcSink.read(spark, s"$indexDir/stats")
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    scoreAndRank(tf, dl, stats, qTerms, dfreq, k, k1, b, idCol)
+  }
+
+  /** Shared BM25 scoring tail: per-term contributions rounded to 6 then
+    * decimal-summed per (query, doc), rank by (score DESC, id). */
+  private def scoreAndRank(tf: DataFrame, dl: DataFrame, stats: DataFrame,
+                           qTerms: DataFrame, dfreq: DataFrame, k: Int,
+                           k1: Double, b: Double, idCol: String): DataFrame = {
+    val idf: Column = log(lit(1.0) +
+      (col("n_docs") - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5)))
+    val tfNorm: Column = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = tf
+      .join(broadcast(qTerms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(round(idf * tfNorm, 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 4)
+        .as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id").cast("long").as("query_id"),
+        col(idCol), col("rank"), col("score"))
   }
 
   /** Reciprocal-rank fusion (public: Cormack, Clarke & Buettcher 2009):

@@ -295,6 +295,23 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // BM25 SERVE path: top-10 from a prebuilt term-sorted inverted index
+    // (staged once per sf dir — index build is the one corpus scan a
+    // search deployment pays at build time). Serving scans ZERO corpus
+    // bytes: the pushed-down term filter stripe-skips the postings
+    // table. Must equal bm25TopK exactly: same oracle.
+    "text_bm25_serve" -> { (s, d) =>
+      val idx = ConverterQueries.tmp(d, "bm25_index")
+      val marker = new java.io.File(idx + "/_GRAFT_STAGED")
+      if (!marker.exists()) {
+        Retrieval.buildBm25Index(t(s, d, "documents"), idx)
+        marker.getParentFile.mkdirs()
+        java.nio.file.Files.createFile(marker.toPath)
+      }
+      Retrieval.bm25Serve(s, idx, Retrieval.PinnedQueries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Hybrid retrieval: BM25 lexical top-20 fused with embedding-cosine
     // top-20 (query vector = the embedding whose vec_id equals the
     // query id) by reciprocal-rank fusion, top-10 out. The fusion input
@@ -1521,6 +1538,12 @@ object LlmQueries {
     // idf, round-6-then-decimal-sum scores rounded to 4, rank ties by
     // doc_id — term-for-term the Spark arithmetic.
     "text_bm25_topk" ->
+      s"""WITH ${bm25Ctes(10)}
+         |SELECT query_id, doc_id, rank, score FROM lex
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Serve path must reproduce the full-computation ranking exactly.
+    "text_bm25_serve" ->
       s"""WITH ${bm25Ctes(10)}
          |SELECT query_id, doc_id, rank, score FROM lex
          |ORDER BY query_id, rank""".stripMargin,

@@ -65,6 +65,19 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.map(_._3).toSeq == Seq(s11, s10, s12))
   }
 
+  test("bm25Serve from a prebuilt index equals bm25TopK; term filter pushed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+    Retrieval.buildBm25Index(corpus, dir)
+    val queries = Seq(0 -> "apple", 7 -> "cherry durian")
+    val full = Retrieval.bm25TopK(corpus, queries, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val served = Retrieval.bm25Serve(spark, dir, queries, k = 3)
+    assert(served.orderBy("query_id", "rank").collect().toSeq == full)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"query-term filter not pushed to the postings scan:\n$plan")
+  }
+
   test("rrfFuse tie between equal-rank singletons breaks by ascending id") {
     val a = Seq((1L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 5L, 1L)).toDF("query_id", "doc_id", "rank")
