@@ -48,7 +48,7 @@ object SparkEntry {
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",
     "dedup_incremental", "pipeline_contamination_norm", "pipeline_dsir_select",
-    "profile_documents",
+    "pipeline_quality_ensemble", "profile_documents",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine",
     "ann_ivf_topk", "ann_ivf_topk_engine",

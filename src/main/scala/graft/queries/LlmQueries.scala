@@ -323,6 +323,40 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // The full curation decision, composed: GPT-3-style NB classifier
+    // keep AND Gopher repetition/word-length bounds AND CCNet-style
+    // perplexity cap (dials calibrated to this corpus so every component
+    // actually discriminates). One plan — the signals join doc-keyed on
+    // already-reduced per-doc frames, so composition adds no
+    // corpus-scale work beyond its three component scans.
+    "pipeline_quality_ensemble" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val cls = graft.operators.QualityClassifier.score(
+          docs, "doc_id", "text",
+          positive = col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"), col("keep").as("cls_keep"))
+      val tn = TextAnalysis.normText(col("text"))
+      val toks = split(tn, " ")
+      val nToks = size(toks)
+      val gopher = docs.select(col("doc_id"),
+        round((length(tn) - (nToks - 1)).cast("double") / nToks, 4)
+          .as("mean_word_len"),
+        round(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks, 4)
+          .as("rep_token_frac"))
+      val kn = NgramLm.score(docs, NgramLm.train(
+          docs.filter(col("source").isin("src0", "src1", "src2"))))
+        .select(col("doc_id"), col("ppl"))
+      cls.join(gopher, "doc_id").join(kn, "doc_id")
+        .select(col("doc_id"), col("cls_keep"),
+          (col("rep_token_frac") <= 0.6).as("rep_ok"),
+          (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+            .as("len_ok"),
+          (col("ppl") <= 36.0).as("ppl_ok"))
+        .withColumn("keep_final",
+          col("cls_keep") && col("rep_ok") && col("len_ok") && col("ppl_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
     // importance weights against the curated sources, deterministic
     // top-50. The hash is portable (md5 hex prefix mod 4096) so the
@@ -886,7 +920,23 @@ object LlmQueries {
   // the distributed-path probe must satisfy the SAME transitive-closure
   // oracle as the union-find path — identical labels is the contract
   def oracles: Map[String, String] =
-    baseOracles + ("dedup_clusters_dist" -> baseOracles("dedup_clusters"))
+    baseOracles +
+      ("dedup_clusters_dist" -> baseOracles("dedup_clusters")) +
+      // the ensemble decision composes the three component oracles as
+      // subqueries — each is individually gate-proven, so a mismatch
+      // here isolates to the composition itself
+      ("pipeline_quality_ensemble" ->
+        s"""SELECT a.doc_id, a.keep AS cls_keep,
+           | g.rep_token_frac <= 0.6 AS rep_ok,
+           | g.mean_word_len >= 3.0 AND g.mean_word_len <= 10.0 AS len_ok,
+           | k.ppl <= 36.0 AS ppl_ok,
+           | (a.keep AND g.rep_token_frac <= 0.6
+           |  AND g.mean_word_len >= 3.0 AND g.mean_word_len <= 10.0
+           |  AND k.ppl <= 36.0) AS keep_final
+           |FROM (${baseOracles("text_quality_classifier")}) a
+           |JOIN (${baseOracles("text_gopher_quality")}) g USING (doc_id)
+           |JOIN (${baseOracles("text_kn_bigram")}) k USING (doc_id)
+           |ORDER BY a.doc_id""".stripMargin)
 
   private def baseOracles: Map[String, String] = Map(
     "text_stats" ->
