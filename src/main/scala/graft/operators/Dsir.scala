@@ -81,7 +81,12 @@ object Dsir {
       sum(col("ct")).cast("double").as("cttot"))
 
     val aB = alpha * buckets
-    val llr = cnt.crossJoin(broadcast(totals))
+    // With an empty target slice (zero target gram instances) or an
+    // empty corpus (null sums), the importance ratio carries no signal —
+    // the totals row is filtered away, so the result is empty rather
+    // than a uniform-prior pseudo-ranking or null weights.
+    val llr = cnt.crossJoin(broadcast(
+        totals.filter(col("cttot") > 0 && col("crtot") > 0)))
       .select(col("bucket"),
         round(log((col("ct") + alpha) / (col("cttot") + aB)) -
               log((col("cr") + alpha) / (col("crtot") + aB)), 6)

@@ -77,6 +77,12 @@ object NgramLm {
   def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
             textCol: String = "text"): DataFrame = {
     val d = lit(Discount)
+    // An empty model (zero training bigram types) can score nothing:
+    // every probability would be a division by zero. The types frame is
+    // filtered to b_types > 0, so an empty model yields an empty result
+    // (correct schema) instead of NaN/Infinity rows — no driver-side
+    // probe needed, the guard lives in the plan.
+    val types = model.types.filter(col("b_types") > 0)
     val bg = bigrams(docs, idCol, textCol)
     val pCont: Column = col("nc") / col("b_types")
     val pUnk: Column = lit(1.0) / (lit(2.0) * col("b_types"))
@@ -88,7 +94,7 @@ object NgramLm {
     bg.join(broadcast(model.bigram), Seq("w1", "w2"), "left")
       .join(broadcast(model.history), Seq("w1"), "left")
       .join(broadcast(model.continuation), Seq("w2"), "left")
-      .crossJoin(broadcast(model.types))
+      .crossJoin(broadcast(types))
       .groupBy(col(idCol))
       .agg(
         sum(col("tf")).cast("long").as("n_bigrams"),

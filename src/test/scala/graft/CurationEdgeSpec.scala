@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dsir, NgramLm, Retrieval}
+
+/** Degenerate-input behavior of the round-6 curation operators: empty
+  * corpora, empty training slices, null text. The contract everywhere is
+  * "empty result with the correct schema", never NaN/Infinity rows or a
+  * crash in plan construction. */
+class CurationEdgeSpec extends AnyFunSuite with SparkSessionTestWrapper {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "source", "text")
+
+  test("NgramLm: empty training slice scores nothing, not NaN") {
+    val corpus = docs((1L, "w", "a b c"), (2L, "w", "b c d"))
+    val model = NgramLm.train(corpus.filter(col("source") === "absent"))
+    val out = NgramLm.score(corpus, model)
+    assert(out.columns.toSeq == Seq("doc_id", "n_bigrams", "mean_logprob", "ppl"))
+    assert(out.count() == 0)
+  }
+
+  test("NgramLm: null text rows drop out of scoring") {
+    val corpus = Seq((1L, "t", Some("a b a c")), (2L, "t", None))
+      .toDF("doc_id", "source", "text")
+    val model = NgramLm.train(corpus)
+    assert(NgramLm.score(corpus, model)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("Dsir: empty target slice selects nothing, not null weights") {
+    val corpus = docs((1L, "w", "x y"), (2L, "w", "y z"))
+    val out = Dsir.select(corpus, isTarget = col("source") === "absent", n = 5)
+    assert(out.columns.toSeq == Seq("doc_id", "n_feats", "logw", "rank"))
+    assert(out.count() == 0)
+  }
+
+  test("Dsir: empty corpus selects nothing") {
+    val corpus = docs().filter(col("doc_id") > 0)
+    assert(Dsir.select(corpus, isTarget = col("source") === "t", n = 5).count() == 0)
+  }
+
+  test("Dsir: null-text docs contribute no features but target stats survive") {
+    val corpus = Seq((1L, "t", Some("x y x")), (2L, "w", None), (3L, "w", Some("x y")))
+      .toDF("doc_id", "source", "text")
+    val out = Dsir.select(corpus, isTarget = col("source") === "t", n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L)) // doc 2 has no grams, cannot be selected
+  }
+
+  test("bm25TopK: empty corpus and no-match queries return empty shaped results") {
+    val empty = docs().filter(col("doc_id") > 0)
+    val out = Retrieval.bm25TopK(empty, Seq(0 -> "anything"), k = 5)
+    assert(out.columns.toSeq == Seq("query_id", "doc_id", "rank", "score"))
+    assert(out.count() == 0)
+    val corpus = docs((1L, "w", "alpha beta"))
+    assert(Retrieval.bm25TopK(corpus, Seq(0 -> "missingterm"), k = 5).count() == 0)
+  }
+
+  test("bm25TopK: null text rows are skipped, others still rank") {
+    val corpus = Seq((1L, "w", Some("alpha beta")), (2L, "w", None))
+      .toDF("doc_id", "source", "text")
+    val out = Retrieval.bm25TopK(corpus, Seq(0 -> "alpha"), k = 5)
+      .collect().map(_.getLong(1)).toSeq
+    assert(out == Seq(1L))
+  }
+
+  test("hybridTopK: works when one leg is empty (lexical no-match)") {
+    val d = docs((1L, "w", "alpha beta"), (2L, "w", "beta gamma"))
+    val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+        (0L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Retrieval.hybridTopK(d, emb, Seq(0 -> "missingterm"),
+      kIn = 5, kOut = 3)
+    // vector leg alone still ranks; rrf scores reflect one contribution
+    assert(out.count() > 0)
+  }
+}
