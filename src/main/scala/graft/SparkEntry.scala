@@ -47,7 +47,8 @@ object SparkEntry {
     "dedup_exact_docs", "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",
-    "dedup_incremental", "pipeline_contamination_norm", "pipeline_dsir_select",
+    "dedup_incremental", "dedup_incremental_near",
+    "pipeline_contamination_norm", "pipeline_dsir_select",
     "pipeline_quality_ensemble", "profile_documents",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine",

@@ -434,6 +434,48 @@ object Dedup {
       .join(corpusFp, Seq("fp"), "left_anti")
   }
 
+  /** Incremental NEAR-dup screening — the continuous-crawl shape: a new
+    * batch is checked for near-duplicates AGAINST THE STANDING CORPUS
+    * (not within itself; compose with [[minhashVerifiedPairs]] on the
+    * batch for in-batch pairs). Same three-stage funnel as the
+    * self-join variant — banding join, signature-estimate filter, exact
+    * Jaccard on survivors — but batch-vs-corpus, so per-round cost is
+    * driven by the BATCH size: the batch's banded rows are tiny and the
+    * corpus side is the signature index a production deployment keeps
+    * materialized (bucketed by band hash, making the candidate join
+    * exchange-free on the corpus side) and appends accepted batches to.
+    * Exact verification joins text back for the few surviving candidate
+    * ids only. Returns (batch_id, corpus_id, jaccard >= threshold). */
+  def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String,
+                         k: Int = 32, shingleSize: Int = 5, bands: Int = 8,
+                         threshold: Double = 0.6,
+                         estMargin: Double = 0.15): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    def banded(df: DataFrame) = df
+      .select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleSize).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(lshBandHashes(col("sig"), bands, r)).as("bh"))
+    val estimated = banded(batch).as("x").join(banded(corpus).as("y"),
+        col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"),
+        graft.functions.SigAgree.sigAgree(col("x.sig"), col("y.sig")).as("est"))
+      .filter(col("est") >= threshold - estMargin)
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    def txt(df: DataFrame) = df.select(col(idCol).as("id"),
+      TextAnalysis.normText(col(textCol)).as("t"))
+    estimated
+      .join(txt(batch).as("ta"), col("batch_id") === col("ta.id"))
+      .join(txt(corpus).as("tb"), col("corpus_id") === col("tb.id"))
+      .select(col("batch_id"), col("corpus_id"),
+        graft.functions.NgramJaccard.ngramJaccard(col("ta.t"), col("tb.t"), shingleSize)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   // ------------------------------------------------------------------
   // Exact substring-span dedup
   // ------------------------------------------------------------------

@@ -323,6 +323,24 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Incremental NEAR-dup screening: every 10th doc plays the "new
+    // batch", the rest the standing corpus; batch docs near-duplicating
+    // a corpus doc are flagged with the exact Jaccard. Same dials as
+    // dedup_minhash_full (measured full recall at gate scale), so the
+    // oracle is the exact batch-x-corpus answer.
+    "dedup_incremental_near" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
+          threshold = 0.6)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("batch_id"), col("corpus_id"))
+        .limit(100)
+    },
+
     // The full curation decision, composed: GPT-3-style NB classifier
     // keep AND Gopher repetition/word-length bounds AND CCNet-style
     // perplexity cap (dials calibrated to this corpus so every component
@@ -1775,6 +1793,30 @@ object LlmQueries {
     // Exact all-pairs Jaccard over the FULL table, list-intersect
     // formulation with the sound size prefilter (j >= t implies
     // min(|A|,|B|) >= t * max(|A|,|B|)), top-100 by (jaccard, ids).
+    // Exact batch-x-corpus near-dup answer (the funnel has measured full
+    // recall at these dials — same derived-oracle argument as
+    // dedup_minhash_full).
+    "dedup_incremental_near" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, list_distinct(list_transform(
+        |   generate_series(1, GREATEST(length(t) - 4, 1)),
+        |   i -> substr(t, i, 5))) AS sh
+        | FROM n),
+        |d AS (SELECT doc_id, sh, len(sh) AS nsh FROM s),
+        |p AS (
+        | SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+        |  len(list_intersect(a.sh, b.sh)) AS inter, a.nsh AS na, b.nsh AS nb
+        | FROM d a JOIN d b
+        |  ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+        |  AND LEAST(a.nsh, b.nsh) >= 0.6 * GREATEST(a.nsh, b.nsh))
+        |SELECT batch_id, corpus_id,
+        | ROUND(inter / (na + nb - inter), 4) AS jaccard
+        |FROM p WHERE inter / (na + nb - inter) >= 0.6
+        |ORDER BY jaccard DESC, batch_id, corpus_id LIMIT 100""".stripMargin,
+
     "dedup_minhash_full" ->
       """WITH n AS (
         | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t

@@ -221,6 +221,30 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"missing planted pairs, got $pairs")
   }
 
+  test("incrementalNearDup flags batch-vs-corpus planted dups only") {
+    val all = corpusWithPlantedDups
+    val batch = all.filter(col("id") >= 100L)   // the planted copies
+    val corpus = all.filter(col("id") < 100L)
+    val flagged = Dedup.incrementalNearDup(batch, corpus, "id", "text",
+        k = 16, shingleSize = 5, bands = 8, threshold = 0.7)
+      .collect().map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("corpus_id"))).toSet
+    assert(Set((100L, 3L), (101L, 17L), (102L, 29L)).subsetOf(flagged),
+      s"missing planted batch-vs-corpus pairs, got $flagged")
+    // strictly cross-set: no batch-batch or corpus-corpus pairs possible
+    assert(flagged.forall { case (b, c) => b >= 100L && c < 100L })
+  }
+
+  test("incrementalNearDup: a batch duplicating only ITSELF is not flagged") {
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("id", "text")
+    val batch = Seq(
+      (100L, "one unrelated document here entirely different words"),
+      (101L, "one unrelated document here entirely different words"))
+      .toDF("id", "text") // in-batch exact dup, nothing like the corpus
+    assert(Dedup.incrementalNearDup(batch, corpus, "id", "text",
+      k = 16, shingleSize = 5, bands = 8, threshold = 0.5).count() == 0)
+  }
+
   test("MinHash signature is deterministic across repartitioning") {
     val df = corpusWithPlantedDups
     val sig1 = df.repartition(1).select(col("id"),
