@@ -169,7 +169,15 @@ object ScaleRehearsal {
       }),
       "pipeline_dsir" -> (() =>
         graft.operators.Dsir.select(t(spark, d, "documents"),
-          col("source").isin("src0", "src1", "src2"), n = 50).count())
+          col("source").isin("src0", "src1", "src2"), n = 50).count()),
+      "dedup_incremental_near" -> (() => {
+        val docs = t(spark, d, "documents")
+        Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
+          threshold = 0.6).count()
+      })
     )
     // skewed-corpus probes: the dials that must absorb the skew
     def skewProbes(d: String): Seq[(String, () => Long)] = Seq(

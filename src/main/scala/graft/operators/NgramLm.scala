@@ -28,10 +28,11 @@ import org.apache.spark.sql.types.DecimalType
   * slice only (bigram counts, per-history stats, continuation counts) —
   * broadcast here (the gate model is tiny) and swappable for plain
   * shuffle hash joins when a production model outgrows broadcast (same
-  * plan shape, AQE decides). The corpus side is one scan: per-doc
-  * bigram tf (the only corpus-wide exchange, doc+bigram-keyed and
-  * map-side partial) joined against the model, then a doc-keyed exact
-  * decimal mean. Per-bigram log-probs round to 6 places BEFORE the
+  * plan shape, AQE decides). The corpus side is one scan: bigram
+  * instances join the broadcast model and reduce straight to one row
+  * per doc (map-side partial) — the only exchange carries per-doc
+  * partial sums, never the token stream. Per-bigram log-probs round to
+  * 6 places BEFORE the
   * decimal tf-weighted sum, so results are independent of aggregation
   * order and bit-equal to a single-node replay.
   */
@@ -39,10 +40,11 @@ object NgramLm {
 
   val Discount = 0.75
 
-  /** Per-doc (doc_id, w1, w2, tf) bigram bag: adjacent pairs within a
+  /** One row per bigram INSTANCE (id, w1, w2): adjacent pairs within a
     * doc under the corpus-wide tokenization; docs shorter than 2 tokens
-    * contribute nothing. */
-  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * contribute nothing. Never aggregated at (doc, bigram) width — both
+    * consumers reduce it against broadcast sides before any exchange. */
+  def bigramInstances(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = split(TextAnalysis.normText(lower(col(textCol))), " ")
     docs.select(col(idCol), toks.as("t"))
       .filter(size(col("t")) >= 2)
@@ -50,9 +52,13 @@ object NgramLm {
         "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i + 1] AS w2))"))
         .as("bg"))
       .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Per-doc (doc_id, w1, w2, tf) bigram bag (diagnostic surface). */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    bigramInstances(docs, idCol, textCol)
       .groupBy(col(idCol), col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
-  }
 
   /** The trained model: (bigram counts, history stats, continuation
     * counts, total bigram types). */
@@ -62,8 +68,8 @@ object NgramLm {
   /** Train on the given slice (typically the curated sources). */
   def train(trainDocs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): Model = {
-    val bg = bigrams(trainDocs, idCol, textCol)
-      .groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val bg = bigramInstances(trainDocs, idCol, textCol)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val hist = bg.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
     val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
@@ -83,7 +89,12 @@ object NgramLm {
     // (correct schema) instead of NaN/Infinity rows — no driver-side
     // probe needed, the guard lives in the plan.
     val types = model.types.filter(col("b_types") > 0)
-    val bg = bigrams(docs, idCol, textCol)
+    // Per-INSTANCE scoring against the broadcast model, then one
+    // doc-keyed partial aggregation — the bigram stream never shuffles
+    // at (doc, bigram) width (a tf pre-aggregation would exchange the
+    // whole token stream; the decimal sum is identical either way since
+    // tf * r6(ln p) is just r6(ln p) added tf times, exactly).
+    val inst = bigramInstances(docs, idCol, textCol)
     val pCont: Column = col("nc") / col("b_types")
     val pUnk: Column = lit(1.0) / (lit(2.0) * col("b_types"))
     val pSucc: Column = when(col("nc").isNotNull, pCont).otherwise(pUnk)
@@ -91,15 +102,15 @@ object NgramLm {
       greatest(coalesce(col("c12"), lit(0L)) - d, lit(0.0)) / col("c1") +
         d * col("n1p") / col("c1") * pSucc)
       .otherwise(pSucc)
-    bg.join(broadcast(model.bigram), Seq("w1", "w2"), "left")
+    inst.join(broadcast(model.bigram), Seq("w1", "w2"), "left")
       .join(broadcast(model.history), Seq("w1"), "left")
       .join(broadcast(model.continuation), Seq("w2"), "left")
       .crossJoin(broadcast(types))
       .groupBy(col(idCol))
       .agg(
-        sum(col("tf")).cast("long").as("n_bigrams"),
-        round(sum(col("tf") * round(log(p), 6).cast(DecimalType(18, 6)))
-          .cast("double") / sum(col("tf")), 4).as("mean_logprob"))
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(round(log(p), 6).cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 4).as("mean_logprob"))
       .withColumn("ppl", round(exp(-col("mean_logprob")), 4))
   }
 }

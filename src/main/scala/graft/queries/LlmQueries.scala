@@ -390,7 +390,8 @@ object LlmQueries {
     // dropped to 2 so the oracle can replay the estimator exactly):
     // interpolated Kneser-Ney trained on the curated sources src0-2,
     // every doc scored by mean bigram log-prob + perplexity. Model
-    // tables broadcast; one doc+bigram-keyed corpus exchange.
+    // tables broadcast; the instance stream reduces doc-keyed without
+    // ever shuffling at (doc, bigram) width.
     "text_kn_bigram" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val model = NgramLm.train(
