@@ -71,6 +71,8 @@ object Dsir {
   def select(docs: DataFrame, isTarget: Column, n: Int,
              idCol: String = "doc_id", textCol: String = "text",
              buckets: Int = Buckets, alpha: Double = Alpha): DataFrame = {
+    require(!docs.columns.contains("__graft_t"),
+      "input must not already contain the scratch column __graft_t")
     val grams = gramBuckets(docs.withColumn("__graft_t", isTarget),
       idCol, textCol, buckets, Seq("__graft_t"))
 

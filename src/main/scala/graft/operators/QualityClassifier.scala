@@ -67,17 +67,21 @@ object QualityClassifier {
             positive: Column, threshold: Double = 0.0): DataFrame = {
     val table = tokenLogOdds(docs, idCol, textCol, positive)
       .select(col("term"), col("logodds"))
-    val tf = toks(docs, idCol, textCol, positive)
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    tf.join(broadcast(table), "term")
+    // Per-INSTANCE scoring against the broadcast log-odds table, reduced
+    // straight to one row per doc (map-side partial): the token stream
+    // never shuffles at (doc, term) width, and decimal sums commute over
+    // tf multiplicity so the score is bit-identical to the tf-weighted
+    // formulation the oracle replays.
+    toks(docs, idCol, textCol, positive)
+      .join(broadcast(table), "term")
       .groupBy(col("doc_id"))
-      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
         // + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
         // -0.0 here but can round to +0.0 in another engine — the value
         // compare is stringified, so the sign of zero must be pinned)
         (round(
-          sum(col("tf") * col("logodds").cast(DecimalType(18, 6))).cast("double")
-            / sum(col("tf")), 4) + lit(0.0)).as("score"))
+          sum(col("logodds").cast(DecimalType(18, 6))).cast("double")
+            / count(lit(1)), 4) + lit(0.0)).as("score"))
       .withColumn("keep", col("score") > threshold)
   }
 }

@@ -403,23 +403,26 @@ object LlmQueries {
     // filtering): mean per-token log-probability under the corpus's own
     // unigram distribution — low scores flag unnatural token streams.
     // Per-token log-probs are rounded to 6 places BEFORE the exact
-    // decimal tf-weighted sum, so the aggregate is order-independent and
+    // decimal sum, so the aggregate is order-independent and
     // engine-identical (the raw double sum would drift with aggregation
-    // order); one term-keyed shuffle + a broadcast corpus-frequency side.
+    // order). Scored per token INSTANCE against the broadcast
+    // corpus-frequency side and reduced doc-keyed — the token stream
+    // never shuffles at (doc, term) width (decimal sums commute over tf
+    // multiplicity, so values are unchanged); the only wide-ish exchange
+    // is the vocabulary-sized frequency aggregation.
     "text_unigram_logprob" -> { (s, d) =>
       val toks = t(s, d, "documents").select(col("doc_id"),
         explode(split(TextAnalysis.normText(lower(col("text"))), " ")).as("term"))
-      val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      val cf = toks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
       val total = cf.agg(sum(col("cf")).as("n_total"))
-      tf.join(broadcast(cf), "term")
+      toks.join(broadcast(cf), "term")
         .crossJoin(broadcast(total))
         .groupBy(col("doc_id"))
         .agg(round(
-          sum(col("tf") * round(log(col("cf") / col("n_total")), 6)
+          sum(round(log(col("cf") / col("n_total")), 6)
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
-            / sum(col("tf")), 4).as("mean_logprob"),
-          sum(col("tf")).cast("long").as("n_tokens"))
+            / count(lit(1)), 4).as("mean_logprob"),
+          count(lit(1)).cast("long").as("n_tokens"))
         .orderBy(col("doc_id"))
     },
 

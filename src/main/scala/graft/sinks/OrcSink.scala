@@ -180,9 +180,12 @@ object OrcSink {
     * monotonically increasing sequence column; the merge keeps, per key,
     * the row with the highest sequence (base rows participate at
     * seq = -1, so every change supersedes them) and drops keys whose
-    * winner is a delete. (seq, key) pairs must be unique — out-of-order
-    * DELIVERY is fine (the window sorts), duplicate sequence numbers for
-    * one key are a contract violation the caller must dedupe first.
+    * winner is a delete. The base must be key-UNIQUE (it is a table;
+    * two base rows for one key would tie at seq -1 and collapse
+    * arbitrarily), and (key, seq) pairs must be unique across changes —
+    * out-of-order DELIVERY is fine (the window sorts), duplicate
+    * sequence numbers for one key are a contract violation the caller
+    * must dedupe first.
     *
     * Scale shape: one key-partitioned window (rank-1 filter plans as
     * WindowGroupLimit, pruning to the max-seq row map-side before the
