@@ -76,6 +76,30 @@ object TextAnalysis {
   def punctCount(c: Column): Column =
     (length(c) - length(translate(c, ".,;:!?", ""))).cast("long")
 
+  /** PII patterns (emails, IPv4 addresses, US-style dashed phone
+    * numbers) — RE2-compatible (no lookaround, no backrefs), so an
+    * independent engine recomputes matches identically. The pattern set
+    * is deliberately the high-precision core of the published scrubbing
+    * recipes; extend per deployment. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpv4 = "(\\d{1,3}\\.){3}\\d{1,3}"
+  val PiiPhone = "\\d{3}-\\d{3}-\\d{4}"
+
+  /** Per-pattern match counts (codegen'd regexp_count — no UDF). */
+  def piiEmailCount(c: Column): Column = regexp_count(c, lit(PiiEmail))
+  def piiIpv4Count(c: Column): Column = regexp_count(c, lit(PiiIpv4))
+  def piiPhoneCount(c: Column): Column = regexp_count(c, lit(PiiPhone))
+
+  /** Redact all three PII classes with typed markers. Order matters and
+    * is pinned (email before IPv4: an email's domain can contain
+    * digit-dot runs; scrubbing emails first keeps the classes disjoint). */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, PiiEmail, "[EMAIL]"),
+        PiiIpv4, "[IP]"),
+      PiiPhone, "[PHONE]")
+
   /** Heuristic quality score in [0,1]:
     * token-volume saturation x (1 - punct density) x (1 - upper density).
     * Deterministic double arithmetic, mirrored exactly in the oracle. */

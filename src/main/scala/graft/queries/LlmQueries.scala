@@ -65,9 +65,9 @@ object LlmQueries {
     val cascade = PinnedBpeMerges.foldLeft("s0") { case (acc, (x, y)) =>
       s"replace($acc, '$S${esc(x)}$S$S${esc(y)}$S', '$S${esc(x)}${esc(y)}$S')"
     }
-    s"""w AS (SELECT doc_id, source, $wrapped AS s0 FROM documents),
-       |m AS (SELECT doc_id, source, $cascade AS s FROM w),
-       |bc AS (SELECT doc_id, source,
+    s"""w AS (SELECT doc_id, source, lang, $wrapped AS s0 FROM documents),
+       |m AS (SELECT doc_id, source, lang, $cascade AS s FROM w),
+       |bc AS (SELECT doc_id, source, lang,
        | CAST((length(s) - length(replace(s, '$S', ''))) // 2 AS BIGINT) AS n_tokens,
        | s FROM m)""".stripMargin
   }
@@ -491,6 +491,49 @@ object LlmQueries {
           col("doc_id"),
           size(col("toks")).cast("long").as("n_bpe_tokens"),
           size(array_distinct(col("toks"))).cast("long").as("n_unique_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Tokenizer fertility (tokens-per-word per language) — the standard
+    // tokenizer-evaluation metric: how many BPE tokens the pinned merge
+    // table spends per whitespace word, split by language. High
+    // fertility on a language flags a vocabulary that undertrained on
+    // it. Integer sums, one final division.
+    "text_bpe_fertility" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(graft.functions.BpeEncode.bpeTokens(col("text"), PinnedBpeMerges))
+            .cast("long").as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe")).as("total_bpe"),
+          sum(col("n_words")).as("total_words"),
+          round(sum(col("n_bpe")).cast("double") / sum(col("n_words")), 4)
+            .as("fertility"))
+        .orderBy(col("lang"))
+    },
+
+    // PII scan + scrub: emails / IPv4 / dashed phones counted and
+    // redacted with typed markers. The synthetic corpus carries no PII,
+    // so the gate PLANTS it deterministically (by doc_id class) and the
+    // operator must find exactly the planted instances — the scrubbed
+    // text is md5'd so the redaction itself is hash-verified.
+    "text_pii_scrub" -> { (s, d) =>
+      val planted = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com now")))
+          .when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" from 10.0."), col("doc_id") % 256,
+              lit(".1 logged")))
+          .when(col("doc_id") % 7 === 2,
+            concat(col("text"), lit(" call 555-123-4567")))
+          .otherwise(col("text")).as("text"))
+      planted.select(col("doc_id"),
+          TextAnalysis.piiEmailCount(col("text")).cast("long").as("n_email"),
+          TextAnalysis.piiIpv4Count(col("text")).cast("long").as("n_ip"),
+          TextAnalysis.piiPhoneCount(col("text")).cast("long").as("n_phone"),
+          md5(TextAnalysis.scrubPii(col("text"))).as("scrub_md5"))
         .orderBy(col("doc_id"))
     },
 
@@ -1613,6 +1656,42 @@ object LlmQueries {
       s"""WITH ${bm25Ctes(10)}
          |SELECT query_id, doc_id, rank, score FROM lex
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Fertility: the BPE CTE chain's per-doc counts joined with the
+    // text_stats-style whitespace word count, integer sums, one final
+    // division.
+    "text_bpe_fertility" ->
+      s"""WITH $bpeCtes,
+         |ws AS (SELECT doc_id,
+         |  CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0
+         |       ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+         |  END AS n_words
+         | FROM documents)
+         |SELECT bc.lang, CAST(SUM(bc.n_tokens) AS BIGINT) AS total_bpe,
+         | CAST(SUM(ws.n_words) AS BIGINT) AS total_words,
+         | ROUND(CAST(SUM(bc.n_tokens) AS DOUBLE) / SUM(ws.n_words), 4) AS fertility
+         |FROM bc JOIN ws USING (doc_id)
+         |GROUP BY bc.lang ORDER BY bc.lang""".stripMargin,
+
+    // PII planting + scan + scrub replayed with the same RE2-compatible
+    // patterns and the same pinned redaction order.
+    "text_pii_scrub" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id || '@example.com now'
+        |       WHEN doc_id % 7 = 1 THEN text || ' from 10.0.' || (doc_id % 256) || '.1 logged'
+        |       WHEN doc_id % 7 = 2 THEN text || ' call 555-123-4567'
+        |       ELSE text END AS text
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        | CAST(len(regexp_extract_all(text, '(\d{1,3}\.){3}\d{1,3}')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
+        | md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |   '(\d{1,3}\.){3}\d{1,3}', '[IP]', 'g'),
+        |   '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS scrub_md5
+        |FROM p ORDER BY doc_id""".stripMargin,
 
     // Serve path must reproduce the full-computation ranking exactly.
     "text_bm25_serve" ->

@@ -69,6 +69,47 @@ class CurationEdgeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out == Seq(1L))
   }
 
+  test("PII scrub: counts and redacts all three classes; order keeps them disjoint") {
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "mail a@b.co and c.d+x@e-f.org here"),
+      (2L, "host 192.168.0.1 and 10.0.0.255"),
+      (3L, "call 555-123-4567 or 555-000-1111"),
+      (4L, "clean text no pii"),
+      (5L, "user9@site10.com from 1.2.3.4 call 555-999-8888"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.piiEmailCount(col("text")).as("e"),
+        TextAnalysis.piiIpv4Count(col("text")).as("i"),
+        TextAnalysis.piiPhoneCount(col("text")).as("p"),
+        TextAnalysis.scrubPii(col("text")).as("s"))
+    val rows = df.collect().map(r =>
+      r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))).toMap
+    assert(rows(1L)._1 == 2 && rows(1L)._4 == "mail [EMAIL] and [EMAIL] here")
+    assert(rows(2L)._2 == 2 && rows(2L)._4 == "host [IP] and [IP]")
+    assert(rows(3L)._3 == 2 && rows(3L)._4 == "call [PHONE] or [PHONE]")
+    assert(rows(4L) == ((0, 0, 0, "clean text no pii")))
+    // the email's digit-bearing domain is scrubbed as EMAIL, not as IP
+    assert(rows(5L)._4 == "user9@[IP] call [PHONE]".replace("user9@[IP]",
+      "[EMAIL] from [IP]"))
+  }
+
+  test("BPE fertility: hand-computed tokens-per-word on a tiny corpus") {
+    import graft.operators.TextAnalysis
+    import graft.queries.LlmQueries
+    // "er" is a pinned merge: "er er" -> 2 BPE tokens over 2 words
+    // (fertility 1.0); "xq zz" has no merges -> 4 tokens over 2 words.
+    val df = Seq(("en", "er er"), ("zh", "xq zz")).toDF("lang", "text")
+      .select(col("lang"),
+        size(graft.functions.BpeEncode.bpeTokens(col("text"),
+          LlmQueries.PinnedBpeMerges)).cast("long").as("n_bpe"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"))
+      .groupBy(col("lang"))
+      .agg((sum(col("n_bpe")).cast("double") / sum(col("n_words"))).as("f"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df("en") == 1.0 && df("zh") == 2.0)
+  }
+
   test("hybridTopK: works when one leg is empty (lexical no-match)") {
     val d = docs((1L, "w", "alpha beta"), (2L, "w", "beta gamma"))
     val emb = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
