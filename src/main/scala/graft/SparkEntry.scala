@@ -49,7 +49,8 @@ object SparkEntry {
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",
     "dedup_incremental", "dedup_incremental_near",
-    "pipeline_contamination_norm", "pipeline_dsir_select",
+    "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
+    "pipeline_dsir_select",
     "pipeline_quality_ensemble", "profile_documents",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine",

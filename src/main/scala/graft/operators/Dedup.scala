@@ -434,6 +434,41 @@ object Dedup {
       .join(corpusFp, Seq("fp"), "left_anti")
   }
 
+  /** Benchmark-decontamination SURGERY: remove every token covered by a
+    * `spanTokens`-token window that appears verbatim in any benchmark
+    * document — the GPT-3-appendix remedy (cut the overlapping spans,
+    * keep the rest of the document) where [[spanContaminated]] merely
+    * flags. The benchmark side is small by nature, so its distinct
+    * window-hash set broadcasts and the corpus streams shuffle-free;
+    * only the tiny per-doc cut lists aggregate. Returns
+    * (idCol, clean_text, n_removed) for EVERY corpus doc — untouched
+    * docs pass through with n_removed = 0. */
+  def scrubContaminated(corpus: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val base = corpus.select(col(idCol).as("id"),
+      TextAnalysis.normText(coalesce(col(textCol), lit(""))).as("t"))
+    val occ = base.select(col("id"),
+      explode(graft.functions.SpanHashesPos.spanHashesPos(col("t"), spanTokens)).as("w"))
+      .select(col("id"), col("w.h").as("h"), col("w.pos").as("pos"))
+    // the same positional window hash on the bench side guarantees
+    // hash-identical windows for string-identical spans
+    val benchHashes = bench.select(
+        explode(graft.functions.SpanHashesPos.spanHashesPos(
+          TextAnalysis.normText(coalesce(col(textCol), lit(""))), spanTokens)).as("w"))
+      .select(col("w.h").as("h")).distinct()
+    val cuts = occ.join(broadcast(benchHashes), Seq("h"))
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    val surgery = graft.functions.CutTokenSpans.cutTokenSpans(
+      col("t"), coalesce(col("starts"), array().cast("array<int>")), spanTokens)
+    base.join(cuts, Seq("id"), "left_outer")
+      .select(col("id"), surgery.as("c"))
+      .select(col("id").as(idCol), col("c.clean").as("clean_text"),
+        col("c.removed").cast("long").as("n_removed"))
+  }
+
   /** Incremental NEAR-dup screening — the continuous-crawl shape: a new
     * batch is checked for near-duplicates AGAINST THE STANDING CORPUS
     * (not within itself; compose with [[minhashVerifiedPairs]] on the

@@ -323,6 +323,21 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Decontamination SURGERY (the GPT-3-appendix remedy): every 10th
+    // doc plays the benchmark; contaminated spans are CUT from the rest
+    // of the corpus rather than dropping whole docs. The scrubbed text
+    // is md5'd so the oracle verifies the exact surgical result.
+    "pipeline_decontaminate_scrub" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.scrubContaminated(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", spanTokens = 8)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_removed"))
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental NEAR-dup screening: every 10th doc plays the "new
     // batch", the rest the standing corpus; batch docs near-duplicating
     // a corpus doc are flagged with the exact Jaccard. Same dials as
@@ -1876,6 +1891,44 @@ object LlmQueries {
     // Exact all-pairs Jaccard over the FULL table, list-intersect
     // formulation with the sound size prefilter (j >= t implies
     // min(|A|,|B|) >= t * max(|A|,|B|)), top-100 by (jaccard, ids).
+    // The surgery replayed in SQL: bench window strings (distinct) mark
+    // coverage intervals over corpus docs; covered tokens drop, the rest
+    // re-join with single spaces — the same interval-union construction
+    // as the dedup_span_scrub oracle.
+    "pipeline_decontaminate_scrub" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents),
+        |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n WHERE doc_id % 10 != 0),
+        |w AS (
+        | SELECT doc_id, i.i AS pos,
+        |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM tok, generate_series(1, 400) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |btok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n WHERE doc_id % 10 = 0),
+        |bf AS (
+        | SELECT DISTINCT array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM btok, generate_series(1, 400) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |cov AS (
+        | SELECT DISTINCT w.doc_id, gs.g AS tp
+        | FROM w JOIN bf USING (span)
+        | CROSS JOIN generate_series(1, 400) gs(g)
+        | WHERE gs.g BETWEEN w.pos AND w.pos + 7),
+        |surv AS (
+        | SELECT tok.doc_id, j.j AS j, toks[j.j] AS tk, (cov.tp IS NOT NULL) AS cut
+        | FROM tok CROSS JOIN generate_series(1, 400) j(j)
+        | LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.tp = j.j
+        | WHERE j.j <= len(toks)),
+        |agg AS (
+        | SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN NOT cut THEN tk END, ' ' ORDER BY j), '') AS clean_text,
+        |  COUNT(*) FILTER (WHERE cut) AS n_removed
+        | FROM surv GROUP BY doc_id)
+        |SELECT n.doc_id, md5(COALESCE(agg.clean_text, '')) AS clean_md5,
+        | CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed
+        |FROM n LEFT JOIN agg USING (doc_id)
+        |WHERE n.doc_id % 10 != 0 ORDER BY n.doc_id""".stripMargin,
+
     // Exact batch-x-corpus near-dup answer (the funnel has measured full
     // recall at these dials — same derived-oracle argument as
     // dedup_minhash_full).

@@ -69,6 +69,25 @@ class CurationEdgeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out == Seq(1L))
   }
 
+  test("scrubContaminated cuts exactly the bench-overlapping tokens") {
+    import graft.operators.Dedup
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 tail words here"))
+      .toDF("doc_id", "text") // contributes windows incl. "q1..q5 tail words here"
+    val corpus = Seq(
+      (1L, "lead in q1 q2 q3 q4 q5 tail words here and more after"),
+      (2L, "totally unrelated content with no overlap at all whatsoever"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubContaminated(corpus, bench, "doc_id", "text",
+        spanTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 1: the single bench window "q1 q2 q3 q4 q5 tail words here"
+    // covers tokens 3..10 -> exactly those 8 tokens cut
+    assert(out(1L) == (("lead in and more after", 8L)))
+    assert(out(2L) == (("totally unrelated content with no overlap at all whatsoever", 0L)))
+    assert(out(3L) == (("", 0L))) // null text folds to empty, untouched
+  }
+
   test("PII scrub: counts and redacts all three classes; order keeps them disjoint") {
     import graft.operators.TextAnalysis
     val df = Seq(
