@@ -50,8 +50,8 @@ object SparkEntry {
     "dedup_span_scrub",
     "dedup_incremental", "dedup_incremental_near",
     "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
-    "pipeline_dsir_select",
-    "pipeline_quality_ensemble", "profile_documents",
+    "pipeline_dsir_select", "pipeline_quality_ensemble",
+    "pipeline_seeded_shuffle", "profile_documents",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine",
     "ann_ivf_topk", "ann_ivf_topk_engine",

@@ -323,6 +323,19 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Deterministic global training-order shuffle: order by a seeded
+    // hash of the key — reproducible across runs and cluster sizes with
+    // zero RNG state. Top-20 here is a TakeOrdered probe; a full
+    // materialization composes with OrcSink.writeSorted on the hash
+    // (range exchange, no driver sort).
+    "pipeline_seeded_shuffle" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("graft-shuffle-42:"), col("doc_id"))).as("shuffle_key"))
+        .orderBy(col("shuffle_key"))
+        .limit(20)
+    },
+
     // Decontamination SURGERY (the GPT-3-appendix remedy): every 10th
     // doc plays the benchmark; contaminated spans are CUT from the rest
     // of the corpus rather than dropping whole docs. The scrubbed text
@@ -1891,6 +1904,10 @@ object LlmQueries {
     // Exact all-pairs Jaccard over the FULL table, list-intersect
     // formulation with the sound size prefilter (j >= t implies
     // min(|A|,|B|) >= t * max(|A|,|B|)), top-100 by (jaccard, ids).
+    "pipeline_seeded_shuffle" ->
+      """SELECT doc_id, md5('graft-shuffle-42:' || doc_id) AS shuffle_key
+        |FROM documents ORDER BY shuffle_key LIMIT 20""".stripMargin,
+
     // The surgery replayed in SQL: bench window strings (distinct) mark
     // coverage intervals over corpus docs; covered tokens drop, the rest
     // re-join with single spaces — the same interval-union construction
