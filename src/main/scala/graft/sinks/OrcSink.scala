@@ -193,7 +193,8 @@ object OrcSink {
     * bucketed by key ([[writeBucketed]]) and the exchange disappears on
     * the base side entirely. */
   def mergeUpsert(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
-                  opCol: String = "__op", seqCol: String = "__seq"): DataFrame = {
+                  opCol: String = "__op", seqCol: String = "__seq",
+                  allowNewColumns: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, lit, row_number}
     val dataCols = base.columns.toSeq
@@ -201,13 +202,25 @@ object OrcSink {
       s"key columns $keyCols must exist in the base schema")
     require(!dataCols.contains(opCol) && !dataCols.contains(seqCol),
       s"base must not already contain $opCol/$seqCol")
-    require(changes.columns.toSet == dataCols.toSet + opCol + seqCol,
-      s"changes must carry the base columns plus $opCol and $seqCol; " +
-        s"got ${changes.columns.toSeq.sorted}")
-    val ordered = (dataCols :+ opCol :+ seqCol).map(col)
+    val changeData = changes.columns.toSet - opCol - seqCol
+    // Schema evolution (allowNewColumns): change batches may ADD data
+    // columns — the merged schema widens and pre-evolution rows read
+    // null, matching the ORC-side evolution contract ([[readMerged]]).
+    // Changes must still carry every base column: silently dropping a
+    // column is a pipeline bug, not evolution.
+    require(dataCols.forall(changeData.contains) &&
+        changes.columns.contains(opCol) && changes.columns.contains(seqCol) &&
+        (allowNewColumns || changeData == dataCols.toSet),
+      s"changes must carry the base columns plus $opCol and $seqCol" +
+        (if (allowNewColumns) " (new columns allowed)" else "") +
+        s"; got ${changes.columns.toSeq.sorted}")
+    val mergedData = dataCols ++
+      (changes.columns.toSeq.filterNot(c => dataCols.contains(c) ||
+        c == opCol || c == seqCol))
+    val ordered = (mergedData :+ opCol :+ seqCol).map(col)
     val all = base.withColumn(opCol, lit("B")).withColumn(seqCol, lit(-1L))
+      .unionByName(changes, allowMissingColumns = true)
       .select(ordered: _*)
-      .unionByName(changes.select(ordered: _*))
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
     all.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1 && col(opCol) =!= "D")

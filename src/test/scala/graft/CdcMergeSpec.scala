@@ -46,6 +46,28 @@ class CdcMergeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(out.exists(_ == ((3L, "c2", 33.0))))
   }
 
+  test("schema evolution: new change columns widen the table, base reads null") {
+    val changes = Seq((4L, "d", 40.0, "eu", "I", 1L), (1L, "a", 11.0, "us", "U", 1L))
+      .toDF("k", "name", "v", "region", "__op", "__seq")
+    val out = OrcSink.mergeUpsert(base, changes, keyCols = Seq("k"),
+        allowNewColumns = true)
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(2), Option(r.getString(3)))).toSeq
+    assert(out == Seq((1L, 11.0, Some("us")), (2L, 20.0, None),
+      (3L, 30.0, None), (4L, 40.0, Some("eu"))))
+    // without the flag the same batch is rejected
+    intercept[IllegalArgumentException] {
+      OrcSink.mergeUpsert(base, changes, keyCols = Seq("k"))
+    }
+  }
+
+  test("a change batch DROPPING a base column is rejected even with evolution on") {
+    val missing = Seq((1L, 1.0, "U", 1L)).toDF("k", "v", "__op", "__seq")
+    intercept[IllegalArgumentException] {
+      OrcSink.mergeUpsert(base, missing, keyCols = Seq("k"), allowNewColumns = true)
+    }
+  }
+
   test("schema contract violations fail loudly") {
     val noSeq = Seq((1L, "a", 1.0, "U")).toDF("k", "name", "v", "__op")
     intercept[IllegalArgumentException] {
