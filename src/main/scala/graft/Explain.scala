@@ -25,9 +25,14 @@ object Explain {
         "pipeline_contamination_norm", "ann_ivf_int8_topk",
         "ann_ivf_pq_topk", "text_quality_classifier",
         "pipeline_mixture_budget",
-        // round-6 retrieval + LM + selection + CDC additions
-        "text_bm25_topk", "text_hybrid_rrf", "text_kn_bigram",
-        "pipeline_dsir_select", "conv_cdc_merge")
+        // round-6 retrieval + LM + selection additions. text_bm25_topk
+        // and conv_cdc_merge are EAGER/side-effecting (the former
+        // returns a localized result, the latter writes tables), so
+        // explaining them would execute the pipeline and print a plan
+        // without its structure — the serve path is the lazy BM25 plan
+        // and the merge plan is audited by CdcMergeSpec instead.
+        "text_bm25_serve", "text_hybrid_rrf", "text_kn_bigram",
+        "pipeline_dsir_select", "pipeline_decontaminate_scrub")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -244,24 +244,28 @@ object ScaleRehearsal {
     // TIME ratio breaches is re-measured — both sides of the ratio, up to
     // twice, keeping each side's fastest wall — so a transient stall
     // settles while a real complexity escape breaches every run. Shuffle
-    // breaches are never retried: bytes don't jitter.
-    def settleTime(bySf: scala.collection.mutable.LinkedHashMap[String, Sample],
-                   name: String, fns: Map[String, Map[String, () => Long]],
-                   num: String, den: String,
-                   ok: (Sample, Sample) => Boolean): Unit = {
+    // breaches are never retried: bytes don't jitter. One policy for
+    // both the scale (sf0.1 -> sf1) and skew (skew vs plain) axes.
+    final case class Axis(name: String, ds: String, fn: () => Long) {
+      def get: Sample = results(name)(ds)
+      def remeasureKeepFastest(): Unit = {
+        val s = measure(ds, name, fn)
+        if (s.secs < get.secs) results(name).put(ds, get.copy(secs = s.secs))
+      }
+    }
+    def settle(num: Axis, den: Axis, ok: (Sample, Sample) => Boolean): Unit = {
       var tries = 0
-      while (!ok(bySf(den), bySf(num)) && tries < 2) {
-        val n2 = measure(num, name, fns(num)(name))
-        if (n2.secs < bySf(num).secs) bySf.put(num, bySf(num).copy(secs = n2.secs))
-        val d2 = measure(den, name, fns(den)(name))
-        if (d2.secs < bySf(den).secs) bySf.put(den, bySf(den).copy(secs = d2.secs))
+      while (!ok(den.get, num.get) && tries < 2) {
+        num.remeasureKeepFastest()
+        den.remeasureKeepFastest()
         tries += 1
       }
     }
     val probeFns: Map[String, Map[String, () => Long]] =
       Map(sf01 -> probes(sf01).toMap, sf1 -> probes(sf1).toMap)
     for (name <- results.keys.toSeq if probeFns(sf1).contains(name))
-      settleTime(results(name), name, probeFns, num = sf1, den = sf01,
+      settle(Axis(name, sf1, probeFns(sf1)(name)),
+        Axis(name, sf01, probeFns(sf01)(name)),
         ok = (s01, s1) => within(s01, s1)._1 <= timeCeil || s1.secs <= timeFloorS)
 
     // ---- skew rows: skewed sf1 vs plain sf1 -----------------------------
@@ -289,25 +293,13 @@ object ScaleRehearsal {
 
     // same wall-noise settling as the scale ratios, on the skew/plain axis
     val skewFnMap = skewProbes(sf1skew).toMap
-    def settleSkew(skewName: String, plainName: String,
-                   plainFn: () => Long): Unit = {
-      def ok: Boolean = {
-        val sk = results(skewName)(sf1skew)
-        val pl = results(plainName)(sf1)
-        val rt = if (pl.secs > 0) sk.secs / pl.secs else 0.0
-        rt <= skewTimeCeil || sk.secs <= timeFloorS
-      }
-      var tries = 0
-      while (!ok && tries < 2) {
-        val s2 = measure(sf1skew, skewName, skewFnMap(skewName))
-        val sk = results(skewName)(sf1skew)
-        if (s2.secs < sk.secs) results(skewName).put(sf1skew, sk.copy(secs = s2.secs))
-        val p2 = measure(sf1, plainName, plainFn)
-        val pl = results(plainName)(sf1)
-        if (p2.secs < pl.secs) results(plainName).put(sf1, pl.copy(secs = p2.secs))
-        tries += 1
-      }
+    val skewOk = (pl: Sample, sk: Sample) => {
+      val rt = if (pl.secs > 0) sk.secs / pl.secs else 0.0
+      rt <= skewTimeCeil || sk.secs <= timeFloorS
     }
+    def settleSkew(skewName: String, plainName: String, plainFn: () => Long): Unit =
+      settle(Axis(skewName, sf1skew, skewFnMap(skewName)),
+        Axis(plainName, sf1, plainFn), skewOk)
     settleSkew("dedup_span_exact_skew", "dedup_span_exact", probeFns(sf1)("dedup_span_exact"))
     settleSkew("dedup_span_scrub_skew", "dedup_span_scrub", probeFns(sf1)("dedup_span_scrub"))
     settleSkew("dedup_minhash_full_skew", "dedup_minhash_full", probeFns(sf1)("dedup_minhash_full"))

@@ -142,19 +142,44 @@ object Dedup {
     *     (estMargin absorbs MinHash variance ~ sqrt(j(1-j)/k));
     *  3. exact Jaccard on the survivors only.
     * Returns (a_id, b_id, jaccard). */
+  /** (id, sig, bh) banded signatures — the funnel front shared by the
+    * self-join ([[minhashVerifiedPairs]]) and batch-vs-corpus
+    * ([[incrementalNearDup]]) variants. Signatures ride along through
+    * the banding so candidate generation and estimation happen in ONE
+    * join (no re-join against a signature table). */
+  private def bandedSigs(df: DataFrame, idCol: String, textCol: String,
+                         k: Int, shingleSize: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    df.select(col(idCol).as("id"),
+        minhashSignature(col(textCol), k, shingleSize).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(lshBandHashes(col("sig"), bands, k / bands)).as("bh"))
+  }
+
+  private def normTxt(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.normText(col(textCol)).as("t"))
+
+  /** Exact-Jaccard verification tail shared by both funnel variants:
+    * joins the raw normalized texts (~100x smaller than shingle arrays)
+    * for the surviving candidates only and computes Jaccard with the
+    * native one-pass expression — no array materialization, no
+    * interpreted set ops. */
+  private def verifyExact(cands: DataFrame, aCol: String, bCol: String,
+                          aTxt: DataFrame, bTxt: DataFrame,
+                          shingleSize: Int, threshold: Double): DataFrame =
+    cands
+      .join(aTxt.as("ta"), col(aCol) === col("ta.id"))
+      .join(bTxt.as("tb"), col(bCol) === col("tb.id"))
+      .select(col(aCol), col(bCol),
+        graft.functions.NgramJaccard.ngramJaccard(col("ta.t"), col("tb.t"), shingleSize)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 16, shingleSize: Int = 5, bands: Int = 8,
                            threshold: Double = 0.0,
                            estMargin: Double = 0.15): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    // Signatures ride along through the banding so candidate generation and
-    // estimation happen in ONE self-join (no re-join against a signature
-    // table, no pre-filter distinct over raw collisions).
-    val banded = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, shingleSize).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(lshBandHashes(col("sig"), bands, r)).as("bh"))
+    val banded = bandedSigs(df, idCol, textCol, k, shingleSize, bands)
     val estimated = banded.as("x").join(banded.as("y"),
         col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
       .select(col("x.id").as("a_id"), col("y.id").as("b_id"),
@@ -162,18 +187,9 @@ object Dedup {
       .filter(col("est") >= threshold - estMargin)
       .select(col("a_id"), col("b_id"))
       .distinct() // a pair can collide in several bands
-    // Exact verification joins the raw normalized texts (~100x smaller than
-    // shingle arrays) and computes Jaccard with the native one-pass
-    // expression — no array materialization, no interpreted set ops.
-    val txt = df.select(col(idCol).as("id"),
-      TextAnalysis.normText(col(textCol)).as("t"))
-    estimated
-      .join(txt.as("ta"), col("a_id") === col("ta.id"))
-      .join(txt.as("tb"), col("b_id") === col("tb.id"))
-      .select(col("a_id"), col("b_id"),
-        graft.functions.NgramJaccard.ngramJaccard(col("ta.t"), col("tb.t"), shingleSize)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyExact(estimated, "a_id", "b_id",
+      normTxt(df, idCol, textCol), normTxt(df, idCol, textCol),
+      shingleSize, threshold)
   }
 
   /** Stock-Spark-ML variant of MinHash near-dup detection, for parity with
@@ -443,30 +459,45 @@ object Dedup {
     * only the tiny per-doc cut lists aggregate. Returns
     * (idCol, clean_text, n_removed) for EVERY corpus doc — untouched
     * docs pass through with n_removed = 0. */
-  def scrubContaminated(corpus: DataFrame, bench: DataFrame,
-                        idCol: String, textCol: String,
-                        spanTokens: Int): DataFrame = {
-    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    val base = corpus.select(col(idCol).as("id"),
+  /** (base, occ) for the span-surgery operators: normalized text per doc
+    * (NULL folds to "" so those docs pass through as ("", 0) like the
+    * oracle's COALESCE) and one (id, h, pos) row per token window. */
+  private def spanOcc(df: DataFrame, idCol: String, textCol: String,
+                      spanTokens: Int): (DataFrame, DataFrame) = {
+    val base = df.select(col(idCol).as("id"),
       TextAnalysis.normText(coalesce(col(textCol), lit(""))).as("t"))
     val occ = base.select(col("id"),
       explode(graft.functions.SpanHashesPos.spanHashesPos(col("t"), spanTokens)).as("w"))
       .select(col("id"), col("w.h").as("h"), col("w.pos").as("pos"))
-    // the same positional window hash on the bench side guarantees
-    // hash-identical windows for string-identical spans
-    val benchHashes = bench.select(
-        explode(graft.functions.SpanHashesPos.spanHashesPos(
-          TextAnalysis.normText(coalesce(col(textCol), lit(""))), spanTokens)).as("w"))
-      .select(col("w.h").as("h")).distinct()
-    val cuts = occ.join(broadcast(benchHashes), Seq("h"))
-      .groupBy(col("id"))
-      .agg(collect_list(col("pos")).as("starts"))
+    (base, occ)
+  }
+
+  /** Surgery tail shared by [[removeDuplicateSpans]] and
+    * [[scrubContaminated]]: cut every token covered by a flagged window
+    * start; docs without cuts pass through untouched. */
+  private def cutSpans(base: DataFrame, cuts: DataFrame, spanTokens: Int,
+                       idCol: String): DataFrame = {
     val surgery = graft.functions.CutTokenSpans.cutTokenSpans(
       col("t"), coalesce(col("starts"), array().cast("array<int>")), spanTokens)
     base.join(cuts, Seq("id"), "left_outer")
       .select(col("id"), surgery.as("c"))
       .select(col("id").as(idCol), col("c.clean").as("clean_text"),
         col("c.removed").cast("long").as("n_removed"))
+  }
+
+  def scrubContaminated(corpus: DataFrame, bench: DataFrame,
+                        idCol: String, textCol: String,
+                        spanTokens: Int): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    val (base, occ) = spanOcc(corpus, idCol, textCol, spanTokens)
+    // the same positional window hash on the bench side guarantees
+    // hash-identical windows for string-identical spans
+    val benchHashes = spanOcc(bench, idCol, textCol, spanTokens)._2
+      .select(col("h")).distinct()
+    val cuts = occ.join(broadcast(benchHashes), Seq("h"))
+      .groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("starts"))
+    cutSpans(base, cuts, spanTokens, idCol)
   }
 
   /** Incremental NEAR-dup screening — the continuous-crawl shape: a new
@@ -486,29 +517,17 @@ object Dedup {
                          k: Int = 32, shingleSize: Int = 5, bands: Int = 8,
                          threshold: Double = 0.6,
                          estMargin: Double = 0.15): DataFrame = {
-    require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    def banded(df: DataFrame) = df
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, shingleSize).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(lshBandHashes(col("sig"), bands, r)).as("bh"))
-    val estimated = banded(batch).as("x").join(banded(corpus).as("y"),
+    val estimated = bandedSigs(batch, idCol, textCol, k, shingleSize, bands).as("x")
+      .join(bandedSigs(corpus, idCol, textCol, k, shingleSize, bands).as("y"),
         col("x.bh") === col("y.bh"))
       .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"),
         graft.functions.SigAgree.sigAgree(col("x.sig"), col("y.sig")).as("est"))
       .filter(col("est") >= threshold - estMargin)
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
-    def txt(df: DataFrame) = df.select(col(idCol).as("id"),
-      TextAnalysis.normText(col(textCol)).as("t"))
-    estimated
-      .join(txt(batch).as("ta"), col("batch_id") === col("ta.id"))
-      .join(txt(corpus).as("tb"), col("corpus_id") === col("tb.id"))
-      .select(col("batch_id"), col("corpus_id"),
-        graft.functions.NgramJaccard.ngramJaccard(col("ta.t"), col("tb.t"), shingleSize)
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyExact(estimated, "batch_id", "corpus_id",
+      normTxt(batch, idCol, textCol), normTxt(corpus, idCol, textCol),
+      shingleSize, threshold)
   }
 
   // ------------------------------------------------------------------
@@ -621,13 +640,7 @@ object Dedup {
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
-    // NULL text folds to "" so those docs pass through as ("", 0) like the
-    // oracle's COALESCE, instead of null-propagating through the surgery
-    val base = df.select(col(idCol).as("id"),
-      TextAnalysis.normText(coalesce(col(textCol), lit(""))).as("t"))
-    val occ = base.select(col("id"),
-      explode(graft.functions.SpanHashesPos.spanHashesPos(col("t"), spanTokens)).as("w"))
-      .select(col("id"), col("w.h").as("h"), col("w.pos").as("pos"))
+    val (base, occ) = spanOcc(df, idCol, textCol, spanTokens)
     // per-window doc stats from the distinct (doc, window) set: windows
     // in >= 2 docs are duplicated; min id is the keeper
     val flagged = occ.select(col("id"), col("h")).distinct()
@@ -641,12 +654,7 @@ object Dedup {
       .filter(col("id") =!= col("keeper"))
       .groupBy(col("id"))
       .agg(collect_list(col("pos")).as("starts"))
-    val surgery = graft.functions.CutTokenSpans.cutTokenSpans(
-      col("t"), coalesce(col("starts"), array().cast("array<int>")), spanTokens)
-    base.join(cuts, Seq("id"), "left_outer")
-      .select(col("id"), surgery.as("c"))
-      .select(col("id").as(idCol), col("c.clean").as("clean_text"),
-        col("c.removed").cast("long").as("n_removed"))
+    cutSpans(base, cuts, spanTokens, idCol)
   }
 
   def spanPairs(df: DataFrame, idCol: String, textCol: String,

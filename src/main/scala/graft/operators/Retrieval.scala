@@ -41,6 +41,16 @@ object Retrieval {
     2 -> "stream filter sort merge",
     3 -> "spark query scan")
 
+  /** Driver-side query tokenization matching the corpus-wide convention
+    * exactly: Locale.ROOT lower-casing (the default-locale toLowerCase
+    * would diverge from Spark's locale-independent `lower` on e.g. a
+    * tr-TR JVM, silently mis-tagging query terms), trim, collapse
+    * whitespace, split. */
+  private def queryVocab(queries: Seq[(Int, String)]): Seq[String] = queries
+    .flatMap(_._2.toLowerCase(java.util.Locale.ROOT)
+      .trim.replaceAll("\\s+", " ").split(" "))
+    .filter(_.nonEmpty).distinct
+
   /** Tokenize matching the corpus-wide convention (TextAnalysis.normText
     * + lowercase + whitespace split) — identical to the tf-idf gate so
     * df/dl statistics are comparable across operators. */
@@ -59,11 +69,7 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    // Query-side vocabulary, tokenized driver-side with the exact
-    // normalization the corpus gets (the query set is pinned and tiny).
-    val qVocabSeq: Seq[String] = queries
-      .flatMap(_._2.toLowerCase.trim.replaceAll("\\s+", " ").split(" "))
-      .filter(_.nonEmpty).distinct
+    val qVocabSeq = queryVocab(queries)
     val qTerms = queries.toDF("query_id", "qtext")
       .select(col("query_id"),
         explode(split(TextAnalysis.normText(lower(col("qtext"))), " ")).as("term"))
@@ -138,9 +144,7 @@ object Retrieval {
                 k1: Double = 1.2, b: Double = 0.75,
                 idCol: String = "doc_id"): DataFrame = {
     import spark.implicits._
-    val qVocabSeq: Seq[String] = queries
-      .flatMap(_._2.toLowerCase.trim.replaceAll("\\s+", " ").split(" "))
-      .filter(_.nonEmpty).distinct
+    val qVocabSeq = queryVocab(queries)
     val qTerms = queries.toDF("query_id", "qtext")
       .select(col("query_id"),
         explode(split(TextAnalysis.normText(lower(col("qtext"))), " ")).as("term"))

@@ -76,6 +76,23 @@ object TextAnalysis {
   def punctCount(c: Column): Column =
     (length(c) - length(translate(c, ".,;:!?", ""))).cast("long")
 
+  /** Gopher mean-word-length signal: chars excluding separators over
+    * token count of the normalized text (one definition shared by the
+    * standalone gate and the ensemble decision — the oracles compose,
+    * so the Spark sides must too). */
+  def meanWordLen(c: Column): Column = {
+    val tn = normText(c)
+    val n = size(split(tn, " "))
+    round((length(tn) - (n - 1)).cast("double") / n, 4)
+  }
+
+  /** Gopher repetition signal: fraction of tokens repeating an earlier
+    * token. */
+  def repTokenFrac(c: Column): Column = {
+    val toks = split(normText(c), " ")
+    round(lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks), 4)
+  }
+
   /** PII patterns (emails, IPv4 addresses, US-style dashed phone
     * numbers) — RE2-compatible (no lookaround, no backrefs), so an
     * independent engine recomputes matches identically. The pattern set

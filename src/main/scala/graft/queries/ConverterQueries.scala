@@ -29,7 +29,7 @@ object ConverterQueries {
     * the timed probe on repeat runs. Fixtures are deterministic functions
     * of the immutable sf parquet, so a completed staging (marker present)
     * is always valid. The marker is written only after `write` returns. */
-  private def stageOnce(markerPath: String)(write: => Unit): Unit = {
+  private[queries] def stageOnce(markerPath: String)(write: => Unit): Unit = {
     val marker = new java.io.File(markerPath + "/_GRAFT_STAGED")
     if (!marker.exists()) {
       write
@@ -37,6 +37,16 @@ object ConverterQueries {
       java.nio.file.Files.createFile(marker.toPath)
     }
   }
+
+  /** Synthetic CDC change rows for the merge gates: filtered customer
+    * rows with a replaced balance, optional key shift, op + sequence
+    * (one definition for the batch and streaming gates). */
+  private[queries] def cdcChange(src: DataFrame)(
+      filter: Column, bal: Column, keyShift: Long, op: String, seq: Long): DataFrame =
+    src.filter(filter)
+      .withColumn("c_acctbal", bal)
+      .withColumn("c_custkey", col("c_custkey") + keyShift)
+      .withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
 
   /** JVM-local once-per-key staging for fixtures that cannot be validated
     * by a filesystem marker (embedded Derby holds JVM-scoped locks; a dir
@@ -103,11 +113,7 @@ object ConverterQueries {
       }
       val baseDf = OrcSink.read(s, s"$base/base/customer")
       val cust = t(s, d, "customer").select(cols.map(col): _*)
-      def ch(filter: Column, bal: Column, keyShift: Long, op: String, seq: Long) =
-        cust.filter(filter)
-          .withColumn("c_acctbal", bal)
-          .withColumn("c_custkey", col("c_custkey") + keyShift)
-          .withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val ch = cdcChange(cust) _
       val changes =
         ch(col("c_custkey") % 10 === 0, col("c_acctbal") + 100.0, 0, "U", 1L)
           .unionByName(ch(col("c_custkey") % 20 === 0, col("c_acctbal") + 200.0, 0, "U", 2L))

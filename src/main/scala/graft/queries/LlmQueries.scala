@@ -209,17 +209,10 @@ object LlmQueries {
     // applies before training. Pure Column arithmetic, zero shuffle,
     // SQL-mirrored exactly.
     "text_gopher_quality" -> { (s, d) =>
-      val tn = graft.operators.TextAnalysis.normText(col("text"))
-      val toks = split(tn, " ")
-      val nToks = size(toks)
       t(s, d, "documents").select(
         col("doc_id"),
-        // chars excluding separators / tokens (normText has single spaces)
-        round((length(tn) - (nToks - 1)).cast("double") / nToks, 4)
-          .as("mean_word_len"),
-        // fraction of tokens that repeat an earlier token
-        round(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks, 4)
-          .as("rep_token_frac"),
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.repTokenFrac(col("text")).as("rep_token_frac"),
         // markup/symbol character density over the RAW text
         round((length(col("text")) -
           length(translate(col("text"), "#*>=_~|", ""))).cast("double") /
@@ -302,11 +295,8 @@ object LlmQueries {
     // table. Must equal bm25TopK exactly: same oracle.
     "text_bm25_serve" -> { (s, d) =>
       val idx = ConverterQueries.tmp(d, "bm25_index")
-      val marker = new java.io.File(idx + "/_GRAFT_STAGED")
-      if (!marker.exists()) {
+      ConverterQueries.stageOnce(idx) {
         Retrieval.buildBm25Index(t(s, d, "documents"), idx)
-        marker.getParentFile.mkdirs()
-        java.nio.file.Files.createFile(marker.toPath)
       }
       Retrieval.bm25Serve(s, idx, Retrieval.PinnedQueries, k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -381,14 +371,9 @@ object LlmQueries {
           docs, "doc_id", "text",
           positive = col("source").isin("src0", "src1", "src2"))
         .select(col("doc_id"), col("keep").as("cls_keep"))
-      val tn = TextAnalysis.normText(col("text"))
-      val toks = split(tn, " ")
-      val nToks = size(toks)
       val gopher = docs.select(col("doc_id"),
-        round((length(tn) - (nToks - 1)).cast("double") / nToks, 4)
-          .as("mean_word_len"),
-        round(lit(1.0) - size(array_distinct(toks)).cast("double") / nToks, 4)
-          .as("rep_token_frac"))
+        TextAnalysis.meanWordLen(col("text")).as("mean_word_len"),
+        TextAnalysis.repTokenFrac(col("text")).as("rep_token_frac"))
       val kn = NgramLm.score(docs, NgramLm.train(
           docs.filter(col("source").isin("src0", "src1", "src2"))))
         .select(col("doc_id"), col("ppl"))

@@ -64,12 +64,7 @@ object PipelineQueries {
       graft.sinks.OrcSink.write(cust, base, "customer")
       val chDir = s"$base/changes"
       new java.io.File(chDir).mkdirs()
-      def ch(filter: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column,
-             keyShift: Long, op: String, seq: Long) =
-        cust.filter(filter)
-          .withColumn("c_acctbal", bal)
-          .withColumn("c_custkey", col("c_custkey") + keyShift)
-          .withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+      val ch = ConverterQueries.cdcChange(cust) _
       val batches = Seq(
         ch(col("c_custkey") % 7 === 0, col("c_acctbal") + 50.0, 0, "U", 1L),
         ch(col("c_custkey") % 7 === 1, col("c_acctbal"), 0, "D", 2L),
