@@ -51,7 +51,7 @@ object SparkEntry {
     "dedup_incremental", "dedup_incremental_near",
     "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
     "pipeline_dsir_select", "pipeline_quality_ensemble",
-    "pipeline_seeded_shuffle", "profile_documents",
+    "pipeline_seeded_shuffle", "profile_documents", "profile_documents_approx",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine",
     "ann_ivf_topk", "ann_ivf_topk_engine",

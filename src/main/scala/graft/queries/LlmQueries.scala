@@ -670,6 +670,23 @@ object LlmQueries {
         .orderBy(col("col_name"))
     },
 
+    // The 100 TB profile path (HLL++ distinct counts) under the verdict
+    // pattern: exact counts beside a deterministic 5%-tolerance check of
+    // the approximate profile, pinned true by the oracle (same
+    // construction as the q22/q24 sketch gates).
+    "profile_documents_approx" -> { (s, d) =>
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val ex = Profile.exact(t(s, d, "documents"), cols)
+        .select(col("col_name"), col("n_distinct"))
+      val ap = Profile.approx(t(s, d, "documents"), cols)
+        .select(col("col_name"), col("n_distinct").as("nd_approx"))
+      ex.join(ap, "col_name")
+        .select(col("col_name"), col("n_distinct"),
+          (abs(col("nd_approx") - col("n_distinct")) <=
+            greatest(lit(1.0), col("n_distinct") * 0.05)).as("within_5pct"))
+        .orderBy(col("col_name"))
+    },
+
     "dedup_embedding_cosine" -> { (s, d) =>
       Similarity.cosineNearDupPairs(
           t(s, d, "embeddings").filter(col("vec_id") < 200), "vec_id", "embedding",
@@ -1536,6 +1553,18 @@ object LlmQueries {
 
     // One UNION ALL branch per profiled column; min/max rendered VARCHAR
     // to match the Spark side's type-independent output schema.
+    // Exact distinct counts + HLL verdicts pinned true (the approximate
+    // profile must land within 5% or one count of exact, per column).
+    "profile_documents_approx" ->
+      """WITH d AS (SELECT * FROM documents)
+        |SELECT col_name, n_distinct, true AS within_5pct FROM (
+        | SELECT 'doc_id' AS col_name, COUNT(DISTINCT doc_id) AS n_distinct FROM d
+        | UNION ALL SELECT 'lang', COUNT(DISTINCT lang) FROM d
+        | UNION ALL SELECT 'n_chars', COUNT(DISTINCT n_chars) FROM d
+        | UNION ALL SELECT 'source', COUNT(DISTINCT source) FROM d
+        | UNION ALL SELECT 'text', COUNT(DISTINCT text) FROM d)
+        |ORDER BY col_name""".stripMargin,
+
     "profile_documents" ->
       """WITH d AS (SELECT * FROM documents)
         |SELECT col_name, n_rows, n_nulls, n_distinct, min_v, max_v FROM (
