@@ -44,7 +44,8 @@ object SparkEntry {
     "stream_hourly_agg", "conv_stream_orc", "conv_cdc_stream",
     "text_stats", "text_bpe_tokens", "text_bpe_fertility", "text_pii_scrub",
     "text_tfidf_top", "text_repetition_full",
-    "text_bm25_topk", "text_bm25_serve", "text_hybrid_rrf", "text_kn_bigram",
+    "text_bm25_topk", "text_bm25_serve", "text_hybrid_rrf",
+    "retrieval_hybrid_serve", "text_kn_bigram",
     "dedup_exact_docs", "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",
@@ -118,7 +119,26 @@ object SparkEntry {
       // decision in Column space, roughly tripling the timed work
       "dedup_semdedup_engine" -> ((s, d) =>
         Similarity.semDedupServe(t(s, d, "embeddings"), "vec_id",
-          "embedding", threshold = 0.40, centroids = centroidsFor(s, d))))
+          "embedding", threshold = 0.40, centroids = centroidsFor(s, d))),
+      // the full SERVING stack for hybrid retrieval: BM25 from the
+      // staged term-sorted index + IVF from frozen centroids + RRF —
+      // zero corpus scans on the lexical leg, no Lloyd training in the
+      // timed span; the gated text_hybrid_rrf times the from-scratch
+      // computation instead
+      "retrieval_hybrid_serve" -> ((s, d) => {
+        val qIds = graft.operators.Retrieval.PinnedQueries.map(_._1)
+        val lex = graft.queries.LlmQueries.bm25Served(s, d, k = 20)
+          .select(org.apache.spark.sql.functions.col("query_id"),
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("rank"))
+        val vec = Similarity.ivfTopKServe(t(s, d, "embeddings"), "vec_id",
+            "embedding", queryIds = c => c.isin(qIds: _*), k = 20,
+            centroids = centroidsFor(s, d))
+          .select(org.apache.spark.sql.functions.col("query_id"),
+            org.apache.spark.sql.functions.col("neighbor_id").as("doc_id"),
+            org.apache.spark.sql.functions.col("rank"))
+        graft.operators.Retrieval.rrfFuse(Seq(lex, vec), "doc_id", k = 10)
+      }))
   }
 
   /** Gate-definition version per bench row: bumped whenever a query's

@@ -54,6 +54,18 @@ object LlmQueries {
   /** Shared CTE chain ending in `bc(doc_id, source, n_tokens, s)` — the
     * per-doc BPE token counts plus the merged symbol string — reused by
     * both the per-doc count gate and the BPE-aware packing gate. */
+  /** Serve BM25 from the per-sf-dir staged index (built once — the
+    * corpus scan a search deployment pays at index-build time). Shared
+    * by the serve gate and the hybrid-serve bench row. */
+  def bm25Served(s: SparkSession, d: String, k: Int): DataFrame = {
+    val idx = ConverterQueries.tmp(d, "bm25_index")
+    ConverterQueries.stageOnce(idx) {
+      graft.operators.Retrieval.buildBm25Index(t(s, d, "documents"), idx)
+    }
+    graft.operators.Retrieval.bm25Serve(s, idx,
+      graft.operators.Retrieval.PinnedQueries, k)
+  }
+
   private def bpeCtes: String = {
     val S = "§" // section sign: per-symbol delimiter
     val B = "¶" // pilcrow: pre-token boundary
@@ -294,12 +306,7 @@ object LlmQueries {
     // bytes: the pushed-down term filter stripe-skips the postings
     // table. Must equal bm25TopK exactly: same oracle.
     "text_bm25_serve" -> { (s, d) =>
-      val idx = ConverterQueries.tmp(d, "bm25_index")
-      ConverterQueries.stageOnce(idx) {
-        Retrieval.buildBm25Index(t(s, d, "documents"), idx)
-      }
-      Retrieval.bm25Serve(s, idx, Retrieval.PinnedQueries, k = 10)
-        .orderBy(col("query_id"), col("rank"))
+      bm25Served(s, d, k = 10).orderBy(col("query_id"), col("rank"))
     },
 
     // Hybrid retrieval: BM25 lexical top-20 fused with embedding-cosine
