@@ -42,6 +42,7 @@ object SparkEntry {
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
     "q28_user_sessions", "pipeline_split",
     "stream_hourly_agg", "conv_stream_orc", "conv_cdc_stream",
+    "stream_ingest_dedup",
     "text_stats", "text_bpe_tokens", "text_bpe_fertility", "text_pii_scrub",
     "text_tfidf_top", "text_repetition_full",
     "text_bm25_topk", "text_bm25_serve", "text_hybrid_rrf",

@@ -95,6 +95,25 @@ object PipelineQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Streaming ingest dedup: the "new batch" (every 10th doc PLUS
+    // planted re-crawls — corpus docs re-landing under fresh ids, which
+    // is what ingest dedup exists to catch: the corpus has no natural
+    // exact dups) streams through a stream-static anti-join against the
+    // standing corpus fingerprints; only unseen docs reach the sink.
+    // Exactly-once contract: the surviving set must equal the batch
+    // anti-join — every planted re-crawl dropped, every novel doc kept.
+    "stream_ingest_dedup" -> { (s, d) =>
+      def docs = t(s, d, "documents")
+      EventStream.ingestDedup(s, stageKey = s"${d}_ingest_dedup",
+          batch = () => docs.filter(col("doc_id") % 10 === 0)
+            .unionByName(docs
+              .filter(col("doc_id") % 97 === 1 && col("doc_id") % 10 =!= 0)
+              .withColumn("doc_id", col("doc_id") + 1000000)),
+          corpus = docs.filter(col("doc_id") % 10 =!= 0))
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     "stream_click_error_join" -> { (s, d) =>
       // aggregate the joined pairs in batch from the sink snapshot (one
       // stateful operator per streaming query keeps Append semantics clean)
@@ -195,6 +214,23 @@ object PipelineQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // batch replay of the stream-static anti-join: md5 fingerprints of
+    // whitespace-normalized text; the batch = every 10th doc + planted
+    // re-crawls (corpus docs under shifted ids, all of which must drop)
+    "stream_ingest_dedup" ->
+      """WITH n AS (
+        | SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |batch AS (
+        | SELECT doc_id, fp FROM n WHERE doc_id % 10 = 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, fp FROM n
+        | WHERE doc_id % 97 = 1 AND doc_id % 10 != 0),
+        |corpus AS (SELECT DISTINCT fp FROM n WHERE doc_id % 10 != 0)
+        |SELECT doc_id, fp FROM batch
+        |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
 
     "stream_hourly_agg" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,

@@ -201,6 +201,62 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** documents.parquet schema for the streaming ingest source. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  private def readDocStream(spark: SparkSession, stageKey: String,
+                            batch: () => DataFrame): DataFrame = {
+    val key = stageKey.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/documents")
+    stageLock.synchronized {
+      if (!staged.contains(key)) {
+        java.nio.file.Files.createDirectories(dir)
+        // the streamed batch is materialized as constructed, the way a
+        // crawler's landing dir only receives the new batch; staged to a
+        // sibling scratch dir, then the single part file moves in
+        // atomically (readers see the old or new file, never a partial)
+        val tmp = dir.getParent.resolve(s".stage-${java.util.UUID.randomUUID()}")
+        batch().coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath, dir.resolve("docs.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        new java.io.File(tmp.toString).listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(tmp)
+        staged += key
+      }
+    }
+    spark.readStream.schema(docSchema).parquet(dir.toString)
+  }
+
+  /** Streaming ingest dedup — the continuous-crawl ingest shape: newly
+    * landed documents stream through an exact-dedup gate against the
+    * STANDING corpus's distinct fingerprints (a stream-static left-anti
+    * join, append mode — no stateful operator, so it runs at any rate)
+    * and only unseen docs survive to the sink. The static side is the
+    * fingerprint index a production pipeline keeps materialized and
+    * appends accepted batches to; [[graft.operators.Dedup.incrementalDedup]]
+    * is the batch equivalent, the incremental MinHash funnel the fuzzy
+    * one. `batch` is staged once under `stageKey` as the landing file;
+    * `corpus` supplies the standing docs whose fingerprints form the
+    * static side. Returns the surviving (doc_id, fp) snapshot. */
+  def ingestDedup(spark: SparkSession, stageKey: String,
+                  batch: () => DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysis
+    val corpusFp = corpus
+      .select(TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val kept = readDocStream(spark, stageKey, batch)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .join(corpusFp, Seq("fp"), "left_anti")
+    runToMemory(spark, kept, s"ingest_dedup_${java.util.UUID.randomUUID().toString.take(8)}",
+      OutputMode.Append())
+  }
+
   /** Streaming CDC apply loop: change-batch files (parquet, the base
     * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
     * land in `changesDir`; each micro-batch merges ONE batch file into
