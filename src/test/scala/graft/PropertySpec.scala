@@ -140,6 +140,37 @@ class PropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("property: mergeUpsert equals a sequential reference model") {
+    // Reference model: apply changes in SEQ order to a key->value map
+    // (delete removes, insert/update put). mergeUpsert's window must
+    // produce the same final state for any delivery order, so the frame
+    // is built SHUFFLED while the model applies sorted.
+    val opGen = for {
+      k <- Gen.choose(0L, 7L)
+      op <- Gen.oneOf("U", "I", "D")
+      v <- Gen.choose(0.0, 99.0).map(x => math.rint(x * 100) / 100)
+    } yield (k, op, v)
+    for (trial <- 0 until 12) {
+      val nOps = 1 + trial % 9
+      val ops = samples(Gen.listOfN(nOps, opGen), 1, 4242L + trial).head
+        .zipWithIndex.map { case ((k, op, v), i) => (k, op, v, i.toLong + 1) }
+      val baseRows = Seq((0L, 5.0), (1L, 6.0), (2L, 7.0), (3L, 8.0))
+      val model = scala.collection.mutable.Map(baseRows: _*)
+      ops.sortBy(_._4).foreach {
+        case (k, "D", _, _) => model.remove(k)
+        case (k, _, v, _) => model(k) = v
+      }
+      import spark.implicits._
+      val base = baseRows.toDF("k", "v")
+      val changes = new scala.util.Random(trial).shuffle(ops)
+        .map { case (k, op, v, seq) => (k, v, op, seq) }
+        .toDF("k", "v", "__op", "__seq")
+      val got = OrcSink.mergeUpsert(base, changes, keyCols = Seq("k"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got == model.toMap, s"trial $trial ops=$ops")
+    }
+  }
+
   test("property: adversarial CSV cells survive CSV -> ORC round-trip") {
     for (trial <- 0 until 8) {
       // CSV caveats (standard Spark behavior, not ours): no embedded
