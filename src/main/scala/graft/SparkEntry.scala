@@ -44,6 +44,7 @@ object SparkEntry {
     "stream_hourly_agg", "conv_stream_orc", "conv_cdc_stream",
     "stream_ingest_dedup",
     "text_stats", "text_bpe_tokens", "text_bpe_fertility", "text_pii_scrub",
+    "text_heavy_hitters",
     "text_tfidf_top", "text_repetition_full",
     "text_bm25_topk", "text_bm25_serve", "text_hybrid_rrf",
     "retrieval_hybrid_serve", "text_kn_bigram",

@@ -514,6 +514,29 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Heavy hitters via the mergeable Misra-Gries summary (completes the
+    // sketch trio beside HLL distinct q24 and quantiles q29): top-10
+    // corpus terms with the sketch's estimate checked against exact
+    // counts. At k=256 >= the closed vocabulary the summary never
+    // decrements, so the estimates are exact and deterministic — the
+    // verdict the oracle pins; the k < vocab error bound is spec-tested.
+    "text_heavy_hitters" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, d, "documents")
+        .select(explode(split(TextAnalysis.normText(lower(col("text"))), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+      val mg = toks.agg(graft.functions.FreqItemsAgg.freqItems(col("term"), 256).as("m"))
+        .select(explode(col("m")).as(Seq("term", "est")))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("n").desc, col("term"))
+      exact.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .join(mg, Seq("term"), "left")
+        .select(col("rank"), col("term"), col("n"),
+          (col("est") === col("n")).as("mg_exact"))
+        .orderBy(col("rank"))
+    },
+
     // Tokenizer fertility (tokens-per-word per language) — the standard
     // tokenizer-evaluation metric: how many BPE tokens the pinned merge
     // table spends per whitespace word, split by language. High
@@ -1705,6 +1728,18 @@ object LlmQueries {
       s"""WITH ${bm25Ctes(10)}
          |SELECT query_id, doc_id, rank, score FROM lex
          |ORDER BY query_id, rank""".stripMargin,
+
+    // Exact top-10 with the Misra-Gries exactness verdict pinned true
+    // (k exceeds the vocabulary, so the summary must not have decremented).
+    "text_heavy_hitters" ->
+      """WITH tok0 AS (
+        | SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+        | FROM documents),
+        |tok AS (SELECT term FROM tok0 WHERE len(term) > 0),
+        |c AS (SELECT term, COUNT(*) AS n FROM tok GROUP BY 1)
+        |SELECT rank, term, n, true AS mg_exact FROM (
+        | SELECT term, n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rank FROM c)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     // Fertility: the BPE CTE chain's per-doc counts joined with the
     // text_stats-style whitespace word count, integer sums, one final
