@@ -43,17 +43,6 @@ object LlmQueries {
     ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
     ("v", "ector"))
 
-  /** DuckDB recomputation of the BPE merge cascade. Encoding: every
-    * symbol is wrapped `§sym§` (each token carries its OWN delimiters, so
-    * consuming a pair never eats a neighbour's boundary and one global
-    * leftmost-non-overlapping `replace` per merge is exactly the
-    * rank-order merge pass); pre-tokens are joined with `¶` so no merge
-    * crosses a pre-token boundary. Both markers are non-ASCII and the
-    * corpus is ASCII-only (verified), so they cannot collide with data.
-    * Token count = half the § count; distinct tokens unwrap via regex. */
-  /** Shared CTE chain ending in `bc(doc_id, source, n_tokens, s)` — the
-    * per-doc BPE token counts plus the merged symbol string — reused by
-    * both the per-doc count gate and the BPE-aware packing gate. */
   /** Serve BM25 from the per-sf-dir staged index (built once — the
     * corpus scan a search deployment pays at index-build time). Shared
     * by the serve gate and the hybrid-serve bench row. */
@@ -66,6 +55,18 @@ object LlmQueries {
       graft.operators.Retrieval.PinnedQueries, k)
   }
 
+  /** DuckDB recomputation of the BPE merge cascade. Encoding: every
+    * symbol is wrapped `§sym§` (each token carries its OWN delimiters, so
+    * consuming a pair never eats a neighbour's boundary and one global
+    * leftmost-non-overlapping `replace` per merge is exactly the
+    * rank-order merge pass); pre-tokens are joined with `¶` so no merge
+    * crosses a pre-token boundary. Both markers are non-ASCII and the
+    * corpus is ASCII-only (verified), so they cannot collide with data.
+    * Token count = half the § count; distinct tokens unwrap via regex.
+    * The shared CTE chain ends in `bc(doc_id, source, lang, n_tokens, s)`
+    * — per-doc BPE token counts plus the merged symbol string — reused
+    * by the per-doc count gate, the BPE-aware packing gate, and the
+    * fertility gate. */
   private def bpeCtes: String = {
     val S = "§" // section sign: per-symbol delimiter
     val B = "¶" // pilcrow: pre-token boundary

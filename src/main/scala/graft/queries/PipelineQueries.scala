@@ -97,11 +97,12 @@ object PipelineQueries {
 
     // Streaming ingest dedup: the "new batch" (every 10th doc PLUS
     // planted re-crawls — corpus docs re-landing under fresh ids, which
-    // is what ingest dedup exists to catch: the corpus has no natural
-    // exact dups) streams through a stream-static anti-join against the
-    // standing corpus fingerprints; only unseen docs reach the sink.
-    // Exactly-once contract: the surviving set must equal the batch
-    // anti-join — every planted re-crawl dropped, every novel doc kept.
+    // guarantee the anti-join is exercised at every sf regardless of
+    // whatever natural dups the fixture happens to contain) streams
+    // through a stream-static anti-join against the standing corpus
+    // fingerprints; only unseen docs reach the sink. Exactly-once
+    // contract: the surviving set must equal the batch anti-join —
+    // every planted re-crawl dropped, every unduplicated doc kept.
     "stream_ingest_dedup" -> { (s, d) =>
       def docs = t(s, d, "documents")
       EventStream.ingestDedup(s, stageKey = s"${d}_ingest_dedup",
@@ -217,7 +218,10 @@ object PipelineQueries {
 
     // batch replay of the stream-static anti-join: md5 fingerprints of
     // whitespace-normalized text; the batch = every 10th doc + planted
-    // re-crawls (corpus docs under shifted ids, all of which must drop)
+    // re-crawls (corpus docs under shifted ids, all of which must drop).
+    // NOT EXISTS, not NOT IN: a NULL fingerprint would make NOT IN
+    // return zero rows while Spark's left_anti keeps novel docs (same
+    // reasoning as the dedup_incremental oracle)
     "stream_ingest_dedup" ->
       """WITH n AS (
         | SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
@@ -228,8 +232,8 @@ object PipelineQueries {
         | SELECT doc_id + 1000000, fp FROM n
         | WHERE doc_id % 97 = 1 AND doc_id % 10 != 0),
         |corpus AS (SELECT DISTINCT fp FROM n WHERE doc_id % 10 != 0)
-        |SELECT doc_id, fp FROM batch
-        |WHERE fp NOT IN (SELECT fp FROM corpus)
+        |SELECT doc_id, fp FROM batch b
+        |WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
         |ORDER BY doc_id""".stripMargin,
 
     "stream_hourly_agg" ->

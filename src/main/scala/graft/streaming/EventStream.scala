@@ -207,12 +207,19 @@ object EventStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Per-key staging locks: doc-batch staging runs a full Spark job
+    * (union + filter + write), so holding the GLOBAL stageLock for its
+    * duration would serialize every concurrently-initializing streaming
+    * gate behind it — the global lock only guards the memo set. */
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def readDocStream(spark: SparkSession, stageKey: String,
                             batch: () => DataFrame): DataFrame = {
     val key = stageKey.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/documents")
-    stageLock.synchronized {
-      if (!staged.contains(key)) {
+    keyLocks.computeIfAbsent(key, _ => new Object).synchronized {
+      if (!stageLock.synchronized(staged.contains(key))) {
         java.nio.file.Files.createDirectories(dir)
         // the streamed batch is materialized as constructed, the way a
         // crawler's landing dir only receives the new batch; staged to a
@@ -228,7 +235,7 @@ object EventStream {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         new java.io.File(tmp.toString).listFiles().foreach(_.delete())
         java.nio.file.Files.deleteIfExists(tmp)
-        staged += key
+        stageLock.synchronized { staged += key }
       }
     }
     spark.readStream.schema(docSchema).parquet(dir.toString)
@@ -253,8 +260,10 @@ object EventStream {
     val kept = readDocStream(spark, stageKey, batch)
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
       .join(corpusFp, Seq("fp"), "left_anti")
-    runToMemory(spark, kept, s"ingest_dedup_${java.util.UUID.randomUUID().toString.take(8)}",
-      OutputMode.Append())
+    // fixed sink name like the sibling streaming gates: the query stops
+    // before any re-run starts, and repeated runs overwrite one temp
+    // view instead of accumulating UUID-named sinks for the JVM lifetime
+    runToMemory(spark, kept, "ingest_dedup", OutputMode.Append())
   }
 
   /** Streaming CDC apply loop: change-batch files (parquet, the base
