@@ -32,7 +32,13 @@ object Explain {
         // without its structure — the serve path is the lazy BM25 plan
         // and the merge plan is audited by CdcMergeSpec instead.
         "text_bm25_serve", "text_hybrid_rrf", "text_kn_bigram",
-        "pipeline_dsir_select", "pipeline_decontaminate_scrub")
+        "pipeline_dsir_select", "pipeline_decontaminate_scrub",
+        // round-7: top-k via TakeOrderedAndProject (the r6 global-window
+        // finding) — the plan must show no single-partition WindowExec
+        // before the limit. conv_cdc_partitioned is eager (writes + merges
+        // tables); its write-scope pruning is proven by the gate's
+        // byte-identity check + CdcMergeSpec, not an explain.
+        "text_heavy_hitters")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

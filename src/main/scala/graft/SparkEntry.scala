@@ -63,7 +63,7 @@ object SparkEntry {
     "dedup_semdedup", "dedup_semdedup_engine",
     "multimodal_decode",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
-    "conv_cdc_merge", "conv_sorted_orc",
+    "conv_cdc_merge", "conv_cdc_partitioned", "conv_sorted_orc",
     "conv_bucketed_join")
 
   /** Bench-only engine probes — NOT part of the correctness contract.

@@ -42,11 +42,21 @@ object ConverterQueries {
     * rows with a replaced balance, optional key shift, op + sequence
     * (one definition for the batch and streaming gates). */
   private[queries] def cdcChange(src: DataFrame)(
-      filter: Column, bal: Column, keyShift: Long, op: String, seq: Long): DataFrame =
+      filter: Column, bal: Column, keyShift: Long, op: String, seq: Long): DataFrame = {
+    if (keyShift != 0L) {
+      // Insert keys must stay disjoint from base keys at ANY sf: the
+      // closed-form oracles assume the shifted key space is new, and
+      // mergeUpsert assumes base-key uniqueness — a collision breaks
+      // both silently. One-row aggregate, asserted per insert batch.
+      val maxKey = src.agg(max(col("c_custkey"))).head.getLong(0)
+      require(maxKey < keyShift,
+        s"cdc insert-key shift $keyShift collides with base keys (max $maxKey)")
+    }
     src.filter(filter)
       .withColumn("c_acctbal", bal)
       .withColumn("c_custkey", col("c_custkey") + keyShift)
       .withColumn("__op", lit(op)).withColumn("__seq", lit(seq))
+  }
 
   /** JVM-local once-per-key staging for fixtures that cannot be validated
     * by a filesystem marker (embedded Derby holds JVM-scoped locks; a dir
@@ -127,6 +137,59 @@ object ConverterQueries {
         .agg(count(lit(1)).as("n"),
           dsumr(col("c_acctbal")).as("sum_bal"),
           sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Partition-scoped CDC (copy-on-write WITH pruning): base written
+    // key-bucketed into 64 `__bucket=` directories, then a NARROW change
+    // batch (updates keys 1-5, deletes 6-8, inserts two keys) merged IN
+    // PLACE via mergeUpsertPruned — only the few buckets those keys hash
+    // into are read or rewritten. The gate checks both halves of the
+    // contract: (a) the merged table equals the closed-form oracle, and
+    // (b) every bucket directory the batch does NOT touch is
+    // byte-identical afterwards (file names, lengths, MD5s unchanged) —
+    // folded into the untouched_intact column the oracle pins to 1. At
+    // 100 TB this is the difference between rewriting ~batch-keys ×
+    // bucket-size and rewriting the whole table per batch.
+    "conv_cdc_partitioned" -> { (s, d) =>
+      val nBuckets = 64
+      val base = tmp(d, "cdc_part") + "/" + java.util.UUID.randomUUID()
+      val cols = Seq("c_custkey", "c_mktsegment", "c_acctbal")
+      val cust = t(s, d, "customer").select(cols.map(col): _*)
+      OrcSink.writeKeyBucketed(cust, base, "customer",
+        keyCols = Seq("c_custkey"), numBuckets = nBuckets)
+      val dir = s"$base/customer"
+      val ch = cdcChange(cust) _
+      val changes =
+        ch(col("c_custkey").between(1, 5), col("c_acctbal") + 100.0, 0, "U", 1L)
+          .unionByName(ch(col("c_custkey").between(6, 8), col("c_acctbal"), 0, "D", 1L))
+          .unionByName(ch(col("c_custkey").between(9, 10), lit(9.99), 1000000L, "I", 1L))
+      // the batch's bucket set, via the same expression the merge uses
+      val affected = changes
+        .select(OrcSink.bucketExpr(Seq("c_custkey"), nBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      def untouchedSnapshot(): Map[String, (Long, String)] = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        new java.io.File(dir).listFiles().toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+          .filterNot(f => affected.contains(f.getName.stripPrefix("__bucket=").toInt))
+          .flatMap(_.listFiles().toSeq).filter(_.getName.endsWith(".orc"))
+          .map { f =>
+            val h = md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+            f.getPath -> (f.length(), h)
+          }.toMap
+      }
+      val before = untouchedSnapshot()
+      OrcSink.mergeUpsertPruned(s, dir, "customer", changes,
+        keyCols = Seq("c_custkey"))
+      val intact = before.nonEmpty && untouchedSnapshot() == before
+      OrcSink.read(s, dir)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .withColumn("untouched_intact", lit(if (intact) 1L else 0L))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -296,6 +359,27 @@ object ConverterQueries {
         |SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM m WHERE rn = 1 AND op != 'D'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "conv_cdc_partitioned" ->
+      """WITH base AS (
+        | SELECT c_custkey, c_mktsegment, c_acctbal, -1 AS seq, 'B' AS op
+        | FROM customer),
+        |ch AS (
+        | SELECT c_custkey, c_mktsegment, c_acctbal + 100.0, 1, 'U'
+        |  FROM customer WHERE c_custkey BETWEEN 1 AND 5
+        | UNION ALL SELECT c_custkey, c_mktsegment, c_acctbal, 1, 'D'
+        |  FROM customer WHERE c_custkey BETWEEN 6 AND 8
+        | UNION ALL SELECT c_custkey + 1000000, c_mktsegment, 9.99, 1, 'I'
+        |  FROM customer WHERE c_custkey BETWEEN 9 AND 10),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM ch),
+        |m AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY c_custkey ORDER BY seq DESC) AS rn FROM u)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+        | CAST(1 AS BIGINT) AS untouched_intact
         |FROM m WHERE rn = 1 AND op != 'D'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 

@@ -529,9 +529,15 @@ object LlmQueries {
       val mg = toks.agg(graft.functions.FreqItemsAgg.freqItems(col("term"), 256).as("m"))
         .select(explode(col("m")).as(Seq("term", "est")))
       val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
-      val w = Window.orderBy(col("n").desc, col("term"))
-      exact.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= 10)
+      // top-10 via orderBy().limit() so the global ordering plans as
+      // TakeOrderedAndProject (per-partition heaps, driver merge) — an
+      // unpartitioned rank-<=10 window would move EVERY distinct term to
+      // one partition, unbounded on an open-vocab corpus. Rank is then
+      // assigned inside the already-10-row frame (the Dsir.topNByDsir
+      // pattern), where the window is trivially bounded.
+      val top10 = exact.orderBy(col("n").desc, col("term")).limit(10)
+      top10.withColumn("rank",
+          row_number().over(Window.orderBy(col("n").desc, col("term"))).cast("long"))
         .join(mg, Seq("term"), "left")
         .select(col("rank"), col("term"), col("n"),
           (col("est") === col("n")).as("mg_exact"))

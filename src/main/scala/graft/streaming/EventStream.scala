@@ -275,6 +275,14 @@ object EventStream {
     * the streaming source, the table rewrite is the micro-batch body,
     * and the checkpoint makes re-delivery idempotent-per-file.
     *
+    * Write scope per micro-batch depends on the table's layout: a
+    * key-bucketed base ([[graft.sinks.OrcSink.writeKeyBucketed]]) routes
+    * to the partition-scoped merge — only the bucket directories the
+    * batch's keys hash into are read and rewritten, so per-batch cost
+    * tracks batch size, not table size (the shape that survives 100 TB).
+    * A plain base falls back to full-table merge + crash-safe swap
+    * ([[graft.sinks.OrcSink.replaceTable]]).
+    *
     * Batches must be APPLIED IN LANDING ORDER (maxFilesPerTrigger=1 +
     * the file source's oldest-first ordering): the merged table does not
     * retain per-row sequence numbers, so cross-batch convergence relies
@@ -292,9 +300,14 @@ object EventStream {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         if (!batch.isEmpty) {
           val dir = s"$tableRoot/$table"
-          val base = graft.sinks.OrcSink.read(spark, dir)
-          val merged = graft.sinks.OrcSink.mergeUpsert(base, batch.toDF(), keyCols)
-          graft.sinks.OrcSink.replaceTable(spark, dir, table, merged)
+          if (graft.sinks.OrcSink.bucketCount(spark, dir).isDefined) {
+            graft.sinks.OrcSink.mergeUpsertPruned(spark, dir, table,
+              batch.toDF(), keyCols)
+          } else {
+            val base = graft.sinks.OrcSink.read(spark, dir)
+            val merged = graft.sinks.OrcSink.mergeUpsert(base, batch.toDF(), keyCols)
+            graft.sinks.OrcSink.replaceTable(spark, dir, table, merged)
+          }
           ()
         }
       }
