@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
   *    fail, not just pass;
   *  - the int8-IVF serving path as a standing probe.
   *
+  * Round-7 additions: IVF-PQ (full and frozen-index serve), SemDeDup
+  * (frozen scale-proportional cells), BM25 serve from the staged index,
+  * and the partition-scoped CDC merge (fixed batch vs growing table);
+  * per-row retry counts so settled rows are distinguishable from
+  * first-run passes.
+  *
   * Run: `sbt "runMain graft.ScaleRehearsal [outFile]"` (default
-  * SCALE_r06.json). Exit 1 when any ceiling fails or the planted
+  * SCALE_r07.json). Exit 1 when any ceiling fails or the planted
   * quadratic does NOT trip. One SCALE line per (dataset, probe) on
   * stdout; the JSON file carries the ratios, ceilings and verdicts. */
 object ScaleRehearsal {
@@ -42,7 +48,7 @@ object ScaleRehearsal {
   private final case class Sample(rows: Long, secs: Double, shuffleMB: Double)
 
   def main(args: Array[String]): Unit = {
-    val outPath = args.headOption.getOrElse("SCALE_r06.json")
+    val outPath = args.headOption.getOrElse("SCALE_r07.json")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -125,8 +131,49 @@ object ScaleRehearsal {
     synthSkew(sf01, sf01skew)
     synthSkew(sf1, sf1skew)
 
-    // ---- probes ---------------------------------------------------------
+    // ---- round-7 staged fixtures ---------------------------------------
+    // Serving probes time the RECURRING cost only: index artifacts
+    // (coarse centroids, PQ codebooks, SemDeDup cells, the BM25 postings
+    // index, the key-bucketed CDC base) are trained/written once per
+    // dataset here, outside any timed window — the same split the serve
+    // gates and bench rows use. SemDeDup's cell count scales with the
+    // corpus (target ~300 vectors/cell), the operator's own dial for
+    // keeping the per-cell greedy sweep bounded as data grows; the IVF
+    // probes keep nCentroids=16 to match the gated dials.
     import graft.operators.{Dedup, Similarity}
+    import graft.sinks.OrcSink
+    val ivfCentroids = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
+    val pqCodebooks = scala.collection.mutable.Map.empty[String, Seq[Seq[Seq[Double]]]]
+    val semCentroids = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
+    def cdcBaseDir(d: String): String =
+      s"/tmp/graft_scale_cdc/${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
+    def warmServingFixtures(d: String): Unit = {
+      val emb = t(spark, d, "embeddings")
+      ivfCentroids.getOrElseUpdate(d, Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", nCentroids = 16, lloydIters = 2))
+      pqCodebooks.getOrElseUpdate(d, Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", m = 8, ksub = 32, lloydIters = 2))
+      semCentroids.getOrElseUpdate(d, {
+        val nVecs = emb.count()
+        Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+          nCentroids = math.max(16, (nVecs / 300).toInt), lloydIters = 2)
+      })
+      // stages the per-dataset BM25 index on first call (stageOnce marker)
+      graft.queries.LlmQueries.bm25Served(spark, d, k = 10).count()
+      val dir = cdcBaseDir(d)
+      if (!new java.io.File(s"$dir/${OrcSink.BucketsMetaFile}").exists()) {
+        val docs = t(spark, d, "documents")
+        // bucket SIZE held ~constant (target 500 docs) so bucket count
+        // grows with the table — the deployment-correct dial that keeps
+        // per-batch merge cost proportional to batch keys, not table rows
+        val nB = math.max(8, (docs.count() / 500).toInt)
+        OrcSink.writeKeyBucketed(docs,
+          new java.io.File(dir).getParent, "documents",
+          keyCols = Seq("doc_id"), numBuckets = nB)
+      }
+    }
+
+    // ---- probes ---------------------------------------------------------
     def probes(d: String): Seq[(String, () => Long)] = Seq(
       "dedup_minhash_full" -> (() =>
         Dedup.minhashVerifiedPairs(t(spark, d, "documents"), "doc_id", "text",
@@ -177,6 +224,35 @@ object ScaleRehearsal {
           docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
           threshold = 0.6).count()
+      }),
+      // round-7 probes (VERDICT r6 item 3): the round-6 operators whose
+      // scale behavior was previously proven only at sf0.1
+      "ann_ivf_pq" -> (() =>
+        Similarity.ivfTopKPq(t(spark, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4,
+          m = 8, ksub = 32, shortlist = 60).count()),
+      "ann_ivf_pq_serve" -> (() =>
+        Similarity.ivfTopKPqServe(t(spark, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5,
+          centroids = ivfCentroids(d), codebooks = pqCodebooks(d),
+          nProbe = 4, shortlist = 60).count()),
+      "dedup_semdedup" -> (() =>
+        Similarity.semDedupServe(t(spark, d, "embeddings"), "vec_id",
+          "embedding", threshold = 0.40, centroids = semCentroids(d)).count()),
+      "text_bm25_serve" -> (() =>
+        graft.queries.LlmQueries.bm25Served(spark, d, k = 10).count()),
+      // fixed-size batch (8 update keys) against the staged key-bucketed
+      // base: the merge must read + rewrite only the ≤8 affected buckets,
+      // so wall/shuffle stay ~flat sf0.1→sf1 while the table grows 10x —
+      // the per-batch-cost-tracks-batch-size claim, measured. The batch
+      // is idempotent (constant replacement text), so settle() re-runs
+      // and warm /tmp fixtures across rounds see the same table.
+      "cdc_merge_pruned" -> (() => {
+        val batch = t(spark, d, "documents").filter(col("doc_id") < 8)
+          .withColumn("text", lit("updated text payload for the scale probe"))
+          .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
+        OrcSink.mergeUpsertPruned(spark, cdcBaseDir(d), "documents",
+          batch, keyCols = Seq("doc_id")).rows
       })
     )
     // skewed-corpus probes: the dials that must absorb the skew
@@ -217,6 +293,7 @@ object ScaleRehearsal {
       .empty[String, scala.collection.mutable.LinkedHashMap[String, Sample]]
     for (d <- datasets) {
       t(spark, d, "documents").count(); t(spark, d, "embeddings").count() // warm
+      warmServingFixtures(d) // indexes/bases staged OUTSIDE the timed window
       for ((name, fn) <- probes(d))
         results.getOrElseUpdate(name, scala.collection.mutable.LinkedHashMap.empty)
           .put(d, measure(d, name, fn))
@@ -253,6 +330,11 @@ object ScaleRehearsal {
         if (s.secs < get.secs) results(name).put(ds, get.copy(secs = s.secs))
       }
     }
+    // retry counts recorded per ratio row (ADVICE r6): a row with
+    // retries=0 passed on its first measurement; retries>0 means the
+    // time ratio breached and settled on a re-run — distinguishable in
+    // the shipped JSON so marginal settles can be audited.
+    val retries = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     def settle(num: Axis, den: Axis, ok: (Sample, Sample) => Boolean): Unit = {
       var tries = 0
       while (!ok(den.get, num.get) && tries < 2) {
@@ -260,6 +342,7 @@ object ScaleRehearsal {
         den.remeasureKeepFastest()
         tries += 1
       }
+      if (tries > 0) retries(num.name) = retries(num.name) + tries
     }
     val probeFns: Map[String, Map[String, () => Long]] =
       Map(sf01 -> probes(sf01).toMap, sf1 -> probes(sf1).toMap)
@@ -338,7 +421,7 @@ object ScaleRehearsal {
     val probeRows = results.collect { case (name, bySf) if bySf.contains(sf1) && bySf.contains(sf01) =>
       val (rt, rs, ok) = within(bySf(sf01), bySf(sf1))
       if (!ok) allOk = false
-      f"""    "$name": {"sf001": ${sampleJson(bySf(datasets.head))}, "sf01": ${sampleJson(bySf(sf01))}, "sf1": ${sampleJson(bySf(sf1))}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "within_ceilings": $ok}"""
+      f"""    "$name": {"sf001": ${sampleJson(bySf(datasets.head))}, "sf01": ${sampleJson(bySf(sf01))}, "sf1": ${sampleJson(bySf(sf1))}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "retries": ${retries(name)}%d, "within_ceilings": $ok}"""
     }
     sb.append(probeRows.mkString(",\n")).append("\n  },\n")
     // skew vs plain sf1
@@ -348,7 +431,7 @@ object ScaleRehearsal {
       val ok = (rt <= skewTimeCeil || skew.secs <= timeFloorS) &&
         (rs <= skewShufCeil || skew.shuffleMB <= shufFloorMB)
       if (!ok) allOk = false
-      f"""    "$name": {"skew": ${sampleJson(skew)}, "plain_sf1": ${sampleJson(plain)}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "within_ceilings": $ok}"""
+      f"""    "$name": {"skew": ${sampleJson(skew)}, "plain_sf1": ${sampleJson(plain)}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "retries": ${retries(name)}%d, "within_ceilings": $ok}"""
     }
     sb.append("""  "skew": {""").append("\n")
     sb.append(Seq(

@@ -55,6 +55,17 @@ object LlmQueries {
       graft.operators.Retrieval.PinnedQueries, k)
   }
 
+  /** Frozen IVF centroids for the hybrid-serve gate: trained once per
+    * sf dir (deterministic Lloyd, same dials as the ann serve rows) and
+    * JVM-memoized — index build happens at staging time, never inside a
+    * served query. */
+  private val hybridCentroids =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
+  private def hybridCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
+    hybridCentroids.computeIfAbsent(d, _ =>
+      Similarity.trainIvfCentroids(t(s, d, "embeddings"), "vec_id",
+        "embedding", nCentroids = 16, lloydIters = 2))
+
   /** DuckDB recomputation of the BPE merge cascade. Encoding: every
     * symbol is wrapped `§sym§` (each token carries its OWN delimiters, so
     * consuming a pair never eats a neighbour's boundary and one global
@@ -319,6 +330,68 @@ object LlmQueries {
       Retrieval.hybridTopK(t(s, d, "documents"), t(s, d, "embeddings"),
           Retrieval.PinnedQueries, kIn = 20, kOut = 10)
         .orderBy(col("query_id"), col("rank"))
+    },
+
+    // The full hybrid SERVING stack under the correctness gate (was
+    // bench-only through r6): BM25 from the staged term-sorted index +
+    // IVF against frozen centroids + RRF. The three claims, one row per
+    // query: (1) lex_md5 pins the served lexical leg EXACTLY — DuckDB
+    // replays the identical doc:rank string from the BM25 CTE chain at
+    // k=20; (2) vec_recall_ok is the ann-gate epsilon-recall verdict of
+    // the served IVF leg vs brute force; (3) fusion_ok replays the RRF
+    // arithmetic and ranking from the two leg frames in independent
+    // Column expressions and requires the fused top-10 to match row for
+    // row — so mis-wired legs, dropped rows, or a broken fusion all red
+    // the gate. Each leg is additionally gated on its own full-equality
+    // row (text_bm25_serve; ann_ivf_topk's recall family).
+    "retrieval_hybrid_serve" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val emb = t(s, d, "embeddings")
+      val qIds = Retrieval.PinnedQueries.map(_._1)
+      val lex = bm25Served(s, d, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val vecFull = Similarity.ivfTopKServe(emb, "vec_id", "embedding",
+        queryIds = c => c.isin(qIds: _*), k = 20,
+        centroids = hybridCentroidsFor(s, d))
+      val vec = vecFull.select(col("query_id"),
+        col("neighbor_id").as("doc_id"), col("rank"))
+      val fused = Retrieval.rrfFuse(Seq(lex, vec), "doc_id", k = 10)
+
+      val lexAgg = lex.groupBy(col("query_id")).agg(
+        count(lit(1)).as("lex_rows"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("rank"), col("doc_id")))),
+          x => concat(x.getField("doc_id").cast("string"), lit(":"),
+            x.getField("rank").cast("string"))), ",")).as("lex_md5"))
+
+      val vecOk = Similarity.recallGate(vecFull,
+          Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+            queryIds = c => c.isin(qIds: _*), k = 20),
+          minHits = 14, eps = 0.02)
+        .withColumnRenamed("recall_ok", "vec_recall_ok")
+
+      // independent RRF replay from the leg frames (same rounding
+      // contract as the oracle-proven text_hybrid_rrf arithmetic)
+      val replayScores = lex.unionByName(vec)
+        .withColumn("contrib", round(lit(1.0) / (lit(60) + col("rank")), 6)
+          .cast(DecimalType(18, 6)))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(round(sum(col("contrib")).cast("double"), 6).as("score2"))
+      val replayTop = replayScores.withColumn("rank2",
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("score2").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank2") <= 10)
+      val fusionOk = fused
+        .join(replayTop, Seq("query_id", "doc_id"), "full_outer")
+        .groupBy(col("query_id"))
+        .agg((count(lit(1)) === sum(when(col("rank") === col("rank2") &&
+          col("rrf_score") === col("score2"), 1).otherwise(0))).as("fusion_ok"))
+
+      lexAgg.join(vecOk, Seq("query_id")).join(fusionOk, Seq("query_id"))
+        .select(col("query_id"), col("lex_rows"), col("lex_md5"),
+          col("vec_recall_ok"), col("fusion_ok"))
+        .orderBy(col("query_id"))
     },
 
     // Deterministic global training-order shuffle: order by a seeded
@@ -1815,6 +1888,20 @@ object LlmQueries {
          |  ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY rrf_score DESC, doc_id) AS rank, rrf_score FROM f)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Hybrid SERVE: the lexical leg is replayed exactly (same doc:rank
+    // string, same md5); the vector-leg recall and fusion-replay
+    // verdicts are computed Spark-side against brute force / the leg
+    // frames and pinned true here (the ann-gate verdict pattern).
+    "retrieval_hybrid_serve" ->
+      s"""WITH ${bm25Ctes(20)},
+         |lexagg AS (SELECT query_id, COUNT(*) AS lex_rows,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(rank AS VARCHAR),
+         |      ',' ORDER BY rank)) AS lex_md5
+         | FROM lex GROUP BY 1)
+         |SELECT query_id, CAST(lex_rows AS BIGINT) AS lex_rows, lex_md5,
+         | true AS vec_recall_ok, true AS fusion_ok
+         |FROM lexagg ORDER BY query_id""".stripMargin,
 
     // DSIR replayed from scratch: portable bucket hash (md5 hex prefix
     // mod 4096), add-0.5 smoothing over the full bucket space, ln-ratio

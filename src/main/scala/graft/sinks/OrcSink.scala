@@ -204,7 +204,13 @@ object OrcSink {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"key columns $keyCols must exist in the schema")
     require(!df.columns.contains(BucketCol), s"schema already has $BucketCol")
+    // cluster rows by bucket before the partitioned write: without this,
+    // every task writes a part file into every bucket directory it sees
+    // rows for (tasks x buckets small files — at 1000 executors x 10k
+    // buckets a listing catastrophe); with it each bucket is written by
+    // one task, so file count tracks bucket count
     val withBucket = df.withColumn(BucketCol, bucketExpr(keyCols, numBuckets))
+      .repartition(numBuckets, org.apache.spark.sql.functions.col(BucketCol))
     val rep = write(withBucket, outDir, table, compression, maxRecordsPerFile,
       partitionBy = Seq(BucketCol))
     val meta = new Path(s"$outDir/$table/$BucketsMetaFile")
@@ -277,7 +283,10 @@ object OrcSink {
     val merged = mergeUpsert(base, chBucketed, keyCols, opCol, seqCol)
     val tmp = new Path(p.getParent, p.getName + ".merge-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    merged.write.mode("overwrite").option("compression", compression.toLowerCase)
+    // one task per affected bucket keeps the rewrite at one file per
+    // bucket (same small-files discipline as writeKeyBucketed)
+    merged.repartition(affected.length, col(BucketCol))
+      .write.mode("overwrite").option("compression", compression.toLowerCase)
       .partitionBy(BucketCol).orc(tmp.toString)
     affected.foreach { b =>
       val dst = new Path(p, s"$BucketCol=$b")
