@@ -46,7 +46,8 @@ object SparkEntry {
     "text_stats", "text_bpe_tokens", "text_bpe_fertility", "text_pii_scrub",
     "text_heavy_hitters",
     "text_tfidf_top", "text_repetition_full",
-    "text_bm25_topk", "text_bm25_serve", "text_hybrid_rrf",
+    "text_bm25_topk", "text_bm25_serve", "text_bm25_incremental",
+    "text_hybrid_rrf",
     "retrieval_hybrid_serve", "retrieval_hybrid_serve_engine", "text_kn_bigram",
     "dedup_exact_docs", "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",

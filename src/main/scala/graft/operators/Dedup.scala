@@ -133,6 +133,19 @@ object Dedup {
       .distinct()
   }
 
+  /** Theoretical LSH banding recall: probability that a pair with true
+    * Jaccard `j` shares at least one of `bands` band hashes when the
+    * signature has `k` components (r = k/bands rows per band). The
+    * S-curve 1-(1-j^r)^b every banded funnel here inherits
+    * ([[minhashCandidates]], [[minhashVerifiedPairs]],
+    * [[incrementalNearDup]]) — use it to pick dials for a target
+    * threshold instead of guessing. */
+  def bandingRecall(j: Double, k: Int, bands: Int): Double = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    1.0 - math.pow(1.0 - math.pow(j, r), bands)
+  }
+
   /** MinHash LSH candidates verified with exact n-gram Jaccard.
     * Three-stage funnel so cost scales with true near-dups, not candidates:
     *  1. banding join -> candidate pairs (superset);
@@ -511,7 +524,26 @@ object Dedup {
     * materialized (bucketed by band hash, making the candidate join
     * exchange-free on the corpus side) and appends accepted batches to.
     * Exact verification joins text back for the few surviving candidate
-    * ids only. Returns (batch_id, corpus_id, jaccard >= threshold). */
+    * ids only. Returns (batch_id, corpus_id, jaccard >= threshold).
+    *
+    * RECALL IS PROBABILISTIC AT THE THRESHOLD — this is a screening
+    * funnel, not an exact operator. A pair at true Jaccard j survives
+    * banding with probability 1-(1-j^r)^bands (r = k/bands rows per
+    * band), and the signature-estimate filter drops a further small
+    * fraction at the boundary (sig agreement is Binomial(k, j)/k; pairs
+    * within ~sqrt(j(1-j)/k) of threshold-estMargin can fall under it).
+    * At the DEFAULT dials (k=32, bands=8, r=4) banding recall is ~0.67
+    * at j=0.60, ~0.89 at j=0.70, ~0.985 at j=0.80, ~0.9998 at j=0.90 —
+    * i.e. borderline
+    * pairs at exactly the threshold are found two times in three, while
+    * clear near-dups are essentially never missed ([[bandingRecall]]
+    * computes the curve for any dials). For near-1 recall AT the
+    * threshold, raise k holding r: k=128/bands=32 gives ~0.99 at
+    * j=0.6 for 4x signature cost — the false-candidate rate at low j is
+    * set by r alone (collision probability j^r per band), so deepening
+    * bands at fixed r buys recall without widening the candidate join's
+    * low-similarity noise. Use [[ngramJaccardPairs]] when exact recall
+    * at the threshold is required and the corpus is small enough. */
   def incrementalNearDup(batch: DataFrame, corpus: DataFrame,
                          idCol: String, textCol: String,
                          k: Int = 32, shingleSize: Int = 5, bands: Int = 8,

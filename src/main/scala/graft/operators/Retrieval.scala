@@ -127,10 +127,75 @@ object Retrieval {
     graft.sinks.OrcSink.writeSorted(tf, indexDir, "postings", Seq("term"))
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     graft.sinks.OrcSink.write(dl, indexDir, "doclens")
-    graft.sinks.OrcSink.write(
-      dl.agg(avg(col("dl")).as("avgdl"),
-        count(lit(1)).cast("double").as("n_docs")),
-      indexDir, "stats")
+    // stats carry the EXACT integer sum alongside the derived avgdl so
+    // incremental updates ([[updateBm25Index]]) can extend them without
+    // float drift: avgdl is always total_dl / n_docs over exact longs,
+    // so an updated index's stats are bit-identical to a full rebuild's.
+    // Convention: n_docs counts docs with >= 1 token (dl rows) — empty
+    // docs can never match a query term, so they are excluded from both
+    // idf's N and avgdl; textbook BM25 variants that count raw corpus
+    // rows will disagree on idf when empty docs exist.
+    graft.sinks.OrcSink.write(bm25Stats(dl), indexDir, "stats")
+  }
+
+  private def bm25Stats(dl: DataFrame): DataFrame =
+    dl.agg(sum(col("dl")).as("total_dl"),
+        count(lit(1)).as("n_docs_long"))
+      .select(
+        (col("total_dl").cast("double") / col("n_docs_long")).as("avgdl"),
+        col("n_docs_long").cast("double").as("n_docs"),
+        col("total_dl"))
+
+  /** Merge a NEW document batch into a standing BM25 index — the
+    * continuous-crawl companion of [[buildBm25Index]] (pairs with
+    * [[graft.operators.Dedup.incrementalNearDup]] for ingest): the
+    * batch's postings and doc lengths are APPENDED as new term-sorted
+    * ORC files (a Lucene-style segment: each new file covers a narrow
+    * term slice, so [[bm25Serve]]'s pushed-down term filter keeps
+    * stripe-skipping across segments), and the one-row stats extend by
+    * exact integer sums. Per-update cost is O(batch): the standing
+    * postings/doclens are never read or rewritten. df/dl/idf stay exact
+    * because every doc lives in exactly one segment — guaranteed by the
+    * id-disjointness check (a broadcast semi-join against doclens; set
+    * `checkDisjoint = false` when the caller already proves it, e.g.
+    * ids minted by an upstream ingest-dedup gate). Stats are written
+    * last; a crash mid-update leaves appended segments with stale
+    * stats — re-run the update (idempotence is the caller's contract,
+    * same as any CDC consumer) or rebuild stats from doclens. */
+  def updateBm25Index(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, newDocs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text",
+                      checkDisjoint: Boolean = true): Unit = {
+    val tf = tokens(newDocs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    if (checkDisjoint) {
+      val clashes = graft.sinks.OrcSink.read(spark, s"$indexDir/doclens")
+        .join(broadcast(dl.select(col(idCol))), Seq(idCol), "left_semi")
+        .limit(1).count()
+      require(clashes == 0,
+        s"updateBm25Index: batch contains already-indexed $idCol values")
+    }
+    graft.sinks.OrcSink.writeSorted(tf, indexDir, "postings", Seq("term"),
+      mode = "append")
+    graft.sinks.OrcSink.write(dl, indexDir, "doclens", mode = "append")
+    val old = graft.sinks.OrcSink.read(spark, s"$indexDir/stats")
+      .select(col("total_dl"), col("n_docs")).head()
+    val batch = dl.agg(coalesce(sum(col("dl")), lit(0L)).as("t"),
+      count(lit(1)).as("n")).head()
+    val totalDl = old.getLong(0) + batch.getLong(0)
+    val nDocs = old.getDouble(1).toLong + batch.getLong(1)
+    val stats = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        totalDl.toDouble / nDocs, nDocs.toDouble, totalDl)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("avgdl",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("n_docs",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("total_dl",
+          org.apache.spark.sql.types.LongType))))
+    graft.sinks.OrcSink.write(stats, indexDir, "stats")
   }
 
   /** Serve BM25 top-k from a prebuilt index — zero corpus scans: the

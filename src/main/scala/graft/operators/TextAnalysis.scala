@@ -99,7 +99,13 @@ object TextAnalysis {
     * is deliberately the high-precision core of the published scrubbing
     * recipes; extend per deployment. */
   val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val PiiIpv4 = "(\\d{1,3}\\.){3}\\d{1,3}"
+  /** Octets bounded to 0-255 and the run `\b`-anchored on both sides, so
+    * `v1.2.3.4` and `999.1.1.1` no longer count; `1.2.3.4.5` still
+    * yields one match on its leading 4-octet prefix — excluding that
+    * would need lookaround, which RE2 lacks (deliberate trade for oracle
+    * replayability). */
+  private val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  val PiiIpv4 = s"\\b$Ipv4Octet(\\.$Ipv4Octet){3}\\b"
   val PiiPhone = "\\d{3}-\\d{3}-\\d{4}"
 
   /** Per-pattern match counts (codegen'd regexp_count — no UDF). */

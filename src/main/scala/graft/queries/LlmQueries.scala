@@ -394,6 +394,27 @@ object LlmQueries {
         .orderBy(col("query_id"))
     },
 
+    // Incremental index update (the continuous-crawl serving story,
+    // pairing with dedup_incremental_near on the ingest side): the
+    // standing index is built WITHOUT every 10th doc, then that batch is
+    // merged in as an appended term-sorted segment + exact stats
+    // extension — zero reads of the standing postings. Serving from the
+    // updated index must equal from-scratch BM25 over the FULL corpus:
+    // same oracle as text_bm25_topk/serve, which IS the full-rebuild
+    // equivalence the contract demands. Both steps stage once (marker
+    // written only after the update lands, so a partial staging re-runs).
+    "text_bm25_incremental" -> { (s, d) =>
+      val idx = ConverterQueries.tmp(d, "bm25_inc_index")
+      ConverterQueries.stageOnce(idx) {
+        val docs = t(s, d, "documents")
+        Retrieval.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0), idx)
+        Retrieval.updateBm25Index(s, idx,
+          docs.filter(col("doc_id") % 10 === 0))
+      }
+      Retrieval.bm25Serve(s, idx, Retrieval.PinnedQueries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Deterministic global training-order shuffle: order by a seeded
     // hash of the key — reproducible across runs and cluster sizes with
     // zero RNG state. Top-20 here is a TakeOrdered probe; a full
@@ -1849,11 +1870,11 @@ object LlmQueries {
         | FROM documents)
         |SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        | CAST(len(regexp_extract_all(text, '(\d{1,3}\.){3}\d{1,3}')) AS BIGINT) AS n_ip,
+        | CAST(len(regexp_extract_all(text, '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b')) AS BIGINT) AS n_ip,
         | CAST(len(regexp_extract_all(text, '\d{3}-\d{3}-\d{4}')) AS BIGINT) AS n_phone,
         | md5(regexp_replace(regexp_replace(regexp_replace(text,
         |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-        |   '(\d{1,3}\.){3}\d{1,3}', '[IP]', 'g'),
+        |   '\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b', '[IP]', 'g'),
         |   '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g')) AS scrub_md5
         |FROM p ORDER BY doc_id""".stripMargin,
 
@@ -1888,6 +1909,13 @@ object LlmQueries {
          |  ROW_NUMBER() OVER (PARTITION BY query_id
          |    ORDER BY rrf_score DESC, doc_id) AS rank, rrf_score FROM f)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    // Incremental update == full rebuild: serving the updated index must
+    // reproduce from-scratch BM25 over the whole corpus exactly.
+    "text_bm25_incremental" ->
+      s"""WITH ${bm25Ctes(10)}
+         |SELECT query_id, doc_id, rank, score FROM lex
+         |ORDER BY query_id, rank""".stripMargin,
 
     // Hybrid SERVE: the lexical leg is replayed exactly (same doc:rank
     // string, same md5); the vector-leg recall and fusion-replay

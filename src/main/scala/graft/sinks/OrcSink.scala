@@ -133,13 +133,18 @@ object OrcSink {
     * for a 100 TB table with a dominant filter column. */
   def writeSorted(df: DataFrame, outDir: String, table: String,
                   sortCols: Seq[String], compression: String = "snappy",
-                  maxRecordsPerFile: Long = 0L): WriteReport = {
+                  maxRecordsPerFile: Long = 0L,
+                  mode: String = "overwrite"): WriteReport = {
     require(sortCols.nonEmpty && sortCols.forall(df.columns.contains),
       s"sort columns $sortCols must exist in the schema")
     import org.apache.spark.sql.functions.col
     val clustered = df.repartitionByRange(sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
-    write(clustered, outDir, table, compression, maxRecordsPerFile)
+    // mode="append" adds a new range-clustered SEGMENT: existing files
+    // keep their narrow [min, max] slices and the new files carry their
+    // own, so stripe-level skipping holds per segment (the Lucene model)
+    write(clustered, outDir, table, compression, maxRecordsPerFile,
+      mode = mode)
   }
 
   /** Replace a table directory's contents with `df`, crash-safely: the

@@ -95,7 +95,8 @@ class CurationEdgeSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (2L, "host 192.168.0.1 and 10.0.0.255"),
       (3L, "call 555-123-4567 or 555-000-1111"),
       (4L, "clean text no pii"),
-      (5L, "user9@site10.com from 1.2.3.4 call 555-999-8888"))
+      (5L, "user9@site10.com from 1.2.3.4 call 555-999-8888"),
+      (6L, "version 1.2.3.4.5 build v1.2.3.4 at 999.1.1.1 or 300.1.2.3"))
       .toDF("id", "text")
       .select(col("id"),
         TextAnalysis.piiEmailCount(col("text")).as("e"),
@@ -111,6 +112,11 @@ class CurationEdgeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // the email's digit-bearing domain is scrubbed as EMAIL, not as IP
     assert(rows(5L)._4 == "user9@[IP] call [PHONE]".replace("user9@[IP]",
       "[EMAIL] from [IP]"))
+    // octet bounds + \b guards: digit-prefixed runs and >255 octets are
+    // not IPs; a 5-part version string still matches its 4-octet prefix
+    // (documented lookaround-free limitation)
+    assert(rows(6L)._2 == 1 &&
+      rows(6L)._4 == "version [IP].5 build v1.2.3.4 at 999.1.1.1 or 300.1.2.3")
   }
 
   test("BPE fertility: hand-computed tokens-per-word on a tiny corpus") {

@@ -245,6 +245,20 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       k = 16, shingleSize = 5, bands = 8, threshold = 0.5).count() == 0)
   }
 
+  test("bandingRecall pins the documented S-curve at the default dials") {
+    // k=32, bands=8 (r=4): borderline pairs at j=0.6 are ~2/3 recall;
+    // clear near-dups essentially never missed. Deep-band dials at the
+    // same r buy near-1 recall at the threshold.
+    assert(math.abs(Dedup.bandingRecall(0.6, 32, 8) - 0.6706) < 0.005)
+    assert(math.abs(Dedup.bandingRecall(0.7, 32, 8) - 0.8888) < 0.005)
+    assert(math.abs(Dedup.bandingRecall(0.8, 32, 8) - 0.9853) < 0.005)
+    assert(Dedup.bandingRecall(0.9, 32, 8) > 0.999)
+    assert(Dedup.bandingRecall(0.6, 128, 32) > 0.98)
+    // monotone in j for fixed dials
+    val curve = (1 to 9).map(i => Dedup.bandingRecall(i / 10.0, 32, 8))
+    assert(curve == curve.sorted)
+  }
+
   test("MinHash signature is deterministic across repartitioning") {
     val df = corpusWithPlantedDups
     val sig1 = df.repartition(1).select(col("id"),

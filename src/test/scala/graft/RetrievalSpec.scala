@@ -78,6 +78,32 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"query-term filter not pushed to the postings scan:\n$plan")
   }
 
+  test("updateBm25Index: incrementally updated index serves exactly what " +
+    "a full rebuild serves, including stats") {
+    val queries = Seq(0 -> "apple", 7 -> "cherry durian", 9 -> "banana")
+    val incDir = java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString
+    Retrieval.buildBm25Index(corpus.filter(col("doc_id") < 2), incDir)
+    Retrieval.updateBm25Index(spark, incDir, corpus.filter(col("doc_id") >= 2))
+    val fullDir = java.nio.file.Files.createTempDirectory("graft_bm25_fullb").toString
+    Retrieval.buildBm25Index(corpus, fullDir)
+    assert(
+      spark.read.orc(s"$incDir/stats").collect().toSeq ==
+        spark.read.orc(s"$fullDir/stats").collect().toSeq)
+    val inc = Retrieval.bm25Serve(spark, incDir, queries, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val full = Retrieval.bm25Serve(spark, fullDir, queries, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(inc == full)
+  }
+
+  test("updateBm25Index rejects a batch whose ids are already indexed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_clash").toString
+    Retrieval.buildBm25Index(corpus, dir)
+    intercept[IllegalArgumentException] {
+      Retrieval.updateBm25Index(spark, dir, corpus.filter(col("doc_id") === 1))
+    }
+  }
+
   test("rrfFuse tie between equal-rank singletons breaks by ascending id") {
     val a = Seq((1L, 20L, 1L)).toDF("query_id", "doc_id", "rank")
     val b = Seq((1L, 5L, 1L)).toDF("query_id", "doc_id", "rank")
