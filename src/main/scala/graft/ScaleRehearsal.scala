@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   *
   * Round-7 additions: IVF-PQ (full and frozen-index serve), SemDeDup
   * (frozen scale-proportional cells), BM25 serve from the staged index,
-  * and the partition-scoped CDC merge (fixed batch vs growing table);
-  * per-row retry counts so settled rows are distinguishable from
-  * first-run passes.
+  * the partition-scoped CDC merge (fixed batch vs growing table), and
+  * the incremental BM25 segment append (fixed batch vs 10x standing
+  * index — per-update cost must track batch size); per-row retry counts
+  * so settled rows are distinguishable from first-run passes.
   *
   * Run: `sbt "runMain graft.ScaleRehearsal [outFile]"` (default
   * SCALE_r07.json). Exit 1 when any ceiling fails or the planted
@@ -147,6 +148,8 @@ object ScaleRehearsal {
     val semCentroids = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
     def cdcBaseDir(d: String): String =
       s"/tmp/graft_scale_cdc/${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
+    def bm25IdxDir(d: String): String =
+      s"/tmp/graft_scale_bm25/${d.replaceAll("[^A-Za-z0-9]", "_")}/index"
     def warmServingFixtures(d: String): Unit = {
       val emb = t(spark, d, "embeddings")
       ivfCentroids.getOrElseUpdate(d, Similarity.trainIvfCentroids(
@@ -160,6 +163,12 @@ object ScaleRehearsal {
       })
       // stages the per-dataset BM25 index on first call (stageOnce marker)
       graft.queries.LlmQueries.bm25Served(spark, d, k = 10).count()
+      // standing BM25 index for the incremental-update probe (distinct
+      // from bm25Served's staged index, which the serve gates read and
+      // must never see appended probe segments)
+      if (!new java.io.File(s"${bm25IdxDir(d)}/stats").exists())
+        graft.operators.Retrieval.buildBm25Index(
+          t(spark, d, "documents"), bm25IdxDir(d))
       val dir = cdcBaseDir(d)
       if (!new java.io.File(s"$dir/${OrcSink.BucketsMetaFile}").exists()) {
         val docs = t(spark, d, "documents")
@@ -253,6 +262,21 @@ object ScaleRehearsal {
           .withColumn("__op", lit("U")).withColumn("__seq", lit(1L))
         OrcSink.mergeUpsertPruned(spark, cdcBaseDir(d), "documents",
           batch, keyCols = Seq("doc_id")).rows
+      }),
+      // fixed 500-doc batch appended as ONE segment into the staged
+      // standing index: the standing postings/doclens are never read, so
+      // wall/shuffle must stay ~flat sf0.1→sf1 while the index behind it
+      // is 10x bigger — updateBm25Index's O(batch) claim, measured. A
+      // fresh id base per run keeps repeat runs (settle(), warm /tmp
+      // across rounds) append-disjoint; the index grows by 500 tiny docs
+      // per run, invisible next to the corpus-scale base.
+      "bm25_update" -> (() => {
+        val base = (1L << 41) + (System.nanoTime() & ((1L << 40) - 1))
+        val batch = t(spark, d, "documents").filter(col("doc_id") < 500)
+          .withColumn("doc_id", col("doc_id") + lit(base))
+        graft.operators.Retrieval.updateBm25Index(spark, bm25IdxDir(d),
+          batch, checkDisjoint = false)
+        500L
       })
     )
     // skewed-corpus probes: the dials that must absorb the skew

@@ -415,6 +415,32 @@ object LlmQueries {
         .orderBy(col("query_id"), col("rank"))
     },
 
+    // Streaming index maintenance end-to-end: every 10th doc lands in
+    // three parquet batch files, a file-source stream applies each as
+    // one appended segment (maxFilesPerTrigger=1 → three micro-batches
+    // through Retrieval.updateBm25Index), and serving the maintained
+    // index must equal from-scratch BM25 over the full corpus — the
+    // same full-rebuild oracle as the batch-incremental gate, now
+    // proving the streaming apply loop preserves it across multiple
+    // segments. Staged once; the marker lands only after the stream
+    // drains, so a partial staging re-runs from scratch.
+    "stream_bm25_ingest" -> { (s, d) =>
+      val idx = ConverterQueries.tmp(d, "bm25_stream_index")
+      ConverterQueries.stageOnce(idx) {
+        val docs = t(s, d, "documents")
+        Retrieval.buildBm25Index(docs.filter(col("doc_id") % 10 =!= 0), idx)
+        val landing = ConverterQueries.tmp(d, "bm25_stream_landing")
+        // three round-robin files = three micro-batches; ids disjoint
+        // from the base index and each other by construction
+        docs.filter(col("doc_id") % 10 === 0).repartition(3)
+          .write.mode("overwrite").parquet(landing)
+        graft.streaming.EventStream.bm25IngestApply(s, landing, idx,
+          checkpointDir = s"$landing-ckpt")
+      }
+      Retrieval.bm25Serve(s, idx, Retrieval.PinnedQueries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Deterministic global training-order shuffle: order by a seeded
     // hash of the key — reproducible across runs and cluster sizes with
     // zero RNG state. Top-20 here is a TakeOrdered probe; a full
@@ -1913,6 +1939,13 @@ object LlmQueries {
     // Incremental update == full rebuild: serving the updated index must
     // reproduce from-scratch BM25 over the whole corpus exactly.
     "text_bm25_incremental" ->
+      s"""WITH ${bm25Ctes(10)}
+         |SELECT query_id, doc_id, rank, score FROM lex
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // Streaming segment appends == full rebuild: same oracle — the
+    // maintained index must serve from-scratch BM25 over the corpus.
+    "stream_bm25_ingest" ->
       s"""WITH ${bm25Ctes(10)}
          |SELECT query_id, doc_id, rank, score FROM lex
          |ORDER BY query_id, rank""".stripMargin,

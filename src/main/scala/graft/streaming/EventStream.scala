@@ -266,6 +266,38 @@ object EventStream {
     runToMemory(spark, kept, "ingest_dedup", OutputMode.Append())
   }
 
+  /** Streaming BM25 index maintenance — the serving side of the
+    * continuous-crawl pipeline ([[ingestDedup]] is the ingest side):
+    * accepted document batches land as parquet files in `landingDir`;
+    * each micro-batch appends one Lucene-style segment to the standing
+    * index via [[graft.operators.Retrieval.updateBm25Index]], so
+    * per-batch cost is O(batch) regardless of index size and the index
+    * is serveable between batches. Batch ids must be disjoint from the
+    * standing index AND across batches (the landing dir is downstream
+    * of an ingest-dedup gate, which is exactly what guarantees this —
+    * so the per-batch disjointness scan is skipped). Re-delivery after
+    * a checkpoint loss double-appends a segment (updateBm25Index is
+    * append-only, not idempotent): recover by rebuilding the index,
+    * the standard posture for any derived-index consumer. */
+  def bm25IngestApply(spark: SparkSession, landingDir: String,
+                      indexDir: String, checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Retrieval.updateBm25Index(spark, indexDir,
+            batch.toDF(), checkDisjoint = false)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming CDC apply loop: change-batch files (parquet, the base
     * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
     * land in `changesDir`; each micro-batch merges ONE batch file into

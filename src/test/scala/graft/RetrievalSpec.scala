@@ -96,6 +96,35 @@ class RetrievalSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(inc == full)
   }
 
+  test("bm25IngestApply: three streamed micro-batches maintain an index " +
+    "that serves exactly what a full rebuild serves") {
+    val queries = Seq(0 -> "apple", 7 -> "cherry durian", 9 -> "banana")
+    val big = corpus.union(Seq(
+      (3L, "apple durian"), (4L, "banana banana cherry"),
+      (5L, "cherry apple"), (6L, "durian banana"),
+      (7L, "apple apple banana"), (8L, "cherry durian durian"))
+      .toDF("doc_id", "text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25_stream")
+    val idx = s"$root/index"
+    Retrieval.buildBm25Index(big.filter(col("doc_id") < 3), idx)
+    val landing = s"$root/landing"
+    // three round-robin files -> three micro-batches, two docs each
+    big.filter(col("doc_id") >= 3)
+      .repartition(3).write.mode("overwrite").parquet(landing)
+    graft.streaming.EventStream.bm25IngestApply(spark, landing, idx,
+      checkpointDir = s"$root/ckpt")
+    val fullDir = s"$root/full"
+    Retrieval.buildBm25Index(big, fullDir)
+    assert(
+      spark.read.orc(s"$idx/stats").collect().toSeq ==
+        spark.read.orc(s"$fullDir/stats").collect().toSeq)
+    val inc = Retrieval.bm25Serve(spark, idx, queries, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    val full = Retrieval.bm25Serve(spark, fullDir, queries, k = 3)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(inc == full)
+  }
+
   test("updateBm25Index rejects a batch whose ids are already indexed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25_clash").toString
     Retrieval.buildBm25Index(corpus, dir)
