@@ -43,6 +43,42 @@ object LlmQueries {
     ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
     ("v", "ector"))
 
+  /** EXHAUSTIVE merges table: training continued past 48 until the pair
+    * supply ran dry at 89 merges — at that point every pre-token in the
+    * closed synthetic vocabulary is a single symbol, so 89 is the
+    * deepest cascade this corpus admits (a production corpus with an
+    * open vocabulary would support the usual 32k-100k; the learner's
+    * only stop conditions are numMerges and pair exhaustion). Learned by
+    * the same `graft.BpeTrain` run (numMerges = 512, maxWords = 100000,
+    * count-desc/pair-asc tie-break) and frozen. The deep gates replay
+    * all 89 ranks in SQL, exercising multi-level cascades ~2x deeper
+    * than the 48-merge table (which stays pinned for the original
+    * gates' cross-round comparability). */
+  val PinnedBpeMergesDeep: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"),
+    ("s", "t"), ("m", "er"), ("a", "t"), ("l", "u"),
+    ("a", "r"), ("p", "ar"), ("j", "o"), ("jo", "in"),
+    ("a", "s"), ("as", "h"), ("h", "ash"), ("r", "ow"),
+    ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"),
+    ("co", "lu"), ("colu", "m"), ("colum", "n"), ("cu", "st"),
+    ("cust", "o"), ("custo", "mer"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er"), ("a", "l"), ("al", "l"),
+    ("m", "all"), ("s", "mall"), ("g", "e"), ("l", "ow"),
+    ("mer", "ge"), ("s", "low"), ("c", "t"), ("ct", "or"),
+    ("d", "er"), ("e", "ctor"), ("or", "der"), ("v", "ector"),
+    ("in", "e"), ("l", "ine"), ("a", "b"), ("ab", "l"),
+    ("abl", "e"), ("at", "a"), ("d", "ata"), ("t", "able"),
+    ("u", "p"), ("a", "g"), ("ag", "g"), ("a", "lu"),
+    ("alu", "e"), ("v", "alue"), ("e", "y"), ("k", "ey"),
+    ("a", "m"), ("e", "am"), ("r", "eam"), ("st", "ream"),
+    ("d", "ow"), ("in", "dow"), ("w", "indow"), ("par", "k"),
+    ("s", "park"), ("g", "r"), ("gr", "o"), ("gro", "up"),
+    ("par", "t"), ("b", "i"), ("bi", "g"), ("or", "t"),
+    ("s", "ort"), ("er", "y"), ("q", "u"), ("qu", "ery"),
+    ("a", "st"), ("f", "ast"), ("h", "e"), ("t", "he"),
+    ("d", "up"))
+
   /** Serve BM25 from the per-sf-dir staged index (built once — the
     * corpus scan a search deployment pays at index-build time). Shared
     * by the serve gate and the hybrid-serve bench row. */
@@ -78,7 +114,9 @@ object LlmQueries {
     * — per-doc BPE token counts plus the merged symbol string — reused
     * by the per-doc count gate, the BPE-aware packing gate, and the
     * fertility gate. */
-  private def bpeCtes: String = {
+  private def bpeCtes: String = bpeCtesFor(PinnedBpeMerges)
+
+  private def bpeCtesFor(merges: Seq[(String, String)]): String = {
     val S = "§" // section sign: per-symbol delimiter
     val B = "¶" // pilcrow: pre-token boundary
     def esc(s: String) = s.replace("'", "''")
@@ -86,7 +124,7 @@ object LlmQueries {
       s"array_to_string(list_transform(" +
         s"regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]+'), " +
         s"t -> regexp_replace(t, '(.)', '$S\\1$S', 'g')), '$B')"
-    val cascade = PinnedBpeMerges.foldLeft("s0") { case (acc, (x, y)) =>
+    val cascade = merges.foldLeft("s0") { case (acc, (x, y)) =>
       s"replace($acc, '$S${esc(x)}$S$S${esc(y)}$S', '$S${esc(x)}${esc(y)}$S')"
     }
     s"""w AS (SELECT doc_id, source, lang, $wrapped AS s0 FROM documents),
@@ -136,12 +174,27 @@ object LlmQueries {
        | FROM sc) WHERE rank <= $k)""".stripMargin
   }
 
-  private def bpeOracleSql: String =
-    s"""WITH $bpeCtes
+  private def bpeOracleSql: String = bpeOracleSqlFor(PinnedBpeMerges)
+
+  private def bpeOracleSqlFor(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeCtesFor(merges)}
        |SELECT doc_id,
        | n_tokens AS n_bpe_tokens,
        | CAST(len(list_distinct(regexp_extract_all(s, '§([^§¶]+)§', 1))) AS BIGINT) AS n_unique_tokens
        |FROM bc""".stripMargin
+
+  private def bpeFertilityOracleFor(merges: Seq[(String, String)]): String =
+    s"""WITH ${bpeCtesFor(merges)},
+       |ws AS (SELECT doc_id,
+       |  CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0
+       |       ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
+       |  END AS n_words
+       | FROM documents)
+       |SELECT bc.lang, CAST(SUM(bc.n_tokens) AS BIGINT) AS total_bpe,
+       | CAST(SUM(ws.n_words) AS BIGINT) AS total_words,
+       | ROUND(CAST(SUM(bc.n_tokens) AS DOUBLE) / SUM(ws.n_words), 4) AS fertility
+       |FROM bc JOIN ws USING (doc_id)
+       |GROUP BY bc.lang ORDER BY bc.lang""".stripMargin
 
   private def bpePackingOracleSql: String =
     s"""WITH $bpeCtes,
@@ -673,6 +726,38 @@ object LlmQueries {
       t(s, d, "documents")
         .select(col("lang"),
           size(graft.functions.BpeEncode.bpeTokens(col("text"), PinnedBpeMerges))
+            .cast("long").as("n_bpe"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_bpe")).as("total_bpe"),
+          sum(col("n_words")).as("total_words"),
+          round(sum(col("n_bpe")).cast("double") / sum(col("n_words")), 4)
+            .as("fertility"))
+        .orderBy(col("lang"))
+    },
+
+    // Deep-cascade variants over the EXHAUSTIVE 89-merge table (every
+    // in-vocabulary pre-token collapses to a single token): the encoder
+    // and the oracle's replace-chain replay run ~2x more ranks than the
+    // 48-merge gates, exercising the deepest cascade this closed
+    // vocabulary admits. Fertility approaches the per-word pre-token
+    // floor — the saturation diagnostic for a fully-trained vocabulary.
+    "text_bpe_tokens_deep" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.BpeEncode.bpeTokens(col("text"), PinnedBpeMergesDeep)
+            .as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast("long").as("n_bpe_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_unique_tokens"))
+        .orderBy(col("doc_id"))
+    },
+
+    "text_bpe_fertility_deep" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          size(graft.functions.BpeEncode.bpeTokens(col("text"), PinnedBpeMergesDeep))
             .cast("long").as("n_bpe"),
           TextAnalysis.tokenCount(col("text")).as("n_words"))
         .groupBy(col("lang"))
@@ -1871,18 +1956,11 @@ object LlmQueries {
     // Fertility: the BPE CTE chain's per-doc counts joined with the
     // text_stats-style whitespace word count, integer sums, one final
     // division.
-    "text_bpe_fertility" ->
-      s"""WITH $bpeCtes,
-         |ws AS (SELECT doc_id,
-         |  CASE WHEN length(regexp_replace(trim(text), '\\s+', ' ', 'g')) = 0 THEN 0
-         |       ELSE len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))
-         |  END AS n_words
-         | FROM documents)
-         |SELECT bc.lang, CAST(SUM(bc.n_tokens) AS BIGINT) AS total_bpe,
-         | CAST(SUM(ws.n_words) AS BIGINT) AS total_words,
-         | ROUND(CAST(SUM(bc.n_tokens) AS DOUBLE) / SUM(ws.n_words), 4) AS fertility
-         |FROM bc JOIN ws USING (doc_id)
-         |GROUP BY bc.lang ORDER BY bc.lang""".stripMargin,
+    "text_bpe_fertility" -> bpeFertilityOracleFor(PinnedBpeMerges),
+
+    // Deep-table variants: the identical replay machinery, 89 ranks deep.
+    "text_bpe_tokens_deep" -> bpeOracleSqlFor(PinnedBpeMergesDeep),
+    "text_bpe_fertility_deep" -> bpeFertilityOracleFor(PinnedBpeMergesDeep),
 
     // PII planting + scan + scrub replayed with the same RE2-compatible
     // patterns and the same pinned redaction order.

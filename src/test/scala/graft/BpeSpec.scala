@@ -72,6 +72,25 @@ class BpeSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("deep 89-merge table: min-rank equivalence holds and in-vocab " +
+    "words collapse to a single token") {
+    val deep = BpeEncoder(LlmQueries.PinnedBpeMergesDeep.toList)
+    val words = Seq(
+      "vector", "customer", "table", "stream", "window", "spark",
+      "group", "query", "sort", "value", "data", "fast", "the", "dup",
+      "big", "part", "key", "line", "merge", "aggregate",
+      "vectorvector", "tabletable", "streamline", "xyzzy", "")
+    words.foreach { w =>
+      assert(deep.encodeWord(w).toSeq == gpt2Bpe(w, LlmQueries.PinnedBpeMergesDeep),
+        s"mismatch on '$w'")
+    }
+    // exhaustion property: the table trained until pair supply ran dry,
+    // so the frequent vocabulary words its cascades cover are ONE token
+    Seq("vector", "customer", "table", "stream", "window", "spark",
+      "group", "query")
+      .foreach { w => assert(deep.encodeWord(w).length == 1, s"'$w' not collapsed") }
+  }
+
   test("expression output: boundaries respected, whitespace dropped, bytes preserved") {
     import spark.implicits._
     val df = Seq(
