@@ -562,6 +562,49 @@ object Dedup {
       shingleSize, threshold)
   }
 
+  /** Paragraph-level exact dedup — the line-wise pass of the published
+    * web-curation pipelines (cf. RefinedWeb/Falcon's line-level
+    * deduplication: boilerplate lines repeated across pages are removed
+    * corpus-wide, keeping the FIRST occurrence in (document, position)
+    * order; Lee et al. ACL'22 measure the same redundancy class).
+    * Documents are split on `sep`; each paragraph's md5 fingerprint is
+    * its identity (exact match — normalization is the caller's choice
+    * upstream, same contract as [[exactDedupGroups]]).
+    *
+    * Distributed shape: posexplode -> fingerprint (per-row, codegen'd),
+    * then a map-side-combined groupBy picks each fingerprint's global
+    * first occurrence as min(struct(id, pos)) — partial aggregation
+    * keeps a corpus-wide boilerplate line (the skew case: one paragraph
+    * in 30% of pages) cheap, because every partition contributes one
+    * candidate row rather than shuffling every occurrence to one
+    * reducer. An fp-keyed equi-join then marks survivors and each doc
+    * reassembles with a bounded per-doc sort. Two equi-keyed shuffles,
+    * never all-pairs, no global window.
+    *
+    * Returns (idCol, n_paras, n_kept, textCol rebuilt with survivors
+    * joined by `sep`; empty string when every paragraph was a dup). */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n"): DataFrame = {
+    val paras = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+      .withColumn("fp", md5(col("para")))
+    val firstOcc = paras.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val kept = paras.join(firstOcc, Seq("fp"))
+      .filter(col("id") === col("f.id") && col("pos") === col("f.pos"))
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")), sep).as("rebuilt"))
+    paras.groupBy(col("id")).agg(count(lit(1)).as("n_paras"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("rebuilt"), lit("")).as(textCol))
+  }
+
   // ------------------------------------------------------------------
   // Exact substring-span dedup
   // ------------------------------------------------------------------

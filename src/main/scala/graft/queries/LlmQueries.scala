@@ -797,6 +797,26 @@ object LlmQueries {
         .orderBy(col("fp"))
     },
 
+    // Paragraph-level dedup: the corpus has no native line structure, so
+    // the gate PLANTS it deterministically — pages of 5 docs joined with
+    // newlines (the planted exact-dup docs thereby become repeated
+    // paragraphs across pages). paragraphDedup must keep exactly each
+    // paragraph's (page, position)-first occurrence and rebuild pages;
+    // the oracle replays split + keep-first + reassembly and both sides
+    // md5 the rebuilt page text.
+    "dedup_paragraphs" -> { (s, d) =>
+      val pages = t(s, d, "documents")
+        .select(floor(col("doc_id") / 5).cast("long").as("page_id"),
+          struct(col("doc_id"), col("text")).as("sdoc"))
+        .groupBy(col("page_id"))
+        .agg(array_join(transform(array_sort(collect_list(col("sdoc"))),
+          x => x.getField("text")), "\n").as("text"))
+      Dedup.paragraphDedup(pages, "page_id", "text")
+        .select(col("page_id"), col("n_paras"), col("n_kept"),
+          md5(col("text")).as("text_md5"))
+        .orderBy(col("page_id"))
+    },
+
     // Exact-substring pass: pairs sharing a full 8-token window, via a
     // window-hash equi-join (never all-pairs). Oracle joins the literal
     // span text where Spark joins its xxhash64 — identical answers
@@ -1612,6 +1632,28 @@ object LlmQueries {
         | MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents
         |GROUP BY 1""".stripMargin,
+
+    // Paragraph keep-first replay: same planted pages, split on newline,
+    // ROW_NUMBER over (page, position) per paragraph fingerprint, pages
+    // rebuilt from rn=1 survivors in position order and md5'd.
+    "dedup_paragraphs" ->
+      """WITH pages AS (
+        | SELECT doc_id // 5 AS page_id,
+        |        string_agg(text, chr(10) ORDER BY doc_id) AS text
+        | FROM documents GROUP BY 1),
+        |sp AS (SELECT page_id, string_split(text, chr(10)) AS ps FROM pages),
+        |e AS (SELECT page_id, unnest(generate_series(1, len(ps))) AS pos, ps FROM sp),
+        |p AS (SELECT page_id, pos, ps[pos] AS para FROM e),
+        |k AS (SELECT page_id, pos, para,
+        |       ROW_NUMBER() OVER (PARTITION BY md5(para)
+        |         ORDER BY page_id, pos) AS rn
+        |      FROM p)
+        |SELECT page_id,
+        | CAST(COUNT(*) AS BIGINT) AS n_paras,
+        | CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+        | md5(COALESCE(string_agg(para, chr(10) ORDER BY pos)
+        |       FILTER (WHERE rn = 1), '')) AS text_md5
+        |FROM k GROUP BY page_id ORDER BY page_id""".stripMargin,
 
     // Spans joined by literal text where Spark joins xxhash64(span) —
     // equal answers because the hash only stands in for span equality.

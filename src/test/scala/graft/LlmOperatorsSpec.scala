@@ -245,6 +245,19 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       k = 16, shingleSize = 5, bands = 8, threshold = 0.5).count() == 0)
   }
 
+  test("paragraphDedup keeps the (id, pos)-first occurrence and rebuilds") {
+    val df = Seq(
+      (1L, "alpha\nbeta\nalpha"),
+      (2L, "beta\ngamma"),
+      (3L, "alpha")).toDF("id", "text")
+    val out = Dedup.paragraphDedup(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, "alpha\nbeta"))) // in-page dup cut
+    assert(out(2L) == ((2L, 1L, "gamma")))       // cross-page dup cut
+    assert(out(3L) == ((1L, 0L, "")))            // fully-duplicated page
+  }
+
   test("bandingRecall pins the documented S-curve at the default dials") {
     // k=32, bands=8 (r=4): borderline pairs at j=0.6 are ~2/3 recall;
     // clear near-dups essentially never missed. Deep-band dials at the
