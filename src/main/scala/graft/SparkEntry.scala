@@ -65,7 +65,7 @@ object SparkEntry {
     "multimodal_decode",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_cdc_merge", "conv_cdc_partitioned", "conv_sorted_orc",
-    "conv_bucketed_join")
+    "conv_zorder_orc", "conv_bucketed_join")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -212,6 +212,41 @@ object ConverterQueries {
         .orderBy(col("event_type"))
     },
 
+    // Z-ordered multi-dimensional layout: lineitem clustered on
+    // (l_orderkey, l_partkey) via quantile-bucketed Morton interleave.
+    // The read-back filters on the SECONDARY dimension and is
+    // value-verified; layout_tight pins the hyper-rectangle property —
+    // BOTH dimensions' mean per-file span under 60% of the global span
+    // (16 files ideally give ~25%; a single-key sort would put the
+    // secondary near 100%). ScaleLayoutSpec proves the stripe-skip by
+    // scan-row metrics.
+    "conv_zorder_orc" -> { (s, d) =>
+      val base = tmp(d, "zorder_orc")
+      stageOnce(base) {
+        OrcSink.writeZOrdered(
+          t(s, d, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+          base, "lineitem", zCols = Seq("l_orderkey", "l_partkey"),
+          numFiles = 16)
+      }
+      val back = OrcSink.read(s, s"$base/lineitem")
+      val spans = back
+        .select(input_file_name().as("f"), col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("f"))
+        .agg((max(col("l_orderkey")) - min(col("l_orderkey"))).as("s1"),
+          (max(col("l_partkey")) - min(col("l_partkey"))).as("s2"))
+        .agg(avg(col("s1")).as("a1"), avg(col("s2")).as("a2"))
+      val globals = back.agg(
+        (max(col("l_orderkey")) - min(col("l_orderkey"))).cast("double").as("g1"),
+        (max(col("l_partkey")) - min(col("l_partkey"))).cast("double").as("g2"))
+      val tight = spans.crossJoin(globals)
+        .select(((col("a1") < col("g1") * 0.6) && (col("a2") < col("g2") * 0.6))
+          .cast("long").as("layout_tight"))
+      back.filter(col("l_partkey") <= 100)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .crossJoin(tight)
+    },
+
     // Headline conversion-throughput probe: the biggest fixture table
     // through the full parquet->ORC->read-back path (the reference's
     // single-table export is the ~38k rows/s baseline to beat).
@@ -394,6 +429,14 @@ object ConverterQueries {
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin,
+
+    // Values verified through the z-ordered layout; the layout-tightness
+    // verdict is computed Spark-side from per-file statistics and pinned.
+    "conv_zorder_orc" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(1 AS BIGINT) AS layout_tight
+        |FROM lineitem WHERE l_partkey <= 100""".stripMargin,
 
     "conv_bucketed_join" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -59,6 +59,48 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"filter not pushed to the ORC scan:\n$plan")
   }
 
+  test("z-ordered layout stays selective on BOTH cluster columns; " +
+    "single-key sort does not") {
+    val dir = Files.createTempDirectory("graft_zorder").toString
+    // a full 200x200 grid: x cycles fast, y slow — genuinely independent
+    // dimensions (a multiplicative mix of id would make y a function of x)
+    val df = spark.range(40000)
+      .select((col("id") % 200).as("x"),
+        (col("id") / 200).cast("long").as("y"), col("id").as("payload"))
+    OrcSink.writeZOrdered(df, dir, "zed", Seq("x", "y"),
+      maxRecordsPerFile = 1000L)
+    OrcSink.writeSorted(df, dir, "xsorted", Seq("x"), maxRecordsPerFile = 1000L)
+
+    def avgFileSpan(table: String, c: String): Double =
+      OrcSink.read(spark, s"$dir/$table")
+        .select(input_file_name().as("f"), col(c))
+        .groupBy(col("f")).agg((max(col(c)) - min(col(c))).as("span"))
+        .agg(avg(col("span"))).head().getDouble(0)
+
+    // z-order: every file covers a narrow hyper-rectangle — BOTH columns'
+    // per-file spans sit well under the 199 global span
+    assert(avgFileSpan("zed", "x") < 120, s"x span ${avgFileSpan("zed", "x")}")
+    assert(avgFileSpan("zed", "y") < 120, s"y span ${avgFileSpan("zed", "y")}")
+    // single-key sort: the secondary column spans ~the whole domain in
+    // every file, so nothing can skip for y predicates
+    assert(avgFileSpan("xsorted", "y") > 180,
+      s"y span ${avgFileSpan("xsorted", "y")}")
+
+    // stripe-skip on the SECONDARY dimension: a y filter reads far fewer
+    // rows from the z layout than from the x-sorted one
+    def scannedRows(table: String): Long = {
+      val q = OrcSink.read(spark, s"$dir/$table").filter(col("y") === 7)
+      assert(q.collect().length == 200)
+      q.queryExecution.executedPlan.collectLeaves().head
+        .metrics("numOutputRows").value
+    }
+    val zScan = scannedRows("zed")
+    val sortedScan = scannedRows("xsorted")
+    assert(sortedScan > 30000, s"x-sorted should scan ~everything for y, got $sortedScan")
+    assert(zScan < 24000, s"z layout should skip for y, got $zScan")
+    assert(zScan * 2 < sortedScan, s"z=$zScan vs sorted=$sortedScan")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
