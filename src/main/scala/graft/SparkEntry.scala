@@ -57,7 +57,7 @@ object SparkEntry {
     "pipeline_dsir_select", "pipeline_quality_ensemble",
     "pipeline_seeded_shuffle", "profile_documents", "profile_documents_approx",
     "emb_cosine_topk",
-    "ann_lsh_topk", "ann_lsh_topk_engine",
+    "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk",
     "ann_ivf_topk", "ann_ivf_topk_engine",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",

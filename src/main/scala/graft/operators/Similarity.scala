@@ -576,6 +576,69 @@ object Similarity {
   def dequantize(codes: Column, qMin: Column, qScale: Column): Column =
     transform(codes, c => qMin + c.cast("double") * qScale)
 
+  /** Deterministic Gaussian random projection (the Johnson-Lindenstrauss
+    * dimensionality reducer): `vecCol` maps from its native dimension to
+    * `outDim` through a seeded N(0, 1/outDim) matrix — same derivation
+    * as [[hyperplanes]] (scala.util.Random(seed)), so the matrix is
+    * identical on every executor and cluster topology with zero RNG
+    * state. Inner products are preserved within ~1/sqrt(outDim)
+    * relative distortion, so projected-space rankings track exact ones
+    * while every downstream shuffle/broadcast of an ANN funnel carries
+    * outDim/dim of the vector bytes (64 -> 32 halves candidate-
+    * generation I/O; at 100 TB the candidate shuffle is the bottleneck,
+    * not the dot products). The projection itself is a codegen'd
+    * zip_with + aggregate fold per output component — no UDF, one scan,
+    * no shuffle. Compose with [[ivfTopK]]/[[lshTopK]] for bounded
+    * candidate generation on top of the narrower vectors. */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    outDim: Int, seed: Long = 42L): DataFrame = {
+    val dim = vecDim(emb, vecCol).getOrElse(
+      return emb.select(col(idCol), asDouble(col(vecCol)).as(vecCol)))
+    require(outDim >= 1 && outDim <= dim, s"outDim=$outDim must be in [1, $dim]")
+    val rnd = new scala.util.Random(seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    val mat = Seq.fill(outDim)(Seq.fill(dim)(rnd.nextGaussian() * scale))
+    val v = asDouble(col(vecCol))
+    val proj = array(mat.map { row =>
+      aggregate(zip_with(v, lit(row.toArray), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+    emb.select(col(idCol), proj.as(vecCol))
+  }
+
+  /** ANN via a random-projection shortlist: candidates ranked by cosine
+    * in the projected space (the compressed tier — here compression is
+    * dimensionality instead of int8/PQ code width), then the `shortlist`
+    * survivors re-rank exactly in float — the same shortlist + exact
+    * re-rank shape as [[ivfTopKInt8]]/[[ivfTopKPq]], so precision of the
+    * returned scores is exact and only candidate recall depends on the
+    * projection distortion. Shortlist ids travel as bare (query,
+    * neighbor) pairs; full vectors re-join only for the |Q|*shortlist
+    * surviving rows. */
+  def rpTopK(emb: DataFrame, idCol: String, vecCol: String,
+             queryIds: Column => Column, k: Int,
+             outDim: Int = 32, shortlist: Int = 0,
+             seed: Long = 42L): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val short = bruteForceTopK(randomProject(emb, idCol, vecCol, outDim, seed),
+        idCol, vecCol, queryIds, sl)
+      .select(col("query_id"), col("neighbor_id"))
+    val nvecs = emb.select(col(idCol).as("neighbor_id"),
+      asDouble(col(vecCol)).as("nvec"))
+    val qvecs = emb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qvec"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_raw").desc, col("neighbor_id"))
+    short.join(nvecs, Seq("neighbor_id"))
+      .join(broadcast(qvecs), Seq("query_id"))
+      .withColumn("score_raw", cosine(col("qvec"), col("nvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").cast("long").as("rank"),
+        round(col("score_raw"), 4).as("score"))
+  }
+
   /** All embedding pairs with cosine >= threshold (near-dup detection by
     * embedding). Brute-force all-pairs: O(n²) BY DEFINITION, so the input
     * size is ENFORCED (`maxInputRows`, default 10k ≈ 50M comparisons) —

