@@ -52,7 +52,7 @@ object SparkEntry {
     "dedup_exact_docs", "dedup_paragraphs", "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",
-    "dedup_incremental", "dedup_incremental_near",
+    "dedup_incremental", "dedup_incremental_near", "dedup_incremental_serve",
     "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
     "pipeline_dsir_select", "pipeline_quality_ensemble",
     "pipeline_seeded_shuffle", "profile_documents", "profile_documents_approx",

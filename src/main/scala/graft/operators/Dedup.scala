@@ -605,6 +605,62 @@ object Dedup {
         coalesce(col("rebuilt"), lit("")).as(textCol))
   }
 
+  /** Materialize the standing corpus's banded MinHash signatures as the
+    * PERSISTENT index [[incrementalNearDup]]'s contract describes — the
+    * artifact a continuous-crawl deployment keeps on disk instead of
+    * re-signaturing the corpus every batch. A band-hash-bucketed,
+    * bucket-sorted catalog table: [[nearDupServe]]'s candidate join then
+    * plans with NO exchange on the corpus side (only the tiny batch side
+    * shuffles into the index's bucketing), the same exchange-free shape
+    * `conv_bucketed_join` proves for the analytics tables. Per-serve
+    * cost is O(batch); per-accepted-batch maintenance is
+    * [[appendToNearDupIndex]] (an appended segment, standing rows never
+    * rewritten). Dials are baked into the index rows; serve must use the
+    * same (k, shingleSize, bands). */
+  def buildNearDupIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        table: String, k: Int = 32, shingleSize: Int = 5,
+                        bands: Int = 8, numBuckets: Int = 16): Unit =
+    graft.sinks.OrcSink.writeBucketed(
+      bandedSigs(corpus, idCol, textCol, k, shingleSize, bands),
+      table, bucketCols = Seq("bh"), numBuckets = numBuckets)
+
+  /** Append an ACCEPTED batch's banded signatures to the standing index
+    * (same bucket spec, new files per bucket — standing files untouched).
+    * Call after the batch passes screening, so the next batch is checked
+    * against it too. */
+  def appendToNearDupIndex(batch: DataFrame, idCol: String, textCol: String,
+                           table: String, k: Int = 32, shingleSize: Int = 5,
+                           bands: Int = 8, numBuckets: Int = 16): Unit =
+    bandedSigs(batch, idCol, textCol, k, shingleSize, bands)
+      .write.mode("append").format("orc")
+      .bucketBy(numBuckets, "bh").sortBy("bh")
+      .saveAsTable(table)
+
+  /** [[incrementalNearDup]] against the PERSISTENT signature index: the
+    * batch is signatured and banded (O(batch) scan), candidates come
+    * from the bucketed index join (corpus side exchange-free), the
+    * estimate filter runs on the signatures the index rows carry, and
+    * exact verification joins `corpus` text back for survivors only.
+    * Returns the same (batch_id, corpus_id, jaccard) frame as the
+    * direct computation — spec-pinned equal. */
+  def nearDupServe(spark: org.apache.spark.sql.SparkSession, table: String,
+                   batch: DataFrame, corpus: DataFrame,
+                   idCol: String, textCol: String,
+                   k: Int = 32, shingleSize: Int = 5, bands: Int = 8,
+                   threshold: Double = 0.6,
+                   estMargin: Double = 0.15): DataFrame = {
+    val estimated = bandedSigs(batch, idCol, textCol, k, shingleSize, bands).as("x")
+      .join(spark.table(table).as("y"), col("x.bh") === col("y.bh"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"),
+        graft.functions.SigAgree.sigAgree(col("x.sig"), col("y.sig")).as("est"))
+      .filter(col("est") >= threshold - estMargin)
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    verifyExact(estimated, "batch_id", "corpus_id",
+      normTxt(batch, idCol, textCol), normTxt(corpus, idCol, textCol),
+      shingleSize, threshold)
+  }
+
   // ------------------------------------------------------------------
   // Exact substring-span dedup
   // ------------------------------------------------------------------

@@ -95,6 +95,21 @@ object LlmQueries {
     * sf dir (deterministic Lloyd, same dials as the ann serve rows) and
     * JVM-memoized — index build happens at staging time, never inside a
     * served query. */
+  /** Per-sf-dir staged near-dup signature index (JVM-memoized catalog
+    * table — writeBucketed drops and recreates, so a fresh JVM rebuilds
+    * cleanly over a stale warehouse dir). Corpus side = doc_id % 10 != 0,
+    * matching the incremental screening gates. */
+  private val nearDupIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nearDupIndexFor(s: SparkSession, d: String): String =
+    nearDupIdx.computeIfAbsent(d, _ => {
+      val tbl = s"graft_neardup_idx_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Dedup.buildNearDupIndex(
+        t(s, d, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", tbl, k = 32, shingleSize = 5, bands = 8)
+      tbl
+    })
+
   private val hybridCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def hybridCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
@@ -173,6 +188,29 @@ object LlmQueries {
        |    ORDER BY score DESC, doc_id) AS rank, score
        | FROM sc) WHERE rank <= $k)""".stripMargin
   }
+
+  /** Exact batch-x-corpus Jaccard at full-recall dials — shared by the
+    * direct incremental screening gate and its index-served twin. */
+  private def incrementalNearOracle: String =
+    """WITH n AS (
+      | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+      | FROM documents),
+      |s AS (
+      | SELECT doc_id, list_distinct(list_transform(
+      |   generate_series(1, GREATEST(length(t) - 4, 1)),
+      |   i -> substr(t, i, 5))) AS sh
+      | FROM n),
+      |d AS (SELECT doc_id, sh, len(sh) AS nsh FROM s),
+      |p AS (
+      | SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
+      |  len(list_intersect(a.sh, b.sh)) AS inter, a.nsh AS na, b.nsh AS nb
+      | FROM d a JOIN d b
+      |  ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+      |  AND LEAST(a.nsh, b.nsh) >= 0.6 * GREATEST(a.nsh, b.nsh))
+      |SELECT batch_id, corpus_id,
+      | ROUND(inter / (na + nb - inter), 4) AS jaccard
+      |FROM p WHERE inter / (na + nb - inter) >= 0.6
+      |ORDER BY jaccard DESC, batch_id, corpus_id LIMIT 100""".stripMargin
 
   private def bpeOracleSql: String = bpeOracleSqlFor(PinnedBpeMerges)
 
@@ -530,6 +568,27 @@ object LlmQueries {
     "dedup_incremental_near" -> { (s, d) =>
       val docs = t(s, d, "documents")
       Dedup.incrementalNearDup(
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
+          threshold = 0.6)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("batch_id"), col("corpus_id"))
+        .limit(100)
+    },
+
+    // Same screening answer SERVED from the persistent signature index:
+    // the corpus's banded signatures live in a band-hash-bucketed
+    // catalog table (built once per sf dir — the artifact a deployment
+    // keeps), the candidate join plans exchange-free on the corpus side,
+    // and the batch is the only scanned text. Must equal the direct
+    // batch-vs-corpus computation — same oracle as
+    // dedup_incremental_near.
+    "dedup_incremental_serve" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val tbl = nearDupIndexFor(s, d)
+      Dedup.nearDupServe(s, tbl,
           docs.filter(col("doc_id") % 10 === 0),
           docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
@@ -2306,26 +2365,11 @@ object LlmQueries {
     // Exact batch-x-corpus near-dup answer (the funnel has measured full
     // recall at these dials — same derived-oracle argument as
     // dedup_minhash_full).
-    "dedup_incremental_near" ->
-      """WITH n AS (
-        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
-        | FROM documents),
-        |s AS (
-        | SELECT doc_id, list_distinct(list_transform(
-        |   generate_series(1, GREATEST(length(t) - 4, 1)),
-        |   i -> substr(t, i, 5))) AS sh
-        | FROM n),
-        |d AS (SELECT doc_id, sh, len(sh) AS nsh FROM s),
-        |p AS (
-        | SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id,
-        |  len(list_intersect(a.sh, b.sh)) AS inter, a.nsh AS na, b.nsh AS nb
-        | FROM d a JOIN d b
-        |  ON a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
-        |  AND LEAST(a.nsh, b.nsh) >= 0.6 * GREATEST(a.nsh, b.nsh))
-        |SELECT batch_id, corpus_id,
-        | ROUND(inter / (na + nb - inter), 4) AS jaccard
-        |FROM p WHERE inter / (na + nb - inter) >= 0.6
-        |ORDER BY jaccard DESC, batch_id, corpus_id LIMIT 100""".stripMargin,
+    "dedup_incremental_near" -> incrementalNearOracle,
+
+    // Serving from the persistent signature index must equal the direct
+    // batch-vs-corpus computation — identical oracle.
+    "dedup_incremental_serve" -> incrementalNearOracle,
 
     "dedup_minhash_full" ->
       """WITH n AS (

@@ -245,6 +245,31 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       k = 16, shingleSize = 5, bands = 8, threshold = 0.5).count() == 0)
   }
 
+  test("nearDupServe from the persistent index equals the direct " +
+    "computation; appended batches are screened against") {
+    val all = corpusWithPlantedDups
+    val batch = all.filter(col("id") >= 100L)
+    val corpus = all.filter(col("id") < 100L)
+    Dedup.buildNearDupIndex(corpus, "id", "text", "graft_test_ndidx",
+      k = 16, shingleSize = 5, bands = 8)
+    val direct = Dedup.incrementalNearDup(batch, corpus, "id", "text",
+        k = 16, shingleSize = 5, bands = 8, threshold = 0.7)
+      .orderBy(col("batch_id"), col("corpus_id")).collect().toSeq
+    val served = Dedup.nearDupServe(spark, "graft_test_ndidx", batch, corpus,
+        "id", "text", k = 16, shingleSize = 5, bands = 8, threshold = 0.7)
+      .orderBy(col("batch_id"), col("corpus_id")).collect().toSeq
+    assert(served.nonEmpty && served == direct)
+    // fold the accepted batch in: a re-crawl (same texts, new ids) is now
+    // caught against the batch's own signatures, with no index rebuild
+    Dedup.appendToNearDupIndex(batch, "id", "text", "graft_test_ndidx",
+      k = 16, shingleSize = 5, bands = 8)
+    val recrawl = batch.withColumn("id", col("id") + 1000L)
+    val flagged = Dedup.nearDupServe(spark, "graft_test_ndidx", recrawl, all,
+        "id", "text", k = 16, shingleSize = 5, bands = 8, threshold = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == batch.collect().map(_.getLong(0) + 1000L).toSet)
+  }
+
   test("paragraphDedup keeps the (id, pos)-first occurrence and rebuilds") {
     val df = Seq(
       (1L, "alpha\nbeta\nalpha"),
