@@ -38,7 +38,11 @@ object Explain {
         // before the limit. conv_cdc_partitioned is eager (writes + merges
         // tables); its write-scope pruning is proven by the gate's
         // byte-identity check + CdcMergeSpec, not an explain.
-        "text_heavy_hitters")
+        "text_heavy_hitters",
+        // round-7: persistent-index serving (corpus side must plan with
+        // no exchange before the candidate join), paragraph keep-first
+        // (no per-fingerprint window), JL-projection shortlist+re-rank
+        "dedup_incremental_serve", "dedup_paragraphs", "ann_rp_topk")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

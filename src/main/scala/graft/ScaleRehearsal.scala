@@ -150,6 +150,8 @@ object ScaleRehearsal {
       s"/tmp/graft_scale_cdc/${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
     def bm25IdxDir(d: String): String =
       s"/tmp/graft_scale_bm25/${d.replaceAll("[^A-Za-z0-9]", "_")}/index"
+    def ndIdxTbl(d: String): String =
+      s"graft_scale_ndidx_${d.replaceAll("[^A-Za-z0-9]", "_")}"
     def warmServingFixtures(d: String): Unit = {
       val emb = t(spark, d, "embeddings")
       ivfCentroids.getOrElseUpdate(d, Similarity.trainIvfCentroids(
@@ -169,6 +171,13 @@ object ScaleRehearsal {
       if (!new java.io.File(s"${bm25IdxDir(d)}/stats").exists())
         graft.operators.Retrieval.buildBm25Index(
           t(spark, d, "documents"), bm25IdxDir(d))
+      // standing near-dup signature index (catalog table; the in-memory
+      // catalog forgets between JVMs and writeBucketed rebuilds cleanly
+      // over a stale warehouse dir)
+      if (!spark.catalog.tableExists(ndIdxTbl(d)))
+        Dedup.buildNearDupIndex(
+          t(spark, d, "documents").filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", ndIdxTbl(d), k = 32, shingleSize = 5, bands = 8)
       val dir = cdcBaseDir(d)
       if (!new java.io.File(s"$dir/${OrcSink.BucketsMetaFile}").exists()) {
         val docs = t(spark, d, "documents")
@@ -277,6 +286,30 @@ object ScaleRehearsal {
         graft.operators.Retrieval.updateBm25Index(spark, bm25IdxDir(d),
           batch, checkDisjoint = false)
         500L
+      }),
+      // paragraph keep-first dedup over planted pages: two equi-keyed
+      // shuffles (fingerprint, page), must scale like the linear text
+      // probes
+      "dedup_paragraphs" -> (() => {
+        val pages = t(spark, d, "documents")
+          .select(floor(col("doc_id") / 5).cast("long").as("page_id"),
+            struct(col("doc_id"), col("text")).as("sdoc"))
+          .groupBy(col("page_id"))
+          .agg(array_join(transform(array_sort(collect_list(col("sdoc"))),
+            x => x.getField("text")), "\n").as("text"))
+        Dedup.paragraphDedup(pages, "page_id", "text")
+          .agg(sum(col("n_kept"))).head().getLong(0)
+      }),
+      // batch screening SERVED from the standing catalog signature index
+      // (built in warm staging): the corpus side plans exchange-free, so
+      // the probe isolates the recurring serve cost the deployment pays
+      "neardup_serve" -> (() => {
+        val docs = t(spark, d, "documents")
+        Dedup.nearDupServe(spark, ndIdxTbl(d),
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
+          threshold = 0.6).count()
       })
     )
     // skewed-corpus probes: the dials that must absorb the skew
