@@ -55,7 +55,8 @@ object SparkEntry {
     "dedup_incremental", "dedup_incremental_near", "dedup_incremental_serve",
     "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
     "pipeline_dsir_select", "pipeline_quality_ensemble",
-    "pipeline_seeded_shuffle", "profile_documents", "profile_documents_approx",
+    "pipeline_seeded_shuffle", "pipeline_leakfree_split",
+    "profile_documents", "profile_documents_approx",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk",
     "ann_ivf_topk", "ann_ivf_topk_engine",

@@ -94,4 +94,33 @@ object Sampling {
         .when(b < lit(thresholdHex(trainFrac + valFrac)), "val")
         .otherwise("test"))
   }
+
+  /** Leakage-free train/val/test assignment: near-duplicate documents
+    * land in the SAME split. A per-document hash split silently leaks —
+    * a near-dup of a training doc assigned to test inflates every eval
+    * on it (the contamination mechanism the decontamination operators
+    * exist for, reproduced inside one's own corpus). The fix: hash the
+    * near-dup CLUSTER's representative (component-min id over the dedup
+    * pair graph; unpaired docs are their own representative), so whole
+    * clusters move between splits as one unit. Composes with any pair
+    * generator ([[Dedup.minhashVerifiedPairs]],
+    * [[Dedup.ngramJaccardPairs]], the incremental funnel): pairs in,
+    * per-doc split out.
+    *
+    * Scale shape: component labeling touches only PAIRED ids (the
+    * labeling frame is near-dup-count sized, not corpus sized), one
+    * equi-join hangs it back on the corpus, and the split itself is the
+    * same per-row md5-bucket expression as [[trainValTestSplit]] on the
+    * representative — engine-portable, cluster-size-independent. */
+  def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                    trainFrac: Double, valFrac: Double): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", "__lfs_id")
+    val withRep = df
+      .join(comps, df(idCol) === col("__lfs_id"), "left")
+      .withColumn("__lfs_rep", coalesce(col("cluster_id"), col(idCol)))
+    trainValTestSplit(withRep, col("__lfs_rep").cast("string"),
+        trainFrac, valFrac)
+      .drop("__lfs_id", "cluster_id", "__lfs_rep")
+  }
 }

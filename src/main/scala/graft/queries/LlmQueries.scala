@@ -958,6 +958,23 @@ object LlmQueries {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     },
 
+    // Leakage-free split over the SAME bounded pair graph as
+    // dedup_clusters: every near-dup cluster hashes as one unit (by its
+    // component-min representative), so no pair can straddle train and
+    // test. The oracle replays clusters (recursive CTE), representative
+    // fill, and the md5-bucket split thresholds — row equality proves
+    // the no-leakage property, since the oracle derives splits from the
+    // clusters by construction.
+    "pipeline_leakfree_split" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.25)
+      graft.operators.Sampling.leakFreeSplit(docs, "doc_id", pairs,
+          trainFrac = 0.8, valFrac = 0.1)
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    },
+
     // Same pair graph FORCED through the distributed large-star/small-star
     // path (smallGraphEdges = 0 disables the union-find cutover): both
     // regimes must produce identical component-min labels at gate scale,
@@ -1882,6 +1899,43 @@ object LlmQueries {
         | SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u)
         |SELECT CAST(u AS BIGINT) AS id, CAST(LEAST(u, MIN(v)) AS BIGINT) AS cluster_id
         |FROM reach GROUP BY u""".stripMargin,
+
+    // Clusters CTE (same as dedup_clusters) -> representative fill ->
+    // md5-bucket thresholds: floor(0.8*65536) = 0xcccc,
+    // floor(0.9*65536) = 0xe666 — identical to Sampling.thresholdHex.
+    "pipeline_leakfree_split" ->
+      """WITH RECURSIVE n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id < 100),
+        |s AS (
+        | SELECT DISTINCT doc_id, substr(t, i.i, 5) AS g
+        | FROM n, generate_series(1, 600) i(i)
+        | WHERE i.i <= GREATEST(length(t) - 4, 1)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY 1),
+        |ip AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT a_id, b_id FROM ip
+        | JOIN ds na ON na.doc_id = a_id
+        | JOIN ds nb ON nb.doc_id = b_id
+        | WHERE inter / (na.nsh + nb.nsh - inter) >= 0.25),
+        |und AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(u, v) AS (
+        | SELECT u, v FROM und
+        | UNION
+        | SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+        |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS cluster_id
+        |         FROM reach GROUP BY u),
+        |r AS (
+        | SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep
+        | FROM n d LEFT JOIN comp c ON d.doc_id = c.id)
+        |SELECT doc_id,
+        | CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |      WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |      ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // Same recursive closure as dedup_clusters, then the actual drop:
     // non-min cluster members go, untouched docs stay.

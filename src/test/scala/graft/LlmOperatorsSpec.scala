@@ -245,6 +245,31 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       k = 16, shingleSize = 5, bands = 8, threshold = 0.5).count() == 0)
   }
 
+  test("leakFreeSplit: every near-dup pair shares a split; singletons " +
+    "keep their own-hash assignment") {
+    import graft.operators.Sampling
+    val all = corpusWithPlantedDups
+    val pairs = Dedup.minhashVerifiedPairs(all, "id", "text",
+        k = 16, shingleSize = 5, bands = 8, threshold = 0.7)
+      .select(col("a_id"), col("b_id"))
+    val m = Sampling.leakFreeSplit(all, "id", pairs, 0.6, 0.2)
+      .select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val prs = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(prs.nonEmpty)
+    prs.foreach { case (a, b) =>
+      assert(m(a) == m(b), s"near-dup pair ($a,$b) straddles splits") }
+    // unpaired docs use their own id's hash — identical to the plain
+    // per-doc split, so the leak-free variant changes ONLY cluster rows
+    val pairedIds = prs.flatMap(p => Seq(p._1, p._2)).toSet
+    val plain = Sampling.trainValTestSplit(all, col("id").cast("string"),
+        0.6, 0.2)
+      .select(col("id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    m.keys.filterNot(pairedIds).foreach { id =>
+      assert(m(id) == plain(id), s"singleton $id moved") }
+  }
+
   test("nearDupServe from the persistent index equals the direct " +
     "computation; appended batches are screened against") {
     val all = corpusWithPlantedDups
