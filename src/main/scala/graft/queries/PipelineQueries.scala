@@ -34,6 +34,40 @@ object PipelineQueries {
       EventStream.slidingAgg(s, d).orderBy(col("w_start"), col("event_type"))
     },
 
+    // Streaming per-window percentiles: the approx_percentile sketch
+    // lives in the streaming window state (mergeable across
+    // micro-batches like count/sum). Verdicts are RANK-validity checks,
+    // not value-distance: the sketch returns an actual element of the
+    // window (nearest-rank family), so with tiny per-hour windows its
+    // value can sit a whole order-statistic gap from the INTERPOLATED
+    // exact percentile — rank position is the property the sketch
+    // actually guarantees (error <= eps*n; exact at gate sizes). Each
+    // streamed quantile must have rank within +-1 of its target in the
+    // window's value multiset; exact interpolated percentiles ride
+    // along as the hash-compared payload.
+    "stream_hourly_quantiles" -> { (s, d) =>
+      val streamed = EventStream.hourlyQuantiles(s, d)
+      val ev = graft.Tables.t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("hour"), col("value"))
+      def rankOk(item: Int, q: Double) = {
+        val aqv = col("aq").getItem(item)
+        val le = sum(when(col("value") <= aqv, 1L).otherwise(0L))
+        val lt = sum(when(col("value") < aqv, 1L).otherwise(0L))
+        (le >= floor(lit(q) * count(lit(1))).cast("long") - 1) &&
+          (lt <= ceil(lit(q) * count(lit(1))).cast("long") + 1)
+      }
+      ev.join(streamed, Seq("hour"))
+        .groupBy(col("hour"))
+        .agg(expr("percentile(value, array(0.5, 0.95))").as("eq"),
+          count(lit(1)).as("n"),
+          rankOk(0, 0.5).as("p50_ok"), rankOk(1, 0.95).as("p95_ok"))
+        .select(col("hour"),
+          round(col("eq").getItem(0), 4).as("exact_p50"),
+          round(col("eq").getItem(1), 4).as("exact_p95"),
+          col("n"), col("p50_ok"), col("p95_ok"))
+        .orderBy(col("hour"))
+    },
+
     "stream_dedup_pairs" -> { (s, d) =>
       EventStream.dedupPairs(s, d).orderBy(col("user_id"), col("event_type"))
     },
@@ -241,6 +275,16 @@ object PipelineQueries {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Exact per-hour percentiles recomputed; the streamed sketch's
+    // tolerance verdicts pinned true (q29 pattern).
+    "stream_hourly_quantiles" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        | ROUND(quantile_cont(value, 0.5), 4) AS exact_p50,
+        | ROUND(quantile_cont(value, 0.95), 4) AS exact_p95,
+        | COUNT(*) AS n,
+        | true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_session_counts" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu FROM events),

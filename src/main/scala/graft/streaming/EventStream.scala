@@ -95,6 +95,23 @@ object EventStream {
     runToMemory(spark, agg, "graft_stream_sliding", OutputMode.Complete())
   }
 
+  /** Tumbling-window streaming QUANTILES — the monitoring shape (per-
+    * window latency/size percentiles) as a streaming aggregation: the
+    * mergeable approx_percentile sketch accumulates inside the window
+    * state, so per-window memory is O(sketch) no matter the event rate,
+    * and sketches merge across micro-batches exactly like count/sum.
+    * Returns (hour, aq[2] = approx p50/p95, n); the gate joins exact
+    * batch percentiles and pins tolerance verdicts (the q29 pattern). */
+  def hourlyQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr("approx_percentile(value, array(0.5, 0.95), 10000)").as("aq"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("aq"), col("n"))
+    runToMemory(spark, agg, "graft_stream_quantiles", OutputMode.Complete())
+  }
+
   /** Per-user session counting (30-min inactivity gap) via
     * flatMapGroupsWithState — the custom-state streaming primitive. State
     * carries (last event time, session count) across micro-batches; events
