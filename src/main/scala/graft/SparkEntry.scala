@@ -56,7 +56,7 @@ object SparkEntry {
     "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
     "pipeline_dsir_select", "pipeline_quality_ensemble",
     "pipeline_seeded_shuffle", "pipeline_leakfree_split",
-    "profile_documents", "profile_documents_approx",
+    "profile_documents", "profile_documents_approx", "profile_histogram",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk",
     "ann_ivf_topk", "ann_ivf_topk_engine",

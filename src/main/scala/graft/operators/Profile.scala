@@ -58,4 +58,34 @@ object Profile {
         (col("n_rows") - col("p.nn")).as("n_nulls"),
         col("p.nd").as("n_distinct"), col("p.min_v"), col("p.max_v"))
   }
+
+  /** Equi-width histogram of a numeric column — the distribution half of
+    * the profile (bounds and cardinality say nothing about shape; a
+    * histogram catches the bimodal/spiked distributions that break
+    * assumptions downstream). Two scans (exact min/max, then the binned
+    * count — both single Aggregates, no per-bin jobs); bin assignment is
+    * the closed-form floor expression, engine-portable for the oracle.
+    * Bins are [min + i*w, min + (i+1)*w) with w = (max-min)/bins; the
+    * max value closes into the last bin (the standard convention).
+    * Nulls are excluded. Degenerate min == max puts everything in bin 0.
+    * Output: (bin, lo, hi, n) for every non-empty bin. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val mm = df.agg(min(col(c)).cast("double").as("mn"),
+      max(col(c)).cast("double").as("mx")).head()
+    require(!mm.isNullAt(0), s"histogram($c): no non-null values")
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val w = (mx - mn) / bins
+    val bin =
+      if (w == 0.0) lit(0L)
+      else least(floor((col(c).cast("double") - mn) / w).cast("long"),
+        lit(bins - 1L))
+    df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        round(lit(mn) + col("bin") * w, 4).as("lo"),
+        round(lit(mn) + (col("bin") + 1) * w, 4).as("hi"),
+        col("n"))
+  }
 }

@@ -1008,6 +1008,15 @@ object LlmQueries {
         .orderBy(col("col_name"))
     },
 
+    // Distribution shape beside the bounds/cardinality profile: 20-bin
+    // equi-width histogram of the events value column. Bin assignment is
+    // a closed-form floor over the same IEEE doubles in both engines, so
+    // the oracle replays it bit-for-bit.
+    "profile_histogram" -> { (s, d) =>
+      Profile.histogram(t(s, d, "events"), "value", bins = 20)
+        .orderBy(col("bin"))
+    },
+
     // The 100 TB profile path (HLL++ distinct counts) under the verdict
     // pattern: exact counts beside a deterministic 5%-tolerance check of
     // the approximate profile, pinned true by the oracle (same
@@ -1981,6 +1990,20 @@ object LlmQueries {
         | UNION ALL SELECT 'source', COUNT(DISTINCT source) FROM d
         | UNION ALL SELECT 'text', COUNT(DISTINCT text) FROM d)
         |ORDER BY col_name""".stripMargin,
+
+    // Same floor-based bin arithmetic over the same IEEE doubles.
+    "profile_histogram" ->
+      """WITH mm AS (
+        | SELECT CAST(MIN(value) AS DOUBLE) AS mn,
+        |        (CAST(MAX(value) AS DOUBLE) - CAST(MIN(value) AS DOUBLE)) / 20 AS w
+        | FROM events),
+        |b AS (
+        | SELECT LEAST(CAST(FLOOR((CAST(value AS DOUBLE) - mn) / w) AS BIGINT), 19) AS bin,
+        |        mn, w
+        | FROM events, mm WHERE value IS NOT NULL)
+        |SELECT bin, ROUND(mn + bin * w, 4) AS lo,
+        | ROUND(mn + (bin + 1) * w, 4) AS hi, COUNT(*) AS n
+        |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin,
 
     "profile_documents" ->
       """WITH d AS (SELECT * FROM documents)
