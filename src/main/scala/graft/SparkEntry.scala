@@ -58,7 +58,7 @@ object SparkEntry {
     "pipeline_seeded_shuffle", "pipeline_leakfree_split",
     "profile_documents", "profile_documents_approx", "profile_histogram",
     "emb_cosine_topk",
-    "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk",
+    "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_mmr_rerank",
     "ann_ivf_topk", "ann_ivf_topk_engine",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",

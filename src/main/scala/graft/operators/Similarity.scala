@@ -639,6 +639,62 @@ object Similarity {
         round(col("score_raw"), 4).as("score"))
   }
 
+  /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98)
+    * — the diversity step of a retrieval stack: from a relevance-ranked
+    * candidate list, greedily select `k` items, each step maximizing
+    * lambda * rel - (1 - lambda) * max(cosine to already-selected).
+    * Returns relevant-but-mutually-diverse results instead of k copies
+    * of the same near-duplicate answer (the serving-side complement of
+    * SemDeDup's corpus-side pruning).
+    *
+    * `cand` must carry (query_id, doc_id, rel); vectors join from `emb`.
+    * The greedy loop is UNROLLED into k plan steps — each step scores
+    * the remaining candidates against the selected set (a |Q|*step-row
+    * broadcast), takes the per-query argmax via a window over the
+    * |Q|*shortlist candidate frame, and anti-joins the pick out. All
+    * Column expressions (codegen'd cosine, no UDF), deterministic:
+    * mmr scores round to 6dp before comparison and ties break by
+    * doc_id, so the selection is identical on any engine and cluster —
+    * which is what lets the oracle replay the whole greedy trajectory
+    * step for step. Cost: k windows over the candidate frame, fine for
+    * serving-sized k; candidate GENERATION is the scale-bound stage and
+    * stays with the ANN tiers.
+    * Output: (query_id, doc_id, rank, mmr) with rank 1..k. */
+  def mmrRerank(cand: DataFrame, emb: DataFrame, idCol: String,
+                vecCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val vecs = emb.select(col(idCol).as("doc_id"), asDouble(col(vecCol)).as("v"))
+    var remaining = cand.select(col("query_id"), col("doc_id"), col("rel"))
+      .join(vecs, Seq("doc_id"))
+    var selected: DataFrame = null
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("doc_id"))
+    for (step <- 1 to k) {
+      val scored =
+        if (step == 1)
+          remaining.withColumn("mmr", round(lit(lambda) * col("rel"), 6))
+        else {
+          val sel = broadcast(
+            selected.select(col("query_id"), col("v").as("sv")))
+          remaining.join(sel, Seq("query_id"))
+            .groupBy(col("query_id"), col("doc_id"))
+            .agg(first(col("rel")).as("rel"), first(col("v")).as("v"),
+              max(cosine(col("v"), col("sv"))).as("max_sim"))
+            .withColumn("mmr", round(lit(lambda) * col("rel")
+              - lit(1.0 - lambda) * col("max_sim"), 6))
+        }
+      val pick = scored
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("doc_id"), lit(step.toLong).as("rank"),
+          col("mmr"), col("v"))
+      selected = if (step == 1) pick else selected.unionByName(pick)
+      remaining = remaining.join(pick.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+    }
+    selected.select(col("query_id"), col("doc_id"), col("rank"), col("mmr"))
+  }
+
   /** All embedding pairs with cosine >= threshold (near-dup detection by
     * embedding). Brute-force all-pairs: O(n²) BY DEFINITION, so the input
     * size is ENFORCED (`maxInputRows`, default 10k ≈ 50M comparisons) —

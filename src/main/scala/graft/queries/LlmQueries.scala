@@ -189,6 +189,56 @@ object LlmQueries {
        | FROM sc) WHERE rank <= $k)""".stripMargin
   }
 
+  /** Unrolled greedy-MMR replay: one (m_i, s_i) CTE pair per step —
+    * remaining candidates score lambda*rel - (1-lambda)*max-sim against
+    * the selected-so-far union, round to 6dp, argmax with doc_id
+    * tie-break. Interpolated doubles (lambda, 1-lambda) print at full
+    * precision so both engines parse the identical IEEE value. */
+  private def mmrOracleSql(k: Int, lambda: Double, shortlist: Int,
+                           nQueries: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < $nQueries),
+       |cand AS (
+       | SELECT query_id, doc_id, rel, v FROM (
+       |  SELECT q.query_id, e.vec_id AS doc_id,
+       |   ROUND(list_cosine_similarity(q.v, e.v), 4) AS rel, e.v,
+       |   ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |     ORDER BY list_cosine_similarity(q.v, e.v) DESC, e.vec_id) AS rn
+       |  FROM q JOIN e ON e.vec_id != q.query_id)
+       | WHERE rn <= $shortlist),
+       |m1 AS (SELECT query_id, doc_id, ROUND($lambda * rel, 6) AS mmr, v
+       |       FROM cand),
+       |s1 AS (SELECT query_id, doc_id, mmr, v FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY mmr DESC, doc_id) AS rn FROM m1) WHERE rn = 1)""".stripMargin
+    for (step <- 2 to k) {
+      val selParts = (1 until step)
+        .map(i => s"SELECT query_id, doc_id, v FROM s$i")
+        .mkString(" UNION ALL ")
+      sb ++= s""",
+         |sel$step AS ($selParts),
+         |m$step AS (
+         | SELECT c.query_id, c.doc_id,
+         |  ROUND($lambda * ANY_VALUE(c.rel)
+         |    - ${1.0 - lambda} * MAX(list_cosine_similarity(c.v, s.v)), 6) AS mmr,
+         |  ANY_VALUE(c.v) AS v
+         | FROM cand c JOIN sel$step s USING (query_id)
+         | WHERE NOT EXISTS (SELECT 1 FROM sel$step x
+         |   WHERE x.query_id = c.query_id AND x.doc_id = c.doc_id)
+         | GROUP BY c.query_id, c.doc_id),
+         |s$step AS (SELECT query_id, doc_id, mmr, v FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY mmr DESC, doc_id) AS rn FROM m$step) WHERE rn = 1)""".stripMargin
+    }
+    val finalSel = (1 to k)
+      .map(i =>
+        s"SELECT query_id, doc_id, CAST($i AS BIGINT) AS rank, mmr FROM s$i")
+      .mkString(" UNION ALL ")
+    sb ++= s"\nSELECT query_id, doc_id, rank, mmr FROM ($finalSel)\nORDER BY query_id, rank"
+    sb.toString
+  }
+
   /** Exact batch-x-corpus Jaccard at full-recall dials — shared by the
     * direct incremental screening gate and its index-served twin. */
   private def incrementalNearOracle: String =
@@ -1364,6 +1414,23 @@ object LlmQueries {
         minHits = 4, eps = 0.10)
     },
 
+    // MMR diversified rerank over the brute-force top-20 shortlist:
+    // greedy lambda*rel - (1-lambda)*max-sim selection, k=5. The whole
+    // trajectory is deterministic (mmr rounded to 6dp before argmax,
+    // ties by doc_id), so the oracle replays all five greedy steps as
+    // unrolled SQL — a hard equality gate on every pick and its score,
+    // not a verdict.
+    "ann_mmr_rerank" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 20)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"),
+          col("score").as("rel"))
+      Similarity.mmrRerank(cand, emb, "vec_id", "embedding",
+          k = 5, lambda = 0.7)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // SemDeDup (Abbas et al. 2023): k-means cells bound the quadratic
     // pair scan, within-cell cosine >= threshold marks semantic dups,
     // component-min keeps one representative. The gate emits one row per
@@ -2094,6 +2161,9 @@ object LlmQueries {
     "ann_rp_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // Full greedy-MMR trajectory replay — hard equality on every pick.
+    "ann_mmr_rerank" -> s"WITH ${mmrOracleSql(5, 0.7, 20, 10)}",
 
     // Affine int8 codes recomputed from scratch: list_min/list_max are
     // exact, the (x - min)/scale doubles are the identical IEEE ops, and

@@ -438,6 +438,34 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(okWithEps.forall(_.getBoolean(1)))
   }
 
+  test("mmrRerank: picks the planted near-dup only once and prefers " +
+    "diverse candidates over redundant higher-rel ones") {
+    val emb = plantedVectors
+    // candidates for query 0: its exact top-10 — includes the planted
+    // ~0.999-cosine twin (100) and, implicitly, mutually-similar others
+    val cand = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        _ < 3, k = 10)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("score").as("rel"))
+    val relOrder = cand.filter(col("query_id") === 0)
+      .orderBy(col("rel").desc, col("doc_id"))
+      .collect().map(_.getLong(1)).toSeq
+    val mmr = Similarity.mmrRerank(cand, emb, "vec_id", "embedding",
+        k = 5, lambda = 0.5)
+      .filter(col("query_id") === 0).orderBy(col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+    // rank-1 pick is pure relevance; each doc appears at most once
+    assert(mmr.head == relOrder.head)
+    assert(mmr.distinct.size == mmr.size && mmr.size == 5)
+    assert(mmr.toSet.subsetOf(relOrder.toSet))
+    // at lambda = 1 MMR degenerates to the relevance order exactly
+    val pure = Similarity.mmrRerank(cand, emb, "vec_id", "embedding",
+        k = 5, lambda = 1.0)
+      .filter(col("query_id") === 0).orderBy(col("rank"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(pure == relOrder.take(5))
+  }
+
   test("randomProject: deterministic across partitionings, right dim, " +
     "and rpTopK finds planted near-dups") {
     val p1 = Similarity.randomProject(plantedVectors.repartition(1),
