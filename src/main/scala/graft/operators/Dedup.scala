@@ -706,6 +706,62 @@ object Dedup {
       .select(col("id").as(idCol)).distinct()
   }
 
+  /** Bloom-prefiltered n-gram decontamination — the SAME answer as
+    * [[spanContaminated]] with different broadcast economics, for the
+    * regime where the held-out suite itself is large (a full eval
+    * harness can carry 10^7-10^8 distinct n-grams, and a hash-set
+    * broadcast join build side costs ~8 bytes + table overhead per
+    * gram). Three stages:
+    *
+    *  1. BUILD (distributed): the benchmark window hashes stream through
+    *     Spark's mergeable `BloomFilterAggregate` — each task fills a
+    *     partial filter, partials OR-merge, and exactly ONE
+    *     `numBits/8`-byte blob reaches the driver (~1.2 MB per million
+    *     grams at fpp 0.01, ~10-20x smaller than the equivalent join
+    *     build side).
+    *  2. PREFILTER (map-side, shuffle-free): the corpus gram stream
+    *     tests membership against the blob embedded as a plan literal
+    *     via `BloomFilterMightContain` — no corpus shuffle, no join; a
+    *     ~(1-fpp) fraction of clean grams dies right at the scan.
+    *  3. CONFIRM (exact): only bloom survivors — true hits plus the
+    *     ~fpp false positives — reach the exact semi-join against the
+    *     benchmark hash set, so the final ids are EXACTLY
+    *     [[spanContaminated]]'s output (the correctness gate pins
+    *     equality, not approximation).
+    *
+    * The driver-side blob is bounded by construction (`numBits` from
+    * `BloomFilter.optimalNumOfBits(n, fpp)`, and Spark's aggregate
+    * enforces `spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold`
+    * -family ceilings) — the same bounded-model-collect idiom as the
+    * frozen IVF centroids. The benchmark side is scanned twice (exact
+    * sizing count + bloom build); it is the small side by definition. */
+  def spanContaminatedBloom(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, spanTokens: Int,
+      fpp: Double = 0.01): DataFrame = {
+    require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.sql.GraftBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    def spans(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      explode(graft.functions.SpanHashes.spanHashes(
+        TextAnalysis.normText(col(textCol)), spanTokens)).as("h"))
+    val benchSpans = spans(bench).select(col("h")).distinct()
+    val nGrams = math.max(benchSpans.count(), 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(nGrams, fpp)
+    val bloomAgg = GraftBridge.column(new BloomFilterAggregate(
+      GraftBridge.expression(col("h")),
+      Literal(nGrams), Literal(numBits)).toAggregateExpression())
+    val blob = benchSpans.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    val mightHit = GraftBridge.column(BloomFilterMightContain(
+      Literal(blob, BinaryType), GraftBridge.expression(col("h"))))
+    spans(corpus).filter(mightHit)
+      .join(benchSpans, Seq("h"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+  }
+
   /** Doc-level n-gram decontamination report — the published recipe
     * (GPT-3 appendix C, PaLM): for each corpus doc, the fraction of its
     * DISTINCT `spanTokens`-gram windows that appear anywhere in the

@@ -949,6 +949,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Bloom-prefiltered decontamination: distributed BloomFilterAggregate
+    // build over the benchmark grams, map-side mightContain prefilter on
+    // the corpus stream, exact confirm on the survivors. Same oracle SQL
+    // as the plain n-gram gate because the answer is EXACTLY equal — the
+    // bloom only changes where the work happens, never the result.
+    "pipeline_bloom_decontam" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      Dedup.spanContaminatedBloom(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", spanTokens = 8)
+        .orderBy(col("doc_id"))
+    },
+
     // Exact-substring span REMOVAL (the ACL'22 surgery step): duplicated
     // 8-token windows are cut out of every non-keeper doc (keeper = min
     // doc id containing the window), overlapping windows merging into one
@@ -1849,6 +1863,23 @@ object LlmQueries {
     // Same window construction as dedup_span_exact; contamination = a
     // corpus doc whose 8-token window set intersects the benchmark's.
     "pipeline_contamination_ngram" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT DISTINCT doc_id,
+        |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM n, generate_series(1, 200) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |b AS (SELECT DISTINCT span FROM w WHERE doc_id % 10 = 0)
+        |SELECT DISTINCT doc_id FROM w
+        |WHERE doc_id % 10 <> 0 AND span IN (SELECT span FROM b)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Bloom prefilter + exact confirm returns exactly the exact-join
+    // answer, so the oracle is the identical contamination query.
+    "pipeline_bloom_decontam" ->
       """WITH n AS (
         | SELECT doc_id,
         |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks

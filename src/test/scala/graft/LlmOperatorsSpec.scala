@@ -901,6 +901,26 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("spanContaminatedBloom equals exact spanContaminated") {
+    val run = (1 to 9).map(i => s"q$i").mkString(" ")
+    val bench = Seq((100L, s"benchmark question $run answer")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"a training doc that contains $run verbatim inside"),
+      (2L, "a clean training document with entirely original content here"),
+      (3L, s"short $run"),
+      (4L, "q1 q2 q3 q4 q5 q6 q7 only seven of the benchmark tokens")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.spanContaminated(corpus, bench, "doc_id", "text", 8)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // an aggressive fpp stresses the exact-confirm stage: false bloom
+    // positives must never survive to the output
+    for (fpp <- Seq(0.5, 0.01)) {
+      val got = Dedup.spanContaminatedBloom(corpus, bench, "doc_id", "text", 8, fpp)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == exact, s"fpp=$fpp")
+    }
+  }
+
   test("SpanHashesPos agrees with SpanHashes on window identity") {
     // removal correctness depends on the positional and distinct-set
     // hashers computing the same hashes from the same boundaries
