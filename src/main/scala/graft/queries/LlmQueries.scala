@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{Dedup, NgramLm, Profile, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{CountMin, Dedup, NgramLm, Profile, Retrieval, Similarity, TextAnalysis}
 
 /** LLM training-data pipeline operators under the correctness gate.
   *
@@ -398,6 +398,26 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))
         .limit(25)
+    },
+
+    // Count-Min frequency estimates for the top-25 terms: the sketch is
+    // the depth x width counter RELATION (one bounded-width shuffle to
+    // build, union+re-sum to merge), estimates are min-over-rows via a
+    // broadcast join. Portable row-salted md5 buckets let the oracle
+    // replay every counter exactly — no tolerance band; over_ok pins the
+    // sketch's one-sided error guarantee on top.
+    "text_countmin" -> { (s, d) =>
+      val toks = split(TextAnalysis.normText(lower(col("text"))), " ")
+      val terms = t(s, d, "documents").select(explode(toks).as("term"))
+        .filter(length(col("term")) >= 3)
+      val sk = CountMin.sketch(terms, "term", depth = 4, width = 1024)
+      val top = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("term")).limit(25)
+      CountMin.estimate(sk, top.select(col("term")), "term", depth = 4, width = 1024)
+        .join(top, Seq("term"))
+        .select(col("term"), col("n_exact"), col("n_est"),
+          (col("n_est") >= col("n_exact")).as("over_ok"))
+        .orderBy(col("term"))
     },
 
     "text_quality" -> { (s, d) =>
@@ -1673,6 +1693,31 @@ object LlmQueries {
         |GROUP BY term
         |ORDER BY n DESC, term
         |LIMIT 25""".stripMargin,
+
+    // Full bit-for-bit replay of the Count-Min counter table and the
+    // min-over-rows estimates via the shared portable md5 bucket hash.
+    "text_countmin" ->
+      """WITH toks AS (
+        | SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+        | FROM documents),
+        |f AS (SELECT term FROM toks WHERE length(term) >= 3),
+        |r AS (SELECT unnest(range(0, 4)) AS row),
+        |cnt AS (
+        | SELECT row,
+        |  CAST('0x' || substr(md5(CAST(row AS VARCHAR) || ':' || term), 1, 8) AS UBIGINT) % 1024 AS bucket,
+        |  COUNT(*) AS n
+        | FROM f CROSS JOIN r GROUP BY 1, 2),
+        |top AS (
+        | SELECT term, COUNT(*) AS n_exact FROM f GROUP BY term
+        | ORDER BY n_exact DESC, term LIMIT 25),
+        |est AS (
+        | SELECT t.term, MIN(COALESCE(c.n, 0)) AS n_est
+        | FROM top t CROSS JOIN r
+        | LEFT JOIN cnt c ON c.row = r.row AND c.bucket =
+        |  CAST('0x' || substr(md5(CAST(r.row AS VARCHAR) || ':' || t.term), 1, 8) AS UBIGINT) % 1024
+        | GROUP BY t.term)
+        |SELECT t.term, t.n_exact, e.n_est, (e.n_est >= t.n_exact) AS over_ok
+        |FROM top t JOIN est e USING (term) ORDER BY term""".stripMargin,
 
     "text_quality" ->
       """WITH n AS (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents)

@@ -901,6 +901,35 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("CountMin: one-sided error, unseen-term zero, relational merge") {
+    import graft.operators.CountMin
+    val a = Seq.fill(30)("alpha") ++ Seq.fill(12)("beta") ++ Seq.fill(5)("gamma")
+    val b = Seq.fill(9)("beta") ++ Seq.fill(7)("delta")
+    val dfA = a.toDF("term")
+    val dfB = b.toDF("term")
+    val exact = (a ++ b).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val queries = (exact.keys.toSeq :+ "never_seen").toDF("term")
+    // narrow sketch (collisions likely) still never under-counts
+    val skAll = CountMin.sketch((a ++ b).toDF("term"), "term", depth = 3, width = 8)
+    val est = CountMin.estimate(skAll, queries, "term", depth = 3, width = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) => assert(est(t) >= n, s"under-count for $t") }
+    // wide sketch: no collisions among 5 terms, estimates exact and
+    // unseen terms answer zero
+    val wide = CountMin.sketch((a ++ b).toDF("term"), "term", depth = 4, width = 4096)
+    val wideEst = CountMin.estimate(wide, queries, "term", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, n) => assert(wideEst(t) == n) }
+    assert(wideEst("never_seen") == 0L)
+    // merge = union + re-sum: counter tables are element-wise additive
+    val merged = CountMin.sketch(dfA, "term", 3, 8)
+      .unionByName(CountMin.sketch(dfB, "term", 3, 8))
+      .groupBy(col("row"), col("bucket")).agg(sum(col("n")).as("n"))
+    val mergedRows = merged.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val allRows = skAll.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mergedRows == allRows)
+  }
+
   test("spanContaminatedBloom equals exact spanContaminated") {
     val run = (1 to 9).map(i => s"q$i").mkString(" ")
     val bench = Seq((100L, s"benchmark question $run answer")).toDF("doc_id", "text")
