@@ -123,4 +123,34 @@ object Sampling {
         trainFrac, valFrac)
       .drop("__lfs_id", "cluster_id", "__lfs_rep")
   }
+
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): each row draws key
+    * u^(1/w) — compared in log space as ln(u)/w, which orders
+    * identically and never underflows — and the k LARGEST keys form
+    * the sample, distributed exactly as k sequential weighted draws
+    * without replacement. Quality- or length-proportional corpus
+    * selection in one pass, no per-draw loop.
+    *
+    * u is a 52-bit uniform from the row's md5 content hash, so the
+    * whole draw is a pure function of row content: deterministic across
+    * runs and cluster sizes, auditable, and replayable in any engine
+    * with md5 + ln — the gate's DuckDB oracle reruns the complete
+    * trajectory. `tieBreak` must be row-unique so equal keys (e.g.
+    * byte-identical rows) cannot make the kept set order-dependent.
+    *
+    * Scale shape: zero shuffle before the top-k, and the top-k plans as
+    * TakeOrderedAndProject — every partition keeps its best k rows and
+    * only n_partitions*k rows converge. Weights must be strictly
+    * positive (ln(u) < 0, so w <= 0 would invert the order). */
+  def weightedSample(df: DataFrame, hashOn: Column, weight: Column,
+                     tieBreak: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = conv(substring(md5(hashOn), 1, 13), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0) // (h+0.5)/2^52, in (0,1)
+    df.withColumn("__es_key", log(u) / weight)
+      .orderBy(col("__es_key").desc, tieBreak)
+      .limit(k)
+      .drop("__es_key")
+  }
 }

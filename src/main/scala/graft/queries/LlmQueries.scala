@@ -356,6 +356,21 @@ object LlmQueries {
         .orderBy(col("source"), col("split"))
     },
 
+    // Efraimidis-Spirakis weighted sampling without replacement, weights
+    // proportional to document length: one pass, key = ln(u)/w with u a
+    // 52-bit md5 content uniform, top-50 keys win. The oracle reruns the
+    // complete draw trajectory (every u, every key, the same top-k), so
+    // the selected set is pinned exactly, not statistically.
+    "pipeline_weighted_sample" -> { (s, d) =>
+      val w = greatest(length(col("text")), lit(1)).cast("double")
+      graft.operators.Sampling.weightedSample(
+          t(s, d, "documents"),
+          concat(col("doc_id"), lit(":"), col("text")), w, col("doc_id"), k = 50)
+        .select(col("doc_id"),
+          greatest(length(col("text")), lit(1)).cast("long").as("w"))
+        .orderBy(col("doc_id"))
+    },
+
     // Sliding-window document chunking (64-token chunks, 16-token
     // overlap): the pre-tokenization step before sequence packing.
     // chunk_text is md5'd so the gate output stays compact; the hash
@@ -1531,6 +1546,21 @@ object LlmQueries {
         | FROM documents)
         |SELECT source, split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS first_doc
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // Replays the full Efraimidis-Spirakis trajectory: the same 52-bit
+    // md5 uniform, the same ln(u)/w key, the same top-50. Key gaps are
+    // orders of magnitude above cross-engine libm ulp differences, so
+    // the selected set is deterministic.
+    "pipeline_weighted_sample" ->
+      """WITH k AS (
+        | SELECT doc_id, GREATEST(length(text), 1) AS w,
+        |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 13) AS UBIGINT) + 0.5)
+        |    / 4503599627370496.0 AS u
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, w, ln(u) / w AS es_key FROM k
+        | ORDER BY es_key DESC, doc_id LIMIT 50)
+        |SELECT doc_id, CAST(w AS BIGINT) AS w FROM s ORDER BY doc_id""".stripMargin,
 
     // Identical ROWS-frame prefix sum in hash order; the CASE mirrors the
     // per-stratum budget when-chain.

@@ -901,6 +901,25 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("weightedSample: deterministic, partitioning-invariant, weight-sensitive") {
+    import graft.operators.Sampling
+    val docs = (1L to 200L).map(i => (i, s"document body number $i")).toDF("id", "txt")
+    val hashOn = concat(col("id"), lit(":"), col("txt"))
+    def pick(df: org.apache.spark.sql.DataFrame, w: org.apache.spark.sql.Column) =
+      Sampling.weightedSample(df, hashOn, w, col("id"), 20)
+        .collect().map(_.getLong(0)).toSet
+    val base = pick(docs, lit(1.0))
+    // partitioning cannot change the draw
+    assert(pick(docs.repartition(13), lit(1.0)) == base)
+    // k >= n returns everything
+    assert(Sampling.weightedSample(docs, hashOn, lit(1.0), col("id"), 500).count() == 200)
+    // a huge weight forces selection: key ln(u)/w -> 0- as w grows
+    val boosted = pick(docs, when(col("id") === 77L, lit(1e9)).otherwise(lit(1.0)))
+    assert(boosted.contains(77L))
+    // and the un-boosted draw is a pure content function: rerun identical
+    assert(pick(docs, lit(1.0)) == base)
+  }
+
   test("CountMin: one-sided error, unseen-term zero, relational merge") {
     import graft.operators.CountMin
     val a = Seq.fill(30)("alpha") ++ Seq.fill(12)("beta") ++ Seq.fill(5)("gamma")
