@@ -124,6 +124,46 @@ object Sampling {
       .drop("__lfs_id", "cluster_id", "__lfs_rep")
   }
 
+  /** Temperature-scaled mixture sampling — the multilingual/multi-source
+    * rebalancing recipe (mT5, PaLM: sample source s with probability
+    * proportional to n_s^T, T in (0,1] flattening the source
+    * distribution so big sources stop drowning small ones). Per-source
+    * keep rates are DERIVED FROM THE DATA relationally:
+    *
+    *   rate_s = min(1, targetRows * p_s / n_s),  p_s = n_s^T / sum_t n_t^T
+    *
+    * then applied with the same per-row md5 content bucket as
+    * [[stratifiedSample]] — deterministic, partitioning-invariant,
+    * engine-replayable. The n_s^T terms round to 8dp and sum as exact
+    * DECIMAL so the normalizer is identical regardless of partitioning
+    * or engine (double summation order would drift in the last ulp);
+    * everything after is fixed-association double arithmetic on
+    * identical inputs.
+    *
+    * Scale shape: one tiny agg over the stratum column (map-side
+    * combined to #sources rows), a broadcast of #sources rates back
+    * onto the corpus, and a per-row scan filter — no corpus shuffle. */
+  def temperatureSample(df: DataFrame, strataCol: String, hashOn: Column,
+                        temperature: Double, targetRows: Long): DataFrame = {
+    require(temperature > 0.0 && temperature <= 1.0,
+      s"temperature must be in (0,1], got $temperature")
+    require(targetRows >= 0L, s"targetRows must be >= 0, got $targetRows")
+    val powed = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__ts_n"))
+      .withColumn("__ts_p",
+        round(pow(col("__ts_n"), lit(temperature)), 8).cast("decimal(28,8)"))
+    val tot = powed.agg(sum(col("__ts_p")).as("__ts_tot"))
+    val rates = powed.crossJoin(tot)
+      .withColumn("__ts_rate",
+        least(lit(1.0),
+          lit(targetRows.toDouble) * col("__ts_p").cast("double")
+            / col("__ts_tot").cast("double") / col("__ts_n").cast("double")))
+      .select(col(strataCol), floor(col("__ts_rate") * 65536).as("__ts_cut"))
+    df.join(broadcast(rates), Seq(strataCol))
+      .filter(conv(substring(md5(hashOn), 1, 4), 16, 10).cast("long") < col("__ts_cut"))
+      .drop("__ts_cut")
+  }
+
   /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
     * "Weighted random sampling with a reservoir"): each row draws key
     * u^(1/w) — compared in log space as ln(u)/w, which orders

@@ -325,6 +325,20 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Temperature-scaled mixture sampling (n_s^T source rebalancing, the
+    // mT5/PaLM recipe): per-source rates DERIVED from the data via an
+    // exact-decimal normalizer, applied with the md5 content bucket. The
+    // oracle recomputes counts, powers, the decimal sum, every rate and
+    // threshold, and the exact kept set.
+    "pipeline_temperature_mix" -> { (s, d) =>
+      graft.operators.Sampling.temperatureSample(
+          t(s, d, "documents"), "source", col("text"),
+          temperature = 0.5, targetRows = 300L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"))
+    },
+
     // Token-budget mixture fill: each source capped at a target TOKEN
     // count (training mixes are specified in tokens, not documents) by a
     // deterministic greedy fill in content-hash order — the first doc to
@@ -1535,6 +1549,25 @@ object LlmQueries {
         |WHERE b < CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |               WHEN 'src2' THEN '4000' ELSE '1999' END
         |GROUP BY source""".stripMargin,
+
+    // Replays the temperature-mix pipeline end-to-end: source counts,
+    // round-8dp powers summed as exact DECIMAL (order-independent
+    // normalizer), fixed-association double rates, floor thresholds,
+    // and the md5-bucket kept set.
+    "pipeline_temperature_mix" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |p AS (SELECT source, n, CAST(ROUND(pow(n, 0.5), 8) AS DECIMAL(28,8)) AS p FROM c),
+        |tt AS (SELECT SUM(p) AS tot FROM p),
+        |r AS (
+        | SELECT source,
+        |  FLOOR(LEAST(1.0,
+        |    300.0 * CAST(p AS DOUBLE) / CAST(tot AS DOUBLE) / CAST(n AS DOUBLE)) * 65536) AS cut
+        | FROM p CROSS JOIN tt),
+        |s AS (
+        | SELECT d.source, d.doc_id FROM documents d JOIN r USING (source)
+        | WHERE CAST('0x' || substr(md5(d.text), 1, 4) AS UBIGINT) < cut)
+        |SELECT source, COUNT(*) AS n_kept, MIN(doc_id) AS first_doc
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     // split thresholds: floor(0.8*65536)=0xcccc, floor(0.9*65536)=0xe666
     "pipeline_split" ->

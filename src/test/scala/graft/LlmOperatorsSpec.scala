@@ -901,6 +901,30 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("temperatureSample flattens source proportions and stays invariant") {
+    import graft.operators.Sampling
+    // 900-vs-100 imbalance; T=0.5 should lift the small source's share
+    val docs = ((1L to 900L).map(i => (i, "big", s"big doc $i")) ++
+      (901L to 1000L).map(i => (i, "small", s"small doc $i")))
+      .toDF("id", "src", "txt")
+    def shares(t: Double): Map[String, Long] =
+      Sampling.temperatureSample(docs, "src", col("txt"), t, targetRows = 200L)
+        .groupBy(col("src")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val flat = shares(0.5)
+    val prop = shares(1.0)
+    // proportional sampling keeps ~10% of the sample from 'small';
+    // T=0.5 must raise small's share: 100^0.5/(900^0.5+100^0.5) = 25%
+    val flatFrac = flat("small").toDouble / (flat("small") + flat("big"))
+    val propFrac = prop("small").toDouble / (prop("small") + prop("big"))
+    assert(flatFrac > propFrac + 0.05, s"flat=$flatFrac prop=$propFrac")
+    // partitioning-invariant and rerun-deterministic
+    val again = Sampling.temperatureSample(docs.repartition(11), "src", col("txt"), 0.5, 200L)
+      .groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == flat)
+  }
+
   test("weightedSample: deterministic, partitioning-invariant, weight-sensitive") {
     import graft.operators.Sampling
     val docs = (1L to 200L).map(i => (i, s"document body number $i")).toDF("id", "txt")
