@@ -88,4 +88,50 @@ object Profile {
         round(lit(mn) + (col("bin") + 1) * w, 4).as("hi"),
         col("n"))
   }
+
+  /** Pairwise Jensen-Shannon divergence (in nats) between the term
+    * distributions of each stratum (source, snapshot, shard...) — the
+    * drift monitor a continuously-ingesting corpus needs: JS is
+    * symmetric, bounded by ln 2, and zero iff the distributions match,
+    * so a new crawl snapshot whose divergence from the standing corpus
+    * jumps is flagged before it trains anything.
+    *
+    * The support is restricted to the global top-`topTerms` terms
+    * (count desc, term tiebreak — deterministic), which (a) bounds every
+    * intermediate at #strata * topTerms rows regardless of corpus size,
+    * the standard practice for drift monitors, and (b) lets the support
+    * table broadcast. One corpus scan feeds a (stratum, term) count
+    * whose shuffle is bounded by #strata * topTerms groups after
+    * map-side combine; the pairwise join runs on the tiny dense grid.
+    *
+    * Determinism contract: per-term contributions round to 12dp and sum
+    * as exact DECIMAL (order-independent), final divergence rounds to
+    * 6dp — identical on any partitioning and bit-replayable by the
+    * DuckDB oracle. */
+  def termDivergence(df: DataFrame, strataCol: String, textCol: String,
+                     topTerms: Int): DataFrame = {
+    require(topTerms >= 1, s"topTerms must be >= 1, got $topTerms")
+    val toks = split(TextAnalysis.normText(lower(col(textCol))), " ")
+    val terms = df.select(col(strataCol).as("src"), explode(toks).as("term"))
+      .filter(length(col("term")) >= 3)
+    val support = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(topTerms).select(col("term"))
+    val counts = terms.join(broadcast(support), Seq("term"))
+      .groupBy(col("src"), col("term")).agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("src")).agg(sum(col("c")).as("tot"))
+    val grid = totals.crossJoin(broadcast(support))
+      .join(counts, Seq("src", "term"), "left_outer")
+      .select(col("src"), col("term"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("tot").cast("double")).as("p"))
+    val a = grid.select(col("src").as("src_a"), col("term"), col("p").as("pa"))
+    val b = grid.select(col("src").as("src_b"), col("term"), col("p").as("pb"))
+    val m = col("pa") + col("pb")
+    val contrib =
+      (when(col("pa") > 0, col("pa") * log(lit(2.0) * col("pa") / m)).otherwise(lit(0.0)) +
+       when(col("pb") > 0, col("pb") * log(lit(2.0) * col("pb") / m)).otherwise(lit(0.0))) * lit(0.5)
+    a.join(b, Seq("term")).filter(col("src_a") < col("src_b"))
+      .withColumn("ct", round(contrib, 12).cast("decimal(28,12)"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(round(sum(col("ct")), 6).cast("double").as("js"))
+  }
 }

@@ -429,6 +429,16 @@ object LlmQueries {
         .limit(25)
     },
 
+    // Pairwise Jensen-Shannon divergence between source term
+    // distributions over the global top-500 support — the corpus drift
+    // monitor. Contributions round-12dp and sum as exact DECIMAL, so the
+    // oracle replays the entire computation bit-for-bit.
+    "text_source_divergence" -> { (s, d) =>
+      Profile.termDivergence(t(s, d, "documents"), "source", "text",
+          topTerms = 500)
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Count-Min frequency estimates for the top-25 terms: the sketch is
     // the depth x width counter RELATION (one bounded-width shuffle to
     // build, union+re-sum to merge), estimates are min-over-rows via a
@@ -1756,6 +1766,40 @@ object LlmQueries {
         |GROUP BY term
         |ORDER BY n DESC, term
         |LIMIT 25""".stripMargin,
+
+    // Replays the JS-divergence pipeline: top-500 support, per-source
+    // probabilities over the restricted support, per-term contributions
+    // (same fixed association), round-12dp DECIMAL sums, round-6 final.
+    "text_source_divergence" ->
+      """WITH toks AS (
+        | SELECT source AS src,
+        |  unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+        | FROM documents),
+        |f AS (SELECT src, term FROM toks WHERE length(term) >= 3),
+        |support AS (
+        | SELECT term FROM (
+        |  SELECT term, COUNT(*) AS n FROM f GROUP BY term
+        |  ORDER BY n DESC, term LIMIT 500)),
+        |cnt AS (
+        | SELECT src, term, COUNT(*) AS c FROM f
+        | WHERE term IN (SELECT term FROM support) GROUP BY 1, 2),
+        |tot AS (SELECT src, SUM(c) AS tot FROM cnt GROUP BY src),
+        |grid AS (
+        | SELECT t.src, s.term,
+        |  CAST(COALESCE(c.c, 0) AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+        | FROM tot t CROSS JOIN support s
+        | LEFT JOIN cnt c ON c.src = t.src AND c.term = s.term),
+        |pr AS (
+        | SELECT a.src AS src_a, b.src AS src_b, a.p AS pa, b.p AS pb
+        | FROM grid a JOIN grid b ON a.term = b.term AND a.src < b.src),
+        |contrib AS (
+        | SELECT src_a, src_b,
+        |  CAST(ROUND((CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END +
+        |              CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END) * 0.5, 12)
+        |   AS DECIMAL(28,12)) AS ct
+        | FROM pr)
+        |SELECT src_a, src_b, CAST(ROUND(SUM(ct), 6) AS DOUBLE) AS js
+        |FROM contrib GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     // Full bit-for-bit replay of the Count-Min counter table and the
     // min-over-rows estimates via the shared portable md5 bucket hash.

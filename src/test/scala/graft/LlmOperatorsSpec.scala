@@ -901,6 +901,26 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("termDivergence: zero for identical, ln2 for disjoint, bounded between") {
+    val docs = Seq(
+      (1L, "same", "apple banana cherry apple banana"),
+      (2L, "copy", "apple banana cherry apple banana"),
+      (3L, "other", "xylophone zeppelin quasar xylophone zeppelin"),
+      (4L, "mixed", "apple banana xylophone zeppelin cherry")
+    ).toDF("id", "src", "txt")
+    val js = Profile.termDivergence(docs, "src", "txt", topTerms = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(js(("copy", "same")) == 0.0)
+    val ln2 = math.log(2.0)
+    assert(math.abs(js(("other", "same")) - ln2) < 1e-6) // disjoint vocab
+    val mid = js(("mixed", "same"))
+    assert(mid > 0.0 && mid < ln2)
+    // partitioning invariance: bit-identical on a different layout
+    val again = Profile.termDivergence(docs.repartition(7), "src", "txt", 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(again == js)
+  }
+
   test("temperatureSample flattens source proportions and stays invariant") {
     import graft.operators.Sampling
     // 900-vs-100 imbalance; T=0.5 should lift the small source's share
