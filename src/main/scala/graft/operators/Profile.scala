@@ -89,6 +89,78 @@ object Profile {
         col("n"))
   }
 
+  /** Mergeable (incremental) profile: every field is a monoid, so
+    * per-shard / per-day profiles MERGE into the corpus profile with
+    * [[mergeSketched]] instead of re-scanning 100 TB — the profile
+    * refresh path for continuous ingestion. Counts sum; bounds carry in
+    * merge-safe typed fields (numeric bounds as double, string bounds
+    * as string — a lexicographic min over RENDERED numerics would rank
+    * "10" < "9"); distinct cardinality carries as a DataSketches HLL
+    * SKETCH (binary), which unions by per-register max. The count and
+    * bound fields merge EXACTLY (pinned as hard equality in the gate);
+    * the HLL estimate merges within the sketch's error band but is NOT
+    * guaranteed bit-equal to the single-pass estimate — near the
+    * coupon-set -> dense-HLL promotion threshold (~500 distinct at the
+    * default lgK 12) different union orders can leave the sketch in
+    * different modes with slightly different estimators, so the gate
+    * pins agreement to 5%, not equality. One Aggregate scan per shard,
+    * struct-explode unpivot, no driver loops.
+    *
+    * Columns must be int/long/string/binary (the types
+    * `hll_sketch_agg` accepts). */
+  def sketched(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in input: ${missing.mkString(", ")}")
+    def isNum(c: String) =
+      df.schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__nn"),
+        hll_sketch_agg(col(c)).as(s"${c}__hll"),
+        (if (isNum(c)) min(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__minn"),
+        (if (isNum(c)) max(col(c)).cast("double") else lit(null).cast("double"))
+          .as(s"${c}__maxn"),
+        (if (isNum(c)) lit(null).cast("string") else min(col(c)).cast("string"))
+          .as(s"${c}__mins"),
+        (if (isNum(c)) lit(null).cast("string") else max(col(c)).cast("string"))
+          .as(s"${c}__maxs"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"), col(s"${c}__nn").as("nn"),
+        col(s"${c}__hll").as("hll"),
+        col(s"${c}__minn").as("min_num"), col(s"${c}__maxn").as("max_num"),
+        col(s"${c}__mins").as("min_str"), col(s"${c}__maxs").as("max_str"))
+    }
+    one.select(col("n_rows"), explode(array(entries: _*)).as("p"))
+      .select(col("p.col_name").as("col_name"), col("n_rows"),
+        (col("n_rows") - col("p.nn")).as("n_nulls"), col("p.hll").as("hll"),
+        col("p.min_num"), col("p.max_num"), col("p.min_str"), col("p.max_str"))
+  }
+
+  /** Merge per-shard [[sketched]] profiles: counts sum, bounds min/max,
+    * HLL sketches union (per-register max). The merge itself is a tiny
+    * #cols-row aggregation. */
+  def mergeSketched(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeSketched needs at least one part")
+    parts.reduce(_ unionByName _)
+      .groupBy(col("col_name"))
+      .agg(sum(col("n_rows")).as("n_rows"), sum(col("n_nulls")).as("n_nulls"),
+        hll_union_agg(col("hll")).as("hll"),
+        min(col("min_num")).as("min_num"), max(col("max_num")).as("max_num"),
+        min(col("min_str")).as("min_str"), max(col("max_str")).as("max_str"))
+  }
+
+  /** Render a [[sketched]]/[[mergeSketched]] profile to the readable
+    * shape: estimated distinct count + string bounds. */
+  def finalizeSketched(p: DataFrame): DataFrame =
+    p.select(col("col_name"), col("n_rows"), col("n_nulls"),
+      hll_sketch_estimate(col("hll")).as("n_distinct_est"),
+      coalesce(col("min_str"), col("min_num").cast("string")).as("min_v"),
+      coalesce(col("max_str"), col("max_num").cast("string")).as("max_v"))
+
   /** Pairwise Jensen-Shannon divergence (in nats) between the term
     * distributions of each stratum (source, snapshot, shard...) — the
     * drift monitor a continuously-ingesting corpus needs: JS is

@@ -1131,6 +1131,40 @@ object LlmQueries {
         .orderBy(col("col_name"))
     },
 
+    // Incremental profile refresh: two disjoint half-corpus sketched
+    // profiles merged must EQUAL the single-pass profile on every exact
+    // monoid field (counts, bounds — hard equality), the merged and
+    // direct HLL estimates must agree within 5% (bit-equality is mode-
+    // dependent near the coupon->dense promotion threshold), and the
+    // merged estimate must sit within 5% of exact.
+    "profile_incremental" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val cols = Seq("doc_id", "source", "text")
+      val parts = Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+      val merged = Profile.finalizeSketched(
+        Profile.mergeSketched(parts.map(Profile.sketched(_, cols))))
+      val direct = Profile.finalizeSketched(Profile.sketched(docs, cols))
+      val exact = Profile.exact(docs, cols)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      val m = merged.alias("m")
+      val g = direct.alias("g")
+      val eq = Seq("n_rows", "n_nulls", "min_v", "max_v")
+        .map(f => col(s"m.$f") <=> col(s"g.$f")).reduce(_ && _)
+      m.join(g, col("m.col_name") === col("g.col_name"))
+        .select(col("m.col_name").as("col_name"),
+          col("m.n_distinct_est").as("n_est_m"),
+          col("g.n_distinct_est").as("n_est_g"), eq.as("merged_eq_direct"))
+        .join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("merged_eq_direct"),
+          (abs(col("n_est_m") - col("n_est_g")).cast("double") / col("n_distinct")
+            <= 0.05).as("est_agree"),
+          (abs(col("n_est_m") - col("n_distinct")).cast("double") / col("n_distinct")
+            <= 0.05).as("est_ok"))
+        .orderBy(col("col_name"))
+    },
+
     // Distribution shape beside the bounds/cardinality profile: 20-bin
     // equi-width histogram of the events value column. Bin assignment is
     // a closed-form floor over the same IEEE doubles in both engines, so
@@ -2254,6 +2288,22 @@ object LlmQueries {
         |SELECT bin, ROUND(mn + bin * w, 4) AS lo,
         | ROUND(mn + (bin + 1) * w, 4) AS hi, COUNT(*) AS n
         |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin,
+
+    // Exact fields replayed in DuckDB; the mergeability equality and the
+    // 5% HLL band are deterministic Spark-side verdicts pinned true.
+    "profile_incremental" ->
+      """WITH d AS (SELECT * FROM documents)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, merged_eq_direct, est_agree, est_ok FROM (
+        | SELECT 'doc_id' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(doc_id) AS n_nulls, COUNT(DISTINCT doc_id) AS n_distinct,
+        |  true AS merged_eq_direct, true AS est_agree, true AS est_ok FROM d
+        | UNION ALL
+        | SELECT 'source', COUNT(*), COUNT(*) - COUNT(source), COUNT(DISTINCT source),
+        |  true, true, true FROM d
+        | UNION ALL
+        | SELECT 'text', COUNT(*), COUNT(*) - COUNT(text), COUNT(DISTINCT text),
+        |  true, true, true FROM d)
+        |ORDER BY col_name""".stripMargin,
 
     "profile_documents" ->
       """WITH d AS (SELECT * FROM documents)

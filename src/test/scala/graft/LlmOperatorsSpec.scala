@@ -901,6 +901,30 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("sketched profile merges exactly on monoid fields across 3 shards") {
+    // ids straddle 9/10 so a lexicographic merge of rendered numeric
+    // bounds would return min "10": the typed bound fields must not
+    val rows = (5L to 14L).map(i => (i, if (i % 3 == 0) null else s"v$i"))
+    val df = rows.toDF("id", "s")
+    val cols = Seq("id", "s")
+    val parts = Seq(df.filter(col("id") % 3 === 0), df.filter(col("id") % 3 === 1),
+      df.filter(col("id") % 3 === 2))
+    val merged = Profile.finalizeSketched(
+        Profile.mergeSketched(parts.map(Profile.sketched(_, cols))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val direct = Profile.finalizeSketched(Profile.sketched(df, cols))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- cols; f <- Seq(1, 2, 4, 5)) // n_rows, n_nulls, min_v, max_v
+      assert(merged(c).get(f) == direct(c).get(f), s"col=$c field=$f")
+    assert(merged("id").getString(4) == "5.0" && merged("id").getString(5) == "14.0")
+    // small cardinalities sit far from the sketch mode boundary: the
+    // estimates agree exactly here, and a single-part merge is identity
+    for (c <- cols) assert(merged(c).getLong(3) == direct(c).getLong(3))
+    val one = Profile.finalizeSketched(Profile.mergeSketched(Seq(Profile.sketched(df, cols))))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (c <- cols; f <- 1 to 5) assert(one(c).get(f) == direct(c).get(f))
+  }
+
   test("termDivergence: zero for identical, ln2 for disjoint, bounded between") {
     val docs = Seq(
       (1L, "same", "apple banana cherry apple banana"),
