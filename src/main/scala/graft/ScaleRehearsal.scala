@@ -310,7 +310,23 @@ object ScaleRehearsal {
           docs.filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
           threshold = 0.6).count()
-      })
+      }),
+      // round-7 additions. Bloom decontamination must scale like the
+      // exact contamination probe it answers identically to (one corpus
+      // scan; the bloom build is over the small bench side); the JS
+      // drift monitor's intermediates are all bounded at
+      // #sources x topTerms rows, so growth must track the corpus SCAN,
+      // not the pairwise join.
+      "bloom_decontam" -> (() => {
+        val docs = t(spark, d, "documents")
+        Dedup.spanContaminatedBloom(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", spanTokens = 8).count()
+      }),
+      "source_divergence" -> (() =>
+        graft.operators.Profile.termDivergence(t(spark, d, "documents"),
+          "source", "text", topTerms = 500).count())
     )
     // skewed-corpus probes: the dials that must absorb the skew
     def skewProbes(d: String): Seq[(String, () => Long)] = Seq(

@@ -54,9 +54,13 @@ object SparkEntry {
     "dedup_span_scrub",
     "dedup_incremental", "dedup_incremental_near", "dedup_incremental_serve",
     "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
+    "pipeline_bloom_decontam",
     "pipeline_dsir_select", "pipeline_quality_ensemble",
     "pipeline_seeded_shuffle", "pipeline_leakfree_split",
+    "pipeline_weighted_sample", "pipeline_temperature_mix",
+    "text_countmin", "text_source_divergence",
     "profile_documents", "profile_documents_approx", "profile_histogram",
+    "profile_incremental",
     "emb_cosine_topk",
     "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_mmr_rerank",
     "ann_ivf_topk", "ann_ivf_topk_engine",
