@@ -429,6 +429,21 @@ object LlmQueries {
         .limit(25)
     },
 
+    // Snapshot diff between the corpus and a synthetic refresh of it
+    // (10%-keys removed, every 7th text revised, every 5th re-added
+    // under a shifted id): the dataset-versioning audit. Fingerprints
+    // are md5 so the oracle replays the entire classification.
+    "pipeline_snapshot_diff" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val after = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 1,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.SnapshotDiff.summary(docs, after, "doc_id", Seq("text"))
+        .orderBy(col("status"))
+    },
+
     // Pairwise Jensen-Shannon divergence between source term
     // distributions over the global top-500 support — the corpus drift
     // monitor. Contributions round-12dp and sum as exact DECIMAL, so the
@@ -1800,6 +1815,30 @@ object LlmQueries {
         |GROUP BY term
         |ORDER BY n DESC, term
         |LIMIT 25""".stripMargin,
+
+    // Replays the synthetic refresh and the full-outer fingerprint
+    // classification.
+    "pipeline_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, md5(text) AS fa FROM documents),
+        |b0 AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END AS text
+        | FROM documents WHERE doc_id % 10 <> 0),
+        |badd AS (
+        | SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        | WHERE doc_id % 5 = 0),
+        |b AS (
+        | SELECT doc_id, md5(text) AS fb FROM
+        |  (SELECT * FROM b0 UNION ALL SELECT * FROM badd)),
+        |d AS (
+        | SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN fa <> fb THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        | FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+        |SELECT status, COUNT(*) AS n, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
 
     // Replays the JS-divergence pipeline: top-500 support, per-source
     // probabilities over the restricted support, per-term contributions

@@ -901,6 +901,22 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("SnapshotDiff classifies added/removed/changed/unchanged incl. nulls") {
+    import graft.operators.SnapshotDiff
+    val before = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
+      (4L, None: Option[String])).toDF("id", "txt")
+    val after = Seq((2L, Option("b")), (3L, Option("c2")),
+      (4L, None: Option[String]), (5L, Option("e"))).toDF("id", "txt")
+    val got = SnapshotDiff.diff(before, after, "id", Seq("txt"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed",
+      4L -> "unchanged", 5L -> "added")) // null content is NOT "missing"
+    val sum = SnapshotDiff.summary(before, after, "id", Seq("txt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sum == Map("removed" -> 1L, "unchanged" -> 2L, "changed" -> 1L,
+      "added" -> 1L))
+  }
+
   test("sketched profile merges exactly on monoid fields across 3 shards") {
     // ids straddle 9/10 so a lexicographic merge of rendered numeric
     // bounds would return min "10": the typed bound fields must not
