@@ -53,6 +53,7 @@ object SparkEntry {
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",
     "dedup_incremental", "dedup_incremental_near", "dedup_incremental_serve",
+    "dedup_keep_best",
     "pipeline_contamination_norm", "pipeline_decontaminate_scrub",
     "pipeline_bloom_decontam",
     "pipeline_dsir_select", "pipeline_quality_ensemble",

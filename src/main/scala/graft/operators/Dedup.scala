@@ -442,6 +442,30 @@ object Dedup {
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
+  /** Quality-aware canonical selection: like [[keepCanonical]], but the
+    * survivor of each near-dup cluster is the member with the HIGHEST
+    * `score` (ties -> lowest id) instead of the lowest id — the policy
+    * production dedup actually wants, since the canonical copy should
+    * be the best-written/longest variant, not whichever crawled first.
+    *
+    * Scale shape matches [[keepCanonical]]: cluster labeling touches
+    * only PAIRED ids, the argmax window runs over the pair-bounded
+    * labeled frame carrying just (id, score), and the full corpus is
+    * only ever probed by a broadcastable id-only anti-join — unpaired
+    * docs never shuffle. */
+  def keepBest(df: DataFrame, pairs: DataFrame, idCol: String,
+      score: Column, aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val comps = connectedComponents(pairs, aCol, bCol)
+    val scored = df.select(col(idCol).as("id"), score.as("__kb_s"))
+      .join(comps, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__kb_s").desc, col("id"))
+    val drop = scored.withColumn("__kb_rn", row_number().over(w))
+      .filter(col("__kb_rn") =!= 1).select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
+
   /** Incremental exact dedup — the production pattern for a corpus that
     * grows batch by batch: of the `batch` docs, keep the min-`idCol` copy
     * of each distinct normalized text, then drop those whose fingerprint

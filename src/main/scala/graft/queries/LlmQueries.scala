@@ -1138,6 +1138,20 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Quality-aware canonicalization over the same pair graph: the
+    // survivor of each cluster is the LONGEST member (tie -> lowest id)
+    // — the keep-the-best-variant policy — instead of keep_canonical's
+    // lowest id. Same oracle cluster replay, argmax survivor rule.
+    "dedup_keep_best" -> { (s, d) =>
+      val docs = t(s, d, "documents").filter(col("doc_id") < 100)
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        n = 5, threshold = 0.25)
+      Dedup.keepBest(docs, pairs, "doc_id",
+          length(TextAnalysis.normText(col("text"))))
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
     // One-scan table profile (null/distinct/bounds per column) — the
     // before/after data-quality snapshot of every pipeline stage.
     "profile_documents" -> { (s, d) =>
@@ -2296,6 +2310,41 @@ object LlmQueries {
         | SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
         |drop_ids AS (
         | SELECT u AS id FROM reach GROUP BY u HAVING LEAST(u, MIN(v)) <> u)
+        |SELECT doc_id, md5(t) AS fp FROM n
+        |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Same cluster replay as dedup_keep_canonical; the survivor rule is
+    // argmax(length, tie lowest id) over each component.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents WHERE doc_id < 100),
+        |s AS (
+        | SELECT DISTINCT doc_id, substr(t, i.i, 5) AS g
+        | FROM n, generate_series(1, 600) i(i)
+        | WHERE i.i <= GREATEST(length(t) - 4, 1)),
+        |ds AS (SELECT doc_id, COUNT(*) AS nsh FROM s GROUP BY 1),
+        |ip AS (
+        | SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        | FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id
+        | GROUP BY 1, 2),
+        |p AS (
+        | SELECT a_id, b_id FROM ip
+        | JOIN ds na ON na.doc_id = a_id
+        | JOIN ds nb ON nb.doc_id = b_id
+        | WHERE inter / (na.nsh + nb.nsh - inter) >= 0.25),
+        |und AS (SELECT a_id AS u, b_id AS v FROM p UNION SELECT b_id, a_id FROM p),
+        |reach(u, v) AS (
+        | SELECT u, v FROM und
+        | UNION
+        | SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+        |comp AS (SELECT u AS id, LEAST(u, MIN(v)) AS cid FROM reach GROUP BY u),
+        |m AS (SELECT c.id, c.cid, length(n.t) AS len FROM comp c JOIN n ON n.doc_id = c.id),
+        |r AS (
+        | SELECT id, ROW_NUMBER() OVER (PARTITION BY cid ORDER BY len DESC, id) AS rn
+        | FROM m),
+        |drop_ids AS (SELECT id FROM r WHERE rn <> 1)
         |SELECT doc_id, md5(t) AS fp FROM n
         |WHERE doc_id NOT IN (SELECT id FROM drop_ids)
         |ORDER BY doc_id""".stripMargin,

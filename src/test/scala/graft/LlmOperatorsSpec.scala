@@ -901,6 +901,21 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("keepBest keeps the highest-score cluster member, not the lowest id") {
+    val docs = Seq(
+      (1L, "short dup", 5.0), (2L, "short dup plus more detail", 9.0),
+      (3L, "short dup v3", 6.0), (10L, "unrelated standalone doc", 1.0)
+    ).toDF("id", "txt", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.keepBest(docs, pairs, "id", col("q"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(2L, 10L)) // 2 wins its cluster on score; 10 untouched
+    // ties break to the lowest id, matching the oracle's ORDER BY
+    val tied = Dedup.keepBest(docs.withColumn("q", lit(1.0)), pairs, "id", col("q"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(tied == Seq(1L, 10L))
+  }
+
   test("SnapshotDiff classifies added/removed/changed/unchanged incl. nulls") {
     import graft.operators.SnapshotDiff
     val before = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("c")),
