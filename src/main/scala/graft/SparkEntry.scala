@@ -58,8 +58,8 @@ object SparkEntry {
     "pipeline_bloom_decontam",
     "pipeline_dsir_select", "pipeline_quality_ensemble",
     "pipeline_seeded_shuffle", "pipeline_leakfree_split",
-    "pipeline_weighted_sample", "pipeline_temperature_mix",
-    "pipeline_snapshot_diff",
+    "pipeline_weighted_sample", "pipeline_weighted_stratum",
+    "pipeline_temperature_mix", "pipeline_snapshot_diff",
     "text_countmin", "text_source_divergence",
     "profile_documents", "profile_documents_approx", "profile_histogram",
     "profile_incremental",

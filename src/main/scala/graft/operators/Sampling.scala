@@ -186,11 +186,37 @@ object Sampling {
   def weightedSample(df: DataFrame, hashOn: Column, weight: Column,
                      tieBreak: Column, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val h = conv(substring(md5(hashOn), 1, 13), 16, 10).cast("double")
-    val u = (h + lit(0.5)) / lit(4503599627370496.0) // (h+0.5)/2^52, in (0,1)
-    df.withColumn("__es_key", log(u) / weight)
+    df.withColumn("__es_key", esKey(hashOn, weight))
       .orderBy(col("__es_key").desc, tieBreak)
       .limit(k)
       .drop("__es_key")
+  }
+
+  /** Per-stratum [[weightedSample]]: k independent weighted draws
+    * without replacement WITHIN each stratum (source, domain, lang) in
+    * one pass — the per-domain selection step of a mixing recipe
+    * ("best k docs from every domain, length/quality-weighted"). Same
+    * deterministic Efraimidis-Spirakis key; ONE shuffle (the
+    * per-stratum window), and Spark plans the rank filter as a
+    * WindowGroupLimit, pruning each partition to k rows per stratum
+    * map-side before the exchange. */
+  def weightedSamplePerStratum(df: DataFrame, strataCol: String,
+      hashOn: Column, weight: Column, tieBreak: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(col("__es_key").desc, tieBreak)
+    df.withColumn("__es_key", esKey(hashOn, weight))
+      .withColumn("__es_rn", row_number().over(w))
+      .filter(col("__es_rn") <= k)
+      .drop("__es_key", "__es_rn")
+  }
+
+  /** The Efraimidis-Spirakis log-space draw key ln(u)/w, u a 52-bit md5
+    * content uniform in (0,1). */
+  private def esKey(hashOn: Column, weight: Column): Column = {
+    val h = conv(substring(md5(hashOn), 1, 13), 16, 10).cast("double")
+    val u = (h + lit(0.5)) / lit(4503599627370496.0) // (h+0.5)/2^52
+    log(u) / weight
   }
 }

@@ -385,6 +385,18 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Per-stratum weighted draws: the best 3 length-weighted picks from
+    // EVERY source in one windowed pass (WindowGroupLimit prunes to k
+    // per stratum map-side). Oracle reruns each stratum's trajectory.
+    "pipeline_weighted_stratum" -> { (s, d) =>
+      val w = greatest(length(col("text")), lit(1)).cast("double")
+      graft.operators.Sampling.weightedSamplePerStratum(
+          t(s, d, "documents"), "source",
+          concat(col("doc_id"), lit(":"), col("text")), w, col("doc_id"), k = 3)
+        .select(col("source"), col("doc_id"))
+        .orderBy(col("source"), col("doc_id"))
+    },
+
     // Sliding-window document chunking (64-token chunks, 16-token
     // overlap): the pre-tokenization step before sequence packing.
     // chunk_text is md5'd so the gate output stays compact; the hash
@@ -1667,6 +1679,20 @@ object LlmQueries {
         | SELECT doc_id, w, ln(u) / w AS es_key FROM k
         | ORDER BY es_key DESC, doc_id LIMIT 50)
         |SELECT doc_id, CAST(w AS BIGINT) AS w FROM s ORDER BY doc_id""".stripMargin,
+
+    // Same E-S key, ranked within each source partition.
+    "pipeline_weighted_stratum" ->
+      """WITH k AS (
+        | SELECT source, doc_id, GREATEST(length(text), 1) AS w,
+        |  (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 13) AS UBIGINT) + 0.5)
+        |    / 4503599627370496.0 AS u
+        | FROM documents),
+        |r AS (
+        | SELECT source, doc_id,
+        |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY ln(u) / w DESC, doc_id) AS rn
+        | FROM k)
+        |SELECT source, doc_id FROM r WHERE rn <= 3
+        |ORDER BY source, doc_id""".stripMargin,
 
     // Identical ROWS-frame prefix sum in hash order; the CASE mirrors the
     // per-stratum budget when-chain.

@@ -901,6 +901,26 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("weightedSamplePerStratum draws k per stratum via WindowGroupLimit") {
+    import graft.operators.Sampling
+    val docs = ((1L to 50L).map(i => (i, "a", s"doc body $i")) ++
+      (51L to 53L).map(i => (i, "b", s"doc body $i"))).toDF("id", "src", "txt")
+    val hashOn = concat(col("id"), lit(":"), col("txt"))
+    val got = Sampling.weightedSamplePerStratum(docs, "src", hashOn, lit(1.0),
+      col("id"), k = 5)
+    val bySrc = got.groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("a" -> 5L, "b" -> 3L)) // k caps, small stratum whole
+    // the rank filter must plan as WindowGroupLimit (map-side per-stratum
+    // pruning before the exchange), not a full sort + filter
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(500))
+    // partitioning invariance
+    val again = Sampling.weightedSamplePerStratum(docs.repartition(9), "src",
+      hashOn, lit(1.0), col("id"), 5).collect().map(_.getLong(0)).toSet
+    assert(again == got.collect().map(_.getLong(0)).toSet)
+  }
+
   test("keepBest keeps the highest-score cluster member, not the lowest id") {
     val docs = Seq(
       (1L, "short dup", 5.0), (2L, "short dup plus more detail", 9.0),
