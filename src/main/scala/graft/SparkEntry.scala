@@ -63,7 +63,7 @@ object SparkEntry {
     "text_countmin", "text_source_divergence",
     "profile_documents", "profile_documents_approx", "profile_histogram",
     "profile_incremental",
-    "emb_cosine_topk",
+    "emb_cosine_topk", "emb_benchmark_overlap",
     "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_mmr_rerank",
     "ann_ivf_topk", "ann_ivf_topk_engine",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",

@@ -719,6 +719,41 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos_raw"), 4).as("cosine"))
   }
 
+  /** Cross-set semantic overlap — the EMBEDDING leg of benchmark
+    * decontamination: flag every corpus vector whose max cosine against
+    * ANY benchmark vector reaches `threshold`, reporting the argmax
+    * benchmark id (catches the paraphrased near-copies that n-gram
+    * overlap misses; pairs with [[graft.operators.Dedup.spanContaminated]]
+    * the way published pipelines run both lexical and semantic checks).
+    *
+    * Scale shape: the benchmark side BROADCASTS (a held-out suite is
+    * small by nature — guard-bounded like the all-pairs tools), the
+    * corpus streams through one map-side probe per row, rows below the
+    * threshold die at the scan, and only (id, bench_id, cos) scalars
+    * from flagged rows reach the max-aggregate shuffle — corpus
+    * embeddings never shuffle. The argmax is a struct-max with the
+    * bench id NEGATED so cosine ties break to the LOWEST bench id,
+    * mirroring the oracle's (cos DESC, bench_id) order. */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+      idCol: String, vecCol: String, threshold: Double,
+      maxBenchRows: Long = 10000): DataFrame = {
+    val b = bench.select(col(idCol).as("bench_id"), asDouble(col(vecCol)).as("bvec"))
+    val over = b.limit((maxBenchRows + 1).min(Int.MaxValue).toInt).count() > maxBenchRows
+    require(!over,
+      s"semanticContamination broadcasts the benchmark side; input exceeds " +
+        s"maxBenchRows=$maxBenchRows. Shard the benchmark or raise the bound " +
+        "explicitly.")
+    corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .join(broadcast(b))
+      .select(col("id"), col("bench_id"),
+        cosine(col("vec"), col("bvec")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .groupBy(col("id"))
+      .agg(max(struct(col("cos_raw"), (-col("bench_id")).as("nid"))).as("m"))
+      .select(col("id").as(idCol), (-col("m.nid")).as("bench_id"),
+        round(col("m.cos_raw"), 4).as("cosine"))
+  }
+
   /** Near-dup pairs by embedding at scale: random-hyperplane LSH candidate
     * generation (pairs sharing any of L table buckets — a bucket-local
     * equi-join, linear in corpus size) followed by EXACT cosine re-scoring,

@@ -1239,6 +1239,19 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Semantic benchmark overlap (every 10th vector stands in for the
+    // held-out suite): corpus vectors whose max cosine against any bench
+    // vector reaches 0.35, with the argmax bench id — the embedding leg
+    // of decontamination beside the n-gram gates.
+    "emb_benchmark_overlap" -> { (s, d) =>
+      val emb = t(s, d, "embeddings").filter(col("vec_id") < 500)
+      Similarity.semanticContamination(
+          emb.filter(col("vec_id") % 10 =!= 0),
+          emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy(col("vec_id"))
+    },
+
     // Precision gate for the scale path: LSH candidates -> exact re-score
     // can only MISS pairs, never invent them, so (lsh UNION brute-force)
     // must equal the brute-force answer the DuckDB oracle computes. A
@@ -2446,6 +2459,24 @@ object LlmQueries {
         | ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |FROM e a, e b
         |WHERE a.vec_id < b.vec_id AND list_cosine_similarity(a.v, b.v) >= 0.35""".stripMargin,
+
+    // Same cosine kernel; per-corpus-row argmax replayed with a
+    // (cos DESC, bench_id) row_number.
+    "emb_benchmark_overlap" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |s AS (
+        | SELECT c.vec_id, b.vec_id AS bench_id,
+        |  list_cosine_similarity(c.v, b.v) AS cr
+        | FROM c, b),
+        |f AS (
+        | SELECT vec_id, bench_id, cr,
+        |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cr DESC, bench_id) AS rn
+        | FROM s WHERE cr >= 0.35)
+        |SELECT vec_id, bench_id, ROUND(cr, 4) AS cosine
+        |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // identical to dedup_embedding_cosine: the union-with-exact Spark query
     // must collapse to exactly the brute-force answer (precision check)

@@ -901,6 +901,27 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got == Seq(1L, 3L)) // 4 shares only a 7-token run: not flagged
   }
 
+  test("semanticContamination flags argmax bench match with min-id ties") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),  // aligned with both bench vectors
+      (2L, Array(0.0f, 1.0f)),  // orthogonal to both
+      (3L, Array(0.6f, 0.8f))   // partial overlap, below threshold 0.9
+    ).toDF("id", "vec")
+    val bench = Seq((10L, Array(2.0f, 0.0f)), (20L, Array(3.0f, 0.0f)))
+      .toDF("id", "vec")
+    val got = Similarity.semanticContamination(corpus, bench, "id", "vec", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // both bench vectors give cosine exactly 1.0 for doc 1: tie breaks
+    // to the LOWEST bench id, and docs 2/3 stay unflagged
+    assert(got.toSeq == Seq((1L, 10L, 1.0)))
+    // the broadcast guard refuses an oversized benchmark side
+    val big = spark.range(0, 50).select(col("id"), lit(Array(1.0f, 0.0f)).as("vec"))
+    intercept[IllegalArgumentException] {
+      Similarity.semanticContamination(corpus, big, "id", "vec", 0.9,
+        maxBenchRows = 10)
+    }
+  }
+
   test("weightedSamplePerStratum draws k per stratum via WindowGroupLimit") {
     import graft.operators.Sampling
     val docs = ((1L to 50L).map(i => (i, "a", s"doc body $i")) ++
