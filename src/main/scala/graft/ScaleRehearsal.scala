@@ -326,7 +326,20 @@ object ScaleRehearsal {
       }),
       "source_divergence" -> (() =>
         graft.operators.Profile.termDivergence(t(spark, d, "documents"),
-          "source", "text", topTerms = 500).count())
+          "source", "text", topTerms = 500).count()),
+      // snapshot diff's claim is that both sides reduce to
+      // (id, fingerprint) at the scan: shuffle must track ~24 bytes/doc,
+      // wall the corpus scan
+      "snapshot_diff" -> (() => {
+        val docs = t(spark, d, "documents").select(col("doc_id"), col("text"))
+        val after = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 1,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+          .unionByName(docs.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
+        graft.operators.SnapshotDiff.diff(docs, after, "doc_id", Seq("text"))
+          .filter(col("status") =!= "unchanged").count()
+      })
     )
     // skewed-corpus probes: the dials that must absorb the skew
     def skewProbes(d: String): Seq[(String, () => Long)] = Seq(
