@@ -41,7 +41,8 @@ object SparkEntry {
     "q18_large_orders",
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
     "q28_user_sessions", "pipeline_split",
-    "stream_hourly_agg", "stream_hourly_quantiles", "conv_stream_orc",
+    "stream_hourly_agg", "stream_hourly_quantiles", "stream_hourly_distinct",
+    "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
     "text_stats", "text_bpe_tokens", "text_bpe_fertility", "text_pii_scrub",
     "text_heavy_hitters",

@@ -72,6 +72,27 @@ object PipelineQueries {
       EventStream.dedupPairs(s, d).orderBy(col("user_id"), col("event_type"))
     },
 
+    // Streamed per-window HLL distinct users vs batch-exact: the sketch
+    // must land within max(5%, 3) of exact in EVERY one of the 720
+    // windows. The absolute floor is 3, not 1: Spark's HLL++ is
+    // dense-only (no sparse/exact small-range mode), so ~10-user windows
+    // carry a small deterministic absolute wobble (max observed across
+    // all windows at sf0.01: 2) that no rsd dial removes; 5% governs as
+    // soon as windows carry monitoring-relevant cardinalities.
+    "stream_hourly_distinct" -> { (s, d) =>
+      val streamed = EventStream.hourlyDistinct(s, d)
+      graft.Tables.t(s, d, "events")
+        .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+        .join(streamed, Seq("hour"))
+        .groupBy(col("hour"), col("n_users_est"))
+        .agg(count_distinct(col("user_id")).as("n_users"), count(lit(1)).as("n"))
+        .select(col("hour"), col("n_users"), col("n"),
+          (abs(col("n_users_est") - col("n_users")) <=
+            greatest(ceil(col("n_users") * 0.05).cast("long"), lit(3L)))
+            .as("est_ok"))
+        .orderBy(col("hour"))
+    },
+
     // Streaming converter: landing dir -> ORC table via writeStream; the
     // aggregate over the converted table must equal the batch answer on
     // the source (conversion exactly-once + lossless).
@@ -284,6 +305,12 @@ object PipelineQueries {
         | ROUND(quantile_cont(value, 0.95), 4) AS exact_p95,
         | COUNT(*) AS n,
         | true AS p50_ok, true AS p95_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Exact fields replayed; the streamed-HLL tolerance verdict pinned.
+    "stream_hourly_distinct" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        | COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n, true AS est_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_session_counts" ->

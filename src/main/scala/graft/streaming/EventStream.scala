@@ -112,6 +112,25 @@ object EventStream {
     runToMemory(spark, agg, "graft_stream_quantiles", OutputMode.Complete())
   }
 
+  /** Per-window approximate distinct users INSIDE the streaming
+    * aggregation: exact distinct is unsupported (and unboundedly
+    * stateful) in streaming, but `approx_count_distinct`'s HLL++
+    * partials merge across micro-batches exactly like count/sum, so
+    * per-window state stays O(sketch) at any event rate — the streaming
+    * face of the profiler's cardinality story. rsd 0.02 for the same
+    * 2.5-sigma headroom the profile gates carry. Returns
+    * (hour, n_users_est, n); the gate joins batch-exact distincts and
+    * pins the tolerance verdict. */
+  def hourlyDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = readEventStream(spark, sfDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_est"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("hour"), col("n_users_est"), col("n"))
+    runToMemory(spark, agg, "graft_stream_distinct", OutputMode.Complete())
+  }
+
   /** Per-user session counting (30-min inactivity gap) via
     * flatMapGroupsWithState — the custom-state streaming primitive. State
     * carries (last event time, session count) across micro-batches; events
