@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Table loading + deterministic-aggregation helpers shared by every query.
   *
@@ -28,18 +28,48 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (micros) cannot represent directly — the reader
-    * throws PARQUET_TYPE_ILLEGAL. We read nanos as raw longs (legacy conf)
-    * and truncate to micros with exact integral division (`div`, never
-    * double math: ~1.7e18 ns exceeds the 2^53 exact-double range). DuckDB's
-    * CAST(ns AS TIMESTAMP) truncates identically, keeping oracles bit-exact.
-    */
+  /** The events fixture's `ts` encoding has drifted across fixture
+    * generations — parquet TIMESTAMP(NANOS) in some, TIMESTAMP(micros,
+    * NTZ) in others — so we branch on the type the reader actually
+    * produces instead of assuming one encoding:
+    *
+    *   - LongType (TIMESTAMP(NANOS) surfaced as raw longs via the legacy
+    *     nanosAsLong conf, which is set pre-read because Spark's
+    *     TimestampType cannot represent nanos and would otherwise throw
+    *     PARQUET_TYPE_ILLEGAL): truncate to micros with exact integral
+    *     division (`div`, never double math: ~1.7e18 ns exceeds the 2^53
+    *     exact-double range). DuckDB's CAST(ns AS TIMESTAMP) truncates
+    *     identically, keeping oracles bit-exact.
+    *   - TimestampNTZType (TIMESTAMP(micros, isAdjustedToUTC=false)):
+    *     cast to TimestampType — value-preserving because the session TZ
+    *     is pinned UTC everywhere (Verify/Bench/specs).
+    *   - TimestampType: already the normalized shape.
+    *
+    * Any other type fails loudly with the drifted encoding named, so the
+    * NEXT fixture regeneration breaks one self-explaining assertion
+    * instead of fifteen scattered gates. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    normalizeEventTs(raw)
   }
+
+  /** Normalize an events DataFrame's `ts` column to TimestampType (micros,
+    * UTC session TZ) from whichever encoding the fixture carries. Shared by
+    * the batch reader above and the streaming reader
+    * ([[graft.streaming.EventStream]]) so both paths stay in lockstep. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events fixture drift: column `ts` read as $other; expected " +
+          "INT64 nanos (LongType via nanosAsLong), TIMESTAMP_NTZ micros, " +
+          "or TIMESTAMP — extend Tables.normalizeEventTs for the new encoding")
+    }
 
   /** Exact-arithmetic view of a double column: DECIMAL(18,4).
     * 4 fractional digits cover every value in the fixtures (money with 2

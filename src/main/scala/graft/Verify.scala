@@ -29,6 +29,16 @@ object Verify {
     // local iteration (the driver never sets it — full dump per round).
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Failure contract: a registered gate must NEVER silently vanish from
+    // the correctness file (round 7: 11 gates threw at plan time, the old
+    // catch logged to stderr and wrote nothing, and the driver's compare
+    // — which iterates output dirs — never saw them, so "126/130 pass"
+    // masked "126/141"). On failure we (a) record the error for
+    // errors.json, and (b) still write a one-row parquet whose single
+    // `__graft_error__` column carries the message — the driver's compare
+    // then sees a schema/hash MISMATCH naming the exception instead of a
+    // missing key.
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val futures = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -36,7 +46,16 @@ object Verify {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+          errors.put(name, msg)
+          System.err.println(s"[verify] GATE FAILED $name: $msg")
+          try {
+            import spark.implicits._
+            Seq(msg).toDF("__graft_error__").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] could not write error marker for $name: ${e2.getMessage}")
+          }
         }
       }
     }
@@ -58,6 +77,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure record beside oracle_sql.json (empty object
+    // on a clean run) — a second, driver-greppable surface for the same
+    // failures the error-marker parquets expose in the compare itself.
+    import scala.jdk.CollectionConverters._
+    val errJson = errors.asScala.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
     spark.stop()
+    if (!errors.isEmpty) {
+      System.err.println(s"[verify] ${errors.size} gate(s) FAILED: " +
+        errors.keySet.asScala.toSeq.sorted.mkString(", "))
+    }
   }
 }

@@ -684,13 +684,28 @@ object Similarity {
             .withColumn("mmr", round(lit(lambda) * col("rel")
               - lit(1.0 - lambda) * col("max_sim"), 6))
         }
-      val pick = scored
+      // localCheckpoint the per-step frames: without it the unrolled loop
+      // hands Catalyst a quadratically deepening tree — step s re-plans
+      // and RE-EXECUTES all s-1 prior steps (each a join+agg+window+
+      // anti-join pipeline), so the k-step loop costs O(k²) stages and
+      // the bench row was ~8 s of planning/replay for 200 rows of data.
+      // `pick` is materialized eagerly (<= |Q| rows) so its plan runs
+      // exactly once per step even though two frames consume it;
+      // `remaining` is truncated so the anti-join chain never replays.
+      // `selected` needs no checkpoint: it is a union of already-
+      // materialized picks. Bit-identical output, O(k) stages total.
+      val pick0 = scored
         .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id"), col("doc_id"), lit(step.toLong).as("rank"),
           col("mmr"), col("v"))
+      val pick = if (step < k) pick0.localCheckpoint(true) else pick0
       selected = if (step == 1) pick else selected.unionByName(pick)
-      remaining = remaining.join(pick.select(col("query_id"), col("doc_id")),
-        Seq("query_id", "doc_id"), "left_anti")
+      if (step < k) {
+        remaining = remaining
+          .join(pick.select(col("query_id"), col("doc_id")),
+            Seq("query_id", "doc_id"), "left_anti")
+          .localCheckpoint(true)
+      }
     }
     selected.select(col("query_id"), col("doc_id"), col("rank"), col("mmr"))
   }

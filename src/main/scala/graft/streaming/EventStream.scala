@@ -29,11 +29,17 @@ final case class SessCount(user_id: Long, n_sessions: Long)
   */
 object EventStream {
 
-  /** events.parquet schema with `ts` as raw nanos (see Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** events.parquet schema as the reader surfaces it for THIS fixture
+    * generation — the `ts` encoding has drifted across driver fixture
+    * regenerations (INT64 nanos vs TIMESTAMP_NTZ micros), so the stream's
+    * required upfront schema is taken from a batch footer read of the
+    * actual file rather than hardcoded, and the same
+    * [[graft.Tables.normalizeEventTs]] branch the batch path uses
+    * normalizes `ts` to TimestampType afterwards. */
+  def rawSchema(spark: SparkSession, sfDir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet").schema
+  }
 
   /** Serializes the fixture staging copy and memoizes staged keys: several
     * streaming queries may initialize concurrently (parallel Verify) and
@@ -67,8 +73,8 @@ object EventStream {
         staged += key
       }
     }
-    spark.readStream.schema(rawSchema).parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir.toString))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 1-hour watermark, run to
