@@ -40,7 +40,8 @@ object SparkEntry {
     "q13_events_hourly",
     "q18_large_orders",
     "q23_asof_clicks", "q25_range_join_pairs", "q26_pivot_events",
-    "q28_user_sessions", "pipeline_split",
+    "q28_user_sessions", "q34_funnel_conversion", "q35_retention_cohorts",
+    "q36_resample_ffill", "q37_outliers_mad", "pipeline_split",
     "stream_hourly_agg", "stream_hourly_quantiles", "stream_hourly_distinct",
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
@@ -65,7 +66,8 @@ object SparkEntry {
     "profile_documents", "profile_documents_approx", "profile_histogram",
     "profile_incremental",
     "emb_cosine_topk", "emb_benchmark_overlap",
-    "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_mmr_rerank",
+    "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_pca_topk",
+    "ann_pca_serve", "ann_mmr_rerank",
     "ann_ivf_topk", "ann_ivf_topk_engine",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",
@@ -99,10 +101,24 @@ object SparkEntry {
       trainedPq.computeIfAbsent(d, _ =>
         Similarity.trainPqCodebooks(t(s, d, "embeddings"), "vec_id",
           "embedding", m = 8, ksub = 32, lloydIters = 2))
+    val trainedPca = new java.util.concurrent.ConcurrentHashMap[
+      String, (Array[Double], Array[Array[Double]])]()
+    def pcaFor(s: SparkSession, d: String): (Array[Double], Array[Array[Double]]) =
+      trainedPca.computeIfAbsent(d, _ =>
+        Similarity.trainPcaProjection(t(s, d, "embeddings"), "vec_id",
+          "embedding", outDim = 16))
     Map(
       "ann_lsh_topk_engine" -> ((s, d) =>
         Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, tables = 8, nBits = 3)),
+      // PCA serving with a FROZEN pre-trained projection — the training
+      // collect happens once at index build, outside the timed window
+      "ann_pca_serve" -> ((s, d) => {
+        val (mean, comps) = pcaFor(s, d)
+        Similarity.pcaTopKServe(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, mean = mean, components = comps,
+          shortlist = 100)
+      }),
       "ann_ivf_topk_engine" -> ((s, d) =>
         Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),

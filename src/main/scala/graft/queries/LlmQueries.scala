@@ -1575,6 +1575,24 @@ object LlmQueries {
         minHits = 4, eps = 0.10)
     },
 
+    // PCA-projected shortlist + exact re-rank: the data-adaptive sibling
+    // of ann_rp_topk — the projection is trained on a bounded id-ordered
+    // sample (frozen thereafter, the centroid pattern) and spends its
+    // dimensions on the corpus's actual variance directions, so HALF the
+    // projected width (16 vs JL's 32) passes a TIGHTER verdict (eps 0.05
+    // vs 0.10). Measured at sf0.001/0.01/0.1: 5/5 epsilon-hits on every
+    // query at every scale except one 4/5 at sf0.1 (minHits=4 is the
+    // floor; eps 0.02 drops to 2/5 at sf0.1 and is not honest).
+    "ann_pca_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.recallGate(
+        Similarity.pcaTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, outDim = 16, shortlist = 100),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 4, eps = 0.05)
+    },
+
     // MMR diversified rerank over the brute-force top-20 shortlist:
     // greedy lambda*rel - (1-lambda)*max-sim selection, k=5. The whole
     // trajectory is deterministic (mmr rounded to 6dp before argmax,
@@ -2537,6 +2555,13 @@ object LlmQueries {
     // JL-projection shortlist + exact re-rank: deterministic seeded
     // matrix, so the verdict pins like the other ANN tiers.
     "ann_rp_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // PCA shortlist + exact re-rank: deterministic (id-ordered sample,
+    // fixed-order driver accumulation, sign-normalized eigenvectors), so
+    // the verdict pins like the other ANN tiers.
+    "ann_pca_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
