@@ -51,7 +51,8 @@ object SparkEntry {
     "text_bm25_topk", "text_bm25_serve", "text_bm25_incremental",
     "text_hybrid_rrf",
     "retrieval_hybrid_serve", "retrieval_hybrid_serve_engine", "text_kn_bigram",
-    "dedup_exact_docs", "dedup_paragraphs", "dedup_minhash_full",
+    "dedup_exact_docs", "dedup_paragraphs", "dedup_fuzzy_names",
+    "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",
     "dedup_incremental", "dedup_incremental_near", "dedup_incremental_serve",

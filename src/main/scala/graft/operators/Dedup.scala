@@ -894,4 +894,87 @@ object Dedup {
       .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .agg(count(lit(1)).as("n_shared_spans"))
   }
+
+  // ------------------------------------------------------------------
+  // Edit-distance (fuzzy string) join
+  // ------------------------------------------------------------------
+
+  /** All pairs within Levenshtein distance `maxDist` — fuzzy record
+    * linkage for IDs/names/titles with typos (the string-similarity-join
+    * problem of Ed-Join, Xiao et al. VLDB'08), never via all-pairs:
+    *
+    *  1. CANDIDATES by q-gram prefix filter: each string indexes only its
+    *     q*maxDist+1 globally rarest DISTINCT q-grams (rare-first order =
+    *     ascending document frequency, gram text tie-break — the same
+    *     inverted-index discipline as [[ngramCandidates]]). Complete, not
+    *     heuristic: one edit destroys at most q distinct grams, so two
+    *     strings within distance d differ in at most q*d grams per side;
+    *     if their (q*d+1)-prefixes were disjoint, the frequency-order-
+    *     minimal shared gram would have to sit after BOTH prefixes while
+    *     each prefix holds q*d+1 grams of which at most q*d are unshared
+    *     — contradiction (the [[ngramCandidates]] argument with a count
+    *     bound from edits instead of Jaccard).
+    *  2. LENGTH filter: |len(a) - len(b)| <= maxDist (each edit changes
+    *     length by at most 1).
+    *  3. EXACT verify: built-in codegen'd `levenshtein` on the bounded
+    *     candidate set only.
+    *
+    * Strings with fewer than q*maxDist+1 distinct grams (everything
+    * shorter than q, and 1-2-gram strings at small q*d) additionally
+    * bucket under one sentinel key — maxDist edits could destroy their
+    * whole gram set, so gram sharing proves nothing among them and they
+    * must stay mutually candidate (step 3 decides). `maxDf` caps
+    * the inverted-index key width exactly like [[spanPairs]]: a gram in
+    * more than maxDf strings is dropped from prefixes (0 = keep all).
+    * Dropping is SYMMETRIC so the prefix-filter argument still holds on
+    * the reduced gram sets, except for strings whose every gram is hot —
+    * those leave the index entirely (the documented recall dial; at the
+    * gate dials nothing is dropped and the output equals exact all-pairs).
+    *
+    * Output: (a_id, b_id, dist), a_id < b_id, dist <= maxDist. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, q: Int = 2,
+                        maxDf: Long = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    import org.apache.spark.sql.expressions.Window
+    val pre = q * maxDist + 1
+    val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    // A string with FEWER than q*maxDist+1 distinct grams can have its
+    // entire gram set destroyed by maxDist edits, so gram sharing proves
+    // nothing for the short-short case: such strings additionally index
+    // one sentinel key (q+1 chars long, so it can never collide with a
+    // real q-gram), making all short strings mutual candidates. Their
+    // REAL grams stay indexed too — a short-vs-long pair is still caught
+    // through the long side's prefix (>= 1 of its q*maxDist+1 rarest
+    // grams must survive into the short string's full gram set).
+    val gramArr = when(length(col("s")) < q, array().cast("array<string>"))
+      .otherwise(array_distinct(expr(
+        s"transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q))")))
+    val withSentinel = when(size(gramArr) < pre,
+        concat(gramArr, array(lit("\u0001" * (q + 1)))))
+      .otherwise(gramArr)
+    val grams = s.select(col("id"), explode(withSentinel).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val kept =
+      if (maxDf <= 0) grams.join(dfreq, Seq("g"))
+      else grams.join(dfreq.filter(col("gdf") <= maxDf), Seq("g"))
+    val prefix = kept
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))))
+      .filter(col("rk") <= pre)
+      .select(col("g"), col("id"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+      .distinct()
+    cand
+      .join(s.select(col("id").as("a_id"), col("s").as("a_s")), Seq("a_id"))
+      .join(s.select(col("id").as("b_id"), col("s").as("b_s")), Seq("b_id"))
+      .filter(abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+  }
 }

@@ -1096,6 +1096,20 @@ object LlmQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Fuzzy (edit-distance) self-join over customer names: Ed-Join q-gram
+    // prefix filter -> length filter -> exact levenshtein verify. At
+    // these dials (maxDf=1000 > the 300-name gram frequencies) nothing
+    // drops from the index, so the funnel's completeness proof applies
+    // and the output must EQUAL the oracle's exact all-pairs levenshtein
+    // — a hard-equality gate on a fuzzy join, not a verdict.
+    "dedup_fuzzy_names" -> { (s, d) =>
+      Dedup.editDistancePairs(
+          t(s, d, "customer").filter(col("c_custkey") < 300)
+            .select(col("c_custkey").as("id"), col("c_name")),
+          "id", "c_name", maxDist = 1, q = 2, maxDf = 1000)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Pairs -> clusters: connected components over the near-dup pair graph
     // (alternating large-star/small-star), labeling every doc with its
     // component's min id — the canonical-keeper step between pair
@@ -2273,6 +2287,20 @@ object LlmQueries {
         |JOIN ds na ON na.doc_id = a_id
         |JOIN ds nb ON nb.doc_id = b_id
         |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.2""".stripMargin,
+
+    // Exact all-pairs levenshtein over the same 300 names: the funnel's
+    // prefix filter is provably complete at the gate dials, so the fuzzy
+    // join must reproduce this exactly (both engines implement standard
+    // unweighted Levenshtein).
+    "dedup_fuzzy_names" ->
+      """WITH c AS (
+        | SELECT c_custkey AS id, c_name AS s FROM customer
+        | WHERE c_custkey < 300)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Same shingle/pair pipeline as dedup_ngram_jaccard (wider id range,
     // higher threshold for multi-cluster structure), then transitive

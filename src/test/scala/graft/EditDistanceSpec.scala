@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+/** Pins [[Dedup.editDistancePairs]]: the q-gram prefix filter must be
+  * COMPLETE (output equals brute-force levenshtein all-pairs) across
+  * substitutions, inserts, deletes, short strings, and repartitionings;
+  * the maxDf dial drops hot-gram strings symmetrically and nothing else.
+  */
+class EditDistanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private def bruteForce(rows: Seq[(Long, String)], maxDist: Int) =
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      d = levenshteinDist(sa, sb) if d <= maxDist
+    } yield (ia, ib, d.toLong)).sortBy(p => (p._1, p._2))
+
+  private def levenshteinDist(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1) {
+      j => if (i == 0) j else if (j == 0) i else 0
+    })
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+        dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    dp(a.length)(b.length)
+  }
+
+  private def run(rows: Seq[(Long, String)], maxDist: Int,
+                  maxDf: Long = 0, parts: Int = 1) = {
+    val df0 = rows.toDF("id", "s")
+    val df = if (parts > 1) df0.repartition(parts) else df0
+    Dedup.editDistancePairs(df, "id", "s", maxDist, q = 2, maxDf = maxDf)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  // one substitution, one insert, one delete, one transposition (= 2
+  // edits under plain Levenshtein), one far string, one exact duplicate
+  private val typos = Seq(
+    1L -> "gradient descent", 2L -> "gradiant descent", // subst, d=1
+    3L -> "gradient descents", // insert, d=1 from 1
+    4L -> "gradien descent", // delete, d=1 from 1
+    5L -> "gardient descent", // transposition, d=2 from 1
+    6L -> "stochastic sampling", // far
+    7L -> "gradient descent") // exact dup of 1, d=0
+
+  test("funnel equals brute force at maxDist=1 and maxDist=2") {
+    for (d <- Seq(1, 2)) {
+      assert(run(typos, d) === bruteForce(typos, d), s"maxDist=$d")
+    }
+  }
+
+  test("output is partitioning-invariant") {
+    assert(run(typos, 2, parts = 7) === run(typos, 2))
+  }
+
+  test("strings shorter than q pair through the sentinel bucket") {
+    val rows = Seq(1L -> "a", 2L -> "b", 3L -> "", 4L -> "ab")
+    // d("a","b")=1, d("a","")=1, d("b","")=1, d("a","ab")=1, d("b","ab")=1,
+    // d("","ab")=2
+    assert(run(rows, 1) === bruteForce(rows, 1))
+    assert(run(rows, 2) === bruteForce(rows, 2))
+  }
+
+  test("maxDf drops hot-gram strings symmetrically, keeps the rest exact") {
+    // "xx" appears in every padded string; with maxDf=2 the 'xx' gram
+    // leaves the index, but every string still carries rarer grams so
+    // nothing is lost and the result stays exact
+    val rows = Seq(1L -> "xxalpha", 2L -> "xxalphb", 3L -> "xxbeta", 4L -> "xxbetb")
+    assert(run(rows, 1, maxDf = 2) === bruteForce(rows, 1))
+  }
+
+  test("null strings are ignored, not crashed on") {
+    val rows = Seq((1L, "abc"), (2L, "abd"))
+    val withNull = rows.toDF("id", "s")
+      .unionByName(Seq((9L, null.asInstanceOf[String])).toDF("id", "s"))
+    val got = Dedup.editDistancePairs(withNull, "id", "s", 1, q = 2, maxDf = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 2L, 1L)))
+  }
+}
