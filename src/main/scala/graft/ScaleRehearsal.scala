@@ -146,6 +146,8 @@ object ScaleRehearsal {
     val ivfCentroids = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
     val pqCodebooks = scala.collection.mutable.Map.empty[String, Seq[Seq[Seq[Double]]]]
     val semCentroids = scala.collection.mutable.Map.empty[String, Seq[Seq[Double]]]
+    val pcaProj = scala.collection.mutable.Map
+      .empty[String, (Array[Double], Array[Array[Double]])]
     def cdcBaseDir(d: String): String =
       s"/tmp/graft_scale_cdc/${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
     def bm25IdxDir(d: String): String =
@@ -163,6 +165,10 @@ object ScaleRehearsal {
         Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
           nCentroids = math.max(16, (nVecs / 300).toInt), lloydIters = 2)
       })
+      // round-8: frozen PCA projection (trained once per dataset, the
+      // bounded-sample collect happens outside the timed window)
+      pcaProj.getOrElseUpdate(d, Similarity.trainPcaProjection(
+        emb, "vec_id", "embedding", outDim = 16))
       // stages the per-dataset BM25 index on first call (stageOnce marker)
       graft.queries.LlmQueries.bm25Served(spark, d, k = 10).count()
       // standing BM25 index for the incremental-update probe (distinct
@@ -327,6 +333,27 @@ object ScaleRehearsal {
       "source_divergence" -> (() =>
         graft.operators.Profile.termDivergence(t(spark, d, "documents"),
           "source", "text", topTerms = 500).count()),
+      // round-8 probes. PCA serving: projection applied as a codegen'd
+      // fold (one scan), projected shortlist + exact re-rank — cost must
+      // track the corpus scan like the other frozen-index ANN tiers.
+      "ann_pca_serve" -> (() => {
+        val (mean, comps) = pcaProj(d)
+        Similarity.pcaTopKServe(t(spark, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5, mean = mean,
+          components = comps, shortlist = 100).count()
+      }),
+      // fuzzy edit-distance join over 24-char doc prefixes: the q-gram
+      // prefix filter bounds candidates by rare-gram co-occurrence, so
+      // growth must track the inverted-index build (linear scan +
+      // gram-keyed exchange), never the all-pairs square. Replica
+      // rotation keeps within-replica near-identical prefixes pairable
+      // at sf1 (real work, not an empty result).
+      "dedup_fuzzy_prefix" -> (() =>
+        Dedup.editDistancePairs(
+          t(spark, d, "documents")
+            .select(col("doc_id").as("id"),
+              substring(col("text"), 1, 24).as("s")),
+          "id", "s", maxDist = 1, q = 2, maxDf = 1000).count()),
       // snapshot diff's claim is that both sides reduce to
       // (id, fingerprint) at the scan: shuffle must track ~24 bytes/doc,
       // wall the corpus scan

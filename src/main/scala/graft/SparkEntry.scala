@@ -43,6 +43,7 @@ object SparkEntry {
     "q28_user_sessions", "q34_funnel_conversion", "q35_retention_cohorts",
     "q36_resample_ffill", "q37_outliers_mad", "pipeline_split",
     "stream_hourly_agg", "stream_hourly_quantiles", "stream_hourly_distinct",
+    "stream_funnel_depth",
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
     "text_stats", "text_bpe_tokens", "text_bpe_fertility", "text_pii_scrub",

@@ -34,6 +34,29 @@ object PipelineQueries {
       EventStream.slidingAgg(s, d).orderBy(col("w_start"), col("event_type"))
     },
 
+    // Streaming funnel: per-user first-touch state streams (four
+    // min-merged longs — commutative, so arrival order and micro-batch
+    // boundaries cannot change the final state); the gate reduces the
+    // Update-mode sink by column-wise min and computes the SAME ordered
+    // depth predicates as batch q34 — whose oracle this must equal
+    // exactly (the exactly-once contract on a non-windowed stateful op).
+    "stream_funnel_depth" -> { (s, d) =>
+      val none = Long.MaxValue
+      val st = EventStream.funnelState(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(col("t_signup")).as("ts"), min(col("t_view")).as("tv"),
+          min(col("t_click")).as("tc"), min(col("t_purchase")).as("tp"))
+      val s1 = st("ts") =!= none
+      val s2 = s1 && st("tv") =!= none && st("tv") > st("ts")
+      val s3 = s2 && st("tc") =!= none && st("tc") > st("tv")
+      val s4 = s3 && st("tp") =!= none && st("tp") > st("tc")
+      st.agg(count(lit(1)).as("n_users"),
+        sum(when(s1, 1L).otherwise(0L)).as("n_signup"),
+        sum(when(s2, 1L).otherwise(0L)).as("n_viewed"),
+        sum(when(s3, 1L).otherwise(0L)).as("n_clicked"),
+        sum(when(s4, 1L).otherwise(0L)).as("n_purchased"))
+    },
+
     // Streaming per-window percentiles: the approx_percentile sketch
     // lives in the streaming window state (mergeable across
     // micro-batches like count/sum). Verdicts are RANK-validity checks,
@@ -296,6 +319,27 @@ object PipelineQueries {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The batch q34 oracle verbatim: the streamed first-touch state must
+    // reduce to the identical ordered-funnel summary.
+    "stream_funnel_depth" ->
+      """WITH f AS (
+        | SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS t_signup,
+        |  MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+        |  MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+        |  MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        | FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |      AND t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        | CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+        |      AND t_click > t_view AND t_purchase > t_click
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM f""".stripMargin,
 
     // Exact per-hour percentiles recomputed; the streamed sketch's
     // tolerance verdicts pinned true (q29 pattern).

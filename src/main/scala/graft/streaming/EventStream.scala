@@ -11,6 +11,9 @@ import graft.Tables.dsumr
   * Catalyst's generated deserializers cannot touch private nested types). */
 final case class SessEvent(user_id: Long, ts_us: Long)
 final case class SessCount(user_id: Long, n_sessions: Long)
+final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+final case class FunnelState(user_id: Long, t_signup: Long, t_view: Long,
+                             t_click: Long, t_purchase: Long)
 
 /** Structured Streaming surface over the events table.
   *
@@ -165,6 +168,44 @@ object EventStream {
     val out = events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
     runToMemory(spark, out.toDF(), "graft_stream_sessions", OutputMode.Update())
+  }
+
+  /** Streaming funnel tracking via flatMapGroupsWithState: per-user
+    * FIRST-TOUCH timestamps of each funnel step (signup/view/click/
+    * purchase) held in state — four longs per user (Long.MaxValue =
+    * unseen), min-merged on every arrival, so state is O(1) per user at
+    * any event rate and the merge commutes across arrival order and
+    * micro-batch boundaries. Emits the current state per updated user;
+    * because mins only ever DECREASE, the final state is the column-wise
+    * min over all emitted rows — which is how the gate reduces the
+    * Update-mode memory sink (funnel DEPTH itself is not monotone under
+    * late earlier events, so the state, not the depth, is what streams).
+    */
+  def funnelState(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val none = Long.MaxValue
+    def fn(userId: Long, events: Iterator[FunnelEvent],
+           state: GroupState[(Long, Long, Long, Long)]): Iterator[FunnelState] = {
+      var (s0, v0, c0, p0) = state.getOption.getOrElse((none, none, none, none))
+      events.foreach { e =>
+        e.event_type match {
+          case "signup"   => s0 = math.min(s0, e.ts_us)
+          case "view"     => v0 = math.min(v0, e.ts_us)
+          case "click"    => c0 = math.min(c0, e.ts_us)
+          case "purchase" => p0 = math.min(p0, e.ts_us)
+          case _          => ()
+        }
+      }
+      state.update((s0, v0, c0, p0))
+      Iterator.single(FunnelState(userId, s0, v0, c0, p0))
+    }
+    val ev = readEventStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[FunnelEvent]
+    val out = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+    runToMemory(spark, out.toDF(), "graft_stream_funnel", OutputMode.Update())
   }
 
   /** Streaming exact deduplication: `dropDuplicates` keeps per-key state
