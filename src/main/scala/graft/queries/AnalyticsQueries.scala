@@ -384,6 +384,39 @@ object AnalyticsQueries {
         .orderBy(col("event_type"))
     },
 
+    // Behavioral user similarity: each user reduces to a 5-dim event-type
+    // count vector (one pivot shuffle, map-side combined), then exact
+    // cosine top-3 neighbors for the 5 query users — the feature-derived
+    // flavor of the embedding ANN family, composed from pivot + window
+    // primitives. The 5-row query side broadcasts; the corpus side is
+    // scanned once and never shuffled after the pivot. All arithmetic is
+    // exact integer dot/norm terms in a FIXED order, then one double
+    // division + sqrt — bit-identical in the oracle engine; scores round
+    // to 6dp BEFORE ranking so tie order is engine-independent.
+    "q38_user_similarity" -> { (s, d) =>
+      val types = Seq("click", "view", "error", "purchase", "signup")
+      val vecs = t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types).count().na.fill(0L)
+      def dot(a: String, b: String) =
+        types.map(t => col(s"$a.$t") * col(s"$b.$t")).reduce(_ + _)
+      val q = vecs.filter(col("user_id") < 5)
+      val pairs = broadcast(q.as("q")).join(vecs.as("n"),
+          col("q.user_id") =!= col("n.user_id"))
+        .select(col("q.user_id").as("query_id"),
+          col("n.user_id").as("neighbor_id"),
+          round(dot("q", "n").cast("double") /
+            (sqrt(dot("q", "q").cast("double")) *
+             sqrt(dot("n", "n").cast("double"))), 6).as("score"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("neighbor_id"))
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"), col("score"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+
     // Full outer join with unmatched rows on BOTH sides (overlapping key
     // ranges force left-only and right-only groups): completes the join
     // family (inner/semi/anti/left/asof/range are covered elsewhere).
@@ -822,6 +855,30 @@ object AnalyticsQueries {
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM events e JOIN s USING (event_type)
         |GROUP BY e.event_type""".stripMargin,
+
+    "q38_user_similarity" ->
+      """WITH v AS (
+        | SELECT user_id,
+        |  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS t1,
+        |  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS t2,
+        |  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS t3,
+        |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS t4,
+        |  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t5
+        | FROM events GROUP BY user_id),
+        |p AS (
+        | SELECT q.user_id AS query_id, n.user_id AS neighbor_id,
+        |  ROUND(CAST(q.t1*n.t1 + q.t2*n.t2 + q.t3*n.t3 + q.t4*n.t4 + q.t5*n.t5 AS DOUBLE)
+        |   / (sqrt(CAST(q.t1*q.t1 + q.t2*q.t2 + q.t3*q.t3 + q.t4*q.t4 + q.t5*q.t5 AS DOUBLE))
+        |    * sqrt(CAST(n.t1*n.t1 + n.t2*n.t2 + n.t3*n.t3 + n.t4*n.t4 + n.t5*n.t5 AS DOUBLE))), 6)
+        |   AS score
+        | FROM v q JOIN v n ON q.user_id < 5 AND n.user_id != q.user_id),
+        |r AS (
+        | SELECT query_id, neighbor_id, score,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score DESC, neighbor_id) AS rank
+        | FROM p)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, score
+        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q30_full_outer" ->
       """WITH c AS (SELECT c_custkey FROM customer WHERE c_custkey < 500),
