@@ -240,6 +240,106 @@ object Multimodal {
       StructField("height", LongType, nullable = false) +:
       (0 until 16).map(b => StructField(s"c$b", LongType, nullable = false)))
 
+  private val dhashSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dhash", StringType, nullable = true)))
+
+  /** dHash (difference hash) perceptual image fingerprint over the REAL
+    * decoded pixel stream — the image leg of near-duplicate detection
+    * (re-encodes, slight crops and brightness shifts keep ~the same
+    * fingerprint; distinct images differ in ~half the bits). 9x8
+    * block-mean grid with integer floor boundaries (cell of pixel x =
+    * x*9/w), one bit per horizontally adjacent cell pair, row-major —
+    * 64 bits emitted as a '0'/'1' string (engine-portable; no signed-64
+    * construction pitfalls in the oracle).
+    *
+    * Determinism is EXACT, not approximate: block means are never
+    * divided — the comparison mean_l > mean_r is evaluated as
+    * sum_l * n_r > sum_r * n_l in integer arithmetic, so the fingerprint
+    * is bit-identical on any engine, partitioning, or FPU. Grayscale
+    * reads the R channel of the decoded [w][h][RGB] layout (the synth
+    * fixtures are R=G=B; a real color pipeline would luma-convert first
+    * — same plumbing). Images smaller than the 9x8 grid, or payloads
+    * that did not decode, emit a null dhash (excluded from pairing). */
+  def imageDHash(spark: SparkSession, mm: DataFrame,
+                 decode: Decoder = imageDecoder): DataFrame = {
+    val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val dec = decode(r.getAs[Array[Byte]](1))
+        var res: String = null
+        if (dec.length >= 8) {
+          val w = ((dec(0) & 0xFF) << 24) | ((dec(1) & 0xFF) << 16) |
+            ((dec(2) & 0xFF) << 8) | (dec(3) & 0xFF)
+          val h = ((dec(4) & 0xFF) << 24) | ((dec(5) & 0xFF) << 16) |
+            ((dec(6) & 0xFF) << 8) | (dec(7) & 0xFF)
+          if (w >= 9 && h >= 8 && dec.length >= 8 + 3 * w * h) {
+            val sums = Array.ofDim[Long](8, 9)
+            val cnts = Array.ofDim[Long](8, 9)
+            var y = 0
+            while (y < h) {
+              val cy = y * 8 / h
+              var x = 0
+              while (x < w) {
+                val cx = x * 9 / w
+                sums(cy)(cx) += (dec(8 + 3 * (y * w + x)) & 0xFF).toLong
+                cnts(cy)(cx) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            val sb = new StringBuilder(64)
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                val l = sums(cy)(cx) * cnts(cy)(cx + 1)
+                val rr = sums(cy)(cx + 1) * cnts(cy)(cx)
+                sb.append(if (l > rr) '1' else '0')
+                cx += 1
+              }
+              cy += 1
+            }
+            res = sb.toString
+          }
+        }
+        Row(id, res)
+      }
+    }
+    spark.createDataFrame(rows, dhashSchema)
+  }
+
+  /** Perceptual near-dup image pairs: [[imageDHash]] fingerprints, then
+    * the SimHash pigeonhole — 64 bits split into 8 blocks of 8; hamming
+    * <= 7 forces at least one identical block, so candidates come from an
+    * equi-join on (block index, block bits) instead of all-pairs — then
+    * exact hamming verify on the survivors. Same blocking discipline as
+    * [[Dedup.simhashPairs]], applied to pixels instead of tokens.
+    * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxDist. */
+  def dhashPairs(spark: SparkSession, mm: DataFrame, maxDist: Int = 6,
+                 decode: Decoder = imageDecoder): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 7,
+      s"maxDist=$maxDist outside the 8-block pigeonhole bound [0, 7]")
+    val dh = imageDHash(spark, mm, decode).filter(col("dhash").isNotNull)
+    val blocks = dh.select(col("doc_id"), col("dhash"),
+      explode(expr(
+        "transform(sequence(0, 7), b -> struct(b AS bi, substring(dhash, b*8 + 1, 8) AS bits))"))
+        .as("blk"))
+      .select(col("doc_id"), col("dhash"), col("blk.bi"), col("blk.bits"))
+    val cand = blocks.as("a").join(blocks.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bits") === col("b.bits") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.dhash").as("a_h"),
+        col("b.doc_id").as("b_id"), col("b.dhash").as("b_h"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(split(a_h, ''), split(b_h, ''), (x, y) -> IF(x = y, 0, 1)), 0, (acc, v) -> acc + v)")
+        .cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
   /** Decoded-image statistics: runs [[imageDecoder]] on each payload,
     * parses the `[w][h][RGB...]` layout, and emits the dimensions plus the
     * exact 16-bin high-nibble histogram of the PIXEL bytes — the

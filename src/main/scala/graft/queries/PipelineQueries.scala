@@ -253,6 +253,38 @@ object PipelineQueries {
       Multimodal.decodeImageStats(s, payloads).orderBy(col("doc_id"))
     },
 
+    // Perceptual image near-dup gate: three formulaic PNGs per doc id —
+    // original, a sparse-pixel "retouch" twin (+8 gray on every 29th
+    // pixel; hamming <= 3 measured), and a different-frequency foil —
+    // through the REAL PNG codec, dHash fingerprints, pigeonhole-blocked
+    // candidate join, exact hamming verify. dHash is brightness-
+    // invariant by design, so ids sharing a spatial frequency also pair
+    // (deterministic — the oracle replays every pixel, block sum,
+    // cross-multiplied comparison and hamming of all 44850 pairs in SQL
+    // and must emit the IDENTICAL pair set).
+    "multimodal_dhash_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 18 + (id % 7).toInt
+        val h = 16 + (id % 5).toInt
+        val f0 = (i: Int) => ((i * (37 + id % 13) + id * 31) % 256).toInt
+        val f1 = (i: Int) => ((i * (37 + id % 13) + id * 31 +
+          (if (i % 29 == 0) 8 else 0)) % 256).toInt
+        val f2 = (i: Int) => ((i * (101 + id % 17) + id * 53) % 256).toInt
+        Seq(Row(id, Multimodal.synthPng(w, h, f0)),
+          Row(id + 1000L, Multimodal.synthPng(w, h, f1)),
+          Row(id + 2000L, Multimodal.synthPng(w, h, f2)))
+      }, schema)
+      Multimodal.dhashPairs(s, payloads, maxDist = 6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // REAL audio-codec gate: synthesize a formulaic mono 16-bit PCM WAV
     // per doc (the JRE's own WAV writer), decode it back through the
     // javax.sound.sampled codec in Multimodal.wavDecoder, and emit
@@ -431,6 +463,53 @@ object PipelineQueries {
          | $bins
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // Full analytic replay of the dHash pipeline: every pixel from the
+    // synthesis formulas, 9x8 block sums with integer floor boundaries,
+    // cross-multiplied mean comparisons (exact integers, no division),
+    // row-major bitstrings, hamming over all pairs — the emitted pair
+    // set must match the codec-decoded Spark path exactly.
+    "multimodal_dhash_pairs" ->
+      """WITH base AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |imgs AS (
+        | SELECT id, id AS img_id, 0 AS v FROM base
+        | UNION ALL SELECT id, id + 1000, 1 FROM base
+        | UNION ALL SELECT id, id + 2000, 2 FROM base),
+        |dims AS (SELECT img_id, id, v, 18 + id % 7 AS w, 16 + id % 5 AS h
+        |         FROM imgs),
+        |e AS (SELECT img_id, id, v, w, h,
+        |  unnest(generate_series(0, w*h - 1)) AS i FROM dims),
+        |px AS (
+        | SELECT img_id, w, h, i,
+        |  CASE v
+        |   WHEN 0 THEN (i*(37 + id % 13) + id*31) % 256
+        |   WHEN 1 THEN (i*(37 + id % 13) + id*31 +
+        |                CASE WHEN i % 29 = 0 THEN 8 ELSE 0 END) % 256
+        |   ELSE (i*(101 + id % 17) + id*53) % 256 END AS g
+        | FROM e),
+        |cells AS (
+        | SELECT img_id, ((i // w) * 8) // h AS cy, ((i % w) * 9) // w AS cx,
+        |  SUM(g) AS s, COUNT(*) AS c
+        | FROM px GROUP BY 1, 2, 3),
+        |bits AS (
+        | SELECT l.img_id, l.cy, l.cx,
+        |  CASE WHEN l.s * r.c > r.s * l.c THEN '1' ELSE '0' END AS bit
+        | FROM cells l JOIN cells r
+        |   ON l.img_id = r.img_id AND l.cy = r.cy AND r.cx = l.cx + 1
+        | WHERE l.cx < 8),
+        |hs AS (SELECT img_id, string_agg(bit, '' ORDER BY cy, cx) AS dh
+        |       FROM bits GROUP BY img_id),
+        |pr AS (SELECT a.img_id AS a_id, a.dh AS adh, b.img_id AS b_id,
+        |        b.dh AS bdh
+        |       FROM hs a JOIN hs b ON a.img_id < b.img_id),
+        |pe AS (SELECT a_id, b_id, adh, bdh,
+        |        unnest(generate_series(1, 64)) AS p FROM pr),
+        |hp AS (SELECT a_id, b_id,
+        |        CAST(SUM(CASE WHEN substr(adh, p, 1) != substr(bdh, p, 1)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |       FROM pe GROUP BY 1, 2)
+        |SELECT a_id, b_id, hamming FROM hp
+        |WHERE hamming <= 6 ORDER BY a_id, b_id""".stripMargin,
 
     // The decoded PCM stream is fully predicted by the synthesis formula.
     "multimodal_audio" ->
