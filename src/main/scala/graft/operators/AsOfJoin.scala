@@ -18,33 +18,63 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Left-as-of-join a single right value column onto `left`.
+  /** Left-as-of-join a single right value column onto `left`: BACKWARD
+    * direction (latest right at-or-before the left time).
     * Output = left columns + `outCol` (null when no prior right row). */
   def lastValueAsOf(left: DataFrame, right: DataFrame,
                     key: String, leftTime: String,
                     rightTime: String, rightValue: String,
-                    outCol: String): DataFrame = {
+                    outCol: String): DataFrame =
+    asOf(left, right, key, leftTime, rightTime, rightValue, outCol,
+      forward = false)
+
+  /** FORWARD as-of: for each left row, the EARLIEST right value whose
+    * time is >= the left row's time, per key — "next event after"
+    * semantics (next purchase after a click, next maintenance after a
+    * failure). Same one-shuffle union+window composition as the backward
+    * join, mirrored: right rows sort AFTER left rows at equal
+    * timestamps (inclusive), the frame looks forward, and `first`
+    * replaces `last`. */
+  def firstValueAsOf(left: DataFrame, right: DataFrame,
+                     key: String, leftTime: String,
+                     rightTime: String, rightValue: String,
+                     outCol: String): DataFrame =
+    asOf(left, right, key, leftTime, rightTime, rightValue, outCol,
+      forward = true)
+
+  private def asOf(left: DataFrame, right: DataFrame,
+                   key: String, leftTime: String,
+                   rightTime: String, rightValue: String,
+                   outCol: String, forward: Boolean): DataFrame = {
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val valueType = right.schema(rightValue).dataType
     // The carried value is wrapped in a presence struct: ignoreNulls must
     // skip the LEFT rows' sentinel, but a genuinely NULL right-side value
     // is still a match (DuckDB/pandas ASOF semantics) — so the null-ness
-    // used by last() is the wrapper's, never the value's.
+    // used by last()/first() is the wrapper's, never the value's.
+    // Sort tags: backward wants right FIRST at equal __t (so it falls in
+    // the preceding-inclusive frame); forward wants right LAST (so it
+    // falls in the following-inclusive frame).
+    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
     val leftTagged = left.select(
-      col(key).as("__k"), col(leftTime).as("__t"), lit(1).as("__src"),
+      col(key).as("__k"), col(leftTime).as("__t"), lit(leftTag).as("__src"),
       lit(null).cast(s"struct<v:${valueType.sql}>").as("__v"), leftStruct.as("__row"))
     val rowType = leftTagged.schema("__row").dataType
     val rightTagged = right.select(
-      col(key).as("__k"), col(rightTime).as("__t"), lit(0).as("__src"),
+      col(key).as("__k"), col(rightTime).as("__t"), lit(rightTag).as("__src"),
       struct(col(rightValue).cast(valueType).as("v")).as("__v"),
       lit(null).cast(rowType).as("__row"))
 
-    // right (__src=0) sorts first at equal __t => inclusive as-of
-    val w = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__src"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__src"))
     val joined = leftTagged.unionByName(rightTagged)
-      .withColumn("__asof", last(col("__v"), ignoreNulls = true).over(w))
-      .filter(col("__src") === 1)
+      .withColumn("__asof",
+        if (forward)
+          first(col("__v"), ignoreNulls = true).over(
+            base.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        else
+          last(col("__v"), ignoreNulls = true).over(
+            base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("__src") === leftTag)
     val leftCols = left.columns.map(c => col("__row").getField(c).as(c))
     joined.select(leftCols.toIndexedSeq :+ col("__asof").getField("v").as(outCol): _*)
   }

@@ -500,6 +500,49 @@ object AnalyticsQueries {
         .orderBy(col("event_id"))
     },
 
+    // FORWARD as-of: each click joined to the user's next purchase
+    // at-or-after it — the mirrored direction of q23 (same one-shuffle
+    // union+window composition, frame looking forward). Oracle is
+    // DuckDB's native forward ASOF (l.ts <= r.ts).
+    "q39_asof_forward" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val clk = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val pur = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+      graft.operators.AsOfJoin.firstValueAsOf(
+          clk, pur, key = "user_id", leftTime = "ts",
+          rightTime = "p_ts", rightValue = "value",
+          outCol = "next_purchase_value")
+        .select(col("event_id"), col("user_id"), col("next_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // Winsorization (clip at p05/p95): the standard robust-preprocessing
+    // step before training on heavy-tailed numerics. Exact interpolated
+    // percentiles per group (q21-proven engine parity; approx_percentile
+    // is the 100 TB swap), 5-row bounds frame broadcast, one clipped
+    // decimal-sum pass — events scanned twice, never shuffled.
+    "q40_winsorize" -> { (s, d) =>
+      val e = t(s, d, "events").select(col("event_type"), col("value"))
+      val bounds = e.groupBy(col("event_type"))
+        .agg(expr("percentile(value, 0.05)").as("lo"),
+          expr("percentile(value, 0.95)").as("hi"))
+      e.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("clipped",
+          when(col("value") < col("lo"), col("lo"))
+            .when(col("value") > col("hi"), col("hi"))
+            .otherwise(col("value")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(first(col("lo")), 4).as("lo_r"),
+          round(first(col("hi")), 4).as("hi_r"),
+          sum(when(col("value") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("value") > col("hi"), 1L).otherwise(0L)).as("n_high"),
+          dsumr(col("clipped")).as("sum_clipped"))
+        .orderBy(col("event_type"))
+    },
+
     // Approximate distinct counts (HLL++) next to their exact values.
     // No oracle — HLL sketches aren't engine-portable; the spec bounds the
     // relative error instead. At 100 TB the approx path is the one that
@@ -937,6 +980,31 @@ object AnalyticsQueries {
         |FROM (SELECT * FROM e WHERE event_type = 'error') err
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') clk
         | ON err.user_id = clk.user_id AND err.tsu >= clk.tsu""".stripMargin,
+
+    "q39_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS tsu,
+        |            event_type, value FROM events)
+        |SELECT clk.event_id, clk.user_id, pur.value AS next_purchase_value
+        |FROM (SELECT * FROM e WHERE event_type = 'click') clk
+        |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'purchase') pur
+        | ON clk.user_id = pur.user_id AND clk.tsu <= pur.tsu""".stripMargin,
+
+    "q40_winsorize" ->
+      """WITH b AS (
+        | SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |  quantile_cont(value, 0.95) AS hi
+        | FROM events GROUP BY event_type)
+        |SELECT e.event_type, COUNT(*) AS n,
+        | ROUND(ANY_VALUE(b.lo), 4) AS lo_r,
+        | ROUND(ANY_VALUE(b.hi), 4) AS hi_r,
+        | CAST(SUM(CASE WHEN e.value < b.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        | CAST(SUM(CASE WHEN e.value > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        | CAST(ROUND(SUM(CAST(
+        |   CASE WHEN e.value < b.lo THEN b.lo
+        |        WHEN e.value > b.hi THEN b.hi
+        |        ELSE e.value END AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_clipped
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
 
     "q21_percentiles" ->
       """SELECT o_orderstatus,
