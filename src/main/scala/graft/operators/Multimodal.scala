@@ -309,28 +309,29 @@ object Multimodal {
     spark.createDataFrame(rows, dhashSchema)
   }
 
-  /** Perceptual near-dup image pairs: [[imageDHash]] fingerprints, then
-    * the SimHash pigeonhole — 64 bits split into 8 blocks of 8; hamming
-    * <= 7 forces at least one identical block, so candidates come from an
-    * equi-join on (block index, block bits) instead of all-pairs — then
-    * exact hamming verify on the survivors. Same blocking discipline as
-    * [[Dedup.simhashPairs]], applied to pixels instead of tokens.
-    * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxDist. */
-  def dhashPairs(spark: SparkSession, mm: DataFrame, maxDist: Int = 6,
-                 decode: Decoder = imageDecoder): DataFrame = {
+  /** Pigeonhole-blocked hamming pairs over a (doc_id, fingerprint) frame
+    * of 64-char '0'/'1' strings: 64 bits split into 8 blocks of 8 —
+    * hamming <= 7 forces at least one identical block, so candidates come
+    * from an equi-join on (block index, block bits) instead of all-pairs
+    * — then exact hamming verify on the survivors. The [[Dedup
+    * .simhashPairs]] blocking discipline, shared by the image and audio
+    * fingerprint pair generators. */
+  private def hammingPairs(hashed: DataFrame, hashCol: String,
+                           maxDist: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist=$maxDist outside the 8-block pigeonhole bound [0, 7]")
-    val dh = imageDHash(spark, mm, decode).filter(col("dhash").isNotNull)
-    val blocks = dh.select(col("doc_id"), col("dhash"),
+    val dh = hashed.select(col("doc_id"), col(hashCol).as("h"))
+      .filter(col("h").isNotNull)
+    val blocks = dh.select(col("doc_id"), col("h"),
       explode(expr(
-        "transform(sequence(0, 7), b -> struct(b AS bi, substring(dhash, b*8 + 1, 8) AS bits))"))
+        "transform(sequence(0, 7), b -> struct(b AS bi, substring(h, b*8 + 1, 8) AS bits))"))
         .as("blk"))
-      .select(col("doc_id"), col("dhash"), col("blk.bi"), col("blk.bits"))
+      .select(col("doc_id"), col("h"), col("blk.bi"), col("blk.bits"))
     val cand = blocks.as("a").join(blocks.as("b"),
         col("a.bi") === col("b.bi") && col("a.bits") === col("b.bits") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("a.dhash").as("a_h"),
-        col("b.doc_id").as("b_id"), col("b.dhash").as("b_h"))
+      .select(col("a.doc_id").as("a_id"), col("a.h").as("a_h"),
+        col("b.doc_id").as("b_id"), col("b.h").as("b_h"))
       .distinct()
     cand
       .withColumn("hamming", expr(
@@ -339,6 +340,71 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
+
+  /** Perceptual near-dup image pairs: [[imageDHash]] fingerprints through
+    * the shared pigeonhole + exact-hamming funnel.
+    * Output: (a_id, b_id, hamming), a_id < b_id, hamming <= maxDist. */
+  def dhashPairs(spark: SparkSession, mm: DataFrame, maxDist: Int = 6,
+                 decode: Decoder = imageDecoder): DataFrame =
+    hammingPairs(imageDHash(spark, mm, decode), "dhash", maxDist)
+
+  private val afpSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("afp", StringType, nullable = true)))
+
+  /** Audio envelope fingerprint over the REAL decoded PCM stream — the
+    * audio leg of perceptual near-dup detection. The sample stream splits
+    * into 65 equal frames (integer boundaries f = i*65/n), each frame's
+    * loudness is the exact integer sum of |sample|, and each of the 64
+    * bits compares adjacent frame MEANS by cross-multiplication
+    * (sum_l * n_r > sum_r * n_l — no division, no floats), so the
+    * fingerprint is bit-identical on any engine and VOLUME-INVARIANT by
+    * construction: scaling every sample scales both sides of every
+    * comparison equally. Re-encodes and level changes keep the
+    * fingerprint; different material differs in ~half the bits.
+    * Null for payloads that did not decode or carry < 65 samples. */
+  def audioFingerprint(spark: SparkSession, mm: DataFrame,
+                       decode: Decoder = wavDecoder): DataFrame = {
+    val rows = mm.select(col("doc_id"), col("payload")).rdd.mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val raw = r.getAs[Array[Byte]](1)
+        val dec = decode(raw)
+        val decoded = !(dec eq raw) && dec.length >= 8 && (dec.length - 8) % 2 == 0
+        var res: String = null
+        if (decoded) {
+          val n = (dec.length - 8) / 2
+          if (n >= 65) {
+            val e = new Array[Long](65)
+            val c = new Array[Long](65)
+            var i = 0
+            while (i < n) {
+              val s = ((dec(8 + 2 * i) & 0xFF) | (dec(9 + 2 * i) << 8)).toShort
+              val f = (i.toLong * 65 / n).toInt
+              e(f) += math.abs(s.toLong)
+              c(f) += 1L
+              i += 1
+            }
+            val sb = new StringBuilder(64)
+            var j = 0
+            while (j < 64) {
+              sb.append(if (e(j) * c(j + 1) > e(j + 1) * c(j)) '1' else '0')
+              j += 1
+            }
+            res = sb.toString
+          }
+        }
+        Row(id, res)
+      }
+    }
+    spark.createDataFrame(rows, afpSchema)
+  }
+
+  /** Perceptual near-dup audio pairs: [[audioFingerprint]] through the
+    * shared pigeonhole + exact-hamming funnel. */
+  def audioPairs(spark: SparkSession, mm: DataFrame, maxDist: Int = 4,
+                 decode: Decoder = wavDecoder): DataFrame =
+    hammingPairs(audioFingerprint(spark, mm, decode), "afp", maxDist)
 
   /** Decoded-image statistics: runs [[imageDecoder]] on each payload,
     * parses the `[w][h][RGB...]` layout, and emits the dimensions plus the

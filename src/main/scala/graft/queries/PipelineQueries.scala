@@ -285,6 +285,39 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Perceptual audio near-dup gate: three formulaic WAVs per doc id —
+    // original (per-frame squared-mix amplitude envelope), a twin with a
+    // few frames boosted +3000 (hamming 0-2 measured), and a different-
+    // envelope foil (min non-twin hamming 5 measured — clean separation
+    // at maxDist=4) — through the REAL WAV codec, envelope fingerprints,
+    // pigeonhole-blocked candidates, exact hamming. The oracle replays
+    // every sample, frame sum, cross-multiplied comparison and hamming
+    // analytically and must emit the identical 100-twin pair set.
+    "multimodal_audio_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val n = 390 + (id % 65).toInt
+        def amp(f: Long, foil: Boolean, bump: Boolean): Short = {
+          val m = if (foil) id * 197 + f * 104729 else id * 131 + f * 7919
+          val a = 500 + (m * m) % 14983
+          (a + (if (bump && f % 17 == 3) 3000 else 0)).toShort
+        }
+        def wav(foil: Boolean, bump: Boolean) = Multimodal.synthWav(8000,
+          Array.tabulate(n)(i => amp(i.toLong * 65 / n, foil, bump)))
+        Seq(Row(id, wav(foil = false, bump = false)),
+          Row(id + 1000L, wav(foil = false, bump = true)),
+          Row(id + 2000L, wav(foil = true, bump = false)))
+      }, schema)
+      Multimodal.audioPairs(s, payloads, maxDist = 4)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // REAL audio-codec gate: synthesize a formulaic mono 16-bit PCM WAV
     // per doc (the JRE's own WAV writer), decode it back through the
     // javax.sound.sampled codec in Multimodal.wavDecoder, and emit
@@ -510,6 +543,49 @@ object PipelineQueries {
         |       FROM pe GROUP BY 1, 2)
         |SELECT a_id, b_id, hamming FROM hp
         |WHERE hamming <= 6 ORDER BY a_id, b_id""".stripMargin,
+
+    // Full analytic replay of the audio-fingerprint pipeline: every
+    // sample from the envelope formulas, 65-frame integer loudness sums,
+    // cross-multiplied mean comparisons, bitstrings, all-pairs hamming.
+    "multimodal_audio_pairs" ->
+      """WITH base AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |imgs AS (
+        | SELECT id, id AS aid, 0 AS v FROM base
+        | UNION ALL SELECT id, id + 1000, 1 FROM base
+        | UNION ALL SELECT id, id + 2000, 2 FROM base),
+        |dims AS (SELECT aid, id, v, 390 + id % 65 AS n FROM imgs),
+        |e AS (SELECT aid, id, v, n,
+        |  unnest(generate_series(0, n - 1)) AS i FROM dims),
+        |sm AS (
+        | SELECT aid, (i * 65) // n AS f,
+        |  CASE WHEN v = 2
+        |   THEN 500 + ((id*197 + ((i*65)//n)*104729)
+        |               * (id*197 + ((i*65)//n)*104729)) % 14983
+        |   ELSE 500 + ((id*131 + ((i*65)//n)*7919)
+        |               * (id*131 + ((i*65)//n)*7919)) % 14983
+        |        + CASE WHEN v = 1 AND ((i*65)//n) % 17 = 3
+        |               THEN 3000 ELSE 0 END
+        |  END AS s
+        | FROM e),
+        |fr AS (SELECT aid, f, SUM(abs(s)) AS es, COUNT(*) AS c
+        |       FROM sm GROUP BY 1, 2),
+        |bits AS (
+        | SELECT l.aid, l.f,
+        |  CASE WHEN l.es * r.c > r.es * l.c THEN '1' ELSE '0' END AS bit
+        | FROM fr l JOIN fr r ON l.aid = r.aid AND r.f = l.f + 1
+        | WHERE l.f < 64),
+        |hs AS (SELECT aid, string_agg(bit, '' ORDER BY f) AS h
+        |       FROM bits GROUP BY aid),
+        |pr AS (SELECT a.aid AS a_id, a.h AS ah, b.aid AS b_id, b.h AS bh
+        |       FROM hs a JOIN hs b ON a.aid < b.aid),
+        |pe AS (SELECT a_id, b_id, ah, bh,
+        |        unnest(generate_series(1, 64)) AS p FROM pr),
+        |hp AS (SELECT a_id, b_id,
+        |        CAST(SUM(CASE WHEN substr(ah, p, 1) != substr(bh, p, 1)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |       FROM pe GROUP BY 1, 2)
+        |SELECT a_id, b_id, hamming FROM hp
+        |WHERE hamming <= 4 ORDER BY a_id, b_id""".stripMargin,
 
     // The decoded PCM stream is fully predicted by the synthesis formula.
     "multimodal_audio" ->
