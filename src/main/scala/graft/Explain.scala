@@ -42,7 +42,16 @@ object Explain {
         // round-7: persistent-index serving (corpus side must plan with
         // no exchange before the candidate join), paragraph keep-first
         // (no per-fingerprint window), JL-projection shortlist+re-rank
-        "dedup_incremental_serve", "dedup_paragraphs", "ann_rp_topk")
+        "dedup_incremental_serve", "dedup_paragraphs", "ann_rp_topk",
+        // round-8: event analytics (funnel/retention/resample must plan
+        // with map-side partial aggs + broadcast stats frames, no
+        // fact-side shuffles beyond the keyed exchanges), PCA shortlist,
+        // fuzzy join (inverted-index equi-join, no cartesian), dhash /
+        // audio pair funnels (block equi-join, no cartesian)
+        "q34_funnel_conversion", "q35_retention_cohorts",
+        "q36_resample_ffill", "q37_outliers_mad", "q38_user_similarity",
+        "q39_asof_forward", "q40_winsorize", "ann_pca_topk",
+        "dedup_fuzzy_names")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
