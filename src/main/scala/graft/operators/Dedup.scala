@@ -937,34 +937,9 @@ object Dedup {
                         maxDf: Long = 1000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
-    import org.apache.spark.sql.expressions.Window
     val pre = q * maxDist + 1
-    val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(col("s").isNotNull)
-    // A string with FEWER than q*maxDist+1 distinct grams can have its
-    // entire gram set destroyed by maxDist edits, so gram sharing proves
-    // nothing for the short-short case: such strings additionally index
-    // one sentinel key (q+1 chars long, so it can never collide with a
-    // real q-gram), making all short strings mutual candidates. Their
-    // REAL grams stay indexed too — a short-vs-long pair is still caught
-    // through the long side's prefix (>= 1 of its q*maxDist+1 rarest
-    // grams must survive into the short string's full gram set).
-    val gramArr = when(length(col("s")) < q, array().cast("array<string>"))
-      .otherwise(array_distinct(expr(
-        s"transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q))")))
-    val withSentinel = when(size(gramArr) < pre,
-        concat(gramArr, array(lit("\u0001" * (q + 1)))))
-      .otherwise(gramArr)
-    val grams = s.select(col("id"), explode(withSentinel).as("g"))
-    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
-    val kept =
-      if (maxDf <= 0) grams.join(dfreq, Seq("g"))
-      else grams.join(dfreq.filter(col("gdf") <= maxDf), Seq("g"))
-    val prefix = kept
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))))
-      .filter(col("rk") <= pre)
-      .select(col("g"), col("id"))
+    val s = gramArrays(df, idCol, strCol, q, sentinelBelow = pre)
+    val prefix = gramPrefix(s, pre, maxDf)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
@@ -976,5 +951,100 @@ object Dedup {
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .filter(col("dist") <= maxDist)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+  }
+
+  /** (id, s, grams): each string's DISTINCT q-grams. A string with fewer
+    * than `sentinelBelow` distinct grams can have its entire gram set
+    * destroyed by the edit budget the caller supports, so gram sharing
+    * proves nothing for the short-short case: such strings additionally
+    * carry one sentinel gram (q+1 chars long — can never collide with a
+    * real q-gram), making all short strings mutual candidates. Their
+    * REAL grams stay too — a short-vs-long pair is still caught through
+    * the long side's prefix (>= 1 of its q*d+1 rarest grams must
+    * survive into the short string's full gram set). */
+  private def gramArrays(df: DataFrame, idCol: String, strCol: String,
+                         q: Int, sentinelBelow: Int): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    val gramArr = when(length(col("s")) < q, array().cast("array<string>"))
+      .otherwise(array_distinct(expr(
+        s"transform(sequence(0, length(s) - $q), i -> substring(s, i + 1, $q))")))
+    val withSentinel = when(size(gramArr) < sentinelBelow,
+        concat(gramArr, array(lit("\u0001" * (q + 1)))))
+      .otherwise(gramArr)
+    s.select(col("id"), col("s"), withSentinel.as("grams"))
+  }
+
+  /** Each string's `pre` rarest grams (ascending document frequency over
+    * THIS frame, gram text tie-break) as (g, id) index rows; `maxDf`
+    * drops hot grams from prefixes exactly as in [[spanPairs]]. */
+  private def gramPrefix(s: DataFrame, pre: Int, maxDf: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = s.select(col("id"), explode(col("grams")).as("g"))
+    val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+    val kept =
+      if (maxDf <= 0) grams.join(dfreq, Seq("g"))
+      else grams.join(dfreq.filter(col("gdf") <= maxDf), Seq("g"))
+    kept
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))))
+      .filter(col("rk") <= pre)
+      .select(col("g"), col("id"))
+  }
+
+  /** Build a STANDING edit-distance index over the corpus: every distinct
+    * gram of every string (plus the short-string sentinel), bucketed on
+    * the gram key as a catalog table, carrying the string itself so
+    * serving verifies without ever rescanning the corpus. Indexing ALL
+    * grams (vs the query side's prefix) is what makes serving
+    * maintenance-free: prefix-vs-full completeness needs no shared
+    * frequency order, so the standing index never needs a global gram-
+    * frequency refresh as batches arrive, and accepted batches can
+    * append per-bucket segments. `maxDistBound` pins the largest
+    * maxDist the index's sentinel rule supports (serve enforces it). */
+  def buildEditIndex(corpus: DataFrame, idCol: String, strCol: String,
+                     table: String, q: Int = 2, maxDistBound: Int = 2,
+                     numBuckets: Int = 16): Unit =
+    graft.sinks.OrcSink.writeBucketed(
+      gramArrays(corpus, idCol, strCol, q,
+          sentinelBelow = q * maxDistBound + 1)
+        .select(col("id"), col("s"), explode(col("grams")).as("g")),
+      table, bucketCols = Seq("g"), numBuckets = numBuckets)
+
+  /** Fuzzy-match a batch against the standing [[buildEditIndex]] table:
+    * the batch side takes its q*maxDist+1 rarest grams (BATCH-local
+    * frequencies — completeness against a full index needs no order
+    * agreement: at most q*maxDist of any batch string's distinct grams
+    * can be missing from a true match's full gram set, so ANY
+    * q*maxDist+1 of them contain a shared one), candidates come from
+    * the bucketed gram join with the corpus side exchange-free, and the
+    * exact levenshtein verify runs against the strings the index rows
+    * carry. Per-batch cost tracks batch size; the corpus is never
+    * rescanned. Output: (batch_id, corpus_id, dist), dist <= maxDist. */
+  def editDistanceServe(spark: org.apache.spark.sql.SparkSession,
+                        table: String, batch: DataFrame,
+                        idCol: String, strCol: String,
+                        maxDist: Int, q: Int = 2,
+                        maxDistBound: Int = 2,
+                        maxDf: Long = 1000): DataFrame = {
+    require(maxDist >= 0 && maxDist <= maxDistBound,
+      s"maxDist=$maxDist exceeds the index's sentinel bound $maxDistBound " +
+        "(short-short completeness would be lost) — rebuild the index " +
+        "with a larger maxDistBound")
+    val pre = q * maxDist + 1
+    val b = gramArrays(batch, idCol, strCol, q, sentinelBelow = pre)
+    val prefix = gramPrefix(b, pre, maxDf)
+    prefix.as("x")
+      .join(spark.table(table).as("y"), col("x.g") === col("y.g"))
+      .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"),
+        col("y.s").as("c_s"))
+      .distinct()
+      .join(b.select(col("id").as("batch_id"), col("s").as("b_s")),
+        Seq("batch_id"))
+      .filter(abs(length(col("b_s")) - length(col("c_s"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("b_s"), col("c_s")))
+      .filter(col("dist") <= maxDist)
+      .select(col("batch_id"), col("corpus_id"),
+        col("dist").cast("long").as("dist"))
   }
 }

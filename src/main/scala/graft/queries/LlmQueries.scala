@@ -110,6 +110,18 @@ object LlmQueries {
       tbl
     })
 
+  private val editIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def editIndexFor(s: SparkSession, d: String): String =
+    editIdx.computeIfAbsent(d, _ => {
+      val tbl = s"graft_edit_idx_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Dedup.buildEditIndex(
+        t(s, d, "customer").filter(col("c_custkey") < 300)
+          .select(col("c_custkey").as("id"), col("c_name")),
+        "id", "c_name", tbl, q = 2, maxDistBound = 2)
+      tbl
+    })
+
   private val hybridCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def hybridCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
@@ -1094,6 +1106,24 @@ object LlmQueries {
           n = 5, threshold = 0.2)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // Fuzzy matching SERVED from the standing gram index: a batch of new
+    // names (keys 300-349) screened against the indexed corpus (keys
+    // < 300) without rescanning it — the record-linkage ingest shape.
+    // Batch prefixes use BATCH-local gram frequencies (prefix-vs-full
+    // completeness needs no shared order), corpus strings ride in the
+    // index rows, so the join is exchange-free on the corpus side and
+    // per-batch cost tracks batch size. Hard equality vs the exact
+    // batch-x-corpus all-pairs levenshtein.
+    "dedup_fuzzy_serve" -> { (s, d) =>
+      val tbl = editIndexFor(s, d)
+      Dedup.editDistanceServe(s, tbl,
+          t(s, d, "customer")
+            .filter(col("c_custkey") >= 300 && col("c_custkey") < 350)
+            .select(col("c_custkey").as("id"), col("c_name")),
+          "id", "c_name", maxDist = 1, q = 2, maxDistBound = 2)
+        .orderBy(col("batch_id"), col("corpus_id"))
     },
 
     // Fuzzy (edit-distance) self-join over customer names: Ed-Join q-gram
@@ -2287,6 +2317,21 @@ object LlmQueries {
         |JOIN ds na ON na.doc_id = a_id
         |JOIN ds nb ON nb.doc_id = b_id
         |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.2""".stripMargin,
+
+    // Exact batch-x-corpus all-pairs levenshtein: the served funnel is
+    // provably complete at the gate dials, so it must reproduce this
+    // exactly.
+    "dedup_fuzzy_serve" ->
+      """WITH c AS (
+        | SELECT c_custkey AS id, c_name AS s FROM customer
+        | WHERE c_custkey < 300),
+        |b AS (
+        | SELECT c_custkey AS id, c_name AS s FROM customer
+        | WHERE c_custkey >= 300 AND c_custkey < 350)
+        |SELECT b.id AS batch_id, c.id AS corpus_id,
+        | CAST(levenshtein(b.s, c.s) AS BIGINT) AS dist
+        |FROM b JOIN c ON levenshtein(b.s, c.s) <= 1
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // Exact all-pairs levenshtein over the same 300 names: the funnel's
     // prefix filter is provably complete at the gate dials, so the fuzzy

@@ -75,6 +75,42 @@ class EditDistanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(run(rows, 1, maxDf = 2) === bruteForce(rows, 1))
   }
 
+  test("serve from the standing index equals direct batch-x-corpus compute") {
+    val corpus = Seq(1L -> "gradient descent", 2L -> "stochastic sampling",
+      3L -> "ab", 4L -> "x").toDF("id", "s")
+    val batch = Seq(10L -> "gradiant descent", 11L -> "stochastic sampling!",
+      12L -> "cb", 13L -> "y", 14L -> "unrelated phrase").toDF("id", "s")
+    graft.operators.Dedup.buildEditIndex(corpus, "id", "s",
+      "graft_test_edit_idx", q = 2, maxDistBound = 2)
+    val served = graft.operators.Dedup.editDistanceServe(spark,
+        "graft_test_edit_idx", batch, "id", "s", maxDist = 2)
+      .orderBy("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // direct truth over the cross product, incl. the short-short pairs
+    // ("cb" vs "ab" d=1, "y" vs "x" d=1) that ride the sentinel bucket
+    val corpusRows = Seq(1L -> "gradient descent", 2L -> "stochastic sampling",
+      3L -> "ab", 4L -> "x")
+    val batchRows = Seq(10L -> "gradiant descent", 11L -> "stochastic sampling!",
+      12L -> "cb", 13L -> "y", 14L -> "unrelated phrase")
+    val direct = (for {
+      (bi, bs) <- batchRows; (ci, cs) <- corpusRows
+      d = levenshteinDist(bs, cs) if d <= 2
+    } yield (bi, ci, d.toLong)).sortBy(p => (p._1, p._2))
+    assert(served === direct)
+    assert(direct.contains((12L, 3L, 1L)) && direct.contains((13L, 4L, 1L)))
+  }
+
+  test("serve refuses a maxDist beyond the index's sentinel bound") {
+    val corpus = Seq(1L -> "abc").toDF("id", "s")
+    graft.operators.Dedup.buildEditIndex(corpus, "id", "s",
+      "graft_test_edit_idx2", q = 2, maxDistBound = 1)
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.editDistanceServe(spark, "graft_test_edit_idx2",
+        corpus, "id", "s", maxDist = 2, maxDistBound = 1)
+    }
+    assert(e.getMessage.contains("sentinel bound"))
+  }
+
   test("null strings are ignored, not crashed on") {
     val rows = Seq((1L, "abc"), (2L, "abd"))
     val withNull = rows.toDF("id", "s")
