@@ -180,6 +180,41 @@ object Profile {
     * as exact DECIMAL (order-independent), final divergence rounds to
     * 6dp — identical on any partitioning and bit-replayable by the
     * DuckDB oracle. */
+  /** Estimated distinct-overlap between every pair of strata via THETA
+    * sketches — the set-operation sketch: where HLL only unions, theta
+    * intersects, so two slices' ~16 KB sketches answer "how many
+    * distinct items do these sources share" without the corpus-scale
+    * distinct-intersection join. One scan builds a sketch per stratum
+    * (mergeable TypedImperativeAggregate partials — KBs across the
+    * shuffle); the #strata compact sketches collect to the driver (a
+    * BOUNDED collect, one row per stratum) and pairwise
+    * intersection/union estimates re-parallelize as the result.
+    *
+    * Deterministic: a theta sketch retains the k smallest item hashes —
+    * a set property — so sketches and every derived estimate are
+    * identical on any partitioning. `hashCol` must be a LongType item
+    * hash (e.g. xxhash64 of the item).
+    * Output: (a, b, est_a, est_b, est_inter, est_union) per pair a < b. */
+  def thetaOverlap(df: DataFrame, groupCol: String, hashCol: String,
+                   lgK: Int = 12): DataFrame = {
+    import graft.functions.ThetaSketchAgg
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketches = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(ThetaSketchAgg.thetaSketch(col(hashCol), lgK).as("sk"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
+      .sortBy(_._1)
+    val pairs = for {
+      i <- sketches.indices; j <- (i + 1) until sketches.length
+      (ga, sa) = sketches(i); (gb, sb) = sketches(j)
+    } yield (ga, gb,
+      ThetaSketchAgg.estimate(sa), ThetaSketchAgg.estimate(sb),
+      ThetaSketchAgg.intersectionEstimate(sa, sb, lgK),
+      ThetaSketchAgg.unionEstimate(sa, sb, lgK))
+    pairs.toSeq.toDF("a", "b", "est_a", "est_b", "est_inter", "est_union")
+  }
+
   def termDivergence(df: DataFrame, strataCol: String, textCol: String,
                      topTerms: Int): DataFrame = {
     require(topTerms >= 1, s"topTerms must be >= 1, got $topTerms")
