@@ -1011,6 +1011,20 @@ object Dedup {
         .select(col("id"), col("s"), explode(col("grams")).as("g")),
       table, bucketCols = Seq("g"), numBuckets = numBuckets)
 
+  /** Append an ACCEPTED batch's gram rows to the standing edit index
+    * (same bucket spec, new per-bucket files — standing files untouched),
+    * so the next batch is fuzzy-screened against this one too. The
+    * sentinel rule must match the build (`maxDistBound`). */
+  def appendToEditIndex(batch: DataFrame, idCol: String, strCol: String,
+                        table: String, q: Int = 2, maxDistBound: Int = 2,
+                        numBuckets: Int = 16): Unit =
+    gramArrays(batch, idCol, strCol, q,
+        sentinelBelow = q * maxDistBound + 1)
+      .select(col("id"), col("s"), explode(col("grams")).as("g"))
+      .write.mode("append").format("orc")
+      .bucketBy(numBuckets, "g").sortBy("g")
+      .saveAsTable(table)
+
   /** Fuzzy-match a batch against the standing [[buildEditIndex]] table:
     * the batch side takes its q*maxDist+1 rarest grams (BATCH-local
     * frequencies — completeness against a full index needs no order

@@ -285,6 +285,39 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // Perceptual VIDEO near-dup gate: three 3-frame GFV1 videos per doc
+    // id (original / frame-1-retouched twin / different-frequency foil)
+    // — real container demux, real per-frame PNG decode, per-frame
+    // dHash, frame-0 pigeonhole candidates, aligned-frame max-hamming
+    // verify. The oracle replays every pixel of every frame, the block
+    // sums, bits, per-frame hammings and the per-pair max analytically
+    // and must emit the identical 114-pair set (100 twins at max
+    // hamming 0-4 + 14 structural brightness-relatives, measured).
+    "multimodal_video_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 18 + (id % 7).toInt
+        val h = 16 + (id % 5).toInt
+        def frame(f: Int, variant: Int) = Multimodal.synthPng(w, h, { i =>
+          if (variant == 2) ((i * (101 + id % 17) + id * 53 + f * 29) % 256).toInt
+          else ((i * (37 + id % 13) + id * 31 + f * 29 +
+            (if (variant == 1 && f == 1 && i % 29 == 0) 8 else 0)) % 256).toInt
+        })
+        def video(variant: Int) =
+          Multimodal.synthVideo((0 until 3).map(f => frame(f, variant)))
+        Seq(Row(id, video(0)), Row(id + 1000L, video(1)),
+          Row(id + 2000L, video(2)))
+      }, schema)
+      Multimodal.videoPairs(s, payloads, maxDist = 6)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Perceptual audio near-dup gate: three formulaic WAVs per doc id —
     // original (per-frame squared-mix amplitude envelope), a twin with a
     // few frames boosted +3000 (hamming 0-2 measured), and a different-
@@ -543,6 +576,54 @@ object PipelineQueries {
         |       FROM pe GROUP BY 1, 2)
         |SELECT a_id, b_id, hamming FROM hp
         |WHERE hamming <= 6 ORDER BY a_id, b_id""".stripMargin,
+
+    // Full analytic replay of the video pipeline: pixels of all three
+    // frames, block sums, bits, per-frame hammings, per-pair max.
+    "multimodal_video_pairs" ->
+      """WITH base AS (SELECT doc_id AS id FROM documents WHERE doc_id < 100),
+        |imgs AS (
+        | SELECT id, id AS vid, 0 AS v FROM base
+        | UNION ALL SELECT id, id + 1000, 1 FROM base
+        | UNION ALL SELECT id, id + 2000, 2 FROM base),
+        |dims AS (SELECT vid, id, v, 18 + id % 7 AS w, 16 + id % 5 AS h
+        |         FROM imgs),
+        |vf AS (SELECT vid, id, v, w, h, unnest([0, 1, 2]) AS f FROM dims),
+        |e AS (SELECT vid, id, v, w, h, f,
+        |  unnest(generate_series(0, w*h - 1)) AS i FROM vf),
+        |px AS (
+        | SELECT vid, f, w, h, i,
+        |  CASE WHEN v = 2
+        |   THEN (i*(101 + id % 17) + id*53 + f*29) % 256
+        |   ELSE (i*(37 + id % 13) + id*31 + f*29 +
+        |         CASE WHEN v = 1 AND f = 1 AND i % 29 = 0
+        |              THEN 8 ELSE 0 END) % 256
+        |  END AS g
+        | FROM e),
+        |cells AS (
+        | SELECT vid, f, ((i // w) * 8) // h AS cy, ((i % w) * 9) // w AS cx,
+        |  SUM(g) AS s, COUNT(*) AS c
+        | FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (
+        | SELECT l.vid, l.f, l.cy, l.cx,
+        |  CASE WHEN l.s * r.c > r.s * l.c THEN '1' ELSE '0' END AS bit
+        | FROM cells l JOIN cells r
+        |   ON l.vid = r.vid AND l.f = r.f AND l.cy = r.cy AND r.cx = l.cx + 1
+        | WHERE l.cx < 8),
+        |hs AS (SELECT vid, f, string_agg(bit, '' ORDER BY cy, cx) AS dh
+        |       FROM bits GROUP BY vid, f),
+        |pr AS (SELECT a.vid AS a_id, b.vid AS b_id, a.f AS f,
+        |        a.dh AS adh, b.dh AS bdh
+        |       FROM hs a JOIN hs b ON a.vid < b.vid AND a.f = b.f),
+        |pe AS (SELECT a_id, b_id, f, adh, bdh,
+        |        unnest(generate_series(1, 64)) AS p FROM pr),
+        |hf AS (SELECT a_id, b_id, f,
+        |        SUM(CASE WHEN substr(adh, p, 1) != substr(bdh, p, 1)
+        |             THEN 1 ELSE 0 END) AS hd
+        |       FROM pe GROUP BY 1, 2, 3),
+        |hp AS (SELECT a_id, b_id, CAST(MAX(hd) AS BIGINT) AS max_hamming
+        |       FROM hf GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(3 AS BIGINT) AS n_frames, max_hamming
+        |FROM hp WHERE max_hamming <= 6 ORDER BY a_id, b_id""".stripMargin,
 
     // Full analytic replay of the audio-fingerprint pipeline: every
     // sample from the envelope formulas, 65-frame integer loudness sums,

@@ -100,6 +100,24 @@ class EditDistanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(direct.contains((12L, 3L, 1L)) && direct.contains((13L, 4L, 1L)))
   }
 
+  test("append folds an accepted batch in; the next batch matches against it") {
+    val corpus = Seq(1L -> "alpha particle").toDF("id", "s")
+    graft.operators.Dedup.buildEditIndex(corpus, "id", "s",
+      "graft_test_edit_idx3", q = 2, maxDistBound = 2)
+    val batch1 = Seq(10L -> "beta particle").toDF("id", "s")
+    // batch1 matches nothing at distance 2 ("alpha"->"beta" is 4 edits)
+    assert(graft.operators.Dedup.editDistanceServe(spark,
+      "graft_test_edit_idx3", batch1, "id", "s", maxDist = 2).count() === 0)
+    graft.operators.Dedup.appendToEditIndex(batch1, "id", "s",
+      "graft_test_edit_idx3", q = 2, maxDistBound = 2)
+    // batch2 is a typo of batch1: matches ONLY the appended row
+    val batch2 = Seq(20L -> "beta particls").toDF("id", "s")
+    val got = graft.operators.Dedup.editDistanceServe(spark,
+        "graft_test_edit_idx3", batch2, "id", "s", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((20L, 10L, 1L)))
+  }
+
   test("serve refuses a maxDist beyond the index's sentinel bound") {
     val corpus = Seq(1L -> "abc").toDF("id", "s")
     graft.operators.Dedup.buildEditIndex(corpus, "id", "s",
