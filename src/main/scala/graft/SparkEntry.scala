@@ -43,6 +43,7 @@ object SparkEntry {
     "q25_range_join_pairs", "q26_pivot_events",
     "q28_user_sessions", "q34_funnel_conversion", "q35_retention_cohorts",
     "q36_resample_ffill", "q37_outliers_mad", "q38_user_similarity",
+    "q42_ewma",
     "pipeline_split",
     "stream_hourly_agg", "stream_hourly_quantiles", "stream_hourly_distinct",
     "stream_funnel_depth",

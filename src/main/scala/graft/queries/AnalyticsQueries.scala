@@ -581,6 +581,25 @@ object AnalyticsQueries {
           ok(col("est_union"), col("n_union"), col("n_union").cast("double")).as("union_ok"))
     },
 
+    // Per-user EWMA (q42): the irregular-time-series smoothing recurrence
+    // s_i = a*x_i + (1-a)*s_(i-1) — inherently sequential per key, so it
+    // runs as a mapGroups fold over the (time, event_id)-sorted group
+    // (see TimeSeries.ewmaByKey for why no window formulation is safe).
+    // The oracle folds the identical sorted list with DuckDB's
+    // list_reduce (first element seeds the accumulator, matching
+    // s_1 = x_1) using the same (1 - 0.2) expression so the IEEE
+    // operation sequence is term-for-term identical.
+    "q42_ewma" -> { (s, d) =>
+      graft.operators.TimeSeries.ewmaByKey(
+          t(s, d, "events")
+            .select(col("user_id"), unix_micros(col("ts")).as("us"),
+              col("event_id"), col("value")),
+          "user_id", "us", "event_id", "value", alpha = 0.2)
+        .select(col("user_id"), col("n"),
+          round(col("ewma_last"), 6).as("ewma_r"))
+        .orderBy(col("user_id"))
+    },
+
     // Approximate distinct counts (HLL++) next to their exact values.
     // No oracle — HLL sketches aren't engine-portable; the spec bounds the
     // relative error instead. At 100 TB the approx path is the one that
@@ -1018,6 +1037,19 @@ object AnalyticsQueries {
         |FROM (SELECT * FROM e WHERE event_type = 'error') err
         |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') clk
         | ON err.user_id = clk.user_id AND err.tsu >= clk.tsu""".stripMargin,
+
+    "q42_ewma" ->
+      """WITH e AS (
+        | SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  event_id
+        | FROM events),
+        |l AS (
+        | SELECT user_id, list(value ORDER BY us, event_id) AS xs
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(xs) AS BIGINT) AS n,
+        | ROUND(list_reduce(xs, (acc, x) -> 0.2*x + (1 - 0.2)*acc), 6)
+        |  AS ewma_r
+        |FROM l ORDER BY user_id""".stripMargin,
 
     // Exact set sizes replayed; deterministic sketch verdicts pinned true
     // (q24 pattern — theta sketches are order/partitioning-independent).
