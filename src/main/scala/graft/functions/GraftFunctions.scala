@@ -62,7 +62,8 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"simhash64 portable flag must be a boolean literal, got $other")
       })),
-    "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()))
+    "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()),
+    "theta_sketch" -> (exprs => ThetaSketchAgg(exprs.head).toAggregateExpression()))
 
   /** Install into an existing session (temp functions). */
   def register(spark: SparkSession): Unit = {

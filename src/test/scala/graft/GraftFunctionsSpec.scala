@@ -59,4 +59,17 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val (sk, ex) = (row.getAs[Long]("sk"), row.getAs[Long]("ex"))
     assert(math.abs(sk - ex).toDouble / ex < 0.05, s"$sk vs $ex")
   }
+
+  test("theta sketch aggregate works through SQL; estimate tracks exact") {
+    GraftFunctions.register(spark)
+    Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+      .createOrReplaceTempView("li_fn_v2")
+    val row = spark.sql(
+      """SELECT theta_sketch(xxhash64(l_partkey)) AS sk,
+        | COUNT(DISTINCT l_partkey) AS ex FROM li_fn_v2""".stripMargin)
+      .collect()(0)
+    val est = graft.functions.ThetaSketchAgg.estimate(row.getAs[Array[Byte]]("sk"))
+    val ex = row.getAs[Long]("ex")
+    assert(math.abs(est - ex) / ex < 0.05, s"$est vs $ex")
+  }
 }
