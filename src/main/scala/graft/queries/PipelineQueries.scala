@@ -34,6 +34,20 @@ object PipelineQueries {
       EventStream.slidingAgg(s, d).orderBy(col("w_start"), col("event_type"))
     },
 
+    // Streaming per-user EWMA: the q42 recurrence as running state —
+    // must equal the batch fold exactly (same sort, same IEEE ops), so
+    // the oracle is q42's verbatim. Final state = max-n row per user of
+    // the Update-mode sink (n is strictly increasing).
+    "stream_ewma" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = EventStream.ewmaState(s, d, alpha = 0.2)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc)
+      st.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("n"),
+          round(col("ewma_last"), 6).as("ewma_r"))
+        .orderBy(col("user_id"))
+    },
+
     // Streaming funnel: per-user first-touch state streams (four
     // min-merged longs — commutative, so arrival order and micro-batch
     // boundaries cannot change the final state); the gate reduces the
@@ -417,6 +431,20 @@ object PipelineQueries {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The batch q42 oracle verbatim (same sorted-list fold in DuckDB).
+    "stream_ewma" ->
+      """WITH e AS (
+        | SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  event_id
+        | FROM events),
+        |l AS (
+        | SELECT user_id, list(value ORDER BY us, event_id) AS xs
+        | FROM e GROUP BY user_id)
+        |SELECT user_id, CAST(len(xs) AS BIGINT) AS n,
+        | ROUND(list_reduce(xs, (acc, x) -> 0.2*x + (1 - 0.2)*acc), 6)
+        |  AS ewma_r
+        |FROM l ORDER BY user_id""".stripMargin,
 
     // The batch q34 oracle verbatim: the streamed first-touch state must
     // reduce to the identical ordered-funnel summary.

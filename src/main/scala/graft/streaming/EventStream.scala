@@ -12,6 +12,8 @@ import graft.Tables.dsumr
 final case class SessEvent(user_id: Long, ts_us: Long)
 final case class SessCount(user_id: Long, n_sessions: Long)
 final case class FunnelEvent(user_id: Long, event_type: String, ts_us: Long)
+final case class EwmaEvent(user_id: Long, us: Long, event_id: Long, value: Double)
+final case class EwmaState(user_id: Long, n: Long, ewma_last: Double)
 final case class FunnelState(user_id: Long, t_signup: Long, t_view: Long,
                              t_click: Long, t_purchase: Long)
 
@@ -206,6 +208,39 @@ object EventStream {
     val out = ev.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
     runToMemory(spark, out.toDF(), "graft_stream_funnel", OutputMode.Update())
+  }
+
+  /** Streaming per-user EWMA via flatMapGroupsWithState: state carries
+    * (count, smoothed value); each micro-batch's arrivals sort by
+    * (ts, event_id) inside the state function and fold in order — the
+    * [[sessionCounts]] ordering contract: event-time order ACROSS
+    * micro-batches follows from the source's file order (the staged
+    * fixture lands as one file; a production ingest keys landing files
+    * by time). Emits the running (user_id, n, ewma) on every update;
+    * n is strictly increasing, so the final state per user is the
+    * max-n row of the Update-mode sink. */
+  def ewmaState(spark: SparkSession, sfDir: String,
+                alpha: Double = 0.2): DataFrame = {
+    import spark.implicits._
+    def fn(k: Long, it: Iterator[EwmaEvent],
+           state: GroupState[(Long, Double, Boolean)]): Iterator[EwmaState] = {
+      val rows = it.toArray.sortBy(e => (e.us, e.event_id))
+      var (n, s, init) = state.getOption.getOrElse((0L, 0.0, false))
+      rows.foreach { e =>
+        s = if (!init) { init = true; e.value }
+          else alpha * e.value + (1 - alpha) * s
+        n += 1
+      }
+      state.update((n, s, init))
+      Iterator.single(EwmaState(k, n, s))
+    }
+    val ev = readEventStream(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .as[EwmaEvent]
+    val out = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout())(fn)
+    runToMemory(spark, out.toDF(), "graft_stream_ewma", OutputMode.Update())
   }
 
   /** Streaming exact deduplication: `dropDuplicates` keeps per-key state
