@@ -70,16 +70,46 @@ object EventStream {
       // a partial one.
       if (!staged.contains(key)) {
         java.nio.file.Files.createDirectories(dir)
-        val tmp = dir.resolve(s".events.parquet.tmp-${java.util.UUID.randomUUID()}")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"), tmp)
-        java.nio.file.Files.move(tmp, dir.resolve("events.parquet"),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        val srcPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        // multi-file fixtures (events.parquet as a DIRECTORY of parts)
+        // stage each data file under a name-ordered alias, so a
+        // maxFilesPerTrigger-batched stream consumes them in the
+        // producer's time order — the multi-micro-batch test/deployment
+        // shape; the driver fixture is a single file and stages as one.
+        val parts: Seq[java.nio.file.Path] =
+          if (java.nio.file.Files.isDirectory(srcPath)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.list(srcPath).iterator().asScala.toSeq
+              .filter(_.getFileName.toString.endsWith(".parquet"))
+              .sortBy(_.getFileName.toString)
+          } else Seq(srcPath)
+        parts.zipWithIndex.foreach { case (pth, i) =>
+          val name = if (parts.length == 1) "events.parquet"
+            else f"events-$i%05d.parquet"
+          val tmp = dir.resolve(s".$name.tmp-${java.util.UUID.randomUUID()}")
+          java.nio.file.Files.copy(pth, tmp)
+          val dst = dir.resolve(name)
+          java.nio.file.Files.move(tmp, dst,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // the file source orders files by MODIFICATION TIME, and fast
+          // staging gives all parts the same mtime — pin strictly
+          // increasing mtimes in name order so batched consumption
+          // follows the producer's time order deterministically
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 60000L))
+        }
         staged += key
       }
     }
-    graft.Tables.normalizeEventTs(
-      spark.readStream.schema(rawSchema(spark, sfDir)).parquet(dir.toString))
+    // Optional micro-batch sizing knob (ops/tests): with N staged files
+    // and maxFilesPerTrigger=1, the stream runs N real micro-batches —
+    // StreamBatchingSpec proves the stateful operators' cross-batch
+    // contracts on genuinely multi-batch runs.
+    val reader = spark.readStream.schema(rawSchema(spark, sfDir))
+    val withTrigger = spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .foldLeft(reader)((r, v) => r.option("maxFilesPerTrigger", v))
+    graft.Tables.normalizeEventTs(withTrigger.parquet(dir.toString))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 1-hour watermark, run to
