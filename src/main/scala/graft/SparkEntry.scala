@@ -56,7 +56,7 @@ object SparkEntry {
     "text_hybrid_rrf",
     "retrieval_hybrid_serve", "retrieval_hybrid_serve_engine", "text_kn_bigram",
     "dedup_exact_docs", "dedup_paragraphs", "dedup_fuzzy_names",
-    "dedup_fuzzy_serve",
+    "dedup_fuzzy_serve", "dedup_jw_names",
     "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",
     "dedup_span_scrub",

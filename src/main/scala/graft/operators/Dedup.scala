@@ -953,6 +953,34 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 
+  /** All pairs with Jaro-Winkler similarity >= `minSim` — the
+    * record-linkage scorer (transpositions + shared-prefix boost; the
+    * native [[graft.functions.JaroWinkler]] expression, DuckDB-parity
+    * parameterization). JW admits no exact completeness filter (it is
+    * not a metric), so this is the BOUNDED all-pairs verifier with the
+    * same enforced input cap as
+    * [[Similarity.cosineNearDupPairs]]; at corpus scale, generate
+    * candidates with [[editDistancePairs]]/blocking first and use the
+    * expression to SCORE survivors. Similarities round to 5dp before
+    * the threshold compare so the kept set is engine-stable.
+    * Output: (a_id, b_id, jw), a_id < b_id, jw rounded 5dp. */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+                       minSim: Double,
+                       maxInputRows: Long = 10000): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    val over = s.limit((maxInputRows + 1).min(Int.MaxValue).toInt).count() > maxInputRows
+    require(!over,
+      s"jaroWinklerPairs is all-pairs (O(n^2)); input exceeds " +
+        s"maxInputRows=$maxInputRows. Block first (editDistancePairs or a " +
+        "key prefix) and score candidates with the expression instead.")
+    s.as("a").join(s.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        round(graft.functions.JaroWinkler.jaroWinkler(col("a.s"), col("b.s")), 5)
+          .as("jw"))
+      .filter(col("jw") >= minSim)
+  }
+
   /** (id, s, grams): each string's DISTINCT q-grams. A string with fewer
     * than `sentinelBelow` distinct grams can have its entire gram set
     * destroyed by the edit budget the caller supports, so gram sharing

@@ -1126,6 +1126,19 @@ object LlmQueries {
         .orderBy(col("batch_id"), col("corpus_id"))
     },
 
+    // Jaro-Winkler record linkage over customer names: the native
+    // codegen'd expression scored all-pairs under the enforced input cap
+    // (the bounded verifier; blocking composes separately at scale).
+    // Hard equality vs DuckDB's jaro_winkler_similarity — identical
+    // parameterization, similarities rounded 5dp before the threshold.
+    "dedup_jw_names" -> { (s, d) =>
+      Dedup.jaroWinklerPairs(
+          t(s, d, "customer").filter(col("c_custkey") < 300)
+            .select(col("c_custkey").as("id"), col("c_name")),
+          "id", "c_name", minSim = 0.97)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
     // Fuzzy (edit-distance) self-join over customer names: Ed-Join q-gram
     // prefix filter -> length filter -> exact levenshtein verify. At
     // these dials (maxDf=1000 > the 300-name gram frequencies) nothing
@@ -2317,6 +2330,17 @@ object LlmQueries {
         |JOIN ds na ON na.doc_id = a_id
         |JOIN ds nb ON nb.doc_id = b_id
         |WHERE inter / (na.nsh + nb.nsh - inter) >= 0.2""".stripMargin,
+
+    // All-pairs Jaro-Winkler replayed natively in DuckDB.
+    "dedup_jw_names" ->
+      """WITH c AS (
+        | SELECT c_custkey AS id, c_name AS s FROM customer
+        | WHERE c_custkey < 300)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        | ROUND(jaro_winkler_similarity(a.s, b.s), 5) AS jw
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE ROUND(jaro_winkler_similarity(a.s, b.s), 5) >= 0.97
+        |ORDER BY a_id, b_id""".stripMargin,
 
     // Exact batch-x-corpus all-pairs levenshtein: the served funnel is
     // provably complete at the gate dials, so it must reproduce this
