@@ -44,6 +44,7 @@ object GraftFunctions {
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (exprs => VecDot(exprs(0), exprs(1))),
+    "jaro_winkler" -> (exprs => JaroWinkler(exprs(0), exprs(1))),
     "sig_agree" -> (exprs => SigAgree(exprs(0), exprs(1))),
     "minhash_sig" -> (exprs =>
       MinHashSig(exprs(0), intArg(exprs(1), "k"), intArg(exprs(2), "shingleSize"))),

@@ -60,6 +60,13 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(math.abs(sk - ex).toDouble / ex < 0.05, s"$sk vs $ex")
   }
 
+  test("jaro_winkler through SQL equals the Scala API") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS jw").collect()(0)
+    assert(r.getDouble(0) === 0.9611111111111111)
+  }
+
   test("theta sketch aggregate works through SQL; estimate tracks exact") {
     GraftFunctions.register(spark)
     Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
