@@ -81,19 +81,33 @@ object NgramLm {
     * ppl = exp(-mean_logprob), rounded after the rounded mean, so it
     * adds no extra float-order sensitivity. */
   def score(docs: DataFrame, model: Model, idCol: String = "doc_id",
-            textCol: String = "text"): DataFrame = {
+            textCol: String = "text"): DataFrame =
+    instanceLogProbs(docs, model, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("long").as("n_bigrams"),
+        round(sum(col("lp").cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 4).as("mean_logprob"))
+      .withColumn("ppl", round(exp(-col("mean_logprob")), 4))
+
+  /** Per-instance rounded log-probs (id, lp = round(ln p, 6)) — the
+    * shared scoring core of [[score]] and [[minKProb]].
+    *
+    * An empty model (zero training bigram types) can score nothing:
+    * every probability would be a division by zero. The types frame is
+    * filtered to b_types > 0, so an empty model yields an empty result
+    * (correct schema) instead of NaN/Infinity rows — no driver-side
+    * probe needed, the guard lives in the plan.
+    *
+    * Per-INSTANCE scoring against the broadcast model — the bigram
+    * stream never shuffles at (doc, bigram) width (a tf pre-aggregation
+    * would exchange the whole token stream; downstream decimal sums are
+    * identical either way since tf * r6(ln p) is just r6(ln p) added tf
+    * times, exactly). */
+  private def instanceLogProbs(docs: DataFrame, model: Model,
+                               idCol: String, textCol: String): DataFrame = {
     val d = lit(Discount)
-    // An empty model (zero training bigram types) can score nothing:
-    // every probability would be a division by zero. The types frame is
-    // filtered to b_types > 0, so an empty model yields an empty result
-    // (correct schema) instead of NaN/Infinity rows — no driver-side
-    // probe needed, the guard lives in the plan.
     val types = model.types.filter(col("b_types") > 0)
-    // Per-INSTANCE scoring against the broadcast model, then one
-    // doc-keyed partial aggregation — the bigram stream never shuffles
-    // at (doc, bigram) width (a tf pre-aggregation would exchange the
-    // whole token stream; the decimal sum is identical either way since
-    // tf * r6(ln p) is just r6(ln p) added tf times, exactly).
     val inst = bigramInstances(docs, idCol, textCol)
     val pCont: Column = col("nc") / col("b_types")
     val pUnk: Column = lit(1.0) / (lit(2.0) * col("b_types"))
@@ -106,11 +120,40 @@ object NgramLm {
       .join(broadcast(model.history), Seq("w1"), "left")
       .join(broadcast(model.continuation), Seq("w2"), "left")
       .crossJoin(broadcast(types))
+      .select(col(idCol), round(log(p), 6).as("lp"))
+  }
+
+  /** Min-K%-Prob membership signal (Shi et al., ICLR 2024): the mean of
+    * each document's LOWEST k-fraction of per-bigram log-probs under the
+    * model. Memorized/benchmark text lacks the surprising low-probability
+    * tail ordinary prose has, so a HIGH min-k mean flags likely
+    * training-set membership — the LM-side leg of contamination
+    * detection beside the n-gram-overlap and embedding-overlap legs.
+    *
+    * Selection: instances at or below the doc's exact interpolated
+    * k-quantile of rounded log-probs (ties inclusive — deterministic and
+    * engine-replayable; with heavy ties the kept fraction can exceed k,
+    * which both engines agree on). Two doc-keyed exchanges (quantile,
+    * then the co-partitioned rejoin); per-doc state is bounded by doc
+    * length. Output: (id, n_bigrams, n_low, min_k_mean). */
+  def minKProb(docs: DataFrame, model: Model, k: Double = 0.2,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0.0 && k <= 1.0, s"k in (0, 1], got $k")
+    val lp = instanceLogProbs(docs, model, idCol, textCol)
+    // the threshold rounds to the lp grid (6dp) before the tie-inclusive
+    // compare: engines interpolate quantiles with algebraically equal but
+    // ulp-different formulas (a + f*(b-a) vs (1-f)*a + f*b), and an ulp
+    // below a tied boundary value would flip every tie out of the kept
+    // set on one engine only
+    val thr = lp.groupBy(col(idCol))
+      .agg(round(expr(s"percentile(lp, $k)"), 6).as("thr"),
+        count(lit(1)).as("n_bigrams"))
+    lp.join(thr, Seq(idCol))
+      .filter(col("lp") <= col("thr"))
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).cast("long").as("n_bigrams"),
-        round(sum(round(log(p), 6).cast(DecimalType(18, 6)))
-          .cast("double") / count(lit(1)), 4).as("mean_logprob"))
-      .withColumn("ppl", round(exp(-col("mean_logprob")), 4))
+      .agg(first(col("n_bigrams")).as("n_bigrams"),
+        count(lit(1)).as("n_low"),
+        round(sum(col("lp").cast(DecimalType(18, 6)))
+          .cast("double") / count(lit(1)), 4).as("min_k_mean"))
   }
 }

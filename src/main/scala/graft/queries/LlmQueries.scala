@@ -800,6 +800,17 @@ object LlmQueries {
       NgramLm.score(docs, model).orderBy(col("doc_id"))
     },
 
+    // Min-K%-Prob membership signal (Shi et al. 2024): per-doc mean of
+    // the lowest 20% of bigram log-probs under the curated-source KN
+    // model — the LM-side contamination leg (memorized text lacks a
+    // surprising low-prob tail). Same model as text_kn_bigram.
+    "text_min_k_prob" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(
+        docs.filter(col("source").isin("src0", "src1", "src2")))
+      NgramLm.minKProb(docs, model, k = 0.2).orderBy(col("doc_id"))
+    },
+
     // Unigram LM quality score (the CCNet-style proxy for LM-perplexity
     // filtering): mean per-token log-probability under the corpus's own
     // unigram distribution — low scores flag unnatural token streams.
@@ -2890,6 +2901,46 @@ object LlmQueries {
         |SELECT doc_id, n_bigrams, mean_logprob,
         | ROUND(exp(-mean_logprob), 4) AS ppl
         |FROM ag ORDER BY doc_id""".stripMargin,
+
+    // The KN CTE chain per INSTANCE, then the per-doc interpolated
+    // 0.2-quantile threshold (quantile_cont == Spark percentile, q21
+    // precedent), ties-inclusive keep, decimal-sum mean.
+    "text_min_k_prob" ->
+      """WITH n AS (
+        | SELECT doc_id, source,
+        |  string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+        | FROM documents),
+        |bgall AS (
+        | SELECT doc_id, source, t[i] AS w1, t[i + 1] AS w2 FROM (
+        |  SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+        |  FROM n WHERE len(t) >= 2)),
+        |tbg AS (SELECT w1, w2, COUNT(*) AS c12 FROM bgall
+        |  WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1, 2),
+        |hist AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1p FROM tbg GROUP BY 1),
+        |cont AS (SELECT w2, COUNT(*) AS nc FROM tbg GROUP BY 1),
+        |ty AS (SELECT CAST(COUNT(*) AS DOUBLE) AS b FROM tbg),
+        |sci AS (
+        | SELECT bgall.doc_id,
+        |  ROUND(ln(
+        |   CASE WHEN hist.c1 IS NOT NULL THEN
+        |    GREATEST(COALESCE(tbg.c12, 0) - 0.75, 0.0) / hist.c1
+        |    + 0.75 * hist.n1p / hist.c1 *
+        |      (CASE WHEN cont.nc IS NOT NULL THEN cont.nc / ty.b
+        |            ELSE 1.0 / (2.0 * ty.b) END)
+        |   ELSE (CASE WHEN cont.nc IS NOT NULL THEN cont.nc / ty.b
+        |              ELSE 1.0 / (2.0 * ty.b) END)
+        |   END), 6) AS lp
+        | FROM bgall LEFT JOIN tbg USING (w1, w2)
+        |  LEFT JOIN hist USING (w1) LEFT JOIN cont USING (w2), ty),
+        |th AS (SELECT doc_id, ROUND(quantile_cont(lp, 0.2), 6) AS thr,
+        |        COUNT(*) AS n_bigrams FROM sci GROUP BY 1)
+        |SELECT sci.doc_id, CAST(ANY_VALUE(th.n_bigrams) AS BIGINT) AS n_bigrams,
+        | COUNT(*) AS n_low,
+        | ROUND(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4)
+        |  AS min_k_mean
+        |FROM sci JOIN th USING (doc_id)
+        |WHERE lp <= th.thr
+        |GROUP BY sci.doc_id ORDER BY sci.doc_id""".stripMargin,
 
     // Unigram log-probs mirrored term-for-term (ln natural in both
     // engines; per-token log-probs rounded to 6 before the exact decimal
