@@ -111,7 +111,18 @@ object Bench {
       .mkString("{", ",", "}")
     // errors surface in the JSON (not via exit code: the driver still needs
     // the timing line for the queries that DID run)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errs.size},"gate_def_version":$vers,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_errors":${errs.size},"gate_def_version":$vers,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the line to a file (ADVICE r7: the shipped bench
+    // artifact was a truncated stdout tail and unparseable — the row
+    // table must survive as a machine-readable record regardless of how
+    // much of stdout a harness captures). Default BENCH_LAST.json in the
+    // working dir; override with SPARK_GRAFT_BENCH_OUT.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

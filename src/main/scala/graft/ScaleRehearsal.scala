@@ -354,6 +354,15 @@ object ScaleRehearsal {
             .select(col("doc_id").as("id"),
               substring(col("text"), 1, 24).as("s")),
           "id", "s", maxDist = 1, q = 2, maxDf = 1000).count()),
+      // round-8: theta set-overlap across sources — one corpus scan into
+      // #source sketches (KB-sized mergeable partials across the
+      // shuffle), bounded 190-pair driver grid; growth must track the
+      // corpus scan
+      "theta_overlap" -> (() =>
+        graft.operators.Profile.thetaOverlap(
+          t(spark, d, "documents")
+            .select(col("source"), xxhash64(col("text")).as("h")),
+          "source", "h").count()),
       // snapshot diff's claim is that both sides reduce to
       // (id, fingerprint) at the scan: shuffle must track ~24 bytes/doc,
       // wall the corpus scan
