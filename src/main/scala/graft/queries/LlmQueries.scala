@@ -800,6 +800,34 @@ object LlmQueries {
       NgramLm.score(docs, model).orderBy(col("doc_id"))
     },
 
+    // Per-source dataset card (the documentation artifact a published
+    // corpus ships): docs, exact token totals/means, length quartiles,
+    // exact-duplicate fraction and language mix per source — composed in
+    // ONE plan (a single groupBy(source) over per-doc derived columns;
+    // the tokenize/fingerprint/lang projections are shared, so the card
+    // costs one corpus scan + one source-keyed exchange).
+    "pipeline_dataset_card" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextAnalysis.normText(col("text")).as("tn"))
+        .select(col("source"), col("n_chars"),
+          size(split(col("tn"), " ")).cast("long").as("n_tokens"),
+          md5(col("tn")).as("fp"),
+          TextAnalysis.langId(col("tn")).as("lang"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+            .as("mean_tokens"),
+          round(expr("percentile(n_chars, 0.25)"), 1).as("p25_chars"),
+          round(expr("percentile(n_chars, 0.5)"), 1).as("p50_chars"),
+          round(expr("percentile(n_chars, 0.75)"), 1).as("p75_chars"),
+          round(countDistinct(col("fp")).cast("double") / count(lit(1)), 4)
+            .as("distinct_frac"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .orderBy(col("source"))
+    },
+
     // Min-K%-Prob membership signal (Shi et al. 2024): per-doc mean of
     // the lowest 20% of bigram log-probs under the curated-source KN
     // model — the LM-side contamination leg (memorized text lacks a
@@ -2901,6 +2929,49 @@ object LlmQueries {
         |SELECT doc_id, n_bigrams, mean_logprob,
         | ROUND(exp(-mean_logprob), 4) AS ppl
         |FROM ag ORDER BY doc_id""".stripMargin,
+
+    // Every card column replayed: token counts and fingerprints over the
+    // same normalization, the lang-ID heuristic inlined (the
+    // text_langid_counts replay restricted to the en leg), exact
+    // quartiles via quantile_cont.
+    "pipeline_dataset_card" ->
+      """WITH n AS (
+        | SELECT doc_id, source, n_chars,
+        |  regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS tn,
+        |  ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' ' AS t
+        | FROM documents),
+        |s AS (
+        | SELECT source, n_chars,
+        |  CAST(len(string_split(tn, ' ')) AS BIGINT) AS n_tokens,
+        |  md5(tn) AS fp,
+        |  (length(t) - length(replace(t, ' the ', '')))/5 + (length(t) - length(replace(t, ' and ', '')))/5
+        |   + (length(t) - length(replace(t, ' is ', '')))/4 + (length(t) - length(replace(t, ' of ', '')))/4 AS en,
+        |  (length(t) - length(replace(t, ' el ', '')))/4 + (length(t) - length(replace(t, ' la ', '')))/4
+        |   + (length(t) - length(replace(t, ' de ', '')))/4 + (length(t) - length(replace(t, ' y ', '')))/3 AS es,
+        |  (length(t) - length(replace(t, ' der ', '')))/5 + (length(t) - length(replace(t, ' und ', '')))/5
+        |   + (length(t) - length(replace(t, ' die ', '')))/5 + (length(t) - length(replace(t, ' das ', '')))/5 AS de,
+        |  (length(t) - length(replace(t, ' le ', '')))/4 + (length(t) - length(replace(t, ' et ', '')))/4
+        |   + (length(t) - length(replace(t, ' les ', '')))/5 + (length(t) - length(replace(t, ' des ', '')))/5 AS fr,
+        |  regexp_matches(tn, '[一-鿿]') AS zh
+        | FROM n),
+        |l AS (
+        | SELECT source, n_chars, n_tokens, fp,
+        |  CASE WHEN zh THEN 'zh'
+        |   WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |   WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |   WHEN de >= fr AND de > 0 THEN 'de'
+        |   WHEN fr > 0 THEN 'fr'
+        |   ELSE 'und' END AS lang
+        | FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        | ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 4) AS mean_tokens,
+        | ROUND(quantile_cont(n_chars, 0.25), 1) AS p25_chars,
+        | ROUND(quantile_cont(n_chars, 0.5), 1) AS p50_chars,
+        | ROUND(quantile_cont(n_chars, 0.75), 1) AS p75_chars,
+        | ROUND(CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 4) AS distinct_frac,
+        | CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+        |FROM l GROUP BY source ORDER BY source""".stripMargin,
 
     // The KN CTE chain per INSTANCE, then the per-doc interpolated
     // 0.2-quantile threshold (quantile_cont == Spark percentile, q21
