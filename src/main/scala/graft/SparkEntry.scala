@@ -46,7 +46,7 @@ object SparkEntry {
     "q42_ewma",
     "pipeline_split",
     "stream_hourly_agg", "stream_hourly_quantiles", "stream_hourly_distinct",
-    "stream_funnel_depth", "stream_ewma",
+    "stream_funnel_depth", "stream_ewma", "stream_session_window",
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
     "text_stats", "text_bpe_tokens", "text_bpe_fertility", "text_pii_scrub",

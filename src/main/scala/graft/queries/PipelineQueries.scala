@@ -34,6 +34,19 @@ object PipelineQueries {
       EventStream.slidingAgg(s, d).orderBy(col("w_start"), col("event_type"))
     },
 
+    // Built-in session_window sessionization: per-user session count +
+    // densest session from the merged session rows — the THIRD
+    // implementation of the q28 semantics (batch gaps-and-islands,
+    // custom flatMapGroupsWithState state, and now Spark's native
+    // session-window aggregation), all pinned to the SAME oracle.
+    "stream_session_window" -> { (s, d) =>
+      EventStream.sessionWindowCounts(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+
     // Streaming per-user EWMA: the q42 recurrence as running state —
     // must equal the batch fold exactly (same sort, same IEEE ops), so
     // the oracle is q42's verbatim. Final state = max-n row per user of
@@ -431,6 +444,25 @@ object PipelineQueries {
         | COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // The batch q28 oracle verbatim: native session windows must merge
+    // to exactly the gaps-and-islands sessions.
+    "stream_session_window" ->
+      """WITH e AS (
+        | SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (
+        | SELECT user_id, us,
+        |  CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |        OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM e),
+        |s AS (
+        | SELECT user_id, SUM(brk) OVER (PARTITION BY user_id ORDER BY us) AS sess
+        | FROM b),
+        |c AS (SELECT user_id, sess, COUNT(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        | CAST(MAX(n) AS BIGINT) AS max_session_events
+        |FROM c GROUP BY user_id""".stripMargin,
 
     // The batch q42 oracle verbatim (same sorted-list fold in DuckDB).
     "stream_ewma" ->

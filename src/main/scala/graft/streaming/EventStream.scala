@@ -172,6 +172,96 @@ object EventStream {
     runToMemory(spark, agg, "graft_stream_distinct", OutputMode.Complete())
   }
 
+  /** Sessionization via the BUILT-IN `session_window` aggregation — the
+    * third implementation of the same semantics (batch gaps-and-islands
+    * in [[graft.operators.Sessionize]], custom state in
+    * [[sessionCounts]]): Spark merges session windows as events arrive,
+    * so per-user state is one (start, end, count) per OPEN session
+    * regardless of event rate. Session windows only support APPEND mode
+    * — a session emits when the watermark passes it — so the staging
+    * copy carries one far-future SENTINEL event for a dummy user (-1,
+    * filtered out downstream): it advances the watermark past every
+    * real session, and the no-data finalization batch flushes them all.
+    * This is exactly how an endless deployment drains on decommission.
+    * Returns (user_id, s_start, n_events) — one row per closed session,
+    * sentinel excluded. */
+  def sessionWindowCounts(spark: SparkSession, sfDir: String,
+                          gap: String = "30 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events_swin")
+    stageLock.synchronized {
+      val k2 = key + "/swin"
+      if (!staged.contains(k2)) {
+        java.nio.file.Files.createDirectories(dir)
+        val srcPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val tmp = dir.resolve(s".ev.tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.copy(srcPath, tmp)
+        java.nio.file.Files.move(tmp, dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // TWO sentinel files (30 and 60 days past max), consumed one per
+        // micro-batch below: emission uses the watermark computed at the
+        // END of the PREVIOUS batch, and the final watermark-only flush
+        // is a no-data batch that processAllAvailable does not wait for
+        // — so the second sentinel's DATA batch (which processAllAvailable
+        // does cover) runs with a watermark already 30 days past every
+        // real session and deterministically flushes them all.
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        java.nio.file.Files.setLastModifiedTime(dir.resolve("events.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+        Seq(30L, 60L).zipWithIndex.foreach { case (days, i) =>
+          val bumped = raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              col("ts") + lit(days * 24 * 3600 * 1000000000L) // nanos
+            case _ => col("ts") + expr(s"interval $days days")
+          }
+          val sentStage = dir.resolve(s".sent-${java.util.UUID.randomUUID()}")
+          raw.orderBy(col("ts").desc).limit(1)
+            .withColumn("event_id", lit(-1L - i))
+            .withColumn("user_id", lit(-1L - i))
+            .withColumn("ts", bumped)
+            .coalesce(1).write.mode("overwrite").parquet(sentStage.toString)
+          val part = sentStage.toFile.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = dir.resolve(s"events-sentinel-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + (i + 1) * 60000L))
+          org.apache.commons.io.FileUtils.deleteDirectory(sentStage.toFile)
+        }
+        staged += k2
+      }
+    }
+    val stream = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema(spark, sfDir))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n_events"))
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_stream_swin").start()
+    try {
+      q.processAllAvailable()
+      // The last flush is a NO-DATA batch processAllAvailable does not
+      // await. The FIRST sentinel's own session provably closes only
+      // after every real session (its end is 30 days later), so poll
+      // until it lands in the sink — bounded, deterministic.
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table("graft_stream_swin")
+               .filter(col("user_id") === -1L).isEmpty &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("graft_stream_swin").filter(col("user_id") >= 0)
+  }
+
   /** Per-user session counting (30-min inactivity gap) via
     * flatMapGroupsWithState — the custom-state streaming primitive. State
     * carries (last event time, session count) across micro-batches; events
