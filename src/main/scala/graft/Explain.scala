@@ -50,8 +50,10 @@ object Explain {
         // audio pair funnels (block equi-join, no cartesian)
         "q34_funnel_conversion", "q35_retention_cohorts",
         "q36_resample_ffill", "q37_outliers_mad", "q38_user_similarity",
-        "q39_asof_forward", "q40_winsorize", "ann_pca_topk",
-        "dedup_fuzzy_names")
+        "q39_asof_forward", "q40_winsorize", "q41_sketch_overlap",
+        "q42_ewma", "ann_pca_topk",
+        "dedup_fuzzy_names", "dedup_fuzzy_serve", "dedup_jw_names",
+        "text_min_k_prob", "pipeline_dataset_card")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
