@@ -939,7 +939,7 @@ object Dedup {
     require(q >= 1, s"q must be >= 1, got $q")
     val pre = q * maxDist + 1
     val s = gramArrays(df, idCol, strCol, q, sentinelBelow = pre)
-    val prefix = gramPrefix(s, pre, maxDf)
+    val prefix = gramPrefix(s, pre, maxDf, q)
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
@@ -967,9 +967,11 @@ object Dedup {
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
                        minSim: Double,
                        maxInputRows: Long = 10000): DataFrame = {
+    require(maxInputRows >= 1, s"maxInputRows must be >= 1, got $maxInputRows")
     val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull)
-    val over = s.limit((maxInputRows + 1).min(Int.MaxValue).toInt).count() > maxInputRows
+    val probeRows = math.min(maxInputRows, (Int.MaxValue - 1).toLong).toInt + 1
+    val over = s.limit(probeRows).count() > maxInputRows
     require(!over,
       s"jaroWinklerPairs is all-pairs (O(n^2)); input exceeds " +
         s"maxInputRows=$maxInputRows. Block first (editDistancePairs or a " +
@@ -1005,14 +1007,24 @@ object Dedup {
 
   /** Each string's `pre` rarest grams (ascending document frequency over
     * THIS frame, gram text tie-break) as (g, id) index rows; `maxDf`
-    * drops hot grams from prefixes exactly as in [[spanPairs]]. */
-  private def gramPrefix(s: DataFrame, pre: Int, maxDf: Long): DataFrame = {
+    * drops hot grams from prefixes exactly as in [[spanPairs]]. The
+    * short-string sentinel gram (`q`+1 repeats of U+0001 — longer than
+    * any real q-gram, so it never collides) is EXEMPT from the df cap:
+    * it exists for short-short completeness, not selectivity, and on a
+    * corpus with more than `maxDf` short strings capping it would
+    * silently drop the very pairs the sentinel guarantees. Only real
+    * grams are df-capped. */
+  private def gramPrefix(s: DataFrame, pre: Int, maxDf: Long,
+                         q: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val sentinel = "\u0001" * (q + 1)
     val grams = s.select(col("id"), explode(col("grams")).as("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val kept =
       if (maxDf <= 0) grams.join(dfreq, Seq("g"))
-      else grams.join(dfreq.filter(col("gdf") <= maxDf), Seq("g"))
+      else grams.join(
+        dfreq.filter(col("gdf") <= maxDf || col("g") === lit(sentinel)),
+        Seq("g"))
     kept
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))))
@@ -1075,7 +1087,7 @@ object Dedup {
         "with a larger maxDistBound")
     val pre = q * maxDist + 1
     val b = gramArrays(batch, idCol, strCol, q, sentinelBelow = pre)
-    val prefix = gramPrefix(b, pre, maxDf)
+    val prefix = gramPrefix(b, pre, maxDf, q)
     prefix.as("x")
       .join(spark.table(table).as("y"), col("x.g") === col("y.g"))
       .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"),

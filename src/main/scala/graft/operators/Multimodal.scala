@@ -282,7 +282,12 @@ object Multimodal {
         ((dec(2) & 0xFF) << 8) | (dec(3) & 0xFF)
       val h = ((dec(4) & 0xFF) << 24) | ((dec(5) & 0xFF) << 16) |
         ((dec(6) & 0xFF) << 8) | (dec(7) & 0xFF)
-      if (w >= 9 && h >= 8 && dec.length >= 8 + 3 * w * h) {
+      // Bound check in Long: a corrupt header's large w*h overflows Int
+      // arithmetic and could pass an Int-typed bound, then blow up the
+      // pixel loop — undecodable payloads must yield null, not a task
+      // failure. (Negative w/h are already excluded by the >= checks;
+      // any w*h the Long bound admits genuinely fits the buffer.)
+      if (w >= 9 && h >= 8 && dec.length.toLong >= 8L + 3L * w * h) {
         val sums = Array.ofDim[Long](8, 9)
         val cnts = Array.ofDim[Long](8, 9)
         var y = 0

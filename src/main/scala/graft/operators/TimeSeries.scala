@@ -30,7 +30,34 @@ object TimeSeries {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0, 1], got $alpha")
     val spark = df.sparkSession
     import spark.implicits._
-    val ds = df.select(col(keyCol).cast("long"), col(timeCol).cast("long"),
+    import org.apache.spark.sql.types._
+    // A string key cast("long") silently nulls out and collapses every
+    // row into one bogus group; a Timestamp cast("long") coarsens to
+    // epoch SECONDS, breaking the documented micros ordering. Validate
+    // up front and fail loudly instead.
+    def integral(n: String): Unit = {
+      val t = df.schema(n).dataType
+      require(t.isInstanceOf[ByteType] || t.isInstanceOf[ShortType] ||
+          t.isInstanceOf[IntegerType] || t.isInstanceOf[LongType],
+        s"ewmaByKey: column '$n' must be integral (byte/short/int/long), " +
+          s"got ${t.simpleString} — cast it explicitly (strings would " +
+          "silently become null and collapse groups)")
+    }
+    integral(keyCol); integral(tieCol)
+    val timeExpr = df.schema(timeCol).dataType match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+        col(timeCol).cast("long")
+      case _: TimestampType => unix_micros(col(timeCol))
+      case t => throw new IllegalArgumentException(
+        s"ewmaByKey: column '$timeCol' must be integral or timestamp, " +
+          s"got ${t.simpleString}")
+    }
+    df.schema(valCol).dataType match {
+      case _: NumericType => ()
+      case t => throw new IllegalArgumentException(
+        s"ewmaByKey: column '$valCol' must be numeric, got ${t.simpleString}")
+    }
+    val ds = df.select(col(keyCol).cast("long"), timeExpr,
         col(tieCol).cast("long"), col(valCol).cast("double"))
       .as[(Long, Long, Long, Double)]
     ds.groupByKey(_._1).mapGroups { (k, it) =>

@@ -81,6 +81,19 @@ class DhashSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got === brute)
   }
 
+  test("corrupt header with Int-overflowing w*h yields null, not a crash") {
+    // w = h = 65536: 3*w*h = 3*2^32 overflows Int arithmetic to 0, so an
+    // Int-typed bound check would admit this 16-byte buffer and the pixel
+    // loop would throw inside the task; the Long-typed bound rejects it
+    // and the documented null-dhash contract for undecodable payloads holds
+    val hdr = java.nio.ByteBuffer.allocate(16).putInt(65536).putInt(65536)
+      .putInt(0).putInt(0).array()
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, hdr))), schema)
+    val got = Multimodal.imageDHash(spark, df, decode = identity).collect()
+    assert(got.length === 1 && got(0).getString(1) === null)
+  }
+
   test("fingerprints are partitioning-invariant") {
     val rows = (0L until 30L).map(id =>
       (id, 20, 16, (i: Int) => ((i * (31 + id % 11) + id * 7) % 256).toInt))

@@ -129,6 +129,18 @@ class EditDistanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(e.getMessage.contains("sentinel bound"))
   }
 
+  test("sentinel gram is exempt from maxDf: short-short pairs survive a " +
+      "corpus with more short strings than maxDf") {
+    // 6 short strings (each a single 2-gram, pairwise distance 1) push the
+    // sentinel's document frequency to 6 > maxDf=3; the sentinel exists for
+    // completeness, not selectivity, so it must NOT be df-capped — capping
+    // it silently dropped every short-short pair (the real grams here are
+    // all distinct, so the sentinel bucket is the only candidate path)
+    val rows = Seq(1L -> "ab", 2L -> "ac", 3L -> "ad", 4L -> "ae",
+      5L -> "af", 6L -> "ag")
+    assert(run(rows, 1, maxDf = 3) === bruteForce(rows, 1))
+  }
+
   test("null strings are ignored, not crashed on") {
     val rows = Seq((1L, "abc"), (2L, "abd"))
     val withNull = rows.toDF("id", "s")

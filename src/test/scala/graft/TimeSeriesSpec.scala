@@ -33,6 +33,30 @@ class TimeSeriesSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(r.getDouble(2) === 50.0)
   }
 
+  test("string key column fails loudly instead of null-collapsing groups") {
+    val df = Seq(("u1", 1L, 1L, 10.0), ("u2", 2L, 2L, 20.0))
+      .toDF("k", "t", "tie", "x")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.ewmaByKey(df, "k", "t", "tie", "x", alpha = 0.5)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("timestamp time column orders at microsecond precision") {
+    // two events in the same SECOND: a cast("long") would coarsen both to
+    // the same epoch second and leave ordering to the tiebreak; unix_micros
+    // must keep them distinct so the later-micros value folds last
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.000900"), 1L, 100.0),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:00:00.000100"), 2L, 0.0))
+      .toDF("k", "t", "tie", "x")
+    val r = TimeSeries.ewmaByKey(df, "k", "t", "tie", "x", alpha = 0.5)
+      .collect()(0)
+    // fold order by micros: x=0 first, then x=100 -> 0.5*100 + 0.5*0 = 50
+    // (a seconds-coarsened cast would order by tie instead: 100 then 0 -> 25)
+    assert(r.getDouble(2) === 50.0)
+  }
+
   test("fold is partitioning-invariant") {
     val rows = (0 until 500).map(i =>
       ((i % 7).toLong, i.toLong, i.toLong, math.sin(i) * 10))
