@@ -80,7 +80,8 @@ object SparkEntry {
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",
     "dedup_semdedup", "dedup_semdedup_engine",
-    "multimodal_decode", "multimodal_dhash_pairs", "multimodal_audio_pairs",
+    "multimodal_decode", "multimodal_decode_jpeg", "multimodal_dhash_pairs",
+    "multimodal_dhash_mixed", "multimodal_audio_pairs",
     "multimodal_video_pairs",
     "conv_csv_roundtrip", "conv_orc_roundtrip", "conv_lineitem_orc",
     "conv_cdc_merge", "conv_cdc_partitioned", "conv_sorted_orc",

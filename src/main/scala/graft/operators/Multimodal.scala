@@ -59,19 +59,29 @@ object Multimodal {
       b(3) == 'G' && b(4) == 0x0d && b(5) == 0x0a && b(6) == 0x1a && b(7) == 0x0a
   private def isBmp(b: Array[Byte]): Boolean =
     b.length > 2 && b(0) == 'B' && b(1) == 'M'
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
+      b(2) == 0xFF.toByte
 
-  /** REAL image decoder (the default `decode`): payloads carrying a PNG or
-    * BMP magic number decode through the pure-JVM `javax.imageio` codecs
-    * into the deterministic layout
+  /** REAL image decoder (the default `decode`): payloads carrying a PNG,
+    * BMP, or JPEG magic number decode through the pure-JVM `javax.imageio`
+    * codecs into the deterministic layout
     * `[width int32 BE][height int32 BE][R G B per pixel, row-major]` —
     * PNG/BMP decoding is lossless, so the pixel bytes are identical on any
-    * JVM and the correctness oracle can predict them exactly. Anything
-    * else (unsupported format, corrupt image) falls back to the identity
-    * mapping rather than failing the task: at corpus scale a few broken
-    * payloads must not kill a 10-hour job, and the fallback keeps the
-    * byte-level plumbing total. */
+    * JVM and the correctness oracle can predict them exactly. JPEG —
+    * the dominant format of any real web image corpus — is lossy: its
+    * decoded pixels are deterministic for a given JPEG library but NOT
+    * analytically predictable, so JPEG gates use the measured-verdict
+    * pattern (exact dimensions + pixel statistics within a pinned
+    * tolerance) instead of exact pixel prediction, and the dHash
+    * fingerprint — built on block MEANS, which JPEG's DCT quantization
+    * preserves — carries near-dup detection across the lossy boundary.
+    * Anything else (unsupported format, corrupt image) falls back to the
+    * identity mapping rather than failing the task: at corpus scale a few
+    * broken payloads must not kill a 10-hour job, and the fallback keeps
+    * the byte-level plumbing total. */
   val imageDecoder: Decoder = payload => {
-    if (!isPng(payload) && !isBmp(payload)) payload
+    if (!isPng(payload) && !isBmp(payload) && !isJpeg(payload)) payload
     else {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -124,6 +134,39 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic grayscale JPEG encoder for fixtures/gates: same pixel
+    * contract as [[synthPng]] but through the JRE's own lossy JPEG writer
+    * at an explicit `quality`, so the [[imageDecoder]] JPEG leg exercises
+    * the real encode→decode round trip a web corpus would (chroma is zero
+    * on gray pixels, so subsampling costs nothing; the luma loss is what
+    * the tolerance gates measure). */
+  def synthJpeg(w: Int, h: Int, gray: Int => Int,
+                quality: Float = 0.95f): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = gray(y * w + x) & 0xFF
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally { writer.dispose(); ios.close() }
     bos.toByteArray
   }
 

