@@ -483,10 +483,15 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Demux a GFV1 container into its frame payloads; None unless the
-    * payload is well-formed GFV1 (truncated lengths reject the whole
-    * container rather than yielding partial frames). */
-  def demuxVideo(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+  /** Demux a video container into its frame payloads: GFV1 (exact-oracle
+    * demo container) or MJPEG-in-AVI (the real-world RIFF container —
+    * see [[demuxAvi]]); None unless the payload is a well-formed
+    * instance of either (truncated lengths reject the whole container
+    * rather than yielding partial frames). */
+  def demuxVideo(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    if (isAvi(payload)) demuxAvi(payload) else demuxGfv1(payload)
+
+  private def demuxGfv1(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
     if (payload.length < 8 || payload(0) != 'G' || payload(1) != 'F' ||
       payload(2) != 'V' || payload(3) != '1') return None
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
@@ -506,6 +511,134 @@ object Multimodal {
       }
       Some(frames.result())
     } catch { case _: java.io.IOException => None }
+  }
+
+  // ------------------------------------------------------------------
+  // MJPEG-in-AVI: the real-world video container
+  // ------------------------------------------------------------------
+
+  private def isAvi(b: Array[Byte]): Boolean =
+    b.length > 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'A' && b(9) == 'V' && b(10) == 'I' && b(11) == ' '
+
+  private def fourcc(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def u32le(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL)) | ((b(off + 1) & 0xFFL) << 8) |
+      ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+
+  /** Demux an MJPEG-in-AVI payload into its per-frame JPEG bytes — a
+    * pure-JRE RIFF walker (the same chunk grammar the WAV decoder rides):
+    * finds the `LIST movi` chunk and collects every `##dc`/`##db` video
+    * chunk's body in stream order, honoring RIFF even-byte padding.
+    * Returns None for anything that is not a structurally sound AVI
+    * (bad magic, truncated chunk, movi list missing) — a corrupt file
+    * rejects whole rather than yielding partial frames. The frames then
+    * decode through the real JPEG leg of [[imageDecoder]], so the whole
+    * video near-dup path runs on a container and codec a production
+    * corpus actually contains. */
+  def demuxAvi(payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (!isAvi(payload)) return None
+    val fileEnd = math.min(payload.length.toLong, 8L + u32le(payload, 4)).toInt
+    var p = 12
+    while (p + 8 <= fileEnd) {
+      val id = fourcc(payload, p)
+      val sz = u32le(payload, p + 4)
+      if (p + 8 + sz > fileEnd) return None
+      if (id == "LIST" && sz >= 4 && fourcc(payload, p + 8) == "movi") {
+        val moviEnd = p + 8 + sz.toInt
+        val frames = Vector.newBuilder[Array[Byte]]
+        var q = p + 12
+        while (q + 8 <= moviEnd) {
+          val cid = fourcc(payload, q)
+          val csz = u32le(payload, q + 4)
+          if (q + 8 + csz > moviEnd) return None
+          val isVideoChunk = cid.length == 4 &&
+            cid(0).isDigit && cid(1).isDigit &&
+            (cid.endsWith("dc") || cid.endsWith("db"))
+          if (isVideoChunk)
+            frames += java.util.Arrays.copyOfRange(payload, q + 8,
+              q + 8 + csz.toInt)
+          q += 8 + csz.toInt + (csz & 1L).toInt
+        }
+        return Some(frames.result())
+      }
+      p += 8 + sz.toInt + (sz & 1L).toInt
+    }
+    None
+  }
+
+  /** Synthesize a structurally complete MJPEG-in-AVI container for
+    * fixtures/gates: RIFF header, `hdrl` list (avih main header + one
+    * `vids`/`MJPG` stream with its BITMAPINFOHEADER), and the `movi`
+    * list with one `00dc` chunk per JPEG frame (even-byte padded) — the
+    * layout any AVI-writing tool produces, so [[demuxAvi]] is exercised
+    * against the real grammar rather than a shortcut. */
+  def synthAvi(frames: Seq[Array[Byte]], w: Int, h: Int,
+               fps: Int = 25): Array[Byte] = {
+    require(frames.nonEmpty, "synthAvi needs at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xFF); o.write((v >> 8) & 0xFF)
+    }
+    def w32(o: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      o.write((v & 0xFF).toInt); o.write(((v >> 8) & 0xFF).toInt)
+      o.write(((v >> 16) & 0xFF).toInt); o.write(((v >> 24) & 0xFF).toInt)
+    }
+    def cc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val maxFrame = frames.map(_.length).max.toLong
+
+    // strh: 'vids'/'MJPG' stream header (56 bytes)
+    val strh = new java.io.ByteArrayOutputStream()
+    cc(strh, "vids"); cc(strh, "MJPG")
+    w32(strh, 0); w16(strh, 0); w16(strh, 0) // flags, priority, language
+    w32(strh, 0) // initial frames
+    w32(strh, 1); w32(strh, fps.toLong) // scale, rate
+    w32(strh, 0); w32(strh, frames.length.toLong) // start, length
+    w32(strh, maxFrame); w32(strh, 0xFFFFFFFFL); w32(strh, 0) // bufsize, quality, samplesize
+    w16(strh, 0); w16(strh, 0); w16(strh, w); w16(strh, h) // rcFrame
+
+    // strf: BITMAPINFOHEADER (40 bytes)
+    val strf = new java.io.ByteArrayOutputStream()
+    w32(strf, 40); w32(strf, w.toLong); w32(strf, h.toLong)
+    w16(strf, 1); w16(strf, 24) // planes, bit count
+    cc(strf, "MJPG"); w32(strf, w.toLong * h * 3)
+    w32(strf, 0); w32(strf, 0); w32(strf, 0); w32(strf, 0)
+
+    val strl = new java.io.ByteArrayOutputStream()
+    cc(strl, "strl")
+    cc(strl, "strh"); w32(strl, strh.size().toLong); strl.write(strh.toByteArray)
+    cc(strl, "strf"); w32(strl, strf.size().toLong); strl.write(strf.toByteArray)
+
+    // avih: MainAVIHeader (56 bytes = 14 u32)
+    val avih = new java.io.ByteArrayOutputStream()
+    w32(avih, 1000000L / fps); w32(avih, 0); w32(avih, 0)
+    w32(avih, 0x10) // AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-style flags kept 0x10
+    w32(avih, frames.length.toLong); w32(avih, 0); w32(avih, 1)
+    w32(avih, maxFrame); w32(avih, w.toLong); w32(avih, h.toLong)
+    w32(avih, 0); w32(avih, 0); w32(avih, 0); w32(avih, 0)
+
+    val hdrl = new java.io.ByteArrayOutputStream()
+    cc(hdrl, "hdrl")
+    cc(hdrl, "avih"); w32(hdrl, avih.size().toLong); hdrl.write(avih.toByteArray)
+    cc(hdrl, "LIST"); w32(hdrl, strl.size().toLong); hdrl.write(strl.toByteArray)
+
+    val movi = new java.io.ByteArrayOutputStream()
+    cc(movi, "movi")
+    frames.foreach { f =>
+      cc(movi, "00dc"); w32(movi, f.length.toLong); movi.write(f)
+      if ((f.length & 1) == 1) movi.write(0)
+    }
+
+    val body = new java.io.ByteArrayOutputStream()
+    cc(body, "AVI ")
+    cc(body, "LIST"); w32(body, hdrl.size().toLong); body.write(hdrl.toByteArray)
+    cc(body, "LIST"); w32(body, movi.size().toLong); body.write(movi.toByteArray)
+
+    cc(bos, "RIFF"); w32(bos, body.size().toLong); bos.write(body.toByteArray)
+    bos.toByteArray
   }
 
   private val videoDhashSchema = StructType(Seq(

@@ -421,6 +421,50 @@ object PipelineQueries {
         .orderBy(col("a_id"), col("b_id"))
     },
 
+    // REAL-container video near-dup gate: MJPEG-in-AVI — the RIFF
+    // container + JPEG codec an actual video corpus contains — through
+    // the real demux (LIST-movi walker), real per-frame JPEG decode,
+    // per-frame dHash, aligned-frame max-hamming verify. JPEG loss makes
+    // pixels non-replayable in SQL, so this is the measured-verdict
+    // pattern: the frame-1-retouched twin must pair (worst aligned-frame
+    // hamming 5 measured at q=0.9 vs maxDist=6) and the different-
+    // frequency foil must not (min hamming 11 measured).
+    "multimodal_avi_pairs" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 100).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.flatMap { r =>
+        val id = r.getLong(0)
+        val w = 18 + (id % 7).toInt
+        val h = 16 + (id % 5).toInt
+        def frame(f: Int, variant: Int) = Multimodal.synthJpeg(w, h, { i =>
+          if (variant == 2) ((i * (101 + id % 17) + id * 53 + f * 29) % 256).toInt
+          else ((i * (37 + id % 13) + id * 31 + f * 29 +
+            (if (variant == 1 && f == 1 && i % 29 == 0) 8 else 0)) % 256).toInt
+        }, 0.9f)
+        def avi(variant: Int) =
+          Multimodal.synthAvi((0 until 3).map(f => frame(f, variant)), w, h)
+        Seq(Row(id, avi(0)), Row(id + 1000L, avi(1)), Row(id + 2000L, avi(2)))
+      }, schema)
+      val pairs = Multimodal.videoPairs(s, payloads, maxDist = 6)
+      val twin = pairs
+        .filter(col("a_id") < 1000L && col("b_id") === col("a_id") + 1000L)
+        .select(col("a_id").as("doc_id"), lit(true).as("tp")).distinct()
+      val foil = pairs
+        .filter((col("a_id") < 1000L && col("b_id") === col("a_id") + 2000L) ||
+          (col("a_id") >= 1000L && col("a_id") < 2000L &&
+            col("b_id") === col("a_id") + 1000L))
+        .select((col("b_id") - 2000L).as("doc_id"), lit(true).as("fp")).distinct()
+      ids.join(twin, Seq("doc_id"), "left").join(foil, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("tp"), lit(false)).as("twin_paired"),
+          coalesce(col("fp"), lit(false)).as("foil_paired"))
+        .orderBy(col("doc_id"))
+    },
+
     // Perceptual audio near-dup gate: three formulaic WAVs per doc id —
     // original (per-frame squared-mix amplitude envelope), a twin with a
     // few frames boosted +3000 (hamming 0-2 measured), and a different-
@@ -673,6 +717,12 @@ object PipelineQueries {
       """SELECT doc_id, CAST(16 + doc_id % 9 AS BIGINT) AS width,
         | CAST(12 + doc_id % 7 AS BIGINT) AS height, TRUE AS hist_ok
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+
+    // MJPEG-in-AVI verdicts: real RIFF demux + lossy JPEG frames, so the
+    // oracle pins the measured twin/foil verdicts (see query comment).
+    "multimodal_avi_pairs" ->
+      """SELECT doc_id, TRUE AS twin_paired, FALSE AS foil_paired
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
     // PNG-vs-JPEG near-dup verdicts: the JPEG re-encode of each image
     // must pair with its PNG original, the different-frequency foil must
