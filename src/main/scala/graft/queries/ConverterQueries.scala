@@ -157,6 +157,52 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Gzipped-dump path: the form mysqldump output actually ships in
+    // (`mysqldump | gzip > dump.sql.gz`). Same parse (distributed — the
+    // gzip member is one non-splittable TextInputFormat split, decoded by
+    // the record reader) and the same aggregate/oracle as the plain
+    // round-trip, so a hash match proves decompression changed nothing.
+    "conv_dump_gzip" -> { (s, d) =>
+      val base = tmp(d, "dumpgz")
+      val dumpPath = s"$base/customer.sql.gz"
+      stageOnce(base) {
+        SqlDumpFixture.writeDump(
+          t(s, d, "customer"), "customer", dumpPath,
+          typeOverrides = Map("c_acctbal" -> "DECIMAL(12,2)", "c_nationkey" -> "INT",
+            "c_name" -> "VARCHAR(64)", "c_mktsegment" -> "VARCHAR(16)"))
+      }
+      val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Gzipped-CSV path: Spark writes and reads `.csv.gz` natively; the
+    // round trip proves the CLI's directory contract accepts compressed
+    // members end to end (same aggregate/oracle as conv_csv_roundtrip).
+    "conv_csv_gzip" -> { (s, d) =>
+      val base = tmp(d, "csvgz")
+      stageOnce(s"$base/in/lineitem") {
+        t(s, d, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+            col("l_returnflag"), col("l_shipdate"))
+          .write.mode("overwrite").option("header", true)
+          .option("compression", "gzip").csv(s"$base/in/lineitem")
+      }
+      val csv = CsvSource.read(s, s"$base/in/lineitem")
+      OrcSink.write(csv, s"$base/orc", "lineitem")
+      OrcSink.read(s, s"$base/orc/lineitem")
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsumr(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // CDC incremental merge (the converter's incremental-sync mode):
     // full export of customer to ORC, then a deterministic change batch
     // — updates (one superseded by a later sequence, one stale change
@@ -442,6 +488,19 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_dump_gzip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_csv_gzip" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag""".stripMargin,
 
     // The synthetic change batch and the last-writer-wins merge replayed
     // in SQL over the original parquet; base rows at seq -1, the stale

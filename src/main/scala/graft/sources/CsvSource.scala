@@ -46,16 +46,23 @@ object CsvSource {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).map(_.getPath)
-        .filter(_.getName.toLowerCase.endsWith(".csv"))
+        .filter { f =>
+          val n = f.getName.toLowerCase
+          n.endsWith(".csv") || n.endsWith(".csv.gz")
+        }
         .map(_.toString).toSeq.sorted
     else Seq(path)
   }
 
   /** Base name without extension — the reference's output naming unit
     * (`outdir/<basename>.orc`, sh:464-465; here `outdir/<basename>/` since
-    * Spark writes table directories — documented divergence, SURVEY §2.2 K3). */
+    * Spark writes table directories — documented divergence, SURVEY §2.2 K3).
+    * A compression suffix strips with the format extension, so
+    * `data.csv.gz` and `data.csv` share the output name `data`. */
   def baseName(path: String): String = {
-    val name = new Path(path).getName
+    val name0 = new Path(path).getName
+    val name = if (name0.toLowerCase.endsWith(".gz"))
+      name0.substring(0, name0.length - 3) else name0
     val dot = name.lastIndexOf('.')
     if (dot > 0) name.substring(0, dot) else name
   }

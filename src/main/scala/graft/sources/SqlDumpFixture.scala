@@ -32,7 +32,13 @@ object SqlDumpFixture {
 
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = new BufferedWriter(new OutputStreamWriter(fs.create(p, true), StandardCharsets.UTF_8))
+    // a `.gz` path writes gzip-compressed — the form mysqldump output
+    // actually ships in (`mysqldump | gzip > dump.sql.gz`)
+    val raw = fs.create(p, true)
+    val stream: java.io.OutputStream =
+      if (path.toLowerCase.endsWith(".gz")) new java.util.zip.GZIPOutputStream(raw)
+      else raw
+    val out = new BufferedWriter(new OutputStreamWriter(stream, StandardCharsets.UTF_8))
     try {
       out.write("-- graft test fixture dump\n")
       out.write("/* statement scanner must skip this block comment; it contains ';' and ')' */\n")

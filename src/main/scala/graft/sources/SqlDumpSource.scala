@@ -664,7 +664,18 @@ object SqlDumpSource {
 
   private def openReader(spark: SparkSession, path: String): BufferedReader = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    new BufferedReader(new InputStreamReader(fs.open(p), StandardCharsets.UTF_8))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    // Hadoop's codec factory keys on the extension, so `.sql.gz` dumps —
+    // the form mysqldump output actually ships in — stream-decompress
+    // through the same statement scanner. (The distributed path gets the
+    // same behavior from TextInputFormat: a gzip member is one
+    // non-splittable split, decoded by the record reader.)
+    val raw = fs.open(p)
+    val codec = new org.apache.hadoop.io.compress.CompressionCodecFactory(conf)
+      .getCodec(p)
+    val in: java.io.InputStream =
+      if (codec != null) codec.createInputStream(raw) else raw
+    new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
   }
 }

@@ -99,6 +99,22 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(CsvSource.listInputs(spark, s"$dir/a.csv").map(CsvSource.baseName) == Seq("a"))
   }
 
+  test("gzipped CSVs list, name, and read like their plain twins") {
+    val dir = Files.createTempDirectory("csvgz").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x\n1\n")
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/c.csv.gz"))
+    gz.write("x\n3\n".getBytes("UTF-8")); gz.close()
+    Files.writeString(java.nio.file.Paths.get(s"$dir/notes.txt"), "ignored")
+    // the compressed member is listed and shares the plain naming unit
+    assert(CsvSource.listInputs(spark, dir).map(CsvSource.baseName) ==
+      Seq("a", "c"))
+    // Spark decompresses .csv.gz natively through the same reader
+    val df = CsvSource.read(spark, s"$dir/c.csv.gz")
+    assert(df.columns.toSeq == Seq("x"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3))
+  }
+
   test("ConversionJob isolates failures and tallies (reference P4)") {
     val out = Files.createTempDirectory("job").toString
     val report = ConversionJob.run(

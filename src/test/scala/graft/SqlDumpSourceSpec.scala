@@ -282,6 +282,24 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("gzipped dump parses identically to plain text on both paths") {
+    val dir = Files.createTempDirectory("dumpspec-gz").toFile
+    val sql =
+      """CREATE TABLE `a` (`id` INT, `name` VARCHAR(10));
+        |INSERT INTO `a` VALUES (1,'x'),(2,'y;z'),(3,NULL);
+        |""".stripMargin
+    val gzPath = s"$dir/dump.sql.gz"
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(gzPath))
+    gz.write(sql.getBytes("UTF-8")); gz.close()
+    for (distributed <- Seq(true, false)) {
+      val a = SqlDumpSource.parse(spark, gzPath, Seq("all"), distributed)("a")
+      assert(a.count() == 3, s"distributed=$distributed")
+      assert(a.collect().map(r => Option(r.get(1))).toSet ==
+        Set(Some("x"), Some("y;z"), None), s"distributed=$distributed")
+    }
+  }
+
   test("distributed parse auto-falls back when ';\\n' appears inside a literal") {
     // The ";\n" record delimiter splits this dump mid-literal; the guard
     // must detect the unterminated-quote record and fall back to the
