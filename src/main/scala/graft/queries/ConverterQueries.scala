@@ -180,6 +180,33 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Dialect-breadth dump path: the same customer export wrapped in the
+    // full framing a real mysqldump ships — conditional-comment prologue
+    // (/*!40101 SET NAMES ... */), a plain SET NAMES statement, LOCK
+    // TABLES / DISABLE KEYS wrappers, CREATE TABLE /*!32312 IF NOT
+    // EXISTS*/ inline conditionals, and row batches cycling INSERT /
+    // REPLACE INTO / INSERT ... ON DUPLICATE KEY UPDATE. Same aggregate
+    // and oracle as conv_dump_roundtrip: a hash match proves the dialect
+    // framing changed nothing about the parsed rows.
+    "conv_dump_dialect" -> { (s, d) =>
+      val base = tmp(d, "dumpdialect")
+      val dumpPath = s"$base/customer.sql"
+      stageOnce(base) {
+        SqlDumpFixture.writeDump(
+          t(s, d, "customer"), "customer", dumpPath,
+          typeOverrides = Map("c_acctbal" -> "DECIMAL(12,2)", "c_nationkey" -> "INT",
+            "c_name" -> "VARCHAR(64)", "c_mktsegment" -> "VARCHAR(16)"),
+          rowsPerInsert = 200, mysqldumpFraming = true)
+      }
+      val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Gzipped-CSV path: Spark writes and reads `.csv.gz` natively; the
     // round trip proves the CLI's directory contract accepts compressed
     // members end to end (same aggregate/oracle as conv_csv_roundtrip).
@@ -490,6 +517,12 @@ object ConverterQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "conv_dump_gzip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_dump_dialect" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key

@@ -22,10 +22,18 @@ object SqlDumpFixture {
 
   /** Write `df` as a dump. `typeOverrides` pins a column's declared MySQL
     * type (e.g. "c_acctbal" -> "DECIMAL(12,2)"); values are serialized per
-    * the declared type (decimals at declared scale, HALF_UP). */
+    * the declared type (decimals at declared scale, HALF_UP).
+    * `mysqldumpFraming` reproduces the full dialect framing a real
+    * mysqldump ships: "bang-40101 SET NAMES"-style conditional-comment
+    * prologue/epilogue, a plain `SET NAMES` statement, `LOCK TABLES` /
+    * `DISABLE KEYS` wrappers, a "bang-32312 IF NOT EXISTS" inline
+    * conditional in the CREATE TABLE, and row batches cycling through
+    * the three row-bearing statement forms (`INSERT INTO`,
+    * `REPLACE INTO`, `INSERT ... ON DUPLICATE KEY UPDATE`). */
   def writeDump(df: DataFrame, tableName: String, path: String,
                 typeOverrides: Map[String, String] = Map.empty,
-                rowsPerInsert: Int = 500): Unit = {
+                rowsPerInsert: Int = 500,
+                mysqldumpFraming: Boolean = false): Unit = {
     val schema = df.schema
     val declared = schema.fields.map(f =>
       f.name -> typeOverrides.getOrElse(f.name, defaultMysqlType(f.dataType))).toMap
@@ -42,25 +50,49 @@ object SqlDumpFixture {
     try {
       out.write("-- graft test fixture dump\n")
       out.write("/* statement scanner must skip this block comment; it contains ';' and ')' */\n")
-      out.write(s"CREATE TABLE `$tableName` (\n")
+      if (mysqldumpFraming) {
+        out.write("/*!40101 SET @saved_cs_client = @@character_set_client */;\n")
+        out.write("/*!40101 SET NAMES utf8mb4 */;\n")
+        out.write("SET NAMES utf8mb4;\n")
+        out.write(s"CREATE TABLE /*!32312 IF NOT EXISTS*/ `$tableName` (\n")
+      } else {
+        out.write(s"CREATE TABLE `$tableName` (\n")
+      }
       val colDefs = schema.fields.map(f => s"  `${f.name}` ${declared(f.name)}")
       out.write(colDefs.mkString(",\n"))
       schema.fields.headOption.foreach(f => out.write(s",\n  PRIMARY KEY (`${f.name}`)"))
-      out.write("\n);\n")
+      if (mysqldumpFraming) {
+        out.write("\n) /*!40100 DEFAULT CHARACTER SET utf8mb4 */;\n")
+        out.write(s"LOCK TABLES `$tableName` WRITE;\n")
+        out.write(s"/*!40000 ALTER TABLE `$tableName` DISABLE KEYS */;\n")
+      } else out.write("\n);\n")
 
+      val firstCol = schema.fields.head.name
       val it = df.toLocalIterator()
       val batch = new scala.collection.mutable.ArrayBuffer[String](rowsPerInsert)
+      var batchIdx = 0
       def flush(): Unit = if (batch.nonEmpty) {
-        out.write(s"INSERT INTO `$tableName` VALUES ")
+        val form = if (mysqldumpFraming) batchIdx % 3 else 0
+        val head = if (form == 1) s"REPLACE INTO `$tableName` VALUES "
+          else s"INSERT INTO `$tableName` VALUES "
+        out.write(head)
         out.write(batch.mkString(","))
+        if (form == 2)
+          out.write(s" ON DUPLICATE KEY UPDATE `$firstCol`=VALUES(`$firstCol`)")
         out.write(";\n")
         batch.clear()
+        batchIdx += 1
       }
       while (it.hasNext) {
         batch += tupleLiteral(it.next(), schema, declared)
         if (batch.size >= rowsPerInsert) flush()
       }
       flush()
+      if (mysqldumpFraming) {
+        out.write(s"/*!40000 ALTER TABLE `$tableName` ENABLE KEYS */;\n")
+        out.write("UNLOCK TABLES;\n")
+        out.write("/*!40101 SET character_set_client = @saved_cs_client */;\n")
+      }
     } finally out.close()
   }
 

@@ -141,11 +141,44 @@ object SqlDumpSource {
       if (c < 0) unterminatedComment = true
     }
 
+    /** Plain block comments are stripped; MySQL CONDITIONAL comments
+      * (slash-star-bang-NNNNN payload star-slash) are EXPANDED — the
+      * version gate is dropped and the payload kept as statement text,
+      * matching what a modern MySQL server executes. That makes
+      * mysqldump prologues ("bang-40101 SET NAMES utf8mb4") surface as
+      * ordinary SET statements (ignored downstream as non-data), and
+      * keeps meaningful inline payloads (CREATE TABLE "bang-32312 IF
+      * NOT EXISTS" t ...) in the statement they modify. Quoted literals
+      * inside the payload are consumed quote-aware, so a star-slash
+      * inside a string does not terminate the comment early. */
     private def consumeBlockComment(): Unit = {
-      var prev = ' '
-      var c = readWithPushback()
-      while (c >= 0 && !(prev == '*' && c.toChar == '/')) { prev = c.toChar; c = readWithPushback() }
-      if (c < 0) unterminatedComment = true
+      val first = readWithPushback()
+      if (first < 0) { unterminatedComment = true; return }
+      if (first.toChar == '!') {
+        var c = readWithPushback()
+        while (c >= 0 && c.toChar.isDigit) c = readWithPushback()
+        var done = false
+        while (!done) {
+          if (c < 0) { unterminatedComment = true; done = true }
+          else {
+            val ch = c.toChar
+            if (ch == '*') {
+              val n = readWithPushback()
+              if (n == '/') done = true
+              else { sb.append('*'); c = n }
+            } else if (ch == '\'' || ch == '"' || ch == '`') {
+              sb.append(ch); consumeQuoted(ch); c = readWithPushback()
+            } else { sb.append(ch); c = readWithPushback() }
+          }
+        }
+      } else {
+        var prev = first.toChar
+        var c = readWithPushback()
+        while (c >= 0 && !(prev == '*' && c.toChar == '/')) {
+          prev = c.toChar; c = readWithPushback()
+        }
+        if (c < 0) unterminatedComment = true
+      }
     }
 
     override def hasNext: Boolean = {
@@ -307,9 +340,14 @@ object SqlDumpSource {
   // INSERT parsing
   // ---------------------------------------------------------------------
 
+  /** Row-bearing statement heads: INSERT and REPLACE (mysqldump
+    * `--replace` emits `REPLACE INTO`; `--delayed-insert` adds DELAYED;
+    * both carry the same tuple payload — in a dump-load context each row
+    * appears once, so REPLACE rows are ordinary rows). */
   private val InsertPrefixRe =
-    """(?is)\s*INSERT\s+(?:IGNORE\s+)?INTO\s+[`"]?([\w$]+)[`"]?\s*(.*)""".r
+    """(?is)\s*(?:INSERT|REPLACE)\s+(?:LOW_PRIORITY\s+|DELAYED\s+|HIGH_PRIORITY\s+|IGNORE\s+)*INTO\s+[`"]?([\w$]+)[`"]?\s*(.*)""".r
   private val ValuesRe = """(?is)\s*VALUES\s*(.*)""".r
+  private val OnDupRe = """(?is)ON\s+DUPLICATE\s+KEY\s+UPDATE\b""".r
 
   /** An INSERT statement: table name, the explicit column list when present
     * (names unquoted, dump order), and raw cell strings per row. A cell is
@@ -338,10 +376,35 @@ object SqlDumpSource {
           (if (names.nonEmpty) Some(names) else None, t.substring(body.length + 2))
         } else (None, t)
       afterCols match {
-        case ValuesRe(values) => Some(InsertStmt(table, cols, parseValueTuples(values)))
+        case ValuesRe(values) =>
+          Some(InsertStmt(table, cols, parseValueTuples(stripOnDuplicate(values))))
         case _ => None // INSERT ... SELECT / SET syntax — not row data
       }
     case _ => None
+  }
+
+  /** Truncate an INSERT's VALUES payload at a top-level `ON DUPLICATE KEY
+    * UPDATE` clause (emitted by some dump/ETL tools). Without the cut, the
+    * clause's `VALUES(col)` function-call parens would parse as an extra
+    * bogus row. The scan is quote- and paren-aware, so `ON DUPLICATE...`
+    * TEXT inside a string cell or a deeper paren level never truncates. */
+  private[sources] def stripOnDuplicate(s: String): String = {
+    var i = 0
+    var depth = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val (_, ni) = consumeQuotedAt(s, i, c); i = ni
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case 'O' | 'o' if depth == 0 &&
+            OnDupRe.pattern.matcher(s.substring(i)).lookingAt() =>
+          return s.substring(0, i)
+        case _ => i += 1
+      }
+    }
+    s
   }
 
   /** Parse `(a,b),(c,d),...` with full quote/escape awareness. */

@@ -282,6 +282,63 @@ class SqlDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("REPLACE INTO and modifier-prefixed inserts carry rows like INSERT") {
+    assert(SqlDumpSource.parseInsert("REPLACE INTO `t` VALUES (1,'a'),(2,'b')")
+      .map(_.rows.size) === Some(2))
+    assert(SqlDumpSource.parseInsert("INSERT DELAYED IGNORE INTO t VALUES (3)")
+      .map(_.rows.size) === Some(1))
+    assert(SqlDumpSource.parseInsert("REPLACE LOW_PRIORITY INTO t VALUES (4)")
+      .map(_.rows.size) === Some(1))
+  }
+
+  test("ON DUPLICATE KEY UPDATE clause is stripped, not parsed as a row") {
+    val got = SqlDumpSource.parseInsert(
+      "INSERT INTO `t` VALUES (1,'a'),(2,'b') " +
+        "ON DUPLICATE KEY UPDATE `id`=VALUES(`id`), v=CONCAT(v,'x')")
+    assert(got.map(_.rows) ===
+      Some(Seq(Seq(Some("1"), Some("a")), Seq(Some("2"), Some("b")))))
+    // the keyword TEXT inside a string cell must NOT truncate the values
+    val tricky = SqlDumpSource.parseInsert(
+      "INSERT INTO t VALUES (1,'ON DUPLICATE KEY UPDATE x'),(2,'y')")
+    assert(tricky.map(_.rows.size) === Some(2))
+    assert(tricky.get.rows.head(1) === Some("ON DUPLICATE KEY UPDATE x"))
+  }
+
+  test("conditional comments expand their payload; plain comments strip") {
+    // prologue form: the payload surfaces as an ordinary (ignored) statement
+    val s1 = stmts("/*!40101 SET NAMES utf8mb4 */;\nCREATE TABLE t (id INT);")
+    assert(s1.exists(_.trim.startsWith("SET NAMES")))
+    // inline form: the payload stays inside the statement it modifies
+    val s2 = stmts("CREATE TABLE /*!32312 IF NOT EXISTS*/ `t` (`id` INT);")
+    assert(s2.size === 1)
+    val td = SqlDumpSource.parseCreateTable(s2.head)
+    assert(td.map(_.name) === Some("t"))
+    // a '*/' inside a quoted literal does not terminate the comment early
+    val s3 = stmts("/*!40000 SET x = 'a*/b' */; CREATE TABLE u (id INT);")
+    assert(s3.exists(s => s.contains("a*/b")))
+    assert(s3.exists(_.toUpperCase.contains("CREATE TABLE U")) ||
+      SqlDumpSource.parseCreateTable(s3.last).map(_.name) === Some("u"))
+    // plain block comments still strip whole
+    val s4 = stmts("/* just a note; (with ; and )) */ CREATE TABLE v (id INT);")
+    assert(s4.size === 1 && SqlDumpSource.parseCreateTable(s4.head).map(_.name) === Some("v"))
+  }
+
+  test("full mysqldump framing round-trips: SET NAMES, LOCK TABLES, " +
+      "DISABLE KEYS, REPLACE and ODKU batches") {
+    val dir = Files.createTempDirectory("dumpspec-dialect").toFile
+    val path = s"$dir/framed.sql"
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"name_$i")).toDF("id", "name")
+    SqlDumpFixture.writeDump(df, "t", path, rowsPerInsert = 3,
+      mysqldumpFraming = true)
+    for (distributed <- Seq(true, false)) {
+      val got = SqlDumpSource.parse(spark, path, Seq("all"), distributed)("t")
+      assert(got.count() === 10, s"distributed=$distributed")
+      assert(got.collect().map(_.getString(1)).toSet ===
+        (1 to 10).map(i => s"name_$i").toSet)
+    }
+  }
+
   test("gzipped dump parses identically to plain text on both paths") {
     val dir = Files.createTempDirectory("dumpspec-gz").toFile
     val sql =
