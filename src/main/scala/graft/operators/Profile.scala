@@ -196,10 +196,24 @@ object Profile {
     * hash (e.g. xxhash64 of the item).
     * Output: (a, b, est_a, est_b, est_inter, est_union) per pair a < b. */
   def thetaOverlap(df: DataFrame, groupCol: String, hashCol: String,
-                   lgK: Int = 12): DataFrame = {
+                   lgK: Int = 12, maxGroups: Int = 256): DataFrame = {
     import graft.functions.ThetaSketchAgg
+    require(maxGroups >= 2, s"maxGroups must be >= 2, got $maxGroups")
     val spark = df.sparkSession
     import spark.implicits._
+    // Bounded-collect guard (same pattern as cosineNearDupPairs): the
+    // per-group sketches collect to the driver and the pair grid is
+    // O(G^2), sized for per-SOURCE use (dozens of groups). A caller
+    // passing a high-cardinality group column gets this loud dial
+    // error instead of a silent driver blowup.
+    val probe = df.select(col(groupCol).cast("string").as("g"))
+      .distinct().limit(maxGroups + 1).count()
+    require(probe <= maxGroups,
+      s"thetaOverlap is a driver-side O(G^2) pair grid over per-group " +
+        s"sketches; '$groupCol' has more than maxGroups=$maxGroups groups. " +
+        "Pre-bucket the group column (or raise maxGroups deliberately) — " +
+        "a high-cardinality overlap matrix needs a distributed pair join, " +
+        "not this per-source profile.")
     val sketches = df.groupBy(col(groupCol).cast("string").as("g"))
       .agg(ThetaSketchAgg.thetaSketch(col(hashCol), lgK).as("sk"))
       .collect()

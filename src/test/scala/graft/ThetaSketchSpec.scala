@@ -55,4 +55,19 @@ class ThetaSketchSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .select("a", "b").collect().map(r => (r.getString(0), r.getString(1)))
     assert(pairs.toSet === Set(("a", "m"), ("a", "z"), ("m", "z")))
   }
+
+  test("maxGroups dial fails loudly on a high-cardinality group column") {
+    // the driver-side O(G^2) pair grid is sized for per-source profiles;
+    // a caller grouping by a near-unique key must get the dial error,
+    // not a driver blowup
+    val df = (0L until 50L).map(i => (s"g$i", i))
+      .toDF("g", "v").withColumn("h", xxhash64(col("v")))
+    val e = intercept[IllegalArgumentException] {
+      Profile.thetaOverlap(df, "g", "h", maxGroups = 10)
+    }
+    assert(e.getMessage.contains("maxGroups"))
+    // raising the dial deliberately restores the grid
+    assert(Profile.thetaOverlap(df, "g", "h", maxGroups = 64).count() ===
+      50L * 49L / 2L)
+  }
 }
