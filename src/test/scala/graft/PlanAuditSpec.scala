@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI-enforced plan-shape invariants — the assertion form of the
+  * `Explain` audit set, so a plan regression (a lost pushdown, a join
+  * degrading to a nested-loop, a global window sneaking in before a
+  * top-k) fails `sbt test` instead of waiting for a human to reread the
+  * formatted plans.
+  *
+  * Plans are built lazily at sf0.001 (no execution beyond what the query
+  * constructors themselves stage), from the initial physical plan — AQE
+  * only ever REPLACES exchanges/joins with cheaper runtime choices, so
+  * asserting on the static plan is the conservative check.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  /** Queries whose ONLY nested-loop joins are intentional broadcasts of
+    * one-row/stat/query frames (bench-query broadcast in ANN brute-force
+    * verdicts, corpus-stat frames in scoring/selection). Everything else
+    * must plan zero nested-loop joins. */
+  private val statCrossJoinAllowed = Set(
+    "ann_lsh_topk", "ann_rp_topk", "q38_user_similarity",
+    "text_bm25_serve", "pipeline_dsir_select", "text_min_k_prob")
+
+  private val audited = Seq(
+    "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q25_range_join_pairs",
+    "dedup_minhash_full", "dedup_ngram_jaccard", "dedup_fuzzy_names",
+    "ann_lsh_topk", "ann_rp_topk",
+    "q34_funnel_conversion", "q35_retention_cohorts", "q36_resample_ffill",
+    "q37_outliers_mad", "q38_user_similarity", "q40_winsorize", "q42_ewma",
+    "text_heavy_hitters", "text_bm25_serve", "dedup_incremental_serve",
+    "pipeline_dsir_select", "text_min_k_prob")
+
+  test("no audited plan contains a cartesian product") {
+    audited.foreach { n =>
+      assert(!plan(n).contains("CartesianProduct"),
+        s"$n plans a CartesianProduct")
+    }
+  }
+
+  test("nested-loop joins appear only in the intended broadcast-stat plans") {
+    audited.filterNot(statCrossJoinAllowed).foreach { n =>
+      assert(!plan(n).contains("BroadcastNestedLoopJoin"),
+        s"$n plans a BroadcastNestedLoopJoin — a candidate join degraded " +
+          "to all-pairs")
+    }
+  }
+
+  test("pushdown-dependent serve plans keep their scan filters") {
+    // BM25 serving reads the term-sorted index with the query terms
+    // pushed into the ORC scan (stripe skipping = zero corpus bytes for
+    // absent terms); losing the In(term,...) pushdown silently degrades
+    // to a full index scan
+    val bm25 = plan("text_bm25_serve")
+    assert("PushedFilters: \\[[^\\]]*In\\(term".r.findFirstIn(bm25).isDefined,
+      "text_bm25_serve lost the In(term,...) index pushdown")
+    // incremental-dedup serving must keep a non-empty pushdown on the
+    // standing index scan
+    val inc = plan("dedup_incremental_serve")
+    assert("PushedFilters: \\[[^\\]]+\\]".r.findFirstIn(inc).isDefined,
+      "dedup_incremental_serve lost its index scan pushdown")
+    // the flagship scan filter reaches the parquet reader
+    assert(plan("q1_pricing_summary").contains("LessThanOrEqual(l_shipdate"),
+      "q1 shipdate filter no longer pushed to the scan")
+  }
+
+  test("top-k plans use TakeOrderedAndProject, not a global window") {
+    for (n <- Seq("text_heavy_hitters", "dedup_minhash_full",
+        "q3_top_unshipped_orders")) {
+      val p = plan(n)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$n top-k no longer plans as TakeOrderedAndProject")
+    }
+  }
+
+  test("every unpartitioned window sits above a bounded (top-k/limit) input") {
+    // the r6 finding this guards against: a rank-over-empty-partition
+    // window moving the FULL data set to one partition to compute a
+    // global top-k. A global window over an already-limited frame (e.g.
+    // a share-of-total over the 25 heavy hitters) is fine — so the
+    // invariant is on the tree: an empty partitionSpec WindowExec must
+    // have a TakeOrderedAndProject/limit somewhere beneath it.
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    audited.foreach { n =>
+      val sp = SparkEntry.queries(n)(spark, sf).queryExecution.sparkPlan
+      sp.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+        .foreach { w =>
+          val bounded = w.child.collectFirst {
+            case t: TakeOrderedAndProjectExec => t
+            case g: GlobalLimitExec => g
+            case l: LocalLimitExec => l
+          }
+          assert(bounded.isDefined,
+            s"$n plans a global (unpartitioned) window over UNBOUNDED " +
+              "input — full-data single-partition sort")
+        }
+    }
+  }
+}
