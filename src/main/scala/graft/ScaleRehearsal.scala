@@ -33,6 +33,12 @@ import org.apache.spark.sql.functions._
   * index — per-update cost must track batch size); per-row retry counts
   * so settled rows are distinguishable from first-run passes.
   *
+  * Round-9 addition (VERDICT r8 item 8): the ANN probe rows carry a
+  * recall ladder — mean epsilon-recall@5 vs exact brute force at each
+  * scale factor, pinned floor 0.80 (the gates' 4-of-5 criterion) — so
+  * approximation quality is tracked while the data grows, not just
+  * time and shuffle.
+  *
   * Run: `sbt "runMain graft.ScaleRehearsal [outFile]"` (default
   * SCALE_r07.json). Exit 1 when any ceiling fails or the planted
   * quadratic does NOT trip. One SCALE line per (dataset, probe) on
@@ -197,6 +203,55 @@ object ScaleRehearsal {
       }
     }
 
+    // ---- ANN probe frames -----------------------------------------------
+    // The five ANN probes are defined ONCE as result frames so the timed
+    // count() and the recall measurement (round-9: VERDICT r8 item 8)
+    // cannot drift apart on dials. All use the gate dials (queries _ < 10,
+    // k = 5, nCentroids = 16, nProbe = 4).
+    //
+    // The PQ/PCA funnels' recall/cost dial is `shortlist` — candidates
+    // surviving the compressed ranking into the exact float re-rank. A
+    // FIXED shortlist over a growing corpus shrinks the surviving
+    // FRACTION, so recall decays by construction (measured: PQ 0.98 ->
+    // 0.74, PCA 0.98 -> 0.58 on the 10x step with the gate constants).
+    // The deployment-correct dial — same family as the ladder's
+    // SemDeDup cells-per-corpus and CDC buckets-per-table rules — holds
+    // the fraction constant: shortlist scales linearly with the corpus,
+    // floored at the gate constant, so at the gate scales (<= sf0.1) the
+    // dials are IDENTICAL to the gated ones and beyond them the re-rank
+    // stays ~3-5% of corpus rows per query (at true 100 TB you scale
+    // nCentroids with the corpus instead, keeping cells — and therefore
+    // shortlist — constant-sized; nCentroids=16 is pinned here to match
+    // the gates).
+    val embCount = scala.collection.mutable.Map.empty[String, Long]
+    def nVecs(d: String): Long =
+      embCount.getOrElseUpdate(d, t(spark, d, "embeddings").count())
+    def pqShortlist(d: String): Int = math.max(60, (nVecs(d) * 3 / 100).toInt)
+    def pcaShortlist(d: String): Int = math.max(100, (nVecs(d) * 5 / 100).toInt)
+    def annFrames(d: String): Map[String, () => DataFrame] = Map(
+      "ann_ivf_topk" -> (() =>
+        Similarity.ivfTopK(t(spark, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),
+      "ann_ivf_int8_topk" -> (() =>
+        Similarity.ivfTopKInt8(t(spark, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),
+      "ann_ivf_pq" -> (() =>
+        Similarity.ivfTopKPq(t(spark, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4,
+          m = 8, ksub = 32, shortlist = pqShortlist(d))),
+      "ann_ivf_pq_serve" -> (() =>
+        Similarity.ivfTopKPqServe(t(spark, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5,
+          centroids = ivfCentroids(d), codebooks = pqCodebooks(d),
+          nProbe = 4, shortlist = pqShortlist(d))),
+      "ann_pca_serve" -> (() => {
+        val (mean, comps) = pcaProj(d)
+        Similarity.pcaTopKServe(t(spark, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5, mean = mean,
+          components = comps, shortlist = pcaShortlist(d))
+      })
+    )
+
     // ---- probes ---------------------------------------------------------
     def probes(d: String): Seq[(String, () => Long)] = Seq(
       "dedup_minhash_full" -> (() =>
@@ -212,12 +267,8 @@ object ScaleRehearsal {
       "dedup_span_scrub" -> (() =>
         Dedup.removeDuplicateSpans(t(spark, d, "documents"), "doc_id", "text",
           spanTokens = 8).agg(sum(col("n_removed"))).head().getLong(0)),
-      "ann_ivf_topk" -> (() =>
-        Similarity.ivfTopK(t(spark, d, "embeddings"), "vec_id", "embedding",
-          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4).count()),
-      "ann_ivf_int8_topk" -> (() =>
-        Similarity.ivfTopKInt8(t(spark, d, "embeddings"), "vec_id", "embedding",
-          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4).count()),
+      "ann_ivf_topk" -> (() => annFrames(d)("ann_ivf_topk")().count()),
+      "ann_ivf_int8_topk" -> (() => annFrames(d)("ann_ivf_int8_topk")().count()),
       "contamination_ngram" -> (() => {
         val docs = t(spark, d, "documents")
         Dedup.spanContaminated(
@@ -251,15 +302,8 @@ object ScaleRehearsal {
       }),
       // round-7 probes (VERDICT r6 item 3): the round-6 operators whose
       // scale behavior was previously proven only at sf0.1
-      "ann_ivf_pq" -> (() =>
-        Similarity.ivfTopKPq(t(spark, d, "embeddings"), "vec_id", "embedding",
-          queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4,
-          m = 8, ksub = 32, shortlist = 60).count()),
-      "ann_ivf_pq_serve" -> (() =>
-        Similarity.ivfTopKPqServe(t(spark, d, "embeddings"), "vec_id",
-          "embedding", queryIds = _ < 10, k = 5,
-          centroids = ivfCentroids(d), codebooks = pqCodebooks(d),
-          nProbe = 4, shortlist = 60).count()),
+      "ann_ivf_pq" -> (() => annFrames(d)("ann_ivf_pq")().count()),
+      "ann_ivf_pq_serve" -> (() => annFrames(d)("ann_ivf_pq_serve")().count()),
       "dedup_semdedup" -> (() =>
         Similarity.semDedupServe(t(spark, d, "embeddings"), "vec_id",
           "embedding", threshold = 0.40, centroids = semCentroids(d)).count()),
@@ -336,12 +380,7 @@ object ScaleRehearsal {
       // round-8 probes. PCA serving: projection applied as a codegen'd
       // fold (one scan), projected shortlist + exact re-rank — cost must
       // track the corpus scan like the other frozen-index ANN tiers.
-      "ann_pca_serve" -> (() => {
-        val (mean, comps) = pcaProj(d)
-        Similarity.pcaTopKServe(t(spark, d, "embeddings"), "vec_id",
-          "embedding", queryIds = _ < 10, k = 5, mean = mean,
-          components = comps, shortlist = 100).count()
-      }),
+      "ann_pca_serve" -> (() => annFrames(d)("ann_pca_serve")().count()),
       // fuzzy edit-distance join over 24-char doc prefixes: the q-gram
       // prefix filter bounds candidates by rare-gram co-occurrence, so
       // growth must track the inverted-index build (linear scan +
@@ -473,6 +512,46 @@ object ScaleRehearsal {
         Axis(name, sf01, probeFns(sf01)(name)),
         ok = (s01, s1) => within(s01, s1)._1 <= timeCeil || s1.secs <= timeFloorS)
 
+    // ---- ANN recall ladder (VERDICT r8 item 8) --------------------------
+    // Approximation QUALITY tracked while data grows, not just time and
+    // shuffle: mean epsilon-recall@5 per ANN probe per scale factor,
+    // against the exact brute-force top-5 on the same corpus. Epsilon
+    // slack per probe matches the correctness gate's dial (0.02 for the
+    // IVF family, 0.05 for the PCA funnel — near-tie reorderings under
+    // projection are not recall losses), and the pinned floor 0.80 is the
+    // gates' >=4-of-5 criterion expressed as a fraction. Measured OUTSIDE
+    // the timed windows (timings above are already settled).
+    val annEps = Map("ann_ivf_topk" -> 0.02, "ann_ivf_int8_topk" -> 0.02,
+      "ann_ivf_pq" -> 0.02, "ann_ivf_pq_serve" -> 0.02,
+      "ann_pca_serve" -> 0.05)
+    val recallFloor = 0.80
+    val exactKth = scala.collection.mutable.Map.empty[String, Map[Long, Double]]
+    def kthScores(d: String): Map[Long, Double] = exactKth.getOrElseUpdate(d,
+      Similarity.bruteForceTopK(t(spark, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5)
+        .groupBy(col("query_id")).agg(min(col("score")).as("kth"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap)
+    def measureRecall(name: String, d: String): Double = {
+      val kth = kthScores(d)
+      val eps = annEps(name)
+      // <= 50 rows: (query_id, neighbor_id, rank, score)
+      val byQ = annFrames(d)(name)().collect()
+        .groupBy(_.getLong(0)).map { case (q, rows) =>
+          q -> rows.count(_.getDouble(3) >= kth(q) - eps).min(5)
+        }
+      // keysIterator, NOT keys.map: mapping a Set would collapse equal
+      // per-query hit counts before the sum
+      kth.keysIterator.map(q => byQ.getOrElse(q, 0)).sum / (5.0 * kth.size)
+    }
+    val annRecall = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Double]]
+    for (d <- datasets; name <- annEps.keys) {
+      val r = measureRecall(name, d)
+      println(f"RECALL $d $name recall=$r%.2f")
+      annRecall.getOrElseUpdate(name,
+        scala.collection.mutable.LinkedHashMap.empty).put(d, r)
+    }
+
     // ---- skew rows: skewed sf1 vs plain sf1 -----------------------------
     // ceilings: the dials must hold the skewed corpus within x2.5 time /
     // x3 shuffle of plain sf1 (same floors). The skewed corpus is
@@ -541,9 +620,17 @@ object ScaleRehearsal {
       f"""{"rows": ${s.rows}%d, "secs": ${s.secs}%.2f, "shuffle_mb": ${s.shuffleMB}%.1f}"""
     sb.append("""  "probes": {""").append("\n")
     val probeRows = results.collect { case (name, bySf) if bySf.contains(sf1) && bySf.contains(sf01) =>
-      val (rt, rs, ok) = within(bySf(sf01), bySf(sf1))
+      val (rt, rs, okCeil) = within(bySf(sf01), bySf(sf1))
+      // ANN rows additionally carry the recall ladder and must hold the
+      // pinned floor at EVERY scale factor, not just where it was gated
+      val recallJson = annRecall.get(name).map { byD =>
+        val rOk = datasets.forall(d => byD(d) >= recallFloor)
+        if (!rOk) allOk = false
+        f""", "recall": {"sf001": ${byD(datasets.head)}%.2f, "sf01": ${byD(sf01)}%.2f, "sf1": ${byD(sf1)}%.2f, "eps": ${annEps(name)}%.2f, "floor": $recallFloor%.2f, "within_floor": $rOk}"""
+      }.getOrElse("")
+      val ok = okCeil
       if (!ok) allOk = false
-      f"""    "$name": {"sf001": ${sampleJson(bySf(datasets.head))}, "sf01": ${sampleJson(bySf(sf01))}, "sf1": ${sampleJson(bySf(sf1))}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "retries": ${retries(name)}%d, "within_ceilings": $ok}"""
+      f"""    "$name": {"sf001": ${sampleJson(bySf(datasets.head))}, "sf01": ${sampleJson(bySf(sf01))}, "sf1": ${sampleJson(bySf(sf1))}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "retries": ${retries(name)}%d, "within_ceilings": $ok$recallJson}"""
     }
     sb.append(probeRows.mkString(",\n")).append("\n  },\n")
     // skew vs plain sf1
