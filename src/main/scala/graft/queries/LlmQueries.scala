@@ -438,6 +438,38 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // C4 page cleaning (Raffel et al. 2020 §2.2): the corpus has no
+    // native line structure, so the gate PLANTS it deterministically —
+    // pages of 4 decorated docs, each decoration exercising exactly one
+    // published rule (no terminal punctuation / under-5-words /
+    // "javascript" line drops; "lorem ipsum" / curly-brace / too-few-
+    // retained-lines page drops). The oracle replays decoration, page
+    // assembly, every line predicate and the reassembled clean text.
+    "text_c4_clean" -> { (s, d) =>
+      val decorated = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+            concat(col("text"), lit(" and lorem ipsum filler.")))
+          .when(col("doc_id") % 89 === 3,
+            concat(col("text"), lit(" info { config }.")))
+          .when(col("doc_id") % 13 === 0,
+            concat(array_join(slice(split(col("text"), " "), 1, 3), " "),
+              lit(".")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" javascript required.")))
+          .when(col("doc_id") % 7 === 2, col("text"))
+          .otherwise(concat(col("text"), lit("."))).as("line"))
+      val pages = decorated
+        .select(floor(col("doc_id") / 4).cast("long").as("page_id"),
+          struct(col("doc_id"), col("line")).as("sline"))
+        .groupBy(col("page_id"))
+        .agg(array_join(transform(array_sort(collect_list(col("sline"))),
+          x => x.getField("line")), "\n").as("text"))
+      graft.operators.C4Filter.clean(pages, "page_id", "text")
+        .select(col("page_id"), col("n_lines"), col("n_kept"),
+          col("keep_doc"), md5(col("clean_text")).as("clean_md5"))
+        .orderBy(col("page_id"))
+    },
+
     // Corpus heavy hitters: explode tokens -> hash agg (map-side combined)
     // -> top-k without a global sort. The vocabulary-statistics shape every
     // training-data pipeline runs; at 100 TB the only shuffle is the
@@ -1864,6 +1896,45 @@ object LlmQueries {
         | LEAST(64, n - chunk_idx * 48) AS n_chunk_tokens,
         | md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
         |FROM e""".stripMargin,
+
+    // Replays decoration, page assembly, line normalization, every C4
+    // line predicate (terminal punct / >=5 words / javascript) and page
+    // predicate (>=3 kept lines, lorem ipsum, curly brace), plus the
+    // reassembled clean text md5.
+    "text_c4_clean" ->
+      """WITH dec AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 0 THEN text || ' and lorem ipsum filler.'
+        |       WHEN doc_id % 89 = 3 THEN text || ' info { config }.'
+        |       WHEN doc_id % 13 = 0
+        |        THEN array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') || '.'
+        |       WHEN doc_id % 11 = 0 THEN text || ' javascript required.'
+        |       WHEN doc_id % 7 = 2 THEN text
+        |       ELSE text || '.' END AS line
+        | FROM documents),
+        |pages AS (
+        | SELECT CAST(doc_id // 4 AS BIGINT) AS page_id,
+        |        string_agg(line, chr(10) ORDER BY doc_id) AS text
+        | FROM dec GROUP BY 1),
+        |n AS (
+        | SELECT page_id,
+        |  list_transform(string_split(text, chr(10)),
+        |    x -> regexp_replace(trim(x), '\s+', ' ', 'g')) AS ls
+        | FROM pages),
+        |f AS (
+        | SELECT page_id, ls,
+        |  list_filter(ls, x -> right(x, 1) IN ('.', '!', '?', '"')
+        |    AND (CASE WHEN length(x) = 0 THEN 0
+        |         ELSE length(x) - length(translate(x, ' ', '')) + 1 END) >= 5
+        |    AND NOT contains(lower(x), 'javascript')) AS kept,
+        |  len(list_filter(ls, x -> contains(lower(x), 'lorem ipsum'))) > 0 AS has_phrase,
+        |  len(list_filter(ls, x -> contains(x, '{') OR contains(x, '}'))) > 0 AS has_brace
+        | FROM n)
+        |SELECT page_id, CAST(len(ls) AS BIGINT) AS n_lines,
+        | CAST(len(kept) AS BIGINT) AS n_kept,
+        | (len(kept) >= 3 AND NOT has_phrase AND NOT has_brace) AS keep_doc,
+        | md5(array_to_string(kept, chr(10))) AS clean_md5
+        |FROM f ORDER BY page_id""".stripMargin,
 
     "text_gopher_quality" ->
       """WITH n AS (
