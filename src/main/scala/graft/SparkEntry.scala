@@ -49,8 +49,8 @@ object SparkEntry {
     "stream_funnel_depth", "stream_ewma", "stream_session_window",
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
-    "text_stats", "text_c4_clean", "text_bpe_tokens", "text_bpe_fertility",
-    "text_pii_scrub",
+    "text_stats", "text_normalize", "text_c4_clean", "text_bpe_tokens",
+    "text_bpe_fertility", "text_pii_scrub",
     "text_heavy_hitters",
     "text_tfidf_top", "text_repetition_full",
     "text_bm25_topk", "text_bm25_serve", "text_bm25_incremental",

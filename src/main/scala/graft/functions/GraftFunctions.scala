@@ -63,6 +63,9 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"simhash64 portable flag must be a boolean literal, got $other")
       })),
+    // named to match DuckDB's nfc_normalize — the oracle replays it 1:1
+    "nfc_normalize" -> (exprs =>
+      UnicodeNormalize(exprs.head, java.text.Normalizer.Form.NFC)),
     "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()),
     "theta_sketch" -> (exprs => ThetaSketchAgg(exprs.head).toAggregateExpression()))
 

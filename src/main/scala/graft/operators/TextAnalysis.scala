@@ -72,6 +72,22 @@ object TextAnalysis {
       .otherwise(coalesce(graft.functions.LangIdExpr.langIdMarkers(t), lit("und")))
   }
 
+  /** C0/DEL control characters except whitespace (`\t` `\n` `\r`) —
+    * the bytes a crawled corpus carries from broken encodings and
+    * terminal dumps. RE2-compatible class, so the oracle replays the
+    * strip identically. */
+  val ControlChars = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** Strip control characters (codegen'd regexp_replace). */
+  def stripControl(c: Column): Column = regexp_replace(c, ControlChars, "")
+
+  /** Unicode NFC canonicalization via the native
+    * [[graft.functions.UnicodeNormalize]] expression: base+combining
+    * sequences compose to their precomposed forms, so visually-identical
+    * text hashes identically in every downstream dedup/fingerprint
+    * operator. Already-NFC strings take a zero-allocation fast path. */
+  def nfc(c: Column): Column = graft.functions.UnicodeNormalize.nfc(c)
+
   /** Punctuation character count (.,;:!?). */
   def punctCount(c: Column): Column =
     (length(c) - length(translate(c, ".,;:!?", ""))).cast("long")

@@ -438,6 +438,33 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Unicode NFC canonicalization + control-char scrub: the ASCII corpus
+    // is decorated with planted decomposed sequences (combining acute /
+    // ring / diaeresis), an already-NFC leg (fast-path: changed=false) and
+    // a control-character leg, so composition, idempotence and the strip
+    // are all exercised. The oracle replays via DuckDB's nfc_normalize
+    // (both engines implement UAX #15) + the same RE2 control class.
+    "text_normalize" -> { (s, d) =>
+      val dec =
+        when(col("doc_id") % 4 === 0,
+            concat(col("text"), lit(" café latte")))
+          .when(col("doc_id") % 4 === 1,
+            concat(col("text"), lit(" Ångström units")))
+          .when(col("doc_id") % 4 === 2,
+            concat(col("text"), lit(" déjà vu")))
+          .otherwise(concat(col("text"),
+            lit(" bell and del chars")))
+      t(s, d, "documents").select(col("doc_id"), dec.as("raw"))
+        .select(col("doc_id"), col("raw"),
+          TextAnalysis.nfc(TextAnalysis.stripControl(col("raw"))).as("norm"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("n_cp_raw"),
+          length(col("norm")).cast("long").as("n_cp_norm"),
+          (col("norm") =!= col("raw")).as("changed"),
+          md5(col("norm")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // C4 page cleaning (Raffel et al. 2020 §2.2): the corpus has no
     // native line structure, so the gate PLANTS it deterministically —
     // pages of 4 decorated docs, each decoration exercising exactly one
@@ -1896,6 +1923,26 @@ object LlmQueries {
         | LEAST(64, n - chunk_idx * 48) AS n_chunk_tokens,
         | md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
         |FROM e""".stripMargin,
+
+    "text_normalize" ->
+      """WITH dec AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text || ' cafe' || chr(769) || ' latte'
+        |       WHEN doc_id % 4 = 1
+        |        THEN text || ' A' || chr(778) || 'ngstro' || chr(776) || 'm units'
+        |       WHEN doc_id % 4 = 2 THEN text || ' d' || chr(233) || 'j' || chr(224) || ' vu'
+        |       ELSE text || ' bell' || chr(7) || ' and del' || chr(127) || ' chars'
+        |  END AS raw
+        | FROM documents),
+        |n AS (
+        | SELECT doc_id, raw,
+        |  nfc_normalize(regexp_replace(raw,
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS norm
+        | FROM dec)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_cp_raw,
+        | CAST(length(norm) AS BIGINT) AS n_cp_norm,
+        | (norm <> raw) AS changed, md5(norm) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // Replays decoration, page assembly, line normalization, every C4
     // line predicate (terminal punct / >=5 words / javascript) and page
