@@ -90,6 +90,36 @@ object NgramLm {
           .cast("double") / count(lit(1)), 4).as("mean_logprob"))
       .withColumn("ppl", round(exp(-col("mean_logprob")), 4))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): every scored document lands in its stratum's (typically
+    * per-language) `head` / `middle` / `tail` perplexity tercile under
+    * the curated-source LM — the published recipe for grading crawl
+    * text by how much it resembles the clean corpus.
+    *
+    * Buckets compare the round-4 ppl against round-6 tercile cuts, so
+    * the assignment is engine-replayable (the q21/dataset-card gates pin
+    * Spark `percentile` == DuckDB `quantile_cont`; rounding both sides
+    * kills last-ulp interpolation drift). The cuts frame collapses to
+    * #strata rows and broadcasts — the corpus is never reshuffled beyond
+    * [[score]]'s own exchanges. Docs with fewer than two tokens have no
+    * bigrams to score and are absent, as in [[score]].
+    *
+    * Output: (idCol, strataCol, ppl, bucket). */
+  def pplBuckets(docs: DataFrame, model: Model, strataCol: String,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = score(docs, model, idCol, textCol)
+      .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+    val cuts = scored.groupBy(col(strataCol)).agg(
+      round(expr("percentile(ppl, 0.3333333333333333)"), 6).as("t1"),
+      round(expr("percentile(ppl, 0.6666666666666666)"), 6).as("t2"))
+    scored.join(broadcast(cuts), Seq(strataCol))
+      .select(col(idCol), col(strataCol), col("ppl"),
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
   /** Per-instance rounded log-probs (id, lp = round(ln p, 6)) — the
     * shared scoring core of [[score]] and [[minKProb]].
     *

@@ -859,6 +859,18 @@ object LlmQueries {
       NgramLm.score(docs, model).orderBy(col("doc_id"))
     },
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020): per-language
+    // head/middle/tail terciles of KN-bigram perplexity under the
+    // curated-source model — the published crawl-grading recipe. Cuts
+    // collapse to #langs rows and broadcast; the oracle recomputes the
+    // full KN replay, the tercile cuts and every assignment.
+    "pipeline_ppl_buckets" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val model = NgramLm.train(
+        docs.filter(col("source").isin("src0", "src1", "src2")))
+      NgramLm.pplBuckets(docs, model, "lang").orderBy(col("doc_id"))
+    },
+
     // Per-source dataset card (the documentation artifact a published
     // corpus ships): docs, exact token totals/means, length quartiles,
     // exact-duplicate fraction and language mix per source — composed in
@@ -1788,6 +1800,21 @@ object LlmQueries {
       // the ensemble decision composes the three component oracles as
       // subqueries — each is individually gate-proven, so a mismatch
       // here isolates to the composition itself
+      // tercile cuts + assignment over the gate-proven KN replay (the
+      // q21/dataset-card gates pin percentile == quantile_cont; both
+      // sides round cuts to 6dp over round-4 ppl)
+      ("pipeline_ppl_buckets" ->
+        s"""WITH k AS (${baseOracles("text_kn_bigram")}),
+           |j AS (SELECT k.doc_id, d.lang, k.ppl
+           |      FROM k JOIN documents d USING (doc_id)),
+           |c AS (SELECT lang,
+           |        ROUND(quantile_cont(ppl, 0.3333333333333333), 6) AS t1,
+           |        ROUND(quantile_cont(ppl, 0.6666666666666666), 6) AS t2
+           |      FROM j GROUP BY lang)
+           |SELECT j.doc_id, j.lang, j.ppl,
+           | CASE WHEN j.ppl <= c.t1 THEN 'head'
+           |      WHEN j.ppl <= c.t2 THEN 'middle' ELSE 'tail' END AS bucket
+           |FROM j JOIN c USING (lang) ORDER BY j.doc_id""".stripMargin) +
       ("pipeline_quality_ensemble" ->
         s"""SELECT a.doc_id, a.keep AS cls_keep,
            | g.rep_token_frac <= 0.6 AS rep_ok,
