@@ -4,7 +4,7 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{CsvSource, JdbcSource, SqlDumpSource}
+import graft.sources.{CsvSource, JdbcSource, PgDumpSource, SqlDumpSource}
 import graft.ConversionJob.{JobConfig, JobReport}
 
 /** Non-interactive CLI mirroring the reference's three argv contracts
@@ -170,6 +170,16 @@ object Cli {
         dfs.toSeq.sortBy(_._1).map { case (t, df) => t -> (() => df) },
         jobConfig(outDir, compression)))
 
+    // pg_dump plain-format dialect (beyond-reference: the reference is
+    // MySQL-only; "universal" converters meet Postgres estates too)
+    case "pgdump" :: sqlFile :: outDir :: rest if rest.length <= 2 =>
+      val compression = rest.headOption.getOrElse("snappy")
+      val tables = rest.lift(1).getOrElse("all").split(',').map(_.trim).toSeq
+      val dfs = PgDumpSource.parse(spark, sqlFile, tables)
+      Some(ConversionJob.run(
+        dfs.toSeq.sortBy(_._1).map { case (t, df) => t -> (() => df) },
+        jobConfig(outDir, compression)))
+
     case "csv" :: csvPath :: outDir :: rest if rest.length <= 3 =>
       val delimiter = rest.headOption.getOrElse(",")
       val hasHeader = rest.lift(1).forall(_.toBoolean)
@@ -187,6 +197,7 @@ object Cli {
         """usage:
           |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
+          |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]""".stripMargin)
       None
     }

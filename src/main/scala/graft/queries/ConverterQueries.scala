@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.sinks.OrcSink
-import graft.sources.{CsvSource, JdbcFixture, JdbcSource, SqlDumpFixture, SqlDumpSource}
+import graft.sources.{CsvSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource}
 
 /** Converter round-trips under the correctness gate.
   *
@@ -199,6 +199,31 @@ object ConverterQueries {
           rowsPerInsert = 200, mysqldumpFraming = true)
       }
       val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // pg_dump path (the second dump dialect beside mysqldump): parquet ->
+    // pg_dump plain format (typed Postgres CREATE TABLE + COPY TEXT
+    // blocks) -> COPY-terminator record-delimiter DISTRIBUTED parse ->
+    // aggregate. Same aggregate/oracle as conv_dump_roundtrip: a hash
+    // match proves the dialect parse preserved every row and type.
+    "conv_pgdump_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "pgdump")
+      val dumpPath = s"$base/customer.sql"
+      stageOnce(base) {
+        PgDumpFixture.writeDump(
+          t(s, d, "customer"), "customer", dumpPath,
+          typeOverrides = Map("c_acctbal" -> "numeric(12,2)",
+            "c_nationkey" -> "integer",
+            "c_name" -> "character varying(64)",
+            "c_mktsegment" -> "character varying(16)"))
+      }
+      val dfs = PgDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
       dfs("customer")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
@@ -523,6 +548,12 @@ object ConverterQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "conv_dump_dialect" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_pgdump_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
