@@ -49,6 +49,7 @@ object SparkEntry {
     "stream_funnel_depth", "stream_ewma", "stream_session_window",
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
+    "stream_left_join",
     "text_stats", "text_normalize", "text_c4_clean", "text_bpe_tokens",
     "text_bpe_fertility", "text_pii_scrub",
     "text_heavy_hitters",

@@ -228,6 +228,18 @@ object PipelineQueries {
           countDistinct(col("user_id")).as("n_users"))
     },
 
+    // LEFT OUTER stream-stream join: the null-padded rows only emit at
+    // watermark-driven state eviction (the hard half of outer streaming
+    // joins) — the sentinel harness forces that eviction deterministically
+    // and the batch LEFT JOIN oracle must agree exactly.
+    "stream_left_join" -> { (s, d) =>
+      EventStream.clickErrorLeftJoin(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("click_id")).as("n_matched"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
     "multimodal_bytes" -> { (s, d) =>
       Multimodal.toMultimodal(t(s, d, "documents"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -890,6 +902,23 @@ object PipelineQueries {
       """SELECT event_type, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+
+    // outer stream-stream join == the batch LEFT JOIN over the same data
+    "stream_left_join" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type
+        | FROM events),
+        |j AS (
+        | SELECT err.user_id, err.event_id AS err_id, clk.event_id AS click_id
+        | FROM (SELECT * FROM e WHERE event_type = 'error') err
+        | LEFT JOIN (SELECT * FROM e WHERE event_type = 'click') clk
+        |   ON err.user_id = clk.user_id
+        |  AND clk.tsu <= err.tsu
+        |  AND clk.tsu > err.tsu - INTERVAL 5 MINUTE)
+        |SELECT COUNT(*) AS n_rows, COUNT(click_id) AS n_matched,
+        | CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j""".stripMargin,
 
     // stream-stream join == the batch join over the same data
     "stream_click_error_join" ->

@@ -420,6 +420,108 @@ object EventStream {
     runToMemory(spark, joined, "graft_stream_ssjoin", OutputMode.Append())
   }
 
+  /** Stream-stream LEFT OUTER join with event-time constraints: every
+    * error, with its preceding same-user clicks inside the window — and
+    * errors with NO such click still emit once, with a null click id,
+    * when the watermark proves no match can still arrive. That proof is
+    * the hard half of outer streaming joins: inner results emit in the
+    * matching micro-batch, but null-padded rows only emit at state
+    * eviction, which needs the watermark to pass the error's join window.
+    *
+    * Harness: the staged source appends two sentinel FILES (+30/+60 days
+    * past max ts; each holds one error and one DELIBERATELY non-matching
+    * click under different negative users). Emission uses the watermark
+    * computed at the end of the PREVIOUS batch, so the second sentinel's
+    * data batch runs with a watermark 30 days past every real error and
+    * deterministically flushes all real unmatched rows;
+    * processAllAvailable covers it. The FIRST sentinel error's own null
+    * row provably flushes last (its window closes 30 days after any real
+    * one) — polled for, then sentinels are filtered out. Exactly-once
+    * contract = the batch LEFT JOIN over the same data. */
+  def clickErrorLeftJoin(spark: SparkSession, sfDir: String,
+                         windowMinutes: Long = 5): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events_ssleft")
+    stageLock.synchronized {
+      val k2 = key + "/ssleft"
+      if (!staged.contains(k2)) {
+        java.nio.file.Files.createDirectories(dir)
+        val srcPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val tmp = dir.resolve(s".ev.tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.copy(srcPath, tmp)
+        java.nio.file.Files.move(tmp, dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dir.resolve("events.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        Seq(30L, 60L).zipWithIndex.foreach { case (days, i) =>
+          val bumped = raw.schema("ts").dataType match {
+            case org.apache.spark.sql.types.LongType =>
+              col("ts") + lit(days * 24 * 3600 * 1000000000L) // nanos
+            case _ => col("ts") + expr(s"interval $days days")
+          }
+          val base = raw.orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", bumped)
+          // the error sentinel's user has NO click sentinel — its null
+          // row is the flushed-last signal the poll waits on
+          val sent = base
+            .withColumn("event_id", lit(-1L - i))
+            .withColumn("user_id", lit(-1L - i))
+            .withColumn("event_type", lit("error"))
+            .unionByName(base
+              .withColumn("event_id", lit(-10L - i))
+              .withColumn("user_id", lit(-10L - i))
+              .withColumn("event_type", lit("click")))
+          val sentStage = dir.resolve(s".sent-${java.util.UUID.randomUUID()}")
+          sent.coalesce(1).write.mode("overwrite").parquet(sentStage.toString)
+          val part = sentStage.toFile.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = dir.resolve(s"events-sentinel-$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + (i + 1) * 60000L))
+          org.apache.commons.io.FileUtils.deleteDirectory(sentStage.toFile)
+        }
+        staged += k2
+      }
+    }
+    def stream() = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema(spark, sfDir))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+    val clicks = stream()
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "1 hour")
+    val errors = stream()
+      .filter(col("event_type") === "error")
+      .select(col("user_id").as("user_id"), col("ts").as("err_ts"),
+        col("event_id").as("err_id"))
+      .withWatermark("err_ts", "1 hour")
+    val joined = errors.join(clicks,
+      expr(s"""user_id = c_user AND
+               click_ts <= err_ts AND
+               click_ts > err_ts - INTERVAL $windowMinutes MINUTES"""),
+      "leftOuter")
+      .select(col("user_id"), col("err_id"), col("click_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("graft_stream_ssleft").start()
+    try {
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table("graft_stream_ssleft")
+               .filter(col("user_id") === -1L).isEmpty &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table("graft_stream_ssleft").filter(col("user_id") >= 0)
+  }
+
   /** Continuous converter: stream the landing directory into an ORC table
     * (append mode, exactly-once via the checkpoint) — the reference's
     * batch converter re-expressed as a running pipeline: new files landing
