@@ -56,7 +56,8 @@ object SparkEntry {
     "text_tfidf_top", "text_repetition_full",
     "text_bm25_topk", "text_bm25_serve", "text_bm25_incremental",
     "text_hybrid_rrf",
-    "retrieval_hybrid_serve", "retrieval_hybrid_serve_engine", "text_kn_bigram",
+    "retrieval_hybrid_serve", "retrieval_hybrid_serve_engine",
+    "retrieval_metrics", "text_kn_bigram",
     "text_min_k_prob", "pipeline_ppl_buckets",
     "dedup_exact_docs", "dedup_paragraphs", "dedup_fuzzy_names",
     "dedup_fuzzy_serve", "dedup_jw_names",

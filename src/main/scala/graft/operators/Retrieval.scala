@@ -274,6 +274,63 @@ object Retrieval {
       .select(col("query_id"), col(idCol), col("rank"), col("rrf_score"))
   }
 
+  /** Deterministic binary relevance set: a doc is gold for a query iff
+    * its normalized text contains EVERY query term (the conjunctive
+    * containment criterion — replayable by any engine, no judgments
+    * needed). Zero shuffle: one projection of per-query AND-of-contains
+    * over the padded normalized text. */
+  def containsAllGold(docs: DataFrame, queries: Seq[(Int, String)],
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val padded = concat(lit(" "),
+      graft.operators.TextAnalysis.normText(lower(col(textCol))), lit(" "))
+    val legs = queries.map { case (qid, qtext) =>
+      val terms = qtext.toLowerCase(java.util.Locale.ROOT).trim
+        .split("\\s+").toSeq.filter(_.nonEmpty)
+      docs.select(lit(qid).as("query_id"), col(idCol).as("doc_id"), padded.as("t"))
+        .filter(terms.map(tm => col("t").contains(s" $tm "))
+          .reduceOption(_ && _).getOrElse(lit(true)))
+        .select(col("query_id"), col("doc_id"))
+    }
+    legs.reduce(_ unionByName _)
+  }
+
+  /** Standard IR evaluation of a ranked run against a binary gold set:
+    * recall@k, MRR and nDCG@k per query (binary gains, log2 discounts —
+    * Järvelin & Kekäläinen 2002). Engine-replayable arithmetic: each
+    * DCG/IDCG term rounds to 6dp before an exact DECIMAL sum (order
+    * independence), finals round 6dp after one double division. All
+    * frames after the hits join are #queries-sized; gold reduces
+    * map-side, the run is k·|queries| rows — evaluation cost is
+    * independent of corpus size.
+    *
+    * `run`: (query_id, doc_id, rank); `gold`: (query_id, doc_id).
+    * Output: (query_id, n_gold, n_hits, recall_k, mrr, ndcg_k). */
+  def evalMetrics(run: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val hits = run.filter(col("rank") <= k)
+      .join(gold, Seq("query_id", "doc_id"))
+    val perQ = hits.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_hits"),
+      min(col("rank")).as("first_hit"),
+      sum(round(lit(1.0) / log2(col("rank") + 1), 6).cast(dec)).as("dcg"))
+    val goldN = gold.groupBy(col("query_id")).agg(count(lit(1)).as("n_gold"))
+    val idcg = goldN
+      .select(col("query_id"),
+        explode(sequence(lit(1L), least(col("n_gold"), lit(k.toLong)))).as("i"))
+      .groupBy(col("query_id"))
+      .agg(sum(round(lit(1.0) / log2(col("i") + 1), 6).cast(dec)).as("idcg"))
+    goldN.join(idcg, Seq("query_id"))
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_gold"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_gold"), 6)
+          .as("recall_k"),
+        round(coalesce(lit(1.0) / col("first_hit"), lit(0.0)), 6).as("mrr"),
+        round(coalesce(col("dcg").cast("double") / col("idcg").cast("double"),
+          lit(0.0)), 6).as("ndcg_k"))
+  }
+
   /** Hybrid retrieval: BM25 lexical top-kIn per pinned query fused with
     * embedding-cosine top-kIn for the SAME query ids (query vector =
     * the corpus embedding whose vec_id equals the query id — the

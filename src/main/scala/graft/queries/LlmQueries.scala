@@ -871,6 +871,18 @@ object LlmQueries {
       NgramLm.pplBuckets(docs, model, "lang").orderBy(col("doc_id"))
     },
 
+    // IR evaluation harness: recall@10 / MRR / nDCG@10 of the BM25 run
+    // against a deterministic conjunctive-containment gold set (doc is
+    // relevant iff it contains EVERY query term). The oracle replays the
+    // whole BM25 ranking, the gold derivation, and every metric term.
+    "retrieval_metrics" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val run = Retrieval.bm25TopK(docs, Retrieval.PinnedQueries, k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val gold = Retrieval.containsAllGold(docs, Retrieval.PinnedQueries)
+      Retrieval.evalMetrics(run, gold, k = 10).orderBy(col("query_id"))
+    },
+
     // Per-source dataset card (the documentation artifact a published
     // corpus ships): docs, exact token totals/means, length quartiles,
     // exact-duplicate fraction and language mix per source — composed in
@@ -1950,6 +1962,43 @@ object LlmQueries {
         | LEAST(64, n - chunk_idx * 48) AS n_chunk_tokens,
         | md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
         |FROM e""".stripMargin,
+
+    // BM25 ranking replayed via the shared CTE chain; gold = per-query
+    // AND-of-contains over padded normalized text; each DCG/IDCG term
+    // rounds 6dp into an exact DECIMAL sum, finals round 6dp after one
+    // double division — term-identical to the Spark side.
+    "retrieval_metrics" ->
+      s"""WITH ${bm25Ctes(10)},
+         |norm AS (
+         | SELECT doc_id,
+         |  ' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ' AS t
+         | FROM documents),
+         |gold AS (
+         | SELECT 0 AS query_id, doc_id FROM norm
+         |  WHERE contains(t, ' customer ') AND contains(t, ' order ') AND contains(t, ' window ')
+         | UNION ALL SELECT 1, doc_id FROM norm
+         |  WHERE contains(t, ' vector ') AND contains(t, ' hash ') AND contains(t, ' join ')
+         | UNION ALL SELECT 2, doc_id FROM norm
+         |  WHERE contains(t, ' stream ') AND contains(t, ' filter ')
+         |   AND contains(t, ' sort ') AND contains(t, ' merge ')
+         | UNION ALL SELECT 3, doc_id FROM norm
+         |  WHERE contains(t, ' spark ') AND contains(t, ' query ') AND contains(t, ' scan ')),
+         |g AS (SELECT query_id, COUNT(*) AS n_gold FROM gold GROUP BY 1),
+         |h AS (SELECT l.query_id, l.rank
+         |      FROM lex l JOIN gold USING (query_id, doc_id) WHERE l.rank <= 10),
+         |pq AS (SELECT query_id, COUNT(*) AS n_hits, MIN(rank) AS first_hit,
+         |        SUM(CAST(ROUND(1.0 / log2(rank + 1), 6) AS DECIMAL(18,6))) AS dcg
+         |       FROM h GROUP BY 1),
+         |i AS (SELECT query_id,
+         |        SUM(CAST(ROUND(1.0 / log2(i + 1), 6) AS DECIMAL(18,6))) AS idcg
+         |      FROM (SELECT query_id, unnest(generate_series(1, LEAST(n_gold, 10))) AS i FROM g)
+         |      GROUP BY 1)
+         |SELECT g.query_id, g.n_gold, COALESCE(pq.n_hits, 0) AS n_hits,
+         | ROUND(CAST(COALESCE(pq.n_hits, 0) AS DOUBLE) / g.n_gold, 6) AS recall_k,
+         | ROUND(COALESCE(1.0 / pq.first_hit, 0), 6) AS mrr,
+         | ROUND(COALESCE(CAST(pq.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 0), 6) AS ndcg_k
+         |FROM g JOIN i USING (query_id) LEFT JOIN pq USING (query_id)
+         |ORDER BY g.query_id""".stripMargin,
 
     "text_normalize" ->
       """WITH dec AS (
