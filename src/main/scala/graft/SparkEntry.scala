@@ -90,6 +90,7 @@ object SparkEntry {
     "conv_dump_gzip", "conv_dump_dialect", "conv_pgdump_roundtrip",
     "conv_lineitem_orc",
     "conv_cdc_merge", "conv_cdc_partitioned", "conv_sorted_orc",
+    "conv_bloom_orc",
     "conv_zorder_orc", "conv_bucketed_join")
 
   /** Bench-only engine probes — NOT part of the correctness contract.

@@ -207,6 +207,38 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Bloom-filter ORC layout: point lookups on a column the data is NOT
+    // clustered by — min/max stripe stats span everything and skip
+    // nothing; the per-row-group bloom still eliminates row groups that
+    // can't contain the probe. The value answer is oracle-replayed; the
+    // two verdict columns pin the measured scan-metric win (bloom scan
+    // bounded at half the table AND strictly beating the bloomless twin)
+    // — deterministic: same data, same layout, same bloom bits.
+    "conv_bloom_orc" -> { (s, d) =>
+      val base = tmp(d, "bloom_orc")
+      stageOnce(base) {
+        val ev = t(s, d, "events").orderBy(xxhash64(col("event_id")))
+        OrcSink.write(ev, base, "events_bloom", maxRecordsPerFile = 2000L,
+          bloomFilterColumns = Seq("event_id"))
+        OrcSink.write(ev, base, "events_plain", maxRecordsPerFile = 2000L)
+      }
+      def scanned(table: String): Long = {
+        val q = OrcSink.read(s, s"$base/$table")
+          .filter(col("event_id") === 123L).select(col("event_id"))
+        q.collect()
+        q.queryExecution.executedPlan.collectLeaves().head
+          .metrics("numOutputRows").value
+      }
+      val sb = scanned("events_bloom")
+      val sp = scanned("events_plain")
+      val total = t(s, d, "events").count()
+      OrcSink.read(s, s"$base/events_bloom")
+        .filter(col("event_id") === 123L)
+        .agg(count(lit(1)).as("n_match"), dsumr(col("value")).as("sum_value"))
+        .withColumn("bloom_scan_bounded", lit(sb <= total / 2))
+        .withColumn("bloom_beats_plain", lit(sb < sp))
+    },
+
     // pg_dump path (the second dump dialect beside mysqldump): parquet ->
     // pg_dump plain format (typed Postgres CREATE TABLE + COPY TEXT
     // blocks) -> COPY-terminator record-delimiter DISTRIBUTED parse ->
@@ -552,6 +584,12 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_bloom_orc" ->
+      """SELECT COUNT(*) AS n_match,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+        | true AS bloom_scan_bounded, true AS bloom_beats_plain
+        |FROM events WHERE event_id = 123""".stripMargin,
 
     "conv_pgdump_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

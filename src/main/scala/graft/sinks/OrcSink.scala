@@ -31,16 +31,29 @@ object OrcSink {
     * table lays out as `<table>/<col>=<value>/part-*.orc` — the standard
     * big-table layout: readers with a partition-column predicate prune
     * whole directories before any I/O (PartitionFilters in the plan). */
+  /** `bloomFilterColumns` writes per-row-group ORC bloom filters for the
+    * named columns (`orc.bloom.filter.columns`) — the point-lookup
+    * complement to the sorted/z-ordered layouts: on data NOT clustered by
+    * the probe column, min/max stripe stats span everything and skip
+    * nothing, but a bloom probe still eliminates the row groups that
+    * cannot contain the value. Costs ~bits-per-row on write; pays off on
+    * every selective equality scan. */
   def write(df: DataFrame, outDir: String, table: String,
             compression: String = "snappy",
             maxRecordsPerFile: Long = 0L,
             partitionBy: Seq[String] = Nil,
-            mode: String = "overwrite"): WriteReport = {
+            mode: String = "overwrite",
+            bloomFilterColumns: Seq[String] = Nil,
+            bloomFilterFpp: Double = 0.05): WriteReport = {
     val codec = compression.toLowerCase
     require(SupportedCodecs.contains(codec), s"unsupported ORC codec: $compression")
     val dir = s"$outDir/$table"
     var w = df.write.mode(mode).option("compression", codec)
     if (maxRecordsPerFile > 0) w = w.option("maxRecordsPerFile", maxRecordsPerFile)
+    if (bloomFilterColumns.nonEmpty) {
+      w = w.option("orc.bloom.filter.columns", bloomFilterColumns.mkString(","))
+        .option("orc.bloom.filter.fpp", bloomFilterFpp)
+    }
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.orc(dir)
     verify(df.sparkSession, dir, table)

@@ -31,6 +31,33 @@ class ScaleLayoutSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(filtered.count() == expected)
   }
 
+  test("bloom-filter layout skips row groups on point lookups where min/max can't") {
+    val dir = Files.createTempDirectory("graft_bloom").toString
+    // unique ids in SHUFFLED order: every file's [min,max] spans ~the
+    // whole domain, so stripe stats alone skip nothing — only the bloom
+    // can prove a row group can't contain the probe value
+    val df = spark.range(20000)
+      .select(col("id"), (col("id") % 7).as("payload"))
+      .orderBy(xxhash64(col("id")))
+    OrcSink.write(df, dir, "bloomed", maxRecordsPerFile = 1000L,
+      bloomFilterColumns = Seq("id"))
+    OrcSink.write(df, dir, "plain", maxRecordsPerFile = 1000L)
+
+    def scannedRows(table: String): Long = {
+      val q = OrcSink.read(spark, s"$dir/$table").filter(col("id") === 12345L)
+      assert(q.collect().length == 1) // same answer either way
+      val scan = q.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val bloomed = scannedRows("bloomed")
+    val plain = scannedRows("plain")
+    assert(plain > 10000, s"expected near-full scan without blooms, got $plain")
+    // expect ~1 true row group + fpp*20 false positives (a few thousand
+    // rows at 1000-row files); far under the plain scan either way
+    assert(bloomed <= 5000, s"expected bloom row-group skip, got $bloomed")
+    assert(bloomed < plain / 2, s"bloom ($bloomed) should beat plain ($plain)")
+  }
+
   test("sorted layout skips stripes: scan emits far fewer rows than unsorted") {
     val dir = Files.createTempDirectory("graft_sorted").toString
     // 20k rows over 200 keys, many small files -> many stripes; the
