@@ -438,6 +438,15 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Shannon entropy quality signals: per-doc character and token
+    // entropy in bits (low char entropy = repeated runs/keyboard mash,
+    // low token entropy = boilerplate). Terms round 8dp into exact
+    // DECIMAL sums — order-independent, oracle replays every term.
+    "text_entropy" -> { (s, d) =>
+      graft.operators.Entropy.signals(t(s, d, "documents"))
+        .orderBy(col("doc_id"))
+    },
+
     // Unicode NFC canonicalization + control-char scrub: the ASCII corpus
     // is decorated with planted decomposed sequences (combining acute /
     // ring / diaeresis), an already-NFC leg (fast-path: changed=false) and
@@ -1999,6 +2008,38 @@ object LlmQueries {
          | ROUND(COALESCE(CAST(pq.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 0), 6) AS ndcg_k
          |FROM g JOIN i USING (query_id) LEFT JOIN pq USING (query_id)
          |ORDER BY g.query_id""".stripMargin,
+
+    // Entropy terms replayed bit-for-bit: identical double division +
+    // log2, round-8 into DECIMAL(18,8), decimal-space negation (no -0.0)
+    "text_entropy" ->
+      """WITH n AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS tn
+        | FROM documents),
+        |cs AS (SELECT doc_id, unnest(string_split(tn, '')) AS s FROM n),
+        |cc AS (SELECT doc_id, s, COUNT(*) AS cnt FROM cs WHERE len(s) > 0 GROUP BY 1, 2),
+        |ctot AS (SELECT doc_id, SUM(cnt) AS n FROM cc GROUP BY 1),
+        |ch AS (
+        | SELECT cc.doc_id, CAST(ANY_VALUE(ctot.n) AS BIGINT) AS n_chars_h,
+        |  CAST(ROUND(SUM(CAST(ROUND(CAST(cnt AS DOUBLE) / ctot.n
+        |    * log2(CAST(cnt AS DOUBLE) / ctot.n), 8) AS DECIMAL(18,8))) * -1, 6) AS DOUBLE)
+        |   AS char_entropy
+        | FROM cc JOIN ctot USING (doc_id) GROUP BY cc.doc_id),
+        |ts AS (SELECT doc_id, unnest(string_split(tn, ' ')) AS s FROM n),
+        |tc AS (SELECT doc_id, s, COUNT(*) AS cnt FROM ts WHERE len(s) > 0 GROUP BY 1, 2),
+        |ttot AS (SELECT doc_id, SUM(cnt) AS n FROM tc GROUP BY 1),
+        |th AS (
+        | SELECT tc.doc_id, CAST(ANY_VALUE(ttot.n) AS BIGINT) AS n_tokens_h,
+        |  CAST(ROUND(SUM(CAST(ROUND(CAST(cnt AS DOUBLE) / ttot.n
+        |    * log2(CAST(cnt AS DOUBLE) / ttot.n), 8) AS DECIMAL(18,8))) * -1, 6) AS DOUBLE)
+        |   AS token_entropy
+        | FROM tc JOIN ttot USING (doc_id) GROUP BY tc.doc_id)
+        |SELECT d.doc_id,
+        | COALESCE(ch.n_chars_h, 0) AS n_chars_h,
+        | COALESCE(ch.char_entropy, 0.0) AS char_entropy,
+        | COALESCE(th.n_tokens_h, 0) AS n_tokens_h,
+        | COALESCE(th.token_entropy, 0.0) AS token_entropy
+        |FROM documents d LEFT JOIN ch USING (doc_id) LEFT JOIN th USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "text_normalize" ->
       """WITH dec AS (
