@@ -60,7 +60,8 @@ object SparkEntry {
     "retrieval_hybrid_serve", "retrieval_hybrid_serve_engine",
     "retrieval_metrics", "text_kn_bigram",
     "text_min_k_prob", "pipeline_ppl_buckets",
-    "dedup_exact_docs", "dedup_paragraphs", "dedup_fuzzy_names",
+    "dedup_exact_docs", "dedup_cross_source", "dedup_paragraphs",
+    "dedup_fuzzy_names",
     "dedup_fuzzy_serve", "dedup_jw_names",
     "dedup_minhash_full",
     "dedup_simhash_full", "dedup_clusters", "dedup_span_exact",

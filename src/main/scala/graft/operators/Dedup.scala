@@ -427,6 +427,30 @@ object Dedup {
     df.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Cross-stratum exact-duplicate matrix: for every pair of strata
+    * (sources), how many distinct contents appear in BOTH — the exact
+    * counterpart of the theta-sketch overlap estimate
+    * ([[Profile.thetaOverlap]]), for when the corpus can afford one
+    * fingerprint shuffle and the audit needs exact counts (e.g. license
+    * contamination between crawl snapshots).
+    *
+    * Plan: distinct (stratum, fingerprint) — ONE map-side-combined
+    * shuffle over the corpus — then a fingerprint-keyed self-join whose
+    * per-key width is bounded by #strata (a boilerplate content shared
+    * by every stratum contributes #strata² pair rows, never
+    * corpus-scale), and a #strata²-row aggregate. */
+  def crossStratumOverlap(df: DataFrame, strataCol: String, textCol: String): DataFrame = {
+    val fps = df.select(col(strataCol).as("s"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .distinct()
+    val a = fps.select(col("s").as("src_a"), col("fp"))
+    val b = fps.select(col("s").as("src_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Keeps one canonical document per near-dup cluster: resolve `pairs`
     * to connected components, then drop every member that is not its
     * cluster's min id. Documents never appearing in `pairs` pass through

@@ -1135,6 +1135,23 @@ object LlmQueries {
         .orderBy(col("fp"))
     },
 
+    // Cross-source exact-duplicate matrix (the exact counterpart of the
+    // q41 theta-sketch overlap): the corpus has no native cross-source
+    // duplicates, so every 13th doc is PLANTED as a re-post under a
+    // doc_id-derived DIFFERENT source (the +7 shift dodges the fixture's
+    // own source = src(doc_id % 20) rule); the oracle replays planting, fingerprints,
+    // and the full pair matrix.
+    "dedup_cross_source" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val reposts = docs.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          concat(lit("src"), ((col("doc_id") + 7) % 20).cast("string")).as("source"))
+      val all = docs.select(col("doc_id"), col("text"), col("source"))
+        .unionByName(reposts)
+      Dedup.crossStratumOverlap(all, "source", "text")
+        .orderBy(col("src_a"), col("src_b"))
+    },
+
     // Paragraph-level dedup: the corpus has no native line structure, so
     // the gate PLANTS it deterministically — pages of 5 docs joined with
     // newlines (the planted exact-dup docs thereby become repeated
@@ -2008,6 +2025,22 @@ object LlmQueries {
          | ROUND(COALESCE(CAST(pq.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 0), 6) AS ndcg_k
          |FROM g JOIN i USING (query_id) LEFT JOIN pq USING (query_id)
          |ORDER BY g.query_id""".stripMargin,
+
+    "dedup_cross_source" ->
+      """WITH rep AS (
+        | SELECT doc_id + 1000000 AS doc_id, text,
+        |  'src' || CAST((doc_id + 7) % 20 AS VARCHAR) AS source
+        | FROM documents WHERE doc_id % 13 = 0),
+        |all_docs AS (
+        | SELECT doc_id, text, source FROM documents
+        | UNION ALL SELECT doc_id, text, source FROM rep),
+        |f AS (
+        | SELECT DISTINCT source,
+        |  md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+        | FROM all_docs)
+        |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Entropy terms replayed bit-for-bit: identical double division +
     // log2, round-8 into DECIMAL(18,8), decimal-space negation (no -0.0)
