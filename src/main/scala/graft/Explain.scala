@@ -53,7 +53,13 @@ object Explain {
         "q39_asof_forward", "q40_winsorize", "q41_sketch_overlap",
         "q42_ewma", "ann_pca_topk",
         "dedup_fuzzy_names", "dedup_fuzzy_serve", "dedup_jw_names",
-        "text_min_k_prob", "pipeline_dataset_card")
+        "text_min_k_prob", "pipeline_dataset_card",
+        // round-9: C4 cleaning + entropy (one posexplode + doc-keyed
+        // exchanges), NFC (zero shuffle), ppl terciles (broadcast cuts),
+        // IR metrics (#queries-sized frames after the hits join),
+        // cross-source matrix (fp-keyed self-join, #strata-bounded keys)
+        "text_c4_clean", "text_entropy", "text_normalize",
+        "pipeline_ppl_buckets", "retrieval_metrics", "dedup_cross_source")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

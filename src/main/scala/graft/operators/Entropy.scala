@@ -26,9 +26,12 @@ object Entropy {
     val norm = df.select(id, TextAnalysis.normText(col(textCol)).as("tn"))
 
     def entropyOf(sym: DataFrame, nName: String, hName: String): DataFrame = {
-      val counts = sym.groupBy(id, col("s")).agg(count(lit(1)).as("cnt"))
-      val totals = counts.groupBy(id).agg(sum(col("cnt")).as("n"))
-      counts.join(totals, Seq(idCol))
+      // totals via an unordered window over the counts frame instead of
+      // a self-join: one (id,s) exchange + one id exchange total, and
+      // the trailing groupBy reuses the window's id partitioning
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(id)
+      sym.groupBy(id, col("s")).agg(count(lit(1)).as("cnt"))
+        .withColumn("n", sum(col("cnt")).over(w))
         .select(id,
           col("n"),
           round((col("cnt").cast("double") / col("n")) *

@@ -27,7 +27,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     * must plan zero nested-loop joins. */
   private val statCrossJoinAllowed = Set(
     "ann_lsh_topk", "ann_rp_topk", "q38_user_similarity",
-    "text_bm25_serve", "pipeline_dsir_select", "text_min_k_prob")
+    "text_bm25_serve", "pipeline_dsir_select", "text_min_k_prob",
+    // the KN scorer's broadcast one-row bigram-types frame (the same
+    // crossJoin text_min_k_prob carries) reached through pplBuckets
+    "pipeline_ppl_buckets")
 
   private val audited = Seq(
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
@@ -37,7 +40,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "q34_funnel_conversion", "q35_retention_cohorts", "q36_resample_ffill",
     "q37_outliers_mad", "q38_user_similarity", "q40_winsorize", "q42_ewma",
     "text_heavy_hitters", "text_bm25_serve", "dedup_incremental_serve",
-    "pipeline_dsir_select", "text_min_k_prob")
+    "pipeline_dsir_select", "text_min_k_prob",
+    // r9 additions: C4 cleaning, entropy, NFC, ppl terciles, IR metrics,
+    // cross-source matrix, pg_dump parse (constructing these only stages
+    // their tiny sf0.001 fixtures)
+    "text_c4_clean", "text_entropy", "text_normalize",
+    "pipeline_ppl_buckets", "retrieval_metrics", "dedup_cross_source",
+    "conv_pgdump_roundtrip")
 
   test("no audited plan contains a cartesian product") {
     audited.foreach { n =>
