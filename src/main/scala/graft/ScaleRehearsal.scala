@@ -414,7 +414,27 @@ object ScaleRehearsal {
             .select((col("doc_id") + 10000000L).as("doc_id"), col("text")))
         graft.operators.SnapshotDiff.diff(docs, after, "doc_id", Seq("text"))
           .filter(col("status") =!= "unchanged").count()
-      })
+      }),
+      // round-9 probes: C4 page cleaning (one posexplode + one
+      // doc-keyed reassembly shuffle) and the entropy signals (two
+      // symbol explodes, window totals) — both must scale like the
+      // linear text probes
+      "text_c4_clean" -> (() => {
+        val pages = t(spark, d, "documents")
+          .select(floor(col("doc_id") / 4).cast("long").as("page_id"),
+            struct(col("doc_id"), col("text")).as("s"))
+          .groupBy(col("page_id"))
+          .agg(array_join(transform(array_sort(collect_list(col("s"))),
+            x => x.getField("text")), "\n").as("text"))
+        // raw fixture text carries no terminal punctuation, so n_kept
+        // is legitimately 0 — count processed LINES so the probe's rows
+        // signal is non-vacuous while the filtering work is identical
+        graft.operators.C4Filter.clean(pages, "page_id", "text")
+          .agg(sum(col("n_lines"))).head().getLong(0)
+      }),
+      "text_entropy" -> (() =>
+        graft.operators.Entropy.signals(t(spark, d, "documents"))
+          .agg(sum(col("n_tokens_h"))).head().getLong(0))
     )
     // skewed-corpus probes: the dials that must absorb the skew
     def skewProbes(d: String): Seq[(String, () => Long)] = Seq(
