@@ -85,7 +85,8 @@ object SparkEntry {
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",
     "dedup_semdedup", "dedup_semdedup_engine",
-    "multimodal_decode", "multimodal_decode_jpeg", "multimodal_dhash_pairs",
+    "multimodal_decode", "multimodal_decode_jpeg", "multimodal_decode_gif",
+    "multimodal_dhash_pairs",
     "multimodal_dhash_mixed", "multimodal_audio_pairs",
     "multimodal_video_pairs", "multimodal_avi_pairs",
     "conv_csv_roundtrip", "conv_csv_gzip", "conv_orc_roundtrip",

@@ -62,10 +62,13 @@ object Multimodal {
   private def isJpeg(b: Array[Byte]): Boolean =
     b.length > 3 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte &&
       b(2) == 0xFF.toByte
+  private def isGif(b: Array[Byte]): Boolean =
+    b.length > 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a'
 
   /** REAL image decoder (the default `decode`): payloads carrying a PNG,
-    * BMP, or JPEG magic number decode through the pure-JVM `javax.imageio`
-    * codecs into the deterministic layout
+    * BMP, GIF, or JPEG magic number decode through the pure-JVM
+    * `javax.imageio` codecs into the deterministic layout
     * `[width int32 BE][height int32 BE][R G B per pixel, row-major]` —
     * PNG/BMP decoding is lossless, so the pixel bytes are identical on any
     * JVM and the correctness oracle can predict them exactly. JPEG —
@@ -81,7 +84,8 @@ object Multimodal {
     * broken payloads must not kill a 10-hour job, and the fallback keeps
     * the byte-level plumbing total. */
   val imageDecoder: Decoder = payload => {
-    if (!isPng(payload) && !isBmp(payload) && !isJpeg(payload)) payload
+    if (!isPng(payload) && !isBmp(payload) && !isJpeg(payload) &&
+      !isGif(payload)) payload
     else {
       val img =
         try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -134,6 +138,34 @@ object Multimodal {
     }
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic grayscale GIF encoder for fixtures/gates: same pixel
+    * contract as [[synthPng]] through the JRE's own GIF writer. The
+    * image is built TYPE_BYTE_INDEXED over an explicit 256-level gray
+    * palette, so the writer emits the palette as-is (no quantization) —
+    * GIF is lossless here like PNG/BMP and the oracle predicts decoded
+    * pixels exactly. Caveat pinned by GifSpec: the JRE codec scrambles
+    * row order for images under 5 rows tall (measured: h<=4 wrong, h>=5
+    * exact at every probed width) — fixtures must use h >= 5. */
+  def synthGif(w: Int, h: Int, gray: Int => Int): Array[Byte] = {
+    val grays = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, gray(y * w + x) & 0xFF)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "gif", bos)
     bos.toByteArray
   }
 
