@@ -207,6 +207,48 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Malformed-CSV accounting: a real-world CSV batch always carries
+    // broken rows; with an explicit schema + corrupt column, PERMISSIVE
+    // mode quarantines them auditably (raw text in `_bad`, no silent
+    // type poisoning) instead of failing the 10-hour conversion. Every
+    // 37th customer row is staged mangled (non-numeric key); good-row
+    // aggregates and both counts must match the oracle over the clean
+    // parquet with the same modular rule.
+    "conv_csv_badrecords" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val base = tmp(d, "csvbad")
+      val file = s"$base/customer_dirty.csv"
+      stageOnce(base) {
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          out.write("c_custkey,c_acctbal,c_mktsegment\n")
+          val it = t(s, d, "customer")
+            .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+            .toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.getLong(0)
+            if (k % 37 == 0)
+              out.write(s"bad$k,not-a-number,${r.getString(2)}\n")
+            else out.write(s"$k,${java.math.BigDecimal.valueOf(r.getDouble(1)).toPlainString},${r.getString(2)}\n")
+          }
+        } finally out.close()
+      }
+      val schema = StructType(Seq(StructField("c_custkey", LongType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      CsvSource.read(s, file, CsvSource.CsvOptions(inferSchema = false,
+          schema = Some(schema), corruptColumn = Some("_bad")))
+        .agg(
+          sum(when(col("_bad").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_bad").isNotNull, 1L).otherwise(0L)).as("n_bad"),
+          sum(when(col("_bad").isNull, col("c_custkey"))).as("sum_key"),
+          dsumr(when(col("_bad").isNull, col("c_acctbal"))).as("sum_bal"))
+    },
+
     // Bloom-filter ORC layout: point lookups on a column the data is NOT
     // clustered by — min/max stripe stats span everything and skip
     // nothing; the per-row-group bloom still eliminates row groups that
@@ -584,6 +626,15 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_csv_badrecords" ->
+      """SELECT
+        | CAST(SUM(CASE WHEN c_custkey % 37 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        | CAST(SUM(CASE WHEN c_custkey % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        | CAST(SUM(CASE WHEN c_custkey % 37 <> 0 THEN c_custkey END) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CASE WHEN c_custkey % 37 <> 0
+        |   THEN CAST(c_acctbal AS DECIMAL(18,4)) END), 2) AS DOUBLE) AS sum_bal
+        |FROM customer""".stripMargin,
 
     "conv_bloom_orc" ->
       """SELECT COUNT(*) AS n_match,

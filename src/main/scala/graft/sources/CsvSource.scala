@@ -18,23 +18,48 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CsvSource {
 
+  /** `mode` is Spark's malformed-row policy (PERMISSIVE / DROPMALFORMED
+    * / FAILFAST). `schema` + `corruptColumn` make PERMISSIVE *auditable*:
+    * with an explicit schema, rows that fail it land with their raw text
+    * in the corrupt column (and nulls elsewhere) instead of silently
+    * poisoning inferred types — the converter can count, quarantine, or
+    * drop them with full accounting. Inference cannot detect
+    * malformation (everything widens to string), so the corrupt column
+    * requires an explicit schema. */
   final case class CsvOptions(
       delimiter: String = ",",
       hasHeader: Boolean = true,
       inferSchema: Boolean = true,
       nullValue: String = "",
-      timestampFormat: Option[String] = None)
+      timestampFormat: Option[String] = None,
+      mode: String = "PERMISSIVE",
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      corruptColumn: Option[String] = None)
 
   /** Read one CSV file or an entire directory as a single DataFrame. */
   def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    require(Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST")
+      .contains(opts.mode.toUpperCase), s"unsupported CSV mode: ${opts.mode}")
+    require(opts.corruptColumn.isEmpty || opts.schema.nonEmpty,
+      "corruptColumn requires an explicit schema (inference widens " +
+        "malformed cells to string instead of flagging them)")
     var r = spark.read
       .option("sep", opts.delimiter)
       .option("header", opts.hasHeader)
-      .option("inferSchema", opts.inferSchema)
       .option("nullValue", opts.nullValue)
-      .option("mode", "PERMISSIVE")
+      .option("mode", opts.mode.toUpperCase)
     opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
-    r.csv(path)
+    val reader = opts.schema match {
+      case Some(sc) => opts.corruptColumn match {
+        case Some(c) => r.option("columnNameOfCorruptRecord", c)
+          .schema(org.apache.spark.sql.types.StructType(sc.fields :+
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        case None => r.schema(sc)
+      }
+      case None => r.option("inferSchema", opts.inferSchema)
+    }
+    reader.csv(path)
   }
 
   /** Expand a path to individual CSV inputs, mirroring the reference's
