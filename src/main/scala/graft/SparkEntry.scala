@@ -50,7 +50,8 @@ object SparkEntry {
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
     "stream_left_join",
-    "text_stats", "text_normalize", "text_c4_clean", "text_entropy",
+    "text_stats", "text_normalize", "text_html_strip", "text_c4_clean",
+    "text_entropy",
     "text_bpe_tokens",
     "text_bpe_fertility", "text_pii_scrub",
     "text_heavy_hitters",

@@ -88,6 +88,30 @@ object TextAnalysis {
     * operator. Already-NFC strings take a zero-allocation fast path. */
   def nfc(c: Column): Column = graft.functions.UnicodeNormalize.nfc(c)
 
+  /** HTML -> text for crawled pages, the extraction step before any
+    * quality/dedup pass. RE2-compatible throughout (no backreferences —
+    * script and style blocks get separate non-greedy patterns), so the
+    * oracle replays the strip identically: script/style blocks die
+    * first (their CONTENT is code, not prose), then comments, then
+    * tags, then the five core entities decode, then whitespace
+    * collapses. Codegen'd regexp chain, zero shuffle, linear scan. */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(noTags, "&lt;", "<"),
+            "&gt;", ">"),
+          "&quot;", "\""),
+        "&#39;", "'"),
+      "&amp;", "&") // ampersand LAST so &amp;lt; decodes to &lt;, not <
+    normText(ent)
+  }
+
   /** Punctuation character count (.,;:!?). */
   def punctCount(c: Column): Column =
     (length(c) - length(translate(c, ".,;:!?", ""))).cast("long")

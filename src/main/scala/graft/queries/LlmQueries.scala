@@ -438,6 +438,31 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // HTML -> text extraction (the step before any quality/dedup pass on
+    // crawled pages): docs are wrapped in a deterministic HTML shell
+    // (head/title/style/script/comment/entities) and stripped back; the
+    // oracle replays every regex with the same RE2 patterns. The title
+    // and header survive as text (they are text); code blocks die.
+    "text_html_strip" -> { (s, d) =>
+      val htmlDoc = concat(
+        lit("<html><head><title>Doc </title>"),
+        lit("<style>body { color: #fff; }</style>"),
+        lit("<script>var x = 1 && 2; if (x < 3) alert('hi');</script>"),
+        lit("</head><body><!-- crawler note --><h1>Page "), col("doc_id"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><br/><div class=\"foot\">&amp; more &lt;tags&gt; &quot;quoted&quot; &#39;s</div></body></html>"))
+      t(s, d, "documents")
+        .select(col("doc_id"), htmlDoc.as("html"))
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("n_chars_html"),
+          regexp_count(col("html"), lit("<[^>]*>")).cast("long").as("n_tags"),
+          TextAnalysis.stripHtml(col("html")).as("stripped"))
+        .select(col("doc_id"), col("n_chars_html"), col("n_tags"),
+          length(col("stripped")).cast("long").as("n_chars_text"),
+          md5(col("stripped")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    },
+
     // Shannon entropy quality signals: per-doc character and token
     // entropy in bits (low char entropy = repeated runs/keyboard mash,
     // low token entropy = boilerplate). Terms round 8dp into exact
@@ -2041,6 +2066,40 @@ object LlmQueries {
         |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same RE2 strip chain replayed: script/style/comment blocks, tags,
+    // the five entities (ampersand last), whitespace collapse.
+    "text_html_strip" ->
+      """WITH h AS (
+        | SELECT doc_id,
+        |  '<html><head><title>Doc </title>' ||
+        |  '<style>body { color: #fff; }</style>' ||
+        |  '<script>var x = 1 && 2; if (x < 3) alert(''hi'');</script>' ||
+        |  '</head><body><!-- crawler note --><h1>Page ' || CAST(doc_id AS VARCHAR) ||
+        |  '</h1><p>' || text ||
+        |  '</p><br/><div class="foot">&amp; more &lt;tags&gt; &quot;quoted&quot; &#39;s</div></body></html>'
+        |   AS html
+        | FROM documents),
+        |s AS (
+        | SELECT doc_id, html,
+        |  regexp_replace(trim(
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |     regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |     '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |    '(?s)<!--.*?-->', ' ', 'g'),
+        |    '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<', 'g'),
+        |    '&gt;', '>', 'g'),
+        |    '&quot;', '"', 'g'),
+        |    '&#39;', '''', 'g'),
+        |    '&amp;', '&', 'g')), '\s+', ' ', 'g') AS stripped
+        | FROM h)
+        |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
+        | CAST(len(regexp_extract_all(html, '<[^>]*>')) AS BIGINT) AS n_tags,
+        | CAST(length(stripped) AS BIGINT) AS n_chars_text,
+        | md5(stripped) AS text_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // Entropy terms replayed bit-for-bit: identical double division +
     // log2, round-8 into DECIMAL(18,8), decimal-space negation (no -0.0)
