@@ -51,7 +51,7 @@ object SparkEntry {
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
     "stream_left_join",
     "text_stats", "text_normalize", "text_html_strip", "text_c4_clean",
-    "text_entropy",
+    "text_line_quality", "text_entropy",
     "text_bpe_tokens",
     "text_bpe_fertility", "text_pii_scrub",
     "text_heavy_hitters",

@@ -499,6 +499,33 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher line-repetition rules (Rae et al. 2021 Table A1, shared by
+    // MassiveText/RefinedWeb/FineWeb): duplicate-line and
+    // duplicate-line-CHARACTER fractions, ellipsis-line and bullet-line
+    // fractions, and the published keep thresholds. Pages planted like
+    // the C4 gate — a recurring boilerplate line (every 3rd doc) makes
+    // real within-page duplicates; every 7th dec gets an ellipsis tail,
+    // every 13th a bullet prefix.
+    "text_line_quality" -> { (s, d) =>
+      val dec = when(col("doc_id") % 3 === 1,
+          lit("subscribe to our newsletter for updates today"))
+        .when(col("doc_id") % 7 === 2, concat(col("text"), lit("...")))
+        .when(col("doc_id") % 13 === 3, concat(lit("- "), col("text")))
+        .otherwise(col("text"))
+      val pages = t(s, d, "documents")
+        .select(floor(col("doc_id") / 4).cast("long").as("page_id"),
+          struct(col("doc_id"), dec.as("line")).as("sl"))
+        .groupBy(col("page_id"))
+        .agg(array_join(transform(array_sort(collect_list(col("sl"))),
+          x => x.getField("line")), "\n").as("text"))
+      // dials tightened below the published defaults (0.2 dup/ellipsis
+      // vs Gopher's 0.3) so the planted rates actually trip the flag at
+      // gate scale — the signal fractions are pinned either way
+      graft.operators.LineQuality.signals(pages, "page_id", "text",
+          maxDupLineFrac = 0.2, maxEllipsisFrac = 0.2)
+        .orderBy(col("page_id"))
+    },
+
     // C4 page cleaning (Raffel et al. 2020 §2.2): the corpus has no
     // native line structure, so the gate PLANTS it deterministically —
     // pages of 4 decorated docs, each decoration exercising exactly one
@@ -2066,6 +2093,43 @@ object LlmQueries {
         |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
         |FROM f a JOIN f b ON a.fp = b.fp AND a.source < b.source
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Line decoration, page assembly, per-(page, line) occurrence
+    // counts, all four fractions and the keep thresholds replayed.
+    "text_line_quality" ->
+      """WITH dec AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'subscribe to our newsletter for updates today'
+        |       WHEN doc_id % 7 = 2 THEN text || '...'
+        |       WHEN doc_id % 13 = 3 THEN '- ' || text
+        |       ELSE text END AS line
+        | FROM documents),
+        |pages AS (
+        | SELECT CAST(doc_id // 4 AS BIGINT) AS page_id,
+        |        string_agg(line, chr(10) ORDER BY doc_id) AS text
+        | FROM dec GROUP BY 1),
+        |raw AS (SELECT page_id, unnest(string_split(text, chr(10))) AS r FROM pages),
+        |n AS (SELECT page_id, regexp_replace(trim(r), '\s+', ' ', 'g') AS ln FROM raw),
+        |pl AS (
+        | SELECT page_id, ln, COUNT(*) AS cnt, length(ln) AS len,
+        |  CASE WHEN ln LIKE '%...' OR ln LIKE '%…' THEN 1 ELSE 0 END AS is_e,
+        |  CASE WHEN ln LIKE '- %' OR ln LIKE '* %' OR ln LIKE '• %' THEN 1 ELSE 0 END AS is_b
+        | FROM n GROUP BY page_id, ln),
+        |agg AS (
+        | SELECT page_id, SUM(cnt) AS n_lines, SUM(cnt * len) AS n_chars,
+        |  SUM(cnt - 1) AS n_dup, SUM((cnt - 1) * len) AS n_dupc,
+        |  SUM(cnt * is_e) AS n_e, SUM(cnt * is_b) AS n_b
+        | FROM pl GROUP BY 1)
+        |SELECT page_id, CAST(n_lines AS BIGINT) AS n_lines,
+        | ROUND(CAST(n_dup AS DOUBLE) / n_lines, 4) AS dup_line_frac,
+        | ROUND(CAST(n_dupc AS DOUBLE) / GREATEST(n_chars, 1), 4) AS dup_char_frac,
+        | ROUND(CAST(n_e AS DOUBLE) / n_lines, 4) AS ellipsis_frac,
+        | ROUND(CAST(n_b AS DOUBLE) / n_lines, 4) AS bullet_frac,
+        | (ROUND(CAST(n_dup AS DOUBLE) / n_lines, 4) <= 0.2
+        |  AND ROUND(CAST(n_dupc AS DOUBLE) / GREATEST(n_chars, 1), 4) <= 0.2
+        |  AND ROUND(CAST(n_e AS DOUBLE) / n_lines, 4) <= 0.2
+        |  AND ROUND(CAST(n_b AS DOUBLE) / n_lines, 4) <= 0.9) AS keep_doc
+        |FROM agg ORDER BY page_id""".stripMargin,
 
     // Same RE2 strip chain replayed: script/style/comment blocks, tags,
     // the five entities (ampersand last), whitespace collapse.
