@@ -600,6 +600,36 @@ object AnalyticsQueries {
         .orderBy(col("user_id"))
     },
 
+    // Point-in-time SCD2 dimension join (Kimball Type 2): each event
+    // attaches the user-dimension VERSION valid at its timestamp. The
+    // dim is synthesized deterministically — per user two versions split
+    // at a user-spread January cut, tier jumping +10 on the new version
+    // — so the oracle replays dim build, the half-open window match and
+    // the aggregate. 300-row dim broadcasts; events never shuffle before
+    // the aggregate.
+    "q43_scd2_join" -> { (s, d) =>
+      val users = t(s, d, "events").select(col("user_id")).distinct()
+      val cut = expr("TIMESTAMP '2024-01-10 00:00:00' + " +
+        "make_interval(0, 0, 0, CAST(user_id % 20 AS INT), 0, 0, 0)")
+      val dim = users.select(col("user_id"), explode(array(
+          struct(lit("v1").as("version"),
+            to_timestamp(lit("2023-12-01 00:00:00")).as("valid_from"),
+            cut.as("valid_to"), (col("user_id") % 5).as("tier")),
+          struct(lit("v2").as("version"), cut.as("valid_from"),
+            to_timestamp(lit("2024-03-01 00:00:00")).as("valid_to"),
+            (col("user_id") % 5 + 10).as("tier")))).as("v"))
+        .select(col("user_id"), col("v.version"), col("v.valid_from"),
+          col("v.valid_to"), col("v.tier"))
+      graft.operators.ScdJoin.pointInTime(
+          t(s, d, "events").select(col("user_id"), col("ts"), col("value")),
+          dim, "user_id", "ts")
+        .groupBy(col("version"))
+        .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"),
+          sum(col("tier")).as("sum_tier"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("version"))
+    },
+
     // Approximate distinct counts (HLL++) next to their exact values.
     // No oracle — HLL sketches aren't engine-portable; the spec bounds the
     // relative error instead. At 100 TB the approx path is the one that
@@ -1050,6 +1080,32 @@ object AnalyticsQueries {
         | ROUND(list_reduce(xs, (acc, x) -> 0.2*x + (1 - 0.2)*acc), 6)
         |  AS ewma_r
         |FROM l ORDER BY user_id""".stripMargin,
+
+    // Dim synthesis + half-open point-in-time match + aggregate replayed.
+    "q43_scd2_join" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |dim AS (
+        | SELECT user_id, 'v1' AS version,
+        |  TIMESTAMP '2023-12-01 00:00:00' AS valid_from,
+        |  TIMESTAMP '2024-01-10 00:00:00' + (user_id % 20) * INTERVAL 1 DAY AS valid_to,
+        |  user_id % 5 AS tier
+        | FROM u
+        | UNION ALL
+        | SELECT user_id, 'v2',
+        |  TIMESTAMP '2024-01-10 00:00:00' + (user_id % 20) * INTERVAL 1 DAY,
+        |  TIMESTAMP '2024-03-01 00:00:00', user_id % 5 + 10
+        | FROM u),
+        |j AS (
+        | SELECT dim.version, e.value, dim.tier, e.user_id
+        | FROM events e JOIN dim
+        |   ON e.user_id = dim.user_id
+        |  AND CAST(e.ts AS TIMESTAMP) >= dim.valid_from
+        |  AND CAST(e.ts AS TIMESTAMP) < dim.valid_to)
+        |SELECT version, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+        | CAST(SUM(tier) AS BIGINT) AS sum_tier,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY version ORDER BY version""".stripMargin,
 
     // Exact set sizes replayed; deterministic sketch verdicts pinned true
     // (q24 pattern — theta sketches are order/partitioning-independent).
