@@ -59,7 +59,7 @@ object SparkEntry {
     "text_bm25_topk", "text_bm25_serve", "text_bm25_incremental",
     "text_hybrid_rrf",
     "retrieval_hybrid_serve", "retrieval_hybrid_serve_engine",
-    "retrieval_metrics", "text_kn_bigram",
+    "retrieval_metrics", "retrieval_negatives", "text_kn_bigram",
     "text_min_k_prob", "pipeline_ppl_buckets",
     "dedup_exact_docs", "dedup_cross_source", "dedup_paragraphs",
     "dedup_fuzzy_names",
@@ -78,6 +78,7 @@ object SparkEntry {
     "pipeline_dataset_card",
     "text_countmin", "text_source_divergence", "q41_sketch_overlap",
     "profile_documents", "profile_documents_approx", "profile_histogram",
+    "profile_key_skew",
     "profile_incremental",
     "emb_cosine_topk", "emb_benchmark_overlap",
     "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_pca_topk",

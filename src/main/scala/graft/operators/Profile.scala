@@ -195,6 +195,37 @@ object Profile {
     * identical on any partitioning. `hashCol` must be a LongType item
     * hash (e.g. xxhash64 of the item).
     * Output: (a, b, est_a, est_b, est_inter, est_union) per pair a < b. */
+  /** Pre-join key-skew audit: the distribution shape of per-key row
+    * counts — the number every salting/AQE-skew decision starts from.
+    * One map-side-combined count aggregation (the counts frame is
+    * keys-sized), one single-row stats aggregate, and a topN heavy-key
+    * probe via TakeOrderedAndProject; the final window runs on the
+    * LIMITed topN rows only. Exact percentiles for oracle parity —
+    * swap `percentile` for `approx_percentile` at 100 TB key counts.
+    *
+    * Output: topN rows (rk, key, cnt) each carrying the global stats
+    * (n_keys, n_rows, p50_cnt, p99_cnt, skew_ratio = max/p50). */
+  def keySkew(df: DataFrame, keyCol: String, topN: Int = 5): DataFrame = {
+    require(topN >= 1, s"topN >= 1, got $topN")
+    val counts = df.groupBy(col(keyCol).cast("long").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50_raw"),
+      expr("percentile(cnt, 0.99)").as("p99_raw"))
+    val top = counts.orderBy(col("cnt").desc, col("key")).limit(topN)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("key"))).cast("long"))
+    top.crossJoin(broadcast(stats))
+      .select(col("rk"), col("key"), col("cnt"),
+        col("n_keys"), col("n_rows"),
+        round(col("p50_raw"), 4).as("p50_cnt"),
+        round(col("p99_raw"), 4).as("p99_cnt"),
+        round(col("max_cnt") / col("p50_raw"), 4).as("skew_ratio"))
+  }
+
   def thetaOverlap(df: DataFrame, groupCol: String, hashCol: String,
                    lgK: Int = 12, maxGroups: Int = 256): DataFrame = {
     import graft.functions.ThetaSketchAgg

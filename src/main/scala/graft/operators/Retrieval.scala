@@ -294,6 +294,28 @@ object Retrieval {
     legs.reduce(_ unionByName _)
   }
 
+  /** Hard-negative mining — the training-data op behind every modern
+    * embedding/reranker model (DPR, Karpukhin et al. 2020): for each
+    * query, the top-ranked documents that are NOT relevant. BM25 hard
+    * negatives (high lexical score, no true relevance) teach the model
+    * precisely the confusions that random negatives never surface.
+    *
+    * `run`: (query_id, doc_id, rank) ranked candidates; `gold`:
+    * (query_id, doc_id). Left-anti join drops the positives, a
+    * WindowGroupLimit-friendly per-query rank filter keeps the `k`
+    * best-ranked survivors re-numbered 1..k. All frames are
+    * run-sized (k·|queries|) — independent of corpus size. */
+  def hardNegatives(run: DataFrame, gold: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    run.join(gold, Seq("query_id", "doc_id"), "left_anti")
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("query_id"), col("neg_rank").cast("long").as("neg_rank"),
+        col("doc_id"), col("rank").cast("long").as("orig_rank"))
+  }
+
   /** Standard IR evaluation of a ranked run against a binary gold set:
     * recall@k, MRR and nDCG@k per query (binary gains, log2 discounts —
     * Järvelin & Kekäläinen 2002). Engine-replayable arithmetic: each

@@ -588,6 +588,14 @@ object LlmQueries {
         .orderBy(col("status"))
     },
 
+    // Key-skew audit (the number every salting/AQE decision starts
+    // from): per-key count distribution shape + heavy keys over
+    // lineitem's order key. Exact percentiles for oracle parity.
+    "profile_key_skew" -> { (s, d) =>
+      Profile.keySkew(t(s, d, "lineitem"), "l_orderkey", topN = 5)
+        .orderBy(col("rk"))
+    },
+
     // Pairwise Jensen-Shannon divergence between source term
     // distributions over the global top-500 support — the corpus drift
     // monitor. Contributions round-12dp and sum as exact DECIMAL, so the
@@ -942,6 +950,28 @@ object LlmQueries {
         .select(col("query_id"), col("doc_id"), col("rank"))
       val gold = Retrieval.containsAllGold(docs, Retrieval.PinnedQueries)
       Retrieval.evalMetrics(run, gold, k = 10).orderBy(col("query_id"))
+    },
+
+    // Hard-negative mining (DPR-style): per query, the top-BM25 docs NOT
+    // in the gold set — the standard embedding-model training-data op.
+    // Gold here is the STRICT adjacent-phrase rule (each query's first
+    // two terms contiguous), so the adjacency-blind BM25 top-20 contains
+    // genuine negatives to mine (~25 gold docs of 500 per query).
+    "retrieval_negatives" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val run = Retrieval.bm25TopK(docs, Retrieval.PinnedQueries, k = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val padded = concat(lit(" "),
+        TextAnalysis.normText(lower(col("text"))), lit(" "))
+      val gold = Retrieval.PinnedQueries.map { case (qid, q) =>
+        val ph = q.toLowerCase(java.util.Locale.ROOT).trim
+          .split("\\s+").take(2).mkString(" ")
+        docs.select(lit(qid).as("query_id"), col("doc_id"), padded.as("t"))
+          .filter(col("t").contains(s" $ph "))
+          .select(col("query_id"), col("doc_id"))
+      }.reduce(_ unionByName _)
+      Retrieval.hardNegatives(run, gold, k = 5)
+        .orderBy(col("query_id"), col("neg_rank"))
     },
 
     // Per-source dataset card (the documentation artifact a published
@@ -2196,6 +2226,44 @@ object LlmQueries {
         | COALESCE(th.token_entropy, 0.0) AS token_entropy
         |FROM documents d LEFT JOIN ch USING (doc_id) LEFT JOIN th USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "profile_key_skew" ->
+      """WITH c AS (
+        | SELECT CAST(l_orderkey AS BIGINT) AS k, COUNT(*) AS cnt
+        | FROM lineitem GROUP BY 1),
+        |s AS (
+        | SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  MAX(cnt) AS max_cnt,
+        |  quantile_cont(cnt, 0.5) AS p50_raw,
+        |  quantile_cont(cnt, 0.99) AS p99_raw
+        | FROM c),
+        |tk AS (SELECT k, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, k) AS rk FROM c)
+        |SELECT CAST(tk.rk AS BIGINT) AS rk, tk.k AS key, tk.cnt,
+        | s.n_keys, s.n_rows,
+        | ROUND(s.p50_raw, 4) AS p50_cnt, ROUND(s.p99_raw, 4) AS p99_cnt,
+        | ROUND(s.max_cnt / s.p50_raw, 4) AS skew_ratio
+        |FROM tk, s WHERE tk.rk <= 5 ORDER BY tk.rk""".stripMargin,
+
+    // BM25 top-20 replayed, phrase gold derived, anti-join + per-query
+    // re-rank — negatives pinned exactly.
+    "retrieval_negatives" ->
+      s"""WITH ${bm25Ctes(20)},
+         |norm AS (
+         | SELECT doc_id,
+         |  ' ' || regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') || ' ' AS t
+         | FROM documents),
+         |gold AS (
+         | SELECT 0 AS query_id, doc_id FROM norm WHERE contains(t, ' customer order ')
+         | UNION ALL SELECT 1, doc_id FROM norm WHERE contains(t, ' vector hash ')
+         | UNION ALL SELECT 2, doc_id FROM norm WHERE contains(t, ' stream filter ')
+         | UNION ALL SELECT 3, doc_id FROM norm WHERE contains(t, ' spark query ')),
+         |neg AS (
+         | SELECT l.query_id, l.doc_id, l.rank,
+         |  ROW_NUMBER() OVER (PARTITION BY l.query_id ORDER BY l.rank) AS neg_rank
+         | FROM lex l ANTI JOIN gold g USING (query_id, doc_id))
+         |SELECT query_id, CAST(neg_rank AS BIGINT) AS neg_rank, doc_id,
+         | CAST(rank AS BIGINT) AS orig_rank
+         |FROM neg WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
 
     "text_normalize" ->
       """WITH dec AS (
