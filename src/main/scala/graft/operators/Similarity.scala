@@ -248,6 +248,65 @@ object Similarity {
     ivfTopKServe(emb, idCol, vecCol, queryIds, k,
       trainCentroids(emb, idCol, vecCol, nCentroids, lloydIters), nProbe)
 
+  /** Materialize the corpus's IVF cell assignments as a PERSISTENT
+    * bucketed index — the ANN counterpart of the BM25 and near-dup
+    * standing indexes, completing the build/serve/append trio across
+    * every retrieval leg: (cell, id, vec) bucketed AND sorted on cell,
+    * so a serve probe's cell filter prunes buckets/stripes and the
+    * corpus side of the candidate join plans exchange-free. Centroids
+    * are the caller's frozen artifact ([[trainIvfCentroids]]); serve and
+    * append must use the same ones (cell ids are centroid indexes). */
+  def buildIvfIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    table: String, centroids: Seq[Seq[Double]],
+                    numBuckets: Int = 16): Unit =
+    graft.sinks.OrcSink.writeBucketed(
+      indexRows(emb, idCol, vecCol, centroids),
+      table, bucketCols = Seq("cell"), numBuckets = numBuckets)
+
+  /** Append an ingested batch to the standing IVF index (new files per
+    * bucket, standing rows never rewritten — O(batch) per update). */
+  def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+                       table: String, centroids: Seq[Seq[Double]],
+                       numBuckets: Int = 16): Unit =
+    indexRows(batch, idCol, vecCol, centroids)
+      .write.mode("append").format("orc")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+
+  private def indexRows(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "buildIvfIndex needs trained centroids")
+    emb.select(col(idCol).as("id"), asDouble(col(vecCol)).as("vec"))
+      .withColumn("cell", graft.functions.NearestCells
+        .nearestCells(col("vec"), centroids, 1).getItem(0))
+  }
+
+  /** Top-k served from the PERSISTENT index: query vectors probe nProbe
+    * cells, the cell filter reaches the index scan (bucket/stripe
+    * pruning — absent cells cost no I/O), exact cosine + per-query
+    * top-k. Identical results to [[ivfTopKServe]] on the same centroids
+    * (spec-pinned); zero corpus-embedding scans outside the index. */
+  def ivfIndexServe(spark: org.apache.spark.sql.SparkSession, table: String,
+                    queryEmb: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Column => Column, k: Int,
+                    centroids: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    if (centroids.isEmpty) return emptyTopK(queryEmb, idCol)
+    val q = queryEmb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", explode(graft.functions.NearestCells
+        .nearestCells(col("qvec"), centroids, nProbe)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score_raw").desc, col("nid"))
+    spark.table(table).select(col("cell"), col("id").as("nid"), col("vec").as("nvec"))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score_raw", cosine(col("qvec"), col("nvec")))
+      .select(col("qid"), col("nid"), col("score_raw"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"),
+        col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))
+  }
+
   /** IVF serve path against FROZEN centroids (see [[trainIvfCentroids]]). */
   def ivfTopKServe(emb: DataFrame, idCol: String, vecCol: String,
                    queryIds: Column => Column, k: Int,

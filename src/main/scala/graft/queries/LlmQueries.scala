@@ -122,6 +122,17 @@ object LlmQueries {
       tbl
     })
 
+  /** Per-sf-dir staged PERSISTENT IVF index (bucketed catalog table on
+    * the cell key; built once from the frozen hybrid centroids). */
+  private val ivfIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfIndexFor(s: SparkSession, d: String): String =
+    ivfIdx.computeIfAbsent(d, _ => {
+      val tbl = s"graft_ivf_idx_${d.replaceAll("[^A-Za-z0-9]", "_")}"
+      Similarity.buildIvfIndex(t(s, d, "embeddings"), "vec_id", "embedding",
+        tbl, hybridCentroidsFor(s, d))
+      tbl
+    })
+
   private val hybridCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def hybridCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
@@ -1808,6 +1819,23 @@ object LlmQueries {
         minHits = 4, eps = 0.02)
     },
 
+    // Serving from the PERSISTENT IVF index (the ANN counterpart of
+    // text_bm25_serve): the cell-bucketed catalog table is staged once,
+    // the probe's cell filter prunes index buckets, zero corpus-embedding
+    // scans in the serve — same frozen centroids, same epsilon-recall
+    // verdict vs oracle-green brute force as the in-memory IVF gates.
+    "ann_ivf_index_serve" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = hybridCentroidsFor(s, d)
+      Similarity.recallGate(
+        Similarity.ivfIndexServe(s, ivfIndexFor(s, d), emb, "vec_id",
+          "embedding", queryIds = _ < 10, k = 5, centroids = cents,
+          nProbe = 4),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 4, eps = 0.02)
+    },
+
     // Quantized IVF end-to-end (the actual 100 TB serving shape):
     // candidate generation probes cells and scores against the int8
     // index only, float vectors re-join for the exact re-rank of the
@@ -3186,6 +3214,11 @@ object LlmQueries {
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     "ann_int8_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // persisted-index serve: same verdict contract as the in-memory IVF
+    "ann_ivf_index_serve" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 

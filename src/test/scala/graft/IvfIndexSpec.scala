@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+/** Persisted IVF index: serve must equal the in-memory serve on the
+  * same frozen centroids, and an appended batch must make the index
+  * equivalent to one built from the full corpus. */
+class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  private val d = "/root/testdata/sf0.001"
+  private def emb = graft.Tables.t(spark, d, "embeddings")
+  private lazy val cents = Similarity.trainIvfCentroids(
+    emb, "vec_id", "embedding", nCentroids = 16, lloydIters = 2)
+
+  private def served(table: String) =
+    Similarity.ivfIndexServe(spark, table, emb, "vec_id", "embedding",
+        queryIds = _ < 10, k = 5, centroids = cents, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+
+  test("persisted-index serve equals the in-memory serve") {
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_spec_full", cents)
+    val direct = Similarity.ivfTopKServe(emb, "vec_id", "embedding",
+        queryIds = _ < 10, k = 5, centroids = cents, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
+    assert(served("graft_ivf_spec_full") === direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("appended batch makes the index equal to a full build") {
+    Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", "graft_ivf_spec_part", cents)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", "graft_ivf_spec_part", cents)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_spec_full2", cents)
+    assert(served("graft_ivf_spec_part") === served("graft_ivf_spec_full2"))
+  }
+}
