@@ -42,6 +42,64 @@ object AsOfJoin {
     asOf(left, right, key, leftTime, rightTime, rightValue, outCol,
       forward = true)
 
+  /** NEAREST as-of: for each left row, the right value closest in time
+    * in EITHER direction, ties (equal distance) going backward —
+    * completing the family (backward / forward / nearest, the pandas
+    * `merge_asof(direction=...)` trio). One union + ONE window pass
+    * computing both direction candidates over the same sorted
+    * partition, then a distance pick — same one-shuffle cost as the
+    * single-direction joins, not two of them.
+    *
+    * Time columns must be NUMERIC (convert timestamps to `unix_micros`
+    * first — the q42/EWMA convention): the distance comparison needs
+    * subtraction, and a silent timestamp cast would coarsen to seconds.
+    * Duplicate (key, time) right rows make the within-tie choice
+    * partition-order-dependent; callers needing that edge deterministic
+    * should pre-dedup or disambiguate the time column. */
+  def nearestValueAsOf(left: DataFrame, right: DataFrame,
+                       key: String, leftTime: String,
+                       rightTime: String, rightValue: String,
+                       outCol: String): DataFrame = {
+    import org.apache.spark.sql.types.NumericType
+    for ((df, c) <- Seq((left, leftTime), (right, rightTime)))
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"nearestValueAsOf needs numeric time columns, got " +
+          s"${df.schema(c).dataType.simpleString} for '$c' — convert " +
+          "timestamps with unix_micros first")
+    val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
+    val valueType = right.schema(rightValue).dataType
+    // backward tag order (right first at ties): the forward frame then
+    // misses equal-time right rows, but backward captures them at
+    // distance 0 and wins the tie anyway
+    val leftTagged = left.select(
+      col(key).as("__k"), col(leftTime).cast("long").as("__t"),
+      lit(1).as("__src"),
+      lit(null).cast(s"struct<v:${valueType.sql},t:bigint>").as("__v"),
+      leftStruct.as("__row"))
+    val rowType = leftTagged.schema("__row").dataType
+    val rightTagged = right.select(
+      col(key).as("__k"), col(rightTime).cast("long").as("__t"),
+      lit(0).as("__src"),
+      struct(col(rightValue).cast(valueType).as("v"),
+        col(rightTime).cast("long").as("t")).as("__v"),
+      lit(null).cast(rowType).as("__row"))
+    val base = Window.partitionBy(col("__k")).orderBy(col("__t"), col("__src"))
+    val picked = leftTagged.unionByName(rightTagged)
+      .withColumn("__b", last(col("__v"), ignoreNulls = true).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__f", first(col("__v"), ignoreNulls = true).over(
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("__src") === 1)
+      .withColumn("__n",
+        when(col("__f").isNull, col("__b"))
+          .when(col("__b").isNull, col("__f"))
+          .when(col("__t") - col("__b").getField("t") <=
+            col("__f").getField("t") - col("__t"), col("__b"))
+          .otherwise(col("__f")))
+    val leftCols = left.columns.map(c => col("__row").getField(c).as(c))
+    picked.select(leftCols.toIndexedSeq :+ col("__n").getField("v").as(outCol): _*)
+  }
+
   private def asOf(left: DataFrame, right: DataFrame,
                    key: String, leftTime: String,
                    rightTime: String, rightValue: String,

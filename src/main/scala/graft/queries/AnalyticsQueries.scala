@@ -600,6 +600,24 @@ object AnalyticsQueries {
         .orderBy(col("user_id"))
     },
 
+    // NEAREST as-of (completing the backward/forward/nearest trio): each
+    // error event's closest click in either direction, ties backward.
+    // One union + one window pass; the oracle replays via a bounded
+    // per-user pair rank on (|distance|, direction).
+    "q44_asof_nearest" -> { (s, d) =>
+      val e = t(s, d, "events")
+      val errors = e.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          unix_micros(col("ts")).as("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("cus"),
+          col("event_id").as("click_id"))
+      graft.operators.AsOfJoin.nearestValueAsOf(errors, clicks,
+          "user_id", "us", "cus", "click_id", "nearest_click")
+        .select(col("user_id"), col("err_id"), col("nearest_click"))
+        .orderBy(col("err_id"))
+    },
+
     // Point-in-time SCD2 dimension join (Kimball Type 2): each event
     // attaches the user-dimension VERSION valid at its timestamp. The
     // dim is synthesized deterministically — per user two versions split
@@ -1080,6 +1098,24 @@ object AnalyticsQueries {
         | ROUND(list_reduce(xs, (acc, x) -> 0.2*x + (1 - 0.2)*acc), 6)
         |  AS ewma_r
         |FROM l ORDER BY user_id""".stripMargin,
+
+    "q44_asof_nearest" ->
+      """WITH e AS (
+        | SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+        |  event_type
+        | FROM events),
+        |err AS (SELECT user_id, event_id AS err_id, us FROM e WHERE event_type = 'error'),
+        |clk AS (SELECT user_id, us AS cus, event_id AS click_id FROM e WHERE event_type = 'click'),
+        |j AS (
+        | SELECT err.err_id, clk.click_id,
+        |  ROW_NUMBER() OVER (PARTITION BY err.err_id
+        |    ORDER BY abs(clk.cus - err.us),
+        |             CASE WHEN clk.cus <= err.us THEN 0 ELSE 1 END) AS rn
+        | FROM err JOIN clk ON err.user_id = clk.user_id)
+        |SELECT err.user_id, err.err_id, j.click_id AS nearest_click
+        |FROM err LEFT JOIN (SELECT err_id, click_id FROM j WHERE rn = 1) j
+        |  USING (err_id)
+        |ORDER BY err.err_id""".stripMargin,
 
     // Dim synthesis + half-open point-in-time match + aggregate replayed.
     "q43_scd2_join" ->

@@ -50,4 +50,35 @@ class AsOfForwardSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .selectExpr("k", "-t AS t", "o").orderBy("k", "t").collect()
     assert(back === fwd)
   }
+
+  test("nearest as-of: direction choice, midpoint tie goes backward") {
+    val left = Seq((1L, 10L), (1L, 14L), (1L, 100L), (2L, 5L))
+      .toDF("k", "t")
+    val right = Seq((1L, 8L, 80L), (1L, 20L, 200L)).toDF("k", "rt", "v")
+    val got = AsOfJoin.nearestValueAsOf(left, right, "k", "t", "rt", "v", "nv")
+      .orderBy("k", "t").collect()
+    assert(got === Array(
+      Row(1L, 10L, 80L),   // dist 2 back vs 10 fwd -> backward
+      Row(1L, 14L, 80L),   // dist 6 back vs 6 fwd: TIE -> backward
+      Row(1L, 100L, 200L), // only backward candidates remain -> 20
+      Row(2L, 5L, null)))  // key with no right rows
+  }
+
+  test("nearest as-of: forward-only and equal-time matches") {
+    val left = Seq((1L, 3L), (1L, 8L)).toDF("k", "t")
+    val right = Seq((1L, 8L, 88L)).toDF("k", "rt", "v")
+    val got = AsOfJoin.nearestValueAsOf(left, right, "k", "t", "rt", "v", "nv")
+      .orderBy("t").collect()
+    // t=3: only a forward candidate; t=8: equal time -> distance 0
+    assert(got === Array(Row(1L, 3L, 88L), Row(1L, 8L, 88L)))
+  }
+
+  test("nearest as-of rejects non-numeric time columns loudly") {
+    val left = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "t")
+    val right = Seq((1L, 5L, 1L)).toDF("k", "rt", "v")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.nearestValueAsOf(left, right, "k", "t", "rt", "v", "nv")
+    }
+  }
 }
