@@ -133,6 +133,42 @@ object LlmQueries {
       tbl
     })
 
+  /** Per-sf-dir STREAMED IVF index: three embedding batch files staged
+    * into a landing dir, each appended to the standing index by the
+    * foreachBatch ingest loop under the frozen centroids. Rebuilt
+    * cleanly once per JVM (drop table + fresh checkpoint), so stale
+    * warehouse/checkpoint state from a killed process self-heals. */
+  private val ivfStreamIdx = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfStreamIndexFor(s: SparkSession, d: String): String =
+    ivfStreamIdx.computeIfAbsent(d, _ => {
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = s"graft_ivf_stream_${key.replace(".", "_")}"
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val base = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/ivf_ingest")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      val landing = base.resolve("landing")
+      java.nio.file.Files.createDirectories(landing)
+      val emb = t(s, d, "embeddings")
+      for (i <- 0 until 3) {
+        val stage = base.resolve(s".stage-$i")
+        emb.filter(col("vec_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          landing.resolve(s"batch-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+      graft.streaming.EventStream.ivfIngestApply(s, landing.toString, tbl,
+        hybridCentroidsFor(s, d), base.resolve("ckpt").toString)
+      tbl
+    })
+
   private val hybridCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def hybridCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
@@ -1836,6 +1872,24 @@ object LlmQueries {
         minHits = 4, eps = 0.02)
     },
 
+    // Streaming ANN ingest: the index is built ENTIRELY by the
+    // foreachBatch append loop (three landed embedding batches, frozen
+    // centroids) and then served — the continuous-crawl maintenance
+    // story for the vector leg, gated on the same epsilon-recall
+    // verdict. A lost batch or a double-applied append would change the
+    // candidate sets and flip verdicts.
+    "stream_ivf_ingest" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = hybridCentroidsFor(s, d)
+      Similarity.recallGate(
+        Similarity.ivfIndexServe(s, ivfStreamIndexFor(s, d), emb, "vec_id",
+          "embedding", queryIds = _ < 10, k = 5, centroids = cents,
+          nProbe = 4),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 4, eps = 0.02)
+    },
+
     // Quantized IVF end-to-end (the actual 100 TB serving shape):
     // candidate generation probes cells and scores against the int8
     // index only, float vectors re-join for the exact re-rank of the
@@ -3219,6 +3273,12 @@ object LlmQueries {
 
     // persisted-index serve: same verdict contract as the in-memory IVF
     "ann_ivf_index_serve" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // streamed-ingest index: same verdict contract — the streamed index
+    // must serve with the recall the full build achieves
+    "stream_ivf_ingest" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 

@@ -638,6 +638,39 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** embeddings.parquet schema for the streaming ANN-ingest source. */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming ANN index maintenance — the vector twin of
+    * [[bm25IngestApply]]: embedding-batch files land in `landingDir`,
+    * each micro-batch appends its cell assignments to the standing IVF
+    * index ([[graft.operators.Similarity.appendToIvfIndex]] — new files
+    * per bucket, O(batch) per update) under the caller's FROZEN
+    * centroids. The index stays serveable between batches
+    * ([[graft.operators.Similarity.ivfIndexServe]]); the checkpoint
+    * makes re-delivery idempotent per file. */
+  def ivfIngestApply(spark: SparkSession, landingDir: String, table: String,
+                     centroids: Seq[Seq[Double]], checkpointDir: String): Unit = {
+    val stream = spark.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Similarity.appendToIvfIndex(
+            batch.toDF(), "vec_id", "embedding", table, centroids)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming CDC apply loop: change-batch files (parquet, the base
     * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
     * land in `changesDir`; each micro-batch merges ONE batch file into

@@ -41,4 +41,24 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "graft_ivf_spec_full2", cents)
     assert(served("graft_ivf_spec_part") === served("graft_ivf_spec_full2"))
   }
+
+  test("streamed ingest builds an index equal to a direct full build") {
+    val base = java.nio.file.Files.createTempDirectory("ivf_ingest")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    for (i <- 0 until 3) {
+      val stage = base.resolve(s".s$i")
+      emb.filter(col("vec_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        landing.resolve(s"batch-$i.parquet"))
+    }
+    graft.streaming.EventStream.ivfIngestApply(spark, landing.toString,
+      "graft_ivf_spec_streamed", cents, base.resolve("ckpt").toString)
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding",
+      "graft_ivf_spec_full3", cents)
+    assert(served("graft_ivf_spec_streamed") === served("graft_ivf_spec_full3"))
+  }
 }
