@@ -60,12 +60,18 @@ object AsOfJoin {
                        key: String, leftTime: String,
                        rightTime: String, rightValue: String,
                        outCol: String): DataFrame = {
-    import org.apache.spark.sql.types.NumericType
-    for ((df, c) <- Seq((left, leftTime), (right, rightTime)))
-      require(df.schema(c).dataType.isInstanceOf[NumericType],
-        s"nearestValueAsOf needs numeric time columns, got " +
-          s"${df.schema(c).dataType.simpleString} for '$c' — convert " +
-          "timestamps with unix_micros first")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // INTEGRAL times only: a double would silently truncate in the
+    // cast("long") below and corrupt distances; a timestamp would
+    // coarsen to seconds. Convert with unix_micros first.
+    for ((df, c) <- Seq((left, leftTime), (right, rightTime))) {
+      val t = df.schema(c).dataType
+      require(t.isInstanceOf[ByteType] || t.isInstanceOf[ShortType] ||
+          t.isInstanceOf[IntegerType] || t.isInstanceOf[LongType],
+        s"nearestValueAsOf needs integral time columns, got " +
+          s"${t.simpleString} for '$c' — convert timestamps with " +
+          "unix_micros first")
+    }
     val leftStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val valueType = right.schema(rightValue).dataType
     // backward tag order (right first at ties): the forward frame then

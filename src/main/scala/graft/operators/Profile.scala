@@ -207,6 +207,16 @@ object Profile {
     * (n_keys, n_rows, p50_cnt, p99_cnt, skew_ratio = max/p50). */
   def keySkew(df: DataFrame, keyCol: String, topN: Int = 5): DataFrame = {
     require(topN >= 1, s"topN >= 1, got $topN")
+    // integral keys only: a string key would silently cast("long") to
+    // null and collapse every row into one bogus group (the ewmaByKey
+    // lesson — validate up front, fail loudly)
+    val kt = df.schema(keyCol).dataType
+    require(kt.isInstanceOf[org.apache.spark.sql.types.ByteType] ||
+        kt.isInstanceOf[org.apache.spark.sql.types.ShortType] ||
+        kt.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+        kt.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"keySkew: column '$keyCol' must be integral, got ${kt.simpleString} " +
+        "— hash non-integral keys (xxhash64) first")
     val counts = df.groupBy(col(keyCol).cast("long").as("key"))
       .agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(

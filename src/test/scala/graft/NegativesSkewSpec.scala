@@ -37,4 +37,9 @@ class NegativesSkewSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got(0).getDouble(5) === 1.0)  // p50 of (6,3,1,1,1) = 1
     assert(got(0).getDouble(7) === 6.0)  // max/p50
   }
+
+  test("keySkew rejects non-integral keys loudly") {
+    val df = Seq(("a", 1)).toDF("k", "v")
+    intercept[IllegalArgumentException] { Profile.keySkew(df, "k") }
+  }
 }
