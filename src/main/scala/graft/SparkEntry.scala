@@ -93,6 +93,7 @@ object SparkEntry {
     "multimodal_dhash_mixed", "multimodal_audio_pairs",
     "multimodal_video_pairs", "multimodal_avi_pairs",
     "conv_csv_roundtrip", "conv_csv_gzip", "conv_csv_badrecords",
+    "conv_csv_multiline",
     "conv_orc_roundtrip",
     "conv_dump_gzip", "conv_dump_dialect", "conv_pgdump_roundtrip",
     "conv_lineitem_orc",

@@ -207,6 +207,49 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Multi-line quoted CSV fields (RFC 4180): every 23rd customer's
+    // segment cell is staged as a QUOTED field carrying an embedded
+    // newline and a doubled inner quote; multiLine parsing must
+    // reassemble the records exactly (the line-based default would
+    // shred them). Aggregates + the embedded-newline count replay from
+    // the clean parquet with the same modular rule.
+    "conv_csv_multiline" -> { (s, d) =>
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+      val base = tmp(d, "csvml")
+      val file = s"$base/customer_multiline.csv"
+      stageOnce(base) {
+        val p = new org.apache.hadoop.fs.Path(file)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+          fs.create(p, true), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          out.write("c_custkey,c_acctbal,c_mktsegment\n")
+          val it = t(s, d, "customer")
+            .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+            .toLocalIterator()
+          while (it.hasNext) {
+            val r = it.next()
+            val k = r.getLong(0)
+            val bal = java.math.BigDecimal.valueOf(r.getDouble(1)).toPlainString
+            val seg =
+              if (k % 23 == 0) "\"" + r.getString(2) + "\nline2 \"\"q\"\" end\""
+              else r.getString(2)
+            out.write(s"$k,$bal,$seg\n")
+          }
+        } finally out.close()
+      }
+      val schema = StructType(Seq(StructField("c_custkey", LongType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      CsvSource.read(s, file, CsvSource.CsvOptions(inferSchema = false,
+          schema = Some(schema), multiLine = true, escape = "\""))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_custkey")).as("sum_key"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(when(col("c_mktsegment").contains("\n"), 1L).otherwise(0L))
+            .as("n_multiline"))
+    },
+
     // Malformed-CSV accounting: a real-world CSV batch always carries
     // broken rows; with an explicit schema + corrupt column, PERMISSIVE
     // mode quarantines them auditably (raw text in `_bad`, no silent
@@ -626,6 +669,13 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_csv_multiline" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(CASE WHEN c_custkey % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline
+        |FROM customer""".stripMargin,
 
     "conv_csv_badrecords" ->
       """SELECT

@@ -34,7 +34,16 @@ object CsvSource {
       timestampFormat: Option[String] = None,
       mode: String = "PERMISSIVE",
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      corruptColumn: Option[String] = None)
+      corruptColumn: Option[String] = None,
+      // RFC-4180 quoted fields spanning lines. Off by default: multiLine
+      // parsing makes each FILE one split (records cross line boundaries,
+      // so the scan can't split on newlines) — at 100 TB prefer many
+      // files over one giant multiline CSV.
+      multiLine: Boolean = false,
+      // Spark's default quote-escape is backslash; RFC-4180 writers
+      // double the quote instead — pass "\"" for files from Excel,
+      // Postgres COPY CSV, and most exporters.
+      escape: String = "\\")
 
   /** Read one CSV file or an entire directory as a single DataFrame. */
   def read(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
@@ -48,6 +57,8 @@ object CsvSource {
       .option("header", opts.hasHeader)
       .option("nullValue", opts.nullValue)
       .option("mode", opts.mode.toUpperCase)
+      .option("multiLine", opts.multiLine)
+      .option("escape", opts.escape)
     opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
     val reader = opts.schema match {
       case Some(sc) => opts.corruptColumn match {

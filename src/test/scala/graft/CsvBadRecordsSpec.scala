@@ -60,4 +60,21 @@ class CsvBadRecordsSpec extends AnyFunSuite with SparkSessionTestWrapper {
       CsvSource.read(spark, stage(), CsvSource.CsvOptions(mode = "BOGUS"))
     }
   }
+
+  test("multiLine reassembles quoted embedded newlines; default mode shreds them") {
+    val f = Files.createTempFile("ml", ".csv")
+    Files.write(f, "k,v\n1,\"a\nb \"\"q\"\" c\"\n2,plain\n"
+      .getBytes(StandardCharsets.UTF_8))
+    val sc = StructType(Seq(StructField("k", LongType), StructField("v", StringType)))
+    val ml = CsvSource.read(spark, f.toString, CsvSource.CsvOptions(
+      inferSchema = false, schema = Some(sc), multiLine = true, escape = "\""))
+      .orderBy("k").collect()
+    assert(ml.length === 2)
+    assert(ml(0).getString(1) === "a\nb \"q\" c")
+    // line-based default cannot reassemble the record
+    val plain = CsvSource.read(spark, f.toString, CsvSource.CsvOptions(
+      inferSchema = false, schema = Some(sc)))
+      .collect()
+    assert(plain.length !== 2)
+  }
 }

@@ -12,6 +12,18 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
 
   private val d = "/root/testdata/sf0.001"
   private def emb = graft.Tables.t(spark, d, "embeddings")
+
+  // stale-warehouse hygiene: a previous JVM's run leaves orphan table
+  // DIRS after the in-memory catalog forgets them; the append-create
+  // path (correctly) refuses to adopt an orphan location, so each test
+  // clears its names first — the same self-heal the gate memo performs
+  private def fresh(tables: String*): Unit = tables.foreach { tbl =>
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
   private lazy val cents = Similarity.trainIvfCentroids(
     emb, "vec_id", "embedding", nCentroids = 16, lloydIters = 2)
 
@@ -22,6 +34,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
         r.getDouble(3))).sortBy(t => (t._1, t._3)).toSeq
 
   test("persisted-index serve equals the in-memory serve") {
+    fresh("graft_ivf_spec_full")
     Similarity.buildIvfIndex(emb, "vec_id", "embedding",
       "graft_ivf_spec_full", cents)
     val direct = Similarity.ivfTopKServe(emb, "vec_id", "embedding",
@@ -33,6 +46,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("appended batch makes the index equal to a full build") {
+    fresh("graft_ivf_spec_part", "graft_ivf_spec_full2")
     Similarity.buildIvfIndex(emb.filter(col("vec_id") % 5 =!= 0),
       "vec_id", "embedding", "graft_ivf_spec_part", cents)
     Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 5 === 0),
@@ -43,6 +57,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkSessionTestWrapper {
   }
 
   test("streamed ingest builds an index equal to a direct full build") {
+    fresh("graft_ivf_spec_streamed", "graft_ivf_spec_full3")
     val base = java.nio.file.Files.createTempDirectory("ivf_ingest")
     val landing = base.resolve("landing")
     java.nio.file.Files.createDirectories(landing)
