@@ -192,12 +192,32 @@ object Cli {
         inputs.map(f => CsvSource.baseName(f) -> (() => CsvSource.read(spark, f, opts))),
         jobConfig(outDir, compression)))
 
+    // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
+    // export, the interchange formats a downstream consumer asks for
+    case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
+      require(Seq("csv", "jsonl").contains(fmt.toLowerCase),
+        s"export format must be csv|jsonl, got $fmt")
+      val compression = rest.headOption.getOrElse("none")
+      val df = graft.sinks.OrcSink.read(spark, orcDir)
+      val name = new org.apache.hadoop.fs.Path(orcDir).getName
+      val w = df.write.mode("overwrite")
+      val w2 = if (compression.toLowerCase == "none") w
+        else w.option("compression", compression.toLowerCase)
+      fmt.toLowerCase match {
+        case "csv" => w2.option("header", true).csv(s"$outDir/$name")
+        case _ => w2.json(s"$outDir/$name")
+      }
+      val n = spark.read.orc(orcDir).count()
+      Some(JobReport(Seq(ConversionJob.TableResult(name, success = true,
+        rows = n, files = 1, attempts = 1, error = None))))
+
     case _ =>
       System.err.println(
         """usage:
           |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
+          |  export <orc_table_dir> <output_dir> <csv|jsonl> [compression=none]
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]""".stripMargin)
       None
     }

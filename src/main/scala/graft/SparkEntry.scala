@@ -96,7 +96,7 @@ object SparkEntry {
     "conv_csv_multiline",
     "conv_orc_roundtrip",
     "conv_dump_gzip", "conv_dump_dialect", "conv_pgdump_roundtrip",
-    "conv_lineitem_orc",
+    "conv_export_roundtrip", "conv_lineitem_orc",
     "conv_cdc_merge", "conv_cdc_partitioned", "conv_sorted_orc",
     "conv_bloom_orc",
     "conv_zorder_orc", "conv_bucketed_join")

@@ -207,6 +207,26 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Reverse direction (beyond-reference: "universal" cuts both ways):
+    // ORC table -> Cli export -> CSV -> read-back -> aggregate. A hash
+    // match against the clean parquet proves the export lost nothing
+    // (quoting/typing round-trip included — customer carries commas in
+    // its comment strings).
+    "conv_export_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "export")
+      stageOnce(base) {
+        OrcSink.write(t(s, d, "customer"), base, "customer")
+      }
+      val out = s"$base/out"
+      graft.Cli.run(s, Seq("export", s"$base/customer", out, "csv"))
+      CsvSource.read(s, s"$out/customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Multi-line quoted CSV fields (RFC 4180): every 23rd customer's
     // segment cell is staged as a QUOTED field carrying an embedded
     // newline and a doubled inner quote; multiLine parsing must
@@ -667,6 +687,12 @@ object ConverterQueries {
     "conv_dump_dialect" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_export_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 

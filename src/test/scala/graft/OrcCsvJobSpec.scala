@@ -296,4 +296,24 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val gate = SparkEntry.queries("q22_approx_distinct")(spark, sf).collect()(0)
     assert(gate.getAs[Boolean]("approx_parts_ok") && gate.getAs[Boolean]("approx_orders_ok"))
   }
+
+  test("Cli export writes csv and jsonl that read back losslessly") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val base = Files.createTempDirectory("export").toString
+    val df = Seq((1L, "plain text", 2.5), (2L, "commas, included", 3.5))
+      .toDF("id", "note", "v")
+    graft.sinks.OrcSink.write(df, base, "things")
+    for (fmt <- Seq("csv", "jsonl")) {
+      val rep = Cli.run(spark, Seq("export", s"$base/things", s"$base/$fmt", fmt)).get
+      assert(rep.successes === 1)
+      val back = fmt match {
+        case "csv" => spark.read.option("header", true)
+          .option("inferSchema", true).csv(s"$base/$fmt/things")
+        case _ => spark.read.json(s"$base/$fmt/things")
+      }
+      val rows = back.select("id", "note", "v").orderBy("id").collect()
+      assert(rows.map(_.getString(1)).toSeq === Seq("plain text", "commas, included"))
+    }
+  }
 }
