@@ -76,7 +76,7 @@ object SparkEntry {
     "pipeline_seeded_shuffle", "pipeline_leakfree_split",
     "pipeline_weighted_sample", "pipeline_weighted_stratum",
     "pipeline_temperature_mix", "pipeline_snapshot_diff",
-    "pipeline_dataset_card",
+    "pipeline_dataset_card", "pipeline_dp_counts",
     "text_countmin", "text_source_divergence", "q41_sketch_overlap",
     "profile_documents", "profile_documents_approx", "profile_histogram",
     "profile_key_skew",

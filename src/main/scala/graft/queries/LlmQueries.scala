@@ -635,6 +635,17 @@ object LlmQueries {
         .orderBy(col("status"))
     },
 
+    // Differentially-private release of per-source counts (Laplace at
+    // sensitivity 1, eps=1): the publication step for dataset cards
+    // over sensitive corpora. The noise draw is the deterministic
+    // md5-uniform through the Laplace inverse CDF, so the oracle
+    // replays every draw; n_true rides along for verification only.
+    "pipeline_dp_counts" -> { (s, d) =>
+      graft.operators.Privacy.dpGroupCounts(t(s, d, "documents"),
+          "source", epsilon = 1.0, seed = "graft-r9")
+        .orderBy(col("source"))
+    },
+
     // Key-skew audit (the number every salting/AQE decision starts
     // from): per-key count distribution shape + heavy keys over
     // lineitem's order key. Exact percentiles for oracle parity.
@@ -2308,6 +2319,19 @@ object LlmQueries {
         | COALESCE(th.token_entropy, 0.0) AS token_entropy
         |FROM documents d LEFT JOIN ch USING (doc_id) LEFT JOIN th USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Laplace inverse CDF replayed on the same 52-bit md5 uniform.
+    "pipeline_dp_counts" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n_true FROM documents GROUP BY 1),
+        |n AS (
+        | SELECT source, n_true,
+        |  (CAST('0x' || substr(md5(source || ':graft-r9'), 1, 13) AS UBIGINT) + 0.5)
+        |    / 4503599627370496.0 AS u
+        | FROM c)
+        |SELECT source, n_true,
+        | ROUND(n_true + (-1.0) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)), 4)
+        |  AS dp_count
+        |FROM n ORDER BY source""".stripMargin,
 
     "profile_key_skew" ->
       """WITH c AS (
