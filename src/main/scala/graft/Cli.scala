@@ -207,9 +207,14 @@ object Cli {
         case "csv" => w2.option("header", true).csv(s"$outDir/$name")
         case _ => w2.json(s"$outDir/$name")
       }
-      val n = spark.read.orc(orcDir).count()
+      // report describes the WRITTEN output: rows from the constructed
+      // frame (one source scan), files from the actual output listing
+      val outPath = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+      val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(outPath)
+        .count(f => !f.getPath.getName.startsWith("_"))
       Some(JobReport(Seq(ConversionJob.TableResult(name, success = true,
-        rows = n, files = 1, attempts = 1, error = None))))
+        rows = df.count(), files = files, attempts = 1, error = None))))
 
     case _ =>
       System.err.println(

@@ -108,8 +108,12 @@ object NgramLm {
     * Output: (idCol, strataCol, ppl, bucket). */
   def pplBuckets(docs: DataFrame, model: Model, strataCol: String,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // localCheckpoint: the scored frame feeds BOTH the tercile-cuts
+    // aggregate and the final join — without it the whole KN scoring
+    // DAG (the expensive part) executes twice
     val scored = score(docs, model, idCol, textCol)
       .join(docs.select(col(idCol), col(strataCol)), Seq(idCol))
+      .localCheckpoint()
     val cuts = scored.groupBy(col(strataCol)).agg(
       round(expr("percentile(ppl, 0.3333333333333333)"), 6).as("t1"),
       round(expr("percentile(ppl, 0.6666666666666666)"), 6).as("t2"))

@@ -200,7 +200,12 @@ object PgDumpSource {
     case FloatType => raw.trim.toFloat
     case DoubleType => raw.trim.toDouble
     case d: DecimalType =>
-      new java.math.BigDecimal(raw.trim).setScale(d.scale)
+      // HALF_UP, matching the fixture's serialization convention: an
+      // unconstrained `numeric` (mapped to (38,18)) can legally carry
+      // more fractional digits than the derived scale, and a bare
+      // setScale would throw ArithmeticException and kill the job
+      new java.math.BigDecimal(raw.trim)
+        .setScale(d.scale, java.math.RoundingMode.HALF_UP)
     case DateType => java.sql.Date.valueOf(raw.trim)
     case TimestampType =>
       // pg renders `YYYY-MM-DD HH:MM:SS[.ffffff][+TZ]`; strip a trailing
@@ -300,21 +305,38 @@ object PgDumpSource {
     else parseStreaming(spark, path, selected)
   }
 
+  /** The records RDD is persisted only WITHIN this call (discovery and
+    * the per-table row RDDs share one file read while cached) and
+    * unpersisted before returning — the same scoping contract as
+    * [[SqlDumpSource.parseDistributed]]: returned DataFrames evaluate
+    * statelessly (re-reading the file), nothing pins the dump in
+    * cluster memory for the session. */
   private def parseDistributed(spark: SparkSession, path: String,
                                select: Seq[TableDef] => Seq[TableDef]): Map[String, DataFrame] = {
-    val defs = select(discoverTables(spark, path))
-    defs.map { td =>
-      val schema = td.schema
-      val tname = td.name
-      val rows = recordsRdd(spark, path).flatMap { rec =>
-        splitRecord(rec) match {
-          case (_, Some((table, cols, data))) if table == tname =>
-            data.map(l => toTypedRow(parseCopyLine(l), schema, cols))
-          case _ => Nil
+    val records = recordsRdd(spark, path)
+    records.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val defs = select(
+        records.flatMap { rec =>
+          val (ddl, _) = splitRecord(rec)
+          if (ddl.toUpperCase.contains("CREATE") && ddl.toUpperCase.contains("TABLE"))
+            SqlDumpSource.statements(new java.io.StringReader(ddl))
+              .flatMap(parseCreateTable).toSeq
+          else Nil
+        }.collect().toSeq)
+      defs.map { td =>
+        val schema = td.schema
+        val tname = td.name
+        val rows = records.flatMap { rec =>
+          splitRecord(rec) match {
+            case (_, Some((table, cols, data))) if table == tname =>
+              data.map(l => toTypedRow(parseCopyLine(l), schema, cols))
+            case _ => Nil
+          }
         }
-      }
-      tname -> spark.createDataFrame(rows, schema)
-    }.toMap
+        tname -> spark.createDataFrame(rows, schema)
+      }.toMap
+    } finally records.unpersist(blocking = false)
   }
 
   private def parseStreaming(spark: SparkSession, path: String,
@@ -337,9 +359,18 @@ object PgDumpSource {
         inCopy match {
           case Some((table, cols)) =>
             if (line == "\\.") inCopy = None
-            else defs.find(_.name == table).foreach { td =>
-              byTable.getOrElseUpdate(table, ArrayBuffer.empty[Row]) +=
-                toTypedRow(parseCopyLine(line), td.schema, cols)
+            else defs.find(_.name == table) match {
+              case Some(td) =>
+                byTable.getOrElseUpdate(table, ArrayBuffer.empty[Row]) +=
+                  toTypedRow(parseCopyLine(line), td.schema, cols)
+              case None =>
+                // loud-failure contract: silently dropping the block
+                // would lose data AND diverge from distributed mode
+                // (which discovers all DDL before reading rows)
+                throw new IllegalArgumentException(
+                  s"COPY data for table '$table' with no parsed CREATE " +
+                    "TABLE before it — pg_dump emits DDL first; this dump " +
+                    "is malformed or uses an unsupported DDL form")
             }
           case None =>
             parseCopyHeader(line) match {

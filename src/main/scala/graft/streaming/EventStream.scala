@@ -650,8 +650,13 @@ object EventStream {
     * index ([[graft.operators.Similarity.appendToIvfIndex]] — new files
     * per bucket, O(batch) per update) under the caller's FROZEN
     * centroids. The index stays serveable between batches
-    * ([[graft.operators.Similarity.ivfIndexServe]]); the checkpoint
-    * makes re-delivery idempotent per file. */
+    * ([[graft.operators.Similarity.ivfIndexServe]]). Delivery contract
+    * matches [[bm25IngestApply]]: AT-LEAST-ONCE, not idempotent — the
+    * append is not transactional with the checkpoint commit, so a crash
+    * between them re-appends the batch on restart (duplicate candidate
+    * rows in the index). Production deployments dedup on (id) at serve
+    * time or rebuild after a crash; the gate harness rebuilds fresh per
+    * JVM for exactly this reason. */
   def ivfIngestApply(spark: SparkSession, landingDir: String, table: String,
                      centroids: Seq[Seq[Double]], checkpointDir: String): Unit = {
     val stream = spark.readStream

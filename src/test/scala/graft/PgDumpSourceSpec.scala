@@ -176,4 +176,28 @@ class PgDumpSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(PgDumpSource.unescapeCell("a\\Nb") === Some("aNb")) // not the bare marker
     assert(PgDumpSource.unescapeCell("\\t\\n\\r\\\\") === Some("\t\n\r\\"))
   }
+
+  test("over-scale numeric values round HALF_UP instead of killing the parse") {
+    val dump =
+      """CREATE TABLE public.n (k integer, v numeric(10,2));
+        |COPY public.n (k, v) FROM stdin;
+        |1	1.005
+        |2	2.0049
+        |\.
+        |""".stripMargin
+    val got = bothModes(writeTemp(dump))("n").orderBy("k").collect()
+    assert(got(0).getDecimal(1) === new java.math.BigDecimal("1.01"))
+    assert(got(1).getDecimal(1) === new java.math.BigDecimal("2.00"))
+  }
+
+  test("streaming mode fails loudly on COPY data with no preceding CREATE TABLE") {
+    val dump =
+      """COPY public.orphan (k) FROM stdin;
+        |1
+        |\.
+        |""".stripMargin
+    intercept[IllegalArgumentException] {
+      PgDumpSource.parse(spark, writeTemp(dump), distributed = false)
+    }
+  }
 }
