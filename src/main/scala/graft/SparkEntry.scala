@@ -41,7 +41,7 @@ object SparkEntry {
     "q18_large_orders",
     "q23_asof_clicks", "q39_asof_forward", "q44_asof_nearest",
     "q40_winsorize", "q43_scd2_join",
-    "q25_range_join_pairs", "q26_pivot_events",
+    "q25_range_join_pairs", "q45_interval_overlap", "q26_pivot_events",
     "q28_user_sessions", "q34_funnel_conversion", "q35_retention_cohorts",
     "q36_resample_ffill", "q37_outliers_mad", "q38_user_similarity",
     "q42_ewma",

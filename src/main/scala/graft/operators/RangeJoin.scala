@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-safe equi-key + time-window range join.
@@ -42,5 +42,39 @@ object RangeJoin {
         col("k") === col("bk2") && col("jbk") === col("jbk2") &&
           col("b_us") > col("a_us") && col("b_us") <= col("a_us") + widthMicros)
       .select(col("k").as(keyCol), col("a_id"), col("a_ts"), col("b_id"), col("b_ts"))
+  }
+
+  /** INTERVAL-OVERLAP join — both sides carry ranges (the general case
+    * [[pairs]]' point-in-window is a special case of): per shared key,
+    * every (a, b) pair whose half-open integral intervals intersect
+    * (`a.start < b.end && b.start < a.end`).
+    *
+    * Same bucketization discipline: each interval registers in every
+    * `bucketWidth`-wide bucket it covers (explosion factor = interval
+    * length / bucketWidth — size the dial to typical interval length),
+    * candidates come from a (key, bucket) equi-join, and the
+    * CANONICAL-BUCKET rule (keep a pair only in the bucket containing
+    * the overlap's start, `max(a.start, b.start)`) dedups multi-bucket
+    * matches WITHOUT a distinct shuffle. Per-shuffle-key work is
+    * bounded by intervals-per-(key, bucket); empty intervals
+    * (`end <= start`) never match. Callers pre-alias column collisions
+    * (only `keyCol` is shared). */
+  def intervalOverlap(a: DataFrame, b: DataFrame, keyCol: String,
+                      aStart: String, aEnd: String,
+                      bStart: String, bEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    def buckets(s: String, e: String): Column =
+      sequence(floor(col(s) / bucketWidth).cast("long"),
+        floor((col(e) - 1) / bucketWidth).cast("long"))
+    val ab = a.filter(col(aEnd) > col(aStart))
+      .withColumn("__bkt", explode(buckets(aStart, aEnd)))
+    val bb = b.filter(col(bEnd) > col(bStart))
+      .withColumn("__bkt", explode(buckets(bStart, bEnd)))
+    ab.join(bb, Seq(keyCol, "__bkt"))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .filter(col("__bkt") ===
+        floor(greatest(col(aStart), col(bStart)) / bucketWidth).cast("long"))
+      .drop("__bkt")
   }
 }

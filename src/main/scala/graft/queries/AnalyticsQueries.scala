@@ -618,6 +618,28 @@ object AnalyticsQueries {
         .orderBy(col("err_id"))
     },
 
+    // Interval-overlap join (both sides ranges — the general case the
+    // q25 point-in-window range join special-cases): per-user daily
+    // click-activity spans overlapped with error-activity spans, via
+    // hour-bucketized candidates + the canonical-bucket dedup rule.
+    "q45_interval_overlap" -> { (s, d) =>
+      val e = t(s, d, "events")
+      def spans(tp: String, sN: String, eN: String, dN: String) =
+        e.filter(col("event_type") === tp)
+          .select(col("user_id"), to_date(col("ts")).as(dN),
+            unix_micros(col("ts")).as("us"))
+          .groupBy(col("user_id"), col(dN))
+          .agg(min(col("us")).as(sN), (max(col("us")) + 1).as(eN))
+      val clicks = spans("click", "a_s", "a_e", "a_day")
+      val errors = spans("error", "b_s", "b_e", "b_day")
+      graft.operators.RangeJoin.intervalOverlap(clicks, errors, "user_id",
+          "a_s", "a_e", "b_s", "b_e", bucketWidth = 3600L * 1000000L)
+        .select(col("user_id"), col("a_day"), col("b_day"),
+          (least(col("a_e"), col("b_e")) - greatest(col("a_s"), col("b_s")))
+            .as("overlap_us"))
+        .orderBy(col("user_id"), col("a_day"), col("b_day"))
+    },
+
     // Point-in-time SCD2 dimension join (Kimball Type 2): each event
     // attaches the user-dimension VERSION valid at its timestamp. The
     // dim is synthesized deterministically — per user two versions split
@@ -1098,6 +1120,23 @@ object AnalyticsQueries {
         | ROUND(list_reduce(xs, (acc, x) -> 0.2*x + (1 - 0.2)*acc), 6)
         |  AS ewma_r
         |FROM l ORDER BY user_id""".stripMargin,
+
+    // Direct overlap join replayed — bucketization may not change it.
+    "q45_interval_overlap" ->
+      """WITH e AS (
+        | SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS tsu,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        | FROM events),
+        |a AS (SELECT user_id, CAST(tsu AS DATE) AS a_day,
+        |       MIN(us) AS a_s, MAX(us) + 1 AS a_e
+        |      FROM e WHERE event_type = 'click' GROUP BY 1, 2),
+        |b AS (SELECT user_id, CAST(tsu AS DATE) AS b_day,
+        |       MIN(us) AS b_s, MAX(us) + 1 AS b_e
+        |      FROM e WHERE event_type = 'error' GROUP BY 1, 2)
+        |SELECT a.user_id, a.a_day, b.b_day,
+        | CAST(LEAST(a_e, b_e) - GREATEST(a_s, b_s) AS BIGINT) AS overlap_us
+        |FROM a JOIN b ON a.user_id = b.user_id AND a_s < b_e AND b_s < a_e
+        |ORDER BY a.user_id, a_day, b_day""".stripMargin,
 
     "q44_asof_nearest" ->
       """WITH e AS (
