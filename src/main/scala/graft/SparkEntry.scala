@@ -45,7 +45,7 @@ object SparkEntry {
     "q28_user_sessions", "q34_funnel_conversion", "q35_retention_cohorts",
     "q36_resample_ffill", "q37_outliers_mad", "q38_user_similarity",
     "q42_ewma",
-    "pipeline_split",
+    "pipeline_split", "pipeline_time_split",
     "stream_hourly_agg", "stream_hourly_quantiles", "stream_hourly_distinct",
     "stream_funnel_depth", "stream_ewma", "stream_session_window",
     "conv_stream_orc",

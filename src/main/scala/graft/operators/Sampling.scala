@@ -112,6 +112,22 @@ object Sampling {
     * equi-join hangs it back on the corpus, and the split itself is the
     * same per-row md5-bucket expression as [[trainValTestSplit]] on the
     * representative — engine-portable, cluster-size-independent. */
+  /** TEMPORAL train/test split with an embargo gap — the third member
+    * of the split family (content-hash [[trainValTestSplit]], cluster
+    * [[leakFreeSplit]], and this): rows strictly before `trainEnd` are
+    * `train`, rows at-or-after `testStart` are `test`, and rows inside
+    * `[trainEnd, testStart)` are `embargo` — excluded from both so
+    * leakage through temporally-adjacent examples (the forecasting /
+    * time-series-CV failure mode; cf. purged CV, López de Prado 2018)
+    * cannot cross the boundary. Zero shuffle: one per-row expression
+    * fused into the scan; any ordered time column works. */
+  def splitByTime(df: DataFrame, timeCol: Column,
+                  trainEnd: Column, testStart: Column): DataFrame =
+    df.withColumn("split",
+      when(timeCol < trainEnd, "train")
+        .when(timeCol >= testStart, "test")
+        .otherwise("embargo"))
+
   def leakFreeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
                     trainFrac: Double, valFrac: Double): DataFrame = {
     val comps = Dedup.connectedComponents(pairs)

@@ -635,6 +635,21 @@ object LlmQueries {
         .orderBy(col("status"))
     },
 
+    // Temporal split with embargo: train strictly before Jan 20, a
+    // 3-day embargo no split may touch, test from Jan 23 — the
+    // time-series leakage defense beside the content-hash and cluster
+    // splits. Oracle replays boundaries (strict/inclusive per side).
+    "pipeline_time_split" -> { (s, d) =>
+      graft.operators.Sampling.splitByTime(
+          t(s, d, "events"), col("ts"),
+          trainEnd = to_timestamp(lit("2024-01-20 00:00:00")),
+          testStart = to_timestamp(lit("2024-01-23 00:00:00")))
+        .groupBy(col("split"), col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"),
+          graft.Tables.dsumr(col("value")).as("sum_value"))
+        .orderBy(col("split"), col("event_type"))
+    },
+
     // Differentially-private release of per-source counts (Laplace at
     // sensitivity 1, eps=1): the publication step for dataset cards
     // over sensitive corpora. The noise draw is the deterministic
@@ -2319,6 +2334,18 @@ object LlmQueries {
         | COALESCE(th.token_entropy, 0.0) AS token_entropy
         |FROM documents d LEFT JOIN ch USING (doc_id) LEFT JOIN th USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "pipeline_time_split" ->
+      """WITH s AS (
+        | SELECT event_id, event_type, value,
+        |  CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+        |       WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-23 00:00:00' THEN 'test'
+        |       ELSE 'embargo' END AS split
+        | FROM events)
+        |SELECT split, event_type, COUNT(*) AS n,
+        | MIN(event_id) AS first_event,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Laplace inverse CDF replayed on the same 52-bit md5 uniform.
     "pipeline_dp_counts" ->

@@ -240,4 +240,16 @@ class PipelineSpec extends AnyFunSuite with SparkSessionTestWrapper {
       assert(gotHist == expected.toSeq, s"doc $id")
     }
   }
+
+  test("temporal split: strict/inclusive boundaries, embargo excluded from both") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 25L), (4L, 30L), (5L, 35L))
+      .toDF("id", "t")
+    val got = graft.operators.Sampling.splitByTime(df, col("t"), lit(20L), lit(30L))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // t=20 is NOT train (strict <); t=30 IS test (inclusive >=)
+    assert(got === Map(1L -> "train", 2L -> "embargo", 3L -> "embargo",
+      4L -> "test", 5L -> "test"))
+  }
 }
