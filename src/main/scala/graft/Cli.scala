@@ -4,7 +4,7 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{CsvSource, JdbcSource, PgDumpSource, SqlDumpSource}
+import graft.sources.{CsvSource, JdbcSource, PgDumpSource, SqlDumpSource, XmlSource}
 import graft.ConversionJob.{JobConfig, JobReport}
 
 /** Non-interactive CLI mirroring the reference's three argv contracts
@@ -192,6 +192,26 @@ object Cli {
         inputs.map(f => CsvSource.baseName(f) -> (() => CsvSource.read(spark, f, opts))),
         jobConfig(outDir, compression)))
 
+    // XML path (beyond-reference input; Spark 4 built-in XML datasource):
+    // same per-input naming contract as csv — each file -> outdir/<basename>/
+    case "xml" :: xmlPath :: outDir :: rest if rest.length <= 2 =>
+      val rowTag = rest.headOption.getOrElse("row")
+      val compression = rest.lift(1).getOrElse("snappy")
+      val opts = XmlSource.XmlOptions(rowTag = rowTag,
+        inferSchema = inferSchema.getOrElse(true))
+      val inputs = XmlSource.listInputs(spark, xmlPath)
+      Some(ConversionJob.run(
+        inputs.map(f => CsvSource.baseName(f) -> (() => XmlSource.read(spark, f, opts))),
+        jobConfig(outDir, compression)))
+
+    // JSONL path (beyond-reference input; the LLM-corpus interchange
+    // format): a file or directory of *.jsonl/*.json(.gz) members.
+    case "jsonl" :: jsonPath :: outDir :: rest if rest.length <= 1 =>
+      val compression = rest.headOption.getOrElse("snappy")
+      Some(ConversionJob.run(
+        Seq(CsvSource.baseName(jsonPath) -> (() => spark.read.json(jsonPath))),
+        jobConfig(outDir, compression)))
+
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
@@ -223,7 +243,9 @@ object Cli {
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  export <orc_table_dir> <output_dir> <csv|jsonl> [compression=none]
-          |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]""".stripMargin)
+          |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
+          |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
+          |  jsonl <json_path> <output_dir> [compression=snappy]""".stripMargin)
       None
     }
   }

@@ -120,6 +120,72 @@ object Similarity {
         col("rank").cast("long").as("rank"), round(col("score_raw"), 4).as("score"))
   }
 
+  /** Exact cosine RADIUS search (range query): every (query, neighbor)
+    * pair with ROUND(cosine, 4) >= minCosine — the dedup/retrieval
+    * companion of top-k when the caller wants "everything this similar",
+    * not a fixed k. Filtering on the ROUNDED score keeps the boundary
+    * decision identical across engines (the oracle applies the same
+    * round-then-compare). Queries broadcast; the corpus streams through
+    * one map-side cosine per row and sub-threshold rows die at the scan,
+    * so only matching (qid, nid, score) scalars shuffle. */
+  def bruteForceRadius(emb: DataFrame, idCol: String, vecCol: String,
+                       queryIds: Column => Column, minCosine: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+    val q = emb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+    e.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qvec"), col("nvec")), 4))
+      .filter(col("score") >= minCosine)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("score"))
+  }
+
+  /** IVF-probed radius search: same contract as [[bruteForceRadius]] but
+    * candidates come from the query's `nProbe` nearest cells only, so each
+    * query touches ~nProbe/nCentroids of the corpus. Every emitted pair is
+    * exact (candidates re-score with the true cosine); only recall is
+    * approximate — neighbors inside the radius but outside the probed
+    * cells are missed, which [[radiusRecallGate]] measures against the
+    * brute-force truth. */
+  def ivfRadius(emb: DataFrame, idCol: String, vecCol: String,
+                queryIds: Column => Column, minCosine: Double,
+                centroids: Seq[Seq[Double]], nProbe: Int = 4): DataFrame = {
+    if (centroids.isEmpty)
+      return emb.select(col(idCol).as("query_id"), col(idCol).as("neighbor_id"),
+        lit(0.0).as("score")).limit(0)
+    val corpus = emb.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("nvec"))
+      .withColumn("cell",
+        graft.functions.NearestCells.nearestCells(col("nvec"), centroids, 1).getItem(0))
+    val q = emb.filter(queryIds(col(idCol)))
+      .select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qvec"))
+      .withColumn("cell", explode(graft.functions.NearestCells
+        .nearestCells(col("qvec"), centroids, nProbe)))
+    corpus.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("score", round(cosine(col("qvec"), col("nvec")), 4))
+      .filter(col("score") >= minCosine)
+      .select(col("qid").as("query_id"), col("nid").as("neighbor_id"), col("score"))
+  }
+
+  /** Per-query radius-recall verdict: approximate radius results against
+    * the brute-force truth. Every approx pair is exact-by-construction
+    * (precision 1), so recall = found/true per query; queries with no
+    * true neighbor pass vacuously. Emits the exactly-derivable n_true
+    * beside the verdict so the oracle pins both. */
+  def radiusRecallGate(approx: DataFrame, exact: DataFrame,
+                       minRecall: Double): DataFrame = {
+    val truth = broadcast(exact.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_true")))
+    // approx ⊆ exact (same rounded-score filter), so a bare count is the hit count
+    val found = broadcast(approx.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_found")))
+    truth.join(found, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_true"),
+        (coalesce(col("n_found"), lit(0L)).cast("double")
+          >= lit(minRecall) * col("n_true").cast("double")).as("recall_ok"))
+      .orderBy(col("query_id"))
+  }
+
   /** Deterministic random hyperplanes: L*nBits planes of `dim` gaussians. */
   def hyperplanes(tables: Int, nBits: Int, dim: Int, seed: Long): Seq[Seq[Seq[Double]]] = {
     val rnd = new scala.util.Random(seed)

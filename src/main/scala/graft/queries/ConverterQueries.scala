@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.sinks.OrcSink
-import graft.sources.{CsvSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource}
+import graft.sources.{CsvSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource, XmlSource}
 
 /** Converter round-trips under the correctness gate.
   *
@@ -390,6 +390,68 @@ object ConverterQueries {
           dsum(col("l_quantity")).as("sum_qty"),
           dsumr(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // XML path (beyond-reference input completing "universal data"):
+    // parquet -> XML files (Spark 4 built-in XML writer, SPARK-44265) ->
+    // XmlSource with an EXPLICIT schema (the production posture — inference
+    // would re-read every file) -> OrcSink -> read-back -> aggregate. The
+    // oracle aggregates the original parquet directly, so a hash match
+    // proves XML serialization round-tripped every row, string (with XML
+    // entity escaping), and numeric type.
+    "conv_xml_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "xml")
+      stageOnce(s"$base/in/part") {
+        XmlSource.write(t(s, d, "part"), s"$base/in/part", rowTag = "part")
+      }
+      val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " +
+          "p_size INT, p_retailprice DOUBLE")
+      val xml = XmlSource.read(s, s"$base/in/part",
+        XmlSource.XmlOptions(rowTag = "part", schema = Some(xmlSchema)))
+      OrcSink.write(xml, s"$base/orc", "part")
+      OrcSink.read(s, s"$base/orc/part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("p_partkey")).as("sum_key"),
+          sum(col("p_size").cast("long")).as("sum_size"),
+          dsumr(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+
+    // Schema evolution across ingestion snapshots (the 100 TB reality:
+    // month N's export gains a column month N-1 lacked, and a later
+    // snapshot drops one). Two ORC snapshots written with DIFFERENT
+    // schemas — snapshot A carries (custkey, mktsegment, acctbal),
+    // snapshot B adds c_score and drops c_acctbal — then read back as one
+    // logical table via unionByName(allowMissingColumns): absent columns
+    // null-fill per snapshot. The oracle replays the same union over the
+    // original parquet, so a hash match proves the null-fill semantics and
+    // that neither snapshot's types drifted.
+    "conv_schema_evolution" -> { (s, d) =>
+      val base = tmp(d, "schemaevo")
+      stageOnce(base) {
+        val cust = t(s, d, "customer")
+        OrcSink.write(
+          cust.filter(col("c_custkey") % 2 === 0)
+            .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+          base, "snap_a")
+        OrcSink.write(
+          cust.filter(col("c_custkey") % 2 === 1)
+            .select(col("c_custkey"), col("c_mktsegment"),
+              (col("c_custkey") % 100).cast("double").as("c_score")),
+          base, "snap_b")
+      }
+      val a = OrcSink.read(s, s"$base/snap_a")
+      val b = OrcSink.read(s, s"$base/snap_b")
+      a.unionByName(b, allowMissingColumns = true)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          count(col("c_acctbal")).as("n_with_bal"),
+          count(col("c_score")).as("n_with_score"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          dsumr(col("c_score")).as("sum_score"))
+        .orderBy(col("c_mktsegment"))
     },
 
     // CDC incremental merge (the converter's incremental-sync mode):
@@ -816,6 +878,26 @@ object ConverterQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "conv_xml_roundtrip" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        | CAST(SUM(p_partkey) AS BIGINT) AS sum_key,
+        | CAST(SUM(p_size) AS BIGINT) AS sum_size,
+        | CAST(ROUND(SUM(CAST(p_retailprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price
+        |FROM part GROUP BY p_brand""".stripMargin,
+
+    "conv_schema_evolution" ->
+      """WITH u AS (
+        | SELECT c_custkey, c_mktsegment, c_acctbal, NULL::DOUBLE AS c_score
+        |  FROM customer WHERE c_custkey % 2 = 0
+        | UNION ALL
+        | SELECT c_custkey, c_mktsegment, NULL::DOUBLE, CAST(c_custkey % 100 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 2 = 1)
+        |SELECT c_mktsegment, COUNT(*) AS n,
+        | COUNT(c_acctbal) AS n_with_bal, COUNT(c_score) AS n_with_score,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(ROUND(SUM(CAST(c_score AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_score
+        |FROM u GROUP BY c_mktsegment""".stripMargin,
 
     "conv_jsonl_roundtrip" ->
       """SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS sum_id,

@@ -1013,6 +1013,27 @@ object LlmQueries {
       NgramLm.pplBuckets(docs, model, "lang").orderBy(col("doc_id"))
     },
 
+    // Per-language score calibration (language-fair curation): raw quality
+    // scores are not comparable across languages (length/punct/case
+    // heuristics favor some scripts), so one global threshold skews the
+    // language mix of the selected corpus. Calibrate per language onto the
+    // percentile scale — percent_rank over (lang) ordered by (quality,
+    // doc_id), a deterministic total order — and keep each language's top
+    // quintile: the same retention rate per language by construction.
+    // Scale: one lang-keyed exchange; the per-language sort parallelizes
+    // across languages, and the rank IS the threshold (no second pass to
+    // find per-language cutoffs). For a single dominant language at 100 TB
+    // swap the exact rank for approx_percentile cutoffs (q21/q29 pattern).
+    "pipeline_score_calibrate" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val scored = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("quality"), col("doc_id"))
+      scored.withColumn("pct", round(percent_rank().over(w), 6))
+        .filter(col("pct") >= 0.8)
+        .orderBy(col("doc_id"))
+    },
+
     // IR evaluation harness: recall@10 / MRR / nDCG@10 of the BM25 run
     // against a deterministic conjunctive-containment gold set (doc is
     // relevant iff it contains EVERY query term). The oracle replays the
@@ -1590,6 +1611,32 @@ object LlmQueries {
           (abs(col("nd_approx") - col("n_distinct")) <=
             greatest(lit(1.0), col("n_distinct") * 0.05)).as("within_5pct"))
         .orderBy(col("col_name"))
+    },
+
+    // Exact cosine radius search (range query): the "everything at least
+    // this similar" companion of emb_cosine_topk. Full-result oracle —
+    // DuckDB recomputes every cosine and the round-then-compare boundary.
+    "emb_cosine_radius" -> { (s, d) =>
+      Similarity.bruteForceRadius(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, minCosine = 0.3)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    },
+
+    // IVF-probed radius search: candidates from the nProbe nearest cells
+    // only (the scale path — each query touches ~nProbe/nCentroids of the
+    // corpus), every emitted pair exact, recall measured per query against
+    // oracle-green brute force. n_true is exactly derivable, so the oracle
+    // pins the true neighborhood size AND the recall verdict.
+    "ann_ivf_radius" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nCentroids = 16, lloydIters = 2)
+      Similarity.radiusRecallGate(
+        Similarity.ivfRadius(emb, "vec_id", "embedding",
+          queryIds = _ < 10, minCosine = 0.3, centroids = cents, nProbe = 6),
+        Similarity.bruteForceRadius(emb, "vec_id", "embedding",
+          queryIds = _ < 10, minCosine = 0.3),
+        minRecall = 0.5)
     },
 
     "dedup_embedding_cosine" -> { (s, d) =>
@@ -2658,6 +2705,23 @@ object LlmQueries {
         |SELECT t.term, t.n_exact, e.n_est, (e.n_est >= t.n_exact) AS over_ok
         |FROM top t JOIN est e USING (term) ORDER BY term""".stripMargin,
 
+    "pipeline_score_calibrate" ->
+      """WITH n AS (SELECT doc_id, lang, text,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents),
+        |q AS (SELECT doc_id, lang,
+        | CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |  ROUND(
+        |   LEAST(1.0, (CASE WHEN length(t) = 0 THEN 0
+        |               ELSE length(t) - length(translate(t, ' ', '')) + 1 END) / 50.0)
+        |   * (1.0 - (length(text) - length(translate(text, '.,;:!?', ''))) / length(text))
+        |   * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
+        |  4) END AS quality
+        | FROM n),
+        |c AS (SELECT doc_id, lang, quality,
+        | ROUND(PERCENT_RANK() OVER (PARTITION BY lang ORDER BY quality, doc_id), 6) AS pct
+        | FROM q)
+        |SELECT doc_id, lang, quality, pct FROM c WHERE pct >= 0.8""".stripMargin,
+
     "text_quality" ->
       """WITH n AS (SELECT doc_id, text, regexp_replace(trim(text), '\s+', ' ', 'g') AS t FROM documents)
         |SELECT doc_id,
@@ -3197,6 +3261,22 @@ object LlmQueries {
         | SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars), COUNT(DISTINCT n_chars),
         |  CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM d
         |) ORDER BY col_name""".stripMargin,
+
+    "emb_cosine_radius" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        | ROUND(list_cosine_similarity(q.v, e.v), 4) AS score
+        |FROM q, e WHERE e.vec_id != q.vec_id
+        | AND ROUND(list_cosine_similarity(q.v, e.v), 4) >= 0.3""".stripMargin,
+
+    "ann_ivf_radius" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 10)
+        |SELECT q.vec_id AS query_id, COUNT(*) AS n_true, true AS recall_ok
+        |FROM q, e WHERE e.vec_id != q.vec_id
+        | AND ROUND(list_cosine_similarity(q.v, e.v), 4) >= 0.3
+        |GROUP BY 1 ORDER BY query_id""".stripMargin,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
