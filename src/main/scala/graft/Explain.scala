@@ -59,7 +59,14 @@ object Explain {
         // IR metrics (#queries-sized frames after the hits join),
         // cross-source matrix (fp-keyed self-join, #strata-bounded keys)
         "text_c4_clean", "text_entropy", "text_normalize",
-        "pipeline_ppl_buckets", "retrieval_metrics", "dedup_cross_source")
+        "pipeline_ppl_buckets", "retrieval_metrics", "dedup_cross_source",
+        // round-9 second batch: radius search (broadcast query frame,
+        // sub-threshold rows die at the scan), IVF radius (cell equi-join),
+        // per-language calibration (one lang-keyed window exchange).
+        // conv_xml_roundtrip / conv_schema_evolution are eager (stage
+        // fixtures + write ORC) — their shapes are asserted lazily in
+        // PlanAuditSpec instead.
+        "emb_cosine_radius", "ann_ivf_radius", "pipeline_score_calibrate")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

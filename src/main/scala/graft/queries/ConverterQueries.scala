@@ -548,6 +548,40 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Small-files compaction (the standing 100 TB table-maintenance op:
+    // streaming/CDC appends leave thousands of KB-sized part files whose
+    // per-file open/seek overhead dominates scans). A deliberately
+    // fragmented events table (maxRecordsPerFile=500) is compacted to
+    // target-size files; the gate value-verifies the compacted table
+    // against the oracle and pins compacted_fewer (file count strictly
+    // drops). The pristine fragmented layout stages once; each run
+    // hard-links a private working copy (metadata-only) so the timed span
+    // is the compaction itself and re-runs see the fragmented state.
+    "conv_compact_orc" -> { (s, d) =>
+      val stagedBase = tmp(d, "compact_base")
+      stageOnce(stagedBase) {
+        OrcSink.write(
+          t(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
+          stagedBase, "events", maxRecordsPerFile = 500L)
+      }
+      val dir = tmp(d, "compact_run") + "/" + java.util.UUID.randomUUID() + "/events"
+      hardLinkTree(new java.io.File(s"$stagedBase/events"), new java.io.File(dir))
+      def orcCount(p: String): Int = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(p)).count(_.getName.endsWith(".orc"))
+      }
+      val before = orcCount(dir)
+      val report = OrcSink.compact(s, dir, "events", targetFileBytes = 128L << 20)
+      OrcSink.read(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"),
+          sum(col("event_id")).as("sum_id"))
+        .withColumn("compacted_fewer",
+          lit(if (before > 1 && report.files < before) 1L else 0L))
+        .orderBy(col("event_type"))
+    },
+
     // Sorted (range-clustered) layout: events written ordered by
     // user_id, so a user-keyed read-back filter skips every stripe
     // whose [min, max] excludes the key (ScaleLayoutSpec proves the
@@ -841,6 +875,13 @@ object ConverterQueries {
         | CAST(1 AS BIGINT) AS untouched_intact
         |FROM m WHERE rn = 1 AND op != 'D'
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "conv_compact_orc" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value,
+        | CAST(SUM(event_id) AS BIGINT) AS sum_id,
+        | CAST(1 AS BIGINT) AS compacted_fewer
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "conv_sorted_orc" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -28,6 +28,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
   private val statCrossJoinAllowed = Set(
     "ann_lsh_topk", "ann_rp_topk", "q38_user_similarity",
     "text_bm25_serve", "pipeline_dsir_select", "text_min_k_prob",
+    // radius search broadcasts the (bounded) query frame against the
+    // corpus scan — the same intended shape as the ANN brute-force legs
+    "emb_cosine_radius", "ann_ivf_radius",
     // the KN scorer's broadcast one-row bigram-types frame (the same
     // crossJoin text_min_k_prob carries) reached through pplBuckets
     "pipeline_ppl_buckets")
@@ -46,7 +49,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // their tiny sf0.001 fixtures)
     "text_c4_clean", "text_entropy", "text_normalize",
     "pipeline_ppl_buckets", "retrieval_metrics", "dedup_cross_source",
-    "conv_pgdump_roundtrip")
+    "conv_pgdump_roundtrip",
+    // r9 second batch: XML leg, schema-evolution union, radius search,
+    // per-language calibration
+    "conv_xml_roundtrip", "conv_schema_evolution",
+    "emb_cosine_radius", "ann_ivf_radius", "pipeline_score_calibrate")
 
   test("no audited plan contains a cartesian product") {
     audited.foreach { n =>
