@@ -249,7 +249,13 @@ object ScaleRehearsal {
         Similarity.pcaTopKServe(t(spark, d, "embeddings"), "vec_id",
           "embedding", queryIds = _ < 10, k = 5, mean = mean,
           components = comps, shortlist = pcaShortlist(d))
-      })
+      }),
+      // round-9: IVF radius search (gate dials — tau 0.3, nProbe 6/16
+      // cells, frozen centroids). Cost must track the probed-cell scan.
+      "ann_ivf_radius" -> (() =>
+        Similarity.ivfRadius(t(spark, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, minCosine = 0.3,
+          centroids = ivfCentroids(d), nProbe = 6))
     )
 
     // ---- probes ---------------------------------------------------------
@@ -434,7 +440,8 @@ object ScaleRehearsal {
       }),
       "text_entropy" -> (() =>
         graft.operators.Entropy.signals(t(spark, d, "documents"))
-          .agg(sum(col("n_tokens_h"))).head().getLong(0))
+          .agg(sum(col("n_tokens_h"))).head().getLong(0)),
+      "ann_ivf_radius" -> (() => annFrames(d)("ann_ivf_radius")().count())
     )
     // skewed-corpus probes: the dials that must absorb the skew
     def skewProbes(d: String): Seq[(String, () => Long)] = Seq(
@@ -571,6 +578,19 @@ object ScaleRehearsal {
       annRecall.getOrElseUpdate(name,
         scala.collection.mutable.LinkedHashMap.empty).put(d, r)
     }
+    // radius SET recall (found/true over all queries — precision is 1 by
+    // construction since candidates re-score with the exact cosine, so
+    // the micro recall is the only approximation axis). Same pinned
+    // floor as the @k ladder.
+    for (d <- datasets) {
+      val nTrue = Similarity.bruteForceRadius(t(spark, d, "embeddings"),
+        "vec_id", "embedding", queryIds = _ < 10, minCosine = 0.3).count()
+      val nFound = annFrames(d)("ann_ivf_radius")().count()
+      val r = if (nTrue == 0) 1.0 else nFound.toDouble / nTrue
+      println(f"RECALL $d ann_ivf_radius recall=$r%.2f ($nFound%d/$nTrue%d)")
+      annRecall.getOrElseUpdate("ann_ivf_radius",
+        scala.collection.mutable.LinkedHashMap.empty).put(d, r)
+    }
 
     // ---- skew rows: skewed sf1 vs plain sf1 -----------------------------
     // ceilings: the dials must hold the skewed corpus within x2.5 time /
@@ -646,7 +666,7 @@ object ScaleRehearsal {
       val recallJson = annRecall.get(name).map { byD =>
         val rOk = datasets.forall(d => byD(d) >= recallFloor)
         if (!rOk) allOk = false
-        f""", "recall": {"sf001": ${byD(datasets.head)}%.2f, "sf01": ${byD(sf01)}%.2f, "sf1": ${byD(sf1)}%.2f, "eps": ${annEps(name)}%.2f, "floor": $recallFloor%.2f, "within_floor": $rOk}"""
+        f""", "recall": {"sf001": ${byD(datasets.head)}%.2f, "sf01": ${byD(sf01)}%.2f, "sf1": ${byD(sf1)}%.2f, "eps": ${annEps.getOrElse(name, 0.0)}%.2f, "floor": $recallFloor%.2f, "within_floor": $rOk}"""
       }.getOrElse("")
       val ok = okCeil
       if (!ok) allOk = false

@@ -99,7 +99,11 @@ object SparkEntry {
     "conv_export_roundtrip", "conv_lineitem_orc",
     "conv_cdc_merge", "conv_cdc_partitioned", "conv_sorted_orc",
     "conv_bloom_orc",
-    "conv_zorder_orc", "conv_bucketed_join")
+    "conv_zorder_orc", "conv_bucketed_join",
+    // round-9 second batch
+    "conv_xml_roundtrip", "conv_schema_evolution", "conv_compact_orc",
+    "emb_cosine_radius", "ann_ivf_radius", "ann_ivf_radius_engine",
+    "pipeline_score_calibrate")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force
@@ -146,6 +150,12 @@ object SparkEntry {
       "ann_ivf_topk_engine" -> ((s, d) =>
         Similarity.ivfTopK(t(s, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),
+      // IVF radius alone with FROZEN centroids (the gated row also runs
+      // the brute-force truth + recall join)
+      "ann_ivf_radius_engine" -> ((s, d) =>
+        Similarity.ivfRadius(t(s, d, "embeddings"), "vec_id", "embedding",
+          queryIds = _ < 10, minCosine = 0.3,
+          centroids = centroidsFor(s, d), nProbe = 6)),
       "ann_ivf_int8_topk_engine" -> ((s, d) =>
         Similarity.ivfTopKInt8(t(s, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, nCentroids = 16, nProbe = 4)),

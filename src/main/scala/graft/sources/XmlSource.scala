@@ -21,6 +21,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object XmlSource {
 
+  /** `mode`/`corruptColumn` mirror the CSV source's auditable
+    * malformed-row policies (PERMISSIVE / DROPMALFORMED / FAILFAST):
+    * with an explicit schema and a corrupt column, rows whose XML fails
+    * the schema land with their raw markup in that column instead of
+    * silently widening or vanishing — same quarantine contract as
+    * [[CsvSource.CsvOptions]]. */
   final case class XmlOptions(
       rowTag: String = "row",
       inferSchema: Boolean = true,
@@ -28,17 +34,31 @@ object XmlSource {
       // Spark's XML writer emits `<tag/>` for null fields and omits
       // nothing by default; nullValue aligns read-back with that.
       nullValue: String = "",
-      timestampFormat: Option[String] = None)
+      timestampFormat: Option[String] = None,
+      mode: String = "PERMISSIVE",
+      corruptColumn: Option[String] = None)
 
   /** Read one XML file or a directory of XML files as one DataFrame. */
   def read(spark: SparkSession, path: String, opts: XmlOptions = XmlOptions()): DataFrame = {
+    require(Set("PERMISSIVE", "DROPMALFORMED", "FAILFAST")
+      .contains(opts.mode.toUpperCase), s"unsupported XML mode: ${opts.mode}")
+    require(opts.corruptColumn.isEmpty || opts.schema.nonEmpty,
+      "corruptColumn requires an explicit schema (inference widens " +
+        "malformed cells to string instead of flagging them)")
     var r = spark.read.format("xml")
       .option("rowTag", opts.rowTag)
       .option("nullValue", opts.nullValue)
+      .option("mode", opts.mode.toUpperCase)
     opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
     val reader = opts.schema match {
-      case Some(sc) => r.schema(sc)
-      case None     => r.option("inferSchema", opts.inferSchema)
+      case Some(sc) => opts.corruptColumn match {
+        case Some(c) => r.option("columnNameOfCorruptRecord", c)
+          .schema(StructType(sc.fields :+
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType, nullable = true)))
+        case None => r.schema(sc)
+      }
+      case None => r.option("inferSchema", opts.inferSchema)
     }
     reader.load(path)
   }

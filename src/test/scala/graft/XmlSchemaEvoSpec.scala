@@ -89,6 +89,59 @@ class XmlSchemaEvoSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(agg.getLong(2) == cust.agg(sum(col("c_custkey"))).head().getLong(0))
   }
 
+  test("malformed-XML policies: quarantine, drop, failfast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xml_bad").toString
+    // two good rows, one row whose id fails the BIGINT schema
+    val xml =
+      """<?xml version="1.0"?>
+        |<rows>
+        |<r><id>1</id><s>ok-one</s></r>
+        |<r><id>not-a-number</id><s>bad</s></r>
+        |<r><id>3</id><s>ok-three</s></r>
+        |</rows>""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "t.xml"), xml.getBytes("UTF-8"))
+    val schema = StructType.fromDDL("id BIGINT, s STRING")
+    // PERMISSIVE + corrupt column: bad row lands with raw markup
+    val quarantined = XmlSource.read(spark, s"$dir/t.xml",
+      XmlSource.XmlOptions(rowTag = "r", schema = Some(schema),
+        corruptColumn = Some("_bad")))
+    val rows = quarantined.collect()
+    assert(rows.length == 3)
+    val bad = rows.filter(r => !r.isNullAt(r.fieldIndex("_bad")))
+    assert(bad.length == 1 && bad.head.getString(bad.head.fieldIndex("_bad"))
+      .contains("not-a-number"))
+    assert(quarantined.filter(col("_bad").isNull).as[(Long, String, String)]
+      .collect().map(t => (t._1, t._2)).toSet == Set((1L, "ok-one"), (3L, "ok-three")))
+    // DROPMALFORMED drops the cast-failed record on materialization —
+    // but the same count-pushdown caveat as CSV applies (pinned): a bare
+    // count() parses no columns, so nothing fails and the DROPPED row is
+    // still counted. Row-accurate accounting under DROPMALFORMED needs a
+    // materializing action (or the PERMISSIVE corrupt-column path).
+    val castDrop = XmlSource.read(spark, s"$dir/t.xml",
+      XmlSource.XmlOptions(rowTag = "r", schema = Some(schema),
+        mode = "DROPMALFORMED"))
+    assert(castDrop.count() == 3, "count pushdown sees the undropped raw records")
+    assert(castDrop.collect().length == 2, "materialization drops the cast failure")
+
+    // structurally broken markup: drop and failfast behave as documented
+    val broken =
+      """<?xml version="1.0"?>
+        |<rows>
+        |<r><id>1</id><s>ok-one</s></r>
+        |<r><id>2</id><s>unclosed
+        |<r><id>3</id><s>ok-three</s></r>
+        |</rows>""".stripMargin
+    Files.write(java.nio.file.Paths.get(dir, "broken.xml"), broken.getBytes("UTF-8"))
+    val dropped = XmlSource.read(spark, s"$dir/broken.xml",
+      XmlSource.XmlOptions(rowTag = "r", schema = Some(schema),
+        mode = "DROPMALFORMED"))
+    assert(dropped.count() < 3, "structurally malformed record must drop")
+    val ff = XmlSource.read(spark, s"$dir/broken.xml",
+      XmlSource.XmlOptions(rowTag = "r", schema = Some(schema), mode = "FAILFAST"))
+    assertThrows[org.apache.spark.SparkException](ff.collect())
+  }
+
   test("registered gates run and agree with in-Spark oracle replay") {
     for (name <- Seq("conv_xml_roundtrip", "conv_schema_evolution")) {
       val out = SparkEntry.queries(name)(spark, sf)
