@@ -215,8 +215,8 @@ object Cli {
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
-      require(Seq("csv", "jsonl").contains(fmt.toLowerCase),
-        s"export format must be csv|jsonl, got $fmt")
+      require(Seq("csv", "jsonl", "parquet").contains(fmt.toLowerCase),
+        s"export format must be csv|jsonl|parquet, got $fmt")
       val compression = rest.headOption.getOrElse("none")
       val df = graft.sinks.OrcSink.read(spark, orcDir)
       val name = new org.apache.hadoop.fs.Path(orcDir).getName
@@ -225,6 +225,10 @@ object Cli {
         else w.option("compression", compression.toLowerCase)
       fmt.toLowerCase match {
         case "csv" => w2.option("header", true).csv(s"$outDir/$name")
+        // parquet's writer default is snappy, so "none" must be passed
+        // through explicitly (csv/json default to uncompressed already)
+        case "parquet" => (if (compression.toLowerCase == "none")
+          w.option("compression", "none") else w2).parquet(s"$outDir/$name")
         case _ => w2.json(s"$outDir/$name")
       }
       // report describes the WRITTEN output: rows from the constructed
@@ -242,7 +246,7 @@ object Cli {
           |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
-          |  export <orc_table_dir> <output_dir> <csv|jsonl> [compression=none]
+          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet> [compression=none]
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
           |  jsonl <json_path> <output_dir> [compression=snappy]""".stripMargin)

@@ -240,6 +240,20 @@ object PipelineQueries {
           countDistinct(col("user_id")).as("n_users"))
     },
 
+    // FULL OUTER stream-stream join: null-padded rows must emit on BOTH
+    // sides at watermark eviction (unmatched errors AND unmatched clicks
+    // — click state evicts once the watermark passes click_ts + window).
+    // The batch FULL JOIN oracle must agree exactly.
+    "stream_full_join" -> { (s, d) =>
+      EventStream.clickErrorFullJoin(s, d)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("err_id").isNotNull && col("click_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_err_unmatched"),
+          sum(when(col("err_id").isNull, 1L).otherwise(0L)).as("n_click_unmatched"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
     "multimodal_bytes" -> { (s, d) =>
       Multimodal.toMultimodal(t(s, d, "documents"))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
@@ -957,6 +971,27 @@ object PipelineQueries {
         |SELECT COUNT(*) AS n_rows, COUNT(click_id) AS n_matched,
         | CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j""".stripMargin,
+
+    // full outer stream-stream join == the batch FULL JOIN over the data
+    "stream_full_join" ->
+      """WITH e AS (
+        | SELECT user_id, CAST(ts AS TIMESTAMP) AS tsu, event_id, event_type
+        | FROM events),
+        |j AS (
+        | SELECT COALESCE(err.user_id, clk.user_id) AS u,
+        |        err.event_id AS err_id, clk.event_id AS click_id
+        | FROM (SELECT * FROM e WHERE event_type = 'error') err
+        | FULL JOIN (SELECT * FROM e WHERE event_type = 'click') clk
+        |   ON err.user_id = clk.user_id
+        |  AND clk.tsu <= err.tsu
+        |  AND clk.tsu > err.tsu - INTERVAL 5 MINUTE)
+        |SELECT COUNT(*) AS n_rows,
+        | CAST(SUM(CASE WHEN err_id IS NOT NULL AND click_id IS NOT NULL
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        | CAST(SUM(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_err_unmatched,
+        | CAST(SUM(CASE WHEN err_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_unmatched,
+        | CAST(COUNT(DISTINCT u) AS BIGINT) AS n_users
         |FROM j""".stripMargin,
 
     // stream-stream join == the batch join over the same data

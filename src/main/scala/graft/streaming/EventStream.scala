@@ -439,7 +439,25 @@ object EventStream {
     * one) — polled for, then sentinels are filtered out. Exactly-once
     * contract = the batch LEFT JOIN over the same data. */
   def clickErrorLeftJoin(spark: SparkSession, sfDir: String,
-                         windowMinutes: Long = 5): DataFrame = {
+                         windowMinutes: Long = 5): DataFrame =
+    clickErrorOuterJoin(spark, sfDir, "leftOuter", windowMinutes)
+
+  /** Stream-stream FULL OUTER join: [[clickErrorLeftJoin]]'s contract on
+    * BOTH sides — unmatched errors null-pad their click columns AND
+    * unmatched clicks null-pad their error columns, each emitting only
+    * when the watermark proves no partner can still arrive (clicks evict
+    * once the watermark passes click_ts + window — the forward half of
+    * the time-range condition). Same sentinel harness: the +30d sentinel
+    * batch's watermark flushes every real unmatched row on both sides
+    * long before the +60d batch flushes the polled sentinel row.
+    * Exactly-once contract = the batch FULL JOIN over the same data. */
+  def clickErrorFullJoin(spark: SparkSession, sfDir: String,
+                         windowMinutes: Long = 5): DataFrame =
+    clickErrorOuterJoin(spark, sfDir, "fullOuter", windowMinutes)
+
+  private def clickErrorOuterJoin(spark: SparkSession, sfDir: String,
+                                  joinType: String,
+                                  windowMinutes: Long): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events_ssleft")
@@ -501,25 +519,29 @@ object EventStream {
       .select(col("user_id").as("user_id"), col("ts").as("err_ts"),
         col("event_id").as("err_id"))
       .withWatermark("err_ts", "1 hour")
+    // coalesce the user key AFTER the join: in a full outer join either
+    // side's key column can be null on the padded rows
     val joined = errors.join(clicks,
       expr(s"""user_id = c_user AND
                click_ts <= err_ts AND
                click_ts > err_ts - INTERVAL $windowMinutes MINUTES"""),
-      "leftOuter")
-      .select(col("user_id"), col("err_id"), col("click_id"))
+      joinType)
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("err_id"), col("click_id"))
+    val sink = s"graft_stream_ss_$joinType".toLowerCase
     val q = joined.writeStream.outputMode(OutputMode.Append())
-      .format("memory").queryName("graft_stream_ssleft").start()
+      .format("memory").queryName(sink).start()
     try {
       q.processAllAvailable()
       val deadline = System.nanoTime() + 60L * 1000000000L
-      while (spark.table("graft_stream_ssleft")
-               .filter(col("user_id") === -1L).isEmpty &&
+      while (spark.table(sink)
+               .filter(col("user_id") === -1L && col("err_id").isNotNull).isEmpty &&
              System.nanoTime() < deadline) {
         Thread.sleep(100)
         q.processAllAvailable()
       }
     } finally q.stop()
-    spark.table("graft_stream_ssleft").filter(col("user_id") >= 0)
+    spark.table(sink).filter(col("user_id") >= 0)
   }
 
   /** Continuous converter: stream the landing directory into an ORC table

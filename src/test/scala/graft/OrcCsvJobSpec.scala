@@ -304,16 +304,21 @@ class OrcCsvJobSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val df = Seq((1L, "plain text", 2.5), (2L, "commas, included", 3.5))
       .toDF("id", "note", "v")
     graft.sinks.OrcSink.write(df, base, "things")
-    for (fmt <- Seq("csv", "jsonl")) {
+    for (fmt <- Seq("csv", "jsonl", "parquet")) {
       val rep = Cli.run(spark, Seq("export", s"$base/things", s"$base/$fmt", fmt)).get
       assert(rep.successes === 1)
       val back = fmt match {
         case "csv" => spark.read.option("header", true)
           .option("inferSchema", true).csv(s"$base/$fmt/things")
+        case "parquet" => spark.read.parquet(s"$base/$fmt/things")
         case _ => spark.read.json(s"$base/$fmt/things")
       }
       val rows = back.select("id", "note", "v").orderBy("id").collect()
       assert(rows.map(_.getString(1)).toSeq === Seq("plain text", "commas, included"))
     }
+    // parquet keeps exact types (no inference round-trip): long/double survive
+    val pq = spark.read.parquet(s"$base/parquet/things")
+    assert(pq.schema("id").dataType.typeName == "long")
+    assert(pq.schema("v").dataType.typeName == "double")
   }
 }
