@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The per-round bench harness parses the LAST stdout line as JSON; sbt's
+// "[success] Total time: ..." trailer after runMain otherwise displaces
+// the emitted metrics line (BENCH_r08/r09 "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// Pass the forked runMain JVM's stdout through verbatim instead of
+// re-logging it with an "[info] " prefix — the bench JSON line must be
+// parseable exactly as printed.
+run / outputStrategy := Some(StdoutOutput)
 run / connectInput := true  // interactive Cli mode reads stdin
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -124,5 +124,11 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    // Re-emit the metrics line as the FINAL stdout act (after spark.stop's
+    // log noise, which goes to stderr but can interleave): the driver
+    // parses the last stdout line as JSON, and build.sbt suppresses sbt's
+    // "[success]" trailer (showSuccess := false) so this line stays last.
+    println(line)
+    System.out.flush()
   }
 }

@@ -4,7 +4,7 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{CsvSource, JdbcSource, PgDumpSource, SqlDumpSource, XmlSource}
+import graft.sources.{AvroSource, CsvSource, JdbcSource, PgDumpSource, SqlDumpSource, XmlSource}
 import graft.ConversionJob.{JobConfig, JobReport}
 
 /** Non-interactive CLI mirroring the reference's three argv contracts
@@ -205,11 +205,38 @@ object Cli {
         jobConfig(outDir, compression)))
 
     // JSONL path (beyond-reference input; the LLM-corpus interchange
-    // format): a file or directory of *.jsonl/*.json(.gz) members.
+    // format): a file or directory whose *.jsonl/*.json(.gz) members each
+    // become their own table (same per-input contract as csv/xml; stray
+    // non-JSON files in the directory are ignored, not silently parsed
+    // into corrupt-record rows).
     case "jsonl" :: jsonPath :: outDir :: rest if rest.length <= 1 =>
       val compression = rest.headOption.getOrElse("snappy")
+      val inputs = listByExt(spark, jsonPath,
+        Seq(".jsonl", ".json", ".jsonl.gz", ".json.gz"))
       Some(ConversionJob.run(
-        Seq(CsvSource.baseName(jsonPath) -> (() => spark.read.json(jsonPath))),
+        inputs.map(f => CsvSource.baseName(f) -> (() => spark.read.json(f))),
+        jobConfig(outDir, compression)))
+
+    // Parquet path (beyond-reference input; completes the README's
+    // "universal data" claim — the repo already reads parquet everywhere
+    // internally): a single file/table directory converts as one table; a
+    // directory of *.parquet members converts per file.
+    case "parquet" :: inPath :: outDir :: rest if rest.length <= 1 =>
+      val compression = rest.headOption.getOrElse("snappy")
+      val inputs = listByExt(spark, inPath, Seq(".parquet"))
+      Some(ConversionJob.run(
+        inputs.map(f => CsvSource.baseName(f) -> (() => spark.read.parquet(f))),
+        jobConfig(outDir, compression)))
+
+    // Avro container-file path (beyond-reference input): read distributed
+    // via avro-mapred's sync-marker-splittable input format — the
+    // spark-avro datasource module is not on this deployment's classpath,
+    // but the Avro core + mapred jars Spark itself depends on are.
+    case "avro" :: inPath :: outDir :: rest if rest.length <= 1 =>
+      val compression = rest.headOption.getOrElse("snappy")
+      val inputs = listByExt(spark, inPath, Seq(".avro"))
+      Some(ConversionJob.run(
+        inputs.map(f => CsvSource.baseName(f) -> (() => AvroSource.read(spark, f))),
         jobConfig(outDir, compression)))
 
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
@@ -249,8 +276,28 @@ object Cli {
           |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet> [compression=none]
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
-          |  jsonl <json_path> <output_dir> [compression=snappy]""".stripMargin)
+          |  jsonl <json_path> <output_dir> [compression=snappy]
+          |  parquet <parquet_path> <output_dir> [compression=snappy]
+          |  avro  <avro_path> <output_dir> [compression=snappy]""".stripMargin)
       None
+    }
+  }
+
+  /** File-vs-directory input expansion shared by the per-file legs
+    * (jsonl/parquet/avro; csv/xml have their own in their sources): a file
+    * is itself; a directory yields members matching `exts` (sorted for a
+    * deterministic table order). A directory with NO matching members is
+    * treated as one whole-directory table — the layout parquet datasets
+    * ship in (a dir of part-files). */
+  private def listByExt(spark: SparkSession, path: String, exts: Seq[String]): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.getFileStatus(p).isDirectory) Seq(path)
+    else {
+      val members = fs.listStatus(p).map(_.getPath)
+        .filter(f => exts.exists(f.getName.toLowerCase.endsWith))
+        .map(_.toString).toSeq.sorted
+      if (members.nonEmpty) members else Seq(path)
     }
   }
 

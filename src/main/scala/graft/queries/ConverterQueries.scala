@@ -69,6 +69,23 @@ object ConverterQueries {
       }
     }
 
+  /** Per-invocation private working dir under `runBase`: sweeps every
+    * PREVIOUS invocation's UUID dir first (their DataFrames have been fully
+    * consumed — Verify/Bench run queries to completion sequentially), then
+    * carves a fresh one. The returned frame reads the new dir lazily, so
+    * the current dir must survive until the next invocation; deleting
+    * eagerly after building the plan would break the read (ADVICE r9:
+    * unbounded /tmp scratch accumulation across repeated runs). */
+  private def freshRunDir(runBase: String, leaf: String): String = {
+    val root = new java.io.File(runBase)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    Option(root.listFiles()).foreach(_.foreach(rm))
+    s"$runBase/${java.util.UUID.randomUUID()}/$leaf"
+  }
+
   /** Synthetic CDC change rows for the merge gates: filtered customer
     * rows with a replaced balance, optional key shift, op + sequence
     * (one definition for the batch and streaming gates). */
@@ -170,6 +187,79 @@ object ConverterQueries {
           t(s, d, "customer"), "customer", dumpPath,
           typeOverrides = Map("c_acctbal" -> "DECIMAL(12,2)", "c_nationkey" -> "INT",
             "c_name" -> "VARCHAR(64)", "c_mktsegment" -> "VARCHAR(16)"))
+      }
+      val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Bzip2-dump path: unlike gzip, bzip2 is a SPLITTABLE Hadoop codec
+    // (pure Java, block-structured) — the distributed statement parse
+    // splits ONE compressed dump across executors at block boundaries,
+    // which is the posture that matters for a multi-hundred-GB
+    // `mysqldump | bzip2` artifact. Same aggregate/oracle as the plain
+    // round-trip; DumpCodecSpec separately proves >1 input split on a
+    // multi-block file.
+    "conv_dump_bz2" -> { (s, d) =>
+      val base = tmp(d, "dumpbz2")
+      val dumpPath = s"$base/customer.sql.bz2"
+      stageOnce(base) {
+        SqlDumpFixture.writeDump(
+          t(s, d, "customer"), "customer", dumpPath,
+          typeOverrides = Map("c_acctbal" -> "DECIMAL(12,2)", "c_nationkey" -> "INT",
+            "c_name" -> "VARCHAR(64)", "c_mktsegment" -> "VARCHAR(16)"))
+      }
+      val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Zstd-dump path (`mysqldump | zstd > dump.sql.zst` — the codec
+    // modern estates actually reach for): decoded by graft's
+    // zstd-jni-backed Hadoop codec (ZstdJniCodec; Hadoop's own
+    // ZStandardCodec needs a native libhadoop this image lacks). Same
+    // aggregate/oracle as the plain round-trip.
+    "conv_dump_zst" -> { (s, d) =>
+      val base = tmp(d, "dumpzst")
+      val dumpPath = s"$base/customer.sql.zst"
+      stageOnce(base) {
+        SqlDumpFixture.writeDump(
+          t(s, d, "customer"), "customer", dumpPath,
+          typeOverrides = Map("c_acctbal" -> "DECIMAL(12,2)", "c_nationkey" -> "INT",
+            "c_name" -> "VARCHAR(64)", "c_mktsegment" -> "VARCHAR(16)"))
+      }
+      val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // SQLite dump dialect (third dialect; `sqlite3 db .dump` shape):
+    // PRAGMA prologue, BEGIN TRANSACTION/COMMIT framing, double-quoted
+    // identifiers, SQLite type names (INTEGER/TEXT/NUMERIC), quote-
+    // doubling-only string escapes, one INSERT per row. Parsed by the
+    // same statement-scanner core (framing statements fall through the
+    // CREATE/INSERT matchers); same aggregate/oracle as
+    // conv_dump_roundtrip, so a hash match proves the dialect changed
+    // nothing about the parsed rows.
+    "conv_sqlitedump_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "sqlitedump")
+      val dumpPath = s"$base/customer.sql"
+      stageOnce(base) {
+        SqlDumpFixture.writeSqliteDump(
+          t(s, d, "customer"), "customer", dumpPath,
+          typeOverrides = Map("c_acctbal" -> "NUMERIC(12,2)"))
       }
       val dfs = SqlDumpSource.parse(s, dumpPath, Seq("all"), distributed = true)
       dfs("customer")
@@ -392,6 +482,50 @@ object ConverterQueries {
         .orderBy(col("l_returnflag"))
     },
 
+    // Parquet input leg (completes the README's "universal data" claim —
+    // README.md:1,45 — through the CLI): customer re-staged as a parquet
+    // dataset, then the full `Cli parquet` path (listByExt per-input
+    // naming -> ConversionJob -> OrcSink) -> ORC read-back -> aggregate.
+    // Same aggregate/oracle as conv_dump_roundtrip: a hash match proves
+    // the CLI leg preserved every row and type.
+    "conv_parquet_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "parquet_in")
+      stageOnce(base) {
+        t(s, d, "customer").write.mode("overwrite")
+          .parquet(s"$base/in/customer.parquet")
+      }
+      val out = s"$base/orc"
+      graft.Cli.run(s, Seq("parquet", s"$base/in", out, "zlib"))
+      OrcSink.read(s, s"$out/customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Avro input leg: customer staged as ONE Avro container file (sync-
+    // marker splittable), converted via the full `Cli avro` path — the
+    // avro-mapred AvroKeyInputFormat read (no spark-avro datasource on
+    // this classpath), GenericRecord->Row conversion with the declared
+    // type map, shared ConversionJob/OrcSink — then read back and
+    // aggregated against the same closed-form oracle.
+    "conv_avro_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "avro_in")
+      stageOnce(base) {
+        graft.sources.AvroSource.write(
+          t(s, d, "customer"), s"$base/in/customer.avro")
+      }
+      val out = s"$base/orc"
+      graft.Cli.run(s, Seq("avro", s"$base/in", out, "zlib"))
+      OrcSink.read(s, s"$out/customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // XML path (beyond-reference input completing "universal data"):
     // parquet -> XML files (Spark 4 built-in XML writer, SPARK-44265) ->
     // XmlSource with an EXPLICIT schema (the production posture — inference
@@ -516,7 +650,7 @@ object ConverterQueries {
       }
       val stagedDir = s"$stagedBase/customer"
       val pristine = jvmStageOnce(s"cdc_part_md5:$stagedDir")(md5Snapshot(stagedDir))
-      val dir = tmp(d, "cdc_part") + "/" + java.util.UUID.randomUUID() + "/customer"
+      val dir = freshRunDir(tmp(d, "cdc_part"), "customer")
       hardLinkTree(new java.io.File(stagedDir), new java.io.File(dir))
       val cust = t(s, d, "customer").select(cols.map(col): _*)
       val ch = cdcChange(cust) _
@@ -564,7 +698,7 @@ object ConverterQueries {
           t(s, d, "events").select(col("event_id"), col("event_type"), col("value")),
           stagedBase, "events", maxRecordsPerFile = 500L)
       }
-      val dir = tmp(d, "compact_run") + "/" + java.util.UUID.randomUUID() + "/events"
+      val dir = freshRunDir(tmp(d, "compact_run"), "events")
       hardLinkTree(new java.io.File(s"$stagedBase/events"), new java.io.File(dir))
       def orcCount(p: String): Int = {
         def walk(f: java.io.File): Seq[java.io.File] =
@@ -578,7 +712,11 @@ object ConverterQueries {
         .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"),
           sum(col("event_id")).as("sum_id"))
         .withColumn("compacted_fewer",
-          lit(if (before > 1 && report.files < before) 1L else 0L))
+          // before <= 1: nothing to compact is success, not failure — at a
+          // small sf the staged fragmented layout can legitimately collapse
+          // to one part file despite maxRecordsPerFile (ADVICE r9: pinning
+          // 1 only for before > 1 made that a spurious hash mismatch)
+          lit(if (before <= 1 || report.files < before) 1L else 0L))
         .orderBy(col("event_type"))
     },
 
@@ -780,6 +918,24 @@ object ConverterQueries {
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
+    "conv_dump_bz2" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_dump_zst" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_sqlitedump_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
     "conv_dump_dialect" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
@@ -817,6 +973,18 @@ object ConverterQueries {
     "conv_pgdump_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_parquet_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_avro_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 

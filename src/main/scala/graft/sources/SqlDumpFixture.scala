@@ -43,10 +43,9 @@ object SqlDumpFixture {
     // a `.gz` path writes gzip-compressed — the form mysqldump output
     // actually ships in (`mysqldump | gzip > dump.sql.gz`)
     val raw = fs.create(p, true)
-    val stream: java.io.OutputStream =
-      if (path.toLowerCase.endsWith(".gz")) new java.util.zip.GZIPOutputStream(raw)
-      else raw
-    val out = new BufferedWriter(new OutputStreamWriter(stream, StandardCharsets.UTF_8))
+    val out = new BufferedWriter(new OutputStreamWriter(
+      compressByExtension(path, raw,
+        df.sparkSession.sparkContext.hadoopConfiguration), StandardCharsets.UTF_8))
     try {
       out.write("-- graft test fixture dump\n")
       out.write("/* statement scanner must skip this block comment; it contains ';' and ')' */\n")
@@ -96,6 +95,27 @@ object SqlDumpFixture {
     } finally out.close()
   }
 
+  /** Wrap `raw` in the compressor the path extension names — the forms
+    * dumps actually ship in (`mysqldump | gzip/bzip2/zstd > dump.sql.EXT`).
+    * `.bz2` goes through Hadoop's pure-Java splittable BZip2Codec (the
+    * distributed statement parse then splits ONE compressed dump across
+    * executors at block boundaries — gzip can't); `.zst` through the
+    * Hadoop codec when its native binding is loadable. */
+  private def compressByExtension(path: String, raw: java.io.OutputStream,
+                                  conf: org.apache.hadoop.conf.Configuration): java.io.OutputStream = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".gz")) new java.util.zip.GZIPOutputStream(raw)
+    else if (lower.endsWith(".bz2")) {
+      val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+      codec.setConf(conf)
+      codec.createOutputStream(raw)
+    } else if (lower.endsWith(".zst")) {
+      // zstd-jni directly: Hadoop's ZStandardCodec needs native libhadoop
+      // (absent here); the read side resolves via graft's ZstdJniCodec
+      new com.github.luben.zstd.ZstdOutputStream(raw)
+    } else raw
+  }
+
   def defaultMysqlType(dt: DataType): String = dt match {
     case LongType | IntegerType | ShortType | ByteType => "BIGINT"
     case DoubleType | FloatType => "DOUBLE"
@@ -127,6 +147,74 @@ object SqlDumpFixture {
     }
     cells.mkString("(", ",", ")")
   }
+
+  /** Write `df` in the exact shape `sqlite3 db .dump` emits (the third
+    * dump dialect beside mysqldump/pg_dump): `PRAGMA` prologue,
+    * `BEGIN TRANSACTION;`/`COMMIT;` framing, CREATE TABLE with
+    * double-quoted identifiers and SQLite type names, and one
+    * `INSERT INTO "t" VALUES(...)` per row. SQLite string literals escape
+    * ONLY by quote doubling — backslash is a plain character — so this
+    * writer must not reuse the MySQL [[quote]]. `typeOverrides` pins
+    * declared types as in [[writeDump]] (SQLite DDL accepts any type
+    * name, and .dump preserves the original declaration verbatim). */
+  def writeSqliteDump(df: DataFrame, tableName: String, path: String,
+                      typeOverrides: Map[String, String] = Map.empty): Unit = {
+    val schema = df.schema
+    val declared = schema.fields.map(f =>
+      f.name -> typeOverrides.getOrElse(f.name, defaultSqliteType(f.dataType))).toMap
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = new BufferedWriter(new OutputStreamWriter(
+      compressByExtension(path, fs.create(p, true),
+        df.sparkSession.sparkContext.hadoopConfiguration), StandardCharsets.UTF_8))
+    try {
+      out.write("PRAGMA foreign_keys=OFF;\n")
+      out.write("BEGIN TRANSACTION;\n")
+      out.write(s"""CREATE TABLE "$tableName" (\n""")
+      out.write(schema.fields.map(f => s"""  "${f.name}" ${declared(f.name)}""")
+        .mkString(",\n"))
+      out.write("\n);\n")
+      val it = df.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+          if (row.isNullAt(i)) "NULL"
+          else {
+            val decl = declared(f.name).toUpperCase
+            (f.dataType, row.get(i)) match {
+              case (DoubleType, v: Double) if decl.startsWith("NUMERIC") && decl.contains(",") =>
+                val scale = decl.drop(decl.indexOf(',') + 1).takeWhile(_.isDigit).toInt
+                java.math.BigDecimal.valueOf(v)
+                  .setScale(scale, java.math.RoundingMode.HALF_UP).toPlainString
+              case (DoubleType, v: Double) => java.math.BigDecimal.valueOf(v).toPlainString
+              case (LongType | IntegerType | ShortType | ByteType, v) => v.toString
+              case (BooleanType, v: Boolean) => if (v) "1" else "0"
+              case (TimestampType, v: java.sql.Timestamp) => sqliteQuote(v.toString.stripSuffix(".0"))
+              case (DateType, v: java.sql.Date) => sqliteQuote(v.toString)
+              case (BinaryType, v: Array[Byte]) =>
+                "X'" + v.map("%02x".format(_)).mkString + "'"
+              case (_, v) => sqliteQuote(v.toString)
+            }
+          }
+        }
+        out.write(s"""INSERT INTO "$tableName" VALUES(${cells.mkString(",")});\n""")
+      }
+      out.write("COMMIT;\n")
+    } finally out.close()
+  }
+
+  def defaultSqliteType(dt: DataType): String = dt match {
+    case LongType | IntegerType | ShortType | ByteType | BooleanType => "INTEGER"
+    case DoubleType | FloatType => "REAL"
+    case d: DecimalType => s"NUMERIC(${d.precision},${d.scale})"
+    case BinaryType => "BLOB"
+    case _ => "TEXT" // strings, dates, timestamps — SQLite stores them as text
+  }
+
+  /** SQLite string literal: quote-doubling ONLY (no backslash escapes;
+    * control characters ride verbatim inside the quotes). */
+  def sqliteQuote(s: String): String =
+    "'" + s.replace("'", "''") + "'"
 
   /** MySQL string literal with backslash + doubled-quote escaping. */
   def quote(s: String): String = {

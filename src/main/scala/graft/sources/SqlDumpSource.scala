@@ -714,6 +714,9 @@ object SqlDumpSource {
   private def statementsRdd(spark: SparkSession, path: String) = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     conf.set("textinputformat.record.delimiter", ";\n")
+    // `.sql.zst` dumps decode through the zstd-jni-backed codec (Hadoop's
+    // own ZStandardCodec needs a native libhadoop this image lacks)
+    ZstdJniCodec.register(conf)
     spark.sparkContext
       .newAPIHadoopFile(path, classOf[TextInputFormat], classOf[LongWritable], classOf[Text], conf)
       .flatMap { r =>
@@ -727,7 +730,8 @@ object SqlDumpSource {
 
   private def openReader(spark: SparkSession, path: String): BufferedReader = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    ZstdJniCodec.register(conf) // private copy — never mutate the shared conf
     val fs = p.getFileSystem(conf)
     // Hadoop's codec factory keys on the extension, so `.sql.gz` dumps —
     // the form mysqldump output actually ships in — stream-decompress

@@ -54,8 +54,12 @@ class RadiusCalibrateSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val kept = out.groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // percent_rank >= 0.8 keeps ceil(0.2*(n-1)) + ... ≈ top 20% per language
-    for ((lang, n) <- perLang if n > 1) {
+    // percent_rank >= 0.8 keeps ~top 20% per language. Tiny languages are
+    // excluded from the ratio band: at n=2 percent_rank keeps 1 of 2
+    // (retention 0.5) by construction, which is correct behavior but
+    // outside any ~0.2 band — the band is only meaningful once the
+    // quantile has resolution (ADVICE r9: n > 1 was fixture-brittle).
+    for ((lang, n) <- perLang if n >= 5) {
       val k = kept.getOrElse(lang, 0L).toDouble / n
       assert(k > 0.1 && k < 0.35, s"$lang retention $k not ~0.2 (n=$n)")
     }
