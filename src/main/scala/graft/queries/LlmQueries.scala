@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{CountMin, Dedup, NgramLm, Profile, Retrieval, Similarity, TextAnalysis}
+import graft.operators.{CountMin, Dedup, NgramLm, Profile, Retrieval, Similarity, TextAnalysis, UrlCuration}
 
 /** LLM training-data pipeline operators under the correctness gate.
   *
@@ -352,6 +352,58 @@ object LlmQueries {
        | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM c GROUP BY source""".stripMargin
 
+  /** Deterministic messy-URL decorator for the URL-curation gates: every
+    * residue class plants a different canonicalization hazard (mixed-case
+    * scheme+host, www., scheme-default vs real ports, utm params in both
+    * positions, fragments, trailing slashes). Docs congruent mod 150
+    * canonicalize to the SAME url under DIFFERENT messy spellings — the
+    * url-dedup signal (150 = lcm of every canon-surviving residue: host
+    * %5, path %50, query class %3, id %10, port class %6). */
+  private[graft] def messyUrl(docId: Column): Column = concat(
+    when(docId % 3 === 0, lit("HTTP"))
+      .when(docId % 3 === 1, lit("HTTPS")).otherwise(lit("hTtp")),
+    lit("://"),
+    when(docId % 4 === 0, lit("WWW.")).when(docId % 4 === 2, lit("www."))
+      .otherwise(lit("")),
+    lit("h"), (docId % 5).cast("string"), lit(".Example.COM"),
+    when(docId % 6 === 0, lit(":80")).when(docId % 6 === 1, lit(":443"))
+      .when(docId % 6 === 3, lit(":8080")).otherwise(lit("")),
+    lit("/docs/"), (docId % 50).cast("string"),
+    when(docId % 2 === 0, lit("/")).otherwise(lit("")),
+    when(docId % 3 === 0,
+        concat(lit("?utm_source=rss&id="), (docId % 10).cast("string")))
+      .when(docId % 3 === 1,
+        concat(lit("?id="), (docId % 10).cast("string"),
+          lit("&utm_medium=email")))
+      .otherwise(lit("")),
+    when(docId % 5 === 1, lit("#section-2")).otherwise(lit("")))
+
+  /** DuckDB replay of [[messyUrl]] (single-line fragment — spliced into
+    * stripMargin oracle bodies, so it must not carry newlines). */
+  private val MessyUrlSql: String =
+    "(CASE WHEN doc_id % 3 = 0 THEN 'HTTP' WHEN doc_id % 3 = 1 THEN 'HTTPS' ELSE 'hTtp' END)" +
+      " || '://'" +
+      " || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' WHEN doc_id % 4 = 2 THEN 'www.' ELSE '' END)" +
+      " || 'h' || CAST(doc_id % 5 AS VARCHAR) || '.Example.COM'" +
+      " || (CASE WHEN doc_id % 6 = 0 THEN ':80' WHEN doc_id % 6 = 1 THEN ':443'" +
+      " WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END)" +
+      " || '/docs/' || CAST(doc_id % 50 AS VARCHAR)" +
+      " || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)" +
+      " || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=rss&id=' || CAST(doc_id % 10 AS VARCHAR)" +
+      " WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_medium=email'" +
+      " ELSE '' END)" +
+      " || (CASE WHEN doc_id % 5 = 1 THEN '#section-2' ELSE '' END)"
+
+  /** Independent direct construction of the EXPECTED canonical url (the
+    * canon-surviving residues only — scheme class, host, real port, path,
+    * de-tracked query). */
+  private val CanonUrlSql: String =
+    "(CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)" +
+      " || '://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'" +
+      " || (CASE WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END)" +
+      " || '/docs/' || CAST(doc_id % 50 AS VARCHAR)" +
+      " || (CASE WHEN doc_id % 3 IN (0, 1) THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END)"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, d) =>
       // normText's regex is the expensive part: materialize it ONCE in its
@@ -544,6 +596,59 @@ object LlmQueries {
           (col("norm") =!= col("raw")).as("changed"),
           md5(col("norm")).as("norm_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // URL canonicalization — the step BEFORE any text pass in every
+    // published crawl pipeline (C4 / CCNet / RefinedWeb all start with
+    // URL normalization + URL-level dedup + domain caps). Each doc gets a
+    // deterministic MESSY url (mixed-case scheme/host, www., default and
+    // non-default ports, utm_* params, fragments, trailing slashes) and
+    // the codegen'd canonicalizer must reduce it to the one true
+    // spelling. The oracle constructs the EXPECTED canonical form
+    // independently from the same residues — it verifies the algorithm's
+    // output, not a replay of its regexes.
+    "text_url_canon" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+        .select(col("doc_id"), col("url"),
+          UrlCuration.canonicalize(col("url")).as("canon_url"))
+        .withColumn("domain", UrlCuration.domainOf(col("canon_url")))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL-level exact dedup: docs congruent mod 150 carry DIFFERENT messy
+    // spellings of the SAME canonical url (the decorations that differ —
+    // www/fragment/slash — are exactly the ones canonicalization
+    // removes), so the group-by collapses them. Hash-partitioned agg on
+    // the canonical string — the same map-side-combine shape as exact
+    // text dedup, no skew (residues are uniform).
+    "dedup_url" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          UrlCuration.canonicalize(messyUrl(col("doc_id"))).as("canon_url"))
+        .groupBy(col("canon_url"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_dups"))
+        .orderBy(col("canon_url"))
+    },
+
+    // Per-domain cap (C4's "limit pages per domain" balancing step): keep
+    // the first 30 docs per registrable domain in doc_id order. One
+    // shuffle: the row_number window and the follow-up group-by share the
+    // domain key, so Catalyst reuses the exchange.
+    "pipeline_cap_per_domain" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("domain")).orderBy(col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          UrlCuration.domainOf(
+            UrlCuration.canonicalize(messyUrl(col("doc_id")))).as("domain"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("rn") <= 30, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") <= 30, col("doc_id"))).as("kept_id_sum"))
+        .orderBy(col("domain"))
     },
 
     // Gopher line-repetition rules (Rae et al. 2021 Table A1, shared by
@@ -2464,6 +2569,33 @@ object LlmQueries {
         | CAST(length(norm) AS BIGINT) AS n_cp_norm,
         | (norm <> raw) AS changed, md5(norm) AS norm_md5
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // The messy leg replays the decorator verbatim; the canon leg is an
+    // INDEPENDENT direct construction of the expected canonical spelling
+    // from the same residues, so the gate verifies what the regex chain
+    // produces, not the chain itself.
+    "text_url_canon" ->
+      s"""WITH u AS (SELECT doc_id, $MessyUrlSql AS url,
+         |  $CanonUrlSql AS canon_url FROM documents)
+         |SELECT doc_id, url, canon_url,
+         | 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS domain
+         |FROM u ORDER BY doc_id""".stripMargin,
+
+    "dedup_url" ->
+      s"""WITH u AS (SELECT doc_id, $CanonUrlSql AS canon_url FROM documents)
+         |SELECT canon_url, MIN(doc_id) AS keep_id,
+         | CAST(COUNT(*) AS BIGINT) AS n_dups
+         |FROM u GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    "pipeline_cap_per_domain" ->
+      """WITH u AS (
+        | SELECT doc_id, 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS domain
+        | FROM documents),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS rn FROM u)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_total,
+        | CAST(SUM(CASE WHEN rn <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN rn <= 30 THEN doc_id END) AS BIGINT) AS kept_id_sum
+        |FROM r GROUP BY domain ORDER BY domain""".stripMargin,
 
     // Replays decoration, page assembly, line normalization, every C4
     // line predicate (terminal punct / >=5 words / javascript) and page
