@@ -276,6 +276,8 @@ object Cli {
           |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet> [compression=none]
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
+          |        (empty elements read as empty strings, not NULL —
+          |         absent elements are NULL)
           |  jsonl <json_path> <output_dir> [compression=snappy]
           |  parquet <parquet_path> <output_dir> [compression=snappy]
           |  avro  <avro_path> <output_dir> [compression=snappy]""".stripMargin)

@@ -48,7 +48,14 @@ object ConversionJob {
       // denominator, no extra pass: the right setting at 100 TB.
       progressTotals: Boolean = true,
       // reference tees every log line to data_to_orc.log (sh:19); None = console only
-      logFile: Option[String] = Some(sys.env.getOrElse("GRAFT_LOG_FILE", "data_to_orc.log")))
+      logFile: Option[String] = Some(sys.env.getOrElse("GRAFT_LOG_FILE", "data_to_orc.log")),
+      // resume mode: skip tables whose output directory already carries a
+      // verified success marker matching the CURRENT source schema and an
+      // intact part-file listing. A 500-table export that died at table
+      // 400 re-runs 100 tables, not 500 (the multi-terabyte operability
+      // gap — README.md:278). Default off: a plain re-run overwrites.
+      resume: Boolean = sys.env.get("GRAFT_RESUME").exists(v =>
+        v == "1" || v.equalsIgnoreCase("true")))
 
   final case class TableResult(table: String, success: Boolean, rows: Long,
                                files: Int, attempts: Int, error: Option[String])
@@ -79,6 +86,12 @@ object ConversionJob {
 
   private def convertOne(name: String, thunk: () => DataFrame, cfg: JobConfig,
                          logger: JobLogger): TableResult = {
+    if (cfg.resume) {
+      resumeResult(name, thunk, cfg, logger) match {
+        case Some(r) => return r
+        case None => ()
+      }
+    }
     var attempt = 0
     var lastError: Option[String] = None
     // total is computed at most once: retries reuse the first successful
@@ -118,6 +131,29 @@ object ConversionJob {
     }
     TableResult(name, success = false, 0L, 0, attempt, lastError)
   }
+
+  /** Resume check for one table: Some(result) = the prior export stands
+    * (marker present, part files intact, CURRENT source schema identical
+    * to the exported one — upstream drift forces a re-export). The check
+    * reads only the marker + a directory listing and the source's SCHEMA
+    * (plan-time for files, one metadata query for JDBC) — never data.
+    * attempts = 0 marks a skip in the tally; any check failure falls
+    * through to a normal (re-)export. */
+  private def resumeResult(name: String, thunk: () => DataFrame, cfg: JobConfig,
+                           logger: JobLogger): Option[TableResult] =
+    Try {
+      val df = thunk()
+      val dir = s"${cfg.outputDir}/$name"
+      OrcSink.readMarker(df.sparkSession, dir).flatMap { m =>
+        if (m.schemaDdl == df.schema.toDDL &&
+            OrcSink.markerHolds(df.sparkSession, dir, m)) {
+          logger.log(s"Skipping $name: output already verified " +
+            s"(${fmt(m.rows)} rows, ${m.files} files) [resume]")
+          Some(TableResult(name, success = true, m.rows, m.files,
+            attempts = 0, None))
+        } else None
+      }
+    }.toOption.flatten
 
   /** Thousands-separated count, matching the reference's `{n:,}` (sh:249). */
   private def fmt(n: Long): String = String.format(java.util.Locale.US, "%,d", n)

@@ -542,7 +542,9 @@ object ConverterQueries {
         "p_partkey BIGINT, p_name STRING, p_brand STRING, p_type STRING, " +
           "p_size INT, p_retailprice DOUBLE")
       val xml = XmlSource.read(s, s"$base/in/part",
-        XmlSource.XmlOptions(rowTag = "part", schema = Some(xmlSchema)))
+        XmlSource.XmlOptions(rowTag = "part", schema = Some(xmlSchema),
+          // own-writer round-trip: restore write-side nulls (<tag/> -> "")
+          nullValue = Some("")))
       OrcSink.write(xml, s"$base/orc", "part")
       OrcSink.read(s, s"$base/orc/part")
         .groupBy(col("p_brand"))

@@ -56,7 +56,71 @@ object OrcSink {
     }
     if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
     w.orc(dir)
-    verify(df.sparkSession, dir, table)
+    val rep = verify(df.sparkSession, dir, table)
+    // success marker LAST: it exists only if the write verified, so a
+    // resume pass can trust it (underscore-prefixed = invisible to
+    // Spark/ORC readers). Records the SOURCE schema so resume can detect
+    // upstream drift without re-reading the output.
+    writeMarker(df.sparkSession, dir, SuccessMarker(rep.rows, rep.files,
+      df.schema.toDDL))
+    rep
+  }
+
+  /** Verified-export marker ([[MarkerFile]]): written by [[write]] after
+    * verification, consumed by ConversionJob's resume mode. `schemaDdl` is
+    * the SOURCE DataFrame's schema at export time. */
+  final case class SuccessMarker(rows: Long, files: Int, schemaDdl: String)
+
+  val MarkerFile = "_GRAFT_SUCCESS"
+
+  private def writeMarker(spark: SparkSession, dir: String,
+                          m: SuccessMarker): Unit = {
+    val p = new Path(dir, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    // schema DDL is single-line by construction; simple line format
+    try out.write(s"rows=${m.rows}\nfiles=${m.files}\nschema=${m.schemaDdl}\n"
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The success marker of a table directory, if present and parseable. */
+  def readMarker(spark: SparkSession, dir: String): Option[SuccessMarker] = {
+    val p = new Path(dir, MarkerFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      val kv = text.linesIterator.flatMap { l =>
+        val i = l.indexOf('=')
+        if (i <= 0) None else Some(l.substring(0, i) -> l.substring(i + 1))
+      }.toMap
+      SuccessMarker(kv("rows").toLong, kv("files").toInt, kv("schema"))
+    }.toOption
+  }
+
+  /** Drop a stale success marker — called by every in-place mutator
+    * (compact / replace / merge): after a rewrite the directory is no
+    * longer the verified export the marker described, so resume must
+    * re-export rather than trust it. */
+  private def invalidateMarker(fs: FileSystem, dir: Path): Unit = {
+    val m = new Path(dir, MarkerFile)
+    if (fs.exists(m)) fs.delete(m, false)
+  }
+
+  /** Cheap physical re-check for resume: the marker's part-file count
+    * still matches the directory listing (no data read — metadata only).
+    * Schema drift is the CALLER's check (against the current source). */
+  def markerHolds(spark: SparkSession, dir: String, m: SuccessMarker): Boolean = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    var orcFiles = 0
+    while (it.hasNext) if (it.next().getPath.getName.endsWith(".orc")) orcFiles += 1
+    orcFiles == m.files
   }
 
   /** Post-write verification (reference sh:556-566): output exists, has
@@ -377,6 +441,9 @@ object OrcSink {
       if (hadDst) fs.delete(aside, true)
     }
     fs.delete(tmp, true)
+    // the root keeps its export-time marker across in-place bucket swaps —
+    // stale now (rows/files changed), so resume must not trust it
+    invalidateMarker(fs, p)
     verify(spark, dir, table)
   }
 

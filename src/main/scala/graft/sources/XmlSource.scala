@@ -31,9 +31,13 @@ object XmlSource {
       rowTag: String = "row",
       inferSchema: Boolean = true,
       schema: Option[StructType] = None,
-      // Spark's XML writer emits `<tag/>` for null fields and omits
-      // nothing by default; nullValue aligns read-back with that.
-      nullValue: String = "",
+      // nullValue = Some(s) coerces cells equal to s to NULL on read.
+      // Default None: a general-purpose converter must NOT silently turn
+      // legitimately-empty source strings into NULLs (data-fidelity
+      // mutation). Round-trips of [[XmlSource.write]] output pass
+      // Some("") — Spark's XML writer emits `<tag/>` for nulls, which
+      // reads back as "", so the coercion restores write-side nulls.
+      nullValue: Option[String] = None,
       timestampFormat: Option[String] = None,
       mode: String = "PERMISSIVE",
       corruptColumn: Option[String] = None)
@@ -47,8 +51,8 @@ object XmlSource {
         "malformed cells to string instead of flagging them)")
     var r = spark.read.format("xml")
       .option("rowTag", opts.rowTag)
-      .option("nullValue", opts.nullValue)
       .option("mode", opts.mode.toUpperCase)
+    opts.nullValue.foreach(v => r = r.option("nullValue", v))
     opts.timestampFormat.foreach(f => r = r.option("timestampFormat", f))
     val reader = opts.schema match {
       case Some(sc) => opts.corruptColumn match {
