@@ -39,6 +39,13 @@ import org.apache.spark.sql.functions._
   * approximation quality is tracked while the data grows, not just
   * time and shuffle.
   *
+  * Round-10 addition (VERDICT r9 item 8): an sf3 rung (= 3x sf1, built
+  * by a second replica level over a DISJOINT character set) for the
+  * dedup/ANN funnel subset — span scrub, full MinHash, PQ serve —
+  * with step-sized ceilings (time x<=3.5, shuffle x<=4.5 on 3x data)
+  * and the PQ-serve recall floor re-checked under the corpus-scaled
+  * shortlist law the sf1 rung discovered.
+  *
   * Run: `sbt "runMain graft.ScaleRehearsal [outFile]"` (default
   * SCALE_r07.json). Exit 1 when any ceiling fails or the planted
   * quadratic does NOT trip. One SCALE line per (dataset, probe) on
@@ -102,6 +109,47 @@ object ScaleRehearsal {
       embReps.reduce(_ unionAll _).repartition(32)
         .write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")
       println("synthesized /tmp/sf1")
+    }
+
+    // ---- synthesize /tmp/sf3 = 3x sf1 (round-10: VERDICT r9 item 8) -----
+    // A second rung past sf1 for the dedup/ANN funnels, hunting the next
+    // dial law before a real cluster does (the sf1 rung caught the
+    // fixed-shortlist recall-decay law). Same replica construction one
+    // level up: 3 outer rotations of a 10-char set DISJOINT from the
+    // inner one ("bcdfghklmp" vs "aeiounrst"), so the 30 composite maps
+    // stay distinct and cross-replica shingle overlap collapses while
+    // within-replica near-dup structure is preserved exactly.
+    val sf3 = "/tmp/sf3"
+    if (!new java.io.File(s"$sf3/documents.parquet").exists()) {
+      val docs1 = spark.read.parquet(s"$sf1/documents.parquet")
+      val n1 = docs1.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val outer = "bcdfghklmp"
+      val reps3 = (0 until 3).map { r =>
+        val to = outer.drop(r) + outer.take(r)
+        docs1.select(
+          (col("doc_id") + lit(r.toLong * n1)).as("doc_id"),
+          (if (r == 0) col("text")
+           else translate(col("text"), outer + outer.toUpperCase,
+             to + to.toUpperCase)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+      reps3.reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$sf3/documents.parquet")
+      val emb1 = spark.read.parquet(s"$sf1/embeddings.parquet")
+      val m1 = emb1.agg(max(col("vec_id"))).head().getLong(0) + 1
+      // rotation offsets 0/11/17: distinct from each other and from the
+      // inner level's 1..9, so replica vectors differ
+      val embReps3 = Seq(0, 11, 17).zipWithIndex.map { case (rot, r) =>
+        emb1.select(
+          (col("vec_id") + lit(r.toLong * m1)).as("vec_id"),
+          (if (rot == 0) col("embedding")
+           else concat(slice(col("embedding"), rot + 1, 10000),
+             slice(col("embedding"), 1, rot))).as("embedding"),
+          col("label"))
+      }
+      embReps3.reduce(_ unionAll _).repartition(32)
+        .write.mode("overwrite").parquet(s"$sf3/embeddings.parquet")
+      println("synthesized /tmp/sf3")
     }
 
     // ---- synthesize skewed variants -------------------------------------
@@ -539,6 +587,42 @@ object ScaleRehearsal {
         Axis(name, sf01, probeFns(sf01)(name)),
         ok = (s01, s1) => within(s01, s1)._1 <= timeCeil || s1.secs <= timeFloorS)
 
+    // ---- sf3 rung (round-10: VERDICT r9 item 8) -------------------------
+    // The dedup/ANN funnel subset one more 3x step up, with ceilings
+    // sized for the step: linear operators should land ~3x time / ~3x
+    // shuffle on 3x data, so time <= 3.5 / shuffle <= 4.5 catches a
+    // complexity escape (a quadratic would be ~9x) while tolerating
+    // fixed-overhead noise; same absolute floors as the 10x rung. Only
+    // the serving fixtures these probes need are staged (centroids +
+    // codebooks) — the sf3 rung exists to stress the funnels, not to
+    // re-stage every index family.
+    val sf3TimeCeil = 3.5
+    val sf3ShufCeil = 4.5
+    t(spark, sf3, "documents").count(); t(spark, sf3, "embeddings").count() // warm
+    val emb3 = t(spark, sf3, "embeddings")
+    ivfCentroids.getOrElseUpdate(sf3, Similarity.trainIvfCentroids(
+      emb3, "vec_id", "embedding", nCentroids = 16, lloydIters = 2))
+    pqCodebooks.getOrElseUpdate(sf3, Similarity.trainPqCodebooks(
+      emb3, "vec_id", "embedding", m = 8, ksub = 32, lloydIters = 2))
+    val sf3Names = Seq("dedup_span_scrub", "dedup_minhash_full",
+      "ann_ivf_pq_serve")
+    val sf3Fns: Map[String, () => Long] =
+      probes(sf3).toMap.view.filterKeys(sf3Names.contains).toMap
+    for (name <- sf3Names)
+      results(name).put(sf3, measure(sf3, name, sf3Fns(name)))
+    def sf3Within(s1: Sample, s3: Sample): (Double, Double, Boolean) = {
+      val rt = if (s1.secs > 0) s3.secs / s1.secs else 0.0
+      val rs = if (s1.shuffleMB > 0) s3.shuffleMB / s1.shuffleMB else 0.0
+      val okT = rt <= sf3TimeCeil || s3.secs <= timeFloorS
+      val okS = rs <= sf3ShufCeil || s3.shuffleMB <= shufFloorMB
+      (rt, rs, okT && okS)
+    }
+    for (name <- sf3Names)
+      settle(Axis(name, sf3, sf3Fns(name)),
+        Axis(name, sf1, probeFns(sf1)(name)),
+        ok = (s1, s3) => sf3Within(s1, s3)._1 <= sf3TimeCeil ||
+          s3.secs <= timeFloorS)
+
     // ---- ANN recall ladder (VERDICT r8 item 8) --------------------------
     // Approximation QUALITY tracked while data grows, not just time and
     // shuffle: mean epsilon-recall@5 per ANN probe per scale factor,
@@ -591,6 +675,12 @@ object ScaleRehearsal {
       annRecall.getOrElseUpdate("ann_ivf_radius",
         scala.collection.mutable.LinkedHashMap.empty).put(d, r)
     }
+
+    // sf3 recall for the PQ serve funnel: the corpus-scaled-shortlist
+    // dial law found on the sf1 rung must keep holding the floor on the
+    // next 3x step (this is the measurement the rung exists for)
+    val sf3PqRecall = measureRecall("ann_ivf_pq_serve", sf3)
+    println(f"RECALL $sf3 ann_ivf_pq_serve recall=$sf3PqRecall%.2f")
 
     // ---- skew rows: skewed sf1 vs plain sf1 -----------------------------
     // ceilings: the dials must hold the skewed corpus within x2.5 time /
@@ -673,6 +763,21 @@ object ScaleRehearsal {
       f"""    "$name": {"sf001": ${sampleJson(bySf(datasets.head))}, "sf01": ${sampleJson(bySf(sf01))}, "sf1": ${sampleJson(bySf(sf1))}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "retries": ${retries(name)}%d, "within_ceilings": $ok$recallJson}"""
     }
     sb.append(probeRows.mkString(",\n")).append("\n  },\n")
+    // sf3 rung: sf1 -> sf3 ratios for the dedup/ANN funnel subset, plus
+    // the PQ-serve recall under the corpus-scaled shortlist law
+    sb.append(s"""  "sf3": {"ceilings": {"time_x": $sf3TimeCeil, "shuffle_x": $sf3ShufCeil},""")
+      .append("\n")
+    val sf3Rows = sf3Names.map { name =>
+      val (rt, rs, okCeil) = sf3Within(results(name)(sf1), results(name)(sf3))
+      val recallJson = if (name == "ann_ivf_pq_serve") {
+        val rOk = sf3PqRecall >= recallFloor
+        if (!rOk) allOk = false
+        f""", "recall_sf3": $sf3PqRecall%.2f, "recall_floor": $recallFloor%.2f, "recall_ok": $rOk"""
+      } else ""
+      if (!okCeil) allOk = false
+      f"""    "$name": {"sf1": ${sampleJson(results(name)(sf1))}, "sf3": ${sampleJson(results(name)(sf3))}, "time_x": $rt%.2f, "shuffle_x": $rs%.2f, "retries": ${retries(name)}%d, "within_ceilings": $okCeil$recallJson}"""
+    }
+    sb.append(sf3Rows.mkString(",\n")).append("\n  },\n")
     // skew vs plain sf1
     def skewRow(name: String, skew: Sample, plain: Sample): String = {
       val rt = if (plain.secs > 0) skew.secs / plain.secs else 0.0
