@@ -242,11 +242,18 @@ object Cli {
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
-      require(Seq("csv", "jsonl", "parquet").contains(fmt.toLowerCase),
-        s"export format must be csv|jsonl|parquet, got $fmt")
+      require(Seq("csv", "jsonl", "parquet", "sql").contains(fmt.toLowerCase),
+        s"export format must be csv|jsonl|parquet|sql, got $fmt")
       val compression = rest.headOption.getOrElse("none")
       val df = graft.sinks.OrcSink.read(spark, orcDir)
       val name = new org.apache.hadoop.fs.Path(orcDir).getName
+      if (fmt.toLowerCase == "sql") {
+        // mysqldump-style export (distributed multi-part; SqlDumpSink doc)
+        val (rows, files) = graft.sinks.SqlDumpSink.write(df, outDir, name)
+        return Some(JobReport(Seq(ConversionJob.TableResult(name,
+          success = true, rows = rows, files = files, attempts = 1,
+          error = None))))
+      }
       val w = df.write.mode("overwrite")
       val w2 = if (compression.toLowerCase == "none") w
         else w.option("compression", compression.toLowerCase)
@@ -273,7 +280,7 @@ object Cli {
           |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
-          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet> [compression=none]
+          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql> [compression=none]
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
           |        (empty elements read as empty strings, not NULL —

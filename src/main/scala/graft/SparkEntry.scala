@@ -104,9 +104,9 @@ object SparkEntry {
     "conv_xml_roundtrip", "conv_schema_evolution", "conv_compact_orc",
     "emb_cosine_radius", "ann_ivf_radius", "ann_ivf_radius_engine",
     "pipeline_score_calibrate",
-    // round-10: universal-input breadth + URL curation
+    // round-10: universal-input breadth + URL curation + dump export
     "conv_parquet_roundtrip", "conv_avro_roundtrip", "conv_dump_bz2",
-    "conv_dump_zst", "conv_sqlitedump_roundtrip",
+    "conv_dump_zst", "conv_sqlitedump_roundtrip", "conv_export_dump",
     "text_url_canon", "dedup_url", "pipeline_cap_per_domain")
 
   /** Bench-only engine probes — NOT part of the correctness contract.

@@ -317,6 +317,31 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Reverse DUMP export (round-10): ORC -> Cli export sql -> a
+    // DISTRIBUTED multi-part mysqldump-style directory (SqlDumpSink:
+    // codegen'd tuple literals, per-partition INSERT batching, DDL
+    // header) -> re-parsed by SqlDumpSource's distributed statement
+    // scanner -> aggregate. A hash match against the clean parquet
+    // proves the escaping/typing survived a full write+read cycle
+    // through OUR OWN writer — the format symmetry csv/jsonl/parquet
+    // already have.
+    "conv_export_dump" -> { (s, d) =>
+      val base = tmp(d, "exportsql")
+      stageOnce(base) {
+        OrcSink.write(t(s, d, "customer"), base, "customer")
+      }
+      val out = s"$base/out"
+      graft.Cli.run(s, Seq("export", s"$base/customer", out, "sql"))
+      val dfs = SqlDumpSource.parse(s, s"$out/customer", Seq("all"),
+        distributed = true)
+      dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Multi-line quoted CSV fields (RFC 4180): every 23rd customer's
     // segment cell is staged as a QUOTED field carrying an embedded
     // newline and a doubled inner quote; multiLine parsing must
@@ -945,6 +970,12 @@ object ConverterQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "conv_export_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_export_dump" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
