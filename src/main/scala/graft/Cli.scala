@@ -242,8 +242,8 @@ object Cli {
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
-      require(Seq("csv", "jsonl", "parquet", "sql").contains(fmt.toLowerCase),
-        s"export format must be csv|jsonl|parquet|sql, got $fmt")
+      require(Seq("csv", "jsonl", "parquet", "sql", "xml").contains(fmt.toLowerCase),
+        s"export format must be csv|jsonl|parquet|sql|xml, got $fmt")
       val compression = rest.headOption.getOrElse("none")
       val df = graft.sinks.OrcSink.read(spark, orcDir)
       val name = new org.apache.hadoop.fs.Path(orcDir).getName
@@ -263,6 +263,9 @@ object Cli {
         // through explicitly (csv/json default to uncompressed already)
         case "parquet" => (if (compression.toLowerCase == "none")
           w.option("compression", "none") else w2).parquet(s"$outDir/$name")
+        // Spark 4 built-in XML writer (SPARK-44265); row tag matches the
+        // xml INPUT leg's default so an export re-imports as-is
+        case "xml" => XmlSource.write(df, s"$outDir/$name")
         case _ => w2.json(s"$outDir/$name")
       }
       // report describes the WRITTEN output: rows from the constructed
@@ -280,7 +283,8 @@ object Cli {
           |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
-          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql> [compression=none]
+          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql|xml> [compression=none]
+          |        (sql/xml exports ignore the compression argument)
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
           |        (empty elements read as empty strings, not NULL —

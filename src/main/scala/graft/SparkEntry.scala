@@ -107,7 +107,9 @@ object SparkEntry {
     // round-10: universal-input breadth + URL curation + dump export
     "conv_parquet_roundtrip", "conv_avro_roundtrip", "conv_dump_bz2",
     "conv_dump_zst", "conv_sqlitedump_roundtrip", "conv_export_dump",
-    "text_url_canon", "dedup_url", "pipeline_cap_per_domain")
+    "conv_export_xml",
+    "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
+    "pipeline_url_blocklist")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -342,6 +342,32 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Reverse XML export (round-10): ORC -> Cli export xml -> XmlSource
+    // read-back with an explicit schema (production posture) ->
+    // aggregate vs the clean parquet. With conv_xml_roundtrip (XML as
+    // INPUT) this closes XML's read/write symmetry too.
+    "conv_export_xml" -> { (s, d) =>
+      val base = tmp(d, "exportxml")
+      stageOnce(base) {
+        OrcSink.write(t(s, d, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+            col("c_acctbal")), base, "customer")
+      }
+      val out = s"$base/out"
+      graft.Cli.run(s, Seq("export", s"$base/customer", out, "xml"))
+      val xmlSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        "c_custkey BIGINT, c_name STRING, c_mktsegment STRING, " +
+          "c_acctbal DOUBLE")
+      XmlSource.read(s, s"$out/customer",
+        XmlSource.XmlOptions(rowTag = "row", schema = Some(xmlSchema),
+          nullValue = Some(""))) // own-writer round-trip (<tag/> -> null)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Multi-line quoted CSV fields (RFC 4180): every 23rd customer's
     // segment cell is staged as a QUOTED field carrying an embedded
     // newline and a doubled inner quote; multiLine parsing must
@@ -976,6 +1002,12 @@ object ConverterQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "conv_export_dump" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_export_xml" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key

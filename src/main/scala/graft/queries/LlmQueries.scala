@@ -651,6 +651,35 @@ object LlmQueries {
         .orderBy(col("domain"))
     },
 
+    // URL blocklist + path-pattern filtering (the remaining URL-curation
+    // step: C4 drops pages from a "bad domains" list and pages whose URL
+    // matches spam patterns before any text pass). Domain blocklist is a
+    // broadcast-sized isin(); the path rule is a codegen'd regex — both
+    // fuse with the scan, zero shuffle before the audit agg. Output is
+    // the per-source audit a curation run ships: kept / blocked-by-domain
+    // / blocked-by-pattern.
+    "pipeline_url_blocklist" -> { (s, d) =>
+      val canon = UrlCuration.canonicalize(messyUrl(col("doc_id")))
+      val blockedDomains = Seq("h2.example.com", "h4.example.com")
+      val spamPathRe = "/docs/(13|37|42)(\\?|$)" // exact segment, not prefix
+      t(s, d, "documents")
+        .select(col("doc_id"), col("source"), canon.as("canon_url"))
+        .withColumn("domain", UrlCuration.domainOf(col("canon_url")))
+        .withColumn("blocked_domain",
+          col("domain").isin(blockedDomains: _*))
+        .withColumn("blocked_pattern",
+          regexp_count(col("canon_url"), lit(spamPathRe)) > 0)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("blocked_domain"), 1L).otherwise(0L))
+            .as("n_blocked_domain"),
+          sum(when(!col("blocked_domain") && col("blocked_pattern"), 1L)
+            .otherwise(0L)).as("n_blocked_pattern"),
+          sum(when(!col("blocked_domain") && !col("blocked_pattern"), 1L)
+            .otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+
     // Gopher line-repetition rules (Rae et al. 2021 Table A1, shared by
     // MassiveText/RefinedWeb/FineWeb): duplicate-line and
     // duplicate-line-CHARACTER fractions, ellipsis-line and bullet-line
@@ -2586,6 +2615,19 @@ object LlmQueries {
          |SELECT canon_url, MIN(doc_id) AS keep_id,
          | CAST(COUNT(*) AS BIGINT) AS n_dups
          |FROM u GROUP BY canon_url ORDER BY canon_url""".stripMargin,
+
+    // Independent residue derivation: blocked domains h2/h4 are exactly
+    // doc_id%5 in (2,4); the spam path segments are doc_id%50 in
+    // (13,37,42) — so a hash match proves the canonicalize -> domainOf ->
+    // regex chain classified every url correctly.
+    "pipeline_url_blocklist" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total,
+        | CAST(SUM(CASE WHEN doc_id % 5 IN (2,4) THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_domain,
+        | CAST(SUM(CASE WHEN doc_id % 5 NOT IN (2,4) AND doc_id % 50 IN (13,37,42)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_pattern,
+        | CAST(SUM(CASE WHEN doc_id % 5 NOT IN (2,4) AND doc_id % 50 NOT IN (13,37,42)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "pipeline_cap_per_domain" ->
       """WITH u AS (
