@@ -53,7 +53,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // r9 second batch: XML leg, schema-evolution union, radius search,
     // per-language calibration
     "conv_xml_roundtrip", "conv_schema_evolution",
-    "emb_cosine_radius", "ann_ivf_radius", "pipeline_score_calibrate")
+    "emb_cosine_radius", "ann_ivf_radius", "pipeline_score_calibrate",
+    // r10: URL curation family, universal-input legs, export symmetry
+    // (constructing the converter gates stages/runs their tiny sf0.001
+    // fixtures, same as the r9 converter entries)
+    "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
+    "pipeline_url_blocklist",
+    "conv_parquet_roundtrip", "conv_avro_roundtrip", "conv_dump_bz2",
+    "conv_sqlitedump_roundtrip", "conv_export_dump", "conv_export_xml")
 
   test("no audited plan contains a cartesian product") {
     audited.foreach { n =>
