@@ -52,6 +52,27 @@ object EventStream {
   private val stageLock = new Object
   private val staged = scala.collection.mutable.Set.empty[String]
 
+  /** Cloned session (shared SparkContext, isolated SQLConf) with shuffle
+    * partitions sized to the test corpus, for the STATEFUL harnesses:
+    * every stateful operator instantiates one state store per shuffle
+    * partition per micro-batch, so 32 partitions over a 100k-row fixture
+    * is mostly fixed store/checkpoint overhead (measured on the outer
+    * join: 9.1 s -> 4.3 s warm at 4 partitions). Hash-partitioned
+    * semantics are identical at any partition count; a production
+    * deployment sizes this to key cardinality. Cloning also isolates the
+    * memory-sink catalog per query under parallel Verify. */
+  private def tunedSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // newSession() does NOT inherit runtime conf — carry the micro-batch
+    // sizing knob over so StreamBatchingSpec's multi-batch contracts
+    // still drive real multi-batch runs through the clone
+    spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .foreach(v => s.conf.set("graft.stream.maxFilesPerTrigger", v))
+    s
+  }
+
   private def readEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The streaming file source requires a directory (it monitors for new
@@ -115,7 +136,8 @@ object EventStream {
   /** Tumbling 1-hour windowed aggregation with a 1-hour watermark, run to
     * completion on the fixture. Returns the final (hour, event_type, n,
     * sum_value) table — equal to the batch date_trunc aggregation. */
-  def hourlyAgg(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyAgg(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
     val agg = readEventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -127,7 +149,8 @@ object EventStream {
   /** Sliding-window aggregation: 1-hour windows every 30 minutes (each
     * event lands in exactly 2 windows). Same drive-to-completion contract
     * as [[hourlyAgg]]. */
-  def slidingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+  def slidingAgg(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
     val agg = readEventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
@@ -143,7 +166,8 @@ object EventStream {
     * and sketches merge across micro-batches exactly like count/sum.
     * Returns (hour, aq[2] = approx p50/p95, n); the gate joins exact
     * batch percentiles and pins tolerance verdicts (the q29 pattern). */
-  def hourlyQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyQuantiles(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
     val agg = readEventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -162,7 +186,8 @@ object EventStream {
     * 2.5-sigma headroom the profile gates carry. Returns
     * (hour, n_users_est, n); the gate joins batch-exact distincts and
     * pins the tolerance verdict. */
-  def hourlyDistinct(spark: SparkSession, sfDir: String): DataFrame = {
+  def hourlyDistinct(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
     val agg = readEventStream(spark, sfDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"))
@@ -185,8 +210,9 @@ object EventStream {
     * This is exactly how an endless deployment drains on decommission.
     * Returns (user_id, s_start, n_events) — one row per closed session,
     * sentinel excluded. */
-  def sessionWindowCounts(spark: SparkSession, sfDir: String,
+  def sessionWindowCounts(sparkIn: SparkSession, sfDir: String,
                           gap: String = "30 minutes"): DataFrame = {
+    val spark = tunedSession(sparkIn)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events_swin")
@@ -267,8 +293,9 @@ object EventStream {
     * carries (last event time, session count) across micro-batches; events
     * within a batch are sorted in the state function (arrival order within
     * a group is unordered). */
-  def sessionCounts(spark: SparkSession, sfDir: String,
+  def sessionCounts(sparkIn: SparkSession, sfDir: String,
                     gapMinutes: Long = 30): DataFrame = {
+    val spark = tunedSession(sparkIn)
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
@@ -303,7 +330,8 @@ object EventStream {
     * Update-mode memory sink (funnel DEPTH itself is not monotone under
     * late earlier events, so the state, not the depth, is what streams).
     */
-  def funnelState(spark: SparkSession, sfDir: String): DataFrame = {
+  def funnelState(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
     import spark.implicits._
     val none = Long.MaxValue
     def fn(userId: Long, events: Iterator[FunnelEvent],
@@ -339,8 +367,9 @@ object EventStream {
     * by time). Emits the running (user_id, n, ewma) on every update;
     * n is strictly increasing, so the final state per user is the
     * max-n row of the Update-mode sink. */
-  def ewmaState(spark: SparkSession, sfDir: String,
+  def ewmaState(sparkIn: SparkSession, sfDir: String,
                 alpha: Double = 0.2): DataFrame = {
+    val spark = tunedSession(sparkIn)
     import spark.implicits._
     def fn(k: Long, it: Iterator[EwmaEvent],
            state: GroupState[(Long, Double, Boolean)]): Iterator[EwmaState] = {
@@ -370,7 +399,8 @@ object EventStream {
     * oracle applies (exactly-once contract). State grows with distinct
     * keys BY DESIGN for global dedup; [[dedupWithinWatermark]] is the
     * bounded-state variant for endless streams. */
-  def dedupPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  def dedupPairs(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
     val out = readEventStream(spark, sfDir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
@@ -383,8 +413,9 @@ object EventStream {
     * production shape for endless streams. A key recurring after eviction
     * re-emits, so the global-DISTINCT oracle does NOT apply (spec-verified
     * instead). */
-  def dedupWithinWatermark(spark: SparkSession, sfDir: String,
+  def dedupWithinWatermark(sparkIn: SparkSession, sfDir: String,
                            delay: String = "1 hour"): DataFrame = {
+    val spark = tunedSession(sparkIn)
     val out = readEventStream(spark, sfDir)
       .withWatermark("ts", delay)
       .select(col("user_id"), col("event_type"), col("ts"))
@@ -400,8 +431,9 @@ object EventStream {
     * stream-stream joins feasible on endless streams. Returns the joined
     * pairs (user_id, err_id, click_id); exactly-once contract = the batch
     * join over the same data. */
-  def clickErrorJoin(spark: SparkSession, sfDir: String,
+  def clickErrorJoin(sparkIn: SparkSession, sfDir: String,
                      windowMinutes: Long = 5): DataFrame = {
+    val spark = tunedSession(sparkIn)
     val clicks = readEventStream(spark, sfDir)
       .filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
@@ -455,10 +487,20 @@ object EventStream {
                          windowMinutes: Long = 5): DataFrame =
     clickErrorOuterJoin(spark, sfDir, "fullOuter", windowMinutes)
 
-  private def clickErrorOuterJoin(spark: SparkSession, sfDir: String,
+  private def clickErrorOuterJoin(sparkIn: SparkSession, sfDir: String,
                                   joinType: String,
                                   windowMinutes: Long): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Run the stateful query on a CLONED session (shared SparkContext,
+    // isolated SQLConf) with shuffle partitions sized to the corpus: a
+    // stream-stream outer join instantiates FOUR state stores per
+    // shuffle partition per micro-batch, so 32 partitions over a 100k-row
+    // fixture is ~90% fixed store/checkpoint overhead. 4 partitions keeps
+    // the same hash-partitioned semantics at an eighth of the fixed cost
+    // (measured: 9.1 s -> 4.3 s warm); a production deployment sizes this
+    // to key cardinality instead (state per partition shrinks as
+    // partitions grow — the dial trades store count against per-store
+    // size).
+    val spark = tunedSession(sparkIn)
     val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events_ssleft")
     stageLock.synchronized {
