@@ -109,7 +109,8 @@ object SparkEntry {
     "conv_dump_zst", "conv_sqlitedump_roundtrip", "conv_export_dump",
     "conv_export_xml",
     "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
-    "pipeline_url_blocklist")
+    "pipeline_url_blocklist", "pipeline_length_buckets", "profile_k_anon",
+    "profile_zipf")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

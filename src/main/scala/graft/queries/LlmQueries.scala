@@ -680,6 +680,86 @@ object LlmQueries {
         .orderBy(col("source"))
     },
 
+    // Sequence-length bucketing (the dynamic-batching step of training
+    // ingestion: group sequences into power-of-two length buckets so a
+    // batch pads to its bucket, not the global max). Buckets are a fixed
+    // when-chain (16..2048), NOT pow(2, ceil(log2 x)) — log2 is a
+    // double-precision landmine at exact powers across engines. Output
+    // is all exact BIGINTs: docs, used tokens (truncated at the 2048
+    // cap), padded tokens (bucket x docs) — padding waste is their gap.
+    "pipeline_length_buckets" -> { (s, d) =>
+      val b = col("n_tokens")
+      val bucket = when(b <= 16, 16L).when(b <= 32, 32L).when(b <= 64, 64L)
+        .when(b <= 128, 128L).when(b <= 256, 256L).when(b <= 512, 512L)
+        .when(b <= 1024, 1024L).otherwise(2048L)
+      t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+        .withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("n_tokens"), lit(2048L))).as("sum_tokens_used"),
+          (count(lit(1)) * col("bucket")).as("sum_padded"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens_used"),
+          col("sum_padded"))
+        .orderBy(col("bucket"))
+    },
+
+    // Zipf-law fit per source (corpus-health profiling: natural text's
+    // term frequencies follow freq ∝ rank^s with s ≈ -1; a source whose
+    // slope collapses toward 0 is boilerplate/template spam, one that
+    // steepens is vocabulary-starved). Least-squares slope of log2(freq)
+    // vs log2(rank) over each source's top-100 terms (row_number with a
+    // full (cnt desc, term asc) order — deterministic ties both
+    // engines). Float discipline: every log/product term rounds to 8dp
+    // into exact DECIMAL sums (the Entropy pattern), and the final slope
+    // is one IEEE expression over those exact sums, rounded 4dp.
+    "profile_zipf" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 8)
+      val counts = t(s, d, "documents")
+        .select(col("source"),
+          explode(split(TextAnalysis.normText(col("text")), " ")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("cnt").desc, col("term"))
+      counts.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 100)
+        .select(col("source"),
+          round(log2(col("rank").cast("double")), 8).cast(dec).as("x"),
+          round(log2(col("cnt").cast("double")), 8).cast(dec).as("y"))
+        .select(col("source"), col("x"), col("y"),
+          round((col("x") * col("y")).cast("double"), 8).cast(dec).as("xy"),
+          round((col("x") * col("x")).cast("double"), 8).cast(dec).as("xx"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_ranks"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("xy")).as("sxy"), sum(col("xx")).as("sxx"))
+        .select(col("source"), col("n_ranks"),
+          round((col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double") /
+                col("n_ranks").cast("double")) /
+            (col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double") /
+                col("n_ranks").cast("double")), 4).as("zipf_slope"))
+        .orderBy(col("source"))
+    },
+
+    // k-anonymity audit (the governance companion to the DP count
+    // release): group sizes over a quasi-identifier set — groups smaller
+    // than k are re-identification risks a release must suppress or
+    // generalize. Exact counts, one shuffle.
+    "profile_k_anon" -> { (s, d) =>
+      val k = 5L
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("sz") < k, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("sz") < k, col("sz")).otherwise(0L)).as("n_exposed_rows"),
+          min(col("sz")).as("min_group_size"),
+          max(col("sz")).as("max_group_size"))
+    },
+
     // Gopher line-repetition rules (Rae et al. 2021 Table A1, shared by
     // MassiveText/RefinedWeb/FineWeb): duplicate-line and
     // duplicate-line-CHARACTER fractions, ellipsis-line and bullet-line
@@ -2628,6 +2708,70 @@ object LlmQueries {
         | CAST(SUM(CASE WHEN doc_id % 5 NOT IN (2,4) AND doc_id % 50 NOT IN (13,37,42)
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_length_buckets" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(regexp_replace(trim(text), '\s+', ' ', 'g')) = 0 THEN 0
+        |       ELSE length(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |            - length(translate(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ', '')) + 1 END AS BIGINT) AS n_tokens
+        | FROM documents),
+        |b AS (
+        | SELECT n_tokens,
+        |  CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+        |       WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+        |       WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+        |       WHEN n_tokens <= 1024 THEN 1024 ELSE 2048 END AS bucket
+        | FROM n)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+        | CAST(SUM(LEAST(n_tokens, 2048)) AS BIGINT) AS sum_tokens_used,
+        | CAST(COUNT(*) * bucket AS BIGINT) AS sum_padded
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "profile_zipf" ->
+      """WITH tn AS (
+        | SELECT source, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |terms AS (
+        | SELECT source, u.term AS term FROM tn,
+        |  UNNEST(string_split(t, ' ')) AS u(term)
+        | WHERE length(u.term) > 0),
+        |c AS (SELECT source, term, COUNT(*) AS cnt FROM terms GROUP BY source, term),
+        |r AS (SELECT source, cnt,
+        |       ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, term) AS rank
+        |      FROM c),
+        |p AS (
+        | SELECT source,
+        |  CAST(ROUND(log2(CAST(rank AS DOUBLE)), 8) AS DECIMAL(18,8)) AS x,
+        |  CAST(ROUND(log2(CAST(cnt AS DOUBLE)), 8) AS DECIMAL(18,8)) AS y
+        | FROM r WHERE rank <= 100),
+        |q AS (
+        | SELECT source, x, y,
+        |  CAST(ROUND(CAST(x * y AS DOUBLE), 8) AS DECIMAL(18,8)) AS xy,
+        |  CAST(ROUND(CAST(x * x AS DOUBLE), 8) AS DECIMAL(18,8)) AS xx
+        | FROM p),
+        |a AS (
+        | SELECT source, COUNT(*) AS n_ranks,
+        |  SUM(x) AS sx, SUM(y) AS sy, SUM(xy) AS sxy, SUM(xx) AS sxx
+        | FROM q GROUP BY source)
+        |SELECT source, CAST(n_ranks AS BIGINT) AS n_ranks,
+        | ROUND((CAST(sxy AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n_ranks AS DOUBLE)) /
+        |   (CAST(sxx AS DOUBLE) -
+        |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n_ranks AS DOUBLE)), 4)
+        |  AS zipf_slope
+        |FROM a ORDER BY source""".stripMargin,
+
+    "profile_k_anon" ->
+      """WITH g AS (
+        | SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+        | FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+        | CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_exposed_rows,
+        | CAST(MIN(sz) AS BIGINT) AS min_group_size,
+        | CAST(MAX(sz) AS BIGINT) AS max_group_size
+        |FROM g""".stripMargin,
 
     "pipeline_cap_per_domain" ->
       """WITH u AS (
