@@ -4,7 +4,7 @@ import scala.util.Try
 
 import org.apache.spark.sql.SparkSession
 
-import graft.sources.{AvroSource, CsvSource, JdbcSource, PgDumpSource, SqlDumpSource, XmlSource}
+import graft.sources.{AvroSource, CsvSource, FixedWidthSource, JdbcSource, PgDumpSource, SqlDumpSource, XmlSource}
 import graft.ConversionJob.{JobConfig, JobReport}
 
 /** Non-interactive CLI mirroring the reference's three argv contracts
@@ -228,6 +228,18 @@ object Cli {
         inputs.map(f => CsvSource.baseName(f) -> (() => spark.read.parquet(f))),
         jobConfig(outDir, compression)))
 
+    // Fixed-width (positional/COBOL-era) text path (beyond-reference
+    // input): column layout given inline as name:width:type,... —
+    // substring+cast codegen parse, splittable by line
+    case "fixedwidth" :: inPath :: outDir :: spec :: rest if rest.length <= 1 =>
+      val compression = rest.headOption.getOrElse("snappy")
+      val specs = FixedWidthSource.parseSpecs(spec)
+      val inputs = listByExt(spark, inPath, Seq(".txt", ".dat", ".fw"))
+      Some(ConversionJob.run(
+        inputs.map(f => CsvSource.baseName(f) ->
+          (() => FixedWidthSource.read(spark, f, specs))),
+        jobConfig(outDir, compression)))
+
     // Avro container-file path (beyond-reference input): read distributed
     // via avro-mapred's sync-marker-splittable input format — the
     // spark-avro datasource module is not on this deployment's classpath,
@@ -290,6 +302,7 @@ object Cli {
           |        (empty elements read as empty strings, not NULL —
           |         absent elements are NULL)
           |  jsonl <json_path> <output_dir> [compression=snappy]
+          |  fixedwidth <path> <output_dir> <name:width:type,...> [compression=snappy]
           |  parquet <parquet_path> <output_dir> [compression=snappy]
           |  avro  <avro_path> <output_dir> [compression=snappy]""".stripMargin)
       None
@@ -307,8 +320,12 @@ object Cli {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.getFileStatus(p).isDirectory) Seq(path)
     else {
+      // Spark-written part files (part-*) mean the DIRECTORY is the
+      // table (one distributed write = one dataset) — converting each
+      // part as its own table would shred it under meaningless names
       val members = fs.listStatus(p).map(_.getPath)
-        .filter(f => exts.exists(f.getName.toLowerCase.endsWith))
+        .filter(f => exts.exists(f.getName.toLowerCase.endsWith) &&
+          !f.getName.startsWith("part-"))
         .map(_.toString).toSeq.sorted
       if (members.nonEmpty) members else Seq(path)
     }

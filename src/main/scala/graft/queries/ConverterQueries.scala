@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.sinks.OrcSink
-import graft.sources.{CsvSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource, XmlSource}
+import graft.sources.{CsvSource, FixedWidthSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource, XmlSource}
 
 /** Converter round-trips under the correctness gate.
   *
@@ -313,6 +313,36 @@ object ConverterQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Fixed-width (positional) input leg (round-10, beyond-reference):
+    // customer staged as fixed-width lines (DECIMAL cast for plain,
+    // scale-stable numeric rendering) -> Cli fixedwidth (substring+cast
+    // codegen parse) -> ORC -> aggregate. The oracle aggregates the
+    // clean parquet, so a hash match proves the positional slicing and
+    // typing round-tripped every row.
+    "conv_fixedwidth_roundtrip" -> { (s, d) =>
+      val base = tmp(d, "fixedwidth")
+      val specs = FixedWidthSource.parseSpecs(
+        "c_custkey:12:bigint,c_name:32:string," +
+          "c_mktsegment:16:string,c_acctbal:18:decimal(12,2)")
+      stageOnce(s"$base/in/customer.txt") {
+        FixedWidthSource.write(
+          t(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              col("c_acctbal").cast("decimal(12,2)").as("c_acctbal")),
+          s"$base/in/customer.txt", specs)
+      }
+      graft.Cli.run(s, Seq("fixedwidth", s"$base/in/customer.txt",
+        s"$base/orc",
+        "c_custkey:12:bigint,c_name:32:string," +
+          "c_mktsegment:16:string,c_acctbal:18:decimal(12,2)"))
+      OrcSink.read(s, s"$base/orc/customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
           sum(col("c_custkey")).as("sum_key"))
         .orderBy(col("c_mktsegment"))
     },
@@ -998,6 +1028,12 @@ object ConverterQueries {
     "conv_export_roundtrip" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_fixedwidth_roundtrip" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
