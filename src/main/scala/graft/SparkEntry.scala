@@ -83,7 +83,7 @@ object SparkEntry {
     "profile_incremental",
     "emb_cosine_topk", "emb_benchmark_overlap",
     "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_pca_topk",
-    "ann_pca_serve", "ann_mmr_rerank",
+    "ann_pca_serve", "ann_truncated_topk", "ann_mmr_rerank",
     "ann_ivf_topk", "ann_ivf_topk_engine", "ann_ivf_index_serve",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",

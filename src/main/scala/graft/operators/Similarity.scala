@@ -880,6 +880,28 @@ object Similarity {
     exactRerank(emb, idCol, vecCol, queryIds, short, k)
   }
 
+  /** Truncated-dimension (matryoshka-style) serving tier: shortlist by
+    * cosine over only the first `prefixDims` coordinates, then exact
+    * float re-rank — the zero-training dimension-reduction funnel for
+    * embeddings trained with Matryoshka Representation Learning
+    * (Kusupati et al. 2022), where the leading coordinates carry most
+    * of the signal by construction. Versus PCA this needs NO fitted
+    * projection (nothing to train, persist, or drift), and the
+    * truncated scan reads prefixDims/dim of the vector bytes — on a
+    * column store the slice prunes I/O, the 100 TB win. Same
+    * shortlist-fraction dial law as the PCA/PQ funnels. */
+  def truncatedTopK(emb: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Column => Column, k: Int, prefixDims: Int,
+                    shortlist: Int = 0): DataFrame = {
+    require(prefixDims >= 1, s"prefixDims must be >= 1, got $prefixDims")
+    val sl = if (shortlist > 0) shortlist else 4 * k
+    val truncated = emb.select(col(idCol),
+      slice(col(vecCol), 1, prefixDims).as(vecCol))
+    val short = bruteForceTopK(truncated, idCol, vecCol, queryIds, sl)
+      .select(col("query_id"), col("neighbor_id"))
+    exactRerank(emb, idCol, vecCol, queryIds, short, k)
+  }
+
   /** Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR'98)
     * — the diversity step of a retrieval stack: from a relevance-ranked
     * candidate list, greedily select `k` items, each step maximizing

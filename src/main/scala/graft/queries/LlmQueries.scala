@@ -2249,6 +2249,27 @@ object LlmQueries {
         minHits = 4, eps = 0.05)
     },
 
+    // Truncated-dimension (matryoshka) funnel: shortlist on the first 32
+    // of 64 coordinates (the standard MRL halving), exact re-rank — the
+    // zero-training counterpart of the PCA tier (same epsilon-recall
+    // verdict). Dials measured against the isotropic fixture Gaussians:
+    // a 16-dim prefix plateaus at 9/10 queries regardless of shortlist
+    // (a true MRL embedding front-loads signal; random Gaussians
+    // don't), while 32 dims holds 10/10 across the dial range. The
+    // shortlist follows the ladder's corpus-scaled law (5% of vectors,
+    // floored at 100) rather than a fixed constant — the decay mode
+    // SCALING.md documents.
+    "ann_truncated_topk" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val sl = math.max(100L, emb.count() * 5 / 100).toInt
+      Similarity.recallGate(
+        Similarity.truncatedTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5, prefixDims = 32, shortlist = sl),
+        Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+          queryIds = _ < 10, k = 5),
+        minHits = 4, eps = 0.05)
+    },
+
     // MMR diversified rerank over the brute-force top-20 shortlist:
     // greedy lambda*rel - (1-lambda)*max-sim selection, k=5. The whole
     // trajectory is deterministic (mmr rounded to 6dp before argmax,
@@ -3688,6 +3709,10 @@ object LlmQueries {
     // fixed-order driver accumulation, sign-normalized eigenvectors), so
     // the verdict pins like the other ANN tiers.
     "ann_pca_topk" ->
+      """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    "ann_truncated_topk" ->
       """SELECT vec_id AS query_id, true AS recall_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
