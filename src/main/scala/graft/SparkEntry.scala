@@ -50,7 +50,7 @@ object SparkEntry {
     "stream_funnel_depth", "stream_ewma", "stream_session_window",
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
-    "stream_ivf_ingest", "stream_left_join",
+    "stream_ivf_ingest", "stream_left_join", "stream_url_dedup",
     "text_stats", "text_normalize", "text_html_strip", "text_c4_clean",
     "text_line_quality", "text_entropy",
     "text_bpe_tokens",

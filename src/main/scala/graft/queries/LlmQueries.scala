@@ -396,13 +396,15 @@ object LlmQueries {
 
   /** Independent direct construction of the EXPECTED canonical url (the
     * canon-surviving residues only — scheme class, host, real port, path,
-    * de-tracked query). */
-  private val CanonUrlSql: String =
-    "(CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END)" +
-      " || '://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'" +
-      " || (CASE WHEN doc_id % 6 = 3 THEN ':8080' ELSE '' END)" +
-      " || '/docs/' || CAST(doc_id % 50 AS VARCHAR)" +
-      " || (CASE WHEN doc_id % 3 IN (0, 1) THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) ELSE '' END)"
+    * de-tracked query), over any integer id expression. */
+  private[graft] def canonUrlSql(id: String): String =
+    s"(CASE WHEN $id % 3 = 1 THEN 'https' ELSE 'http' END)" +
+      s" || '://h' || CAST($id % 5 AS VARCHAR) || '.example.com'" +
+      s" || (CASE WHEN $id % 6 = 3 THEN ':8080' ELSE '' END)" +
+      s" || '/docs/' || CAST($id % 50 AS VARCHAR)" +
+      s" || (CASE WHEN $id % 3 IN (0, 1) THEN '?id=' || CAST($id % 10 AS VARCHAR) ELSE '' END)"
+
+  private val CanonUrlSql: String = canonUrlSql("doc_id")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats" -> { (s, d) =>

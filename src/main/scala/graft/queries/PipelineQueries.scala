@@ -122,6 +122,16 @@ object PipelineQueries {
       EventStream.dedupPairs(s, d).orderBy(col("user_id"), col("event_type"))
     },
 
+    // Ingest-time URL dedup: canonicalization + stateful dropDuplicates
+    // on the canonical spelling, in-stream. The oracle derives the
+    // expected distinct canonical set DIRECTLY from the event-id
+    // residues (the batch construction the url-curation gates pin), so
+    // a match proves the streaming path canonicalized and deduped
+    // exactly like batch — the exactly-once contract.
+    "stream_url_dedup" -> { (s, d) =>
+      EventStream.urlDedup(s, d).orderBy(col("canon_url"))
+    },
+
     // Streamed per-window HLL distinct users vs batch-exact: the sketch
     // must land within max(5%, 3) of exact in EVERY one of the 720
     // windows. The absolute floor is 3, not 1: Spark's HLL++ is
@@ -950,6 +960,10 @@ object PipelineQueries {
     // streaming first-occurrence dedup on key columns == batch DISTINCT
     "stream_dedup_pairs" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "stream_url_dedup" ->
+      s"""SELECT DISTINCT ${LlmQueries.canonUrlSql("event_id")} AS canon_url
+         |FROM events ORDER BY canon_url""".stripMargin,
 
     "conv_stream_orc" ->
       """SELECT event_type, COUNT(*) AS n,

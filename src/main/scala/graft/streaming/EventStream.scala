@@ -407,6 +407,23 @@ object EventStream {
     runToMemory(spark, out, "graft_stream_dedup", OutputMode.Append())
   }
 
+  /** Streaming URL-level dedup — the ingest-time form of the batch
+    * url-curation stage: each arriving event derives its messy URL,
+    * canonicalizes IN-STREAM (the codegen'd UrlCuration chain fuses
+    * into the micro-batch scan), and `dropDuplicates` on the canonical
+    * spelling admits each true URL once no matter how many messy
+    * variants arrive. Emitting only the key column makes the output the
+    * distinct canonical set — deterministic regardless of arrival order,
+    * so the batch DISTINCT oracle applies ([[dedupPairs]] contract). */
+  def urlDedup(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
+    val out = readEventStream(spark, sfDir)
+      .select(graft.operators.UrlCuration.canonicalize(
+        graft.queries.LlmQueries.messyUrl(col("event_id"))).as("canon_url"))
+      .dropDuplicates("canon_url")
+    runToMemory(spark, out, "graft_stream_urldedup", OutputMode.Append())
+  }
+
   /** Watermark-bounded streaming dedup: duplicates arriving within the
     * watermark delay of a key's first occurrence are dropped and the key's
     * state is evicted once the watermark passes — bounded state, the
