@@ -254,8 +254,8 @@ object Cli {
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
-      require(Seq("csv", "jsonl", "parquet", "sql", "xml").contains(fmt.toLowerCase),
-        s"export format must be csv|jsonl|parquet|sql|xml, got $fmt")
+      require(Seq("csv", "jsonl", "parquet", "sql", "xml", "avro").contains(fmt.toLowerCase),
+        s"export format must be csv|jsonl|parquet|sql|xml|avro, got $fmt")
       val compression = rest.headOption.getOrElse("none")
       val df = graft.sinks.OrcSink.read(spark, orcDir)
       val name = new org.apache.hadoop.fs.Path(orcDir).getName
@@ -265,6 +265,13 @@ object Cli {
         return Some(JobReport(Seq(ConversionJob.TableResult(name,
           success = true, rows = rows, files = files, attempts = 1,
           error = None))))
+      }
+      if (fmt.toLowerCase == "avro") {
+        // container files, one per partition, executor-side (AvroSource)
+        val rows = AvroSource.writeDistributed(df, s"$outDir/$name")
+        return Some(JobReport(Seq(ConversionJob.TableResult(name,
+          success = true, rows = rows,
+          files = df.rdd.getNumPartitions, attempts = 1, error = None))))
       }
       val w = df.write.mode("overwrite")
       val w2 = if (compression.toLowerCase == "none") w
@@ -295,8 +302,8 @@ object Cli {
           |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
-          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql|xml> [compression=none]
-          |        (sql/xml exports ignore the compression argument)
+          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql|xml|avro> [compression=none]
+          |        (sql/xml/avro exports ignore the compression argument)
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
           |        (empty elements read as empty strings, not NULL —

@@ -107,7 +107,8 @@ object SparkEntry {
     // round-10: universal-input breadth + URL curation + dump export
     "conv_parquet_roundtrip", "conv_avro_roundtrip", "conv_dump_bz2",
     "conv_dump_zst", "conv_sqlitedump_roundtrip", "conv_export_dump",
-    "conv_export_xml", "conv_fixedwidth_roundtrip",
+    "conv_export_xml", "conv_export_jdbc", "conv_export_avro",
+    "conv_fixedwidth_roundtrip",
     "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
     "pipeline_url_blocklist", "pipeline_length_buckets", "profile_k_anon",
     "profile_zipf")

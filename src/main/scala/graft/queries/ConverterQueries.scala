@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.sinks.OrcSink
-import graft.sources.{CsvSource, FixedWidthSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource, XmlSource}
+import graft.sources.{AvroSource, CsvSource, FixedWidthSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource, XmlSource}
 
 /** Converter round-trips under the correctness gate.
   *
@@ -365,6 +365,53 @@ object ConverterQueries {
       val dfs = SqlDumpSource.parse(s, s"$out/customer", Seq("all"),
         distributed = true)
       dfs("customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Reverse JDBC export (round-10): ORC -> JdbcSource.write (batched
+    // partition-parallel INSERTs through the engine's dialect DDL) into
+    // live embedded Derby -> range-partitioned read-back -> aggregate vs
+    // the clean parquet. Completes the database leg's symmetry: the
+    // reference only ever pulled FROM a database; a universal converter
+    // loads one too. The Derby database is JVM-memoized scratch (same
+    // pattern as conv_jdbc_roundtrip); the EXPORT itself re-runs every
+    // call in overwrite mode.
+    "conv_export_jdbc" -> { (s, d) =>
+      val base = tmp(d, "jdbcexp")
+      val conn = jvmStageOnce(s"jdbcexp|$d") {
+        JdbcSource.derby(s"$base/${java.util.UUID.randomUUID()}/db")
+      }
+      stageOnce(s"$base/orc/customer") {
+        OrcSink.write(t(s, d, "customer"), s"$base/orc", "customer")
+      }
+      JdbcSource.write(OrcSink.read(s, s"$base/orc/customer"), conn,
+        "customer_out")
+      JdbcSource.read(s, conn, "customer_out")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dsumr(col("c_acctbal")).as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // Reverse Avro export (round-10): ORC -> Cli export avro (one
+    // container file per partition, written EXECUTOR-side) -> the
+    // sync-marker-splittable AvroSource read -> aggregate vs the clean
+    // parquet. With conv_avro_roundtrip (avro as input) this closes
+    // Avro's read/write symmetry — every input format now has its
+    // output twin.
+    "conv_export_avro" -> { (s, d) =>
+      val base = tmp(d, "exportavro")
+      stageOnce(s"$base/customer") {
+        OrcSink.write(t(s, d, "customer"), base, "customer")
+      }
+      val out = s"$base/out"
+      graft.Cli.run(s, Seq("export", s"$base/customer", out, "avro"))
+      AvroSource.read(s, s"$out/customer")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),
           dsumr(col("c_acctbal")).as("sum_bal"),
@@ -1038,6 +1085,18 @@ object ConverterQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 
     "conv_export_dump" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_export_avro" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_export_jdbc" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key

@@ -230,26 +230,65 @@ object AvroSource {
       val it = df.toLocalIterator()
       var i = 0
       while (it.hasNext) {
-        val row = it.next()
-        val rec = new GenericData.Record(avroSchema)
-        st.fields.zipWithIndex.foreach { case (f, j) =>
-          val v: AnyRef =
-            if (row.isNullAt(j)) null
-            else f.dataType match {
-              case TimestampType =>
-                val ts = row.getTimestamp(j)
-                // whole seconds via floorDiv (pre-epoch safe) + sub-second
-                // from nanos — getTime's millis would double-count them
-                java.lang.Long.valueOf(
-                  Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
-              case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](j))
-              case _ => row.get(j).asInstanceOf[AnyRef]
-            }
-          rec.put(f.name, v)
-        }
-        writers(i % writers.length).append(rec)
+        writers(i % writers.length).append(rowToRecord(it.next(), st, avroSchema))
         i += 1
       }
     } finally writers.foreach(_.close())
+  }
+
+  /** Row -> GenericRecord under the mapped Avro schema (shared by the
+    * driver-side fixture writer and the distributed export). */
+  private def rowToRecord(row: Row, st: StructType, avroSchema: Schema): GenericRecord = {
+    val rec = new GenericData.Record(avroSchema)
+    st.fields.zipWithIndex.foreach { case (f, j) =>
+      val v: AnyRef =
+        if (row.isNullAt(j)) null
+        else f.dataType match {
+          case TimestampType =>
+            val ts = row.getTimestamp(j)
+            // whole seconds via floorDiv (pre-epoch safe) + sub-second
+            // from nanos — getTime's millis would double-count them
+            java.lang.Long.valueOf(
+              Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L)
+          case BinaryType => ByteBuffer.wrap(row.getAs[Array[Byte]](j))
+          case _ => row.get(j).asInstanceOf[AnyRef]
+        }
+      rec.put(f.name, v)
+    }
+    rec
+  }
+
+  /** Distributed Avro export — the production-shape counterpart of the
+    * fixture [[write]]: each partition streams its rows into its own
+    * container file (`part-NNNNN.avro`) through the Hadoop FileSystem on
+    * the EXECUTOR, so a large frame exports with no driver bottleneck
+    * and the output splits right back across executors on read (sync
+    * markers every block). The Avro schema ships to executors as its
+    * JSON form (`Schema` itself is not serialization-stable across Avro
+    * versions). Returns the row count (the action that runs the job). */
+  def writeDistributed(df: DataFrame, dir: String): Long = {
+    val st = df.schema
+    val schemaJson = toAvroSchema(st, "row").toString
+    val p = new Path(dir)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    val counts = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // executor-side: re-parse the schema, open this partition's part
+      // file (default Hadoop conf — same FS resolution as any executor
+      // write), stream records, close
+      val schema = new Schema.Parser().parse(schemaJson)
+      val part = new Path(dir, f"part-$pid%05d.avro")
+      val pfs = part.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val out = pfs.create(part, true)
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      var n = 0L
+      try it.foreach { row => w.append(rowToRecord(row, st, schema)); n += 1 }
+      finally w.close()
+      Iterator.single(n)
+    }
+    counts.sum().toLong
   }
 }

@@ -202,6 +202,20 @@ object JdbcSource {
   def read(spark: SparkSession, cfg: MySqlConfig, table: String): DataFrame =
     read(spark, cfg.conn, table)
 
+  /** Distributed JDBC write-back — the reverse converter leg (table ->
+    * database), Spark-native bulk load: each partition opens one
+    * connection and streams batched INSERTs (`batchsize` = chunkSize),
+    * so a many-partition frame loads over parallel connections with no
+    * driver bottleneck. `overwrite` drops and recreates the table
+    * through the engine's JdbcDialect DDL; pass pre-quoted identifiers
+    * via [[quoteIdent]] for case-exact names on fold-to-upper engines
+    * (Derby). */
+  def write(df: DataFrame, conn: JdbcConn, table: String,
+            mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
+      .option("batchsize", conn.chunkSize)
+      .jdbc(conn.url, quoteIdent(conn, table), connectionProps(conn))
+
   /** Enforce the declared MySQL→ORC mapping (README.md:252-259): every
     * integral column widens to LONG. DECIMAL/DATE/TIMESTAMP already arrive
     * exact via JDBC. Pure column casts — stays inside whole-stage codegen. */
