@@ -31,6 +31,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // radius search broadcasts the (bounded) query frame against the
     // corpus scan — the same intended shape as the ANN brute-force legs
     "emb_cosine_radius", "ann_ivf_radius",
+    // truncated-dim funnel: prefix brute-force shortlist + exact re-rank
+    // both broadcast the bounded query frame
+    "ann_truncated_topk",
     // the KN scorer's broadcast one-row bigram-types frame (the same
     // crossJoin text_min_k_prob carries) reached through pplBuckets
     "pipeline_ppl_buckets")
@@ -60,7 +63,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
     "pipeline_url_blocklist",
     "conv_parquet_roundtrip", "conv_avro_roundtrip", "conv_dump_bz2",
-    "conv_sqlitedump_roundtrip", "conv_export_dump", "conv_export_xml")
+    "conv_sqlitedump_roundtrip", "conv_export_dump", "conv_export_xml",
+    // r10 second batch: fixed-width leg, jdbc/avro export, matryoshka
+    // tier, audit operators
+    "conv_fixedwidth_roundtrip", "conv_export_jdbc", "conv_export_avro",
+    "ann_truncated_topk", "profile_zipf", "profile_k_anon",
+    "pipeline_length_buckets")
 
   test("no audited plan contains a cartesian product") {
     audited.foreach { n =>
