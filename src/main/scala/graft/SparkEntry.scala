@@ -83,7 +83,8 @@ object SparkEntry {
     "profile_incremental",
     "emb_cosine_topk", "emb_benchmark_overlap",
     "ann_lsh_topk", "ann_lsh_topk_engine", "ann_rp_topk", "ann_pca_topk",
-    "ann_pca_serve", "ann_truncated_topk", "ann_mmr_rerank",
+    "ann_pca_serve", "ann_truncated_topk", "ann_truncated_engine",
+    "ann_mmr_rerank",
     "ann_ivf_topk", "ann_ivf_topk_engine", "ann_ivf_index_serve",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",
@@ -143,10 +144,20 @@ object SparkEntry {
       trainedPca.computeIfAbsent(d, _ =>
         Similarity.trainPcaProjection(t(s, d, "embeddings"), "vec_id",
           "embedding", outDim = 16))
+    val embCount = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def nVecs(s: SparkSession, d: String): Long =
+      embCount.computeIfAbsent(d, _ => t(s, d, "embeddings").count())
     Map(
       "ann_lsh_topk_engine" -> ((s, d) =>
         Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
           queryIds = _ < 10, k = 5, tables = 8, nBits = 3)),
+      // the truncated-dim funnel alone (the gated row also runs the
+      // brute-force truth + recall join); corpus-scaled shortlist, gate
+      // dials
+      "ann_truncated_engine" -> ((s, d) =>
+        Similarity.truncatedTopK(t(s, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5, prefixDims = 32,
+          shortlist = math.max(100L, nVecs(s, d) * 5 / 100).toInt)),
       // PCA serving with a FROZEN pre-trained projection — the training
       // collect happens once at index build, outside the timed window
       "ann_pca_serve" -> ((s, d) => {

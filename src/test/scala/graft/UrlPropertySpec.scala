@@ -74,6 +74,29 @@ class UrlPropertySpec extends AnyFunSuite with SparkSessionTestWrapper {
       "line1\nline2", "cr\rhere", ");\ntrap", "0x41", "NULL", "null",
       "", " edges ", "emoji éü", "\\n literal", "tab\there"))
 
+  test("a multi-table dump directory parses each table back exactly") {
+    // three tables exported into ONE directory tree (the
+    // whole-database-dump shape): the statement scanner must route every
+    // INSERT to its own CREATE TABLE schema with no cross-table bleed
+    val out = java.nio.file.Files.createTempDirectory("dumpmulti").toString
+    val tables = (0 until 3).map { ti =>
+      val cells = samples(Gen.listOfN(20, cellGen), 1, 555L * (ti + 1)).head
+      val df = cells.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("id", s"payload_$ti") // distinct column names per table
+      SqlDumpSink.write(df, out, s"tab$ti")
+      s"tab$ti" -> cells
+    }
+    for ((name, cells) <- tables) {
+      val back = SqlDumpSource.parse(spark, s"$out/$name", Seq("all"),
+        distributed = true)(name)
+      assert(back.count() == cells.length, name)
+      val got = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      cells.zipWithIndex.foreach { case (s, i) =>
+        assert(got(i.toLong) == s, s"$name cell $i")
+      }
+    }
+  }
+
   test("generated hostile cells round-trip through the distributed dump writer") {
     for (trial <- 0 until 3) {
       val cells = samples(Gen.listOfN(30, cellGen), 1, 1234L * (trial + 1)).head
