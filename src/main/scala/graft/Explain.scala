@@ -66,7 +66,16 @@ object Explain {
         // conv_xml_roundtrip / conv_schema_evolution are eager (stage
         // fixtures + write ORC) — their shapes are asserted lazily in
         // PlanAuditSpec instead.
-        "emb_cosine_radius", "ann_ivf_radius", "pipeline_score_calibrate")
+        "emb_cosine_radius", "ann_ivf_radius", "pipeline_score_calibrate",
+        // round-10: URL curation (map-only canon chain + one
+        // domain-keyed exchange on the cap), audit operators
+        // (doc-keyed / group-keyed aggs), matryoshka funnel (broadcast
+        // query frame, prefix slice at the scan). The converter legs
+        // (fixed-width, exports) are eager and audited lazily in
+        // PlanAuditSpec.
+        "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
+        "pipeline_url_blocklist", "pipeline_length_buckets",
+        "profile_k_anon", "profile_zipf", "ann_truncated_topk")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
