@@ -298,6 +298,13 @@ object ScaleRehearsal {
           "embedding", queryIds = _ < 10, k = 5, mean = mean,
           components = comps, shortlist = pcaShortlist(d))
       }),
+      // round-10: truncated-dim (matryoshka) funnel — gate dials
+      // (32-of-64 prefix) with the same corpus-scaled 5% shortlist as
+      // the PCA tier; zero training, so nothing to stage
+      "ann_truncated" -> (() =>
+        Similarity.truncatedTopK(t(spark, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5, prefixDims = 32,
+          shortlist = pcaShortlist(d))),
       // round-9: IVF radius search (gate dials — tau 0.3, nProbe 6/16
       // cells, frozen centroids). Cost must track the probed-cell scan.
       "ann_ivf_radius" -> (() =>
@@ -435,6 +442,9 @@ object ScaleRehearsal {
       // fold (one scan), projected shortlist + exact re-rank — cost must
       // track the corpus scan like the other frozen-index ANN tiers.
       "ann_pca_serve" -> (() => annFrames(d)("ann_pca_serve")().count()),
+      // round-10: prefix-slice shortlist + exact re-rank — one corpus
+      // scan, no index; cost and recall must track the PCA tier's
+      "ann_truncated" -> (() => annFrames(d)("ann_truncated")().count()),
       // fuzzy edit-distance join over 24-char doc prefixes: the q-gram
       // prefix filter bounds candidates by rare-gram co-occurrence, so
       // growth must track the inverted-index build (linear scan +
@@ -634,7 +644,7 @@ object ScaleRehearsal {
     // the timed windows (timings above are already settled).
     val annEps = Map("ann_ivf_topk" -> 0.02, "ann_ivf_int8_topk" -> 0.02,
       "ann_ivf_pq" -> 0.02, "ann_ivf_pq_serve" -> 0.02,
-      "ann_pca_serve" -> 0.05)
+      "ann_pca_serve" -> 0.05, "ann_truncated" -> 0.05)
     val recallFloor = 0.80
     val exactKth = scala.collection.mutable.Map.empty[String, Map[Long, Double]]
     def kthScores(d: String): Map[Long, Double] = exactKth.getOrElseUpdate(d,
