@@ -122,6 +122,29 @@ object PipelineQueries {
       EventStream.dedupPairs(s, d).orderBy(col("user_id"), col("event_type"))
     },
 
+    // Watermark lateness semantics, MEASURED and pinned (no other
+    // stream gate stages late data, so a policy change would go
+    // unseen): a 10-day-stale poisoned file arrives after the watermark
+    // passed, and Spark's best-effort zone still aggregates it (probed:
+    // the late batch ran with wm = max-1h and its rows built fresh
+    // groups) — the oracle is the batch answer over on-time UNION late,
+    // so an engine-version change in lateness policy fails loudly here.
+    "stream_late_policy" -> { (s, d) =>
+      EventStream.lateDataAgg(s, d).orderBy(col("hour"), col("event_type"))
+    },
+
+    // ...and the production admission-fence pattern: an explicit
+    // partition-lower-bound filter ahead of the watermark. Its honest
+    // guarantee is exactly scoped: rows BELOW the bound drop
+    // deterministically (late duplicates of an earlier partition), while
+    // in-bound late arrivals are legitimate data and admit — the oracle
+    // replays that split precisely, so both halves of the fence contract
+    // are pinned.
+    "stream_late_fenced" -> { (s, d) =>
+      EventStream.lateDataAggFenced(s, d)
+        .orderBy(col("hour"), col("event_type"))
+    },
+
     // Ingest-time URL dedup: canonicalization + stateful dropDuplicates
     // on the canonical spelling, in-stream. The oracle derives the
     // expected distinct canonical set DIRECTLY from the event-id
@@ -964,6 +987,35 @@ object PipelineQueries {
     "stream_url_dedup" ->
       s"""SELECT DISTINCT ${LlmQueries.canonUrlSql("event_id")} AS canon_url
          |FROM events ORDER BY canon_url""".stripMargin,
+
+    // on-time UNION the deterministic late set (event_id % 20, -10 days,
+    // +10000 poison) — the measured best-effort-aggregation semantics
+    "stream_late_policy" ->
+      """WITH u AS (
+        | SELECT ts, event_type, value FROM events
+        | UNION ALL
+        | SELECT ts - INTERVAL 10 DAY AS ts, event_type, value + 10000 AS value
+        | FROM events WHERE event_id % 20 = 0)
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM u GROUP BY 1, 2""".stripMargin,
+
+    // on-time UNION only the late rows the fence ADMITS (shifted ts
+    // still >= the partition lower bound) — below-bound rows are
+    // guaranteed dropped, in-bound late arrivals are data
+    "stream_late_fenced" ->
+      """WITH u AS (
+        | SELECT ts, event_type, value FROM events
+        | UNION ALL
+        | SELECT ts - INTERVAL 10 DAY AS ts, event_type, value + 10000 AS value
+        | FROM events
+        | WHERE event_id % 20 = 0
+        |   AND ts - INTERVAL 10 DAY >= (SELECT min(ts) FROM events))
+        |SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        | COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     "conv_stream_orc" ->
       """SELECT event_type, COUNT(*) AS n,

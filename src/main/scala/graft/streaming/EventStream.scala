@@ -407,6 +407,133 @@ object EventStream {
     runToMemory(spark, out, "graft_stream_dedup", OutputMode.Append())
   }
 
+  /** LATENESS semantics, measured and pinned. Staged stream,
+    * mtime-ordered with maxFilesPerTrigger=1:
+    *
+    *   batch 1  the real corpus           -> watermark rises to max-1h
+    *   batch 2  a LATE file: the event_id % 20 == 0 rows shifted 10 days
+    *            earlier with values bumped +10000 (deterministic set, so
+    *            the oracle can replay it; the poison makes any
+    *            aggregation-path change a sum mismatch, not just rows)
+    *   batch 3+ two far-future sentinels (+30d/+60d, event_type
+    *            'sentinel'): Append emission uses the watermark computed
+    *            at the END of the previous batch, so the second
+    *            sentinel's batch flushes every real window and the first
+    *            sentinel's own row is the polled everything-flushed
+    *            signal (the clickErrorOuterJoin discipline)
+    *
+    * MEASURED Spark semantics this pins (probed on 4.1: batch 2 ran
+    * with watermark 2024-01-30T22:57 and its 2023-12-xx rows still
+    * aggregated): watermark late-dropping for aggregations is
+    * BEST-EFFORT — the guarantee is only that data LESS delayed than
+    * the threshold is never dropped; data far beyond it "may or may not
+    * be aggregated" (here: its state was never created, so the rows
+    * build fresh groups and emit at the next watermark advance). The
+    * gate's oracle is therefore the batch aggregation over on-time
+    * UNION late rows — and [[lateDataAggFenced]] is the production
+    * pattern for pipelines that NEED the hard drop. */
+  def lateDataAgg(sparkIn: SparkSession, sfDir: String): DataFrame =
+    lateAggImpl(sparkIn, sfDir, fenced = false)
+
+  /** The deterministic-lateness production pattern: an EXPLICIT
+    * admission fence at ingest (the loaded partition's lower bound)
+    * ahead of the watermark/aggregation, giving the hard guarantee
+    * best-effort watermark semantics do not ([[lateDataAgg]]) — scoped
+    * honestly: rows BELOW the bound (stale duplicates of an earlier
+    * partition) drop deterministically, in-bound late arrivals are
+    * legitimate data and admit. The gate's oracle replays exactly that
+    * split. */
+  def lateDataAggFenced(sparkIn: SparkSession, sfDir: String): DataFrame =
+    lateAggImpl(sparkIn, sfDir, fenced = true)
+
+  private def lateAggImpl(sparkIn: SparkSession, sfDir: String,
+                          fenced: Boolean): DataFrame = {
+    val spark = tunedSession(sparkIn)
+    val key = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dir = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/events_late")
+    stageLock.synchronized {
+      val k2 = key + "/late"
+      if (!staged.contains(k2)) {
+        java.nio.file.Files.createDirectories(dir)
+        val srcPath = java.nio.file.Paths.get(s"$sfDir/events.parquet")
+        val tmp0 = dir.resolve(s".ev.tmp-${java.util.UUID.randomUUID()}")
+        java.nio.file.Files.copy(srcPath, tmp0)
+        java.nio.file.Files.move(tmp0, dir.resolve("events.parquet"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        java.nio.file.Files.setLastModifiedTime(dir.resolve("events.parquet"),
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L))
+        val raw = spark.read.parquet(s"$sfDir/events.parquet")
+        def bump(days: Long) = raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            col("ts") + lit(days * 24 * 3600 * 1000000000L) // nanos
+          case _ => col("ts") + expr(s"interval $days days")
+        }
+        def stagePart(df: org.apache.spark.sql.DataFrame, name: String,
+                      mtimeOff: Long): Unit = {
+          val st = dir.resolve(s".st-${java.util.UUID.randomUUID()}")
+          df.coalesce(1).write.mode("overwrite").parquet(st.toString)
+          val part = st.toFile.listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = dir.resolve(name)
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(1000000000000L + mtimeOff))
+          org.apache.commons.io.FileUtils.deleteDirectory(st.toFile)
+        }
+        // late rows: a DETERMINISTIC subset (event_id % 20) shifted 10
+        // days earlier, values bumped +10000 — oracle-replayable
+        stagePart(raw.filter(col("event_id") % 20 === 0)
+          .withColumn("ts", bump(-10))
+          .withColumn("value", col("value") + lit(10000.0)),
+          "events-late.parquet", 60000L)
+        Seq(30L, 60L).zipWithIndex.foreach { case (days, i) =>
+          stagePart(raw.orderBy(col("ts").desc).limit(1)
+            .withColumn("ts", bump(days))
+            .withColumn("event_type", lit("sentinel"))
+            .withColumn("event_id", lit(-1L - i))
+            .withColumn("user_id", lit(-1L - i)),
+            s"events-sentinel-$i.parquet", 120000L + i * 60000L)
+        }
+        staged += k2
+      }
+    }
+    val stream0 = graft.Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema(spark, sfDir))
+        .option("maxFilesPerTrigger", "1").parquet(dir.toString))
+    val stream =
+      if (!fenced) stream0
+      else {
+        // the admission fence: the loaded partition's lower bound, read
+        // once from the batch fixture (a static scan-fused filter — the
+        // deterministic lateness policy)
+        val minTs = graft.Tables.t(spark, sfDir, "events")
+          .agg(min(col("ts"))).head().getTimestamp(0)
+        stream0.filter(col("ts") >= lit(minTs))
+      }
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("sum_value"))
+    val sink = if (fenced) "graft_stream_late_fenced" else "graft_stream_late"
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(sink).start()
+    try {
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (spark.table(sink)
+               .filter(col("event_type") === "sentinel").isEmpty &&
+             System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    spark.table(sink).filter(col("event_type") =!= "sentinel")
+  }
+
   /** Streaming URL-level dedup — the ingest-time form of the batch
     * url-curation stage: each arriving event derives its messy URL,
     * canonicalizes IN-STREAM (the codegen'd UrlCuration chain fuses
