@@ -51,7 +51,7 @@ object SparkEntry {
     "conv_stream_orc",
     "conv_cdc_stream", "stream_ingest_dedup", "stream_bm25_ingest",
     "stream_ivf_ingest", "stream_left_join", "stream_url_dedup",
-    "stream_late_policy", "stream_late_fenced",
+    "stream_late_policy", "stream_late_fenced", "stream_static_enrich",
     "text_stats", "text_normalize", "text_html_strip", "text_c4_clean",
     "text_line_quality", "text_entropy",
     "text_bpe_tokens",

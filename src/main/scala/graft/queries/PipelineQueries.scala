@@ -145,6 +145,13 @@ object PipelineQueries {
         .orderBy(col("hour"), col("event_type"))
     },
 
+    // Stream-static dimension enrichment: the broadcast snapshot join
+    // every production stream runs (stateless per batch — no store, no
+    // watermark), against the batch join+agg oracle.
+    "stream_static_enrich" -> { (s, d) =>
+      EventStream.staticEnrichAgg(s, d).orderBy(col("c_mktsegment"))
+    },
+
     // Ingest-time URL dedup: canonicalization + stateful dropDuplicates
     // on the canonical spelling, in-stream. The oracle derives the
     // expected distinct canonical set DIRECTLY from the event-id
@@ -987,6 +994,12 @@ object PipelineQueries {
     "stream_url_dedup" ->
       s"""SELECT DISTINCT ${LlmQueries.canonUrlSql("event_id")} AS canon_url
          |FROM events ORDER BY canon_url""".stripMargin,
+
+    "stream_static_enrich" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     // on-time UNION the deterministic late set (event_id % 20, -10 days,
     // +10000 poison) — the measured best-effort-aggregation semantics

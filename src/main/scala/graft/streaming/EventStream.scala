@@ -534,6 +534,24 @@ object EventStream {
     spark.table(sink).filter(col("event_type") =!= "sentinel")
   }
 
+  /** Stream-STATIC dimension enrichment — the most common production
+    * streaming join (events enriched with a slowly-changing dimension
+    * snapshot): the static side broadcasts once and every micro-batch
+    * joins stateLESSly against it (no watermark, no state store — the
+    * join is a map-side hash probe per batch), feeding a running
+    * aggregate. Exactly-once contract = the batch join+agg over the
+    * same data. */
+  def staticEnrichAgg(sparkIn: SparkSession, sfDir: String): DataFrame = {
+    val spark = tunedSession(sparkIn)
+    val dim = graft.Tables.t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val out = readEventStream(spark, sfDir)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsumr(col("value")).as("sum_value"))
+    runToMemory(spark, out, "graft_stream_enrich", OutputMode.Complete())
+  }
+
   /** Streaming URL-level dedup — the ingest-time form of the batch
     * url-curation stage: each arriving event derives its messy URL,
     * canonicalizes IN-STREAM (the codegen'd UrlCuration chain fuses
