@@ -75,7 +75,16 @@ object Explain {
         // PlanAuditSpec.
         "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
         "pipeline_url_blocklist", "pipeline_length_buckets",
-        "profile_k_anon", "profile_zipf", "ann_truncated_topk")
+        "profile_k_anon", "profile_zipf", "ann_truncated_topk",
+        // round-10 fourth batch: partition-offset global ids (tiny-frame
+        // prefix-sum window + broadcast offsets), Aho-Corasick scrub
+        // (map-only scan agg), compiled cluster routing, margin mining
+        "pipeline_global_ids", "text_keyword_scrub", "emb_cluster_assign",
+        "pipeline_cluster_balance", "emb_bitext_margin",
+        // round-10 fifth batch (stream_minhash_ingest and the multimodal
+        // decode gates are eager — index build / RDD decode — and are
+        // audited by their specs instead)
+        "text_readability")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -113,7 +113,15 @@ object SparkEntry {
     "conv_fixedwidth_roundtrip",
     "text_url_canon", "dedup_url", "pipeline_cap_per_domain",
     "pipeline_url_blocklist", "pipeline_length_buckets", "profile_k_anon",
-    "profile_zipf")
+    "profile_zipf",
+    // round-10 fourth batch: global ids, Aho-Corasick scrub, clustering,
+    // bitext margin mining
+    "pipeline_global_ids", "text_keyword_scrub", "emb_cluster_assign",
+    "pipeline_cluster_balance", "emb_bitext_margin",
+    // round-10 fifth batch: readability, streamed minhash index,
+    // resolution curation
+    "text_readability", "stream_minhash_ingest",
+    "multimodal_resolution_buckets")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

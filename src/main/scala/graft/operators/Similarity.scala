@@ -1184,4 +1184,112 @@ object Similarity {
         .select(col("id").as("vec_id"), col("sem_ok"))
     } finally res.unpersist(blocking = false)
   }
+
+  // ---------------------------------------------------------------------
+  // Cluster assignment + cluster-balanced selection
+  // ---------------------------------------------------------------------
+
+  /** Deterministic nearest-centroid cluster assignment: each vector maps
+    * to the centroid with the highest cosine (ties broken by smallest
+    * centroid id). Centroids arrive as a bounded driver-side list (the
+    * K-side of k-means — KBs even at k=65536) and ship to executors inside
+    * the compiled [[graft.functions.NearestCells]] expression, so the scan
+    * is map-only: no shuffle, no join, one tight dot-product loop per row.
+    *
+    * This is the assignment primitive under cluster-balanced data curation
+    * (DataComp/DCLM-style: cluster the corpus, then cap or re-weight per
+    * cluster) and is the same compiled kernel the IVF index uses for cell
+    * routing — one code path, two products.
+    *
+    * Output: (idCol, cluster_id, cosine) with cosine rounded to 4dp.
+    */
+  def assignClusters(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val sorted = centroids.sortBy(_._1)
+    val cents = sorted.map(_._2)
+    val ids = sorted.map(_._1)
+    val cidx = graft.functions.NearestCells
+      .nearestCells(asDouble(col(vecCol)), cents, nProbe = 1)(0)
+    val matrix = typedLit(cents)
+    val idTable = typedLit(ids)
+    emb
+      .withColumn("_cidx", cidx)
+      .select(
+        col(idCol),
+        element_at(idTable, col("_cidx") + 1).as("cluster_id"),
+        round(cosine(asDouble(col(vecCol)),
+          element_at(matrix, col("_cidx") + 1)), 4).as("cosine"))
+  }
+
+  /** Cluster-balanced cap: assign clusters, keep the first `cap` members
+    * per cluster in id order, and report the per-cluster audit frame
+    * (members, kept, kept-id checksum). One corpus shuffle — the
+    * per-cluster window and the audit agg share the cluster key, so
+    * Catalyst reuses the exchange. */
+  def clusterBalance(emb: DataFrame, idCol: String, vecCol: String,
+                     centroids: Seq[(Long, Seq[Double])], cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col(idCol))
+    assignClusters(emb, idCol, vecCol, centroids)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("rn") <= cap, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("rn") <= cap, col(idCol))).as("kept_id_sum"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Margin-based bitext / pair mining
+  // ---------------------------------------------------------------------
+
+  /** Margin-based candidate pair mining between two embedding sets
+    * (Artetxe & Schwenk 2019, "Margin-based Parallel Corpus Mining with
+    * Multilingual Sentence Embeddings" — the LASER/CCMatrix recipe):
+    * raw cosine over-selects hubs (vectors close to everything), so each
+    * pair is scored by its cosine divided by the mean of the two sides'
+    * top-k cosine neighborhoods,
+    *
+    *   margin(x, y) = cos(x, y) / ((avgTopK(x) + avgTopK(y)) / 2),
+    *
+    * and each source vector keeps its best-margin target when the margin
+    * clears `threshold` (the "max" strategy).
+    *
+    * Float discipline (the Entropy pattern): cosines round to 6dp, the
+    * top-k means are exact DECIMAL(18,6) sums divided once in double
+    * space, so margins are bit-identical on any partitioning and to the
+    * DuckDB oracle. This exact formulation is gate-sized (all-pairs); the
+    * 100 TB path swaps the all-pairs cosine frame for an IVF/LSH shortlist
+    * exactly like [[cosineNearDupPairs]] vs [[lshNearDupPairs]] — the
+    * margin math downstream is unchanged.
+    */
+  def marginPairs(src: DataFrame, tgt: DataFrame, idCol: String,
+                  vecCol: String, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = src.select(col(idCol).cast("long").as("x"), asDouble(col(vecCol)).as("av"))
+    val b = tgt.select(col(idCol).cast("long").as("y"), asDouble(col(vecCol)).as("bv"))
+    // The pair frame is consumed three times (ka, kb, margins); it stays
+    // unmaterialized — a broadcast nested-loop re-scan is cheaper than
+    // caching at gate size, and the 100 TB path materializes its shortlist
+    // frame instead.
+    val pairs = a.join(broadcast(b))
+      .select(col("x"), col("y"), round(cosine(col("av"), col("bv")), 6).as("c"))
+    def topKMean(key: String, other: String, outCol: String) = {
+      val w = Window.partitionBy(col(key)).orderBy(col("c").desc, col(other))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col(key))
+        .agg((sum(col("c").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as(outCol))
+    }
+    val ka = topKMean("x", "y", "ax")
+    val kb = topKMean("y", "x", "ay")
+    val margins = pairs
+      .join(ka, "x").join(kb, "y")
+      .withColumn("margin", col("c") / ((col("ax") + col("ay")) / 2))
+    val w = Window.partitionBy(col("x")).orderBy(col("margin").desc, col("y"))
+    margins.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("margin") >= threshold)
+      .select(col("x").as("src_id"), col("y").as("tgt_id"),
+        round(col("margin"), 4).as("margin_r"))
+  }
 }

@@ -176,4 +176,47 @@ object TextAnalysis {
           (lit(1.0) - upperCount / len),
         4))
   }
+
+  // ------------------------------------------------------------------
+  // Readability (Flesch 1948)
+  // ------------------------------------------------------------------
+
+  /** Sentence count: runs of sentence-ending punctuation, floored at 1
+    * for non-empty text (a fragment with no terminal punctuation is one
+    * sentence). Counted arithmetically via the marker-diff trick so the
+    * SQL mirror is engine-exact. */
+  def sentenceCount(c: Column): Column = {
+    val marked = length(regexp_replace(c, "[.!?]+", "#"))
+    val removed = length(regexp_replace(c, "[.!?]+", ""))
+    greatest(lit(1L), (marked - removed).cast("long"))
+  }
+
+  /** Heuristic syllable count: vowel groups ([aeiouy]+) on lowercased
+    * text — the standard cheap approximation under automated
+    * Flesch scoring (each maximal vowel run ≈ one syllable nucleus).
+    * Counted arithmetically for the engine-exact SQL mirror. */
+  def syllableCount(c: Column): Column = {
+    val lc = lower(c)
+    val marked = length(regexp_replace(lc, "[aeiouy]+", "#"))
+    val removed = length(regexp_replace(lc, "[aeiouy]+", ""))
+    (marked - removed).cast("long")
+  }
+
+  /** Flesch Reading Ease (Flesch 1948, the readability dimension of
+    * edu-quality curation filters):
+    *
+    *   206.835 - 1.015 * (words/sentences) - 84.6 * (syllables/words)
+    *
+    * over [[tokenCount]] / [[sentenceCount]] / [[syllableCount]]. All
+    * three operands are exact BIGINTs, and the formula is the identical
+    * left-associated IEEE expression in both engines, so the double is
+    * bit-identical cross-engine with NO decimal detour. NULL-safe: empty
+    * text (0 words) yields NULL rather than a division error. */
+  def fleschEase(c: Column): Column = {
+    val w = tokenCount(c).cast("double")
+    val s = sentenceCount(c).cast("double")
+    val sy = syllableCount(c).cast("double")
+    when(w === 0.0, lit(null).cast("double")).otherwise(
+      lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w))
+  }
 }

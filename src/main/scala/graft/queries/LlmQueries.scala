@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.operators.{CountMin, Dedup, NgramLm, Profile, Retrieval, Similarity, TextAnalysis, UrlCuration}
+import graft.operators.{CountMin, Dedup, GlobalIds, NgramLm, Profile, Retrieval, Similarity, TextAnalysis, UrlCuration}
 
 /** LLM training-data pipeline operators under the correctness gate.
   *
@@ -166,6 +166,44 @@ object LlmQueries {
       }
       graft.streaming.EventStream.ivfIngestApply(s, landing.toString, tbl,
         hybridCentroidsFor(s, d), base.resolve("ckpt").toString)
+      tbl
+    })
+
+  /** Per-sf-dir STREAMED near-dup signature index: three corpus doc
+    * batches staged into a landing dir, each signatured and appended to
+    * the standing band-bucketed index by the foreachBatch ingest loop —
+    * the MinHash member of the streamed-index trio (BM25 / IVF /
+    * near-dup). Same clean-slate discipline as [[ivfStreamIndexFor]]. */
+  private val minhashStreamIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def minhashStreamIndexFor(s: SparkSession, d: String): String =
+    minhashStreamIdx.computeIfAbsent(d, _ => {
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val tbl = s"graft_minhash_stream_${key.replace(".", "_")}"
+      s.sql(s"DROP TABLE IF EXISTS `$tbl`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      val base = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/minhash_ingest")
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      val landing = base.resolve("landing")
+      java.nio.file.Files.createDirectories(landing)
+      val corpus = t(s, d, "documents").filter(col("doc_id") % 10 =!= 0)
+      for (i <- 0 until 3) {
+        val stage = base.resolve(s".stage-$i")
+        corpus.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          landing.resolve(s"batch-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+      graft.streaming.EventStream.minhashIngestApply(s, landing.toString,
+        tbl, base.resolve("ckpt").toString, k = 32, shingleSize = 5,
+        bands = 8)
       tbl
     })
 
@@ -2302,7 +2340,128 @@ object LlmQueries {
     "dedup_semdedup" -> { (s, d) =>
       Similarity.semDedupGate(t(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.40, nCentroids = 16)
+    },
+
+    // Dense 0..N-1 global example ids in (source, doc_id) order via the
+    // partition-offset scheme (graft.operators.GlobalIds) — NO
+    // single-partition corpus window anywhere in the plan. sum(gid) per
+    // source pins the exact permutation, not just the counts.
+    "pipeline_global_ids" -> { (s, d) =>
+      GlobalIds.assign(t(s, d, "documents"),
+          Seq(col("source"), col("doc_id")), "gid", partitions = 8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("gid")).as("min_gid"),
+          max(col("gid")).as("max_gid"),
+          sum(col("gid")).as("sum_gid"))
+        .orderBy(col("source"))
+    },
+
+    // Aho-Corasick blocklist scrub (graft.functions.AcScrub): six terms
+    // over the fixture vocabulary, chosen so matches OVERLAP ("table
+    // part" vs "table", "fast sort key" vs "sort key") and the
+    // leftmost-longest selection is load-bearing. The oracle replays the
+    // same semantics as a longest-first RE2 alternation and derives both
+    // the match count and the scrubbed length from two replacement
+    // passes — an independent reconstruction, not a replay of the
+    // automaton.
+    "text_keyword_scrub" -> { (s, d) =>
+      val kws = Seq("fast sort key", "table part", "big group",
+        "scan slow", "sort key", "table")
+      t(s, d, "documents")
+        .withColumn("sc",
+          graft.functions.AcScrub.scrub(col("text"), kws, "[REDACTED]"))
+        .select(col("source"), col("sc.n_matches").as("n_matches"),
+          length(col("sc.scrubbed")).as("scrubbed_len"))
+        .groupBy(col("source"))
+        .agg(sum(col("n_matches")).cast("long").as("total_matches"),
+          sum(when(col("n_matches") > 0, 1L).otherwise(0L)).as("docs_hit"),
+          sum(col("scrubbed_len")).cast("long").as("scrub_len_sum"))
+        .orderBy(col("source"))
+    },
+
+    // Nearest-centroid cluster assignment over broadcast seed centroids
+    // (every 50th vector) through the compiled NearestCells kernel —
+    // map-only, ties by smallest centroid id. The oracle recomputes every
+    // (vector, centroid) cosine and replays the argmax.
+    "emb_cluster_assign" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.assignClusters(emb, "vec_id", "embedding",
+          clusterSeeds(emb))
+        .orderBy(col("vec_id"))
+    },
+
+    // Cluster-balanced cap (DataComp/DCLM-style curation): first 20
+    // members per cluster in id order; one shuffle shared by the window
+    // and the audit agg.
+    "pipeline_cluster_balance" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.clusterBalance(emb, "vec_id", "embedding",
+          clusterSeeds(emb), cap = 20)
+        .orderBy(col("cluster_id"))
+    },
+
+    // Margin-based bitext/pair mining between the label-0 and label-1
+    // embedding sets (Artetxe & Schwenk 2019 "max" strategy, k=4):
+    // cosine normalized by the two sides' top-k neighborhood means, best
+    // margin per source kept when it clears 1.02. Decimal-exact top-k
+    // means make every margin bit-identical to the oracle.
+    "emb_bitext_margin" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.marginPairs(
+          emb.filter(col("label") === 0 && col("vec_id") < 400),
+          emb.filter(col("label") === 1 && col("vec_id") < 400),
+          "vec_id", "embedding", k = 4, threshold = 1.02)
+        .orderBy(col("src_id"))
+    },
+
+    // Flesch Reading Ease (Flesch 1948) — the readability dimension of
+    // edu-quality filters. Words/sentences/syllables are exact BIGINTs
+    // (marker-diff counting), the formula is the identical
+    // left-associated IEEE expression in both engines, so per-doc scores
+    // and the threshold buckets are bit-exact with no decimal detour.
+    "text_readability" -> { (s, d) =>
+      val fre = TextAnalysis.fleschEase(col("text"))
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_words"),
+          TextAnalysis.syllableCount(col("text")).as("n_syllables"),
+          TextAnalysis.sentenceCount(col("text")).as("n_sentences"),
+          round(fre, 4).as("fre_r"),
+          when(fre >= 60, "easy").when(fre >= 30, "standard")
+            .otherwise("hard").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Streamed near-dup index: the corpus's banded MinHash signatures
+    // were appended batch-by-batch by the foreachBatch ingest loop (the
+    // MinHash member of the streamed-index trio); serving the standard
+    // screening probe against it must equal the direct batch-vs-corpus
+    // computation — the same oracle as dedup_incremental_near, so
+    // streaming maintenance is proven answer-preserving, not just
+    // runnable.
+    "stream_minhash_ingest" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val tbl = minhashStreamIndexFor(s, d)
+      Dedup.nearDupServe(s, tbl,
+          docs.filter(col("doc_id") % 10 === 0),
+          docs.filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text", k = 32, shingleSize = 5, bands = 8,
+          threshold = 0.6)
+        .select(col("batch_id"), col("corpus_id"),
+          round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("batch_id"), col("corpus_id"))
+        .limit(100)
     })
+
+  /** Seed centroids for the cluster gates: every 50th vector, collected
+    * driver-side (bounded: #centroids rows — the K side of k-means). */
+  private def clusterSeeds(emb: DataFrame): Seq[(Long, Seq[Double])] =
+    emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+      .toIndexedSeq
 
   // the distributed-path probe must satisfy the SAME transitive-closure
   // oracle as the union-find path — identical labels is the contract
@@ -4168,6 +4327,39 @@ object LlmQueries {
     // batch-vs-corpus computation — identical oracle.
     "dedup_incremental_serve" -> incrementalNearOracle,
 
+    // ...and serving from the STREAM-BUILT index likewise: the
+    // foreachBatch-appended signatures must answer identically to the
+    // one-shot batch computation.
+    "stream_minhash_ingest" -> incrementalNearOracle,
+
+    // Flesch Reading Ease replica: the same marker-diff BIGINT counts
+    // and the same left-associated double formula
+    "text_readability" ->
+      """WITH n AS (
+        | SELECT doc_id, text,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |       ELSE length(t) - length(translate(t, ' ', '')) + 1 END AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |   - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT) AS n_syllables,
+        |  CAST(GREATEST(1, length(regexp_replace(text, '[.!?]+', '#', 'g'))
+        |   - length(regexp_replace(text, '[.!?]+', '', 'g'))) AS BIGINT) AS n_sentences
+        | FROM n),
+        |f AS (
+        | SELECT doc_id, n_words, n_syllables, n_sentences,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |   ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END AS fre
+        | FROM c)
+        |SELECT doc_id, n_words, n_syllables, n_sentences,
+        | ROUND(fre, 4) AS fre_r,
+        | CASE WHEN fre >= 60 THEN 'easy'
+        |      WHEN fre >= 30 THEN 'standard' ELSE 'hard' END AS bucket
+        |FROM f ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_full" ->
       """WITH n AS (
         | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
@@ -4232,5 +4424,98 @@ object LlmQueries {
         |  CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming
         | FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
         |WHERE hamming <= 3
-        |ORDER BY hamming, a_id, b_id LIMIT 100""".stripMargin)
+        |ORDER BY hamming, a_id, b_id LIMIT 100""".stripMargin,
+
+    // the global-id permutation replayed as one corpus-wide ROW_NUMBER —
+    // the formulation the Spark side must NOT use; sum(gid) pins every
+    // individual assignment
+    "pipeline_global_ids" ->
+      """WITH g AS (
+        | SELECT source, ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS gid
+        | FROM documents)
+        |SELECT source, COUNT(*) AS n_docs, MIN(gid) AS min_gid,
+        | MAX(gid) AS max_gid, CAST(SUM(gid) AS BIGINT) AS sum_gid
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // longest-first RE2 alternation == the automaton's leftmost-longest
+    // non-overlapping selection; n_matches and the scrubbed length are
+    // derived from an empty-string pass and a one-char-marker pass
+    // (replacement '[REDACTED]' is 10 chars)
+    "text_keyword_scrub" ->
+      """WITH s AS (
+        | SELECT source,
+        |  length(regexp_replace(text,
+        |    'fast sort key|table part|big group|scan slow|sort key|table',
+        |    '', 'g')) AS len_rm,
+        |  length(regexp_replace(text,
+        |    'fast sort key|table part|big group|scan slow|sort key|table',
+        |    chr(1), 'g')) AS len_mk
+        | FROM documents),
+        |m AS (
+        | SELECT source, len_mk - len_rm AS n_matches,
+        |  len_rm + (len_mk - len_rm) * 10 AS scrubbed_len
+        | FROM s)
+        |SELECT source, CAST(SUM(n_matches) AS BIGINT) AS total_matches,
+        | CAST(SUM(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_hit,
+        | CAST(SUM(scrubbed_len) AS BIGINT) AS scrub_len_sum
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    // every (vector, centroid) cosine recomputed; argmax replayed with
+    // (cosine DESC, centroid id) row_number — verifies the compiled
+    // NearestCells routing, not a replay of it
+    "emb_cluster_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, c.vec_id AS cid,
+        |       list_cosine_similarity(e.v, c.v) AS cs FROM e, c),
+        |f AS (SELECT vec_id, cid, cs,
+        |       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |      FROM s)
+        |SELECT vec_id, cid AS cluster_id, ROUND(cs, 4) AS cosine
+        |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "pipeline_cluster_balance" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, c.vec_id AS cid,
+        |       list_cosine_similarity(e.v, c.v) AS cs FROM e, c),
+        |f AS (SELECT vec_id, cid,
+        |       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |      FROM s),
+        |a AS (SELECT vec_id, cid AS cluster_id FROM f WHERE rn = 1),
+        |r AS (SELECT cluster_id, vec_id,
+        |       ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY vec_id) AS krn
+        |      FROM a)
+        |SELECT cluster_id, COUNT(*) AS n_members,
+        | CAST(SUM(CASE WHEN krn <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(CASE WHEN krn <= 20 THEN vec_id END) AS BIGINT) AS kept_id_sum
+        |FROM r GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+
+    // margin = cos / mean(top-4 neighborhoods): cosines rounded to 6dp,
+    // top-k means as exact DECIMAL sums divided once in double space, so
+    // the final division and argmax are bit-identical across engines
+    "emb_bitext_margin" ->
+      """WITH a AS (SELECT vec_id AS x, embedding::DOUBLE[] AS v
+        |           FROM embeddings WHERE label = 0 AND vec_id < 400),
+        |b AS (SELECT vec_id AS y, embedding::DOUBLE[] AS v
+        |      FROM embeddings WHERE label = 1 AND vec_id < 400),
+        |p AS (SELECT a.x, b.y,
+        |       ROUND(list_cosine_similarity(a.v, b.v), 6) AS c FROM a, b),
+        |ka AS (SELECT x, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ax
+        |       FROM (SELECT x, y, c,
+        |              ROW_NUMBER() OVER (PARTITION BY x ORDER BY c DESC, y) AS rn
+        |             FROM p)
+        |       WHERE rn <= 4 GROUP BY x),
+        |kb AS (SELECT y, CAST(SUM(CAST(c AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ay
+        |       FROM (SELECT x, y, c,
+        |              ROW_NUMBER() OVER (PARTITION BY y ORDER BY c DESC, x) AS rn
+        |             FROM p)
+        |       WHERE rn <= 4 GROUP BY y),
+        |m AS (SELECT p.x, p.y, p.c / ((ka.ax + kb.ay) / 2) AS margin
+        |      FROM p JOIN ka ON ka.x = p.x JOIN kb ON kb.y = p.y),
+        |f AS (SELECT x, y, margin,
+        |       ROW_NUMBER() OVER (PARTITION BY x ORDER BY margin DESC, y) AS rn
+        |      FROM m)
+        |SELECT x AS src_id, y AS tgt_id, ROUND(margin, 4) AS margin_r
+        |FROM f WHERE rn = 1 AND margin >= 1.02 ORDER BY src_id""".stripMargin)
 }

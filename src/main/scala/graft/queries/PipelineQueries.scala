@@ -605,9 +605,61 @@ object PipelineQueries {
         Row(id, Multimodal.synthWav(8000, samples))
       }, schema)
       Multimodal.decodeAudioStats(s, payloads).orderBy(col("doc_id"))
+    },
+
+    // Resolution/aspect-ratio curation — the multimodal sibling of the
+    // text quality gates: synthesize a formulaic PNG per doc, decode it
+    // through the REAL javax.imageio codec, and bucket by the DECODED
+    // aspect ratio with a min-pixel keep rule (the "drop tiny images,
+    // balance portrait/landscape" step of every image-corpus pipeline).
+    // PNG dims are exact, so the oracle predicts every bucket
+    // analytically from the dimension formulas — if the codec ever
+    // misreports dimensions, counts shift and the hash mismatches.
+    "multimodal_resolution_buckets" -> { (s, d) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+      val ids = t(s, d, "documents").filter(col("doc_id") < 300).select(col("doc_id"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("payload", BinaryType, nullable = false)))
+      val payloads = s.createDataFrame(ids.rdd.map { r =>
+        val id = r.getLong(0)
+        val w = 4 + (id % 9).toInt
+        val h = 4 + (id % 6).toInt
+        Row(id, Multimodal.synthPng(w, h, i => ((id * 17 + i) % 256).toInt))
+      }, schema)
+      val aspect = col("width").cast("double") / col("height")
+      Multimodal.decodeImageStats(s, payloads)
+        .select(col("doc_id"), col("width"), col("height"))
+        .withColumn("bucket",
+          when(aspect >= 1.2, "wide").when(aspect <= 0.8, "tall")
+            .otherwise("near_square"))
+        .withColumn("keep", col("width") * col("height") >= 40)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("width") * col("height")).as("px_sum"))
+        .orderBy(col("bucket"))
     })
 
   def oracles: Map[String, String] = Map(
+    // decoded dims == encoded dims (PNG is exact), so every bucket is
+    // predictable from the dimension formulas alone
+    "multimodal_resolution_buckets" ->
+      """WITH s AS (
+        | SELECT doc_id, 4 + doc_id % 9 AS w, 4 + doc_id % 6 AS h
+        | FROM documents WHERE doc_id < 300),
+        |b AS (
+        | SELECT doc_id, w, h,
+        |  CASE WHEN CAST(w AS DOUBLE) / h >= 1.2 THEN 'wide'
+        |       WHEN CAST(w AS DOUBLE) / h <= 0.8 THEN 'tall'
+        |       ELSE 'near_square' END AS bucket,
+        |  w * h >= 40 AS keep
+        | FROM s)
+        |SELECT bucket, COUNT(*) AS n_images,
+        | CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | CAST(SUM(w * h) AS BIGINT) AS px_sum
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     // The three ordered CDC batches collapse to a closed form: %7==0
     // keys end at base+75 (batch 3 replaces batch 1's row), %7==1 keys
     // are deleted, %7==2 keys gain an insert at key+2000000 with 9.99.

@@ -902,6 +902,43 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming NEAR-DUP index maintenance — the MinHash twin of
+    * [[bm25IngestApply]]/[[ivfIngestApply]], completing the
+    * standing-index trio (lexical BM25, vector IVF, near-dup MinHash):
+    * accepted document batches land as parquet files in `landingDir`;
+    * each micro-batch signatures its documents and appends the banded
+    * rows to the standing band-hash-bucketed index
+    * ([[graft.operators.Dedup.appendToNearDupIndex]] — new files per
+    * bucket, standing files untouched, O(batch) per update). Between
+    * batches the index serves incremental screening via
+    * [[graft.operators.Dedup.nearDupServe]] with the corpus side
+    * exchange-free. Delivery contract matches the siblings:
+    * AT-LEAST-ONCE, not idempotent — a crash between append and
+    * checkpoint commit re-appends the batch's signatures on restart
+    * (duplicate candidate rows collapse in nearDupServe's DISTINCT, so
+    * served ANSWERS stay correct, but the index carries dead weight —
+    * rebuild after a crash, same posture as the siblings). */
+  def minhashIngestApply(spark: SparkSession, landingDir: String,
+                         table: String, checkpointDir: String,
+                         k: Int = 32, shingleSize: Int = 5,
+                         bands: Int = 8): Unit = {
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Dedup.appendToNearDupIndex(batch.toDF(),
+            "doc_id", "text", table, k, shingleSize, bands)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming CDC apply loop: change-batch files (parquet, the base
     * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
     * land in `changesDir`; each micro-batch merges ONE batch file into

@@ -36,7 +36,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "ann_truncated_topk",
     // the KN scorer's broadcast one-row bigram-types frame (the same
     // crossJoin text_min_k_prob carries) reached through pplBuckets
-    "pipeline_ppl_buckets")
+    "pipeline_ppl_buckets",
+    // bitext mining broadcasts the bounded target-side frame against the
+    // bounded source side — the gate-sized exact formulation (the scale
+    // path swaps in an IVF/LSH shortlist, see Similarity.marginPairs)
+    "emb_bitext_margin")
 
   private val audited = Seq(
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
@@ -68,7 +72,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // tier, audit operators
     "conv_fixedwidth_roundtrip", "conv_export_jdbc", "conv_export_avro",
     "ann_truncated_topk", "profile_zipf", "profile_k_anon",
-    "pipeline_length_buckets")
+    "pipeline_length_buckets",
+    // r10 fourth batch: global-id assignment, Aho-Corasick scrub,
+    // cluster assignment/balance, bitext margin mining
+    "pipeline_global_ids", "text_keyword_scrub", "emb_cluster_assign",
+    "pipeline_cluster_balance", "emb_bitext_margin",
+    // r10 fifth batch (stream_minhash_ingest / multimodal decode gates
+    // are eager — streaming index build, RDD-side codec work — and are
+    // pinned by their specs + oracles instead)
+    "text_readability")
+
+  /** Plans whose unpartitioned window is over a frame that is bounded BY
+    * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
+    * runs over one row per shuffle partition (a groupBy(partition_id)
+    * count), never over corpus rows. The walker accepts an Aggregate
+    * beneath the window for exactly these plans. */
+  private val aggBoundedWindowAllowed = Set("pipeline_global_ids")
 
   test("no audited plan contains a cartesian product") {
     audited.foreach { n =>
@@ -120,6 +139,7 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // invariant is on the tree: an empty partitionSpec WindowExec must
     // have a TakeOrderedAndProject/limit somewhere beneath it.
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
     import org.apache.spark.sql.execution.window.WindowExec
     audited.foreach { n =>
       val sp = SparkEntry.queries(n)(spark, sf).queryExecution.sparkPlan
@@ -129,6 +149,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
             case t: TakeOrderedAndProjectExec => t
             case g: GlobalLimitExec => g
             case l: LocalLimitExec => l
+            case a: HashAggregateExec if aggBoundedWindowAllowed(n) => a
+            case a: ObjectHashAggregateExec if aggBoundedWindowAllowed(n) => a
+            case a: SortAggregateExec if aggBoundedWindowAllowed(n) => a
           }
           assert(bounded.isDefined,
             s"$n plans a global (unpartitioned) window over UNBOUNDED " +

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-10 batch-5 operators: Flesch readability counts/formula,
+  * streaming MinHash index maintenance, and the resolution-bucket
+  * decode path's dimension fidelity. */
+class ReadabilityIngestSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c).head().get(0)
+
+  test("syllableCount: vowel groups, case-insensitive, y counts") {
+    assert(one(TextAnalysis.syllableCount(col("t")), "table") === 2L) // a, e
+    assert(one(TextAnalysis.syllableCount(col("t")), "KEY") === 1L) // ey group
+    assert(one(TextAnalysis.syllableCount(col("t")), "rhythm") === 1L) // y
+    assert(one(TextAnalysis.syllableCount(col("t")), "xxzz") === 0L)
+    assert(one(TextAnalysis.syllableCount(col("t")), "audio out") === 3L)
+  }
+
+  test("sentenceCount: terminal-punctuation runs, floor 1") {
+    assert(one(TextAnalysis.sentenceCount(col("t")), "no punctuation here") === 1L)
+    assert(one(TextAnalysis.sentenceCount(col("t")), "One. Two! Three?") === 3L)
+    assert(one(TextAnalysis.sentenceCount(col("t")), "Wait... what?!") === 2L)
+  }
+
+  test("fleschEase: hand-checked formula and null on empty") {
+    // "the cat sat." -> words 3, sentences 1, syllables 3
+    val fre = one(TextAnalysis.fleschEase(col("t")), "the cat sat.")
+      .asInstanceOf[Double]
+    val expected = 206.835 - 1.015 * (3.0 / 1.0) - 84.6 * (3.0 / 3.0)
+    assert(math.abs(fre - expected) < 1e-12)
+    assert(one(TextAnalysis.fleschEase(col("t")), "") === null)
+  }
+
+  test("minhashIngestApply: stream-built index serves the direct batch answer") {
+    val base = java.nio.file.Files.createTempDirectory("mh_ingest_spec")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val mk = (id: Long, text: String, src: String) =>
+      (id, text, "en", src, text.length.toLong)
+    // corpus: two batches with a planted near-dup of the probe doc
+    val b0 = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog again and again", "a"),
+      mk(2L, "completely unrelated text about spark shuffles and exchanges", "a"))
+    val b1 = Seq(
+      mk(3L, "the quick brown fox jumps over the lazy dog again and AGAIN", "b"),
+      mk(4L, "another distinct document mentioning orc stripes and filters", "b"))
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    Seq(b0, b1).zipWithIndex.foreach { case (rows, i) =>
+      val stage = base.resolve(s".stage-$i")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        landing.resolve(s"batch-$i.parquet"))
+    }
+    val tbl = "graft_mh_ingest_spec"
+    spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    graft.streaming.EventStream.minhashIngestApply(spark,
+      landing.toString, tbl, base.resolve("ckpt").toString,
+      k = 16, shingleSize = 4, bands = 8)
+
+    val corpus = (b0 ++ b1).toDF(cols: _*)
+    val probe = Seq(
+      mk(100L, "the quick brown fox jumps over the lazy dog again and again!", "p"))
+      .toDF(cols: _*)
+    def normalize(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4))
+        .collect().map(_.toSeq).toSet
+    val served = Dedup.nearDupServe(spark, tbl, probe, corpus,
+      "doc_id", "text", k = 16, shingleSize = 4, bands = 8, threshold = 0.5)
+    val direct = Dedup.incrementalNearDup(probe, corpus,
+      "doc_id", "text", k = 16, shingleSize = 4, bands = 8, threshold = 0.5)
+    assert(normalize(served) === normalize(direct))
+    assert(normalize(served).nonEmpty) // the planted near-dups actually fire
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  test("decoded PNG dims drive the aspect buckets exactly") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val specs = Seq((10L, 12, 4, "wide"), (11L, 4, 12, "tall"),
+      (12L, 5, 5, "near_square"), (13L, 6, 5, "wide")) // 6/5 = 1.2 boundary
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val payloads = spark.createDataFrame(
+      spark.sparkContext.parallelize(specs.map { case (id, w, h, _) =>
+        Row(id, graft.operators.Multimodal.synthPng(w, h, i => i % 256))
+      }), schema)
+    val aspect = col("width").cast("double") / col("height")
+    val got = graft.operators.Multimodal.decodeImageStats(spark, payloads)
+      .select(col("doc_id"),
+        when(aspect >= 1.2, "wide").when(aspect <= 0.8, "tall")
+          .otherwise("near_square").as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === specs.map(s => s._1 -> s._4).toMap)
+  }
+}
