@@ -84,7 +84,9 @@ object Explain {
         // round-10 fifth batch (stream_minhash_ingest and the multimodal
         // decode gates are eager — index build / RDD decode — and are
         // audited by their specs instead)
-        "text_readability")
+        "text_readability",
+        // round-10 sixth batch
+        "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -121,7 +121,9 @@ object SparkEntry {
     // round-10 fifth batch: readability, streamed minhash index,
     // resolution curation
     "text_readability", "stream_minhash_ingest",
-    "multimodal_resolution_buckets")
+    "multimodal_resolution_buckets",
+    // round-10 sixth batch: curriculum order, PMI table, KS drift
+    "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -2433,6 +2433,100 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Curriculum ordering (easy-first interleave): docs bucket by Flesch
+    // readability, rank within bucket, and the training order round-robins
+    // the buckets by rank — positions assigned by the partition-offset
+    // GlobalIds operator (the composition is the point: a curriculum
+    // shuffle at 100 TB needs the scale-correct id assignment, not a
+    // global window). The oracle replays the order as the naive global
+    // ROW_NUMBER; sum(pos) pins every position.
+    "pipeline_curriculum" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket")).orderBy(col("doc_id"))
+      val fre = TextAnalysis.fleschEase(col("text"))
+      val ranked = t(s, d, "documents")
+        .select(col("doc_id"),
+          when(fre >= 60, "easy").when(fre >= 30, "standard")
+            .otherwise("hard").as("bucket"))
+        .withColumn("r", row_number().over(w))
+      GlobalIds.assign(ranked, Seq(col("r"), col("bucket")), "pos",
+          partitions = 8)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("pos")).as("min_pos"),
+          max(col("pos")).as("max_pos"),
+          sum(col("pos")).as("sum_pos"))
+        .orderBy(col("bucket"))
+    },
+
+    // Pointwise mutual information between marker terms and sources —
+    // the feature-selection table under every hashed-feature quality
+    // classifier (which terms characterize which source). One corpus
+    // scan (terms explode from an array literal), then two windows over
+    // the 6x20-row frame derive n_t / N; no collect, no cross join.
+    // ln() of a ratio of exact-integer-derived doubles is
+    // bit-reproducible cross-engine at the 6dp rounding.
+    "profile_term_pmi" -> { (s, d) =>
+      val terms = Seq("table", "query", "window", "spark", "data", "customer")
+      val padded = concat(lit(" "), TextAnalysis.normText(col("text")), lit(" "))
+      val cells = t(s, d, "documents")
+        .select(col("source"), padded.as("pt"))
+        .select(col("source"), explode(array(terms.map(tm =>
+          struct(lit(tm).as("term"),
+            (instr(col("pt"), s" $tm ") > 0).as("has"))): _*)).as("c"))
+        .groupBy(col("c.term").as("term"), col("source"))
+        .agg(sum(when(col("c.has"), 1L).otherwise(0L)).as("n_ts"),
+          count(lit(1)).as("n_s"))
+      val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+      cells
+        .withColumn("n_t", sum(col("n_ts")).over(wTerm))
+        .withColumn("n", sum(col("n_s")).over(wTerm))
+        .select(col("term"), col("source"), col("n_ts"),
+          when(col("n_ts") === 0, lit(null).cast("double"))
+            .otherwise(round(log(
+              (col("n_ts").cast("double") * col("n")) /
+                (col("n_t") * col("n_s"))), 6)).as("pmi_r"))
+        .orderBy(col("term"), col("source"))
+    },
+
+    // Two-sample Kolmogorov-Smirnov distance between quality-score
+    // distributions — the distribution-drift statistic a pipeline
+    // monitors between sources/snapshots. ECDFs evaluated on the merged
+    // distinct-score grid (a bounded aggregate: quality is 4dp in [0,1]),
+    // D = max |F1 - F2| with the smallest argmax score as witness. All
+    // fractions are exact-integer divisions — bit-identical cross-engine.
+    "profile_ks_drift" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+        .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+      def ks(label: String, left: Column, right: Column): DataFrame = {
+        val u = docs.filter(left || right)
+          .groupBy(col("q"))
+          .agg(sum(when(left, 1L).otherwise(0L)).as("c1"),
+            sum(when(right, 1L).otherwise(0L)).as("c2"))
+        val wq = org.apache.spark.sql.expressions.Window.orderBy(col("q"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val wPick = org.apache.spark.sql.expressions.Window
+          .orderBy(col("diff").desc, col("q"))
+        u.withColumn("f1", sum(col("c1")).over(wq) / sum(col("c1")).over(wAll))
+          .withColumn("f2", sum(col("c2")).over(wq) / sum(col("c2")).over(wAll))
+          .withColumn("diff", abs(col("f1") - col("f2")))
+          .withColumn("rn", row_number().over(wPick))
+          .filter(col("rn") === 1)
+          .select(lit(label).as("pair"), round(col("diff"), 6).as("ks_d"),
+            col("q").as("argmax_q"))
+      }
+      ks("src0|src1", col("source") === "src0", col("source") === "src1")
+        .unionByName(ks("src0|src19",
+          col("source") === "src0", col("source") === "src19"))
+        .unionByName(ks("low|high",
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int") < 10,
+          regexp_extract(col("source"), "src(\\d+)", 1).cast("int") >= 10))
+        .orderBy(col("pair"))
+    },
+
     // Streamed near-dup index: the corpus's banded MinHash signatures
     // were appended batch-by-batch by the foreachBatch ingest loop (the
     // MinHash member of the streamed-index trio); serving the standard
@@ -4517,5 +4611,113 @@ object LlmQueries {
         |       ROW_NUMBER() OVER (PARTITION BY x ORDER BY margin DESC, y) AS rn
         |      FROM m)
         |SELECT x AS src_id, y AS tgt_id, ROUND(margin, 4) AS margin_r
-        |FROM f WHERE rn = 1 AND margin >= 1.02 ORDER BY src_id""".stripMargin)
+        |FROM f WHERE rn = 1 AND margin >= 1.02 ORDER BY src_id""".stripMargin,
+
+    // curriculum replay: the same readability buckets, then the naive
+    // corpus-wide ROW_NUMBER the Spark side must avoid
+    "pipeline_curriculum" ->
+      """WITH n AS (
+        | SELECT doc_id, text,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |       ELSE length(t) - length(translate(t, ' ', '')) + 1 END AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |   - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT) AS n_syllables,
+        |  CAST(GREATEST(1, length(regexp_replace(text, '[.!?]+', '#', 'g'))
+        |   - length(regexp_replace(text, '[.!?]+', '', 'g'))) AS BIGINT) AS n_sentences
+        | FROM n),
+        |f AS (
+        | SELECT doc_id,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |   ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END AS fre
+        | FROM c),
+        |b AS (
+        | SELECT doc_id,
+        |  CASE WHEN fre >= 60 THEN 'easy'
+        |       WHEN fre >= 30 THEN 'standard' ELSE 'hard' END AS bucket
+        | FROM f),
+        |r AS (
+        | SELECT doc_id, bucket,
+        |  ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS r
+        | FROM b),
+        |g AS (
+        | SELECT bucket, ROW_NUMBER() OVER (ORDER BY r, bucket) - 1 AS pos
+        | FROM r)
+        |SELECT bucket, COUNT(*) AS n_docs, MIN(pos) AS min_pos,
+        | MAX(pos) AS max_pos, CAST(SUM(pos) AS BIGINT) AS sum_pos
+        |FROM g GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    // every containment test and both window totals recomputed; ln of an
+    // exact-integer ratio is cross-engine stable at 6dp
+    "profile_term_pmi" ->
+      """WITH d AS (
+        | SELECT source,
+        |  ' ' || regexp_replace(trim(text), '\s+', ' ', 'g') || ' ' AS pt
+        | FROM documents),
+        |e AS (
+        | SELECT source, tm.tm AS term,
+        |  CASE WHEN position(' ' || tm.tm || ' ' IN pt) > 0 THEN 1 ELSE 0 END AS has
+        | FROM d, (VALUES ('table'), ('query'), ('window'), ('spark'),
+        |          ('data'), ('customer')) tm(tm)),
+        |c AS (
+        | SELECT term, source, CAST(SUM(has) AS BIGINT) AS n_ts,
+        |  COUNT(*) AS n_s
+        | FROM e GROUP BY 1, 2),
+        |w AS (
+        | SELECT term, source, n_ts, n_s,
+        |  SUM(n_ts) OVER (PARTITION BY term) AS n_t,
+        |  SUM(n_s) OVER (PARTITION BY term) AS n
+        | FROM c)
+        |SELECT term, source, n_ts,
+        | CASE WHEN n_ts = 0 THEN NULL
+        |  ELSE ROUND(ln((CAST(n_ts AS DOUBLE) * n) / (n_t * n_s)), 6) END AS pmi_r
+        |FROM w ORDER BY term, source""".stripMargin,
+
+    // three two-sample KS blocks over the shared quality replica; exact
+    // integer-count ECDF fractions, smallest-argmax witness
+    "profile_ks_drift" -> {
+      val qualityCte =
+        """WITH n AS (
+          | SELECT source, text,
+          |  regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+          | FROM documents),
+          |s AS (
+          | SELECT source,
+          |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+          |   ROUND(
+          |    LEAST(1.0, (CASE WHEN length(t) = 0 THEN 0
+          |                ELSE length(t) - length(translate(t, ' ', '')) + 1 END) / 50.0)
+          |    * (1.0 - (length(text) - length(translate(text, '.,;:!?', ''))) / length(text))
+          |    * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
+          |   4) END AS q
+          | FROM n)""".stripMargin
+      def block(label: String, left: String, right: String): String =
+        s"""SELECT pair, ks_d, argmax_q FROM (
+           | SELECT '$label' AS pair, ROUND(abs(f1 - f2), 6) AS ks_d,
+           |  q AS argmax_q,
+           |  ROW_NUMBER() OVER (ORDER BY abs(f1 - f2) DESC, q) AS rn
+           | FROM (
+           |  SELECT q,
+           |   SUM(c1) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |    / SUM(c1) OVER () AS f1,
+           |   SUM(c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |    / SUM(c2) OVER () AS f2
+           |  FROM (
+           |   SELECT q, SUM(CASE WHEN $left THEN 1 ELSE 0 END) AS c1,
+           |    SUM(CASE WHEN $right THEN 1 ELSE 0 END) AS c2
+           |   FROM s WHERE ($left) OR ($right) GROUP BY q)))
+           |WHERE rn = 1""".stripMargin
+      qualityCte + "\n" +
+        Seq(
+          block("src0|src1", "source = 'src0'", "source = 'src1'"),
+          block("src0|src19", "source = 'src0'", "source = 'src19'"),
+          block("low|high",
+            "CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) < 10",
+            "CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) >= 10"))
+          .mkString("\nUNION ALL\n") + "\nORDER BY pair"
+    })
 }

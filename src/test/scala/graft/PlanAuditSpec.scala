@@ -80,14 +80,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // r10 fifth batch (stream_minhash_ingest / multimodal decode gates
     // are eager — streaming index build, RDD-side codec work — and are
     // pinned by their specs + oracles instead)
-    "text_readability")
+    "text_readability",
+    // r10 sixth batch: curriculum interleave, PMI table, KS drift
+    "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
     * runs over one row per shuffle partition (a groupBy(partition_id)
-    * count), never over corpus rows. The walker accepts an Aggregate
-    * beneath the window for exactly these plans. */
-  private val aggBoundedWindowAllowed = Set("pipeline_global_ids")
+    * count), never over corpus rows; the KS statistic's ECDF windows run
+    * over the distinct-4dp-score aggregate (<= 10001 rows by value
+    * range). The walker accepts an Aggregate beneath the window for
+    * exactly these plans. */
+  private val aggBoundedWindowAllowed =
+    Set("pipeline_global_ids", "pipeline_curriculum", "profile_ks_drift")
 
   test("no audited plan contains a cartesian product") {
     audited.foreach { n =>
