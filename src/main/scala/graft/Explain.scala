@@ -86,7 +86,9 @@ object Explain {
         // audited by their specs instead)
         "text_readability",
         // round-10 sixth batch
-        "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift")
+        "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift",
+        // round-10 seventh batch
+        "pipeline_chat_stats", "emb_outlier_flags")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -499,8 +499,49 @@ object ScaleRehearsal {
       "text_entropy" -> (() =>
         graft.operators.Entropy.signals(t(spark, d, "documents"))
           .agg(sum(col("n_tokens_h"))).head().getLong(0)),
-      "ann_ivf_radius" -> (() => annFrames(d)("ann_ivf_radius")().count())
+      "ann_ivf_radius" -> (() => annFrames(d)("ann_ivf_radius")().count()),
+      // round-10 batch probes. Keyword scrub: an 870-phrase Aho-Corasick
+      // dictionary in one scan-side pass — cost must track text bytes,
+      // never dictionary size. Global ids: one range shuffle + the tiny
+      // offsets frame. Cluster routing: 64 fixed centroids through the
+      // compiled NearestCells kernel, map-only (the 64-row seed fetch is
+      // a pushed-down scan and rides inside the timed window — it is
+      // part of the recurring cost only if centroids are re-read per
+      // run, which this probe conservatively assumes). KS drift: ECDF
+      // windows over the bounded distinct-score grid — wall must stay
+      // flat-ish because the window input does not grow with the corpus.
+      "text_keyword_scrub" -> (() =>
+        t(spark, d, "documents")
+          .select(graft.functions.AcScrub.scrub(col("text"), scrubDict, "[X]")
+            .as("sc"))
+          .agg(sum(col("sc.n_matches").cast("long"))).head().getLong(0)),
+      "pipeline_global_ids" -> (() =>
+        graft.operators.GlobalIds.assign(t(spark, d, "documents"),
+            Seq(col("source"), col("doc_id")), "gid")
+          .agg(sum(col("gid"))).head().getLong(0)),
+      "emb_cluster_assign" -> (() => {
+        val emb = t(spark, d, "embeddings")
+        val seeds = emb.filter(col("vec_id") < 64)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+          .toIndexedSeq
+        Similarity.assignClusters(emb, "vec_id", "embedding", seeds)
+          .groupBy(col("cluster_id")).count().count()
+      }),
+      "profile_ks_drift" -> (() =>
+        SparkEntry.queries("profile_ks_drift")(spark, d).count())
     )
+
+    // deterministic two-word phrases over the fixture vocabulary — a
+    // dictionary big enough that a regex alternation would be hopeless
+    lazy val scrubDict: Seq[String] = {
+      val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+        "value", "part", "hash", "merge", "batch", "line", "sort", "window",
+        "spark", "order", "data", "column", "join", "small", "customer",
+        "query", "big", "group", "vector", "stream", "filter", "the", "a")
+      for (x <- vocab; y <- vocab if x != y) yield s"$x $y"
+    }
     // skewed-corpus probes: the dials that must absorb the skew
     def skewProbes(d: String): Seq[(String, () => Long)] = Seq(
       "dedup_span_exact_skew" -> (() =>

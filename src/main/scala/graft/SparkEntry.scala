@@ -123,7 +123,9 @@ object SparkEntry {
     "text_readability", "stream_minhash_ingest",
     "multimodal_resolution_buckets",
     // round-10 sixth batch: curriculum order, PMI table, KS drift
-    "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift")
+    "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift",
+    // round-10 seventh batch: chat/SFT stats, embedding outlier audit
+    "pipeline_chat_stats", "emb_outlier_flags")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

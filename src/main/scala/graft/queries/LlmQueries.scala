@@ -2433,6 +2433,72 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Chat/SFT-format statistics: each doc becomes a deterministic
+    // multi-turn conversation (2-4 alternating user/assistant turns
+    // carved from its tokens), serialized to REAL JSON, parsed back with
+    // from_json, exploded, and validated — the structural pass every
+    // SFT-data pipeline runs (turn counts, role-alternation check,
+    // per-role token counts, trainable-token fraction for the loss
+    // mask). The oracle never parses JSON: it derives every statistic
+    // analytically from the chunk-size arithmetic, so the whole
+    // build-serialize-parse-explode path is verified, not replayed.
+    "pipeline_chat_stats" -> { (s, d) =>
+      import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+      val toks = split(TextAnalysis.normText(col("text")), " ")
+      val conv = t(s, d, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .withColumn("n", size(col("toks")))
+        .withColumn("k", (lit(2) + col("doc_id") % 3).cast("int"))
+        .withColumn("base", expr("n div k"))
+        .withColumn("rem", expr("n % k"))
+        .withColumn("turns", transform(
+          sequence(lit(0), col("k") - 1),
+          i => struct(
+            when(i % 2 === 0, "user").otherwise("assistant").as("role"),
+            array_join(slice(col("toks"),
+              (i * col("base") + least(i, col("rem")) + 1).cast("int"),
+              (col("base") + when(i < col("rem"), 1).otherwise(0)).cast("int")),
+              " ").as("content"))))
+        .select(col("doc_id"), to_json(col("turns")).as("conv_json"))
+      val schema = ArrayType(StructType(Seq(
+        StructField("role", StringType), StructField("content", StringType))))
+      val parsed = conv
+        .select(col("doc_id"), from_json(col("conv_json"), schema).as("turns"))
+        .select(col("doc_id"), size(col("turns")).as("n_turns"),
+          posexplode(col("turns")).as(Seq("pos", "turn")))
+      parsed
+        .groupBy(col("doc_id"), col("n_turns"))
+        .agg(
+          min(col("turn.role") ===
+            when(col("pos") % 2 === 0, "user").otherwise("assistant"))
+            .as("roles_ok"),
+          sum(when(col("turn.role") === "user",
+            TextAnalysis.tokenCount(col("turn.content"))).otherwise(0L))
+            .as("user_tokens"),
+          sum(when(col("turn.role") === "assistant",
+            TextAnalysis.tokenCount(col("turn.content"))).otherwise(0L))
+            .as("asst_tokens"))
+        .select(col("doc_id"), col("n_turns"), col("roles_ok"),
+          col("user_tokens"), col("asst_tokens"),
+          round(col("asst_tokens").cast("double") /
+            (col("user_tokens") + col("asst_tokens")), 4).as("trainable_frac"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Embedding-space outlier audit (junk/garbled-content detection):
+    // a vector whose best cosine against EVERY cluster centroid stays
+    // low sits in no semantic neighborhood — the embedding analogue of
+    // the text-quality filters. Reuses the compiled cluster routing
+    // (map-only); the 4dp-rounded cosine makes the threshold compare
+    // engine-exact.
+    "emb_outlier_flags" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      Similarity.assignClusters(emb, "vec_id", "embedding",
+          clusterSeeds(emb))
+        .withColumn("is_outlier", col("cosine") < 0.15)
+        .orderBy(col("vec_id"))
+    },
+
     // Curriculum ordering (easy-first interleave): docs bucket by Flesch
     // readability, rank within bucket, and the training order round-robins
     // the buckets by rank — positions assigned by the partition-offset
@@ -4612,6 +4678,47 @@ object LlmQueries {
         |      FROM m)
         |SELECT x AS src_id, y AS tgt_id, ROUND(margin, 4) AS margin_r
         |FROM f WHERE rn = 1 AND margin >= 1.02 ORDER BY src_id""".stripMargin,
+
+    // chat statistics derived ANALYTICALLY from the chunk-size
+    // arithmetic — the Spark side's build-serialize-parse-explode
+    // pipeline must land on exactly these numbers
+    "pipeline_chat_stats" ->
+      """WITH nd AS (
+        | SELECT doc_id, regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |       ELSE length(t) - length(translate(t, ' ', '')) + 1 END AS BIGINT) AS n,
+        |  2 + doc_id % 3 AS k
+        | FROM nd),
+        |ch AS (
+        | SELECT doc_id, n, k, i.i AS i,
+        |  (n // k) + CASE WHEN i.i < n % k THEN 1 ELSE 0 END AS sz
+        | FROM c, generate_series(0, 3) i(i) WHERE i.i < k),
+        |a AS (
+        | SELECT doc_id, CAST(MAX(k) AS INT) AS n_turns, true AS roles_ok,
+        |  CAST(SUM(CASE WHEN i % 2 = 0 THEN sz ELSE 0 END) AS BIGINT) AS user_tokens,
+        |  CAST(SUM(CASE WHEN i % 2 = 1 THEN sz ELSE 0 END) AS BIGINT) AS asst_tokens
+        | FROM ch GROUP BY doc_id)
+        |SELECT doc_id, n_turns, roles_ok, user_tokens, asst_tokens,
+        | ROUND(CAST(asst_tokens AS DOUBLE) / (user_tokens + asst_tokens), 4)
+        |  AS trainable_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // outlier flag = the cluster-assign replay plus the rounded-cosine
+    // threshold compare
+    "emb_outlier_flags" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, c.vec_id AS cid,
+        |       list_cosine_similarity(e.v, c.v) AS cs FROM e, c),
+        |f AS (SELECT vec_id, cid, cs,
+        |       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |      FROM s)
+        |SELECT vec_id, cid AS cluster_id, ROUND(cs, 4) AS cosine,
+        | ROUND(cs, 4) < 0.15 AS is_outlier
+        |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // curriculum replay: the same readability buckets, then the naive
     // corpus-wide ROW_NUMBER the Spark side must avoid

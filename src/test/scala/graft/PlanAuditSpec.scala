@@ -82,7 +82,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // pinned by their specs + oracles instead)
     "text_readability",
     // r10 sixth batch: curriculum interleave, PMI table, KS drift
-    "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift")
+    "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift",
+    // r10 seventh batch: chat/SFT stats, embedding outlier audit
+    "pipeline_chat_stats", "emb_outlier_flags")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
