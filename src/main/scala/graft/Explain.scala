@@ -88,7 +88,10 @@ object Explain {
         // round-10 sixth batch
         "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift",
         // round-10 seventh batch
-        "pipeline_chat_stats", "emb_outlier_flags")
+        "pipeline_chat_stats", "emb_outlier_flags",
+        // round-10 eighth batch (stream_ks_drift is eager — it drives
+        // the monitor loop — and is pinned by spec + oracle instead)
+        "pipeline_curate_v2", "text_vocab_coverage")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

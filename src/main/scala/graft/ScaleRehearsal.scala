@@ -530,7 +530,12 @@ object ScaleRehearsal {
           .groupBy(col("cluster_id")).count().count()
       }),
       "profile_ks_drift" -> (() =>
-        SparkEntry.queries("profile_ks_drift")(spark, d).count())
+        SparkEntry.queries("profile_ks_drift")(spark, d).count()),
+      // composed curation (readability + scrub + dedup + global ids):
+      // the timed window includes GlobalIds' one-materialization pass —
+      // the composition must stay linear end-to-end
+      "pipeline_curate_v2" -> (() =>
+        SparkEntry.queries("pipeline_curate_v2")(spark, d).count())
     )
 
     // deterministic two-word phrases over the fixture vocabulary — a

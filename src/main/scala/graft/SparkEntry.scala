@@ -125,7 +125,10 @@ object SparkEntry {
     // round-10 sixth batch: curriculum order, PMI table, KS drift
     "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift",
     // round-10 seventh batch: chat/SFT stats, embedding outlier audit
-    "pipeline_chat_stats", "emb_outlier_flags")
+    "pipeline_chat_stats", "emb_outlier_flags",
+    // round-10 eighth batch: streaming drift monitor, composed curation,
+    // vocabulary coverage curve
+    "stream_ks_drift", "pipeline_curate_v2", "text_vocab_coverage")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

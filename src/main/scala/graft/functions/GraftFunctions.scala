@@ -20,6 +20,21 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
   }
 
+  private def stringArg(e: Expression, what: String): String = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def stringArrayArg(e: Expression, what: String): Array[String] = e match {
+    case arr: org.apache.spark.sql.catalyst.expressions.CreateArray =>
+      arr.children.map(c => stringArg(c, what)).toArray
+    case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData, _) =>
+      a.toObjectArray(org.apache.spark.sql.types.StringType).map(_.toString)
+    case other => throw new IllegalArgumentException(
+      s"$what must be an array of string literals, got $other")
+  }
+
   // NOTE: these builders cannot reuse the Column-API functions directly —
   // Spark 4 Column nodes carry UnresolvedFunctions that never resolve
   // inside a FunctionRegistry builder (Unevaluable at codegen) — so the
@@ -67,7 +82,13 @@ object GraftFunctions {
     "nfc_normalize" -> (exprs =>
       UnicodeNormalize(exprs.head, java.text.Normalizer.Form.NFC)),
     "hll_sketch_distinct" -> (exprs => HllSketchAgg(exprs.head).toAggregateExpression()),
-    "theta_sketch" -> (exprs => ThetaSketchAgg(exprs.head).toAggregateExpression()))
+    "theta_sketch" -> (exprs => ThetaSketchAgg(exprs.head).toAggregateExpression()),
+    // ac_scrub(text, array('kw', ...), 'replacement') -> struct(scrubbed,
+    // n_matches); the dictionary must be literal (the automaton compiles
+    // once at plan time, exactly like the Column API)
+    "ac_scrub" -> (exprs => AcScrub(exprs(0),
+      stringArrayArg(exprs(1), "ac_scrub keywords"),
+      stringArg(exprs(2), "ac_scrub replacement"))))
 
   /** Install into an existing session (temp functions). */
   def register(spark: SparkSession): Unit = {

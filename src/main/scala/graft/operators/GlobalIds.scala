@@ -39,6 +39,22 @@ object GlobalIds {
 
   /** Append a dense 0..N-1 `gidCol` following the total order `order`.
     *
+    * The range-partitioned frame is MATERIALIZED (persist + count) before
+    * the counts branch and the data branch consume it. This is not an
+    * optimization but a correctness requirement: `repartitionByRange`
+    * computes its boundaries from a SAMPLE of the child, and when the
+    * child is an exchange output (an aggregation, a prior join) its
+    * intra-partition row order is nondeterministic — two independent
+    * materializations of the "same" range exchange can sample different
+    * rows, land on different boundaries, and hand the offsets branch a
+    * partitioning the data branch doesn't have (measured: permuted ids on
+    * an aggregated input; a parquet-scan input never trips it because its
+    * row order is stable). One materialization pins boundaries, contents,
+    * and partition ids for every consumer. The cost class is the same as
+    * `RDD.zipWithIndex`'s extra pass; MEMORY_AND_DISK spills rather than
+    * OOMs at scale, and a downstream sorted write wants this layout
+    * anyway.
+    *
     * @param order      total-order sort key (must be unique per row)
     * @param partitions explicit range-partition count (explicit so AQE
     *                   cannot re-coalesce differently between the counts
@@ -51,7 +67,10 @@ object GlobalIds {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df
       .repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
       .withColumn("_graft_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranged.count() // force ONE materialization before the branches read it
 
     // #partitions-row frame: count per slice, prefix-sum to offsets.
     val counts = ranged.groupBy(col("_graft_pid").as("_graft_off_pid"))

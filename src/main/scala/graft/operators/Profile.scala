@@ -296,4 +296,30 @@ object Profile {
       .groupBy(col("src_a"), col("src_b"))
       .agg(round(sum(col("ct")), 6).cast("double").as("js"))
   }
+
+  /** Two-sample Kolmogorov-Smirnov statistic from a merged per-value
+    * count frame `u` with columns (q, c1, c2): ECDFs from cumulative
+    * exact-integer fractions, D = max |F1 - F2| with the smallest
+    * achieving q as witness. One row: (ks_d rounded 6dp, argmax_q).
+    *
+    * The unpartitioned windows run over `u` — the DISTINCT-VALUE grid,
+    * which callers keep bounded by construction (e.g. 4dp scores in
+    * [0,1] have at most 10001 distinct values regardless of corpus
+    * size). Shared by the batch drift gate (`profile_ks_drift`) and the
+    * streaming per-ingest-batch monitor
+    * ([[graft.streaming.EventStream.qualityDriftApply]]). */
+  def ksStatistic(u: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.orderBy(col("q"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wPick = Window.orderBy(col("diff").desc, col("q"))
+    u.withColumn("f1", sum(col("c1")).over(wq) / sum(col("c1")).over(wAll))
+      .withColumn("f2", sum(col("c2")).over(wq) / sum(col("c2")).over(wAll))
+      .withColumn("diff", abs(col("f1") - col("f2")))
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(round(col("diff"), 6).as("ks_d"), col("q").as("argmax_q"))
+  }
 }

@@ -207,6 +207,37 @@ object LlmQueries {
       tbl
     })
 
+  /** Per-sf-dir staged drift-monitor landing dir: three doc batches
+    * (doc_id mod 3). The CHECKPOINT is wiped on every call so each run
+    * re-processes the same three micro-batches deterministically. */
+  private val driftLanding =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def driftLandingFor(s: SparkSession, d: String): (String, String) = {
+    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/ks_drift")
+    val landing = driftLanding.computeIfAbsent(d, _ => {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      val l = base.resolve("landing")
+      java.nio.file.Files.createDirectories(l)
+      val docs = t(s, d, "documents")
+      for (i <- 0 until 3) {
+        val stage = base.resolve(s".stage-$i")
+        docs.filter(col("doc_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          l.resolve(s"batch-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+      l.toString
+    })
+    val ckpt = base.resolve("ckpt")
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    (landing, ckpt.toString)
+  }
+
   private val hybridCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def hybridCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
@@ -2569,20 +2600,8 @@ object LlmQueries {
           .groupBy(col("q"))
           .agg(sum(when(left, 1L).otherwise(0L)).as("c1"),
             sum(when(right, 1L).otherwise(0L)).as("c2"))
-        val wq = org.apache.spark.sql.expressions.Window.orderBy(col("q"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-        val wAll = org.apache.spark.sql.expressions.Window
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)
-        val wPick = org.apache.spark.sql.expressions.Window
-          .orderBy(col("diff").desc, col("q"))
-        u.withColumn("f1", sum(col("c1")).over(wq) / sum(col("c1")).over(wAll))
-          .withColumn("f2", sum(col("c2")).over(wq) / sum(col("c2")).over(wAll))
-          .withColumn("diff", abs(col("f1") - col("f2")))
-          .withColumn("rn", row_number().over(wPick))
-          .filter(col("rn") === 1)
-          .select(lit(label).as("pair"), round(col("diff"), 6).as("ks_d"),
-            col("q").as("argmax_q"))
+        Profile.ksStatistic(u)
+          .select(lit(label).as("pair"), col("ks_d"), col("argmax_q"))
       }
       ks("src0|src1", col("source") === "src0", col("source") === "src1")
         .unionByName(ks("src0|src19",
@@ -2591,6 +2610,79 @@ object LlmQueries {
           regexp_extract(col("source"), "src(\\d+)", 1).cast("int") < 10,
           regexp_extract(col("source"), "src(\\d+)", 1).cast("int") >= 10))
         .orderBy(col("pair"))
+    },
+
+    // Vocabulary coverage curve (tokenizer/vocab sizing): cumulative
+    // token-mass coverage of the top-k terms — the Zipf-head curve a
+    // vocab-size decision reads. Top-k is a TakeOrderedAndProject (never
+    // a global sort), the corpus total is a 1-row broadcast, and the
+    // cumulative window runs over the LIMITED k-row frame only. Exact
+    // integer fractions; the oracle replays the whole curve.
+    "text_vocab_coverage" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("term"))
+      val toks = t(s, d, "documents")
+        .select(explode(split(TextAnalysis.normText(col("text")), " "))
+          .as("term"))
+        .filter(length(col("term")) > 0)
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(20)
+      val total = toks.agg(count(lit(1)).as("total"))
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_frac",
+          round(sum(col("cnt")).over(
+            w.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            / col("total"), 6))
+        .select(col("rank"), col("term"), col("cnt"), col("cum_frac"))
+        .orderBy(col("rank"))
+    },
+
+    // Streaming per-ingest-batch drift monitor: each of three staged doc
+    // batches is KS-tested against the full-corpus quality reference by
+    // the foreachBatch loop — the crawl-delivery alerting pass. Every
+    // batch's D and witness point must equal the batch replay (oracle:
+    // three KS blocks with left = the batch's members, right = the whole
+    // corpus), so the streaming monitor is answer-preserving.
+    "stream_ks_drift" -> { (s, d) =>
+      val (landing, ckpt) = driftLandingFor(s, d)
+      val ref = t(s, d, "documents")
+        .select(TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("q")).agg(count(lit(1)).as("c2"))
+      graft.streaming.EventStream.qualityDriftApply(s, landing, ref, ckpt)
+        .orderBy(col("batch_id"))
+    },
+
+    // Round-10 operators composed the way a real curation run chains
+    // them (the v2 of pipeline_curate_corpus): readability gate ->
+    // blocklist scrub -> exact dedup (fingerprint keep-first) -> dense
+    // global ids -> per-source audit. One declarative plan: the
+    // readability regexes and the Aho-Corasick automaton fuse into the
+    // scan, the dedup is one hash aggregation, the ids add one range
+    // shuffle — nothing quadratic anywhere.
+    "pipeline_curate_v2" -> { (s, d) =>
+      val kws = Seq("fast sort key", "table part", "big group",
+        "scan slow", "sort key", "table")
+      val fre = TextAnalysis.fleschEase(col("text"))
+      val scr = graft.functions.AcScrub.scrub(col("text"), kws, "[REDACTED]")
+      val kept = t(s, d, "documents")
+        .filter(fre >= 30) // drop the 'hard' tail
+        .select(col("doc_id"), col("source"),
+          scr.getField("n_matches").as("n_matches"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val dedup = kept
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("source"), col("doc_id")).as("source"),
+          min_by(col("n_matches"), col("doc_id")).as("n_matches"))
+      GlobalIds.assign(dedup, Seq(col("source"), col("doc_id")), "gid",
+          partitions = 8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_matches")).cast("long").as("total_matches"),
+          sum(col("gid")).as("sum_gid"))
+        .orderBy(col("source"))
     },
 
     // Streamed near-dup index: the corpus's banded MinHash signatures
@@ -4719,6 +4811,110 @@ object LlmQueries {
         |SELECT vec_id, cid AS cluster_id, ROUND(cs, 4) AS cosine,
         | ROUND(cs, 4) < 0.15 AS is_outlier
         |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the full coverage curve replayed: same top-20 order, same exact
+    // integer cumulative fractions
+    "text_vocab_coverage" ->
+      """WITH tok AS (
+        | SELECT unnest(string_split(
+        |   regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) AS term
+        | FROM documents),
+        |t2 AS (SELECT term FROM tok WHERE length(term) > 0),
+        |c AS (SELECT term, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+        |top AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 20),
+        |tot AS (SELECT COUNT(*) AS total FROM t2)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+        | term, CAST(cnt AS BIGINT) AS cnt,
+        | ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING)
+        |  / total, 6) AS cum_frac
+        |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // per-ingest-batch KS replay: three blocks, left = the batch's
+    // members, right = the whole corpus (the standing reference)
+    "stream_ks_drift" -> {
+      val qualityCte =
+        """WITH n AS (
+          | SELECT doc_id, text,
+          |  regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+          | FROM documents),
+          |s AS (
+          | SELECT doc_id,
+          |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+          |   ROUND(
+          |    LEAST(1.0, (CASE WHEN length(t) = 0 THEN 0
+          |                ELSE length(t) - length(translate(t, ' ', '')) + 1 END) / 50.0)
+          |    * (1.0 - (length(text) - length(translate(text, '.,;:!?', ''))) / length(text))
+          |    * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
+          |   4) END AS q
+          | FROM n)""".stripMargin
+      def block(i: Int): String =
+        s"""SELECT batch_id, n_docs, ks_d, argmax_q FROM (
+           | SELECT CAST($i AS BIGINT) AS batch_id,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM s WHERE doc_id % 3 = $i)
+           |   AS n_docs,
+           |  ROUND(abs(f1 - f2), 6) AS ks_d, q AS argmax_q,
+           |  ROW_NUMBER() OVER (ORDER BY abs(f1 - f2) DESC, q) AS rn
+           | FROM (
+           |  SELECT q,
+           |   SUM(c1) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |    / SUM(c1) OVER () AS f1,
+           |   SUM(c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |    / SUM(c2) OVER () AS f2
+           |  FROM (
+           |   SELECT q, SUM(CASE WHEN doc_id % 3 = $i THEN 1 ELSE 0 END) AS c1,
+           |    COUNT(*) AS c2
+           |   FROM s GROUP BY q)))
+           |WHERE rn = 1""".stripMargin
+      qualityCte + "\n" + (0 until 3).map(block).mkString("\nUNION ALL\n") +
+        "\nORDER BY batch_id"
+    },
+
+    // the composed curation replay: readability gate, scrub counts,
+    // fingerprint keep-first dedup (arg_min carries the keeper's
+    // attributes), then the naive global ROW_NUMBER for the id audit
+    "pipeline_curate_v2" ->
+      """WITH n AS (
+        | SELECT doc_id, source, text,
+        |  regexp_replace(trim(text), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |c AS (
+        | SELECT doc_id,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |       ELSE length(t) - length(translate(t, ' ', '')) + 1 END AS BIGINT) AS n_words,
+        |  CAST(length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+        |   - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g')) AS BIGINT) AS n_syllables,
+        |  CAST(GREATEST(1, length(regexp_replace(text, '[.!?]+', '#', 'g'))
+        |   - length(regexp_replace(text, '[.!?]+', '', 'g'))) AS BIGINT) AS n_sentences
+        | FROM n),
+        |f AS (
+        | SELECT doc_id,
+        |  CASE WHEN n_words = 0 THEN NULL
+        |   ELSE 206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |        - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) END AS fre
+        | FROM c),
+        |k AS (
+        | SELECT n.doc_id, n.source, n.t,
+        |  length(regexp_replace(n.text,
+        |   'fast sort key|table part|big group|scan slow|sort key|table',
+        |   chr(1), 'g'))
+        |  - length(regexp_replace(n.text,
+        |   'fast sort key|table part|big group|scan slow|sort key|table',
+        |   '', 'g')) AS n_matches
+        | FROM n JOIN f ON f.doc_id = n.doc_id
+        | WHERE f.fre >= 30),
+        |dd AS (
+        | SELECT md5(t) AS fp, MIN(doc_id) AS doc_id,
+        |  arg_min(source, doc_id) AS source,
+        |  arg_min(n_matches, doc_id) AS n_matches
+        | FROM k GROUP BY 1),
+        |g AS (
+        | SELECT source, n_matches,
+        |  ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS gid
+        | FROM dd)
+        |SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_matches) AS BIGINT) AS total_matches,
+        | CAST(SUM(gid) AS BIGINT) AS sum_gid
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
 
     // curriculum replay: the same readability buckets, then the naive
     // corpus-wide ROW_NUMBER the Spark side must avoid

@@ -939,6 +939,57 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming PER-INGEST-BATCH distribution-drift monitor: document
+    * batches land as parquet files; each micro-batch's quality-score
+    * distribution is tested against the standing reference distribution
+    * (per-value counts, e.g. the accepted corpus) with the two-sample
+    * KS statistic ([[graft.operators.Profile.ksStatistic]] — the same
+    * gate-proven shape as the batch `profile_ks_drift`). This is the
+    * alerting loop a production pipeline runs on every crawl delivery:
+    * a batch whose D jumps is quarantined before it pollutes the mix.
+    *
+    * `reference` must have columns (q, c2). Per batch the KS frame is
+    * reference-grid-sized (bounded by the 4dp score range), so each
+    * micro-batch adds O(batch scan + grid window) regardless of corpus
+    * size. Returns one row per micro-batch:
+    * (batch_id, n_docs, ks_d, argmax_q) in landing order. */
+  def qualityDriftApply(spark: SparkSession, landingDir: String,
+                        reference: DataFrame,
+                        checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double)]
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          val bc = batch.toDF()
+            .select(TextAnalysis.qualityScore(col("text")).as("q"))
+            .groupBy(col("q")).agg(count(lit(1)).as("c1"))
+          // full outer: a batch value ABSENT from the reference grid is
+          // itself drift evidence and must stay on the merged grid
+          val u = reference.join(bc, Seq("q"), "full_outer")
+            .select(col("q"), coalesce(col("c1"), lit(0L)).as("c1"),
+              coalesce(col("c2"), lit(0L)).as("c2"))
+          val row = graft.operators.Profile.ksStatistic(u).head()
+          val n = batch.count()
+          results.synchronized {
+            results += ((bid, n, row.getDouble(0), row.getDouble(1)))
+          }
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    results.sortBy(_._1).toSeq
+      .toDF("batch_id", "n_docs", "ks_d", "argmax_q")
+  }
+
   /** Streaming CDC apply loop: change-batch files (parquet, the base
     * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
     * land in `changesDir`; each micro-batch merges ONE batch file into

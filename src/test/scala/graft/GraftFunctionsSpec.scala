@@ -79,4 +79,29 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val ex = row.getAs[Long]("ex")
     assert(math.abs(est - ex) / ex < 0.05, s"$est vs $ex")
   }
+
+  test("ac_scrub through SQL equals the Column API; non-literal dict rejected") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val texts = Seq("a table part b", "fast sort key!", "clean row")
+    texts.toDF("t").createOrReplaceTempView("ac_fn_v")
+    val viaSql = spark.sql(
+      """SELECT ac_scrub(t, array('table part', 'table', 'fast sort key'), '#') AS s
+        |FROM ac_fn_v""".stripMargin)
+      .select(col("s.scrubbed"), col("s.n_matches"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val viaApi = texts.toDF("t")
+      .select(graft.functions.AcScrub.scrub(col("t"),
+        Seq("table part", "table", "fast sort key"), "#").as("s"))
+      .select(col("s.scrubbed"), col("s.n_matches"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(viaSql === viaApi)
+    assert(viaSql.head === (("a # b", 1)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT ac_scrub(t, array(t), '#') FROM ac_fn_v").collect()
+    }
+    assert(err.getMessage.contains("ac_scrub keywords") ||
+      Option(err.getCause).exists(_.getMessage.contains("ac_scrub keywords")))
+  }
 }

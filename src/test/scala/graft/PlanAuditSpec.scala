@@ -40,7 +40,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // bitext mining broadcasts the bounded target-side frame against the
     // bounded source side — the gate-sized exact formulation (the scale
     // path swaps in an IVF/LSH shortlist, see Similarity.marginPairs)
-    "emb_bitext_margin")
+    "emb_bitext_margin",
+    // vocab coverage broadcasts the 1-row corpus-total frame against the
+    // top-k terms (the text_tfidf_top pattern)
+    "text_vocab_coverage")
 
   private val audited = Seq(
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
@@ -84,7 +87,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // r10 sixth batch: curriculum interleave, PMI table, KS drift
     "pipeline_curriculum", "profile_term_pmi", "profile_ks_drift",
     // r10 seventh batch: chat/SFT stats, embedding outlier audit
-    "pipeline_chat_stats", "emb_outlier_flags")
+    "pipeline_chat_stats", "emb_outlier_flags",
+    // r10 eighth batch: composed curation (streaming drift is eager),
+    // vocabulary coverage curve
+    "pipeline_curate_v2", "text_vocab_coverage")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
@@ -94,7 +100,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     * range). The walker accepts an Aggregate beneath the window for
     * exactly these plans. */
   private val aggBoundedWindowAllowed =
-    Set("pipeline_global_ids", "pipeline_curriculum", "profile_ks_drift")
+    Set("pipeline_global_ids", "pipeline_curriculum", "profile_ks_drift",
+      "pipeline_curate_v2")
 
   test("no audited plan contains a cartesian product") {
     audited.foreach { n =>

@@ -63,6 +63,12 @@ class ReadabilityIngestSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     val tbl = "graft_mh_ingest_spec"
     spark.sql(s"DROP TABLE IF EXISTS `$tbl`")
+    // a killed previous JVM can leave the managed location behind after
+    // the catalog entry is gone — remove it or CREATE refuses
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$tbl")
+    val lfs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (lfs.exists(loc)) lfs.delete(loc, true)
     graft.streaming.EventStream.minhashIngestApply(spark,
       landing.toString, tbl, base.resolve("ckpt").toString,
       k = 16, shingleSize = 4, bands = 8)
@@ -80,6 +86,37 @@ class ReadabilityIngestSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "doc_id", "text", k = 16, shingleSize = 4, bands = 8, threshold = 0.5)
     assert(normalize(served) === normalize(direct))
     assert(normalize(served).nonEmpty) // the planted near-dups actually fire
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
+  test("qualityDriftApply: in-distribution batch scores 0, shifted batch fires") {
+    val base = java.nio.file.Files.createTempDirectory("ks_stream_spec")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val mk = (id: Long, text: String) => (id, text, "en", "s", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val inDist = (0L until 20L).map(i =>
+      mk(i, s"steady mix of plain words number $i keeps quality flat"))
+    val shifted = (100L until 120L).map(i =>
+      mk(i, "SHOUTING!!! TEXT??? FULL,,, OF;;; PUNCTUATION!!!"))
+    Seq(inDist, shifted).zipWithIndex.foreach { case (rows, i) =>
+      val stage = base.resolve(s".stage-$i")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, landing.resolve(s"batch-$i.parquet"))
+    }
+    // reference distribution == batch 0 exactly, so its D must be 0.0
+    val ref = inDist.toDF(cols: _*)
+      .select(graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("q")).agg(count(lit(1)).as("c2"))
+    val got = graft.streaming.EventStream.qualityDriftApply(spark,
+        landing.toString, ref, base.resolve("ckpt").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq === Seq(0L, 1L)) // landing order
+    assert(got(0)._3 === 0.0)
+    assert(got(1)._3 > 0.3, s"shifted batch drift too small: ${got(1)._3}")
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
