@@ -47,6 +47,24 @@ class ClusterScrubIdsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(m1 === ref)
   }
 
+  test("GlobalIds: correct over an AGGREGATED input (regression)") {
+    // The round-10 bug shape: an aggregation's intra-partition row order
+    // is nondeterministic, so before the one-materialization fix the
+    // counts branch and data branch could range-partition with different
+    // sampled boundaries and permute ids. Repeat to catch flakiness.
+    (1 to 5).foreach { _ =>
+      val agg = (0 until 4000).map(i => (s"k${i % 1100}", i))
+        .toDF("k", "v").repartition(13)
+        .groupBy(col("k")).agg(min(col("v")).as("v"))
+      val out = GlobalIds.assign(agg, Seq(col("k")), "gid", partitions = 7)
+        .select(col("k"), col("gid")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val ref = (0 until 1100).map(i => s"k$i").sorted.zipWithIndex
+        .map { case (k, i) => k -> i.toLong }.toMap
+      assert(out === ref)
+    }
+  }
+
   test("GlobalIds: single-row and empty inputs") {
     assert(GlobalIds.assign(Seq(42).toDF("k"), Seq(col("k")), "gid", 4)
       .select("gid").as[Long].collect().toSeq === Seq(0L))
