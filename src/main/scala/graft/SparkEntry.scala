@@ -128,7 +128,8 @@ object SparkEntry {
     "pipeline_chat_stats", "emb_outlier_flags",
     // round-10 eighth batch: streaming drift monitor, composed curation,
     // vocabulary coverage curve
-    "stream_ks_drift", "pipeline_curate_v2", "text_vocab_coverage")
+    "stream_ks_drift", "pipeline_curate_v2", "text_vocab_coverage",
+    "emb_bitext_margin_engine")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -1292,4 +1292,58 @@ object Similarity {
       .select(col("x").as("src_id"), col("y").as("tgt_id"),
         round(col("margin"), 4).as("margin_r"))
   }
+
+  /** The 100 TB path of [[marginPairs]]: candidate pairs come from an
+    * IVF cell-bucketed equi-join (each source vector probes its nProbe
+    * nearest cells, each target sits in its home cell) instead of the
+    * all-pairs frame, and the margin's top-k neighborhood means are
+    * computed over the candidate set — the same construction the
+    * published mining runs use (LASER/CCMatrix compute margins from
+    * faiss ANN neighbor lists, not exact neighborhoods). Same downstream
+    * margin math, argmax, and threshold as the exact operator.
+    *
+    * Honest operating envelope, MEASURED on the fixture embeddings: on
+    * SEPARABLE data — true pairs well above the noise floor, i.e. what
+    * real aligned corpora look like — the funnel recovers the full
+    * planted alignment with zero false pairs (the engine gate pins
+    * 300/300 at every SF with nProbe=4 of 16). On NON-separable
+    * isotropic noise, where margins crowd the decision band near 1.0,
+    * candidate-set neighborhood means perturb the margins enough that
+    * only ~50-65% of the exact operator's picks agree regardless of
+    * probing — threshold mining in that regime needs the exact
+    * all-pairs formulation ([[marginPairs]]), not a funnel. Cost shape:
+    * one compiled cell-routing pass per side + a cell-keyed equi-join —
+    * never a cross join. */
+  def marginPairsIvf(src: DataFrame, tgt: DataFrame, idCol: String,
+                     vecCol: String, k: Int, threshold: Double,
+                     centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe = graft.functions.NearestCells
+      .nearestCells(asDouble(col(vecCol)), centroids, nProbe)
+    val home = graft.functions.NearestCells
+      .nearestCells(asDouble(col(vecCol)), centroids, 1)(0)
+    val a = src.select(col(idCol).cast("long").as("x"),
+        asDouble(col(vecCol)).as("av"), explode(probe).as("cell"))
+    val b = tgt.select(col(idCol).cast("long").as("y"),
+        asDouble(col(vecCol)).as("bv"), home.as("cell"))
+    val pairs = a.join(b, "cell")
+      .select(col("x"), col("y"), round(cosine(col("av"), col("bv")), 6).as("c"))
+      .distinct() // a (x, y) pair can meet in several probed cells
+    def topKMean(key: String, other: String, outCol: String) = {
+      val w = Window.partitionBy(col(key)).orderBy(col("c").desc, col(other))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .groupBy(col(key))
+        .agg((sum(col("c").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as(outCol))
+    }
+    val margins = pairs
+      .join(topKMean("x", "y", "ax"), "x")
+      .join(topKMean("y", "x", "ay"), "y")
+      .withColumn("margin", col("c") / ((col("ax") + col("ay")) / 2))
+    val w = Window.partitionBy(col("x")).orderBy(col("margin").desc, col("y"))
+    margins.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("margin") >= threshold)
+      .select(col("x").as("src_id"), col("y").as("tgt_id"),
+        round(col("margin"), 4).as("margin_r"))
+  }
 }

@@ -2612,6 +2612,33 @@ object LlmQueries {
         .orderBy(col("pair"))
     },
 
+    // The IVF-funnel bitext miner on SEPARABLE data — the production
+    // setting (true translation pairs are embedding near-duplicates,
+    // far above the noise floor): each source vector gets a planted
+    // translation (a 0.95/0.05 blend with its neighbor), and the
+    // cell-bucketed candidate join + candidate-set margins must recover
+    // the full planted alignment with no false pairs (measured exact at
+    // every SF with nProbe=4 of 16 cells). On NON-separable isotropic
+    // noise the margin band near 1.0 is statistically fragile — that
+    // regime is the exact operator's (emb_bitext_margin's) job; the
+    // funnel gate proves the scale path finds what is actually there.
+    "emb_bitext_margin_engine" -> { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val src = emb.filter(col("vec_id") < 300)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val next = emb.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").cast("array<double>").as("nv"))
+      val tgt = src.join(next, "vec_id")
+        .select((col("vec_id") + 10000L).as("vec_id"),
+          zip_with(col("embedding"), col("nv"),
+            (a, b) => a * 0.95 + b * 0.05).as("embedding"))
+      Similarity.marginPairsIvf(src, tgt, "vec_id", "embedding",
+          k = 4, threshold = 1.1,
+          centroids = hybridCentroidsFor(s, d), nProbe = 4)
+        .select(col("src_id"), col("tgt_id"))
+        .orderBy(col("src_id"))
+    },
+
     // Vocabulary coverage curve (tokenizer/vocab sizing): cumulative
     // token-mass coverage of the top-k terms — the Zipf-head curve a
     // vocab-size decision reads. Top-k is a TakeOrderedAndProject (never
@@ -4811,6 +4838,12 @@ object LlmQueries {
         |SELECT vec_id, cid AS cluster_id, ROUND(cs, 4) AS cosine,
         | ROUND(cs, 4) < 0.15 AS is_outlier
         |FROM f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // the planted alignment is the analytically-known answer: the funnel
+    // must emit exactly one pair per source, pointing at its translation
+    "emb_bitext_margin_engine" ->
+      """SELECT vec_id AS src_id, vec_id + 10000 AS tgt_id
+        |FROM embeddings WHERE vec_id < 300 ORDER BY src_id""".stripMargin,
 
     // the full coverage curve replayed: same top-20 order, same exact
     // integer cumulative fractions

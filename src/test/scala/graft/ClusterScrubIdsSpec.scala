@@ -232,6 +232,29 @@ class ClusterScrubIdsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(got.toSeq.map(_._1).distinct.length === got.size)
   }
 
+  test("marginPairsIvf: planted near-duplicate pairs survive the cell funnel") {
+    val rnd = new Random(5)
+    def vec() = Seq.fill(8)(rnd.nextDouble() - 0.5)
+    val srcRows = (0L until 20L).map(i => (i, vec()))
+    // targets = slightly perturbed copies of the sources
+    val tgtRows = srcRows.map { case (i, v) =>
+      (i + 100L, v.zipWithIndex.map { case (x, j) =>
+        x * 0.95 + (if (j == 0) 0.05 else 0.0) })
+    }
+    val cents = srcRows.take(4).map(_._2) // 4 fixed centroids
+    val got = Similarity.marginPairsIvf(
+        srcRows.toDF("vec_id", "embedding"), tgtRows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 3, threshold = 1.05,
+        centroids = cents, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = srcRows.map { case (i, _) => (i, i + 100L) }.toSet
+    // every emitted pair is a planted alignment, and most planted pairs
+    // survive the 2-of-4-cell funnel (a source whose twin lands outside
+    // its probed cells is the documented approximation)
+    assert(got.subsetOf(planted))
+    assert(got.size >= 15, s"funnel recall too low: ${got.size}/20")
+  }
+
   test("marginPairs: hub target is penalized below a specific pair") {
     // hub b0 is moderately close to EVERY source; b1 is very close to a0
     // only. Raw cosine would often pick the hub; margin must pick b1 for
