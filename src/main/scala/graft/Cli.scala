@@ -254,11 +254,29 @@ object Cli {
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
-      require(Seq("csv", "jsonl", "parquet", "sql", "xml", "avro").contains(fmt.toLowerCase),
-        s"export format must be csv|jsonl|parquet|sql|xml|avro, got $fmt")
+      require(Seq("csv", "jsonl", "parquet", "sql", "xml", "avro",
+        "fixedwidth").contains(fmt.toLowerCase),
+        s"export format must be csv|jsonl|parquet|sql|xml|avro|fixedwidth, got $fmt")
       val compression = rest.headOption.getOrElse("none")
       val df = graft.sinks.OrcSink.read(spark, orcDir)
       val name = new org.apache.hadoop.fs.Path(orcDir).getName
+      if (fmt.toLowerCase == "fixedwidth") {
+        // positional export needs the column layout (the 4th argument is
+        // the layout, not a codec — fixed-width is plain text)
+        val spec = rest.headOption.getOrElse(throw new IllegalArgumentException(
+          "fixedwidth export requires a layout: name:width:type,..."))
+        val specs = sources.FixedWidthSource.parseSpecs(spec)
+        sources.FixedWidthSource.write(
+          df.select(specs.map(sp => org.apache.spark.sql.functions.col(sp.name)): _*),
+          s"$outDir/$name", specs)
+        val outPath = new org.apache.hadoop.fs.Path(s"$outDir/$name")
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = fs.listStatus(outPath)
+          .count(f => !f.getPath.getName.startsWith("_"))
+        return Some(JobReport(Seq(ConversionJob.TableResult(name,
+          success = true, rows = df.count(), files = files, attempts = 1,
+          error = None))))
+      }
       if (fmt.toLowerCase == "sql") {
         // mysqldump-style export (distributed multi-part; SqlDumpSink doc)
         val (rows, files) = graft.sinks.SqlDumpSink.write(df, outDir, name)
@@ -302,8 +320,9 @@ object Cli {
           |  mysql <host> <port> <user> <password> <database> <output_dir> <compression> <tables>
           |  dump  <sql_file> <output_dir> [compression=snappy] [tables=all]
           |  pgdump <sql_file> <output_dir> [compression=snappy] [tables=all]
-          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql|xml|avro> [compression=none]
-          |        (sql/xml/avro exports ignore the compression argument)
+          |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql|xml|avro|fixedwidth> [compression=none]
+          |        (sql/xml/avro exports ignore the compression argument;
+          |         fixedwidth takes a layout name:width:type,... instead)
           |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
           |        (empty elements read as empty strings, not NULL —

@@ -347,6 +347,35 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Reverse FIXED-WIDTH export (round-10): ORC -> Cli export
+    // fixedwidth (pad-to-width codegen'd write that REFUSES overflow)
+    // -> re-read through the positional parser with the same layout ->
+    // aggregate vs the clean parquet. Closes the last asymmetric
+    // format: every input leg now has its output twin including the
+    // delimiter-free one.
+    "conv_export_fixedwidth" -> { (s, d) =>
+      val base = tmp(d, "exportfw")
+      stageOnce(base) {
+        OrcSink.write(
+          t(s, d, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+              col("c_acctbal").cast("decimal(12,2)").as("c_acctbal")),
+          base, "customer")
+      }
+      val out = s"$base/out"
+      val layout = "c_custkey:12:bigint,c_name:32:string," +
+        "c_mktsegment:16:string,c_acctbal:18:decimal(12,2)"
+      graft.Cli.run(s, Seq("export", s"$base/customer", out, "fixedwidth",
+        layout))
+      FixedWidthSource.read(s, s"$out/customer",
+          FixedWidthSource.parseSpecs(layout))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 2).cast("double").as("sum_bal"),
+          sum(col("c_custkey")).as("sum_key"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // Reverse DUMP export (round-10): ORC -> Cli export sql -> a
     // DISTRIBUTED multi-part mysqldump-style directory (SqlDumpSink:
     // codegen'd tuple literals, per-partition INSERT batching, DDL
@@ -1087,6 +1116,12 @@ object ConverterQueries {
     "conv_export_dump" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_bal,
+        | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_export_fixedwidth" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
 

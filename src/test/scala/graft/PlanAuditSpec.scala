@@ -90,7 +90,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "pipeline_chat_stats", "emb_outlier_flags",
     // r10 eighth batch: composed curation (streaming drift is eager),
     // vocabulary coverage curve
-    "pipeline_curate_v2", "text_vocab_coverage", "emb_bitext_margin_engine")
+    "pipeline_curate_v2", "text_vocab_coverage", "emb_bitext_margin_engine",
+    "conv_export_fixedwidth")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
