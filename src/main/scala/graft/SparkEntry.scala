@@ -129,7 +129,8 @@ object SparkEntry {
     // round-10 eighth batch: streaming drift monitor, composed curation,
     // vocabulary coverage curve
     "stream_ks_drift", "pipeline_curate_v2", "text_vocab_coverage",
-    "emb_bitext_margin_engine", "conv_export_fixedwidth")
+    "emb_bitext_margin_engine", "conv_export_fixedwidth",
+    "stream_decontam_gate")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -207,19 +207,22 @@ object LlmQueries {
       tbl
     })
 
-  /** Per-sf-dir staged drift-monitor landing dir: three doc batches
-    * (doc_id mod 3). The CHECKPOINT is wiped on every call so each run
-    * re-processes the same three micro-batches deterministically. */
-  private val driftLanding =
+  /** Stage three doc-batch files (split by doc_id mod 3, optionally
+    * filtered) into a per-sf landing dir for the monitor-style streaming
+    * gates; memoized per (d, subdir). The CHECKPOINT path is wiped on
+    * every call so each run re-processes the same three micro-batches
+    * deterministically. Returns (landingDir, checkpointDir). */
+  private val stagedLandings =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def driftLandingFor(s: SparkSession, d: String): (String, String) = {
+  private def docBatchLandingFor(s: SparkSession, d: String, subdir: String,
+                                 docFilter: Column): (String, String) = {
     val key = d.replaceAll("[^A-Za-z0-9.]", "_")
-    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/ks_drift")
-    val landing = driftLanding.computeIfAbsent(d, _ => {
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/$subdir")
+    val landing = stagedLandings.computeIfAbsent(s"$d/$subdir", _ => {
       org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       val l = base.resolve("landing")
       java.nio.file.Files.createDirectories(l)
-      val docs = t(s, d, "documents")
+      val docs = t(s, d, "documents").filter(docFilter)
       for (i <- 0 until 3) {
         val stage = base.resolve(s".stage-$i")
         docs.filter(col("doc_id") % 3 === i)
@@ -237,6 +240,8 @@ object LlmQueries {
     org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
     (landing, ckpt.toString)
   }
+  private def driftLandingFor(s: SparkSession, d: String): (String, String) =
+    docBatchLandingFor(s, d, "ks_drift", lit(true))
 
   private val hybridCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
@@ -2666,6 +2671,21 @@ object LlmQueries {
         .orderBy(col("rank"))
     },
 
+    // Decontaminate-at-ingest: each landed corpus batch is screened for
+    // exact 8-gram overlap with the benchmark suite (every 10th doc)
+    // before admission — contamination stopped at the door, the
+    // placement production pipelines use. The oracle replays every
+    // span/batch membership with direct string n-grams; any screening
+    // regression shifts a count or an id sum.
+    "stream_decontam_gate" -> { (s, d) =>
+      val (landing, ckpt) = docBatchLandingFor(s, d, "decontam",
+        col("doc_id") % 10 =!= 0)
+      val bench = t(s, d, "documents").filter(col("doc_id") % 10 === 0)
+      graft.streaming.EventStream.decontamIngestApply(s, landing, bench,
+          spanTokens = 8, ckpt)
+        .orderBy(col("batch_id"))
+    },
+
     // Streaming per-ingest-batch drift monitor: each of three staged doc
     // batches is KS-tested against the full-corpus quality reference by
     // the foreachBatch loop — the crawl-delivery alerting pass. Every
@@ -4861,6 +4881,32 @@ object LlmQueries {
         | ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING)
         |  / total, 6) AS cum_frac
         |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // per-batch contamination replayed with direct string 8-grams (the
+    // hash-join == string-join contract the batch gates already pin)
+    "stream_decontam_gate" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |w AS (
+        | SELECT DISTINCT doc_id,
+        |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+        | FROM n, generate_series(1, 200) i(i)
+        | WHERE i.i <= len(toks) - 7),
+        |b AS (SELECT DISTINCT span FROM w WHERE doc_id % 10 = 0),
+        |c AS (
+        | SELECT DISTINCT doc_id FROM w
+        | WHERE doc_id % 10 <> 0 AND span IN (SELECT span FROM b)),
+        |k AS (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT i.i AS batch_id,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM k WHERE doc_id % 3 = i.i)
+        |  AS n_docs,
+        | (SELECT CAST(COUNT(*) AS BIGINT) FROM c WHERE doc_id % 3 = i.i)
+        |  AS n_contaminated,
+        | (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM c
+        |  WHERE doc_id % 3 = i.i) AS contaminated_id_sum
+        |FROM generate_series(0, 2) i(i) ORDER BY batch_id""".stripMargin,
 
     // per-ingest-batch KS replay: three blocks, left = the batch's
     // members, right = the whole corpus (the standing reference)

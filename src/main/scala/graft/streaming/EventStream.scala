@@ -990,6 +990,50 @@ object EventStream {
       .toDF("batch_id", "n_docs", "ks_d", "argmax_q")
   }
 
+  /** Streaming DECONTAMINATE-AT-INGEST gate: each landed document batch
+    * is screened for exact n-gram span overlap with the held-out
+    * benchmark suite BEFORE it can enter the corpus — the placement
+    * production pipelines actually use (contamination is cheapest to
+    * stop at the door; a quarantined batch never needs to be clawed back
+    * out of a trained mix). Screening is
+    * [[graft.operators.Dedup.spanContaminated]] per micro-batch: the
+    * benchmark's distinct window hashes broadcast, the batch STREAMS
+    * through map-only, so per-batch cost is O(batch), independent of
+    * corpus size. Returns one audit row per micro-batch:
+    * (batch_id, n_docs, n_contaminated, contaminated_id_sum) in landing
+    * order — n_contaminated > 0 is the quarantine signal. */
+  def decontamIngestApply(spark: SparkSession, landingDir: String,
+                          bench: DataFrame, spanTokens: Int,
+                          checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          val flagged = graft.operators.Dedup.spanContaminated(
+              batch.toDF(), bench, "doc_id", "text", spanTokens)
+            .agg(count(lit(1)).cast("long").as("n"),
+              coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+            .head()
+          val n = batch.count()
+          results.synchronized {
+            results += ((bid, n, flagged.getLong(0), flagged.getLong(1)))
+          }
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    results.sortBy(_._1).toSeq
+      .toDF("batch_id", "n_docs", "n_contaminated", "contaminated_id_sum")
+  }
+
   /** Streaming CDC apply loop: change-batch files (parquet, the base
     * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
     * land in `changesDir`; each micro-batch merges ONE batch file into

@@ -120,6 +120,36 @@ class ReadabilityIngestSpec extends AnyFunSuite with SparkSessionTestWrapper {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("decontamIngestApply: planted benchmark overlap quarantines the right batch") {
+    val base = java.nio.file.Files.createTempDirectory("decontam_spec")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val mk = (id: Long, text: String) => (id, text, "en", "s", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clean = Seq(
+      mk(1L, "one two three four five six seven eight nine ten eleven"),
+      mk(2L, "red orange yellow green blue indigo violet white black gray"))
+    val dirty = Seq(
+      mk(3L, s"prefix words then $benchText and a suffix tail here"),
+      mk(4L, "totally clean document with nothing shared at all today ok"))
+    Seq(clean, dirty).zipWithIndex.foreach { case (rows, i) =>
+      val stage = base.resolve(s".stage-$i")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, landing.resolve(s"batch-$i.parquet"))
+    }
+    val bench = Seq(mk(100L, benchText)).toDF(cols: _*)
+    val got = graft.streaming.EventStream.decontamIngestApply(spark,
+        landing.toString, bench, spanTokens = 8,
+        base.resolve("ckpt").toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0L, 2L, 0L, 0L), (1L, 2L, 1L, 3L)))
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("decoded PNG dims drive the aspect buckets exactly") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
