@@ -91,7 +91,8 @@ object Explain {
         "pipeline_chat_stats", "emb_outlier_flags",
         // round-10 eighth batch (stream_ks_drift is eager — it drives
         // the monitor loop — and is pinned by spec + oracle instead)
-        "pipeline_curate_v2", "text_vocab_coverage", "emb_bitext_margin_engine")
+        "pipeline_curate_v2", "text_vocab_coverage", "emb_bitext_margin_engine",
+        "text_collocations", "text_lang_confusion")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -130,7 +130,10 @@ object SparkEntry {
     // vocabulary coverage curve
     "stream_ks_drift", "pipeline_curate_v2", "text_vocab_coverage",
     "emb_bitext_margin_engine", "conv_export_fixedwidth",
-    "stream_decontam_gate")
+    "stream_decontam_gate",
+    // round-10 eleventh batch: collocations, langid confusion, streaming
+    // cluster admission
+    "text_collocations", "text_lang_confusion", "stream_cluster_route")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -243,6 +243,34 @@ object LlmQueries {
   private def driftLandingFor(s: SparkSession, d: String): (String, String) =
     docBatchLandingFor(s, d, "ks_drift", lit(true))
 
+  /** Embedding twin of [[docBatchLandingFor]]: three vec_id-mod-3
+    * embedding batches, fresh checkpoint per call. */
+  private def embBatchLandingFor(s: SparkSession, d: String): (String, String) = {
+    val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+    val base = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/cluster_route")
+    val landing = stagedLandings.computeIfAbsent(s"$d/cluster_route", _ => {
+      org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      val l = base.resolve("landing")
+      java.nio.file.Files.createDirectories(l)
+      val emb = t(s, d, "embeddings")
+      for (i <- 0 until 3) {
+        val stage = base.resolve(s".stage-$i")
+        emb.filter(col("vec_id") % 3 === i)
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = stage.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          l.resolve(s"batch-$i.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+      l.toString
+    })
+    val ckpt = base.resolve("ckpt")
+    org.apache.commons.io.FileUtils.deleteDirectory(ckpt.toFile)
+    (landing, ckpt.toString)
+  }
+
   private val hybridCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def hybridCentroidsFor(s: SparkSession, d: String): Seq[Seq[Double]] =
@@ -2671,6 +2699,63 @@ object LlmQueries {
         .orderBy(col("rank"))
     },
 
+    // Streaming cluster-balanced admission (the online DataComp cap):
+    // embedding batches land in order; each routes through the compiled
+    // centroid kernel and admits per cluster only up to cap 25 minus
+    // earlier batches' admissions — the cap state is a #clusters-sized
+    // driver map. The oracle replays the assignment AND the cumulative
+    // admission arithmetic per (batch, cluster).
+    "stream_cluster_route" -> { (s, d) =>
+      val (landing, ckpt) = embBatchLandingFor(s, d)
+      val emb = t(s, d, "embeddings")
+      graft.streaming.EventStream.clusterRouteApply(s, landing,
+          clusterSeeds(emb), cap = 25, ckpt)
+        .orderBy(col("batch_id"), col("cluster_id"))
+    },
+
+    // PMI collocation mining (the word2phrase/collocation-extraction
+    // step of phrase-aware tokenization): bigram PMI over positional
+    // unigram/bigram probabilities, min-count 30, top-15 ranked on the
+    // ROUNDED score (ties by words) so the cut is engine-exact. One
+    // bigram explode; unigram table and the two totals broadcast.
+    "text_collocations" -> { (s, d) =>
+      val toks = split(TextAnalysis.normText(col("text")), " ")
+      val docs = t(s, d, "documents").select(toks.as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val uniToks = docs.select(explode(col("toks")).as("w"))
+      val uni = uniToks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nu = uniToks.agg(count(lit(1)).as("nu"))
+      val bi = docs.select(explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("x"),
+            element_at(col("toks"), i + 1).as("y")))).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val b = bi.groupBy(col("x"), col("y")).agg(count(lit(1)).as("cxy"))
+      val nb = bi.agg(count(lit(1)).as("nb"))
+      b.join(broadcast(uni.select(col("w").as("x"), col("cw").as("cx"))), "x")
+        .join(broadcast(uni.select(col("w").as("y"), col("cw").as("cy"))), "y")
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .filter(col("cxy") >= 30)
+        .withColumn("pmi_r", round(log(
+          (col("cxy").cast("double") / col("nb")) /
+            ((col("cx").cast("double") / col("nu")) *
+              (col("cy").cast("double") / col("nu")))), 6))
+        .orderBy(col("pmi_r").desc, col("x"), col("y")).limit(15)
+        .select(col("x"), col("y"), col("cxy"), col("pmi_r"))
+    },
+
+    // Language-ID confusion matrix: the deterministic marker classifier
+    // against the labeled lang column — the audit every langid deploy
+    // ships with. The oracle replays the full marker arithmetic joint
+    // with the labels.
+    "text_lang_confusion" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    },
+
     // Decontaminate-at-ingest: each landed corpus batch is screened for
     // exact 8-gram overlap with the benchmark suite (every 10th doc)
     // before admission — contamination stopped at the door, the
@@ -4881,6 +4966,78 @@ object LlmQueries {
         | ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING)
         |  / total, 6) AS cum_frac
         |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // cluster assignment replayed + the cumulative cap arithmetic
+    "stream_cluster_route" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |s AS (SELECT e.vec_id, c.vec_id AS cid,
+        |       list_cosine_similarity(e.v, c.v) AS cs FROM e, c),
+        |f AS (SELECT vec_id, cid,
+        |       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+        |      FROM s),
+        |a AS (SELECT vec_id, cid AS cluster_id FROM f WHERE rn = 1),
+        |g AS (SELECT vec_id % 3 AS batch_id, cluster_id, COUNT(*) AS n
+        |      FROM a GROUP BY 1, 2),
+        |w AS (SELECT batch_id, cluster_id, n,
+        |       COALESCE(SUM(n) OVER (PARTITION BY cluster_id ORDER BY batch_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |      FROM g)
+        |SELECT batch_id, cluster_id, CAST(n AS BIGINT) AS n,
+        | CAST(GREATEST(0, LEAST(25 - prior, n)) AS BIGINT) AS n_admitted
+        |FROM w ORDER BY batch_id, cluster_id""".stripMargin,
+
+    // the full collocation table replayed: same bigram construction,
+    // same division sequence, same rounded-score ordering
+    "text_collocations" ->
+      """WITH n AS (
+        | SELECT string_split(regexp_replace(trim(text), '\s+', ' ', 'g'), ' ') AS toks
+        | FROM documents),
+        |n2 AS (SELECT toks FROM n WHERE len(toks) >= 2),
+        |uni AS (SELECT unnest(toks) AS w FROM n2),
+        |u AS (SELECT w, COUNT(*) AS cw FROM uni GROUP BY 1),
+        |nu AS (SELECT COUNT(*) AS nu FROM uni),
+        |bi AS (
+        | SELECT toks[i.i] AS x, toks[i.i + 1] AS y
+        | FROM n2, generate_series(1, 300) i(i)
+        | WHERE i.i <= len(toks) - 1),
+        |b AS (SELECT x, y, COUNT(*) AS cxy FROM bi GROUP BY 1, 2),
+        |nb AS (SELECT COUNT(*) AS nb FROM bi)
+        |SELECT x, y, CAST(cxy AS BIGINT) AS cxy,
+        | ROUND(ln((CAST(cxy AS DOUBLE) / nb.nb)
+        |  / ((CAST(ux.cw AS DOUBLE) / nu.nu)
+        |     * (CAST(uy.cw AS DOUBLE) / nu.nu))), 6) AS pmi_r
+        |FROM b JOIN u ux ON ux.w = b.x JOIN u uy ON uy.w = b.y, nu, nb
+        |WHERE cxy >= 30
+        |ORDER BY pmi_r DESC, x, y LIMIT 15""".stripMargin,
+
+    // the marker-classifier replay joint with the labels
+    "text_lang_confusion" ->
+      """WITH n AS (
+        | SELECT lang, text,
+        |        ' ' || regexp_replace(trim(lower(text)), '\s+', ' ', 'g') || ' ' AS t
+        | FROM documents),
+        |s AS (
+        | SELECT lang, text,
+        |  (length(t) - length(replace(t, ' the ', '')))/5 + (length(t) - length(replace(t, ' and ', '')))/5
+        |   + (length(t) - length(replace(t, ' is ', '')))/4 + (length(t) - length(replace(t, ' of ', '')))/4 AS en,
+        |  (length(t) - length(replace(t, ' el ', '')))/4 + (length(t) - length(replace(t, ' la ', '')))/4
+        |   + (length(t) - length(replace(t, ' de ', '')))/4 + (length(t) - length(replace(t, ' y ', '')))/3 AS es,
+        |  (length(t) - length(replace(t, ' der ', '')))/5 + (length(t) - length(replace(t, ' und ', '')))/5
+        |   + (length(t) - length(replace(t, ' die ', '')))/5 + (length(t) - length(replace(t, ' das ', '')))/5 AS de,
+        |  (length(t) - length(replace(t, ' le ', '')))/4 + (length(t) - length(replace(t, ' et ', '')))/4
+        |   + (length(t) - length(replace(t, ' les ', '')))/5 + (length(t) - length(replace(t, ' des ', '')))/5 AS fr
+        | FROM n)
+        |SELECT lang, lang_pred, COUNT(*) AS n FROM (
+        | SELECT lang, CASE
+        |  WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        |  WHEN en >= es AND en >= de AND en >= fr AND en > 0 THEN 'en'
+        |  WHEN es >= de AND es >= fr AND es > 0 THEN 'es'
+        |  WHEN de >= fr AND de > 0 THEN 'de'
+        |  WHEN fr > 0 THEN 'fr'
+        |  ELSE 'und' END AS lang_pred
+        | FROM s)
+        |GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin,
 
     // per-batch contamination replayed with direct string 8-grams (the
     // hash-join == string-join contract the batch gates already pin)

@@ -1034,6 +1034,55 @@ object EventStream {
       .toDF("batch_id", "n_docs", "n_contaminated", "contaminated_id_sum")
   }
 
+  /** Streaming CLUSTER-BALANCED admission control — the online form of
+    * the DataComp-style cluster cap ([[graft.operators.Similarity
+    * .clusterBalance]] is the batch form): embedding batches land in
+    * order; each micro-batch routes its vectors through the compiled
+    * centroid kernel and admits per cluster only up to the standing cap
+    * MINUS what earlier batches already admitted. The cap state is a
+    * #clusters-sized driver map (KBs; at deployment scale this is the
+    * canonical tiny-aggregate state, checkpointable alongside the
+    * stream). Admission within a batch is by count, not identity — the
+    * caller slices the admitted prefix in id order downstream, matching
+    * the batch operator's id-order cap. Returns one audit row per
+    * (micro-batch, cluster) in landing order:
+    * (batch_id, cluster_id, n, n_admitted). */
+  def clusterRouteApply(spark: SparkSession, landingDir: String,
+                        centroids: Seq[(Long, Seq[Double])], cap: Int,
+                        checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    val admitted = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val results =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    val stream = spark.readStream
+      .schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          val counts = graft.operators.Similarity
+            .assignClusters(batch.toDF(), "vec_id", "embedding", centroids)
+            .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+          results.synchronized {
+            counts.sortBy(_._1).foreach { case (cid, n) =>
+              val admit = math.max(0L, math.min(cap - admitted(cid), n))
+              admitted(cid) += admit
+              results += ((bid, cid, n, admit))
+            }
+          }
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    results.sortBy(r => (r._1, r._2)).toSeq
+      .toDF("batch_id", "cluster_id", "n", "n_admitted")
+  }
+
   /** Streaming CDC apply loop: change-batch files (parquet, the base
     * schema plus op/seq columns per [[graft.sinks.OrcSink.mergeUpsert]])
     * land in `changesDir`; each micro-batch merges ONE batch file into

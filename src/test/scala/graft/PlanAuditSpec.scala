@@ -42,8 +42,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // path swaps in an IVF/LSH shortlist, see Similarity.marginPairs)
     "emb_bitext_margin",
     // vocab coverage broadcasts the 1-row corpus-total frame against the
-    // top-k terms (the text_tfidf_top pattern)
-    "text_vocab_coverage")
+    // top-k terms (the text_tfidf_top pattern); collocations likewise
+    // broadcast their two 1-row totals
+    "text_vocab_coverage", "text_collocations")
 
   private val audited = Seq(
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
@@ -91,7 +92,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // r10 eighth batch: composed curation (streaming drift is eager),
     // vocabulary coverage curve
     "pipeline_curate_v2", "text_vocab_coverage", "emb_bitext_margin_engine",
-    "conv_export_fixedwidth")
+    "conv_export_fixedwidth",
+    // r10 eleventh batch: collocation mining, langid confusion matrix
+    "text_collocations", "text_lang_confusion")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
