@@ -150,6 +150,37 @@ class ReadabilityIngestSpec extends AnyFunSuite with SparkSessionTestWrapper {
     org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
   }
 
+  test("decontamIngestApply: checkpoint resume processes only NEW deliveries") {
+    val base = java.nio.file.Files.createTempDirectory("decontam_resume")
+    val landing = base.resolve("landing")
+    java.nio.file.Files.createDirectories(landing)
+    val mk = (id: Long, text: String) => (id, text, "en", "s", text.length.toLong)
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    def land(rows: Seq[(Long, String, String, String, Long)], name: String): Unit = {
+      val stage = base.resolve(s".stage-$name")
+      rows.toDF(cols: _*).coalesce(1).write.mode("overwrite")
+        .parquet(stage.toString)
+      val part = stage.toFile.listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, landing.resolve(s"$name.parquet"))
+    }
+    val bench = Seq(mk(100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF(cols: _*)
+    val ckpt = base.resolve("ckpt").toString
+    land(Seq(mk(1L, "clean words only in this first delivery batch here")), "b0")
+    val first = graft.streaming.EventStream.decontamIngestApply(spark,
+      landing.toString, bench, spanTokens = 8, ckpt)
+    assert(first.collect().map(_.getLong(0)).toSeq === Seq(0L))
+    // a later delivery lands; the SAME checkpoint must skip b0 and
+    // process only the new file — the crash/restart contract
+    land(Seq(mk(2L, "see alpha beta gamma delta epsilon zeta eta theta leak")), "b1")
+    val second = graft.streaming.EventStream.decontamIngestApply(spark,
+      landing.toString, bench, spanTokens = 8, ckpt)
+    val got = second.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length === 1 && got.head._2 === 1L) // only the new, flagged batch
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+  }
+
   test("decoded PNG dims drive the aspect buckets exactly") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
