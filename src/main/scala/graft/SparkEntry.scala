@@ -133,7 +133,8 @@ object SparkEntry {
     "stream_decontam_gate",
     // round-10 eleventh batch: collocations, langid confusion, streaming
     // cluster admission
-    "text_collocations", "text_lang_confusion", "stream_cluster_route")
+    "text_collocations", "text_lang_confusion", "stream_cluster_route",
+    "emb_dim_stats")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

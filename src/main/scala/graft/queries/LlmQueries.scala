@@ -2699,6 +2699,30 @@ object LlmQueries {
         .orderBy(col("rank"))
     },
 
+    // Per-dimension embedding statistics — the dead/rogue-dimension QA
+    // audit an embedding pipeline runs on every model swap (a dimension
+    // with ~zero variance wastes index bytes; one with outsized variance
+    // dominates unnormalized distances). One posexplode, exact decimal
+    // sums (squares rounded to 8dp first — the Entropy pattern — so the
+    // variance is bit-identical on any partitioning and to the oracle's
+    // replay), flags computed on the ROUNDED values.
+    "emb_dim_stats" -> { (s, d) =>
+      val n = count(lit(1))
+      val sx = sum(col("v").cast("decimal(18,8)")).cast("double")
+      val sx2 = sum(round(col("v") * col("v"), 8).cast("decimal(18,8)"))
+        .cast("double")
+      t(s, d, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(n.as("n"),
+          round(sx / n, 6).as("mean_r"),
+          round((sx2 - sx * sx / n) / (n - 1), 6).as("var_r"))
+        .withColumn("dead", col("var_r") < 0.0001)
+        .withColumn("rogue", col("var_r") > 1.0)
+        .orderBy(col("dim"))
+    },
+
     // Streaming cluster-balanced admission (the online DataComp cap):
     // embedding batches land in order; each routes through the compiled
     // centroid kernel and admits per cluster only up to cap 25 minus
@@ -4966,6 +4990,26 @@ object LlmQueries {
         | ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING)
         |  / total, 6) AS cum_frac
         |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // every sum/square/division replayed with the identical rounding
+    // and operand order
+    "emb_dim_stats" ->
+      """WITH e AS (
+        | SELECT i.i - 1 AS dim, CAST(embedding[i.i] AS DOUBLE) AS v
+        | FROM embeddings, generate_series(1, 256) i(i)
+        | WHERE i.i <= len(embedding)),
+        |a AS (
+        | SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |  CAST(SUM(CAST(v AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(ROUND(v * v, 8) AS DECIMAL(18,8))) AS DOUBLE) AS sx2
+        | FROM e GROUP BY 1),
+        |f AS (
+        | SELECT dim, n, ROUND(sx / n, 6) AS mean_r,
+        |  ROUND((sx2 - sx * sx / n) / (n - 1), 6) AS var_r
+        | FROM a)
+        |SELECT dim, n, mean_r, var_r,
+        | var_r < 0.0001 AS dead, var_r > 1.0 AS rogue
+        |FROM f ORDER BY dim""".stripMargin,
 
     // cluster assignment replayed + the cumulative cap arithmetic
     "stream_cluster_route" ->
