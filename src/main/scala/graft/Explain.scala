@@ -92,7 +92,8 @@ object Explain {
         // round-10 eighth batch (stream_ks_drift is eager — it drives
         // the monitor loop — and is pinned by spec + oracle instead)
         "pipeline_curate_v2", "text_vocab_coverage", "emb_bitext_margin_engine",
-        "text_collocations", "text_lang_confusion", "emb_dim_stats")
+        "text_collocations", "text_lang_confusion", "emb_dim_stats",
+        "emb_whitening")
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -799,6 +799,19 @@ object Similarity {
   def trainPcaProjection(emb: DataFrame, idCol: String, vecCol: String,
                          outDim: Int, maxTrainRows: Int = 2048)
       : (Array[Double], Array[Array[Double]]) = {
+    val (m, c, _) = trainPcaWhitening(emb, idCol, vecCol, outDim, maxTrainRows)
+    (m, c)
+  }
+
+  /** [[trainPcaProjection]] plus the per-component eigenvalues — what a
+    * WHITENING transform needs (Su et al. 2021, "Whitening Sentence
+    * Representations": projected coordinates divided by sqrt(lambda) so
+    * every retained direction carries unit variance, the standard
+    * post-processing that repairs anisotropic embedding spaces before
+    * cosine retrieval). */
+  def trainPcaWhitening(emb: DataFrame, idCol: String, vecCol: String,
+                        outDim: Int, maxTrainRows: Int = 2048)
+      : (Array[Double], Array[Array[Double]], Array[Double]) = {
     val sample = emb
       .select(col(idCol).cast("string").as("id"), asDouble(col(vecCol)).as("v"))
       .filter(col("v").isNotNull && size(col("v")) > 0)
@@ -835,7 +848,22 @@ object Similarity {
       val anchor = vec.indices.maxBy(i => (math.abs(vec(i)), -i))
       if (vec(anchor) < 0) vec.map(x => -x) else vec
     }
-    (mean, comps)
+    val eigvals = Array.tabulate(outDim)(j => es.eigenvalues(dim - 1 - j))
+    (mean, comps, eigvals)
+  }
+
+  /** Apply a trained whitening transform: PCA-project, then scale each
+    * coordinate by 1/sqrt(lambda) so every retained direction carries
+    * unit (sample) variance and the projected covariance is the
+    * identity. Same codegen'd one-scan shape as [[pcaProject]]. */
+  def whitenProject(emb: DataFrame, idCol: String, vecCol: String,
+                    mean: Array[Double], components: Array[Array[Double]],
+                    eigvals: Array[Double], eps: Double = 1e-12): DataFrame = {
+    require(components.length == eigvals.length, "components/eigvals mismatch")
+    val scale = eigvals.map(l => 1.0 / math.sqrt(math.max(l, eps)))
+    pcaProject(emb, idCol, vecCol, mean, components)
+      .select(col(idCol),
+        zip_with(col(vecCol), lit(scale), (a, b) => a * b).as(vecCol))
   }
 
   /** Apply a trained PCA projection: center on the trained mean, then

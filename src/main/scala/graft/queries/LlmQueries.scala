@@ -2699,6 +2699,40 @@ object LlmQueries {
         .orderBy(col("rank"))
     },
 
+    // PCA whitening (Su et al. 2021): project to the top-8 variance
+    // directions and scale each by 1/sqrt(lambda) — the post-processing
+    // that repairs anisotropic embedding spaces before cosine retrieval.
+    // The gate verifies the TRANSFORM'S DEFINING PROPERTY end-to-end:
+    // the whitened covariance must be the identity (unit diagonal up to
+    // the (n-1)/n sample factor, ~zero off-diagonals). Verdict
+    // tolerances sit orders of magnitude above float noise, so the
+    // booleans are partition-stable; the training sample covers the
+    // whole fixture corpus at every SF, making the property exact.
+    "emb_whitening" -> { (s, d) =>
+      val k = 8
+      val emb = t(s, d, "embeddings")
+      val (mean, comps, eig) = Similarity.trainPcaWhitening(
+        emb, "vec_id", "embedding", outDim = k)
+      val w = Similarity.whitenProject(emb, "vec_id", "embedding",
+        mean, comps, eig)
+      def el(i: Int) = element_at(col("embedding"), i + 1)
+      val aggExprs =
+        (for { i <- 0 until k; j <- i until k }
+          yield avg(el(i) * el(j)).as(s"m_${i}_$j")) ++
+          (0 until k).map(i => avg(el(i)).as(s"a_$i"))
+      val pairs = for { i <- 0 until k; j <- i until k } yield {
+        val cov = col(s"m_${i}_$j") - col(s"a_$i") * col(s"a_$j")
+        val ok =
+          if (i == j) abs(cov - 1.0) <= 0.02 else abs(cov) <= 0.005
+        struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"), ok.as("ok"))
+      }
+      w.agg(aggExprs.head, aggExprs.tail: _*)
+        .select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.di").as("di"), col("p.dj").as("dj"),
+          col("p.ok").as("ok"))
+        .orderBy(col("di"), col("dj"))
+    },
+
     // Per-dimension embedding statistics — the dead/rogue-dimension QA
     // audit an embedding pipeline runs on every model swap (a dimension
     // with ~zero variance wastes index bytes; one with outsized variance
@@ -4990,6 +5024,16 @@ object LlmQueries {
         | ROUND(SUM(cnt) OVER (ORDER BY cnt DESC, term ROWS UNBOUNDED PRECEDING)
         |  / total, 6) AS cum_frac
         |FROM top, tot ORDER BY rank""".stripMargin,
+
+    // the whitened covariance must be the identity — every pair's
+    // verdict pins true (the ANN verdict pattern: the transform is
+    // deterministic, DuckDB cannot eigendecompose, the PROPERTY is the
+    // oracle)
+    "emb_whitening" ->
+      """SELECT CAST(di.i AS BIGINT) AS di, CAST(dj.i AS BIGINT) AS dj,
+        | true AS ok
+        |FROM generate_series(0, 7) di(i), generate_series(0, 7) dj(i)
+        |WHERE di.i <= dj.i ORDER BY di, dj""".stripMargin,
 
     // every sum/square/division replayed with the identical rounding
     // and operand order

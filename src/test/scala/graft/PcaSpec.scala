@@ -80,4 +80,32 @@ class PcaSpec extends AnyFunSuite with SparkSessionTestWrapper {
       .map(_.getSeq[Double](1))
     assert(a.toSeq === b.toSeq)
   }
+
+  test("whitening equalizes a deliberately anisotropic cloud") {
+    import scala.util.Random
+    val rnd = new Random(9)
+    // axis 0 stretched 10x: raw variances ~100:1; whitening must bring
+    // both retained directions to unit variance and kill the covariance
+    val rows = (0L until 400L).map { i =>
+      val x = rnd.nextGaussian() * 10.0
+      val y = rnd.nextGaussian()
+      (i, Seq(x, y, x * 0.001 + rnd.nextGaussian() * 0.01))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val (mean, comps, eig) = graft.operators.Similarity.trainPcaWhitening(
+      emb, "vec_id", "embedding", outDim = 2)
+    assert(eig(0) > 50 * eig(1)) // the stretch is real pre-whitening
+    val w = graft.operators.Similarity.whitenProject(
+        emb, "vec_id", "embedding", mean, comps, eig)
+      .collect().map(_.getSeq[Double](1))
+    val n = w.length
+    def mom(f: Seq[Double] => Double) = w.map(f).sum / n
+    val m0 = mom(_(0)); val m1 = mom(_(1))
+    val v0 = mom(v => v(0) * v(0)) - m0 * m0
+    val v1 = mom(v => v(1) * v(1)) - m1 * m1
+    val c01 = mom(v => v(0) * v(1)) - m0 * m1
+    assert(math.abs(v0 - 1.0) < 0.02 && math.abs(v1 - 1.0) < 0.02,
+      s"variances $v0 $v1")
+    assert(math.abs(c01) < 0.01, s"covariance $c01")
+  }
 }

@@ -94,7 +94,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "pipeline_curate_v2", "text_vocab_coverage", "emb_bitext_margin_engine",
     "conv_export_fixedwidth",
     // r10 eleventh batch: collocation mining, langid confusion matrix
-    "text_collocations", "text_lang_confusion", "emb_dim_stats")
+    "text_collocations", "text_lang_confusion", "emb_dim_stats",
+    "emb_whitening")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
