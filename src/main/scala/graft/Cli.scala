@@ -184,12 +184,20 @@ object Cli {
       val delimiter = rest.headOption.getOrElse(",")
       val hasHeader = rest.lift(1).forall(_.toBoolean)
       val compression = rest.lift(2).getOrElse("snappy")
-      val opts = CsvSource.CsvOptions(delimiter = delimiter, hasHeader = hasHeader,
-        inferSchema = inferSchema.getOrElse(true))
       // per-input output naming (K3): each CSV file -> outdir/<basename>/
       val inputs = CsvSource.listInputs(spark, csvPath)
+      // delimiter=auto: sniff (delimiter, header) PER FILE from a bounded
+      // line sample — mixed-dialect directories convert in one pass; the
+      // has_header argument is ignored in auto mode (the sniffer decides)
+      def optsFor(f: String): CsvSource.CsvOptions =
+        if (delimiter.equalsIgnoreCase("auto")) {
+          val (sep, hdr) = CsvSource.sniffDialect(spark, f)
+          CsvSource.CsvOptions(delimiter = sep, hasHeader = hdr,
+            inferSchema = inferSchema.getOrElse(true))
+        } else CsvSource.CsvOptions(delimiter = delimiter,
+          hasHeader = hasHeader, inferSchema = inferSchema.getOrElse(true))
       Some(ConversionJob.run(
-        inputs.map(f => CsvSource.baseName(f) -> (() => CsvSource.read(spark, f, opts))),
+        inputs.map(f => CsvSource.baseName(f) -> (() => CsvSource.read(spark, f, optsFor(f)))),
         jobConfig(outDir, compression)))
 
     // XML path (beyond-reference input; Spark 4 built-in XML datasource):
@@ -323,7 +331,8 @@ object Cli {
           |  export <orc_table_dir> <output_dir> <csv|jsonl|parquet|sql|xml|avro|fixedwidth> [compression=none]
           |        (sql/xml/avro exports ignore the compression argument;
           |         fixedwidth takes a layout name:width:type,... instead)
-          |  csv   <csv_path> <output_dir> [delimiter=,] [has_header=true] [compression=snappy]
+          |  csv   <csv_path> <output_dir> [delimiter=,|auto] [has_header=true] [compression=snappy]
+          |        (delimiter=auto sniffs delimiter AND header per file)
           |  xml   <xml_path> <output_dir> [row_tag=row] [compression=snappy]
           |        (empty elements read as empty strings, not NULL —
           |         absent elements are NULL)

@@ -134,7 +134,7 @@ object SparkEntry {
     // round-10 eleventh batch: collocations, langid confusion, streaming
     // cluster admission
     "text_collocations", "text_lang_confusion", "stream_cluster_route",
-    "emb_dim_stats", "emb_whitening")
+    "emb_dim_stats", "emb_whitening", "conv_csv_sniff")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -347,6 +347,44 @@ object ConverterQueries {
         .orderBy(col("c_mktsegment"))
     },
 
+    // Dialect sniffing (`delimiter=auto`): a MIXED-dialect input dir —
+    // customer exported with ';' and nation with '|', both headered —
+    // converts in ONE Cli pass with the sniffer choosing delimiter AND
+    // header per file from a bounded line sample. The aggregate of both
+    // resulting ORC tables must hash-match the clean parquet: a wrong
+    // delimiter collapses columns and a wrong header verdict shifts every
+    // count by one.
+    "conv_csv_sniff" -> { (s, d) =>
+      val base = tmp(d, "csvsniff")
+      // marker sits in the input DIR (the staged members are plain files;
+      // listInputs only picks *.csv so the marker is invisible to the Cli)
+      stageOnce(s"$base/in") {
+        def stageCsv(df: DataFrame, sep: String, name: String): Unit = {
+          val stage = s"$base/.stage-$name"
+          df.coalesce(1).write.mode("overwrite")
+            .option("sep", sep).option("header", true).csv(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".csv")).get
+          java.nio.file.Files.createDirectories(
+            java.nio.file.Paths.get(s"$base/in"))
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$base/in/$name.csv"),
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stage))
+        }
+        stageCsv(t(s, d, "customer"), ";", "customer")
+        stageCsv(t(s, d, "nation"), "|", "nation")
+      }
+      graft.Cli.run(s, Seq("csv", s"$base/in", s"$base/orc", "auto"))
+      OrcSink.read(s, s"$base/orc/customer")
+        .agg(lit("customer").as("tbl"), count(lit(1)).as("n"),
+          sum(col("c_custkey")).cast("long").as("key_sum"))
+        .unionByName(OrcSink.read(s, s"$base/orc/nation")
+          .agg(lit("nation").as("tbl"), count(lit(1)).as("n"),
+            sum(col("n_nationkey")).cast("long").as("key_sum")))
+        .orderBy(col("tbl"))
+    },
+
     // Reverse FIXED-WIDTH export (round-10): ORC -> Cli export
     // fixedwidth (pad-to-width codegen'd write that REFUSES overflow)
     // -> re-read through the positional parser with the same layout ->
@@ -1124,6 +1162,13 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         | CAST(SUM(c_custkey) AS BIGINT) AS sum_key
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
+
+    "conv_csv_sniff" ->
+      """SELECT 'customer' AS tbl, COUNT(*) AS n,
+        | CAST(SUM(c_custkey) AS BIGINT) AS key_sum FROM customer
+        |UNION ALL
+        |SELECT 'nation', COUNT(*), CAST(SUM(n_nationkey) AS BIGINT)
+        |FROM nation ORDER BY tbl""".stripMargin,
 
     "conv_export_avro" ->
       """SELECT c_mktsegment, COUNT(*) AS n,

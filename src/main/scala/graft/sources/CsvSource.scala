@@ -102,4 +102,83 @@ object CsvSource {
     val dot = name.lastIndexOf('.')
     if (dot > 0) name.substring(0, dot) else name
   }
+
+  // --------------------------------------------------------------------
+  // Dialect sniffing (`delimiter=auto`)
+  // --------------------------------------------------------------------
+
+  /** Count fields on one line for a candidate separator, ignoring
+    * separators inside double quotes (RFC-4180 quoting). */
+  private[sources] def fieldCount(line: String, sep: Char): Int = {
+    var cnt = 1; var inQ = false; var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '"') inQ = !inQ
+      else if (ch == sep && !inQ) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** Quote-aware field split (for the header heuristic only — actual
+    * parsing stays with Spark's CSV reader). */
+  private[sources] def splitFields(line: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false; var i = 0
+    while (i < line.length) {
+      val ch = line.charAt(i)
+      if (ch == '"') inQ = !inQ
+      else if (ch == sep && !inQ) { out += sb.toString; sb.clear() }
+      else sb.append(ch)
+      i += 1
+    }
+    out += sb.toString
+    out.toSeq
+  }
+
+  private def looksNumeric(f: String): Boolean =
+    f.trim.nonEmpty &&
+      f.trim.matches("[-+]?[0-9]*\\.?[0-9]+([eE][-+]?[0-9]+)?")
+
+  /** Detect (delimiter, hasHeader) from a bounded driver-side sample —
+    * the `csv.Sniffer`/`sniff_csv` feature a universal converter needs
+    * when the upstream system's export dialect is unknown.
+    *
+    * Delimiter: the candidate on which the most sampled lines agree on
+    * one field count > 1 wins (quote-aware counting, so a `;` file whose
+    * text cells contain commas is not fooled); ties break by candidate
+    * order. Header: the first line is a header when none of its fields
+    * look numeric while some later line has a numeric field in SOME
+    * column — the classic types-differ heuristic; an all-text file with
+    * no numeric evidence defaults to header=true (the common case for
+    * exported tables). The sample is `maxLines` driver-side lines — KBs,
+    * never the file.
+    */
+  def sniffDialect(spark: SparkSession, path: String, maxLines: Int = 64,
+                   candidates: Seq[Char] = Seq(',', ';', '\t', '|'))
+      : (String, Boolean) = {
+    val lines = spark.read.textFile(path).limit(maxLines).collect()
+      .filter(_.nonEmpty)
+    require(lines.nonEmpty, s"cannot sniff an empty file: $path")
+    val scored = candidates.map { c =>
+      val counts = lines.map(l => fieldCount(l, c))
+      val (modal, freq) = counts.groupBy(identity).view.mapValues(_.length)
+        .maxBy { case (k, v) => (v, k) }
+      (c, modal, if (modal > 1) freq else 0)
+    }
+    val (sep, _, freq) = scored.maxBy { case (_, m, f) => (f, m) }
+    require(freq > 0,
+      s"no delimiter candidate splits $path into more than one column " +
+        s"(tried ${candidates.mkString("'", "', '", "'")})")
+    val head = splitFields(lines.head, sep)
+    val headerNumeric = head.exists(looksNumeric)
+    val bodyNumeric = lines.drop(1)
+      .exists(l => splitFields(l, sep).exists(looksNumeric))
+    val hasHeader = !headerNumeric && (bodyNumeric || lines.length == 1 || {
+      // no numeric evidence anywhere: default to header=true
+      !lines.drop(1).exists(l => splitFields(l, sep).exists(looksNumeric))
+    })
+    (sep.toString, hasHeader)
+  }
 }
