@@ -124,11 +124,21 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
-    // Re-emit the metrics line as the FINAL stdout act (after spark.stop's
-    // log noise, which goes to stderr but can interleave): the driver
-    // parses the last stdout line as JSON, and build.sbt suppresses sbt's
-    // "[success]" trailer (showSuccess := false) so this line stays last.
-    println(line)
+    // Re-emit metrics as the FINAL stdout act (after spark.stop's log
+    // noise, which goes to stderr but can interleave): the driver parses
+    // JSON out of the LAST ~2000 characters of stdout, and build.sbt
+    // suppresses sbt's "[success]" trailer (showSuccess := false) so this
+    // line stays last. r11 (VERDICT r10 #1): the full per-row line is
+    // ~16 KB for 190+ queries — ~8× the driver's tail window — so its
+    // head gets cut and the parse fails. When the full line doesn't fit,
+    // emit a COMPACT totals-only summary (<1 KB) instead; the per-row
+    // floats live on in BENCH_LAST.json (committed each round).
+    val headline = Seq("conv_lineitem_orc", "q1_pricing_summary")
+      .flatMap(n => results.find(_._1 == n))
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${names.size},"n_errors":${errs.size},"queries":$headline,"rows_file":"$outFile","sf":"$sfDir"}"""
+    println(if (line.length <= 1800) line else compact)
     System.out.flush()
   }
 }
