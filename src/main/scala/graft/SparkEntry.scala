@@ -134,7 +134,9 @@ object SparkEntry {
     // round-10 eleventh batch: collocations, langid confusion, streaming
     // cluster admission
     "text_collocations", "text_lang_confusion", "stream_cluster_route",
-    "emb_dim_stats", "emb_whitening", "conv_csv_sniff")
+    "emb_dim_stats", "emb_whitening", "conv_csv_sniff",
+    // round-11: arbitrary-length substring dedup (suffix-array pass)
+    "dedup_substring")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -892,6 +892,78 @@ object Dedup {
     cutSpans(base, cuts, spanTokens, idCol)
   }
 
+  /** ARBITRARY-LENGTH exact duplicate-substring extraction — the
+    * suffix-array ExactSubstr pass of Lee et al. ("Deduplicating
+    * Training Data Makes Language Models Better", ACL'22): report every
+    * maximal run of >= `minTokens` consecutive tokens that appears
+    * verbatim in more than one document, at its TRUE length (a 300-token
+    * boilerplate block surfaces as one 300-token run, not as a cloud of
+    * fixed-n windows — the gap the fixed-n span family leaves open).
+    *
+    * Distributed design — suffix grouping by fixed-length prefix radix,
+    * never a global suffix sort: Lee et al. build one suffix array over
+    * the concatenated corpus, which needs the whole corpus (and its
+    * suffix order) on one machine. The identity this operator exploits
+    * instead: a token position lies inside a cross-document duplicated
+    * substring of length >= L iff some L-token window covering it occurs
+    * in >= 2 documents. So (1) every suffix is represented by the
+    * `xxhash64` of its first L tokens ([[graft.functions.SpanHashesPos]],
+    * compiled) — the radix bucket standing in for suffix-array order;
+    * (2) a hash-partitioned aggregation over DISTINCT (doc, hash) finds
+    * radixes present in >= 2 docs (linear in occurrences — no pair join,
+    * so corpus-wide boilerplate costs f rows, not f²/2 pairs, and no
+    * `maxDf` dial exists to mis-set); (3) each doc merges its duplicated
+    * window starts into maximal coverage islands with a per-doc window
+    * function (two starts chain while the gap is <= L — contiguous
+    * coverage), recovering the arbitrary-length extents a suffix array
+    * would report. Shuffles: one distinct+agg on hash, one semi-join on
+    * hash, one per-doc window + group — every one an equi-key exchange.
+    *
+    * Semantics notes, both mirrored by the gate oracle: duplication is
+    * CROSS-document (>= 2 distinct docs — the corpus-dedup definition
+    * used across this family; a phrase repeated only within one doc is
+    * [[ngramRepetition]]'s business), text is whitespace-normalized
+    * ([[TextAnalysis.normText]]), and window identity is the 64-bit
+    * xxhash64 standing in for span equality (collision odds ~n²/2^64,
+    * the family-wide trade documented at [[spanPairs]]).
+    *
+    * Output: (idCol, start_pos, n_tokens, span_md5) — 1-based token
+    * start, true run length, md5 of the extracted run text — one row
+    * per maximal duplicated run, every row >= `minTokens` tokens. */
+  def duplicateSubstrings(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")
+    val (base, occ) = spanOcc(df, idCol, textCol, minTokens)
+    // radixes (L-token window hashes) occurring in >= 2 distinct docs
+    val dup = occ.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"))
+    // this doc's duplicated window starts -> coverage islands: window
+    // [p, p+L-1] chains with a later start p' while p' <= p + L (the
+    // union of covered positions stays contiguous)
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(byDoc)
+    val runs = occ.join(dup, Seq("h"), "left_semi")
+      .withColumn("brk",
+        when(prev.isNull || col("pos") > prev + minTokens, 1).otherwise(0))
+      .withColumn("run_id", sum(col("brk")).over(byDoc))
+      .groupBy(col("id"), col("run_id"))
+      // SpanHashesPos emits 0-based token offsets; the output (and the
+      // 1-based slice/list_slice conventions both engines share) is
+      // 1-based, so the +1 happens here once
+      .agg((min(col("pos")) + 1).as("start_pos"),
+        (max(col("pos")) + lit(minTokens)).as("end_pos"))
+    // extract the true run text from the doc's own tokens (few runs per
+    // doc, so the re-split is bounded by runs-per-doc * tokens)
+    runs.join(base, Seq("id"))
+      .select(col("id").as(idCol), col("start_pos"),
+        (col("end_pos") - col("start_pos") + 1).cast("long").as("n_tokens"),
+        md5(array_join(slice(split(col("t"), " "), col("start_pos"),
+          col("end_pos") - col("start_pos") + 1), " ")).as("span_md5"))
+  }
+
   def spanPairs(df: DataFrame, idCol: String, textCol: String,
       spanTokens: Int, maxDf: Int = 1000): DataFrame = {
     require(spanTokens >= 2, s"spanTokens must be >= 2, got $spanTokens")

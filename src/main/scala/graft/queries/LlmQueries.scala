@@ -1715,6 +1715,30 @@ object LlmQueries {
         .orderBy(col("doc_id"))
     },
 
+    // Arbitrary-length exact-substring extraction (Lee et al. ACL'22
+    // suffix-array pass, re-expressed as L-gram radix bucketing + island
+    // merge — Dedup.duplicateSubstrings). The fixture PLANTS overlaps of
+    // varying known lengths well past the span family's n=8: every
+    // doc_id % 7 == 3 doc gets a shared boilerplate tail of
+    // 12 + doc_id % 40 tokens (nested prefixes, so pairwise overlaps
+    // span 12..51 tokens), on top of whatever full-document duplicates
+    // the corpus already carries. The oracle rebuilds the same text in
+    // SQL and derives maximal duplicated runs independently (window
+    // self-join + island grouping over positions) — it verifies the
+    // extracted runs' exact extents, lengths, and md5'd text.
+    "dedup_substring" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val k = (lit(12) + pmod(col("doc_id"), lit(40))).cast("int")
+      val bp = array_join(transform(sequence(lit(1), k),
+        i => concat(lit("bp"), i.cast("string"))), " ")
+      val planted = docs.withColumn("text2",
+        when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(coalesce(col("text"), lit("")), lit(" "), bp))
+          .otherwise(col("text")))
+      Dedup.duplicateSubstrings(planted, "doc_id", "text2", minTokens = 12)
+        .orderBy(col("doc_id"), col("start_pos"))
+    },
+
     // Normalized decontamination with doc-level overlap fractions — the
     // published recipe: both sides lowercased + punctuation-collapsed
     // before 8-gram window hashing, and each corpus doc reports what
@@ -3916,6 +3940,50 @@ object LlmQueries {
         | COALESCE(agg.clean_text, '') AS clean_text,
         | CAST(COALESCE(agg.n_removed, 0) AS BIGINT) AS n_removed
         |FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Independent derivation of the maximal duplicated runs: rebuild the
+    // planted text from id arithmetic, enumerate 12-token windows with
+    // positions, find cross-document duplicates by SPAN STRING equality
+    // (where Spark joins the window's xxhash64), then island-group
+    // duplicated starts (two windows chain while the position gap is
+    // <= 12, i.e. contiguous coverage) and slice each run's true extent
+    // back out of the token list.
+    "dedup_substring" ->
+      """WITH n AS (
+        | SELECT doc_id,
+        |  regexp_replace(trim(CASE WHEN doc_id % 7 = 3
+        |   THEN COALESCE(text, '') || ' ' || array_to_string(
+        |     list_transform(range(1, 13 + doc_id % 40), x -> 'bp' || x), ' ')
+        |   ELSE COALESCE(text, '') END), '\s+', ' ', 'g') AS t
+        | FROM documents),
+        |tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+        |w AS (
+        | SELECT doc_id, i.i AS pos,
+        |  array_to_string(list_slice(toks, i.i, i.i + 11), ' ') AS span
+        | FROM tok, generate_series(1, 460) i(i)
+        | WHERE i.i <= len(toks) - 11),
+        |dup AS (
+        | SELECT span FROM (SELECT DISTINCT doc_id, span FROM w)
+        | GROUP BY span HAVING COUNT(*) >= 2),
+        |ds AS (SELECT doc_id, pos FROM w WHERE span IN (SELECT span FROM dup)),
+        |brk AS (
+        | SELECT doc_id, pos,
+        |  CASE WHEN pos - COALESCE(
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -99) > 12
+        |   THEN 1 ELSE 0 END AS b
+        | FROM ds),
+        |runs AS (
+        | SELECT doc_id, pos,
+        |  SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+        | FROM brk),
+        |agg AS (
+        | SELECT doc_id, MIN(pos) AS start_pos, MAX(pos) + 11 AS end_pos
+        | FROM runs GROUP BY doc_id, run_id)
+        |SELECT agg.doc_id, CAST(start_pos AS INT) AS start_pos,
+        | CAST(end_pos - start_pos + 1 AS BIGINT) AS n_tokens,
+        | md5(array_to_string(list_slice(toks, start_pos, end_pos), ' ')) AS span_md5
+        |FROM agg JOIN tok ON agg.doc_id = tok.doc_id
+        |ORDER BY agg.doc_id, start_pos""".stripMargin,
 
     "pipeline_contamination_norm" ->
       """WITH n AS (

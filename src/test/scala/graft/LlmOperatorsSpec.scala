@@ -1161,6 +1161,81 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(b == got)
   }
 
+  // ---- duplicateSubstrings (arbitrary-length suffix-array pass) ----
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("duplicateSubstrings extracts a planted 20-token run at its true " +
+      "extent in both docs, not as fixed-n windows") {
+    val run = (1 to 20).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma $run tail one"),          // run at tokens 4..23
+      (2L, s"$run completely different closing words"), // run at tokens 1..20
+      (3L, "independent filler content with nothing shared across docs here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSubstrings(docs, "doc_id", "text", minTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSet == Set(
+      (1L, 4, 20L, md5Hex(run)),
+      (2L, 1, 20L, md5Hex(run))))
+  }
+
+  test("duplicateSubstrings: nested shared prefixes report per-doc maximal " +
+      "lengths (the arbitrary-length property)") {
+    // doc 1 carries the 30-token sequence; docs 2/3 carry its first
+    // 22/14 tokens. Every doc's duplicated extent is the longest prefix
+    // it shares with SOME other doc: 22 for docs 1+2, 14 for doc 3.
+    def pre(n: Int) = (1 to n).map(i => s"p$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${pre(30)} doc one unique ending"),
+      (2L, s"${pre(22)} second doc distinct tail"),
+      (3L, s"${pre(14)} third doc other suffix")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSubstrings(docs, "doc_id", "text", minTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(got.toSet == Set(
+      (1L, 1, 22L, md5Hex(pre(22))),
+      (2L, 1, 22L, md5Hex(pre(22))),
+      (3L, 1, 14L, md5Hex(pre(14)))))
+  }
+
+  test("duplicateSubstrings: two runs split by unique filler stay two " +
+      "intervals; within-doc-only repetition is not duplication") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 12).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$a wedge0 wedge1 wedge2 $b"),       // a: 1..10, b: 14..25
+      (2L, s"$a other middle words entirely $b"),
+      (3L, s"selfrep selfrep selfrep selfrep selfrep selfrep selfrep " +
+        "selfrep selfrep selfrep selfrep selfrep only here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSubstrings(docs, "doc_id", "text", minTokens = 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1, 10L), (1L, 14, 12L),
+      (2L, 1, 10L), (2L, 15, 12L)))
+  }
+
+  test("duplicateSubstrings: sub-threshold overlaps, short docs, and NULL " +
+      "text produce no rows; partition-invariant") {
+    val docs = Seq(
+      (1L, Some("five shared toks here plus unique ending one")),
+      (2L, Some("five shared toks here plus other closing words")), // 5 < 6
+      (3L, Some("tiny")), (4L, None)
+    ).toDF("doc_id", "text")
+    assert(Dedup.duplicateSubstrings(docs, "doc_id", "text", 6).count() == 0)
+    val run = (1 to 9).map(i => s"z$i").mkString(" ")
+    val dup = Seq((1L, s"head $run"), (2L, s"$run tails"), (3L, "unrelated"))
+      .toDF("doc_id", "text")
+    val one = Dedup.duplicateSubstrings(dup, "doc_id", "text", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val two = Dedup.duplicateSubstrings(dup.repartition(7), "doc_id", "text", 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(one == Set((1L, 2, 9L), (2L, 1, 9L)) && two == one)
+  }
+
   test("removeDuplicateSpans: short and empty docs pass through untouched") {
     val docs = Seq((1L, "just three tokens"), (2L, "just three tokens"),
       (3L, ""), (4L, "   ")).toDF("doc_id", "text")

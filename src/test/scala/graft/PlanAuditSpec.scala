@@ -95,7 +95,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "conv_export_fixedwidth",
     // r10 eleventh batch: collocation mining, langid confusion matrix
     "text_collocations", "text_lang_confusion", "emb_dim_stats",
-    "emb_whitening", "conv_csv_sniff")
+    "emb_whitening", "conv_csv_sniff",
+    // r11: arbitrary-length substring dedup — equi-joins on the window
+    // hash only, per-doc windows, no pair join anywhere
+    "dedup_substring")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
