@@ -135,8 +135,9 @@ object SparkEntry {
     // cluster admission
     "text_collocations", "text_lang_confusion", "stream_cluster_route",
     "emb_dim_stats", "emb_whitening", "conv_csv_sniff",
-    // round-11: arbitrary-length substring dedup (suffix-array pass)
-    "dedup_substring")
+    // round-11: arbitrary-length substring dedup (suffix-array pass),
+    // drift-triggered IVF recluster
+    "dedup_substring", "ann_ivf_recluster")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -329,6 +329,61 @@ object Similarity {
       indexRows(emb, idCol, vecCol, centroids),
       table, bucketCols = Seq("cell"), numBuckets = numBuckets)
 
+  /** Distribution-drift statistic for IVF index MAINTENANCE: the
+    * Kolmogorov-Smirnov distance between two corpus snapshots'
+    * assignment-confidence distributions (each vector's cosine to its
+    * nearest centroid, 4dp-gridded) under the SAME frozen centroids.
+    * Centroids fitted to the reference distribution hold confidences
+    * high; after a distribution shift the current snapshot's vectors sit
+    * far from every stale centroid and the confidence mass collapses —
+    * ks_d -> 1. This is the trigger side of the recluster story: the KS
+    * monitor ([[Profile.ksStatistic]], the same statistic the streaming
+    * drift gate pins) decides WHEN [[reclusterIvfIndex]] runs.
+    *
+    * Scale shape: two map-only confidence scans (compiled
+    * [[graft.functions.NearestCells]] probe + one cosine each), one
+    * grid-bounded aggregation (<= 10001 distinct 4dp confidence values),
+    * and the KS windows run over that bounded grid — never corpus rows.
+    * Output: 1-row (ks_d, argmax_q). */
+  def ivfAssignmentDrift(reference: DataFrame, current: DataFrame,
+                         idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "ivfAssignmentDrift needs trained centroids")
+    val labeled = centroids.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    def conf(df: DataFrame, side: Int) =
+      assignClusters(df, idCol, vecCol, labeled)
+        .select(col("cosine").as("q"), lit(side).as("side"))
+    Profile.ksStatistic(
+      conf(reference, 1).unionByName(conf(current, 2))
+        .groupBy(col("q"))
+        .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("side") === 2, 1L).otherwise(0L)).as("c2")))
+  }
+
+  /** Drift-recovery RECLUSTER of a persisted IVF index: re-route every
+    * standing catalog row under refreshed centroids (retrained on a
+    * bounded sample of the post-drift corpus — [[trainIvfCentroids]]'s
+    * collect ceiling applies) and rewrite the bucketed catalog. Reads
+    * the index table itself — id + vector ride in the catalog rows, so
+    * the corpus is NOT rescanned — reassigns cells with the compiled
+    * [[graft.functions.NearestCells]] kernel (map-only), and the only
+    * exchange is the bucketed write's hash partition on the new cell
+    * key: one shuffle for the whole re-route, O(index) work.
+    * The old table stays readable throughout (new table name = atomic
+    * cutover by catalog swap, the standard blue/green index flip). */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                        table: String, newTable: String,
+                        centroids: Seq[Seq[Double]],
+                        numBuckets: Int = 16): Unit = {
+    require(centroids.nonEmpty, "reclusterIvfIndex needs trained centroids")
+    val rows = spark.table(table)
+      .select(col("id"), col("vec"))
+      .withColumn("cell", graft.functions.NearestCells
+        .nearestCells(col("vec"), centroids, 1).getItem(0))
+    graft.sinks.OrcSink.writeBucketed(rows, newTable,
+      bucketCols = Seq("cell"), numBuckets = numBuckets)
+  }
+
   /** Append an ingested batch to the standing IVF index (new files per
     * bucket, standing rows never rewritten — O(batch) per update). */
   def appendToIvfIndex(batch: DataFrame, idCol: String, vecCol: String,

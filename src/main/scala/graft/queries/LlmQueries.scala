@@ -133,6 +133,94 @@ object LlmQueries {
       tbl
     })
 
+  /** Planted-drift fixture for the recluster gate. PRE-drift corpus:
+    * 16 tight clusters in dims 0..31 (1.0 at dims {2a, 2a+1},
+    * a = vec_id % 16), small jitter, and EXACTLY zero mass in dims
+    * 32..63. POST-drift corpus: all signal moves to dims 32..63
+    * (8 clusters, 1.0 on the 4-dim block {32+4c .. 35+4c},
+    * c = vec_id % 8) plus a ranking-noise channel there, with only
+    * tiny routing noise left in dims 0..31. Centroids trained
+    * pre-drift have zero components where the drifted signal lives, so
+    * post-drift assignment under them is routing noise — same-cluster
+    * neighbors scatter uniformly across the 16 stale cells (expected
+    * per-neighbor hit rate ~ nProbe/16) — while centroids retrained
+    * post-drift recover the block structure and full recall.
+    * Deterministic end-to-end: every value derives from vec_id
+    * arithmetic. */
+  private def driftFrames(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val emb = t(s, d, "embeddings")
+    // Deterministic pseudo-noise channels from vec_id arithmetic. The
+    // CRITICAL property is that the ROUTING channel (dims 0..31, the
+    // only dims stale centroids have mass in — decides which stale cell
+    // a post-drift vector lands in) and the RANKING channel (dims
+    // 32..63 — decides which same-cluster neighbors are a query's true
+    // top-k) use INDEPENDENT multipliers: were they correlated, the
+    // top-ranked neighbors would co-locate with the query under stale
+    // routing and stale recall would NOT collapse (measured — deriving
+    // both from the fixture embedding made the stale serve pass).
+    // xxhash64-based noise, NOT a linear-congruential progression: an
+    // LCG's per-dim step is constant, which leaves arithmetic structure
+    // in the routing channel (adjacent dims differ by a constant) and
+    // measurably skews the stale cell histogram ~5:1; the hash gives
+    // i.i.d.-grade noise per (salt, vec_id, dim)
+    def noise(salt: Int)(j: Column): Column =
+      pmod(xxhash64(lit(salt), col("vec_id"), j), lit(9973L))
+        .cast("double") / 9973.0 - 0.5
+    val route = noise(1) _
+    val rank = noise(2) _
+    val preJit = noise(3) _
+    val a = pmod(col("vec_id"), lit(16)).cast("int")
+    val pre = emb.select(col("vec_id"),
+      concat(
+        transform(sequence(lit(0), lit(31)), j =>
+          lit(0.05) * preJit(j) +
+            when(j === a * 2 || j === a * 2 + 1, 1.0).otherwise(0.0)),
+        transform(sequence(lit(32), lit(63)), _ => lit(0.0))).as("embedding"))
+    val c = pmod(col("vec_id"), lit(8)).cast("int")
+    val post = emb.select(col("vec_id"),
+      concat(
+        transform(sequence(lit(0), lit(31)), j => lit(0.05) * route(j)),
+        transform(sequence(lit(32), lit(63)), j =>
+          lit(0.25) * rank(j) +
+            when(j >= c * 4 + 32 && j < c * 4 + 36, 1.0).otherwise(0.0)))
+        .as("embedding"))
+    (pre, post)
+  }
+
+  /** Per-sf-dir staged drift-maintenance pair: the STALE persisted IVF
+    * index (pre-drift centroids routing the post-drift corpus — the
+    * state a standing index is in after the distribution shifted under
+    * it) plus, iff the KS assignment-confidence monitor fires, the
+    * RECLUSTERED index (centroids retrained on a bounded post-drift
+    * sample, catalog re-routed in one shuffle by
+    * [[Similarity.reclusterIvfIndex]]). Returns (staleTable,
+    * servingTable, staleCents, servingCents, fired). */
+  private val ivfDrift = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, String, Seq[Seq[Double]], Seq[Seq[Double]], Boolean)]()
+  private def ivfDriftFor(s: SparkSession, d: String)
+      : (String, String, Seq[Seq[Double]], Seq[Seq[Double]], Boolean) =
+    ivfDrift.computeIfAbsent(d, _ => {
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val (pre, post) = driftFrames(s, d)
+      val staleCents = Similarity.trainIvfCentroids(pre, "vec_id",
+        "embedding", nCentroids = 16, lloydIters = 2)
+      val staleTbl = s"graft_ivf_stale_$key"
+      Similarity.buildIvfIndex(post, "vec_id", "embedding", staleTbl,
+        staleCents)
+      val fired = Similarity.ivfAssignmentDrift(pre, post, "vec_id",
+        "embedding", staleCents).head.getDouble(0) >= 0.5
+      if (fired) {
+        // refreshed width matches the DRIFTED modality count (8 blocks):
+        // reclustering adapts the index to the new structure, it doesn't
+        // replay the stale geometry
+        val freshCents = Similarity.trainIvfCentroids(post, "vec_id",
+          "embedding", nCentroids = 8, lloydIters = 2)
+        val freshTbl = s"graft_ivf_fresh_$key"
+        Similarity.reclusterIvfIndex(s, staleTbl, freshTbl, freshCents)
+        (staleTbl, freshTbl, staleCents, freshCents, true)
+      } else (staleTbl, staleTbl, staleCents, staleCents, false)
+    })
+
   /** Per-sf-dir STREAMED IVF index: three embedding batch files staged
     * into a landing dir, each appended to the standing index by the
     * foreachBatch ingest loop under the frozen centroids. Rebuilt
@@ -2287,6 +2375,42 @@ object LlmQueries {
         minHits = 4, eps = 0.02)
     },
 
+    // Drift-triggered index MAINTENANCE (the acting half of the KS
+    // monitor): a planted distribution shift leaves the persisted IVF
+    // index routing the post-drift corpus with PRE-drift centroids —
+    // same-cluster neighbors scatter across stale cells and recall
+    // collapses below the floor. The assignment-confidence KS statistic
+    // fires (>= 0.5), centroids retrain on a bounded post-drift sample,
+    // and reclusterIvfIndex re-routes the standing catalog in one
+    // shuffle; serving from the refreshed index recovers the floor on
+    // the SAME queries. The gate pins all three verdicts per query:
+    // drift fired, stale serve fails the floor, refreshed serve meets it.
+    // eps = 0 (exact-threshold recall), deliberately: the planted
+    // clusters bunch all in-cluster cosines within ~0.02, so an epsilon
+    // slack would count EVERY stray in-cluster candidate as a hit and
+    // mask the stale index's candidate-set collapse (measured).
+    "ann_ivf_recluster" -> { (s, d) =>
+      val (staleTbl, freshTbl, staleCents, freshCents, fired) =
+        ivfDriftFor(s, d)
+      val (_, post) = driftFrames(s, d)
+      val brute = Similarity.bruteForceTopK(post, "vec_id", "embedding",
+        queryIds = _ < 10, k = 10)
+      val stale = Similarity.recallGate(
+        Similarity.ivfIndexServe(s, staleTbl, post, "vec_id", "embedding",
+          queryIds = _ < 10, k = 10, centroids = staleCents, nProbe = 4),
+        brute, minHits = 8, eps = 0.0)
+        .withColumnRenamed("recall_ok", "stale_ok")
+      val fresh = Similarity.recallGate(
+        Similarity.ivfIndexServe(s, freshTbl, post, "vec_id", "embedding",
+          queryIds = _ < 10, k = 10, centroids = freshCents, nProbe = 4),
+        brute, minHits = 8, eps = 0.0)
+        .withColumnRenamed("recall_ok", "fresh_ok")
+      stale.join(fresh, Seq("query_id"))
+        .select(col("query_id"), lit(fired).as("drift_fired"),
+          col("stale_ok"), col("fresh_ok"))
+        .orderBy(col("query_id"))
+    },
+
     // Streaming ANN ingest: the index is built ENTIRELY by the
     // foreachBatch append loop (three landed embedding batches, frozen
     // centroids) and then served — the continuous-crawl maintenance
@@ -4419,6 +4543,14 @@ object LlmQueries {
     // persisted-index serve: same verdict contract as the in-memory IVF
     "ann_ivf_index_serve" ->
       """SELECT vec_id AS query_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
+
+    // drift-maintenance verdicts: the planted shift must trip the KS
+    // monitor, the stale index must FAIL the recall floor on every
+    // post-drift query, and the reclustered index must meet it
+    "ann_ivf_recluster" ->
+      """SELECT vec_id AS query_id, true AS drift_fired,
+        | false AS stale_ok, true AS fresh_ok
         |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin,
 
     // streamed-ingest index: same verdict contract — the streamed index

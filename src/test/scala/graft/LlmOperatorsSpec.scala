@@ -499,6 +499,51 @@ class LlmOperatorsSpec extends AnyFunSuite with SparkSessionTestWrapper {
     (base ++ dups).toDF("vec_id", "embedding")
   }
 
+  test("ivfAssignmentDrift: ~0 on the training distribution, fires on a " +
+      "planted subspace shift") {
+    val vecs = plantedVectors
+    val cents = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+      nCentroids = 4, lloydIters = 2)
+    // same distribution both sides: confidences identical, KS exactly 0
+    val same = Similarity.ivfAssignmentDrift(vecs, vecs, "vec_id",
+      "embedding", cents).collect()(0).getDouble(0)
+    assert(same == 0.0)
+    // shifted: negate every vector — cosine to each centroid flips sign,
+    // so the whole confidence distribution moves and KS is large
+    val flipped = vecs.select(col("vec_id"),
+      transform(col("embedding"), x => -x).as("embedding"))
+    val moved = Similarity.ivfAssignmentDrift(vecs, flipped, "vec_id",
+      "embedding", cents).collect()(0).getDouble(0)
+    // isotropic Gaussians keep some confidence overlap after the flip
+    // (measured ks_d 0.6 here); the monitor threshold is 0.5
+    assert(moved >= 0.5, s"ks_d $moved")
+  }
+
+  test("reclusterIvfIndex: catalog re-routes under new centroids, rows " +
+      "and vectors intact, serve equals a fresh build") {
+    val vecs = plantedVectors
+    val stale = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+      nCentroids = 2, lloydIters = 2)
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      "graft_spec_reclu_old", stale, numBuckets = 4)
+    val fresh = Similarity.trainIvfCentroids(vecs, "vec_id", "embedding",
+      nCentroids = 4, lloydIters = 2)
+    Similarity.reclusterIvfIndex(spark, "graft_spec_reclu_old",
+      "graft_spec_reclu_new", fresh, numBuckets = 4)
+    val n0 = spark.table("graft_spec_reclu_old").count()
+    assert(spark.table("graft_spec_reclu_new").count() == n0)
+    // reclustered serve == serve from an index built directly with the
+    // fresh centroids (the blue/green cutover must be a pure re-route)
+    Similarity.buildIvfIndex(vecs, "vec_id", "embedding",
+      "graft_spec_reclu_direct", fresh, numBuckets = 4)
+    def serve(tbl: String) =
+      Similarity.ivfIndexServe(spark, tbl, vecs, "vec_id", "embedding",
+          queryIds = _ < 5, k = 3, centroids = fresh, nProbe = 2)
+        .collect().map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Long]("rank"))).toSet
+    assert(serve("graft_spec_reclu_new") == serve("graft_spec_reclu_direct"))
+  }
+
   test("bruteForceTopK: planted near-identical vector is rank-1 neighbor") {
     val top = Similarity.bruteForceTopK(plantedVectors, "vec_id", "embedding",
         queryIds = _ < 5, k = 3)
