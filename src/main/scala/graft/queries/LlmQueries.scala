@@ -303,7 +303,9 @@ object LlmQueries {
   private val stagedLandings =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def docBatchLandingFor(s: SparkSession, d: String, subdir: String,
-                                 docFilter: Column): (String, String) = {
+                                 docFilter: Column,
+                                 batchOf: Column => Column =
+                                   c => pmod(c, lit(3))): (String, String) = {
     val key = d.replaceAll("[^A-Za-z0-9.]", "_")
     val base = java.nio.file.Paths.get(s"/tmp/graft_stream/$key/$subdir")
     val landing = stagedLandings.computeIfAbsent(s"$d/$subdir", _ => {
@@ -313,7 +315,7 @@ object LlmQueries {
       val docs = t(s, d, "documents").filter(docFilter)
       for (i <- 0 until 3) {
         val stage = base.resolve(s".stage-$i")
-        docs.filter(col("doc_id") % 3 === i)
+        docs.filter(batchOf(col("doc_id")) === i)
           .coalesce(1).write.mode("overwrite").parquet(stage.toString)
         val part = stage.toFile.listFiles()
           .find(_.getName.endsWith(".parquet")).get
@@ -2992,6 +2994,47 @@ object LlmQueries {
         .orderBy(col("batch_id"))
     },
 
+    // COMPOSED streaming curation — the at-ingest monitors chained into
+    // ONE pipeline over the same micro-batches (decontam gate -> URL
+    // dedup vs standing index -> KS drift audit -> per-source admission
+    // caps), gated on the batch-composed replay: the r10 batch
+    // composition gate (pipeline_curate_v2) caught a bug its
+    // per-operator gates missed, so the streaming side gets the same
+    // treatment. URLs use a corpus-scaled generator (full doc id in the
+    // path), NOT messyUrl: that generator's canonical space is 150
+    // classes, which a 3-batch split exhausts by batch 1 and the
+    // pipeline degenerates (measured: zero survivors past batch 0 at
+    // sf0.1). Duplicate url keys are planted instead: doc_id%10==7 maps
+    // to the key 151 earlier (a CROSS-batch dup, exercising the
+    // standing index), doc_id%10==4 to the key 3 earlier (a WITHIN-batch
+    // dup, exercising the keep-first window).
+    "stream_curate" -> { (s, d) =>
+      val (landing, ckpt) = docBatchLandingFor(s, d, "curate",
+        col("doc_id") % 10 =!= 0)
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val ref = docs
+        .select(TextAnalysis.qualityScore(col("text")).as("q"))
+        .groupBy(col("q")).agg(count(lit(1)).as("c2"))
+      val urlOf: Column => Column = c => {
+        val k = when(c % 10 === 7 && c >= 151, c - 151)
+          .when(c % 10 === 4, c - 3).otherwise(c)
+        concat(
+          when(k % 3 === 0, lit("HTTP")).when(k % 3 === 1, lit("HTTPS"))
+            .otherwise(lit("hTtp")),
+          lit("://"),
+          when(k % 4 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("site"), (k % 5).cast("string"), lit(".Example.COM"),
+          when(k % 6 === 1, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), k.cast("string"),
+          when(k % 2 === 0, lit("/")).otherwise(lit("")),
+          when(k % 3 === 0, lit("?utm_source=rss")).otherwise(lit("")))
+      }
+      graft.streaming.EventStream.curateIngestApply(s, landing, bench, ref,
+          urlOf = urlOf, spanTokens = 8, capPerSource = 12, ckpt)
+        .orderBy(col("batch_id"), col("source"))
+    },
+
     // Round-10 operators composed the way a real curation run chains
     // them (the v2 of pipeline_curate_corpus): readability gate ->
     // blocklist scrub -> exact dedup (fingerprint keep-first) -> dense
@@ -5391,6 +5434,105 @@ object LlmQueries {
            |WHERE rn = 1""".stripMargin
       qualityCte + "\n" + (0 until 3).map(block).mkString("\nUNION ALL\n") +
         "\nORDER BY batch_id"
+    },
+
+    // composed-curation replay: contamination by direct 8-gram string
+    // overlap, url keep-first in (batch, doc_id) order (the standing
+    // index + within-batch window collapse to one global ROW_NUMBER),
+    // lifetime per-source caps as a global per-source ROW_NUMBER over
+    // survivors, and per-batch KS of the survivor quality grid vs the
+    // whole-corpus grid
+    "stream_curate" -> {
+      val ksBlock = (i: Int) =>
+        s"""SELECT batch_id, ks_d FROM (
+           | SELECT CAST($i AS BIGINT) AS batch_id,
+           |  ROUND(abs(f1 - f2), 6) AS ks_d,
+           |  ROW_NUMBER() OVER (ORDER BY abs(f1 - f2) DESC, q) AS rn
+           | FROM (
+           |  SELECT q,
+           |   SUM(c1) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |    / SUM(c1) OVER () AS f1,
+           |   SUM(c2) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+           |    / SUM(c2) OVER () AS f2
+           |  FROM (
+           |   SELECT s.q,
+           |    SUM(CASE WHEN sv.bid = $i THEN 1 ELSE 0 END) AS c1,
+           |    COUNT(*) AS c2
+           |   FROM s LEFT JOIN surv sv ON sv.doc_id = s.doc_id
+           |   GROUP BY s.q)))
+           |WHERE rn = 1""".stripMargin
+      s"""WITH n AS (
+         | SELECT doc_id, source, text,
+         |  regexp_replace(trim(text), '\\s+', ' ', 'g') AS t
+         | FROM documents),
+         |tk AS (SELECT doc_id, string_split(t, ' ') AS toks FROM n),
+         |w AS (
+         | SELECT DISTINCT doc_id,
+         |  array_to_string(list_slice(toks, i.i, i.i + 7), ' ') AS span
+         | FROM tk, generate_series(1, 460) i(i)
+         | WHERE i.i <= len(toks) - 7),
+         |bsp AS (SELECT DISTINCT span FROM w WHERE doc_id % 10 = 0),
+         |contam AS (
+         | SELECT DISTINCT doc_id FROM w
+         | WHERE doc_id % 10 <> 0 AND span IN (SELECT span FROM bsp)),
+         |arr AS (
+         | SELECT doc_id, source,
+         |  CAST(doc_id % 3 AS BIGINT) AS bid,
+         |  doc_id IN (SELECT doc_id FROM contam) AS is_contam,
+         |  (CASE WHEN kk % 3 = 1 THEN 'https' ELSE 'http' END)
+         |   || '://site' || CAST(kk % 5 AS VARCHAR) || '.example.com'
+         |   || '/docs/' || CAST(kk AS VARCHAR) AS canon_url
+         | FROM (
+         |  SELECT *, CASE WHEN doc_id % 10 = 7 AND doc_id >= 151
+         |     THEN doc_id - 151
+         |    WHEN doc_id % 10 = 4 THEN doc_id - 3
+         |    ELSE doc_id END AS kk
+         |  FROM documents WHERE doc_id % 10 <> 0)),
+         |urlr AS (
+         | SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY bid, doc_id)
+         |   AS rn_url
+         | FROM arr WHERE NOT is_contam),
+         |surv AS (
+         | SELECT a.doc_id, a.source, a.bid
+         | FROM arr a JOIN urlr u ON u.doc_id = a.doc_id
+         | WHERE u.rn_url = 1),
+         |adm AS (
+         | SELECT doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY bid, doc_id)
+         |   AS rn_src
+         | FROM surv),
+         |s AS (
+         | SELECT doc_id,
+         |  CASE WHEN length(text) = 0 THEN 0.0 ELSE
+         |   ROUND(
+         |    LEAST(1.0, (CASE WHEN length(t) = 0 THEN 0
+         |                ELSE length(t) - length(translate(t, ' ', '')) + 1 END) / 50.0)
+         |    * (1.0 - (length(text) - length(translate(text, '.,;:!?', ''))) / length(text))
+         |    * (1.0 - (length(text) - length(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', ''))) / length(text)),
+         |   4) END AS q
+         | FROM n),
+         |ksall AS (
+         |${(0 until 3).map(ksBlock).mkString("\nUNION ALL\n")}),
+         |f AS (
+         | SELECT a.bid AS batch_id, a.source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN a.is_contam THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_contaminated,
+         |  CAST(SUM(CASE WHEN NOT a.is_contam AND u.rn_url > 1
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_url_dup,
+         |  CAST(SUM(CASE WHEN ad.rn_src <= 12 THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_admitted,
+         |  CAST(COALESCE(SUM(CASE WHEN ad.rn_src <= 12 THEN a.doc_id END), 0)
+         |   AS BIGINT) AS admitted_id_sum
+         | FROM arr a
+         | LEFT JOIN urlr u ON u.doc_id = a.doc_id
+         | LEFT JOIN adm ad ON ad.doc_id = a.doc_id
+         | GROUP BY 1, 2)
+         |SELECT f.batch_id, f.source, f.n_docs, f.n_contaminated,
+         | f.n_url_dup, f.n_admitted, f.admitted_id_sum, k.ks_d
+         |FROM f JOIN ksall k ON k.batch_id = f.batch_id
+         |ORDER BY f.batch_id, f.source""".stripMargin
     },
 
     // the composed curation replay: readability gate, scrub counts,

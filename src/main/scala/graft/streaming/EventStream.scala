@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -1032,6 +1033,153 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
     results.sortBy(_._1).toSeq
       .toDF("batch_id", "n_docs", "n_contaminated", "contaminated_id_sum")
+  }
+
+  /** COMPOSED streaming curation at ingest — the at-ingest monitors
+    * chained into ONE pipeline over the same micro-batches, in the order
+    * a production door runs them (the streaming twin of the
+    * pipeline_curate_v2 composition gate, which caught a real
+    * composed-plan bug its per-operator gates missed):
+    *
+    *  1. DECONTAM GATE: docs sharing any exact `spanTokens`-gram with
+    *     the benchmark suite are quarantined (broadcast bench hashes,
+    *     map-only screen — [[graft.operators.Dedup.spanContaminated]]).
+    *  2. URL DEDUP vs STANDING STATE: each survivor's canonical URL is
+    *     checked against the append-only standing key index (all canon
+    *     urls first-seen in EARLIER batches) and against earlier docs of
+    *     its own batch (per-url keep-first window); survivors' new keys
+    *     append to the index — the same standing-index maintenance shape
+    *     as the BM25/IVF/MinHash ingest trio, O(batch) per update.
+    *  3. DRIFT KS: the post-screen batch's quality-score grid is
+    *     KS-tested against the full-corpus reference grid (bounded 4dp
+    *     grid, [[graft.operators.Profile.ksStatistic]]) — an audit
+    *     column, not a filter.
+    *  4. ADMISSION CAP per source: standing per-source admitted counts
+    *     (a #sources-sized driver map, the [[clusterRouteApply]] state
+    *     shape) admit each batch's survivors in doc_id order up to
+    *     `capPerSource` lifetime.
+    *
+    * `reference` must have columns (q, c2); `urlOf` derives the doc's
+    * messy URL column from its id. The standing URL index directory is
+    * wiped at start: this entry point REPLAYS a landing history from
+    * batch 0 (the gate shape); a restarting deployment would keep it
+    * alongside the checkpoint. Returns one audit row per (micro-batch,
+    * source) over batch ARRIVALS, in landing order: (batch_id, source,
+    * n_docs, n_contaminated, n_url_dup, n_admitted, admitted_id_sum,
+    * ks_d). */
+  def curateIngestApply(spark: SparkSession, landingDir: String,
+                        bench: DataFrame, reference: DataFrame,
+                        urlOf: Column => Column, spanTokens: Int,
+                        capPerSource: Int, checkpointDir: String): DataFrame = {
+    import spark.implicits._
+    val urlStateDir = checkpointDir + "_urlstate"
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(urlStateDir))
+    val used = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    var urlStateNonEmpty = false
+    val results = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long, Long, Long, Long, Double)]
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          val arrivals = batch.toDF()
+            .select(col("doc_id"), col("source"), col("text"))
+          // 1. contaminated ids (map-only vs broadcast bench hashes)
+          val contam = graft.operators.Dedup.spanContaminated(
+              arrivals, bench, "doc_id", "text", spanTokens)
+            .withColumn("is_contam", lit(true))
+          val flagged = arrivals.join(contam, Seq("doc_id"), "left_outer")
+            .withColumn("is_contam",
+              coalesce(col("is_contam"), lit(false)))
+          // 2. url dedup: standing index + within-batch keep-first
+          val canon = flagged.withColumn("canon_url",
+            graft.operators.UrlCuration.canonicalize(urlOf(col("doc_id"))))
+          val seen =
+            if (urlStateNonEmpty)
+              spark.read.parquet(urlStateDir)
+                .withColumn("seen", lit(true))
+            else spark.emptyDataFrame
+              .withColumn("canon_url", lit("")).withColumn("seen", lit(true))
+          // partition split on is_contam: a quarantined doc must not
+          // consume the keep-first slot of its canon url (row_number
+          // numbers every partition row even when the projection nulls
+          // it — measured off-by-one vs the batch replay at sf0.1)
+          val wUrl = Window.partitionBy(col("canon_url"), col("is_contam"))
+            .orderBy(col("doc_id"))
+          val marked = canon.join(seen, Seq("canon_url"), "left_outer")
+            .withColumn("rn_url",
+              when(col("is_contam"), lit(null))
+                .otherwise(row_number().over(wUrl)))
+            .withColumn("is_urldup", !col("is_contam") &&
+              (coalesce(col("seen"), lit(false)) || col("rn_url") > 1))
+            .persist()
+          marked.count() // pin: the admission window must see one frame
+          // 3. KS drift on the post-screen batch vs the corpus grid
+          val survivors = marked.filter(!col("is_contam") && !col("is_urldup"))
+          val grid = survivors
+            .select(graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+            .groupBy(col("q")).agg(count(lit(1)).as("c1"))
+          val u = reference.join(grid, Seq("q"), "full_outer")
+            .select(col("q"), coalesce(col("c1"), lit(0L)).as("c1"),
+              coalesce(col("c2"), lit(0L)).as("c2"))
+          val ksD = graft.operators.Profile.ksStatistic(u).head().getDouble(0)
+          // 4. per-source admission against the standing lifetime caps
+          val quota = used.synchronized {
+            spark.createDataFrame(
+              survivors.select(col("source")).distinct().collect()
+                .map(r => (r.getString(0),
+                  math.max(0L, capPerSource - used(r.getString(0))))).toSeq)
+              .toDF("source", "allowed")
+          }
+          val wSrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          val admitted = survivors
+            .withColumn("rn_src", row_number().over(wSrc))
+            .join(broadcast(quota), Seq("source"), "left_outer")
+            .withColumn("is_admitted",
+              col("rn_src") <= coalesce(col("allowed"), lit(0L)))
+          val audit = marked.select(col("doc_id"), col("source"),
+              col("is_contam"), col("is_urldup"))
+            .join(admitted.select(col("doc_id"),
+              col("is_admitted")), Seq("doc_id"), "left_outer")
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(when(col("is_contam"), 1L).otherwise(0L)).as("n_contam"),
+              sum(when(col("is_urldup"), 1L).otherwise(0L)).as("n_urldup"),
+              sum(when(coalesce(col("is_admitted"), lit(false)), 1L)
+                .otherwise(0L)).as("n_admitted"),
+              coalesce(sum(when(coalesce(col("is_admitted"), lit(false)),
+                col("doc_id"))), lit(0L)).as("id_sum"))
+            .collect()
+          // standing-state updates: new first-seen keys append to the
+          // index; per-source admitted counts bump the lifetime tally
+          marked.filter(col("rn_url") === 1)
+            .select(col("canon_url"))
+            .write.mode("append").parquet(urlStateDir)
+          urlStateNonEmpty = true
+          marked.unpersist()
+          results.synchronized {
+            used.synchronized {
+              audit.foreach { r =>
+                used(r.getString(0)) += r.getLong(4)
+                results += ((bid, r.getString(0), r.getLong(1), r.getLong(2),
+                  r.getLong(3), r.getLong(4), r.getLong(5), ksD))
+              }
+            }
+          }
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    results.sortBy(r => (r._1, r._2)).toSeq
+      .toDF("batch_id", "source", "n_docs", "n_contaminated", "n_url_dup",
+        "n_admitted", "admitted_id_sum", "ks_d")
   }
 
   /** Streaming CLUSTER-BALANCED admission control — the online form of
