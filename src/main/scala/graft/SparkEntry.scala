@@ -137,7 +137,9 @@ object SparkEntry {
     "emb_dim_stats", "emb_whitening", "conv_csv_sniff",
     // round-11: arbitrary-length substring dedup (suffix-array pass),
     // drift-triggered IVF recluster
-    "dedup_substring", "ann_ivf_recluster", "stream_curate")
+    "dedup_substring", "ann_ivf_recluster", "stream_curate",
+    // round-11 second batch: link-graph centrality
+    "graph_pagerank")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -3035,6 +3035,30 @@ object LlmQueries {
         .orderBy(col("batch_id"), col("source"))
     },
 
+    // Link-graph centrality, the web-graph quality signal crawl-scale
+    // curation attaches to documents (Graph.pageRankFixedPoint). Edges =
+    // the per-user page-transition graph mined from the event stream
+    // (lag over (ts, event_id) within each user; self-loops dropped);
+    // the operator takes the undirected closure. Ranks are BIGINT
+    // micro-units computed with integer div/mul only, so the result is
+    // bit-identical on any partitioning and the oracle replays all five
+    // iterations in integer SQL and hash-compares exactly — no float
+    // tolerance anywhere.
+    "graph_pagerank" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ev = t(s, d, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("page"))
+      val edges = ev
+        .select(lag(col("page"), 1).over(w).as("src"), col("page").as("dst"))
+        .where(col("src").isNotNull && col("src") =!= col("dst"))
+      graft.operators.Graph.pageRankFixedPoint(edges, "src", "dst",
+          iters = 5)
+        .orderBy(col("rank_fp").desc, col("node"))
+    },
+
     // Round-10 operators composed the way a real curation run chains
     // them (the v2 of pipeline_curate_corpus): readability gate ->
     // blocklist scrub -> exact dedup (fingerprint keep-first) -> dense
@@ -3098,9 +3122,51 @@ object LlmQueries {
 
   // the distributed-path probe must satisfy the SAME transitive-closure
   // oracle as the union-find path — identical labels is the contract
+  /** DuckDB replay of graph_pagerank: rebuild the transition edges, the
+    * undirected closure, and all five fixed-point iterations in BIGINT
+    * arithmetic (DuckDB `//` floor division == Spark's `div` on the
+    * nonnegative values here). The iterations are generated, not
+    * hand-unrolled, so the oracle provably applies the SAME recurrence
+    * five times. */
+  private val PageRankOracleSql: String = {
+    def iter(cur: String, prev: String): String =
+      s"""$cur AS (
+         |  SELECT u.dst AS node,
+         |         p.tele + (85 * SUM(r.rank_fp // g.outdeg)) // 100 AS rank_fp
+         |  FROM und u
+         |  JOIN deg g ON u.src = g.src
+         |  JOIN $prev r ON r.node = u.src
+         |  CROSS JOIN p
+         |  GROUP BY u.dst, p.tele)""".stripMargin
+    val its = (1 to 5)
+      .map(i => iter(s"i$i", if (i == 1) "r0" else s"i${i - 1}"))
+      .mkString(",\n")
+    s"""WITH ev AS (
+       |  SELECT user_id, ts, event_id,
+       |         CAST(json_extract_string(props, '$$.k') AS BIGINT) AS page
+       |  FROM events),
+       |tr AS (
+       |  SELECT lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+       |           AS src,
+       |         page AS dst
+       |  FROM ev),
+       |e0 AS (SELECT DISTINCT src, dst FROM tr
+       |       WHERE src IS NOT NULL AND src <> dst),
+       |und AS (SELECT src, dst FROM e0
+       |        UNION SELECT dst AS src, src AS dst FROM e0),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM und GROUP BY src),
+       |p AS (SELECT 1000000000000 // COUNT(*) AS r0,
+       |             (15 * (1000000000000 // COUNT(*))) // 100 AS tele
+       |      FROM deg),
+       |r0 AS (SELECT src AS node, p.r0 AS rank_fp FROM deg CROSS JOIN p),
+       |$its
+       |SELECT node, rank_fp FROM i5 ORDER BY rank_fp DESC, node""".stripMargin
+  }
+
   def oracles: Map[String, String] =
     baseOracles +
       ("dedup_clusters_dist" -> baseOracles("dedup_clusters")) +
+      ("graph_pagerank" -> PageRankOracleSql) +
       // the ensemble decision composes the three component oracles as
       // subqueries — each is individually gate-proven, so a mismatch
       // here isolates to the composition itself
