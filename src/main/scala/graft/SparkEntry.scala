@@ -138,8 +138,9 @@ object SparkEntry {
     // round-11: arbitrary-length substring dedup (suffix-array pass),
     // drift-triggered IVF recluster
     "dedup_substring", "ann_ivf_recluster", "stream_curate",
-    // round-11 second batch: link-graph centrality
-    "graph_pagerank")
+    // round-11 second batch: link-graph centrality, declarative
+    // data-quality expectations
+    "graph_pagerank", "profile_expectations")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -3035,6 +3035,38 @@ object LlmQueries {
         .orderBy(col("batch_id"), col("source"))
     },
 
+    // Declarative expectation suite over the TPC-H tables (the Deequ
+    // architecture: all row-local checks fold into ONE aggregate over ONE
+    // scan per table; uniqueness is one hash agg; referential integrity
+    // a broadcast/shuffled anti-join — see Expectations.scala). Two
+    // checks are deliberately tight so BOTH verdict polarities carry
+    // real counts: the 300k price ceiling (thousands of genuine
+    // violations) and the million-row floor on lineitem (exact
+    // shortfall). All metrics are BIGINT violation counts — hash-exact.
+    "profile_expectations" -> { (s, d) =>
+      import graft.operators.Expectations._
+      val orders = t(s, d, "orders")
+      val customer = t(s, d, "customer")
+      val lineitem = t(s, d, "lineitem")
+      check("orders", orders, Seq(
+          NotNull("o_orderkey"),
+          Unique(Seq("o_orderkey")),
+          InSet("o_orderstatus", Seq("O", "F", "P")),
+          InRange("o_totalprice", 0.0, 300000.0),
+          MatchesRegex("o_orderpriority", "^[1-5]-[A-Z ]+$"),
+          ForeignKey("o_custkey", customer, "c_custkey"),
+          RowCountAtLeast(1000)))
+        .unionAll(check("lineitem", lineitem, Seq(
+          Unique(Seq("l_orderkey", "l_linenumber")),
+          InRange("l_quantity", 1.0, 50.0),
+          InRange("l_discount", 0.0, 0.1),
+          // orders is fact-sized: take the shuffled anti-join leg
+          ForeignKey("l_orderkey", orders, "o_orderkey",
+            broadcastRef = false),
+          RowCountAtLeast(1000000))))
+        .orderBy(col("tbl"), col("check_name"))
+    },
+
     // Link-graph centrality, the web-graph quality signal crawl-scale
     // curation attaches to documents (Graph.pageRankFixedPoint). Edges =
     // the per-user page-transition graph mined from the event stream
@@ -3163,10 +3195,72 @@ object LlmQueries {
        |SELECT node, rank_fp FROM i5 ORDER BY rank_fp DESC, node""".stripMargin
   }
 
+  /** Each expectation's violation count recomputed as independent DuckDB
+    * SQL (FILTER counts, HAVING-based duplicate excess, NOT IN for the
+    * anti-joins), then the pass verdicts derived from the counts. */
+  private val ExpectationsOracleSql: String =
+    """WITH raw AS (
+      | SELECT 'orders' AS tbl, 'not_null(o_orderkey)' AS check_name,
+      |  CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+      |    AS violations FROM orders
+      | UNION ALL
+      | SELECT 'orders', 'unique(o_orderkey)',
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+      |  (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey
+      |   HAVING COUNT(*) > 1)
+      | UNION ALL
+      | SELECT 'orders', 'in_set(o_orderstatus)',
+      |  CAST(COUNT(*) FILTER (WHERE o_orderstatus IS NOT NULL
+      |    AND o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT) FROM orders
+      | UNION ALL
+      | SELECT 'orders', 'in_range(o_totalprice)',
+      |  CAST(COUNT(*) FILTER (WHERE o_totalprice IS NOT NULL
+      |    AND (o_totalprice < 0.0 OR o_totalprice > 300000.0)) AS BIGINT)
+      |  FROM orders
+      | UNION ALL
+      | SELECT 'orders', 'matches_regex(o_orderpriority)',
+      |  CAST(COUNT(*) FILTER (WHERE o_orderpriority IS NOT NULL
+      |    AND NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z ]+$'))
+      |    AS BIGINT) FROM orders
+      | UNION ALL
+      | SELECT 'orders', 'foreign_key(o_custkey->c_custkey)',
+      |  CAST(COUNT(*) AS BIGINT) FROM orders
+      |  WHERE o_custkey IS NOT NULL
+      |    AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+      | UNION ALL
+      | SELECT 'orders', 'row_count_at_least(1000)',
+      |  CAST(GREATEST(1000 - COUNT(*), 0) AS BIGINT) FROM orders
+      | UNION ALL
+      | SELECT 'lineitem', 'unique(l_orderkey,l_linenumber)',
+      |  CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+      |  (SELECT COUNT(*) AS c FROM lineitem
+      |   GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+      | UNION ALL
+      | SELECT 'lineitem', 'in_range(l_quantity)',
+      |  CAST(COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+      |    AND (l_quantity < 1.0 OR l_quantity > 50.0)) AS BIGINT)
+      |  FROM lineitem
+      | UNION ALL
+      | SELECT 'lineitem', 'in_range(l_discount)',
+      |  CAST(COUNT(*) FILTER (WHERE l_discount IS NOT NULL
+      |    AND (l_discount < 0.0 OR l_discount > 0.1)) AS BIGINT)
+      |  FROM lineitem
+      | UNION ALL
+      | SELECT 'lineitem', 'foreign_key(l_orderkey->o_orderkey)',
+      |  CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL
+      |    AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      | UNION ALL
+      | SELECT 'lineitem', 'row_count_at_least(1000000)',
+      |  CAST(GREATEST(1000000 - COUNT(*), 0) AS BIGINT) FROM lineitem)
+      |SELECT tbl, check_name, violations, violations = 0 AS passed
+      |FROM raw ORDER BY tbl, check_name""".stripMargin
+
   def oracles: Map[String, String] =
     baseOracles +
       ("dedup_clusters_dist" -> baseOracles("dedup_clusters")) +
       ("graph_pagerank" -> PageRankOracleSql) +
+      ("profile_expectations" -> ExpectationsOracleSql) +
       // the ensemble decision composes the three component oracles as
       // subqueries — each is individually gate-proven, so a mismatch
       // here isolates to the composition itself
