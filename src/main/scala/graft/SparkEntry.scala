@@ -140,7 +140,10 @@ object SparkEntry {
     "dedup_substring", "ann_ivf_recluster", "stream_curate",
     // round-11 second batch: link-graph centrality, declarative
     // data-quality expectations
-    "graph_pagerank", "profile_expectations")
+    "graph_pagerank", "profile_expectations",
+    // round-11 third batch: snapshot table format (commit log, time
+    // travel, manifest pruning)
+    "conv_table_timetravel", "conv_table_prune")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables._
-import graft.sinks.OrcSink
+import graft.sinks.{OrcSink, SnapshotTable}
 import graft.sources.{AvroSource, CsvSource, FixedWidthSource, JdbcFixture, JdbcSource, PgDumpFixture, PgDumpSource, SqlDumpFixture, SqlDumpSource, XmlSource}
 
 /** Converter round-trips under the correctness gate.
@@ -971,6 +971,59 @@ object ConverterQueries {
         .crossJoin(tight)
     },
 
+    // Snapshot-table commit protocol (sinks/SnapshotTable.scala): three
+    // commits — overwrite, append, overwrite — then every version read
+    // back through log replay. v0/v1/v2 aggregates must equal the
+    // oracle's direct predicates over the raw table, proving (a) append
+    // composes onto the prior file set, (b) overwrite RESETS it, and
+    // (c) earlier versions stay readable after later overwrites (time
+    // travel). The staged commits are a deterministic function of the
+    // immutable sf parquet, so stageOnce memoization is sound.
+    "conv_table_timetravel" -> { (s, d) =>
+      val base = tmp(d, "snaptbl")
+      stageOnce(base) {
+        val orders = t(s, d, "orders")
+        val cut = lit("1996-01-01").cast("timestamp")
+        SnapshotTable.commit(s, orders.filter(col("o_orderdate") < cut),
+          base, "overwrite")
+        SnapshotTable.commit(s, orders.filter(col("o_orderdate") >= cut),
+          base, "append")
+        SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 2 === 0),
+          base, "overwrite")
+      }
+      Seq(0L, 1L, 2L).map { v =>
+          SnapshotTable.read(s, base, Some(v))
+            .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+              dsumr(col("o_totalprice")).as("sum_price"))
+            .select(lit(v).as("version"), col("n"), col("sum_key"),
+              col("sum_price"))
+        }.reduce(_ unionAll _)
+        .orderBy(col("version"))
+    },
+
+    // Manifest min/max pruning on the snapshot table: orders committed
+    // range-clustered on o_orderkey with footer-harvested stats; a key
+    // slice then plans from the MANIFEST, dropping every file whose
+    // [min,max] can't overlap — before any filesystem listing or footer
+    // I/O. Values oracle-replayed from the raw table (correctness never
+    // depends on stats); the pinned verdicts prove pruning engaged
+    // (majority of the 8 range files skipped) on the same scan.
+    "conv_table_prune" -> { (s, d) =>
+      val base = tmp(d, "snapprune")
+      stageOnce(base) {
+        SnapshotTable.commit(s,
+          t(s, d, "orders").repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite", statsCols = Seq("o_orderkey", "o_totalprice"))
+      }
+      val (df, kept, total) =
+        SnapshotTable.scanPruned(s, base, "o_orderkey", 1000.0, 2500.0)
+      df.agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("files_total", lit(total.toLong))
+        .withColumn("pruned_majority", lit(kept * 2 <= total))
+        .withColumn("nonempty_kept", lit(kept >= 1))
+    },
+
     // Headline conversion-throughput probe: the biggest fixture table
     // through the full parquet->ORC->read-back path (the reference's
     // single-table export is the ~38k rows/s baseline to beat).
@@ -1302,6 +1355,39 @@ object ConverterQueries {
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem""".stripMargin,
+
+    // v0 = pre-cut overwrite, v1 = v0 + post-cut append (== all orders),
+    // v2 = even-key overwrite; each replayed directly from the raw table
+    "conv_table_timetravel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), COUNT(*),
+        | CAST(SUM(o_orderkey) AS BIGINT),
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        | CAST(SUM(o_orderkey) AS BIGINT),
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY version""".stripMargin,
+
+    // Values through the manifest-pruned scan; the pruning-engaged
+    // verdicts are computed Spark-side from manifest counts and pinned.
+    "conv_table_prune" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(8 AS BIGINT) AS files_total,
+        | TRUE AS pruned_majority,
+        | TRUE AS nonempty_kept
+        |FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey <= 2500""".stripMargin,
 
     // Values verified through the z-ordered layout; the layout-tightness
     // verdict is computed Spark-side from per-file statistics and pinned.
