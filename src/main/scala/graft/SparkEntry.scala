@@ -143,7 +143,9 @@ object SparkEntry {
     "graph_pagerank", "profile_expectations",
     // round-11 third batch: snapshot table format (commit log, time
     // travel, manifest pruning)
-    "conv_table_timetravel", "conv_table_prune")
+    "conv_table_timetravel", "conv_table_prune",
+    // round-11 fourth batch: pseudo-relevance-feedback retrieval
+    "retrieval_prf")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -111,6 +111,78 @@ object Retrieval {
     } finally cell.unpersist(blocking = false)
   }
 
+  /** Pseudo-relevance-feedback BM25 (Rocchio-style query expansion —
+    * public: Rocchio 1971; Robertson & Zaragoza 2009 §6): round 1 ranks
+    * with the original query; the top `fbDocs` documents are ASSUMED
+    * relevant; their terms are scored `tf-in-feedback × idf` and the top
+    * `fbTerms` new terms (original query terms excluded) join the query;
+    * round 2 re-ranks with the expanded query.
+    *
+    * Determinism contract: expansion scores round to 6 places and tie-
+    * break by term ascending, so the chosen expansion set — and hence
+    * the whole round-2 ranking — is reproducible across engines; the
+    * oracle replays both rounds AND the term selection in SQL.
+    *
+    * Scale shape: round 1 and round 2 are [[bm25TopK]] (one compact-cell
+    * corpus scan each). Term mining adds two more corpus token scans —
+    * feedback tf (tokens joined against the BROADCAST |Q|×fbDocs
+    * feedback set) and candidate df (tokens semi-joined against the
+    * broadcast candidate vocabulary) — all map-side joins with bounded
+    * aggregates; the only driver-side materialization is the |Q|×fbTerms
+    * expansion list. Two-pass is inherent to PRF, not an artifact. */
+  def bm25PrfTopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
+                  fbDocs: Int = 3, fbTerms: Int = 2,
+                  k1: Double = 1.2, b: Double = 0.75,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val round1 = bm25TopK(docs, queries, fbDocs, k1, b, idCol, textCol)
+    val fb = round1.select(col("query_id"), col(idCol)) // local, tiny
+    val tok = tokens(docs, idCol, textCol)
+
+    // per-(query, term) feedback tf: corpus tokens vs broadcast doc set
+    val cand = tok.join(broadcast(fb), idCol)
+      .groupBy(col("query_id"), col("term"))
+      .agg(count(lit(1)).as("ftf"))
+    val candTerms = cand.select(col("term")).distinct()
+    // corpus df for candidate terms only; n_docs matches bm25TopK's
+    // convention (docs with >= 1 token)
+    val cdf = tok.join(broadcast(candTerms), "term")
+      .select(col("term"), col(idCol)).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
+    val nDocs = tok.select(col(idCol)).distinct().count().toDouble
+
+    val qTerms = queries.toDF("query_id", "qtext")
+      .select(col("query_id").cast("long").as("query_id"),
+        explode(split(TextAnalysis.normText(lower(col("qtext"))), " "))
+          .as("term"))
+      .distinct()
+    val esc = cand
+      .join(broadcast(cdf), "term")
+      .join(broadcast(qTerms), Seq("query_id", "term"), "left_anti")
+      .withColumn("escore", round(col("ftf") *
+        log(lit(1.0) + (lit(nDocs) - col("df_t") + lit(0.5)) /
+          (col("df_t") + lit(0.5))), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("escore").desc, col("term"))
+    val expansion: Map[Long, Seq[String]] = esc
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= fbTerms)
+      .select(col("query_id"), col("term"), col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    val expanded = queries.map { case (i, q) =>
+      i -> (q + expansion.getOrElse(i.toLong, Seq.empty)
+        .map(" " + _).mkString)
+    }
+    bm25TopK(docs, expanded, k, k1, b, idCol, textCol)
+  }
+
   /** Persisted inverted index for [[bm25Serve]]: a production search
     * deployment builds the index ONCE (the only corpus scan) and serves
     * every query batch from it without touching the corpus again.

@@ -440,6 +440,54 @@ object LlmQueries {
        | FROM sc) WHERE rank <= $k)""".stripMargin
   }
 
+  /** Full two-round PRF replay: round 1 = the proven BM25 chain capped
+    * at `fbDocs`; expansion-term mining (feedback tf × idf, 6dp rounding,
+    * term-asc tie-break, original terms excluded via NOT EXISTS); round 2
+    * = the same BM25 arithmetic over the UNION of original and expansion
+    * terms. The oracle derives the expansion set itself — a Spark-side
+    * term-selection bug cannot hide behind a replayed list. */
+  private def prfOracleSql(k: Int, fbTerms: Int, fbDocs: Int): String =
+    s"""WITH ${bm25Ctes(fbDocs)},
+       |fb AS (SELECT query_id, doc_id FROM lex),
+       |cand AS (SELECT fb.query_id, tok.term, COUNT(*) AS ftf
+       |  FROM tok JOIN fb USING (doc_id) GROUP BY 1, 2),
+       |cdf AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM tok
+       |  WHERE term IN (SELECT DISTINCT term FROM cand) GROUP BY 1),
+       |esc AS (SELECT c.query_id, c.term,
+       |   ROUND(c.ftf * ln(1 + (st.n_docs - cdf.df_t + 0.5) /
+       |     (cdf.df_t + 0.5)), 6) AS escore
+       |  FROM cand c JOIN cdf USING (term), st
+       |  WHERE NOT EXISTS (SELECT 1 FROM qt
+       |    WHERE qt.query_id = c.query_id AND qt.term = c.term)),
+       |ex AS (SELECT query_id, term FROM (
+       |  SELECT query_id, term,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id
+       |     ORDER BY escore DESC, term) AS rn
+       |  FROM esc) WHERE rn <= $fbTerms),
+       |qt2 AS (SELECT query_id, term FROM qt
+       |        UNION SELECT query_id, term FROM ex),
+       |btf2 AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       |  WHERE term IN (SELECT DISTINCT term FROM qt2) GROUP BY 1, 2),
+       |dfq2 AS (SELECT term, COUNT(*) AS df_t FROM btf2 GROUP BY 1),
+       |sc2 AS (
+       | SELECT qt2.query_id, btf2.doc_id,
+       |  ROUND(CAST(SUM(CAST(ROUND(
+       |    ln(1 + (st.n_docs - dfq2.df_t + 0.5) / (dfq2.df_t + 0.5)) *
+       |    btf2.tf * (1.2 + 1) /
+       |    (btf2.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)),
+       |   6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+       | FROM btf2 JOIN qt2 USING (term) JOIN dfq2 USING (term)
+       |  JOIN dl USING (doc_id), st
+       | GROUP BY 1, 2),
+       |lex2 AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       |  rank, score FROM (
+       | SELECT query_id, doc_id,
+       |  ROW_NUMBER() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rank, score
+       | FROM sc2) WHERE rank <= $k)
+       |SELECT query_id, doc_id, rank, score FROM lex2
+       |ORDER BY query_id, rank""".stripMargin
+
   /** Unrolled greedy-MMR replay: one (m_i, s_i) CTE pair per step —
     * remaining candidates score lambda*rel - (1-lambda)*max-sim against
     * the selected-so-far union, round to 6dp, argmax with doc_id
@@ -1157,6 +1205,16 @@ object LlmQueries {
     // then decimal-sum so ranking is engine-identical.
     "text_bm25_topk" -> { (s, d) =>
       Retrieval.bm25TopK(t(s, d, "documents"), Retrieval.PinnedQueries, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // Pseudo-relevance-feedback expansion (Rocchio): top-3 feedback docs
+    // per pinned query mine 2 expansion terms (feedback-tf × idf, 6dp,
+    // term-asc ties), then BM25 re-ranks with the expanded query. The
+    // oracle replays BOTH rounds and the term selection itself.
+    "retrieval_prf" -> { (s, d) =>
+      Retrieval.bm25PrfTopK(t(s, d, "documents"), Retrieval.PinnedQueries,
+          k = 10, fbDocs = 3, fbTerms = 2)
         .orderBy(col("query_id"), col("rank"))
     },
 
@@ -4785,6 +4843,8 @@ object LlmQueries {
       s"""WITH ${bm25Ctes(10)}
          |SELECT query_id, doc_id, rank, score FROM lex
          |ORDER BY query_id, rank""".stripMargin,
+
+    "retrieval_prf" -> prfOracleSql(10, 2, 3),
 
     // Exact top-10 with the Misra-Gries exactness verdict pinned true
     // (k exceeds the vocabulary, so the summary must not have decremented).
