@@ -145,7 +145,10 @@ object SparkEntry {
     // travel, manifest pruning)
     "conv_table_timetravel", "conv_table_prune",
     // round-11 fourth batch: pseudo-relevance-feedback retrieval
-    "retrieval_prf")
+    "retrieval_prf",
+    // round-11 fifth batch: table maintenance (copy-on-write merge,
+    // change feed)
+    "conv_table_merge", "conv_table_changes")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -1024,6 +1024,65 @@ object ConverterQueries {
         .withColumn("nonempty_kept", lit(kept >= 1))
     },
 
+    // Copy-on-write MERGE on the snapshot table: double the price of a
+    // narrow key slice + insert far-out-of-range keys, in one atomic
+    // commit. The oracle replays the upsert relationally (CASE + UNION);
+    // the pinned verdicts prove the copy-on-write economics: the carried
+    // majority of files moved ZERO bytes (their manifest entries —
+    // path and size — are literally the v0 entries), because exact
+    // manifest-range stabbing rewrote only the files the update keys
+    // can touch (an insert at key 10M must NOT force a full rewrite the
+    // way a bounding-box check would).
+    "conv_table_merge" -> { (s, d) =>
+      val base = tmp(d, "snapmerge")
+      stageOnce(base) {
+        val orders = t(s, d, "orders")
+        SnapshotTable.commit(s,
+          orders.repartitionByRange(8, col("o_orderkey")), base,
+          "overwrite", statsCols = Seq("o_orderkey"))
+        val updates = orders
+          .filter(col("o_orderkey").between(1000, 2500))
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+          .unionByName(orders.filter(col("o_orderkey") < 10)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+        SnapshotTable.merge(s, base, updates, "o_orderkey",
+          statsCols = Seq("o_orderkey"))
+      }
+      val v0 = SnapshotTable.snapshotFiles(s, base, Some(0L)).map(_.path).toSet
+      val v1 = SnapshotTable.snapshotFiles(s, base, Some(1L))
+      val carried = v1.count(e => v0.contains(e.path))
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("carried_majority", lit(carried * 2 >= v0.size))
+        .withColumn("rewrote_some", lit(carried < v1.size))
+    },
+
+    // Append-only change feed between snapshot versions: each appended
+    // slice read back from ONLY the files its commit introduced (an
+    // incremental consumer never rescans the table). Oracle = the same
+    // residue slices straight off the raw table.
+    "conv_table_changes" -> { (s, d) =>
+      val base = tmp(d, "snapchanges")
+      stageOnce(base) {
+        val orders = t(s, d, "orders")
+        SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 0),
+          base, "overwrite")
+        SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 1),
+          base, "append")
+        SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 2),
+          base, "append")
+      }
+      Seq((0L, 1L), (1L, 2L)).map { case (f, v) =>
+          SnapshotTable.changesSince(s, base, f, Some(v))
+            .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+              dsumr(col("o_totalprice")).as("sum_price"))
+            .select(lit(v).as("version"), col("n"), col("sum_key"),
+              col("sum_price"))
+        }.reduce(_ unionAll _)
+        .orderBy(col("version"))
+    },
+
     // Headline conversion-throughput probe: the biggest fixture table
     // through the full parquet->ORC->read-back path (the reference's
     // single-table export is the ~38k rows/s baseline to beat).
@@ -1374,6 +1433,37 @@ object ConverterQueries {
         | CAST(SUM(o_orderkey) AS BIGINT),
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY version""".stripMargin,
+
+    // The upsert replayed relationally; copy-on-write verdicts pinned.
+    "conv_table_merge" ->
+      """WITH merged AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey BETWEEN 1000 AND 2500
+        |       THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        | FROM orders
+        | UNION ALL
+        | SELECT o_orderkey + 10000000, o_totalprice FROM orders
+        | WHERE o_orderkey < 10)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | TRUE AS carried_majority,
+        | TRUE AS rewrote_some
+        |FROM merged""".stripMargin,
+
+    "conv_table_changes" ->
+      """SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), COUNT(*),
+        | CAST(SUM(o_orderkey) AS BIGINT),
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |FROM orders WHERE o_orderkey % 3 = 2
         |ORDER BY version""".stripMargin,
 
     // Values through the manifest-pruned scan; the pruning-engaged

@@ -11,7 +11,7 @@ import org.apache.orc.{ColumnStatistics, DateColumnStatistics,
   DecimalColumnStatistics, DoubleColumnStatistics, IntegerColumnStatistics,
   OrcFile, StringColumnStatistics, TimestampColumnStatistics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{broadcast, col, lit}
 
 /** Versioned snapshot table over ORC — the transactional publishing layer
   * a 100 TB lake needs on top of the converter's raw part-file output
@@ -313,6 +313,109 @@ object SnapshotTable {
       else readFiles(spark, dir, kept)
     val df = base.where(col(column) >= lo && col(column) <= hi)
     (df, kept.size, files.size)
+  }
+
+  // ---- write-path maintenance: compact / merge / change feed -----------
+
+  final case class MergeReport(version: Long, filesRewritten: Int,
+                               filesCarried: Int)
+
+  /** Copy-on-write upsert (the Delta/Iceberg MERGE core): rows of
+    * `updates` REPLACE current rows with the same `keyCol`; unmatched
+    * update keys insert. Only data files whose manifest [min,max] on
+    * `keyCol` can contain an update key are rewritten — every other
+    * file's manifest entry is CARRIED into the new version untouched
+    * (zero I/O, byte-identical on disk). With a key-clustered table a
+    * point-ish merge rewrites O(matched files), not O(table): exactly
+    * the property that makes upserts feasible at 100 TB. Files lacking
+    * `keyCol` stats are conservatively rewritten. The swap is one
+    * overwrite commit, atomic like any other; the pre-merge version
+    * stays time-travel-readable. */
+  def merge(spark: SparkSession, dir: String, updates: DataFrame,
+            keyCol: String, statsCols: Seq[String] = Nil): MergeReport = {
+    val files = snapshotFiles(spark, dir)
+    // exact file stabbing, not a bounding box (a single inserted key far
+    // outside the table's range would otherwise force a full rewrite):
+    // update keys range-join the broadcast #files-row manifest ranges;
+    // the collect is bounded by #files
+    import spark.implicits._
+    val ranged = files.flatMap { e =>
+      e.stats.get(keyCol).collect {
+        case ColStats(Some(mn), Some(mx), _, _, _) => (e.path, mn, mx)
+      }
+    }
+    val statless = files.filterNot(e =>
+      ranged.exists(_._1 == e.path)).map(_.path).toSet
+    val stabbed: Set[String] =
+      if (ranged.isEmpty) Set.empty
+      else updates.select(col(keyCol).cast("double").as("_k")).distinct()
+        .join(broadcast(ranged.toDF("_path", "_mn", "_mx")),
+          col("_k") >= col("_mn") && col("_k") <= col("_mx"))
+        .select(col("_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val (touched, carried) = files.partition(e =>
+      stabbed.contains(e.path) || statless.contains(e.path))
+    // upsert = (touched rows minus updated keys) + all updates
+    val survivors =
+      if (touched.isEmpty) updates
+      else readFiles(spark, dir, touched)
+        .join(broadcast(updates.select(col(keyCol)).distinct()),
+          Seq(keyCol), "left_anti")
+        .unionByName(updates)
+    val f = fs(spark, dir)
+    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    val batchDir = new Path(new Path(dir, "data"), batch)
+    survivors.write.mode("overwrite").orc(batchDir.toString)
+    val parts = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val fresh = harvest(spark, parts, statsCols)
+      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    val v = publish(spark, dir, "overwrite", carried ++ fresh,
+      maxRetries = 20)
+    MergeReport(v, fresh.size, carried.size)
+  }
+
+  /** Bin-pack small files into ~`targetBytes` files as a new overwrite
+    * commit — the OPTIMIZE half of table maintenance (streaming ingest
+    * and point merges accrete small files; scan cost is per-file).
+    * Rewrites data only: the row set is unchanged, and the pre-compact
+    * version stays readable until vacuumed. `clusterBy` re-establishes
+    * range clustering (tight per-file [min,max]) so compaction preserves
+    * — or restores — manifest prunability instead of destroying it. */
+  def compact(spark: SparkSession, dir: String,
+              targetBytes: Long = 128L << 20,
+              clusterBy: Option[String] = None,
+              statsCols: Seq[String] = Nil): Long = {
+    val files = snapshotFiles(spark, dir)
+    val n = math.max(1,
+      math.ceil(files.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val df = readFiles(spark, dir, files)
+    val packed = clusterBy match {
+      case Some(c) => df.repartitionByRange(n, col(c))
+      case None => df.repartition(n)
+    }
+    commit(spark, packed, dir, "overwrite", statsCols)
+  }
+
+  /** Append-only change feed: the rows added by commits in
+    * (fromVersion, toVersion] — i.e. the files those commits introduced.
+    * Incremental consumers (downstream index ingest, CDC fan-out) read
+    * ONLY the new files, never the table. Rejects ranges crossing an
+    * overwrite commit: an overwrite replaces state wholesale, so "what
+    * changed" is not expressible as added files — callers re-read the
+    * snapshot instead. */
+  def changesSince(spark: SparkSession, dir: String, fromVersion: Long,
+                   toVersion: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    val to = toVersion.getOrElse(vs.last)
+    val span = vs.filter(v => v > fromVersion && v <= to)
+    require(span.nonEmpty, s"empty version span ($fromVersion, $to]")
+    val commits = span.map(readCommit(spark, dir, _))
+    require(commits.forall(_.action == "append"),
+      s"span ($fromVersion, $to] crosses an overwrite commit — " +
+        "re-read the snapshot instead")
+    readFiles(spark, dir, commits.flatMap(_.files))
   }
 
   // ---- maintenance -----------------------------------------------------

@@ -103,6 +103,82 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("merge: copy-on-write upsert rewrites only overlapping files, byte-identical carry") {
+    val dir = freshDir()
+    val data = (0L until 4000L).map(i => (i, i * 10)).toDF("id", "v")
+    SnapshotTable.commit(spark, data.repartitionByRange(8, col("id")), dir,
+      "overwrite", statsCols = Seq("id"))
+    val before = SnapshotTable.snapshotFiles(spark, dir)
+      .map(e => e.path -> e.bytes).toMap
+    // update a narrow key slice + insert brand-new keys
+    val updates = ((100L until 200L).map(i => (i, -1L)) ++
+      Seq((9000L, 1L), (9001L, 2L))).toDF("id", "v")
+    val r = SnapshotTable.merge(spark, dir, updates, "id",
+      statsCols = Seq("id"))
+    assert(r.filesCarried >= 6, s"carried ${r.filesCarried}")
+    // carried entries are the SAME files (path and bytes unchanged)
+    val after = SnapshotTable.snapshotFiles(spark, dir)
+    val carried = after.filter(e => before.contains(e.path))
+    assert(carried.size === r.filesCarried)
+    carried.foreach(e => assert(e.bytes === before(e.path)))
+    // content: updated slice replaced, inserts present, rest untouched
+    val m = SnapshotTable.read(spark, dir)
+    assert(m.count() === 4002)
+    assert(m.where(col("id").between(100, 199) && col("v") === -1L)
+      .count() === 100)
+    assert(m.where(col("id") >= 9000).count() === 2)
+    assert(m.where(col("id") === 50).select("v").head().getLong(0) === 500)
+    // pre-merge version still time-travels to the original content
+    assert(SnapshotTable.read(spark, dir, Some(0)).count() === 4000)
+  }
+
+  test("merge without stats conservatively rewrites everything, correctly") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 100), dir, "overwrite") // no stats
+    val r = SnapshotTable.merge(spark, dir,
+      Seq((5L, "X", 0.0)).toDF("id", "name", "v"), "id")
+    assert(r.filesCarried === 0)
+    val m = SnapshotTable.read(spark, dir)
+    assert(m.count() === 100)
+    assert(m.where(col("id") === 5).select("name").head().getString(0) === "X")
+  }
+
+  test("compact bin-packs, preserves rows, and restores prunability") {
+    val dir = freshDir()
+    val data = (0L until 4000L).map(i => (i, i % 13)).toDF("id", "g")
+    // 16 hash-scattered files: every file spans the whole key range
+    SnapshotTable.commit(spark, data.repartition(16), dir, "overwrite",
+      statsCols = Seq("id"))
+    assert(SnapshotTable.snapshotFiles(spark, dir).size === 16)
+    val v = SnapshotTable.compact(spark, dir, targetBytes = 1L << 20,
+      clusterBy = Some("id"), statsCols = Seq("id"))
+    val files = SnapshotTable.snapshotFiles(spark, dir)
+    assert(files.size < 16)
+    val c = SnapshotTable.read(spark, dir)
+    assert(c.count() === 4000)
+    assert(c.agg(sum(col("id"))).head().getLong(0) === (0L until 4000L).sum)
+    // clusterBy re-established tight ranges: a narrow slice prunes again
+    val (_, kept, total) = SnapshotTable.scanPruned(spark, dir, "id", 0.0, 10.0)
+    assert(kept === 1 || total === 1)
+    assert(SnapshotTable.read(spark, dir, Some(v - 1)).count() === 4000)
+  }
+
+  test("change feed returns exactly the appended rows; overwrite spans are rejected") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 100), dir, "overwrite")
+    SnapshotTable.commit(spark, df(100, 130), dir, "append")
+    SnapshotTable.commit(spark, df(130, 140), dir, "append")
+    val changes = SnapshotTable.changesSince(spark, dir, 0L)
+    assert(changes.count() === 40)
+    assert(changes.agg(min(col("id"))).head().getLong(0) === 100)
+    val one = SnapshotTable.changesSince(spark, dir, 1L, Some(2L))
+    assert(one.count() === 10)
+    SnapshotTable.commit(spark, df(0, 5), dir, "overwrite")
+    intercept[IllegalArgumentException] {
+      SnapshotTable.changesSince(spark, dir, 0L)
+    }
+  }
+
   test("files without stats for the pruning column are conservatively kept") {
     val dir = freshDir()
     SnapshotTable.commit(spark, df(0, 100), dir, "overwrite") // no stats
