@@ -148,7 +148,7 @@ object SparkEntry {
     "retrieval_prf",
     // round-11 fifth batch: table maintenance (copy-on-write merge,
     // change feed)
-    "conv_table_merge", "conv_table_changes")
+    "conv_table_merge", "conv_table_changes", "stream_table_ingest")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -3149,6 +3149,40 @@ object LlmQueries {
         .orderBy(col("rank_fp").desc, col("node"))
     },
 
+    // Streaming ingest into the versioned snapshot table: three document
+    // micro-batches land as three atomic append commits (txn-stamped),
+    // then the WHOLE ingest replays against a fresh checkpoint — the
+    // exactly-once verdict pins that the replay recognized its own
+    // commits and appended NOTHING (n_versions still 3). The change feed
+    // of the middle commit must equal the middle batch exactly; final
+    // table content is oracle-replayed from the raw documents table.
+    "stream_table_ingest" -> { (s, d) =>
+      import graft.sinks.SnapshotTable
+      val (landing, ckpt) = docBatchLandingFor(s, d, "table_ingest",
+        col("doc_id") % 10 =!= 0)
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val tableDir = s"/tmp/graft_stream/$key/table_ingest/table"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tableDir))
+      graft.streaming.EventStream.tableIngestApply(s, landing, tableDir,
+        ckpt, appId = "stream_table_ingest")
+      val vsFirst = SnapshotTable.versions(s, tableDir).size
+      val ckpt2 = ckpt + "_replay"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt2))
+      graft.streaming.EventStream.tableIngestApply(s, landing, tableDir,
+        ckpt2, appId = "stream_table_ingest")
+      val vsSecond = SnapshotTable.versions(s, tableDir).size
+      val changes = SnapshotTable.changesSince(s, tableDir, 1L, Some(2L))
+        .agg(count(lit(1)).as("changes_n"),
+          sum(col("doc_id")).as("changes_sum_id"))
+      SnapshotTable.read(s, tableDir)
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .crossJoin(changes)
+        .withColumn("n_versions", lit(vsFirst.toLong))
+        .withColumn("replay_noop", lit(vsSecond == vsFirst))
+    },
+
     // Round-10 operators composed the way a real curation run chains
     // them (the v2 of pipeline_curate_corpus): readability gate ->
     // blocklist scrub -> exact dedup (fingerprint keep-first) -> dense
@@ -3319,6 +3353,17 @@ object LlmQueries {
       ("dedup_clusters_dist" -> baseOracles("dedup_clusters")) +
       ("graph_pagerank" -> PageRankOracleSql) +
       ("profile_expectations" -> ExpectationsOracleSql) +
+      ("stream_table_ingest" ->
+        """WITH docs AS (SELECT * FROM documents WHERE doc_id % 10 <> 0)
+          |SELECT COUNT(*) AS n,
+          | CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+          | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+          | (SELECT COUNT(*) FROM docs WHERE doc_id % 3 = 2) AS changes_n,
+          | (SELECT CAST(SUM(doc_id) AS BIGINT) FROM docs
+          |   WHERE doc_id % 3 = 2) AS changes_sum_id,
+          | CAST(3 AS BIGINT) AS n_versions,
+          | TRUE AS replay_noop
+          |FROM docs""".stripMargin) +
       // the ensemble decision composes the three component oracles as
       // subqueries — each is individually gate-proven, so a mismatch
       // here isolates to the composition itself

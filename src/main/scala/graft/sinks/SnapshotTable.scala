@@ -66,7 +66,8 @@ object SnapshotTable {
                              stats: Map[String, ColStats])
 
   final case class Commit(version: Long, action: String,
-                          files: Seq[FileEntry])
+                          files: Seq[FileEntry],
+                          txn: Option[(String, Long)] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -97,11 +98,22 @@ object SnapshotTable {
 
   /** Write `df` as a new snapshot version. `mode` is "append" or
     * "overwrite". `statsCols`: top-level columns to harvest min/max for
-    * (pruning candidates). Returns the committed version number. */
+    * (pruning candidates). Returns the committed version number.
+    *
+    * `txn = Some((appId, seq))` makes the commit IDEMPOTENT per
+    * (appId, seq) — the Delta txnAppId/txnVersion pattern: if any
+    * committed version already carries the pair, the call is a no-op
+    * returning that version. This is what upgrades an at-least-once
+    * producer (a restarted streaming micro-batch, a retried job) to
+    * exactly-once VISIBILITY: the replayed attempt recognizes its own
+    * earlier commit instead of appending twice. */
   def commit(spark: SparkSession, df: DataFrame, dir: String, mode: String,
-             statsCols: Seq[String] = Nil, maxRetries: Int = 20): Long = {
+             statsCols: Seq[String] = Nil, maxRetries: Int = 20,
+             txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
+    txn.flatMap(t => committedTxn(spark, dir, t._1, t._2))
+      .foreach(v => return v)
     val f = fs(spark, dir)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(dir, "data"), batch)
@@ -111,7 +123,7 @@ object SnapshotTable {
       .map(_.getPath.toString)
     val entries = harvest(spark, parts, statsCols)
       .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
-    publish(spark, dir, mode, entries, maxRetries)
+    publish(spark, dir, mode, entries, maxRetries, txn)
   }
 
   /** Distributed footer harvest: one task per bounded bundle of files,
@@ -177,19 +189,30 @@ object SnapshotTable {
     }
   }
 
+  /** Latest committed version carrying (appId, seq), if any. */
+  private def committedTxn(spark: SparkSession, dir: String, appId: String,
+                           seq: Long): Option[Long] =
+    versions(spark, dir).reverse
+      .find(v => readCommit(spark, dir, v).txn.contains((appId, seq)))
+
   /** Atomic-rename publish with optimistic retry. */
   private def publish(spark: SparkSession, dir: String, mode: String,
-                      entries: Seq[FileEntry], maxRetries: Int): Long = {
+                      entries: Seq[FileEntry], maxRetries: Int,
+                      txn: Option[(String, Long)] = None): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     var attempt = 0
     while (attempt <= maxRetries) {
+      // losing a race re-checks the txn table: the winner may have been
+      // this producer's own earlier attempt
+      txn.flatMap(t => committedTxn(spark, dir, t._1, t._2))
+        .foreach(v => return v)
       val v = currentVersion(spark, dir).getOrElse(-1L) + 1
       val target = new Path(logDir(dir), f"v$v%020d.json")
       val tmp = new Path(logDir(dir),
         s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
       val out = f.create(tmp, false)
-      try out.write(commitJson(v, mode, entries).getBytes("UTF-8"))
+      try out.write(commitJson(v, mode, entries, txn).getBytes("UTF-8"))
       finally out.close()
       // rename-if-absent IS the commit: exactly one writer wins version v
       val won = !f.exists(target) && f.rename(tmp, target)
@@ -201,11 +224,15 @@ object SnapshotTable {
       s"snapshot commit to $dir lost ${maxRetries + 1} optimistic races")
   }
 
-  private def commitJson(v: Long, mode: String,
-                         entries: Seq[FileEntry]): String = {
+  private def commitJson(v: Long, mode: String, entries: Seq[FileEntry],
+                         txn: Option[(String, Long)]): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", mode)
+    txn.foreach { case (app, seq) =>
+      root.put("txnApp", app)
+      root.put("txnSeq", seq)
+    }
     val arr = root.putArray("files")
     entries.foreach { e =>
       val n = arr.addObject()
@@ -243,7 +270,10 @@ object SnapshotTable {
       FileEntry(fn.get("path").asText, fn.get("rows").asLong,
         fn.get("bytes").asLong, stats)
     }.toSeq
-    Commit(n.get("version").asLong, n.get("action").asText, files)
+    val txn =
+      if (n.has("txnApp")) Some((n.get("txnApp").asText, n.get("txnSeq").asLong))
+      else None
+    Commit(n.get("version").asLong, n.get("action").asText, files, txn)
   }
 
   private def readCommit(spark: SparkSession, dir: String, v: Long): Commit = {

@@ -903,6 +903,43 @@ object EventStream {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming ingest into the versioned snapshot table
+    * ([[graft.sinks.SnapshotTable]]): each micro-batch lands as ONE
+    * atomic append commit, so a concurrent reader sees whole batches or
+    * nothing — never a half-written micro-batch (the raw-ORC streaming
+    * sink cannot promise that; the reference's readers can observe
+    * partial exports, data_to_orc_converter.sh:245-252).
+    *
+    * Delivery contract: EXACTLY-ONCE table visibility, strictly stronger
+    * than the at-least-once index-ingest siblings. Each commit carries
+    * the (appId, batchId) txn pair, so when a crash between table-commit
+    * and checkpoint-commit replays a batch — or an operator restarts the
+    * whole stream with a fresh checkpoint — the re-attempt finds its own
+    * earlier commit in the log and no-ops instead of double-appending.
+    * Between batches, incremental consumers read the per-commit delta
+    * via [[graft.sinks.SnapshotTable.changesSince]] without rescanning
+    * the table. */
+  def tableIngestApply(spark: SparkSession, landingDir: String,
+                       tableDir: String, checkpointDir: String,
+                       appId: String,
+                       statsCols: Seq[String] = Seq("doc_id")): Unit = {
+    val stream = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(landingDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        if (!batch.isEmpty) {
+          graft.sinks.SnapshotTable.commit(spark, batch.toDF(), tableDir,
+            "append", statsCols = statsCols, txn = Some((appId, id)))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming NEAR-DUP index maintenance — the MinHash twin of
     * [[bm25IngestApply]]/[[ivfIngestApply]], completing the
     * standing-index trio (lexical BM25, vector IVF, near-dup MinHash):
