@@ -98,7 +98,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     "emb_whitening", "conv_csv_sniff",
     // r11: arbitrary-length substring dedup — equi-joins on the window
     // hash only, per-doc windows, no pair join anywhere
-    "dedup_substring")
+    "dedup_substring",
+    // r11 second wave: iterative PageRank (hash equi-joins per
+    // iteration, never nested-loop), the one-scan expectation suite,
+    // the snapshot-table gates (manifest-planned scans + final aggs),
+    // and PRF (eager two-round retrieval; its tiny result is local but
+    // constructing it audits both rounds' shapes for free)
+    "graph_pagerank", "profile_expectations", "conv_table_timetravel",
+    "conv_table_prune", "conv_table_merge", "conv_table_changes",
+    "retrieval_prf")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
