@@ -1176,6 +1176,57 @@ object ConverterQueries {
         .orderBy(col("s_nationkey"))
     },
 
+    // Watermark-incremental JDBC export into the snapshot table — the
+    // incremental sync a production deployment runs nightly instead of
+    // the reference's full re-export (sh:203-252 re-dumps every table
+    // every run). Three increments, each filtered AT THE DATABASE
+    // (Spark pushes the o_orderdate predicate into the JDBC scan) by a
+    // watermark derived FROM THE TARGET TABLE (max committed
+    // o_orderdate — the restart-safe pattern: no side state to lose),
+    // each landing as one txn-stamped atomic append. Then the WHOLE
+    // loop replays with the same txn ids: exactly-once visibility means
+    // zero new versions. Final content must equal the source table;
+    // the middle increment is additionally pinned via the change feed.
+    "conv_jdbc_incremental" -> { (s, d) =>
+      val conn = jvmStageOnce(s"jdbc_inc|$d") {
+        val base = tmp(d, "jdbc_inc") + "/" + java.util.UUID.randomUUID()
+        val c = JdbcSource.derby(s"$base/db")
+        JdbcFixture.loadTable(t(s, d, "orders"), c, "orders",
+          primaryKey = Some("o_orderkey"))
+        c
+      }
+      val tableDir = tmp(d, "jdbc_inc_table") + "/table"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tableDir))
+      val cuts = Seq("1994-01-01", "1996-01-01", "9999-12-31")
+      def ingestOnce(): Unit =
+        for ((cut, i) <- cuts.zipWithIndex) {
+          val wm =
+            if (SnapshotTable.versions(s, tableDir).isEmpty) None
+            else Option(SnapshotTable.read(s, tableDir)
+              .agg(max(col("o_orderdate"))).head().getTimestamp(0))
+          val slice = JdbcSource.read(s, conn, "orders")
+            .filter(col("o_orderdate") < lit(cut).cast("timestamp") &&
+              wm.map(col("o_orderdate") > lit(_)).getOrElse(lit(true)))
+          SnapshotTable.commit(s, slice, tableDir, "append",
+            statsCols = Seq("o_orderkey"),
+            txn = Some(("conv_jdbc_incremental", i.toLong)))
+        }
+      ingestOnce()
+      val vsFirst = SnapshotTable.versions(s, tableDir).size
+      ingestOnce() // replay: every commit must recognize its txn stamp
+      val vsSecond = SnapshotTable.versions(s, tableDir).size
+      val changes = SnapshotTable.changesSince(s, tableDir, 0L, Some(1L))
+        .agg(count(lit(1)).as("changes_n"),
+          sum(col("o_orderkey")).as("changes_sum_key"))
+      SnapshotTable.read(s, tableDir)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .crossJoin(changes)
+        .withColumn("n_versions", lit(vsFirst.toLong))
+        .withColumn("replay_noop", lit(vsSecond == vsFirst))
+    },
+
     // ORC sink contract (reference K1/K4/K5 + README.md:189): chunked
     // write under zlib at the reference's own 50k-row chunk default
     // (sh:192), directory read-back merges parts losslessly. (The
@@ -1434,6 +1485,24 @@ object ConverterQueries {
         | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
         |FROM orders WHERE o_orderkey % 2 = 0
         |ORDER BY version""".stripMargin,
+
+    // Full-table content after three watermark increments == the raw
+    // table; the middle increment pinned by its date window; the
+    // exactly-once replay verdicts pinned.
+    "conv_jdbc_incremental" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        |     AND o_orderdate < TIMESTAMP '1996-01-01') AS changes_n,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1994-01-01'
+        |     AND o_orderdate < TIMESTAMP '1996-01-01') AS changes_sum_key,
+        | CAST(3 AS BIGINT) AS n_versions,
+        | TRUE AS replay_noop
+        |FROM orders""".stripMargin,
 
     // The upsert replayed relationally; copy-on-write verdicts pinned.
     "conv_table_merge" ->

@@ -1002,6 +1002,27 @@ object LlmQueries {
           max(col("sz")).as("max_group_size"))
     },
 
+    // Distinct l-diversity audit (Machanavajjhala et al. 2007 — the
+    // follow-up to k-anonymity the privacy literature standardized on:
+    // a group can be k-large yet expose everyone if all members share
+    // one sensitive value). Same QI grouping as profile_k_anon;
+    // sensitive attribute = the account-balance thousand-bucket. All
+    // outputs exact BIGINTs over one hash aggregation — same scale
+    // shape as the k-anon audit.
+    "profile_l_diversity" -> { (s, d) =>
+      val l = 3L
+      val sens = floor(col("c_acctbal") / 1000).cast("long")
+      t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(sens).as("n_sens"), count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n_sens") < l, 1L).otherwise(0L)).as("n_nondiverse"),
+          sum(when(col("n_sens") < l, col("sz")).otherwise(0L))
+            .as("n_exposed_rows"),
+          min(col("n_sens")).as("min_diversity"),
+          max(col("n_sens")).as("max_diversity"))
+    },
+
     // Gopher line-repetition rules (Rae et al. 2021 Table A1, shared by
     // MassiveText/RefinedWeb/FineWeb): duplicate-line and
     // duplicate-line-CHARACTER fractions, ellipsis-line and bullet-line
@@ -3849,6 +3870,21 @@ object LlmQueries {
         | CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT) AS n_exposed_rows,
         | CAST(MIN(sz) AS BIGINT) AS min_group_size,
         | CAST(MAX(sz) AS BIGINT) AS max_group_size
+        |FROM g""".stripMargin,
+
+    "profile_l_diversity" ->
+      """WITH g AS (
+        | SELECT c_nationkey, c_mktsegment,
+        |  COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS n_sens,
+        |  COUNT(*) AS sz
+        | FROM customer GROUP BY c_nationkey, c_mktsegment)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+        | CAST(SUM(CASE WHEN n_sens < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_nondiverse,
+        | CAST(SUM(CASE WHEN n_sens < 3 THEN sz ELSE 0 END) AS BIGINT)
+        |   AS n_exposed_rows,
+        | CAST(MIN(n_sens) AS BIGINT) AS min_diversity,
+        | CAST(MAX(n_sens) AS BIGINT) AS max_diversity
         |FROM g""".stripMargin,
 
     "pipeline_cap_per_domain" ->
