@@ -26,9 +26,24 @@ def norm_cell(v):
 def key(row):
     return tuple(str(c) for c in row)
 
-def compare(name, spark_rows, oracle_rows, spark_cols, oracle_cols):
+def norm_type(t):
+    # benign cross-engine spellings collapse; HUGEINT does NOT collapse to
+    # BIGINT on purpose — the driver hash is dtype-sensitive (round-11
+    # graph_pagerank red was DuckDB SUM->HUGEINT vs Spark BIGINT with
+    # identical values), so an oracle must CAST its derived columns.
+    s = str(t).upper()
+    return {"TIMESTAMP WITH TIME ZONE": "TIMESTAMP"}.get(s, s)
+
+def compare(name, spark_rows, oracle_rows, spark_cols, oracle_cols,
+            spark_types, oracle_types):
     if sorted(spark_cols) != sorted(oracle_cols):
         return f"SCHEMA cols differ: spark={sorted(spark_cols)} oracle={sorted(oracle_cols)}"
+    st = {c: norm_type(t) for c, t in zip(spark_cols, spark_types)}
+    ot = {c: norm_type(t) for c, t in zip(oracle_cols, oracle_types)}
+    bad = [c for c in spark_cols if st[c] != ot[c]]
+    if bad:
+        return ("TYPE mismatch: " +
+                ", ".join(f"{c}: spark={st[c]} oracle={ot[c]}" for c in bad))
     if len(spark_rows) != len(oracle_rows):
         return f"ROWS differ: spark={len(spark_rows)} oracle={len(oracle_rows)}"
     # re-order columns by sorted name
@@ -50,9 +65,14 @@ def main():
     oracle_sql = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle_sql.items()):
+        import os
+        if not os.path.isdir(f"{out_dir}/{name}"):
+            n_skip += 1  # partial SPARK_GRAFT_VERIFY_ONLY run
+            continue
         try:
             sp = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
             spark_cols, spark_rows = sp.columns, sp.fetchall()
+            spark_types = sp.types
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
             n_fail += 1
@@ -60,11 +80,13 @@ def main():
         try:
             orc = con.sql(sql)
             oracle_cols, oracle_rows = orc.columns, orc.fetchall()
+            oracle_types = orc.types
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        err = compare(name, spark_rows, oracle_rows, spark_cols, oracle_cols)
+        err = compare(name, spark_rows, oracle_rows, spark_cols, oracle_cols,
+                      spark_types, oracle_types)
         if err:
             print(f"FAIL {name}: {err}")
             n_fail += 1

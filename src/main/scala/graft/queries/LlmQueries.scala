@@ -3086,7 +3086,12 @@ object LlmQueries {
     // sf0.1). Duplicate url keys are planted instead: doc_id%10==7 maps
     // to the key 151 earlier (a CROSS-batch dup, exercising the
     // standing index), doc_id%10==4 to the key 3 earlier (a WITHIN-batch
-    // dup, exercising the keep-first window).
+    // dup, exercising the keep-first window), and doc_id%10==1 (>=305)
+    // to the key 305 earlier — 151%3=1 and 305%3=2, so every key
+    // k%10==6 recurs in THREE distinct micro-batches: the 3rd+
+    // occurrence is what catches a state index that re-appends
+    // already-seen keys (the r11 ADVICE fanout bug was invisible while
+    // every url capped at 2 occurrences).
     "stream_curate" -> { (s, d) =>
       val (landing, ckpt) = docBatchLandingFor(s, d, "curate",
         col("doc_id") % 10 =!= 0)
@@ -3097,7 +3102,9 @@ object LlmQueries {
         .groupBy(col("q")).agg(count(lit(1)).as("c2"))
       val urlOf: Column => Column = c => {
         val k = when(c % 10 === 7 && c >= 151, c - 151)
-          .when(c % 10 === 4, c - 3).otherwise(c)
+          .when(c % 10 === 4, c - 3)
+          .when(c % 10 === 1 && c >= 305, c - 305)
+          .otherwise(c)
         concat(
           when(k % 3 === 0, lit("HTTP")).when(k % 3 === 1, lit("HTTPS"))
             .otherwise(lit("hTtp")),
@@ -3305,7 +3312,8 @@ object LlmQueries {
        |      FROM deg),
        |r0 AS (SELECT src AS node, p.r0 AS rank_fp FROM deg CROSS JOIN p),
        |$its
-       |SELECT node, rank_fp FROM i5 ORDER BY rank_fp DESC, node""".stripMargin
+       |SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp
+       |FROM i5 ORDER BY rank_fp DESC, node""".stripMargin
   }
 
   /** Each expectation's violation count recomputed as independent DuckDB
@@ -5787,6 +5795,7 @@ object LlmQueries {
          |  SELECT *, CASE WHEN doc_id % 10 = 7 AND doc_id >= 151
          |     THEN doc_id - 151
          |    WHEN doc_id % 10 = 4 THEN doc_id - 3
+         |    WHEN doc_id % 10 = 1 AND doc_id >= 305 THEN doc_id - 305
          |    ELSE doc_id END AS kk
          |  FROM documents WHERE doc_id % 10 <> 0)),
          |urlr AS (

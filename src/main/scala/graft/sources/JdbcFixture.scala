@@ -67,7 +67,11 @@ object JdbcFixture {
     case DoubleType | FloatType => "DOUBLE"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
     case DateType => "DATE"
-    case TimestampType => "TIMESTAMP"
+    // TIMESTAMP on the wire is tz-less in Derby/MySQL; both Spark flavors
+    // (instant TimestampType and wall-clock TimestampNTZType) serialize to
+    // it — Spark 4 infers NTZ from parquet when isAdjustedToUTC=false, so
+    // fixture tables loaded from parquet routinely carry NTZ columns.
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
     case BooleanType => "BOOLEAN"
     case BinaryType => "BLOB"
     case StringType => "VARCHAR(1024)"
@@ -84,7 +88,7 @@ object JdbcFixture {
     case DoubleType | FloatType => java.sql.Types.DOUBLE
     case _: DecimalType => java.sql.Types.DECIMAL
     case DateType => java.sql.Types.DATE
-    case TimestampType => java.sql.Types.TIMESTAMP
+    case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
     case BooleanType => java.sql.Types.BOOLEAN
     case BinaryType => java.sql.Types.BLOB
     case _ => java.sql.Types.VARCHAR
@@ -102,6 +106,8 @@ object JdbcFixture {
       case (_: DecimalType, x: java.math.BigDecimal) => st.setBigDecimal(idx, x)
       case (DateType, x: java.sql.Date) => st.setDate(idx, x)
       case (TimestampType, x: java.sql.Timestamp) => st.setTimestamp(idx, x)
+      case (TimestampNTZType, x: java.time.LocalDateTime) =>
+        st.setTimestamp(idx, java.sql.Timestamp.valueOf(x))
       case (BooleanType, x: Boolean) => st.setBoolean(idx, x)
       case (BinaryType, x: Array[Byte]) => st.setBytes(idx, x)
       case (StringType, x: String) => st.setString(idx, x)

@@ -53,7 +53,11 @@ object JdbcSource {
       schemaPattern: Option[String] = None,
       quoteChar: Char = '`',
       chunkSize: Int = 50000, // reference default, sh:192
-      numPartitions: Int = 8)
+      numPartitions: Int = 8,
+      // TIMESTAMP is tz-less on the wire; true restores TimestampNTZType
+      // on read-back (Spark 4 parquet-inferred NTZ fixtures stay
+      // type-stable through a load/read round trip).
+      preferTimestampNTZ: Boolean = false)
 
   final case class MySqlConfig(
       host: String,
@@ -184,6 +188,7 @@ object JdbcSource {
       .option("url", conn.url)
       .option("dbtable", quoteIdent(conn, table))
       .option("fetchsize", conn.chunkSize)
+      .option("preferTimestampNTZ", conn.preferTimestampNTZ)
     val withAuth =
       if (conn.user.nonEmpty) base.option("user", conn.user).option("password", conn.password)
       else base

@@ -1194,8 +1194,13 @@ object EventStream {
                 col("doc_id"))), lit(0L)).as("id_sum"))
             .collect()
           // standing-state updates: new first-seen keys append to the
-          // index; per-source admitted counts bump the lifetime tally
-          marked.filter(col("rn_url") === 1)
+          // index; per-source admitted counts bump the lifetime tally.
+          // UNSEEN keys only — a cross-batch dup has rn_url==1 within its
+          // own batch, and appending it again would leave duplicate keys
+          // in the state, fanning out the left_outer join for every later
+          // batch that carries the same url a 3rd+ time.
+          marked.filter(col("rn_url") === 1 &&
+              !coalesce(col("seen"), lit(false)))
             .select(col("canon_url"))
             .write.mode("append").parquet(urlStateDir)
           urlStateNonEmpty = true
