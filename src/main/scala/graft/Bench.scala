@@ -49,6 +49,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bench mode marker: streaming probes whose gate fixture exists to
+    // exercise cross-batch laws switch to ONE deployment-sized batch here
+    // (the timed subject is the operator, not checkpoint bookkeeping)
+    System.setProperty("graft.bench", "1")
 
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -259,6 +259,106 @@ object Cli {
         inputs.map(f => CsvSource.baseName(f) -> (() => AvroSource.read(spark, f))),
         jobConfig(outDir, compression)))
 
+    // Snapshot-table maintenance surface (beyond-reference): the
+    // versioned publishing layer (sinks.SnapshotTable — atomic commits,
+    // time travel, copy-on-write merge, compaction, vacuum, change feed)
+    // reached through the same argv contract as the conversion legs. A
+    // real deployment's table operator lives in the CLI, not the library.
+    case "table" :: op :: tableArgs =>
+      import graft.sinks.SnapshotTable
+      def rep(name: String, rows: Long, files: Int) =
+        Some(JobReport(Seq(ConversionJob.TableResult(name, success = true,
+          rows = rows, files = files, attempts = 1, error = None))))
+      def name(dir: String) = new org.apache.hadoop.fs.Path(dir).getName
+      (op, tableArgs) match {
+        // commit <table_dir> <input_orc> <append|overwrite> [stats_cols]
+        case ("commit", tableDir :: input :: mode :: rest) if rest.length <= 1 =>
+          val statsCols = rest.headOption.map(_.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+          val df = graft.sinks.OrcSink.read(spark, input)
+          val v = SnapshotTable.commit(spark, df, tableDir, mode, statsCols)
+          val (_, files, rows) = SnapshotTable.commitStats(spark, tableDir, v)
+          rep(s"${name(tableDir)}@v$v", rows, files)
+        // read <table_dir> <output_dir> [version] [compression=snappy]
+        case ("read", tableDir :: outDir :: rest) if rest.length <= 2 =>
+          val version = rest.headOption.filter(_ != "latest").map(_.toLong)
+          val compression = rest.lift(1).getOrElse("snappy")
+          Some(ConversionJob.run(
+            Seq(name(tableDir) ->
+              (() => SnapshotTable.read(spark, tableDir, version))),
+            jobConfig(outDir, compression)))
+        // merge <table_dir> <updates_orc> <key_col> [stats_cols]
+        case ("merge", tableDir :: updates :: keyCol :: rest) if rest.length <= 1 =>
+          val statsCols = rest.headOption.map(_.split(',').map(_.trim)
+            .filter(_.nonEmpty).toSeq).getOrElse(Seq(keyCol))
+          val r = SnapshotTable.merge(spark,
+            tableDir, graft.sinks.OrcSink.read(spark, updates), keyCol,
+            statsCols)
+          val (_, files, rows) = SnapshotTable.commitStats(spark, tableDir,
+            r.version)
+          rep(s"${name(tableDir)}@v${r.version} rewrote=${r.filesRewritten} " +
+            s"carried=${r.filesCarried}", rows, files)
+        // compact <table_dir> [target_mb=128] [cluster_by]
+        case ("compact", tableDir :: rest) if rest.length <= 2 =>
+          val targetBytes = rest.headOption.map(_.toLong << 20)
+            .getOrElse(128L << 20)
+          val v = SnapshotTable.compact(spark, tableDir, targetBytes,
+            clusterBy = rest.lift(1))
+          val (_, files, rows) = SnapshotTable.commitStats(spark, tableDir, v)
+          rep(s"${name(tableDir)}@v$v", rows, files)
+        // delete <table_dir> <key_col> <lo> <hi>
+        case ("delete", tableDir :: keyCol :: lo :: hi :: Nil) =>
+          val r = SnapshotTable.delete(spark, tableDir, keyCol,
+            lo.toDouble, hi.toDouble)
+          rep(s"${name(tableDir)}@v${r.version} deleted=${r.rowsDeleted} " +
+            s"rewrote=${r.filesRewritten} carried=${r.filesCarried}",
+            r.rowsDeleted, r.filesRewritten)
+        // cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold]
+        case ("cluster", tableDir :: zColsCsv :: rest) if rest.length <= 2 =>
+          val zCols = zColsCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val r = SnapshotTable.cluster(spark, tableDir, zCols,
+            numFiles = rest.headOption.map(_.toInt).getOrElse(0),
+            volumeThreshold = rest.lift(1).map(_.toDouble).getOrElse(0.5))
+          val (_, files, rows) = SnapshotTable.commitStats(spark, tableDir,
+            r.version)
+          rep(s"${name(tableDir)}@v${r.version} rewrote=${r.filesRewritten} " +
+            s"carried=${r.filesCarried}", rows, files)
+        // vacuum <table_dir> [retention_hours=168]
+        case ("vacuum", tableDir :: rest) if rest.length <= 1 =>
+          val retentionMs = rest.headOption.map(_.toLong * 3600 * 1000)
+            .getOrElse(7L * 24 * 3600 * 1000)
+          val deleted = SnapshotTable.vacuum(spark, tableDir, retentionMs)
+          rep(s"${name(tableDir)} vacuum", deleted.size.toLong, deleted.size)
+        // changes <table_dir> <from_version> <output_dir> [to_version]
+        case ("changes", tableDir :: from :: outDir :: rest) if rest.length <= 1 =>
+          val df = SnapshotTable.changesSince(spark, tableDir, from.toLong,
+            rest.headOption.map(_.toLong))
+          Some(ConversionJob.run(
+            Seq(s"${name(tableDir)}_changes" -> (() => df)),
+            jobConfig(outDir, "snappy")))
+        // versions <table_dir> — log listing, no data read
+        case ("versions", tableDir :: Nil) =>
+          val vs = SnapshotTable.versions(spark, tableDir)
+          vs.foreach { v =>
+            val (action, files, rows) = SnapshotTable.commitStats(spark, tableDir, v)
+            println(s"v$v $action files=$files rows=$rows")
+          }
+          rep(s"${name(tableDir)} versions", vs.size.toLong, vs.size)
+        case _ =>
+          System.err.println(
+            """usage: table <op> ...
+              |  table commit  <table_dir> <input_orc> <append|overwrite> [stats_cols]
+              |  table read    <table_dir> <output_dir> [version|latest] [compression=snappy]
+              |  table merge   <table_dir> <updates_orc> <key_col> [stats_cols]
+              |  table delete  <table_dir> <key_col> <lo> <hi>
+              |  table compact <table_dir> [target_mb=128] [cluster_by]
+              |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
+              |  table vacuum  <table_dir> [retention_hours=168]
+              |  table changes <table_dir> <from_version> <output_dir> [to_version]
+              |  table versions <table_dir>""".stripMargin)
+          None
+      }
+
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
@@ -339,7 +439,10 @@ object Cli {
           |  jsonl <json_path> <output_dir> [compression=snappy]
           |  fixedwidth <path> <output_dir> <name:width:type,...> [compression=snappy]
           |  parquet <parquet_path> <output_dir> [compression=snappy]
-          |  avro  <avro_path> <output_dir> [compression=snappy]""".stripMargin)
+          |  avro  <avro_path> <output_dir> [compression=snappy]
+          |  table <commit|read|merge|delete|compact|cluster|vacuum|changes|versions> ...
+          |        (versioned snapshot-table maintenance; `table` alone
+          |         prints the per-op argument contract)""".stripMargin)
       None
     }
   }

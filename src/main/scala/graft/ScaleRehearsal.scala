@@ -335,6 +335,26 @@ object ScaleRehearsal {
       "dedup_substring" -> (() =>
         Dedup.duplicateSubstrings(t(spark, d, "documents"), "doc_id", "text",
           minTokens = 8).agg(sum(col("n_tokens"))).head().getLong(0)),
+      // round-12: snapshot-table ingest + copy-on-write merge. The commit
+      // is one parallel ORC write over 32 range partitions; the merge's
+      // update set is a FIXED narrow key slab, so manifest stabbing must
+      // confine the rewrite to ~1/32 of the files at every sf — the pair
+      // scales like the linear write probes, never like a table rewrite.
+      // Checksum = post-merge row count (updates only match, no inserts).
+      "table_commit_merge" -> (() => {
+        val dir = s"/tmp/graft_scale/${d.replaceAll("[^A-Za-z0-9.]", "_")}/snaptbl"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        val docs = t(spark, d, "documents").select(
+          col("doc_id"), col("source"), col("text"))
+        graft.sinks.SnapshotTable.commit(spark,
+          docs.repartitionByRange(32, col("doc_id")), dir,
+          "overwrite", statsCols = Seq("doc_id"))
+        val updates = docs.filter(col("doc_id") <= 200)
+          .withColumn("source", lit("merged"))
+        graft.sinks.SnapshotTable.merge(spark, dir, updates, "doc_id",
+          statsCols = Seq("doc_id"))
+        graft.sinks.SnapshotTable.read(spark, dir).count()
+      }),
       "ann_ivf_topk" -> (() => annFrames(d)("ann_ivf_topk")().count()),
       "ann_ivf_int8_topk" -> (() => annFrames(d)("ann_ivf_int8_topk")().count()),
       "contamination_ngram" -> (() => {

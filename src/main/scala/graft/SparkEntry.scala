@@ -148,7 +148,10 @@ object SparkEntry {
     "retrieval_prf",
     // round-11 fifth batch: table maintenance (copy-on-write merge,
     // change feed)
-    "conv_table_merge", "conv_table_changes", "stream_table_ingest")
+    "conv_table_merge", "conv_table_changes", "stream_table_ingest",
+    // round-12: snapshot-table schema evolution (vacuum's gate mutates
+    // and rebuilds per call — correctness-only, not a timing row)
+    "conv_table_schema_evo")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force
@@ -270,8 +273,11 @@ object SparkEntry {
     "dedup_span_exact" -> 2,  // r4: default maxDf=1000 df-pass included
     "dedup_simhash_full" -> 2, // r4: portable MD5 token-hash mode
     "text_tfidf_top" -> 2,    // r4: full corpus (was doc_id < 50 slice)
-    "retrieval_hybrid_serve" -> 2 // r7: now the correctness gate (adds
+    "retrieval_hybrid_serve" -> 2, // r7: now the correctness gate (adds
                                   // verdict work); pure serving timing
                                   // moved to retrieval_hybrid_serve_engine
+    "stream_curate" -> 2          // r12: 3rd cross-batch dup rule in the
+                                  // fixture; bench times ONE
+                                  // deployment-sized batch (gate keeps 3)
   ).withDefaultValue(1)
 }

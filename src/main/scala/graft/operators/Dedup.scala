@@ -894,11 +894,18 @@ object Dedup {
 
   /** ARBITRARY-LENGTH exact duplicate-substring extraction — the
     * suffix-array ExactSubstr pass of Lee et al. ("Deduplicating
-    * Training Data Makes Language Models Better", ACL'22): report every
-    * maximal run of >= `minTokens` consecutive tokens that appears
-    * verbatim in more than one document, at its TRUE length (a 300-token
-    * boilerplate block surfaces as one 300-token run, not as a cloud of
-    * fixed-n windows — the gap the fixed-n span family leaves open).
+    * Training Data Makes Language Models Better", ACL'22): report each
+    * doc's maximal islands of >= `minTokens` consecutive tokens COVERED
+    * BY cross-document duplicated windows, at their TRUE extent (a
+    * 300-token boilerplate block surfaces as one 300-token run, not as a
+    * cloud of fixed-n windows — the gap the fixed-n span family leaves
+    * open). COVERAGE semantics, deliberately: every `minTokens`-window
+    * inside a reported run occurs verbatim in some other document, but
+    * adjacent windows may be duplicated against DIFFERENT partners (doc A
+    * shares tokens 1-12 with B and 8-20 with C -> one 20-token island),
+    * so the island's full text need not appear in any single partner doc.
+    * That is the right unit for the dedup use case — it is exactly the
+    * span ExactSubstr-style training-data scrubbing cuts out.
     *
     * Distributed design — suffix grouping by fixed-length prefix radix,
     * never a global suffix sort: Lee et al. build one suffix array over
@@ -929,7 +936,7 @@ object Dedup {
     *
     * Output: (idCol, start_pos, n_tokens, span_md5) — 1-based token
     * start, true run length, md5 of the extracted run text — one row
-    * per maximal duplicated run, every row >= `minTokens` tokens. */
+    * per maximal covered island, every row >= `minTokens` tokens. */
   def duplicateSubstrings(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int): DataFrame = {
     require(minTokens >= 2, s"minTokens must be >= 2, got $minTokens")

@@ -1083,6 +1083,144 @@ object ConverterQueries {
         .orderBy(col("version"))
     },
 
+    // Snapshot-table SCHEMA EVOLUTION (reference README.md:27 "add
+    // columns without breaking existing data", on the versioned layer):
+    // v1 appends a frame with an ADDED column, v2 appends one that OMITS
+    // a column. The full snapshot reads under the merged-by-name schema
+    // (old files null-fill the added column, narrow files null-fill the
+    // omitted one), while time travel to v0 returns the AS-OF schema —
+    // the added column must NOT leak backwards. All counts/sums oracle-
+    // replayed from the raw table; the schema widths pinned.
+    "conv_table_schema_evo" -> { (s, d) =>
+      val base = tmp(d, "snapevo")
+      stageOnce(base) {
+        val orders = t(s, d, "orders")
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), col("o_totalprice")),
+          base, "overwrite")
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") % 3 === 1)
+            .select(col("o_orderkey"), col("o_totalprice"),
+              (col("o_orderkey") * 2).as("o_key2")),
+          base, "append")
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") % 3 === 2)
+            .select(col("o_orderkey")),
+          base, "append")
+      }
+      val full = SnapshotTable.read(s, base)
+      val v0 = SnapshotTable.read(s, base, Some(0L))
+      full.agg(
+          count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"),
+          sum(col("o_key2")).as("sum_key2"),
+          sum(when(col("o_key2").isNull, 1L).otherwise(0L)).as("n_key2_null"))
+        .withColumn("ncols_v0", lit(v0.schema.size.toLong))
+        .withColumn("ncols_full", lit(full.schema.size.toLong))
+    },
+
+    // Vacuum SAFETY: compaction leaves v0/v1's files referenced only by
+    // old versions — vacuum must keep them (time travel stays whole) while
+    // reclaiming EXACTLY the crash residue (a staged-but-never-published
+    // batch). The retention window must protect fresh unreferenced files
+    // (an in-flight writer's staged data) — the zero-retention pass is the
+    // explicit "no writers active" override. Counts/sums of every retained
+    // version oracle-replayed; the reclaim tallies pinned.
+    "conv_table_vacuum" -> { (s, d) =>
+      val base = tmp(d, "snapvac") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 4 === 0),
+        base, "overwrite")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 4 === 1),
+        base, "append")
+      SnapshotTable.compact(s, base, clusterBy = Some("o_orderkey"))
+      // crash residue: data files staged under data/ with no version file
+      orders.filter(col("o_orderkey") % 4 === 2).repartition(2)
+        .write.mode("overwrite").orc(s"$base/data/batch-orphan")
+      val guarded = SnapshotTable.vacuum(s, base).size // 7d retention: keep
+      val reclaimed = SnapshotTable.vacuum(s, base, retentionMs = 0L)
+      val onlyOrphans = reclaimed.forall(_.startsWith("data/batch-orphan/"))
+      val v0 = SnapshotTable.read(s, base, Some(0L))
+        .agg(count(lit(1)).as("n0"), sum(col("o_orderkey")).as("k0"))
+      val v1 = SnapshotTable.read(s, base, Some(1L))
+        .agg(count(lit(1)).as("n1"), sum(col("o_orderkey")).as("k1"))
+      val v2 = SnapshotTable.read(s, base, Some(2L))
+        .agg(count(lit(1)).as("n2"), sum(col("o_orderkey")).as("k2"))
+      v0.crossJoin(v1).crossJoin(v2)
+        .withColumn("guarded_deletes", lit(guarded.toLong))
+        .withColumn("reclaimed", lit(reclaimed.size.toLong))
+        .withColumn("reclaimed_only_orphans", lit(onlyOrphans))
+    },
+
+    // Copy-on-write range DELETE on the snapshot table (the GDPR-erasure
+    // shape): a key-clustered table loses one key range in one atomic
+    // overwrite commit. Only the overlapping files rewrite (manifest
+    // stabbing — the carried majority is byte-identical), the pre-delete
+    // version stays time-travel-readable (until a post-retention vacuum
+    // destroys it — conv_table_vacuum's business), and the deleted-row
+    // tally comes from manifest row counts alone. Content replayed by
+    // the oracle as the complement predicate.
+    "conv_table_delete" -> { (s, d) =>
+      val base = tmp(d, "snapdelete") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      val r = SnapshotTable.delete(s, base, "o_orderkey", 1000.0, 2500.0)
+      val v0n = SnapshotTable.read(s, base, Some(0L)).count()
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_deleted", lit(r.rowsDeleted))
+        .withColumn("v0_intact", lit(v0n == r.rowsDeleted +
+          SnapshotTable.read(s, base).count()))
+        .withColumn("carried_majority",
+          lit(r.filesCarried * 2 >= r.filesCarried + r.filesRewritten))
+    },
+
+    // Incremental Z-order clustering maintenance on the snapshot table
+    // (the OPTIMIZE ZORDER half of upkeep; conv_zorder_orc proves the
+    // raw layout math, this proves the INCREMENTAL table op): a
+    // well-z-ordered base segment plus a badly-shaped append; cluster()
+    // must rewrite ONLY the bad files (manifest-volume scoring, zero data
+    // reads), carry the good ones byte-identical, no-op on a second
+    // call, and restore secondary-column manifest prunability. Content
+    // oracle-replayed; the maintenance verdicts pinned.
+    "conv_table_cluster" -> { (s, d) =>
+      val base = tmp(d, "snapcluster") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val zc = Seq("l_orderkey", "l_partkey")
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      SnapshotTable.commit(s,
+        OrcSink.zOrderFrame(li.filter(col("l_orderkey") % 2 === 0),
+          zc, numFiles = 8),
+        base, "overwrite", statsCols = zc)
+      SnapshotTable.commit(s,
+        li.filter(col("l_orderkey") % 2 === 1).repartition(4),
+        base, "append", statsCols = zc)
+      val r1 = SnapshotTable.cluster(s, base, zc, numFiles = 8)
+      val r2 = SnapshotTable.cluster(s, base, zc, numFiles = 8)
+      val (slice, kept, total) =
+        SnapshotTable.scanPruned(s, base, "l_partkey", 1.0, 100.0)
+      val sliceAgg = slice.agg(count(lit(1)).as("n_slice"),
+        dsum(col("l_quantity")).as("qty_slice"))
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .crossJoin(sliceAgg)
+        .withColumn("rewrote_only_bad",
+          lit(r1.filesCarried == 8 && r1.filesRewritten >= 1))
+        .withColumn("second_noop", lit(r2.filesRewritten == 0))
+        .withColumn("pruned_after", lit(kept * 2 <= total))
+    },
+
     // Headline conversion-throughput probe: the biggest fixture table
     // through the full parquet->ORC->read-back path (the reference's
     // single-table export is the ~38k rows/s baseline to beat).
@@ -1547,6 +1685,69 @@ object ConverterQueries {
         | TRUE AS nonempty_kept
         |FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey <= 2500""".stripMargin,
+
+    // Evolution replayed from the raw table: the added column exists only
+    // for v1's slice, the omitted column nulls v2's slice; widths pinned.
+    "conv_table_schema_evo" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CASE WHEN o_orderkey % 3 <= 1
+        |   THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(CASE WHEN o_orderkey % 3 = 1 THEN o_orderkey * 2 END)
+        |   AS BIGINT) AS sum_key2,
+        | CAST(SUM(CASE WHEN o_orderkey % 3 <> 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_key2_null,
+        | CAST(2 AS BIGINT) AS ncols_v0,
+        | CAST(3 AS BIGINT) AS ncols_full
+        |FROM orders""".stripMargin,
+
+    // Every retained version's content after vacuum == its raw-table
+    // slice; the reclaim tallies (0 under retention, exactly the orphan
+    // residue at zero retention) pinned.
+    "conv_table_vacuum" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 0) AS n0,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 4 = 0) AS k0,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 <= 1) AS n1,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 4 <= 1) AS k1,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 <= 1) AS n2,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 4 <= 1) AS k2,
+        | CAST(0 AS BIGINT) AS guarded_deletes,
+        | CAST(2 AS BIGINT) AS reclaimed,
+        | TRUE AS reclaimed_only_orphans""".stripMargin,
+
+    // Post-delete content = the complement predicate over raw orders;
+    // the deleted tally and copy-on-write verdicts pinned.
+    "conv_table_delete" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderkey BETWEEN 1000 AND 2500) AS n_deleted,
+        | TRUE AS v0_intact,
+        | TRUE AS carried_majority
+        |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2500""".stripMargin,
+
+    // Content through the clustered table replayed from raw lineitem;
+    // the maintenance verdicts (selective rewrite, idempotence,
+    // restored prunability) computed Spark-side from reports and pinned.
+    "conv_table_cluster" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        | (SELECT COUNT(*) FROM lineitem
+        |   WHERE l_partkey >= 1 AND l_partkey <= 100) AS n_slice,
+        | (SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   FROM lineitem WHERE l_partkey >= 1 AND l_partkey <= 100)
+        |   AS qty_slice,
+        | TRUE AS rewrote_only_bad,
+        | TRUE AS second_noop,
+        | TRUE AS pruned_after
+        |FROM lineitem""".stripMargin,
 
     // Values verified through the z-ordered layout; the layout-tightness
     // verdict is computed Spark-side from per-file statistics and pinned.

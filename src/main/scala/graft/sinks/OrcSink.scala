@@ -247,7 +247,17 @@ object OrcSink {
                     zCols: Seq[String], bits: Int = 6,
                     compression: String = "snappy",
                     maxRecordsPerFile: Long = 0L,
-                    numFiles: Int = 0): WriteReport = {
+                    numFiles: Int = 0): WriteReport =
+    write(zOrderFrame(df, zCols, bits, numFiles), outDir, table,
+      compression, maxRecordsPerFile)
+
+  /** The z-layout as a FRAME: rows range-partitioned + sorted along the
+    * Morton curve position so that whatever writes the result (the raw
+    * ORC sink above, or a snapshot-table clustering commit) produces one
+    * narrow hyper-rectangle per file. See [[writeZOrdered]] for the
+    * curve math. */
+  def zOrderFrame(df: DataFrame, zCols: Seq[String], bits: Int = 6,
+                  numFiles: Int = 0): DataFrame = {
     require(zCols.size >= 2, s"z-ordering needs >= 2 columns, got $zCols")
     require(zCols.forall(df.columns.contains),
       s"z columns $zCols must exist in the schema")
@@ -278,8 +288,7 @@ object OrcSink {
     val withZ = df.withColumn("__graft_z", z)
     val ranged = if (numFiles > 0) withZ.repartitionByRange(numFiles, zc)
                  else withZ.repartitionByRange(zc)
-    val clustered = ranged.sortWithinPartitions(zc).drop("__graft_z")
-    write(clustered, outDir, table, compression, maxRecordsPerFile)
+    ranged.sortWithinPartitions(zc).drop("__graft_z")
   }
 
   /** Replace a table directory's contents with `df`, crash-safely: the

@@ -12,6 +12,7 @@ import org.apache.orc.{ColumnStatistics, DateColumnStatistics,
   OrcFile, StringColumnStatistics, TimestampColumnStatistics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Versioned snapshot table over ORC — the transactional publishing layer
   * a 100 TB lake needs on top of the converter's raw part-file output
@@ -25,11 +26,14 @@ import org.apache.spark.sql.functions.{broadcast, col, lit}
   *     staged to a temp name and published with an atomic rename, so a
   *     reader sees the whole commit or none of it, and a writer crash
   *     leaves only unreferenced data files ([[vacuum]] reclaims them).
-  *   - OPTIMISTIC CONCURRENCY: the rename fails if `v{N}.json` already
-  *     exists (another writer won); the loser re-reads the log and
-  *     retries at N+1. No locks, no coordinator — rename-if-absent is
-  *     the whole protocol (an object-store deployment swaps in a
-  *     conditional put).
+  *   - OPTIMISTIC CONCURRENCY: publishing `v{N}.json` is an atomic
+  *     put-if-absent (see [[putIfAbsent]]: link(2) on local filesystems,
+  *     native no-overwrite rename on HDFS, a conditional put on object
+  *     stores); exactly one writer wins version N, the loser re-reads
+  *     the log and retries at N+1. No locks, no coordinator.
+  *     Read-modify-write commits (merge/compact) additionally pin the
+  *     version they read: if anything interleaved, the publish throws
+  *     instead of silently dropping the interleaved commit.
   *   - The MANIFEST rides inside the version file: one entry per data
   *     file with row count, byte size, and per-column min/max/null-count
   *     HARVESTED FROM THE ORC FOOTERS the write already produced — stats
@@ -67,7 +71,8 @@ object SnapshotTable {
 
   final case class Commit(version: Long, action: String,
                           files: Seq[FileEntry],
-                          txn: Option[(String, Long)] = None)
+                          txn: Option[(String, Long)] = None,
+                          schemaJson: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -109,11 +114,17 @@ object SnapshotTable {
     * earlier commit instead of appending twice. */
   def commit(spark: SparkSession, df: DataFrame, dir: String, mode: String,
              statsCols: Seq[String] = Nil, maxRetries: Int = 20,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             expectedVersion: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
     txn.flatMap(t => committedTxn(spark, dir, t._1, t._2))
       .foreach(v => return v)
+    // write-time schema enforcement: an append that RETYPES an existing
+    // column must fail before any data file lands (adding/omitting
+    // columns is evolution and fine — mergeByName only rejects drift)
+    if (mode == "append" && currentVersion(spark, dir).nonEmpty)
+      snapshotSchema(spark, dir).foreach(mergeByName(_, df.schema))
     val f = fs(spark, dir)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(dir, "data"), batch)
@@ -123,7 +134,8 @@ object SnapshotTable {
       .map(_.getPath.toString)
     val entries = harvest(spark, parts, statsCols)
       .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
-    publish(spark, dir, mode, entries, maxRetries, txn)
+    publish(spark, dir, mode, entries, maxRetries, txn,
+      Some(df.schema.json), expectedVersion)
   }
 
   /** Distributed footer harvest: one task per bounded bundle of files,
@@ -189,16 +201,186 @@ object SnapshotTable {
     }
   }
 
-  /** Latest committed version carrying (appId, seq), if any. */
-  private def committedTxn(spark: SparkSession, dir: String, appId: String,
-                           seq: Long): Option[Long] =
-    versions(spark, dir).reverse
-      .find(v => readCommit(spark, dir, v).txn.contains((appId, seq)))
+  // ---- log checkpoints ---------------------------------------------------
 
-  /** Atomic-rename publish with optimistic retry. */
-  private def publish(spark: SparkSession, dir: String, mode: String,
+  /** Write a replay checkpoint every N commits. Without checkpoints both
+    * snapshot replay and txn lookup read O(#versions) log files — fatal
+    * for a streaming ingest that commits every micro-batch (a week of
+    * 1-minute batches is 10k versions). With them, any read costs one
+    * checkpoint file + at most N version files (the Delta checkpoint
+    * design). Checkpoints are DERIVED data: losing one only makes reads
+    * slower, never wrong, so the write is best-effort. */
+  private val CheckpointEvery = 10L
+
+  private case class Ckpt(version: Long, files: Seq[FileEntry],
+                          schemaJson: Option[String],
+                          txns: Map[String, (Long, Long)]) // app -> (seq, v)
+
+  private def ckptPath(dir: String, v: Long) =
+    new Path(logDir(dir), f"ckpt-$v%020d.json")
+
+  private def checkpointVersions(f: FileSystem, dir: String): Seq[Long] = {
+    val ld = logDir(dir)
+    if (!f.exists(ld)) Seq.empty
+    else f.listStatus(ld).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("ckpt-") && n.endsWith(".json"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("ckpt-").stripSuffix(".json").toLong).toOption)
+      .sorted
+  }
+
+  private def readCkpt(f: FileSystem, dir: String, v: Long): Option[Ckpt] =
+    scala.util.Try {
+      val in = f.open(ckptPath(dir, v))
+      val json = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        new String(bos.toByteArray, "UTF-8")
+      } finally in.close()
+      val n = mapper.readTree(json)
+      val asCommit = parseCommit(json) // checkpoints share the commit shape
+      val txns = if (n.has("txns")) {
+        n.get("txns").properties().asScala.map { e =>
+          e.getKey -> (e.getValue.get("seq").asLong,
+            e.getValue.get("version").asLong)
+        }.toMap
+      } else Map.empty[String, (Long, Long)]
+      Ckpt(n.get("version").asLong, asCommit.files, asCommit.schemaJson, txns)
+    }.toOption // a corrupt/unreadable checkpoint degrades to full replay
+
+  /** Newest readable checkpoint at or before `v`. */
+  private def latestCkpt(f: FileSystem, dir: String,
+                         v: Long): Option[Ckpt] =
+    checkpointVersions(f, dir).filter(_ <= v).reverse.iterator
+      .flatMap(readCkpt(f, dir, _)).nextOption()
+
+  /** Best-effort checkpoint write after winning version `v`: the replay
+    * state (file set + merged schema) and the per-app latest txn —
+    * everything a reader or producer needs without touching older log
+    * files. Published put-if-absent like a commit (idempotent across
+    * racing maintenance). */
+  private def writeCheckpoint(spark: SparkSession, dir: String,
+                              v: Long): Unit = scala.util.Try {
+    val f = fs(spark, dir)
+    if (f.exists(ckptPath(dir, v))) throw new IllegalStateException("exists")
+    val base = latestCkpt(f, dir, v)
+    val from = base.map(_.version).getOrElse(-1L)
+    val span = versions(spark, dir).filter(x => x > from && x <= v)
+      .map(x => x -> readCommit(spark, dir, x))
+    // replay state: file set + as-of merged schema. `schemaKnown` goes
+    // false the moment any participating commit predates schema
+    // recording — the checkpoint then omits the schema and readers fall
+    // back to Spark's own sampling, same as the raw log would.
+    val files = mutable.ArrayBuffer.empty[FileEntry]
+    base.foreach(files ++= _.files)
+    var schema: Option[StructType] = base.flatMap(_.schemaJson)
+      .map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    var schemaKnown = base.forall(_.schemaJson.nonEmpty)
+    span.foreach { case (_, c) =>
+      if (c.action == "overwrite") {
+        files.clear(); schema = None; schemaKnown = true
+      }
+      files ++= c.files
+      c.schemaJson match {
+        case Some(j) =>
+          val st = DataType.fromJson(j).asInstanceOf[StructType]
+          schema = Some(schema.map(mergeByName(_, st)).getOrElse(st))
+        case None => schemaKnown = false
+      }
+    }
+    val txns = {
+      val m = mutable.Map.empty[String, (Long, Long)]
+      base.foreach(b => m ++= b.txns)
+      span.foreach { case (x, c) =>
+        c.txn.foreach { case (app, seq) =>
+          if (m.get(app).forall(_._1 < seq)) m(app) = (seq, x)
+        }
+      }
+      m.toMap
+    }
+    val root = mapper.createObjectNode()
+    root.put("version", v)
+    root.put("action", "overwrite") // replay-collapsed state
+    if (schemaKnown) schema.foreach(s => root.put("schema", s.json))
+    val arr = root.putArray("files")
+    files.foreach(e => appendFileNode(arr, e))
+    val tn = root.putObject("txns")
+    txns.toSeq.sortBy(_._1).foreach { case (app, (seq, ver)) =>
+      val o = tn.putObject(app)
+      o.put("seq", seq)
+      o.put("version", ver)
+    }
+    val tmp = new Path(logDir(dir),
+      s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+    val out = f.create(tmp, false)
+    try out.write(root.toString.getBytes("UTF-8")) finally out.close()
+    if (!putIfAbsent(f, tmp, ckptPath(dir, v))) f.delete(tmp, false)
+  }.getOrElse(())
+
+  /** Latest committed version for (appId, seq-or-earlier), if any —
+    * the Delta SetTransaction contract for MONOTONIC producer sequences
+    * (streaming batch ids, incremental-sync counters): a sequence number
+    * at or below the app's recorded high-water mark is already applied,
+    * so the replayed commit no-ops. Bounded read: one checkpoint + the
+    * version files after it. */
+  private def committedTxn(spark: SparkSession, dir: String, appId: String,
+                           seq: Long): Option[Long] = {
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return None
+    val base = latestCkpt(f, dir, vs.last)
+    val seed = base.flatMap(_.txns.get(appId))
+    val from = base.map(_.version).getOrElse(-1L)
+    val high = vs.filter(_ > from).foldLeft(seed) { (acc, v) =>
+      readCommit(spark, dir, v).txn match {
+        case Some((app, s)) if app == appId && acc.forall(_._1 < s) =>
+          Some((s, v))
+        case _ => acc
+      }
+    }
+    high.collect { case (s, v) if seq <= s => v }
+  }
+
+  /** Atomic put-if-absent of a fully-written staging file at `target`.
+    * Scheme-aware because no single Hadoop call is safe everywhere:
+    *   - local filesystems: POSIX rename OVERWRITES an existing
+    *     destination (so exists-then-rename is a TOCTOU race); the atomic
+    *     no-overwrite primitive is link(2) — hard-link the staged file to
+    *     the final name, which fails with EEXIST if another writer got
+    *     there first, in one syscall.
+    *   - HDFS: `FileSystem.rename` is atomic in the NameNode and returns
+    *     false when the destination exists — rename-if-absent is native.
+    *   - object stores (S3A etc.): neither holds; a deployment there
+    *     swaps in the store's conditional put (If-None-Match) behind this
+    *     same seam, as Delta's LogStore does. */
+  private def putIfAbsent(f: FileSystem, tmp: Path, target: Path): Boolean =
+    if ("file" == Option(f.getUri.getScheme).getOrElse("file")) {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(f.makeQualified(target).toUri),
+          java.nio.file.Paths.get(f.makeQualified(tmp).toUri))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    } else f.rename(tmp, target)
+
+  /** Atomic put-if-absent publish with optimistic retry. `expectedVersion`
+    * guards read-modify-write commits (merge/compact): those derive their
+    * file list from a snapshot read, so if any other commit landed after
+    * that read, retrying at N+1 would publish a STALE file list and
+    * silently drop the interleaved commit (lost update). With the guard
+    * the publish fails instead and the caller re-runs against the fresh
+    * snapshot — the Delta conflict-detection contract. */
+  private[graft] def publish(spark: SparkSession, dir: String, mode: String,
                       entries: Seq[FileEntry], maxRetries: Int,
-                      txn: Option[(String, Long)] = None): Long = {
+                      txn: Option[(String, Long)] = None,
+                      schemaJson: Option[String] = None,
+                      expectedVersion: Option[Long] = None): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     var attempt = 0
@@ -208,15 +390,25 @@ object SnapshotTable {
       txn.flatMap(t => committedTxn(spark, dir, t._1, t._2))
         .foreach(v => return v)
       val v = currentVersion(spark, dir).getOrElse(-1L) + 1
+      expectedVersion.foreach { ev =>
+        if (v != ev + 1) throw new java.util.ConcurrentModificationException(
+          s"snapshot table $dir advanced past version $ev (next is $v) " +
+            "while a read-modify-write commit was in flight — re-run it " +
+            "against the current snapshot")
+      }
       val target = new Path(logDir(dir), f"v$v%020d.json")
       val tmp = new Path(logDir(dir),
         s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
       val out = f.create(tmp, false)
-      try out.write(commitJson(v, mode, entries, txn).getBytes("UTF-8"))
+      try out.write(commitJson(v, mode, entries, txn, schemaJson)
+        .getBytes("UTF-8"))
       finally out.close()
-      // rename-if-absent IS the commit: exactly one writer wins version v
-      val won = !f.exists(target) && f.rename(tmp, target)
-      if (won) return v
+      // put-if-absent IS the commit: exactly one writer wins version v
+      val won = putIfAbsent(f, tmp, target)
+      if (won) {
+        if (v > 0 && v % CheckpointEvery == 0) writeCheckpoint(spark, dir, v)
+        return v
+      }
       f.delete(tmp, false)
       attempt += 1
     }
@@ -225,7 +417,8 @@ object SnapshotTable {
   }
 
   private def commitJson(v: Long, mode: String, entries: Seq[FileEntry],
-                         txn: Option[(String, Long)]): String = {
+                         txn: Option[(String, Long)],
+                         schemaJson: Option[String]): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", mode)
@@ -233,23 +426,30 @@ object SnapshotTable {
       root.put("txnApp", app)
       root.put("txnSeq", seq)
     }
+    // the frame schema AS OF this commit: read() replays these into the
+    // snapshot's merged schema; time travel returns the as-of merge
+    schemaJson.foreach(root.put("schema", _))
     val arr = root.putArray("files")
-    entries.foreach { e =>
-      val n = arr.addObject()
-      n.put("path", e.path)
-      n.put("rows", e.rows)
-      n.put("bytes", e.bytes)
-      val st = n.putObject("stats")
-      e.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
-        val o = st.putObject(c)
-        cs.min.foreach(o.put("min", _))
-        cs.max.foreach(o.put("max", _))
-        cs.minStr.foreach(o.put("minStr", _))
-        cs.maxStr.foreach(o.put("maxStr", _))
-        o.put("nulls", cs.nulls)
-      }
-    }
+    entries.foreach(e => appendFileNode(arr, e))
     root.toString
+  }
+
+  private def appendFileNode(
+      arr: com.fasterxml.jackson.databind.node.ArrayNode,
+      e: FileEntry): Unit = {
+    val n = arr.addObject()
+    n.put("path", e.path)
+    n.put("rows", e.rows)
+    n.put("bytes", e.bytes)
+    val st = n.putObject("stats")
+    e.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
+      val o = st.putObject(c)
+      cs.min.foreach(o.put("min", _))
+      cs.max.foreach(o.put("max", _))
+      cs.minStr.foreach(o.put("minStr", _))
+      cs.maxStr.foreach(o.put("maxStr", _))
+      o.put("nulls", cs.nulls)
+    }
   }
 
   private def parseCommit(json: String): Commit = {
@@ -273,7 +473,8 @@ object SnapshotTable {
     val txn =
       if (n.has("txnApp")) Some((n.get("txnApp").asText, n.get("txnSeq").asLong))
       else None
-    Commit(n.get("version").asLong, n.get("action").asText, files, txn)
+    val schema = if (n.has("schema")) Some(n.get("schema").asText) else None
+    Commit(n.get("version").asLong, n.get("action").asText, files, txn, schema)
   }
 
   private def readCommit(spark: SparkSession, dir: String, v: Long): Commit = {
@@ -289,34 +490,95 @@ object SnapshotTable {
     } finally in.close()
   }
 
+  /** (action, #files, manifest row count) of one commit — the report
+    * surface the CLI prints without reading any data bytes. */
+  def commitStats(spark: SparkSession, dir: String, v: Long): (String, Int, Long) = {
+    val c = readCommit(spark, dir, v)
+    (c.action, c.files.size, c.files.map(_.rows).sum)
+  }
+
   // ---- read / time travel ---------------------------------------------
 
-  /** Log replay: the file set visible at `version` (default: latest). */
-  def snapshotFiles(spark: SparkSession, dir: String,
-                    version: Option[Long] = None): Seq[FileEntry] = {
+  /** Commits participating in the snapshot at `version`: everything from
+    * the last overwrite at-or-before it, forward. */
+  private def replayCommits(spark: SparkSession, dir: String,
+                            version: Option[Long]): Seq[Commit] = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no snapshot table at $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in ${vs.mkString(",")}")
-    val replay = vs.filter(_ <= v).map(readCommit(spark, dir, _))
-    val acc = mutable.ArrayBuffer.empty[FileEntry]
+    // start from the newest checkpoint at or before v (one file read),
+    // then apply only the version files after it — O(CheckpointEvery)
+    // log reads regardless of table age
+    val base = latestCkpt(fs(spark, dir), dir, v)
+    val from = base.map(_.version).getOrElse(-1L)
+    val replay = vs.filter(x => x > from && x <= v)
+      .map(readCommit(spark, dir, _))
+    val acc = mutable.ArrayBuffer.empty[Commit]
+    base.foreach(b => acc += Commit(b.version, "overwrite", b.files,
+      None, b.schemaJson))
     replay.foreach { c =>
       if (c.action == "overwrite") acc.clear()
-      acc ++= c.files
+      acc += c
     }
     acc.toSeq
+  }
+
+  /** Log replay: the file set visible at `version` (default: latest). */
+  def snapshotFiles(spark: SparkSession, dir: String,
+                    version: Option[Long] = None): Seq[FileEntry] =
+    replayCommits(spark, dir, version).flatMap(_.files)
+
+  /** Union-by-name with null-fill: fields of `a`, then fields of `b` not
+    * yet present. Same-name fields must agree on type — silent coercion
+    * would corrupt, so drift fails loudly. */
+  private def mergeByName(a: StructType, b: StructType): StructType = {
+    val have = a.fields.map(f => f.name -> f.dataType).toMap
+    b.fields.foreach { f =>
+      have.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"snapshot schema drift on column '${f.name}': committed as $t, " +
+            s"appended as ${f.dataType} — add new columns, don't retype " +
+            "existing ones")
+      }
+    }
+    StructType(a.fields ++ b.fields.filterNot(f => have.contains(f.name)))
+  }
+
+  /** The snapshot's AS-OF schema: the last overwrite's recorded schema,
+    * merged by name with every later append's — a later commit that ADDS
+    * a column widens the snapshot (earlier files null-fill it), one that
+    * omits a column leaves it intact (its own rows null-fill). None when
+    * any participating commit predates schema recording (pre-evolution
+    * tables fall back to Spark's single-schema sample). */
+  def snapshotSchema(spark: SparkSession, dir: String,
+                     version: Option[Long] = None): Option[StructType] = {
+    val commits = replayCommits(spark, dir, version)
+    val parsed = commits.map(_.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
+    if (parsed.exists(_.isEmpty)) None
+    else parsed.flatten.reduceOption(mergeByName)
   }
 
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
     val files = snapshotFiles(spark, dir, version)
-    readFiles(spark, dir, files)
+    readFiles(spark, dir, files, snapshotSchema(spark, dir, version))
   }
 
+  /** Schema-carrying multi-file read: with a recorded snapshot schema the
+    * scan is pinned to it — files written before a column existed
+    * null-fill it (ORC matches columns by name), and Spark samples no
+    * file for inference. Without one (pre-evolution log), plain read. */
   private def readFiles(spark: SparkSession, dir: String,
-                        files: Seq[FileEntry]): DataFrame = {
+                        files: Seq[FileEntry],
+                        schema: Option[StructType] = None): DataFrame = {
     require(files.nonEmpty, s"empty snapshot at $dir")
-    spark.read.orc(files.map(e => s"$dir/${e.path}"): _*)
+    val paths = files.map(e => s"$dir/${e.path}")
+    schema match {
+      case Some(s) => spark.read.schema(s).orc(paths: _*)
+      case None => spark.read.orc(paths: _*)
+    }
   }
 
   /** Manifest-pruned range scan: drop files whose footer [min,max] on
@@ -329,6 +591,7 @@ object SnapshotTable {
                  lo: Double, hi: Double,
                  version: Option[Long] = None): (DataFrame, Int, Int) = {
     val files = snapshotFiles(spark, dir, version)
+    val schema = snapshotSchema(spark, dir, version)
     val kept = files.filter { e =>
       e.stats.get(column) match {
         case Some(ColStats(Some(mn), Some(mx), _, _, _)) =>
@@ -339,8 +602,8 @@ object SnapshotTable {
     // every file provably dead: schema-preserving empty frame (the
     // optimizer folds the false filter to an empty relation — no I/O)
     val base =
-      if (kept.isEmpty) readFiles(spark, dir, files).where(lit(false))
-      else readFiles(spark, dir, kept)
+      if (kept.isEmpty) readFiles(spark, dir, files, schema).where(lit(false))
+      else readFiles(spark, dir, kept, schema)
     val df = base.where(col(column) >= lo && col(column) <= hi)
     (df, kept.size, files.size)
   }
@@ -363,7 +626,13 @@ object SnapshotTable {
     * stays time-travel-readable. */
   def merge(spark: SparkSession, dir: String, updates: DataFrame,
             keyCol: String, statsCols: Seq[String] = Nil): MergeReport = {
-    val files = snapshotFiles(spark, dir)
+    // the version this read-modify-write derives from: publish refuses to
+    // land if any commit interleaves (lost-update guard) — the caller
+    // re-runs against the fresh snapshot
+    val readVersion = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $dir"))
+    val readSchema = snapshotSchema(spark, dir, Some(readVersion))
+    val files = snapshotFiles(spark, dir, Some(readVersion))
     // exact file stabbing, not a bounding box (a single inserted key far
     // outside the table's range would otherwise force a full rewrite):
     // update keys range-join the broadcast #files-row manifest ranges;
@@ -388,10 +657,10 @@ object SnapshotTable {
     // upsert = (touched rows minus updated keys) + all updates
     val survivors =
       if (touched.isEmpty) updates
-      else readFiles(spark, dir, touched)
+      else readFiles(spark, dir, touched, readSchema)
         .join(broadcast(updates.select(col(keyCol)).distinct()),
           Seq(keyCol), "left_anti")
-        .unionByName(updates)
+        .unionByName(updates, allowMissingColumns = true)
     val f = fs(spark, dir)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(dir, "data"), batch)
@@ -401,8 +670,13 @@ object SnapshotTable {
       .map(_.getPath.toString)
     val fresh = harvest(spark, parts, statsCols)
       .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    // recorded schema must cover the CARRIED files too (survivors alone
+    // is just the updates schema when no file was stabbed)
+    val outSchema = readSchema.map(mergeByName(_, survivors.schema))
+      .getOrElse(survivors.schema)
     val v = publish(spark, dir, "overwrite", carried ++ fresh,
-      maxRetries = 20)
+      maxRetries = 20, schemaJson = Some(outSchema.json),
+      expectedVersion = Some(readVersion))
     MergeReport(v, fresh.size, carried.size)
   }
 
@@ -417,15 +691,160 @@ object SnapshotTable {
               targetBytes: Long = 128L << 20,
               clusterBy: Option[String] = None,
               statsCols: Seq[String] = Nil): Long = {
-    val files = snapshotFiles(spark, dir)
+    // read-modify-write: pin the read version so an interleaved commit
+    // fails the publish instead of being silently dropped
+    val readVersion = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $dir"))
+    val files = snapshotFiles(spark, dir, Some(readVersion))
     val n = math.max(1,
       math.ceil(files.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    val df = readFiles(spark, dir, files)
+    val df = readFiles(spark, dir, files,
+      snapshotSchema(spark, dir, Some(readVersion)))
     val packed = clusterBy match {
       case Some(c) => df.repartitionByRange(n, col(c))
       case None => df.repartition(n)
     }
-    commit(spark, packed, dir, "overwrite", statsCols)
+    commit(spark, packed, dir, "overwrite", statsCols,
+      expectedVersion = Some(readVersion))
+  }
+
+  final case class DeleteReport(version: Long, rowsDeleted: Long,
+                                filesRewritten: Int, filesCarried: Int)
+
+  /** Copy-on-write range DELETE — the GDPR/right-to-erasure shape (point
+    * deletes are lo == hi). Only files whose manifest [min,max] on
+    * `keyCol` can overlap [lo, hi] are rewritten with the complement
+    * predicate; every other file's manifest entry carries untouched
+    * (zero I/O). On a key-clustered table a point delete rewrites
+    * O(matched files), not O(table). One atomic overwrite commit,
+    * version-pinned; pre-delete versions stay time-travel-readable until
+    * vacuumed (an erasure deployment follows with [[vacuum]] after the
+    * retention window to destroy the old files). Files lacking `keyCol`
+    * stats are conservatively rewritten. */
+  def delete(spark: SparkSession, dir: String, keyCol: String,
+             lo: Double, hi: Double,
+             statsCols: Seq[String] = Nil): DeleteReport = {
+    val readVersion = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $dir"))
+    val files = snapshotFiles(spark, dir, Some(readVersion))
+    val schema = snapshotSchema(spark, dir, Some(readVersion))
+    val (touched, carried) = files.partition { e =>
+      e.stats.get(keyCol) match {
+        case Some(ColStats(Some(mn), Some(mx), _, _, _)) =>
+          mx >= lo && mn <= hi
+        case _ => true // cannot prove the file is clean -> rewrite
+      }
+    }
+    if (touched.isEmpty)
+      return DeleteReport(readVersion, 0L, 0, carried.size)
+    // null keys are not in [lo, hi] — they must survive (a bare
+    // NOT BETWEEN would three-value-logic them away)
+    val survivors = readFiles(spark, dir, touched, schema)
+      .filter(col(keyCol).isNull ||
+        !col(keyCol).cast("double").between(lo, hi))
+    val f = fs(spark, dir)
+    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    val batchDir = new Path(new Path(dir, "data"), batch)
+    survivors.write.mode("overwrite").orc(batchDir.toString)
+    val parts = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val fresh = harvest(spark, parts,
+      if (statsCols.nonEmpty) statsCols else Seq(keyCol))
+      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    val v = publish(spark, dir, "overwrite", carried ++ fresh,
+      maxRetries = 20, schemaJson = schema.map(_.json),
+      expectedVersion = Some(readVersion))
+    DeleteReport(v, touched.map(_.rows).sum - fresh.map(_.rows).sum,
+      fresh.size, carried.size)
+  }
+
+  final case class ClusterReport(version: Long, filesRewritten: Int,
+                                 filesCarried: Int)
+
+  /** Incremental Z-order clustering maintenance — the OPTIMIZE ZORDER
+    * half of table upkeep ([[compact]] fixes file COUNT; this fixes file
+    * SHAPE). Streaming appends and merges accrete files whose manifest
+    * [min,max] spans most of the key domain, so [[scanPruned]] degrades
+    * toward full scans. This op:
+    *
+    *   1. scores every data file FROM THE MANIFEST ALONE (zero data
+    *      reads): a file is poorly clustered when its normalized
+    *      hyper-rectangle VOLUME — the product over z-columns of
+    *      (max-min) / global (max-min) — exceeds `volumeThreshold`
+    *      (files lacking numeric stats score as poor). Volume, not
+    *      max-width: a Morton segment that straddles a quadrant boundary
+    *      legitimately spans one dimension while staying razor-thin on
+    *      the others (volume ~1/#files), whereas an unclustered file
+    *      spans EVERY dimension (volume ~1) — width scoring would
+    *      re-rewrite boundary straddlers forever;
+    *   2. rewrites ONLY the poor files, their union re-laid along the
+    *      Morton curve ([[OrcSink.zOrderFrame]]'s layout math — narrow
+    *      per-file hyper-rectangles on every z-column);
+    *   3. carries every well-shaped file's manifest entry untouched
+    *      (byte-identical on disk) into one atomic overwrite commit,
+    *      version-pinned like every read-modify-write.
+    *
+    * Incremental by construction: a second invocation right after the
+    * first selects nothing and no-ops (the rewritten files now pass the
+    * width test), so periodic maintenance touches O(new badly-shaped
+    * files), not O(table) — the property that keeps clustering upkeep
+    * affordable at 100 TB. `numFiles` pins the rewrite's output file
+    * count (0 = size by `targetBytes`). */
+  def cluster(spark: SparkSession, dir: String, zCols: Seq[String],
+              bits: Int = 6, volumeThreshold: Double = 0.5,
+              targetBytes: Long = 128L << 20, numFiles: Int = 0,
+              statsCols: Seq[String] = Nil): ClusterReport = {
+    require(zCols.size >= 2, s"z-clustering needs >= 2 columns, got $zCols")
+    val readVersion = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $dir"))
+    val files = snapshotFiles(spark, dir, Some(readVersion))
+    // global [min,max] per z-column, from the manifest (min of mins /
+    // max of maxes over files that carry numeric stats)
+    val global: Map[String, (Double, Double)] = zCols.flatMap { c =>
+      val ranges = files.flatMap(_.stats.get(c).collect {
+        case ColStats(Some(mn), Some(mx), _, _, _) => (mn, mx)
+      })
+      if (ranges.isEmpty) None
+      else Some(c -> (ranges.map(_._1).min, ranges.map(_._2).max))
+    }.toMap
+    def poor(e: FileEntry): Boolean = {
+      val widths = zCols.map { c =>
+        (e.stats.get(c), global.get(c)) match {
+          case (Some(ColStats(Some(mn), Some(mx), _, _, _)), Some((g0, g1))) =>
+            // a zero global width means every row agrees on the column —
+            // perfectly clustered by definition
+            if (g1 - g0 > 0) Some(math.min(1.0, (mx - mn) / (g1 - g0)))
+            else Some(0.0)
+          case _ => None // no stats -> cannot prove shape
+        }
+      }
+      widths.exists(_.isEmpty) ||
+        widths.flatten.product > volumeThreshold
+    }
+    val (touched, carried) = files.partition(poor)
+    if (touched.isEmpty)
+      return ClusterReport(readVersion, 0, carried.size)
+    val n = if (numFiles > 0) numFiles
+      else math.max(1,
+        math.ceil(touched.map(_.bytes).sum.toDouble / targetBytes).toInt)
+    val schema = snapshotSchema(spark, dir, Some(readVersion))
+    val relaid = OrcSink.zOrderFrame(
+      readFiles(spark, dir, touched, schema), zCols, bits, n)
+    val f = fs(spark, dir)
+    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    val batchDir = new Path(new Path(dir, "data"), batch)
+    relaid.write.mode("overwrite").orc(batchDir.toString)
+    val parts = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val fresh = harvest(spark, parts,
+      if (statsCols.nonEmpty) statsCols else zCols)
+      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    val v = publish(spark, dir, "overwrite", carried ++ fresh,
+      maxRetries = 20, schemaJson = schema.map(_.json),
+      expectedVersion = Some(readVersion))
+    ClusterReport(v, fresh.size, carried.size)
   }
 
   /** Append-only change feed: the rows added by commits in
@@ -445,21 +864,36 @@ object SnapshotTable {
     require(commits.forall(_.action == "append"),
       s"span ($fromVersion, $to] crosses an overwrite commit — " +
         "re-read the snapshot instead")
-    readFiles(spark, dir, commits.flatMap(_.files))
+    // the span's own merged schema (commits in a feed can add columns)
+    val schemas = commits.map(_.schemaJson.map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
+    val schema = if (schemas.exists(_.isEmpty)) None
+      else schemas.flatten.reduceOption(mergeByName)
+    readFiles(spark, dir, commits.flatMap(_.files), schema)
   }
 
   // ---- maintenance -----------------------------------------------------
 
   /** Delete data files referenced by NO committed version — the residue
     * of crashed or lost-race commits. Never touches referenced files, so
-    * every committed version stays readable. Returns deleted paths. */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+    * every committed version stays readable. Returns deleted paths.
+    *
+    * `retentionMs` (default 7 days, the Delta/Iceberg convention) guards
+    * IN-FLIGHT commits: a writer stages data files under `data/<batch>/`
+    * BEFORE its version file publishes, so at scan time those look
+    * unreferenced — deleting them would let the commit land referencing
+    * vanished files and every read of that version fail. Only files whose
+    * modification time predates the window are reclaimed; pass 0 only
+    * when no writer can be active. */
+  def vacuum(spark: SparkSession, dir: String,
+             retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     val referenced = vs.flatMap(v => readCommit(spark, dir, v).files)
       .map(_.path).toSet
     val dataDir = new Path(dir, "data")
     if (!f.exists(dataDir)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - retentionMs
     val it = f.listFiles(dataDir, true)
     val dead = mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {
@@ -471,7 +905,7 @@ object SnapshotTable {
         // payloads are vacuum candidates
         val name = s.getPath.getName
         if (!referenced.contains(rel) && !name.startsWith(".") &&
-            !name.startsWith("_"))
+            !name.startsWith("_") && s.getModificationTime <= cutoff)
           dead += rel
       }
     }

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{OrcSink, SnapshotTable}
+
+/** End-to-end argv contract for the `table` CLI leg: the snapshot-table
+  * maintenance ops (commit / read@version / merge / compact / vacuum /
+  * changes / versions) reached the way an operator reaches them — through
+  * Cli.run — against real ORC inputs staged by the converter's own sink. */
+class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("clitable").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def df(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"r$i", i * 2.5)).toDF("id", "name", "v")
+
+  private def stageOrc(lo: Long, hi: Long): String = {
+    val base = freshDir()
+    OrcSink.write(df(lo, hi), base, "in")
+    s"$base/in"
+  }
+
+  test("table commit/read/versions round-trip through the argv contract") {
+    val tableDir = freshDir() + "/t"
+    val r0 = Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id")).get
+    assert(r0.successes == 1 && r0.results.head.rows == 100)
+    val r1 = Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(100, 150), "append")).get
+    assert(r1.results.head.rows == 50)
+    assert(r1.results.head.table.endsWith("@v1"))
+
+    // read latest and read@v0 export through the standard conversion job
+    val outLatest = freshDir()
+    val rep = Cli.run(spark, Seq("table", "read", tableDir, outLatest)).get
+    assert(rep.successes == 1)
+    assert(OrcSink.read(spark, s"$outLatest/t").count() == 150)
+    val outV0 = freshDir()
+    Cli.run(spark, Seq("table", "read", tableDir, outV0, "0"))
+    assert(OrcSink.read(spark, s"$outV0/t").count() == 100)
+
+    val vr = Cli.run(spark, Seq("table", "versions", tableDir)).get
+    assert(vr.results.head.rows == 2)
+  }
+
+  test("table merge/compact/changes/vacuum drive the maintenance ops") {
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id")).get
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(100, 130), "append", "id")).get
+
+    // change feed of the append span
+    val outCh = freshDir()
+    Cli.run(spark, Seq("table", "changes", tableDir, "0", outCh)).get
+    assert(OrcSink.read(spark, s"$outCh/t_changes").count() == 30)
+
+    // merge: replace ids 10..19 with v*10
+    val updBase = freshDir()
+    OrcSink.write(df(10, 20).withColumn("v", col("v") * 10), updBase, "upd")
+    val mr = Cli.run(spark,
+      Seq("table", "merge", tableDir, s"$updBase/upd", "id")).get
+    assert(mr.results.head.rows == 130)
+    assert(SnapshotTable.read(spark, tableDir)
+      .filter(col("id") === 15).head().getDouble(2) == 15 * 2.5 * 10)
+
+    // compact to one version, clustered
+    val cr = Cli.run(spark,
+      Seq("table", "compact", tableDir, "64", "id")).get
+    assert(cr.results.head.rows == 130)
+
+    // cluster: both columns exist; the freshly compacted single segment
+    // spans the whole id domain on "v" too, so the op rewrites it, then
+    // no-ops when invoked again
+    val cl = Cli.run(spark,
+      Seq("table", "cluster", tableDir, "id,v", "4")).get
+    assert(cl.results.head.rows == 130)
+    assert(cl.results.head.table.contains("rewrote="))
+
+    // range delete through the argv contract
+    val dl = Cli.run(spark,
+      Seq("table", "delete", tableDir, "id", "120", "129")).get
+    assert(dl.results.head.rows == 10)
+    assert(SnapshotTable.read(spark, tableDir).count() == 120)
+
+    // vacuum: old rewritten files are still referenced by old versions ->
+    // nothing reclaimable even at zero retention
+    val vr = Cli.run(spark, Seq("table", "vacuum", tableDir, "0")).get
+    assert(vr.results.head.rows == 0)
+    assert(SnapshotTable.read(spark, tableDir, Some(0L)).count() == 100)
+
+    // bad op prints table usage and returns None
+    assert(Cli.run(spark, Seq("table", "frobnicate", tableDir)).isEmpty)
+  }
+}

@@ -152,6 +152,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "q1 shipdate filter no longer pushed to the scan")
   }
 
+  test("snapshot-table schema-pinned reads keep ORC filter pushdown") {
+    // schema evolution pins the scan to an explicit merged schema
+    // (spark.read.schema(...).orc) — that path must not cost the
+    // filter/column pushdown a plain orc read gets
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("snapplan").toString
+    val orders = Tables.t(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    graft.sinks.SnapshotTable.commit(spark, orders, dir, "overwrite")
+    graft.sinks.SnapshotTable.commit(spark,
+      orders.withColumn("extra", lit(1L)), dir, "append") // evolved: pinned path
+    val p = graft.sinks.SnapshotTable.read(spark, dir)
+      .filter(col("o_orderkey") === 42L)
+      .select(col("o_orderkey"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(o_orderkey".r.findFirstIn(p).isDefined,
+      "schema-pinned snapshot read lost ORC filter pushdown")
+    assert("ReadSchema: [^\\n]*o_orderkey".r.findFirstIn(p).isDefined &&
+      !"ReadSchema: [^\\n]*o_totalprice".r.findFirstIn(p).isDefined,
+      "schema-pinned snapshot read lost column pruning")
+  }
+
   test("top-k plans use TakeOrderedAndProject, not a global window") {
     for (n <- Seq("text_heavy_hitters", "dedup_minhash_full",
         "q3_top_unshipped_orders")) {

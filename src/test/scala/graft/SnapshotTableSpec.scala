@@ -48,12 +48,27 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // simulate a crashed commit: data files on disk, no log entry
     df(900, 950).write.orc(s"$dir/data/batch-orphan")
     assert(SnapshotTable.read(spark, dir).count() === 50)
-    val dead = SnapshotTable.vacuum(spark, dir)
+    // default retention (7d) treats the fresh residue as a possibly
+    // in-flight commit's staged data — it must survive
+    assert(SnapshotTable.vacuum(spark, dir).isEmpty)
+    val dead = SnapshotTable.vacuum(spark, dir, retentionMs = 0L)
     assert(dead.nonEmpty && dead.forall(_.startsWith("data/batch-orphan")))
     assert(!Files.list(Paths.get(s"$dir/data")).iterator().hasNext ==
       false) // data dir still there
     assert(SnapshotTable.read(spark, dir).count() === 50) // unharmed
-    assert(SnapshotTable.vacuum(spark, dir).isEmpty) // idempotent
+    assert(SnapshotTable.vacuum(spark, dir, retentionMs = 0L).isEmpty) // idempotent
+  }
+
+  test("vacuum never deletes files an in-flight commit just staged") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 50), dir, "overwrite")
+    // a concurrent writer has staged its batch but not yet published:
+    // at scan time these look unreferenced, but deleting them would let
+    // the commit land referencing vanished files
+    df(100, 150).write.orc(s"$dir/data/batch-inflight")
+    // maintenance vacuum under the retention window: staged files live
+    assert(SnapshotTable.vacuum(spark, dir).isEmpty)
+    assert(spark.read.orc(s"$dir/data/batch-inflight").count() === 50)
   }
 
   test("optimistic concurrency: a lost race retries to the next version") {
@@ -186,5 +201,193 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
       SnapshotTable.scanPruned(spark, dir, "id", 10.0, 20.0)
     assert(kept === total)
     assert(pruned.count() === 11)
+  }
+
+  test("concurrent committers: every commit lands exactly once, no lost update") {
+    // POSIX rename OVERWRITES an existing destination, so the old
+    // exists-then-rename publish was a TOCTOU race on local filesystems:
+    // two writers could both believe they won version N and one commit
+    // silently vanished. The put-if-absent publish (link(2)) makes the
+    // winner unique. 8 threads x 3 appends of disjoint row ranges; all
+    // 24 must be present and the version log dense.
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 10), dir, "overwrite")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 8).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = (0 until 3).foreach { i =>
+            val lo = 100 + (w * 3 + i) * 10
+            SnapshotTable.commit(spark, df(lo, lo + 10), dir, "append",
+              maxRetries = 200)
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(SnapshotTable.versions(spark, dir) === (0L to 24L))
+    assert(SnapshotTable.read(spark, dir).count() === 10 + 24 * 10)
+    assert(SnapshotTable.read(spark, dir).select("id").distinct().count()
+      === 10 + 24 * 10)
+  }
+
+  test("read-modify-write commits fail instead of dropping an interleaved commit") {
+    // merge/compact snapshot the file list, then publish an overwrite:
+    // if another commit lands in between, retrying at N+1 would publish
+    // the STALE list and silently drop it. The expectedVersion guard
+    // must throw instead.
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 50), dir, "overwrite")
+    val staleRead = SnapshotTable.currentVersion(spark, dir).get
+    // an append interleaves after the reader snapshotted version 0
+    SnapshotTable.commit(spark, df(50, 60), dir, "append")
+    val e = intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.publish(spark, dir, "overwrite",
+        SnapshotTable.snapshotFiles(spark, dir, Some(staleRead)),
+        maxRetries = 5, expectedVersion = Some(staleRead))
+    }
+    assert(e.getMessage.contains("re-run"))
+    // nothing was lost: the interleaved append is still in the snapshot
+    assert(SnapshotTable.read(spark, dir).count() === 60)
+  }
+
+  test("schema evolution: appends add columns with null-fill; time travel is as-of") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 50), dir, "overwrite")
+    // v1 ADDS a column
+    SnapshotTable.commit(spark,
+      df(50, 80).withColumn("flag", col("id") % 2 === 0), dir, "append")
+    // v2 OMITS columns (narrower writer)
+    SnapshotTable.commit(spark,
+      df(80, 90).select("id", "name"), dir, "append")
+    val full = SnapshotTable.read(spark, dir)
+    assert(full.columns.toSeq === Seq("id", "name", "v", "flag"))
+    assert(full.count() === 90)
+    // old files null-fill the added column; narrow files null-fill "v"
+    assert(full.filter(col("flag").isNull).count() === 60)
+    assert(full.filter(col("v").isNull).count() === 10)
+    assert(full.filter(col("flag") === true).count() === 15)
+    // time travel returns the AS-OF schema — no leaked future columns
+    assert(SnapshotTable.read(spark, dir, Some(0L)).columns.toSeq
+      === Seq("id", "name", "v"))
+    assert(SnapshotTable.read(spark, dir, Some(1L)).columns.toSeq
+      === Seq("id", "name", "v", "flag"))
+    // retyping an existing column is drift, not evolution: fail loudly
+    val err = intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark,
+        df(90, 95).withColumn("v", col("id").cast("string")), dir, "append")
+      SnapshotTable.read(spark, dir)
+    }
+    assert(err.getMessage.contains("schema drift"))
+  }
+
+  test("log checkpoints bound replay: reads survive without pre-checkpoint log files") {
+    val dir = freshDir()
+    // 25 commits -> checkpoints at v10 and v20 (CheckpointEvery = 10)
+    SnapshotTable.commit(spark, df(0, 10), dir, "overwrite")
+    (1 to 24).foreach(i =>
+      SnapshotTable.commit(spark, df(i * 10, i * 10 + 10), dir, "append",
+        txn = Some(("ckpt-producer", i.toLong))))
+    assert(Files.exists(Paths.get(dir, "_log", "ckpt-" + "0" * 18 + "10.json")))
+    assert(Files.exists(Paths.get(dir, "_log", "ckpt-" + "0" * 18 + "20.json")))
+    val full = SnapshotTable.read(spark, dir)
+    assert(full.count() === 250)
+    // time travel BEFORE the first checkpoint still replays the raw log
+    assert(SnapshotTable.read(spark, dir, Some(7L)).count() === 80)
+    // the checkpoint is REALLY used: corrupt every version file at or
+    // below v20 — latest-snapshot reads must not touch them
+    (0 to 20).foreach { i =>
+      Files.write(Paths.get(dir, "_log", f"v$i%020d.json"),
+        "GARBAGE".getBytes)
+    }
+    assert(SnapshotTable.read(spark, dir).count() === 250)
+    assert(SnapshotTable.read(spark, dir, Some(22L)).count() === 230)
+    // txn lookup is checkpoint-seeded too: a replayed (or earlier,
+    // monotonic-producer) sequence no-ops without reading the dead log
+    val vs = SnapshotTable.versions(spark, dir).size
+    SnapshotTable.commit(spark, df(999, 1009), dir, "append",
+      txn = Some(("ckpt-producer", 13L)))
+    assert(SnapshotTable.versions(spark, dir).size === vs)
+    // a NEW sequence still commits
+    SnapshotTable.commit(spark, df(250, 260), dir, "append",
+      txn = Some(("ckpt-producer", 25L)))
+    assert(SnapshotTable.read(spark, dir).count() === 260)
+  }
+
+  test("delete rewrites only overlapping files; nulls and old versions survive") {
+    val dir = freshDir()
+    val withNull = df(0, 100).unionByName(
+      Seq((999L, "nullkey", 1.0)).toDF("id", "name", "v")
+        .withColumn("id", lit(null).cast("long")))
+    SnapshotTable.commit(spark,
+      withNull.repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+    val r = SnapshotTable.delete(spark, dir, "id", 10.0, 19.0)
+    assert(r.rowsDeleted === 10)
+    assert(r.filesCarried >= 2, "non-overlapping range files must carry")
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 91)
+    assert(after.filter(col("id").between(10, 19)).count() === 0)
+    // the null-keyed row is NOT in [10,19] — it must survive the rewrite
+    assert(after.filter(col("id").isNull).count() === 1)
+    // pre-delete version intact until vacuumed
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() === 101)
+    // no matching range: no-op, nothing rewritten
+    val r2 = SnapshotTable.delete(spark, dir, "id", 5000.0, 6000.0)
+    assert(r2.rowsDeleted === 0 && r2.filesRewritten === 0)
+  }
+
+  test("cluster rewrites only poorly-shaped files, is idempotent, restores pruning") {
+    import graft.sinks.OrcSink
+    val dir = freshDir()
+    // two independent dimensions: x in [0,64), y in [0,64)
+    val g = (0 until 4096).map(i =>
+      (i.toLong % 64, i.toLong / 64, i.toLong)).toDF("x", "y", "id")
+    // v0: well-shaped z-ordered segment over the even ids (full domain)
+    SnapshotTable.commit(spark,
+      OrcSink.zOrderFrame(g.filter(col("id") % 2 === 0), Seq("x", "y"),
+        numFiles = 8),
+      dir, "overwrite", statsCols = Seq("x", "y"))
+    // v1: badly-shaped append (hash-shuffled odd ids, every file spans
+    // the whole domain)
+    SnapshotTable.commit(spark,
+      g.filter(col("id") % 2 === 1).repartition(4),
+      dir, "append", statsCols = Seq("x", "y"))
+    val before = SnapshotTable.scanPruned(spark, dir, "x", 4.0, 11.0)
+    val r1 = SnapshotTable.cluster(spark, dir, Seq("x", "y"), numFiles = 8)
+    assert(r1.filesCarried === 8, "z-ordered v0 files must carry")
+    assert(r1.filesRewritten >= 1)
+    // content is unchanged
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 4096)
+    assert(after.select("id").distinct().count() === 4096)
+    // second invocation selects nothing: incremental by construction
+    val r2 = SnapshotTable.cluster(spark, dir, Seq("x", "y"), numFiles = 8)
+    assert(r2.filesRewritten === 0)
+    assert(r2.filesCarried === r1.filesCarried + r1.filesRewritten)
+    // manifest prunability on x improved (the bad files spanned all x).
+    // FRACTION of files kept, not absolute count: the rewrite changes the
+    // total file count, so only the ratio is comparable
+    val (slice, kept, total) = SnapshotTable.scanPruned(spark, dir, "x", 4.0, 11.0)
+    assert(slice.count() === 8 * 64)
+    assert(kept < total)
+    assert(kept.toDouble / total < before._2.toDouble / before._3,
+      "kept-file fraction must improve")
+  }
+
+  test("merge with an updates frame that adds a column evolves the schema") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 100).repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+    val updates = df(10, 20).withColumn("v", col("v") * 10)
+      .withColumn("src", lit("fixup"))
+    val r = SnapshotTable.merge(spark, dir, updates, "id")
+    assert(r.filesCarried > 0) // stabbing still worked
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.columns.toSeq === Seq("id", "name", "v", "src"))
+    assert(after.count() === 100)
+    assert(after.filter(col("src") === "fixup").count() === 10)
+    assert(after.filter(col("src").isNull).count() === 90)
   }
 }
