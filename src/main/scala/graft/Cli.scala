@@ -323,6 +323,12 @@ object Cli {
             r.version)
           rep(s"${name(tableDir)}@v${r.version} rewrote=${r.filesRewritten} " +
             s"carried=${r.filesCarried}", rows, files)
+        // expire <table_dir> <keep_last>
+        case ("expire", tableDir :: keepLast :: Nil) =>
+          val expired = SnapshotTable.expireVersions(spark, tableDir,
+            keepLast.toInt)
+          rep(s"${name(tableDir)} expired=${expired.size}",
+            expired.size.toLong, expired.size)
         // vacuum <table_dir> [retention_hours=168]
         case ("vacuum", tableDir :: rest) if rest.length <= 1 =>
           val retentionMs = rest.headOption.map(_.toLong * 3600 * 1000)
@@ -336,6 +342,12 @@ object Cli {
           Some(ConversionJob.run(
             Seq(s"${name(tableDir)}_changes" -> (() => df)),
             jobConfig(outDir, "snappy")))
+        // sync <src_table_dir> <dst_table_dir> [from_version=-1]
+        case ("sync", srcDir :: dstDir :: rest) if rest.length <= 1 =>
+          val cursor = SnapshotTable.syncAppends(spark, srcDir, dstDir,
+            rest.headOption.map(_.toLong).getOrElse(-1L))
+          val vs = SnapshotTable.versions(spark, dstDir)
+          rep(s"${name(dstDir)} synced@src_v$cursor", vs.size.toLong, vs.size)
         // versions <table_dir> — log listing, no data read
         case ("versions", tableDir :: Nil) =>
           val vs = SnapshotTable.versions(spark, tableDir)
@@ -353,8 +365,10 @@ object Cli {
               |  table delete  <table_dir> <key_col> <lo> <hi>
               |  table compact <table_dir> [target_mb=128] [cluster_by]
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
+              |  table expire  <table_dir> <keep_last>
               |  table vacuum  <table_dir> [retention_hours=168]
               |  table changes <table_dir> <from_version> <output_dir> [to_version]
+              |  table sync    <src_table_dir> <dst_table_dir> [from_version=-1]
               |  table versions <table_dir>""".stripMargin)
           None
       }
@@ -440,7 +454,7 @@ object Cli {
           |  fixedwidth <path> <output_dir> <name:width:type,...> [compression=snappy]
           |  parquet <parquet_path> <output_dir> [compression=snappy]
           |  avro  <avro_path> <output_dir> [compression=snappy]
-          |  table <commit|read|merge|delete|compact|cluster|vacuum|changes|versions> ...
+          |  table <commit|read|merge|delete|compact|cluster|expire|vacuum|changes|sync|versions> ...
           |        (versioned snapshot-table maintenance; `table` alone
           |         prints the per-op argument contract)""".stripMargin)
       None

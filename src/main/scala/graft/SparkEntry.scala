@@ -149,9 +149,10 @@ object SparkEntry {
     // round-11 fifth batch: table maintenance (copy-on-write merge,
     // change feed)
     "conv_table_merge", "conv_table_changes", "stream_table_ingest",
-    // round-12: snapshot-table schema evolution (vacuum's gate mutates
-    // and rebuilds per call — correctness-only, not a timing row)
-    "conv_table_schema_evo")
+    // round-12: snapshot-table schema evolution + exactly-once
+    // table→table sync (vacuum/cluster/delete gates mutate and rebuild
+    // per call — correctness-only, not timing rows)
+    "conv_table_schema_evo", "conv_table_sync")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -1156,6 +1156,77 @@ object ConverterQueries {
         .withColumn("reclaimed_only_orphans", lit(onlyOrphans))
     },
 
+    // History expiry + reclamation — the retention flow that keeps a
+    // versioned table's storage bounded: v2 OVERWRITES the v0/v1
+    // content, expiry keeps only the last two versions (collapse
+    // checkpoint published at the oldest kept first, so the kept tail
+    // replays without the dropped log files), and vacuum then reclaims
+    // the data files only the expired versions referenced. Kept-version
+    // content oracle-replayed; expiry/reclaim tallies and the
+    // expired-version-unreadable verdict pinned.
+    "conv_table_expire" -> { (s, d) =>
+      val base = tmp(d, "snapexpire") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 4 === 0),
+        base, "overwrite")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 4 === 1),
+        base, "append")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 4 === 2),
+        base, "overwrite")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 4 === 3),
+        base, "append")
+      val expired = SnapshotTable.expireVersions(s, base, keepLast = 2)
+      val reclaimed = SnapshotTable.vacuum(s, base, retentionMs = 0L)
+      val v0Gone = scala.util.Try(
+        SnapshotTable.read(s, base, Some(0L)).count()).isFailure
+      val v2 = SnapshotTable.read(s, base, Some(2L))
+        .agg(count(lit(1)).as("n_v2"), sum(col("o_orderkey")).as("k_v2"))
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+        .crossJoin(v2)
+        .withColumn("n_expired", lit(expired.size.toLong))
+        .withColumn("reclaimed_some", lit(reclaimed.nonEmpty))
+        .withColumn("expired_unreadable", lit(v0Gone))
+    },
+
+    // Exactly-once incremental table→table sync off the commit log (the
+    // change feed's standing CONSUMER; pairs with stream_table_ingest's
+    // producer half): every source commit replays into the downstream
+    // table stamped txn=(sync:src, srcVersion), so a full consumer
+    // replay — the crash-restart shape — appends NOTHING (version count
+    // pinned). Downstream content must equal the source table, and the
+    // middle increment is pinned via the downstream change feed.
+    "conv_table_sync" -> { (s, d) =>
+      val src = tmp(d, "snapsync_src")
+      stageOnce(src) {
+        val orders = t(s, d, "orders")
+        SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 0),
+          src, "overwrite")
+        SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 1),
+          src, "append")
+        SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 2),
+          src, "append")
+      }
+      val dst = tmp(d, "snapsync_dst") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dst))
+      val cursor = SnapshotTable.syncAppends(s, src, dst)
+      val vsFirst = SnapshotTable.versions(s, dst).size
+      // crash-restart shape: replay the WHOLE feed from scratch
+      SnapshotTable.syncAppends(s, src, dst)
+      val vsSecond = SnapshotTable.versions(s, dst).size
+      val mid = SnapshotTable.changesSince(s, dst, 0L, Some(1L))
+        .agg(count(lit(1)).as("mid_n"),
+          sum(col("o_orderkey")).as("mid_sum_key"))
+      SnapshotTable.read(s, dst)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .crossJoin(mid)
+        .withColumn("cursor", lit(cursor))
+        .withColumn("n_versions", lit(vsFirst.toLong))
+        .withColumn("replay_noop", lit(vsSecond == vsFirst))
+    },
+
     // Copy-on-write range DELETE on the snapshot table (the GDPR-erasure
     // shape): a key-clustered table loses one key range in one atomic
     // overwrite commit. Only the overlapping files rewrite (manifest
@@ -1719,6 +1790,35 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS guarded_deletes,
         | CAST(2 AS BIGINT) AS reclaimed,
         | TRUE AS reclaimed_only_orphans""".stripMargin,
+
+    // Kept versions (the overwrite and its append tail) replayed from
+    // raw orders; expiry/reclaim verdicts pinned.
+    "conv_table_expire" ->
+      """SELECT
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 IN (2, 3)) AS n,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 4 IN (2, 3)) AS sum_key,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 2) AS n_v2,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 4 = 2) AS k_v2,
+        | CAST(2 AS BIGINT) AS n_expired,
+        | TRUE AS reclaimed_some,
+        | TRUE AS expired_unreadable""".stripMargin,
+
+    // Downstream table content == the full source table; the middle
+    // increment's slice and the exactly-once verdicts pinned.
+    "conv_table_sync" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1) AS mid_n,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders
+        |   WHERE o_orderkey % 3 = 1) AS mid_sum_key,
+        | CAST(2 AS BIGINT) AS cursor,
+        | CAST(3 AS BIGINT) AS n_versions,
+        | TRUE AS replay_noop
+        |FROM orders""".stripMargin,
 
     // Post-delete content = the complement predicate over raw orders;
     // the deleted tally and copy-on-write verdicts pinned.

@@ -262,7 +262,7 @@ object SnapshotTable {
     * files. Published put-if-absent like a commit (idempotent across
     * racing maintenance). */
   private def writeCheckpoint(spark: SparkSession, dir: String,
-                              v: Long): Unit = scala.util.Try {
+                              v: Long): Boolean = scala.util.Try {
     val f = fs(spark, dir)
     if (f.exists(ckptPath(dir, v))) throw new IllegalStateException("exists")
     val base = latestCkpt(f, dir, v)
@@ -317,7 +317,9 @@ object SnapshotTable {
     val out = f.create(tmp, false)
     try out.write(root.toString.getBytes("UTF-8")) finally out.close()
     if (!putIfAbsent(f, tmp, ckptPath(dir, v))) f.delete(tmp, false)
-  }.getOrElse(())
+    f.exists(ckptPath(dir, v))
+  }.getOrElse(
+    scala.util.Try(fs(spark, dir).exists(ckptPath(dir, v))).getOrElse(false))
 
   /** Latest committed version for (appId, seq-or-earlier), if any —
     * the Delta SetTransaction contract for MONOTONIC producer sequences
@@ -872,7 +874,76 @@ object SnapshotTable {
     readFiles(spark, dir, commits.flatMap(_.files), schema)
   }
 
+  /** Incremental table→table sync off the commit log — the downstream
+    * half of the change feed ([[changesSince]] hands a consumer the new
+    * files; this is the standing consumer that applies them). Replays
+    * every source commit after `fromVersion` into `dstDir`: appends copy
+    * only the commit's own files (never rescanning the table), an
+    * upstream overwrite mirrors as an overwrite of the full snapshot.
+    * EXACTLY-ONCE by construction: each applied commit is stamped
+    * `txn = ("sync:" + srcDir, srcVersion)` — source versions are the
+    * monotonic producer sequence, so a crashed-and-restarted consumer
+    * (or a full replay from scratch) re-applies nothing. Returns the new
+    * cursor (the last source version consumed); persist it wherever the
+    * consumer keeps state, or just pass -1 and let the txn stamps
+    * swallow the replays. */
+  def syncAppends(spark: SparkSession, srcDir: String, dstDir: String,
+                  fromVersion: Long = -1L,
+                  statsCols: Seq[String] = Nil): Long = {
+    val vs = versions(spark, srcDir).filter(_ > fromVersion)
+    var cursor = fromVersion
+    vs.foreach { v =>
+      val c = readCommit(spark, srcDir, v)
+      val txn = Some((s"sync:$srcDir", v))
+      if (c.action == "append") {
+        val schema = c.schemaJson.map(j =>
+          DataType.fromJson(j).asInstanceOf[StructType])
+        // an empty append carries no data; skipping it is replay-stable
+        if (c.files.nonEmpty)
+          commit(spark, readFiles(spark, srcDir, c.files, schema), dstDir,
+            "append", statsCols, txn = txn)
+      } else {
+        commit(spark, read(spark, srcDir, Some(v)), dstDir,
+          "overwrite", statsCols, txn = txn)
+      }
+      cursor = v
+    }
+    cursor
+  }
+
   // ---- maintenance -----------------------------------------------------
+
+  /** Expire history: keep only the newest `keepLast` versions readable.
+    * First publishes a checkpoint AT the oldest kept version (so its
+    * replay no longer needs the expired log files — without this an
+    * append-only tail would be unreadable once its base overwrite left),
+    * verifies it landed, then deletes the older version files and
+    * now-obsolete checkpoints. Returns the expired version numbers.
+    *
+    * Data files that ONLY expired versions referenced become
+    * unreferenced; a following [[vacuum]] reclaims them — together the
+    * two are the retention/erasure flow ([[delete]] rewrites the live
+    * snapshot, expire+vacuum then physically destroys the historical
+    * copies once the time-travel window lapses). Txn high-water marks
+    * survive expiry inside the checkpoint, so exactly-once replay
+    * protection outlives the log files that carried the stamps. */
+  def expireVersions(spark: SparkSession, dir: String,
+                     keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val vs = versions(spark, dir)
+    if (vs.size <= keepLast) return Seq.empty
+    val oldestKept = vs.takeRight(keepLast).head
+    val f = fs(spark, dir)
+    require(writeCheckpoint(spark, dir, oldestKept),
+      s"could not publish the collapse checkpoint at v$oldestKept — " +
+        "history NOT expired")
+    val expired = vs.filter(_ < oldestKept)
+    expired.foreach(v =>
+      f.delete(new Path(logDir(dir), f"v$v%020d.json"), false))
+    checkpointVersions(f, dir).filter(_ < oldestKept)
+      .foreach(v => f.delete(ckptPath(dir, v), false))
+    expired
+  }
 
   /** Delete data files referenced by NO committed version — the residue
     * of crashed or lost-race commits. Never touches referenced files, so

@@ -100,6 +100,14 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(vr.results.head.rows == 0)
     assert(SnapshotTable.read(spark, tableDir, Some(0L)).count() == 100)
 
+    // exactly-once downstream sync through the argv contract
+    val dstDir = freshDir() + "/mirror"
+    val s1 = Cli.run(spark, Seq("table", "sync", tableDir, dstDir)).get
+    assert(SnapshotTable.read(spark, dstDir).count() ==
+      SnapshotTable.read(spark, tableDir).count())
+    val s2 = Cli.run(spark, Seq("table", "sync", tableDir, dstDir)).get
+    assert(s2.results.head.rows == s1.results.head.rows, "replay must no-op")
+
     // bad op prints table usage and returns None
     assert(Cli.run(spark, Seq("table", "frobnicate", tableDir)).isEmpty)
   }

@@ -314,6 +314,80 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 260)
   }
 
+  test("a corrupt checkpoint degrades to full replay, never wrong answers") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 10), dir, "overwrite")
+    (1 to 12).foreach(i =>
+      SnapshotTable.commit(spark, df(i * 10, i * 10 + 10), dir, "append"))
+    val ckpt = Paths.get(dir, "_log", "ckpt-" + "0" * 18 + "10.json")
+    assert(Files.exists(ckpt))
+    Files.write(ckpt, "NOT JSON".getBytes)
+    // checkpoints are derived data: unreadable -> raw-log replay, same
+    // answers, and new commits still land
+    assert(SnapshotTable.read(spark, dir).count() === 130)
+    assert(SnapshotTable.read(spark, dir, Some(11L)).count() === 120)
+    SnapshotTable.commit(spark, df(130, 140), dir, "append")
+    assert(SnapshotTable.read(spark, dir).count() === 140)
+  }
+
+  test("syncAppends mirrors a table exactly-once, surviving full replays") {
+    val src = freshDir()
+    val dst = freshDir() + "/t"
+    SnapshotTable.commit(spark, df(0, 50), src, "overwrite")
+    SnapshotTable.commit(spark, df(50, 80), src, "append")
+    val c1 = SnapshotTable.syncAppends(spark, src, dst)
+    assert(c1 === 1L)
+    assert(SnapshotTable.read(spark, dst).count() === 80)
+    // incremental: only the new commit flows
+    SnapshotTable.commit(spark, df(80, 90), src, "append")
+    assert(SnapshotTable.syncAppends(spark, src, dst, fromVersion = c1) === 2L)
+    assert(SnapshotTable.read(spark, dst).count() === 90)
+    val vs = SnapshotTable.versions(spark, dst).size
+    // crash-restart: a full replay from scratch appends nothing
+    SnapshotTable.syncAppends(spark, src, dst)
+    assert(SnapshotTable.versions(spark, dst).size === vs)
+    assert(SnapshotTable.read(spark, dst).count() === 90)
+    // an upstream overwrite mirrors as an overwrite
+    SnapshotTable.commit(spark, df(0, 5), src, "overwrite")
+    SnapshotTable.syncAppends(spark, src, dst)
+    assert(SnapshotTable.read(spark, dst).count() === 5)
+    assert(SnapshotTable.read(spark, dst, Some(0L)).count() === 50) // history kept
+  }
+
+  test("expireVersions collapses history; expired-only files become reclaimable") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 40), dir, "overwrite",
+      txn = Some(("exp-prod", 0L)))
+    SnapshotTable.commit(spark, df(40, 60), dir, "append",
+      txn = Some(("exp-prod", 1L)))
+    SnapshotTable.commit(spark, df(100, 130), dir, "overwrite",
+      txn = Some(("exp-prod", 2L)))
+    SnapshotTable.commit(spark, df(130, 140), dir, "append",
+      txn = Some(("exp-prod", 3L)))
+    // keepLast=2 forces a fresh collapse checkpoint at v2 (none exists:
+    // CheckpointEvery is 10)
+    assert(SnapshotTable.expireVersions(spark, dir, keepLast = 2)
+      === Seq(0L, 1L))
+    assert(SnapshotTable.versions(spark, dir) === Seq(2L, 3L))
+    // kept tail replays correctly from the collapse checkpoint
+    assert(SnapshotTable.read(spark, dir).count() === 40)
+    assert(SnapshotTable.read(spark, dir, Some(2L)).count() === 30)
+    // expired versions are gone, loudly
+    assert(scala.util.Try(
+      SnapshotTable.read(spark, dir, Some(0L))).isFailure)
+    // the v0/v1 data files are referenced by nothing now: vacuum reclaims
+    val reclaimed = SnapshotTable.vacuum(spark, dir, retentionMs = 0L)
+    assert(reclaimed.nonEmpty)
+    assert(SnapshotTable.read(spark, dir).count() === 40) // unharmed
+    // txn protection OUTLIVES the expired log files that carried it
+    val vs = SnapshotTable.versions(spark, dir).size
+    SnapshotTable.commit(spark, df(900, 910), dir, "append",
+      txn = Some(("exp-prod", 1L))) // replay of an expired stamp
+    assert(SnapshotTable.versions(spark, dir).size === vs)
+    // idempotent when nothing to expire
+    assert(SnapshotTable.expireVersions(spark, dir, keepLast = 5).isEmpty)
+  }
+
   test("delete rewrites only overlapping files; nulls and old versions survive") {
     val dir = freshDir()
     val withNull = df(0, 100).unionByName(
