@@ -140,7 +140,12 @@ object Retrieval {
 
     val round1 = bm25TopK(docs, queries, fbDocs, k1, b, idCol, textCol)
     val fb = round1.select(col("query_id"), col(idCol)) // local, tiny
+    // the mining phase drives THREE actions over the token frame (n_docs
+    // count, feedback-tf + candidate-df trees under the expansion
+    // collect) — pin it once instead of re-tokenizing the corpus per
+    // action; released before round 2 (which scans via bm25TopK itself)
     val tok = tokens(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-(query, term) feedback tf: corpus tokens vs broadcast doc set
     val cand = tok.join(broadcast(fb), idCol)
@@ -167,7 +172,7 @@ object Retrieval {
           (col("df_t") + lit(0.5))), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("escore").desc, col("term"))
-    val expansion: Map[Long, Seq[String]] = esc
+    val expansion: Map[Long, Seq[String]] = try esc
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= fbTerms)
       .select(col("query_id"), col("term"), col("rn"))
@@ -175,6 +180,7 @@ object Retrieval {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
       .groupBy(_._1)
       .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    finally tok.unpersist()
 
     val expanded = queries.map { case (i, q) =>
       i -> (q + expansion.getOrElse(i.toLong, Seq.empty)

@@ -105,13 +105,16 @@ object SnapshotTable {
     * "overwrite". `statsCols`: top-level columns to harvest min/max for
     * (pruning candidates). Returns the committed version number.
     *
-    * `txn = Some((appId, seq))` makes the commit IDEMPOTENT per
-    * (appId, seq) — the Delta txnAppId/txnVersion pattern: if any
-    * committed version already carries the pair, the call is a no-op
-    * returning that version. This is what upgrades an at-least-once
-    * producer (a restarted streaming micro-batch, a retried job) to
-    * exactly-once VISIBILITY: the replayed attempt recognizes its own
-    * earlier commit instead of appending twice. */
+    * `txn = Some((appId, seq))` makes the commit IDEMPOTENT for
+    * MONOTONIC producer sequences — the Delta SetTransaction contract:
+    * if the app's recorded high-water sequence is >= `seq`, the call is
+    * a no-op returning the version that set the mark. This is what
+    * upgrades an at-least-once producer (a restarted streaming
+    * micro-batch, a replayed incremental sync) to exactly-once
+    * VISIBILITY: any replayed attempt — the latest or an earlier one —
+    * recognizes it already committed instead of appending twice. Use
+    * naturally increasing sequences (batch ids, source versions); the
+    * high-water mark survives log expiry inside checkpoints. */
   def commit(spark: SparkSession, df: DataFrame, dir: String, mode: String,
              statsCols: Seq[String] = Nil, maxRetries: Int = 20,
              txn: Option[(String, Long)] = None,
@@ -926,7 +929,13 @@ object SnapshotTable {
     * snapshot, expire+vacuum then physically destroys the historical
     * copies once the time-travel window lapses). Txn high-water marks
     * survive expiry inside the checkpoint, so exactly-once replay
-    * protection outlives the log files that carried the stamps. */
+    * protection outlives the log files that carried the stamps.
+    *
+    * Operational discipline mirrors zero-retention vacuum: expire only
+    * versions no reader still time-travels to (a reader holding an
+    * expired version mid-scan loses its log file, like any engine's log
+    * retention) — pick `keepLast` from the deployment's time-travel
+    * window. */
   def expireVersions(spark: SparkSession, dir: String,
                      keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
