@@ -1156,6 +1156,29 @@ object ConverterQueries {
         .withColumn("reclaimed_only_orphans", lit(onlyOrphans))
     },
 
+    // STRING-channel manifest pruning (scanPruned's lexicographic
+    // sibling — date-partition keys, tenant ids, priority classes are
+    // string-typed in real lakes): orders range-clustered on the
+    // priority column, an equality slice plans from footer minStr/maxStr
+    // and drops the provably-dead majority before any I/O. Values
+    // oracle-replayed (correctness never depends on stats); the manifest
+    // row count (zero data reads) must equal the true table count.
+    "conv_table_prune_str" -> { (s, d) =>
+      val base = tmp(d, "snapprunestr")
+      stageOnce(base) {
+        SnapshotTable.commit(s,
+          t(s, d, "orders").repartitionByRange(8, col("o_orderpriority")),
+          base, "overwrite", statsCols = Seq("o_orderpriority"))
+      }
+      val (df, kept, total) = SnapshotTable.scanPrunedString(
+        s, base, "o_orderpriority", "2-HIGH", "2-HIGH")
+      df.agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_manifest", lit(SnapshotTable.rowCount(s, base)))
+        .withColumn("pruned_majority", lit(kept * 2 <= total))
+        .withColumn("nonempty_kept", lit(kept >= 1))
+    },
+
     // History expiry + reclamation — the retention flow that keeps a
     // versioned table's storage bounded: v2 OVERWRITES the v0/v1
     // content, expiry keeps only the last two versions (collapse
@@ -1790,6 +1813,18 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS guarded_deletes,
         | CAST(2 AS BIGINT) AS reclaimed,
         | TRUE AS reclaimed_only_orphans""".stripMargin,
+
+    // Values through the string-pruned scan replayed from raw orders;
+    // pruning verdicts pinned; manifest count == true count.
+    "conv_table_prune_str" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | (SELECT COUNT(*) FROM orders) AS n_manifest,
+        | TRUE AS pruned_majority,
+        | TRUE AS nonempty_kept
+        |FROM orders WHERE o_orderpriority = '2-HIGH'""".stripMargin,
 
     // Kept versions (the overwrite and its append tail) replayed from
     // raw orders; expiry/reclaim verdicts pinned.

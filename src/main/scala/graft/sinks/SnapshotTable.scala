@@ -613,6 +613,37 @@ object SnapshotTable {
     (df, kept.size, files.size)
   }
 
+  /** Snapshot row count from the MANIFEST alone — zero data I/O at any
+    * table size (the planner/monitoring query every table layer answers
+    * from metadata; a 100 TB table's COUNT(*) should not scan 100 TB). */
+  def rowCount(spark: SparkSession, dir: String,
+               version: Option[Long] = None): Long =
+    snapshotFiles(spark, dir, version).map(_.rows).sum
+
+  /** Manifest-pruned STRING range scan — [[scanPruned]]'s lexicographic
+    * sibling, off the footer minStr/maxStr channel (date-partition-style
+    * string keys, URL prefixes, tenant ids). Same conservative contract:
+    * files lacking string stats are kept, the real predicate still
+    * applies, correctness never depends on stats. */
+  def scanPrunedString(spark: SparkSession, dir: String, column: String,
+                       lo: String, hi: String,
+                       version: Option[Long] = None): (DataFrame, Int, Int) = {
+    val files = snapshotFiles(spark, dir, version)
+    val schema = snapshotSchema(spark, dir, version)
+    val kept = files.filter { e =>
+      e.stats.get(column) match {
+        case Some(ColStats(_, _, Some(mn), Some(mx), _)) =>
+          mx >= lo && mn <= hi
+        case _ => true
+      }
+    }
+    val base =
+      if (kept.isEmpty) readFiles(spark, dir, files, schema).where(lit(false))
+      else readFiles(spark, dir, kept, schema)
+    val df = base.where(col(column) >= lo && col(column) <= hi)
+    (df, kept.size, files.size)
+  }
+
   // ---- write-path maintenance: compact / merge / change feed -----------
 
   final case class MergeReport(version: Long, filesRewritten: Int,

@@ -194,6 +194,29 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("string pruning is sound, skips dead files; manifest rowCount is exact") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 200).repartitionByRange(4, col("name")), dir, "overwrite",
+      statsCols = Seq("name"))
+    assert(SnapshotTable.rowCount(spark, dir) === 200)
+    // soundness on an arbitrary lexicographic range
+    val (pruned, kept, total) =
+      SnapshotTable.scanPrunedString(spark, dir, "name", "r10", "r12")
+    val want = SnapshotTable.read(spark, dir)
+      .filter(col("name") >= "r10" && col("name") <= "r12").count()
+    assert(pruned.count() === want && want > 0)
+    assert(kept < total, "a narrow lexicographic slice must skip files")
+    // files without string stats are conservatively kept
+    val dir2 = freshDir()
+    SnapshotTable.commit(spark, df(0, 50), dir2, "overwrite") // no stats
+    val (p2, k2, t2) =
+      SnapshotTable.scanPrunedString(spark, dir2, "name", "r1", "r2")
+    assert(k2 === t2)
+    assert(p2.count() === SnapshotTable.read(spark, dir2)
+      .filter(col("name") >= "r1" && col("name") <= "r2").count())
+  }
+
   test("files without stats for the pruning column are conservatively kept") {
     val dir = freshDir()
     SnapshotTable.commit(spark, df(0, 100), dir, "overwrite") // no stats
