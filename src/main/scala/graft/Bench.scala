@@ -127,6 +127,11 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
+    // the bench-mode marker must not outlive the bench: anything else
+    // running later in this JVM (a verify pass, a test runner) would
+    // silently get the 1-batch bench fixtures instead of the multi-batch
+    // gate fixtures the correctness laws depend on
+    System.clearProperty("graft.bench")
     spark.stop()
     // Re-emit metrics as the FINAL stdout act (after spark.stop's log
     // noise, which goes to stderr but can interleave): the driver parses

@@ -371,6 +371,16 @@ object SnapshotTable {
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
         case _: java.nio.file.NoSuchFileException => false
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // file:// mount without hard-link support (some network/fuse
+          // filesystems): degrade to exists-then-rename. This accepts the
+          // weaker TOCTOU window link(2) exists to close, but a commit
+          // that LANDS beats one that aborts with a leaked tmp file —
+          // and the loser of the narrow race still fails fast at the
+          // next version's put-if-absent.
+          if (f.exists(target)) false // caller reclaims tmp, like EEXIST
+          else f.rename(tmp, target)
       }
     } else f.rename(tmp, target)
 
@@ -519,6 +529,21 @@ object SnapshotTable {
     val from = base.map(_.version).getOrElse(-1L)
     val replay = vs.filter(x => x > from && x <= v)
       .map(readCommit(spark, dir, _))
+    // Completeness guard: with no usable checkpoint the replay is grounded
+    // only if it starts at version 0 or contains an overwrite (which
+    // resets state wholesale). After expireVersions the collapse
+    // checkpoint is LOAD-BEARING for an append-only tail — if it is lost
+    // or corrupt (readCkpt degrades to None), silently accumulating the
+    // surviving appends would return a PARTIAL snapshot; fail loudly
+    // instead, preserving the "a lost checkpoint makes reads slower,
+    // never wrong" contract.
+    if (base.isEmpty && replay.nonEmpty && replay.head.version != 0 &&
+        !replay.exists(_.action == "overwrite"))
+      throw new IllegalStateException(
+        s"snapshot at $dir version $v is not replayable: the log starts " +
+          s"at v${replay.head.version} with only append commits and no " +
+          "readable checkpoint covers the expired prefix — the collapse " +
+          "checkpoint is missing or corrupt")
     val acc = mutable.ArrayBuffer.empty[Commit]
     base.foreach(b => acc += Commit(b.version, "overwrite", b.files,
       None, b.schemaJson))
@@ -683,7 +708,10 @@ object SnapshotTable {
       ranged.exists(_._1 == e.path)).map(_.path).toSet
     val stabbed: Set[String] =
       if (ranged.isEmpty) Set.empty
-      else updates.select(col(keyCol).cast("double").as("_k")).distinct()
+      // try_cast: non-numeric update keys stab nothing (their files carry
+      // no numeric stats and are rewritten via the statless path) instead
+      // of failing the whole merge under ANSI
+      else updates.select(col(keyCol).try_cast("double").as("_k")).distinct()
         .join(broadcast(ranged.toDF("_path", "_mn", "_mx")),
           col("_k") >= col("_mn") && col("_k") <= col("_mx"))
         .select(col("_path")).distinct()
@@ -774,10 +802,16 @@ object SnapshotTable {
     if (touched.isEmpty)
       return DeleteReport(readVersion, 0L, 0, carried.size)
     // null keys are not in [lo, hi] — they must survive (a bare
-    // NOT BETWEEN would three-value-logic them away)
+    // NOT BETWEEN would three-value-logic them away). The null test is on
+    // the CAST value, not the raw column: a non-numeric key (string table
+    // keyed by url, say) casts to NULL, and testing only the raw column
+    // would leave `false || !NULL = NULL` — silently deleting every
+    // non-castable row in every rewritten file. try_cast, not cast: under
+    // ANSI mode a plain cast THROWS on the first malformed key instead of
+    // yielding the NULL this survivor logic depends on.
+    val castKey = col(keyCol).try_cast("double")
     val survivors = readFiles(spark, dir, touched, schema)
-      .filter(col(keyCol).isNull ||
-        !col(keyCol).cast("double").between(lo, hi))
+      .filter(castKey.isNull || !castKey.between(lo, hi))
     val f = fs(spark, dir)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(dir, "data"), batch)
@@ -1000,8 +1034,22 @@ object SnapshotTable {
              retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
-    val referenced = vs.flatMap(v => readCommit(spark, dir, v).files)
-      .map(_.path).toSet
+    // referenced = union over surviving COMMITS and surviving CHECKPOINTS.
+    // After expireVersions the oldest kept version can be an append whose
+    // base files are named ONLY by the collapse checkpoint (its base
+    // overwrite's v*.json is gone) — scanning commits alone would classify
+    // those live files as unreferenced and destroy the current snapshot.
+    // A checkpoint that fails to parse here ABORTS the vacuum rather than
+    // degrading (readCkpt's lenient Option is fine for reads, where a lost
+    // checkpoint only slows replay; for deletion it would widen the dead
+    // set, so corruption must stop the reclaim).
+    val ckptRef = checkpointVersions(f, dir).flatMap { cv =>
+      readCkpt(f, dir, cv).getOrElse(throw new IllegalStateException(
+        s"checkpoint ckpt-$cv at $dir is unreadable — refusing to vacuum " +
+          "(cannot prove which data files it references)")).files
+    }
+    val referenced = (vs.flatMap(v => readCommit(spark, dir, v).files)
+      ++ ckptRef).map(_.path).toSet
     val dataDir = new Path(dir, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - retentionMs

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.scalatest.funsuite.AnyFunSuite
 
 import org.apache.spark.sql.functions._
@@ -470,6 +472,55 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(kept < total)
     assert(kept.toDouble / total < before._2.toDouble / before._3,
       "kept-file fraction must improve")
+  }
+
+  test("vacuum spares files referenced only by the collapse checkpoint " +
+       "(expiry cut at an append tail)") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 40), dir, "overwrite")   // v0
+    SnapshotTable.commit(spark, df(40, 60), dir, "append")     // v1
+    SnapshotTable.commit(spark, df(60, 70), dir, "append")     // v2
+    // oldest kept version (v1) is an APPEND: v0's base files survive only
+    // through the collapse checkpoint at v1 — the r12 vacuum scanned
+    // commits alone and would have destroyed the live base here
+    assert(SnapshotTable.expireVersions(spark, dir, keepLast = 2)
+      === Seq(0L))
+    assert(SnapshotTable.read(spark, dir).count() === 70)
+    val reclaimed = SnapshotTable.vacuum(spark, dir, retentionMs = 0L)
+    assert(reclaimed.isEmpty, s"vacuum deleted LIVE files: $reclaimed")
+    assert(SnapshotTable.read(spark, dir).count() === 70)
+    assert(SnapshotTable.read(spark, dir, Some(1L)).count() === 60)
+    // corrupt the load-bearing checkpoint: reads must fail LOUDLY (a
+    // partial append-only replay would silently drop the base rows),
+    // and vacuum must refuse rather than widen its dead set
+    val ckpt = Files.list(Paths.get(s"$dir/_log")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("ckpt-")).get
+    Files.writeString(ckpt, "{not json")
+    val ex = intercept[IllegalStateException] {
+      SnapshotTable.read(spark, dir).count()
+    }
+    assert(ex.getMessage.contains("checkpoint"))
+    assert(intercept[IllegalStateException] {
+      SnapshotTable.vacuum(spark, dir, retentionMs = 0L)
+    }.getMessage.contains("refusing to vacuum"))
+  }
+
+  test("delete on a non-numeric key keeps rows whose key casts to null") {
+    val dir = freshDir()
+    val docs = Seq(
+      ("https://a.example/1", 1L), ("https://a.example/2", 2L),
+      ("42", 3L), ("7", 4L), ("99", 5L)
+    ).toDF("url", "id")
+    SnapshotTable.commit(spark, docs, dir, "overwrite", statsCols = Seq("url"))
+    // range [40,50] matches only the castable key "42"; the url-shaped
+    // keys cast to NULL — before the fix `!NULL BETWEEN` three-value-
+    // logicked them out of the rewrite, deleting every non-numeric row
+    val r = SnapshotTable.delete(spark, dir, "url", 40.0, 50.0)
+    assert(r.rowsDeleted === 1)
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 4)
+    assert(after.filter(col("url").startsWith("https://")).count() === 2)
+    assert(after.filter(col("url") === "7").count() === 1)
   }
 
   test("merge with an updates frame that adds a column evolves the schema") {
