@@ -128,15 +128,7 @@ object SnapshotTable {
     // columns is evolution and fine — mergeByName only rejects drift)
     if (mode == "append" && currentVersion(spark, dir).nonEmpty)
       snapshotSchema(spark, dir).foreach(mergeByName(_, df.schema))
-    val f = fs(spark, dir)
-    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
-    val batchDir = new Path(new Path(dir, "data"), batch)
-    df.write.mode("overwrite").orc(batchDir.toString)
-    val parts = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
-    val entries = harvest(spark, parts, statsCols)
-      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    val entries = writeBatch(spark, dir, df, statsCols)
     publish(spark, dir, mode, entries, maxRetries, txn,
       Some(df.schema.json), expectedVersion)
   }
@@ -429,6 +421,108 @@ object SnapshotTable {
     }
     throw new IllegalStateException(
       s"snapshot commit to $dir lost ${maxRetries + 1} optimistic races")
+  }
+
+  /** Read-modify-write publish with LOGICAL conflict resolution (the
+    * Delta commit-rebase design). A plain `expectedVersion` publish throws
+    * the moment anything interleaves — correct but operator-hostile: a
+    * nightly compaction losing to one streaming micro-batch would need a
+    * full re-run. Most interleavings are benign: a pure APPEND commutes
+    * with a maintenance rewrite as long as it cannot contain rows the
+    * rewrite logically touched. So on conflict this re-reads the log and
+    * rebases when every interleaved commit is an append whose files pass
+    * `commutes` (checked from manifest stats — zero data I/O): the append's
+    * file entries are CARRIED into the new overwrite alongside the
+    * rewrite's own output, its schema merged in, and the publish retries
+    * against the advanced version. Anything unprovable — an interleaved
+    * overwrite/merge, an append overlapping the touched keys, missing
+    * stats — rethrows, and the caller re-runs against the fresh snapshot.
+    * Equivalent serialization: the rebased rewrite behaves as if it
+    * committed BEFORE the appends it carried, which is exactly the
+    * snapshot it read. */
+  /** Deterministic interleave seam for the conflict specs: runs ONCE
+    * inside the read→publish window (after the rewrite staged its files,
+    * before its first publish attempt), then self-clears. Production code
+    * never sets it. */
+  private[graft] var interleaveForTest: () => Unit = () => ()
+
+  private def publishRebasing(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], schema: Option[StructType],
+      readVersion: Long,
+      commutes: Seq[FileEntry] => Boolean,
+      maxRebases: Int = 5): Long = {
+    val hook = interleaveForTest
+    interleaveForTest = () => ()
+    hook()
+    var expected = readVersion
+    var extra = Seq.empty[FileEntry]
+    var extraSchema: Option[StructType] = schema
+    var rebases = 0
+    while (true) {
+      try {
+        return publish(spark, dir, "overwrite", entries ++ extra,
+          maxRetries = 20, schemaJson = extraSchema.map(_.json),
+          expectedVersion = Some(expected))
+      } catch {
+        case e: java.util.ConcurrentModificationException =>
+          rebases += 1
+          if (rebases > maxRebases) throw e
+          // a rewrite with no recorded schema (pre-evolution table) can't
+          // prove the merged snapshot schema a rebase must record
+          if (schema.isEmpty) throw e
+          val now = currentVersion(spark, dir).getOrElse(throw e)
+          val inter = ((expected + 1) to now)
+            .map(readCommit(spark, dir, _))
+          if (inter.exists(_.action != "append")) throw e
+          val files = inter.flatMap(_.files)
+          if (!commutes(files)) throw e
+          // interleaved appends must carry a recorded schema to prove the
+          // merged snapshot schema; pre-evolution commits rethrow
+          val schemas = inter.map(_.schemaJson)
+          if (schemas.exists(_.isEmpty)) throw e
+          schemas.flatten.foreach { j =>
+            val st = DataType.fromJson(j).asInstanceOf[StructType]
+            extraSchema = Some(extraSchema.map(mergeByName(_, st))
+              .getOrElse(st))
+          }
+          extra ++= files
+          expected = now
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** True when no interleaved-append file can contain a key in any of the
+    * rewrite's touched ranges, proven from manifest [min,max] alone.
+    * Empty files trivially commute; files lacking numeric stats on
+    * `keyCol` cannot be proven clean and fail the check. */
+  private def disjointFromRanges(files: Seq[FileEntry], keyCol: String,
+                                 ranges: Seq[(Double, Double)]): Boolean =
+    files.forall { e =>
+      // null keys commute for both rewrites that use this check: merge's
+      // anti-join never matches a null key and delete always keeps them,
+      // so only the non-null [min,max] must clear the ranges
+      e.rows == 0 || (e.stats.get(keyCol) match {
+        case Some(ColStats(Some(mn), Some(mx), _, _, _)) =>
+          ranges.forall { case (lo, hi) => mx < lo || mn > hi }
+        case Some(ColStats(None, None, _, _, nulls)) => nulls == e.rows
+        case _ => false
+      })
+    }
+
+  /** Stage `df` under a fresh `data/<batch>/` directory (invisible until
+    * a version file names it) and return its harvested manifest entries. */
+  private def writeBatch(spark: SparkSession, dir: String, df: DataFrame,
+                         statsCols: Seq[String]): Seq[FileEntry] = {
+    val f = fs(spark, dir)
+    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
+    val batchDir = new Path(new Path(dir, "data"), batch)
+    df.write.mode("overwrite").orc(batchDir.toString)
+    val parts = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    harvest(spark, parts, statsCols)
+      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
   }
 
   private def commitJson(v: Long, mode: String, entries: Seq[FileEntry],
@@ -725,22 +819,26 @@ object SnapshotTable {
         .join(broadcast(updates.select(col(keyCol)).distinct()),
           Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    val f = fs(spark, dir)
-    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
-    val batchDir = new Path(new Path(dir, "data"), batch)
-    survivors.write.mode("overwrite").orc(batchDir.toString)
-    val parts = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
-    val fresh = harvest(spark, parts, statsCols)
-      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    val fresh = writeBatch(spark, dir, survivors, statsCols)
     // recorded schema must cover the CARRIED files too (survivors alone
     // is just the updates schema when no file was stabbed)
     val outSchema = readSchema.map(mergeByName(_, survivors.schema))
       .getOrElse(survivors.schema)
-    val v = publish(spark, dir, "overwrite", carried ++ fresh,
-      maxRetries = 20, schemaJson = Some(outSchema.json),
-      expectedVersion = Some(readVersion))
+    // conflict resolution: an interleaved append commutes with this merge
+    // iff it cannot contain any updated key — proven from the append's
+    // manifest [min,max] against the updates' key envelope (one bounded
+    // agg, no key collect). An undefined envelope (no castable key) can't
+    // prove anything, so those merges never rebase.
+    val env = updates.agg(
+      org.apache.spark.sql.functions.min(col(keyCol).try_cast("double")),
+      org.apache.spark.sql.functions.max(col(keyCol).try_cast("double")))
+      .head()
+    val commutes: Seq[FileEntry] => Boolean =
+      if (env.isNullAt(0)) _ => false
+      else disjointFromRanges(_, keyCol,
+        Seq((env.getDouble(0), env.getDouble(1))))
+    val v = publishRebasing(spark, dir, carried ++ fresh, Some(outSchema),
+      readVersion, commutes)
     MergeReport(v, fresh.size, carried.size)
   }
 
@@ -768,8 +866,12 @@ object SnapshotTable {
       case Some(c) => df.repartitionByRange(n, col(c))
       case None => df.repartition(n)
     }
-    commit(spark, packed, dir, "overwrite", statsCols,
-      expectedVersion = Some(readVersion))
+    val fresh = writeBatch(spark, dir, packed, statsCols)
+    // compaction rewrites the read snapshot's rows only, so EVERY
+    // interleaved append commutes: its files carry into the new version
+    // and get bin-packed by the next maintenance pass
+    publishRebasing(spark, dir, fresh, Some(packed.schema), readVersion,
+      _ => true)
   }
 
   final case class DeleteReport(version: Long, rowsDeleted: Long,
@@ -812,19 +914,12 @@ object SnapshotTable {
     val castKey = col(keyCol).try_cast("double")
     val survivors = readFiles(spark, dir, touched, schema)
       .filter(castKey.isNull || !castKey.between(lo, hi))
-    val f = fs(spark, dir)
-    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
-    val batchDir = new Path(new Path(dir, "data"), batch)
-    survivors.write.mode("overwrite").orc(batchDir.toString)
-    val parts = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
-    val fresh = harvest(spark, parts,
+    val fresh = writeBatch(spark, dir, survivors,
       if (statsCols.nonEmpty) statsCols else Seq(keyCol))
-      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
-    val v = publish(spark, dir, "overwrite", carried ++ fresh,
-      maxRetries = 20, schemaJson = schema.map(_.json),
-      expectedVersion = Some(readVersion))
+    // an interleaved append commutes iff it provably holds no key in the
+    // deleted range (the rebased delete then serializes BEFORE it)
+    val v = publishRebasing(spark, dir, carried ++ fresh, schema,
+      readVersion, disjointFromRanges(_, keyCol, Seq((lo, hi))))
     DeleteReport(v, touched.map(_.rows).sum - fresh.map(_.rows).sum,
       fresh.size, carried.size)
   }
@@ -901,19 +996,13 @@ object SnapshotTable {
     val schema = snapshotSchema(spark, dir, Some(readVersion))
     val relaid = OrcSink.zOrderFrame(
       readFiles(spark, dir, touched, schema), zCols, bits, n)
-    val f = fs(spark, dir)
-    val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
-    val batchDir = new Path(new Path(dir, "data"), batch)
-    relaid.write.mode("overwrite").orc(batchDir.toString)
-    val parts = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
-    val fresh = harvest(spark, parts,
+    val fresh = writeBatch(spark, dir, relaid,
       if (statsCols.nonEmpty) statsCols else zCols)
-      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
-    val v = publish(spark, dir, "overwrite", carried ++ fresh,
-      maxRetries = 20, schemaJson = schema.map(_.json),
-      expectedVersion = Some(readVersion))
+    // clustering rewrites the read snapshot's poorly-shaped files only;
+    // every interleaved append commutes (it just rides unclustered until
+    // the next maintenance pass scores it)
+    val v = publishRebasing(spark, dir, carried ++ fresh, schema,
+      readVersion, _ => true)
     ClusterReport(v, fresh.size, carried.size)
   }
 

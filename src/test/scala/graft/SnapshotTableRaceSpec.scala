@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotTable
+
+/** Real-thread interleaving laws for the snapshot-table commit protocol.
+  * [[SnapshotTableSpec]] proves each property on DETERMINISTIC schedules
+  * (the interleave seam); this spec races N writer threads — appenders,
+  * mergers, a compactor, a vacuum — against one table on a seeded random
+  * schedule and asserts the protocol's global invariants:
+  *
+  *   - the version history is GAP-FREE (put-if-absent admits exactly one
+  *     winner per version; losers retry at N+1, never skip);
+  *   - every committed version's manifest references only files that
+  *     exist on disk (no commit ever lands naming vanished data);
+  *   - no LOST UPDATE: every append's rows and every merge's bump are in
+  *     the final snapshot exactly once — a merge that could not rebase
+  *     surfaced as ConcurrentModificationException and re-ran, it never
+  *     silently dropped an interleaved commit;
+  *   - a concurrent vacuum (default retention) reclaims nothing live.
+  */
+class SnapshotTableRaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("snaprace").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def df(lo: Long, hi: Long) =
+    (lo until hi).map(i => (i, s"r$i", i * 2.5)).toDF("id", "name", "v")
+
+  test("racing appenders, mergers, compactor and vacuum keep every invariant") {
+    val dir = freshDir()
+    val seed = 20260815L
+    SnapshotTable.commit(spark,
+      df(0, 1000).repartitionByRange(8, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+
+    val nAppenders = 4
+    val appendsPer = 4
+    val rowsPer = 20
+    val cmeCount = new AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(8)
+
+    def submit(name: String)(body: java.util.Random => Unit): Unit = {
+      val rnd = new java.util.Random(seed ^ name.hashCode.toLong)
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try body(rnd)
+          catch { case t: Throwable => errors.add(t) }
+        }
+      })
+    }
+
+    // appenders: thread t appends its own disjoint key blocks >= 10000 —
+    // provably outside every merger's envelope, so maintenance rebases
+    // over them instead of re-running
+    (0 until nAppenders).foreach { t =>
+      submit(s"append-$t") { rnd =>
+        (0 until appendsPer).foreach { j =>
+          val base = 10000L * (t + 1) + j * 100L
+          Thread.sleep(rnd.nextInt(30).toLong)
+          SnapshotTable.commit(spark, df(base, base + rowsPer), dir,
+            "append", statsCols = Seq("id"))
+        }
+      }
+    }
+    // mergers: bump v *10 on disjoint base slices; a merge losing to
+    // another overwrite (merge/compact) throws CME and re-runs against
+    // the fresh snapshot — the bump must still apply EXACTLY once
+    (0 until 2).foreach { m =>
+      submit(s"merge-$m") { rnd =>
+        val lo = m * 100L
+        val updates = df(lo, lo + 50).withColumn("v", col("v") * 10)
+        var done = false
+        var tries = 0
+        while (!done && tries < 30) {
+          tries += 1
+          Thread.sleep(rnd.nextInt(40).toLong)
+          try { SnapshotTable.merge(spark, dir, updates, "id"); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              cmeCount.incrementAndGet()
+          }
+        }
+        assert(done, s"merger $m never landed in $tries tries")
+      }
+    }
+    // compactor: two passes; rebases over appends, re-runs on merges
+    submit("compact") { rnd =>
+      (0 until 2).foreach { _ =>
+        var done = false
+        var tries = 0
+        while (!done && tries < 30) {
+          tries += 1
+          Thread.sleep(rnd.nextInt(60).toLong)
+          try { SnapshotTable.compact(spark, dir); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              cmeCount.incrementAndGet()
+          }
+        }
+        assert(done, "compactor never landed")
+      }
+    }
+    // vacuum under default retention: must reclaim nothing while writers
+    // are staging (their unpublished batches look unreferenced)
+    submit("vacuum") { rnd =>
+      (0 until 3).foreach { _ =>
+        Thread.sleep(rnd.nextInt(80).toLong)
+        assert(SnapshotTable.vacuum(spark, dir).isEmpty)
+      }
+    }
+
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "race timed out")
+    assert(errors.isEmpty, s"writer died: ${errors.peek()}")
+
+    // 1) gap-free history
+    val vs = SnapshotTable.versions(spark, dir)
+    assert(vs === (0L to vs.last), s"version gaps: $vs")
+    // expected commit count: base + appends + merges + compactions all
+    // landed exactly once (no version skipped, none double-published)
+    assert(vs.size === 1 + nAppenders * appendsPer + 2 + 2)
+
+    // 2) every version's manifest references only existing files
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vs.foreach { v =>
+      SnapshotTable.snapshotFiles(spark, dir, Some(v)).foreach { e =>
+        assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/${e.path}")),
+          s"v$v references missing file ${e.path}")
+      }
+    }
+
+    // 3) no lost update, merges applied exactly once
+    val after = SnapshotTable.read(spark, dir)
+    val expectRows = 1000 + nAppenders * appendsPer * rowsPer
+    assert(after.count() === expectRows)
+    assert(SnapshotTable.rowCount(spark, dir) === expectRows)
+    (0 until 2).foreach { m =>
+      val lo = m * 100L
+      val bumped = after.filter(col("id") >= lo && col("id") < lo + 50)
+      assert(bumped.count() === 50)
+      // v = id * 2.5 * 10 exactly — a double-applied merge would be *100
+      assert(bumped.filter(col("v") =!= col("id") * 25.0).count() === 0,
+        s"merger $m applied zero or multiple times")
+    }
+    // untouched base rows unchanged
+    assert(after.filter(col("id") >= 200 && col("id") < 1000 &&
+      col("v") =!= col("id") * 2.5).count() === 0)
+    // appended rows all present exactly once
+    assert(after.filter(col("id") >= 10000).select("id").distinct().count()
+      === nAppenders.toLong * appendsPer * rowsPer)
+  }
+}

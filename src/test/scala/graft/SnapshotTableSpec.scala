@@ -523,6 +523,89 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(after.filter(col("url") === "7").count() === 1)
   }
 
+  test("compact rebases over an interleaved append instead of throwing") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 100).repartition(8), dir, "overwrite",
+      statsCols = Seq("id"))
+    // the append lands inside compact's read->publish window
+    SnapshotTable.interleaveForTest = () =>
+      SnapshotTable.commit(spark, df(100, 110), dir, "append",
+        statsCols = Seq("id"))
+    val v = SnapshotTable.compact(spark, dir)
+    // both the compaction AND the interleaved append are in the snapshot
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 110)
+    assert(after.filter(col("id") >= 100).count() === 10)
+    // the rebased overwrite carried the append's files byte-identical:
+    // its rows live in files OUTSIDE the compaction's own batch
+    val (_, nFiles, rows) = SnapshotTable.commitStats(spark, dir, v)
+    assert(rows === 110)
+    assert(nFiles >= 2, "append files must be carried, not re-read")
+  }
+
+  test("merge rebases over a DISJOINT interleaved append; no lost update") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 100).repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+    SnapshotTable.interleaveForTest = () =>
+      SnapshotTable.commit(spark, df(500, 510), dir, "append",
+        statsCols = Seq("id"))
+    // update keys 10..19: envelope [10,19] provably clears [500,509]
+    val r = SnapshotTable.merge(spark, dir,
+      df(10, 20).withColumn("v", col("v") * 100), "id")
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 110)
+    assert(after.filter(col("id") === 15 && col("v") === 15 * 2.5 * 100)
+      .count() === 1, "the merge's update must have applied")
+    assert(after.filter(col("id") >= 500).count() === 10,
+      "the interleaved append must not be lost")
+    assert(r.version === SnapshotTable.currentVersion(spark, dir).get)
+  }
+
+  test("merge still throws when the interleaved append overlaps its keys") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 100).repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+    SnapshotTable.interleaveForTest = () =>
+      SnapshotTable.commit(spark, df(15, 18), dir, "append",
+        statsCols = Seq("id"))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.merge(spark, dir,
+        df(10, 20).withColumn("v", col("v") * 100), "id")
+    }
+    // nothing lost: the append is visible, the merge did NOT apply
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 103)
+    assert(after.filter(col("v") === 15 * 2.5 * 100).count() === 0)
+  }
+
+  test("delete rebases over a disjoint append, throws on an overlapping one") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 100).repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+    SnapshotTable.interleaveForTest = () =>
+      SnapshotTable.commit(spark, df(200, 210), dir, "append",
+        statsCols = Seq("id"))
+    val r = SnapshotTable.delete(spark, dir, "id", 10.0, 19.0)
+    assert(r.rowsDeleted === 10)
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 100) // 100 - 10 deleted + 10 appended
+    assert(after.filter(col("id").between(10, 19)).count() === 0)
+    assert(after.filter(col("id") >= 200).count() === 10)
+    // overlapping interleave: the appended rows ARE in the deleted range,
+    // carrying them would resurrect deleted keys — must throw
+    SnapshotTable.interleaveForTest = () =>
+      SnapshotTable.commit(spark, df(30, 32), dir, "append",
+        statsCols = Seq("id"))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.delete(spark, dir, "id", 25.0, 40.0)
+    }
+    assert(SnapshotTable.read(spark, dir).count() === 102)
+  }
+
   test("merge with an updates frame that adds a column evolves the schema") {
     val dir = freshDir()
     SnapshotTable.commit(spark,
