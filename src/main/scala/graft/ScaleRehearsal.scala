@@ -472,12 +472,15 @@ object ScaleRehearsal {
       // round-10: prefix-slice shortlist + exact re-rank — one corpus
       // scan, no index; cost and recall must track the PCA tier's
       "ann_truncated" -> (() => annFrames(d)("ann_truncated")().count()),
-      // fuzzy edit-distance join over 24-char doc prefixes: the q-gram
-      // prefix filter bounds candidates by rare-gram co-occurrence, so
-      // growth must track the inverted-index build (linear scan +
-      // gram-keyed exchange), never the all-pairs square. Replica
-      // rotation keeps within-replica near-identical prefixes pairable
-      // at sf1 (real work, not an empty result).
+      // fuzzy edit-distance join over 24-char doc prefixes. maxDist=1
+      // dispatches to the pigeonhole half-key route (r13): candidates by
+      // EXACT match on half-string keys, so growth tracks the linear
+      // scan + one key-equi-join, never the all-pairs square — and the
+      // result is exact at every sf. (The old q-gram route's maxDf=1000
+      // recall cap silently dropped 84% of true pairs at sf1 — 1344 of
+      // 8228 — the scale-revealed dial decay this rung exists to catch;
+      // the half-key route has no recall dial.) Replica rotation keeps
+      // within-replica near-identical prefixes pairable at sf1.
       "dedup_fuzzy_prefix" -> (() =>
         Dedup.editDistancePairs(
           t(spark, d, "documents")

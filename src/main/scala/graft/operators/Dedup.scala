@@ -1034,25 +1034,87 @@ object Dedup {
     * those leave the index entirely (the documented recall dial; at the
     * gate dials nothing is dropped and the output equals exact all-pairs).
     *
-    * Output: (a_id, b_id, dist), a_id < b_id, dist <= maxDist. */
+    * Output: (a_id, b_id, dist), a_id < b_id, dist <= maxDist.
+    *
+    * `maxDist == 1` (the common near-dup dial) takes the PARTITION route
+    * instead ([[halfKeyPairsDist1]] — the PassJoin/pigeonhole signature,
+    * Li et al. VLDB'11): candidates by EXACT match on half-string keys,
+    * which are orders of magnitude more selective than shared 2-grams
+    * (a 24-char prefix corpus shares hot bigrams at df≈maxDf, paying a
+    * ~75M-pair candidate join; exact 12-char halves bucket only true
+    * near-dups). That route is exact and complete, so `q`/`maxDf` are
+    * ignored — there is no recall dial to misconfigure. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int, q: Int = 2,
                         maxDf: Long = 1000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
+    if (maxDist == 1) return halfKeyPairsDist1(df, idCol, strCol)
     val pre = q * maxDist + 1
     val s = gramArrays(df, idCol, strCol, q, sentinelBelow = pre)
     val prefix = gramPrefix(s, pre, maxDf, q)
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    // the length band sits IN the join condition: pairs that no edit
+    // sequence of length maxDist could relate (each edit moves length by
+    // at most 1) die before the distinct and never reach the verifier —
+    // on prefix-sliced corpora this is the dominant candidate killer
+    // (r12 measured the post-join length filter discarding most of the
+    // candidate volume AFTER paying its shuffle)
+    prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= maxDist)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.s").as("a_s"), col("b.s").as("b_s"))
       .distinct()
-    cand
-      .join(s.select(col("id").as("a_id"), col("s").as("a_s")), Seq("a_id"))
-      .join(s.select(col("id").as("b_id"), col("s").as("b_s")), Seq("b_id"))
-      .filter(abs(length(col("a_s")) - length(col("b_s"))) <= maxDist)
       .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
       .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
+  }
+
+  /** All pairs within Levenshtein distance 1 by the PIGEONHOLE partition
+    * signature (the PassJoin idea specialized to one edit). Complete, not
+    * heuristic: a single edit at position p leaves either the prefix
+    * before it or the suffix after it untouched, so for any pair (a, b)
+    * with ed <= 1 and F = floor(min(|a|,|b|) / 2):
+    *
+    *   - edit at p >= F  -> a and b share their first F characters
+    *     exactly (nothing before p moved);
+    *   - edit at p <  F  -> they share their last F characters exactly
+    *     (the surviving suffix has length >= min - F >= F).
+    *
+    * Neither side knows its partner's length, but ed <= 1 bounds it to
+    * len +- 1, so min(|a|,|b|) is len-1 or len and F takes one of TWO
+    * values per string: floor((len-1)/2) and floor(len/2). Each string
+    * therefore emits at most 4 keys — (prefix|suffix, F, text) — and
+    * candidates come from an EXACT equi-join on the key, length-banded
+    * in the join condition; the codegen'd `levenshtein` verifies the
+    * bounded survivor set. Equal strings meet on their prefix key.
+    * No frequency statistics, no recall dial: selectivity comes from
+    * half-length exact match, which only true near-dups can pass. */
+  private def halfKeyPairsDist1(df: DataFrame, idCol: String,
+                                strCol: String): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull)
+    def key(kind: String, f: Column, text: Column): Column =
+      concat(lit(kind), lit(":"), f.cast("string"), lit(":"), text)
+    val f1 = floor((length(col("s")) - 1) / 2)
+    val f2 = floor(length(col("s")) / 2)
+    val keyed = s.select(col("id"), col("s"),
+      explode(array_distinct(array(
+        key("p", f1, expr("substring(s, 1, cast(floor((length(s)-1)/2) as int))")),
+        key("p", f2, expr("substring(s, 1, cast(floor(length(s)/2) as int))")),
+        key("x", f1, expr(
+          "substring(s, length(s) - cast(floor((length(s)-1)/2) as int) + 1)")),
+        key("x", f2, expr(
+          "substring(s, length(s) - cast(floor(length(s)/2) as int) + 1)"))
+      ))).as("k"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
+          abs(length(col("a.s")) - length(col("b.s"))) <= 1)
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.s").as("a_s"), col("b.s").as("b_s"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("a_s"), col("b_s")))
+      .filter(col("dist") <= 1)
       .select(col("a_id"), col("b_id"), col("dist").cast("long").as("dist"))
   }
 
@@ -1121,7 +1183,7 @@ object Dedup {
                          q: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sentinel = "\u0001" * (q + 1)
-    val grams = s.select(col("id"), explode(col("grams")).as("g"))
+    val grams = s.select(col("id"), col("s"), explode(col("grams")).as("g"))
     val dfreq = grams.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
     val kept =
       if (maxDf <= 0) grams.join(dfreq, Seq("g"))
@@ -1132,7 +1194,10 @@ object Dedup {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("gdf"), col("g"))))
       .filter(col("rk") <= pre)
-      .select(col("g"), col("id"))
+      // the string rides along (pre copies, each a short key/prefix):
+      // candidate joins then length-band-filter AND verify without ever
+      // joining back to the corpus — two whole shuffles gone
+      .select(col("g"), col("id"), col("s"))
   }
 
   /** Build a STANDING edit-distance index over the corpus: every distinct
@@ -1191,14 +1256,15 @@ object Dedup {
     val pre = q * maxDist + 1
     val b = gramArrays(batch, idCol, strCol, q, sentinelBelow = pre)
     val prefix = gramPrefix(b, pre, maxDf, q)
+    // batch strings ride in the prefix rows: the length band applies at
+    // the bucketed gram join (before the distinct) and the verify needs
+    // no join back to the batch
     prefix.as("x")
-      .join(spark.table(table).as("y"), col("x.g") === col("y.g"))
+      .join(spark.table(table).as("y"), col("x.g") === col("y.g") &&
+        abs(length(col("x.s")) - length(col("y.s"))) <= maxDist)
       .select(col("x.id").as("batch_id"), col("y.id").as("corpus_id"),
-        col("y.s").as("c_s"))
+        col("x.s").as("b_s"), col("y.s").as("c_s"))
       .distinct()
-      .join(b.select(col("id").as("batch_id"), col("s").as("b_s")),
-        Seq("batch_id"))
-      .filter(abs(length(col("b_s")) - length(col("c_s"))) <= maxDist)
       .withColumn("dist", levenshtein(col("b_s"), col("c_s")))
       .filter(col("dist") <= maxDist)
       .select(col("batch_id"), col("corpus_id"),

@@ -55,6 +55,30 @@ class EditDistanceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
   }
 
+  test("half-key partition route (maxDist=1) equals brute force on random edits") {
+    // the d=1 dispatch is a different algorithm (pigeonhole half keys,
+    // no gram index) — fuzz it against brute force over seeded random
+    // strings with random substitutions/inserts/deletes at random
+    // positions, plus length edge cases (empty, 1-char, 2-char)
+    val rnd = new scala.util.Random(20260815L)
+    val alpha = "abcde"
+    def randStr(n: Int) =
+      (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val bases = (0 until 40).map(_ => randStr(1 + rnd.nextInt(24)))
+    val mutated = bases.flatMap { b =>
+      val p = rnd.nextInt(b.length)
+      val c = alpha(rnd.nextInt(alpha.length)).toString
+      Seq(
+        b.updated(p, c.head),                       // substitution
+        b.substring(0, p) + c + b.substring(p),     // insert
+        if (b.length > 1) b.substring(0, p) + b.substring(p + 1) else b)
+    }
+    val edge = Seq("", "a", "b", "ab", "ba", "", "a")
+    val rows = (bases ++ mutated ++ edge).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    assert(run(rows, 1, parts = 7) === bruteForce(rows, 1))
+  }
+
   test("output is partitioning-invariant") {
     assert(run(typos, 2, parts = 7) === run(typos, 2))
   }
