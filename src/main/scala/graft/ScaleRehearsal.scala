@@ -292,6 +292,19 @@ object ScaleRehearsal {
           "embedding", queryIds = _ < 10, k = 5,
           centroids = ivfCentroids(d), codebooks = pqCodebooks(d),
           nProbe = 4, shortlist = pqShortlist(d))),
+      // r13 refine tier (gate dials): 20%-of-corpus ADC shortlist
+      // (floor 400) into the exact rescore; all cells probed when the
+      // shortlist would cover half the corpus (the gate's degradation
+      // rule). Holds a TIGHTER recall verdict (eps 0.005) than the 3%
+      // serve tier — the cost/quality step the refine stage buys.
+      "ann_ivf_pq_refine" -> (() => {
+        val n = nVecs(d)
+        val sl = math.max(400L, n * 20 / 100).toInt
+        val np = if (2L * sl >= n) 16 else 8
+        Similarity.ivfTopKPq(t(spark, d, "embeddings"), "vec_id",
+          "embedding", queryIds = _ < 10, k = 5, nCentroids = 16,
+          nProbe = np, m = 8, ksub = 32, shortlist = sl)
+      }),
       "ann_pca_serve" -> (() => {
         val (mean, comps) = pcaProj(d)
         Similarity.pcaTopKServe(t(spark, d, "embeddings"), "vec_id",
@@ -472,6 +485,11 @@ object ScaleRehearsal {
       // round-10: prefix-slice shortlist + exact re-rank — one corpus
       // scan, no index; cost and recall must track the PCA tier's
       "ann_truncated" -> (() => annFrames(d)("ann_truncated")().count()),
+      // r13: IVFADC deep-refine tier — 20% ADC shortlist + exact rescore;
+      // cost must track the probed-cell ADC scan plus a 20%-of-corpus
+      // float re-rank, recall must hold eps=0.005 at every rung
+      "ann_ivf_pq_refine" -> (() =>
+        annFrames(d)("ann_ivf_pq_refine")().count()),
       // fuzzy edit-distance join over 24-char doc prefixes. maxDist=1
       // dispatches to the pigeonhole half-key route (r13): candidates by
       // EXACT match on half-string keys, so growth tracks the linear
@@ -798,6 +816,7 @@ object ScaleRehearsal {
     // the timed windows (timings above are already settled).
     val annEps = Map("ann_ivf_topk" -> 0.02, "ann_ivf_int8_topk" -> 0.02,
       "ann_ivf_pq" -> 0.02, "ann_ivf_pq_serve" -> 0.02,
+      "ann_ivf_pq_refine" -> 0.005, // r13: the refine tier's whole point
       "ann_pca_serve" -> 0.05, "ann_truncated" -> 0.05)
     val recallFloor = 0.80
     val exactKth = scala.collection.mutable.Map.empty[String, Map[Long, Double]]

@@ -89,6 +89,7 @@ object SparkEntry {
     "ann_ivf_topk", "ann_ivf_topk_engine", "ann_ivf_index_serve",
     "ann_ivf_int8_topk", "ann_ivf_int8_topk_engine", "ann_ivf_int8_serve",
     "ann_ivf_pq_topk", "ann_ivf_pq_topk_engine", "ann_ivf_pq_serve",
+    "ann_ivf_pq_refine",
     "dedup_semdedup", "dedup_semdedup_engine",
     "multimodal_decode", "multimodal_decode_jpeg", "multimodal_decode_gif",
     "multimodal_dhash_pairs",
