@@ -923,6 +923,82 @@ object ScaleRehearsal {
     val tripped = tripNoCap.rows > 10L * math.max(tripDefault.rows, 1L) ||
       tripNoCap.shuffleMB > skewShufCeil * math.max(tripDefault.shuffleMB, shufFloorMB)
 
+    // ---- table_manifest: many-files manifest scaling (r13: VERDICT r12
+    // item 1). The snapshot table's planning path is a driver-held JSON
+    // manifest (per-commit file entries + collapsed replay checkpoints).
+    // This probe grows FILE COUNT 10x at constant per-commit data — 10 vs
+    // 100 commits x 100 files each over the sf0.1 documents ids — and
+    // pins ceilings on every manifest-bound operation: per-commit cost
+    // (including the every-10th-commit checkpoint, whose size grows with
+    // the table), raw log replay, full-read planning, pruned-scan
+    // planning, and the zero-I/O manifest row count. Each must scale at
+    // worst ~linearly in #files (ceiling 15x on the 10x step; a
+    // quadratic replay — e.g. re-reading every old commit per commit —
+    // would land ~100x), with absolute floors soaking sub-quarter-second
+    // noise. Pruned-file EXACTNESS at 10k files is require()d: planning
+    // must keep precisely the probed commit's 100 files from the
+    // manifest alone. The largest checkpoint's byte size is recorded as
+    // the driver-held-manifest footprint (the Delta-parquet-checkpoint
+    // migration trigger if it ever bends).
+    def manifestRung(commits: Int, filesPer: Int): Map[String, Double] = {
+      val dir = s"/tmp/graft_scale_manifest/c$commits"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      val ids = t(spark, sf01, "documents").select(col("doc_id"))
+      val n = ids.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val rows = ids.count()
+      def secsOf[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, commitSecs) = secsOf {
+        (0 until commits).foreach { c =>
+          graft.sinks.SnapshotTable.commit(spark,
+            ids.select((col("doc_id") + lit(c.toLong * n)).as("doc_id"))
+              .coalesce(1).repartition(filesPer),
+            dir, if (c == 0) "overwrite" else "append",
+            statsCols = Seq("doc_id"))
+        }
+      }
+      val (files, replaySecs) =
+        secsOf(graft.sinks.SnapshotTable.snapshotFiles(spark, dir).size)
+      require(files == commits * filesPer,
+        s"manifest rung: expected ${commits * filesPer} files, got $files")
+      val (total, readSecs) =
+        secsOf(graft.sinks.SnapshotTable.read(spark, dir).count())
+      require(total == commits * rows, s"read $total != ${commits * rows}")
+      val c = commits / 2 // a mid-table commit's disjoint id block
+      val (pruned, pruneSecs) = secsOf {
+        val (df, kept, tot) = graft.sinks.SnapshotTable.scanPruned(spark,
+          dir, "doc_id", (c.toLong * n).toDouble,
+          (c.toLong * n + n - 1).toDouble)
+        (df.count(), kept, tot)
+      }
+      require(pruned == ((rows, filesPer, commits * filesPer)),
+        s"pruned scan (rows, kept, total) = $pruned")
+      val (mrows, rcSecs) =
+        secsOf(graft.sinks.SnapshotTable.rowCount(spark, dir))
+      require(mrows == commits * rows, s"rowCount $mrows")
+      Map("commit_per" -> commitSecs / commits, "replay" -> replaySecs,
+        "read" -> readSecs, "prune" -> pruneSecs, "rowcount" -> rcSecs)
+    }
+    val man1 = manifestRung(10, 100)
+    val man10 = manifestRung(100, 100)
+    val manCkptBytes = {
+      val ld = new java.io.File("/tmp/graft_scale_manifest/c100/_log")
+      ld.listFiles().filter(_.getName.startsWith("ckpt-"))
+        .map(_.length).maxOption.getOrElse(0L)
+    }
+    val manCeil = 15.0
+    val manFloorS = 0.25
+    val manKeys = Seq("commit_per", "replay", "read", "prune", "rowcount")
+    val manRatios = manKeys.map(k =>
+      k -> (if (man1(k) > 0) man10(k) / man1(k) else 0.0)).toMap
+    val manOk = manKeys.forall(k =>
+      manRatios(k) <= manCeil || man10(k) <= manFloorS)
+    println(manKeys.map(k => f"$k=${man10(k)}%.2fs(x${manRatios(k)}%.1f)")
+      .mkString(f"TABLE_MANIFEST 1k->10k files ok=$manOk " +
+        f"ckptMB=${manCkptBytes / 1e6}%.1f ", " ", ""))
+
     // ---- memory: spill-not-OOM child (round-11: VERDICT r10 item 4) -----
     // The three heaviest funnels re-run at sf1 in a FORKED JVM whose
     // -Xmx (512 MB) is far under the unconstrained working set (the span
@@ -1048,6 +1124,10 @@ object ScaleRehearsal {
     ).mkString(",\n")).append("\n  },\n")
     if (!tripped) allOk = false
     sb.append(f"""  "quadratic_trip": {"probe": "span_skew_maxdf0", "default": ${sampleJson(tripDefault)}, "no_cap": ${sampleJson(tripNoCap)}, "expect_trip": true, "tripped": $tripped},\n""")
+    if (!manOk) allOk = false
+    def manJson(m: Map[String, Double]): String =
+      manKeys.map(k => f""""$k": ${m(k)}%.3f""").mkString("{", ", ", "}")
+    sb.append(f"""  "table_manifest": {"files_rung1": 1000, "files_rung10": 10000, "ceilings": {"ratio_x": $manCeil, "floor_s": $manFloorS}, "rung1_secs": ${manJson(man1)}, "rung10_secs": ${manJson(man10)}, "ratios": ${manJson(manRatios)}, "largest_ckpt_bytes": $manCkptBytes%d, "within_ceilings": $manOk},\n""")
     if (!memPass) allOk = false
     sb.append(f"""  "memory": {"heap_mb": $memHeapMb%d, "child_exit": $memExit%d, "spill_disk_mb_total": $memSpillDisk%.1f, "answers_match": $memAnswersMatch, "child": ${if (memJson.nonEmpty) memJson else "null"}, "pass": $memPass},\n""")
     sb.append(s"""  "all_within_ceilings": $allOk\n}\n""")

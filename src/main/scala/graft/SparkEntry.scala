@@ -153,7 +153,8 @@ object SparkEntry {
     // round-12: snapshot-table schema evolution + exactly-once
     // table→table sync (vacuum/cluster/delete gates mutate and rebuild
     // per call — correctness-only, not timing rows)
-    "conv_table_schema_evo", "conv_table_sync", "conv_table_prune_str")
+    "conv_table_schema_evo", "conv_table_sync", "conv_table_prune_str",
+    "conv_table_manyfiles")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -1156,6 +1156,47 @@ object ConverterQueries {
         .withColumn("reclaimed_only_orphans", lit(onlyOrphans))
     },
 
+    // MANY-FILES manifest gate (r13: VERDICT r12 item 1): the snapshot
+    // table at high file count — 16 append commits x 8 files each (128
+    // files, log checkpoints at v10+), each commit owning one contiguous
+    // doc_id window. A 4-window range scan must then keep EXACTLY the 4
+    // owning commits' 32 files from the manifest alone (window files
+    // carry tight [min,max]; every other window's range is provably
+    // disjoint), the pruned values must equal the full-scan predicate's,
+    // and the zero-I/O manifest row count must equal the true total.
+    // Window boundaries are pure integer arithmetic on max(doc_id)+1, so
+    // DuckDB derives the identical row set independently.
+    "conv_table_manyfiles" -> { (s, d) =>
+      val base = tmp(d, "snapmany")
+      val docs = t(s, d, "documents")
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      val nW = 16L
+      val k = 8
+      def wLo(w: Long) = (w * n + nW - 1) / nW // ceil(w*n/16)
+      stageOnce(base) {
+        (0L until nW).foreach { w =>
+          SnapshotTable.commit(s,
+            docs.filter(col("doc_id") >= wLo(w) && col("doc_id") < wLo(w + 1))
+              .coalesce(1).repartition(k),
+            base, if (w == 0) "overwrite" else "append",
+            statsCols = Seq("doc_id"))
+        }
+      }
+      val qLo = wLo(4)
+      val qHi = wLo(8) - 1
+      val (pruned, kept, total) = SnapshotTable.scanPruned(
+        s, base, "doc_id", qLo.toDouble, qHi.toDouble)
+      val fullN = SnapshotTable.read(s, base)
+        .filter(col("doc_id").between(qLo, qHi)).count()
+      pruned.agg(count(lit(1)).as("rows_in_range"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("n_files_total", lit(total.toLong))
+        .withColumn("n_files_kept", lit(kept.toLong))
+        .withColumn("manifest_rows", lit(SnapshotTable.rowCount(s, base)))
+        .withColumn("pruned_eq_full", col("rows_in_range") === fullN)
+    },
+
     // STRING-channel manifest pruning (scanPruned's lexicographic
     // sibling — date-partition keys, tenant ids, priority classes are
     // string-typed in real lakes): orders range-clustered on the
@@ -1816,6 +1857,25 @@ object ConverterQueries {
 
     // Values through the string-pruned scan replayed from raw orders;
     // pruning verdicts pinned; manifest count == true count.
+    // Window boundaries re-derived independently: ceil(w*n/16) integer
+    // arithmetic on max(doc_id)+1 — the same contiguous-window law the
+    // commits were laid out with. File counts are structural constants
+    // of the layout (16 commits x 8 round-robin files over >=8-row
+    // windows); pruning keeping exactly the 4 probed windows' files is
+    // the gate's claim.
+    "conv_table_manyfiles" ->
+      """WITH m AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |b AS (SELECT CAST((4*n + 15) // 16 AS BIGINT) AS lo,
+        |             CAST((8*n + 15) // 16 - 1 AS BIGINT) AS hi FROM m)
+        |SELECT COUNT(*) AS rows_in_range,
+        | CAST(SUM(d.doc_id) AS BIGINT) AS sum_id,
+        | CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars,
+        | CAST(128 AS BIGINT) AS n_files_total,
+        | CAST(32 AS BIGINT) AS n_files_kept,
+        | (SELECT COUNT(*) FROM documents) AS manifest_rows,
+        | TRUE AS pruned_eq_full
+        |FROM documents d, b WHERE d.doc_id BETWEEN b.lo AND b.hi""".stripMargin,
+
     "conv_table_prune_str" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
