@@ -373,6 +373,24 @@ object Cli {
           None
       }
 
+    // read-back integration (reference README.md:191-218 mounts the
+    // converted dirs as Presto/Spark external tables, DDL left to the
+    // user): print CREATE-TABLE DDL per converted table dir, schema
+    // taken from the written ORC footers so the mount can't drift
+    case "ddl" :: convOutDir :: rest if rest.length <= 1 =>
+      val dialect = rest.headOption.getOrElse("spark")
+      val ddls = graft.sinks.CatalogDdl.forOutputDir(spark, convOutDir, dialect)
+      if (ddls.isEmpty) {
+        System.err.println(s"no table directories under $convOutDir")
+        None
+      } else {
+        ddls.foreach { case (_, stmt) => println(stmt + ";") }
+        Some(JobReport(ddls.map { case (n, _) =>
+          ConversionJob.TableResult(n, success = true, rows = 0L,
+            files = 0, attempts = 1, error = None)
+        }))
+      }
+
     // reverse direction (beyond-reference): ORC table dir -> csv/jsonl
     // export, the interchange formats a downstream consumer asks for
     case "export" :: orcDir :: outDir :: fmt :: rest if rest.length <= 1 =>
@@ -456,7 +474,10 @@ object Cli {
           |  avro  <avro_path> <output_dir> [compression=snappy]
           |  table <commit|read|merge|delete|compact|cluster|expire|vacuum|changes|sync|versions> ...
           |        (versioned snapshot-table maintenance; `table` alone
-          |         prints the per-op argument contract)""".stripMargin)
+          |         prints the per-op argument contract)
+          |  ddl   <converted_output_dir> [spark|hive|trino]
+          |        (print CREATE-TABLE DDL per converted table dir, schema
+          |         from the written ORC footers)""".stripMargin)
       None
     }
   }

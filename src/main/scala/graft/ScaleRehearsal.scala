@@ -368,6 +368,33 @@ object ScaleRehearsal {
           statsCols = Seq("doc_id"))
         graft.sinks.SnapshotTable.read(spark, dir).count()
       }),
+      // r13: the exactly-once snapshot-table streaming ingest on the
+      // ladder — 4 corpus-scaled micro-batches (maxFilesPerTrigger=1),
+      // each landing as one atomic txn-stamped append commit. Per-batch
+      // cost must track batch size, so the whole ingest scales like the
+      // linear write probes; the txn lookups stay O(checkpoint + tail)
+      // as versions accrue. Checksum = final table row count.
+      "stream_table_ingest" -> (() => {
+        val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val root = s"/tmp/graft_scale_stream/$key/table_ingest"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        val landing = s"$root/landing"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(landing))
+        val docs = t(spark, d, "documents")
+        for (i <- 0 until 4) {
+          val stage = s"$root/.stage-$i"
+          docs.filter(pmod(col("doc_id"), lit(4)) === i).coalesce(1)
+            .write.mode("overwrite").parquet(stage)
+          val part = new java.io.File(stage).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$landing/batch-$i.parquet"))
+        }
+        graft.streaming.EventStream.tableIngestApply(spark, landing,
+          s"$root/table", s"$root/ckpt", appId = "scale_table_ingest")
+        graft.sinks.SnapshotTable.read(spark, s"$root/table").count()
+      }),
       "ann_ivf_topk" -> (() => annFrames(d)("ann_ivf_topk")().count()),
       "ann_ivf_int8_topk" -> (() => annFrames(d)("ann_ivf_int8_topk")().count()),
       "contamination_ngram" -> (() => {
@@ -712,7 +739,12 @@ object ScaleRehearsal {
       "ann_ivf_pq_serve",
       // round-11: the substring extractor joins the funnel rung so the
       // sf3->sf10 step below has its sf3 base
-      "dedup_substring")
+      "dedup_substring",
+      // round-13 (VERDICT r12 item 7): the table and streaming layers
+      // join the rung — merge-heavy maintenance (manifest stabbing must
+      // keep confining the rewrite as the table grows) and the
+      // exactly-once table ingest (per-batch cost tracks batch size)
+      "table_commit_merge", "stream_table_ingest")
     val sf3Fns: Map[String, () => Long] =
       probes(sf3).toMap.view.filterKeys(sf3Names.contains).toMap
     for (name <- sf3Names)
@@ -772,7 +804,12 @@ object ScaleRehearsal {
     val sf10ShufCeil = 5.0
     spark.read.parquet(s"$sf10/documents.parquet").count() // warm
     val sf10Names = Seq("dedup_minhash_full", "dedup_span_scrub",
-      "dedup_substring")
+      "dedup_substring",
+      // round-13: table + streaming layers ride to sf10 too (the no-
+      // broadcast regime matters here — merge's stabbing/anti-join sides
+      // use explicit broadcast() hints of bounded frames, which the
+      // disabled AUTO threshold must not silence)
+      "table_commit_merge", "stream_table_ingest")
     val sf10Fns: Map[String, () => Long] =
       probes(sf10).toMap.view.filterKeys(sf10Names.contains).toMap
     val bcastSaved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")

@@ -80,6 +80,15 @@ class CatalogDdlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(trino.contains("format = 'ORC'"))
   }
 
+  test("cli ddl leg prints runnable statements for a converted output dir") {
+    val out = outDir()
+    OrcSink.write(rows.toDF("id", "name", "score", "flag"), out, "docs")
+    val rep = Cli.run(spark, Seq("ddl", out, "trino")).get
+    assert(rep.successes === 1 && rep.results.head.table === "docs")
+    // empty dir is a usage-shaped failure, not a silent 0/0 success
+    assert(Cli.run(spark, Seq("ddl", outDir(), "spark")).isEmpty)
+  }
+
   test("unknown dialect and unmappable types fail loudly; quotes escaped") {
     intercept[IllegalArgumentException] {
       CatalogDdl.ddl("t", rows.toDF("a", "b", "c", "d").schema, "/x", "bigquery")
