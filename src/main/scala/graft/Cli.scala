@@ -356,6 +356,23 @@ object Cli {
             println(s"v$v $action files=$files rows=$rows")
           }
           rep(s"${name(tableDir)} versions", vs.size.toLong, vs.size)
+        // history <table_dir> — DESCRIBE HISTORY: newest first, commit
+        // wall-clock (monotonized), manifest tallies, txn stamps
+        case ("history", tableDir :: Nil) =>
+          val h = SnapshotTable.history(spark, tableDir)
+          h.foreach { e =>
+            val txn = e.txnApp.map(a => s" txn=$a:${e.txnSeq.get}").getOrElse("")
+            println(s"v${e.version} ${e.action} ts=${e.timestampMs} " +
+              s"files=${e.nFiles} rows=${e.rows}$txn")
+          }
+          rep(s"${name(tableDir)} history", h.size.toLong, h.size)
+        // readasof <table_dir> <output_dir> <timestamp_ms> [compression]
+        case ("readasof", tableDir :: outDir :: ts :: rest) if rest.length <= 1 =>
+          val compression = rest.headOption.getOrElse("snappy")
+          Some(ConversionJob.run(
+            Seq(name(tableDir) ->
+              (() => SnapshotTable.readAsOf(spark, tableDir, ts.toLong))),
+            jobConfig(outDir, compression)))
         case _ =>
           System.err.println(
             """usage: table <op> ...
@@ -369,7 +386,9 @@ object Cli {
               |  table vacuum  <table_dir> [retention_hours=168]
               |  table changes <table_dir> <from_version> <output_dir> [to_version]
               |  table sync    <src_table_dir> <dst_table_dir> [from_version=-1]
-              |  table versions <table_dir>""".stripMargin)
+              |  table versions <table_dir>
+              |  table history <table_dir>
+              |  table readasof <table_dir> <output_dir> <timestamp_ms> [compression=snappy]""".stripMargin)
           None
       }
 

@@ -1156,6 +1156,46 @@ object ConverterQueries {
         .withColumn("reclaimed_only_orphans", lit(onlyOrphans))
     },
 
+    // Timestamp time travel + history (r13): three commits, then the
+    // DESCRIBE-HISTORY surface and timestampAsOf resolution. Stamps are
+    // write-time monotonized, so the verdicts are tie-robust: resolving
+    // AT the newest commit's stamp must return the newest version even
+    // when commits share a millisecond; resolving before the oldest
+    // stamp must fail loudly (never alias to the oldest snapshot); the
+    // history listing's order/actions/manifest-row tallies are exact and
+    // DuckDB-derivable. Rebuilds per call (mutating fixture) — a
+    // correctness gate, not a bench row.
+    "conv_table_timetravel_ts" -> { (s, d) =>
+      val base = tmp(d, "snapts") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 0),
+        base, "overwrite")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 1),
+        base, "append")
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 2),
+        base, "append")
+      val h = SnapshotTable.history(s, base) // newest first
+      def rowsOf(v: Long) = h.find(_.version == v).get.rows
+      val tsNewest = h.head.timestampMs
+      val tsOldest = h.last.timestampMs
+      val resolvedLatest = SnapshotTable.versionAsOf(s, base, tsNewest) == 2L
+      val predatesFails = scala.util.Try(
+        SnapshotTable.versionAsOf(s, base, tsOldest - 1)).isFailure
+      val ordered = h.map(_.version) == Seq(2L, 1L, 0L) &&
+        h.map(_.action) == Seq("append", "append", "overwrite") &&
+        h.map(_.timestampMs) == h.map(_.timestampMs).sorted.reverse
+      SnapshotTable.readAsOf(s, base, tsNewest)
+        .agg(count(lit(1)).as("n_asof_latest"),
+          sum(col("o_orderkey")).as("sum_key_asof"))
+        .withColumn("n_v0", lit(rowsOf(0)))
+        .withColumn("n_v1", lit(rowsOf(1)))
+        .withColumn("n_v2", lit(rowsOf(2)))
+        .withColumn("resolved_latest", lit(resolvedLatest))
+        .withColumn("predates_fails", lit(predatesFails))
+        .withColumn("history_ordered", lit(ordered))
+    },
+
     // MANY-FILES manifest gate (r13: VERDICT r12 item 1): the snapshot
     // table at high file count — 16 append commits x 8 files each (128
     // files, log checkpoints at v10+), each commit owning one contiguous
@@ -1857,6 +1897,17 @@ object ConverterQueries {
 
     // Values through the string-pruned scan replayed from raw orders;
     // pruning verdicts pinned; manifest count == true count.
+    "conv_table_timetravel_ts" ->
+      """SELECT COUNT(*) AS n_asof_latest,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_asof,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0) AS n_v0,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 1) AS n_v1,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 2) AS n_v2,
+        | TRUE AS resolved_latest,
+        | TRUE AS predates_fails,
+        | TRUE AS history_ordered
+        |FROM orders""".stripMargin,
+
     // Window boundaries re-derived independently: ceil(w*n/16) integer
     // arithmetic on max(doc_id)+1 — the same contiguous-window law the
     // commits were laid out with. File counts are structural constants

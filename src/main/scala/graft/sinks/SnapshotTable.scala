@@ -72,7 +72,12 @@ object SnapshotTable {
   final case class Commit(version: Long, action: String,
                           files: Seq[FileEntry],
                           txn: Option[(String, Long)] = None,
-                          schemaJson: Option[String] = None)
+                          schemaJson: Option[String] = None,
+                          timestampMs: Long = -1L)
+
+  /** Wall-clock source for commit timestamps — a seam so specs can pin
+    * deterministic clocks (including non-monotonic ones). */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
   private val mapper = new ObjectMapper()
 
@@ -404,10 +409,19 @@ object SnapshotTable {
             "against the current snapshot")
       }
       val target = new Path(logDir(dir), f"v$v%020d.json")
+      // commit stamps are MONOTONIZED AT WRITE TIME (ts = max(clock,
+      // predecessor's stamp)): a writer whose wall clock lags another's
+      // cannot stamp v behind v-1, so timestamp-as-of resolution is
+      // stable — including across history expiry, which would otherwise
+      // resurrect a skewed raw stamp once its monotonizing predecessor's
+      // log file is gone. One O(1) predecessor read per attempt.
+      val ts = math.max(clock(), if (v == 0) -1L
+        else scala.util.Try(readCommit(spark, dir, v - 1).timestampMs)
+          .getOrElse(-1L))
       val tmp = new Path(logDir(dir),
         s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
       val out = f.create(tmp, false)
-      try out.write(commitJson(v, mode, entries, txn, schemaJson)
+      try out.write(commitJson(v, mode, entries, txn, schemaJson, ts)
         .getBytes("UTF-8"))
       finally out.close()
       // put-if-absent IS the commit: exactly one writer wins version v
@@ -527,10 +541,13 @@ object SnapshotTable {
 
   private def commitJson(v: Long, mode: String, entries: Seq[FileEntry],
                          txn: Option[(String, Long)],
-                         schemaJson: Option[String]): String = {
+                         schemaJson: Option[String], ts: Long): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", mode)
+    // commit wall-clock (write-time monotonized by publish): the
+    // timestamp-as-of resolution channel
+    root.put("ts", ts)
     txn.foreach { case (app, seq) =>
       root.put("txnApp", app)
       root.put("txnSeq", seq)
@@ -583,7 +600,9 @@ object SnapshotTable {
       if (n.has("txnApp")) Some((n.get("txnApp").asText, n.get("txnSeq").asLong))
       else None
     val schema = if (n.has("schema")) Some(n.get("schema").asText) else None
-    Commit(n.get("version").asLong, n.get("action").asText, files, txn, schema)
+    val ts = if (n.has("ts")) n.get("ts").asLong else -1L
+    Commit(n.get("version").asLong, n.get("action").asText, files, txn,
+      schema, ts)
   }
 
   private def readCommit(spark: SparkSession, dir: String, v: Long): Commit = {
@@ -689,6 +708,51 @@ object SnapshotTable {
     val files = snapshotFiles(spark, dir, version)
     readFiles(spark, dir, files, snapshotSchema(spark, dir, version))
   }
+
+  final case class HistoryEntry(version: Long, action: String,
+                                timestampMs: Long, nFiles: Int, rows: Long,
+                                txnApp: Option[String], txnSeq: Option[Long])
+
+  /** The table's commit history, newest first — the DESCRIBE HISTORY
+    * surface: per surviving version its action, commit wall-clock
+    * (MONOTONIZED: a commit stamped earlier than its predecessor — clock
+    * skew between racing writers — reports the running max, so the
+    * version and time orders never disagree), manifest file/row tallies
+    * (zero data I/O), and the txn stamp. O(#surviving versions) log
+    * reads — a metadata listing, not a snapshot read; expiry bounds it. */
+  def history(spark: SparkSession, dir: String): Seq[HistoryEntry] = {
+    val vs = versions(spark, dir)
+    var runMax = Long.MinValue
+    vs.map { v =>
+      val c = readCommit(spark, dir, v)
+      runMax = math.max(runMax, c.timestampMs)
+      HistoryEntry(v, c.action, runMax, c.files.size, c.files.map(_.rows).sum,
+        c.txn.map(_._1), c.txn.map(_._2))
+    }.reverse
+  }
+
+  /** Latest version whose (monotonized) commit timestamp is at or before
+    * `timestampMs` — Delta's timestampAsOf resolution. Fails loudly when
+    * the timestamp predates the oldest surviving commit (expired history
+    * is not silently readable as the oldest snapshot) or when the oldest
+    * surviving commit predates timestamp recording. */
+  def versionAsOf(spark: SparkSession, dir: String, timestampMs: Long): Long = {
+    val h = history(spark, dir).reverse // oldest first
+    require(h.nonEmpty, s"no snapshot table at $dir")
+    require(h.head.timestampMs >= 0,
+      s"oldest surviving commit of $dir predates timestamp recording — " +
+        "time travel by version instead")
+    val at = h.takeWhile(_.timestampMs <= timestampMs)
+    require(at.nonEmpty,
+      s"timestamp $timestampMs predates the oldest surviving commit " +
+        s"(v${h.head.version} at ${h.head.timestampMs}) of $dir")
+    at.last.version
+  }
+
+  /** Snapshot as of a wall-clock instant: [[read]] at [[versionAsOf]]. */
+  def readAsOf(spark: SparkSession, dir: String,
+               timestampMs: Long): DataFrame =
+    read(spark, dir, Some(versionAsOf(spark, dir, timestampMs)))
 
   /** Schema-carrying multi-file read: with a recorded snapshot schema the
     * scan is pinned to it — files written before a column existed
@@ -1142,21 +1206,41 @@ object SnapshotTable {
     val dataDir = new Path(dir, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - retentionMs
-    val it = f.listFiles(dataDir, true)
+    // Hand-rolled walk instead of listFiles(recursive): a CONCURRENT
+    // writer's staging files (_temporary attempt dirs) vanish between
+    // readdir and stat, and the recursive RemoteIterator surfaces that
+    // as a hard error mid-listing (race-spec-caught on local FS, same
+    // hazard on HDFS). Hidden/underscore SUBTREES are writer bookkeeping
+    // and never hold vacuum candidates, so they are skipped wholesale;
+    // an entry or directory that vanishes mid-walk is dropped from the
+    // candidate set — the safe direction (vacuum can only delete LESS).
+    def isVanished(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case other => (other.getMessage != null &&
+        other.getMessage.contains("No such file or directory")) ||
+        isVanished(other.getCause)
+    }
     val dead = mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val s = it.next()
-      if (s.isFile) {
-        val rel = s.getPath.toString.stripPrefix(
-          f.makeQualified(new Path(dir)).toString).stripPrefix("/")
-        // skip writer bookkeeping (_SUCCESS, hidden files) — only data
-        // payloads are vacuum candidates
+    val qualifiedRoot = f.makeQualified(new Path(dir)).toString
+    def walk(p: Path): Unit = {
+      val entries =
+        try f.listStatus(p)
+        catch { case e: Exception if isVanished(e) =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      entries.foreach { s =>
         val name = s.getPath.getName
-        if (!referenced.contains(rel) && !name.startsWith(".") &&
-            !name.startsWith("_") && s.getModificationTime <= cutoff)
-          dead += rel
+        if (s.isDirectory) {
+          if (!name.startsWith(".") && !name.startsWith("_")) walk(s.getPath)
+        } else if (!name.startsWith(".") && !name.startsWith("_")) {
+          val rel = s.getPath.toString.stripPrefix(qualifiedRoot)
+            .stripPrefix("/")
+          if (!referenced.contains(rel) && s.getModificationTime <= cutoff)
+            dead += rel
+        }
       }
     }
+    walk(dataDir)
     dead.foreach(r => f.delete(new Path(dir, r), false))
     dead.toSeq.sorted
   }

@@ -606,6 +606,45 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 102)
   }
 
+  test("timestamp time travel: readAsOf resolves the monotonized clock") {
+    val dir = freshDir()
+    val ticks = Iterator(1000L, 2000L, 1500L, 3000L) // v2 stamped BEHIND v1
+    val saved = SnapshotTable.clock
+    try {
+      SnapshotTable.clock = () => ticks.next()
+      SnapshotTable.commit(spark, df(0, 10), dir, "overwrite")   // v0 @1000
+      SnapshotTable.commit(spark, df(10, 30), dir, "append")     // v1 @2000
+      SnapshotTable.commit(spark, df(30, 35), dir, "append")     // v2 @1500!
+      SnapshotTable.commit(spark, df(0, 7), dir, "overwrite")    // v3 @3000
+    } finally SnapshotTable.clock = saved
+    // history is newest-first and MONOTONIZED: v2's skewed 1500 reports
+    // the running max 2000, so version and time order never disagree
+    val h = SnapshotTable.history(spark, dir)
+    assert(h.map(_.version) === Seq(3L, 2L, 1L, 0L))
+    assert(h.map(_.timestampMs) === Seq(3000L, 2000L, 2000L, 1000L))
+    assert(h.find(_.version == 1L).get.rows === 20)
+    assert(h.head.action === "overwrite")
+    // resolution: at/between/after stamps; ties go to the LATEST version
+    // at that instant (v2 shares v1's monotonized stamp)
+    assert(SnapshotTable.versionAsOf(spark, dir, 1000L) === 0L)
+    assert(SnapshotTable.versionAsOf(spark, dir, 1999L) === 0L)
+    assert(SnapshotTable.versionAsOf(spark, dir, 2000L) === 2L)
+    assert(SnapshotTable.versionAsOf(spark, dir, 2999L) === 2L)
+    assert(SnapshotTable.readAsOf(spark, dir, 2500L).count() === 35)
+    assert(SnapshotTable.readAsOf(spark, dir, 9999L).count() === 7)
+    // before the first commit: loud failure, not the oldest snapshot
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, dir, 999L)
+    }.getMessage.contains("predates"))
+    // expiry keeps resolution honest: after dropping v0/v1, a timestamp
+    // inside the expired range fails rather than aliasing to v2
+    SnapshotTable.expireVersions(spark, dir, keepLast = 2)
+    assert(SnapshotTable.versionAsOf(spark, dir, 3000L) === 3L)
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.versionAsOf(spark, dir, 1500L)
+    }.getMessage.contains("predates"))
+  }
+
   test("merge with an updates frame that adds a column evolves the schema") {
     val dir = freshDir()
     SnapshotTable.commit(spark,
