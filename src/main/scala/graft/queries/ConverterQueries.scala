@@ -1165,6 +1165,67 @@ object ConverterQueries {
     // history listing's order/actions/manifest-row tallies are exact and
     // DuckDB-derivable. Rebuilds per call (mutating fixture) — a
     // correctness gate, not a bench row.
+    // Conflict REBASE (r13, VERDICT r12 item 3): a copy-on-write merge
+    // whose read version is invalidated by an interleaved DISJOINT
+    // append must land WITHOUT re-running and WITHOUT losing the append
+    // (the Delta logical-conflict-resolution contract) — the interleave
+    // is injected deterministically inside the merge's read->publish
+    // window via the one-shot test seam. An OVERLAPPING append must
+    // still throw, leaving the table exactly as the append left it.
+    // Final content, the applied update, and the carried append are all
+    // oracle-replayed from raw orders; protocol verdicts pinned.
+    "conv_table_rebase" -> { (s, d) =>
+      val base = tmp(d, "snaprebase") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 4 === 0)
+          .repartitionByRange(4, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      // merge bumps totalprice on keys % 4 == 0 at or below the median
+      // key; the interleaved append holds ONLY upper-half keys, so its
+      // manifest [min,max] provably clears the update envelope and the
+      // merge must REBASE, not throw
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val median = maxKey / 2
+      val updates = orders
+        .filter(col("o_orderkey") % 4 === 0 &&
+          col("o_orderkey") <= median)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      SnapshotTable.interleaveForTest = () =>
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") % 4 === 1 &&
+            col("o_orderkey") > median),
+          base, "append", statsCols = Seq("o_orderkey"))
+      val report = SnapshotTable.merge(s, base, updates, "o_orderkey",
+        statsCols = Seq("o_orderkey"))
+      // the merge read v0, the seam appended v1, so a REBASED (not
+      // lost/raced-ahead) merge lands exactly at v2
+      val rebasedLanded = report.version == 2L
+      // an interleave OVERLAPPING the next merge's key envelope must
+      // still throw and leave the table exactly as the append left it
+      SnapshotTable.interleaveForTest = () =>
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") % 4 === 2 &&
+            col("o_orderkey") <= median),
+          base, "append", statsCols = Seq("o_orderkey"))
+      val overlapping = orders
+        .filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      val overlapThrows = scala.util.Try(
+        SnapshotTable.merge(s, base, overlapping, "o_orderkey")).failed
+        .toOption.exists(_.isInstanceOf[java.util.ConcurrentModificationException])
+      // gap-free history: v0 base, v1 rebased-over append, v2 merge,
+      // v3 overlapping append (the failed merge published NOTHING)
+      val versionsOk = SnapshotTable.versions(s, base) == Seq(0L, 1L, 2L, 3L)
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("rebased_landed", lit(rebasedLanded))
+        .withColumn("overlap_throws", lit(overlapThrows))
+        .withColumn("versions_ok", lit(versionsOk))
+    },
+
     "conv_table_timetravel_ts" -> { (s, d) =>
       val base = tmp(d, "snapts") + "/t"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
@@ -1897,6 +1958,27 @@ object ConverterQueries {
 
     // Values through the string-pruned scan replayed from raw orders;
     // pruning verdicts pinned; manifest count == true count.
+    // Post-rebase content from raw orders: %4 in {0,1,2} rows present,
+    // totalprice doubled exactly where the merge's updates applied
+    // (%4 = 0 below the median key); the overlapping merge's 3x bump
+    // must be absent. Protocol verdicts pinned.
+    "conv_table_rebase" ->
+      """WITH m AS (SELECT MAX(o_orderkey) // 2 AS med FROM orders),
+        |f AS (SELECT o.* FROM orders o, m
+        |      WHERE o_orderkey % 4 = 0
+        |         OR (o_orderkey % 4 = 1 AND o_orderkey > med)
+        |         OR (o_orderkey % 4 = 2 AND o_orderkey <= med))
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(
+        |     CASE WHEN o_orderkey % 4 = 0 AND o_orderkey <= med
+        |          THEN o_totalprice * 2 ELSE o_totalprice END
+        |     AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        | TRUE AS rebased_landed,
+        | TRUE AS overlap_throws,
+        | TRUE AS versions_ok
+        |FROM f, m""".stripMargin,
+
     "conv_table_timetravel_ts" ->
       """SELECT COUNT(*) AS n_asof_latest,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_asof,
