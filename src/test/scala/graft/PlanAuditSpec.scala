@@ -34,6 +34,9 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // truncated-dim funnel: prefix brute-force shortlist + exact re-rank
     // both broadcast the bounded query frame
     "ann_truncated_topk",
+    // the refine gate's VERDICT side is brute-force exact top-k, which
+    // broadcasts the bounded query frame like the other ANN verdicts
+    "ann_ivf_pq_refine",
     // the KN scorer's broadcast one-row bigram-types frame (the same
     // crossJoin text_min_k_prob carries) reached through pplBuckets
     "pipeline_ppl_buckets",
@@ -106,7 +109,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // constructing it audits both rounds' shapes for free)
     "graph_pagerank", "profile_expectations", "conv_table_timetravel",
     "conv_table_prune", "conv_table_merge", "conv_table_changes",
-    "retrieval_prf")
+    "retrieval_prf",
+    // r13: the IVFADC refine funnel (probed-cell ADC scan + broadcast
+    // shortlist re-rank — constructing it trains the tiny sf0.001
+    // codebooks) and the many-files manifest scan (stages its 128-file
+    // table once; the audited plan is the pruned scan + final agg).
+    // dedup_fuzzy_names, already audited above, now exercises the
+    // half-key partition join — the no-cartesian/no-BNLJ walk applies
+    // to the new route for free.
+    "ann_ivf_pq_refine", "conv_table_manyfiles")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum
