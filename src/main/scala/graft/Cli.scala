@@ -403,7 +403,15 @@ object Cli {
         System.err.println(s"no table directories under $convOutDir")
         None
       } else {
-        ddls.foreach { case (_, stmt) => println(stmt + ";") }
+        ddls.foreach { case (name, stmt) =>
+          println(stmt + ";")
+          // a freshly mounted PARTITIONED location serves zero rows until
+          // the metastore syncs the key=value dirs — print the sync step
+          graft.sinks.CatalogDdl.repairStatement(name, dialect,
+              partitioned = stmt.contains("PARTITIONED BY") ||
+                stmt.contains("partitioned_by"))
+            .foreach(r => println(r + ";"))
+        }
         Some(JobReport(ddls.map { case (n, _) =>
           ConversionJob.TableResult(n, success = true, rows = 0L,
             files = 0, attempts = 1, error = None)

@@ -371,15 +371,37 @@ object SnapshotTable {
         case _: UnsupportedOperationException |
              _: java.nio.file.FileSystemException =>
           // file:// mount without hard-link support (some network/fuse
-          // filesystems): degrade to exists-then-rename. This accepts the
-          // weaker TOCTOU window link(2) exists to close, but a commit
-          // that LANDS beats one that aborts with a leaked tmp file —
-          // and the loser of the narrow race still fails fast at the
-          // next version's put-if-absent.
+          // filesystems): degrade to exists-then-rename. POSIX rename
+          // OVERWRITES an existing destination, so two racing writers can
+          // BOTH rename onto the target — without a read-back, both would
+          // be told version v committed while one payload is silently
+          // gone (a lost commit, worse than a leaked-tmp abort). So the
+          // rename is VERIFIED: the commit JSON embeds its unique staging
+          // name, and after renaming this writer re-reads the target and
+          // claims success only if the surviving bytes are its own;
+          // otherwise it reports failure and retries at the next version.
+          // (A loser that is overwritten AFTER its read-back is the
+          // residual TOCTOU sliver only link(2)/conditional-put closes —
+          // deployments needing that guarantee keep hard links.)
           if (f.exists(target)) false // caller reclaims tmp, like EEXIST
-          else f.rename(tmp, target)
+          else {
+            val mine = readAllBytes(f, tmp)
+            f.rename(tmp, target) &&
+              java.util.Arrays.equals(mine, readAllBytes(f, target))
+          }
       }
     } else f.rename(tmp, target)
+
+  private def readAllBytes(f: FileSystem, p: Path): Array[Byte] = {
+    val in = f.open(p)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toByteArray
+    } finally in.close()
+  }
 
   /** Atomic put-if-absent publish with optimistic retry. `expectedVersion`
     * guards read-modify-write commits (merge/compact): those derive their
@@ -415,13 +437,19 @@ object SnapshotTable {
       // stable — including across history expiry, which would otherwise
       // resurrect a skewed raw stamp once its monotonizing predecessor's
       // log file is gone. One O(1) predecessor read per attempt.
+      // Only a MISSING predecessor file degrades the stamp (pre-ts-era
+      // log, stamped -1): v-1 is the latest version so expiry never
+      // removes it, and swallowing a TRANSIENT read error here would
+      // silently stamp the raw wall clock — resurfacing as non-monotone
+      // history after expiry, the exact hazard this read exists to close.
       val ts = math.max(clock(), if (v == 0) -1L
-        else scala.util.Try(readCommit(spark, dir, v - 1).timestampMs)
-          .getOrElse(-1L))
+        else try readCommit(spark, dir, v - 1).timestampMs
+        catch { case _: java.io.FileNotFoundException => -1L })
       val tmp = new Path(logDir(dir),
         s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
       val out = f.create(tmp, false)
-      try out.write(commitJson(v, mode, entries, txn, schemaJson, ts)
+      try out.write(commitJson(v, mode, entries, txn, schemaJson, ts,
+          tmp.getName)
         .getBytes("UTF-8"))
       finally out.close()
       // put-if-absent IS the commit: exactly one writer wins version v
@@ -541,10 +569,15 @@ object SnapshotTable {
 
   private def commitJson(v: Long, mode: String, entries: Seq[FileEntry],
                          txn: Option[(String, Long)],
-                         schemaJson: Option[String], ts: Long): String = {
+                         schemaJson: Option[String], ts: Long,
+                         writerId: String = ""): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", mode)
+    // unique per publish attempt (the staging file name): lets the
+    // no-hardlink putIfAbsent fallback verify BY CONTENT that its rename
+    // survived — two attempts never serialize to identical bytes
+    if (writerId.nonEmpty) root.put("writer", writerId)
     // commit wall-clock (write-time monotonized by publish): the
     // timestamp-as-of resolution channel
     root.put("ts", ts)
@@ -893,13 +926,15 @@ object SnapshotTable {
     // manifest [min,max] against the updates' key envelope (one bounded
     // agg, no key collect). An undefined envelope (no castable key) can't
     // prove anything, so those merges never rebase.
-    val env = updates.agg(
+    // lazy: the envelope aggregation (a Spark job) only runs if a
+    // conflict actually triggers a rebase — the common no-conflict
+    // publish never pays it
+    lazy val env = updates.agg(
       org.apache.spark.sql.functions.min(col(keyCol).try_cast("double")),
       org.apache.spark.sql.functions.max(col(keyCol).try_cast("double")))
       .head()
-    val commutes: Seq[FileEntry] => Boolean =
-      if (env.isNullAt(0)) _ => false
-      else disjointFromRanges(_, keyCol,
+    val commutes: Seq[FileEntry] => Boolean = fls =>
+      !env.isNullAt(0) && disjointFromRanges(fls, keyCol,
         Seq((env.getDouble(0), env.getDouble(1))))
     val v = publishRebasing(spark, dir, carried ++ fresh, Some(outSchema),
       readVersion, commutes)

@@ -89,6 +89,67 @@ class CatalogDdlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Cli.run(spark, Seq("ddl", outDir(), "spark")).isEmpty)
   }
 
+  test("partitioned layout: spark DDL + MSCK mounts per-partition counts") {
+    val out = outDir()
+    // the conv_cdc_partitioned layout: hive-style key=value dirs
+    Seq((1L, "a", "click"), (2L, "b", "click"), (3L, "c", "view"))
+      .toDF("id", "payload", "event_type")
+      .write.partitionBy("event_type").orc(s"$out/cdc")
+    assert(CatalogDdl.detectPartitionCols(spark, s"$out/cdc")
+      === Seq("event_type"))
+    val ddl = CatalogDdl.forTableDir(spark, s"$out/cdc", "cdc_part", "spark")
+    assert(ddl.contains("PARTITIONED BY (`event_type`)"))
+    spark.sql("DROP TABLE IF EXISTS cdc_part")
+    spark.sql(ddl)
+    // before the repair the catalog knows zero partitions
+    spark.sql(CatalogDdl.repairStatement("cdc_part", "spark",
+      partitioned = true).get)
+    val counts = spark.sql(
+      "SELECT event_type, count(*) AS n FROM cdc_part GROUP BY 1 ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(counts === Seq(("click", 2L), ("view", 1L)))
+    // partition pruning must reach the scan: one partition's rows only
+    assert(spark.sql(
+      "SELECT count(*) FROM cdc_part WHERE event_type = 'view'")
+      .head().getLong(0) === 1L)
+    spark.sql("DROP TABLE cdc_part")
+  }
+
+  test("partitioned layout: hive excludes / trino trails partition cols") {
+    val out = outDir()
+    Seq((1L, "x", "p1", 7), (2L, "y", "p2", 8))
+      .toDF("id", "s", "pk", "bucket")
+      .write.partitionBy("pk", "bucket").orc(s"$out/t")
+    assert(CatalogDdl.detectPartitionCols(spark, s"$out/t")
+      === Seq("pk", "bucket"))
+    val hive = CatalogDdl.forTableDir(spark, s"$out/t", "t", "hive")
+    // hive: partition cols typed in PARTITIONED BY, NOT in the col list
+    assert(hive.contains("PARTITIONED BY (`pk` STRING, `bucket` INT)"))
+    assert(!hive.split("PARTITIONED BY")(0).contains("`pk`"))
+    val trino = CatalogDdl.forTableDir(spark, s"$out/t", "t", "trino")
+    // trino: partition cols LAST in the list + partitioned_by array
+    assert(trino.contains("partitioned_by = ARRAY['pk', 'bucket']"))
+    val body = trino.substring(trino.indexOf("(") + 1, trino.indexOf(") WITH"))
+    val cols = body.split(",\n").map(_.trim.split(" ")(0).replace("\"", ""))
+    assert(cols.takeRight(2).toSeq === Seq("pk", "bucket"))
+    assert(CatalogDdl.repairStatement("t", "trino", partitioned = true).get
+      .contains("sync_partition_metadata"))
+    assert(CatalogDdl.repairStatement("t", "spark", partitioned = false)
+      .isEmpty)
+    // forOutputDir picks up partitioned table dirs (no direct part files)
+    assert(CatalogDdl.forOutputDir(spark, out, "hive").map(_._1) === Seq("t"))
+  }
+
+  test("schema merged across evolved part files (not one sampled footer)") {
+    val out = outDir()
+    Seq((1L, "a")).toDF("id", "name")
+      .write.mode("append").orc(s"$out/ev")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score")
+      .write.mode("append").orc(s"$out/ev")
+    val ddl = CatalogDdl.forTableDir(spark, s"$out/ev", "ev", "spark")
+    assert(ddl.contains("`score` DOUBLE")) // present in only one footer
+  }
+
   test("unknown dialect and unmappable types fail loudly; quotes escaped") {
     intercept[IllegalArgumentException] {
       CatalogDdl.ddl("t", rows.toDF("a", "b", "c", "d").schema, "/x", "bigquery")
