@@ -12,7 +12,7 @@ import org.apache.orc.{ColumnStatistics, DateColumnStatistics,
   OrcFile, StringColumnStatistics, TimestampColumnStatistics}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
 /** Versioned snapshot table over ORC — the transactional publishing layer
   * a 100 TB lake needs on top of the converter's raw part-file output
@@ -790,16 +790,42 @@ object SnapshotTable {
   /** Schema-carrying multi-file read: with a recorded snapshot schema the
     * scan is pinned to it — files written before a column existed
     * null-fill it (ORC matches columns by name), and Spark samples no
-    * file for inference. Without one (pre-evolution log), plain read. */
+    * file for inference. The scan is planned through [[ManifestFileIndex]]
+    * fed from the manifest's own (path, bytes): zero filesystem listing
+    * calls at any file count, vs `spark.read.orc(paths…)` stat-ing every
+    * path (the 10k-file read constant). Without a recorded schema
+    * (pre-evolution log), plain read — inference needs the footers
+    * anyway. */
   private def readFiles(spark: SparkSession, dir: String,
                         files: Seq[FileEntry],
                         schema: Option[StructType] = None): DataFrame = {
     require(files.nonEmpty, s"empty snapshot at $dir")
-    val paths = files.map(e => s"$dir/${e.path}")
     schema match {
-      case Some(s) => spark.read.schema(s).orc(paths: _*)
-      case None => spark.read.orc(paths: _*)
+      case Some(s) =>
+        val rootQ = fs(spark, dir).makeQualified(new Path(dir))
+        val index = new ManifestFileIndex(rootQ,
+          files.map(e => (new Path(rootQ, e.path), e.bytes)))
+        // nullable-widened like DataFrameReader.schema() does: files
+        // written before a column existed null-fill it, so a
+        // non-nullable recorded field would let the optimizer fold
+        // `col IS NULL` to an empty plan over rows that ARE null
+        val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+          index, new StructType(), nullableDeep(s).asInstanceOf[StructType],
+          None,
+          new org.apache.spark.sql.execution.datasources.orc.OrcFileFormat(),
+          Map.empty)(spark)
+        spark.baseRelationToDataFrame(rel)
+      case None => spark.read.orc(files.map(e => s"$dir/${e.path}"): _*)
     }
+  }
+
+  private def nullableDeep(dt: DataType): DataType = dt match {
+    case StructType(fields) => StructType(fields.map(f =>
+      f.copy(dataType = nullableDeep(f.dataType), nullable = true)))
+    case ArrayType(e, _) => ArrayType(nullableDeep(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(nullableDeep(k), nullableDeep(v), valueContainsNull = true)
+    case other => other
   }
 
   /** Manifest-pruned range scan: drop files whose footer [min,max] on
