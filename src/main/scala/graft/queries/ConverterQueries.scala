@@ -1226,6 +1226,67 @@ object ConverterQueries {
         .withColumn("versions_ok", lit(versionsOk))
     },
 
+    // STRING-KEYED rebase + lexicographic delete (r14: VERDICT r13 item
+    // 5): the conflict-rebase and range-delete contracts on a
+    // lexicographic key via the footer minStr/maxStr channel. Keys are
+    // zero-padded strings derived from o_orderkey (string order ==
+    // numeric order), so DuckDB replays the final content exactly:
+    // merge stabs files by STRING stats (upper-range base files carried
+    // untouched), an interleaved append whose string envelope provably
+    // clears the update envelope REBASES the merge at exactly v2, an
+    // overlapping interleave still throws, and deleteString erases a
+    // mid-range slice rewriting only overlapping files.
+    "conv_table_rebase_str" -> { (s, d) =>
+      val base = tmp(d, "snaprebasestr") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      val orders = t(s, d, "orders")
+        .withColumn("o_key_str", format_string("K%09d", col("o_orderkey")))
+      val maxKey = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val med = f"K${maxKey / 2}%09d"
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 4 === 0)
+          .repartitionByRange(4, col("o_key_str")),
+        base, "overwrite", statsCols = Seq("o_key_str"))
+      val updates = orders
+        .filter(col("o_orderkey") % 4 === 0 && col("o_key_str") <= med)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+      SnapshotTable.interleaveForTest = () =>
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") % 4 === 1 &&
+            col("o_key_str") > med),
+          base, "append", statsCols = Seq("o_key_str"))
+      val report = SnapshotTable.merge(s, base, updates, "o_key_str",
+        statsCols = Seq("o_key_str"))
+      val rebasedLanded = report.version == 2L
+      // string-stabbed, not blanket-rewritten: upper-range files carried
+      val mergeSelective = report.filesCarried >= 1
+      SnapshotTable.interleaveForTest = () =>
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") % 4 === 2 &&
+            col("o_key_str") <= med),
+          base, "append", statsCols = Seq("o_key_str"))
+      val overlapping = orders.filter(col("o_orderkey") % 4 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      val overlapThrows = scala.util.Try(
+        SnapshotTable.merge(s, base, overlapping, "o_key_str")).failed
+        .toOption.exists(_.isInstanceOf[java.util.ConcurrentModificationException])
+      val dr = SnapshotTable.deleteString(s, base, "o_key_str",
+        f"K${maxKey / 8}%09d", f"K${maxKey / 4}%09d")
+      val deleteSelective = dr.filesCarried >= 1
+      // v0 base, v1 rebased-over append, v2 merge, v3 overlap append
+      // (the failed merge published NOTHING), v4 the string delete
+      val versionsOk =
+        SnapshotTable.versions(s, base) == Seq(0L, 1L, 2L, 3L, 4L)
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_deleted", lit(dr.rowsDeleted))
+        .withColumn("rebased_landed", lit(rebasedLanded))
+        .withColumn("overlap_throws", lit(overlapThrows))
+        .withColumn("stab_selective", lit(mergeSelective && deleteSelective))
+        .withColumn("versions_ok", lit(versionsOk))
+    },
+
     "conv_table_timetravel_ts" -> { (s, d) =>
       val base = tmp(d, "snapts") + "/t"
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
@@ -1976,6 +2037,34 @@ object ConverterQueries {
         |     AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
         | TRUE AS rebased_landed,
         | TRUE AS overlap_throws,
+        | TRUE AS versions_ok
+        |FROM f, m""".stripMargin,
+
+    // The zero-padded string key preserves numeric order, so the oracle
+    // replays the string-keyed merge/rebase/delete content numerically:
+    // same interleave algebra as conv_table_rebase, then the deleted
+    // [max/8, max/4] slice removed and tallied.
+    "conv_table_rebase_str" ->
+      """WITH m AS (SELECT MAX(o_orderkey) // 2 AS med,
+        |             MAX(o_orderkey) // 8 AS dlo,
+        |             MAX(o_orderkey) // 4 AS dhi FROM orders),
+        |pre AS (SELECT o.* FROM orders o, m
+        |      WHERE o_orderkey % 4 = 0
+        |         OR (o_orderkey % 4 = 1 AND o_orderkey > med)
+        |         OR (o_orderkey % 4 = 2 AND o_orderkey <= med)),
+        |f AS (SELECT pre.* FROM pre, m
+        |      WHERE o_orderkey NOT BETWEEN dlo AND dhi)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(
+        |     CASE WHEN o_orderkey % 4 = 0 AND o_orderkey <= med
+        |          THEN o_totalprice * 2 ELSE o_totalprice END
+        |     AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_price,
+        | (SELECT COUNT(*) FROM pre, m
+        |   WHERE o_orderkey BETWEEN dlo AND dhi) AS n_deleted,
+        | TRUE AS rebased_landed,
+        | TRUE AS overlap_throws,
+        | TRUE AS stab_selective,
         | TRUE AS versions_ok
         |FROM f, m""".stripMargin,
 

@@ -485,8 +485,14 @@ object SnapshotTable {
   /** Deterministic interleave seam for the conflict specs: runs ONCE
     * inside the read→publish window (after the rewrite staged its files,
     * before its first publish attempt), then self-clears. Production code
-    * never sets it. */
-  private[graft] var interleaveForTest: () => Unit = () => ()
+    * never sets it. THREAD-LOCAL: gate runners execute concurrently, and
+    * a shared seam would let one gate's rewrite consume another gate's
+    * interleave hook (observed: two rebase gates stomping each other). */
+  private val interleaveHook: ThreadLocal[() => Unit] =
+    ThreadLocal.withInitial[() => Unit](() => () => ())
+  private[graft] def interleaveForTest: () => Unit = interleaveHook.get()
+  private[graft] def interleaveForTest_=(f: () => Unit): Unit =
+    interleaveHook.set(f)
 
   private def publishRebasing(spark: SparkSession, dir: String,
       entries: Seq[FileEntry], schema: Option[StructType],
@@ -548,6 +554,22 @@ object SnapshotTable {
         case Some(ColStats(Some(mn), Some(mx), _, _, _)) =>
           ranges.forall { case (lo, hi) => mx < lo || mn > hi }
         case Some(ColStats(None, None, _, _, nulls)) => nulls == e.rows
+        case _ => false
+      })
+    }
+
+  /** Lexicographic twin of [[disjointFromRanges]] off the footer
+    * minStr/maxStr channel — the proof obligation for string-keyed
+    * rewrites (url-, priority-, tenant-keyed tables). Same soundness
+    * contract: only a file whose EVERY row provably clears every touched
+    * range commutes; missing string stats fail the check. */
+  private def disjointFromRangesString(files: Seq[FileEntry], keyCol: String,
+      ranges: Seq[(String, String)]): Boolean =
+    files.forall { e =>
+      e.rows == 0 || (e.stats.get(keyCol) match {
+        case Some(ColStats(_, _, Some(mn), Some(mx), _)) =>
+          ranges.forall { case (lo, hi) => mx < lo || mn > hi }
+        case Some(ColStats(None, None, None, None, nulls)) => nulls == e.rows
         case _ => false
       })
     }
@@ -921,18 +943,35 @@ object SnapshotTable {
         case ColStats(Some(mn), Some(mx), _, _, _) => (e.path, mn, mx)
       }
     }
+    // string-keyed tables stab off the minStr/maxStr channel instead of
+    // degrading to a full-table rewrite (a column carries numeric OR
+    // string stats, never both — drift fails loudly at commit)
+    val rangedStr = files.flatMap { e =>
+      e.stats.get(keyCol).collect {
+        case ColStats(None, None, Some(mn), Some(mx), _) => (e.path, mn, mx)
+      }
+    }
     val statless = files.filterNot(e =>
-      ranged.exists(_._1 == e.path)).map(_.path).toSet
-    val stabbed: Set[String] =
+      ranged.exists(_._1 == e.path) || rangedStr.exists(_._1 == e.path))
+      .map(_.path).toSet
+    // try_cast: non-numeric update keys stab nothing (their files carry
+    // no numeric stats and are stabbed via string stats or rewritten via
+    // the statless path) instead of failing the whole merge under ANSI
+    val stabbedNum: Set[String] =
       if (ranged.isEmpty) Set.empty
-      // try_cast: non-numeric update keys stab nothing (their files carry
-      // no numeric stats and are rewritten via the statless path) instead
-      // of failing the whole merge under ANSI
       else updates.select(col(keyCol).try_cast("double").as("_k")).distinct()
         .join(broadcast(ranged.toDF("_path", "_mn", "_mx")),
           col("_k") >= col("_mn") && col("_k") <= col("_mx"))
         .select(col("_path")).distinct()
         .collect().map(_.getString(0)).toSet
+    val stabbedStr: Set[String] =
+      if (rangedStr.isEmpty) Set.empty
+      else updates.select(col(keyCol).cast("string").as("_k")).distinct()
+        .join(broadcast(rangedStr.toDF("_path", "_mn", "_mx")),
+          col("_k") >= col("_mn") && col("_k") <= col("_mx"))
+        .select(col("_path")).distinct()
+        .collect().map(_.getString(0)).toSet
+    val stabbed: Set[String] = stabbedNum ++ stabbedStr
     val (touched, carried) = files.partition(e =>
       stabbed.contains(e.path) || statless.contains(e.path))
     // upsert = (touched rows minus updated keys) + all updates
@@ -954,14 +993,21 @@ object SnapshotTable {
     // prove anything, so those merges never rebase.
     // lazy: the envelope aggregation (a Spark job) only runs if a
     // conflict actually triggers a rebase — the common no-conflict
-    // publish never pays it
+    // publish never pays it. One pass computes both the numeric and the
+    // lexicographic envelope; commutativity holds if EITHER proof closes
+    // (each is sound alone: it needs the matching stats channel present
+    // in every interleaved file AND disjointness).
     lazy val env = updates.agg(
       org.apache.spark.sql.functions.min(col(keyCol).try_cast("double")),
-      org.apache.spark.sql.functions.max(col(keyCol).try_cast("double")))
+      org.apache.spark.sql.functions.max(col(keyCol).try_cast("double")),
+      org.apache.spark.sql.functions.min(col(keyCol).cast("string")),
+      org.apache.spark.sql.functions.max(col(keyCol).cast("string")))
       .head()
     val commutes: Seq[FileEntry] => Boolean = fls =>
-      !env.isNullAt(0) && disjointFromRanges(fls, keyCol,
-        Seq((env.getDouble(0), env.getDouble(1))))
+      (!env.isNullAt(0) && disjointFromRanges(fls, keyCol,
+        Seq((env.getDouble(0), env.getDouble(1))))) ||
+      (!env.isNullAt(2) && disjointFromRangesString(fls, keyCol,
+        Seq((env.getString(2), env.getString(3)))))
     val v = publishRebasing(spark, dir, carried ++ fresh, Some(outSchema),
       readVersion, commutes)
     MergeReport(v, fresh.size, carried.size)
@@ -1045,6 +1091,44 @@ object SnapshotTable {
     // deleted range (the rebased delete then serializes BEFORE it)
     val v = publishRebasing(spark, dir, carried ++ fresh, schema,
       readVersion, disjointFromRanges(_, keyCol, Seq((lo, hi))))
+    DeleteReport(v, touched.map(_.rows).sum - fresh.map(_.rows).sum,
+      fresh.size, carried.size)
+  }
+
+  /** Lexicographic copy-on-write range DELETE — [[delete]]'s string-keyed
+    * twin off the footer minStr/maxStr channel (url-keyed, tenant-keyed,
+    * date-string-partitioned tables: exactly the repo's dedup domain).
+    * Same contract: only files whose string [min,max] can overlap
+    * [lo, hi] are rewritten; null keys survive; every carried manifest
+    * entry is byte-identical; interleaved appends provably outside the
+    * deleted range rebase instead of failing. */
+  def deleteString(spark: SparkSession, dir: String, keyCol: String,
+                   lo: String, hi: String,
+                   statsCols: Seq[String] = Nil): DeleteReport = {
+    val readVersion = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $dir"))
+    val files = snapshotFiles(spark, dir, Some(readVersion))
+    val schema = snapshotSchema(spark, dir, Some(readVersion))
+    val (touched, carried) = files.partition { e =>
+      e.stats.get(keyCol) match {
+        case Some(ColStats(_, _, Some(mn), Some(mx), _)) =>
+          mx >= lo && mn <= hi
+        case _ => true // cannot prove the file is clean -> rewrite
+      }
+    }
+    if (touched.isEmpty)
+      return DeleteReport(readVersion, 0L, 0, carried.size)
+    // null keys are outside any range — they survive (the isNull arm,
+    // not three-value logic). The comparison is on the raw string
+    // column: no cast can throw, no collation surprise (Spark string
+    // ordering is binary, the same order the ORC footer stats use).
+    val key = col(keyCol)
+    val survivors = readFiles(spark, dir, touched, schema)
+      .filter(key.isNull || !(key >= lo && key <= hi))
+    val fresh = writeBatch(spark, dir, survivors,
+      if (statsCols.nonEmpty) statsCols else Seq(keyCol))
+    val v = publishRebasing(spark, dir, carried ++ fresh, schema,
+      readVersion, disjointFromRangesString(_, keyCol, Seq((lo, hi))))
     DeleteReport(v, touched.map(_.rows).sum - fresh.map(_.rows).sum,
       fresh.size, carried.size)
   }

@@ -606,6 +606,64 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 102)
   }
 
+  test("deleteString: lexicographic range delete off minStr/maxStr stats") {
+    val dir = freshDir()
+    val docs = (0 until 100).map(i => (f"https://site-$i%03d.example", i.toLong))
+      .toDF("url", "id")
+    SnapshotTable.commit(spark, docs.repartitionByRange(4, col("url")),
+      dir, "overwrite", statsCols = Seq("url"))
+    val r = SnapshotTable.deleteString(spark, dir, "url",
+      "https://site-010.example", "https://site-019.example")
+    assert(r.rowsDeleted === 10)
+    // only the file(s) whose string [min,max] overlap the range rewrote
+    assert(r.filesCarried >= 2, s"carried=${r.filesCarried}")
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 90)
+    assert(after.filter(col("url").between(
+      "https://site-010.example", "https://site-019.example")).count() === 0)
+    // null keys are outside any lexicographic range: they survive
+    val dir2 = freshDir()
+    SnapshotTable.commit(spark,
+      Seq(("a", 1L), (null, 2L), ("m", 3L), ("z", 4L)).toDF("url", "id"),
+      dir2, "overwrite", statsCols = Seq("url"))
+    val r2 = SnapshotTable.deleteString(spark, dir2, "url", "l", "n")
+    assert(r2.rowsDeleted === 1)
+    assert(SnapshotTable.read(spark, dir2).filter(col("url").isNull)
+      .count() === 1)
+  }
+
+  test("string-keyed merge stabs by string stats and rebases/throws") {
+    val dir = freshDir()
+    val rows = (0 until 100).map(i => (f"k$i%03d", i.toLong))
+      .toDF("skey", "v")
+    SnapshotTable.commit(spark, rows.repartitionByRange(4, col("skey")),
+      dir, "overwrite", statsCols = Seq("skey"))
+    // disjoint interleave: append keys q* clear the update envelope k01*
+    SnapshotTable.interleaveForTest = () =>
+      SnapshotTable.commit(spark,
+        (0 until 10).map(i => (s"q$i", 900L + i)).toDF("skey", "v"),
+        dir, "append", statsCols = Seq("skey"))
+    val upd = (10 until 20).map(i => (f"k$i%03d", i * 100L)).toDF("skey", "v")
+    val r = SnapshotTable.merge(spark, dir, upd, "skey",
+      statsCols = Seq("skey"))
+    // string stabbing: only the k01x-range file rewrote, others carried
+    assert(r.filesCarried >= 3, s"carried=${r.filesCarried}")
+    val after = SnapshotTable.read(spark, dir)
+    assert(after.count() === 110)
+    assert(after.filter(col("skey") === "k015").head().getLong(1) === 1500L)
+    assert(after.filter(col("skey").startsWith("q")).count() === 10,
+      "the interleaved append must not be lost")
+    // overlapping interleave on the string key must still throw
+    SnapshotTable.interleaveForTest = () =>
+      SnapshotTable.commit(spark, Seq(("k042", -1L)).toDF("skey", "v"),
+        dir, "append", statsCols = Seq("skey"))
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotTable.merge(spark, dir,
+        (40 until 45).map(i => (f"k$i%03d", 0L)).toDF("skey", "v"), "skey")
+    }
+    assert(SnapshotTable.read(spark, dir).count() === 111)
+  }
+
   test("timestamp time travel: readAsOf resolves the monotonized clock") {
     val dir = freshDir()
     val ticks = Iterator(1000L, 2000L, 1500L, 3000L) // v2 stamped BEHIND v1
