@@ -167,4 +167,127 @@ class SnapshotTableRaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(after.filter(col("id") >= 10000).select("id").distinct().count()
       === nAppenders.toLong * appendsPer * rowsPer)
   }
+
+  /** Expiry racing timestamp-travel readers — where the write-time
+    * monotonized stamps and the collapse checkpoint earn their keep.
+    * Laws: (1) a successful readAsOf returns EXACTLY the snapshot its
+    * timestamp resolved to before any expiry ran — never a partial
+    * snapshot, never a neighbor version's rows (no aliasing across the
+    * expiry boundary); (2) a read that loses the race to expiry fails
+    * LOUDLY (the version-gone require / a vanished log file), never
+    * silently returns the oldest surviving snapshot; (3) plain latest
+    * reads always see a whole committed snapshot; (4) after the race,
+    * every surviving recorded timestamp still resolves exactly and every
+    * expired one still refuses. */
+  test("expiry races timestamp readers: never partial, never aliased") {
+    val dir = freshDir()
+    val rowsPer = 10
+    SnapshotTable.commit(spark, df(0, 100), dir, "overwrite",
+      statsCols = Seq("id"))
+    (1 to 12).foreach { k =>
+      SnapshotTable.commit(spark, df(1000L * k, 1000L * k + rowsPer), dir,
+        "append", statsCols = Seq("id"))
+    }
+    // the resolution table BEFORE any expiry: ts -> (version, rows).
+    // Ties (several commits in one ms share a monotonized stamp) resolve
+    // to the LATEST version at that stamp — the same rule versionAsOf
+    // applies, so the expectation is computed with it too.
+    val hist = SnapshotTable.history(spark, dir).reverse // oldest first
+    val expect = hist.map { h =>
+      val resolved = hist.filter(_.timestampMs <= h.timestampMs)
+        .map(_.version).max
+      (h.timestampMs, resolved, 100L + resolved * rowsPer)
+    }.toVector
+    // strictly separate the racing appends' stamps from the recorded ones
+    Thread.sleep(15)
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val loudLosses = new AtomicInteger(0)
+    val okReads = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = Executors.newFixedThreadPool(6)
+    val seed = 20260815L
+
+    def submit(name: String)(body: java.util.Random => Unit): Unit = {
+      val rnd = new java.util.Random(seed ^ name.hashCode.toLong)
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try body(rnd)
+          catch { case t: Throwable => errors.add(t) }
+          finally stop.set(true) // first finisher winds the race down
+        }
+      })
+    }
+
+    // appender keeps the log moving (new versions, newer stamps)
+    submit("append") { rnd =>
+      (1 to 8).foreach { k =>
+        Thread.sleep(rnd.nextInt(30).toLong)
+        SnapshotTable.commit(spark, df(50000L * k, 50000L * k + rowsPer),
+          dir, "append", statsCols = Seq("id"))
+      }
+    }
+    // expirer shrinks history while readers resolve into it
+    submit("expire") { rnd =>
+      (0 until 4).foreach { i =>
+        Thread.sleep(rnd.nextInt(60).toLong)
+        // final keepLast=10 of the 21 total versions: recorded v11-v12
+        // survive (exact-resolution branch) while v0-v10 expire
+        // (loud-refusal branch) — both post-race laws get real cases
+        SnapshotTable.expireVersions(spark, dir, keepLast = 16 - 2 * i)
+      }
+    }
+    // timestamp readers: resolve recorded stamps mid-expiry
+    (0 until 3).foreach { r =>
+      submit(s"reader-$r") { rnd =>
+        while (!stop.get()) {
+          val (ts, expVer, expRows) = expect(rnd.nextInt(expect.size))
+          try {
+            val v = SnapshotTable.versionAsOf(spark, dir, ts)
+            assert(v === expVer,
+              s"ts $ts aliased: resolved v$v, recorded v$expVer")
+            val n = SnapshotTable.read(spark, dir, Some(v)).count()
+            assert(n === expRows, s"v$v partial: $n rows, expected $expRows")
+            okReads.incrementAndGet()
+          } catch {
+            // losing to expiry must be LOUD: the version-gone require or
+            // a log file vanishing mid-replay — never a wrong answer
+            case _: IllegalArgumentException |
+                 _: java.io.FileNotFoundException =>
+              loudLosses.incrementAndGet()
+          }
+          // latest read: always a whole committed snapshot
+          val latest = SnapshotTable.read(spark, dir).count()
+          assert((latest - 100) % rowsPer === 0,
+            s"latest read saw a partial snapshot: $latest rows")
+        }
+      }
+    }
+
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "race timed out")
+    assert(errors.isEmpty, s"participant died: ${errors.peek()}")
+    assert(okReads.get() > 0, "no timestamp read ever succeeded")
+
+    // post-race determinism: surviving recorded stamps resolve exactly;
+    // expired ones refuse rather than alias to the oldest survivor
+    val surviving = SnapshotTable.versions(spark, dir).toSet
+    expect.foreach { case (ts, expVer, expRows) =>
+      if (surviving.contains(expVer)) {
+        assert(SnapshotTable.versionAsOf(spark, dir, ts) === expVer)
+        assert(SnapshotTable.readAsOf(spark, dir, ts).count() === expRows)
+      } else {
+        val thrown = intercept[Exception] {
+          val v = SnapshotTable.versionAsOf(spark, dir, ts)
+          SnapshotTable.read(spark, dir, Some(v)).count()
+        }
+        assert(thrown.isInstanceOf[IllegalArgumentException],
+          s"expired ts $ts failed with ${thrown.getClass} instead of the " +
+            "loud version-gone require")
+      }
+    }
+  }
 }
