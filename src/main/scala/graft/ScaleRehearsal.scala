@@ -1025,6 +1025,85 @@ object ScaleRehearsal {
       ld.listFiles().filter(_.getName.startsWith("ckpt-"))
         .map(_.length).maxOption.getOrElse(0L)
     }
+    // ---- 100k-file manifest rung (r14: VERDICT r13 item 3). The next
+    // 10x step SYNTHETICALLY: the manifest/planning path never reads data
+    // bytes, so the rung publishes 1000 commits x 100 fabricated file
+    // entries through the real commit protocol (publish + every-10th
+    // checkpoint) and measures the same manifest-bound ops — per-commit
+    // cost, full log replay, pruned-scan planning (kept-set exactness
+    // require()d), manifest row count — plus the largest checkpoint's
+    // byte size, the driver-held-manifest footprint that decides the
+    // columnar-checkpoint (Delta parquet-checkpoint) go/no-go at ~50 MB.
+    // `read` is excluded (no data to scan); its planning cost is what
+    // `prune` measures, now zero-I/O via ManifestFileIndex.
+    def syntheticManifestRung(commits: Int, filesPer: Int)
+        : (Map[String, Double], Long) = {
+      val dir = s"/tmp/graft_scale_manifest/synth$commits"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      import graft.sinks.SnapshotTable.{ColStats, FileEntry}
+      def secsOf[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val rowsPerFile = 100L
+      val (_, commitSecs) = secsOf {
+        (0 until commits).foreach { c =>
+          val entries = (0 until filesPer).map { fi =>
+            val base = c.toDouble * filesPer * rowsPerFile +
+              fi * rowsPerFile
+            FileEntry(s"data/synth-$c/part-$fi.orc", rowsPerFile, 4096L,
+              Map("doc_id" -> ColStats(Some(base),
+                Some(base + rowsPerFile - 1), None, None, 0L)))
+          }
+          // a recorded schema routes planning through the zero-I/O
+          // ManifestFileIndex (no fabricated path is ever stat-ed)
+          graft.sinks.SnapshotTable.publish(spark, dir,
+            if (c == 0) "overwrite" else "append", entries, maxRetries = 3,
+            schemaJson = Some(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.DoubleType))).json))
+        }
+      }
+      val (files, replaySecs) = secsOf(
+        graft.sinks.SnapshotTable.snapshotFiles(spark, dir).size)
+      require(files == commits * filesPer,
+        s"synthetic rung: expected ${commits * filesPer} files, got $files")
+      val c = commits / 2
+      val lo = c.toDouble * filesPer * rowsPerFile
+      val hi = lo + filesPer * rowsPerFile - 1
+      val (kept, pruneSecs) = secsOf {
+        val (_, kp, tot) = graft.sinks.SnapshotTable.scanPruned(spark, dir,
+          "doc_id", lo, hi)
+        require(kp == filesPer && tot == commits * filesPer,
+          s"pruned planning kept $kp of $tot, expected $filesPer")
+        kp
+      }
+      require(kept == filesPer)
+      val (mrows, rcSecs) = secsOf(
+        graft.sinks.SnapshotTable.rowCount(spark, dir))
+      require(mrows == commits.toLong * filesPer * rowsPerFile)
+      val ckptBytes = new java.io.File(s"$dir/_log").listFiles()
+        .filter(_.getName.startsWith("ckpt-")).map(_.length)
+        .maxOption.getOrElse(0L)
+      (Map("commit_per" -> commitSecs / commits, "replay" -> replaySecs,
+        "prune" -> pruneSecs, "rowcount" -> rcSecs), ckptBytes)
+    }
+    // baseline at 10k synthetic files so the 10x ratio compares
+    // like-with-like (synthetic vs synthetic)
+    val (synth10, synth10Ckpt) = syntheticManifestRung(100, 100)
+    val (synth100, synth100Ckpt) = syntheticManifestRung(1000, 100)
+    val synthKeys = Seq("commit_per", "replay", "prune", "rowcount")
+    val synthRatios = synthKeys.map(k =>
+      k -> (if (synth10(k) > 0) synth100(k) / synth10(k) else 0.0)).toMap
+    val colCkptNeeded = synth100Ckpt > 50L * 1024 * 1024
+    val synthOk = synthKeys.forall(k =>
+      synthRatios(k) <= 15.0 || synth100(k) <= 0.25) && !colCkptNeeded
+    println(synthKeys.map(k =>
+        f"$k=${synth100(k)}%.2fs(x${synthRatios(k)}%.1f)")
+      .mkString(f"TABLE_MANIFEST_100K ok=$synthOk " +
+        f"ckptMB=${synth100Ckpt / 1e6}%.1f colCkptNeeded=$colCkptNeeded ",
+        " ", ""))
+
     val manCeil = 15.0
     val manFloorS = 0.25
     val manKeys = Seq("commit_per", "replay", "read", "prune", "rowcount")
@@ -1035,6 +1114,71 @@ object ScaleRehearsal {
     println(manKeys.map(k => f"$k=${man10(k)}%.2fs(x${manRatios(k)}%.1f)")
       .mkString(f"TABLE_MANIFEST 1k->10k files ok=$manOk " +
         f"ckptMB=${manCkptBytes / 1e6}%.1f ", " ", ""))
+
+    // ---- ann_sparse_regime: IVFADC recall where pruning is REAL (r14:
+    // VERDICT r13 item 1). Every gated ann_* recall verdict runs on
+    // fixtures of 500-20k vectors where the shortlist covers 20-100% of
+    // the corpus — the regime where IVF pruning does nothing. This rung
+    // measures recall on a 200k-vector synthetic corpus of 64 clustered
+    // pseudo-Gaussians (golden-angle centers + hash noise at FULL center
+    // amplitude — the hard version; no RNG, fully deterministic) with the
+    // deployment dials: 256 coarse cells, nProbe=8 (3% of cells probed),
+    // shortlist 2000 (1% of corpus) and a decay point at 400 (0.2%).
+    // Floors pinned from measurement with headroom (1%: measured 1.000,
+    // floor 0.95; 0.2%: measured 0.94, floor 0.85; eps 0.005 — the
+    // refine-tier tie tolerance). The funnel wall gets a generous
+    // absolute ceiling: this rung is recall evidence, not a benchmark.
+    val annSp = {
+      val dir = "/tmp/sfann200k"
+      val n = 200000L
+      val dimA = 64
+      val clusters = 64
+      if (!new java.io.File(s"$dir/embeddings.parquet").exists()) {
+        spark.range(n).select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dimA - 1)), i => {
+            val c = pmod(col("id"), lit(clusters)).cast("double")
+            sin((c * dimA + i.cast("double")) * 2.399963) +
+              (pmod(xxhash64(col("id"), i, lit(42)), lit(2000))
+                .cast("double") / 1000.0 - 1.0) * 1.0
+          }).cast("array<float>").as("embedding"),
+          pmod(col("id"), lit(clusters)).cast("string").as("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        println("synthesized /tmp/sfann200k")
+      }
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        nCentroids = 256, lloydIters = 3)
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, ksub = 32, lloydIters = 2)
+      val kSp = 10
+      val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        queryIds = _ < 20, k = kSp).collect()
+      val kth = exact.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getDouble(3)).min }
+      def run(sl: Int): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val rows = Similarity.ivfTopKPqServe(emb, "vec_id", "embedding",
+          queryIds = _ < 20, k = kSp, centroids = cents, codebooks = books,
+          nProbe = 8, shortlist = sl).collect()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val byQ = rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+          q -> rs.count(_.getDouble(3) >= kth(q) - 0.005).min(kSp)
+        }
+        val recall = kth.keysIterator.map(q => byQ.getOrElse(q, 0)).sum /
+          (kSp.toDouble * kth.size)
+        (recall, wall)
+      }
+      val (r1pct, w1pct) = run(2000)
+      val (rDecay, wDecay) = run(400)
+      val ok = r1pct >= 0.95 && rDecay >= 0.85 &&
+        w1pct <= 60.0 && wDecay <= 60.0
+      println(f"ANN_SPARSE_REGIME corpus=200k cells=256 nProbe=8 " +
+        f"sl=1%%: recall=$r1pct%.3f (${w1pct}%.1fs floor 0.95) " +
+        f"sl=0.2%%: recall=$rDecay%.3f (${wDecay}%.1fs floor 0.85) ok=$ok")
+      (r1pct, w1pct, rDecay, wDecay, ok)
+    }
 
     // ---- memory: spill-not-OOM child (round-11: VERDICT r10 item 4) -----
     // The three heaviest funnels re-run at sf1 in a FORKED JVM whose
@@ -1165,6 +1309,12 @@ object ScaleRehearsal {
     def manJson(m: Map[String, Double]): String =
       manKeys.map(k => f""""$k": ${m(k)}%.3f""").mkString("{", ", ", "}")
     sb.append(f"""  "table_manifest": {"files_rung1": 1000, "files_rung10": 10000, "ceilings": {"ratio_x": $manCeil, "floor_s": $manFloorS}, "rung1_secs": ${manJson(man1)}, "rung10_secs": ${manJson(man10)}, "ratios": ${manJson(manRatios)}, "largest_ckpt_bytes": $manCkptBytes%d, "within_ceilings": $manOk},\n""")
+    if (!synthOk) allOk = false
+    def synthJson(m: Map[String, Double]): String =
+      synthKeys.map(k => f""""$k": ${m(k)}%.3f""").mkString("{", ", ", "}")
+    sb.append(f"""  "table_manifest_100k": {"mode": "synthetic log, real commit protocol", "files_rung10": 10000, "files_rung100": 100000, "ceilings": {"ratio_x": 15.0, "floor_s": 0.25, "ckpt_bytes_max": ${50L * 1024 * 1024}%d}, "rung10_secs": ${synthJson(synth10)}, "rung100_secs": ${synthJson(synth100)}, "ratios": ${synthJson(synthRatios)}, "ckpt_bytes_rung10": $synth10Ckpt%d, "ckpt_bytes_rung100": $synth100Ckpt%d, "columnar_checkpoint_needed": $colCkptNeeded, "within_ceilings": $synthOk},\n""")
+    if (!annSp._5) allOk = false
+    sb.append(f"""  "ann_sparse_regime": {"corpus": 200000, "dim": 64, "clusters": 64, "n_centroids": 256, "n_probe": 8, "k": 10, "eps": 0.005, "shortlist_1pct": {"shortlist": 2000, "recall": ${annSp._1}%.3f, "floor": 0.95, "secs": ${annSp._2}%.1f}, "shortlist_02pct": {"shortlist": 400, "recall": ${annSp._3}%.3f, "floor": 0.85, "secs": ${annSp._4}%.1f}, "wall_ceiling_s": 60.0, "within_ceilings": ${annSp._5}},\n""")
     if (!memPass) allOk = false
     sb.append(f"""  "memory": {"heap_mb": $memHeapMb%d, "child_exit": $memExit%d, "spill_disk_mb_total": $memSpillDisk%.1f, "answers_match": $memAnswersMatch, "child": ${if (memJson.nonEmpty) memJson else "null"}, "pass": $memPass},\n""")
     sb.append(s"""  "all_within_ceilings": $allOk\n}\n""")
