@@ -329,12 +329,28 @@ object Cli {
             keepLast.toInt)
           rep(s"${name(tableDir)} expired=${expired.size}",
             expired.size.toLong, expired.size)
-        // vacuum <table_dir> [retention_hours=168]
-        case ("vacuum", tableDir :: rest) if rest.length <= 1 =>
-          val retentionMs = rest.headOption.map(_.toLong * 3600 * 1000)
+        // vacuum <table_dir> [retention_hours=168] [--dry-run]
+        // --dry-run prints the reclaim set with sizes and deletes
+        // NOTHING — the operator-safety preview for the one
+        // irreversible table op
+        case ("vacuum", tableDir :: rest)
+            if rest.filterNot(_ == "--dry-run").length <= 1 =>
+          val dryRun = rest.contains("--dry-run")
+          val retentionMs = rest.filterNot(_ == "--dry-run").headOption
+            .map(_.toLong * 3600 * 1000)
             .getOrElse(7L * 24 * 3600 * 1000)
-          val deleted = SnapshotTable.vacuum(spark, tableDir, retentionMs)
-          rep(s"${name(tableDir)} vacuum", deleted.size.toLong, deleted.size)
+          if (dryRun) {
+            val plan = SnapshotTable.vacuumPlan(spark, tableDir, retentionMs)
+            plan.foreach { case (p, bytes) => println(f"$bytes%12d  $p") }
+            println(s"DRY RUN: ${plan.size} files / " +
+              s"${plan.map(_._2).sum} bytes would be reclaimed; " +
+              "nothing deleted")
+            rep(s"${name(tableDir)} vacuum --dry-run",
+              plan.map(_._2).sum, plan.size)
+          } else {
+            val deleted = SnapshotTable.vacuum(spark, tableDir, retentionMs)
+            rep(s"${name(tableDir)} vacuum", deleted.size.toLong, deleted.size)
+          }
         // changes <table_dir> <from_version> <output_dir> [to_version]
         case ("changes", tableDir :: from :: outDir :: rest) if rest.length <= 1 =>
           val df = SnapshotTable.changesSince(spark, tableDir, from.toLong,
@@ -356,14 +372,22 @@ object Cli {
             println(s"v$v $action files=$files rows=$rows")
           }
           rep(s"${name(tableDir)} versions", vs.size.toLong, vs.size)
-        // history <table_dir> — DESCRIBE HISTORY: newest first, commit
-        // wall-clock (monotonized), manifest tallies, txn stamps
-        case ("history", tableDir :: Nil) =>
+        // history <table_dir> [--files] — DESCRIBE HISTORY: newest first,
+        // commit wall-clock (monotonized), manifest tallies, txn stamps;
+        // --files additionally lists each commit's ADDED manifest
+        // entries (path/rows/bytes — EXPLAIN for the table log, zero
+        // data I/O)
+        case ("history", tableDir :: rest) if rest.forall(_ == "--files") &&
+            rest.length <= 1 =>
+          val withFiles = rest.nonEmpty
           val h = SnapshotTable.history(spark, tableDir)
           h.foreach { e =>
             val txn = e.txnApp.map(a => s" txn=$a:${e.txnSeq.get}").getOrElse("")
             println(s"v${e.version} ${e.action} ts=${e.timestampMs} " +
               s"files=${e.nFiles} rows=${e.rows}$txn")
+            if (withFiles)
+              SnapshotTable.commitFiles(spark, tableDir, e.version).foreach(
+                f => println(f"  ${f.bytes}%12d ${f.rows}%10d  ${f.path}"))
           }
           rep(s"${name(tableDir)} history", h.size.toLong, h.size)
         // readasof <table_dir> <output_dir> <timestamp_ms> [compression]
@@ -383,11 +407,11 @@ object Cli {
               |  table compact <table_dir> [target_mb=128] [cluster_by]
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
               |  table expire  <table_dir> <keep_last>
-              |  table vacuum  <table_dir> [retention_hours=168]
+              |  table vacuum  <table_dir> [retention_hours=168] [--dry-run]
               |  table changes <table_dir> <from_version> <output_dir> [to_version]
               |  table sync    <src_table_dir> <dst_table_dir> [from_version=-1]
               |  table versions <table_dir>
-              |  table history <table_dir>
+              |  table history <table_dir> [--files]
               |  table readasof <table_dir> <output_dir> <timestamp_ms> [compression=snappy]""".stripMargin)
           None
       }

@@ -680,6 +680,11 @@ object SnapshotTable {
     (c.action, c.files.size, c.files.map(_.rows).sum)
   }
 
+  /** The manifest entries one commit ADDED (not the cumulative snapshot)
+    * — the `cli table history --files` listing, zero data I/O. */
+  def commitFiles(spark: SparkSession, dir: String, v: Long): Seq[FileEntry] =
+    readCommit(spark, dir, v).files
+
   // ---- read / time travel ---------------------------------------------
 
   /** Commits participating in the snapshot at `version`: everything from
@@ -1328,8 +1333,12 @@ object SnapshotTable {
     * vanished files and every read of that version fail. Only files whose
     * modification time predates the window are reclaimed; pass 0 only
     * when no writer can be active. */
-  def vacuum(spark: SparkSession, dir: String,
-             retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+  /** The reclaim set [[vacuum]] would delete, WITHOUT deleting:
+    * (table-relative path, bytes), sorted by path. Vacuum is the one
+    * irreversible table op, so operators get a dry run that prices the
+    * reclaim before committing to it (`cli table vacuum --dry-run`). */
+  def vacuumPlan(spark: SparkSession, dir: String,
+                 retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[(String, Long)] = {
     val f = fs(spark, dir)
     val vs = versions(spark, dir)
     // referenced = union over surviving COMMITS and surviving CHECKPOINTS.
@@ -1366,7 +1375,7 @@ object SnapshotTable {
         other.getMessage.contains("No such file or directory")) ||
         isVanished(other.getCause)
     }
-    val dead = mutable.ArrayBuffer.empty[String]
+    val dead = mutable.ArrayBuffer.empty[(String, Long)]
     val qualifiedRoot = f.makeQualified(new Path(dir)).toString
     def walk(p: Path): Unit = {
       val entries =
@@ -1381,12 +1390,22 @@ object SnapshotTable {
           val rel = s.getPath.toString.stripPrefix(qualifiedRoot)
             .stripPrefix("/")
           if (!referenced.contains(rel) && s.getModificationTime <= cutoff)
-            dead += rel
+            dead += ((rel, s.getLen))
         }
       }
     }
     walk(dataDir)
+    dead.toSeq.sortBy(_._1)
+  }
+
+  /** Destroy every data file no surviving commit or checkpoint references
+    * and older than `retentionMs` — [[vacuumPlan]] executed. Returns the
+    * deleted table-relative paths. */
+  def vacuum(spark: SparkSession, dir: String,
+             retentionMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val f = fs(spark, dir)
+    val dead = vacuumPlan(spark, dir, retentionMs).map(_._1)
     dead.foreach(r => f.delete(new Path(dir, r), false))
-    dead.toSeq.sorted
+    dead
   }
 }

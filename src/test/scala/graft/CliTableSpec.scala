@@ -111,4 +111,52 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // bad op prints table usage and returns None
     assert(Cli.run(spark, Seq("table", "frobnicate", tableDir)).isEmpty)
   }
+
+  test("vacuum --dry-run prices the reclaim set and deletes nothing") {
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id")).get
+    // expire the base version so its files become reclaimable, then
+    // compact so the current snapshot lives in fresh files
+    Cli.run(spark, Seq("table", "compact", tableDir)).get
+    Cli.run(spark, Seq("table", "expire", tableDir, "1")).get
+    val plan = SnapshotTable.vacuumPlan(spark, tableDir, retentionMs = 0L)
+    assert(plan.nonEmpty, "expired pre-compact files must be reclaimable")
+    assert(plan.forall(_._2 > 0L), "plan must carry real byte sizes")
+    val filesBefore = SnapshotTable.read(spark, tableDir).count()
+    val dr = Cli.run(spark,
+      Seq("table", "vacuum", tableDir, "0", "--dry-run")).get
+    assert(dr.results.head.files === plan.size)
+    assert(dr.results.head.rows === plan.map(_._2).sum) // priced in bytes
+    // NOTHING was deleted: the plan is unchanged and the table reads
+    assert(SnapshotTable.vacuumPlan(spark, tableDir, 0L) === plan)
+    assert(SnapshotTable.read(spark, tableDir).count() === filesBefore)
+    // the real vacuum then reclaims exactly the dry run's set
+    val vr = Cli.run(spark, Seq("table", "vacuum", tableDir, "0")).get
+    assert(vr.results.head.files === plan.size)
+    assert(SnapshotTable.read(spark, tableDir).count() === filesBefore)
+  }
+
+  test("history --files lists each commit's added manifest entries") {
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id")).get
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(100, 130), "append", "id")).get
+    val out = new java.io.ByteArrayOutputStream()
+    val rep = Console.withOut(new java.io.PrintStream(out)) {
+      Cli.run(spark, Seq("table", "history", tableDir, "--files")).get
+    }
+    assert(rep.results.head.rows === 2)
+    val lines = out.toString("UTF-8").linesIterator.toSeq
+    // one header per version plus one indented line per manifest entry
+    assert(lines.count(_.startsWith("v")) === 2)
+    val fileLines = lines.filter(_.startsWith("  "))
+    assert(fileLines.nonEmpty && fileLines.forall(_.contains("data/")))
+    val v0Files = SnapshotTable.commitFiles(spark, tableDir, 0L)
+    val v1Files = SnapshotTable.commitFiles(spark, tableDir, 1L)
+    assert(fileLines.size === v0Files.size + v1Files.size)
+    // a bogus flag still prints usage, not a listing
+    assert(Cli.run(spark, Seq("table", "history", tableDir, "--nope")).isEmpty)
+  }
 }
