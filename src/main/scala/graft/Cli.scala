@@ -306,10 +306,16 @@ object Cli {
             clusterBy = rest.lift(1))
           val (_, files, rows) = SnapshotTable.commitStats(spark, tableDir, v)
           rep(s"${name(tableDir)}@v$v", rows, files)
-        // delete <table_dir> <key_col> <lo> <hi>
+        // delete <table_dir> <key_col> <lo> <hi> — numeric bounds range-
+        // delete numerically; anything else is a LEXICOGRAPHIC string
+        // range (url/tenant/date-string keys), routed to deleteString
         case ("delete", tableDir :: keyCol :: lo :: hi :: Nil) =>
-          val r = SnapshotTable.delete(spark, tableDir, keyCol,
-            lo.toDouble, hi.toDouble)
+          val r = (lo.toDoubleOption, hi.toDoubleOption) match {
+            case (Some(dLo), Some(dHi)) =>
+              SnapshotTable.delete(spark, tableDir, keyCol, dLo, dHi)
+            case _ =>
+              SnapshotTable.deleteString(spark, tableDir, keyCol, lo, hi)
+          }
           rep(s"${name(tableDir)}@v${r.version} deleted=${r.rowsDeleted} " +
             s"rewrote=${r.filesRewritten} carried=${r.filesCarried}",
             r.rowsDeleted, r.filesRewritten)
@@ -403,7 +409,7 @@ object Cli {
               |  table commit  <table_dir> <input_orc> <append|overwrite> [stats_cols]
               |  table read    <table_dir> <output_dir> [version|latest] [compression=snappy]
               |  table merge   <table_dir> <updates_orc> <key_col> [stats_cols]
-              |  table delete  <table_dir> <key_col> <lo> <hi>
+              |  table delete  <table_dir> <key_col> <lo> <hi>   (non-numeric bounds: lexicographic)
               |  table compact <table_dir> [target_mb=128] [cluster_by]
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
               |  table expire  <table_dir> <keep_last>

@@ -112,6 +112,24 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Cli.run(spark, Seq("table", "frobnicate", tableDir)).isEmpty)
   }
 
+  test("delete with non-numeric bounds routes to the lexicographic twin") {
+    val tableDir = freshDir() + "/t"
+    val base = freshDir()
+    OrcSink.write((0 until 50).map(i => (f"u$i%03d", i.toLong))
+      .toDF("url", "id"), base, "in")
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, s"$base/in", "overwrite", "url")).get
+    val dl = Cli.run(spark,
+      Seq("table", "delete", tableDir, "url", "u010", "u019")).get
+    assert(dl.results.head.rows === 10)
+    assert(SnapshotTable.read(spark, tableDir).count() === 40)
+    // numeric bounds still take the numeric path on a numeric key
+    val dl2 = Cli.run(spark,
+      Seq("table", "delete", tableDir, "id", "20", "24")).get
+    assert(dl2.results.head.rows === 5)
+    assert(SnapshotTable.read(spark, tableDir).count() === 35)
+  }
+
   test("vacuum --dry-run prices the reclaim set and deletes nothing") {
     val tableDir = freshDir() + "/t"
     Cli.run(spark,
