@@ -10,7 +10,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.orc.{ColumnStatistics, DateColumnStatistics,
   DecimalColumnStatistics, DoubleColumnStatistics, IntegerColumnStatistics,
   OrcFile, StringColumnStatistics, TimestampColumnStatistics}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
 
@@ -878,8 +878,30 @@ object SnapshotTable {
     val base =
       if (kept.isEmpty) readFiles(spark, dir, files, schema).where(lit(false))
       else readFiles(spark, dir, kept, schema)
-    val df = base.where(col(column) >= lo && col(column) <= hi)
+    val df = base.where(rangePredicate(base, column, lo, hi))
     (df, kept.size, files.size)
+  }
+
+  /** Range predicate shaped so ORC can push it: comparing the raw column
+    * against literals CAST TO THE COLUMN'S TYPE reaches the scan as
+    * `PushedFilters: [GreaterThanOrEqual, LessThanOrEqual]` (per-stripe
+    * min/max skipping INSIDE kept files); the naive `col >= doubleLit`
+    * wraps the column in cast(col as double), which pushes nothing but
+    * IsNotNull. Only exact rewrites: integral types take ceil(lo)/
+    * floor(hi) (equivalent bounds, no truncation bugs), doubles cast
+    * for free; float/decimal keep the cast-column form — rounding a
+    * double literal INTO those types could move the boundary. */
+  private def rangePredicate(df: DataFrame, column: String,
+                             lo: Double, hi: Double): Column = {
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == column).map(_.dataType) match {
+      case Some(dt @ (ByteType | ShortType | IntegerType | LongType)) =>
+        col(column) >= lit(math.ceil(lo)).cast(dt) &&
+          col(column) <= lit(math.floor(hi)).cast(dt)
+      case Some(DoubleType) =>
+        col(column) >= lit(lo) && col(column) <= lit(hi)
+      case _ => col(column) >= lo && col(column) <= hi
+    }
   }
 
   /** Snapshot row count from the MANIFEST alone — zero data I/O at any

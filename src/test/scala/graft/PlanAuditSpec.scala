@@ -186,6 +186,29 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
       "schema-pinned snapshot read lost column pruning")
   }
 
+  test("pruned range scans push BOTH range bounds into the ORC reader") {
+    // the manifest stab skips whole files; the residual predicate must
+    // still reach the reader as pushed range filters so per-stripe
+    // min/max skips row groups INSIDE kept files. The naive
+    // `col >= doubleLit` wraps an integral column in cast(col as
+    // double), which pushes nothing but IsNotNull (r14 fix:
+    // rangePredicate casts the literals, exactly, instead).
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("snapprune").toString
+    graft.sinks.SnapshotTable.commit(spark,
+      Tables.t(spark, sf, "orders").select(col("o_orderkey"))
+        .repartitionByRange(4, col("o_orderkey")),
+      dir, "overwrite", statsCols = Seq("o_orderkey"))
+    val (df, _, _) = graft.sinks.SnapshotTable.scanPruned(spark, dir,
+      "o_orderkey", 100.0, 200.0)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(o_orderkey,100"
+      .r.findFirstIn(p).isDefined &&
+      "LessThanOrEqual\\(o_orderkey,200".r.findFirstIn(p).isDefined,
+      s"pruned scan lost ORC range pushdown")
+  }
+
   test("top-k plans use TakeOrderedAndProject, not a global window") {
     for (n <- Seq("text_heavy_hitters", "dedup_minhash_full",
         "q3_top_unshipped_orders")) {
