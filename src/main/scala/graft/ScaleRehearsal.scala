@@ -1036,9 +1036,17 @@ object ScaleRehearsal {
     // columnar-checkpoint (Delta parquet-checkpoint) go/no-go at ~50 MB.
     // `read` is excluded (no data to scan); its planning cost is what
     // `prune` measures, now zero-I/O via ManifestFileIndex.
-    def syntheticManifestRung(commits: Int, filesPer: Int)
+    def syntheticManifestRung(commits: Int, filesPer: Int,
+                              ckptEvery: Int = 10)
         : (Map[String, Double], Long) = {
-      val dir = s"/tmp/graft_scale_manifest/synth$commits"
+      val dir = s"/tmp/graft_scale_manifest/synth$commits-$filesPer"
+      spark.conf.set("spark.graft.table.checkpoint.every",
+        ckptEvery.toString)
+      try syntheticManifestRungBody(dir, commits, filesPer)
+      finally spark.conf.unset("spark.graft.table.checkpoint.every")
+    }
+    def syntheticManifestRungBody(dir: String, commits: Int, filesPer: Int)
+        : (Map[String, Double], Long) = {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       import graft.sinks.SnapshotTable.{ColStats, FileEntry}
       def secsOf[A](f: => A): (A, Double) = {
@@ -1085,8 +1093,13 @@ object ScaleRehearsal {
       val ckptBytes = new java.io.File(s"$dir/_log").listFiles()
         .filter(_.getName.startsWith("ckpt-")).map(_.length)
         .maxOption.getOrElse(0L)
+      val sidecarBytes = new java.io.File(s"$dir/_log").listFiles()
+        .filter(f => f.getName.startsWith("ckpt-") &&
+          f.getName.endsWith(".files.orc")).map(_.length)
+        .maxOption.getOrElse(0L)
       (Map("commit_per" -> commitSecs / commits, "replay" -> replaySecs,
-        "prune" -> pruneSecs, "rowcount" -> rcSecs), ckptBytes)
+        "prune" -> pruneSecs, "rowcount" -> rcSecs,
+        "sidecar_bytes" -> sidecarBytes.toDouble), ckptBytes)
     }
     // baseline at 10k synthetic files so the 10x ratio compares
     // like-with-like (synthetic vs synthetic)
@@ -1103,6 +1116,35 @@ object ScaleRehearsal {
       .mkString(f"TABLE_MANIFEST_100K ok=$synthOk " +
         f"ckptMB=${synth100Ckpt / 1e6}%.1f colCkptNeeded=$colCkptNeeded ",
         " ", ""))
+
+    // ---- 1M-file rung ON columnar checkpoints (r14 continuation): the
+    // 100k rung's go/no-go extrapolated ~120 MB of JSON checkpoint at 1M
+    // files — the single-log weakness Delta answers with parquet
+    // checkpoints. The ORC sidecar checkpoint now exists (auto above
+    // 20k manifest entries), so prove the manifest at the next 10x ON
+    // it: 100k files (100 commits x 1000) vs 1M (1000 commits x 1000),
+    // checkpoint cadence at commits/10 for BOTH rungs so each replays
+    // one sidecar covering 90% of files + a 10-commit JSON tail —
+    // structurally identical, a clean 10x. Both rungs' checkpoints are
+    // columnar (cumulative count >> the 20k inline threshold); the rung
+    // REQUIREs a sidecar so regressions can't silently fall back to
+    // JSON.
+    val (synth1mBase, _) = syntheticManifestRung(100, 1000, ckptEvery = 10)
+    val (synth1m, synth1mCkptLargest) =
+      syntheticManifestRung(1000, 1000, ckptEvery = 100)
+    require(synth1m("sidecar_bytes") > 0 && synth1mBase("sidecar_bytes") > 0,
+      "1M-file rung expected COLUMNAR checkpoints, found none")
+    val synth1mRatios = synthKeys.map(k =>
+      k -> (if (synth1mBase(k) > 0) synth1m(k) / synth1mBase(k)
+            else 0.0)).toMap
+    val synth1mOk = synthKeys.forall(k =>
+      synth1mRatios(k) <= 15.0 || synth1m(k) <= 0.25) &&
+      synth1m("sidecar_bytes") <= 50L * 1024 * 1024
+    println(synthKeys.map(k =>
+        f"$k=${synth1m(k)}%.2fs(x${synth1mRatios(k)}%.1f)")
+      .mkString(f"TABLE_MANIFEST_1M ok=$synth1mOk " +
+        f"sidecarMB=${synth1m("sidecar_bytes") / 1e6}%.1f " +
+        f"largestMB=${synth1mCkptLargest / 1e6}%.1f ", " ", ""))
 
     val manCeil = 15.0
     val manFloorS = 0.25
@@ -1313,6 +1355,8 @@ object ScaleRehearsal {
     def synthJson(m: Map[String, Double]): String =
       synthKeys.map(k => f""""$k": ${m(k)}%.3f""").mkString("{", ", ", "}")
     sb.append(f"""  "table_manifest_100k": {"mode": "synthetic log, real commit protocol", "files_rung10": 10000, "files_rung100": 100000, "ceilings": {"ratio_x": 15.0, "floor_s": 0.25, "ckpt_bytes_max": ${50L * 1024 * 1024}%d}, "rung10_secs": ${synthJson(synth10)}, "rung100_secs": ${synthJson(synth100)}, "ratios": ${synthJson(synthRatios)}, "ckpt_bytes_rung10": $synth10Ckpt%d, "ckpt_bytes_rung100": $synth100Ckpt%d, "columnar_checkpoint_needed": $colCkptNeeded, "within_ceilings": $synthOk},\n""")
+    if (!synth1mOk) allOk = false
+    sb.append(f"""  "table_manifest_1m": {"mode": "synthetic log, real commit protocol, COLUMNAR (ORC sidecar) checkpoints", "files_base": 100000, "files_rung": 1000000, "ckpt_cadence": "commits/10 both rungs", "ceilings": {"ratio_x": 15.0, "floor_s": 0.25, "sidecar_bytes_max": ${50L * 1024 * 1024}%d}, "base_secs": ${synthJson(synth1mBase)}, "rung_secs": ${synthJson(synth1m)}, "ratios": ${synthJson(synth1mRatios)}, "sidecar_bytes_base": ${synth1mBase("sidecar_bytes").toLong}%d, "sidecar_bytes_rung": ${synth1m("sidecar_bytes").toLong}%d, "largest_ckpt_artifact_bytes": $synth1mCkptLargest%d, "within_ceilings": $synth1mOk},\n""")
     if (!annSp._5) allOk = false
     sb.append(f"""  "ann_sparse_regime": {"corpus": 200000, "dim": 64, "clusters": 64, "n_centroids": 256, "n_probe": 8, "k": 10, "eps": 0.005, "shortlist_1pct": {"shortlist": 2000, "recall": ${annSp._1}%.3f, "floor": 0.95, "secs": ${annSp._2}%.1f}, "shortlist_02pct": {"shortlist": 400, "recall": ${annSp._3}%.3f, "floor": 0.85, "secs": ${annSp._4}%.1f}, "wall_ceiling_s": 60.0, "within_ceilings": ${annSp._5}},\n""")
     if (!memPass) allOk = false

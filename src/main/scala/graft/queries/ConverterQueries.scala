@@ -1359,6 +1359,56 @@ object ConverterQueries {
         .withColumn("pruned_eq_full", col("rows_in_range") === fullN)
     },
 
+    // COLUMNAR-CHECKPOINT gate (r14): the snapshot table with its log
+    // checkpoints forced into the ORC sidecar format (inline threshold 4
+    // << the 24-file snapshot), then history EXPIRED so the collapse
+    // checkpoint — columnar — is the ONLY ground truth for replay: the
+    // raw log files that could reconstruct the early snapshot are gone.
+    // Every surface must agree with DuckDB's independent derivation from
+    // the raw parquet: full content (count + two checksums), zero-I/O
+    // manifest row count, and range pruning planned from stats that
+    // round-tripped JSON -> ORC sidecar -> JSON.
+    "conv_table_ckpt_orc" -> { (s, d) =>
+      val base = tmp(d, "snapckptorc")
+      val orders = t(s, d, "orders")
+      val n = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      val nW = 12L
+      def wLo(w: Long) = (w * n + nW - 1) / nW
+      stageOnce(base) {
+        s.conf.set("spark.graft.table.checkpoint.inlineMaxFiles", "4")
+        try {
+          (0L until nW).foreach { w =>
+            SnapshotTable.commit(s,
+              orders.filter(col("o_orderkey") >= wLo(w) &&
+                col("o_orderkey") < wLo(w + 1)).repartition(2),
+              base, if (w == 0) "overwrite" else "append",
+              statsCols = Seq("o_orderkey"))
+          }
+          SnapshotTable.expireVersions(s, base, keepLast = 2)
+        } finally
+          s.conf.unset("spark.graft.table.checkpoint.inlineMaxFiles")
+      }
+      val sidecarN = new java.io.File(s"$base/_log").listFiles()
+        .count(f => f.getName.startsWith("ckpt-") &&
+          f.getName.endsWith(".files.orc"))
+      val qLo = wLo(3)
+      val qHi = wLo(5) - 1
+      val (pruned, kept, total) = SnapshotTable.scanPruned(
+        s, base, "o_orderkey", qLo.toDouble, qHi.toDouble)
+      val inRange = pruned.filter(col("o_orderkey").between(qLo, qHi))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+        .head()
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("sum_key_total"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("manifest_rows", lit(SnapshotTable.rowCount(s, base)))
+        .withColumn("range_n", lit(inRange.getLong(0)))
+        .withColumn("range_sum_key", lit(inRange.getLong(1)))
+        .withColumn("sidecar_present", lit(sidecarN > 0))
+        .withColumn("pruned_some", lit(kept < total))
+    },
+
     // STRING-channel manifest pruning (scanPruned's lexicographic
     // sibling — date-partition keys, tenant ids, priority classes are
     // string-typed in real lakes): orders range-clustered on the
@@ -2097,6 +2147,26 @@ object ConverterQueries {
         | (SELECT COUNT(*) FROM documents) AS manifest_rows,
         | TRUE AS pruned_eq_full
         |FROM documents d, b WHERE d.doc_id BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // conv_table_ckpt_orc: after expiry the table's only replay base is
+    // the columnar collapse checkpoint; final content is ALL 12 windows
+    // = the whole orders table, and the probed range is windows [3,5) on
+    // the same ceil-arithmetic boundaries DuckDB rederives here.
+    "conv_table_ckpt_orc" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders),
+        |b AS (SELECT CAST((3*n + 11) // 12 AS BIGINT) AS lo,
+        |             CAST((5*n + 11) // 12 - 1 AS BIGINT) AS hi FROM m)
+        |SELECT (SELECT COUNT(*) FROM orders) AS n_total,
+        | (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders)
+        |   AS sum_key_total,
+        | (SELECT CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |   AS DOUBLE) FROM orders) AS sum_price,
+        | (SELECT COUNT(*) FROM orders) AS manifest_rows,
+        | COUNT(*) AS range_n,
+        | CAST(SUM(o.o_orderkey) AS BIGINT) AS range_sum_key,
+        | TRUE AS sidecar_present,
+        | TRUE AS pruned_some
+        |FROM orders o, b WHERE o.o_orderkey BETWEEN b.lo AND b.hi""".stripMargin,
 
     "conv_table_prune_str" ->
       """SELECT COUNT(*) AS n,

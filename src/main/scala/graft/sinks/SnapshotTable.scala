@@ -7,9 +7,12 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.orc.{ColumnStatistics, DateColumnStatistics,
-  DecimalColumnStatistics, DoubleColumnStatistics, IntegerColumnStatistics,
-  OrcFile, StringColumnStatistics, TimestampColumnStatistics}
+import org.apache.hadoop.hive.ql.exec.vector.{BytesColumnVector,
+  LongColumnVector}
+import org.apache.orc.{ColumnStatistics, CompressionKind,
+  DateColumnStatistics, DecimalColumnStatistics, DoubleColumnStatistics,
+  IntegerColumnStatistics, OrcFile, StringColumnStatistics,
+  TimestampColumnStatistics, TypeDescription}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col, lit}
 import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
@@ -212,12 +215,109 @@ object SnapshotTable {
     * slower, never wrong, so the write is best-effort. */
   private val CheckpointEvery = 10L
 
+  /** Checkpoint cadence — Delta's `delta.checkpointInterval` dial. The
+    * default (every 10 commits) suits streaming ingest; a compaction-era
+    * table whose snapshots hold ~10⁶ files raises it so the cumulative
+    * checkpoint rewrite (O(#files) per checkpoint) amortizes over more
+    * commits. Replay cost between checkpoints stays bounded by the
+    * interval either way. */
+  private def checkpointEvery(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.table.checkpoint.every")
+      .map(_.toLong).filter(_ >= 1L).getOrElse(CheckpointEvery)
+
   private case class Ckpt(version: Long, files: Seq[FileEntry],
                           schemaJson: Option[String],
                           txns: Map[String, (Long, Long)]) // app -> (seq, v)
 
   private def ckptPath(dir: String, v: Long) =
     new Path(logDir(dir), f"ckpt-$v%020d.json")
+
+  // ---- columnar checkpoint sidecar --------------------------------------
+  //
+  // Above `inlineMaxFiles` manifest entries the checkpoint's file list
+  // moves out of the JSON into a typed ORC sidecar (`ckpt-<v>.files.orc`)
+  // — the Delta parquet-checkpoint shape, measured necessary past ~1M
+  // files where a single JSON document reaches ~10⁸ bytes and its DOM
+  // parse dominates replay (SCALE "table_manifest" rungs). Layout:
+  // fixed columns (path/rows/bytes) typed, per-file column stats as a
+  // JSON string column — Delta's own `add.stats` design, which keeps the
+  // stats schema free to evolve while the hot planning fields stay
+  // columnar. Written driver-side with the bare ORC writer (one file, no
+  // Spark job), so [[putIfAbsent]] publishes it with the same atomicity
+  // as every other log artifact. The JSON checkpoint keeps the header
+  // (version/schema/txns) plus `filesOrc` + `fileCount`; a sidecar whose
+  // row count disagrees with `fileCount` fails the read — readCkpt then
+  // degrades to full replay and [[vacuum]] ABORTS instead of widening
+  // its dead set from a truncated file list.
+  private val InlineFilesDefault = 20000
+
+  private def inlineMaxFiles(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.table.checkpoint.inlineMaxFiles")
+      .map(_.toInt).getOrElse(InlineFilesDefault)
+
+  private def ckptFilesPath(dir: String, v: Long) =
+    new Path(logDir(dir), f"ckpt-$v%020d.files.orc")
+
+  private val SidecarSchema = "struct<path:string,rows:bigint," +
+    "bytes:bigint,stats:string>"
+
+  private def writeFilesOrc(conf: Configuration, p: Path,
+                            entries: Seq[FileEntry]): Unit = {
+    val schema = TypeDescription.fromString(SidecarSchema)
+    val w = OrcFile.createWriter(p, OrcFile.writerOptions(conf)
+      .setSchema(schema).compress(CompressionKind.ZSTD).overwrite(true))
+    try {
+      val batch = schema.createRowBatch(1024)
+      val pathCol = batch.cols(0).asInstanceOf[BytesColumnVector]
+      val rowsCol = batch.cols(1).asInstanceOf[LongColumnVector]
+      val bytesCol = batch.cols(2).asInstanceOf[LongColumnVector]
+      val statsCol = batch.cols(3).asInstanceOf[BytesColumnVector]
+      def putStr(c: BytesColumnVector, r: Int, s: String): Unit = {
+        val b = s.getBytes("UTF-8"); c.setVal(r, b, 0, b.length)
+      }
+      entries.foreach { e =>
+        if (batch.size == batch.getMaxSize) {
+          w.addRowBatch(batch); batch.reset()
+        }
+        val r = batch.size
+        putStr(pathCol, r, e.path)
+        rowsCol.vector(r) = e.rows
+        bytesCol.vector(r) = e.bytes
+        val sn = mapper.createObjectNode()
+        fillStatsNode(sn, e)
+        putStr(statsCol, r, sn.toString)
+        batch.size += 1
+      }
+      if (batch.size > 0) w.addRowBatch(batch)
+    } finally w.close()
+  }
+
+  private def readFilesOrc(conf: Configuration, p: Path): Seq[FileEntry] = {
+    val reader = OrcFile.createReader(p, OrcFile.readerOptions(conf))
+    val rows = reader.rows()
+    try {
+      val batch = reader.getSchema.createRowBatch(1024)
+      val out = mutable.ArrayBuffer.empty[FileEntry]
+      while (rows.nextBatch(batch)) {
+        val pathCol = batch.cols(0).asInstanceOf[BytesColumnVector]
+        val rowsCol = batch.cols(1).asInstanceOf[LongColumnVector]
+        val bytesCol = batch.cols(2).asInstanceOf[LongColumnVector]
+        val statsCol = batch.cols(3).asInstanceOf[BytesColumnVector]
+        def idx(repeating: Boolean, i: Int) = if (repeating) 0 else i
+        var i = 0
+        while (i < batch.size) {
+          val stats = parseStatsNode(mapper.readTree(
+            statsCol.toString(idx(statsCol.isRepeating, i))))
+          out += FileEntry(
+            pathCol.toString(idx(pathCol.isRepeating, i)),
+            rowsCol.vector(idx(rowsCol.isRepeating, i)),
+            bytesCol.vector(idx(bytesCol.isRepeating, i)), stats)
+          i += 1
+        }
+      }
+      out.toSeq
+    } finally rows.close()
+  }
 
   private def checkpointVersions(f: FileSystem, dir: String): Seq[Long] = {
     val ld = logDir(dir)
@@ -240,14 +340,29 @@ object SnapshotTable {
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
       val n = mapper.readTree(json)
-      val asCommit = parseCommit(json) // checkpoints share the commit shape
+      // checkpoints share the commit shape; a columnar checkpoint keeps
+      // the header in JSON and its file list in the ORC sidecar
+      val files =
+        if (n.has("filesOrc")) {
+          val entries = readFilesOrc(f.getConf,
+            new Path(logDir(dir), n.get("filesOrc").asText))
+          // integrity: a sidecar that lost rows must FAIL the read, not
+          // shrink the snapshot (vacuum trusts this set as "referenced")
+          val expect = n.get("fileCount").asLong
+          require(entries.size.toLong == expect,
+            s"checkpoint sidecar ${n.get("filesOrc").asText} holds " +
+              s"${entries.size} entries, header says $expect")
+          entries
+        } else parseFileNodes(n.get("files"))
+      val schemaJson =
+        if (n.has("schema")) Some(n.get("schema").asText) else None
       val txns = if (n.has("txns")) {
         n.get("txns").properties().asScala.map { e =>
           e.getKey -> (e.getValue.get("seq").asLong,
             e.getValue.get("version").asLong)
         }.toMap
       } else Map.empty[String, (Long, Long)]
-      Ckpt(n.get("version").asLong, asCommit.files, asCommit.schemaJson, txns)
+      Ckpt(n.get("version").asLong, files, schemaJson, txns)
     }.toOption // a corrupt/unreadable checkpoint degrades to full replay
 
   /** Newest readable checkpoint at or before `v`. */
@@ -304,8 +419,27 @@ object SnapshotTable {
     root.put("version", v)
     root.put("action", "overwrite") // replay-collapsed state
     if (schemaKnown) schema.foreach(s => root.put("schema", s.json))
-    val arr = root.putArray("files")
-    files.foreach(e => appendFileNode(arr, e))
+    if (files.size > inlineMaxFiles(spark)) {
+      // columnar checkpoint: publish the ORC sidecar FIRST, then the JSON
+      // that references it. Racing checkpointers at the same v derive the
+      // same file list from the same log, so whichever sidecar lands is
+      // correct for both; a crash between the two publishes leaves an
+      // orphan sidecar the next attempt at v adopts (and expiry sweeps).
+      val sidecar = ckptFilesPath(dir, v)
+      if (!f.exists(sidecar)) {
+        val tmpO = new Path(logDir(dir),
+          s".tmp-${java.util.UUID.randomUUID().toString.take(12)}.orc")
+        writeFilesOrc(f.getConf, tmpO, files.toSeq)
+        if (!putIfAbsent(f, tmpO, sidecar)) f.delete(tmpO, false)
+      }
+      if (!f.exists(sidecar))
+        throw new IllegalStateException(s"sidecar publish failed at $sidecar")
+      root.put("filesOrc", sidecar.getName)
+      root.put("fileCount", files.size.toLong)
+    } else {
+      val arr = root.putArray("files")
+      files.foreach(e => appendFileNode(arr, e))
+    }
     val tn = root.putObject("txns")
     txns.toSeq.sortBy(_._1).foreach { case (app, (seq, ver)) =>
       val o = tn.putObject(app)
@@ -455,7 +589,8 @@ object SnapshotTable {
       // put-if-absent IS the commit: exactly one writer wins version v
       val won = putIfAbsent(f, tmp, target)
       if (won) {
-        if (v > 0 && v % CheckpointEvery == 0) writeCheckpoint(spark, dir, v)
+        if (v > 0 && v % checkpointEvery(spark) == 0)
+          writeCheckpoint(spark, dir, v)
         return v
       }
       f.delete(tmp, false)
@@ -622,7 +757,10 @@ object SnapshotTable {
     n.put("path", e.path)
     n.put("rows", e.rows)
     n.put("bytes", e.bytes)
-    val st = n.putObject("stats")
+    fillStatsNode(n.putObject("stats"), e)
+  }
+
+  private def fillStatsNode(st: ObjectNode, e: FileEntry): Unit =
     e.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
       val o = st.putObject(c)
       cs.min.foreach(o.put("min", _))
@@ -631,26 +769,32 @@ object SnapshotTable {
       cs.maxStr.foreach(o.put("maxStr", _))
       o.put("nulls", cs.nulls)
     }
-  }
 
-  private def parseCommit(json: String): Commit = {
-    val n = mapper.readTree(json)
+  private def parseStatsNode(sn: JsonNode): Map[String, ColStats] = {
     def opt(o: JsonNode, k: String): Option[Double] =
       if (o.has(k) && o.get(k).isNumber) Some(o.get(k).asDouble) else None
     def optS(o: JsonNode, k: String): Option[String] =
       if (o.has(k)) Some(o.get(k).asText) else None
-    val files = n.get("files").elements().asScala.map { fn =>
-      val stats = if (fn.has("stats")) {
-        fn.get("stats").properties().asScala.map { e =>
-          val o = e.getValue
-          e.getKey -> ColStats(opt(o, "min"), opt(o, "max"),
-            optS(o, "minStr"), optS(o, "maxStr"),
-            if (o.has("nulls")) o.get("nulls").asLong else 0L)
-        }.toMap
-      } else Map.empty[String, ColStats]
+    sn.properties().asScala.map { e =>
+      val o = e.getValue
+      e.getKey -> ColStats(opt(o, "min"), opt(o, "max"),
+        optS(o, "minStr"), optS(o, "maxStr"),
+        if (o.has("nulls")) o.get("nulls").asLong else 0L)
+    }.toMap
+  }
+
+  private def parseFileNodes(files: JsonNode): Seq[FileEntry] =
+    files.elements().asScala.map { fn =>
+      val stats =
+        if (fn.has("stats")) parseStatsNode(fn.get("stats"))
+        else Map.empty[String, ColStats]
       FileEntry(fn.get("path").asText, fn.get("rows").asLong,
         fn.get("bytes").asLong, stats)
     }.toSeq
+
+  private def parseCommit(json: String): Commit = {
+    val n = mapper.readTree(json)
+    val files = parseFileNodes(n.get("files"))
     val txn =
       if (n.has("txnApp")) Some((n.get("txnApp").asText, n.get("txnSeq").asLong))
       else None
@@ -1341,6 +1485,16 @@ object SnapshotTable {
       f.delete(new Path(logDir(dir), f"v$v%020d.json"), false))
     checkpointVersions(f, dir).filter(_ < oldestKept)
       .foreach(v => f.delete(ckptPath(dir, v), false))
+    // columnar sidecars of expired checkpoints — swept by their OWN
+    // listing (not checkpointVersions) so orphans from a crash between
+    // sidecar and JSON publish expire too
+    f.listStatus(logDir(dir)).toSeq.map(_.getPath).foreach { p =>
+      val n = p.getName
+      if (n.startsWith("ckpt-") && n.endsWith(".files.orc"))
+        scala.util.Try(
+          n.stripPrefix("ckpt-").stripSuffix(".files.orc").toLong).toOption
+          .filter(_ < oldestKept).foreach(_ => f.delete(p, false))
+    }
     expired
   }
 

@@ -703,6 +703,114 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }.getMessage.contains("predates"))
   }
 
+  // ---- columnar (ORC sidecar) checkpoints --------------------------------
+
+  private def withInlineMax[A](n: Int)(body: => A): A = {
+    spark.conf.set("spark.graft.table.checkpoint.inlineMaxFiles", n.toString)
+    try body
+    finally spark.conf.unset("spark.graft.table.checkpoint.inlineMaxFiles")
+  }
+
+  private def sidecars(dir: String): Seq[java.io.File] =
+    new java.io.File(s"$dir/_log").listFiles().toSeq
+      .filter(f => f.getName.startsWith("ckpt-") &&
+        f.getName.endsWith(".files.orc"))
+
+  test("columnar checkpoint: sidecar written above the inline threshold " +
+    "and replay/prune/rowCount survive expiry on it") {
+    val dir = freshDir()
+    withInlineMax(3) {
+      (0 until 12).foreach { i =>
+        SnapshotTable.commit(spark,
+          df(i * 100L, i * 100L + 100L).repartitionByRange(2, col("id")),
+          dir, if (i == 0) "overwrite" else "append", statsCols = Seq("id"))
+      }
+      // v10 checkpoint holds 22 files > 3 → must have gone columnar
+      assert(sidecars(dir).nonEmpty, "expected an ORC checkpoint sidecar")
+      assert(SnapshotTable.read(spark, dir).count() === 1200)
+
+      // expire: the collapse checkpoint (columnar) becomes load-bearing
+      val expired = SnapshotTable.expireVersions(spark, dir, keepLast = 3)
+      assert(expired === (0L until 9L))
+      assert(SnapshotTable.read(spark, dir).count() === 1200)
+      assert(SnapshotTable.read(spark, dir)
+        .agg(sum(col("id"))).head().getLong(0) === (0L until 1200L).sum)
+      assert(SnapshotTable.rowCount(spark, dir) === 1200L)
+      // stats round-tripped through the sidecar: pruning still sound+tight
+      val (pruned, kept, total) =
+        SnapshotTable.scanPruned(spark, dir, "id", 250.0, 349.0)
+      assert(pruned.filter(col("id").between(250, 349)).count() === 100)
+      assert(kept < total, "sidecar stats should still prune files")
+      // obsolete sidecars below the collapse point were swept
+      assert(sidecars(dir).forall(_.getName >= f"ckpt-${9L}%020d"),
+        s"stale sidecars remain: ${sidecars(dir).map(_.getName)}")
+      // time travel within the kept window still works off the sidecar
+      assert(SnapshotTable.read(spark, dir, Some(10)).count() === 1100)
+    }
+  }
+
+  test("columnar checkpoint: corrupt sidecar degrades reads to full " +
+    "replay but ABORTS vacuum") {
+    val dir = freshDir()
+    withInlineMax(3) {
+      (0 until 11).foreach { i =>
+        SnapshotTable.commit(spark,
+          df(i * 10L, i * 10L + 10L).repartitionByRange(2, col("id")),
+          dir, if (i == 0) "overwrite" else "append", statsCols = Seq("id"))
+      }
+      val sc = sidecars(dir)
+      assert(sc.nonEmpty)
+      sc.foreach { f => // truncate to garbage
+        val out = new java.io.FileOutputStream(f)
+        try out.write("not orc".getBytes) finally out.close()
+      }
+      // raw log is intact → reads fall back to full replay, still exact
+      assert(SnapshotTable.read(spark, dir).count() === 110)
+      assert(SnapshotTable.read(spark, dir, Some(5)).count() === 60)
+      // deletion must NOT proceed on an unprovable referenced set
+      val ex = intercept[IllegalStateException] {
+        SnapshotTable.vacuum(spark, dir, retentionMs = 0L)
+      }
+      assert(ex.getMessage.contains("unreadable"))
+    }
+  }
+
+  test("columnar checkpoint: sidecar round-trips string stats " +
+    "(lexicographic pruning after expiry)") {
+    val dir = freshDir()
+    withInlineMax(2) {
+      val names = Seq("alpha", "bravo", "carol", "delta", "echo", "fox",
+        "golf", "hotel", "india", "julia", "kilo", "lima")
+      names.zipWithIndex.foreach { case (nm, i) =>
+        val part = (0 until 50).map(j => (i * 50L + j, s"$nm$j", j * 1.0))
+          .toDF("id", "name", "v")
+        SnapshotTable.commit(spark, part, dir,
+          if (i == 0) "overwrite" else "append", statsCols = Seq("name"))
+      }
+      SnapshotTable.expireVersions(spark, dir, keepLast = 2)
+      val (df2, kept, total) = SnapshotTable.scanPrunedString(
+        spark, dir, "name", "carol", "carol~")
+      assert(df2.filter(col("name").startsWith("carol")).count() === 50)
+      assert(kept < total, "string stats lost through the sidecar")
+    }
+  }
+
+  test("checkpoint cadence knob: spark.graft.table.checkpoint.every " +
+    "moves the checkpoint stride") {
+    val dir = freshDir()
+    spark.conf.set("spark.graft.table.checkpoint.every", "3")
+    try {
+      (0 until 7).foreach { i =>
+        SnapshotTable.commit(spark, df(i * 10L, i * 10L + 10L), dir,
+          if (i == 0) "overwrite" else "append")
+      }
+    } finally spark.conf.unset("spark.graft.table.checkpoint.every")
+    val cks = new java.io.File(s"$dir/_log").listFiles().map(_.getName)
+      .filter(n => n.startsWith("ckpt-") && n.endsWith(".json")).sorted
+    assert(cks.toSeq === Seq(f"ckpt-${3L}%020d.json", f"ckpt-${6L}%020d.json"))
+    assert(SnapshotTable.read(spark, dir).count() === 70)
+  }
+
   test("merge with an updates frame that adds a column evolves the schema") {
     val dir = freshDir()
     SnapshotTable.commit(spark,
