@@ -329,6 +329,20 @@ object Cli {
             r.version)
           rep(s"${name(tableDir)}@v${r.version} rewrote=${r.filesRewritten} " +
             s"carried=${r.filesCarried}", rows, files)
+        // restore <table_dir> <version|ts_ms> — rollback-as-new-commit:
+        // a bare integer <= the current version is a version number;
+        // anything larger is an epoch-millis timestamp (versionAsOf).
+        // Zero data I/O either way; the undone versions remain
+        // time-travelable until `expire`.
+        case ("restore", tableDir :: at :: Nil) =>
+          val cur = SnapshotTable.currentVersion(spark, tableDir)
+            .getOrElse(-1L)
+          val v =
+            if (at.toLong <= cur) SnapshotTable.restore(spark, tableDir,
+              at.toLong)
+            else SnapshotTable.restoreAsOf(spark, tableDir, at.toLong)
+          val (_, files, rows) = SnapshotTable.commitStats(spark, tableDir, v)
+          rep(s"${name(tableDir)}@v$v restored", rows, files)
         // expire <table_dir> <keep_last>
         case ("expire", tableDir :: keepLast :: Nil) =>
           val expired = SnapshotTable.expireVersions(spark, tableDir,
@@ -412,6 +426,7 @@ object Cli {
               |  table delete  <table_dir> <key_col> <lo> <hi>   (non-numeric bounds: lexicographic)
               |  table compact <table_dir> [target_mb=128] [cluster_by]
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
+              |  table restore <table_dir> <version|ts_ms>
               |  table expire  <table_dir> <keep_last>
               |  table vacuum  <table_dir> [retention_hours=168] [--dry-run]
               |  table changes <table_dir> <from_version> <output_dir> [to_version]
@@ -529,7 +544,7 @@ object Cli {
           |  fixedwidth <path> <output_dir> <name:width:type,...> [compression=snappy]
           |  parquet <parquet_path> <output_dir> [compression=snappy]
           |  avro  <avro_path> <output_dir> [compression=snappy]
-          |  table <commit|read|merge|delete|compact|cluster|expire|vacuum|changes|sync|versions> ...
+          |  table <commit|read|merge|delete|compact|cluster|restore|expire|vacuum|changes|sync|versions> ...
           |        (versioned snapshot-table maintenance; `table` alone
           |         prints the per-op argument contract)
           |  ddl   <converted_output_dir> [spark|hive|trino]

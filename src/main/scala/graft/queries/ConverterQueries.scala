@@ -1359,6 +1359,43 @@ object ConverterQueries {
         .withColumn("pruned_eq_full", col("rows_in_range") === fullN)
     },
 
+    // RESTORE gate (r14): rollback-as-new-commit, the Delta RESTORE
+    // shape. v0 = clean orders; v1 = a bad ingest appending a duplicate
+    // slice (deterministic: o_orderkey*5 <= n, so DuckDB rederives it);
+    // restore(v0) publishes v2 re-referencing v0's manifest with zero
+    // data I/O. Live content must equal raw orders exactly, the bad
+    // version must stay time-travelable (forensics window), the restored
+    // head must still manifest-prune (stats re-referenced, not lost),
+    // and the restore must land as an overwrite commit.
+    "conv_table_restore" -> { (s, d) =>
+      val base = tmp(d, "snaprestore")
+      val orders = t(s, d, "orders")
+      val n = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      stageOnce(base) {
+        SnapshotTable.commit(s,
+          orders.repartitionByRange(4, col("o_orderkey")), base,
+          "overwrite", statsCols = Seq("o_orderkey"))
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") * 5 <= n), base, "append",
+          statsCols = Seq("o_orderkey"))
+        SnapshotTable.restore(s, base, 0L)
+      }
+      val qHi = n / 5
+      val (_, kept, total) = SnapshotTable.scanPruned(
+        s, base, "o_orderkey", 0.0, qHi.toDouble)
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("sum_key_total"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_at_bad",
+          lit(SnapshotTable.read(s, base, Some(1)).count()))
+        .withColumn("restored_version",
+          lit(SnapshotTable.currentVersion(s, base).get))
+        .withColumn("head_action",
+          lit(SnapshotTable.history(s, base).head.action))
+        .withColumn("pruned_some", lit(kept < total))
+    },
+
     // COLUMNAR-CHECKPOINT gate (r14): the snapshot table with its log
     // checkpoints forced into the ORC sidecar format (inline threshold 4
     // << the 24-file snapshot), then history EXPIRED so the collapse
@@ -2147,6 +2184,22 @@ object ConverterQueries {
         | (SELECT COUNT(*) FROM documents) AS manifest_rows,
         | TRUE AS pruned_eq_full
         |FROM documents d, b WHERE d.doc_id BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // conv_table_restore: live content after restore = raw orders; the
+    // bad version's content = orders + the deterministic duplicate slice.
+    "conv_table_restore" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders)
+        |SELECT COUNT(*) AS n_total,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_total,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |   AS DOUBLE) AS sum_price,
+        | (SELECT COUNT(*) FROM orders) +
+        |   (SELECT COUNT(*) FROM orders o, m WHERE o.o_orderkey * 5 <= m.n)
+        |   AS n_at_bad,
+        | CAST(2 AS BIGINT) AS restored_version,
+        | 'overwrite' AS head_action,
+        | TRUE AS pruned_some
+        |FROM orders""".stripMargin,
 
     // conv_table_ckpt_orc: after expiry the table's only replay base is
     // the columnar collapse checkpoint; final content is ALL 12 windows

@@ -958,6 +958,32 @@ object SnapshotTable {
                timestampMs: Long): DataFrame =
     read(spark, dir, Some(versionAsOf(spark, dir, timestampMs)))
 
+  /** Roll the LIVE table back to the content of `version` as a NEW
+    * overwrite commit — the Delta RESTORE shape. The as-of snapshot's
+    * manifest (file entries WITH their pruning stats) is re-published
+    * under the next version: ZERO data I/O at any table size (files are
+    * re-referenced, never copied), the bad versions stay
+    * time-travelable for forensics until [[expireVersions]], and
+    * [[vacuum]] keeps every re-referenced file because the new head
+    * names it. The as-of MERGED schema is recorded, so the restored
+    * snapshot reads exactly as `read(dir, Some(version))` did — a
+    * column added after `version` disappears from the live schema, as
+    * restore semantics require. Returns the new version number. */
+  def restore(spark: SparkSession, dir: String, version: Long): Long = {
+    val cur = currentVersion(spark, dir)
+    require(cur.exists(_ >= version),
+      s"cannot restore $dir to v$version: table is at ${cur.getOrElse(-1L)}")
+    val files = snapshotFiles(spark, dir, Some(version))
+    val schema = snapshotSchema(spark, dir, Some(version))
+    publish(spark, dir, "overwrite", files, maxRetries = 3,
+      schemaJson = schema.map(_.json))
+  }
+
+  /** [[restore]] to the snapshot live at a wall-clock instant. */
+  def restoreAsOf(spark: SparkSession, dir: String,
+                  timestampMs: Long): Long =
+    restore(spark, dir, versionAsOf(spark, dir, timestampMs))
+
   /** Schema-carrying multi-file read: with a recorded snapshot schema the
     * scan is pinned to it — files written before a column existed
     * null-fill it (ORC matches columns by name), and Spark samples no

@@ -155,6 +155,24 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, tableDir).count() === filesBefore)
   }
 
+  test("restore rolls back through the argv contract (version and " +
+    "timestamp forms)") {
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id"))
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(900, 910), "overwrite"))
+    // bare small integer = version number
+    val r = Cli.run(spark, Seq("table", "restore", tableDir, "0")).get
+    assert(r.successes == 1 && r.results.head.table.contains("@v2 restored"))
+    assert(SnapshotTable.read(spark, tableDir).count() === 100)
+    // big integer = epoch millis (now → latest = the restored snapshot)
+    val r2 = Cli.run(spark, Seq("table", "restore", tableDir,
+      System.currentTimeMillis().toString)).get
+    assert(r2.successes == 1)
+    assert(SnapshotTable.read(spark, tableDir).count() === 100)
+  }
+
   test("history --files lists each commit's added manifest entries") {
     val tableDir = freshDir() + "/t"
     Cli.run(spark,

@@ -811,6 +811,66 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 70)
   }
 
+  // ---- restore (rollback-as-new-commit) ----------------------------------
+
+  test("restore re-references the as-of manifest: zero-copy rollback, " +
+    "forensic history kept, restored files survive expiry+vacuum") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 100).repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+    SnapshotTable.commit(spark, df(100, 150), dir, "append",
+      statsCols = Seq("id"))
+    SnapshotTable.commit(spark, df(900, 910), dir, "overwrite",
+      statsCols = Seq("id")) // the "bad deploy"
+    val dataBytesBefore = {
+      def du(f: java.io.File): Long =
+        if (f.isFile) f.length else f.listFiles().map(du).sum
+      du(new java.io.File(s"$dir/data"))
+    }
+    val rv = SnapshotTable.restore(spark, dir, 0L)
+    assert(rv === 3L)
+    // zero data copy: no new bytes under data/
+    def du2(f: java.io.File): Long =
+      if (f.isFile) f.length else f.listFiles().map(du2).sum
+    assert(du2(new java.io.File(s"$dir/data")) === dataBytesBefore)
+    // live content == v0; the bad version stays time-travelable
+    assert(SnapshotTable.read(spark, dir).count() === 100)
+    assert(SnapshotTable.read(spark, dir)
+      .agg(sum(col("id"))).head().getLong(0) === (0L until 100L).sum)
+    assert(SnapshotTable.read(spark, dir, Some(2)).count() === 10)
+    assert(SnapshotTable.history(spark, dir).head.action === "overwrite")
+    // stats re-referenced: pruning works on the restored head
+    val (_, kept, total) = SnapshotTable.scanPruned(spark, dir, "id", 0, 24)
+    assert(kept < total)
+    // expiry drops v0's LOG; its DATA survives because v3 re-names it
+    SnapshotTable.expireVersions(spark, dir, keepLast = 1)
+    val dead = SnapshotTable.vacuum(spark, dir, retentionMs = 0L)
+    assert(SnapshotTable.read(spark, dir).count() === 100)
+    assert(dead.nonEmpty, // v1/v2-only files were reclaimed
+      "expected the un-restored versions' files to be vacuumed")
+  }
+
+  test("restore refuses a version the table has not reached") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 10), dir, "overwrite")
+    assert(intercept[IllegalArgumentException] {
+      SnapshotTable.restore(spark, dir, 5L)
+    }.getMessage.contains("cannot restore"))
+  }
+
+  test("restore returns to the AS-OF schema: columns added later vanish") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 50), dir, "overwrite")
+    SnapshotTable.commit(spark,
+      df(50, 60).withColumn("extra", lit("x")), dir, "append")
+    assert(SnapshotTable.read(spark, dir).columns.contains("extra"))
+    SnapshotTable.restore(spark, dir, 0L)
+    val cols = SnapshotTable.read(spark, dir).columns.toSeq
+    assert(cols === Seq("id", "name", "v"))
+    assert(SnapshotTable.read(spark, dir).count() === 50)
+  }
+
   test("merge with an updates frame that adds a column evolves the schema") {
     val dir = freshDir()
     SnapshotTable.commit(spark,
