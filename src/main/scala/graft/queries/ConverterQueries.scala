@@ -1359,6 +1359,74 @@ object ConverterQueries {
         .withColumn("pruned_eq_full", col("rows_in_range") === fullN)
     },
 
+    // DSv2 gate (r14): the snapshot table consumed through Spark's
+    // DataSource V2 surface — `spark.read.format("graft-table")` — with
+    // version time travel, exactly as an external user (no graft API in
+    // the read path) would. v0 = deterministic lower-half of orders,
+    // v1 appends the rest; the latest read must equal all of orders and
+    // the versionAsOf(0) read must equal the lower half, both derived
+    // independently by DuckDB.
+    "conv_table_dsv2" -> { (s, d) =>
+      val base = tmp(d, "snapdsv2")
+      val orders = t(s, d, "orders")
+      val n = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      stageOnce(base) {
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") * 2 <= n), base, "overwrite",
+          statsCols = Seq("o_orderkey"))
+        SnapshotTable.commit(s,
+          orders.filter(col("o_orderkey") * 2 > n), base, "append")
+      }
+      val latest = s.read.format("graft-table").load(base)
+      val v0 = s.read.format("graft-table")
+        .option("versionAsOf", "0").load(base)
+      latest.agg(count(lit(1)).as("n_total"),
+          sum(col("o_orderkey")).as("sum_key_total"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .crossJoin(broadcast(v0.agg(count(lit(1)).as("v0_n"),
+          sum(col("o_orderkey")).as("v0_sum_key"))))
+    },
+
+    // STREAMING-SOURCE gate (r14): the snapshot table as a Structured
+    // Streaming SOURCE (readStream.format("graft-table")) — version
+    // offsets, initial snapshot, then live appended commits, checkpoint-
+    // tracked. Three staged commits are consumed as the initial
+    // snapshot; two more land WHILE the stream runs and arrive as pure
+    // tail batches. The memory-sink content must equal the documents
+    // table exactly (count + checksums) with zero duplicates — the
+    // exactly-once verdict — all DuckDB-derivable because the five
+    // slices are a deterministic doc_id%5 partition of `documents`.
+    "stream_table_source" -> { (s, d) =>
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val tableDir = s"/tmp/graft_stream/$key/table_source/table"
+      val ckpt = tableDir + "_ckpt"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tableDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      def slice(i: Int) = docs.filter(col("doc_id") % 5 === i)
+      SnapshotTable.commit(s, slice(0), tableDir, "overwrite")
+      SnapshotTable.commit(s, slice(1), tableDir, "append")
+      SnapshotTable.commit(s, slice(2), tableDir, "append")
+      val qn = s"sts_${key.replace('.', '_')}"
+      val q = s.readStream.format("graft-table").load(tableDir)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable() // initial snapshot: slices 0..2
+        SnapshotTable.commit(s, slice(3), tableDir, "append")
+        q.processAllAvailable()
+        SnapshotTable.commit(s, slice(4), tableDir, "append")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = s.table(qn)
+      got.agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("exactly_once",
+          lit(got.select(col("doc_id")).distinct().count() == got.count()))
+    },
+
     // RESTORE gate (r14): rollback-as-new-commit, the Delta RESTORE
     // shape. v0 = clean orders; v1 = a bad ingest appending a duplicate
     // slice (deterministic: o_orderkey*5 <= n, so DuckDB rederives it);
@@ -2184,6 +2252,29 @@ object ConverterQueries {
         | (SELECT COUNT(*) FROM documents) AS manifest_rows,
         | TRUE AS pruned_eq_full
         |FROM documents d, b WHERE d.doc_id BETWEEN b.lo AND b.hi""".stripMargin,
+
+    // conv_table_dsv2: latest = all orders; versionAsOf(0) = the
+    // deterministic lower half.
+    "conv_table_dsv2" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS n FROM orders)
+        |SELECT COUNT(*) AS n_total,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key_total,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |   AS DOUBLE) AS sum_price,
+        | (SELECT COUNT(*) FROM orders o, m WHERE o.o_orderkey * 2 <= m.n)
+        |   AS v0_n,
+        | (SELECT CAST(SUM(o.o_orderkey) AS BIGINT) FROM orders o, m
+        |   WHERE o.o_orderkey * 2 <= m.n) AS v0_sum_key
+        |FROM orders""".stripMargin,
+
+    // stream_table_source: the streamed union of the five doc_id%5
+    // slices is the whole documents table, exactly once.
+    "stream_table_source" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | TRUE AS exactly_once
+        |FROM documents""".stripMargin,
 
     // conv_table_restore: live content after restore = raw orders; the
     // bad version's content = orders + the deterministic duplicate slice.

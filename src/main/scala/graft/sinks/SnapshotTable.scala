@@ -975,8 +975,13 @@ object SnapshotTable {
       s"cannot restore $dir to v$version: table is at ${cur.getOrElse(-1L)}")
     val files = snapshotFiles(spark, dir, Some(version))
     val schema = snapshotSchema(spark, dir, Some(version))
+    // version-pinned: a commit landing between the decision to restore
+    // and the publish FAILS the restore (ConcurrentModificationException)
+    // instead of being silently undone — the operator re-decides against
+    // the table that actually exists (Delta RESTORE conflicts the same
+    // way).
     publish(spark, dir, "overwrite", files, maxRetries = 3,
-      schemaJson = schema.map(_.json))
+      schemaJson = schema.map(_.json), expectedVersion = cur)
   }
 
   /** [[restore]] to the snapshot live at a wall-clock instant. */

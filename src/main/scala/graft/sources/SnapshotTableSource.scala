@@ -1,0 +1,504 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.JavaConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.io.WritableComparable
+import org.apache.orc.OrcFile
+import org.apache.orc.mapred.OrcStruct
+import org.apache.orc.mapreduce.OrcMapreduceRecordReader
+import org.apache.spark.sql.{GraftOrcBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sinks.SnapshotTable
+
+/** DataSource V2 provider for the snapshot table — the idiomatic Spark
+  * surface over [[SnapshotTable]]'s commit log:
+  *
+  * {{{
+  * spark.read.format("graft-table").load(dir)                     // latest
+  * spark.read.format("graft-table")
+  *   .option("versionAsOf", 3).load(dir)                          // time travel
+  * spark.read.format("graft-table")
+  *   .option("timestampAsOf", "1700000000000").load(dir)
+  * spark.readStream.format("graft-table").load(dir)               // streaming
+  * }}}
+  *
+  * Batch scans plan ONE listing-free pass from the manifest (file paths,
+  * byte sizes and schema all come from the log — zero filesystem
+  * RPCs), bin-packed into ~maxPartitionBytes splits. Column pruning is
+  * pushed into the ORC reader (unselected subtrees are never decoded
+  * or read). Schema is the snapshot's AS-OF merged schema: files
+  * written before a column existed null-fill it by name.
+  *
+  * The streaming source follows the public Delta streaming-source
+  * contract: offsets are VERSION NUMBERS; batch 0 is the full snapshot
+  * at stream start (or a pure tail from `startingVersion`), every later
+  * batch is exactly the files ADDED by the commits in
+  * `(lastOffset, latestVersion]`. A non-append commit (overwrite /
+  * delete / compaction rewrite) in that range fails the stream loudly
+  * — its added files alone do not represent the change — unless
+  * `ignoreChanges=true` opts into Delta's documented
+  * may-emit-rewritten-rows semantics. Offsets are checkpointed by the
+  * engine, so restart resumes exactly-once from the last committed
+  * version.
+  */
+object SnapshotTableProvider {
+  /** Deep-nullable view of a schema (StructType.asNullable is
+    * spark-private): every field, array element and map value becomes
+    * nullable. */
+  def deepNullable(st: StructType): StructType =
+    nullableOf(st).asInstanceOf[StructType]
+
+  private def nullableOf(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = nullableOf(f.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = nullableOf(a.elementType), containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(valueType = nullableOf(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+}
+
+class SnapshotTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String = {
+    val p = Option(options.get("path"))
+    require(p.nonEmpty, "graft-table requires .load(<table_dir>)")
+    p.get
+  }
+
+  /** The as-of merged schema from the log — zero data-file reads. A
+    * pre-schema-recording table falls back to sampling one data file.
+    * Reported AS NULLABLE throughout: schema evolution means files
+    * written before a column existed null-fill it, so a frame-recorded
+    * non-null column can still surface nulls (a non-nullable contract
+    * here would let codegen skip null checks and crash). */
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    val dir = dirOf(options)
+    val version = SnapshotTableScan.resolveVersion(spark, dir, options)
+    SnapshotTable.snapshotSchema(spark, dir, version).getOrElse {
+      val files = SnapshotTable.snapshotFiles(spark, dir, version)
+      require(files.nonEmpty, s"empty snapshot table at $dir")
+      spark.read.orc(s"$dir/${files.head.path}").schema
+    } match { case st => SnapshotTableProvider.deepNullable(st) }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    new SnapshotTableTable(SnapshotTableProvider.deepNullable(schema),
+      properties.get("path"),
+      new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class SnapshotTableTable(
+    schema: StructType, dir: String, options: CaseInsensitiveStringMap)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-table `$dir`"
+  override def schema(): StructType = schema0
+  private val schema0 = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(
+      scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    // merge table-level options (from .option(...)) over scan options
+    val merged = new java.util.HashMap[String, String]()
+    merged.putAll(scanOptions)
+    merged.putAll(options)
+    new SnapshotTableScanBuilder(schema0, dir,
+      new CaseInsensitiveStringMap(merged))
+  }
+}
+
+private[sources] class SnapshotTableScanBuilder(
+    fullSchema: StructType, dir: String, options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pruningFilters: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep only fields the table actually has (metadata cols excluded)
+    required = StructType(requiredSchema.fields.filter(f =>
+      fullSchema.fieldNames.contains(f.name)))
+
+  /** Range/equality conjuncts become MANIFEST pruning: files whose
+    * footer [min,max] provably cannot satisfy them are dropped at plan
+    * time — zero I/O, the scanPruned semantics through the DSv2 path.
+    * Pruning is conservative-only (a kept file may still hold no
+    * matches, stats-less files are always kept), so EVERY filter is
+    * returned as residual and Spark re-applies it post-scan:
+    * correctness never depends on stats. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    pruningFilters = filters.flatMap(conjuncts)
+      .filter(ManifestPruning.usable)
+    filters // all residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pruningFilters
+
+  override def build(): Scan =
+    new SnapshotTableScan(fullSchema, required, dir, options,
+      pruningFilters)
+}
+
+/** Stats-channel file pruning shared by the DSv2 batch scan: per-column
+  * bounds distilled from pushed conjuncts, tested against each manifest
+  * entry's numeric (min/max as double; timestamps=epoch-millis,
+  * dates=epoch-days — the footer-harvest encodings) or lexicographic
+  * (minStr/maxStr) channel. Strict bounds are widened to inclusive —
+  * pruning may only ever drop files that PROVABLY hold no match. */
+private[sources] object ManifestPruning {
+
+  private def numeric(v: Any): Option[Double] = v match {
+    case n: java.lang.Number => Some(n.doubleValue())
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
+    case d: java.time.LocalDate => Some(d.toEpochDay.toDouble)
+    case t: java.sql.Timestamp => Some(t.getTime.toDouble)
+    case i: java.time.Instant => Some(i.toEpochMilli.toDouble)
+    case _ => None
+  }
+
+  private def stringy(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  def usable(f: Filter): Boolean = f match {
+    case EqualTo(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
+    case GreaterThan(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
+    case GreaterThanOrEqual(_, v) =>
+      numeric(v).nonEmpty || stringy(v).nonEmpty
+    case LessThan(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
+    case LessThanOrEqual(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
+    case _ => false
+  }
+
+  /** (column, lowerOrNone, upperOrNone) in both channels. */
+  private case class Bounds(loD: Option[Double], hiD: Option[Double],
+                            loS: Option[String], hiS: Option[String])
+
+  private def boundsOf(filters: Seq[Filter]): Map[String, Bounds] = {
+    val m = scala.collection.mutable.Map.empty[String, Bounds]
+    def upd(c: String)(f: Bounds => Bounds): Unit =
+      m(c) = f(m.getOrElse(c, Bounds(None, None, None, None)))
+    def maxLo(a: Option[Double], b: Double) = Some(a.fold(b)(math.max(_, b)))
+    def minHi(a: Option[Double], b: Double) = Some(a.fold(b)(math.min(_, b)))
+    def maxLoS(a: Option[String], b: String) =
+      Some(a.fold(b)(x => if (x >= b) x else b))
+    def minHiS(a: Option[String], b: String) =
+      Some(a.fold(b)(x => if (x <= b) x else b))
+    filters.foreach {
+      case EqualTo(c, v) =>
+        numeric(v).foreach(d => upd(c)(b =>
+          b.copy(loD = maxLo(b.loD, d), hiD = minHi(b.hiD, d))))
+        stringy(v).foreach(s => upd(c)(b =>
+          b.copy(loS = maxLoS(b.loS, s), hiS = minHiS(b.hiS, s))))
+      case GreaterThan(c, v) => // widened to >= (conservative)
+        numeric(v).foreach(d => upd(c)(b => b.copy(loD = maxLo(b.loD, d))))
+        stringy(v).foreach(s => upd(c)(b => b.copy(loS = maxLoS(b.loS, s))))
+      case GreaterThanOrEqual(c, v) =>
+        numeric(v).foreach(d => upd(c)(b => b.copy(loD = maxLo(b.loD, d))))
+        stringy(v).foreach(s => upd(c)(b => b.copy(loS = maxLoS(b.loS, s))))
+      case LessThan(c, v) => // widened to <=
+        numeric(v).foreach(d => upd(c)(b => b.copy(hiD = minHi(b.hiD, d))))
+        stringy(v).foreach(s => upd(c)(b => b.copy(hiS = minHiS(b.hiS, s))))
+      case LessThanOrEqual(c, v) =>
+        numeric(v).foreach(d => upd(c)(b => b.copy(hiD = minHi(b.hiD, d))))
+        stringy(v).foreach(s => upd(c)(b => b.copy(hiS = minHiS(b.hiS, s))))
+      case _ =>
+    }
+    m.toMap
+  }
+
+  /** Entries that could satisfy ALL the pushed conjuncts. */
+  def prune(entries: Seq[SnapshotTable.FileEntry],
+            filters: Seq[Filter]): Seq[SnapshotTable.FileEntry] = {
+    val bounds = boundsOf(filters)
+    if (bounds.isEmpty) return entries
+    entries.filter { e =>
+      bounds.forall { case (c, b) =>
+        e.stats.get(c) match {
+          case Some(SnapshotTable.ColStats(Some(mn), Some(mx), _, _, _)) =>
+            b.loD.forall(_ <= mx) && b.hiD.forall(_ >= mn)
+          case Some(SnapshotTable.ColStats(_, _, Some(mn), Some(mx), _)) =>
+            b.loS.forall(_ <= mx) && b.hiS.forall(_ >= mn)
+          case _ => true // no stats channel: always kept
+        }
+      }
+    }
+  }
+}
+
+private[sources] object SnapshotTableScan {
+  /** versionAsOf / timestampAsOf option resolution (batch time travel). */
+  def resolveVersion(spark: SparkSession, dir: String,
+                     options: CaseInsensitiveStringMap): Option[Long] = {
+    val v = Option(options.get("versionAsOf")).map(_.toLong)
+    val ts = Option(options.get("timestampAsOf")).map(_.toLong)
+    require(v.isEmpty || ts.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    v.orElse(ts.map(SnapshotTable.versionAsOf(spark, dir, _)))
+  }
+
+  /** Greedy bin-pack of manifest entries into ~target-byte splits —
+    * planned purely from the manifest's recorded sizes (no stat calls). */
+  def pack(dir: String, files: Seq[SnapshotTable.FileEntry],
+           targetBytes: Long): Array[InputPartition] = {
+    val parts = Seq.newBuilder[GraftTablePartition]
+    var bin = Vector.empty[String]
+    var binBytes = 0L
+    files.foreach { e =>
+      if (bin.nonEmpty && binBytes + e.bytes > targetBytes) {
+        parts += GraftTablePartition(bin.toArray); bin = Vector.empty
+        binBytes = 0L
+      }
+      bin :+= s"$dir/${e.path}"
+      binBytes += e.bytes
+    }
+    if (bin.nonEmpty) parts += GraftTablePartition(bin.toArray)
+    parts.result().toArray[InputPartition]
+  }
+}
+
+private[sources] class SnapshotTableScan(
+    fullSchema: StructType, required: StructType, dir: String,
+    options: CaseInsensitiveStringMap,
+    pruningFilters: Array[Filter] = Array.empty) extends Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"GraftSnapshotTable $dir cols=[${required.fieldNames.mkString(",")}]" +
+      (if (pruningFilters.isEmpty) ""
+       else s" manifestPruning=[${pruningFilters.mkString(", ")}]")
+
+  private def spark = SparkSession.active
+
+  private def targetBytes: Long =
+    spark.sessionState.conf.filesMaxPartitionBytes
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val version = SnapshotTableScan.resolveVersion(spark, dir, options)
+      SnapshotTableScan.pack(dir,
+        ManifestPruning.prune(
+          SnapshotTable.snapshotFiles(spark, dir, version),
+          pruningFilters.toSeq), targetBytes)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftTableReaderFactory(required,
+        new SerConf(spark.sessionState.newHadoopConf()), pruningFilters)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : MicroBatchStream =
+    new SnapshotTableMicroBatchStream(required, dir, options,
+      pruningFilters)
+}
+
+/** Serializable Hadoop Configuration carrier (the standard pattern —
+  * Configuration itself is not java-serializable). */
+private[sources] class SerConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] case class GraftTablePartition(paths: Array[String])
+  extends InputPartition
+
+private[sources] class GraftTableReaderFactory(
+    required: StructType, conf: SerConf,
+    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new GraftTablePartitionReader(
+      partition.asInstanceOf[GraftTablePartition].paths, required,
+      conf.value, filters)
+}
+
+/** Reads the partition's ORC files row-by-row, matching the table's
+  * required columns BY NAME against each file's own footer schema (a
+  * file written before a column existed null-fills it) and pushing the
+  * column selection into the ORC reader's include mask, so unselected
+  * subtrees are neither read nor decoded. Value->Catalyst conversion is
+  * Spark's own OrcDeserializer via [[GraftOrcBridge]]. */
+private[sources] class GraftTablePartitionReader(
+    paths: Array[String], required: StructType, conf: Configuration,
+    filters: Array[Filter] = Array.empty)
+  extends PartitionReader[InternalRow] {
+
+  private val deser = new GraftOrcBridge.RowDeser(required)
+  private val values = new Array[WritableComparable[_]](required.length)
+  private var fileIdx = -1
+  private var reader: OrcMapreduceRecordReader[OrcStruct] = _
+  // required-field -> field index in the CURRENT file's schema (-1 absent)
+  private var fieldIdx: Array[Int] = _
+
+  private def openNext(): Boolean = {
+    close()
+    fileIdx += 1
+    if (fileIdx >= paths.length) return false
+    val orc = OrcFile.createReader(new Path(paths(fileIdx)),
+      OrcFile.readerOptions(conf))
+    val fileSchema = orc.getSchema
+    val names = fileSchema.getFieldNames.asScala.toIndexedSeq
+    fieldIdx = required.fieldNames.map(names.indexOf)
+    // include mask: root + the subtree of every required column present
+    val include = new Array[Boolean](fileSchema.getMaximumId + 1)
+    include(0) = true
+    val children = fileSchema.getChildren.asScala
+    fieldIdx.foreach { i =>
+      if (i >= 0) {
+        val c = children(i)
+        (c.getId to c.getMaximumId).foreach(id => include(id.toInt) = true)
+      }
+    }
+    val opts = orc.options().include(include)
+    // ORC row-group/stripe skipping: the pushed conjuncts become a
+    // SearchArgument (Spark's own conversion) — attached only when every
+    // referenced column exists in THIS file, so schema-evolution
+    // null-fill files are never mis-skipped. Residual filters re-apply
+    // post-scan, so sarg skipping is purely an I/O saving.
+    if (filters.nonEmpty &&
+        filters.flatMap(_.references).forall(names.contains)) {
+      GraftOrcBridge.searchArgument(required, filters.toSeq).foreach(sa =>
+        opts.searchArgument(sa, required.fieldNames))
+    }
+    reader = new OrcMapreduceRecordReader[OrcStruct](orc, opts)
+    true
+  }
+
+  override def next(): Boolean = {
+    while (reader == null || !reader.nextKeyValue()) {
+      if (!openNext()) return false
+    }
+    true
+  }
+
+  override def get(): InternalRow = {
+    val struct = reader.getCurrentValue
+    var i = 0
+    while (i < fieldIdx.length) {
+      values(i) =
+        if (fieldIdx(i) >= 0) struct.getFieldValue(fieldIdx(i)) else null
+      i += 1
+    }
+    deser.fromValues(scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      values))
+  }
+
+  override def close(): Unit = {
+    if (reader != null) { reader.close(); reader = null }
+  }
+}
+
+// ---- streaming -----------------------------------------------------------
+
+private[sources] case class VersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+/** Version-offset micro-batch stream over the snapshot-table log. */
+private[sources] class SnapshotTableMicroBatchStream(
+    required: StructType, dir: String, options: CaseInsensitiveStringMap,
+    pruningFilters: Array[Filter] = Array.empty)
+  extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  // offset -1 = "nothing consumed": the first batch is the full
+  // snapshot at the then-latest version. startingVersion=V starts the
+  // tail AT V with no initial snapshot (the Delta option's semantics).
+  override def initialOffset(): Offset =
+    Option(options.get("startingVersion")) match {
+      case Some(v) => VersionOffset(v.toLong - 1)
+      case None => VersionOffset(-1L)
+    }
+
+  override def latestOffset(): Offset =
+    VersionOffset(SnapshotTable.currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir")))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(json)
+    VersionOffset(m.get("version").asLong)
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    val target = spark.sessionState.conf.filesMaxPartitionBytes
+    if (from < 0) {
+      // batch 0: the full snapshot as of `to` (manifest-pruned by the
+      // pushed conjuncts — residuals re-apply post-scan, so dropping
+      // provably-dead files is sound here exactly as in batch)
+      SnapshotTableScan.pack(dir,
+        ManifestPruning.prune(
+          SnapshotTable.snapshotFiles(spark, dir, Some(to)),
+          pruningFilters.toSeq), target)
+    } else {
+      val ignoreChanges =
+        Option(options.get("ignoreChanges")).exists(_.toBoolean)
+      val vs = SnapshotTable.versions(spark, dir)
+        .filter(v => v > from && v <= to)
+      val commits = vs.map(v => SnapshotTable.commitFiles(spark, dir, v) ->
+        SnapshotTable.commitStats(spark, dir, v)._1)
+      commits.collectFirst {
+        case (_, action) if action != "append" && !ignoreChanges =>
+          throw new IllegalStateException(
+            s"snapshot table $dir has a non-append commit ('$action') in " +
+              s"versions ($from, $to] — a streaming tail of added files " +
+              "would misrepresent it. Restart from a fresh checkpoint to " +
+              "re-snapshot, or set ignoreChanges=true to receive " +
+              "rewritten files (downstream must tolerate duplicates).")
+      }
+      SnapshotTableScan.pack(dir,
+        ManifestPruning.prune(commits.flatMap(_._1),
+          pruningFilters.toSeq), target)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftTableReaderFactory(required,
+      new SerConf(spark.sessionState.newHadoopConf()), pruningFilters)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

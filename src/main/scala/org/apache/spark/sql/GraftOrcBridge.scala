@@ -1,0 +1,33 @@
+package org.apache.spark.sql
+
+import org.apache.hadoop.io.WritableComparable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.orc.OrcDeserializer
+import org.apache.spark.sql.types.StructType
+
+/** Bridge to the sql-private ORC value deserializer, so graft's DSv2
+  * snapshot-table source reuses Spark's own battle-tested ORC->Catalyst
+  * conversions (timestamps, decimals, nested types, calendar rebase)
+  * instead of re-deriving them. `OrcDeserializer` is `private[sql]`;
+  * this wrapper lives in the sql package purely for access. */
+object GraftOrcBridge {
+
+  /** Deserializes ORC writable values (one per field of `schema`, in
+    * order, null for absent columns) into an InternalRow. The returned
+    * row is REUSED across calls — consumers must copy if they buffer. */
+  final class RowDeser(schema: StructType) {
+    private val d =
+      new OrcDeserializer(schema, Array.tabulate(schema.length)(identity))
+    def fromValues(values: Seq[WritableComparable[_]]): InternalRow =
+      d.deserializeFromValues(values)
+  }
+
+  /** Spark's own source-Filter -> ORC SearchArgument conversion
+    * (row-group / stripe skipping), with its full type-coercion and
+    * unconvertible-predicate handling. None when nothing converts. */
+  def searchArgument(schema: StructType,
+                     filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Option[org.apache.hadoop.hive.ql.io.sarg.SearchArgument] =
+    execution.datasources.orc.OrcFilters.createFilter(schema, filters)
+}
