@@ -1374,8 +1374,11 @@ object ConverterQueries {
         SnapshotTable.commit(s,
           orders.filter(col("o_orderkey") * 2 <= n), base, "overwrite",
           statsCols = Seq("o_orderkey"))
-        SnapshotTable.commit(s,
-          orders.filter(col("o_orderkey") * 2 > n), base, "append")
+        // v1 lands through the DSv2 WRITE path (V1Write shim → the same
+        // atomic commit protocol), so the gate covers write and read
+        orders.filter(col("o_orderkey") * 2 > n)
+          .write.format("graft-table").mode("append")
+          .option("statsCols", "o_orderkey").save(base)
       }
       val latest = s.read.format("graft-table").load(base)
       val v0 = s.read.format("graft-table")

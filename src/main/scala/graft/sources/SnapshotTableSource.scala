@@ -12,11 +12,12 @@ import org.apache.orc.mapred.OrcStruct
 import org.apache.orc.mapreduce.OrcMapreduceRecordReader
 import org.apache.spark.sql.{GraftOrcBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -109,14 +110,16 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
 
 private[sources] class SnapshotTableTable(
     schema: StructType, dir: String, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-table `$dir`"
   override def schema(): StructType = schema0
   private val schema0 = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
@@ -127,6 +130,42 @@ private[sources] class SnapshotTableTable(
     new SnapshotTableScanBuilder(schema0, dir,
       new CaseInsensitiveStringMap(merged))
   }
+
+  /** Batch writes route through the transactional commit protocol via
+    * the V1Write shim (the public-Delta pattern): the frame lands as a
+    * staged ORC batch and ONE atomic manifest publish —
+    * `df.write.format("graft-table").mode("append"|"overwrite")
+    * .save(dir)`. Options: `statsCols` (comma-separated pruning-stats
+    * columns), `txnAppId`+`txnSeq` (the exactly-once SetTransaction
+    * stamp — a replayed write with a seq at or below the recorded
+    * high-water no-ops). */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                                ow: Boolean): Unit = {
+              val o = info.options
+              val statsCols = Option(options.get("statsCols"))
+                .orElse(Option(o.get("statsCols")))
+                .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+                .getOrElse(Nil)
+              val txn = for {
+                app <- Option(options.get("txnAppId"))
+                  .orElse(Option(o.get("txnAppId")))
+                seq <- Option(options.get("txnSeq"))
+                  .orElse(Option(o.get("txnSeq")))
+              } yield (app, seq.toLong)
+              SnapshotTable.commit(data.sparkSession, data, dir,
+                if (overwrite || ow) "overwrite" else "append",
+                statsCols, txn = txn)
+            }
+          }
+      }
+    }
 }
 
 private[sources] class SnapshotTableScanBuilder(

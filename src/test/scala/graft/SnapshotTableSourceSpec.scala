@@ -142,6 +142,35 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
   }
 
+  test("DSv2 writes: append/overwrite through the commit protocol, " +
+    "txn-stamped writes replay as no-ops") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 100), dir, "overwrite",
+      statsCols = Seq("id"))
+
+    df(100, 150).write.format("graft-table").mode("append")
+      .option("statsCols", "id").save(dir)
+    assert(SnapshotTable.read(spark, dir).count() === 150)
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(1L))
+    // stats option reached the manifest: the new file prunes
+    val (_, kept, total) =
+      SnapshotTable.scanPruned(spark, dir, "id", 0.0, 50.0)
+    assert(kept < total)
+
+    // exactly-once: same txn stamp twice → second write no-ops
+    df(150, 160).write.format("graft-table").mode("append")
+      .option("txnAppId", "writer1").option("txnSeq", "7").save(dir)
+    df(150, 160).write.format("graft-table").mode("append")
+      .option("txnAppId", "writer1").option("txnSeq", "7").save(dir)
+    assert(SnapshotTable.read(spark, dir).count() === 160)
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(2L))
+
+    df(900, 905).write.format("graft-table").mode("overwrite").save(dir)
+    assert(SnapshotTable.read(spark, dir).count() === 5)
+    // the pre-overwrite state is still time-travelable
+    assert(SnapshotTable.read(spark, dir, Some(2)).count() === 160)
+  }
+
   test("streaming: initial snapshot then exactly the appended tail") {
     val dir = freshDir()
     val ckpt = freshDir()
