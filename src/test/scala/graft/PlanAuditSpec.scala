@@ -47,7 +47,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // vocab coverage broadcasts the 1-row corpus-total frame against the
     // top-k terms (the text_tfidf_top pattern); collocations likewise
     // broadcast their two 1-row totals
-    "text_vocab_coverage", "text_collocations")
+    "text_vocab_coverage", "text_collocations",
+    // the DSv2 gate crossJoins the broadcast 1-row versionAsOf(0)
+    // aggregate onto the 1-row latest aggregate
+    "conv_table_dsv2")
 
   private val audited = Seq(
     "q1_pricing_summary", "q3_top_unshipped_orders", "q5_local_supplier_volume",
@@ -117,7 +120,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // dedup_fuzzy_names, already audited above, now exercises the
     // half-key partition join — the no-cartesian/no-BNLJ walk applies
     // to the new route for free.
-    "ann_ivf_pq_refine", "conv_table_manyfiles")
+    "ann_ivf_pq_refine", "conv_table_manyfiles",
+    // r14: the DSv2 read path (manifest-planned scan + broadcast 1-row
+    // v0 aggregate), the columnar-checkpoint replay scan, and the
+    // restored-head scan — all must stay free of cartesians/BNLJ
+    "conv_table_dsv2", "conv_table_ckpt_orc", "conv_table_restore")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum

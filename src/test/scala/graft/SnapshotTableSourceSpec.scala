@@ -171,6 +171,29 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir, Some(2)).count() === 160)
   }
 
+  test("SQL surface: CREATE TABLE USING graft-table, SELECT, INSERT INTO") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 100), dir, "overwrite",
+      statsCols = Seq("id"))
+    spark.sql("DROP TABLE IF EXISTS snap_sql")
+    spark.sql(
+      s"CREATE TABLE snap_sql USING `graft-table` OPTIONS (path '$dir')")
+    try {
+      assert(spark.sql("SELECT count(*) AS n FROM snap_sql")
+        .head().getLong(0) === 100)
+      assert(spark.sql(
+        "SELECT sum(id) AS s FROM snap_sql WHERE id BETWEEN 10 AND 19")
+        .head().getLong(0) === (10L until 20L).sum)
+      // INSERT INTO rides the V1 write shim -> one atomic commit
+      spark.sql("INSERT INTO snap_sql SELECT id, concat('r', id) AS name," +
+        " cast(id AS double) * 2.5 AS v FROM range(100, 130)")
+      assert(SnapshotTable.currentVersion(spark, dir) === Some(1L))
+      assert(spark.sql("SELECT count(*) FROM snap_sql").head().getLong(0)
+        === 130)
+      assert(SnapshotTable.read(spark, dir).count() === 130)
+    } finally spark.sql("DROP TABLE IF EXISTS snap_sql")
+  }
+
   test("streaming: initial snapshot then exactly the appended tail") {
     val dir = freshDir()
     val ckpt = freshDir()
