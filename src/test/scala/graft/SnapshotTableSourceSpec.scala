@@ -194,6 +194,36 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally spark.sql("DROP TABLE IF EXISTS snap_sql")
   }
 
+  test("path catalog: SQL time travel via VERSION AS OF / TIMESTAMP AS OF " +
+    "and INSERT INTO graft.`/dir`") {
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.SnapshotTableCatalog")
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 100), dir, "overwrite",
+      statsCols = Seq("id"))
+    SnapshotTable.commit(spark, df(100, 150), dir, "append")
+
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir`")
+      .head().getLong(0) === 150)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` VERSION AS OF 0")
+      .head().getLong(0) === 100)
+    val ts0 = SnapshotTable.history(spark, dir).last.timestampMs
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dir` TIMESTAMP AS OF " +
+      s"timestamp_millis(${ts0}L)").head().getLong(0) === 100)
+
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT id, concat('r', id), " +
+      "cast(id AS double) FROM range(150, 160)")
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(2L))
+    assert(SnapshotTable.read(spark, dir).count() === 160)
+
+    // a missing table resolves to the standard error, not a crash
+    val ex = intercept[Exception] {
+      spark.sql("SELECT * FROM graft.`/tmp/definitely_not_a_table_xyz`")
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("table"))
+  }
+
   test("streaming: initial snapshot then exactly the appended tail") {
     val dir = freshDir()
     val ckpt = freshDir()
