@@ -155,7 +155,7 @@ object SparkEntry {
     // per call — correctness-only, not timing rows)
     "conv_table_schema_evo", "conv_table_sync", "conv_table_prune_str",
     "conv_table_manyfiles", "conv_table_ckpt_orc", "conv_table_restore",
-    "conv_table_dsv2", "stream_table_source",
+    "conv_table_dsv2", "stream_table_source", "stream_table_sink",
     // round-14: string-keyed merge-rebase + lexicographic range delete
     "conv_table_rebase_str")
 

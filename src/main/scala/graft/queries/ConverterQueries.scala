@@ -1430,6 +1430,42 @@ object ConverterQueries {
           lit(got.select(col("doc_id")).distinct().count() == got.count()))
     },
 
+    // STREAMING-SINK gate (r14): writeStream.format("graft-table") — the
+    // DSv2 streaming sink, one atomic txn-stamped append commit per
+    // epoch (exactly-once under recovery). The documents table streams
+    // in from parquet landings; the snapshot table's final content must
+    // equal `documents` exactly with zero duplicates, and the head
+    // commit must carry the stream txn stamp.
+    "stream_table_sink" -> { (s, d) =>
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft_stream/$key/table_sink"
+      val (tableDir, ckpt, landing) =
+        (s"$root/table", s"$root/ckpt", s"$root/landing")
+      Seq(tableDir, ckpt, landing).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      // bootstrap: schema-recording empty commit creates the table
+      SnapshotTable.commit(s, docs.limit(0), tableDir, "overwrite")
+      docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$landing/b0")
+      val q = s.readStream.schema(docs.schema).parquet(s"$landing/*")
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", ckpt).option("statsCols", "doc_id")
+        .start(tableDir)
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$landing/b1")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = SnapshotTable.read(s, tableDir)
+      val head = SnapshotTable.history(s, tableDir).head
+      got.agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("exactly_once",
+          lit(got.select(col("doc_id")).distinct().count() == got.count()))
+        .withColumn("txn_stamped",
+          lit(head.txnApp.exists(_.startsWith("stream-"))))
+    },
+
     // RESTORE gate (r14): rollback-as-new-commit, the Delta RESTORE
     // shape. v0 = clean orders; v1 = a bad ingest appending a duplicate
     // slice (deterministic: o_orderkey*5 <= n, so DuckDB rederives it);
@@ -2277,6 +2313,16 @@ object ConverterQueries {
         | CAST(SUM(doc_id) AS BIGINT) AS sum_id,
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | TRUE AS exactly_once
+        |FROM documents""".stripMargin,
+
+    // stream_table_sink: the epoch-committed table holds exactly the
+    // documents table, once.
+    "stream_table_sink" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | TRUE AS exactly_once,
+        | TRUE AS txn_stamped
         |FROM documents""".stripMargin,
 
     // conv_table_restore: live content after restore = raw orders; the

@@ -144,8 +144,8 @@ object SnapshotTable {
   /** Distributed footer harvest: one task per bounded bundle of files,
     * each reading ONLY the ORC footer. The Hadoop conf travels as a
     * string map (SerializableConfiguration is spark-private). */
-  private def harvest(spark: SparkSession, files: Seq[String],
-                      statsCols: Seq[String]): Seq[FileEntry] = {
+  private[graft] def harvest(spark: SparkSession, files: Seq[String],
+                             statsCols: Seq[String]): Seq[FileEntry] = {
     if (files.isEmpty) return Seq.empty
     val confMap = spark.sparkContext.hadoopConfiguration.asScala
       .map(e => (e.getKey, e.getValue)).toMap

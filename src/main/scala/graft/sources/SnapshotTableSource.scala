@@ -119,7 +119,7 @@ private[sources] class SnapshotTableTable(
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(
       scanOptions: CaseInsensitiveStringMap): ScanBuilder = {
@@ -144,6 +144,17 @@ private[sources] class SnapshotTableTable(
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): Write = new V1Write {
+        // streaming writes route through Write.toStreaming in Spark 4
+        // (buildForStreaming is the deprecated pre-3.2 path)
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          val statsCols = Option(options.get("statsCols"))
+            .orElse(Option(info.options.get("statsCols")))
+            .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+          new GraftStreamingWrite(dir, info.schema(), info.queryId(),
+            statsCols)
+        }
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: org.apache.spark.sql.DataFrame,
@@ -540,4 +551,114 @@ private[sources] class SnapshotTableMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+}
+
+// ---- streaming write (exactly-once epoch commits) --------------------------
+
+private[sources] case class GraftStreamMsg(rel: String, rows: Long)
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Native streaming SINK: `df.writeStream.format("graft-table")
+  * .start(dir)`. Executors write each micro-batch's partitions as ORC
+  * files under `data/stream-<token>/epoch-<id>/` (Spark's own
+  * OrcSerializer does the row conversion); the DRIVER then publishes
+  * ONE atomic append commit per epoch, txn-stamped
+  * `(stream-<queryId>, epochId)` — the SetTransaction contract, so a
+  * recovery-replayed epoch recognizes its own commit and no-ops:
+  * exactly-once END TO END, including the files (a replayed epoch's
+  * re-written files are never referenced; vacuum reclaims them).
+  * Speculative/failed task attempts land uniquely-named unreferenced
+  * files with the same fate. */
+private[sources] class GraftStreamingWrite(
+    dir: String, schema: org.apache.spark.sql.types.StructType,
+    queryId: String, statsCols: Seq[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private val token = java.util.UUID.randomUUID().toString.take(12)
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftStreamWriterFactory(dir, schema, token,
+      new SerConf(SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(epochId: Long,
+                      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val rels = messages.collect {
+      case GraftStreamMsg(rel, _) if rel != null => rel
+    }.toSeq
+    val abs = rels.map(r => s"$dir/$r")
+    val relOf = abs.zip(rels).toMap
+    val entries = SnapshotTable.harvest(spark, abs, statsCols)
+      .map(e => e.copy(path = relOf(e.path)))
+    // empty epochs still commit (zero entries): the txn high-water must
+    // advance or a recovery replay could double-apply a later epoch
+    SnapshotTable.publish(spark, dir, "append", entries, maxRetries = 5,
+      txn = Some((s"stream-$queryId", epochId)),
+      schemaJson = Some(schema.json))
+  }
+
+  override def abort(epochId: Long,
+                     messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case GraftStreamMsg(rel, _) if rel != null =>
+        scala.util.Try(f.delete(new Path(s"$dir/$rel"), false))
+      case _ =>
+    }
+  }
+}
+
+private[sources] class GraftStreamWriterFactory(
+    dir: String, schema: org.apache.spark.sql.types.StructType,
+    token: String, conf: SerConf)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftStreamDataWriter(dir,
+      f"data/stream-$token/epoch-$epochId%020d/part-$partitionId%05d-$taskId.orc",
+      schema, conf.value)
+}
+
+private[sources] class GraftStreamDataWriter(
+    dir: String, rel: String,
+    schema: org.apache.spark.sql.types.StructType, conf: Configuration)
+  extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+
+  private val ser = new GraftOrcBridge.RowSer(schema)
+  private var w: org.apache.orc.mapreduce.OrcMapreduceRecordWriter[OrcStruct] = _
+  private var n = 0L
+
+  override def write(row: InternalRow): Unit = {
+    if (w == null) { // empty partitions never create a file
+      w = new org.apache.orc.mapreduce.OrcMapreduceRecordWriter[OrcStruct](
+        OrcFile.createWriter(new Path(s"$dir/$rel"),
+          OrcFile.writerOptions(conf)
+            .setSchema(GraftOrcBridge.orcTypeDescription(schema))
+            .overwrite(true)))
+    }
+    w.write(org.apache.hadoop.io.NullWritable.get(), ser.toOrc(row))
+    n += 1
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (w != null) { w.close(null); w = null }
+    GraftStreamMsg(if (n > 0) rel else null, n)
+  }
+
+  override def abort(): Unit = {
+    if (w != null) { scala.util.Try(w.close(null)); w = null }
+    val f = new Path(dir).getFileSystem(conf)
+    scala.util.Try(f.delete(new Path(s"$dir/$rel"), false))
+  }
+
+  override def close(): Unit =
+    if (w != null) { scala.util.Try(w.close(null)); w = null }
 }

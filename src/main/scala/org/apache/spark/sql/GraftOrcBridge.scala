@@ -23,6 +23,19 @@ object GraftOrcBridge {
       d.deserializeFromValues(values)
   }
 
+  /** Serializes InternalRows to ORC writables with Spark's own
+    * OrcSerializer (same type-conversion matrix as the deserializer). */
+  final class RowSer(schema: StructType) {
+    private val s =
+      new execution.datasources.orc.OrcSerializer(schema)
+    def toOrc(row: InternalRow): org.apache.orc.mapred.OrcStruct =
+      s.serialize(row)
+  }
+
+  /** Catalyst schema -> ORC TypeDescription (Spark's own mapping). */
+  def orcTypeDescription(schema: StructType): org.apache.orc.TypeDescription =
+    execution.datasources.orc.OrcUtils.orcTypeDescription(schema)
+
   /** Spark's own source-Filter -> ORC SearchArgument conversion
     * (row-group / stripe skipping), with its full type-coercion and
     * unconvertible-predicate handling. None when nothing converts. */

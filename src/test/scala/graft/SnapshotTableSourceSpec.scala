@@ -224,6 +224,51 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ex.getMessage.toLowerCase.contains("table"))
   }
 
+  test("streaming SINK: one atomic txn-stamped commit per epoch, " +
+    "exactly-once across checkpoint restart") {
+    val dir = freshDir()
+    val ckpt = freshDir()
+    val src = freshDir()
+    // bootstrap: an empty overwrite records the schema (tables are
+    // created by a commit; streaming then appends)
+    SnapshotTable.commit(spark, df(0, 0), dir, "overwrite")
+
+    df(0, 40).write.parquet(s"$src/b0")
+    val stream = spark.readStream.schema(df(0, 0).schema).parquet(s"$src/*")
+    val q = stream.writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt).option("statsCols", "id")
+      .start(dir)
+    try {
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, dir).count() === 40)
+      df(40, 70).write.parquet(s"$src/b1")
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, dir).count() === 70)
+      // every epoch landed as an append commit with a txn stamp
+      val h = SnapshotTable.history(spark, dir)
+      assert(h.head.action === "append")
+      assert(h.head.txnApp.exists(_.startsWith("stream-")))
+      // stats option reached the manifest
+      val (_, kept, total) =
+        SnapshotTable.scanPruned(spark, dir, "id", 0.0, 10.0)
+      assert(kept < total)
+    } finally q.stop()
+
+    // restart from the same checkpoint: processed epochs replay as
+    // no-ops, only new data commits
+    df(70, 80).write.parquet(s"$src/b2")
+    val vsBefore = SnapshotTable.versions(spark, dir).size
+    val q2 = stream.writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt).start(dir)
+    try {
+      q2.processAllAvailable()
+      assert(SnapshotTable.read(spark, dir).count() === 80)
+      assert(SnapshotTable.read(spark, dir).select("id").distinct().count()
+        === 80) // exactly-once: no duplicated rows
+      assert(SnapshotTable.versions(spark, dir).size <= vsBefore + 2)
+    } finally q2.stop()
+  }
+
   test("streaming: initial snapshot then exactly the appended tail") {
     val dir = freshDir()
     val ckpt = freshDir()
