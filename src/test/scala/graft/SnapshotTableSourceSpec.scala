@@ -312,6 +312,32 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  test("table-to-table streaming pipeline: source and sink compose, " +
+    "exactly-once on both ends") {
+    val srcDir = freshDir()
+    val dstDir = freshDir()
+    val ckpt = freshDir()
+    SnapshotTable.commit(spark, df(0, 50), srcDir, "overwrite")
+    SnapshotTable.commit(spark,
+      df(0, 0).withColumn("v2", col("v")), dstDir, "overwrite")
+
+    val q = spark.readStream.format("graft-table").load(srcDir)
+      .withColumn("v2", col("v") * 2)
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt).start(dstDir)
+    try {
+      q.processAllAvailable()
+      assert(SnapshotTable.read(spark, dstDir).count() === 50)
+      SnapshotTable.commit(spark, df(50, 80), srcDir, "append")
+      SnapshotTable.commit(spark, df(80, 90), srcDir, "append")
+      q.processAllAvailable()
+      val dst = SnapshotTable.read(spark, dstDir)
+      assert(dst.count() === 90)
+      assert(dst.select("id").distinct().count() === 90) // exactly-once
+      assert(dst.filter(col("v2") =!= col("v") * 2).count() === 0)
+    } finally q.stop()
+  }
+
   test("streaming: a non-append commit fences the stream unless " +
     "ignoreChanges") {
     val dir = freshDir()
