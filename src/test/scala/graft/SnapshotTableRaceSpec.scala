@@ -179,6 +179,78 @@ class SnapshotTableRaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     * reads always see a whole committed snapshot; (4) after the race,
     * every surviving recorded timestamp still resolves exactly and every
     * expired one still refuses. */
+  test("restore races appenders: version-pinned — wins only on an " +
+    "untouched log, losses are loud, nothing is silently undone") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 100), dir, "overwrite",
+      statsCols = Seq("id"))
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val cmes = new AtomicInteger(0)
+    val wins = new AtomicInteger(0)
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(3)
+    val seed = 20260815L
+
+    def submit(name: String)(body: java.util.Random => Unit): Unit = {
+      val rnd = new java.util.Random(seed ^ name.hashCode.toLong)
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try body(rnd)
+          catch { case t: Throwable => errors.add(t) }
+        }
+      })
+    }
+
+    (0 until 2).foreach { a =>
+      submit(s"append-$a") { rnd =>
+        (1 to 5).foreach { k =>
+          Thread.sleep(rnd.nextInt(40).toLong)
+          SnapshotTable.commit(spark,
+            df(10000L * (a * 10 + k), 10000L * (a * 10 + k) + 10), dir,
+            "append", statsCols = Seq("id"))
+        }
+      }
+    }
+    submit("restore") { rnd =>
+      (1 to 4).foreach { _ =>
+        Thread.sleep(rnd.nextInt(50).toLong)
+        try { SnapshotTable.restore(spark, dir, 0L); wins.incrementAndGet() }
+        catch {
+          case _: java.util.ConcurrentModificationException =>
+            cmes.incrementAndGet() // loud loss — the operator re-decides
+        }
+      }
+    }
+
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+    assert(errors.isEmpty, s"unexpected: ${errors.peek()}")
+    assert(wins.get() + cmes.get() === 4)
+
+    // every commit is readable and accountable: restores read exactly
+    // the v0 content; each append's version holds its predecessor + 10
+    val vs = SnapshotTable.versions(spark, dir)
+    assert(vs === vs.indices.map(_.toLong)) // gap-free
+    var prev = -1L
+    vs.foreach { v =>
+      val c = SnapshotTable.read(spark, dir, Some(v)).count()
+      val action = SnapshotTable.commitStats(spark, dir, v)._1
+      if (action == "overwrite") assert(c === 100,
+        s"restore commit v$v read $c rows, expected the v0 snapshot")
+      else if (v > 0) assert(c === prev + 10,
+        s"append v$v: $c rows, predecessor had $prev — a row went missing")
+      prev = c
+    }
+    // the pin's guarantee, checked from the log itself: a successful
+    // restore's predecessor version is the exact version it planned
+    // against, so no append was silently swallowed by a racing restore
+    // (an interleaved append forces CME by construction).
+    assert(SnapshotTable.read(spark, dir).count() === prev)
+  }
+
   test("expiry races timestamp readers: never partial, never aliased") {
     val dir = freshDir()
     val rowsPer = 10
