@@ -339,7 +339,32 @@ private[sources] object SnapshotTableScan {
 private[sources] class SnapshotTableScan(
     fullSchema: StructType, required: StructType, dir: String,
     options: CaseInsensitiveStringMap,
-    pruningFilters: Array[Filter] = Array.empty) extends Scan {
+    pruningFilters: Array[Filter] = Array.empty) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  /** Manifest-derived scan statistics — zero I/O, already
+    * filter-pruned. Without this a DSv2 relation reports the
+    * conservative default size (never broadcast); with it a small
+    * snapshot table on the build side of a join gets a
+    * BroadcastHashJoin like any file relation with known size. The
+    * byte total is on-disk ORC (compressed); Spark's own file
+    * relations report the same, scaled by
+    * spark.sql.sources.fileCompressionFactor at estimation time. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val pruned = ManifestPruning.prune(
+      SnapshotTable.snapshotFiles(spark, dir,
+        SnapshotTableScan.resolveVersion(spark, dir, options)),
+      pruningFilters.toSeq)
+    val bytes = pruned.map(_.bytes).sum
+    val rows = pruned.map(_.rows).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def readSchema(): StructType = required
 

@@ -224,6 +224,28 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(ex.getMessage.toLowerCase.contains("table"))
   }
 
+  test("scan statistics come from the manifest: a small table " +
+    "broadcast-joins") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 200), dir, "overwrite",
+      statsCols = Seq("id"))
+    val small = spark.read.format("graft-table").load(dir)
+    val big = spark.range(0, 100000).select(col("id"),
+      (col("id") % 7).as("w"))
+    val joined = big.join(small, Seq("id"))
+    val plan = joined.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"manifest stats not reported — join planned without broadcast:\n" +
+        plan.take(2000))
+    assert(joined.count() === 200)
+    // pruned scans report the PRUNED size: a filtered small side still
+    // broadcasts (and the estimate shrinks with the kept set)
+    val filtered = big.join(small.filter(col("id") < 25), Seq("id"))
+    assert(filtered.queryExecution.executedPlan.toString()
+      .contains("BroadcastHashJoin"))
+    assert(filtered.count() === 25)
+  }
+
   test("streaming SINK: one atomic txn-stamped commit per epoch, " +
     "exactly-once across checkpoint restart") {
     val dir = freshDir()
