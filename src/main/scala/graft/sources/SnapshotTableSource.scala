@@ -512,9 +512,37 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 private[sources] class SnapshotTableMicroBatchStream(
     required: StructType, dir: String, options: CaseInsensitiveStringMap,
     pruningFilters: Array[Filter] = Array.empty)
-  extends MicroBatchStream {
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
   private def spark = SparkSession.active
+
+  /** `maxVersionsPerTrigger` bounds how many COMMITS one micro-batch
+    * consumes (the Delta maxFilesPerTrigger shape, keyed to this log's
+    * natural unit) — a long backfill drains as a sequence of bounded,
+    * individually-checkpointed batches instead of one giant catch-up.
+    * Batch 0's initial snapshot is never split (snapshot semantics);
+    * the cap governs the tail. */
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+      .map(v => { require(v >= 1, "maxVersionsPerTrigger must be >= 1"); v })
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val cur = SnapshotTable.currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir"))
+    val from = start.asInstanceOf[VersionOffset].version
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) if from >= 0 => math.min(cur, from + n)
+      case _ => cur // initial snapshot, or no cap configured
+    }
+    VersionOffset(capped)
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
 
   // offset -1 = "nothing consumed": the first batch is the full
   // snapshot at the then-latest version. startingVersion=V starts the

@@ -391,6 +391,28 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  test("streaming: maxVersionsPerTrigger drains a backfill in bounded, " +
+    "individually-checkpointed batches") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 10), dir, "overwrite") // v0
+    (1 to 6).foreach(k => SnapshotTable.commit(spark,
+      df(k * 10L, k * 10L + 10), dir, "append")) // v1..v6
+    val q = spark.readStream.format("graft-table")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "2").load(dir)
+      .writeStream.format("memory").queryName("snap_paced")
+      .option("checkpointLocation", freshDir()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_paced").select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq === (10L until 70L))
+      // 6 tail versions at <=2 per trigger: at least 3 data batches
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 3, s"backfill drained in $batches batches — " +
+        "the per-trigger cap was not applied")
+    } finally q.stop()
+  }
+
   test("streaming: startingVersion consumes only the tail") {
     val dir = freshDir()
     SnapshotTable.commit(spark, df(0, 100), dir, "overwrite") // v0
