@@ -343,7 +343,13 @@ object Cli {
             else SnapshotTable.restoreAsOf(spark, tableDir, at.toLong)
           val (_, files, rows) = SnapshotTable.commitStats(spark, tableDir, v)
           rep(s"${name(tableDir)}@v$v restored", rows, files)
-        // expire <table_dir> <keep_last>
+        // expire <table_dir> <keep_last | --older-than-hours N>
+        case ("expire", tableDir :: "--older-than-hours" :: hours :: Nil) =>
+          val cutoff = System.currentTimeMillis() -
+            hours.toLong * 3600L * 1000L
+          val expired = SnapshotTable.expireOlderThan(spark, tableDir, cutoff)
+          rep(s"${name(tableDir)} expired=${expired.size}",
+            expired.size.toLong, expired.size)
         case ("expire", tableDir :: keepLast :: Nil) =>
           val expired = SnapshotTable.expireVersions(spark, tableDir,
             keepLast.toInt)
@@ -427,7 +433,7 @@ object Cli {
               |  table compact <table_dir> [target_mb=128] [cluster_by]
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
               |  table restore <table_dir> <version|ts_ms>
-              |  table expire  <table_dir> <keep_last>
+              |  table expire  <table_dir> <keep_last | --older-than-hours N>
               |  table vacuum  <table_dir> [retention_hours=168] [--dry-run]
               |  table changes <table_dir> <from_version> <output_dir> [to_version]
               |  table sync    <src_table_dir> <dst_table_dir> [from_version=-1]

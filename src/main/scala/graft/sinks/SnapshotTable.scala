@@ -1529,6 +1529,21 @@ object SnapshotTable {
     expired
   }
 
+  /** [[expireVersions]] with a TIME retention window — the operator's
+    * native unit (Delta's logRetentionDuration): expire every version
+    * whose monotonized commit stamp is older than `cutoffMs`, always
+    * keeping at least the latest. Versions predating timestamp
+    * recording (-1 stamps) count as older than any cutoff. Returns the
+    * expired version numbers. */
+  def expireOlderThan(spark: SparkSession, dir: String,
+                      cutoffMs: Long): Seq[Long] = {
+    val h = history(spark, dir) // newest first, stamps monotonized
+    if (h.isEmpty) return Seq.empty
+    val keep = math.max(1, h.count(_.timestampMs >= cutoffMs))
+    if (h.size <= keep) Seq.empty
+    else expireVersions(spark, dir, keep)
+  }
+
   /** Delete data files referenced by NO committed version — the residue
     * of crashed or lost-race commits. Never touches referenced files, so
     * every committed version stays readable. Returns deleted paths.

@@ -871,6 +871,31 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 50)
   }
 
+  test("expireOlderThan: time-window retention keeps the latest and " +
+    "everything at or after the cutoff") {
+    val dir = freshDir()
+    val saved = SnapshotTable.clock
+    try {
+      var t = 1000L
+      SnapshotTable.clock = () => t
+      (0 until 6).foreach { i =>
+        t = 1000L * (i + 1) // commits stamped 1s..6s
+        SnapshotTable.commit(spark, df(i * 10L, i * 10L + 10), dir,
+          if (i == 0) "overwrite" else "append")
+      }
+      // cutoff 3500ms: v0..v2 (1s,2s,3s) expire; v3..v5 (4s,5s,6s) stay
+      val expired = SnapshotTable.expireOlderThan(spark, dir, 3500L)
+      assert(expired === Seq(0L, 1L, 2L))
+      assert(SnapshotTable.versions(spark, dir) === Seq(3L, 4L, 5L))
+      assert(SnapshotTable.read(spark, dir).count() === 60)
+      // a cutoff beyond every stamp still keeps the latest version
+      assert(SnapshotTable.expireOlderThan(spark, dir, 99999L)
+        === Seq(3L, 4L))
+      assert(SnapshotTable.versions(spark, dir) === Seq(5L))
+      assert(SnapshotTable.read(spark, dir).count() === 60)
+    } finally SnapshotTable.clock = saved
+  }
+
   test("merge with an updates frame that adds a column evolves the schema") {
     val dir = freshDir()
     SnapshotTable.commit(spark,
