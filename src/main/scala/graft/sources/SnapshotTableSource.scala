@@ -12,11 +12,11 @@ import org.apache.orc.mapred.OrcStruct
 import org.apache.orc.mapreduce.OrcMapreduceRecordReader
 import org.apache.spark.sql.{GraftOrcBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsTruncate, V1Write, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, InsertableRelation, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -55,6 +55,13 @@ import graft.sinks.SnapshotTable
   * version.
   */
 object SnapshotTableProvider {
+  /** Metadata column exposing each row's originating data file
+    * (absolute path) — `SELECT _file FROM graft.`/dir`` provenance, and
+    * the channel Spark's group-based row-level writes use to route
+    * rewritten rows (requesting it selects the projecting write task,
+    * which splits query output into (metadata, row) for the writer). */
+  val FileMetaCol = "_file"
+
   /** Deep-nullable view of a schema (StructType.asNullable is
     * spark-private): every field, array element and map value becomes
     * nullable. */
@@ -110,7 +117,21 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
 
 private[sources] class SnapshotTableTable(
     schema: StructType, dir: String, options: CaseInsensitiveStringMap)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  import org.apache.spark.sql.connector.catalog.MetadataColumn
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = SnapshotTableProvider.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the row's originating snapshot data file"
+    })
 
   override def name(): String = s"graft-table `$dir`"
   override def schema(): StructType = schema0
@@ -130,6 +151,23 @@ private[sources] class SnapshotTableTable(
     new SnapshotTableScanBuilder(schema0, dir,
       new CaseInsensitiveStringMap(merged))
   }
+
+  /** SQL row-level DML — `DELETE FROM` / `UPDATE` / `MERGE INTO
+    * graft.`/dir`` — via Spark's group-based (copy-on-write) row-level
+    * operation contract: Spark rewrites the command into a ReplaceData
+    * plan that re-reads the AFFECTED FILES ONLY (the "groups"), applies
+    * the modification row-side, and hands the replacement rows back;
+    * the commit then atomically swaps exactly those files for the
+    * rewritten ones, carrying every untouched file's manifest entry
+    * byte-identical. The command's condition is pushed into the group
+    * scan as MANIFEST file pruning, so a key-clustered table rewrites
+    * O(matching files), not O(table). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(schema0, dir, info.command())
+    }
 
   /** Batch writes route through the transactional commit protocol via
     * the V1Write shim (the public-Delta pattern): the frame lands as a
@@ -185,12 +223,19 @@ private[sources] class SnapshotTableScanBuilder(
   with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var withFileMeta = false
   private var pruningFilters: Array[Filter] = Array.empty
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep only fields the table actually has (metadata cols excluded)
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep only fields the table actually has; the `_file` metadata
+    // column (if requested) is appended LAST so the reader can emit it
+    // without reshuffling data ordinals
+    withFileMeta = requiredSchema.fieldNames
+      .contains(SnapshotTableProvider.FileMetaCol) &&
+      !fullSchema.fieldNames.contains(SnapshotTableProvider.FileMetaCol)
     required = StructType(requiredSchema.fields.filter(f =>
       fullSchema.fieldNames.contains(f.name)))
+  }
 
   /** Range/equality conjuncts become MANIFEST pruning: files whose
     * footer [min,max] provably cannot satisfy them are dropped at plan
@@ -213,7 +258,7 @@ private[sources] class SnapshotTableScanBuilder(
 
   override def build(): Scan =
     new SnapshotTableScan(fullSchema, required, dir, options,
-      pruningFilters)
+      pruningFilters, withFileMeta)
 }
 
 /** Stats-channel file pruning shared by the DSv2 batch scan: per-column
@@ -339,7 +384,8 @@ private[sources] object SnapshotTableScan {
 private[sources] class SnapshotTableScan(
     fullSchema: StructType, required: StructType, dir: String,
     options: CaseInsensitiveStringMap,
-    pruningFilters: Array[Filter] = Array.empty) extends Scan
+    pruningFilters: Array[Filter] = Array.empty,
+    withFileMeta: Boolean = false) extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   /** Manifest-derived scan statistics — zero I/O, already
@@ -366,7 +412,12 @@ private[sources] class SnapshotTableScan(
     }
   }
 
-  override def readSchema(): StructType = required
+  override def readSchema(): StructType =
+    if (withFileMeta) StructType(required.fields :+
+      org.apache.spark.sql.types.StructField(
+        SnapshotTableProvider.FileMetaCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    else required
 
   override def description(): String =
     s"GraftSnapshotTable $dir cols=[${required.fieldNames.mkString(",")}]" +
@@ -388,7 +439,8 @@ private[sources] class SnapshotTableScan(
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftTableReaderFactory(required,
-        new SerConf(spark.sessionState.newHadoopConf()), pruningFilters)
+        new SerConf(spark.sessionState.newHadoopConf()), pruningFilters,
+        withFileMeta)
   }
 
   override def toMicroBatchStream(checkpointLocation: String)
@@ -417,13 +469,14 @@ private[sources] case class GraftTablePartition(paths: Array[String])
 
 private[sources] class GraftTableReaderFactory(
     required: StructType, conf: SerConf,
-    filters: Array[Filter] = Array.empty) extends PartitionReaderFactory {
+    filters: Array[Filter] = Array.empty,
+    withFileMeta: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new GraftTablePartitionReader(
       partition.asInstanceOf[GraftTablePartition].paths, required,
-      conf.value, filters)
+      conf.value, filters, withFileMeta)
 }
 
 /** Reads the partition's ORC files row-by-row, matching the table's
@@ -434,7 +487,8 @@ private[sources] class GraftTableReaderFactory(
   * Spark's own OrcDeserializer via [[GraftOrcBridge]]. */
 private[sources] class GraftTablePartitionReader(
     paths: Array[String], required: StructType, conf: Configuration,
-    filters: Array[Filter] = Array.empty)
+    filters: Array[Filter] = Array.empty,
+    withFileMeta: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val deser = new GraftOrcBridge.RowDeser(required)
@@ -443,11 +497,19 @@ private[sources] class GraftTablePartitionReader(
   private var reader: OrcMapreduceRecordReader[OrcStruct] = _
   // required-field -> field index in the CURRENT file's schema (-1 absent)
   private var fieldIdx: Array[Int] = _
+  // `_file` metadata channel: the current file's path, appended as the
+  // row's LAST column via a JoinedRow (zero per-row copies)
+  private val fileCell =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
   private def openNext(): Boolean = {
     close()
     fileIdx += 1
     if (fileIdx >= paths.length) return false
+    if (withFileMeta) fileCell.update(0,
+      org.apache.spark.unsafe.types.UTF8String.fromString(paths(fileIdx)))
     val orc = OrcFile.createReader(new Path(paths(fileIdx)),
       OrcFile.readerOptions(conf))
     val fileSchema = orc.getSchema
@@ -493,8 +555,9 @@ private[sources] class GraftTablePartitionReader(
         if (fieldIdx(i) >= 0) struct.getFieldValue(fieldIdx(i)) else null
       i += 1
     }
-    deser.fromValues(scala.collection.immutable.ArraySeq.unsafeWrapArray(
-      values))
+    val row = deser.fromValues(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(values))
+    if (withFileMeta) joined(row, fileCell) else row
   }
 
   override def close(): Unit = {
@@ -700,6 +763,13 @@ private[sources] class GraftStreamDataWriter(
     n += 1
   }
 
+  /** Row-level (ReplaceData) writes arrive as (metadata, row) pairs —
+    * the metadata (`_file` provenance) routed the projecting write task;
+    * the replacement commit pins groups at plan time, so only the row
+    * half is persisted. */
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
     if (w != null) { w.close(null); w = null }
@@ -714,4 +784,211 @@ private[sources] class GraftStreamDataWriter(
 
   override def close(): Unit =
     if (w != null) { scala.util.Try(w.close(null)); w = null }
+}
+
+/** One SQL row-level command's lifetime (group-based / copy-on-write —
+  * the Delta and Iceberg COW shape). The GROUP is the data file: Spark's
+  * rewrite reads every row of the files that might hold matches,
+  * computes the post-command replacement rows, and this operation's
+  * write swaps exactly those files out in ONE atomic overwrite commit.
+  *
+  * Consistency pin: the snapshot version and the pruned group set are
+  * captured when the group scan is PLANNED (`ScanBuilder.build`), and
+  * the commit publishes with `expectedVersion = <that version>` — any
+  * commit that interleaves between the command's read and its publish
+  * fails the DML with ConcurrentModificationException instead of
+  * silently losing either side (the serializable-by-default contract;
+  * re-run the statement against the fresh snapshot).
+  *
+  * The pushed command condition prunes FILES only (conservative,
+  * manifest [min,max]); every row of every kept file is read back and
+  * re-emitted through the command's own filter/projection, so pruning
+  * can never change results — only how many files get rewritten. */
+private[sources] class GraftRowLevelOperation(
+    fullSchema: StructType, dir: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** (snapshot version, files the scan will read = files the write will
+    * replace) — set at scan planning, read at commit. */
+  @volatile private var pinned: Option[(Long, Seq[SnapshotTable.FileEntry])] =
+    None
+  private[sources] def pinnedGroups: (Long, Seq[SnapshotTable.FileEntry]) =
+    pinned.getOrElse(throw new IllegalStateException(
+      s"row-level $cmd on $dir committed before its group scan was planned"))
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def description(): String = s"graft-table COW $cmd `$dir`"
+
+  /** Requesting the `_file` metadata column selects Spark's PROJECTING
+    * write task (DataAndMetadataWritingSparkTask): without a metadata
+    * attribute the ReplaceData query's raw output — which carries a
+    * leading `__row_operation` discriminator column — would reach the
+    * writer unprojected. With it, Spark splits each output row into
+    * (metadata, row) and the writer receives clean table-schema rows. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+      SnapshotTableProvider.FileMetaCol))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownFilters {
+      private var required: StructType = fullSchema
+      private var withFileMeta = false
+      private var pruning: Array[Filter] = Array.empty
+
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        withFileMeta = requiredSchema.fieldNames
+          .contains(SnapshotTableProvider.FileMetaCol) &&
+          !fullSchema.fieldNames.contains(SnapshotTableProvider.FileMetaCol)
+        required = StructType(requiredSchema.fields.filter(f =>
+          fullSchema.fieldNames.contains(f.name)))
+      }
+
+      /** The command condition arrives here (GroupBasedRowLevelOperation
+        * scan planning); usable conjuncts become manifest FILE pruning.
+        * All filters are residual — a kept file's non-matching rows must
+        * be read and carried through the rewrite, so rows are never
+        * filtered at scan level. */
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        def conjuncts(f: Filter): Seq[Filter] = f match {
+          case And(l, r) => conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        pruning = filters.flatMap(conjuncts).filter(ManifestPruning.usable)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = pruning
+
+      override def build(): Scan = {
+        val spark = SparkSession.active
+        // the version is pinned by the FIRST build (one command = one
+        // snapshot); groups re-derive from it so a re-planned scan can
+        // never straddle two versions
+        val version = pinned.map(_._1).getOrElse(
+          SnapshotTable.currentVersion(spark, dir).getOrElse(
+            throw new IllegalArgumentException(
+              s"no snapshot table at $dir")))
+        val groups = ManifestPruning.prune(
+          SnapshotTable.snapshotFiles(spark, dir, Some(version)),
+          pruning.toSeq)
+        pinned = Some((version, groups))
+        new GraftRowLevelScan(dir, required, groups, pruning, withFileMeta)
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceDataWrite(GraftRowLevelOperation.this, dir,
+            info.schema())
+      }
+    }
+}
+
+/** Group scan for a row-level command: reads EXACTLY the pinned file
+  * set, every row (no ORC row-group skipping — survivor rows that fail
+  * the command condition must be re-emitted, so handing the pushed
+  * filters to the reader would silently drop them). */
+private[sources] class GraftRowLevelScan(
+    dir: String, required: StructType,
+    groups: Seq[SnapshotTable.FileEntry],
+    pruningFilters: Array[Filter],
+    withFileMeta: Boolean) extends Scan {
+
+  override def readSchema(): StructType =
+    if (withFileMeta) StructType(required.fields :+
+      org.apache.spark.sql.types.StructField(
+        SnapshotTableProvider.FileMetaCol,
+        org.apache.spark.sql.types.StringType, nullable = false))
+    else required
+
+  override def description(): String =
+    s"GraftSnapshotTable COW-groups $dir files=${groups.size}" +
+      (if (pruningFilters.isEmpty) ""
+       else s" manifestPruning=[${pruningFilters.mkString(", ")}]")
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val spark = SparkSession.active
+      SnapshotTableScan.pack(dir, groups,
+        spark.sessionState.conf.filesMaxPartitionBytes)
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftTableReaderFactory(required,
+        new SerConf(SparkSession.active.sessionState.newHadoopConf()),
+        withFileMeta = withFileMeta)
+  }
+}
+
+/** Replacement write for a row-level command: executors stage the
+  * rewritten rows as ORC under `data/dml-<token>/`, the driver commits
+  * ONE atomic overwrite that swaps the scanned groups for the staged
+  * files — untouched files are carried by manifest entry (byte-identical
+  * on disk, zero data I/O). Pruning stats are re-harvested for every
+  * column the snapshot's manifest already tracked, so DML never degrades
+  * scanPruned / DSv2 file skipping. A conflicting interleaved commit
+  * fails with ConcurrentModificationException (never a lost update);
+  * staged files from a failed attempt are unreferenced and reclaimed by
+  * vacuum. */
+private[sources] class GraftReplaceDataWrite(
+    op: GraftRowLevelOperation, dir: String, schema: StructType)
+  extends BatchWrite {
+
+  private val token = java.util.UUID.randomUUID().toString.take(12)
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftBatchWriterFactory(dir, schema, token,
+      new SerConf(SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val (readVersion, replaced) = op.pinnedGroups
+    val rels = messages.collect {
+      case GraftStreamMsg(rel, _) if rel != null => rel
+    }.toSeq
+    // nothing scanned and nothing rewritten: a provably-no-op command
+    // (condition pruned every file) — skip the version bump entirely
+    if (rels.isEmpty && replaced.isEmpty) return
+    val snapshot = SnapshotTable.snapshotFiles(spark, dir,
+      Some(readVersion))
+    val statsCols = snapshot.flatMap(_.stats.keys).distinct
+    val abs = rels.map(r => s"$dir/$r")
+    val relOf = abs.zip(rels).toMap
+    val fresh = SnapshotTable.harvest(spark, abs, statsCols)
+      .map(e => e.copy(path = relOf(e.path)))
+    val replacedPaths = replaced.map(_.path).toSet
+    val carried = snapshot.filterNot(e => replacedPaths.contains(e.path))
+    SnapshotTable.publish(spark, dir, "overwrite", carried ++ fresh,
+      maxRetries = 20,
+      schemaJson = SnapshotTable.snapshotSchema(spark, dir,
+        Some(readVersion)).map(_.json),
+      expectedVersion = Some(readVersion))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case GraftStreamMsg(rel, _) if rel != null =>
+        scala.util.Try(f.delete(new Path(s"$dir/$rel"), false))
+      case _ =>
+    }
+  }
+}
+
+private[sources] class GraftBatchWriterFactory(
+    dir: String, schema: StructType, token: String, conf: SerConf)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftStreamDataWriter(dir,
+      f"data/dml-$token/part-$partitionId%05d-$taskId.orc",
+      schema, conf.value)
 }

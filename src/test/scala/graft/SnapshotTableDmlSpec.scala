@@ -1,0 +1,173 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotTable
+
+/** SQL row-level DML on the snapshot table — DELETE FROM / UPDATE /
+  * MERGE INTO through the path catalog, planned by Spark's group-based
+  * (copy-on-write) row-level operation contract. The claims under test:
+  *
+  *   - results match the SQL semantics (incl. NULL-condition keep rows);
+  *   - only files that might hold matching rows are rewritten — every
+  *     other file's manifest entry is CARRIED (same path, zero data I/O);
+  *   - the command is one atomic commit: the pre-DML version stays
+  *     time-travelable, and pruning stats survive the rewrite;
+  *   - a provably-no-op command does not bump the version;
+  *   - a MERGE whose source matches one target row twice fails loudly
+  *     (cardinality check), leaving the table untouched.
+  */
+class SnapshotTableDmlSpec extends AnyFunSuite with SparkSessionTestWrapper {
+
+  spark.conf.set("spark.sql.catalog.graft",
+    "graft.sources.SnapshotTableCatalog")
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("snapdml").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  /** id-clustered table: 8 range-partitioned files over ids [0,200). */
+  private def stage(dir: String): Unit = {
+    val df = spark.range(0, 200)
+      .select(col("id"), concat(lit("r"), col("id")).as("name"),
+        (col("id") * lit(2.5)).as("v"))
+    SnapshotTable.commit(spark,
+      df.repartitionByRange(8, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+  }
+
+  private def paths(dir: String): Set[String] =
+    SnapshotTable.snapshotFiles(spark, dir, None).map(_.path).toSet
+
+  test("DELETE FROM rewrites only the files that can hold matches; " +
+    "the pre-DML version stays time-travelable") {
+    val dir = freshDir()
+    stage(dir)
+    val before = paths(dir)
+
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 50 AND id < 75")
+
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(1L))
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 175)
+    assert(t.filter(col("id").between(50, 74)).count() === 0)
+    assert(t.agg(sum(col("id"))).head().getLong(0) ===
+      (0L until 200L).sum - (50L until 75L).sum)
+
+    // 8 range files over [0,200): ids 50..74 live in at most 2 files —
+    // at least 6 entries must be carried byte-identical (same path)
+    val after = paths(dir)
+    assert((before intersect after).size >= 6,
+      s"carried=${(before intersect after).size} of ${before.size}")
+
+    // time travel to v0: all 200 rows intact
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() === 200)
+
+    // pruning stats survive the rewrite: every entry still tracks `id`
+    assert(SnapshotTable.snapshotFiles(spark, dir, None)
+      .forall(_.stats.contains("id")))
+  }
+
+  test("DELETE keeps rows whose condition is NULL (three-valued logic)") {
+    val dir = freshDir()
+    val df = spark.range(0, 10).select(col("id"),
+      when(col("id") < 5, col("id") * 2.5).as("v"))
+    SnapshotTable.commit(spark, df, dir, "overwrite")
+
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE v > 5.0")
+
+    val t = SnapshotTable.read(spark, dir)
+    // deleted: v in {7.5, 10.0} (ids 3,4); ids 5..9 have NULL v -> kept
+    assert(t.count() === 8)
+    assert(t.filter(col("v").isNull).count() === 5)
+  }
+
+  test("UPDATE applies assignments to matching rows only") {
+    val dir = freshDir()
+    stage(dir)
+    val before = paths(dir)
+
+    spark.sql(s"UPDATE graft.`$dir` SET v = v * 10, name = 'hot' " +
+      "WHERE id < 10")
+
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 200)
+    assert(t.filter(col("name") === "hot").count() === 10)
+    // updated: sum(v) over ids<10 becomes 10x
+    val got = t.agg(sum(col("v"))).head().getDouble(0)
+    val want = (0 until 10).map(_ * 2.5 * 10).sum +
+      (10 until 200).map(_ * 2.5).sum
+    assert(math.abs(got - want) < 1e-6)
+    // only the first range file rewritten; the other 7 carried
+    assert((before intersect paths(dir)).size >= 6)
+  }
+
+  test("MERGE INTO: matched update + not-matched insert + " +
+    "not-matched-by-source delete, one atomic commit") {
+    val dir = freshDir()
+    stage(dir)
+
+    spark.range(150, 260)
+      .select(col("id"), lit("src").as("name"),
+        lit(-1.0).as("v"))
+      .createOrReplaceTempView("dml_src")
+
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v
+         |WHEN NOT MATCHED THEN INSERT (id, name, v)
+         |  VALUES (s.id, s.name, s.v)
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 20 THEN DELETE
+         |""".stripMargin)
+
+    val t = SnapshotTable.read(spark, dir)
+    // target 0..199; source 150..259. matched 150..199 updated to v=-1;
+    // 200..259 inserted; ids 0..19 (not in source) deleted.
+    assert(t.count() === 200 - 20 + 60)
+    assert(t.filter(col("id") < 20).count() === 0)
+    assert(t.filter(col("v") === -1.0).count() === 110)
+    assert(t.filter(col("name") === "src").count() === 60)
+    // one atomic commit
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(1L))
+  }
+
+  test("MERGE with a duplicate source match fails the cardinality " +
+    "check and leaves the table untouched") {
+    val dir = freshDir()
+    stage(dir)
+
+    spark.range(0, 2).select(lit(7L).as("id"),
+        lit("dup").as("name"), lit(0.0).as("v"))
+      .createOrReplaceTempView("dml_dup")
+
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO graft.`$dir` t USING dml_dup s ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v
+           |""".stripMargin)
+    }
+    assert(ex.getMessage.toUpperCase.contains("MERGE") ||
+      ex.getMessage.toLowerCase.contains("cardinality"),
+      s"unexpected error: ${ex.getMessage}")
+    // atomicity: no partial commit landed
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(0L))
+    assert(SnapshotTable.read(spark, dir).count() === 200)
+  }
+
+  test("a provably-no-op DELETE (every file pruned) does not bump " +
+    "the version") {
+    val dir = freshDir()
+    stage(dir)
+
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id > 1000000")
+
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(0L))
+    assert(SnapshotTable.read(spark, dir).count() === 200)
+  }
+}
