@@ -1675,6 +1675,115 @@ object ConverterQueries {
           lit(r.filesCarried * 2 >= r.filesCarried + r.filesRewritten))
     },
 
+    // SQL DML gates (r14): DELETE FROM / UPDATE / MERGE INTO through the
+    // path catalog — Spark's group-based (copy-on-write) row-level
+    // operation contract over the snapshot table. Each gate stages an
+    // o_orderkey-range-clustered table fresh per run, mutates it with ONE
+    // SQL statement, and returns content aggregates DuckDB re-derives
+    // from raw orders, plus pinned protocol verdicts (single atomic
+    // commit, v0 time-travel intact, untouched files carried).
+    "conv_table_sql_delete" -> { (s, d) =>
+      val base = tmp(d, "snapsqldelete") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+      val n = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      val before = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      // the condition covers ~1/4 of the key domain: manifest pruning
+      // must confine the rewrite to a minority of the 8 range files
+      s.sql(s"DELETE FROM graft.`$base` " +
+        s"WHERE o_orderkey >= ${n / 4} AND o_orderkey < ${n / 2}")
+      val after = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("v0_n", lit(SnapshotTable.read(s, base, Some(0L))
+          .count()))
+        .withColumn("one_commit",
+          lit(SnapshotTable.currentVersion(s, base).contains(1L)))
+        .withColumn("carried_majority",
+          lit((before intersect after).size * 2 >= before.size))
+    },
+
+    "conv_table_sql_update" -> { (s, d) =>
+      val base = tmp(d, "snapsqlupdate") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+      val n = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      val before = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      // doubling is an exact IEEE-754 op, so the oracle's CASE replay
+      // matches bit-for-bit before the decimal rounding
+      s.sql(s"UPDATE graft.`$base` SET o_totalprice = o_totalprice * 2.0, " +
+        s"o_orderpriority = 'GRAFT-HOT' WHERE o_orderkey < ${n / 5}")
+      val after = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"),
+          sum(when(col("o_orderpriority") === "GRAFT-HOT", 1L)
+            .otherwise(0L)).as("n_hot"))
+        .withColumn("one_commit",
+          lit(SnapshotTable.currentVersion(s, base).contains(1L)))
+        .withColumn("carried_majority",
+          lit((before intersect after).size * 2 >= before.size))
+    },
+
+    // MERGE INTO with all three action legs: matched keys (k%7=0) get a
+    // source-derived price, unmatched source keys (base k%11=0, shifted
+    // by n so they are provably new) insert, and unmatched target rows
+    // with k%13=5 delete — the full upsert+prune shape one statement.
+    "conv_table_sql_merge" -> { (s, d) =>
+      val key = d.replaceAll("[^A-Za-z0-9]", "_")
+      val base = tmp(d, "snapsqlmerge") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+      val n = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      val view = s"graft_dml_src_$key"
+      orders.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), col("o_custkey").as("ck"),
+          col("o_totalprice").as("p"))
+        .union(orders.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + n).as("k"),
+            col("o_custkey").as("ck"), lit(11.0).as("p")))
+        .createOrReplaceTempView(view)
+      s.sql(
+        s"""MERGE INTO graft.`$base` u USING $view v ON u.o_orderkey = v.k
+           |WHEN MATCHED THEN UPDATE SET u.o_totalprice = v.p + 1000.0
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_custkey,
+           |  o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+           |  VALUES (v.k, v.ck, 'G', v.p, NULL, 'GRAFT-NEW')
+           |WHEN NOT MATCHED BY SOURCE AND u.o_orderkey % 13 = 5
+           |  THEN DELETE
+           |""".stripMargin)
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"),
+          sum(when(col("o_orderpriority") === "GRAFT-NEW", 1L)
+            .otherwise(0L)).as("n_new"))
+        .withColumn("one_commit",
+          lit(SnapshotTable.currentVersion(s, base).contains(1L)))
+    },
+
     // Incremental Z-order clustering maintenance on the snapshot table
     // (the OPTIMIZE ZORDER half of upkeep; conv_zorder_orc proves the
     // raw layout math, this proves the INCREMENTAL table op): a
@@ -2412,6 +2521,57 @@ object ConverterQueries {
         | TRUE AS v0_intact,
         | TRUE AS carried_majority
         |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2500""".stripMargin,
+
+    // SQL DML oracles: DuckDB replays each statement's final content
+    // from raw orders; the protocol verdicts (atomic single commit,
+    // v0 intact, carried files) are pinned TRUE.
+    "conv_table_sql_delete" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS nn FROM orders)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | (SELECT COUNT(*) FROM orders) AS v0_n,
+        | TRUE AS one_commit,
+        | TRUE AS carried_majority
+        |FROM orders o, m
+        |WHERE NOT (o.o_orderkey >= m.nn // 4 AND o.o_orderkey < m.nn // 2)
+        |""".stripMargin,
+
+    "conv_table_sql_update" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS nn FROM orders)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(
+        |   CASE WHEN o.o_orderkey < m.nn // 5 THEN o.o_totalprice * 2.0
+        |        ELSE o.o_totalprice END AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(CASE WHEN o.o_orderkey < m.nn // 5 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_hot,
+        | TRUE AS one_commit,
+        | TRUE AS carried_majority
+        |FROM orders o, m""".stripMargin,
+
+    "conv_table_sql_merge" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS nn FROM orders),
+        |kept AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+        |         ELSE o_totalprice END AS p,
+        |    0 AS is_new
+        |  FROM orders
+        |  WHERE NOT (o_orderkey % 7 <> 0 AND o_orderkey % 13 = 5)),
+        |ins AS (
+        |  SELECT o.o_orderkey + m.nn AS k, 11.0 AS p, 1 AS is_new
+        |  FROM orders o, m WHERE o.o_orderkey % 11 = 0),
+        |fin AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(k) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(p AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(is_new) AS BIGINT) AS n_new,
+        | TRUE AS one_commit
+        |FROM fin""".stripMargin,
 
     // Content through the clustered table replayed from raw lineitem;
     // the maintenance verdicts (selective rewrite, idempotence,
