@@ -910,7 +910,15 @@ object SnapshotTable {
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
     val files = snapshotFiles(spark, dir, version)
-    readFiles(spark, dir, files, snapshotSchema(spark, dir, version))
+    val schema = snapshotSchema(spark, dir, version)
+    // a truncated/empty snapshot with a recorded schema is a valid table
+    // state (TRUNCATE TABLE, un-conditioned DELETE): an empty frame, not
+    // an error — only a schemaless empty snapshot is unreadable
+    if (files.isEmpty && schema.nonEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        nullableDeep(schema.get).asInstanceOf[StructType])
+    else readFiles(spark, dir, files, schema)
   }
 
   final case class HistoryEntry(version: Long, action: String,

@@ -119,9 +119,43 @@ private[sources] class SnapshotTableTable(
     schema: StructType, dir: String, options: CaseInsensitiveStringMap)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
   with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   import org.apache.spark.sql.connector.catalog.MetadataColumn
+
+  /** METADATA-ONLY delete fast path (OptimizeMetadataOnlyDeleteFromTable
+    * consults this before falling back to the copy-on-write rewrite):
+    * accepted when the WHERE clause reduces to one closed range on one
+    * stats-tracked column — then wholly-covered files DROP from the
+    * manifest with zero data I/O and only range-straddling files
+    * rewrite ([[SnapshotTable.delete]] / [[SnapshotTable.deleteString]]).
+    * `TRUNCATE TABLE` / un-conditioned DELETE publish one empty
+    * overwrite. Anything else returns false and Spark plans the
+    * group-based rewrite — the fast path may only ever be an
+    * optimization, never a semantics change (both paths keep
+    * NULL-condition rows). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    MetadataDelete.plan(filters).isDefined
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    MetadataDelete.plan(filters) match {
+      case Some(MetadataDelete.Truncate) =>
+        SnapshotTable.publish(spark, dir, "overwrite", Nil,
+          maxRetries = 20,
+          schemaJson = SnapshotTable.snapshotSchema(spark, dir, None)
+            .map(_.json))
+        ()
+      case Some(MetadataDelete.NumRange(col, lo, hi)) =>
+        SnapshotTable.delete(spark, dir, col, lo, hi); ()
+      case Some(MetadataDelete.StrRange(col, lo, hi)) =>
+        SnapshotTable.deleteString(spark, dir, col, lo, hi); ()
+      case None => throw new IllegalStateException(
+        s"deleteWhere with filters canDeleteWhere rejected: " +
+          filters.mkString(", "))
+    }
+  }
 
   override def metadataColumns(): Array[MetadataColumn] = Array(
     new MetadataColumn {
@@ -259,6 +293,147 @@ private[sources] class SnapshotTableScanBuilder(
   override def build(): Scan =
     new SnapshotTableScan(fullSchema, required, dir, options,
       pruningFilters, withFileMeta)
+}
+
+/** Translates a DELETE WHERE clause into a metadata-only range delete
+  * when — and only when — the two are provably equivalent. Accepted
+  * shapes: no filters / AlwaysTrue (truncate), or conjuncts over ONE
+  * column combining =, >=, <=, and (for integral values) >, < into a
+  * single closed-or-integral-open range. Guards that keep the fast path
+  * semantics-identical to the SQL rewrite:
+  *
+  *   - [[SnapshotTable.delete]] compares through try_cast-to-double, so
+  *     integral values are accepted only within ±2^52 (far from the
+  *     2^53 mantissa edge where a long data value could ROUND onto a
+  *     range boundary) and BigDecimal values are rejected outright;
+  *   - floating-point ranges must be CLOSED on both sides: Spark orders
+  *     NaN above every value, so `d >= lo` alone would delete NaN rows
+  *     while a [lo, +Inf] range cannot — open float ranges fall back to
+  *     the exact rewrite;
+  *   - strict bounds only for integral values (±1 with overflow check);
+  *   - both paths keep NULL-condition rows (SQL three-valued logic ==
+  *     the delete ops' null-keep arm), so no null guard is needed. */
+private[sources] object MetadataDelete {
+  import org.apache.spark.sql.sources.{AlwaysTrue, EqualTo => Eq, GreaterThan => Gt, GreaterThanOrEqual => Ge, LessThan => Lt, LessThanOrEqual => Le}
+
+  sealed trait Plan
+  case object Truncate extends Plan
+  final case class NumRange(col: String, lo: Double, hi: Double)
+    extends Plan
+  final case class StrRange(col: String, lo: String, hi: String)
+    extends Plan
+
+  private val SafeMax = (1L << 52).toDouble
+
+  private def num(v: Any): Option[Double] = v match {
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) =>
+      val d = n.asInstanceOf[java.lang.Number].doubleValue()
+      if (math.abs(d) <= SafeMax) Some(d) else None
+    case d: java.lang.Double if !d.isNaN && !d.isInfinite =>
+      Some(d.doubleValue())
+    case f: java.lang.Float if !f.isNaN && !f.isInfinite =>
+      Some(f.doubleValue())
+    case _ => None
+  }
+
+  private def integral(v: Any): Option[Double] = v match {
+    case n @ (_: java.lang.Long | _: java.lang.Integer |
+              _: java.lang.Short | _: java.lang.Byte) =>
+      val d = n.asInstanceOf[java.lang.Number].doubleValue()
+      if (math.abs(d) < SafeMax) Some(d) else None // ±1 stays in range
+    case _ => None
+  }
+
+  private def str(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  def plan(filters: Array[Filter]): Option[Plan] = {
+    def conjuncts(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val cs = filters.flatMap(conjuncts).filterNot(_.isInstanceOf[AlwaysTrue])
+    if (cs.isEmpty) return Some(Truncate)
+
+    // every conjunct must bound the SAME column in ONE channel
+    val cols = cs.flatMap {
+      case Eq(c, _) => Some(c); case Ge(c, _) => Some(c)
+      case Le(c, _) => Some(c); case Gt(c, _) => Some(c)
+      case Lt(c, _) => Some(c); case _ => None
+    }.distinct
+    if (cols.length != 1 || cols.exists(_ == null)) return None
+    val column = cols.head
+
+    // numeric channel: open-ended allowed for integral values only
+    var nLo = Double.NegativeInfinity
+    var nHi = Double.PositiveInfinity
+    var nLoClosed = true // no lower bound given => float-open is fine
+    var nHiClosed = true
+    var numeric = true
+    var sawFloatLo = false
+    var sawFloatHi = false
+    cs.foreach {
+      case Eq(_, v) => num(v) match {
+        case Some(d) => nLo = math.max(nLo, d); nHi = math.min(nHi, d)
+          sawFloatLo = false; sawFloatHi = false
+          nLoClosed = true; nHiClosed = true
+        case None => numeric = false
+      }
+      case Ge(_, v) => num(v) match {
+        case Some(d) =>
+          if (d > nLo) { nLo = d; sawFloatLo = integral(v).isEmpty }
+        case None => numeric = false
+      }
+      case Le(_, v) => num(v) match {
+        case Some(d) =>
+          if (d < nHi) { nHi = d; sawFloatHi = integral(v).isEmpty }
+        case None => numeric = false
+      }
+      case Gt(_, v) => integral(v) match {
+        case Some(d) => if (d + 1 > nLo) { nLo = d + 1; sawFloatLo = false }
+        case None => numeric = false
+      }
+      case Lt(_, v) => integral(v) match {
+        case Some(d) => if (d - 1 < nHi) { nHi = d - 1; sawFloatHi = false }
+        case None => numeric = false
+      }
+      case _ => numeric = false
+    }
+    // a float bound with the OPPOSITE side open diverges on NaN (SQL
+    // deletes NaN under `d >= lo`; a [lo, +Inf] range keeps it)
+    if (numeric && sawFloatLo && nHi.isPosInfinity) numeric = false
+    if (numeric && sawFloatHi && nLo.isNegInfinity) numeric = false
+    if (numeric) return Some(NumRange(column, nLo, nHi))
+
+    // string channel: closed ranges only
+    var sLo: Option[String] = None
+    var sHi: Option[String] = None
+    var stringy = true
+    cs.foreach {
+      case Eq(_, v) => str(v) match {
+        case Some(s) =>
+          sLo = Some(sLo.fold(s)(x => if (s > x) s else x))
+          sHi = Some(sHi.fold(s)(x => if (s < x) s else x))
+        case None => stringy = false
+      }
+      case Ge(_, v) => str(v) match {
+        case Some(s) => sLo = Some(sLo.fold(s)(x => if (s > x) s else x))
+        case None => stringy = false
+      }
+      case Le(_, v) => str(v) match {
+        case Some(s) => sHi = Some(sHi.fold(s)(x => if (s < x) s else x))
+        case None => stringy = false
+      }
+      case _ => stringy = false
+    }
+    if (stringy && sLo.nonEmpty && sHi.nonEmpty)
+      Some(StrRange(column, sLo.get, sHi.get))
+    else None
+  }
 }
 
 /** Stats-channel file pruning shared by the DSv2 batch scan: per-column
@@ -809,12 +984,29 @@ private[sources] class GraftRowLevelOperation(
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   /** (snapshot version, files the scan will read = files the write will
-    * replace) — set at scan planning, read at commit. */
+    * replace) — set at scan planning, read at commit. The FIRST build
+    * wins (that is the ReplaceData scan; the runtime-group-filter rule
+    * later plans a SECOND matching-rows scan through this same
+    * operation, which must not widen the pin), and the ReplaceData
+    * scan's runtime `filter()` may then NARROW it. */
   @volatile private var pinned: Option[(Long, Seq[SnapshotTable.FileEntry])] =
     None
   private[sources] def pinnedGroups: (Long, Seq[SnapshotTable.FileEntry]) =
     pinned.getOrElse(throw new IllegalStateException(
       s"row-level $cmd on $dir committed before its group scan was planned"))
+  private[sources] def pinnedVersion: Option[Long] = pinned.map(_._1)
+  private[sources] def pinFirstBuild(
+      version: Long, groups: Seq[SnapshotTable.FileEntry]): Boolean =
+    synchronized {
+      if (pinned.isEmpty) { pinned = Some((version, groups)); true }
+      else false
+    }
+  private[sources] def rePin(groups: Seq[SnapshotTable.FileEntry]): Unit =
+    synchronized {
+      pinned = Some((pinned.fold(
+        throw new IllegalStateException("rePin before any scan build"))(
+        _._1), groups))
+    }
 
   override def command: RowLevelOperation.Command = cmd
 
@@ -867,15 +1059,17 @@ private[sources] class GraftRowLevelOperation(
         // the version is pinned by the FIRST build (one command = one
         // snapshot); groups re-derive from it so a re-planned scan can
         // never straddle two versions
-        val version = pinned.map(_._1).getOrElse(
+        val version = pinnedVersion.getOrElse(
           SnapshotTable.currentVersion(spark, dir).getOrElse(
             throw new IllegalArgumentException(
               s"no snapshot table at $dir")))
         val groups = ManifestPruning.prune(
           SnapshotTable.snapshotFiles(spark, dir, Some(version)),
           pruning.toSeq)
-        pinned = Some((version, groups))
-        new GraftRowLevelScan(dir, required, groups, pruning, withFileMeta)
+        val isReplaceDataScan =
+          pinFirstBuild(version, groups) // later builds = matching scans
+        new GraftRowLevelScan(GraftRowLevelOperation.this, dir, required,
+          groups, pruning, withFileMeta, isReplaceDataScan)
       }
     }
 
@@ -892,12 +1086,46 @@ private[sources] class GraftRowLevelOperation(
 /** Group scan for a row-level command: reads EXACTLY the pinned file
   * set, every row (no ORC row-group skipping — survivor rows that fail
   * the command condition must be re-emitted, so handing the pushed
-  * filters to the reader would silently drop them). */
+  * filters to the reader would silently drop them).
+  *
+  * RUNTIME group filtering (the Iceberg COW shape): the ReplaceData
+  * scan advertises `_file` as runtime-filterable, so Spark's
+  * RowLevelOperationRuntimeGroupFiltering rule plans a matching-rows
+  * subquery (target ⋈ command condition) whose DISTINCT `_file` values
+  * arrive here as an IN filter at execution. A MERGE/UPDATE whose
+  * condition is not statically pushable then rewrites only the files
+  * that actually HOLD matches instead of every candidate — on a CDC
+  * upsert touching 1 of 10k files, that is the difference between a
+  * table rewrite and a single-file rewrite. The narrowed set re-pins
+  * the operation so the commit carries everything else untouched. */
 private[sources] class GraftRowLevelScan(
-    dir: String, required: StructType,
-    groups: Seq[SnapshotTable.FileEntry],
+    op: GraftRowLevelOperation, dir: String, required: StructType,
+    groups0: Seq[SnapshotTable.FileEntry],
     pruningFilters: Array[Filter],
-    withFileMeta: Boolean) extends Scan {
+    withFileMeta: Boolean,
+    isReplaceDataScan: Boolean) extends Scan
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  @volatile private var groups: Seq[SnapshotTable.FileEntry] = groups0
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (isReplaceDataScan)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column(
+        SnapshotTableProvider.FileMetaCol))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val keep: Option[Set[String]] = filters.collectFirst {
+      case org.apache.spark.sql.sources.In(col, values)
+          if col == SnapshotTableProvider.FileMetaCol =>
+        values.iterator.filter(_ != null).map(_.toString).toSet
+    }
+    keep.foreach { paths =>
+      groups = groups.filter(e => paths.contains(s"$dir/${e.path}"))
+      if (isReplaceDataScan) op.rePin(groups)
+    }
+  }
 
   override def readSchema(): StructType =
     if (withFileMeta) StructType(required.fields :+
@@ -907,7 +1135,7 @@ private[sources] class GraftRowLevelScan(
     else required
 
   override def description(): String =
-    s"GraftSnapshotTable COW-groups $dir files=${groups.size}" +
+    s"GraftSnapshotTable COW-groups $dir files=${groups0.size}" +
       (if (pruningFilters.isEmpty) ""
        else s" manifestPruning=[${pruningFilters.mkString(", ")}]")
 

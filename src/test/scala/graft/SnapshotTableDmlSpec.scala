@@ -51,7 +51,11 @@ class SnapshotTableDmlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     stage(dir)
     val before = paths(dir)
 
-    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 50 AND id < 75")
+    // the second-column conjunct keeps this off the metadata-only fast
+    // path (exercised separately below) — this is the group-based COW
+    // rewrite, with manifest pruning from the id bounds
+    spark.sql(s"DELETE FROM graft.`$dir` " +
+      "WHERE id >= 50 AND id < 75 AND name IS NOT NULL")
 
     assert(SnapshotTable.currentVersion(spark, dir) === Some(1L))
     val t = SnapshotTable.read(spark, dir)
@@ -165,9 +169,94 @@ class SnapshotTableDmlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     val dir = freshDir()
     stage(dir)
 
-    spark.sql(s"DELETE FROM graft.`$dir` WHERE id > 1000000")
+    // two-column condition -> group-based path; pruning drops every file
+    spark.sql(
+      s"DELETE FROM graft.`$dir` WHERE id > 1000000 AND name IS NOT NULL")
 
     assert(SnapshotTable.currentVersion(spark, dir) === Some(0L))
     assert(SnapshotTable.read(spark, dir).count() === 200)
+  }
+
+  test("a single-range DELETE takes the metadata-only fast path: " +
+    "covered files drop without any copy-on-write staging") {
+    val dir = freshDir()
+    stage(dir)
+
+    // range files span ~25 ids each; [25,150) covers several files
+    // wholly (dropped by manifest edit) and straddles at most two
+    // (rewritten via the delete op's batch staging, never dml- staging)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 25 AND id < 150")
+
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 75)
+    assert(t.filter(col("id").between(25, 149)).count() === 0)
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(1L))
+    // fast-path evidence: no file in the new manifest came from the
+    // row-level (ReplaceData) writer
+    assert(!SnapshotTable.snapshotFiles(spark, dir, None)
+      .exists(_.path.contains("dml-")),
+      "metadata-only DELETE routed through the copy-on-write writer")
+    // and time travel is intact
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() === 200)
+  }
+
+  test("strict float bounds and open float ranges fall back to the " +
+    "exact rewrite (NaN ordering)") {
+    val dir = freshDir()
+    val df = spark.range(0, 10)
+      .select(col("id"), when(col("id") === 9, lit(Double.NaN))
+        .otherwise(col("id") * 1.0).as("v"))
+    SnapshotTable.commit(spark, df, dir, "overwrite",
+      statsCols = Seq("id"))
+
+    // Spark orders NaN above every double: an open range must delete it
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE v >= 5.0")
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 5, "NaN row must be deleted by v >= 5.0")
+    assert(t.agg(sum(col("id"))).head().getLong(0) === (0L until 5L).sum)
+  }
+
+  test("TRUNCATE TABLE and un-conditioned DELETE publish one empty " +
+    "overwrite, with history intact") {
+    val dir = freshDir()
+    stage(dir)
+    spark.sql(s"TRUNCATE TABLE graft.`$dir`")
+    assert(SnapshotTable.read(spark, dir).count() === 0)
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(1L))
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() === 200)
+
+    val dir2 = freshDir()
+    stage(dir2)
+    spark.sql(s"DELETE FROM graft.`$dir2`")
+    assert(SnapshotTable.read(spark, dir2).count() === 0)
+    assert(SnapshotTable.read(spark, dir2, Some(0L)).count() === 200)
+  }
+
+  test("runtime group filtering: a MERGE with no statically pushable " +
+    "target condition rewrites only the files that hold matches") {
+    val dir = freshDir()
+    stage(dir)
+    val before = paths(dir)
+
+    // source touches ids 0..5 only — all inside the first range file.
+    // The ON condition references the source, so nothing pushes
+    // statically; without runtime group filtering every file rewrites.
+    spark.range(0, 6).select(col("id"), lit("rt").as("name"),
+        lit(-9.0).as("v"))
+      .createOrReplaceTempView("dml_rt_src")
+
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING dml_rt_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.name = s.name
+         |""".stripMargin)
+
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 200)
+    assert(t.filter(col("v") === -9.0).count() === 6)
+    assert(t.filter(col("name") === "rt").count() === 6)
+    val carried = (before intersect paths(dir)).size
+    assert(carried >= 6,
+      s"runtime group filtering did not narrow the rewrite: " +
+        s"carried=$carried of ${before.size}")
   }
 }
