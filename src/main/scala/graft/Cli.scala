@@ -423,6 +423,26 @@ object Cli {
             Seq(name(tableDir) ->
               (() => SnapshotTable.readAsOf(spark, tableDir, ts.toLong))),
             jobConfig(outDir, compression)))
+        // sql <statement> [output_dir] — one SQL statement with the graft
+        // path catalog registered, so `graft.`/table/dir`` names any
+        // snapshot table: SELECTs (incl. VERSION/TIMESTAMP AS OF) land in
+        // output_dir as ORC or print without one; DML (INSERT INTO,
+        // DELETE FROM, UPDATE, MERGE INTO, TRUNCATE TABLE) executes
+        // through the same transactional commit protocol as the API.
+        case ("sql", stmt :: rest) if rest.length <= 1 =>
+          spark.conf.set("spark.sql.catalog.graft",
+            "graft.sources.SnapshotTableCatalog")
+          rest.headOption match {
+            case Some(outDir) =>
+              Some(ConversionJob.run(
+                Seq("sql" -> (() => spark.sql(stmt))),
+                jobConfig(outDir, "snappy")))
+            case None =>
+              val df = spark.sql(stmt) // DML executes eagerly here
+              val rows = df.count()
+              if (rows > 0) df.show(20, truncate = false)
+              rep(s"sql rows=$rows", rows, 0)
+          }
         case _ =>
           System.err.println(
             """usage: table <op> ...
@@ -439,7 +459,9 @@ object Cli {
               |  table sync    <src_table_dir> <dst_table_dir> [from_version=-1]
               |  table versions <table_dir>
               |  table history <table_dir> [--files]
-              |  table readasof <table_dir> <output_dir> <timestamp_ms> [compression=snappy]""".stripMargin)
+              |  table readasof <table_dir> <output_dir> <timestamp_ms> [compression=snappy]
+              |  table sql     <statement> [output_dir]   (graft.`/table/dir` names snapshot tables;
+              |                SELECT/INSERT/DELETE/UPDATE/MERGE/TRUNCATE)""".stripMargin)
           None
       }
 

@@ -368,6 +368,34 @@ object ScaleRehearsal {
           statsCols = Seq("doc_id"))
         graft.sinks.SnapshotTable.read(spark, dir).count()
       }),
+      // round-14 (cont.): SQL MERGE through the group-based row-level-
+      // operation path with RUNTIME group filtering. The ON condition
+      // references the source, so nothing is statically pushable — the
+      // matching-rows subquery's distinct-_file values must confine the
+      // rewrite to the one range file holding the fixed doc_id<=200 slab
+      // at every sf. Wall = table commit + one matching scan + one-file
+      // rewrite: scales like the linear write probes, never like a
+      // table rewrite. Checksum = post-merge row count (update-only).
+      "table_sql_merge" -> (() => {
+        val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"/tmp/graft_scale/$key/snapsqltbl"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        val docs = t(spark, d, "documents").select(
+          col("doc_id"), col("source"), col("text"))
+        graft.sinks.SnapshotTable.commit(spark,
+          docs.repartitionByRange(32, col("doc_id")), dir,
+          "overwrite", statsCols = Seq("doc_id"))
+        spark.conf.set("spark.sql.catalog.graft",
+          "graft.sources.SnapshotTableCatalog")
+        val view = s"scale_sqlmerge_src_$key"
+        docs.filter(col("doc_id") <= 200)
+          .withColumn("source", lit("sqlmerged"))
+          .createOrReplaceTempView(view)
+        spark.sql(s"MERGE INTO graft.`$dir` t USING $view s " +
+          "ON t.doc_id = s.doc_id " +
+          "WHEN MATCHED THEN UPDATE SET t.source = s.source")
+        graft.sinks.SnapshotTable.read(spark, dir).count()
+      }),
       // r13: the exactly-once snapshot-table streaming ingest on the
       // ladder — 4 corpus-scaled micro-batches (maxFilesPerTrigger=1),
       // each landing as one atomic txn-stamped append commit. Per-batch

@@ -157,7 +157,11 @@ object SparkEntry {
     "conv_table_manyfiles", "conv_table_ckpt_orc", "conv_table_restore",
     "conv_table_dsv2", "stream_table_source", "stream_table_sink",
     // round-14: string-keyed merge-rebase + lexicographic range delete
-    "conv_table_rebase_str")
+    "conv_table_rebase_str",
+    // round-14 (cont.): SQL row-level DML through the path catalog —
+    // group-based copy-on-write MERGE (all three action legs) and the
+    // metadata-only ranged DELETE fast path
+    "conv_table_sql_merge", "conv_table_sql_delete")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

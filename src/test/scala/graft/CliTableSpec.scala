@@ -195,4 +195,36 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // a bogus flag still prints usage, not a listing
     assert(Cli.run(spark, Seq("table", "history", tableDir, "--nope")).isEmpty)
   }
+
+  test("table sql: DML mutates the snapshot table and SELECT lands " +
+    "in the output dir, all through the argv contract") {
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id")).get
+
+    // DML: a ranged DELETE through the SQL surface
+    val del = Cli.run(spark, Seq("table", "sql",
+      s"DELETE FROM graft.`$tableDir` WHERE id >= 90 AND id <= 99")).get
+    assert(del.successes == 1)
+    assert(SnapshotTable.read(spark, tableDir).count() === 90)
+
+    // MERGE upsert sourced from a range() view
+    spark.range(80, 85)
+      .selectExpr("id", "'hot' AS name", "cast(-1.0 AS double) AS v")
+      .createOrReplaceTempView("cli_sql_src")
+    Cli.run(spark, Seq("table", "sql",
+      s"""MERGE INTO graft.`$tableDir` t USING cli_sql_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.name = s.name
+         |WHEN NOT MATCHED THEN INSERT (id, name, v)
+         |  VALUES (s.id, s.name, s.v)""".stripMargin)).get
+    val t = SnapshotTable.read(spark, tableDir)
+    assert(t.filter(col("name") === "hot").count() === 5)
+
+    // SELECT with time travel lands as ORC in the output dir
+    val outDir = freshDir()
+    val sel = Cli.run(spark, Seq("table", "sql",
+      s"SELECT * FROM graft.`$tableDir` VERSION AS OF 0", outDir)).get
+    assert(sel.successes == 1)
+    assert(OrcSink.read(spark, s"$outDir/sql").count() === 100)
+  }
 }
