@@ -1075,7 +1075,30 @@ private[sources] class GraftRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
+      override def build(): Write = new Write
+        with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+        /** Cluster replacement rows by their ORIGIN FILE (the `_file`
+          * metadata column — the Iceberg COW write distribution): each
+          * rewritten input file's survivors land in ONE task and so ONE
+          * output file with the same key locality. Without this, the
+          * join/filter's shuffle layout leaks into the table — a
+          * runtime-filtered MERGE rewriting one file would splinter it
+          * across every shuffle partition (1 file in, ~32 tiny files
+          * out) and range clustering would degrade on every DML.
+          * Inserted rows (no origin) share a null cluster. Advisory, not
+          * strict: Spark may coalesce/split via AQE around the shape. */
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(
+              org.apache.spark.sql.connector.expressions.Expressions
+                .column(SnapshotTableProvider.FileMetaCol)))
+        override def distributionStrictlyRequired(): Boolean = false
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          Array.empty
+
         override def toBatch: BatchWrite =
           new GraftReplaceDataWrite(GraftRowLevelOperation.this, dir,
             info.schema())

@@ -254,9 +254,39 @@ class SnapshotTableDmlSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(t.count() === 200)
     assert(t.filter(col("v") === -9.0).count() === 6)
     assert(t.filter(col("name") === "rt").count() === 6)
-    val carried = (before intersect paths(dir)).size
+    val after = paths(dir)
+    val carried = (before intersect after).size
     assert(carried >= 6,
       s"runtime group filtering did not narrow the rewrite: " +
         s"carried=$carried of ${before.size}")
+    // write distribution (cluster by _file): the one rewritten input
+    // file's survivors must land as ~one output file, not one per
+    // shuffle partition
+    val fresh = (after diff before).size
+    assert(fresh <= 2,
+      s"replacement splintered into $fresh files for a 1-file rewrite")
+  }
+
+  test("plan evidence: group-based DML plans a COW-groups scan with " +
+    "manifest pruning, and MERGE carries a runtime _file filter") {
+    val dir = freshDir()
+    stage(dir)
+
+    val del = spark.sql("EXPLAIN EXTENDED " +
+      s"DELETE FROM graft.`$dir` WHERE id >= 50 AND id < 75 " +
+      "AND name IS NOT NULL").head().getString(0)
+    assert(del.contains("COW-groups"), del.take(1500))
+    assert(del.contains("manifestPruning"), del.take(1500))
+    assert(del.contains("ReplaceData"), del.take(1500))
+
+    spark.range(0, 6).select(col("id"), lit("x").as("name"),
+      lit(0.0).as("v")).createOrReplaceTempView("dml_plan_src")
+    val mrg = spark.sql("EXPLAIN " +
+      s"MERGE INTO graft.`$dir` t USING dml_plan_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET t.v = s.v").head().getString(0)
+    // the runtime group filter materializes as dynamic pruning on _file
+    assert(mrg.contains("dynamicpruning") || mrg.contains("RuntimeFilters:"),
+      mrg.take(2000))
+    assert(mrg.contains("_file"), mrg.take(2000))
   }
 }
