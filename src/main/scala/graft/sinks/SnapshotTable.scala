@@ -629,7 +629,7 @@ object SnapshotTable {
   private[graft] def interleaveForTest_=(f: () => Unit): Unit =
     interleaveHook.set(f)
 
-  private def publishRebasing(spark: SparkSession, dir: String,
+  private[graft] def publishRebasing(spark: SparkSession, dir: String,
       entries: Seq[FileEntry], schema: Option[StructType],
       readVersion: Long,
       commutes: Seq[FileEntry] => Boolean,

@@ -817,21 +817,34 @@ private[sources] class SnapshotTableMicroBatchStream(
     } else {
       val ignoreChanges =
         Option(options.get("ignoreChanges")).exists(_.toBoolean)
+      // skipChangeCommits (the Delta successor of ignoreChanges): a
+      // non-append commit — DML rewrite, compaction, restore — is
+      // SILENTLY SKIPPED rather than fencing the stream or emitting
+      // rewritten rows as duplicates. The stream then carries appends
+      // only: exactly-once for inserts, blind to rewrites (documented
+      // Delta semantics; downstream that must see updates re-snapshots).
+      val skipChangeCommits =
+        Option(options.get("skipChangeCommits")).exists(_.toBoolean)
       val vs = SnapshotTable.versions(spark, dir)
         .filter(v => v > from && v <= to)
       val commits = vs.map(v => SnapshotTable.commitFiles(spark, dir, v) ->
         SnapshotTable.commitStats(spark, dir, v)._1)
       commits.collectFirst {
-        case (_, action) if action != "append" && !ignoreChanges =>
+        case (_, action) if action != "append" && !ignoreChanges &&
+            !skipChangeCommits =>
           throw new IllegalStateException(
             s"snapshot table $dir has a non-append commit ('$action') in " +
               s"versions ($from, $to] — a streaming tail of added files " +
               "would misrepresent it. Restart from a fresh checkpoint to " +
-              "re-snapshot, or set ignoreChanges=true to receive " +
+              "re-snapshot, set skipChangeCommits=true to skip rewrite " +
+              "commits entirely, or set ignoreChanges=true to receive " +
               "rewritten files (downstream must tolerate duplicates).")
       }
+      val emitted =
+        if (skipChangeCommits) commits.filter(_._2 == "append")
+        else commits
       SnapshotTableScan.pack(dir,
-        ManifestPruning.prune(commits.flatMap(_._1),
+        ManifestPruning.prune(emitted.flatMap(_._1),
           pruningFilters.toSeq), target)
     }
   }
@@ -995,11 +1008,21 @@ private[sources] class GraftRowLevelOperation(
     pinned.getOrElse(throw new IllegalStateException(
       s"row-level $cmd on $dir committed before its group scan was planned"))
   private[sources] def pinnedVersion: Option[Long] = pinned.map(_._1)
+  /** The ReplaceData scan's pushed pruning conjuncts — the commit's
+    * rebase proof: an interleaved APPEND commutes with this command iff
+    * these bounds would have pruned every one of its files (provably no
+    * row of the append matches the command condition, so serializing
+    * the command BEFORE the append is equivalent). */
+  @volatile private[sources] var pinnedFilters: Array[Filter] = Array.empty
   private[sources] def pinFirstBuild(
-      version: Long, groups: Seq[SnapshotTable.FileEntry]): Boolean =
+      version: Long, groups: Seq[SnapshotTable.FileEntry],
+      filters: Array[Filter]): Boolean =
     synchronized {
-      if (pinned.isEmpty) { pinned = Some((version, groups)); true }
-      else false
+      if (pinned.isEmpty) {
+        pinned = Some((version, groups))
+        pinnedFilters = filters
+        true
+      } else false
     }
   private[sources] def rePin(groups: Seq[SnapshotTable.FileEntry]): Unit =
     synchronized {
@@ -1066,8 +1089,8 @@ private[sources] class GraftRowLevelOperation(
         val groups = ManifestPruning.prune(
           SnapshotTable.snapshotFiles(spark, dir, Some(version)),
           pruning.toSeq)
-        val isReplaceDataScan =
-          pinFirstBuild(version, groups) // later builds = matching scans
+        val isReplaceDataScan = // later builds = matching scans
+          pinFirstBuild(version, groups, pruning)
         new GraftRowLevelScan(GraftRowLevelOperation.this, dir, required,
           groups, pruning, withFileMeta, isReplaceDataScan)
       }
@@ -1214,11 +1237,20 @@ private[sources] class GraftReplaceDataWrite(
       .map(e => e.copy(path = relOf(e.path)))
     val replacedPaths = replaced.map(_.path).toSet
     val carried = snapshot.filterNot(e => replacedPaths.contains(e.path))
-    SnapshotTable.publish(spark, dir, "overwrite", carried ++ fresh,
-      maxRetries = 20,
-      schemaJson = SnapshotTable.snapshotSchema(spark, dir,
-        Some(readVersion)).map(_.json),
-      expectedVersion = Some(readVersion))
+    val schema = SnapshotTable.snapshotSchema(spark, dir,
+      Some(readVersion))
+    // Logical conflict REBASE (the Delta WriteSerializable shape): an
+    // interleaved pure APPEND commutes with this command iff the
+    // command's own pushed pruning bounds would have dropped every one
+    // of the append's files — provably no appended row matches the
+    // condition, so the rebased command serializes BEFORE the append.
+    // A long MERGE racing one streaming micro-batch then lands instead
+    // of re-running. Anything unprovable (no pushable bounds, missing
+    // stats, non-append commit) rethrows CME and the caller re-runs.
+    SnapshotTable.publishRebasing(spark, dir, carried ++ fresh, schema,
+      readVersion,
+      commutes = files =>
+        ManifestPruning.prune(files, op.pinnedFilters.toSeq).isEmpty)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -267,6 +267,61 @@ class SnapshotTableDmlSpec extends AnyFunSuite with SparkSessionTestWrapper {
       s"replacement splintered into $fresh files for a 1-file rewrite")
   }
 
+  test("an interleaved append provably outside the command's bounds " +
+    "REBASES the DML instead of failing it") {
+    val dir = freshDir()
+    stage(dir)
+
+    // lands between the DML's read and its publish; keys 500+ are
+    // provably outside [50,75) by manifest stats, so the DML must
+    // serialize before it and carry its files
+    SnapshotTable.interleaveForTest = () => {
+      SnapshotTable.commit(spark,
+        spark.range(500, 520).select(col("id"),
+          lit("late").as("name"), lit(0.0).as("v")),
+        dir, "append", statsCols = Seq("id"))
+      ()
+    }
+    try spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 50 AND id < 75" +
+      " AND name IS NOT NULL") // two-column cond -> group-based path
+    finally SnapshotTable.interleaveForTest = () => ()
+
+    // both effects present: v1 = interleaved append, v2 = rebased DML
+    assert(SnapshotTable.currentVersion(spark, dir) === Some(2L))
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 175 + 20)
+    assert(t.filter(col("id").between(50, 74)).count() === 0)
+    assert(t.filter(col("name") === "late").count() === 20)
+  }
+
+  test("an interleaved append that MIGHT match the command's bounds " +
+    "fails the DML loudly (no lost update)") {
+    val dir = freshDir()
+    stage(dir)
+
+    SnapshotTable.interleaveForTest = () => {
+      SnapshotTable.commit(spark,
+        spark.range(60, 62).select(col("id"),
+          lit("clash").as("name"), lit(0.0).as("v")),
+        dir, "append", statsCols = Seq("id"))
+      ()
+    }
+    val ex = intercept[Exception] {
+      try spark.sql(s"DELETE FROM graft.`$dir` " +
+        "WHERE id >= 50 AND id < 75 AND name IS NOT NULL")
+      finally SnapshotTable.interleaveForTest = () => ()
+    }
+    def causes(e: Throwable): Seq[Throwable] =
+      if (e == null) Nil else e +: causes(e.getCause)
+    assert(causes(ex).exists(
+      _.isInstanceOf[java.util.ConcurrentModificationException]),
+      s"expected CME in the cause chain, got: $ex")
+    // the interleaved append survived; the DML landed nothing
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 202)
+    assert(t.filter(col("name") === "clash").count() === 2)
+  }
+
   test("plan evidence: group-based DML plans a COW-groups scan with " +
     "manifest pruning, and MERGE carries a runtime _file filter") {
     val dir = freshDir()

@@ -391,6 +391,32 @@ class SnapshotTableSourceSpec extends AnyFunSuite with SparkSessionTestWrapper {
     } finally q2.stop()
   }
 
+  test("streaming: skipChangeCommits silently skips rewrite commits " +
+    "and keeps tailing appends (Delta's ignoreChanges successor)") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark, df(0, 50), dir, "overwrite",
+      statsCols = Seq("id"))
+
+    val q = spark.readStream.format("graft-table")
+      .option("skipChangeCommits", "true").load(dir)
+      .writeStream.format("memory").queryName("snap_skipchg")
+      .option("checkpointLocation", freshDir()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("snap_skipchg").count() === 50)
+      // an append, then a rewrite commit (range delete), then an append:
+      // the stream must emit ONLY the appends — no fence, no rewritten
+      // duplicates from the delete's surviving-file rewrite
+      SnapshotTable.commit(spark, df(50, 60), dir, "append")
+      SnapshotTable.delete(spark, dir, "id", 0.0, 9.0)
+      SnapshotTable.commit(spark, df(60, 70), dir, "append")
+      q.processAllAvailable()
+      val got = spark.table("snap_skipchg")
+      assert(got.count() === 70) // 50 snapshot + two 10-row appends
+      assert(got.select("id").distinct().count() === 70)
+    } finally q.stop()
+  }
+
   test("streaming: maxVersionsPerTrigger drains a backfill in bounded, " +
     "individually-checkpointed batches") {
     val dir = freshDir()
