@@ -168,6 +168,131 @@ class SnapshotTableRaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       === nAppenders.toLong * appendsPer * rowsPer)
   }
 
+  /** SQL row-level DML racing appenders — the group-based COW commit
+    * under real threads. Laws: (1) gap-free history with every
+    * statement landing EXACTLY once; (2) a DML whose pushed bounds
+    * provably clear an interleaved append REBASES over it (the appended
+    * rows survive the DML's overwrite — no lost update); (3) a MERGE,
+    * which can prove nothing (no pushable target bounds), surfaces CME
+    * and re-runs rather than dropping an interleaved commit; (4) the
+    * final content is the serial result regardless of interleaving. */
+  test("SQL DELETE and MERGE race appenders: rebase when provable, " +
+    "CME-and-rerun when not, never a lost update") {
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.sources.SnapshotTableCatalog")
+    val dir = freshDir()
+    val seed = 20260816L
+    SnapshotTable.commit(spark,
+      df(0, 1000).repartitionByRange(8, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+
+    val nAppenders = 3
+    val appendsPer = 3
+    val rowsPer = 20
+    val cmeCount = new AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(5)
+    def submit(name: String)(body: java.util.Random => Unit): Unit = {
+      val rnd = new java.util.Random(seed ^ name.hashCode.toLong)
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try body(rnd)
+          catch { case t: Throwable => errors.add(t) }
+        }
+      })
+    }
+    def isCme(t: Throwable): Boolean = {
+      var e = t
+      while (e != null) {
+        if (e.isInstanceOf[java.util.ConcurrentModificationException])
+          return true
+        e = e.getCause
+      }
+      false
+    }
+    def retrySql(rnd: java.util.Random, stmt: String): Unit = {
+      var done = false
+      var tries = 0
+      while (!done && tries < 30) {
+        tries += 1
+        Thread.sleep(rnd.nextInt(40).toLong)
+        try { spark.sql(stmt); done = true }
+        catch {
+          case t: Throwable if isCme(t) => cmeCount.incrementAndGet()
+        }
+      }
+      assert(done, s"statement never landed in $tries tries: $stmt")
+    }
+
+    // appenders: disjoint key blocks >= 10000 with id stats — the
+    // ranged DELETE must be able to PROVE disjointness and rebase
+    (0 until nAppenders).foreach { t =>
+      submit(s"append-$t") { rnd =>
+        (0 until appendsPer).foreach { j =>
+          val base = 10000L * (t + 1) + j * 100L
+          Thread.sleep(rnd.nextInt(30).toLong)
+          SnapshotTable.commit(spark, df(base, base + rowsPer), dir,
+            "append", statsCols = Seq("id"))
+        }
+      }
+    }
+    // group-based ranged DELETE (the IS NOT NULL conjunct keeps it off
+    // the metadata-only path): pushed id bounds are its rebase proof
+    submit("sql-delete") { rnd =>
+      retrySql(rnd, s"DELETE FROM graft.`$dir` " +
+        "WHERE id >= 300 AND id < 350 AND name IS NOT NULL")
+    }
+    // SQL MERGE bumping a base slice: no pushable target bounds, so any
+    // interleaving surfaces CME and the statement re-runs
+    spark.range(0, 50).selectExpr("id", "concat('r', id) AS name",
+      "cast(id AS double) * 25.0 AS v")
+      .createOrReplaceTempView("race_sql_merge_src")
+    submit("sql-merge") { rnd =>
+      retrySql(rnd,
+        s"""MERGE INTO graft.`$dir` t USING race_sql_merge_src s
+           |ON t.id = s.id
+           |WHEN MATCHED THEN UPDATE SET t.v = s.v""".stripMargin)
+    }
+
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "race timed out")
+    assert(errors.isEmpty, s"writer died: ${errors.peek()}")
+
+    // (1) gap-free, every statement exactly once
+    val vs = SnapshotTable.versions(spark, dir)
+    assert(vs === (0L to vs.last), s"version gaps: $vs")
+    assert(vs.size === 1 + nAppenders * appendsPer + 1 + 1)
+
+    // every version's manifest references only existing files (failed
+    // DML attempts' staged files are unreferenced, never named)
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vs.foreach { v =>
+      SnapshotTable.snapshotFiles(spark, dir, Some(v)).foreach { e =>
+        assert(f.exists(new org.apache.hadoop.fs.Path(s"$dir/${e.path}")),
+          s"v$v references missing file ${e.path}")
+      }
+    }
+
+    // (4) serial result: base minus the deleted range, merge bump
+    // applied exactly once, every appended row present exactly once
+    val after = SnapshotTable.read(spark, dir)
+    val expectRows = 1000 - 50 + nAppenders * appendsPer * rowsPer
+    assert(after.count() === expectRows)
+    assert(after.filter(col("id").between(300, 349)).count() === 0)
+    val bumped = after.filter(col("id") < 50)
+    assert(bumped.count() === 50)
+    assert(bumped.filter(col("v") =!= col("id") * 25.0).count() === 0,
+      "merge applied zero or multiple times")
+    assert(after.filter(col("id") >= 10000).select("id").distinct()
+      .count() === nAppenders.toLong * appendsPer * rowsPer)
+    assert(after.filter(col("id") >= 50 && col("id") < 300 &&
+      col("v") =!= col("id") * 2.5).count() === 0)
+  }
+
   /** Expiry racing timestamp-travel readers — where the write-time
     * monotonized stamps and the collapse checkpoint earn their keep.
     * Laws: (1) a successful readAsOf returns EXACTLY the snapshot its
