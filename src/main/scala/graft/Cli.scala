@@ -423,6 +423,16 @@ object Cli {
             Seq(name(tableDir) ->
               (() => SnapshotTable.readAsOf(spark, tableDir, ts.toLong))),
             jobConfig(outDir, compression)))
+        // cdf <table_dir> <from_version> <output_dir> [to_version] — the
+        // row-level change data feed (_change_type/_commit_version/
+        // _commit_timestamp) over any commit range, incl. DML rewrites
+        case ("cdf", tableDir :: from :: outDir :: rest)
+            if rest.length <= 1 =>
+          Some(ConversionJob.run(
+            Seq(s"${name(tableDir)}_cdf" ->
+              (() => SnapshotTable.changeFeed(spark, tableDir,
+                from.toLong, rest.headOption.map(_.toLong)))),
+            jobConfig(outDir, "snappy")))
         // sql <statement> [output_dir] — one SQL statement with the graft
         // path catalog registered, so `graft.`/table/dir`` names any
         // snapshot table: SELECTs (incl. VERSION/TIMESTAMP AS OF) land in
@@ -456,6 +466,7 @@ object Cli {
               |  table expire  <table_dir> <keep_last | --older-than-hours N>
               |  table vacuum  <table_dir> [retention_hours=168] [--dry-run]
               |  table changes <table_dir> <from_version> <output_dir> [to_version]
+              |  table cdf     <table_dir> <from_version> <output_dir> [to_version]   (row-level change feed incl. rewrites)
               |  table sync    <src_table_dir> <dst_table_dir> [from_version=-1]
               |  table versions <table_dir>
               |  table history <table_dir> [--files]

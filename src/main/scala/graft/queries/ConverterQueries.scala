@@ -1742,6 +1742,45 @@ object ConverterQueries {
           lit((before intersect after).size * 2 >= before.size))
     },
 
+    // Change data feed (r14 cont.): per-commit row-multiset deltas with
+    // _change_type/_commit_version over an append + a SQL DELETE
+    // rewrite. File-level churn (which survivors re-insert) is layout-
+    // dependent, so the gate emits NET quantities — inserts minus
+    // deletes — which are layout-independent and DuckDB-derivable:
+    // the v1 append's rows, and the delete's negated row/key/price mass
+    // (survivor re-inserts cancel against their own delete preimages).
+    "conv_table_cdf" -> { (s, d) =>
+      val base = tmp(d, "snapcdf") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+      val n = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 3 =!= 0)
+          .repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      SnapshotTable.commit(s, orders.filter(col("o_orderkey") % 3 === 0),
+        base, "append", statsCols = Seq("o_orderkey"))
+      s.sql(s"DELETE FROM graft.`$base` " +
+        s"WHERE o_orderkey >= ${n / 4} AND o_orderkey < ${n / 2}")
+      val cf = SnapshotTable.changeFeed(s, base, 1L)
+      val isIns = col("_change_type") === "insert"
+      cf.agg(
+        sum(when(col("_commit_version") === 1L, 1L).otherwise(0L))
+          .as("v1_n"),
+        sum(when(isIns, 1L).otherwise(-1L)).as("net_rows"),
+        sum(when(isIns, col("o_orderkey")).otherwise(-col("o_orderkey")))
+          .as("net_key"),
+        round(sum(when(isIns, dec(col("o_totalprice")))
+          .otherwise(-dec(col("o_totalprice")))), 2).cast("double")
+          .as("net_price"),
+        countDistinct(col("_commit_version")).as("versions_seen"),
+        sum(when(col("_change_type").isin("insert", "delete"), 0L)
+          .otherwise(1L)).as("bad_types"))
+    },
+
     // MERGE INTO with all three action legs: matched keys (k%7=0) get a
     // source-derived price, unmatched source keys (base k%11=0, shifted
     // by n so they are provably new) insert, and unmatched target rows
@@ -2551,6 +2590,30 @@ object ConverterQueries {
         | TRUE AS one_commit,
         | TRUE AS carried_majority
         |FROM orders o, m""".stripMargin,
+
+    // conv_table_cdf: net change mass replayed from raw orders — the v1
+    // append is orders%3=0; the delete removes the key range from the
+    // FULL table (both slices present by v2). versions_seen pins the
+    // two-commit span; bad_types pins the change-type vocabulary.
+    "conv_table_cdf" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS nn FROM orders),
+        |ap AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+        |delr AS (SELECT o.* FROM orders o, m
+        |  WHERE o.o_orderkey >= m.nn // 4 AND o.o_orderkey < m.nn // 2)
+        |SELECT
+        | (SELECT COUNT(*) FROM ap) AS v1_n,
+        | CAST((SELECT COUNT(*) FROM ap) - (SELECT COUNT(*) FROM delr)
+        |   AS BIGINT) AS net_rows,
+        | CAST((SELECT COALESCE(SUM(o_orderkey), 0) FROM ap) -
+        |   (SELECT COALESCE(SUM(o_orderkey), 0) FROM delr) AS BIGINT)
+        |   AS net_key,
+        | CAST(ROUND(
+        |   (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |     FROM ap) -
+        |   (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |     FROM delr), 2) AS DOUBLE) AS net_price,
+        | CAST(2 AS BIGINT) AS versions_seen,
+        | CAST(0 AS BIGINT) AS bad_types""".stripMargin,
 
     "conv_table_sql_merge" ->
       """WITH m AS (SELECT MAX(o_orderkey) + 1 AS nn FROM orders),

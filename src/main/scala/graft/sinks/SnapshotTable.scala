@@ -1450,6 +1450,99 @@ object SnapshotTable {
     readFiles(spark, dir, commits.flatMap(_.files), schema)
   }
 
+  /** Row-level CHANGE DATA FEED over any commit range [fromVersion,
+    * toVersion] — the Delta CDF read shape, derivable entirely from this
+    * log because every commit names its files and an overwrite names the
+    * full replacement manifest. Emits the data columns plus
+    * `_change_type` ('insert' | 'delete'), `_commit_version` and
+    * `_commit_timestamp`:
+    *
+    *   - an APPEND commit's files emit as inserts;
+    *   - an OVERWRITE commit (SQL DML rewrite, merge, range delete,
+    *     compaction, clustering, restore, truncate) diffs the
+    *     predecessor manifest BY PATH — removed files' rows emit as
+    *     deletes, added files' rows as inserts. A maintenance rewrite
+    *     therefore emits delete+insert churn whose multisets cancel:
+    *     the feed is an EXACT row-multiset delta per commit, not a
+    *     keyed update stream (an updated row is its delete preimage
+    *     plus its insert postimage, possibly in different files).
+    *
+    * One incremental replay maintains the running manifest and schema
+    * across the span (no per-version snapshot reconstruction). Removed
+    * files stay on disk until vacuum's retention passes — a feed read
+    * over a vacuumed range fails loudly at scan time rather than
+    * under-reporting deletes. */
+  def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
+                 toVersion: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    val to = toVersion.getOrElse(vs.last)
+    require(vs.contains(fromVersion),
+      s"changeFeed from v$fromVersion: version not in the surviving log " +
+        s"(oldest is ${vs.headOption.getOrElse(-1L)} — expired history " +
+        "cannot be replayed as changes)")
+    val span = vs.filter(v => v >= fromVersion && v <= to)
+    require(span.nonEmpty, s"empty version span [$fromVersion, $to]")
+
+    // running manifest + schema BEFORE the span (empty when the span
+    // opens at the oldest surviving version's own overwrite)
+    var running: Map[String, FileEntry] =
+      if (fromVersion == vs.head) Map.empty
+      else snapshotFiles(spark, dir, Some(fromVersion - 1))
+        .map(e => e.path -> e).toMap
+
+    final case class Slice(files: Seq[FileEntry], typ: String, v: Long,
+                           ts: Long, schema: Option[StructType])
+    val slices = Seq.newBuilder[Slice]
+    var runSchema: Option[StructType] =
+      if (fromVersion == vs.head) None
+      else snapshotSchema(spark, dir, Some(fromVersion - 1))
+    span.foreach { v =>
+      val c = readCommit(spark, dir, v)
+      val cSchema = c.schemaJson.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType])
+      if (c.action == "append") {
+        if (c.files.nonEmpty)
+          slices += Slice(c.files, "insert", v, c.timestampMs, cSchema)
+        c.files.foreach(e => running += e.path -> e)
+        runSchema = (runSchema, cSchema) match {
+          case (Some(a), Some(b)) => Some(mergeByName(a, b))
+          case (a, b) => b.orElse(a)
+        }
+      } else {
+        val newSet = c.files.map(e => e.path -> e).toMap
+        val removed = running.valuesIterator
+          .filterNot(e => newSet.contains(e.path)).toSeq
+        val added = c.files.filterNot(e => running.contains(e.path))
+        if (removed.nonEmpty)
+          slices += Slice(removed, "delete", v, c.timestampMs, runSchema)
+        if (added.nonEmpty)
+          slices += Slice(added, "insert", v, c.timestampMs, cSchema)
+        running = newSet
+        runSchema = cSchema.orElse(runSchema)
+      }
+    }
+    val frames = slices.result().map { s =>
+      readFiles(spark, dir, s.files, s.schema)
+        .withColumn("_change_type", lit(s.typ))
+        .withColumn("_commit_version", lit(s.v))
+        .withColumn("_commit_timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(lit(s.ts)))
+    }
+    if (frames.isEmpty) {
+      // a span of empty commits: an empty frame in the table's schema
+      val base = runSchema.map(st =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          nullableDeep(st).asInstanceOf[StructType]))
+        .getOrElse(read(spark, dir, Some(to)).limit(0))
+      base.withColumn("_change_type", lit(""))
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(lit(0L)))
+        .limit(0)
+    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Incremental table→table sync off the commit log — the downstream
     * half of the change feed ([[changesSince]] hands a consumer the new
     * files; this is the standing consumer that applies them). Replays
