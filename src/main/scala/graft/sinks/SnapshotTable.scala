@@ -1472,8 +1472,18 @@ object SnapshotTable {
     * files stay on disk until vacuum's retention passes — a feed read
     * over a vacuumed range fails loudly at scan time rather than
     * under-reporting deletes. */
-  def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
-                 toVersion: Option[Long] = None): DataFrame = {
+  /** One change slice: a commit's added or removed files, with the
+    * change type, commit version/stamp, and the as-of schema its rows
+    * read under. The unit both CDF surfaces ([[changeFeed]] and the
+    * DSv2 `readChangeFeed` scan) consume. */
+  private[graft] final case class ChangeSlice(files: Seq[FileEntry],
+      typ: String, v: Long, ts: Long, schema: Option[StructType])
+
+  /** The per-commit change slices over [fromVersion, toVersion] — one
+    * incremental log replay, zero data I/O. See [[changeFeed]] for the
+    * semantics. */
+  private[graft] def changeSlices(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Option[Long]): Seq[ChangeSlice] = {
     val vs = versions(spark, dir)
     val to = toVersion.getOrElse(vs.last)
     require(vs.contains(fromVersion),
@@ -1490,9 +1500,7 @@ object SnapshotTable {
       else snapshotFiles(spark, dir, Some(fromVersion - 1))
         .map(e => e.path -> e).toMap
 
-    final case class Slice(files: Seq[FileEntry], typ: String, v: Long,
-                           ts: Long, schema: Option[StructType])
-    val slices = Seq.newBuilder[Slice]
+    val slices = Seq.newBuilder[ChangeSlice]
     var runSchema: Option[StructType] =
       if (fromVersion == vs.head) None
       else snapshotSchema(spark, dir, Some(fromVersion - 1))
@@ -1502,7 +1510,8 @@ object SnapshotTable {
         DataType.fromJson(j).asInstanceOf[StructType])
       if (c.action == "append") {
         if (c.files.nonEmpty)
-          slices += Slice(c.files, "insert", v, c.timestampMs, cSchema)
+          slices += ChangeSlice(c.files, "insert", v, c.timestampMs,
+            cSchema)
         c.files.foreach(e => running += e.path -> e)
         runSchema = (runSchema, cSchema) match {
           case (Some(a), Some(b)) => Some(mergeByName(a, b))
@@ -1514,14 +1523,22 @@ object SnapshotTable {
           .filterNot(e => newSet.contains(e.path)).toSeq
         val added = c.files.filterNot(e => running.contains(e.path))
         if (removed.nonEmpty)
-          slices += Slice(removed, "delete", v, c.timestampMs, runSchema)
+          slices += ChangeSlice(removed, "delete", v, c.timestampMs,
+            runSchema)
         if (added.nonEmpty)
-          slices += Slice(added, "insert", v, c.timestampMs, cSchema)
+          slices += ChangeSlice(added, "insert", v, c.timestampMs, cSchema)
         running = newSet
         runSchema = cSchema.orElse(runSchema)
       }
     }
-    val frames = slices.result().map { s =>
+    slices.result()
+  }
+
+  def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
+                 toVersion: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, dir)
+    val to = toVersion.getOrElse(vs.last)
+    val frames = changeSlices(spark, dir, fromVersion, toVersion).map { s =>
       readFiles(spark, dir, s.files, s.schema)
         .withColumn("_change_type", lit(s.typ))
         .withColumn("_commit_version", lit(s.v))
@@ -1530,7 +1547,7 @@ object SnapshotTable {
     }
     if (frames.isEmpty) {
       // a span of empty commits: an empty frame in the table's schema
-      val base = runSchema.map(st =>
+      val base = snapshotSchema(spark, dir, Some(to)).map(st =>
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           nullableDeep(st).asInstanceOf[StructType]))

@@ -62,6 +62,16 @@ object SnapshotTableProvider {
     * which splits query output into (metadata, row) for the writer). */
   val FileMetaCol = "_file"
 
+  /** The CDF columns appended by `readChangeFeed=true` reads. */
+  val cdfFields: Array[org.apache.spark.sql.types.StructField] = Array(
+    org.apache.spark.sql.types.StructField("_change_type",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_version",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("_commit_timestamp",
+      org.apache.spark.sql.types.TimestampType, nullable = false))
+  val cdfNames: Set[String] = cdfFields.map(_.name).toSet
+
   /** Deep-nullable view of a schema (StructType.asNullable is
     * spark-private): every field, array element and map value becomes
     * nullable. */
@@ -101,11 +111,16 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     val spark = SparkSession.active
     val dir = dirOf(options)
     val version = SnapshotTableScan.resolveVersion(spark, dir, options)
-    SnapshotTable.snapshotSchema(spark, dir, version).getOrElse {
+    val data = SnapshotTable.snapshotSchema(spark, dir, version).getOrElse {
       val files = SnapshotTable.snapshotFiles(spark, dir, version)
       require(files.nonEmpty, s"empty snapshot table at $dir")
       spark.read.orc(s"$dir/${files.head.path}").schema
     } match { case st => SnapshotTableProvider.deepNullable(st) }
+    // readChangeFeed=true: the table IS the feed — data columns plus the
+    // three CDF columns (the Delta readChangeFeed shape)
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      StructType(data.fields ++ SnapshotTableProvider.cdfFields)
+    else data
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -291,8 +306,86 @@ private[sources] class SnapshotTableScanBuilder(
   override def pushedFilters(): Array[Filter] = pruningFilters
 
   override def build(): Scan =
-    new SnapshotTableScan(fullSchema, required, dir, options,
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      new GraftChangeFeedScan(required, dir, options)
+    else new SnapshotTableScan(fullSchema, required, dir, options,
       pruningFilters, withFileMeta)
+}
+
+/** Batch CDF scan — `spark.read.format("graft-table")
+  * .option("readChangeFeed", "true").option("startingVersion", v)
+  * [.option("endingVersion", w)].load(dir)`: the change slices planned
+  * straight off the log (zero listing), each slice's files bin-packed
+  * into splits that carry the slice's (_change_type, _commit_version,
+  * _commit_timestamp) as constants the reader appends per row. */
+private[sources] class GraftChangeFeedScan(
+    required: StructType, dir: String,
+    options: CaseInsensitiveStringMap) extends Scan {
+
+  private val dataRequired = StructType(required.fields.filterNot(f =>
+    SnapshotTableProvider.cdfNames.contains(f.name)))
+  private val cdfRequired = required.fields.filter(f =>
+    SnapshotTableProvider.cdfNames.contains(f.name))
+
+  override def readSchema(): StructType =
+    StructType(dataRequired.fields ++ cdfRequired)
+
+  override def description(): String =
+    s"GraftSnapshotTable CHANGE-FEED $dir " +
+      s"cols=[${readSchema().fieldNames.mkString(",")}]"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val spark = SparkSession.active
+      val from = Option(options.get("startingVersion")).map(_.toLong)
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion"))
+      val to = Option(options.get("endingVersion")).map(_.toLong)
+      val target = spark.sessionState.conf.filesMaxPartitionBytes
+      SnapshotTable.changeSlices(spark, dir, from, to).flatMap { s =>
+        SnapshotTableScan.pack(dir, s.files, target).map { p =>
+          GraftCdfPartition(p.asInstanceOf[GraftTablePartition].paths,
+            s.typ, s.v, s.ts): InputPartition
+        }
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftCdfReaderFactory(dataRequired, cdfRequired.map(_.name),
+        new SerConf(SparkSession.active.sessionState.newHadoopConf()))
+  }
+}
+
+private[sources] case class GraftCdfPartition(paths: Array[String],
+    typ: String, v: Long, tsMs: Long) extends InputPartition
+
+private[sources] class GraftCdfReaderFactory(
+    dataRequired: StructType, cdfCols: Array[String], conf: SerConf)
+  extends PartitionReaderFactory {
+
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftCdfPartition]
+    val inner = new GraftTablePartitionReader(p.paths, dataRequired,
+      conf.value)
+    val cdfCell =
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        cdfCols.length)
+    cdfCols.zipWithIndex.foreach { case (n, i) =>
+      n match {
+        case "_change_type" => cdfCell.update(i,
+          org.apache.spark.unsafe.types.UTF8String.fromString(p.typ))
+        case "_commit_version" => cdfCell.update(i, p.v)
+        case "_commit_timestamp" =>
+          cdfCell.update(i, p.tsMs * 1000L) // Catalyst micros
+      }
+    }
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = joined(inner.get(), cdfCell)
+      override def close(): Unit = inner.close()
+    }
+  }
 }
 
 /** Translates a DELETE WHERE clause into a metadata-only range delete

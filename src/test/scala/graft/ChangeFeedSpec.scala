@@ -128,6 +128,44 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(cf.count() === 15)
   }
 
+  test("DSv2 readChangeFeed equals the programmatic feed, including " +
+    "column pruning") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 100).repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+    SnapshotTable.commit(spark, df(100, 120), dir, "append")
+    spark.sql(s"DELETE FROM graft.`$dir` " +
+      "WHERE id >= 10 AND id < 40 AND name IS NOT NULL")
+
+    val dsv2 = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(dir)
+    val api = SnapshotTable.changeFeed(spark, dir, 1)
+    def key(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("id"), col("_change_type"), col("_commit_version"))
+      .collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length)
+      .toMap
+    assert(key(dsv2) === key(api))
+    // commit timestamps surface as real timestamps and agree
+    assert(dsv2.select("_commit_version", "_commit_timestamp").distinct()
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+      === api.select("_commit_version", "_commit_timestamp").distinct()
+      .collect().map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap)
+    // pruned projection still carries the per-slice constants
+    val pruned = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .load(dir).select("_change_type", "id")
+    assert(pruned.filter(col("_change_type") === "delete").count() ===
+      api.filter(col("_change_type") === "delete").count())
+    // endingVersion bounds the span
+    val v1only = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", "1")
+      .option("endingVersion", "1").load(dir)
+    assert(v1only.count() === 20)
+    assert(v1only.filter(col("_change_type") =!= "insert").count() === 0)
+  }
+
   test("expired history refuses loudly; an in-log span works after " +
     "expiry") {
     val dir = freshDir()
