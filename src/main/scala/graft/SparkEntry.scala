@@ -160,8 +160,10 @@ object SparkEntry {
     "conv_table_rebase_str",
     // round-14 (cont.): SQL row-level DML through the path catalog —
     // group-based copy-on-write MERGE (all three action legs) and the
-    // metadata-only ranged DELETE fast path
-    "conv_table_sql_merge", "conv_table_sql_delete")
+    // metadata-only ranged DELETE fast path — plus the change data feed
+    // in both shapes (batch net-mass gate, DML-aware streaming source)
+    "conv_table_sql_merge", "conv_table_sql_delete", "conv_table_cdf",
+    "stream_table_cdf")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

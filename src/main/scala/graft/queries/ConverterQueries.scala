@@ -1430,6 +1430,55 @@ object ConverterQueries {
           lit(got.select(col("doc_id")).distinct().count() == got.count()))
     },
 
+    // STREAMING-CDF gate (r14 cont.): readStream with readChangeFeed —
+    // the DML-aware stream. v0 (initial overwrite, replayed as inserts
+    // via startingVersion=0), a live append, then a live SQL DELETE
+    // that would FENCE the plain source but flows through the CDF
+    // stream as delete+insert slices. The memory sink's NET change mass
+    // (inserts minus deletes — layout-independent) must equal the final
+    // table content, which DuckDB derives from raw documents.
+    "stream_table_cdf" -> { (s, d) =>
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val tableDir = s"/tmp/graft_stream/$key/table_cdf/table"
+      val ckpt = tableDir + "_ckpt"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tableDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      SnapshotTable.commit(s,
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .repartitionByRange(8, col("doc_id")),
+        tableDir, "overwrite", statsCols = Seq("doc_id"))
+      val qn = s"stcdf_${key.replace('.', '_')}"
+      val q = s.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(tableDir)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable() // v0 replayed as inserts
+        SnapshotTable.commit(s, docs.filter(col("doc_id") % 5 === 0),
+          tableDir, "append")
+        q.processAllAvailable()
+        s.sql(s"DELETE FROM graft.`$tableDir` " +
+          s"WHERE doc_id >= ${n / 4} AND doc_id < ${n / 2}")
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = s.table(qn)
+      val isIns = col("_change_type") === "insert"
+      got.agg(
+        sum(when(isIns, 1L).otherwise(-1L)).as("net_rows"),
+        sum(when(isIns, col("doc_id")).otherwise(-col("doc_id")))
+          .as("net_id"),
+        sum(when(isIns, col("n_chars")).otherwise(-col("n_chars")))
+          .as("net_chars"),
+        countDistinct(col("_commit_version")).as("versions_seen"))
+    },
+
     // STREAMING-SINK gate (r14): writeStream.format("graft-table") — the
     // DSv2 streaming sink, one atomic txn-stamped append commit per
     // epoch (exactly-once under recovery). The documents table streams
@@ -2462,6 +2511,19 @@ object ConverterQueries {
         | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
         | TRUE AS exactly_once
         |FROM documents""".stripMargin,
+
+    // stream_table_cdf: the feed's net change mass equals the final
+    // table — all documents minus the deleted key range — across three
+    // commits (initial overwrite replay, append, DML delete).
+    "stream_table_cdf" ->
+      """WITH m AS (SELECT MAX(doc_id) + 1 AS nn FROM documents),
+        |live AS (SELECT d.* FROM documents d, m
+        |  WHERE NOT (d.doc_id >= m.nn // 4 AND d.doc_id < m.nn // 2))
+        |SELECT COUNT(*) AS net_rows,
+        | CAST(SUM(doc_id) AS BIGINT) AS net_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS net_chars,
+        | CAST(3 AS BIGINT) AS versions_seen
+        |FROM live""".stripMargin,
 
     // stream_table_sink: the epoch-committed table holds exactly the
     // documents table, once.

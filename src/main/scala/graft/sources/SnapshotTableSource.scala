@@ -353,6 +353,91 @@ private[sources] class GraftChangeFeedScan(
       new GraftCdfReaderFactory(dataRequired, cdfRequired.map(_.name),
         new SerConf(SparkSession.active.sessionState.newHadoopConf()))
   }
+
+  /** STREAMING CDF — `spark.readStream.format("graft-table")
+    * .option("readChangeFeed", "true")[.option("startingVersion", v)]
+    * .load(dir)`: version-offset micro-batches that emit each commit's
+    * row-level DELTA instead of its added files, so DML rewrites,
+    * compactions and restores flow through as delete+insert slices
+    * rather than fencing the stream — the DML-aware downstream-index
+    * maintenance shape. Without startingVersion the stream tails
+    * changes committed AFTER stream start; startingVersion=V replays
+    * the feed from V (V at the log head replays the initial overwrite
+    * as inserts). Offsets are engine-checkpointed version numbers:
+    * exactly-once across restart like the plain source. */
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new GraftCdfMicroBatchStream(dataRequired, cdfRequired.map(_.name),
+      dir, options)
+}
+
+private[sources] class GraftCdfMicroBatchStream(
+    dataRequired: StructType, cdfCols: Array[String], dir: String,
+    options: CaseInsensitiveStringMap)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  private def spark = SparkSession.active
+
+  private val maxVersionsPerTrigger: Option[Long] =
+    Option(options.get("maxVersionsPerTrigger")).map(_.toLong)
+      .map(v => { require(v >= 1, "maxVersionsPerTrigger must be >= 1"); v })
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : Offset = {
+    val cur = SnapshotTable.currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir"))
+    val from = start.asInstanceOf[VersionOffset].version
+    VersionOffset(maxVersionsPerTrigger match {
+      case Some(n) => math.min(cur, from + n)
+      case None => cur
+    })
+  }
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def initialOffset(): Offset =
+    Option(options.get("startingVersion")) match {
+      case Some(v) => VersionOffset(v.toLong - 1)
+      case None => VersionOffset(SnapshotTable.currentVersion(spark, dir)
+        .getOrElse(throw new IllegalStateException(
+          s"no snapshot table at $dir")))
+    }
+
+  override def latestOffset(): Offset =
+    VersionOffset(SnapshotTable.currentVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no snapshot table at $dir")))
+
+  override def deserializeOffset(json: String): Offset = {
+    val m = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      .readTree(json)
+    VersionOffset(m.get("version").asLong)
+  }
+
+  override def planInputPartitions(start: Offset,
+                                   end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[VersionOffset].version
+    val to = end.asInstanceOf[VersionOffset].version
+    if (to <= from) return Array.empty
+    val target = spark.sessionState.conf.filesMaxPartitionBytes
+    SnapshotTable.changeSlices(spark, dir, from + 1, Some(to)).flatMap {
+      s =>
+        SnapshotTableScan.pack(dir, s.files, target).map { p =>
+          GraftCdfPartition(p.asInstanceOf[GraftTablePartition].paths,
+            s.typ, s.v, s.ts): InputPartition
+        }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdfReaderFactory(dataRequired, cdfCols,
+      new SerConf(spark.sessionState.newHadoopConf()))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class GraftCdfPartition(paths: Array[String],

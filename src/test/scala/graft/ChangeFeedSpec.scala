@@ -166,6 +166,57 @@ class ChangeFeedSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(v1only.filter(col("_change_type") =!= "insert").count() === 0)
   }
 
+  test("streaming readChangeFeed: DML rewrites flow through as " +
+    "delete+insert slices instead of fencing the stream") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      df(0, 100).repartitionByRange(4, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").load(dir)
+      .writeStream.format("memory").queryName("cdf_stream")
+      .option("checkpointLocation", freshDir()).start()
+    try {
+      q.processAllAvailable()
+      // no startingVersion: tails changes AFTER stream start
+      assert(spark.table("cdf_stream").count() === 0)
+
+      SnapshotTable.commit(spark, df(100, 120), dir, "append")
+      q.processAllAvailable()
+      val afterAppend = spark.table("cdf_stream")
+      assert(afterAppend.count() === 20)
+      assert(afterAppend.filter(col("_change_type") =!= "insert")
+        .count() === 0)
+
+      // a DML rewrite would FENCE the plain source; the CDF stream
+      // emits its delta instead
+      spark.sql(s"DELETE FROM graft.`$dir` " +
+        "WHERE id >= 10 AND id < 30 AND name IS NOT NULL")
+      q.processAllAvailable()
+      val all = spark.table("cdf_stream")
+      val ins = all.filter(col("_change_type") === "insert").count()
+      val del = all.filter(col("_change_type") === "delete").count()
+      assert(ins - del === 0L,
+        s"net change of append(+20) then delete(-20) must cancel: " +
+          s"ins=$ins del=$del")
+      assert(del > 0)
+      // replaying from v0 via startingVersion reconstructs everything
+      val replay = spark.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(dir)
+        .writeStream.format("memory").queryName("cdf_replay")
+        .option("checkpointLocation", freshDir()).start()
+      try {
+        replay.processAllAvailable()
+        val r = spark.table("cdf_replay")
+        val net = r.filter(col("_change_type") === "insert").count() -
+          r.filter(col("_change_type") === "delete").count()
+        assert(net === SnapshotTable.read(spark, dir).count())
+      } finally replay.stop()
+    } finally q.stop()
+  }
+
   test("expired history refuses loudly; an in-log span works after " +
     "expiry") {
     val dir = freshDir()
