@@ -387,7 +387,7 @@ object ScaleRehearsal {
           "overwrite", statsCols = Seq("doc_id"))
         spark.conf.set("spark.sql.catalog.graft",
           "graft.sources.SnapshotTableCatalog")
-        val view = s"scale_sqlmerge_src_$key"
+        val view = s"scale_sqlmerge_src_${key.replace('.', '_')}"
         docs.filter(col("doc_id") <= 200)
           .withColumn("source", lit("sqlmerged"))
           .createOrReplaceTempView(view)
