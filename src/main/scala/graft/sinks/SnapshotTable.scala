@@ -69,14 +69,34 @@ object SnapshotTable {
                             minStr: Option[String], maxStr: Option[String],
                             nulls: Long)
 
+  /** `seq` is the DATA SEQUENCE NUMBER (the Iceberg v2 concept): the
+    * version at which this file's ROWS entered the table. Stamped by
+    * [[publish]] on fresh entries (-1 = not yet committed); maintenance
+    * commits that CARRY an entry (merge, compact, DML, restore) preserve
+    * it, so a rewritten manifest never makes old rows look new. Equality
+    * deletes compare against it: a [[DeleteEntry]] with seq `d` applies
+    * exactly to files with `seq < d`. Legacy log entries without a
+    * recorded seq are attributed their listing commit's version — an
+    * overestimate that errs toward MORE deletable (any later delete
+    * still outranks it), never toward resurrecting deleted rows. */
   final case class FileEntry(path: String, rows: Long, bytes: Long,
-                             stats: Map[String, ColStats])
+                             stats: Map[String, ColStats],
+                             seq: Long = -1L)
+
+  /** A merge-on-read EQUALITY-DELETE file (Iceberg v2 delete-file shape):
+    * a small ORC sidecar holding the distinct `keyCol` values whose rows
+    * are logically deleted from every data file with `seq < this.seq`.
+    * Zero data-file I/O at delete time; readers anti-join the (tiny) key
+    * set; any full rewrite (compact) materializes and drops it. */
+  final case class DeleteEntry(path: String, rows: Long, bytes: Long,
+                               keyCol: String, seq: Long = -1L)
 
   final case class Commit(version: Long, action: String,
                           files: Seq[FileEntry],
                           txn: Option[(String, Long)] = None,
                           schemaJson: Option[String] = None,
-                          timestampMs: Long = -1L)
+                          timestampMs: Long = -1L,
+                          deletes: Seq[DeleteEntry] = Nil)
 
   /** Wall-clock source for commit timestamps — a seam so specs can pin
     * deterministic clocks (including non-monotonic ones). */
@@ -227,7 +247,8 @@ object SnapshotTable {
 
   private case class Ckpt(version: Long, files: Seq[FileEntry],
                           schemaJson: Option[String],
-                          txns: Map[String, (Long, Long)]) // app -> (seq, v)
+                          txns: Map[String, (Long, Long)], // app -> (seq, v)
+                          deletes: Seq[DeleteEntry] = Nil)
 
   private def ckptPath(dir: String, v: Long) =
     new Path(logDir(dir), f"ckpt-$v%020d.json")
@@ -259,7 +280,7 @@ object SnapshotTable {
     new Path(logDir(dir), f"ckpt-$v%020d.files.orc")
 
   private val SidecarSchema = "struct<path:string,rows:bigint," +
-    "bytes:bigint,stats:string>"
+    "bytes:bigint,stats:string,seq:bigint>"
 
   private def writeFilesOrc(conf: Configuration, p: Path,
                             entries: Seq[FileEntry]): Unit = {
@@ -272,6 +293,7 @@ object SnapshotTable {
       val rowsCol = batch.cols(1).asInstanceOf[LongColumnVector]
       val bytesCol = batch.cols(2).asInstanceOf[LongColumnVector]
       val statsCol = batch.cols(3).asInstanceOf[BytesColumnVector]
+      val seqCol = batch.cols(4).asInstanceOf[LongColumnVector]
       def putStr(c: BytesColumnVector, r: Int, s: String): Unit = {
         val b = s.getBytes("UTF-8"); c.setVal(r, b, 0, b.length)
       }
@@ -286,14 +308,20 @@ object SnapshotTable {
         val sn = mapper.createObjectNode()
         fillStatsNode(sn, e)
         putStr(statsCol, r, sn.toString)
+        seqCol.vector(r) = e.seq
         batch.size += 1
       }
       if (batch.size > 0) w.addRowBatch(batch)
     } finally w.close()
   }
 
-  private def readFilesOrc(conf: Configuration, p: Path): Seq[FileEntry] = {
+  /** `defaultSeq`: attributed to rows of pre-seq sidecars (see
+    * [[parseFileNodes]] — the checkpoint's own version, the safe
+    * overestimate). */
+  private def readFilesOrc(conf: Configuration, p: Path,
+                           defaultSeq: Long): Seq[FileEntry] = {
     val reader = OrcFile.createReader(p, OrcFile.readerOptions(conf))
+    val hasSeq = reader.getSchema.getFieldNames.asScala.contains("seq")
     val rows = reader.rows()
     try {
       val batch = reader.getSchema.createRowBatch(1024)
@@ -303,6 +331,8 @@ object SnapshotTable {
         val rowsCol = batch.cols(1).asInstanceOf[LongColumnVector]
         val bytesCol = batch.cols(2).asInstanceOf[LongColumnVector]
         val statsCol = batch.cols(3).asInstanceOf[BytesColumnVector]
+        val seqCol = if (hasSeq) batch.cols(4).asInstanceOf[LongColumnVector]
+          else null
         def idx(repeating: Boolean, i: Int) = if (repeating) 0 else i
         var i = 0
         while (i < batch.size) {
@@ -311,7 +341,9 @@ object SnapshotTable {
           out += FileEntry(
             pathCol.toString(idx(pathCol.isRepeating, i)),
             rowsCol.vector(idx(rowsCol.isRepeating, i)),
-            bytesCol.vector(idx(bytesCol.isRepeating, i)), stats)
+            bytesCol.vector(idx(bytesCol.isRepeating, i)), stats,
+            if (hasSeq) seqCol.vector(idx(seqCol.isRepeating, i))
+            else defaultSeq)
           i += 1
         }
       }
@@ -340,12 +372,13 @@ object SnapshotTable {
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
       val n = mapper.readTree(json)
+      val ckptV = n.get("version").asLong
       // checkpoints share the commit shape; a columnar checkpoint keeps
       // the header in JSON and its file list in the ORC sidecar
       val files =
         if (n.has("filesOrc")) {
           val entries = readFilesOrc(f.getConf,
-            new Path(logDir(dir), n.get("filesOrc").asText))
+            new Path(logDir(dir), n.get("filesOrc").asText), ckptV)
           // integrity: a sidecar that lost rows must FAIL the read, not
           // shrink the snapshot (vacuum trusts this set as "referenced")
           val expect = n.get("fileCount").asLong
@@ -353,7 +386,7 @@ object SnapshotTable {
             s"checkpoint sidecar ${n.get("filesOrc").asText} holds " +
               s"${entries.size} entries, header says $expect")
           entries
-        } else parseFileNodes(n.get("files"))
+        } else parseFileNodes(n.get("files"), ckptV)
       val schemaJson =
         if (n.has("schema")) Some(n.get("schema").asText) else None
       val txns = if (n.has("txns")) {
@@ -362,7 +395,9 @@ object SnapshotTable {
             e.getValue.get("version").asLong)
         }.toMap
       } else Map.empty[String, (Long, Long)]
-      Ckpt(n.get("version").asLong, files, schemaJson, txns)
+      val deletes = if (n.has("deletes")) parseDeleteNodes(n.get("deletes"))
+        else Nil
+      Ckpt(ckptV, files, schemaJson, txns, deletes)
     }.toOption // a corrupt/unreadable checkpoint degrades to full replay
 
   /** Newest readable checkpoint at or before `v`. */
@@ -389,15 +424,18 @@ object SnapshotTable {
     // recording — the checkpoint then omits the schema and readers fall
     // back to Spark's own sampling, same as the raw log would.
     val files = mutable.ArrayBuffer.empty[FileEntry]
+    val dels = mutable.ArrayBuffer.empty[DeleteEntry]
     base.foreach(files ++= _.files)
+    base.foreach(dels ++= _.deletes)
     var schema: Option[StructType] = base.flatMap(_.schemaJson)
       .map(j => DataType.fromJson(j).asInstanceOf[StructType])
     var schemaKnown = base.forall(_.schemaJson.nonEmpty)
     span.foreach { case (_, c) =>
       if (c.action == "overwrite") {
-        files.clear(); schema = None; schemaKnown = true
+        files.clear(); dels.clear(); schema = None; schemaKnown = true
       }
       files ++= c.files
+      dels ++= c.deletes
       c.schemaJson match {
         case Some(j) =>
           val st = DataType.fromJson(j).asInstanceOf[StructType]
@@ -445,6 +483,20 @@ object SnapshotTable {
       val o = tn.putObject(app)
       o.put("seq", seq)
       o.put("version", ver)
+    }
+    // live merge-on-read deletes ride the checkpoint inline (delete sets
+    // are small by design); fully-materialized ones age out here
+    val liveDels = dels.filter(d => files.exists(_.seq < d.seq))
+    if (liveDels.nonEmpty) {
+      val da = root.putArray("deletes")
+      liveDels.foreach { d =>
+        val o = da.addObject()
+        o.put("path", d.path)
+        o.put("rows", d.rows)
+        o.put("bytes", d.bytes)
+        o.put("keyCol", d.keyCol)
+        o.put("seq", d.seq)
+      }
     }
     val tmp = new Path(logDir(dir),
       s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
@@ -548,7 +600,8 @@ object SnapshotTable {
                       entries: Seq[FileEntry], maxRetries: Int,
                       txn: Option[(String, Long)] = None,
                       schemaJson: Option[String] = None,
-                      expectedVersion: Option[Long] = None): Long = {
+                      expectedVersion: Option[Long] = None,
+                      deletes: Seq[DeleteEntry] = Nil): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     var attempt = 0
@@ -581,9 +634,14 @@ object SnapshotTable {
         catch { case _: java.io.FileNotFoundException => -1L })
       val tmp = new Path(logDir(dir),
         s".tmp-${java.util.UUID.randomUUID().toString.take(12)}")
+      // data-sequence stamping: fresh entries (seq -1, staged by this
+      // commit) get THIS version; carried entries keep their original —
+      // the invariant equality deletes compare against
+      val stamped = entries.map(e => if (e.seq < 0) e.copy(seq = v) else e)
+      val stampedDel = deletes.map(d => if (d.seq < 0) d.copy(seq = v) else d)
       val out = f.create(tmp, false)
-      try out.write(commitJson(v, mode, entries, txn, schemaJson, ts,
-          tmp.getName)
+      try out.write(commitJson(v, mode, stamped, txn, schemaJson, ts,
+          tmp.getName, stampedDel)
         .getBytes("UTF-8"))
       finally out.close()
       // put-if-absent IS the commit: exactly one writer wins version v
@@ -633,7 +691,8 @@ object SnapshotTable {
       entries: Seq[FileEntry], schema: Option[StructType],
       readVersion: Long,
       commutes: Seq[FileEntry] => Boolean,
-      maxRebases: Int = 5): Long = {
+      maxRebases: Int = 5,
+      deletes: Seq[DeleteEntry] = Nil): Long = {
     val hook = interleaveForTest
     interleaveForTest = () => ()
     hook()
@@ -645,7 +704,7 @@ object SnapshotTable {
       try {
         return publish(spark, dir, "overwrite", entries ++ extra,
           maxRetries = 20, schemaJson = extraSchema.map(_.json),
-          expectedVersion = Some(expected))
+          expectedVersion = Some(expected), deletes = deletes)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           rebases += 1
@@ -727,7 +786,8 @@ object SnapshotTable {
   private def commitJson(v: Long, mode: String, entries: Seq[FileEntry],
                          txn: Option[(String, Long)],
                          schemaJson: Option[String], ts: Long,
-                         writerId: String = ""): String = {
+                         writerId: String = "",
+                         deletes: Seq[DeleteEntry] = Nil): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", mode)
@@ -747,6 +807,17 @@ object SnapshotTable {
     schemaJson.foreach(root.put("schema", _))
     val arr = root.putArray("files")
     entries.foreach(e => appendFileNode(arr, e))
+    if (deletes.nonEmpty) {
+      val da = root.putArray("deletes")
+      deletes.foreach { d =>
+        val n = da.addObject()
+        n.put("path", d.path)
+        n.put("rows", d.rows)
+        n.put("bytes", d.bytes)
+        n.put("keyCol", d.keyCol)
+        n.put("seq", d.seq)
+      }
+    }
     root.toString
   }
 
@@ -757,8 +828,15 @@ object SnapshotTable {
     n.put("path", e.path)
     n.put("rows", e.rows)
     n.put("bytes", e.bytes)
+    if (e.seq >= 0) n.put("seq", e.seq)
     fillStatsNode(n.putObject("stats"), e)
   }
+
+  private def parseDeleteNodes(arr: JsonNode): Seq[DeleteEntry] =
+    arr.elements().asScala.map { n =>
+      DeleteEntry(n.get("path").asText, n.get("rows").asLong,
+        n.get("bytes").asLong, n.get("keyCol").asText, n.get("seq").asLong)
+    }.toSeq
 
   private def fillStatsNode(st: ObjectNode, e: FileEntry): Unit =
     e.stats.toSeq.sortBy(_._1).foreach { case (c, cs) =>
@@ -783,25 +861,31 @@ object SnapshotTable {
     }.toMap
   }
 
-  private def parseFileNodes(files: JsonNode): Seq[FileEntry] =
+  /** `defaultSeq`: data sequence attributed to legacy entries recorded
+    * before seq stamping — the LISTING commit's version (see [[FileEntry]]
+    * for why the overestimate is the safe direction). */
+  private def parseFileNodes(files: JsonNode, defaultSeq: Long): Seq[FileEntry] =
     files.elements().asScala.map { fn =>
       val stats =
         if (fn.has("stats")) parseStatsNode(fn.get("stats"))
         else Map.empty[String, ColStats]
       FileEntry(fn.get("path").asText, fn.get("rows").asLong,
-        fn.get("bytes").asLong, stats)
+        fn.get("bytes").asLong, stats,
+        if (fn.has("seq")) fn.get("seq").asLong else defaultSeq)
     }.toSeq
 
   private def parseCommit(json: String): Commit = {
     val n = mapper.readTree(json)
-    val files = parseFileNodes(n.get("files"))
+    val v = n.get("version").asLong
+    val files = parseFileNodes(n.get("files"), v)
     val txn =
       if (n.has("txnApp")) Some((n.get("txnApp").asText, n.get("txnSeq").asLong))
       else None
     val schema = if (n.has("schema")) Some(n.get("schema").asText) else None
     val ts = if (n.has("ts")) n.get("ts").asLong else -1L
-    Commit(n.get("version").asLong, n.get("action").asText, files, txn,
-      schema, ts)
+    val deletes = if (n.has("deletes")) parseDeleteNodes(n.get("deletes"))
+      else Nil
+    Commit(v, n.get("action").asText, files, txn, schema, ts, deletes)
   }
 
   private def readCommit(spark: SparkSession, dir: String, v: Long): Commit = {
@@ -863,7 +947,7 @@ object SnapshotTable {
           "checkpoint is missing or corrupt")
     val acc = mutable.ArrayBuffer.empty[Commit]
     base.foreach(b => acc += Commit(b.version, "overwrite", b.files,
-      None, b.schemaJson))
+      None, b.schemaJson, deletes = b.deletes))
     replay.foreach { c =>
       if (c.action == "overwrite") acc.clear()
       acc += c
@@ -875,6 +959,29 @@ object SnapshotTable {
   def snapshotFiles(spark: SparkSession, dir: String,
                     version: Option[Long] = None): Seq[FileEntry] =
     replayCommits(spark, dir, version).flatMap(_.files)
+
+  /** Full logical snapshot state at `version`: the live data files AND
+    * the live merge-on-read delete files. A delete entry is live while
+    * any data file it can apply to (`file.seq < delete.seq`) survives;
+    * once a rewrite has materialized it everywhere it ages out of the
+    * state without any explicit drop commit. Deletes return sorted by
+    * seq (application order never matters — they are set subtractions —
+    * but grouping logic relies on a stable order). */
+  def snapshotState(spark: SparkSession, dir: String,
+                    version: Option[Long] = None)
+      : (Seq[FileEntry], Seq[DeleteEntry]) = {
+    val commits = replayCommits(spark, dir, version)
+    val files = commits.flatMap(_.files)
+    val deletes = commits.flatMap(_.deletes)
+      .filter(d => files.exists(_.seq < d.seq)).sortBy(_.seq)
+    (files, deletes)
+  }
+
+  /** The merge-on-read delete files pending at `version` (empty on a
+    * fully-materialized table). */
+  def pendingDeletes(spark: SparkSession, dir: String,
+                     version: Option[Long] = None): Seq[DeleteEntry] =
+    snapshotState(spark, dir, version)._2
 
   /** Union-by-name with null-fill: fields of `a`, then fields of `b` not
     * yet present. Same-name fields must agree on type — silent coercion
@@ -909,7 +1016,7 @@ object SnapshotTable {
 
   def read(spark: SparkSession, dir: String,
            version: Option[Long] = None): DataFrame = {
-    val files = snapshotFiles(spark, dir, version)
+    val (files, deletes) = snapshotState(spark, dir, version)
     val schema = snapshotSchema(spark, dir, version)
     // a truncated/empty snapshot with a recorded schema is a valid table
     // state (TRUNCATE TABLE, un-conditioned DELETE): an empty frame, not
@@ -918,7 +1025,64 @@ object SnapshotTable {
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         nullableDeep(schema.get).asInstanceOf[StructType])
-    else readFiles(spark, dir, files, schema)
+    else readFilesMor(spark, dir, files, deletes, schema)
+  }
+
+  // ---- merge-on-read delete application ---------------------------------
+
+  /** Partition `files` by WHICH pending deletes apply to each (a file's
+    * applicable set is the suffix of the seq-sorted delete list above its
+    * own seq, so there are at most #deletes+1 groups — tiny between
+    * materializations). Returns (files, applicable deletes) per group;
+    * one group with no deletes when nothing applies. */
+  private[graft] def morGroups(files: Seq[FileEntry],
+      deletes: Seq[DeleteEntry])
+      : Seq[(Seq[FileEntry], Seq[DeleteEntry])] = {
+    val rel = deletes.filter(d => files.exists(_.seq < d.seq)).sortBy(_.seq)
+    if (rel.isEmpty) Seq((files, Nil))
+    else files.groupBy(f => rel.count(d => f.seq < d.seq)).toSeq
+      .sortBy(_._1).map { case (n, fs) => (fs, rel.takeRight(n)) }
+  }
+
+  /** The distinct key set of one or more delete files on the same column,
+    * read from their ORC sidecars (small by construction), aliased to a
+    * collision-proof name for the anti-join. */
+  private def deleteKeysFrame(spark: SparkSession, dir: String,
+      ds: Seq[DeleteEntry], keyCol: String): DataFrame =
+    spark.read.orc(ds.map(d => s"$dir/${d.path}"): _*)
+      .select(col(keyCol).as("__graft_delkey")).distinct()
+
+  /** Anti-join `df` against the key sets of `ds` (all applicable to every
+    * row of `df`). Broadcast by construction — a delete set large enough
+    * to matter should have been a copy-on-write delete; null keys never
+    * match (equality-join semantics), so null-keyed rows survive exactly
+    * like the COW paths. A keyCol the frame lacks (schema-evolution edge:
+    * rows null-fill it) matches nothing and is skipped. */
+  private[graft] def applyDeletes(spark: SparkSession, dir: String,
+      df: DataFrame, ds: Seq[DeleteEntry]): DataFrame =
+    ds.groupBy(_.keyCol).toSeq.sortBy(_._1).foldLeft(df) {
+      case (acc, (kc, group)) =>
+        if (!acc.columns.contains(kc)) acc
+        else {
+          val keys = deleteKeysFrame(spark, dir, group, kc)
+          acc.join(broadcast(keys),
+            acc(kc) === keys("__graft_delkey"), "left_anti")
+        }
+    }
+
+  /** [[readFiles]] with merge-on-read deletes applied: per
+    * [[morGroups]] group, read + anti-join, then union. The no-deletes
+    * fast path is exactly the plain scan — zero overhead for
+    * fully-materialized tables. */
+  private[graft] def readFilesMor(spark: SparkSession, dir: String,
+      files: Seq[FileEntry], deletes: Seq[DeleteEntry],
+      schema: Option[StructType]): DataFrame = {
+    val groups = morGroups(files, deletes)
+    if (groups.size == 1 && groups.head._2.isEmpty)
+      readFiles(spark, dir, files, schema)
+    else groups.map { case (fs, ds) =>
+      applyDeletes(spark, dir, readFiles(spark, dir, fs, schema), ds)
+    }.reduce(_.unionByName(_))
   }
 
   final case class HistoryEntry(version: Long, action: String,
@@ -981,7 +1145,11 @@ object SnapshotTable {
     val cur = currentVersion(spark, dir)
     require(cur.exists(_ >= version),
       s"cannot restore $dir to v$version: table is at ${cur.getOrElse(-1L)}")
-    val files = snapshotFiles(spark, dir, Some(version))
+    // the as-of state WHOLE: files with their original seqs AND the
+    // equality deletes live at that version — restoring to a pre-delete
+    // version resurrects the rows, to a post-delete version keeps them
+    // deleted, both byte-free
+    val (files, dels) = snapshotState(spark, dir, Some(version))
     val schema = snapshotSchema(spark, dir, Some(version))
     // version-pinned: a commit landing between the decision to restore
     // and the publish FAILS the restore (ConcurrentModificationException)
@@ -989,7 +1157,8 @@ object SnapshotTable {
     // the table that actually exists (Delta RESTORE conflicts the same
     // way).
     publish(spark, dir, "overwrite", files, maxRetries = 3,
-      schemaJson = schema.map(_.json), expectedVersion = cur)
+      schemaJson = schema.map(_.json), expectedVersion = cur,
+      deletes = dels)
   }
 
   /** [[restore]] to the snapshot live at a wall-clock instant. */
@@ -1047,7 +1216,7 @@ object SnapshotTable {
   def scanPruned(spark: SparkSession, dir: String, column: String,
                  lo: Double, hi: Double,
                  version: Option[Long] = None): (DataFrame, Int, Int) = {
-    val files = snapshotFiles(spark, dir, version)
+    val (files, dels) = snapshotState(spark, dir, version)
     val schema = snapshotSchema(spark, dir, version)
     val kept = files.filter { e =>
       e.stats.get(column) match {
@@ -1060,7 +1229,7 @@ object SnapshotTable {
     // optimizer folds the false filter to an empty relation — no I/O)
     val base =
       if (kept.isEmpty) readFiles(spark, dir, files, schema).where(lit(false))
-      else readFiles(spark, dir, kept, schema)
+      else readFilesMor(spark, dir, kept, dels, schema)
     val df = base.where(rangePredicate(base, column, lo, hi))
     (df, kept.size, files.size)
   }
@@ -1089,10 +1258,25 @@ object SnapshotTable {
 
   /** Snapshot row count from the MANIFEST alone — zero data I/O at any
     * table size (the planner/monitoring query every table layer answers
-    * from metadata; a 100 TB table's COUNT(*) should not scan 100 TB). */
+    * from metadata; a 100 TB table's COUNT(*) should not scan 100 TB).
+    * Pending merge-on-read deletes make the manifest sum an UPPER bound
+    * only, so while any are live the count switches to an EXACT read of
+    * just the delete-affected file groups (unaffected files still price
+    * at zero I/O); [[compact]] restores the all-metadata answer. */
   def rowCount(spark: SparkSession, dir: String,
-               version: Option[Long] = None): Long =
-    snapshotFiles(spark, dir, version).map(_.rows).sum
+               version: Option[Long] = None): Long = {
+    val (files, dels) = snapshotState(spark, dir, version)
+    if (dels.isEmpty) files.map(_.rows).sum
+    else {
+      val schema = snapshotSchema(spark, dir, version)
+      morGroups(files, dels).map {
+        case (fs, ds) if ds.isEmpty => fs.map(_.rows).sum
+        case (fs, ds) =>
+          applyDeletes(spark, dir, readFiles(spark, dir, fs, schema), ds)
+            .count()
+      }.sum
+    }
+  }
 
   /** Manifest-pruned STRING range scan — [[scanPruned]]'s lexicographic
     * sibling, off the footer minStr/maxStr channel (date-partition-style
@@ -1102,7 +1286,7 @@ object SnapshotTable {
   def scanPrunedString(spark: SparkSession, dir: String, column: String,
                        lo: String, hi: String,
                        version: Option[Long] = None): (DataFrame, Int, Int) = {
-    val files = snapshotFiles(spark, dir, version)
+    val (files, dels) = snapshotState(spark, dir, version)
     val schema = snapshotSchema(spark, dir, version)
     val kept = files.filter { e =>
       e.stats.get(column) match {
@@ -1113,7 +1297,7 @@ object SnapshotTable {
     }
     val base =
       if (kept.isEmpty) readFiles(spark, dir, files, schema).where(lit(false))
-      else readFiles(spark, dir, kept, schema)
+      else readFilesMor(spark, dir, kept, dels, schema)
     val df = base.where(col(column) >= lo && col(column) <= hi)
     (df, kept.size, files.size)
   }
@@ -1184,10 +1368,13 @@ object SnapshotTable {
     val stabbed: Set[String] = stabbedNum ++ stabbedStr
     val (touched, carried) = files.partition(e =>
       stabbed.contains(e.path) || statless.contains(e.path))
-    // upsert = (touched rows minus updated keys) + all updates
+    // upsert = (touched rows minus updated keys) + all updates; pending
+    // MOR deletes apply to the touched read (no resurrection) and carry
+    // for the untouched files
     val survivors =
       if (touched.isEmpty) updates
-      else readFiles(spark, dir, touched, readSchema)
+      else readFilesMor(spark, dir, touched,
+          snapshotState(spark, dir, Some(readVersion))._2, readSchema)
         .join(broadcast(updates.select(col(keyCol)).distinct()),
           Seq(keyCol), "left_anti")
         .unionByName(updates, allowMissingColumns = true)
@@ -1219,7 +1406,8 @@ object SnapshotTable {
       (!env.isNullAt(2) && disjointFromRangesString(fls, keyCol,
         Seq((env.getString(2), env.getString(3)))))
     val v = publishRebasing(spark, dir, carried ++ fresh, Some(outSchema),
-      readVersion, commutes)
+      readVersion, commutes,
+      deletes = carriedDeletes(spark, dir, readVersion, carried))
     MergeReport(v, fresh.size, carried.size)
   }
 
@@ -1238,10 +1426,13 @@ object SnapshotTable {
     // fails the publish instead of being silently dropped
     val readVersion = currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(s"no snapshot table at $dir"))
-    val files = snapshotFiles(spark, dir, Some(readVersion))
+    val (files, pend) = snapshotState(spark, dir, Some(readVersion))
     val n = math.max(1,
       math.ceil(files.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    val df = readFiles(spark, dir, files,
+    // MOR deletes MATERIALIZE here: the rewrite reads delete-applied rows
+    // and the overwrite carries no delete entries — compact is the
+    // explicit "fold pending equality deletes into the data" lever
+    val df = readFilesMor(spark, dir, files, pend,
       snapshotSchema(spark, dir, Some(readVersion)))
     val packed = clusterBy match {
       case Some(c) => df.repartitionByRange(n, col(c))
@@ -1293,14 +1484,19 @@ object SnapshotTable {
     // ANSI mode a plain cast THROWS on the first malformed key instead of
     // yielding the NULL this survivor logic depends on.
     val castKey = col(keyCol).try_cast("double")
-    val survivors = readFiles(spark, dir, touched, schema)
+    // MOR-aware: pending equality deletes must be APPLIED to the
+    // rewritten files (else their rows resurrect into the fresh output)
+    // and CARRIED for the untouched ones
+    val pend = snapshotState(spark, dir, Some(readVersion))._2
+    val survivors = readFilesMor(spark, dir, touched, pend, schema)
       .filter(castKey.isNull || !castKey.between(lo, hi))
     val fresh = writeBatch(spark, dir, survivors,
       if (statsCols.nonEmpty) statsCols else Seq(keyCol))
     // an interleaved append commutes iff it provably holds no key in the
     // deleted range (the rebased delete then serializes BEFORE it)
     val v = publishRebasing(spark, dir, carried ++ fresh, schema,
-      readVersion, disjointFromRanges(_, keyCol, Seq((lo, hi))))
+      readVersion, disjointFromRanges(_, keyCol, Seq((lo, hi))),
+      deletes = carriedDeletes(spark, dir, readVersion, carried))
     DeleteReport(v, touched.map(_.rows).sum - fresh.map(_.rows).sum,
       fresh.size, carried.size)
   }
@@ -1333,14 +1529,104 @@ object SnapshotTable {
     // column: no cast can throw, no collation surprise (Spark string
     // ordering is binary, the same order the ORC footer stats use).
     val key = col(keyCol)
-    val survivors = readFiles(spark, dir, touched, schema)
+    val survivors = readFilesMor(spark, dir, touched,
+      snapshotState(spark, dir, Some(readVersion))._2, schema)
       .filter(key.isNull || !(key >= lo && key <= hi))
     val fresh = writeBatch(spark, dir, survivors,
       if (statsCols.nonEmpty) statsCols else Seq(keyCol))
     val v = publishRebasing(spark, dir, carried ++ fresh, schema,
-      readVersion, disjointFromRangesString(_, keyCol, Seq((lo, hi))))
+      readVersion, disjointFromRangesString(_, keyCol, Seq((lo, hi))),
+      deletes = carriedDeletes(spark, dir, readVersion, carried))
     DeleteReport(v, touched.map(_.rows).sum - fresh.map(_.rows).sum,
       fresh.size, carried.size)
+  }
+
+  /** The pending deletes a maintenance overwrite must CARRY: those still
+    * applicable to at least one carried (un-rewritten) file. Rewritten
+    * files get fresh seqs above every pending delete, so the carried
+    * subset is exactly what keeps carried rows correct without ever
+    * re-deleting rewritten ones. */
+  private def carriedDeletes(spark: SparkSession, dir: String,
+      readVersion: Long, carried: Seq[FileEntry]): Seq[DeleteEntry] =
+    if (carried.isEmpty) Nil
+    else snapshotState(spark, dir, Some(readVersion))._2
+      .filter(d => carried.exists(_.seq < d.seq))
+
+  final case class MorDeleteReport(version: Long, keys: Long,
+                                   sidecarBytes: Long)
+
+  /** MERGE-ON-READ equality delete (the Iceberg v2 delete-file shape):
+    * "remove every row whose `keyCol` is in `keys`" as ONE tiny sidecar
+    * write plus one commit — ZERO data-file I/O at any table size. The
+    * copy-on-write paths ([[delete]], SQL DML) rewrite whole data files,
+    * which is right when the delete is range-shaped or large; a
+    * 100-key point delete on a 100 TB table should not rewrite one byte
+    * of data. Semantics:
+    *
+    *   - the delete file's seq is its commit version; it applies to
+    *     every data file with a SMALLER seq, i.e. to all data present
+    *     when it commits — a row appended LATER with the same key is a
+    *     new row and survives (exactly Iceberg's sequence-number rule);
+    *   - readers ([[read]], scans, the DSv2 source) anti-join the key
+    *     set per affected file group; unaffected files scan untouched;
+    *   - any rewrite that touches an affected file ([[compact]],
+    *     [[cluster]], [[merge]], COW deletes, SQL DML) MATERIALIZES the
+    *     deletion into the rewritten files and the delete entry ages out
+    *     of the state once no applicable file survives — [[compact]] is
+    *     the explicit materialization lever;
+    *   - conflict-free by construction (commutes with appends, and with
+    *     rewrites by the as-of-commit-time reading of "remove these
+    *     keys"), so the publish needs no version pin: it cannot lose an
+    *     update because it carries none;
+    *   - NULL keys are dropped from the key set (an equality delete
+    *     cannot match NULL; use a COW rewrite to purge null-keyed rows);
+    *   - row counts from the manifest become upper bounds until
+    *     materialization ([[rowCount]] switches to an exact counted read
+    *     while deletes are pending).
+    *
+    * `keys` contributes its `keyCol` column (or its single column, cast
+    * to the table column's type). Returns the committed version, the
+    * distinct key count, and the sidecar's size. An empty key set
+    * commits nothing. */
+  def deleteByKeys(spark: SparkSession, dir: String, keyCol: String,
+                   keys: DataFrame): MorDeleteReport = {
+    val readVersion = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $dir"))
+    val schema = snapshotSchema(spark, dir, Some(readVersion))
+    val keyType = schema.flatMap(_.fields.find(_.name == keyCol))
+      .map(_.dataType)
+      .orElse(read(spark, dir, Some(readVersion)).schema.fields
+        .find(_.name == keyCol).map(_.dataType))
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot table $dir has no column '$keyCol'"))
+    val keyIn =
+      if (keys.columns.contains(keyCol)) col(keyCol)
+      else {
+        require(keys.columns.length == 1,
+          s"key frame must carry a '$keyCol' column or exactly one column")
+        col(keys.columns.head)
+      }
+    val keyFrame = keys.select(keyIn.cast(keyType).as(keyCol))
+      .na.drop().distinct()
+    val f = fs(spark, dir)
+    val batch = f"deletes-${java.util.UUID.randomUUID().toString.take(12)}"
+    val batchDir = new Path(new Path(dir, "data"), batch)
+    // one sidecar file: equality-delete key sets are small by contract
+    keyFrame.coalesce(1).write.mode("overwrite").orc(batchDir.toString)
+    val parts = f.listStatus(batchDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val harvested = harvest(spark, parts, Nil)
+    val nKeys = harvested.map(_.rows).sum
+    if (nKeys == 0L) {
+      f.delete(batchDir, true)
+      return MorDeleteReport(readVersion, 0L, 0L)
+    }
+    val entries = harvested.map(e => DeleteEntry(
+      s"data/$batch/${new Path(e.path).getName}", e.rows, e.bytes, keyCol))
+    val v = publish(spark, dir, "rowdelete", Nil, maxRetries = 20,
+      schemaJson = schema.map(_.json), deletes = entries)
+    MorDeleteReport(v, nKeys, entries.map(_.bytes).sum)
   }
 
   final case class ClusterReport(version: Long, filesRewritten: Int,
@@ -1414,14 +1700,17 @@ object SnapshotTable {
         math.ceil(touched.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val schema = snapshotSchema(spark, dir, Some(readVersion))
     val relaid = OrcSink.zOrderFrame(
-      readFiles(spark, dir, touched, schema), zCols, bits, n)
+      readFilesMor(spark, dir, touched,
+        snapshotState(spark, dir, Some(readVersion))._2, schema),
+      zCols, bits, n)
     val fresh = writeBatch(spark, dir, relaid,
       if (statsCols.nonEmpty) statsCols else zCols)
     // clustering rewrites the read snapshot's poorly-shaped files only;
     // every interleaved append commutes (it just rides unclustered until
     // the next maintenance pass scores it)
     val v = publishRebasing(spark, dir, carried ++ fresh, schema,
-      readVersion, _ => true)
+      readVersion, _ => true,
+      deletes = carriedDeletes(spark, dir, readVersion, carried))
     ClusterReport(v, fresh.size, carried.size)
   }
 
@@ -1440,8 +1729,8 @@ object SnapshotTable {
     require(span.nonEmpty, s"empty version span ($fromVersion, $to]")
     val commits = span.map(readCommit(spark, dir, _))
     require(commits.forall(_.action == "append"),
-      s"span ($fromVersion, $to] crosses an overwrite commit — " +
-        "re-read the snapshot instead")
+      s"span ($fromVersion, $to] crosses a non-append commit — " +
+        "re-read the snapshot (or use changeFeed for row-level deltas)")
     // the span's own merged schema (commits in a feed can add columns)
     val schemas = commits.map(_.schemaJson.map(j =>
       org.apache.spark.sql.types.DataType.fromJson(j).asInstanceOf[StructType]))
@@ -1493,6 +1782,25 @@ object SnapshotTable {
     val span = vs.filter(v => v >= fromVersion && v <= to)
     require(span.nonEmpty, s"empty version span [$fromVersion, $to]")
 
+    // RAW-FILE slices cannot represent merge-on-read deletes: a
+    // rowdelete's removed rows are a key-filtered subset, and a span
+    // crossing a delete-carrying state would over-emit removed files'
+    // already-deleted rows. Fence LOUDLY (the DSv2 CDF scan consumes
+    // these); the programmatic [[changeFeed]] is MOR-aware, and
+    // [[compact]] materializes so the span becomes representable.
+    val preDeletes =
+      if (fromVersion == vs.head) Nil
+      else snapshotState(spark, dir, Some(fromVersion - 1))._2
+    val spanCommits = span.map(v => v -> readCommit(spark, dir, v))
+    if (preDeletes.nonEmpty ||
+        spanCommits.exists(_._2.deletes.nonEmpty) ||
+        spanCommits.exists(_._2.action == "rowdelete"))
+      throw new IllegalStateException(
+        s"change-feed span [$fromVersion, $to] of $dir involves " +
+          "merge-on-read equality deletes, which file-level CDF slices " +
+          "cannot represent — use SnapshotTable.changeFeed (row-level, " +
+          "MOR-aware) or compact the table to materialize the deletes")
+
     // running manifest + schema BEFORE the span (empty when the span
     // opens at the oldest surviving version's own overwrite)
     var running: Map[String, FileEntry] =
@@ -1504,8 +1812,7 @@ object SnapshotTable {
     var runSchema: Option[StructType] =
       if (fromVersion == vs.head) None
       else snapshotSchema(spark, dir, Some(fromVersion - 1))
-    span.foreach { v =>
-      val c = readCommit(spark, dir, v)
+    spanCommits.foreach { case (v, c) =>
       val cSchema = c.schemaJson.map(j =>
         DataType.fromJson(j).asInstanceOf[StructType])
       if (c.action == "append") {
@@ -1534,16 +1841,117 @@ object SnapshotTable {
     slices.result()
   }
 
+  /** Row-level change frames over [fromVersion, toVersion] — the
+    * MOR-AWARE replay behind [[changeFeed]]. Where [[changeSlices]]
+    * fences on equality deletes (its file-level unit cannot express
+    * them), this path computes the exact row-multiset delta:
+    *
+    *   - a ROWDELETE commit emits as deletes the rows its key set
+    *     removes from the predecessor's LOGICAL content (the MOR-applied
+    *     read of the files it governs, semi-joined with the keys —
+    *     bounded by matched rows, never a table scan);
+    *   - an OVERWRITE diff reads removed files MOR-APPLIED under the
+    *     predecessor's pending deletes (a compaction that materializes a
+    *     delete must not re-emit the already-deleted rows), and any
+    *     CARRIED file whose applicable-delete set changed (restore
+    *     across a delete boundary) emits its old logical rows as deletes
+    *     and its new logical rows as inserts;
+    *   - appends are unaffected (fresh files outrank every pending
+    *     delete by seq). */
+  private def changeFrames(spark: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Option[Long])
+      : Seq[(DataFrame, String, Long, Long)] = {
+    val vs = versions(spark, dir)
+    val to = toVersion.getOrElse(vs.last)
+    require(vs.contains(fromVersion),
+      s"changeFeed from v$fromVersion: version not in the surviving log " +
+        s"(oldest is ${vs.headOption.getOrElse(-1L)} — expired history " +
+        "cannot be replayed as changes)")
+    val span = vs.filter(v => v >= fromVersion && v <= to)
+    require(span.nonEmpty, s"empty version span [$fromVersion, $to]")
+
+    var running: Map[String, FileEntry] =
+      if (fromVersion == vs.head) Map.empty
+      else snapshotFiles(spark, dir, Some(fromVersion - 1))
+        .map(e => e.path -> e).toMap
+    var runDels: Seq[DeleteEntry] =
+      if (fromVersion == vs.head) Nil
+      else snapshotState(spark, dir, Some(fromVersion - 1))._2
+    var runSchema: Option[StructType] =
+      if (fromVersion == vs.head) None
+      else snapshotSchema(spark, dir, Some(fromVersion - 1))
+
+    val out = Seq.newBuilder[(DataFrame, String, Long, Long)]
+    span.foreach { v =>
+      val c = readCommit(spark, dir, v)
+      val cSchema = c.schemaJson.map(j =>
+        DataType.fromJson(j).asInstanceOf[StructType])
+      def mergedSchema: Option[StructType] = (runSchema, cSchema) match {
+        case (Some(a), Some(b)) => Some(mergeByName(a, b))
+        case (a, b) => b.orElse(a)
+      }
+      c.action match {
+        case "append" =>
+          if (c.files.nonEmpty)
+            out += ((readFiles(spark, dir, c.files, cSchema), "insert", v,
+              c.timestampMs))
+          c.files.foreach(e => running += e.path -> e)
+          runSchema = mergedSchema
+        case "rowdelete" =>
+          c.deletes.foreach { d =>
+            val subject = running.valuesIterator
+              .filter(_.seq < d.seq).toSeq
+            if (subject.nonEmpty) {
+              val base = readFilesMor(spark, dir, subject, runDels,
+                runSchema)
+              val rows =
+                if (!base.columns.contains(d.keyCol)) base.limit(0)
+                else {
+                  val keys = deleteKeysFrame(spark, dir, Seq(d), d.keyCol)
+                  base.join(broadcast(keys),
+                    base(d.keyCol) === keys("__graft_delkey"), "left_semi")
+                }
+              out += ((rows, "delete", v, c.timestampMs))
+            }
+            runDels = (runDels :+ d).sortBy(_.seq)
+          }
+          runSchema = mergedSchema
+        case _ => // overwrite
+          val newSet = c.files.map(e => e.path -> e).toMap
+          val newDels = c.deletes
+          def app(f: FileEntry, ds: Seq[DeleteEntry]): Set[String] =
+            ds.filter(d => f.seq < d.seq).map(_.path).toSet
+          val removed = running.valuesIterator
+            .filterNot(e => newSet.contains(e.path)).toSeq
+          val added = c.files.filterNot(e => running.contains(e.path))
+          val changed = c.files.filter(e => running.contains(e.path) &&
+            app(running(e.path), runDels) != app(e, newDels))
+          val delSide = removed ++ changed.map(e => running(e.path))
+          if (delSide.nonEmpty)
+            out += ((readFilesMor(spark, dir, delSide, runDels, runSchema),
+              "delete", v, c.timestampMs))
+          val insSide = added ++ changed
+          if (insSide.nonEmpty)
+            out += ((readFilesMor(spark, dir, insSide, newDels,
+              mergedSchema), "insert", v, c.timestampMs))
+          running = newSet
+          runDels = newDels
+          runSchema = cSchema.orElse(runSchema)
+      }
+    }
+    out.result()
+  }
+
   def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
                  toVersion: Option[Long] = None): DataFrame = {
     val vs = versions(spark, dir)
     val to = toVersion.getOrElse(vs.last)
-    val frames = changeSlices(spark, dir, fromVersion, toVersion).map { s =>
-      readFiles(spark, dir, s.files, s.schema)
-        .withColumn("_change_type", lit(s.typ))
-        .withColumn("_commit_version", lit(s.v))
-        .withColumn("_commit_timestamp",
-          org.apache.spark.sql.functions.timestamp_millis(lit(s.ts)))
+    val frames = changeFrames(spark, dir, fromVersion, toVersion).map {
+      case (df, typ, v, ts) =>
+        df.withColumn("_change_type", lit(typ))
+          .withColumn("_commit_version", lit(v))
+          .withColumn("_commit_timestamp",
+            org.apache.spark.sql.functions.timestamp_millis(lit(ts)))
     }
     if (frames.isEmpty) {
       // a span of empty commits: an empty frame in the table's schema
@@ -1690,13 +2098,19 @@ object SnapshotTable {
     // degrading (readCkpt's lenient Option is fine for reads, where a lost
     // checkpoint only slows replay; for deletion it would widen the dead
     // set, so corruption must stop the reclaim).
-    val ckptRef = checkpointVersions(f, dir).flatMap { cv =>
+    val ckptRef = checkpointVersions(f, dir).map { cv =>
       readCkpt(f, dir, cv).getOrElse(throw new IllegalStateException(
         s"checkpoint ckpt-$cv at $dir is unreadable — refusing to vacuum " +
-          "(cannot prove which data files it references)")).files
+          "(cannot prove which data files it references)"))
     }
-    val referenced = (vs.flatMap(v => readCommit(spark, dir, v).files)
-      ++ ckptRef).map(_.path).toSet
+    // referenced = data files AND merge-on-read delete sidecars named by
+    // any surviving commit or checkpoint (a reclaimed delete sidecar
+    // would silently RESURRECT its deleted rows — worse than leaking it)
+    val commits = vs.map(v => readCommit(spark, dir, v))
+    val referenced = (commits.flatMap(_.files) ++ ckptRef.flatMap(_.files))
+      .map(_.path).toSet ++
+      (commits.flatMap(_.deletes) ++ ckptRef.flatMap(_.deletes))
+        .map(_.path).toSet
     val dataDir = new Path(dir, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val cutoff = System.currentTimeMillis() - retentionMs

@@ -150,11 +150,37 @@ private[sources] class SnapshotTableTable(
     * group-based rewrite — the fast path may only ever be an
     * optimization, never a semantics change (both paths keep
     * NULL-condition rows). */
+  /** Merge-on-read routing for SQL DELETE is OPT-IN
+    * (`spark.graft.table.delete.mode=mor`): a key-shaped WHERE
+    * (`col IN (...)` / `col = v`) then lands as ONE equality-delete
+    * sidecar — zero data-file I/O at any table size — instead of a
+    * copy-on-write rewrite. Range-shaped deletes keep the metadata/COW
+    * path in either mode. */
+  private def morDeleteMode: Boolean =
+    SparkSession.active.conf
+      .getOption("spark.graft.table.delete.mode").contains("mor")
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    (morDeleteMode &&
+      MetadataDelete.planMorKeys(filters, schema0).isDefined) ||
     MetadataDelete.plan(filters).isDefined
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
+    val morPlan =
+      if (morDeleteMode) MetadataDelete.planMorKeys(filters, schema0)
+      else None
+    morPlan match {
+      case Some((keyCol, values)) =>
+        val rows = values.map(v =>
+          org.apache.spark.sql.Row(v.toString)).asJava
+        val keys = spark.createDataFrame(rows, StructType(Seq(
+          org.apache.spark.sql.types.StructField(keyCol,
+            org.apache.spark.sql.types.StringType))))
+        SnapshotTable.deleteByKeys(spark, dir, keyCol, keys)
+        return
+      case None =>
+    }
     MetadataDelete.plan(filters) match {
       case Some(MetadataDelete.Truncate) =>
         SnapshotTable.publish(spark, dir, "overwrite", Nil,
@@ -612,6 +638,34 @@ private[sources] object MetadataDelete {
       Some(StrRange(column, sLo.get, sHi.get))
     else None
   }
+
+  /** Key-shaped DELETE for merge-on-read routing: exactly one filter,
+    * `col IN (...)` or `col = v`, null-free values, on a column whose
+    * type an equality-delete key sidecar can represent faithfully
+    * through a string round-trip (strings, integrals, float/double via
+    * shortest-repr parse, decimals). Anything else — ranges, conjuncts,
+    * nullable IN lists, temporal/binary keys — returns None and keeps
+    * the metadata/COW path. */
+  def planMorKeys(filters: Array[Filter],
+      schema: org.apache.spark.sql.types.StructType)
+      : Option[(String, Seq[Any])] = {
+    import org.apache.spark.sql.types._
+    def keyable(c: String): Boolean =
+      schema.fields.find(_.name == c).map(_.dataType).exists {
+        case StringType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _: DecimalType => true
+        case _ => false
+      }
+    filters match {
+      case Array(org.apache.spark.sql.sources.In(c, vs))
+          if vs.nonEmpty && !vs.contains(null) && keyable(c) =>
+        Some((c, vs.toSeq))
+      case Array(Eq(c, v)) if v != null && keyable(c) =>
+        Some((c, Seq(v)))
+      case _ => None
+    }
+  }
 }
 
 /** Stats-channel file pruning shared by the DSv2 batch scan: per-column
@@ -732,6 +786,28 @@ private[sources] object SnapshotTableScan {
     if (bin.nonEmpty) parts += GraftTablePartition(bin.toArray)
     parts.result().toArray[InputPartition]
   }
+
+  /** [[pack]] with merge-on-read obligations attached: files group by
+    * which pending equality deletes apply ([[SnapshotTable.morGroups]]),
+    * each group bin-packs separately, and its partitions carry the
+    * group's delete sidecars (consolidated per key column) for the
+    * reader to anti-apply. No pending deletes -> plain pack, zero
+    * overhead. A delete on a column the table schema lacks matches
+    * nothing (rows null-fill it) and is dropped here. */
+  def packMor(dir: String, files: Seq[SnapshotTable.FileEntry],
+      deletes: Seq[SnapshotTable.DeleteEntry], fullSchema: StructType,
+      targetBytes: Long): Array[InputPartition] =
+    SnapshotTable.morGroups(files, deletes).flatMap { case (fs, ds) =>
+      val morFilters = ds.groupBy(_.keyCol).toSeq.sortBy(_._1)
+        .flatMap { case (kc, group) =>
+          fullSchema.fields.find(_.name == kc).map(f => MorFilter(
+            group.map(d => s"$dir/${d.path}").toArray, kc,
+            f.dataType.json))
+        }.toArray
+      pack(dir, fs, targetBytes).map(p => GraftTablePartition(
+        p.asInstanceOf[GraftTablePartition].paths,
+        morFilters): InputPartition)
+    }.toArray
 }
 
 private[sources] class SnapshotTableScan(
@@ -785,10 +861,10 @@ private[sources] class SnapshotTableScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val version = SnapshotTableScan.resolveVersion(spark, dir, options)
-      SnapshotTableScan.pack(dir,
-        ManifestPruning.prune(
-          SnapshotTable.snapshotFiles(spark, dir, version),
-          pruningFilters.toSeq), targetBytes)
+      val (files, dels) = SnapshotTable.snapshotState(spark, dir, version)
+      SnapshotTableScan.packMor(dir,
+        ManifestPruning.prune(files, pruningFilters.toSeq), dels,
+        fullSchema, targetBytes)
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftTableReaderFactory(required,
@@ -798,7 +874,7 @@ private[sources] class SnapshotTableScan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
-    new SnapshotTableMicroBatchStream(required, dir, options,
+    new SnapshotTableMicroBatchStream(fullSchema, required, dir, options,
       pruningFilters)
 }
 
@@ -817,7 +893,17 @@ private[sources] class SerConf(@transient var value: Configuration)
   }
 }
 
-private[sources] case class GraftTablePartition(paths: Array[String])
+/** One merge-on-read equality-delete obligation a reader task must
+  * honor: the key sidecar paths (absolute), the key column, and its
+  * Catalyst type (as JSON — the partition must stay serializable).
+  * Sidecars are small by the MOR contract, so each task materializes
+  * the key set as an in-memory hash set — the Iceberg eq-delete
+  * application shape. */
+private[sources] case class MorFilter(paths: Array[String],
+    keyCol: String, typeJson: String)
+
+private[sources] case class GraftTablePartition(paths: Array[String],
+    mor: Array[MorFilter] = Array.empty)
   extends InputPartition
 
 private[sources] class GraftTableReaderFactory(
@@ -826,10 +912,11 @@ private[sources] class GraftTableReaderFactory(
     withFileMeta: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] =
-    new GraftTablePartitionReader(
-      partition.asInstanceOf[GraftTablePartition].paths, required,
-      conf.value, filters, withFileMeta)
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftTablePartition]
+    new GraftTablePartitionReader(p.paths, required,
+      conf.value, filters, withFileMeta, p.mor)
+  }
 }
 
 /** Reads the partition's ORC files row-by-row, matching the table's
@@ -841,7 +928,8 @@ private[sources] class GraftTableReaderFactory(
 private[sources] class GraftTablePartitionReader(
     paths: Array[String], required: StructType, conf: Configuration,
     filters: Array[Filter] = Array.empty,
-    withFileMeta: Boolean = false)
+    withFileMeta: Boolean = false,
+    mor: Array[MorFilter] = Array.empty)
   extends PartitionReader[InternalRow] {
 
   private val deser = new GraftOrcBridge.RowDeser(required)
@@ -857,6 +945,78 @@ private[sources] class GraftTablePartitionReader(
   private val joined =
     new org.apache.spark.sql.catalyst.expressions.JoinedRow
 
+  // ---- merge-on-read equality-delete application (per-task, the
+  // Iceberg eq-delete shape): each obligation's key sidecars load once
+  // into a hash set; rows whose key is in the set are skipped BEFORE
+  // deserializing the full row. The key column is read from the file
+  // even when the query pruned it (and never emitted).
+  private val morTypes: Array[org.apache.spark.sql.types.DataType] =
+    mor.map(m => org.apache.spark.sql.types.DataType.fromJson(m.typeJson))
+  private val morDesers: Array[GraftOrcBridge.RowDeser] =
+    mor.zipWithIndex.map { case (m, i) =>
+      new GraftOrcBridge.RowDeser(StructType(Seq(
+        org.apache.spark.sql.types.StructField(m.keyCol, morTypes(i)))))
+    }
+  private lazy val morKeys: Array[java.util.HashSet[Any]] =
+    mor.zipWithIndex.map { case (m, i) => loadMorKeys(m, i) }
+  // per-current-file: each obligation's key-column index (-1 = column
+  // absent in this file -> its rows null-fill -> nothing matches)
+  private var morFieldIdx: Array[Int] = Array.empty
+
+  private def loadMorKeys(m: MorFilter,
+      i: Int): java.util.HashSet[Any] = {
+    val set = new java.util.HashSet[Any]()
+    val one = new Array[WritableComparable[_]](1)
+    m.paths.foreach { p =>
+      val orc = OrcFile.createReader(new Path(p),
+        OrcFile.readerOptions(conf))
+      val ki = orc.getSchema.getFieldNames.asScala.indexOf(m.keyCol)
+      val rr = new OrcMapreduceRecordReader[OrcStruct](orc, orc.options())
+      try {
+        while (rr.nextKeyValue()) {
+          one(0) = if (ki >= 0)
+            rr.getCurrentValue.getFieldValue(ki)
+              .asInstanceOf[WritableComparable[_]]
+          else null
+          if (one(0) != null) {
+            val v = morDesers(i).fromValues(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(one))
+              .get(0, morTypes(i))
+            v match {
+              case null =>
+              case s: org.apache.spark.unsafe.types.UTF8String =>
+                set.add(s.clone()) // the set RETAINS; clone off any reuse
+              case other => set.add(other)
+            }
+          }
+        }
+      } finally rr.close()
+    }
+    set
+  }
+
+  /** True when any MOR obligation's key set holds this row's key. */
+  private def morDeleted(struct: OrcStruct): Boolean = {
+    var i = 0
+    while (i < mor.length) {
+      val fi = morFieldIdx(i)
+      if (fi >= 0) {
+        val w = struct.getFieldValue(fi)
+          .asInstanceOf[WritableComparable[_]]
+        if (w != null) {
+          val one = new Array[WritableComparable[_]](1)
+          one(0) = w
+          val v = morDesers(i).fromValues(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(one))
+            .get(0, morTypes(i))
+          if (v != null && morKeys(i).contains(v)) return true
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
   private def openNext(): Boolean = {
     close()
     fileIdx += 1
@@ -868,11 +1028,14 @@ private[sources] class GraftTablePartitionReader(
     val fileSchema = orc.getSchema
     val names = fileSchema.getFieldNames.asScala.toIndexedSeq
     fieldIdx = required.fieldNames.map(names.indexOf)
-    // include mask: root + the subtree of every required column present
+    morFieldIdx = mor.map(m => names.indexOf(m.keyCol))
+    // include mask: root + the subtree of every required column present,
+    // plus each MOR obligation's key column (read for the filter even
+    // when pruned from the projection)
     val include = new Array[Boolean](fileSchema.getMaximumId + 1)
     include(0) = true
     val children = fileSchema.getChildren.asScala
-    fieldIdx.foreach { i =>
+    (fieldIdx ++ morFieldIdx).foreach { i =>
       if (i >= 0) {
         val c = children(i)
         (c.getId to c.getMaximumId).foreach(id => include(id.toInt) = true)
@@ -894,10 +1057,14 @@ private[sources] class GraftTablePartitionReader(
   }
 
   override def next(): Boolean = {
-    while (reader == null || !reader.nextKeyValue()) {
-      if (!openNext()) return false
+    while (true) {
+      while (reader == null || !reader.nextKeyValue()) {
+        if (!openNext()) return false
+      }
+      if (mor.isEmpty || !morDeleted(reader.getCurrentValue)) return true
+      // row is merge-on-read deleted: keep advancing
     }
-    true
+    false // unreachable
   }
 
   override def get(): InternalRow = {
@@ -926,6 +1093,7 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 
 /** Version-offset micro-batch stream over the snapshot-table log. */
 private[sources] class SnapshotTableMicroBatchStream(
+    fullSchema: StructType,
     required: StructType, dir: String, options: CaseInsensitiveStringMap,
     pruningFilters: Array[Filter] = Array.empty)
   extends MicroBatchStream
@@ -987,11 +1155,12 @@ private[sources] class SnapshotTableMicroBatchStream(
     if (from < 0) {
       // batch 0: the full snapshot as of `to` (manifest-pruned by the
       // pushed conjuncts — residuals re-apply post-scan, so dropping
-      // provably-dead files is sound here exactly as in batch)
-      SnapshotTableScan.pack(dir,
-        ManifestPruning.prune(
-          SnapshotTable.snapshotFiles(spark, dir, Some(to)),
-          pruningFilters.toSeq), target)
+      // provably-dead files is sound here exactly as in batch; pending
+      // merge-on-read deletes apply like any snapshot read)
+      val (files, dels) = SnapshotTable.snapshotState(spark, dir, Some(to))
+      SnapshotTableScan.packMor(dir,
+        ManifestPruning.prune(files, pruningFilters.toSeq), dels,
+        fullSchema, target)
     } else {
       val ignoreChanges =
         Option(options.get("ignoreChanges")).exists(_.toBoolean)
@@ -1269,8 +1438,10 @@ private[sources] class GraftRowLevelOperation(
           pruning.toSeq)
         val isReplaceDataScan = // later builds = matching scans
           pinFirstBuild(version, groups, pruning)
-        new GraftRowLevelScan(GraftRowLevelOperation.this, dir, required,
-          groups, pruning, withFileMeta, isReplaceDataScan)
+        new GraftRowLevelScan(GraftRowLevelOperation.this, dir,
+          fullSchema, required, groups, pruning, withFileMeta,
+          isReplaceDataScan,
+          SnapshotTable.snapshotState(spark, dir, Some(version))._2)
       }
     }
 
@@ -1323,11 +1494,13 @@ private[sources] class GraftRowLevelOperation(
   * table rewrite and a single-file rewrite. The narrowed set re-pins
   * the operation so the commit carries everything else untouched. */
 private[sources] class GraftRowLevelScan(
-    op: GraftRowLevelOperation, dir: String, required: StructType,
+    op: GraftRowLevelOperation, dir: String,
+    fullSchema: StructType, required: StructType,
     groups0: Seq[SnapshotTable.FileEntry],
     pruningFilters: Array[Filter],
     withFileMeta: Boolean,
-    isReplaceDataScan: Boolean) extends Scan
+    isReplaceDataScan: Boolean,
+    pendingDels: Seq[SnapshotTable.DeleteEntry]) extends Scan
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   @volatile private var groups: Seq[SnapshotTable.FileEntry] = groups0
@@ -1366,7 +1539,11 @@ private[sources] class GraftRowLevelScan(
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val spark = SparkSession.active
-      SnapshotTableScan.pack(dir, groups,
+      // pending MOR deletes apply to BOTH scans of the command: the
+      // ReplaceData read (a deleted row must not resurrect into the
+      // replacement output) and the matching-rows subquery (a deleted
+      // row cannot justify rewriting its file)
+      SnapshotTableScan.packMor(dir, groups, pendingDels, fullSchema,
         spark.sessionState.conf.filesMaxPartitionBytes)
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -1425,10 +1602,16 @@ private[sources] class GraftReplaceDataWrite(
     // A long MERGE racing one streaming micro-batch then lands instead
     // of re-running. Anything unprovable (no pushable bounds, missing
     // stats, non-append commit) rethrows CME and the caller re-runs.
+    // pending MOR deletes still applicable to a CARRIED file must ride
+    // into the replacement commit (the rewritten files materialized
+    // them; the carried ones still need them at read)
+    val dels = SnapshotTable.snapshotState(spark, dir, Some(readVersion))
+      ._2.filter(d => carried.exists(_.seq < d.seq))
     SnapshotTable.publishRebasing(spark, dir, carried ++ fresh, schema,
       readVersion,
       commutes = files =>
-        ManifestPruning.prune(files, op.pinnedFilters.toSeq).isEmpty)
+        ManifestPruning.prune(files, op.pinnedFilters.toSeq).isEmpty,
+      deletes = dels)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
