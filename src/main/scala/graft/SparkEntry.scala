@@ -163,7 +163,12 @@ object SparkEntry {
     // metadata-only ranged DELETE fast path — plus the change data feed
     // in both shapes (batch net-mass gate, DML-aware streaming source)
     "conv_table_sql_merge", "conv_table_sql_delete", "conv_table_cdf",
-    "stream_table_cdf")
+    "stream_table_cdf",
+    // round-14 (cont. 3): merge-on-read equality deletes — a point
+    // DELETE writes one key sidecar instead of rewriting data files
+    // (zero data I/O; the Iceberg v2 delete-file shape). The COW row
+    // (conv_table_sql_delete) is the direct cost comparison.
+    "conv_table_mor_delete", "conv_table_mor_sql")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -1724,6 +1724,107 @@ object ConverterQueries {
           lit(r.filesCarried * 2 >= r.filesCarried + r.filesRewritten))
     },
 
+    // MERGE-ON-READ equality delete (r14 cont. 3): the scale-critical
+    // complement to the COW paths — "remove these keys" lands as ONE
+    // small key sidecar + a rowdelete commit with ZERO data-file I/O
+    // (the Iceberg v2 delete-file shape), and every read surface
+    // anti-applies the key set. The gate pins: content (DuckDB replays
+    // the complement), NOT ONE data file rewritten (manifest path set
+    // identical), the commit action, pre-delete time travel, the key
+    // tally, and rowCount's exact read-based fallback while the delete
+    // is pending.
+    "conv_table_mor_delete" -> { (s, d) =>
+      val base = tmp(d, "snapmordelete") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      val before = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      val rep = SnapshotTable.deleteByKeys(s, base, "o_orderkey",
+        orders.filter(col("o_orderkey") % 97 === 0).select("o_orderkey"))
+      val after = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      val exact = SnapshotTable.rowCount(s, base)
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_keys", lit(rep.keys))
+        .withColumn("zero_rewrites", lit(before == after))
+        .withColumn("one_rowdelete_commit",
+          lit(SnapshotTable.commitStats(s, base, 1L)._1 == "rowdelete"))
+        .withColumn("v0_n",
+          lit(SnapshotTable.read(s, base, Some(0L)).count()))
+        .withColumn("exact_rowcount", lit(exact))
+    },
+
+    // MOR lifecycle: delete keys -> re-append HALF of them (sequence
+    // rule: rows appended after the delete survive it) -> compact
+    // (materializes: pending deletes fold into the data and age out of
+    // the state; manifest row counts are exact again). DuckDB replays
+    // the final content as complement-UNION-readded.
+    "conv_table_mor_lifecycle" -> { (s, d) =>
+      val base = tmp(d, "snapmorlife") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      SnapshotTable.deleteByKeys(s, base, "o_orderkey",
+        orders.filter(col("o_orderkey") % 131 === 0).select("o_orderkey"))
+      val v1n = SnapshotTable.read(s, base, Some(1L)).count()
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 131 === 0 &&
+          col("o_orderkey") % 2 === 0),
+        base, "append", statsCols = Seq("o_orderkey"))
+      val pendBefore = SnapshotTable.pendingDeletes(s, base).size
+      SnapshotTable.compact(s, base, targetBytes = 64L << 20,
+        clusterBy = Some("o_orderkey"), statsCols = Seq("o_orderkey"))
+      val pendAfter = SnapshotTable.pendingDeletes(s, base).size
+      val manifestRows = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.rows).sum
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("v1_n", lit(v1n))
+        .withColumn("pending_before", lit(pendBefore.toLong))
+        .withColumn("pending_after", lit(pendAfter.toLong))
+        .withColumn("manifest_exact", lit(manifestRows))
+    },
+
+    // SQL DELETE ... WHERE key IN (...) routed to MOR under the opt-in
+    // session mode: the statement commits a rowdelete (zero data
+    // rewrites) instead of a copy-on-write group rewrite. Literal key
+    // list so the oracle replays NOT IN verbatim.
+    "conv_table_mor_sql" -> { (s, d) =>
+      val base = tmp(d, "snapmorsql") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      val before = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      s.conf.set("spark.graft.table.delete.mode", "mor")
+      try s.sql(s"DELETE FROM graft.`$base` " +
+        s"WHERE o_orderkey IN (${(1 to 64).mkString(", ")})")
+      finally s.conf.unset("spark.graft.table.delete.mode")
+      val after = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("zero_rewrites", lit(before == after))
+        .withColumn("routed_mor",
+          lit(SnapshotTable.commitStats(s, base, 1L)._1 == "rowdelete"))
+    },
+
     // SQL DML gates (r14): DELETE FROM / UPDATE / MERGE INTO through the
     // path catalog — Spark's group-based (copy-on-write) row-level
     // operation contract over the snapshot table. Each gate stages an
@@ -2622,6 +2723,52 @@ object ConverterQueries {
         | TRUE AS v0_intact,
         | TRUE AS carried_majority
         |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2500""".stripMargin,
+
+    // Merge-on-read delete: content = the key-set complement; the
+    // zero-rewrite / commit-action / time-travel / exact-count verdicts
+    // pinned. exact_rowcount (the read-based fallback) must equal n.
+    "conv_table_mor_delete" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 97 = 0)
+        |   AS n_keys,
+        | TRUE AS zero_rewrites,
+        | TRUE AS one_rowdelete_commit,
+        | (SELECT COUNT(*) FROM orders) AS v0_n,
+        | COUNT(*) AS exact_rowcount
+        |FROM orders WHERE o_orderkey % 97 <> 0""".stripMargin,
+
+    // MOR lifecycle: final content = complement UNION the re-appended
+    // even half (sequence rule); the materialization verdicts pinned
+    // and the post-compact manifest row sum must be exact again.
+    "conv_table_mor_lifecycle" ->
+      """WITH fin AS (
+        |  SELECT * FROM orders WHERE o_orderkey % 131 <> 0
+        |  UNION ALL
+        |  SELECT * FROM orders
+        |   WHERE o_orderkey % 131 = 0 AND o_orderkey % 2 = 0)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 131 <> 0)
+        |   AS v1_n,
+        | CAST(1 AS BIGINT) AS pending_before,
+        | CAST(0 AS BIGINT) AS pending_after,
+        | COUNT(*) AS manifest_exact
+        |FROM fin""".stripMargin,
+
+    "conv_table_mor_sql" ->
+      s"""SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | TRUE AS zero_rewrites,
+        | TRUE AS routed_mor
+        |FROM orders
+        |WHERE o_orderkey NOT IN (${(1 to 64).mkString(", ")})""".stripMargin,
 
     // SQL DML oracles: DuckDB replays each statement's final content
     // from raw orders; the protocol verdicts (atomic single commit,
