@@ -319,6 +319,19 @@ object Cli {
           rep(s"${name(tableDir)}@v${r.version} deleted=${r.rowsDeleted} " +
             s"rewrote=${r.filesRewritten} carried=${r.filesCarried}",
             r.rowsDeleted, r.filesRewritten)
+        // delete-keys <table_dir> <key_col> <k1,k2,...> — MERGE-ON-READ
+        // equality delete: one key sidecar + a rowdelete commit, ZERO
+        // data-file rewrites at any table size (the point-delete
+        // complement to the range `delete` above; `compact` later
+        // materializes it). Keys are cast to the column's type.
+        case ("delete-keys", tableDir :: keyCol :: keysCsv :: Nil) =>
+          import spark.implicits._
+          val keys = keysCsv.split(',').map(_.trim).filter(_.nonEmpty)
+            .toSeq.toDF(keyCol)
+          val r = SnapshotTable.deleteByKeys(spark, tableDir, keyCol, keys)
+          rep(s"${name(tableDir)}@v${r.version} mor-delete " +
+            s"keys=${r.keys} sidecar=${r.sidecarBytes}B",
+            r.keys, if (r.keys > 0) 1 else 0)
         // cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold]
         case ("cluster", tableDir :: zColsCsv :: rest) if rest.length <= 2 =>
           val zCols = zColsCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -460,6 +473,7 @@ object Cli {
               |  table read    <table_dir> <output_dir> [version|latest] [compression=snappy]
               |  table merge   <table_dir> <updates_orc> <key_col> [stats_cols]
               |  table delete  <table_dir> <key_col> <lo> <hi>   (non-numeric bounds: lexicographic)
+              |  table delete-keys <table_dir> <key_col> <k1,k2,...>   (merge-on-read: zero data rewrites)
               |  table compact <table_dir> [target_mb=128] [cluster_by]
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
               |  table restore <table_dir> <version|ts_ms>

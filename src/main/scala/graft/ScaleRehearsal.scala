@@ -396,6 +396,26 @@ object ScaleRehearsal {
           "WHEN MATCHED THEN UPDATE SET t.source = s.source")
         graft.sinks.SnapshotTable.read(spark, dir).count()
       }),
+      // round-14 (cont. 3): merge-on-read equality delete on the ladder.
+      // The delete is a FIXED 100-key set at every sf, landing as one
+      // key sidecar + rowdelete commit with ZERO data-file I/O — so the
+      // probe's wall must track the table COMMIT + the MOR-applied read
+      // (both linear), never a delete-size- or table-rewrite-shaped
+      // term. The count read exercises the anti-join path over the one
+      // delete-affected file group. Checksum = post-delete row count.
+      "table_mor_delete" -> (() => {
+        val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"/tmp/graft_scale/$key/snapmortbl"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        val docs = t(spark, d, "documents").select(
+          col("doc_id"), col("source"), col("text"))
+        graft.sinks.SnapshotTable.commit(spark,
+          docs.repartitionByRange(32, col("doc_id")), dir,
+          "overwrite", statsCols = Seq("doc_id"))
+        graft.sinks.SnapshotTable.deleteByKeys(spark, dir, "doc_id",
+          docs.filter(col("doc_id") < 100).select("doc_id"))
+        graft.sinks.SnapshotTable.read(spark, dir).count()
+      }),
       // r13: the exactly-once snapshot-table streaming ingest on the
       // ladder — 4 corpus-scaled micro-batches (maxFilesPerTrigger=1),
       // each landing as one atomic txn-stamped append commit. Per-batch

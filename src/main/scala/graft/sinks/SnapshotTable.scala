@@ -913,6 +913,12 @@ object SnapshotTable {
   def commitFiles(spark: SparkSession, dir: String, v: Long): Seq[FileEntry] =
     readCommit(spark, dir, v).files
 
+  /** The merge-on-read delete entries one commit introduced (or, for an
+    * overwrite, carried) — zero data I/O. */
+  def commitDeletes(spark: SparkSession, dir: String,
+                    v: Long): Seq[DeleteEntry] =
+    readCommit(spark, dir, v).deletes
+
   // ---- read / time travel ---------------------------------------------
 
   /** Commits participating in the snapshot at `version`: everything from

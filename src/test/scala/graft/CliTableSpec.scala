@@ -112,6 +112,32 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(Cli.run(spark, Seq("table", "frobnicate", tableDir)).isEmpty)
   }
 
+  test("delete-keys routes to the merge-on-read equality delete: " +
+    "rowdelete commit, zero data rewrites, compact materializes") {
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id"))
+    val before = graft.sinks.SnapshotTable
+      .snapshotFiles(spark, tableDir, None).map(_.path).toSet
+    val dk = Cli.run(spark,
+      Seq("table", "delete-keys", tableDir, "id", "5, 7, 900")).get
+    assert(dk.successes == 1)
+    assert(dk.results.head.table.contains("mor-delete keys=3"))
+    assert(graft.sinks.SnapshotTable
+      .snapshotFiles(spark, tableDir, None).map(_.path).toSet === before)
+    val out = freshDir()
+    Cli.run(spark, Seq("table", "read", tableDir, out))
+    val t = OrcSink.read(spark, s"$out/t")
+    assert(t.count() == 98) // 900 matched nothing
+    assert(t.filter(col("id").isin(5L, 7L)).count() == 0)
+    // compact folds the delete in; the pending entry ages out
+    Cli.run(spark, Seq("table", "compact", tableDir, "64", "id")).get
+    assert(graft.sinks.SnapshotTable.pendingDeletes(spark, tableDir).isEmpty)
+    val out2 = freshDir()
+    Cli.run(spark, Seq("table", "read", tableDir, out2))
+    assert(OrcSink.read(spark, s"$out2/t").count() == 98)
+  }
+
   test("delete with non-numeric bounds routes to the lexicographic twin") {
     val tableDir = freshDir() + "/t"
     val base = freshDir()

@@ -168,6 +168,120 @@ class SnapshotTableRaceSpec extends AnyFunSuite with SparkSessionTestWrapper {
       === nAppenders.toLong * appendsPer * rowsPer)
   }
 
+  /** Merge-on-read deleters racing appenders and a compactor. The
+    * deleteByKeys publish is CONFLICT-FREE by design (it carries no
+    * read state — "remove these keys from whatever precedes me"), so
+    * the law is not rebase-vs-CME but the SEQUENCE RULE under real
+    * interleaving: wherever the delete lands in the version order, a
+    * keyed row from any EARLIER commit is gone and one from any LATER
+    * commit survives — including across a racing compaction that
+    * materializes the delete mid-flight. The expectation is
+    * reconstructed from the LOG (the delete's landed version vs the
+    * overlap append's), so the assertion is schedule-independent. */
+  test("MOR deleters race appenders and a compactor: sequence rule " +
+    "holds at whatever order the race produced") {
+    val dir = freshDir()
+    val seed = 20260817L
+    SnapshotTable.commit(spark,
+      df(0, 1000).repartitionByRange(8, col("id")), dir, "overwrite",
+      statsCols = Seq("id"))
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(8)
+    def submit(name: String)(body: java.util.Random => Unit): Unit = {
+      val rnd = new java.util.Random(seed ^ name.hashCode.toLong)
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          try body(rnd)
+          catch { case t: Throwable => errors.add(t) }
+        }
+      })
+    }
+
+    // plain appenders on disjoint high blocks
+    (0 until 3).foreach { t =>
+      submit(s"append-$t") { rnd =>
+        (0 until 3).foreach { j =>
+          val base = 10000L * (t + 1) + j * 100L
+          Thread.sleep(rnd.nextInt(30).toLong)
+          SnapshotTable.commit(spark, df(base, base + 20), dir, "append",
+            statsCols = Seq("id"))
+        }
+      }
+    }
+    // the OVERLAP appender: re-appends ids 0..9 (inside the delete set),
+    // txn-stamped so the landed version is recoverable from the log
+    submit("overlap") { rnd =>
+      Thread.sleep(rnd.nextInt(50).toLong)
+      SnapshotTable.commit(spark,
+        df(0, 10).withColumn("name", lit("readded")), dir, "append",
+        statsCols = Seq("id"), txn = Some(("race-overlap", 1L)))
+    }
+    // two MOR deleters on different slices of the base data
+    submit("mor-del-a") { rnd =>
+      Thread.sleep(rnd.nextInt(50).toLong)
+      SnapshotTable.deleteByKeys(spark, dir, "id",
+        (0L until 50L).toDF("id"))
+    }
+    submit("mor-del-b") { rnd =>
+      Thread.sleep(rnd.nextInt(50).toLong)
+      SnapshotTable.deleteByKeys(spark, dir, "id",
+        (100L until 120L).toDF("id"))
+    }
+    // a compactor pass mid-race: materializes whatever deletes it sees;
+    // CME (a delete or append interleaved) -> re-run
+    submit("compact") { rnd =>
+      var done = false
+      var tries = 0
+      while (!done && tries < 30) {
+        tries += 1
+        Thread.sleep(rnd.nextInt(60).toLong)
+        try { SnapshotTable.compact(spark, dir); done = true }
+        catch { case _: java.util.ConcurrentModificationException => }
+      }
+      assert(done, "compactor never landed")
+    }
+
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(600, TimeUnit.SECONDS), "race timed out")
+    assert(errors.isEmpty, s"writer died: ${errors.peek()}")
+
+    val vs = SnapshotTable.versions(spark, dir)
+    assert(vs === (0L to vs.last), s"version gaps: $vs")
+    // recover the schedule the race actually produced
+    val hist = SnapshotTable.history(spark, dir)
+    val dels = hist.filter(_.action == "rowdelete").map(_.version)
+    assert(dels.size === 2, s"expected 2 rowdelete commits, got $hist")
+    // the two deletes are distinguishable by their key sets, not order;
+    // recover which is which from the sidecar key count
+    val byVersion = dels.map(v => v ->
+      SnapshotTable.commitDeletes(spark, dir, v).map(_.rows).sum)
+    val dvA = byVersion.collectFirst { case (v, n) if n == 50L => v }.get
+    val va = hist.find(_.txnApp.contains("race-overlap")).get.version
+    val after = SnapshotTable.read(spark, dir).cache()
+    // ids 10..49 and 100..119 exist only in base data: always gone
+    assert(after.filter(col("id").between(10, 49)).count() === 0)
+    assert(after.filter(col("id").between(100, 119)).count() === 0)
+    // ids 0..9: base copy always gone; the re-append survives iff it
+    // landed AFTER the 50-key delete
+    val n0to9 = after.filter(col("id") < 10).count()
+    if (va > dvA) {
+      assert(n0to9 === 10,
+        s"overlap append v$va > delete v$dvA must survive")
+      assert(after.filter(col("id") < 10 && col("name") =!= "readded")
+        .count() === 0)
+    } else assert(n0to9 === 0,
+      s"overlap append v$va < delete v$dvA must be deleted")
+    // everything else intact exactly once
+    assert(after.filter(col("id").between(120, 999)).count() === 880)
+    assert(after.filter(col("id") >= 10000).count() === 3L * 3 * 20)
+    assert(SnapshotTable.rowCount(spark, dir) === after.count())
+    after.unpersist()
+  }
+
   /** SQL row-level DML racing appenders — the group-based COW commit
     * under real threads. Laws: (1) gap-free history with every
     * statement landing EXACTLY once; (2) a DML whose pushed bounds
