@@ -167,8 +167,9 @@ object SparkEntry {
     // round-14 (cont. 3): merge-on-read equality deletes — a point
     // DELETE writes one key sidecar instead of rewriting data files
     // (zero data I/O; the Iceberg v2 delete-file shape). The COW row
-    // (conv_table_sql_delete) is the direct cost comparison.
-    "conv_table_mor_delete", "conv_table_mor_sql")
+    // (conv_table_sql_delete) is the direct cost comparison; the CDF
+    // row exercises the per-task key-filter reader over a MOR span.
+    "conv_table_mor_delete", "conv_table_mor_sql", "conv_table_cdf_mor")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

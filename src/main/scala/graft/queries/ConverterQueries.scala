@@ -1931,6 +1931,48 @@ object ConverterQueries {
           .otherwise(1L)).as("bad_types"))
     },
 
+    // CDF over a MERGE-ON-READ span, read through the DSv2
+    // readChangeFeed scan (the per-task key-filter reader): v1 is a
+    // rowdelete whose slice must emit EXACTLY the still-live keyed rows
+    // (semi filter), v2 re-appends the even half (sequence rule), v3
+    // compacts — its materializing churn must cancel in the net mass
+    // because removed files read ANTI-filtered by the pending delete.
+    // Net quantities are layout-independent and DuckDB-derivable.
+    "conv_table_cdf_mor" -> { (s, d) =>
+      val base = tmp(d, "snapcdfmor") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      SnapshotTable.deleteByKeys(s, base, "o_orderkey",
+        orders.filter(col("o_orderkey") % 113 === 0)
+          .select("o_orderkey"))
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 113 === 0 &&
+          col("o_orderkey") % 2 === 0),
+        base, "append", statsCols = Seq("o_orderkey"))
+      SnapshotTable.compact(s, base, targetBytes = 64L << 20,
+        clusterBy = Some("o_orderkey"), statsCols = Seq("o_orderkey"))
+      val cf = s.read.format("graft-table")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", 1).option("endingVersion", 3)
+        .load(base)
+      val isIns = col("_change_type") === "insert"
+      cf.agg(
+        sum(when(col("_commit_version") === 1L, 1L).otherwise(0L))
+          .as("v1_del_n"),
+        sum(when(isIns, 1L).otherwise(-1L)).as("net_rows"),
+        sum(when(isIns, col("o_orderkey")).otherwise(-col("o_orderkey")))
+          .as("net_key"),
+        round(sum(when(isIns, dec(col("o_totalprice")))
+          .otherwise(-dec(col("o_totalprice")))), 2).cast("double")
+          .as("net_price"),
+        sum(when(col("_change_type").isin("insert", "delete"), 0L)
+          .otherwise(1L)).as("bad_types"))
+    },
+
     // MERGE INTO with all three action legs: matched keys (k%7=0) get a
     // source-derived price, unmatched source keys (base k%11=0, shifted
     // by n so they are provably new) insert, and unmatched target rows
@@ -2759,6 +2801,27 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS pending_after,
         | COUNT(*) AS manifest_exact
         |FROM fin""".stripMargin,
+
+    // MOR CDF net mass: v1 deletes the %113 keys (all present in v0),
+    // v2 re-adds the even half, v3's compaction churn cancels —
+    // net = readded - deleted; v1's slice is exactly the deleted rows.
+    "conv_table_cdf_mor" ->
+      """WITH delr AS (SELECT * FROM orders WHERE o_orderkey % 113 = 0),
+        |ap AS (SELECT * FROM orders
+        |  WHERE o_orderkey % 113 = 0 AND o_orderkey % 2 = 0)
+        |SELECT
+        | (SELECT COUNT(*) FROM delr) AS v1_del_n,
+        | CAST((SELECT COUNT(*) FROM ap) - (SELECT COUNT(*) FROM delr)
+        |   AS BIGINT) AS net_rows,
+        | CAST((SELECT COALESCE(SUM(o_orderkey), 0) FROM ap) -
+        |   (SELECT COALESCE(SUM(o_orderkey), 0) FROM delr) AS BIGINT)
+        |   AS net_key,
+        | CAST(ROUND(
+        |   (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |     FROM ap) -
+        |   (SELECT COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 0)
+        |     FROM delr), 2) AS DOUBLE) AS net_price,
+        | CAST(0 AS BIGINT) AS bad_types""".stripMargin,
 
     "conv_table_mor_sql" ->
       s"""SELECT COUNT(*) AS n,

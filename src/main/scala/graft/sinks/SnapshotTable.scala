@@ -1770,9 +1770,16 @@ object SnapshotTable {
   /** One change slice: a commit's added or removed files, with the
     * change type, commit version/stamp, and the as-of schema its rows
     * read under. The unit both CDF surfaces ([[changeFeed]] and the
-    * DSv2 `readChangeFeed` scan) consume. */
+    * DSv2 `readChangeFeed` scan) consume. Merge-on-read deletes make
+    * some slices KEY-FILTERED file reads: `anti` lists the equality
+    * deletes whose keys must be SUBTRACTED from every file of the slice
+    * (all files in a slice share one applicable set — the builder
+    * splits by [[morGroups]]), and `semi` (rowdelete slices) lists the
+    * delete file(s) whose keys the emitted rows must MATCH — a
+    * rowdelete's delta is exactly the still-live rows it removes. */
   private[graft] final case class ChangeSlice(files: Seq[FileEntry],
-      typ: String, v: Long, ts: Long, schema: Option[StructType])
+      typ: String, v: Long, ts: Long, schema: Option[StructType],
+      anti: Seq[DeleteEntry] = Nil, semi: Seq[DeleteEntry] = Nil)
 
   /** The per-commit change slices over [fromVersion, toVersion] — one
     * incremental log replay, zero data I/O. See [[changeFeed]] for the
@@ -1788,94 +1795,9 @@ object SnapshotTable {
     val span = vs.filter(v => v >= fromVersion && v <= to)
     require(span.nonEmpty, s"empty version span [$fromVersion, $to]")
 
-    // RAW-FILE slices cannot represent merge-on-read deletes: a
-    // rowdelete's removed rows are a key-filtered subset, and a span
-    // crossing a delete-carrying state would over-emit removed files'
-    // already-deleted rows. Fence LOUDLY (the DSv2 CDF scan consumes
-    // these); the programmatic [[changeFeed]] is MOR-aware, and
-    // [[compact]] materializes so the span becomes representable.
-    val preDeletes =
-      if (fromVersion == vs.head) Nil
-      else snapshotState(spark, dir, Some(fromVersion - 1))._2
-    val spanCommits = span.map(v => v -> readCommit(spark, dir, v))
-    if (preDeletes.nonEmpty ||
-        spanCommits.exists(_._2.deletes.nonEmpty) ||
-        spanCommits.exists(_._2.action == "rowdelete"))
-      throw new IllegalStateException(
-        s"change-feed span [$fromVersion, $to] of $dir involves " +
-          "merge-on-read equality deletes, which file-level CDF slices " +
-          "cannot represent — use SnapshotTable.changeFeed (row-level, " +
-          "MOR-aware) or compact the table to materialize the deletes")
-
-    // running manifest + schema BEFORE the span (empty when the span
-    // opens at the oldest surviving version's own overwrite)
-    var running: Map[String, FileEntry] =
-      if (fromVersion == vs.head) Map.empty
-      else snapshotFiles(spark, dir, Some(fromVersion - 1))
-        .map(e => e.path -> e).toMap
-
-    val slices = Seq.newBuilder[ChangeSlice]
-    var runSchema: Option[StructType] =
-      if (fromVersion == vs.head) None
-      else snapshotSchema(spark, dir, Some(fromVersion - 1))
-    spanCommits.foreach { case (v, c) =>
-      val cSchema = c.schemaJson.map(j =>
-        DataType.fromJson(j).asInstanceOf[StructType])
-      if (c.action == "append") {
-        if (c.files.nonEmpty)
-          slices += ChangeSlice(c.files, "insert", v, c.timestampMs,
-            cSchema)
-        c.files.foreach(e => running += e.path -> e)
-        runSchema = (runSchema, cSchema) match {
-          case (Some(a), Some(b)) => Some(mergeByName(a, b))
-          case (a, b) => b.orElse(a)
-        }
-      } else {
-        val newSet = c.files.map(e => e.path -> e).toMap
-        val removed = running.valuesIterator
-          .filterNot(e => newSet.contains(e.path)).toSeq
-        val added = c.files.filterNot(e => running.contains(e.path))
-        if (removed.nonEmpty)
-          slices += ChangeSlice(removed, "delete", v, c.timestampMs,
-            runSchema)
-        if (added.nonEmpty)
-          slices += ChangeSlice(added, "insert", v, c.timestampMs, cSchema)
-        running = newSet
-        runSchema = cSchema.orElse(runSchema)
-      }
-    }
-    slices.result()
-  }
-
-  /** Row-level change frames over [fromVersion, toVersion] — the
-    * MOR-AWARE replay behind [[changeFeed]]. Where [[changeSlices]]
-    * fences on equality deletes (its file-level unit cannot express
-    * them), this path computes the exact row-multiset delta:
-    *
-    *   - a ROWDELETE commit emits as deletes the rows its key set
-    *     removes from the predecessor's LOGICAL content (the MOR-applied
-    *     read of the files it governs, semi-joined with the keys —
-    *     bounded by matched rows, never a table scan);
-    *   - an OVERWRITE diff reads removed files MOR-APPLIED under the
-    *     predecessor's pending deletes (a compaction that materializes a
-    *     delete must not re-emit the already-deleted rows), and any
-    *     CARRIED file whose applicable-delete set changed (restore
-    *     across a delete boundary) emits its old logical rows as deletes
-    *     and its new logical rows as inserts;
-    *   - appends are unaffected (fresh files outrank every pending
-    *     delete by seq). */
-  private def changeFrames(spark: SparkSession, dir: String,
-      fromVersion: Long, toVersion: Option[Long])
-      : Seq[(DataFrame, String, Long, Long)] = {
-    val vs = versions(spark, dir)
-    val to = toVersion.getOrElse(vs.last)
-    require(vs.contains(fromVersion),
-      s"changeFeed from v$fromVersion: version not in the surviving log " +
-        s"(oldest is ${vs.headOption.getOrElse(-1L)} — expired history " +
-        "cannot be replayed as changes)")
-    val span = vs.filter(v => v >= fromVersion && v <= to)
-    require(span.nonEmpty, s"empty version span [$fromVersion, $to]")
-
+    // running manifest + pending deletes + schema BEFORE the span
+    // (empty when the span opens at the oldest surviving version's own
+    // overwrite)
     var running: Map[String, FileEntry] =
       if (fromVersion == vs.head) Map.empty
       else snapshotFiles(spark, dir, Some(fromVersion - 1))
@@ -1883,11 +1805,21 @@ object SnapshotTable {
     var runDels: Seq[DeleteEntry] =
       if (fromVersion == vs.head) Nil
       else snapshotState(spark, dir, Some(fromVersion - 1))._2
+
+    val slices = Seq.newBuilder[ChangeSlice]
     var runSchema: Option[StructType] =
       if (fromVersion == vs.head) None
       else snapshotSchema(spark, dir, Some(fromVersion - 1))
-
-    val out = Seq.newBuilder[(DataFrame, String, Long, Long)]
+    // emit one slice per MOR group so every file in a slice shares the
+    // same anti set (the reader applies one key-set stack per split)
+    def emitGrouped(files: Seq[FileEntry], dels: Seq[DeleteEntry],
+        typ: String, v: Long, ts: Long, schema: Option[StructType],
+        semi: Seq[DeleteEntry] = Nil): Unit =
+      morGroups(files, dels).foreach { case (fs, ds) =>
+        if (fs.nonEmpty)
+          slices += ChangeSlice(fs, typ, v, ts, schema, anti = ds,
+            semi = semi)
+      }
     span.foreach { v =>
       val c = readCommit(spark, dir, v)
       val cSchema = c.schemaJson.map(j =>
@@ -1899,26 +1831,19 @@ object SnapshotTable {
       c.action match {
         case "append" =>
           if (c.files.nonEmpty)
-            out += ((readFiles(spark, dir, c.files, cSchema), "insert", v,
-              c.timestampMs))
+            slices += ChangeSlice(c.files, "insert", v, c.timestampMs,
+              cSchema)
           c.files.foreach(e => running += e.path -> e)
           runSchema = mergedSchema
         case "rowdelete" =>
+          // the delta = the still-live rows the key set removes: files
+          // the delete governs, anti-filtered by the deletes already
+          // pending, SEMI-filtered by the new keys
           c.deletes.foreach { d =>
             val subject = running.valuesIterator
               .filter(_.seq < d.seq).toSeq
-            if (subject.nonEmpty) {
-              val base = readFilesMor(spark, dir, subject, runDels,
-                runSchema)
-              val rows =
-                if (!base.columns.contains(d.keyCol)) base.limit(0)
-                else {
-                  val keys = deleteKeysFrame(spark, dir, Seq(d), d.keyCol)
-                  base.join(broadcast(keys),
-                    base(d.keyCol) === keys("__graft_delkey"), "left_semi")
-                }
-              out += ((rows, "delete", v, c.timestampMs))
-            }
+            emitGrouped(subject, runDels, "delete", v, c.timestampMs,
+              runSchema, semi = Seq(d))
             runDels = (runDels :+ d).sortBy(_.seq)
           }
           runSchema = mergedSchema
@@ -1930,34 +1855,49 @@ object SnapshotTable {
           val removed = running.valuesIterator
             .filterNot(e => newSet.contains(e.path)).toSeq
           val added = c.files.filterNot(e => running.contains(e.path))
+          // a CARRIED file whose applicable-delete set changed (restore
+          // across a delete boundary) emits old-logical-rows as deletes
+          // and new-logical-rows as inserts; unchanged carried files
+          // emit nothing
           val changed = c.files.filter(e => running.contains(e.path) &&
             app(running(e.path), runDels) != app(e, newDels))
-          val delSide = removed ++ changed.map(e => running(e.path))
-          if (delSide.nonEmpty)
-            out += ((readFilesMor(spark, dir, delSide, runDels, runSchema),
-              "delete", v, c.timestampMs))
-          val insSide = added ++ changed
-          if (insSide.nonEmpty)
-            out += ((readFilesMor(spark, dir, insSide, newDels,
-              mergedSchema), "insert", v, c.timestampMs))
+          // removed rows emit MOR-APPLIED under the predecessor state: a
+          // compaction that materializes a delete must not re-emit the
+          // already-deleted rows
+          emitGrouped(removed ++ changed.map(e => running(e.path)),
+            runDels, "delete", v, c.timestampMs, runSchema)
+          emitGrouped(added ++ changed, newDels, "insert", v,
+            c.timestampMs, mergedSchema)
           running = newSet
           runDels = newDels
           runSchema = cSchema.orElse(runSchema)
       }
     }
-    out.result()
+    slices.result()
   }
 
   def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
                  toVersion: Option[Long] = None): DataFrame = {
     val vs = versions(spark, dir)
     val to = toVersion.getOrElse(vs.last)
-    val frames = changeFrames(spark, dir, fromVersion, toVersion).map {
-      case (df, typ, v, ts) =>
-        df.withColumn("_change_type", lit(typ))
-          .withColumn("_commit_version", lit(v))
-          .withColumn("_commit_timestamp",
-            org.apache.spark.sql.functions.timestamp_millis(lit(ts)))
+    val frames = changeSlices(spark, dir, fromVersion, toVersion).map { s =>
+      var df = applyDeletes(spark, dir,
+        readFiles(spark, dir, s.files, s.schema), s.anti)
+      // rowdelete slices: the delta is the rows MATCHING the key set
+      s.semi.groupBy(_.keyCol).toSeq.sortBy(_._1).foreach {
+        case (kc, group) =>
+          df =
+            if (!df.columns.contains(kc)) df.limit(0)
+            else {
+              val keys = deleteKeysFrame(spark, dir, group, kc)
+              df.join(broadcast(keys),
+                df(kc) === keys("__graft_delkey"), "left_semi")
+            }
+      }
+      df.withColumn("_change_type", lit(s.typ))
+        .withColumn("_commit_version", lit(s.v))
+        .withColumn("_commit_timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(lit(s.ts)))
     }
     if (frames.isEmpty) {
       // a span of empty commits: an empty frame in the table's schema

@@ -369,9 +369,10 @@ private[sources] class GraftChangeFeedScan(
       val to = Option(options.get("endingVersion")).map(_.toLong)
       val target = spark.sessionState.conf.filesMaxPartitionBytes
       SnapshotTable.changeSlices(spark, dir, from, to).flatMap { s =>
+        val mor = SnapshotTableScan.morOf(dir, s)
         SnapshotTableScan.pack(dir, s.files, target).map { p =>
           GraftCdfPartition(p.asInstanceOf[GraftTablePartition].paths,
-            s.typ, s.v, s.ts): InputPartition
+            s.typ, s.v, s.ts, mor): InputPartition
         }
       }.toArray
     }
@@ -451,9 +452,10 @@ private[sources] class GraftCdfMicroBatchStream(
     val target = spark.sessionState.conf.filesMaxPartitionBytes
     SnapshotTable.changeSlices(spark, dir, from + 1, Some(to)).flatMap {
       s =>
+        val mor = SnapshotTableScan.morOf(dir, s)
         SnapshotTableScan.pack(dir, s.files, target).map { p =>
           GraftCdfPartition(p.asInstanceOf[GraftTablePartition].paths,
-            s.typ, s.v, s.ts): InputPartition
+            s.typ, s.v, s.ts, mor): InputPartition
         }
     }.toArray
   }
@@ -467,7 +469,8 @@ private[sources] class GraftCdfMicroBatchStream(
 }
 
 private[sources] case class GraftCdfPartition(paths: Array[String],
-    typ: String, v: Long, tsMs: Long) extends InputPartition
+    typ: String, v: Long, tsMs: Long,
+    mor: Array[MorFilter] = Array.empty) extends InputPartition
 
 private[sources] class GraftCdfReaderFactory(
     dataRequired: StructType, cdfCols: Array[String], conf: SerConf)
@@ -477,7 +480,7 @@ private[sources] class GraftCdfReaderFactory(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftCdfPartition]
     val inner = new GraftTablePartitionReader(p.paths, dataRequired,
-      conf.value)
+      conf.value, mor = p.mor)
     val cdfCell =
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         cdfCols.length)
@@ -787,6 +790,22 @@ private[sources] object SnapshotTableScan {
     parts.result().toArray[InputPartition]
   }
 
+  /** A change slice's merge-on-read obligations as reader filters: its
+    * anti deletes (keys to subtract) and semi deletes (keys emitted
+    * rows must match — rowdelete slices). Types infer from the sidecar
+    * footers ("" marker), which the delete write stamped with the data
+    * column's exact type. */
+  def morOf(dir: String,
+      s: SnapshotTable.ChangeSlice): Array[MorFilter] =
+    (s.anti.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (kc, g) =>
+      MorFilter(g.map(d => s"$dir/${d.path}").toArray, kc, "",
+        semi = false)
+    } ++
+      s.semi.groupBy(_.keyCol).toSeq.sortBy(_._1).map { case (kc, g) =>
+        MorFilter(g.map(d => s"$dir/${d.path}").toArray, kc, "",
+          semi = true)
+      }).toArray
+
   /** [[pack]] with merge-on-read obligations attached: files group by
     * which pending equality deletes apply ([[SnapshotTable.morGroups]]),
     * each group bin-packs separately, and its partitions carry the
@@ -895,12 +914,16 @@ private[sources] class SerConf(@transient var value: Configuration)
 
 /** One merge-on-read equality-delete obligation a reader task must
   * honor: the key sidecar paths (absolute), the key column, and its
-  * Catalyst type (as JSON — the partition must stay serializable).
+  * Catalyst type (as JSON — the partition must stay serializable;
+  * empty = infer from the sidecar's own ORC footer, which is
+  * type-identical to the data column by the delete-write contract).
   * Sidecars are small by the MOR contract, so each task materializes
   * the key set as an in-memory hash set — the Iceberg eq-delete
-  * application shape. */
+  * application shape. `semi=false` SUBTRACTS matching rows (snapshot
+  * reads); `semi=true` KEEPS ONLY matching rows (a rowdelete CDF
+  * slice's delta is exactly the rows the key set removes). */
 private[sources] case class MorFilter(paths: Array[String],
-    keyCol: String, typeJson: String)
+    keyCol: String, typeJson: String, semi: Boolean = false)
 
 private[sources] case class GraftTablePartition(paths: Array[String],
     mor: Array[MorFilter] = Array.empty)
@@ -950,9 +973,23 @@ private[sources] class GraftTablePartitionReader(
   // into a hash set; rows whose key is in the set are skipped BEFORE
   // deserializing the full row. The key column is read from the file
   // even when the query pruned it (and never emitted).
-  private val morTypes: Array[org.apache.spark.sql.types.DataType] =
-    mor.map(m => org.apache.spark.sql.types.DataType.fromJson(m.typeJson))
-  private val morDesers: Array[GraftOrcBridge.RowDeser] =
+  private lazy val morTypes: Array[org.apache.spark.sql.types.DataType] =
+    mor.map { m =>
+      if (m.typeJson.nonEmpty)
+        org.apache.spark.sql.types.DataType.fromJson(m.typeJson)
+      else {
+        // infer from the sidecar footer — type-identical to the data
+        // column by the delete-write contract (keys are cast on write)
+        val orc = OrcFile.createReader(new Path(m.paths.head),
+          OrcFile.readerOptions(conf))
+        GraftOrcBridge.toCatalystSchema(orc.getSchema)
+          .fields.find(_.name == m.keyCol)
+          .getOrElse(throw new IllegalStateException(
+            s"delete sidecar ${m.paths.head} lacks column ${m.keyCol}"))
+          .dataType
+      }
+    }
+  private lazy val morDesers: Array[GraftOrcBridge.RowDeser] =
     mor.zipWithIndex.map { case (m, i) =>
       new GraftOrcBridge.RowDeser(StructType(Seq(
         org.apache.spark.sql.types.StructField(m.keyCol, morTypes(i)))))
@@ -995,23 +1032,29 @@ private[sources] class GraftTablePartitionReader(
     set
   }
 
-  /** True when any MOR obligation's key set holds this row's key. */
-  private def morDeleted(struct: OrcStruct): Boolean = {
+  /** True when this row must be SKIPPED: an anti obligation's key set
+    * holds its key, or a semi obligation's does not (a null/absent key
+    * can never match an equality delete, so it fails every semi). */
+  private def morSkips(struct: OrcStruct): Boolean = {
     var i = 0
     while (i < mor.length) {
       val fi = morFieldIdx(i)
-      if (fi >= 0) {
-        val w = struct.getFieldValue(fi)
-          .asInstanceOf[WritableComparable[_]]
-        if (w != null) {
-          val one = new Array[WritableComparable[_]](1)
-          one(0) = w
-          val v = morDesers(i).fromValues(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(one))
-            .get(0, morTypes(i))
-          if (v != null && morKeys(i).contains(v)) return true
+      val v: Any =
+        if (fi < 0) null
+        else {
+          val w = struct.getFieldValue(fi)
+            .asInstanceOf[WritableComparable[_]]
+          if (w == null) null
+          else {
+            val one = new Array[WritableComparable[_]](1)
+            one(0) = w
+            morDesers(i).fromValues(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(one))
+              .get(0, morTypes(i))
+          }
         }
-      }
+      val inSet = v != null && morKeys(i).contains(v)
+      if (inSet != mor(i).semi) return true
       i += 1
     }
     false
@@ -1061,8 +1104,8 @@ private[sources] class GraftTablePartitionReader(
       while (reader == null || !reader.nextKeyValue()) {
         if (!openNext()) return false
       }
-      if (mor.isEmpty || !morDeleted(reader.getCurrentValue)) return true
-      // row is merge-on-read deleted: keep advancing
+      if (mor.isEmpty || !morSkips(reader.getCurrentValue)) return true
+      // row is merge-on-read filtered: keep advancing
     }
     false // unreachable
   }

@@ -36,6 +36,11 @@ object GraftOrcBridge {
   def orcTypeDescription(schema: StructType): org.apache.orc.TypeDescription =
     execution.datasources.orc.OrcUtils.orcTypeDescription(schema)
 
+  /** ORC TypeDescription -> Catalyst schema (Spark's own mapping) — for
+    * readers that must type a sidecar column from its footer alone. */
+  def toCatalystSchema(td: org.apache.orc.TypeDescription): StructType =
+    execution.datasources.orc.OrcUtils.toCatalystSchema(td)
+
   /** Spark's own source-Filter -> ORC SearchArgument conversion
     * (row-group / stripe skipping), with its full type-coercion and
     * unconvertible-predicate handling. None when nothing converts. */

@@ -300,16 +300,59 @@ class SnapshotTableMorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     feed.unpersist()
   }
 
-  test("file-level CDF surfaces fence loudly on MOR spans; the plain " +
-    "streaming source fences on the rowdelete commit") {
+  test("DSv2 CDF (batch and streaming) carries MOR spans: rowdelete " +
+    "slices emit key-matched rows; equivalence with the programmatic " +
+    "feed; changesSince still rejects") {
     val dir = freshDir()
-    stage(dir)
-    SnapshotTable.deleteByKeys(spark, dir, "id", Seq(1L).toDF("id"))
-    val e = intercept[IllegalStateException] {
-      SnapshotTable.changeSlices(spark, dir, 0L, None)
-    }
-    assert(e.getMessage.contains("merge-on-read"))
-    // changesSince (file-level incremental consumer) rejects the span
+    stage(dir) // v0
+    SnapshotTable.deleteByKeys(spark, dir, "id",
+      Seq(2L, 3L).toDF("id")) // v1
+    SnapshotTable.commit(spark,
+      Seq((2L, "kNew", 9.0)).toDF("id", "cat", "v"), dir, "append",
+      statsCols = Seq("id")) // v2
+    SnapshotTable.compact(spark, dir, targetBytes = 1L << 20) // v3
+
+    def mass(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("id", "cat", "v", "_change_type", "_commit_version")
+      .agg(count(lit(1)).as("m"))
+    val prog = mass(SnapshotTable.changeFeed(spark, dir, 1L, Some(3L)))
+    val dsv2 = mass(spark.read.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 3)
+      .load(dir)
+      .select(col("id"), col("cat"), col("v"), col("_change_type"),
+        col("_commit_version")))
+    assert(prog.join(dsv2,
+      Seq("id", "cat", "v", "_change_type", "_commit_version", "m"),
+      "full_outer").filter(col("m").isNull).count() === 0)
+    assert(prog.count() === dsv2.count())
+    // the v1 slice through DSv2 is exactly the two deleted rows
+    val v1 = spark.read.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).option("endingVersion", 1).load(dir)
+    assert(v1.count() === 2)
+    assert(v1.select("id").as[Long].collect().toSet === Set(2L, 3L))
+    assert(v1.select("_change_type").distinct().as[String].collect()
+      .toSeq === Seq("delete"))
+
+    // STREAMING CDF over the same span: same net mass, exactly-once
+    val ckpt = freshDir()
+    val q = spark.readStream.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(dir)
+      .writeStream.format("memory").queryName("morcdf")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = mass(spark.table("morcdf")
+      .select(col("id"), col("cat"), col("v"), col("_change_type"),
+        col("_commit_version")))
+    assert(streamed.join(prog,
+      Seq("id", "cat", "v", "_change_type", "_commit_version", "m"),
+      "full_outer").filter(col("m").isNull).count() === 0)
+
+    // changesSince (file-level incremental consumer) still rejects
     val e2 = intercept[IllegalArgumentException] {
       SnapshotTable.changesSince(spark, dir, 0L)
     }
