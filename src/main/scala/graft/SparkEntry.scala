@@ -169,7 +169,10 @@ object SparkEntry {
     // (zero data I/O; the Iceberg v2 delete-file shape). The COW row
     // (conv_table_sql_delete) is the direct cost comparison; the CDF
     // row exercises the per-task key-filter reader over a MOR span.
-    "conv_table_mor_delete", "conv_table_mor_sql", "conv_table_cdf_mor")
+    "conv_table_mor_delete", "conv_table_mor_sql", "conv_table_cdf_mor",
+    // ALTER TABLE ADD COLUMNS / DROP COLUMN through the path catalog —
+    // both zero-data-I/O log commits
+    "conv_table_alter")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

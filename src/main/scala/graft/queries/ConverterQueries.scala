@@ -1973,6 +1973,42 @@ object ConverterQueries {
           .otherwise(1L)).as("bad_types"))
     },
 
+    // ALTER TABLE DDL (r14 cont. 3): ADD COLUMNS (empty append commit,
+    // merge-by-name null-fill) then an append populating it, then DROP
+    // COLUMN (schema-narrowing overwrite CARRYING every file
+    // byte-identical — zero data I/O). The oracle replays content and
+    // pins the schema verdicts incl. pre-drop time travel.
+    "conv_table_alter" -> { (s, d) =>
+      val base = tmp(d, "snapalter") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      s.sql(s"ALTER TABLE graft.`$base` ADD COLUMNS (note STRING)")
+      import s.implicits._
+      SnapshotTable.commit(s,
+        Seq((-1L, "alterx")).toDF("o_orderkey", "note"), base, "append",
+        statsCols = Seq("o_orderkey"))
+      val filesBefore = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      s.sql(s"ALTER TABLE graft.`$base` DROP COLUMN o_orderpriority")
+      val filesAfter = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      val tb = SnapshotTable.read(s, base)
+      tb.agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          sum(when(col("note").isNotNull, 1L).otherwise(0L)).as("n_note"))
+        .withColumn("has_priority",
+          lit(tb.columns.contains("o_orderpriority")))
+        .withColumn("v0_has_priority",
+          lit(SnapshotTable.read(s, base, Some(0L)).columns
+            .contains("o_orderpriority")))
+        .withColumn("drop_zero_io", lit(filesBefore == filesAfter))
+    },
+
     // MERGE INTO with all three action legs: matched keys (k%7=0) get a
     // source-derived price, unmatched source keys (base k%11=0, shifted
     // by n so they are provably new) insert, and unmatched target rows
@@ -2801,6 +2837,18 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS pending_after,
         | COUNT(*) AS manifest_exact
         |FROM fin""".stripMargin,
+
+    // ALTER DDL: final content = orders + the one note row; the schema
+    // verdicts (priority dropped live, intact at v0, drop byte-free)
+    // pinned.
+    "conv_table_alter" ->
+      """SELECT COUNT(*) + 1 AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) - 1 AS sum_key,
+        | CAST(1 AS BIGINT) AS n_note,
+        | FALSE AS has_priority,
+        | TRUE AS v0_has_priority,
+        | TRUE AS drop_zero_io
+        |FROM orders""".stripMargin,
 
     // MOR CDF net mass: v1 deletes the %113 keys (all present in v0),
     // v2 re-adds the even half, v3's compaction churn cancels —

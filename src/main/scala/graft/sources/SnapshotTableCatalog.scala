@@ -26,8 +26,11 @@ import graft.sinks.SnapshotTable
   * `TIMESTAMP AS OF` resolve through the commit log's version numbers
   * and write-time-monotonized stamps (Spark hands timestamps down in
   * MICROseconds). Tables are created by the first
-  * [[SnapshotTable.commit]] (or `cli table commit`), not by DDL, so the
-  * mutation surface here is intentionally read+insert only.
+  * [[SnapshotTable.commit]] (or `cli table commit`), not by DDL. The
+  * mutation surface is INSERT + row-level DML (via the table's
+  * row-level-operation support) + `ALTER TABLE ADD COLUMNS`/
+  * `DROP COLUMN` (see [[alterTable]] — both zero-data-I/O log commits);
+  * DROP/RENAME TABLE stay operator actions.
   */
 class SnapshotTableCatalog extends TableCatalog {
 
@@ -85,10 +88,102 @@ class SnapshotTableCatalog extends TableCatalog {
       "graft tables are created by the first SnapshotTable.commit / " +
         "`cli table commit`, not by DDL")
 
+  /** SQL schema DDL, both directions zero-data-I/O log commits:
+    *
+    *   - `ADD COLUMNS (c T, ...)`: one empty APPEND commit recording the
+    *     widened schema — replay's merge-by-name does the rest (files
+    *     written before the column null-fill it). New columns must be
+    *     nullable for exactly that reason.
+    *   - `DROP COLUMN c`: schema narrowing cannot ride merge-by-name
+    *     (it only widens), so the drop publishes ONE overwrite commit
+    *     carrying the SAME file and delete entries under the narrowed
+    *     recorded schema — byte-free, version-pinned (an interleaved
+    *     commit fails it loudly), and the pre-drop version stays
+    *     time-travel-readable with the column intact. Dropping a column
+    *     that keys a pending merge-on-read delete is refused (the
+    *     delete would silently stop applying) — compact first. ADD of
+    *     a previously-dropped name is refused while any live file still
+    *     physically holds the old values (footer-checked): by-name
+    *     matching would resurrect them — compact to shed, then re-add.
+    *
+    * Renames/retypes need column mapping and stay unsupported. */
   override def alterTable(ident: Identifier,
-                          changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolves through commits (merge-by-name), not ALTER TABLE")
+                          changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    if (SnapshotTable.versions(spark, dir).isEmpty)
+      throw new NoSuchTableException(ident)
+    val readVersion = SnapshotTable.currentVersion(spark, dir).get
+    var schema = SnapshotTable.snapshotSchema(spark, dir,
+      Some(readVersion)).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$dir predates schema recording — ALTER TABLE needs a recorded " +
+          "snapshot schema; evolve it through one commit first"))
+    var dropped = false
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "nested ADD COLUMN is unsupported")
+        val n = add.fieldNames().head
+        require(!schema.fieldNames.contains(n),
+          s"column '$n' already exists in $dir")
+        require(add.isNullable,
+          s"new column '$n' must be nullable — rows written before it " +
+            "exists null-fill it")
+        // by-name matching has no column mapping: if any LIVE data file
+        // PHYSICALLY contains this name (written before a DROP COLUMN),
+        // re-adding it would silently RESURRECT the dropped values into
+        // the new column. One distributed footer-only sweep (the same
+        // O(#files) cost as any commit's stats harvest, for a rare DDL)
+        // guards it; compact first to physically shed the old column.
+        val live = SnapshotTable.snapshotFiles(spark, dir,
+          Some(readVersion))
+        val ghosts = SnapshotTable.harvest(spark,
+          live.map(e => s"$dir/${e.path}"), Seq(n))
+          .count(_.stats.contains(n))
+        require(ghosts == 0,
+          s"column '$n' still exists physically in $ghosts live data " +
+            s"file(s) of $dir (written before a DROP COLUMN) — re-adding " +
+            "it would resurrect the dropped values; compact the table " +
+            "to shed them first")
+        schema = StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(n, add.dataType(),
+            nullable = true))
+      case del: TableChange.DeleteColumn =>
+        if (del.fieldNames().length != 1)
+          throw new UnsupportedOperationException(
+            "nested DROP COLUMN is unsupported")
+        val n = del.fieldNames().head
+        if (!schema.fieldNames.contains(n)) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(s"no column '$n' in $dir")
+        } else {
+          require(schema.fields.length > 1,
+            s"cannot drop the last column of $dir")
+          require(!SnapshotTable.pendingDeletes(spark, dir)
+              .exists(_.keyCol == n),
+            s"column '$n' keys a pending merge-on-read delete — compact " +
+              "to materialize it before dropping the column")
+          schema = StructType(schema.fields.filterNot(_.name == n))
+          dropped = true
+        }
+      case other => throw new UnsupportedOperationException(
+        "unsupported ALTER TABLE change for graft tables " +
+          s"(schema otherwise evolves through commits): $other")
+    }
+    if (dropped) {
+      val (files, dels) = SnapshotTable.snapshotState(spark, dir,
+        Some(readVersion))
+      SnapshotTable.publish(spark, dir, "overwrite", files,
+        maxRetries = 3, schemaJson = Some(schema.json),
+        expectedVersion = Some(readVersion), deletes = dels)
+    } else {
+      SnapshotTable.publish(spark, dir, "append", Nil, maxRetries = 20,
+        schemaJson = Some(schema.json))
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
