@@ -171,8 +171,9 @@ object SparkEntry {
     // row exercises the per-task key-filter reader over a MOR span.
     "conv_table_mor_delete", "conv_table_mor_sql", "conv_table_cdf_mor",
     // ALTER TABLE ADD COLUMNS / DROP COLUMN through the path catalog —
-    // both zero-data-I/O log commits
-    "conv_table_alter")
+    // both zero-data-I/O log commits — and manifest-answered
+    // COUNT/MIN/MAX (complete aggregate pushdown, zero-scan)
+    "conv_table_agg_push")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

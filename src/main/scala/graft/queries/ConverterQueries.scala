@@ -1973,6 +1973,34 @@ object ConverterQueries {
           .otherwise(1L)).as("bad_types"))
     },
 
+    // Aggregate pushdown to the manifest (r14 cont. 3): COUNT/MIN/MAX
+    // over the snapshot table answered from footer stats alone — the
+    // verdict pins that the plan actually carried the zero-I/O
+    // aggregate scan (a 100 TB COUNT(*) must not scan 100 TB), and
+    // DuckDB re-derives every value from raw orders.
+    "conv_table_agg_push" -> { (s, d) =>
+      val base = tmp(d, "snapaggpush") + "/t"
+      stageOnce(base) {
+        val orders = t(s, d, "orders")
+        SnapshotTable.commit(s,
+          orders.repartitionByRange(8, col("o_orderkey")),
+          base, "overwrite",
+          statsCols = Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+      }
+      val q = s.read.format("graft-table").load(base).agg(
+        count(lit(1)).as("n"),
+        count(col("o_orderpriority")).as("n_pri"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        min(col("o_orderpriority")).as("min_pri"),
+        max(col("o_orderpriority")).as("max_pri"))
+      q.withColumn("pushed",
+        lit(q.queryExecution.executedPlan.toString
+          .contains("aggregate-pushdown")))
+    },
+
     // ALTER TABLE DDL (r14 cont. 3): ADD COLUMNS (empty append commit,
     // merge-by-name null-fill) then an append populating it, then DROP
     // COLUMN (schema-narrowing overwrite CARRYING every file
@@ -2837,6 +2865,18 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS pending_after,
         | COUNT(*) AS manifest_exact
         |FROM fin""".stripMargin,
+
+    "conv_table_agg_push" ->
+      """SELECT COUNT(*) AS n,
+        | COUNT(o_orderpriority) AS n_pri,
+        | MIN(o_orderkey) AS min_key,
+        | MAX(o_orderkey) AS max_key,
+        | MIN(o_totalprice) AS min_price,
+        | MAX(o_totalprice) AS max_price,
+        | MIN(o_orderpriority) AS min_pri,
+        | MAX(o_orderpriority) AS max_pri,
+        | TRUE AS pushed
+        |FROM orders""".stripMargin,
 
     // ALTER DDL: final content = orders + the one note row; the schema
     // verdicts (priority dropped live, intact at v0, drop byte-free)

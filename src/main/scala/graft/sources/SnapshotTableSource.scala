@@ -295,11 +295,142 @@ private[sources] class SnapshotTableTable(
 private[sources] class SnapshotTableScanBuilder(
     fullSchema: StructType, dir: String, options: CaseInsensitiveStringMap)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var withFileMeta = false
   private var pruningFilters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Array[Any])] = None
+
+  /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data I/O at
+    * any table size (`SELECT count(*) FROM graft.`/100tb/table`` must
+    * not scan 100 TB; the Iceberg/Delta metadata-aggregate shape).
+    * COMPLETE pushdown, offered only when it is provably exact:
+    *
+    *   - no residual filters (Spark already gates on that; re-checked),
+    *     no group-by, no DISTINCT, not a change-feed read;
+    *   - no pending merge-on-read deletes (manifest row sums are upper
+    *     bounds until materialization);
+    *   - COUNT(*) = row sum; COUNT(c) = rows - nulls, needing footer
+    *     stats for c in EVERY file; MIN/MAX(c) fold the per-file
+    *     min/max, needing stats everywhere and a type whose stats
+    *     channel is lossless (integrals within 2^52, float/double,
+    *     date/timestamp, strings — ORC nulls long-string bounds, which
+    *     surfaces here as missing stats and declines the push).
+    *
+    * Anything unprovable declines and the plain scan runs — pushdown is
+    * only ever an optimization, never a semantics change. */
+  private def planAggregate(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Array[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (pruningFilters.nonEmpty) return None
+    if (agg.groupByExpressions().nonEmpty) return None
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      return None
+    val spark = SparkSession.active
+    val version = SnapshotTableScan.resolveVersion(spark, dir, options)
+    val (files, dels) = SnapshotTable.snapshotState(spark, dir, version)
+    if (dels.nonEmpty) return None
+    def colName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => Some(nr.fieldNames().head)
+      case _ => None
+    }
+    def colType(n: String): Option[DataType] =
+      fullSchema.fields.find(_.name == n).map(_.dataType)
+    // every file must carry footer stats for the column — else decline
+    def statsFor(n: String): Option[Seq[SnapshotTable.ColStats]] = {
+      val ss = files.map(_.stats.get(n))
+      if (ss.exists(_.isEmpty)) None else Some(ss.flatten)
+    }
+    // numeric-channel value -> exact Catalyst value of the column type
+    def numVal(v: Double, dt: DataType): Option[Any] = dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        if (math.abs(v) > (1L << 52).toDouble) None // rounding margin
+        else dt match {
+          case LongType => Some(v.toLong)
+          case IntegerType => Some(v.toInt)
+          case ShortType => Some(v.toShort)
+          case _ => Some(v.toByte)
+        }
+      case DoubleType => Some(v)
+      case FloatType => Some(v.toFloat)
+      case DateType => Some(v.toInt) // stats channel = epoch days
+      case TimestampType => // stats channel = epoch millis
+        if (math.abs(v) > (1L << 52).toDouble) None
+        else Some(v.toLong * 1000L)
+      case _ => None
+    }
+    def fold(n: String, isMin: Boolean): Option[(DataType, Any)] =
+      colType(n).flatMap { dt =>
+        if (files.exists(e => !e.stats.contains(n))) return None
+        val nums = Seq.newBuilder[Double]
+        val strs = Seq.newBuilder[String]
+        files.foreach { e =>
+          val s = e.stats(n)
+          val num = if (isMin) s.min else s.max
+          val str = if (isMin) s.minStr else s.maxStr
+          (num, str) match {
+            case (Some(d), _) => nums += d
+            case (_, Some(x)) => strs += x
+            case _ =>
+              // no bound recorded: fine only when the file provably has
+              // no non-null value (empty, or all rows null); otherwise
+              // (ORC suppressed a long-string bound, or an unstatted
+              // type) the fold is unprovable — decline
+              if (e.rows != 0 && s.nulls != e.rows) return None
+          }
+        }
+        (nums.result(), strs.result()) match {
+          case (Nil, Nil) => Some((dt, null)) // every row NULL
+          case (ns, Nil) =>
+            numVal(if (isMin) ns.min else ns.max, dt).map(v => (dt, v))
+          case (Nil, ss) if dt == StringType =>
+            Some((dt, org.apache.spark.unsafe.types.UTF8String
+              .fromString(if (isMin) ss.min else ss.max)))
+          case _ => None // mixed channels: not provable
+        }
+      }
+    val out = agg.aggregateExpressions().map {
+      case _: CountStar =>
+        Some((StructField("count_star", LongType, nullable = false),
+          files.map(_.rows).sum: Any))
+      case c: Count if !c.isDistinct =>
+        for {
+          n <- colName(c.column())
+          ss <- statsFor(n)
+        } yield (StructField(s"count_$n", LongType, nullable = false),
+          (files.map(_.rows).sum - ss.map(_.nulls).sum): Any)
+      case m: Min =>
+        colName(m.column()).flatMap(n => fold(n, isMin = true).map {
+          case (dt, v) => (StructField(s"min_$n", dt), v: Any)
+        })
+      case m: Max =>
+        colName(m.column()).flatMap(n => fold(n, isMin = false).map {
+          case (dt, v) => (StructField(s"max_$n", dt), v: Any)
+        })
+      case _ => None
+    }
+    if (out.exists(_.isEmpty)) None
+    else Some((StructType(out.flatten.map(_._1)),
+      out.flatten.map(_._2).toArray))
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = planAggregate(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    planAggregate(agg) match {
+      case Some(p) => pushedAgg = Some(p); true
+      case None => false
+    }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // keep only fields the table actually has; the `_file` metadata
@@ -331,12 +462,51 @@ private[sources] class SnapshotTableScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pruningFilters
 
-  override def build(): Scan =
-    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
-      new GraftChangeFeedScan(required, dir, options)
-    else new SnapshotTableScan(fullSchema, required, dir, options,
-      pruningFilters, withFileMeta)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, row)) => new GraftAggregateScan(dir, schema, row)
+    case None =>
+      if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+        new GraftChangeFeedScan(required, dir, options)
+      else new SnapshotTableScan(fullSchema, required, dir, options,
+        pruningFilters, withFileMeta)
+  }
 }
+
+/** A completely-pushed aggregate: ONE row, computed on the driver from
+  * the manifest at plan time — the scan reads zero data bytes. */
+private[sources] class GraftAggregateScan(dir: String,
+    schema: StructType, row: Array[Any]) extends Scan {
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"GraftSnapshotTable $dir aggregate-pushdown " +
+      s"[${schema.fieldNames.mkString(",")}] (manifest-only, zero I/O)"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftAggRowPartition(row))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PartitionReaderFactory {
+        override def createReader(
+            partition: InputPartition): PartitionReader[InternalRow] =
+          new PartitionReader[InternalRow] {
+            private val values =
+              partition.asInstanceOf[GraftAggRowPartition].values
+            private var emitted = false
+            override def next(): Boolean =
+              if (emitted) false else { emitted = true; true }
+            override def get(): InternalRow =
+              new org.apache.spark.sql.catalyst.expressions
+                .GenericInternalRow(values.clone())
+            override def close(): Unit = ()
+          }
+      }
+  }
+}
+
+private[sources] case class GraftAggRowPartition(values: Array[Any])
+  extends InputPartition
 
 /** Batch CDF scan — `spark.read.format("graft-table")
   * .option("readChangeFeed", "true").option("startingVersion", v)

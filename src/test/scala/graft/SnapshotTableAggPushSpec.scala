@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sinks.SnapshotTable
+
+/** Aggregate pushdown to the manifest: COUNT/MIN/MAX over a snapshot
+  * table answered from footer stats alone — the plan carries the
+  * aggregate-pushdown scan and reads zero data bytes. The push is
+  * offered only when provably exact; every decline case must still
+  * produce the right answer through the plain scan. */
+class SnapshotTableAggPushSpec extends AnyFunSuite
+  with SparkSessionTestWrapper {
+
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("snapagg").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def stage(dir: String): Unit =
+    SnapshotTable.commit(spark,
+      (0L until 100L).map(i =>
+        (i, if (i % 10 == 0) null else s"s$i", i * 2.5,
+          null: String))
+        .toDF("id", "name", "v", "allnull")
+        .repartitionByRange(4, col("id")),
+      dir, "overwrite", statsCols = Seq("id", "name", "v", "allnull"))
+
+  private def pushed(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("aggregate-pushdown")
+
+  test("count(*)/count(c)/min/max fold from the manifest: pushed plan, " +
+    "zero-scan, exact values incl. null-count and all-null columns") {
+    val dir = freshDir()
+    stage(dir)
+    val t = spark.read.format("graft-table").load(dir)
+    val agg = t.agg(
+      count(lit(1)).as("n"), count(col("name")).as("n_name"),
+      min(col("id")).as("min_id"), max(col("id")).as("max_id"),
+      min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+      min(col("name")).as("min_name"), max(col("name")).as("max_name"),
+      max(col("allnull")).as("max_allnull"))
+    assert(pushed(agg), agg.queryExecution.executedPlan.toString)
+    val r = agg.head()
+    assert(r.getLong(0) === 100L)
+    assert(r.getLong(1) === 90L) // 10 nulls
+    assert(r.getLong(2) === 0L && r.getLong(3) === 99L)
+    assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 99 * 2.5)
+    assert(r.getString(6) === "s1" && r.getString(7) === "s99")
+    assert(r.isNullAt(8))
+  }
+
+  test("declines stay correct: WHERE filter, pending MOR delete, " +
+    "untracked column, DISTINCT") {
+    val dir = freshDir()
+    stage(dir)
+    val t = spark.read.format("graft-table").load(dir)
+    // a filter blocks the push (residual filters exist)
+    val f = t.filter(col("id") < 50).agg(count(lit(1)))
+    assert(!pushed(f))
+    assert(f.head().getLong(0) === 50L)
+    // DISTINCT aggregates never push
+    val d = t.agg(countDistinct(col("name")))
+    assert(!pushed(d))
+    assert(d.head().getLong(0) === 90L)
+    // a pending MOR delete makes manifest sums upper bounds: decline,
+    // and the plain scan's reader applies the delete
+    SnapshotTable.deleteByKeys(spark, dir, "id", Seq(1L, 2L).toDF("id"))
+    val t2 = spark.read.format("graft-table").load(dir)
+    val c2 = t2.agg(count(lit(1)), min(col("id")))
+    assert(!pushed(c2))
+    val r2 = c2.head()
+    assert(r2.getLong(0) === 98L)
+    assert(r2.getLong(1) === 0L)
+    // materialize: the push comes back with the post-delete values
+    SnapshotTable.compact(spark, dir, targetBytes = 1L << 20,
+      clusterBy = Some("id"), statsCols = Seq("id", "name", "v"))
+    val t3 = spark.read.format("graft-table").load(dir)
+    val c3 = t3.agg(count(lit(1)), min(col("id")), max(col("id")))
+    assert(pushed(c3))
+    val r3 = c3.head()
+    assert(r3.getLong(0) === 98L && r3.getLong(1) === 0L &&
+      r3.getLong(2) === 99L)
+    // untracked column (compact re-harvested id/name/v only): decline
+    val u = t3.agg(min(col("allnull")))
+    assert(!pushed(u))
+    assert(u.head().isNullAt(0))
+  }
+
+  test("time travel pushes the as-of fold") {
+    val dir = freshDir()
+    stage(dir)
+    SnapshotTable.commit(spark,
+      Seq((500L, "zz", -1.0, null: String))
+        .toDF("id", "name", "v", "allnull"),
+      dir, "append", statsCols = Seq("id", "name", "v"))
+    val v0 = spark.read.format("graft-table").option("versionAsOf", 0)
+      .load(dir).agg(max(col("id")), count(lit(1)))
+    assert(pushed(v0))
+    assert(v0.head().getLong(0) === 99L)
+    assert(v0.head().getLong(1) === 100L)
+    val v1 = spark.read.format("graft-table").load(dir)
+      .agg(max(col("id")), min(col("v")), count(lit(1)))
+    assert(pushed(v1))
+    val r = v1.head()
+    assert(r.getLong(0) === 500L && r.getDouble(1) === -1.0 &&
+      r.getLong(2) === 101L)
+  }
+}
