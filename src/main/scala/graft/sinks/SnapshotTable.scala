@@ -315,6 +315,48 @@ object SnapshotTable {
     } finally w.close()
   }
 
+  /** Streaming parse of one entry's stats JSON straight from the
+    * sidecar's column bytes — no intermediate String, no DOM. At 10^6
+    * manifest entries the jackson readTree path costs ~2x the whole
+    * rest of the replay and its allocation storm is what makes the 1M
+    * rung's wall time bimodal (SCALE table_manifest_1m); the token
+    * stream parses the same self-produced format (escaping included,
+    * it is still jackson) at a fraction of the cost. */
+  private def parseStatsBytes(bytes: Array[Byte], off: Int,
+                              len: Int): Map[String, ColStats] = {
+    import com.fasterxml.jackson.core.JsonToken
+    val p = mapper.getFactory.createParser(bytes, off, len)
+    try {
+      val out = Map.newBuilder[String, ColStats]
+      if (p.nextToken() != JsonToken.START_OBJECT)
+        throw new IllegalStateException("stats: expected object")
+      while (p.nextToken() == JsonToken.FIELD_NAME) {
+        val col = p.currentName()
+        if (p.nextToken() != JsonToken.START_OBJECT)
+          throw new IllegalStateException(s"stats[$col]: expected object")
+        var min: Option[Double] = None
+        var max: Option[Double] = None
+        var minStr: Option[String] = None
+        var maxStr: Option[String] = None
+        var nulls = 0L
+        while (p.nextToken() == JsonToken.FIELD_NAME) {
+          val f = p.currentName()
+          p.nextToken()
+          f match {
+            case "min" => min = Some(p.getDoubleValue)
+            case "max" => max = Some(p.getDoubleValue)
+            case "minStr" => minStr = Some(p.getText)
+            case "maxStr" => maxStr = Some(p.getText)
+            case "nulls" => nulls = p.getLongValue
+            case _ => p.skipChildren()
+          }
+        }
+        out += col -> ColStats(min, max, minStr, maxStr, nulls)
+      }
+      out.result()
+    } finally p.close()
+  }
+
   /** `defaultSeq`: attributed to rows of pre-seq sidecars (see
     * [[parseFileNodes]] — the checkpoint's own version, the safe
     * overestimate). */
@@ -336,8 +378,9 @@ object SnapshotTable {
         def idx(repeating: Boolean, i: Int) = if (repeating) 0 else i
         var i = 0
         while (i < batch.size) {
-          val stats = parseStatsNode(mapper.readTree(
-            statsCol.toString(idx(statsCol.isRepeating, i))))
+          val si = idx(statsCol.isRepeating, i)
+          val stats = parseStatsBytes(statsCol.vector(si),
+            statsCol.start(si), statsCol.length(si))
           out += FileEntry(
             pathCol.toString(idx(pathCol.isRepeating, i)),
             rowsCol.vector(idx(rowsCol.isRepeating, i)),
@@ -1271,6 +1314,15 @@ object SnapshotTable {
     * at zero I/O); [[compact]] restores the all-metadata answer. */
   def rowCount(spark: SparkSession, dir: String,
                version: Option[Long] = None): Long = {
+    // no-deletes fast path straight off the replay, allocation-free: at
+    // 10^6 manifest entries a second materialized copy plus boxed
+    // summation is measurable (the SCALE table_manifest_1m rung)
+    val commits = replayCommits(spark, dir, version)
+    if (commits.forall(_.deletes.isEmpty)) {
+      var s = 0L
+      commits.foreach(_.files.foreach(e => s += e.rows))
+      return s
+    }
     val (files, dels) = snapshotState(spark, dir, version)
     if (dels.isEmpty) files.map(_.rows).sum
     else {
