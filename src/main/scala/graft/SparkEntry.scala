@@ -298,8 +298,11 @@ object SparkEntry {
     "retrieval_hybrid_serve" -> 2, // r7: now the correctness gate (adds
                                   // verdict work); pure serving timing
                                   // moved to retrieval_hybrid_serve_engine
-    "stream_curate" -> 2          // r12: 3rd cross-batch dup rule in the
+    "stream_curate" -> 2,         // r12: 3rd cross-batch dup rule in the
                                   // fixture; bench times ONE
                                   // deployment-sized batch (gate keeps 3)
+    "conv_table_agg_push" -> 2    // r15: double MIN/MAX now correctly
+                                  // DECLINES (NaN-blind footers) — the
+                                  // gate added a plain-scan probe
   ).withDefaultValue(1)
 }

@@ -1987,18 +1987,29 @@ object ConverterQueries {
           base, "overwrite",
           statsCols = Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
       }
+      // lossless channels push (integral key, string priority, counts);
+      // double MIN/MAX must DECLINE (footer extrema are NaN-blind while
+      // Spark orders NaN greatest — the value is unprovable from the
+      // manifest) and still answer exactly through the plain scan
       val q = s.read.format("graft-table").load(base).agg(
         count(lit(1)).as("n"),
         count(col("o_orderpriority")).as("n_pri"),
         min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
-        min(col("o_totalprice")).as("min_price"),
-        max(col("o_totalprice")).as("max_price"),
         min(col("o_orderpriority")).as("min_pri"),
         max(col("o_orderpriority")).as("max_pri"))
-      q.withColumn("pushed",
-        lit(q.queryExecution.executedPlan.toString
-          .contains("aggregate-pushdown")))
+      val dbl = s.read.format("graft-table").load(base).agg(
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      val dblRow = dbl.head()
+      q.withColumn("min_price", lit(dblRow.getDouble(0)))
+        .withColumn("max_price", lit(dblRow.getDouble(1)))
+        .withColumn("pushed",
+          lit(q.queryExecution.executedPlan.toString
+            .contains("aggregate-pushdown")))
+        .withColumn("double_declined",
+          lit(!dbl.queryExecution.executedPlan.toString
+            .contains("aggregate-pushdown")))
     },
 
     // ALTER TABLE DDL (r14 cont. 3): ADD COLUMNS (empty append commit,
@@ -2871,11 +2882,12 @@ object ConverterQueries {
         | COUNT(o_orderpriority) AS n_pri,
         | MIN(o_orderkey) AS min_key,
         | MAX(o_orderkey) AS max_key,
-        | MIN(o_totalprice) AS min_price,
-        | MAX(o_totalprice) AS max_price,
         | MIN(o_orderpriority) AS min_pri,
         | MAX(o_orderpriority) AS max_pri,
-        | TRUE AS pushed
+        | MIN(o_totalprice) AS min_price,
+        | MAX(o_totalprice) AS max_price,
+        | TRUE AS pushed,
+        | TRUE AS double_declined
         |FROM orders""".stripMargin,
 
     // ALTER DDL: final content = orders + the one note row; the schema

@@ -102,6 +102,27 @@ object SnapshotTable {
     * deterministic clocks (including non-monotonic ones). */
   private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
+  /** Reader-protocol fence (the Iceberg format-version / Delta
+    * minReaderVersion shape, ADVICE r14): a commit or checkpoint whose
+    * correct interpretation NEEDS a format feature stamps `minReader`,
+    * and a reader that doesn't speak that protocol must FAIL, not
+    * silently misread. Protocol 2 = merge-on-read equality deletes (an
+    * older reader ignoring the `deletes` array would resurrect deleted
+    * rows). Commits without fenced features carry no stamp, so protocol-1
+    * tables stay readable by anything. */
+  private[graft] val SupportedMinReader = 2
+
+  final class UnsupportedTableProtocolException(msg: String)
+    extends IllegalStateException(msg)
+
+  private def checkProtocol(n: JsonNode, what: String): Unit =
+    if (n.has("minReader") && n.get("minReader").asInt > SupportedMinReader)
+      throw new UnsupportedTableProtocolException(
+        s"$what requires reader protocol ${n.get("minReader").asInt} but " +
+          s"this reader supports up to $SupportedMinReader — upgrade the " +
+          "reader (refusing to read: silently ignoring the unknown " +
+          "feature could return wrong rows)")
+
   private val mapper = new ObjectMapper()
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -415,6 +436,7 @@ object SnapshotTable {
         new String(bos.toByteArray, "UTF-8")
       } finally in.close()
       val n = mapper.readTree(json)
+      checkProtocol(n, s"checkpoint ckpt-$v of $dir")
       val ckptV = n.get("version").asLong
       // checkpoints share the commit shape; a columnar checkpoint keeps
       // the header in JSON and its file list in the ORC sidecar
@@ -441,7 +463,14 @@ object SnapshotTable {
       val deletes = if (n.has("deletes")) parseDeleteNodes(n.get("deletes"))
         else Nil
       Ckpt(ckptV, files, schemaJson, txns, deletes)
-    }.toOption // a corrupt/unreadable checkpoint degrades to full replay
+    } match {
+      // a corrupt/unreadable checkpoint degrades to full replay — but a
+      // PROTOCOL fence must not (degrading would replay the same fenced
+      // commits, or worse, silently skip the feature the fence guards)
+      case scala.util.Failure(e: UnsupportedTableProtocolException) =>
+        throw e
+      case other => other.toOption
+    }
 
   /** Newest readable checkpoint at or before `v`. */
   private def latestCkpt(f: FileSystem, dir: String,
@@ -531,6 +560,7 @@ object SnapshotTable {
     // are small by design); fully-materialized ones age out here
     val liveDels = dels.filter(d => files.exists(_.seq < d.seq))
     if (liveDels.nonEmpty) {
+      root.put("minReader", 2) // pending MOR deletes fence the checkpoint
       val da = root.putArray("deletes")
       liveDels.foreach { d =>
         val o = da.addObject()
@@ -851,6 +881,9 @@ object SnapshotTable {
     val arr = root.putArray("files")
     entries.foreach(e => appendFileNode(arr, e))
     if (deletes.nonEmpty) {
+      // merge-on-read deletes fence the commit at protocol 2: a reader
+      // that would ignore this array must refuse the table instead
+      root.put("minReader", 2)
       val da = root.putArray("deletes")
       deletes.foreach { d =>
         val n = da.addObject()
@@ -919,6 +952,7 @@ object SnapshotTable {
 
   private def parseCommit(json: String): Commit = {
     val n = mapper.readTree(json)
+    checkProtocol(n, "commit")
     val v = n.get("version").asLong
     val files = parseFileNodes(n.get("files"), v)
     val txn =

@@ -109,6 +109,26 @@ class SnapshotTableCatalog extends TableCatalog {
     * Renames/retypes need column mapping and stay unsupported. */
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table = {
+    // BOTH DDL paths pin the version they read (ADVICE r14: an unpinned
+    // ADD publish racing a DROP overwrite would re-record the dropped
+    // column via merge-by-name and resurrect its physically-present
+    // values). A lost race re-runs the WHOLE alter — schema re-read,
+    // ghost re-check — against the fresh snapshot, a few times, then
+    // fails loudly.
+    var attempts = 0
+    while (true) {
+      try return alterOnce(ident, changes)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempts += 1
+          if (attempts > 3) throw e
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def alterOnce(ident: Identifier,
+                        changes: Seq[TableChange]): Table = {
     val spark = SparkSession.active
     val dir = dirOf(ident)
     if (SnapshotTable.versions(spark, dir).isEmpty)
@@ -179,8 +199,12 @@ class SnapshotTableCatalog extends TableCatalog {
         maxRetries = 3, schemaJson = Some(schema.json),
         expectedVersion = Some(readVersion), deletes = dels)
     } else {
-      SnapshotTable.publish(spark, dir, "append", Nil, maxRetries = 20,
-        schemaJson = Some(schema.json))
+      // version-pinned like the DROP path: a lost race re-enters the
+      // publish loop where the expectedVersion guard turns it into CME,
+      // and alterTable re-derives the schema from the fresh snapshot
+      SnapshotTable.publish(spark, dir, "append", Nil, maxRetries = 3,
+        schemaJson = Some(schema.json),
+        expectedVersion = Some(readVersion))
     }
     loadTable(ident)
   }

@@ -347,7 +347,15 @@ private[sources] class SnapshotTableScanBuilder(
       val ss = files.map(_.stats.get(n))
       if (ss.exists(_.isEmpty)) None else Some(ss.flatten)
     }
-    // numeric-channel value -> exact Catalyst value of the column type
+    // numeric-channel value -> exact Catalyst value of the column type.
+    // Lossless channels ONLY (ADVICE r14): Float/Double MIN/MAX decline
+    // because ORC footer extrema are NaN-blind while Spark orders NaN
+    // greatest — a pushed MAX over a NaN-holding column would silently
+    // drop the NaN (and footers cannot prove NaN absence); TimestampType
+    // declines because the stats channel is MILLISECOND-floored
+    // (toColStats uses getMinimum.getTime) and microsecond-precision data
+    // would push a value a real scan never returns. Both still prune and
+    // COUNT fine — only the value-returning fold is gated.
     def numVal(v: Double, dt: DataType): Option[Any] = dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         if (math.abs(v) > (1L << 52).toDouble) None // rounding margin
@@ -357,13 +365,8 @@ private[sources] class SnapshotTableScanBuilder(
           case ShortType => Some(v.toShort)
           case _ => Some(v.toByte)
         }
-      case DoubleType => Some(v)
-      case FloatType => Some(v.toFloat)
-      case DateType => Some(v.toInt) // stats channel = epoch days
-      case TimestampType => // stats channel = epoch millis
-        if (math.abs(v) > (1L << 52).toDouble) None
-        else Some(v.toLong * 1000L)
-      case _ => None
+      case DateType => Some(v.toInt) // stats channel = epoch days, exact
+      case _ => None // float/double (NaN), timestamp (ms floor), decimal
     }
     def fold(n: String, isMin: Boolean): Option[(DataType, Any)] =
       colType(n).flatMap { dt =>
@@ -456,7 +459,7 @@ private[sources] class SnapshotTableScanBuilder(
       case other => Seq(other)
     }
     pruningFilters = filters.flatMap(conjuncts)
-      .filter(ManifestPruning.usable)
+      .filter(ManifestPruning.usable(_, fullSchema))
     filters // all residual
   }
 
@@ -864,13 +867,39 @@ private[sources] object ManifestPruning {
     case _ => None
   }
 
-  def usable(f: Filter): Boolean = f match {
-    case EqualTo(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
-    case GreaterThan(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
-    case GreaterThanOrEqual(_, v) =>
-      numeric(v).nonEmpty || stringy(v).nonEmpty
-    case LessThan(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
-    case LessThanOrEqual(_, v) => numeric(v).nonEmpty || stringy(v).nonEmpty
+  /** NaN-ordering guard (the ADVICE-r14 footer-blindness class, applied
+    * to pruning): ORC double/float footer extrema IGNORE NaN while Spark
+    * orders NaN greatest, so on a float/double COLUMN a lower-bounded
+    * conjunct (`col > v`, `col >= v`) is satisfied by NaN rows a file's
+    * [min,max] never advertises — pruning on it could drop a file whose
+    * NaN rows match. Equality and upper bounds are NaN-safe (NaN = v and
+    * NaN <= v are false for every finite v), so those still prune.
+    * Non-finite filter VALUES decline everywhere: `col = NaN` is TRUE for
+    * NaN rows in Spark, and `col > Infinity` admits NaN. */
+  private def finite(v: Any): Boolean = v match {
+    case d: java.lang.Double => !d.isNaN && !d.isInfinite
+    case fl: java.lang.Float => !fl.isNaN && !fl.isInfinite
+    case _ => true
+  }
+
+  private def floatTyped(schema: StructType, c: String): Boolean =
+    schema.fields.find(_.name == c).map(_.dataType).exists {
+      case org.apache.spark.sql.types.FloatType |
+           org.apache.spark.sql.types.DoubleType => true
+      case _ => false
+    }
+
+  def usable(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(_, v) =>
+      finite(v) && (numeric(v).nonEmpty || stringy(v).nonEmpty)
+    case GreaterThan(c, v) => !floatTyped(schema, c) &&
+      finite(v) && (numeric(v).nonEmpty || stringy(v).nonEmpty)
+    case GreaterThanOrEqual(c, v) => !floatTyped(schema, c) &&
+      finite(v) && (numeric(v).nonEmpty || stringy(v).nonEmpty)
+    case LessThan(_, v) =>
+      finite(v) && (numeric(v).nonEmpty || stringy(v).nonEmpty)
+    case LessThanOrEqual(_, v) =>
+      finite(v) && (numeric(v).nonEmpty || stringy(v).nonEmpty)
     case _ => false
   }
 
@@ -1632,7 +1661,8 @@ private[sources] class GraftRowLevelOperation(
           case And(l, r) => conjuncts(l) ++ conjuncts(r)
           case other => Seq(other)
         }
-        pruning = filters.flatMap(conjuncts).filter(ManifestPruning.usable)
+        pruning = filters.flatMap(conjuncts)
+          .filter(ManifestPruning.usable(_, fullSchema))
         filters
       }
       override def pushedFilters(): Array[Filter] = pruning

@@ -45,7 +45,7 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     val agg = t.agg(
       count(lit(1)).as("n"), count(col("name")).as("n_name"),
       min(col("id")).as("min_id"), max(col("id")).as("max_id"),
-      min(col("v")).as("min_v"), max(col("v")).as("max_v"),
+      count(col("v")).as("n_v"),
       min(col("name")).as("min_name"), max(col("name")).as("max_name"),
       max(col("allnull")).as("max_allnull"))
     assert(pushed(agg), agg.queryExecution.executedPlan.toString)
@@ -53,9 +53,56 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     assert(r.getLong(0) === 100L)
     assert(r.getLong(1) === 90L) // 10 nulls
     assert(r.getLong(2) === 0L && r.getLong(3) === 99L)
-    assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 99 * 2.5)
-    assert(r.getString(6) === "s1" && r.getString(7) === "s99")
-    assert(r.isNullAt(8))
+    assert(r.getLong(4) === 100L)
+    assert(r.getString(5) === "s1" && r.getString(6) === "s99")
+    assert(r.isNullAt(7))
+  }
+
+  test("double MIN/MAX declines (NaN-blind footers) and a NaN-holding " +
+    "column still answers NaN through the plain scan") {
+    val dir = freshDir()
+    stage(dir)
+    val t = spark.read.format("graft-table").load(dir)
+    // even on NaN-free data the push must decline: footers cannot PROVE
+    // NaN absence, and Spark orders NaN greatest
+    val clean = t.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    assert(!pushed(clean))
+    val rc = clean.head()
+    assert(rc.getDouble(0) === 0.0 && rc.getDouble(1) === 99 * 2.5)
+    // with an actual NaN row, MAX must BE NaN — exactly the value a
+    // footer-folded push would have gotten wrong
+    SnapshotTable.commit(spark,
+      Seq((1000L, "nan", Double.NaN, null: String))
+        .toDF("id", "name", "v", "allnull"),
+      dir, "append", statsCols = Seq("id", "name", "v"))
+    val t2 = spark.read.format("graft-table").load(dir)
+    val withNan = t2.agg(max(col("v")).as("mx"))
+    assert(!pushed(withNan))
+    assert(withNan.head().getDouble(0).isNaN)
+  }
+
+  test("timestamp MIN/MAX declines (ms-floored stats channel) and " +
+    "microsecond precision survives through the plain scan") {
+    val dir = freshDir()
+    // 10:00:00.000500 — a value the ms-granular footer channel floors
+    val micro = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    micro.setNanos(500000) // +500 microseconds
+    val base = java.sql.Timestamp.valueOf("2024-01-01 09:00:00")
+    SnapshotTable.commit(spark,
+      Seq((1L, base), (2L, micro)).toDF("id", "ts"),
+      dir, "overwrite", statsCols = Seq("id", "ts"))
+    val t = spark.read.format("graft-table").load(dir)
+    val agg = t.agg(max(col("ts")).as("mx"), min(col("ts")).as("mn"),
+      count(col("ts")).as("n"))
+    assert(!pushed(agg)) // any ts MIN/MAX in the set declines the push
+    val r = agg.head()
+    assert(r.getTimestamp(0).getNanos === 500000) // micros survived
+    assert(r.getTimestamp(1) === base)
+    assert(r.getLong(2) === 2L)
+    // counts alone (no ts fold) still push
+    val c = t.agg(count(col("ts")).as("n"), count(lit(1)).as("all"))
+    assert(pushed(c))
+    assert(c.head().getLong(0) === 2L)
   }
 
   test("declines stay correct: WHERE filter, pending MOR delete, " +
@@ -108,10 +155,10 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     assert(v0.head().getLong(0) === 99L)
     assert(v0.head().getLong(1) === 100L)
     val v1 = spark.read.format("graft-table").load(dir)
-      .agg(max(col("id")), min(col("v")), count(lit(1)))
+      .agg(max(col("id")), min(col("name")), count(lit(1)))
     assert(pushed(v1))
     val r = v1.head()
-    assert(r.getLong(0) === 500L && r.getDouble(1) === -1.0 &&
+    assert(r.getLong(0) === 500L && r.getString(1) === "s1" &&
       r.getLong(2) === 101L)
   }
 }

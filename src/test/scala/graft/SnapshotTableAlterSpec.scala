@@ -113,4 +113,24 @@ class SnapshotTableAlterSpec extends AnyFunSuite
     assert(t.columns.toSeq === Seq("id", "v"))
     assert(t.count() === 98) // the delete materialized before the drop
   }
+
+  test("ADD COLUMNS is version-pinned: concurrent appends never make it " +
+    "publish a stale schema (the alter retries whole on conflict)") {
+    val dir = freshDir()
+    stage(dir)
+    // appends racing the DDL: the alter's publish must either win its
+    // pinned version or retry the WHOLE alter against the fresh snapshot
+    val appender = new Thread(() =>
+      (0 until 3).foreach { i =>
+        SnapshotTable.commit(spark,
+          Seq((1000L + i, s"x$i", 0.0)).toDF("id", "name", "v"),
+          dir, "append", statsCols = Seq("id"))
+      })
+    appender.start()
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)")
+    appender.join()
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.columns.contains("note"))
+    assert(t.count() === 103) // no append lost, no alter lost
+  }
 }

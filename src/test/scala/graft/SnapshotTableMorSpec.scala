@@ -375,6 +375,37 @@ class SnapshotTableMorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 199)
   }
 
+  test("reader-protocol fence: a MOR delete stamps minReader=2, the " +
+    "current reader accepts it, and a FUTURE protocol fails loudly " +
+    "instead of silently misreading") {
+    val dir = freshDir()
+    stage(dir)
+    SnapshotTable.deleteByKeys(spark, dir, "id", Seq(3L).toDF("id"))
+    // the rowdelete commit carries the fence
+    val logDir = new java.io.File(dir, "_log")
+    val v1 = new java.io.File(logDir, f"v${1L}%020d.json")
+    val v1Json = new String(java.nio.file.Files.readAllBytes(v1.toPath))
+    assert(v1Json.contains("\"minReader\":2"), v1Json.take(200))
+    assert(SnapshotTable.read(spark, dir).count() === 199) // still readable
+    // a commit from a future format version must fence THIS reader
+    val v2 = new java.io.File(logDir, f"v${2L}%020d.json")
+    java.nio.file.Files.write(v2.toPath,
+      ("""{"version":2,"action":"append","ts":1,"minReader":99,""" +
+        """"files":[]}""").getBytes("UTF-8"))
+    val e = intercept[SnapshotTable.UnsupportedTableProtocolException] {
+      SnapshotTable.read(spark, dir)
+    }
+    assert(e.getMessage.contains("protocol 99"))
+    // fenced checkpoints refuse too (and do NOT degrade to replay)
+    val ck = new java.io.File(logDir, f"ckpt-${2L}%020d.json")
+    java.nio.file.Files.write(ck.toPath,
+      ("""{"version":2,"action":"overwrite","minReader":99,""" +
+        """"files":[],"txns":{}}""").getBytes("UTF-8"))
+    intercept[SnapshotTable.UnsupportedTableProtocolException] {
+      SnapshotTable.read(spark, dir)
+    }
+  }
+
   test("deleteByKeys accepts a single-column frame under any name and " +
     "casts to the table's key type") {
     val dir = freshDir()
