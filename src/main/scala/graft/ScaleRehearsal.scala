@@ -204,6 +204,10 @@ object ScaleRehearsal {
       .empty[String, (Array[Double], Array[Array[Double]])]
     def cdcBaseDir(d: String): String =
       s"/tmp/graft_scale_cdc/${d.replaceAll("[^A-Za-z0-9]", "_")}/documents"
+    def dppTableDir(d: String): String =
+      s"/tmp/graft_scale_dpp/${d.replaceAll("[^A-Za-z0-9]", "_")}/table"
+    def dppDimDir(d: String): String =
+      s"/tmp/graft_scale_dpp/${d.replaceAll("[^A-Za-z0-9]", "_")}/dim"
     def bm25IdxDir(d: String): String =
       s"/tmp/graft_scale_bm25/${d.replaceAll("[^A-Za-z0-9]", "_")}/index"
     def ndIdxTbl(d: String): String =
@@ -238,6 +242,25 @@ object ScaleRehearsal {
         Dedup.buildNearDupIndex(
           t(spark, d, "documents").filter(col("doc_id") % 10 =!= 0),
           "doc_id", "text", ndIdxTbl(d), k = 32, shingleSize = 5, bands = 8)
+      // r15: DPP rung fixture — a range-clustered snapshot table with
+      // file SIZE held ~constant (target 5000 docs/file, the same
+      // buckets-per-table rule as the CDC base) so the runtime-pruned
+      // read is a fixed-size slab at every sf, plus a dim whose hot-tag
+      // correlation is laundered through parquet (a key-range dim filter
+      // would prune STATICALLY via constraint propagation — the rung
+      // must exercise the runtime path). Staged once, outside any timed
+      // window: the probe times the JOIN, not the table build.
+      if (graft.sinks.SnapshotTable.versions(spark, dppTableDir(d)).isEmpty) {
+        val docs = t(spark, d, "documents").select(
+          col("doc_id"), col("source"), col("text"))
+        val nF = math.max(32, (docs.count() / 5000L).toInt)
+        graft.sinks.SnapshotTable.commit(spark,
+          docs.repartitionByRange(nF, col("doc_id")), dppTableDir(d),
+          "overwrite", statsCols = Seq("doc_id"))
+        docs.select(col("doc_id").as("k"),
+            when(col("doc_id") <= 200, "hot").otherwise("cold").as("tag"))
+          .write.mode("overwrite").parquet(dppDimDir(d))
+      }
       val dir = cdcBaseDir(d)
       if (!new java.io.File(s"$dir/${OrcSink.BucketsMetaFile}").exists()) {
         val docs = t(spark, d, "documents")
@@ -271,6 +294,10 @@ object ScaleRehearsal {
     // nCentroids with the corpus instead, keeping cells — and therefore
     // shortlist — constant-sized; nCentroids=16 is pinned here to match
     // the gates).
+    // per-dataset (keptBytes, staticBytes) from the DPP rung's runtime
+    // prune — shipped in the JSON so the byte drop is part of the record
+    val dppBytes =
+      new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
     val embCount = scala.collection.mutable.Map.empty[String, Long]
     def nVecs(d: String): Long =
       embCount.getOrElseUpdate(d, t(spark, d, "embeddings").count())
@@ -415,6 +442,31 @@ object ScaleRehearsal {
         graft.sinks.SnapshotTable.deleteByKeys(spark, dir, "doc_id",
           docs.filter(col("doc_id") < 100).select("doc_id"))
         graft.sinks.SnapshotTable.read(spark, dir).count()
+      }),
+      // r15 (VERDICT r14 #1): runtime file-group pruning on the ladder.
+      // The fixture table is pre-staged (file size ~constant via the
+      // files-per-table rule), so the timed window is the dim scan +
+      // the runtime-pruned snapshot read. The dim's hot slab is a FIXED
+      // 200-key range at every sf, so the pruned read is a fixed-size
+      // slab and the probe's wall must stay ~flat sf0.1→sf1 while the
+      // table grows 10x — the whole point of DPP at 100 TB. The probe
+      // REQUIRES the prune to have fired (kept < static) and prints the
+      // pruned-vs-unpruned byte masses for the shipped JSON.
+      "table_dpp" -> (() => {
+        val tbl = dppTableDir(d)
+        val snap = spark.read.format("graft-table").load(tbl)
+        val dim = spark.read.parquet(dppDimDir(d))
+          .filter(col("tag") === "hot").select(col("k"))
+        val n = snap.join(broadcast(dim), snap("doc_id") === dim("k"))
+          .count()
+        val t4 = graft.sources.SnapshotTableScan.lastPlanned.get(tbl)
+        require(t4 != null && t4._1 < t4._2,
+          s"table_dpp: runtime prune did not fire: $t4")
+        println(f"SCALEINFO table_dpp $d keptFiles=${t4._1}%d " +
+          f"staticFiles=${t4._2}%d keptMB=${t4._3 / 1e6}%.2f " +
+          f"staticMB=${t4._4 / 1e6}%.2f")
+        dppBytes.put(d, (t4._3, t4._4))
+        n
       }),
       // r13: the exactly-once snapshot-table streaming ingest on the
       // ladder — 4 corpus-scaled micro-batches (maxFilesPerTrigger=1),
@@ -1431,6 +1483,15 @@ object ScaleRehearsal {
     sb.append(f"""  "ann_sparse_regime": {"corpus": 200000, "dim": 64, "clusters": 64, "n_centroids": 256, "n_probe": 8, "k": 10, "eps": 0.005, "shortlist_1pct": {"shortlist": 2000, "recall": ${annSp._1}%.3f, "floor": 0.95, "secs": ${annSp._2}%.1f}, "shortlist_02pct": {"shortlist": 400, "recall": ${annSp._3}%.3f, "floor": 0.85, "secs": ${annSp._4}%.1f}, "wall_ceiling_s": 60.0, "within_ceilings": ${annSp._5}},\n""")
     if (!memPass) allOk = false
     sb.append(f"""  "memory": {"heap_mb": $memHeapMb%d, "child_exit": $memExit%d, "spill_disk_mb_total": $memSpillDisk%.1f, "answers_match": $memAnswersMatch, "child": ${if (memJson.nonEmpty) memJson else "null"}, "pass": $memPass},\n""")
+    // r15: the DPP rung's runtime-pruned byte masses (its wall/shuffle
+    // ratios ride the main ladder rows like every probe; this records
+    // the pruned-vs-unpruned drop itself)
+    def dppJson(d: String): String = {
+      val b = dppBytes.get(d)
+      if (b == null) """{"kept_bytes": -1, "static_bytes": -1}"""
+      else s"""{"kept_bytes": ${b._1}, "static_bytes": ${b._2}}"""
+    }
+    sb.append(s"""  "table_dpp_bytes": {"sf0.1": ${dppJson(sf01)}, "sf1": ${dppJson(sf1)}},\n""")
     sb.append(s"""  "all_within_ceilings": $allOk\n}\n""")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -173,7 +173,10 @@ object SparkEntry {
     // ALTER TABLE ADD COLUMNS / DROP COLUMN through the path catalog —
     // both zero-data-I/O log commits — and manifest-answered
     // COUNT/MIN/MAX (complete aggregate pushdown, zero-scan)
-    "conv_table_agg_push")
+    "conv_table_agg_push",
+    // round-15: runtime file-group pruning (DPP) — a selective dim join
+    // drops manifest groups at execution time, before any data I/O
+    "conv_table_dpp")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -2012,6 +2012,57 @@ object ConverterQueries {
             .contains("aggregate-pushdown")))
     },
 
+    // Runtime file-group pruning (r15, VERDICT r14 #1 — the DPP shape):
+    // a selective dimension joined against a key-clustered snapshot
+    // table plants a DynamicPruningSubquery on the DSv2 scan; at
+    // execution the dim's distinct join keys arrive as an IN filter and
+    // manifest groups whose [min,max] hold none of them drop BEFORE any
+    // data I/O. The gate pins the planned subquery, the OBSERVED group
+    // drop (≥3/4 of the 16 range-clustered files pruned — keys ≤1000
+    // live in the low range files only), and DuckDB replays the join
+    // content. At 100 TB this is the difference between scanning every
+    // statically-surviving file and scanning the joined key range.
+    "conv_table_dpp" -> { (s, d) =>
+      val base = tmp(d, "snapdpp") + "/t"
+      val dimDir = tmp(d, "snapdpp") + "/dim"
+      stageOnce(base) {
+        SnapshotTable.commit(s,
+          t(s, d, "orders").repartitionByRange(16, col("o_orderkey")),
+          base, "overwrite", statsCols = Seq("o_orderkey"))
+        // the dim predicate must live on a NON-KEY attribute: a key-range
+        // filter on the dim would propagate through the join equality as
+        // a STATIC bound and manifest pruning would fire before runtime.
+        // The tag<->key correlation is laundered through parquet so only
+        // the runtime subquery can discover which keys survive.
+        t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_custkey").as("dim_cust"),
+            when(col("o_orderkey") <= 1000, "hot").otherwise("cold")
+              .as("tag"))
+          .write.mode("overwrite").parquet(dimDir)
+      }
+      val dim = s.read.parquet(dimDir).filter(col("tag") === "hot")
+        .select(col("k"), col("dim_cust"))
+      val snap = s.read.format("graft-table").load(base)
+      // dim broadcast pinned (the 100 TB fact>>dim shape): the DPP
+      // subquery reuses the dim's broadcast exchange for free
+      val agg = snap.join(broadcast(dim), snap("o_orderkey") === dim("k"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"),
+          sum(col("dim_cust")).as("sum_cust"))
+      val row = agg.head() // execute: the runtime filter fires here
+      val planned = graft.sources.SnapshotTableScan.lastPlanned.get(base)
+      val (kept, static0) =
+        if (planned == null) (-1, -1) else (planned._1, planned._2)
+      s.range(1).select(
+        lit(row.getLong(0)).as("n"),
+        lit(row.getLong(1)).as("sum_key"),
+        lit(row.getDouble(2)).as("sum_price"),
+        lit(row.getLong(3)).as("sum_cust"),
+        lit(agg.queryExecution.executedPlan.toString
+          .contains("dynamicpruning")).as("dpp_planned"),
+        lit(kept >= 1 && kept * 4 <= static0).as("pruned_majority"))
+    },
+
     // ALTER TABLE DDL (r14 cont. 3): ADD COLUMNS (empty append commit,
     // merge-by-name null-fill) then an append populating it, then DROP
     // COLUMN (schema-narrowing overwrite CARRYING every file
@@ -2876,6 +2927,19 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS pending_after,
         | COUNT(*) AS manifest_exact
         |FROM fin""".stripMargin,
+
+    // DPP: content = orders self-join on the dim key slice (o_orderkey
+    // is unique, so multiplicity 1); the planned-subquery and observed
+    // group-drop verdicts pinned TRUE.
+    "conv_table_dpp" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+        | TRUE AS dpp_planned,
+        | TRUE AS pruned_majority
+        |FROM orders WHERE o_orderkey <= 1000""".stripMargin,
 
     "conv_table_agg_push" ->
       """SELECT COUNT(*) AS n,
