@@ -443,6 +443,27 @@ object ScaleRehearsal {
           docs.filter(col("doc_id") < 100).select("doc_id"))
         graft.sinks.SnapshotTable.read(spark, dir).count()
       }),
+      // r15 (VERDICT r14 #3): MOR UPDATE on the ladder — a fixed 100-row
+      // upsert lands as one key sidecar + one appended file with ZERO
+      // existing-data-file I/O, so the probe's wall must track the table
+      // COMMIT + the MOR-applied read (both linear), exactly like
+      // table_mor_delete — never the rewriting table_sql_merge shape
+      // (whose matched file groups grow with the table). Checksum =
+      // post-upsert row count (update-only, so it equals the commit's).
+      "table_mor_update" -> (() => {
+        val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+        val dir = s"/tmp/graft_scale/$key/snapmorupd"
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        val docs = t(spark, d, "documents").select(
+          col("doc_id"), col("source"), col("text"))
+        graft.sinks.SnapshotTable.commit(spark,
+          docs.repartitionByRange(32, col("doc_id")), dir,
+          "overwrite", statsCols = Seq("doc_id"))
+        graft.sinks.SnapshotTable.upsertByKeys(spark, dir, "doc_id",
+          docs.filter(col("doc_id") < 100)
+            .withColumn("source", lit("mor-updated")))
+        graft.sinks.SnapshotTable.read(spark, dir).count()
+      }),
       // r15 (VERDICT r14 #1): runtime file-group pruning on the ladder.
       // The fixture table is pre-staged (file size ~constant via the
       // files-per-table rule), so the timed window is the dim scan +

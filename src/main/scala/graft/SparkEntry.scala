@@ -175,8 +175,10 @@ object SparkEntry {
     // COUNT/MIN/MAX (complete aggregate pushdown, zero-scan)
     "conv_table_agg_push",
     // round-15: runtime file-group pruning (DPP) — a selective dim join
-    // drops manifest groups at execution time, before any data I/O
-    "conv_table_dpp")
+    // drops manifest groups at execution time, before any data I/O —
+    // and merge-on-read UPDATE (API upsert + delta-path SQL UPDATE):
+    // key sidecar + appended replacements, zero existing-file rewrites
+    "conv_table_dpp", "conv_table_mor_update", "conv_table_mor_update_sql")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -1066,6 +1066,11 @@ object SnapshotTable {
                      version: Option[Long] = None): Seq[DeleteEntry] =
     snapshotState(spark, dir, version)._2
 
+  /** [[mergeByName]] for the DSv2 layer (delta-write commits record the
+    * snapshot schema merged with the written rows' schema). */
+  private[graft] def mergeSchemas(a: StructType, b: StructType): StructType =
+    mergeByName(a, b)
+
   /** Union-by-name with null-fill: fields of `a`, then fields of `b` not
     * yet present. Same-name fields must agree on type — silent coercion
     * would corrupt, so drift fails loudly. */
@@ -1721,6 +1726,83 @@ object SnapshotTable {
     MorDeleteReport(v, nKeys, entries.map(_.bytes).sum)
   }
 
+  final case class MorUpdateReport(version: Long, keys: Long,
+                                   sidecarBytes: Long, filesAdded: Int)
+
+  /** MERGE-ON-READ upsert — the UPDATE / MERGE-matched-leg twin of
+    * [[deleteByKeys]] (VERDICT r14 #3): "replace every row whose
+    * `keyCol` is in `updates`, insert the unmatched ones" lands as ONE
+    * commit carrying an equality-delete sidecar on the update keys PLUS
+    * the updated rows as appended data files — ZERO existing-data-file
+    * I/O at any table size. The copy-on-write paths ([[merge]], SQL
+    * UPDATE/MERGE) rewrite whole file groups, which is right when the
+    * update is large; a 100-row upsert on a 100 TB table should not
+    * rewrite one byte of existing data. Semantics:
+    *
+    *   - the delete sidecar and the new data files share the commit's
+    *     sequence number: the deletes apply to every file with a
+    *     SMALLER seq (all data present when the upsert commits), and
+    *     the commit's own rows — stamped AT the seq — survive their own
+    *     delete (exactly Iceberg's sequence-number rule);
+    *   - concurrent upserts on the same key serialize by commit order:
+    *     the later commit's delete outranks the earlier commit's rows —
+    *     last-writer-wins, never a duplicate;
+    *   - an update key absent from the table deletes nothing and the
+    *     row simply inserts — the unmatched-INSERT merge leg;
+    *   - NULL-keyed update rows insert without deleting anything (an
+    *     equality delete cannot match NULL);
+    *   - like [[deleteByKeys]], conflict-free by construction under the
+    *     as-of-commit-time reading, so no version pin is needed;
+    *   - any rewrite ([[compact]], [[cluster]], COW paths) materializes
+    *     the pending delete exactly as for MOR deletes; manifest row
+    *     sums are upper bounds until then ([[rowCount]] stays exact).
+    *
+    * Returns the committed version, distinct key count, sidecar bytes,
+    * and the number of data files appended. */
+  def upsertByKeys(spark: SparkSession, dir: String, keyCol: String,
+                   updates: DataFrame,
+                   statsCols: Seq[String] = Nil): MorUpdateReport = {
+    val readVersion = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot table at $dir"))
+    val schema = snapshotSchema(spark, dir, Some(readVersion))
+    // write-time schema enforcement, like any append: retyping fails
+    // before any file lands
+    schema.foreach(mergeByName(_, updates.schema))
+    val keyType = schema.flatMap(_.fields.find(_.name == keyCol))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot table $dir has no column '$keyCol'"))
+    require(updates.columns.contains(keyCol),
+      s"updates frame lacks the key column '$keyCol'")
+    val keyFrame = updates.select(col(keyCol).cast(keyType).as(keyCol))
+      .na.drop().distinct()
+    val f = fs(spark, dir)
+    val batch = f"update-${java.util.UUID.randomUUID().toString.take(12)}"
+    val sideDir = new Path(new Path(dir, "data"), s"$batch-del")
+    keyFrame.coalesce(1).write.mode("overwrite").orc(sideDir.toString)
+    val sideParts = f.listStatus(sideDir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString)
+    val sideHarvest = harvest(spark, sideParts, Nil)
+    val nKeys = sideHarvest.map(_.rows).sum
+    val delEntries = sideHarvest.map(e => DeleteEntry(
+      s"data/$batch-del/${new Path(e.path).getName}", e.rows, e.bytes,
+      keyCol))
+    val fresh = writeBatch(spark, dir, updates,
+      if (statsCols.nonEmpty) statsCols else Seq(keyCol))
+    if (fresh.isEmpty && nKeys == 0L) {
+      f.delete(sideDir, true)
+      return MorUpdateReport(readVersion, 0L, 0L, 0)
+    }
+    val outSchema = schema.map(mergeByName(_, updates.schema))
+      .getOrElse(updates.schema)
+    val v = publish(spark, dir, "rowupdate", fresh, maxRetries = 20,
+      schemaJson = Some(outSchema.json),
+      deletes = if (nKeys > 0) delEntries else Nil)
+    if (nKeys == 0L) f.delete(sideDir, true)
+    MorUpdateReport(v, nKeys, delEntries.map(_.bytes).sum, fresh.size)
+  }
+
   final case class ClusterReport(version: Long, filesRewritten: Int,
                                  filesCarried: Int)
 
@@ -1921,10 +2003,13 @@ object SnapshotTable {
               cSchema)
           c.files.foreach(e => running += e.path -> e)
           runSchema = mergedSchema
-        case "rowdelete" =>
+        case "rowdelete" | "rowupdate" =>
           // the delta = the still-live rows the key set removes: files
           // the delete governs, anti-filtered by the deletes already
-          // pending, SEMI-filtered by the new keys
+          // pending, SEMI-filtered by the new keys. A rowupdate commit
+          // (MOR upsert) additionally carries the replacement rows as
+          // appended files, emitted as inserts — its feed is exactly
+          // delete-preimage + insert-postimage, the keyed-update shape.
           c.deletes.foreach { d =>
             val subject = running.valuesIterator
               .filter(_.seq < d.seq).toSeq
@@ -1932,6 +2017,10 @@ object SnapshotTable {
               runSchema, semi = Seq(d))
             runDels = (runDels :+ d).sortBy(_.seq)
           }
+          if (c.files.nonEmpty)
+            slices += ChangeSlice(c.files, "insert", v, c.timestampMs,
+              mergedSchema)
+          c.files.foreach(e => running += e.path -> e)
           runSchema = mergedSchema
         case _ => // overwrite
           val newSet = c.files.map(e => e.path -> e).toMap

@@ -210,7 +210,27 @@ private[sources] class SnapshotTableTable(
 
   override def name(): String = s"graft-table `$dir`"
   override def schema(): StructType = schema0
-  private val schema0 = schema
+  /** Under the opt-in MOR-update mode the declared row-identity column
+    * is reported NON-nullable — Spark's delta row-level contract
+    * requires it (NULLABLE_ROW_ID_ATTRIBUTES), and declaring a column a
+    * row identity IS asserting it is never null (the Iceberg
+    * identifier-field contract; [[GraftDeltaWriter]] enforces it per
+    * row, failing the command loudly on a null key rather than
+    * silently duplicating). Everything else keeps the deep-nullable
+    * schema-evolution contract. */
+  private val schema0 = {
+    val conf = SparkSession.active.conf
+    val morKey =
+      if (conf.getOption("spark.graft.table.update.mode").contains("mor"))
+        conf.getOption("spark.graft.table.update.key")
+      else None
+    morKey match {
+      case Some(k) if schema.fieldNames.contains(k) =>
+        StructType(schema.fields.map(f =>
+          if (f.name == k) f.copy(nullable = false) else f))
+      case _ => schema
+    }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
@@ -236,12 +256,34 @@ private[sources] class SnapshotTableTable(
     * rewritten ones, carrying every untouched file's manifest entry
     * byte-identical. The command's condition is pushed into the group
     * scan as MANIFEST file pruning, so a key-clustered table rewrites
-    * O(matching files), not O(table). */
+    * O(matching files), not O(table).
+    *
+    * MERGE-ON-READ routing for SQL UPDATE is OPT-IN (the delta-based
+    * row-level contract, VERDICT r14 #3): with
+    * `spark.graft.table.update.mode=mor` and
+    * `spark.graft.table.update.key=<col>` naming a ROW-IDENTIFYING
+    * column (the Iceberg identifier-field contract — rows sharing a key
+    * are one logical row; an equality delete removes ALL of them), the
+    * command plans as WriteDelta: only the MATCHED rows flow to the
+    * writer, which lands them as an equality-delete key sidecar plus
+    * appended replacement files in one `rowupdate` commit — zero
+    * existing-data-file I/O, the [[SnapshotTable.upsertByKeys]] shape.
+    * A one-row UPDATE on a 100 TB table then writes KBs, where the COW
+    * path rewrites a file group. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
-      override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(schema0, dir, info.command())
+      override def build(): RowLevelOperation = {
+        val conf = SparkSession.active.conf
+        val morKey = conf.getOption("spark.graft.table.update.key")
+          .filter(schema0.fieldNames.contains)
+        if (info.command() == RowLevelOperation.Command.UPDATE &&
+            conf.getOption("spark.graft.table.update.mode")
+              .contains("mor") && morKey.nonEmpty)
+          new GraftDeltaOperation(schema0, dir, info.command(),
+            morKey.get)
+        else new GraftRowLevelOperation(schema0, dir, info.command())
+      }
     }
 
   /** Batch writes route through the transactional commit protocol via
@@ -1973,4 +2015,170 @@ private[sources] class GraftBatchWriterFactory(
     new GraftStreamDataWriter(dir,
       f"data/dml-$token/part-$partitionId%05d-$taskId.orc",
       schema, conf.value)
+}
+
+/** Delta-based (merge-on-read) row-level operation: SQL UPDATE planned
+  * as WriteDelta over a declared row-identity column. The scan is the
+  * ordinary snapshot scan (manifest pruning + MOR deletes + runtime
+  * filtering all apply; the command condition pushes as file pruning),
+  * so only matching file groups are READ — and nothing is rewritten:
+  * the writer lands matched keys as equality-delete sidecars and the
+  * replacement rows as appended files, committed atomically as ONE
+  * `rowupdate` version (see [[SnapshotTable.upsertByKeys]] for the
+  * sequence-number semantics). */
+private[sources] class GraftDeltaOperation(
+    fullSchema: StructType, dir: String,
+    cmd: RowLevelOperation.Command, keyCol: String)
+  extends RowLevelOperation
+  with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def command: RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-table MOR-delta $cmd `$dir` rowId=$keyCol"
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(keyCol))
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotTableScanBuilder(fullSchema, dir, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new GraftDeltaBatchWrite(dir, info.schema(), keyCol,
+              fullSchema.fields.find(_.name == keyCol).get.dataType)
+        }
+    }
+}
+
+private[sources] case class GraftDeltaMsg(
+    rowRel: String, keyRel: String, rows: Long, keys: Long)
+  extends WriterCommitMessage
+
+private[sources] class GraftDeltaBatchWrite(
+    dir: String, rowSchema: StructType, keyCol: String,
+    keyType: org.apache.spark.sql.types.DataType)
+  extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  private val token = java.util.UUID.randomUUID().toString.take(12)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new GraftDeltaWriterFactory(dir, token, rowSchema, keyCol, keyType,
+      new SerConf(SparkSession.active.sessionState.newHadoopConf()))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val msgs = messages.collect { case m: GraftDeltaMsg => m }
+    val rowRels = msgs.collect { case m if m.rowRel != null => m.rowRel }
+    val keyRels = msgs.collect { case m if m.keyRel != null => m.keyRel }
+    if (rowRels.isEmpty && keyRels.isEmpty) return // no-op command
+    val schema = SnapshotTable.snapshotSchema(spark, dir, None)
+    val statsCols = SnapshotTable.snapshotFiles(spark, dir, None)
+      .flatMap(_.stats.keys).distinct
+    def entriesOf(rels: Seq[String], cols: Seq[String]) = {
+      val abs = rels.map(r => s"$dir/$r")
+      val relOf = abs.zip(rels).toMap
+      SnapshotTable.harvest(spark, abs, cols)
+        .map(e => e.copy(path = relOf(e.path)))
+    }
+    val rowEntries = entriesOf(rowRels, statsCols)
+    val keyEntries = entriesOf(keyRels, Nil).map(e =>
+      SnapshotTable.DeleteEntry(e.path, e.rows, e.bytes, keyCol))
+    SnapshotTable.publish(spark, dir, "rowupdate", rowEntries,
+      maxRetries = 20,
+      schemaJson = schema.map(s => SnapshotTable
+        .mergeSchemas(s, rowSchema).json).orElse(Some(rowSchema.json)),
+      deletes = keyEntries)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val f = new Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case GraftDeltaMsg(rowRel, keyRel, _, _) =>
+        Seq(rowRel, keyRel).filter(_ != null).foreach(r =>
+          scala.util.Try(f.delete(new Path(s"$dir/$r"), false)))
+      case _ =>
+    }
+  }
+}
+
+private[sources] class GraftDeltaWriterFactory(
+    dir: String, token: String, rowSchema: StructType, keyCol: String,
+    keyType: org.apache.spark.sql.types.DataType, conf: SerConf)
+  extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(dir, token, partitionId, taskId, rowSchema,
+      keyCol, keyType, conf.value)
+}
+
+/** Per-task delta writer: matched keys stream into a key sidecar
+  * (type-identical to the data column), replacement/inserted rows into
+  * a data file — both invisible until the driver's one-commit publish.
+  * `update` records both halves; `delete` only the key; `insert` only
+  * the row (the MERGE legs, should MERGE route here later). */
+private[sources] class GraftDeltaWriter(
+    dir: String, token: String, partitionId: Int, taskId: Long,
+    rowSchema: StructType, keyCol: String,
+    keyType: org.apache.spark.sql.types.DataType, conf: Configuration)
+  extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+
+  private val rowRel =
+    f"data/dml-$token/part-$partitionId%05d-$taskId.orc"
+  private val keyRel =
+    f"data/dml-$token-del/key-$partitionId%05d-$taskId.orc"
+  private val rowW = new GraftStreamDataWriter(dir, rowRel, rowSchema, conf)
+  private val keySchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField(keyCol, keyType)))
+  private val keyW = new GraftStreamDataWriter(dir, keyRel, keySchema, conf)
+  private var nRows = 0L
+  private var nKeys = 0L
+
+  /** A null row-identity value would make the equality delete silently
+    * miss the old row (duplicating it next to the update) — the
+    * identity declaration promised non-null, so break the command, not
+    * the table. */
+  private def checkKey(id: InternalRow): InternalRow = {
+    if (id.isNullAt(0)) throw new IllegalStateException(
+      s"MOR row-level operation on $dir: row-identity column '$keyCol' " +
+        "is NULL for a matched row — the declared update key must be " +
+        "non-null on every row (use the copy-on-write path otherwise)")
+    id
+  }
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    keyW.write(checkKey(id)); nKeys += 1
+  }
+
+  override def update(meta: InternalRow, id: InternalRow,
+                      row: InternalRow): Unit = {
+    keyW.write(checkKey(id)); nKeys += 1
+    rowW.write(row); nRows += 1
+  }
+
+  override def insert(row: InternalRow): Unit = {
+    rowW.write(row); nRows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    rowW.commit(); keyW.commit()
+    GraftDeltaMsg(if (nRows > 0) rowRel else null,
+      if (nKeys > 0) keyRel else null, nRows, nKeys)
+  }
+
+  override def abort(): Unit = { rowW.abort(); keyW.abort() }
+  override def close(): Unit = { rowW.close(); keyW.close() }
 }

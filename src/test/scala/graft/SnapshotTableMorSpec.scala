@@ -375,6 +375,87 @@ class SnapshotTableMorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 199)
   }
 
+  test("upsertByKeys: matched rows replace, unmatched insert, NOTHING " +
+    "rewrites; sequence rule and time travel hold; compact materializes") {
+    val dir = freshDir()
+    stage(dir) // ids 0..199
+    val before = SnapshotTable.snapshotFiles(spark, dir).map(_.path).toSet
+    val rep = SnapshotTable.upsertByKeys(spark, dir, "id",
+      Seq((5L, "five-v2", 0.0), (6L, "six-v2", 0.0),
+        (9999L, "brand-new", 1.0)).toDF("id", "cat", "v"))
+    assert(rep.keys === 3L && rep.filesAdded >= 1)
+    val after = SnapshotTable.snapshotFiles(spark, dir).map(_.path).toSet
+    assert(before.subsetOf(after), "an existing data file was rewritten")
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 201) // 200 - 2 replaced + 2 new versions + 1 insert
+    assert(t.filter(col("id") === 5L).select("cat").head().getString(0)
+      === "five-v2")
+    assert(t.filter(col("id") === 9999L).count() === 1)
+    // pre-upsert version intact
+    assert(SnapshotTable.read(spark, dir, Some(0L)).count() === 200)
+    assert(SnapshotTable.read(spark, dir, Some(0L))
+      .filter(col("id") === 5L).select("cat").head().getString(0) !== "five-v2")
+    // sequence rule: a row appended AFTER the upsert with an updated key
+    // is a new row and survives
+    SnapshotTable.commit(spark,
+      Seq((5L, "five-v3", 0.0)).toDF("id", "cat", "v"), dir, "append")
+    assert(SnapshotTable.read(spark, dir)
+      .filter(col("id") === 5L).count() === 2) // v2 (post-delete) + v3
+    // exact rowCount while the delete is pending
+    assert(SnapshotTable.rowCount(spark, dir) === 202)
+    // compact materializes; the delete ages out
+    assert(SnapshotTable.pendingDeletes(spark, dir).nonEmpty)
+    SnapshotTable.compact(spark, dir, targetBytes = 1L << 20,
+      clusterBy = Some("id"), statsCols = Seq("id"))
+    assert(SnapshotTable.pendingDeletes(spark, dir).isEmpty)
+    assert(SnapshotTable.read(spark, dir).count() === 202)
+  }
+
+  test("SQL UPDATE routes to a MOR rowupdate commit under the opt-in " +
+    "mode: zero data-file rewrites, non-matching rows untouched") {
+    val dir = freshDir()
+    stage(dir)
+    val before = SnapshotTable.snapshotFiles(spark, dir).map(_.path).toSet
+    spark.conf.set("spark.graft.table.update.mode", "mor")
+    spark.conf.set("spark.graft.table.update.key", "id")
+    try spark.sql(s"UPDATE graft.`$dir` SET cat = 'hot' WHERE id < 10")
+    finally {
+      spark.conf.unset("spark.graft.table.update.mode")
+      spark.conf.unset("spark.graft.table.update.key")
+    }
+    val after = SnapshotTable.snapshotFiles(spark, dir).map(_.path).toSet
+    assert(before.subsetOf(after), "MOR UPDATE rewrote a data file")
+    assert(SnapshotTable.commitStats(spark, dir, 1L)._1 === "rowupdate")
+    val t = SnapshotTable.read(spark, dir)
+    assert(t.count() === 200)
+    assert(t.filter(col("cat") === "hot").count() === 10)
+    assert(t.filter(col("id") === 50L).select("cat").head().getString(0)
+      === "k0")
+    // v0 intact
+    assert(SnapshotTable.read(spark, dir, Some(0L))
+      .filter(col("cat") === "hot").count() === 0)
+  }
+
+  test("changeFeed over a rowupdate span emits delete-preimage + " +
+    "insert-postimage (batch API and DSv2 CDF)") {
+    val dir = freshDir()
+    stage(dir)
+    SnapshotTable.upsertByKeys(spark, dir, "id",
+      Seq((7L, "seven-v2", 70.0)).toDF("id", "cat", "v"))
+    val cf = SnapshotTable.changeFeed(spark, dir, 1L)
+    val dels = cf.filter(col("_change_type") === "delete")
+    val ins = cf.filter(col("_change_type") === "insert")
+    assert(dels.count() === 1 &&
+      dels.select("cat").head().getString(0) === "k7")
+    assert(ins.count() === 1 &&
+      ins.select("cat").head().getString(0) === "seven-v2")
+    val cf2 = spark.read.format("graft-table")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 1).load(dir)
+    assert(cf2.filter(col("_change_type") === "delete").count() === 1)
+    assert(cf2.filter(col("_change_type") === "insert").count() === 1)
+  }
+
   test("reader-protocol fence: a MOR delete stamps minReader=2, the " +
     "current reader accepts it, and a FUTURE protocol fails loudly " +
     "instead of silently misreading") {
