@@ -178,7 +178,10 @@ object SparkEntry {
     // drops manifest groups at execution time, before any data I/O —
     // and merge-on-read UPDATE (API upsert + delta-path SQL UPDATE):
     // key sidecar + appended replacements, zero existing-file rewrites
-    "conv_table_dpp", "conv_table_mor_update", "conv_table_mor_update_sql")
+    "conv_table_dpp", "conv_table_mor_update", "conv_table_mor_update_sql",
+    // GROUP BY + filtered aggregate pushdown: manifest-answered
+    // per-group and filtered COUNT/MIN/MAX (zero-scan plans pinned)
+    "conv_table_agg_group")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

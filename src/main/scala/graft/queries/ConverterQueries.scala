@@ -2151,6 +2151,53 @@ object ConverterQueries {
         lit(kept >= 1 && kept * 4 <= static0).as("pruned_majority"))
     },
 
+    // GROUP BY + filtered aggregate pushdown (r15, VERDICT r14 #6): the
+    // manifest answers per-group COUNT/MIN/MAX when every file is
+    // single-valued on the group key (one append per priority), and a
+    // file-aligned closed-bound filter is CONSUMED (every kept file
+    // provably satisfies it row-for-row) so the filtered COUNT also
+    // answers from footer sums — both plans pinned as zero-scan, plus a
+    // straddling-filter decline probe whose values must still be exact.
+    "conv_table_agg_group" -> { (s, d) =>
+      val base = tmp(d, "snapagggroup") + "/t"
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+        "5-LOW")
+      stageOnce(base) {
+        val orders = t(s, d, "orders")
+        prios.zipWithIndex.foreach { case (p, i) =>
+          SnapshotTable.commit(s,
+            orders.filter(col("o_orderpriority") === p).coalesce(1),
+            base, if (i == 0) "overwrite" else "append",
+            statsCols = Seq("o_orderkey", "o_orderpriority"))
+        }
+      }
+      val tb = s.read.format("graft-table").load(base)
+      val g = tb.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_grp"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      val gPushed = g.queryExecution.executedPlan.toString
+        .contains("aggregate-pushdown")
+      // filtered COUNT, consumed: every file fully satisfies key >= 0
+      // (sf fixtures include orderkey 0)
+      val f = tb.filter(col("o_orderkey") >= 0)
+        .agg(count(lit(1)).as("n"))
+      val fPushed = f.queryExecution.executedPlan.toString
+        .contains("aggregate-pushdown")
+      val fRow = f.head()
+      // decline: a bound inside the key domain straddles files
+      val dcl = tb.filter(col("o_orderkey") <= 1000)
+        .agg(count(lit(1)).as("n"))
+      val dclPushed = dcl.queryExecution.executedPlan.toString
+        .contains("aggregate-pushdown")
+      val dclRow = dcl.head()
+      g.withColumn("group_pushed", lit(gPushed))
+        .withColumn("filter_pushed", lit(fPushed))
+        .withColumn("n_all", lit(fRow.getLong(0)))
+        .withColumn("n_le1000", lit(dclRow.getLong(0)))
+        .withColumn("straddle_declined", lit(!dclPushed))
+    },
+
     // ALTER TABLE DDL (r14 cont. 3): ADD COLUMNS (empty append commit,
     // merge-by-name null-fill) then an append populating it, then DROP
     // COLUMN (schema-narrowing overwrite CARRYING every file
@@ -3062,6 +3109,22 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS pending_after,
         | COUNT(*) AS manifest_exact
         |FROM fin""".stripMargin,
+
+    // Group-by/filtered agg pushdown: per-priority tallies from raw
+    // orders; the pushed/declined plan verdicts pinned; filtered counts
+    // replayed directly.
+    "conv_table_agg_group" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) AS n_grp,
+        | MIN(o_orderkey) AS min_key,
+        | MAX(o_orderkey) AS max_key,
+        | TRUE AS group_pushed,
+        | TRUE AS filter_pushed,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey >= 0) AS n_all,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1000)
+        |   AS n_le1000,
+        | TRUE AS straddle_declined
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // DPP: content = orders self-join on the dim key slice (o_orderkey
     // is unique, so multiplicity 1); the planned-subquery and observed

@@ -343,39 +343,62 @@ private[sources] class SnapshotTableScanBuilder(
   private var required: StructType = fullSchema
   private var withFileMeta = false
   private var pruningFilters: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, Array[Any])] = None
+  /** Filters CONSUMED by pushFilters (not re-applied by Spark): every
+    * conjunct provably satisfied by every row of every kept file at the
+    * pinned version, and row-evaluable for streaming tails. */
+  private var consumedFilters: Array[Filter] = Array.empty
+  private var residualFilters: Array[Filter] = Array.empty
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]])] = None
 
-  /** COUNT/MIN/MAX answered from the MANIFEST alone — zero data I/O at
-    * any table size (`SELECT count(*) FROM graft.`/100tb/table`` must
-    * not scan 100 TB; the Iceberg/Delta metadata-aggregate shape).
-    * COMPLETE pushdown, offered only when it is provably exact:
+  /** The version every decision in this builder (and the scan it
+    * builds) is made against — the exactness proofs would be unsound if
+    * the scan later read a different snapshot. */
+  private lazy val pinnedVersion: Option[Long] = {
+    val spark = SparkSession.active
+    SnapshotTableScan.resolveVersion(spark, dir, options)
+      .orElse(SnapshotTable.currentVersion(spark, dir))
+  }
+
+  /** COUNT/MIN/MAX (optionally GROUP BY, optionally filtered) answered
+    * from the MANIFEST alone — zero data I/O at any table size
+    * (`SELECT count(*) FROM graft.`/100tb/table`` must not scan 100 TB;
+    * the Iceberg/Delta metadata-aggregate shape). COMPLETE pushdown,
+    * offered only when it is provably exact:
     *
-    *   - no residual filters (Spark already gates on that; re-checked),
-    *     no group-by, no DISTINCT, not a change-feed read;
+    *   - every pushed filter was CONSUMED (kept files provably satisfy
+    *     every conjunct row-for-row — see pushFilters; Spark only
+    *     offers aggregates when nothing is residual, re-checked here),
+    *     no DISTINCT, not a change-feed read;
     *   - no pending merge-on-read deletes (manifest row sums are upper
     *     bounds until materialization);
-    *   - COUNT(*) = row sum; COUNT(c) = rows - nulls, needing footer
-    *     stats for c in EVERY file; MIN/MAX(c) fold the per-file
-    *     min/max, needing stats everywhere and a type whose stats
-    *     channel is lossless (integrals within 2^52, float/double,
-    *     date/timestamp, strings — ORC nulls long-string bounds, which
-    *     surfaces here as missing stats and declines the push).
+    *   - COUNT(*) = row sum over the pruned kept set; COUNT(c) = rows -
+    *     nulls, needing footer stats for c in EVERY kept file;
+    *     MIN/MAX(c) fold the per-file min/max, needing stats everywhere
+    *     and a lossless stats channel (integrals within 2^52, dates,
+    *     strings; float/double decline — NaN-blind footers — and
+    *     timestamps decline — ms-floored channel);
+    *   - GROUP BY single columns where every kept file is SINGLE-VALUED
+    *     and null-free on every group column (min==max, nulls==0 — the
+    *     range-clustered layout): files then merge into groups by their
+    *     constant tuple and each group folds like a table.
     *
     * Anything unprovable declines and the plain scan runs — pushdown is
     * only ever an optimization, never a semantics change. */
   private def planAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any])] = {
+      : Option[(StructType, Seq[Array[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
-    if (pruningFilters.nonEmpty) return None
-    if (agg.groupByExpressions().nonEmpty) return None
+    if (residualFilters.nonEmpty) return None
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
       return None
     val spark = SparkSession.active
-    val version = SnapshotTableScan.resolveVersion(spark, dir, options)
-    val (files, dels) = SnapshotTable.snapshotState(spark, dir, version)
+    val (files0, dels) = SnapshotTable.snapshotState(spark, dir,
+      pinnedVersion)
     if (dels.nonEmpty) return None
+    // the kept set: consumed conjuncts prune exactly (the consumption
+    // proof), so folds over the survivors ARE the filtered answer
+    val files = ManifestPruning.prune(files0, pruningFilters.toSeq)
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -385,8 +408,9 @@ private[sources] class SnapshotTableScanBuilder(
     def colType(n: String): Option[DataType] =
       fullSchema.fields.find(_.name == n).map(_.dataType)
     // every file must carry footer stats for the column — else decline
-    def statsFor(n: String): Option[Seq[SnapshotTable.ColStats]] = {
-      val ss = files.map(_.stats.get(n))
+    def statsFor(fs: Seq[SnapshotTable.FileEntry],
+                 n: String): Option[Seq[SnapshotTable.ColStats]] = {
+      val ss = fs.map(_.stats.get(n))
       if (ss.exists(_.isEmpty)) None else Some(ss.flatten)
     }
     // numeric-channel value -> exact Catalyst value of the column type.
@@ -410,12 +434,13 @@ private[sources] class SnapshotTableScanBuilder(
       case DateType => Some(v.toInt) // stats channel = epoch days, exact
       case _ => None // float/double (NaN), timestamp (ms floor), decimal
     }
-    def fold(n: String, isMin: Boolean): Option[(DataType, Any)] =
+    def fold(fs: Seq[SnapshotTable.FileEntry], n: String,
+             isMin: Boolean): Option[(DataType, Any)] =
       colType(n).flatMap { dt =>
-        if (files.exists(e => !e.stats.contains(n))) return None
+        if (fs.exists(e => !e.stats.contains(n))) return None
         val nums = Seq.newBuilder[Double]
         val strs = Seq.newBuilder[String]
-        files.foreach { e =>
+        fs.foreach { e =>
           val s = e.stats(n)
           val num = if (isMin) s.min else s.max
           val str = if (isMin) s.minStr else s.maxStr
@@ -440,29 +465,78 @@ private[sources] class SnapshotTableScanBuilder(
           case _ => None // mixed channels: not provable
         }
       }
-    val out = agg.aggregateExpressions().map {
-      case _: CountStar =>
-        Some((StructField("count_star", LongType, nullable = false),
-          files.map(_.rows).sum: Any))
-      case c: Count if !c.isDistinct =>
-        for {
-          n <- colName(c.column())
-          ss <- statsFor(n)
-        } yield (StructField(s"count_$n", LongType, nullable = false),
-          (files.map(_.rows).sum - ss.map(_.nulls).sum): Any)
-      case m: Min =>
-        colName(m.column()).flatMap(n => fold(n, isMin = true).map {
-          case (dt, v) => (StructField(s"min_$n", dt), v: Any)
-        })
-      case m: Max =>
-        colName(m.column()).flatMap(n => fold(n, isMin = false).map {
-          case (dt, v) => (StructField(s"max_$n", dt), v: Any)
-        })
-      case _ => None
+    // one group's aggregate values over its file subset
+    def foldAggs(fs: Seq[SnapshotTable.FileEntry])
+        : Option[Seq[(StructField, Any)]] = {
+      val out = agg.aggregateExpressions().map {
+        case _: CountStar =>
+          Some((StructField("count_star", LongType, nullable = false),
+            fs.map(_.rows).sum: Any))
+        case c: Count if !c.isDistinct =>
+          for {
+            n <- colName(c.column())
+            ss <- statsFor(fs, n)
+          } yield (StructField(s"count_$n", LongType, nullable = false),
+            (fs.map(_.rows).sum - ss.map(_.nulls).sum): Any)
+        case m: Min =>
+          colName(m.column()).flatMap(n => fold(fs, n, isMin = true).map {
+            case (dt, v) => (StructField(s"min_$n", dt), v: Any)
+          })
+        case m: Max =>
+          colName(m.column()).flatMap(n => fold(fs, n, isMin = false).map {
+            case (dt, v) => (StructField(s"max_$n", dt), v: Any)
+          })
+        case _ => None
+      }
+      if (out.exists(_.isEmpty)) None else Some(out.toSeq.flatten)
     }
-    if (out.exists(_.isEmpty)) None
-    else Some((StructType(out.flatten.map(_._1)),
-      out.flatten.map(_._2).toArray))
+    val gcols = agg.groupByExpressions().map(colName)
+    if (gcols.exists(_.isEmpty)) return None
+    if (gcols.isEmpty) {
+      foldAggs(files).map(vals =>
+        (StructType(vals.map(_._1)), Seq(vals.map(_._2).toArray)))
+    } else {
+      // GROUP BY pushdown: provable only when every non-empty kept file
+      // is SINGLE-VALUED and null-free on every group column — then a
+      // file belongs wholly to one group and groups fold independently.
+      // Empty files hold no rows of any group and drop out.
+      val names = gcols.flatten
+      // a group column outside the data schema (e.g. the `_file`
+      // metadata column) has no stats channel: decline
+      if (names.exists(n => colType(n).isEmpty)) return None
+      def groupVal(e: SnapshotTable.FileEntry,
+                   n: String): Option[Any] =
+        colType(n).flatMap { dt =>
+          e.stats.get(n) match {
+            case Some(SnapshotTable.ColStats(Some(mn), Some(mx), _, _, 0))
+                if mn == mx => numVal(mn, dt)
+            case Some(SnapshotTable.ColStats(None, None,
+                Some(mn), Some(mx), 0))
+                if mn == mx && dt == StringType =>
+              Some(org.apache.spark.unsafe.types.UTF8String.fromString(mn))
+            case _ => None
+          }
+        }
+      val nonEmpty = files.filter(_.rows > 0)
+      val tuples = nonEmpty.map(e => names.map(v => groupVal(e, v)))
+      if (tuples.exists(_.exists(_.isEmpty))) return None
+      val byGroup = nonEmpty.zip(tuples.map(_.flatten))
+        .groupBy(_._2).toSeq
+        .map { case (tuple, pairs) => (tuple, pairs.map(_._1)) }
+      val gFields = names.map(n =>
+        StructField(n, colType(n).get, nullable = true))
+      val rows = byGroup.map { case (tuple, fs) =>
+        foldAggs(fs).map(vals => (tuple ++ vals.map(_._2)).toArray)
+      }
+      if (rows.exists(_.isEmpty)) return None
+      // field layout: group columns first, then aggregate columns — the
+      // SupportsPushDownAggregates output contract
+      val aggFields = foldAggs(nonEmpty.take(1) match {
+        case s if s.nonEmpty => s
+        case _ => files
+      }).map(_.map(_._1)).getOrElse(return None)
+      Some((StructType(gFields ++ aggFields), rows.map(_.get)))
+    }
   }
 
   override def supportCompletePushDown(
@@ -492,9 +566,21 @@ private[sources] class SnapshotTableScanBuilder(
     * footer [min,max] provably cannot satisfy them are dropped at plan
     * time — zero I/O, the scanPruned semantics through the DSv2 path.
     * Pruning is conservative-only (a kept file may still hold no
-    * matches, stats-less files are always kept), so EVERY filter is
-    * returned as residual and Spark re-applies it post-scan:
-    * correctness never depends on stats. */
+    * matches, stats-less files are always kept), so by default every
+    * filter is returned as residual and Spark re-applies it post-scan:
+    * correctness never depends on stats.
+    *
+    * CONSUMPTION (r15, VERDICT r14 #6): a filter whose every conjunct
+    * is (a) provably satisfied by EVERY ROW of every kept file at the
+    * pinned version ([[ManifestPruning.fullySatisfies]] — dropped files
+    * provably hold no match, so the conjunction is exactly decided) and
+    * (b) row-evaluable ([[ExactFilterEval]]) is NOT returned as
+    * residual. That unlocks filtered aggregate pushdown (Spark offers
+    * aggregates only when nothing is residual) at zero re-filter cost
+    * for batch scans; a STREAMING tail reads files committed after the
+    * proof, where the reader re-applies the consumed conjuncts exactly
+    * row-wise. Change-feed reads never consume (slices span removed
+    * files the proof does not cover). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     def conjuncts(f: Filter): Seq[Filter] = f match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -502,55 +588,74 @@ private[sources] class SnapshotTableScanBuilder(
     }
     pruningFilters = filters.flatMap(conjuncts)
       .filter(ManifestPruning.usable(_, fullSchema))
-    filters // all residual
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      residualFilters = filters
+      return filters
+    }
+    lazy val kept = ManifestPruning.prune(
+      SnapshotTable.snapshotState(SparkSession.active, dir,
+        pinnedVersion)._1,
+      pruningFilters.toSeq)
+    val (consumed, resid) = filters.partition { f =>
+      val cs = conjuncts(f)
+      cs.nonEmpty && cs.forall(c =>
+        ExactFilterEval.compile(c, fullSchema).isDefined &&
+          kept.forall(e =>
+            ManifestPruning.fullySatisfies(e, c, fullSchema)))
+    }
+    consumedFilters = consumed
+    residualFilters = resid
+    resid
   }
 
   override def pushedFilters(): Array[Filter] = pruningFilters
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, row)) => new GraftAggregateScan(dir, schema, row)
+    case Some((schema, rows)) => new GraftAggregateScan(dir, schema, rows)
     case None =>
       if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
         new GraftChangeFeedScan(required, dir, options)
       else new SnapshotTableScan(fullSchema, required, dir, options,
-        pruningFilters, withFileMeta)
+        pruningFilters, withFileMeta, pinnedVersion, consumedFilters)
   }
 }
 
-/** A completely-pushed aggregate: ONE row, computed on the driver from
-  * the manifest at plan time — the scan reads zero data bytes. */
+/** A completely-pushed aggregate: one row per group (one total row for
+  * the ungrouped shape), computed on the driver from the manifest at
+  * plan time — the scan reads zero data bytes. */
 private[sources] class GraftAggregateScan(dir: String,
-    schema: StructType, row: Array[Any]) extends Scan {
+    schema: StructType, rows: Seq[Array[Any]]) extends Scan {
 
   override def readSchema(): StructType = schema
 
   override def description(): String =
     s"GraftSnapshotTable $dir aggregate-pushdown " +
-      s"[${schema.fieldNames.mkString(",")}] (manifest-only, zero I/O)"
+      s"[${schema.fieldNames.mkString(",")}] groups=${rows.size} " +
+      "(manifest-only, zero I/O)"
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(GraftAggRowPartition(row))
+      Array(GraftAggRowPartition(rows))
     override def createReaderFactory(): PartitionReaderFactory =
       new PartitionReaderFactory {
         override def createReader(
             partition: InputPartition): PartitionReader[InternalRow] =
           new PartitionReader[InternalRow] {
-            private val values =
-              partition.asInstanceOf[GraftAggRowPartition].values
-            private var emitted = false
+            private val it =
+              partition.asInstanceOf[GraftAggRowPartition].rows.iterator
+            private var cur: Array[Any] = _
             override def next(): Boolean =
-              if (emitted) false else { emitted = true; true }
+              if (it.hasNext) { cur = it.next(); true } else false
             override def get(): InternalRow =
               new org.apache.spark.sql.catalyst.expressions
-                .GenericInternalRow(values.clone())
+                .GenericInternalRow(cur.clone())
             override def close(): Unit = ()
           }
       }
   }
 }
 
-private[sources] case class GraftAggRowPartition(values: Array[Any])
+private[sources] case class GraftAggRowPartition(rows: Seq[Array[Any]])
   extends InputPartition
 
 /** Batch CDF scan — `spark.read.format("graft-table")
@@ -1009,6 +1114,67 @@ private[graft] object ManifestPruning {
     }
   }
 
+  /** Does EVERY ROW of `e` provably satisfy conjunct `f`? The exactness
+    * proof behind filter CONSUMPTION (and so filtered aggregate
+    * pushdown): a conjunct fully satisfied by every kept file needs no
+    * re-application, and manifest folds over the kept set are exact.
+    * Requires footer stats with zero nulls (a NULL row fails any
+    * comparison) and bounds strictly inside the predicate; integral
+    * values guard the double channel's 2^52 margin. Timestamps decline
+    * (ms-floored channel); float/double decline (NaN-blind footers). */
+  def fullySatisfies(e: SnapshotTable.FileEntry, f: Filter,
+                     schema: StructType): Boolean = {
+    if (e.rows == 0) return true
+    def dt(c: String) = schema.fields.find(_.name == c).map(_.dataType)
+    def exactNum(c: String, v: Any): Option[(Double, Double, Double)] =
+      (dt(c), numeric(v)) match {
+        case (Some(org.apache.spark.sql.types.ByteType |
+                   org.apache.spark.sql.types.ShortType |
+                   org.apache.spark.sql.types.IntegerType |
+                   org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.DateType), Some(d))
+            if math.abs(d) <= (1L << 52).toDouble =>
+          e.stats.get(c) match {
+            case Some(SnapshotTable.ColStats(Some(mn), Some(mx), _, _, 0))
+                if math.abs(mn) <= (1L << 52).toDouble &&
+                   math.abs(mx) <= (1L << 52).toDouble =>
+              Some((mn, mx, d))
+            case _ => None
+          }
+        case _ => None
+      }
+    def exactStr(c: String, v: Any): Option[(String, String, String)] =
+      (dt(c), stringy(v)) match {
+        case (Some(org.apache.spark.sql.types.StringType), Some(s)) =>
+          e.stats.get(c) match {
+            case Some(SnapshotTable.ColStats(_, _, Some(mn), Some(mx), 0)) =>
+              Some((mn, mx, s))
+            case _ => None
+          }
+        case _ => None
+      }
+    f match {
+      case EqualTo(c, v) =>
+        exactNum(c, v).exists { case (mn, mx, d) => mn == d && mx == d } ||
+        exactStr(c, v).exists { case (mn, mx, s) => mn == s && mx == s }
+      case GreaterThan(c, v) =>
+        exactNum(c, v).exists { case (mn, _, d) => mn > d } ||
+        exactStr(c, v).exists { case (mn, _, s) => mn > s }
+      case GreaterThanOrEqual(c, v) =>
+        exactNum(c, v).exists { case (mn, _, d) => mn >= d } ||
+        exactStr(c, v).exists { case (mn, _, s) => mn >= s }
+      case LessThan(c, v) =>
+        exactNum(c, v).exists { case (_, mx, d) => mx < d } ||
+        exactStr(c, v).exists { case (_, mx, s) => mx < s }
+      case LessThanOrEqual(c, v) =>
+        exactNum(c, v).exists { case (_, mx, d) => mx <= d } ||
+        exactStr(c, v).exists { case (_, mx, s) => mx <= s }
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        e.stats.get(c).exists(_.nulls == 0)
+      case _ => false
+    }
+  }
+
   /** Entries that could satisfy ALL the pushed conjuncts. */
   def prune(entries: Seq[SnapshotTable.FileEntry],
             filters: Seq[Filter]): Seq[SnapshotTable.FileEntry] = {
@@ -1110,16 +1276,20 @@ private[sources] class SnapshotTableScan(
     fullSchema: StructType, required: StructType, dir: String,
     options: CaseInsensitiveStringMap,
     pruningFilters: Array[Filter] = Array.empty,
-    withFileMeta: Boolean = false) extends Scan
+    withFileMeta: Boolean = false,
+    builderVersion: Option[Long] = None,
+    exactFilters: Array[Filter] = Array.empty) extends Scan
   with org.apache.spark.sql.connector.read.SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   /** The snapshot this scan reads, pinned at first use so the static
     * plan, the runtime filter and the executed read all see ONE version
-    * even if commits land mid-query. */
+    * even if commits land mid-query — the BUILDER's version when it
+    * resolved one (its filter-consumption proofs hold only there). */
   private lazy val pinnedVersion: Option[Long] =
-    SnapshotTableScan.resolveVersion(spark, dir, options)
-      .orElse(SnapshotTable.currentVersion(spark, dir))
+    builderVersion.orElse(
+      SnapshotTableScan.resolveVersion(spark, dir, options)
+        .orElse(SnapshotTable.currentVersion(spark, dir)))
 
   /** Statically-surviving files (pushed-conjunct manifest pruning) and
     * the pending merge-on-read deletes — computed once per scan. */
@@ -1230,7 +1400,79 @@ private[sources] class SnapshotTableScan(
   override def toMicroBatchStream(checkpointLocation: String)
       : MicroBatchStream =
     new SnapshotTableMicroBatchStream(fullSchema, required, dir, options,
-      pruningFilters)
+      pruningFilters, exactFilters)
+}
+
+/** Exact row-wise evaluation of CONSUMED conjuncts. Consumption is
+  * proven against a pinned manifest version, so batch scans never need
+  * this — but a STREAMING tail reads files committed after the proof,
+  * and those rows must be filtered exactly (Spark no longer re-applies
+  * a consumed filter). Scope is deliberately tight: =, <, <=, >, >=,
+  * IsNotNull over integral / string / date columns — exactly the shapes
+  * consumption accepts. SQL three-valued logic: a NULL value fails
+  * every comparison. */
+private[sources] object ExactFilterEval {
+  import org.apache.spark.sql.types._
+
+  /** Literal -> comparable Long for integral/date columns. */
+  private def litLong(v: Any): Option[Long] = v match {
+    case b: java.lang.Byte => Some(b.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l.longValue)
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _ => None
+  }
+
+  private def litStr(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+    case _ => None
+  }
+
+  /** Catalyst row value -> Long for integral/date columns. */
+  private def valLong(v: Any): Long = v match {
+    case b: java.lang.Byte => b.longValue
+    case s: java.lang.Short => s.longValue
+    case i: java.lang.Integer => i.longValue
+    case l: java.lang.Long => l.longValue
+  }
+
+  /** Compile a conjunct into (column, predicate over the column's
+    * deserialized Catalyst value); None = not evaluable (must then stay
+    * residual). */
+  def compile(f: Filter, schema: StructType)
+      : Option[(String, Any => Boolean)] = {
+    def dt(c: String) = schema.fields.find(_.name == c).map(_.dataType)
+    def cmp(c: String, v: Any,
+            sign: Int => Boolean): Option[(String, Any => Boolean)] =
+      dt(c) match {
+        case Some(ByteType | ShortType | IntegerType | LongType |
+                  DateType) =>
+          litLong(v).map(l => (c, (x: Any) =>
+            x != null && sign(java.lang.Long.compare(valLong(x), l))))
+        case Some(StringType) =>
+          litStr(v).map { s =>
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+            (c, (x: Any) => x != null && sign(
+              x.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                .compareTo(u)))
+          }
+        case _ => None
+      }
+    f match {
+      case EqualTo(c, v) => cmp(c, v, _ == 0)
+      case GreaterThan(c, v) => cmp(c, v, _ > 0)
+      case GreaterThanOrEqual(c, v) => cmp(c, v, _ >= 0)
+      case LessThan(c, v) => cmp(c, v, _ < 0)
+      case LessThanOrEqual(c, v) => cmp(c, v, _ <= 0)
+      case org.apache.spark.sql.sources.IsNotNull(c)
+          if dt(c).isDefined =>
+        Some((c, (x: Any) => x != null))
+      case _ => None
+    }
+  }
 }
 
 /** Serializable Hadoop Configuration carrier (the standard pattern —
@@ -1268,13 +1510,16 @@ private[sources] case class GraftTablePartition(paths: Array[String],
 private[sources] class GraftTableReaderFactory(
     required: StructType, conf: SerConf,
     filters: Array[Filter] = Array.empty,
-    withFileMeta: Boolean = false) extends PartitionReaderFactory {
+    withFileMeta: Boolean = false,
+    exact: Array[Filter] = Array.empty,
+    exactSchema: StructType = new StructType())
+  extends PartitionReaderFactory {
 
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftTablePartition]
     new GraftTablePartitionReader(p.paths, required,
-      conf.value, filters, withFileMeta, p.mor)
+      conf.value, filters, withFileMeta, p.mor, exact, exactSchema)
   }
 }
 
@@ -1288,8 +1533,56 @@ private[sources] class GraftTablePartitionReader(
     paths: Array[String], required: StructType, conf: Configuration,
     filters: Array[Filter] = Array.empty,
     withFileMeta: Boolean = false,
-    mor: Array[MorFilter] = Array.empty)
+    mor: Array[MorFilter] = Array.empty,
+    exact: Array[Filter] = Array.empty,
+    exactSchema: StructType = new StructType())
   extends PartitionReader[InternalRow] {
+
+  // ---- exact application of CONSUMED filters (streaming tails only —
+  // see SnapshotTableScanBuilder.pushFilters). Every consumed conjunct
+  // MUST be applicable here: silently skipping one would emit rows the
+  // query already believes filtered.
+  private val exactPreds: Array[(String, Any => Boolean)] =
+    exact.map(f => ExactFilterEval.compile(f, exactSchema).getOrElse(
+      throw new IllegalStateException(
+        s"consumed filter $f is not row-evaluable — consumption bug")))
+  private lazy val exactTypes
+      : Array[org.apache.spark.sql.types.DataType] =
+    exactPreds.map { case (c, _) =>
+      exactSchema.fields.find(_.name == c).get.dataType }
+  private lazy val exactDesers: Array[GraftOrcBridge.RowDeser] =
+    exactPreds.zipWithIndex.map { case ((c, _), i) =>
+      new GraftOrcBridge.RowDeser(StructType(Seq(
+        org.apache.spark.sql.types.StructField(c, exactTypes(i)))))
+    }
+  // per-current-file column index of each consumed conjunct's column
+  // (-1 = absent -> rows null-fill -> comparisons are false)
+  private var exactFieldIdx: Array[Int] = Array.empty
+
+  /** True when the row fails any consumed conjunct. */
+  private def exactSkips(struct: OrcStruct): Boolean = {
+    var i = 0
+    while (i < exactPreds.length) {
+      val fi = exactFieldIdx(i)
+      val v: Any =
+        if (fi < 0) null
+        else {
+          val w = struct.getFieldValue(fi)
+            .asInstanceOf[WritableComparable[_]]
+          if (w == null) null
+          else {
+            val one = new Array[WritableComparable[_]](1)
+            one(0) = w
+            exactDesers(i).fromValues(
+              scala.collection.immutable.ArraySeq.unsafeWrapArray(one))
+              .get(0, exactTypes(i))
+          }
+        }
+      if (!exactPreds(i)._2(v)) return true
+      i += 1
+    }
+    false
+  }
 
   private val deser = new GraftOrcBridge.RowDeser(required)
   private val values = new Array[WritableComparable[_]](required.length)
@@ -1408,13 +1701,14 @@ private[sources] class GraftTablePartitionReader(
     val names = fileSchema.getFieldNames.asScala.toIndexedSeq
     fieldIdx = required.fieldNames.map(names.indexOf)
     morFieldIdx = mor.map(m => names.indexOf(m.keyCol))
+    exactFieldIdx = exactPreds.map(p => names.indexOf(p._1))
     // include mask: root + the subtree of every required column present,
-    // plus each MOR obligation's key column (read for the filter even
-    // when pruned from the projection)
+    // plus each MOR obligation's key column and each consumed conjunct's
+    // column (read for the filter even when pruned from the projection)
     val include = new Array[Boolean](fileSchema.getMaximumId + 1)
     include(0) = true
     val children = fileSchema.getChildren.asScala
-    (fieldIdx ++ morFieldIdx).foreach { i =>
+    (fieldIdx ++ morFieldIdx ++ exactFieldIdx).foreach { i =>
       if (i >= 0) {
         val c = children(i)
         (c.getId to c.getMaximumId).foreach(id => include(id.toInt) = true)
@@ -1440,8 +1734,10 @@ private[sources] class GraftTablePartitionReader(
       while (reader == null || !reader.nextKeyValue()) {
         if (!openNext()) return false
       }
-      if (mor.isEmpty || !morSkips(reader.getCurrentValue)) return true
-      // row is merge-on-read filtered: keep advancing
+      if ((mor.isEmpty || !morSkips(reader.getCurrentValue)) &&
+          (exactPreds.isEmpty || !exactSkips(reader.getCurrentValue)))
+        return true
+      // row is merge-on-read or consumed-filter filtered: keep advancing
     }
     false // unreachable
   }
@@ -1474,7 +1770,8 @@ private[sources] case class VersionOffset(version: Long) extends Offset {
 private[sources] class SnapshotTableMicroBatchStream(
     fullSchema: StructType,
     required: StructType, dir: String, options: CaseInsensitiveStringMap,
-    pruningFilters: Array[Filter] = Array.empty)
+    pruningFilters: Array[Filter] = Array.empty,
+    exactFilters: Array[Filter] = Array.empty)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
@@ -1576,8 +1873,14 @@ private[sources] class SnapshotTableMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
+    // the stream's tail reads files committed AFTER the builder's
+    // consumption proof — the reader re-applies consumed conjuncts
+    // exactly row-wise there (batch scans skip this: every planned file
+    // is proof-covered)
     new GraftTableReaderFactory(required,
-      new SerConf(spark.sessionState.newHadoopConf()), pruningFilters)
+      new SerConf(spark.sessionState.newHadoopConf()), pruningFilters,
+      withFileMeta = false, exact = exactFilters,
+      exactSchema = fullSchema)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -142,6 +142,111 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     assert(u.head().isNullAt(0))
   }
 
+  test("filtered COUNT/MIN/MAX pushes when the filter is exactly " +
+    "decided by the manifest (file-aligned closed bounds)") {
+    val dir = freshDir()
+    // two files with KNOWN key ranges: [0,50) and [50,100)
+    val lo = (0L until 50L).map(i => (i, s"s$i")).toDF("id", "name")
+    val hi = (50L until 100L).map(i => (i, s"s$i")).toDF("id", "name")
+    SnapshotTable.commit(spark, lo.coalesce(1), dir, "overwrite",
+      statsCols = Seq("id", "name"))
+    SnapshotTable.commit(spark, hi.coalesce(1), dir, "append",
+      statsCols = Seq("id", "name"))
+    val t = spark.read.format("graft-table").load(dir)
+    // id <= 49 prunes the hi file and FULLY covers the lo file: the
+    // filter is consumed and the aggregate answers from the manifest
+    val a = t.filter(col("id") <= 49)
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"), count(col("name")).as("nn"))
+    assert(pushed(a), a.queryExecution.executedPlan.toString)
+    val r = a.head()
+    assert(r.getLong(0) === 50L && r.getLong(1) === 0L &&
+      r.getLong(2) === 49L && r.getLong(3) === 50L)
+    // a filter STRADDLING a file declines the push; values still exact
+    val b = t.filter(col("id") <= 30).agg(count(lit(1)).as("n"))
+    assert(!pushed(b))
+    assert(b.head().getLong(0) === 31L)
+    // a strict bound touching a file boundary stays conservative
+    val c = t.filter(col("id") < 50).agg(count(lit(1)).as("n"))
+    assert(!pushed(c))
+    assert(c.head().getLong(0) === 50L)
+    // string-channel filter: name >= "s0" covers everything -> pushed
+    val s = t.filter(col("name") >= "s0").agg(count(lit(1)).as("n"))
+    assert(pushed(s))
+    assert(s.head().getLong(0) === 100L)
+  }
+
+  test("GROUP BY pushes when every kept file is single-valued and " +
+    "null-free on the group column; multi-valued files decline") {
+    val dir = freshDir()
+    // one append per group: each file single-valued on 'cat'
+    Seq("a", "b", "c").zipWithIndex.foreach { case (c, i) =>
+      val df = (0L until 10L).map(j => (i * 10L + j, c))
+        .toDF("id", "cat")
+      SnapshotTable.commit(spark, df.coalesce(1), dir,
+        if (i == 0) "overwrite" else "append",
+        statsCols = Seq("id", "cat"))
+    }
+    val t = spark.read.format("graft-table").load(dir)
+    val g = t.groupBy(col("cat")).agg(count(lit(1)).as("n"),
+      min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(pushed(g), g.queryExecution.executedPlan.toString)
+    val rows = g.orderBy("cat").collect()
+    assert(rows.length === 3)
+    assert(rows(0).getString(0) === "a" && rows(0).getLong(1) === 10L &&
+      rows(0).getLong(2) === 0L && rows(0).getLong(3) === 9L)
+    assert(rows(2).getString(0) === "c" && rows(2).getLong(3) === 29L)
+    // grouping by a MULTI-valued column declines; the plain scan answers
+    val m = t.groupBy(col("id") % 2 === 0).count() // expression: declines
+    assert(!pushed(m))
+    assert(m.count() === 2)
+    // append ONE file spanning two cats: group push declines, values exact
+    SnapshotTable.commit(spark,
+      Seq((100L, "a"), (101L, "b")).toDF("id", "cat").coalesce(1),
+      dir, "append", statsCols = Seq("id", "cat"))
+    val t2 = spark.read.format("graft-table").load(dir)
+    val g2 = t2.groupBy(col("cat")).agg(count(lit(1)).as("n"))
+    assert(!pushed(g2))
+    assert(g2.filter(col("cat") === "a").head().getLong(1) === 11L)
+    // grouped AND filtered, both provable: cat groups under id <= 9
+    // (file-aligned: exactly the first file)
+    val gf = t.filter(col("id") <= 9).groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"))
+    assert(pushed(gf))
+    val gfr = gf.collect()
+    assert(gfr.length === 1 && gfr(0).getString(0) === "a" &&
+      gfr(0).getLong(1) === 10L)
+  }
+
+  test("a consumed filter stays exact on a STREAMING tail: files " +
+    "committed after the proof are re-filtered row-wise by the reader") {
+    val dir = freshDir()
+    val lo = (0L until 50L).map(i => (i, s"s$i")).toDF("id", "name")
+    SnapshotTable.commit(spark, lo.coalesce(1), dir, "overwrite",
+      statsCols = Seq("id", "name"))
+    val ckpt = Files.createTempDirectory("aggpushck").toFile
+    ckpt.deleteOnExit()
+    val stream = spark.readStream.format("graft-table").load(dir)
+      .filter(col("id") <= 49) // consumed: the lo file fully satisfies
+    val q = stream.writeStream.format("memory")
+      .queryName("aggpush_tail")
+      .option("checkpointLocation", ckpt.getAbsolutePath)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("aggpush_tail").count() === 50)
+      // the tail: a MIXED file the proof never saw — 30..69 — where only
+      // 30..49 satisfy the consumed conjunct
+      SnapshotTable.commit(spark,
+        (30L until 70L).map(i => (i, s"t$i")).toDF("id", "name")
+          .coalesce(1), dir, "append", statsCols = Seq("id", "name"))
+      q.processAllAvailable()
+      assert(spark.table("aggpush_tail").count() === 70)
+      assert(spark.table("aggpush_tail")
+        .agg(max(col("id"))).head().getLong(0) === 49L)
+    } finally q.stop()
+  }
+
   test("time travel pushes the as-of fold") {
     val dir = freshDir()
     stage(dir)
