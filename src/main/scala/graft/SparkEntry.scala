@@ -180,8 +180,10 @@ object SparkEntry {
     // key sidecar + appended replacements, zero existing-file rewrites
     "conv_table_dpp", "conv_table_mor_update", "conv_table_mor_update_sql",
     // GROUP BY + filtered aggregate pushdown: manifest-answered
-    // per-group and filtered COUNT/MIN/MAX (zero-scan plans pinned)
-    "conv_table_agg_group")
+    // per-group and filtered COUNT/MIN/MAX (zero-scan plans pinned),
+    // and the change feed crossing ALTER boundaries (window-end schema
+    // with null fill, batch/stream agreement)
+    "conv_table_agg_group", "conv_table_cdf_evo")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

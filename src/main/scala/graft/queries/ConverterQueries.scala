@@ -2100,6 +2100,66 @@ object ConverterQueries {
             .contains("aggregate-pushdown")))
     },
 
+    // CDF across ALTER boundaries (r15, VERDICT r14 #7): a change-feed
+    // window crossing ADD COLUMNS and DROP COLUMN commits emits rows
+    // under the WINDOW-END schema with null fill — the added column
+    // reads NULL for pre-ADD slices, the dropped column leaves the feed
+    // (both CDF surfaces pin the same resolution; time travel keeps the
+    // dropped values readable). The batch feed and the streaming DSv2
+    // feed must agree row-for-row over the identical window.
+    "conv_table_cdf_evo" -> { (s, d) =>
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val base = s"/tmp/graft_stream/$key/cdf_evo/table"
+      val ckpt = base + "_ckpt"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(ckpt))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      // v0: even keys; v1: ADD note; v2: odd keys carrying note='new';
+      // v3: DROP o_orderstatus — the window [0,3] crosses both DDLs
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"))
+      s.sql(s"ALTER TABLE graft.`$base` ADD COLUMNS (note STRING)")
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("note", lit("new")),
+        base, "append", statsCols = Seq("o_orderkey"))
+      s.sql(s"ALTER TABLE graft.`$base` DROP COLUMN o_orderstatus")
+      val cf = SnapshotTable.changeFeed(s, base, 0L)
+      val qn = s"cdfevo_${key.replace('.', '_')}"
+      val q = s.readStream.format("graft-table")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(base)
+        .writeStream.format("memory").queryName(qn)
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+      val st = s.table(qn)
+      def shape(df: org.apache.spark.sql.DataFrame) = df.agg(
+        count(lit(1)).as("n"),
+        sum(col("o_orderkey")).as("sum_key"),
+        sum(when(col("note").isNull, 1L).otherwise(0L)).as("n_note_null"),
+        sum(when(col("note") === "new", 1L).otherwise(0L)).as("n_note_new"))
+        .head()
+      val b = shape(cf)
+      val m = shape(st)
+      s.range(1).select(
+        lit(b.getLong(0)).as("n"), lit(b.getLong(1)).as("sum_key"),
+        lit(b.getLong(2)).as("n_note_null"),
+        lit(b.getLong(3)).as("n_note_new"),
+        lit(!cf.columns.contains("o_orderstatus") &&
+          !st.columns.contains("o_orderstatus")).as("dropped_gone"),
+        lit(cf.columns.contains("note") && st.columns.contains("note"))
+          .as("added_present"),
+        lit(b == m).as("stream_matches_batch"))
+    },
+
     // Runtime file-group pruning (r15, VERDICT r14 #1 — the DPP shape):
     // a selective dimension joined against a key-clustered snapshot
     // table plants a DynamicPruningSubquery on the DSv2 scan; at
@@ -3109,6 +3169,22 @@ object ConverterQueries {
         | CAST(0 AS BIGINT) AS pending_after,
         | COUNT(*) AS manifest_exact
         |FROM fin""".stripMargin,
+
+    // CDF across DDL: every order emits exactly once as an insert (two
+    // appends, the DDL commits carry no rows); note is NULL for the
+    // pre-ADD half and 'new' for the post-ADD half; the dropped column
+    // and batch/stream agreement verdicts pinned.
+    "conv_table_cdf_evo" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_note_null,
+        | CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS n_note_new,
+        | TRUE AS dropped_gone,
+        | TRUE AS added_present,
+        | TRUE AS stream_matches_batch
+        |FROM orders""".stripMargin,
 
     // Group-by/filtered agg pushdown: per-priority tallies from raw
     // orders; the pushed/declined plan verdicts pinned; filtered counts

@@ -2051,6 +2051,17 @@ object SnapshotTable {
     slices.result()
   }
 
+  /** CHANGE-ROW SCHEMA ACROSS DDL (r15, VERDICT r14 #7): a feed window
+    * crossing an ADD/DROP COLUMN commit is ambiguous by construction —
+    * pre-ADD slices lack the column, pre-DROP slices still physically
+    * hold it. Both CDF surfaces pin the SAME resolution: change rows
+    * emit under the WINDOW-END (as-of `toVersion`) schema with null
+    * fill — a column added mid-window reads NULL for earlier slices, a
+    * column dropped mid-window disappears from the feed entirely
+    * (including its pre-drop values: the feed describes the table as it
+    * is being consumed, matching the DSv2 `readChangeFeed` scan, whose
+    * schema is the as-of inferSchema). Time-travel the data reads for
+    * forensic access to dropped values. */
   def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
                  toVersion: Option[Long] = None): DataFrame = {
     val vs = versions(spark, dir)
@@ -2086,7 +2097,22 @@ object SnapshotTable {
         .withColumn("_commit_timestamp",
           org.apache.spark.sql.functions.timestamp_millis(lit(0L)))
         .limit(0)
-    } else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    } else {
+      val merged = frames.reduce(_.unionByName(_, allowMissingColumns = true))
+      // pin the window-end schema (see Scaladoc): projected columns =
+      // as-of-`to` data schema (null-filled where no slice carried one)
+      // + the three CDF columns — dropped columns leave the feed
+      snapshotSchema(spark, dir, Some(to)) match {
+        case Some(st) =>
+          val dataCols = st.fields.map(f =>
+            if (merged.columns.contains(f.name)) col(f.name)
+            else lit(null).cast(f.dataType).as(f.name))
+          val cdfCols = Seq("_change_type", "_commit_version",
+            "_commit_timestamp").map(col)
+          merged.select(dataCols.toSeq ++ cdfCols: _*)
+        case None => merged // pre-schema-recording table: best effort
+      }
+    }
   }
 
   /** Incremental table→table sync off the commit log — the downstream

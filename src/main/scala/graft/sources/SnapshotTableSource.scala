@@ -110,7 +110,14 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val spark = SparkSession.active
     val dir = dirOf(options)
-    val version = SnapshotTableScan.resolveVersion(spark, dir, options)
+    val cdf = Option(options.get("readChangeFeed")).exists(_.toBoolean)
+    // a change-feed window's rows emit under the WINDOW-END schema
+    // (matching SnapshotTable.changeFeed): a bounded feed ending before
+    // a DROP COLUMN keeps the column, an unbounded one follows the head
+    val version =
+      if (cdf && options.get("endingVersion") != null)
+        Some(options.get("endingVersion").toLong)
+      else SnapshotTableScan.resolveVersion(spark, dir, options)
     val data = SnapshotTable.snapshotSchema(spark, dir, version).getOrElse {
       val files = SnapshotTable.snapshotFiles(spark, dir, version)
       require(files.nonEmpty, s"empty snapshot table at $dir")

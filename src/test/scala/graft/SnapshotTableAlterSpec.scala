@@ -114,6 +114,40 @@ class SnapshotTableAlterSpec extends AnyFunSuite
     assert(t.count() === 98) // the delete materialized before the drop
   }
 
+  test("CDF across DDL: window-end schema with null fill — a window " +
+    "ending before a DROP keeps the column, one crossing it drops it") {
+    val dir = freshDir()
+    stage(dir) // v0: (id, name, v)
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMNS (note STRING)") // v1
+    SnapshotTable.commit(spark,
+      Seq((500L, "r500", 0.0, "fresh")).toDF("id", "name", "v", "note"),
+      dir, "append") // v2
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN name") // v3
+    // window crossing the drop: 'name' leaves the feed, 'note'
+    // null-fills the pre-ADD slices
+    val full = SnapshotTable.changeFeed(spark, dir, 0L)
+    assert(!full.columns.contains("name"))
+    assert(full.count() === 101)
+    assert(full.filter(col("note").isNull).count() === 100)
+    assert(full.filter(col("note") === "fresh").count() === 1)
+    // window ENDING BEFORE the drop: the column is present with values
+    val pre = SnapshotTable.changeFeed(spark, dir, 0L, Some(2L))
+    assert(pre.columns.contains("name"))
+    assert(pre.filter(col("name") === "r500").count() === 1)
+    // the DSv2 surface agrees on both windows
+    val dsvFull = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 0)
+      .load(dir)
+    assert(!dsvFull.columns.contains("name"))
+    assert(dsvFull.count() === 101)
+    assert(dsvFull.filter(col("note").isNull).count() === 100)
+    val dsvPre = spark.read.format("graft-table")
+      .option("readChangeFeed", "true").option("startingVersion", 0)
+      .option("endingVersion", 2).load(dir)
+    assert(dsvPre.columns.contains("name"))
+    assert(dsvPre.filter(col("name") === "r500").count() === 1)
+  }
+
   test("ADD COLUMNS is version-pinned: concurrent appends never make it " +
     "publish a stale schema (the alter retries whole on conflict)") {
     val dir = freshDir()
