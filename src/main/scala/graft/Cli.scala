@@ -342,6 +342,59 @@ object Cli {
             r.version)
           rep(s"${name(tableDir)}@v${r.version} rewrote=${r.filesRewritten} " +
             s"carried=${r.filesCarried}", rows, files)
+        // optimize <table_dir> <z_cols_csv> [target_mb=128] — OPTIMIZE
+        // ZORDER: incremental z-order clustering (only poorly-shaped
+        // files rewrite — see SnapshotTable.cluster) with the
+        // established sort order RECORDED on the commit
+        // (graft.sortOrder), so `describe` and future maintenance know
+        // the table's layout contract. Pending merge-on-read deletes
+        // touching rewritten files materialize as part of the rewrite.
+        case ("optimize", tableDir :: zColsCsv :: rest) if rest.length <= 2 =>
+          val zCols = zColsCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val targetBytes = rest.headOption.map(_.toLong << 20)
+            .getOrElse(128L << 20)
+          val r = SnapshotTable.cluster(spark, tableDir, zCols,
+            targetBytes = targetBytes,
+            numFiles = rest.lift(1).map(_.toInt).getOrElse(0))
+          val order = SnapshotTable.tableProperties(spark, tableDir)
+            .getOrElse("graft.sortOrder", "(none)")
+          rep(s"${name(tableDir)}@v${r.version} optimize " +
+            s"order=$order rewrote=${r.filesRewritten} " +
+            s"carried=${r.filesCarried}",
+            r.filesRewritten.toLong, r.filesRewritten)
+        // describe <table_dir> — schema + recorded layout + MOR debt +
+        // manifest tallies, all zero data I/O
+        case ("describe", tableDir :: Nil) =>
+          val schema = SnapshotTable.snapshotSchema(spark, tableDir, None)
+          val (files, dels) = SnapshotTable.snapshotState(spark, tableDir,
+            None)
+          val props = SnapshotTable.tableProperties(spark, tableDir)
+          val vs = SnapshotTable.versions(spark, tableDir)
+          println(s"table: $tableDir")
+          println(s"version: ${vs.lastOption.getOrElse(-1L)} " +
+            s"(${vs.size} surviving)")
+          println("schema:")
+          schema match {
+            case Some(st) => st.fields.foreach(f =>
+              println(s"  ${f.name}: ${f.dataType.simpleString}"))
+            case None => println("  (pre-schema-recording table)")
+          }
+          println(s"sort order: " +
+            props.getOrElse("graft.sortOrder", "(none recorded)"))
+          props.filterNot(_._1 == "graft.sortOrder").toSeq.sortBy(_._1)
+            .foreach { case (k, v) => println(s"property: $k=$v") }
+          println(f"files: ${files.size}%d  rows<=: " +
+            f"${files.map(_.rows).sum}%d  bytes: ${files.map(_.bytes).sum}%d")
+          if (dels.isEmpty) println("merge-on-read debt: none")
+          else {
+            println(s"merge-on-read debt: ${dels.size} pending delete " +
+              s"sidecar(s), ${dels.map(_.rows).sum} keys, " +
+              s"${dels.map(_.bytes).sum} bytes " +
+              s"on [${dels.map(_.keyCol).distinct.mkString(", ")}] — " +
+              "row counts are upper bounds until `table compact`")
+          }
+          rep(s"${name(tableDir)} describe", files.map(_.rows).sum,
+            files.size)
         // restore <table_dir> <version|ts_ms> — rollback-as-new-commit:
         // a bare integer <= the current version is a version number;
         // anything larger is an epoch-millis timestamp (versionAsOf).
@@ -476,6 +529,8 @@ object Cli {
               |  table delete-keys <table_dir> <key_col> <k1,k2,...>   (merge-on-read: zero data rewrites)
               |  table compact <table_dir> [target_mb=128] [cluster_by]
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
+              |  table optimize <table_dir> <z_cols_csv> [target_mb=128] [num_files]   (z-order, sort order recorded)
+              |  table describe <table_dir>   (schema + layout + merge-on-read debt)
               |  table restore <table_dir> <version|ts_ms>
               |  table expire  <table_dir> <keep_last | --older-than-hours N>
               |  table vacuum  <table_dir> [retention_hours=168] [--dry-run]

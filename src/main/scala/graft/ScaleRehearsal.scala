@@ -1289,6 +1289,37 @@ object ScaleRehearsal {
         f"sidecarMB=${synth1m("sidecar_bytes") / 1e6}%.1f " +
         f"largestMB=${synth1mCkptLargest / 1e6}%.1f ", " ", ""))
 
+    // ---- 10M-file rung on DISTRIBUTED checkpoint replay (r15: VERDICT
+    // r14 #5). At 10^7 manifest entries the driver stream-parse is the
+    // bottleneck; the sidecar now parses on the executors above the
+    // distributedMinFiles threshold (2M default — the 1M rung keeps the
+    // proven driver path, so this rung's ratio compares distributed-10M
+    // against driver-1M like a deployment would see). NO floor assists:
+    // the 1M denominator is well above scheduling noise, so every ratio
+    // must clear the x15 ceiling on its own. One checkpoint at the head
+    // (cadence commits/1000) — replay is one 10M-row sidecar + zero
+    // JSON tail, structurally the post-compaction shape (cadence 999:
+    // versions run 0..999, so the one checkpoint lands exactly at the
+    // head). The rung also REQUIREs the executor path actually engaged.
+    val distReplaysBefore =
+      graft.sinks.SnapshotTable.distributedReplays.get()
+    val (synth10m, synth10mCkptLargest) =
+      syntheticManifestRung(1000, 10000, ckptEvery = 999)
+    require(graft.sinks.SnapshotTable.distributedReplays.get() >
+      distReplaysBefore,
+      "10M rung expected the DISTRIBUTED sidecar parse to engage")
+    require(synth10m("sidecar_bytes") > 0,
+      "10M rung expected a columnar checkpoint sidecar")
+    val synth10mRatios = synthKeys.map(k =>
+      k -> (if (synth1m(k) > 0) synth10m(k) / synth1m(k) else 0.0)).toMap
+    val synth10mOk = synthKeys.forall(k => synth10mRatios(k) <= 15.0) &&
+      synth10m("sidecar_bytes") <= 500L * 1024 * 1024
+    println(synthKeys.map(k =>
+        f"$k=${synth10m(k)}%.2fs(x${synth10mRatios(k)}%.1f)")
+      .mkString(f"TABLE_MANIFEST_10M ok=$synth10mOk " +
+        f"sidecarMB=${synth10m("sidecar_bytes") / 1e6}%.1f " +
+        f"largestMB=${synth10mCkptLargest / 1e6}%.1f ", " ", ""))
+
     val manCeil = 15.0
     val manFloorS = 0.25
     val manKeys = Seq("commit_per", "replay", "read", "prune", "rowcount")
@@ -1500,6 +1531,8 @@ object ScaleRehearsal {
     sb.append(f"""  "table_manifest_100k": {"mode": "synthetic log, real commit protocol", "files_rung10": 10000, "files_rung100": 100000, "ceilings": {"ratio_x": 15.0, "floor_s": 0.25, "ckpt_bytes_max": ${50L * 1024 * 1024}%d}, "rung10_secs": ${synthJson(synth10)}, "rung100_secs": ${synthJson(synth100)}, "ratios": ${synthJson(synthRatios)}, "ckpt_bytes_rung10": $synth10Ckpt%d, "ckpt_bytes_rung100": $synth100Ckpt%d, "columnar_checkpoint_needed": $colCkptNeeded, "within_ceilings": $synthOk},\n""")
     if (!synth1mOk) allOk = false
     sb.append(f"""  "table_manifest_1m": {"mode": "synthetic log, real commit protocol, COLUMNAR (ORC sidecar) checkpoints", "files_base": 100000, "files_rung": 1000000, "ckpt_cadence": "commits/10 both rungs", "ceilings": {"ratio_x": 15.0, "floor_s": 1.5, "sidecar_bytes_max": ${50L * 1024 * 1024}%d}, "base_secs": ${synthJson(synth1mBase)}, "rung_secs": ${synthJson(synth1m)}, "ratios": ${synthJson(synth1mRatios)}, "sidecar_bytes_base": ${synth1mBase("sidecar_bytes").toLong}%d, "sidecar_bytes_rung": ${synth1m("sidecar_bytes").toLong}%d, "largest_ckpt_artifact_bytes": $synth1mCkptLargest%d, "within_ceilings": $synth1mOk},\n""")
+    if (!synth10mOk) allOk = false
+    sb.append(f"""  "table_manifest_10m": {"mode": "synthetic log, DISTRIBUTED (executor-side) sidecar replay vs driver-parse 1M base", "files_base": 1000000, "files_rung": 10000000, "ceilings": {"ratio_x": 15.0, "floor_s": null, "sidecar_bytes_max": ${500L * 1024 * 1024}%d}, "base_secs": ${synthJson(synth1m)}, "rung_secs": ${synthJson(synth10m)}, "ratios": ${synthJson(synth10mRatios)}, "sidecar_bytes_rung": ${synth10m("sidecar_bytes").toLong}%d, "largest_ckpt_artifact_bytes": $synth10mCkptLargest%d, "distributed_replay_engaged": true, "within_ceilings": $synth10mOk},\n""")
     if (!annSp._5) allOk = false
     sb.append(f"""  "ann_sparse_regime": {"corpus": 200000, "dim": 64, "clusters": 64, "n_centroids": 256, "n_probe": 8, "k": 10, "eps": 0.005, "shortlist_1pct": {"shortlist": 2000, "recall": ${annSp._1}%.3f, "floor": 0.95, "secs": ${annSp._2}%.1f}, "shortlist_02pct": {"shortlist": 400, "recall": ${annSp._3}%.3f, "floor": 0.85, "secs": ${annSp._4}%.1f}, "wall_ceiling_s": 60.0, "within_ceilings": ${annSp._5}},\n""")
     if (!memPass) allOk = false

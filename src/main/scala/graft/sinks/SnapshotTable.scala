@@ -96,7 +96,8 @@ object SnapshotTable {
                           txn: Option[(String, Long)] = None,
                           schemaJson: Option[String] = None,
                           timestampMs: Long = -1L,
-                          deletes: Seq[DeleteEntry] = Nil)
+                          deletes: Seq[DeleteEntry] = Nil,
+                          props: Map[String, String] = Map.empty)
 
   /** Wall-clock source for commit timestamps — a seam so specs can pin
     * deterministic clocks (including non-monotonic ones). */
@@ -269,7 +270,8 @@ object SnapshotTable {
   private case class Ckpt(version: Long, files: Seq[FileEntry],
                           schemaJson: Option[String],
                           txns: Map[String, (Long, Long)], // app -> (seq, v)
-                          deletes: Seq[DeleteEntry] = Nil)
+                          deletes: Seq[DeleteEntry] = Nil,
+                          props: Map[String, String] = Map.empty)
 
   private def ckptPath(dir: String, v: Long) =
     new Path(logDir(dir), f"ckpt-$v%020d.json")
@@ -378,6 +380,47 @@ object SnapshotTable {
     } finally p.close()
   }
 
+  /** Above this many manifest entries the checkpoint sidecar is read
+    * WITH SPARK on the executors (VERDICT r14 #5) — the per-entry stats
+    * JSON parse is the replay bottleneck past ~10^6 files, and it
+    * parallelizes embarrassingly (the sidecar is a plain ORC file Spark
+    * splits by stripe). Below it the driver stream-parse wins: a Spark
+    * job costs a fixed few hundred ms the small read never earns back.
+    * The driver still COLLECTS the entries (planning needs the
+    * manifest), so this moves the O(#files) parse to O(#files / cores),
+    * not the memory. */
+  private val DistributedReplayMinFiles = 2000000L
+
+  private def distributedReplayMinFiles(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.table.checkpoint.distributedMinFiles")
+      .map(_.toLong).getOrElse(DistributedReplayMinFiles)
+
+  /** Executor-side sidecar reads this session — the SCALE rung's proof
+    * that the distributed path actually engaged. */
+  private[graft] val distributedReplays =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def parseStatsString(s: String): Map[String, ColStats] = {
+    val b = s.getBytes("UTF-8")
+    parseStatsBytes(b, 0, b.length)
+  }
+
+  private def readFilesOrcDistributed(spark: SparkSession, p: Path,
+      hasSeq: Boolean, defaultSeq: Long): Seq[FileEntry] = {
+    distributedReplays.incrementAndGet()
+    import org.apache.spark.sql.Encoders
+    val df0 = spark.read.orc(p.toString)
+    val df = if (hasSeq) df0
+      else df0.withColumn("seq", lit(defaultSeq))
+    val tup = df.select(col("path"), col("rows"), col("bytes"),
+      col("stats"), col("seq"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaLong))
+    tup.mapPartitions(it => it.map { case (path, rows, bytes, stats, seq) =>
+      FileEntry(path, rows, bytes, parseStatsString(stats), seq)
+    })(Encoders.product[FileEntry]).collect().toSeq
+  }
+
   /** `defaultSeq`: attributed to rows of pre-seq sidecars (see
     * [[parseFileNodes]] — the checkpoint's own version, the safe
     * overestimate). */
@@ -385,6 +428,15 @@ object SnapshotTable {
                            defaultSeq: Long): Seq[FileEntry] = {
     val reader = OrcFile.createReader(p, OrcFile.readerOptions(conf))
     val hasSeq = reader.getSchema.getFieldNames.asScala.contains("seq")
+    // large sidecars parse on the executors; needs a live session (the
+    // checkpoint read is always driver-side)
+    SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).foreach { spark =>
+        if (reader.getNumberOfRows >= distributedReplayMinFiles(spark)) {
+          reader.close()
+          return readFilesOrcDistributed(spark, p, hasSeq, defaultSeq)
+        }
+      }
     val rows = reader.rows()
     try {
       val batch = reader.getSchema.createRowBatch(1024)
@@ -462,7 +514,11 @@ object SnapshotTable {
       } else Map.empty[String, (Long, Long)]
       val deletes = if (n.has("deletes")) parseDeleteNodes(n.get("deletes"))
         else Nil
-      Ckpt(ckptV, files, schemaJson, txns, deletes)
+      val props = if (n.has("props"))
+        n.get("props").properties().asScala
+          .map(e => e.getKey -> e.getValue.asText).toMap
+        else Map.empty[String, String]
+      Ckpt(ckptV, files, schemaJson, txns, deletes, props)
     } match {
       // a corrupt/unreadable checkpoint degrades to full replay — but a
       // PROTOCOL fence must not (degrading would replay the same fenced
@@ -497,6 +553,7 @@ object SnapshotTable {
     // back to Spark's own sampling, same as the raw log would.
     val files = mutable.ArrayBuffer.empty[FileEntry]
     val dels = mutable.ArrayBuffer.empty[DeleteEntry]
+    var props = base.map(_.props).getOrElse(Map.empty[String, String])
     base.foreach(files ++= _.files)
     base.foreach(dels ++= _.deletes)
     var schema: Option[StructType] = base.flatMap(_.schemaJson)
@@ -508,6 +565,7 @@ object SnapshotTable {
       }
       files ++= c.files
       dels ++= c.deletes
+      props = props ++ c.props // latest wins; properties survive overwrites
       c.schemaJson match {
         case Some(j) =>
           val st = DataType.fromJson(j).asInstanceOf[StructType]
@@ -529,6 +587,10 @@ object SnapshotTable {
     root.put("version", v)
     root.put("action", "overwrite") // replay-collapsed state
     if (schemaKnown) schema.foreach(s => root.put("schema", s.json))
+    if (props.nonEmpty) {
+      val pn = root.putObject("props")
+      props.toSeq.sortBy(_._1).foreach { case (k, v2) => pn.put(k, v2) }
+    }
     if (files.size > inlineMaxFiles(spark)) {
       // columnar checkpoint: publish the ORC sidecar FIRST, then the JSON
       // that references it. Racing checkpointers at the same v derive the
@@ -674,7 +736,8 @@ object SnapshotTable {
                       txn: Option[(String, Long)] = None,
                       schemaJson: Option[String] = None,
                       expectedVersion: Option[Long] = None,
-                      deletes: Seq[DeleteEntry] = Nil): Long = {
+                      deletes: Seq[DeleteEntry] = Nil,
+                      props: Map[String, String] = Map.empty): Long = {
     val f = fs(spark, dir)
     f.mkdirs(logDir(dir))
     var attempt = 0
@@ -714,7 +777,7 @@ object SnapshotTable {
       val stampedDel = deletes.map(d => if (d.seq < 0) d.copy(seq = v) else d)
       val out = f.create(tmp, false)
       try out.write(commitJson(v, mode, stamped, txn, schemaJson, ts,
-          tmp.getName, stampedDel)
+          tmp.getName, stampedDel, props)
         .getBytes("UTF-8"))
       finally out.close()
       // put-if-absent IS the commit: exactly one writer wins version v
@@ -765,7 +828,8 @@ object SnapshotTable {
       readVersion: Long,
       commutes: Seq[FileEntry] => Boolean,
       maxRebases: Int = 5,
-      deletes: Seq[DeleteEntry] = Nil): Long = {
+      deletes: Seq[DeleteEntry] = Nil,
+      props: Map[String, String] = Map.empty): Long = {
     val hook = interleaveForTest
     interleaveForTest = () => ()
     hook()
@@ -777,7 +841,8 @@ object SnapshotTable {
       try {
         return publish(spark, dir, "overwrite", entries ++ extra,
           maxRetries = 20, schemaJson = extraSchema.map(_.json),
-          expectedVersion = Some(expected), deletes = deletes)
+          expectedVersion = Some(expected), deletes = deletes,
+          props = props)
       } catch {
         case e: java.util.ConcurrentModificationException =>
           rebases += 1
@@ -860,7 +925,8 @@ object SnapshotTable {
                          txn: Option[(String, Long)],
                          schemaJson: Option[String], ts: Long,
                          writerId: String = "",
-                         deletes: Seq[DeleteEntry] = Nil): String = {
+                         deletes: Seq[DeleteEntry] = Nil,
+                         props: Map[String, String] = Map.empty): String = {
     val root = mapper.createObjectNode()
     root.put("version", v)
     root.put("action", mode)
@@ -878,6 +944,13 @@ object SnapshotTable {
     // the frame schema AS OF this commit: read() replays these into the
     // snapshot's merged schema; time travel returns the as-of merge
     schemaJson.foreach(root.put("schema", _))
+    // TABLE PROPERTIES this commit sets (the Delta table-properties
+    // shape): layout metadata like the recorded sort order — replay
+    // folds them latest-wins (see tableProperties)
+    if (props.nonEmpty) {
+      val pn = root.putObject("props")
+      props.toSeq.sortBy(_._1).foreach { case (k, v2) => pn.put(k, v2) }
+    }
     val arr = root.putArray("files")
     entries.foreach(e => appendFileNode(arr, e))
     if (deletes.nonEmpty) {
@@ -962,7 +1035,12 @@ object SnapshotTable {
     val ts = if (n.has("ts")) n.get("ts").asLong else -1L
     val deletes = if (n.has("deletes")) parseDeleteNodes(n.get("deletes"))
       else Nil
-    Commit(v, n.get("action").asText, files, txn, schema, ts, deletes)
+    val props = if (n.has("props"))
+      n.get("props").properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap
+      else Map.empty[String, String]
+    Commit(v, n.get("action").asText, files, txn, schema, ts, deletes,
+      props)
   }
 
   private def readCommit(spark: SparkSession, dir: String, v: Long): Commit = {
@@ -1030,7 +1108,7 @@ object SnapshotTable {
           "checkpoint is missing or corrupt")
     val acc = mutable.ArrayBuffer.empty[Commit]
     base.foreach(b => acc += Commit(b.version, "overwrite", b.files,
-      None, b.schemaJson, deletes = b.deletes))
+      None, b.schemaJson, deletes = b.deletes, props = b.props))
     replay.foreach { c =>
       if (c.action == "overwrite") acc.clear()
       acc += c
@@ -1086,6 +1164,18 @@ object SnapshotTable {
     }
     StructType(a.fields ++ b.fields.filterNot(f => have.contains(f.name)))
   }
+
+  /** TABLE PROPERTIES at `version` — layout metadata commits record
+    * (the Delta table-properties shape), folded latest-wins over the
+    * replay window (checkpoint base included: checkpoints carry the
+    * fold). The writers are the maintenance ops, which stamp their
+    * layout ON their own overwrite commit, so the property always
+    * describes the CURRENT data layout. Keys: `graft.sortOrder` = the
+    * last maintenance-recorded layout (`zorder(c1,c2)` / `range(c)`). */
+  def tableProperties(spark: SparkSession, dir: String,
+                      version: Option[Long] = None): Map[String, String] =
+    replayCommits(spark, dir, version)
+      .foldLeft(Map.empty[String, String])((acc, c) => acc ++ c.props)
 
   /** The snapshot's AS-OF schema: the last overwrite's recorded schema,
     * merged by name with every later append's — a later commit that ADDS
@@ -1538,9 +1628,12 @@ object SnapshotTable {
     val fresh = writeBatch(spark, dir, packed, statsCols)
     // compaction rewrites the read snapshot's rows only, so EVERY
     // interleaved append commutes: its files carry into the new version
-    // and get bin-packed by the next maintenance pass
+    // and get bin-packed by the next maintenance pass. A clustered
+    // compaction records the layout it established.
     publishRebasing(spark, dir, fresh, Some(packed.schema), readVersion,
-      _ => true)
+      _ => true,
+      props = clusterBy.map(c =>
+        Map("graft.sortOrder" -> s"range($c)")).getOrElse(Map.empty))
   }
 
   final case class DeleteReport(version: Long, rowsDeleted: Long,
@@ -1884,7 +1977,8 @@ object SnapshotTable {
     // the next maintenance pass scores it)
     val v = publishRebasing(spark, dir, carried ++ fresh, schema,
       readVersion, _ => true,
-      deletes = carriedDeletes(spark, dir, readVersion, carried))
+      deletes = carriedDeletes(spark, dir, readVersion, carried),
+      props = Map("graft.sortOrder" -> s"zorder(${zCols.mkString(",")})"))
     ClusterReport(v, fresh.size, carried.size)
   }
 

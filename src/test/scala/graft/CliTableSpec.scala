@@ -181,6 +181,48 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, tableDir).count() === filesBefore)
   }
 
+  test("table optimize records the z-order sort order and IMPROVES " +
+    "pruning; describe reports schema, layout and merge-on-read debt") {
+    val tableDir = freshDir() + "/t"
+    // a deliberately UNCLUSTERED table: ids shuffled across files, so
+    // every file spans most of the id domain and pruning is useless
+    val shuffled = (0L until 4000L).map(i => ((i * 2654435761L) % 4000L, i))
+      .toDF("id", "v").repartition(8)
+    SnapshotTable.commit(spark, shuffled, tableDir, "overwrite",
+      statsCols = Seq("id", "v"))
+    val (_, keptBefore, totBefore) =
+      SnapshotTable.scanPruned(spark, tableDir, "id", 0.0, 200.0)
+    assert(keptBefore === totBefore) // nothing prunable pre-optimize
+    // MOR debt visible to describe
+    SnapshotTable.deleteByKeys(spark, tableDir, "id", Seq(7L).toDF("id"))
+    assert(SnapshotTable.pendingDeletes(spark, tableDir).nonEmpty)
+    val r = Cli.run(spark,
+      Seq("table", "optimize", tableDir, "id,v", "64", "8")).get
+    assert(r.successes == 1)
+    // the sort order is RECORDED on the commit
+    assert(SnapshotTable.tableProperties(spark, tableDir)
+      .get("graft.sortOrder").contains("zorder(id,v)"))
+    // prune-improvement gate: the optimized layout must actually skip
+    val (pruned, keptAfter, totAfter) =
+      SnapshotTable.scanPruned(spark, tableDir, "id", 0.0, 200.0)
+    // 2-D Morton layout: a narrow 1-D slice legitimately spans the
+    // other dimension, so expect IMPROVEMENT, not 1-file perfection
+    assert(keptAfter < totAfter,
+      s"optimize left $keptAfter of $totAfter files unprunable")
+    assert(pruned.count() === 200) // 201 ids in [0,200] minus deleted 7
+    // the rewrite materialized the pending delete
+    assert(SnapshotTable.pendingDeletes(spark, tableDir).isEmpty)
+    // describe prints layout + tallies (sanity: runs and reports)
+    val d = Cli.run(spark, Seq("table", "describe", tableDir)).get
+    assert(d.successes == 1)
+    assert(d.results.head.rows === 3999L)
+    // properties survive a later checkpointed replay
+    (0 until 11).foreach(_ => SnapshotTable.commit(spark,
+      Seq((9999L, 1L)).toDF("id", "v"), tableDir, "append"))
+    assert(SnapshotTable.tableProperties(spark, tableDir)
+      .get("graft.sortOrder").contains("zorder(id,v)"))
+  }
+
   test("restore rolls back through the argv contract (version and " +
     "timestamp forms)") {
     val tableDir = freshDir() + "/t"

@@ -339,6 +339,37 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 260)
   }
 
+  test("distributed checkpoint replay: a columnar sidecar above the " +
+    "threshold parses on the executors and answers identically") {
+    val dir = freshDir()
+    // force columnar checkpoints (inline cap 1) and a distributed read
+    // threshold the tiny sidecar clears
+    spark.conf.set("spark.graft.table.checkpoint.inlineMaxFiles", "1")
+    spark.conf.set("spark.graft.table.checkpoint.distributedMinFiles", "1")
+    try {
+      SnapshotTable.commit(spark, df(0, 10), dir, "overwrite",
+        statsCols = Seq("id"))
+      (1 to 10).foreach(i =>
+        SnapshotTable.commit(spark, df(i * 10, i * 10 + 10), dir, "append",
+          statsCols = Seq("id")))
+      val before = SnapshotTable.distributedReplays.get()
+      assert(SnapshotTable.read(spark, dir).count() === 110)
+      assert(SnapshotTable.distributedReplays.get() > before,
+        "expected the executor-side sidecar parse to engage")
+      // stats survive the distributed parse: pruning still works
+      val (_, kept, total) = SnapshotTable.scanPruned(spark, dir, "id",
+        0.0, 9.0)
+      assert(kept < total)
+      // and the driver path (threshold high) agrees exactly
+      spark.conf.set("spark.graft.table.checkpoint.distributedMinFiles",
+        "1000000000")
+      assert(SnapshotTable.read(spark, dir).count() === 110)
+    } finally {
+      spark.conf.unset("spark.graft.table.checkpoint.inlineMaxFiles")
+      spark.conf.unset("spark.graft.table.checkpoint.distributedMinFiles")
+    }
+  }
+
   test("a corrupt checkpoint degrades to full replay, never wrong answers") {
     val dir = freshDir()
     SnapshotTable.commit(spark, df(0, 10), dir, "overwrite")
