@@ -339,10 +339,10 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 260)
   }
 
-  test("distributed checkpoint replay: a columnar sidecar above the " +
-    "threshold parses on the executors and answers identically") {
+  test("distributed manifest queries: above the threshold rowCount is " +
+    "one executor-side sum and pruned planning collects only survivors") {
     val dir = freshDir()
-    // force columnar checkpoints (inline cap 1) and a distributed read
+    // force columnar checkpoints (inline cap 1) and a distributed
     // threshold the tiny sidecar clears
     spark.conf.set("spark.graft.table.checkpoint.inlineMaxFiles", "1")
     spark.conf.set("spark.graft.table.checkpoint.distributedMinFiles", "1")
@@ -352,18 +352,39 @@ class SnapshotTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
       (1 to 10).foreach(i =>
         SnapshotTable.commit(spark, df(i * 10, i * 10 + 10), dir, "append",
           statsCols = Seq("id")))
+      // checkpoints exist at v10; the tail (none) is append-only
       val before = SnapshotTable.distributedReplays.get()
-      assert(SnapshotTable.read(spark, dir).count() === 110)
+      assert(SnapshotTable.rowCount(spark, dir) === 110L)
       assert(SnapshotTable.distributedReplays.get() > before,
-        "expected the executor-side sidecar parse to engage")
-      // stats survive the distributed parse: pruning still works
-      val (_, kept, total) = SnapshotTable.scanPruned(spark, dir, "id",
-        0.0, 9.0)
+        "expected the executor-side manifest sum to engage")
+      // append a TAIL commit past the checkpoint: still fast-path, the
+      // tail sums driver-side
+      SnapshotTable.commit(spark, df(110, 125), dir, "append",
+        statsCols = Seq("id"))
+      assert(SnapshotTable.rowCount(spark, dir) === 125L)
+      // pruned planning: executor-side stats filter, survivors only,
+      // exact content and counts (tail file included in total)
+      val b2 = SnapshotTable.distributedReplays.get()
+      val (pruned, kept, total) = SnapshotTable.scanPruned(spark, dir,
+        "id", 0.0, 9.0)
+      assert(SnapshotTable.distributedReplays.get() > b2)
       assert(kept < total)
+      assert(total === SnapshotTable.snapshotFiles(spark, dir).size)
+      assert(pruned.count() === 10)
+      // a MOR delete disables the count fast path (upper bounds) but
+      // the answer stays exact through the fallback
+      SnapshotTable.deleteByKeys(spark, dir, "id", Seq(3L).toDF("id"))
+      assert(SnapshotTable.rowCount(spark, dir) === 124L)
+      // the pruned fast path carries pending deletes into the read
+      val (p2, _, _) = SnapshotTable.scanPruned(spark, dir, "id", 0.0, 9.0)
+      assert(p2.count() === 9)
       // and the driver path (threshold high) agrees exactly
       spark.conf.set("spark.graft.table.checkpoint.distributedMinFiles",
         "1000000000")
-      assert(SnapshotTable.read(spark, dir).count() === 110)
+      assert(SnapshotTable.rowCount(spark, dir) === 124L)
+      val (p3, k3, t3) = SnapshotTable.scanPruned(spark, dir, "id",
+        0.0, 9.0)
+      assert(p3.count() === 9 && k3 === kept && t3 === total)
     } finally {
       spark.conf.unset("spark.graft.table.checkpoint.inlineMaxFiles")
       spark.conf.unset("spark.graft.table.checkpoint.distributedMinFiles")
