@@ -69,6 +69,60 @@ object SnapshotTable {
                             minStr: Option[String], maxStr: Option[String],
                             nulls: Long)
 
+  /** UTF-8 BINARY string comparison — the one ordering both producers
+    * and consumers of the minStr/maxStr channel actually use: ORC
+    * footer min/max compare UTF-8 bytes, and Spark's UTF8String orders
+    * by unsigned UTF-8 bytes (= code points). Java's `String.compareTo`
+    * orders by UTF-16 code units, which DIVERGES whenever strings mix
+    * [U+E000,U+FFFF] chars with supplementary-plane chars (a surrogate
+    * pair's 0xD800-lead sorts below 0xE000 in UTF-16 but above it in
+    * UTF-8) — so every bound proof against footer string stats must go
+    * through this comparator, never `<`/`>` on String. */
+  def u8cmp(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+  @inline def u8lt(a: String, b: String): Boolean = u8cmp(a, b) < 0
+  @inline def u8lte(a: String, b: String): Boolean = u8cmp(a, b) <= 0
+  @inline def u8gt(a: String, b: String): Boolean = u8cmp(a, b) > 0
+  @inline def u8gte(a: String, b: String): Boolean = u8cmp(a, b) >= 0
+  /** UTF-8-order min/max of a non-empty collection. */
+  def u8min(ss: Iterable[String]): String =
+    ss.reduce((a, b) => if (u8lte(a, b)) a else b)
+  def u8max(ss: Iterable[String]): String =
+    ss.reduce((a, b) => if (u8gte(a, b)) a else b)
+
+  /** Is a string literal safe to hand to ORC's SearchArgument
+    * evaluation? ORC-java compares SARG string literals against stripe
+    * stats with Java `String.compareTo` (UTF-16 code units) while the
+    * stats themselves are UTF-8-ordered — a literal holding any char >=
+    * U+D800 (a surrogate, i.e. any supplementary-plane char, or a BMP
+    * char in [U+E000,U+FFFF]) can make ORC wrongly skip a row group
+    * whose rows DO match. Literals entirely below U+D800 compare
+    * identically in both orders (proof: at the first differing index
+    * the literal char c1 < U+D800 encodes in <= 3 UTF-8 bytes with lead
+    * <= 0xED, below both the 0xEE/0xEF leads of [U+E000,U+FFFF] and the
+    * 0xF0+ leads of supplementary chars, so c1 sorts below any
+    * divergence-capable c2 in BOTH orders), so the common case keeps
+    * full stripe skipping. */
+  def sargSafeString(s: String): Boolean = s.forall(_ < '\uD800')
+
+  /** A string range predicate ORC cannot mis-skip: for order-safe
+    * literals, the plain column comparison (pushes to ORC, full stripe
+    * skipping); for exotic literals, the comparison is done on
+    * `cast(col as binary)` — unsigned byte-wise, i.e. UTF-8 order BY
+    * CONSTRUCTION — which no file-source filter translation pushes, so
+    * ORC's Java-ordered SARG evaluation never sees it. */
+  private[graft] def u8RangeCond(c: org.apache.spark.sql.Column,
+      lo: String, hi: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.lit
+    if (sargSafeString(lo) && sargSafeString(hi)) c >= lo && c <= hi
+    else {
+      val b = c.cast("binary")
+      b >= lit(lo.getBytes(java.nio.charset.StandardCharsets.UTF_8)) &&
+        b <= lit(hi.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** `seq` is the DATA SEQUENCE NUMBER (the Iceberg v2 concept): the
     * version at which this file's ROWS entered the table. Stamped by
     * [[publish]] on fresh entries (-1 = not yet committed); maintenance
@@ -961,7 +1015,7 @@ object SnapshotTable {
     files.forall { e =>
       e.rows == 0 || (e.stats.get(keyCol) match {
         case Some(ColStats(_, _, Some(mn), Some(mx), _)) =>
-          ranges.forall { case (lo, hi) => mx < lo || mn > hi }
+          ranges.forall { case (lo, hi) => u8lt(mx, lo) || u8gt(mn, hi) }
         case Some(ColStats(None, None, None, None, nulls)) => nulls == e.rows
         case _ => false
       })
@@ -1600,14 +1654,14 @@ object SnapshotTable {
     val kept = files.filter { e =>
       e.stats.get(column) match {
         case Some(ColStats(_, _, Some(mn), Some(mx), _)) =>
-          mx >= lo && mn <= hi
+          u8gte(mx, lo) && u8lte(mn, hi)
         case _ => true
       }
     }
     val base =
       if (kept.isEmpty) readFiles(spark, dir, files, schema).where(lit(false))
       else readFilesMor(spark, dir, kept, dels, schema)
-    val df = base.where(col(column) >= lo && col(column) <= hi)
+    val df = base.where(u8RangeCond(col(column), lo, hi))
     (df, kept.size, files.size)
   }
 
@@ -1830,20 +1884,21 @@ object SnapshotTable {
     val (touched, carried) = files.partition { e =>
       e.stats.get(keyCol) match {
         case Some(ColStats(_, _, Some(mn), Some(mx), _)) =>
-          mx >= lo && mn <= hi
+          u8gte(mx, lo) && u8lte(mn, hi)
         case _ => true // cannot prove the file is clean -> rewrite
       }
     }
     if (touched.isEmpty)
       return DeleteReport(readVersion, 0L, 0, carried.size)
     // null keys are outside any range — they survive (the isNull arm,
-    // not three-value logic). The comparison is on the raw string
-    // column: no cast can throw, no collation surprise (Spark string
-    // ordering is binary, the same order the ORC footer stats use).
+    // not three-value logic). Spark-side string ordering is UTF-8
+    // binary; u8RangeCond additionally keeps order-unsafe literals out
+    // of ORC's Java-ordered SARG evaluation (which could wrongly skip
+    // row groups holding SURVIVORS -> silent over-delete).
     val key = col(keyCol)
     val survivors = readFilesMor(spark, dir, touched,
       snapshotState(spark, dir, Some(readVersion))._2, schema)
-      .filter(key.isNull || !(key >= lo && key <= hi))
+      .filter(key.isNull || !u8RangeCond(key, lo, hi))
     val fresh = writeBatch(spark, dir, survivors,
       if (statsCols.nonEmpty) statsCols else Seq(keyCol))
     val v = publishRebasing(spark, dir, carried ++ fresh, schema,

@@ -467,8 +467,11 @@ private[sources] class SnapshotTableScanBuilder(
           case (ns, Nil) =>
             numVal(if (isMin) ns.min else ns.max, dt).map(v => (dt, v))
           case (Nil, ss) if dt == StringType =>
-            Some((dt, org.apache.spark.unsafe.types.UTF8String
-              .fromString(if (isMin) ss.min else ss.max)))
+            // fold in UTF-8 order — the order a real scan's MIN/MAX
+            // (UTF8String) would return, not Java UTF-16 order
+            Some((dt, org.apache.spark.unsafe.types.UTF8String.fromString(
+              if (isMin) SnapshotTable.u8min(ss)
+              else SnapshotTable.u8max(ss))))
           case _ => None // mixed channels: not provable
         }
       }
@@ -1004,6 +1007,42 @@ private[sources] object MetadataDelete {
   * dates=epoch-days — the footer-harvest encodings) or lexicographic
   * (minStr/maxStr) channel. Strict bounds are widened to inclusive —
   * pruning may only ever drop files that PROVABLY hold no match. */
+/** Guard for handing pushed source filters to ORC's SearchArgument:
+  * a filter is order-safe iff every string literal it carries compares
+  * identically under UTF-16 (ORC-java's SARG evaluation) and UTF-8
+  * (the stripe stats' order) — i.e. contains no char >= U+D800
+  * ([[SnapshotTable.sargSafeString]]). Unsafe filters simply stay out
+  * of the SARG (pure I/O-saving channel; semantics never depended on
+  * it). */
+private[graft] object GraftSargGuard {
+  private def safeVal(v: Any): Boolean = v match {
+    case s: String => SnapshotTable.sargSafeString(s)
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      SnapshotTable.sargSafeString(u.toString)
+    case _ => true
+  }
+  def orderSafe(f: Filter): Boolean = f match {
+    case And(l, r) => orderSafe(l) && orderSafe(r)
+    case org.apache.spark.sql.sources.Or(l, r) =>
+      orderSafe(l) && orderSafe(r)
+    case org.apache.spark.sql.sources.Not(c) => orderSafe(c)
+    case EqualTo(_, v) => safeVal(v)
+    case org.apache.spark.sql.sources.EqualNullSafe(_, v) => safeVal(v)
+    case GreaterThan(_, v) => safeVal(v)
+    case GreaterThanOrEqual(_, v) => safeVal(v)
+    case LessThan(_, v) => safeVal(v)
+    case LessThanOrEqual(_, v) => safeVal(v)
+    case org.apache.spark.sql.sources.In(_, vs) => vs.forall(safeVal)
+    case org.apache.spark.sql.sources.StringStartsWith(_, p) =>
+      SnapshotTable.sargSafeString(p)
+    case org.apache.spark.sql.sources.StringEndsWith(_, p) =>
+      SnapshotTable.sargSafeString(p)
+    case org.apache.spark.sql.sources.StringContains(_, p) =>
+      SnapshotTable.sargSafeString(p)
+    case _ => true // null tests / AlwaysTrue etc. carry no string literal
+  }
+}
+
 private[graft] object ManifestPruning {
 
   private def numeric(v: Any): Option[Double] = v match {
@@ -1067,10 +1106,12 @@ private[graft] object ManifestPruning {
       m(c) = f(m.getOrElse(c, Bounds(None, None, None, None)))
     def maxLo(a: Option[Double], b: Double) = Some(a.fold(b)(math.max(_, b)))
     def minHi(a: Option[Double], b: Double) = Some(a.fold(b)(math.min(_, b)))
+    // string bounds compare in UTF-8 byte order (the footer stats'
+    // ordering) — Java String ordering diverges on supplementary planes
     def maxLoS(a: Option[String], b: String) =
-      Some(a.fold(b)(x => if (x >= b) x else b))
+      Some(a.fold(b)(x => if (SnapshotTable.u8gte(x, b)) x else b))
     def minHiS(a: Option[String], b: String) =
-      Some(a.fold(b)(x => if (x <= b) x else b))
+      Some(a.fold(b)(x => if (SnapshotTable.u8lte(x, b)) x else b))
     filters.foreach {
       case EqualTo(c, v) =>
         numeric(v).foreach(d => upd(c)(b =>
@@ -1115,7 +1156,8 @@ private[graft] object ManifestPruning {
         case Some(SnapshotTable.ColStats(Some(mn), Some(mx), _, _, _)) =>
           !allNum || nums.exists(d => d >= mn && d <= mx)
         case Some(SnapshotTable.ColStats(_, _, Some(mn), Some(mx), _)) =>
-          !allStr || strs.exists(s => s >= mn && s <= mx)
+          !allStr || strs.exists(s =>
+            SnapshotTable.u8gte(s, mn) && SnapshotTable.u8lte(s, mx))
         case _ => true // no stats channel: always kept
       }
     }
@@ -1166,16 +1208,16 @@ private[graft] object ManifestPruning {
         exactStr(c, v).exists { case (mn, mx, s) => mn == s && mx == s }
       case GreaterThan(c, v) =>
         exactNum(c, v).exists { case (mn, _, d) => mn > d } ||
-        exactStr(c, v).exists { case (mn, _, s) => mn > s }
+        exactStr(c, v).exists { case (mn, _, s) => SnapshotTable.u8gt(mn, s) }
       case GreaterThanOrEqual(c, v) =>
         exactNum(c, v).exists { case (mn, _, d) => mn >= d } ||
-        exactStr(c, v).exists { case (mn, _, s) => mn >= s }
+        exactStr(c, v).exists { case (mn, _, s) => SnapshotTable.u8gte(mn, s) }
       case LessThan(c, v) =>
         exactNum(c, v).exists { case (_, mx, d) => mx < d } ||
-        exactStr(c, v).exists { case (_, mx, s) => mx < s }
+        exactStr(c, v).exists { case (_, mx, s) => SnapshotTable.u8lt(mx, s) }
       case LessThanOrEqual(c, v) =>
         exactNum(c, v).exists { case (_, mx, d) => mx <= d } ||
-        exactStr(c, v).exists { case (_, mx, s) => mx <= s }
+        exactStr(c, v).exists { case (_, mx, s) => SnapshotTable.u8lte(mx, s) }
       case org.apache.spark.sql.sources.IsNotNull(c) =>
         e.stats.get(c).exists(_.nulls == 0)
       case _ => false
@@ -1193,7 +1235,8 @@ private[graft] object ManifestPruning {
           case Some(SnapshotTable.ColStats(Some(mn), Some(mx), _, _, _)) =>
             b.loD.forall(_ <= mx) && b.hiD.forall(_ >= mn)
           case Some(SnapshotTable.ColStats(_, _, Some(mn), Some(mx), _)) =>
-            b.loS.forall(_ <= mx) && b.hiS.forall(_ >= mn)
+            b.loS.forall(SnapshotTable.u8lte(_, mx)) &&
+              b.hiS.forall(SnapshotTable.u8gte(_, mn))
           case _ => true // no stats channel: always kept
         }
       }
@@ -1727,9 +1770,16 @@ private[sources] class GraftTablePartitionReader(
     // referenced column exists in THIS file, so schema-evolution
     // null-fill files are never mis-skipped. Residual filters re-apply
     // post-scan, so sarg skipping is purely an I/O saving.
-    if (filters.nonEmpty &&
-        filters.flatMap(_.references).forall(names.contains)) {
-      GraftOrcBridge.searchArgument(required, filters.toSeq).foreach(sa =>
+    // ... and only from ORDER-SAFE conjuncts: ORC-java evaluates string
+    // SARG literals with Java/UTF-16 compareTo against UTF-8-ordered
+    // stripe stats, so a literal holding chars >= U+D800 could wrongly
+    // skip row groups whose rows match (residuals re-apply post-scan,
+    // but CONSUMED conjuncts don't — and a mis-skip loses rows either
+    // way). Dropping a conjunct from the SARG is always sound.
+    val sargable = filters.filter(GraftSargGuard.orderSafe)
+    if (sargable.nonEmpty &&
+        sargable.flatMap(_.references).forall(names.contains)) {
+      GraftOrcBridge.searchArgument(required, sargable.toSeq).foreach(sa =>
         opts.searchArgument(sa, required.fieldNames))
     }
     reader = new OrcMapreduceRecordReader[OrcStruct](orc, opts)
