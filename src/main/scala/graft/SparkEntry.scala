@@ -183,7 +183,11 @@ object SparkEntry {
     // per-group and filtered COUNT/MIN/MAX (zero-scan plans pinned),
     // and the change feed crossing ALTER boundaries (window-end schema
     // with null fill, batch/stream agreement)
-    "conv_table_agg_group", "conv_table_cdf_evo")
+    "conv_table_agg_group", "conv_table_cdf_evo",
+    // round-16: SQL MERGE INTO through the delta (merge-on-read) path —
+    // matched legs as key sidecar + appends, one rowupdate commit, zero
+    // existing-data-file rewrites (VERDICT r15 #2)
+    "conv_table_mor_merge")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

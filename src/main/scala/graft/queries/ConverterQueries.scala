@@ -1811,20 +1811,18 @@ object ConverterQueries {
       s.conf.set("spark.sql.catalog.graft",
         "graft.sources.SnapshotTableCatalog")
       val orders = t(s, d, "orders")
+      // MOR routing is a PER-TABLE declaration recorded at creation
+      // (r16, ADVICE r15 — replaced the session conf)
       SnapshotTable.commit(s,
         orders.repartitionByRange(8, col("o_orderkey")),
-        base, "overwrite", statsCols = Seq("o_orderkey"))
+        base, "overwrite", statsCols = Seq("o_orderkey"),
+        props = Map(SnapshotTable.UpdateModeProp -> "mor",
+          SnapshotTable.UpdateKeyProp -> "o_orderkey"))
       val before = SnapshotTable.snapshotFiles(s, base, None)
         .map(_.path).toSet
-      s.conf.set("spark.graft.table.update.mode", "mor")
-      s.conf.set("spark.graft.table.update.key", "o_orderkey")
-      try s.sql(s"UPDATE graft.`$base` " +
+      s.sql(s"UPDATE graft.`$base` " +
         "SET o_totalprice = o_totalprice * 2.0, " +
         "o_orderpriority = 'GRAFT-MOR' WHERE o_orderkey % 101 = 0")
-      finally {
-        s.conf.unset("spark.graft.table.update.mode")
-        s.conf.unset("spark.graft.table.update.key")
-      }
       val after = SnapshotTable.snapshotFiles(s, base, None)
         .map(_.path).toSet
       val cf = SnapshotTable.changeFeed(s, base, 1L)
@@ -1846,6 +1844,60 @@ object ConverterQueries {
         .withColumn("cdf_net_rows", lit(cfRow.getLong(0)))
         .withColumn("cdf_inserts", lit(cfRow.getLong(1)))
         .withColumn("cdf_net_price", lit(cfRow.getDouble(2)))
+    },
+
+    // SQL MERGE INTO through the DELTA row-level path (r16, VERDICT r15
+    // #2): under the per-table MOR declaration the whole statement —
+    // matched updates AND not-matched inserts — lands as ONE rowupdate
+    // commit: matched keys as an equality-delete sidecar, replacement +
+    // inserted rows as appends, ZERO existing-data-file rewrites (the
+    // COW twin is conv_table_sql_merge, which rewrites matched file
+    // groups). The CDF leg pins the shape: one delete-preimage per
+    // matched row, one insert per matched+inserted row, net row mass =
+    // the insert leg.
+    "conv_table_mor_merge" -> { (s, d) =>
+      val base = tmp(d, "snapmormerge") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val orders = t(s, d, "orders")
+      val nn = orders.agg(max(col("o_orderkey"))).head().getLong(0) + 1
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"),
+        props = Map(SnapshotTable.UpdateModeProp -> "mor",
+          SnapshotTable.UpdateKeyProp -> "o_orderkey"))
+      val before = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      orders.filter(col("o_orderkey") % 103 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2.0)
+        .withColumn("o_orderpriority", lit("GRAFT-MERGED"))
+        .unionByName(orders.filter(col("o_orderkey") % 107 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + nn)
+          .withColumn("o_orderpriority", lit("GRAFT-MERGED")))
+        .createOrReplaceTempView("graft_mor_merge_src")
+      s.sql(s"MERGE INTO graft.`$base` t USING graft_mor_merge_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val after = SnapshotTable.snapshotFiles(s, base, None)
+        .map(_.path).toSet
+      val cf = SnapshotTable.changeFeed(s, base, 1L)
+      val isIns = col("_change_type") === "insert"
+      val cfRow = cf.agg(
+        sum(when(isIns, 1L).otherwise(-1L)).as("net"),
+        sum(when(isIns, 0L).otherwise(1L)).as("dels")).head()
+      SnapshotTable.read(s, base)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"),
+          sum(when(col("o_orderpriority") === "GRAFT-MERGED", 1L)
+            .otherwise(0L)).as("n_merged"))
+        .withColumn("zero_rewrites", lit(before.subsetOf(after)))
+        .withColumn("routed_rowupdate",
+          lit(SnapshotTable.commitStats(s, base, 1L)._1 == "rowupdate"))
+        .withColumn("cdf_net_rows", lit(cfRow.getLong(0)))
+        .withColumn("cdf_deletes", lit(cfRow.getLong(1)))
     },
 
     // MOR lifecycle: delete keys -> re-append HALF of them (sequence
@@ -3149,6 +3201,34 @@ object ConverterQueries {
         |   FROM orders WHERE o_orderkey % 101 = 0), 2) AS DOUBLE)
         |   AS cdf_net_price
         |FROM orders""".stripMargin,
+
+    // Delta-path SQL MERGE: content = doubled %103 prices (matched,
+    // re-prioritized) UNION the %107 rows re-keyed past the domain
+    // (insert leg); zero-rewrite / rowupdate verdicts pinned; CDF mass:
+    // net rows = insert leg, deletes = matched preimages.
+    "conv_table_mor_merge" ->
+      """WITH m AS (SELECT MAX(o_orderkey) + 1 AS nn FROM orders),
+        |fin AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN o_totalprice * 2.0
+        |         ELSE o_totalprice END AS p,
+        |    CASE WHEN o_orderkey % 103 = 0 THEN 1 ELSE 0 END AS merged
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o.o_orderkey + m.nn AS k, o.o_totalprice AS p, 1 AS merged
+        |  FROM orders o, m WHERE o.o_orderkey % 107 = 0)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(k) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(p AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(merged) AS BIGINT) AS n_merged,
+        | TRUE AS zero_rewrites,
+        | TRUE AS routed_rowupdate,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 107 = 0)
+        |   AS cdf_net_rows,
+        | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 103 = 0)
+        |   AS cdf_deletes
+        |FROM fin""".stripMargin,
 
     // MOR lifecycle: final content = complement UNION the re-appended
     // even half (sequence rule); the materialization verdicts pinned

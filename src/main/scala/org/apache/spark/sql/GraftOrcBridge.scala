@@ -13,6 +13,17 @@ import org.apache.spark.sql.types.StructType
   * this wrapper lives in the sql package purely for access. */
 object GraftOrcBridge {
 
+  /** `cloneSession()` lives on the classic concrete session (the only
+    * kind a local library session is): a clone shares the SparkContext
+    * and cache but takes a COPY of the session state (incl. runtime SQL
+    * conf), so a caller can tweak per-read planner knobs (e.g.
+    * `spark.sql.files.maxPartitionBytes` for a tiny-on-disk,
+    * stripe-splittable sidecar) without racing concurrent queries in
+    * the original session. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .cloneSession()
+
   /** Deserializes ORC writable values (one per field of `schema`, in
     * order, null for absent columns) into an InternalRow. The returned
     * row is REUSED across calls — consumers must copy if they buffer. */

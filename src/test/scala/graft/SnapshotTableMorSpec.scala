@@ -411,21 +411,19 @@ class SnapshotTableMorSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(SnapshotTable.read(spark, dir).count() === 202)
   }
 
-  test("SQL UPDATE routes to a MOR rowupdate commit under the opt-in " +
-    "mode: zero data-file rewrites, non-matching rows untouched") {
+  test("SQL UPDATE routes to a MOR rowupdate commit under the per-table " +
+    "declaration: zero data-file rewrites, non-matching rows untouched") {
     val dir = freshDir()
     stage(dir)
+    SnapshotTable.setTableProperties(spark, dir, Map(
+      SnapshotTable.UpdateModeProp -> "mor",
+      SnapshotTable.UpdateKeyProp -> "id"))
     val before = SnapshotTable.snapshotFiles(spark, dir).map(_.path).toSet
-    spark.conf.set("spark.graft.table.update.mode", "mor")
-    spark.conf.set("spark.graft.table.update.key", "id")
-    try spark.sql(s"UPDATE graft.`$dir` SET cat = 'hot' WHERE id < 10")
-    finally {
-      spark.conf.unset("spark.graft.table.update.mode")
-      spark.conf.unset("spark.graft.table.update.key")
-    }
+    spark.sql(s"UPDATE graft.`$dir` SET cat = 'hot' WHERE id < 10")
     val after = SnapshotTable.snapshotFiles(spark, dir).map(_.path).toSet
     assert(before.subsetOf(after), "MOR UPDATE rewrote a data file")
-    assert(SnapshotTable.commitStats(spark, dir, 1L)._1 === "rowupdate")
+    // v1 = the property declaration (empty append), v2 = the update
+    assert(SnapshotTable.commitStats(spark, dir, 2L)._1 === "rowupdate")
     val t = SnapshotTable.read(spark, dir)
     assert(t.count() === 200)
     assert(t.filter(col("cat") === "hot").count() === 10)
