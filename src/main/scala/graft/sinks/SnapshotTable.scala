@@ -233,13 +233,15 @@ object SnapshotTable {
     // columns is evolution and fine — mergeByName only rejects drift)
     if (mode == "append" && currentVersion(spark, dir).nonEmpty)
       snapshotSchema(spark, dir).foreach(mergeByName(_, df.schema))
-    // a declared row-identity column must carry footer stats on every
-    // fresh file (enforcement in publish needs them to prove nulls==0)
-    val declaredKey =
-      (tablePropertiesCached(spark, dir) ++ props).get(UpdateKeyProp)
-        .filter(df.columns.contains)
-    val allStats = (statsCols ++ declaredKey).distinct
-    val entries = writeBatch(spark, dir, df, allStats)
+    // a creation-time partition spec type-checks against the frame
+    props.get(TablePartitioning.Prop).foreach(s =>
+      TablePartitioning.validate(TablePartitioning.parse(s), df.schema))
+    // writeBatch force-harvests the declared row-identity column's
+    // stats (publish's null-free proof) and routes a declared partition
+    // spec through partitioned staging — including one declared by THIS
+    // commit's props (table creation)
+    val entries = writeBatch(spark, dir, df, statsCols,
+      extraProps = props)
     publish(spark, dir, mode, entries, maxRetries, txn,
       Some(df.schema.json), expectedVersion, props = props)
   }
@@ -1053,20 +1055,83 @@ object SnapshotTable {
   /** Stage `df` under a fresh `data/<batch>/` directory (invisible until
     * a version file names it) and return its harvested manifest entries. */
   private def writeBatch(spark: SparkSession, dir: String, df: DataFrame,
-                         statsCols: Seq[String]): Seq[FileEntry] = {
+                         statsCols: Seq[String],
+                         extraProps: Map[String, String] = Map.empty)
+      : Seq[FileEntry] = {
     val f = fs(spark, dir)
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(dir, "data"), batch)
-    df.write.mode("overwrite").orc(batchDir.toString)
-    val parts = f.listStatus(batchDir).toSeq
-      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString)
+    val props = tablePropertiesCached(spark, dir) ++ extraProps
     // a declared row-identity column always harvests stats: publish's
     // null-free proof needs them on every fresh file
-    val all = (statsCols ++ tablePropertiesCached(spark, dir)
-      .get(UpdateKeyProp).filter(df.columns.contains)).distinct
-    harvest(spark, parts, all)
-      .map(e => e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    val all = (statsCols ++ props.get(UpdateKeyProp)
+      .filter(df.columns.contains)).distinct
+    // partitioned staging (VERDICT r15 #1): a recorded transform spec
+    // routes the batch through partitionBy on computed transform
+    // columns — each landed file holds EXACTLY ONE partition tuple,
+    // which is stamped in the manifest as pseudo-stats. The synthetic
+    // columns never enter file contents (partitionBy drops them); the
+    // source columns stay. Frames lacking a transform's source column
+    // (schema-evolution appends) stage UNSTAMPED — readers keep
+    // unstamped files conservatively.
+    val spec = TablePartitioning.specOf(props)
+      .filter(_.forall(t => df.columns.contains(t.col)))
+    spec match {
+      case Some(ts) =>
+        val withCols = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
+          d.withColumn(t.writeCol(i),
+            TablePartitioning.transformExpr(t, df.schema))
+        }
+        withCols.write.mode("overwrite")
+          .partitionBy(ts.zipWithIndex.map { case (t, i) =>
+            t.writeCol(i) }: _*)
+          .orc(batchDir.toString)
+        val parts = listPartFiles(f, batchDir)
+        harvest(spark, parts.map(_.toString), all).map { e =>
+          val rel = relativize(batchDir, new Path(e.path))
+          // parse the tuple from the partition-dir components
+          val comps = rel.split('/').dropRight(1)
+          val tuple = ts.zipWithIndex.map { case (t, i) =>
+            val prefix = s"${t.writeCol(i)}="
+            val raw = comps.find(_.startsWith(prefix)).map(c =>
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(c.stripPrefix(prefix)))
+            t.statKey(i) -> (raw match {
+              case Some("__HIVE_DEFAULT_PARTITION__") | None =>
+                ColStats(None, None, None, None, e.rows)
+              case Some(v) => ColStats(None, None, Some(v), Some(v), 0)
+            })
+          }.toMap
+          e.copy(path = s"data/$batch/$rel", stats = e.stats ++ tuple)
+        }
+      case None =>
+        df.write.mode("overwrite").orc(batchDir.toString)
+        val parts = f.listStatus(batchDir).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString)
+        harvest(spark, parts, all).map(e =>
+          e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    }
+  }
+
+  /** All part-*.orc files under `root`, any depth (partitionBy nests
+    * one directory level per transform). */
+  private def listPartFiles(f: org.apache.hadoop.fs.FileSystem,
+                            root: Path): Seq[Path] = {
+    val out = Seq.newBuilder[Path]
+    def walk(p: Path): Unit = f.listStatus(p).foreach { s =>
+      if (s.isDirectory) walk(s.getPath)
+      else if (s.getPath.getName.startsWith("part-")) out += s.getPath
+    }
+    walk(root)
+    out.result()
+  }
+
+  private def relativize(root: Path, p: Path): String = {
+    val r = root.toUri.getPath
+    val full = p.toUri.getPath
+    require(full.startsWith(r), s"$p not under $root")
+    full.stripPrefix(r).stripPrefix("/")
   }
 
   private def commitJson(v: Long, mode: String, entries: Seq[FileEntry],
@@ -1403,6 +1468,15 @@ object SnapshotTable {
           "does not prove it null-free (every data file needs footer " +
           s"stats for '$k' with zero nulls — rewrite with statsCols " +
           "including it, e.g. via compact, then retry)")
+    }
+    // a partition spec must parse and type-check against the schema;
+    // existing files stay unstamped (conservatively kept by pruning)
+    // until a rewrite (compact/cluster) re-stages them partitioned
+    props.get(TablePartitioning.Prop).foreach { s =>
+      val ts = TablePartitioning.parse(s)
+      require(ts.nonEmpty, "empty partition spec")
+      snapshotSchema(spark, dir, Some(readVersion))
+        .foreach(sch => TablePartitioning.validate(ts, sch))
     }
     publish(spark, dir, "append", Nil, maxRetries = 20,
       schemaJson = snapshotSchema(spark, dir, Some(readVersion))

@@ -1,0 +1,260 @@
+package graft.sinks
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Partition transforms for the snapshot table (VERDICT r15 #1 — the
+  * Iceberg hidden-partitioning shape, not Hive directory explosion as
+  * API):
+  *
+  *   - the SPEC is one table property, `graft.partition`, e.g.
+  *     `"identity(o_orderpriority),bucket(8,o_orderkey)"` — recorded in
+  *     the commit log like any property, validated when set;
+  *   - the WRITE path routes every staged batch through
+  *     `partitionBy` on computed transform columns, so each data file
+  *     holds EXACTLY ONE partition tuple (the synthetic columns are
+  *     dropped from file contents by partitionBy; source columns stay);
+  *   - each file's tuple is STAMPED IN THE MANIFEST as pseudo-stat
+  *     entries (key = `__part<i>__<transform>`, value = the tuple
+  *     component as minStr==maxStr with nulls==0, or a nulls-only entry
+  *     for a null tuple) — riding the existing stats channel means ZERO
+  *     format changes: commit JSON, checkpoint ORC sidecars and the
+  *     distributed replay all carry it already;
+  *   - PRUNING on transform-compatible predicates is EXACT (tuple
+  *     equality, not min/max boxes): `key = v` keeps only the files of
+  *     bucket(v) / identity(v) / truncate-prefix(v). Files written
+  *     before the spec (or by writers that bypass the batch stager)
+  *     carry no stamp and are conservatively kept;
+  *   - scans report [[org.apache.spark.sql.connector.read.partitioning
+  *     .KeyGroupedPartitioning]] when every kept file is stamped and no
+  *     merge-on-read debt is pending, so two co-partitioned tables join
+  *     WITHOUT a shuffle (storage-partitioned join) under
+  *     `spark.sql.sources.v2.bucketing.enabled`.
+  *
+  * Transform semantics (write side = [[transformExpr]], literal side =
+  * [[valueOfLiteral]] — the two MUST agree, that is the exactness
+  * proof):
+  *
+  *   - `identity(c)`: the column value itself (integral / string / date
+  *     columns);
+  *   - `truncate(n,c)`: string prefix of n chars, or integral floor to
+  *     a multiple of n (the Iceberg truncate);
+  *   - `bucket(n,c)`: `pmod(murmur3(c), n)` with Spark's own hash seed
+  *     (42) — identical to `functions.hash`, and re-implemented
+  *     byte-for-byte in [[GraftBucketFunction]] for the SPJ function
+  *     catalog.
+  */
+object TablePartitioning {
+
+  /** The table property carrying the spec. */
+  val Prop = "graft.partition"
+
+  sealed trait PTransform {
+    def col: String
+    /** Canonical rendering — also the spec grammar. */
+    def render: String
+    /** The manifest pseudo-stat key for position `i`: carries the full
+      * transform so a later spec CHANGE cannot misread old stamps
+      * (mismatched keys are simply absent -> conservative keep). */
+    final def statKey(i: Int): String = s"__part${i}__$render"
+    /** The synthetic write-side column name for position `i`. */
+    final def writeCol(i: Int): String = s"__gpart$i"
+  }
+  final case class PIdentity(col: String) extends PTransform {
+    def render = s"identity($col)"
+  }
+  final case class PTruncate(n: Int, col: String) extends PTransform {
+    def render = s"truncate($n,$col)"
+  }
+  final case class PBucket(n: Int, col: String) extends PTransform {
+    def render = s"bucket($n,$col)"
+  }
+
+  private val IdentityRe = """identity\(\s*([^(),\s]+)\s*\)""".r
+  private val TruncateRe = """truncate\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
+  private val BucketRe = """bucket\(\s*(\d+)\s*,\s*([^(),\s]+)\s*\)""".r
+
+  /** Parse a spec string; malformed specs throw (validated at SET
+    * time, so a read-path parse of a recorded spec never should). */
+  def parse(spec: String): Seq[PTransform] =
+    spec.split(',').toIndexedSeq
+      // re-join the n-ary transforms the comma split cut in half
+      .foldLeft(Vector.empty[String]) { (acc, tok) =>
+        if (acc.nonEmpty && acc.last.count(_ == '(') >
+            acc.last.count(_ == ')'))
+          acc.init :+ s"${acc.last},$tok"
+        else acc :+ tok
+      }
+      .map(_.trim).filter(_.nonEmpty).map {
+        case IdentityRe(c) => PIdentity(c)
+        case TruncateRe(n, c) =>
+          require(n.toInt > 0, s"truncate width must be positive: $n")
+          PTruncate(n.toInt, c)
+        case BucketRe(n, c) =>
+          require(n.toInt > 0, s"bucket count must be positive: $n")
+          PBucket(n.toInt, c)
+        case other => throw new IllegalArgumentException(
+          s"unparseable partition transform '$other' (expected " +
+            "identity(col), truncate(n,col) or bucket(n,col))")
+      }
+
+  /** The recorded spec of a table (None = unpartitioned). */
+  def specOf(props: Map[String, String]): Option[Seq[PTransform]] =
+    props.get(Prop).map(parse).filter(_.nonEmpty)
+
+  /** Validate a spec against a schema (SET-time): columns must exist
+    * and carry a supported type. */
+  def validate(ts: Seq[PTransform], schema: StructType): Unit = ts.foreach {
+    t =>
+      val f = schema.fields.find(_.name == t.col).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition transform ${t.render}: no column '${t.col}'"))
+      val ok = (t, f.dataType) match {
+        case (_: PIdentity, ByteType | ShortType | IntegerType |
+              LongType | StringType | DateType) => true
+        case (_: PTruncate, StringType | ByteType | ShortType |
+              IntegerType | LongType) => true
+        case (_: PBucket, ByteType | ShortType | IntegerType | LongType |
+              StringType | DateType) => true
+        case _ => false
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"partition transform ${t.render}: unsupported column type " +
+          s"${f.dataType.simpleString}")
+  }
+
+  /** Spark's murmur3 (seed 42) pmod bucket — MUST match
+    * `functions.hash` exactly; the write expression uses functions.hash
+    * itself, this is the driver/FunctionCatalog twin for literals. */
+  def bucketOf(v: Any, n: Int): Int = {
+    val h = v match {
+      case b: Byte => Murmur3_x86_32.hashInt(b.toInt, 42)
+      case s: Short => Murmur3_x86_32.hashInt(s.toInt, 42)
+      case i: Int => Murmur3_x86_32.hashInt(i, 42)
+      case l: Long => Murmur3_x86_32.hashLong(l, 42)
+      case u: UTF8String =>
+        Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+          u.numBytes, 42)
+      case s: String =>
+        val u = UTF8String.fromString(s)
+        Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+          u.numBytes, 42)
+      case d: java.sql.Date =>
+        Murmur3_x86_32.hashInt(d.toLocalDate.toEpochDay.toInt, 42)
+      case d: java.time.LocalDate =>
+        Murmur3_x86_32.hashInt(d.toEpochDay.toInt, 42)
+      case other => throw new IllegalArgumentException(
+        s"bucket: unsupported value ${other.getClass}")
+    }
+    ((h % n) + n) % n
+  }
+
+  /** Write-side transform column (evaluated by codegen'd Spark
+    * expressions — no UDF). */
+  def transformExpr(t: PTransform, schema: StructType): Column = t match {
+    case PIdentity(c) => col(c)
+    case PBucket(n, c) => pmod(hash(col(c)), lit(n))
+    case PTruncate(n, c) =>
+      schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(StringType) => substring(col(c), 1, n)
+        case _ => // integral floor-to-multiple (Iceberg truncate ints)
+          col(c) - pmod(col(c), lit(n.toLong))
+      }
+  }
+
+  /** The transform value of a LITERAL, as the canonical STRING the
+    * write path stamps (partition-dir rendering of the computed
+    * column). None = literal shape this transform cannot evaluate
+    * (caller must stay conservative). Null literals return None — an
+    * equality against NULL matches nothing, handled by the caller. */
+  def valueOfLiteral(t: PTransform, v: Any,
+                     schema: StructType): Option[String] = {
+    if (v == null) return None
+    def asLong(x: Any): Option[Long] = x match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
+    }
+    def asStr(x: Any): Option[String] = x match {
+      case s: String => Some(s)
+      case u: UTF8String => Some(u.toString)
+      case _ => None
+    }
+    t match {
+      case PIdentity(_) =>
+        asLong(v).map(_.toString).orElse(asStr(v)).orElse(v match {
+          case d: java.sql.Date => Some(d.toString)
+          case d: java.time.LocalDate => Some(d.toString)
+          case _ => None
+        })
+      case PBucket(n, _) =>
+        scala.util.Try(bucketOf(v, n)).toOption.map(_.toString)
+      case PTruncate(n, c) =>
+        schema.fields.find(_.name == c).map(_.dataType) match {
+          case Some(StringType) =>
+            asStr(v).map(s => if (s.length > n) s.substring(0, n) else s)
+          case _ =>
+            asLong(v).map(l => (l - (((l % n) + n) % n)).toString)
+        }
+    }
+  }
+
+  /** The tuple component recorded for a file, read back from the
+    * manifest pseudo-stats. Returns: Some(Some(v)) = stamped value,
+    * Some(None) = stamped NULL tuple, None = file not stamped under
+    * this spec (conservative). */
+  def stampedValue(e: SnapshotTable.FileEntry, t: PTransform,
+                   i: Int): Option[Option[String]] =
+    e.stats.get(t.statKey(i)).map {
+      case SnapshotTable.ColStats(_, _, Some(mn), Some(mx), 0)
+          if mn == mx => Some(mn)
+      case SnapshotTable.ColStats(None, None, None, None, n) if n > 0 =>
+        None
+      case _ => return None // malformed stamp: conservative
+    }
+
+  /** EXACT partition pruning: drop every file whose STAMPED tuple
+    * provably fails an equality/IN conjunct routed through its
+    * transform. Unstamped files (pre-spec data, bypassing writers) and
+    * non-equality shapes stay — this only ever REMOVES provably-dead
+    * files on top of the min/max pruning. */
+  def prunePartitions(files: Seq[SnapshotTable.FileEntry],
+      ts: Seq[PTransform],
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      schema: StructType): Seq[SnapshotTable.FileEntry] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    var kept = files
+    ts.zipWithIndex.foreach { case (t, i) =>
+      filters.foreach {
+        case EqualTo(c, v) if c == t.col && v != null =>
+          valueOfLiteral(t, v, schema).foreach { tv =>
+            kept = kept.filter(e => stampedValue(e, t, i) match {
+              case Some(Some(fv)) => fv == tv
+              case Some(None) => false // null tuple can't equal a value
+              case None => true        // unstamped: keep
+            })
+          }
+        case In(c, vs) if c == t.col =>
+          val nonNull = vs.filter(_ != null)
+          val conv = nonNull.flatMap(v => valueOfLiteral(t, v, schema))
+          val tvs = conv.toSet
+          // only prune when EVERY non-null literal converted (else the
+          // unconvertible one might match); duplicates may collapse in
+          // the set, so compare against the conversion COUNT
+          if (conv.length == nonNull.length && tvs.nonEmpty)
+            kept = kept.filter(e => stampedValue(e, t, i) match {
+              case Some(Some(fv)) => tvs.contains(fv)
+              case Some(None) => false
+              case None => true
+            })
+        case _ =>
+      }
+    }
+    kept
+  }
+}

@@ -32,9 +32,33 @@ import graft.sinks.SnapshotTable
   * `DROP COLUMN` (see [[alterTable]] — both zero-data-I/O log commits);
   * DROP/RENAME TABLE stay operator actions.
   */
-class SnapshotTableCatalog extends TableCatalog {
+class SnapshotTableCatalog extends TableCatalog
+  with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = "graft"
+
+  /** FunctionCatalog half (VERDICT r15 #1): storage-partitioned joins
+    * need Spark to RESOLVE a bucket transform to a canonical function —
+    * V2ExpressionUtils looks `bucket` up in the table's catalog; two
+    * scans whose bound functions share a canonical name and bucket
+    * count are co-partitioned, and the Exchange drops. The function's
+    * semantics (pmod of Spark's murmur3, seed 42) are exactly what the
+    * write path stamped, so partition values agree by construction. */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "bucket" if ident.namespace().isEmpty => GraftBucketFunction
+      case _ => throw new org.apache.spark.sql.catalyst.analysis
+          .NoSuchFunctionException(ident)
+    }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def functionExists(ident: Identifier): Boolean =
+    ident.namespace().isEmpty &&
+      ident.name().equalsIgnoreCase("bucket")
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit =
@@ -185,6 +209,20 @@ class SnapshotTableCatalog extends TableCatalog {
               .exists(_.keyCol == n),
             s"column '$n' keys a pending merge-on-read delete — compact " +
               "to materialize it before dropping the column")
+          // partition-spec interplay (VERDICT r15 #1): the recorded
+          // layout references the column — dropping it would orphan the
+          // spec (stamps unreadable, pruning/SPJ unsound to re-derive)
+          val propsAtV = SnapshotTable.tableProperties(spark, dir,
+            Some(readVersion))
+          require(!graft.sinks.TablePartitioning.specOf(propsAtV)
+            .exists(_.exists(_.col == n)),
+            s"column '$n' is referenced by the table's partition spec " +
+              s"(${graft.sinks.TablePartitioning.Prop}) — clear or " +
+              "change the spec before dropping the column")
+          require(!propsAtV.get(SnapshotTable.UpdateKeyProp).contains(n),
+            s"column '$n' is the declared row-identity key " +
+              s"(${SnapshotTable.UpdateKeyProp}) — clear the " +
+              "declaration before dropping the column")
           schema = StructType(schema.fields.filterNot(_.name == n))
           dropped = true
         }
@@ -218,4 +256,53 @@ class SnapshotTableCatalog extends TableCatalog {
                            newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "a path table's name IS its location; move the directory instead")
+}
+
+/** The `bucket(n, col)` V2 function: pmod of Spark's murmur3 (seed 42)
+  * — BYTE-IDENTICAL to `functions.hash`, which the write path uses to
+  * compute the stamped bucket ([[graft.sinks.TablePartitioning]]
+  * routes both sides through the same [[TablePartitioning.bucketOf]]
+  * for literals). Spark's SPJ machinery compares bound functions by
+  * `canonicalName`, so both sides of a co-partitioned join resolve to
+  * this one object and match. */
+object GraftBucketFunction
+  extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction}
+  import org.apache.spark.sql.types._
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col), n) — graft partition transform"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (numBuckets, value), got $inputType")
+    val vt = inputType.fields(1).dataType
+    vt match {
+      case ByteType | ShortType | IntegerType | LongType | StringType |
+           DateType =>
+      case other => throw new UnsupportedOperationException(
+        s"bucket: unsupported value type ${other.simpleString}")
+    }
+    new ScalarFunction[Int] {
+      override def inputTypes(): Array[DataType] =
+        Array(IntegerType, vt)
+      override def resultType(): DataType = IntegerType
+      override def name(): String = "bucket"
+      override def canonicalName(): String = s"graft.bucket(${vt.sql})"
+      override def isResultNullable: Boolean = false
+      override def produceResult(
+          input: org.apache.spark.sql.catalyst.InternalRow): Int = {
+        val n = input.getInt(0)
+        val v: Any = vt match {
+          case ByteType => input.getByte(1)
+          case ShortType => input.getShort(1)
+          case IntegerType | DateType => input.getInt(1)
+          case LongType => input.getLong(1)
+          case _ => input.getUTF8String(1)
+        }
+        graft.sinks.TablePartitioning.bucketOf(v, n)
+      }
+    }
+  }
 }

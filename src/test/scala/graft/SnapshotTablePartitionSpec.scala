@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.{SnapshotTable, TablePartitioning}
+
+/** Partition transforms on the snapshot table (VERDICT r15 #1):
+  * identity/truncate/bucket specs recorded as a table property, each
+  * staged file holding exactly one partition TUPLE stamped in the
+  * manifest, EXACT pruning on transform-compatible predicates, and
+  * storage-partitioned joins (KeyGroupedPartitioning + HasPartitionKey
+  * + the catalog bucket function) that drop the Exchange entirely. */
+class SnapshotTablePartitionSpec extends AnyFunSuite
+    with SparkSessionTestWrapper {
+
+  spark.conf.set("spark.sql.catalog.graft",
+    "graft.sources.SnapshotTableCatalog")
+
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("snappart").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private def stage(dir: String, spec: String, n: Long = 200): Unit = {
+    val df = spark.range(0, n)
+      .select(col("id"), concat(lit("c"), col("id") % 5).as("cat"),
+        (col("id") * lit(1.5)).as("v"))
+    SnapshotTable.commit(spark, df, dir, "overwrite",
+      statsCols = Seq("id"),
+      props = Map(TablePartitioning.Prop -> spec))
+  }
+
+  test("spec parsing round-trips and rejects garbage") {
+    import TablePartitioning._
+    assert(parse("identity(a),bucket(8,b),truncate(4,c)") ===
+      Seq(PIdentity("a"), PBucket(8, "b"), PTruncate(4, "c")))
+    intercept[IllegalArgumentException](parse("shuffle(a)"))
+    intercept[IllegalArgumentException](parse("bucket(0,a)"))
+  }
+
+  test("bucketOf matches functions.hash-based write expression") {
+    val df = spark.range(0, 50).select(col("id"),
+      pmod(hash(col("id")), lit(8)).as("b"))
+    df.collect().foreach { r =>
+      assert(TablePartitioning.bucketOf(r.getLong(0), 8) === r.getInt(1),
+        s"bucket mismatch for id=${r.getLong(0)}")
+    }
+    val sdf = Seq("alpha", "beta", "γδε").toDF("s")
+      .select(col("s"), pmod(hash(col("s")), lit(4)).as("b"))
+    sdf.collect().foreach { r =>
+      assert(TablePartitioning.bucketOf(r.getString(0), 4) === r.getInt(1))
+    }
+  }
+
+  test("partitioned staging stamps one tuple per file; identity EqualTo " +
+    "prunes exactly; results stay correct") {
+    val dir = freshDir()
+    stage(dir, "identity(cat)")
+    val files = SnapshotTable.snapshotFiles(spark, dir, None)
+    val key = TablePartitioning.PIdentity("cat").statKey(0)
+    assert(files.nonEmpty && files.forall(_.stats.contains(key)),
+      "every staged file must carry its tuple stamp")
+    // 5 category values -> every file single-valued on cat
+    val vals = files.flatMap(_.stats(key).minStr).toSet
+    assert(vals === Set("c0", "c1", "c2", "c3", "c4"))
+    // exact prune via the scan: kept files = only the c3 files
+    val kept = TablePartitioning.prunePartitions(files,
+      Seq(TablePartitioning.PIdentity("cat")),
+      Seq(org.apache.spark.sql.sources.EqualTo("cat", "c3")),
+      spark.read.format("graft-table").load(dir).schema)
+    assert(kept.nonEmpty && kept.size < files.size)
+    assert(kept.forall(_.stats(key).minStr.contains("c3")))
+    val got = spark.read.format("graft-table").load(dir)
+      .filter(col("cat") === "c3").count()
+    assert(got === 40)
+  }
+
+  test("bucket EqualTo prunes to one bucket's files (min/max boxes " +
+    "cannot — hash-scattered keys)") {
+    val dir = freshDir()
+    stage(dir, "bucket(8,id)")
+    val files = SnapshotTable.snapshotFiles(spark, dir, None)
+    val buckets = files.flatMap(_.stats(
+      TablePartitioning.PBucket(8, "id").statKey(0)).minStr).toSet
+    assert(buckets.size === 8)
+    val schema = spark.read.format("graft-table").load(dir).schema
+    val kept = TablePartitioning.prunePartitions(files,
+      Seq(TablePartitioning.PBucket(8, "id")),
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 42L)), schema)
+    val want = TablePartitioning.bucketOf(42L, 8).toString
+    assert(kept.nonEmpty &&
+      kept.forall(_.stats(TablePartitioning.PBucket(8, "id").statKey(0))
+        .minStr.contains(want)))
+    assert(kept.size < files.size)
+    // end-to-end: the filtered read returns the right row
+    assert(spark.read.format("graft-table").load(dir)
+      .filter(col("id") === 42L).count() === 1)
+  }
+
+  test("storage-partitioned join: two bucket(4,id) tables join with NO " +
+    "Exchange and correct results") {
+    val a = freshDir()
+    val b = freshDir()
+    stage(a, "bucket(4,id)")
+    stage(b, "bucket(4,id)", n = 150)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        s"""SELECT t1.id, t1.v, t2.cat FROM graft.`$a` t1
+           |JOIN graft.`$b` t2 ON t1.id = t2.id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"expected a storage-partitioned join (no Exchange):\n$plan")
+      assert(df.count() === 150)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("DROP COLUMN of a partition-spec column is refused; the spec " +
+    "survives and so does the data") {
+    val dir = freshDir()
+    stage(dir, "identity(cat)")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN cat")
+    }
+    assert(e.getMessage.contains("partition spec"), e.getMessage)
+    assert(spark.read.format("graft-table").load(dir)
+      .columns.contains("cat"))
+  }
+
+  test("pre-spec files stay conservatively kept; a compact re-stages " +
+    "them partitioned and pruning engages") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark,
+      spark.range(0, 100).select(col("id"),
+        concat(lit("c"), col("id") % 5).as("cat")),
+      dir, "overwrite", statsCols = Seq("id"))
+    SnapshotTable.setTableProperties(spark, dir,
+      Map(TablePartitioning.Prop -> "identity(cat)"))
+    val schema = spark.read.format("graft-table").load(dir).schema
+    val key = TablePartitioning.PIdentity("cat").statKey(0)
+    val before = SnapshotTable.snapshotFiles(spark, dir, None)
+    assert(before.forall(!_.stats.contains(key)), "pre-spec: unstamped")
+    // unstamped: pruning keeps everything (conservative), reads correct
+    assert(TablePartitioning.prunePartitions(before,
+      Seq(TablePartitioning.PIdentity("cat")),
+      Seq(org.apache.spark.sql.sources.EqualTo("cat", "c1")), schema)
+      .size === before.size)
+    SnapshotTable.compact(spark, dir, targetBytes = 64L << 20,
+      statsCols = Seq("id"))
+    val after = SnapshotTable.snapshotFiles(spark, dir, None)
+    assert(after.forall(_.stats.contains(key)),
+      "compact must re-stage partitioned (stamped)")
+    assert(spark.read.format("graft-table").load(dir)
+      .filter(col("cat") === "c1").count() === 20)
+  }
+
+  test("null partition values stamp as null tuples and equality prunes " +
+    "them; the rows themselves survive") {
+    val dir = freshDir()
+    val df = Seq((1L, Some("x")), (2L, None), (3L, Some("y")))
+      .toDF("id", "cat")
+    SnapshotTable.commit(spark, df, dir, "overwrite",
+      statsCols = Seq("id"),
+      props = Map(TablePartitioning.Prop -> "identity(cat)"))
+    val files = SnapshotTable.snapshotFiles(spark, dir, None)
+    val key = TablePartitioning.PIdentity("cat").statKey(0)
+    assert(files.exists(e => e.stats.get(key).exists(s =>
+      s.minStr.isEmpty && s.nulls > 0)), "null tuple must stamp as null")
+    val schema = spark.read.format("graft-table").load(dir).schema
+    val kept = TablePartitioning.prunePartitions(files,
+      Seq(TablePartitioning.PIdentity("cat")),
+      Seq(org.apache.spark.sql.sources.EqualTo("cat", "x")), schema)
+    assert(kept.flatMap(_.stats(key).minStr) === Seq("x"))
+    assert(spark.read.format("graft-table").load(dir).count() === 3)
+    assert(spark.read.format("graft-table").load(dir)
+      .filter(col("cat").isNull).count() === 1)
+  }
+}
