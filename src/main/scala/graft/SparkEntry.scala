@@ -186,8 +186,11 @@ object SparkEntry {
     "conv_table_agg_group", "conv_table_cdf_evo",
     // round-16: SQL MERGE INTO through the delta (merge-on-read) path —
     // matched legs as key sidecar + appends, one rowupdate commit, zero
-    // existing-data-file rewrites (VERDICT r15 #2)
-    "conv_table_mor_merge")
+    // existing-data-file rewrites (VERDICT r15 #2) — plus partition
+    // transforms (exact tuple pruning) and the storage-partitioned
+    // join (co-partitioned scans, shuffle-free join) (VERDICT r15 #1)
+    "conv_table_mor_merge", "conv_table_partition_prune",
+    "conv_table_bucket_join")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -1846,6 +1846,112 @@ object ConverterQueries {
         .withColumn("cdf_net_price", lit(cfRow.getDouble(2)))
     },
 
+    // Partition transforms (r16, VERDICT r15 #1): orders laid out as
+    // identity(o_orderpriority) x bucket(8,o_orderkey) — one file per
+    // tuple (the write pre-clusters by the transform columns), each
+    // stamped in the manifest. A conjunctive point predicate then
+    // prunes EXACTLY: kept == 1 file out of ~40, something no min/max
+    // box can do on a hash-scattered key. Content + the exact-prune
+    // verdicts are the oracle.
+    "conv_table_partition_prune" -> { (s, d) =>
+      import graft.sinks.TablePartitioning
+      val base = tmp(d, "snappartprune") + "/t"
+      stageOnce(base) {
+        val orders = t(s, d, "orders")
+        SnapshotTable.commit(s,
+          // pre-cluster by the transform tuple: one task per tuple ->
+          // one file per tuple (the layout a 100 TB writer wants; the
+          // stamps are correct under ANY layout, this pins the count)
+          orders.repartition(col("o_orderpriority"),
+            pmod(hash(col("o_orderkey")), lit(8))),
+          base, "overwrite", statsCols = Seq("o_orderkey"),
+          props = Map(TablePartitioning.Prop ->
+            "identity(o_orderpriority),bucket(8,o_orderkey)"))
+      }
+      val orders = t(s, d, "orders")
+      val key = orders.filter(col("o_orderkey") % 199 === 0)
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      val prio = orders.filter(col("o_orderkey") === key)
+        .select("o_orderpriority").head().getString(0)
+      val snap = s.read.format("graft-table").load(base)
+      val row = snap
+        .filter(col("o_orderpriority") === prio &&
+          col("o_orderkey") === key)
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price")).head()
+      // the exact-prune file counts, computed by the same functions the
+      // scan's static path runs (box prune, then tuple prune)
+      val spec = TablePartitioning.parse(
+        "identity(o_orderpriority),bucket(8,o_orderkey)")
+      val files = SnapshotTable.snapshotFiles(s, base, None)
+      val filters = Seq[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.EqualTo("o_orderpriority", prio),
+        org.apache.spark.sql.sources.EqualTo("o_orderkey", key))
+      val kept = TablePartitioning.prunePartitions(
+        graft.sources.ManifestPruning.prune(files, filters), spec,
+        filters, snap.schema)
+      s.range(1).select(
+        lit(row.getLong(0)).as("n"),
+        lit(row.getLong(1)).as("sum_key"),
+        lit(row.getDouble(2)).as("sum_price"),
+        lit(kept.size == 1).as("kept_exactly_one"),
+        lit(files.size >= 20).as("many_files"),
+        lit(files.forall(e => spec.zipWithIndex.forall { case (t, i) =>
+          e.stats.contains(t.statKey(i)) })).as("all_stamped"))
+    },
+
+    // Storage-partitioned join (r16, VERDICT r15 #1): orders and
+    // customer both bucket(8) on the customer key; with the SPJ conf on
+    // the two scans report compatible KeyGroupedPartitioning (the
+    // catalog's canonical bucket function) and the join plans with NO
+    // Exchange — the co-location a 100 TB fact-fact join lives on. The
+    // clone-session keeps the pinned confs (no broadcast, no AQE, SPJ
+    // on) out of concurrently-running gates.
+    "conv_table_bucket_join" -> { (s, d) =>
+      import graft.sinks.TablePartitioning
+      val tOrders = tmp(d, "snapspj") + "/orders"
+      val tCust = tmp(d, "snapspj") + "/customer"
+      stageOnce(tOrders) {
+        SnapshotTable.commit(s,
+          t(s, d, "orders").repartition(
+            pmod(hash(col("o_custkey")), lit(8))),
+          tOrders, "overwrite", statsCols = Seq("o_custkey"),
+          props = Map(TablePartitioning.Prop -> "bucket(8,o_custkey)"))
+        SnapshotTable.commit(s,
+          t(s, d, "customer").repartition(
+            pmod(hash(col("c_custkey")), lit(8))),
+          tCust, "overwrite", statsCols = Seq("c_custkey"),
+          props = Map(TablePartitioning.Prop -> "bucket(8,c_custkey)"))
+      }
+      s.conf.set("spark.sql.catalog.graft",
+        "graft.sources.SnapshotTableCatalog")
+      val s2 = org.apache.spark.sql.GraftOrcBridge.cloneSession(s)
+      s2.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s2.conf.set("spark.sql.adaptive.enabled", "false")
+      // plan check on the BARE join: the aggregate below adds its own
+      // (legitimate) exchange, the join itself must add none
+      val bare = s2.sql(
+        s"""SELECT o.o_orderkey, c.c_custkey
+           |FROM graft.`$tOrders` o JOIN graft.`$tCust` c
+           |  ON o.o_custkey = c.c_custkey""".stripMargin)
+      val joinRows = bare.count()
+      val noExchange =
+        !bare.queryExecution.executedPlan.toString.contains("Exchange")
+      val joined = s2.sql(
+        s"""SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+           |  CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_key
+           |FROM graft.`$tOrders` o JOIN graft.`$tCust` c
+           |  ON o.o_custkey = c.c_custkey
+           |GROUP BY c.c_mktsegment""".stripMargin)
+      val rows = joined.collect()
+      import scala.collection.JavaConverters._
+      s.createDataFrame(rows.toSeq.asJava, joined.schema)
+        .withColumn("no_exchange", lit(noExchange))
+        .withColumn("join_rows", lit(joinRows))
+        .orderBy(col("seg"))
+    },
+
     // SQL MERGE INTO through the DELTA row-level path (r16, VERDICT r15
     // #2): under the per-table MOR declaration the whole statement —
     // matched updates AND not-matched inserts — lands as ONE rowupdate
@@ -3201,6 +3307,33 @@ object ConverterQueries {
         |   FROM orders WHERE o_orderkey % 101 = 0), 2) AS DOUBLE)
         |   AS cdf_net_price
         |FROM orders""".stripMargin,
+
+    // Partition transforms: content = the single keyed row; the
+    // exact-prune verdicts (1 file kept of ~40, all files stamped)
+    // pinned TRUE.
+    "conv_table_partition_prune" ->
+      """WITH k AS (SELECT MIN(o_orderkey) AS k FROM orders
+        |           WHERE o_orderkey % 199 = 0)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |   AS DOUBLE) AS sum_price,
+        | TRUE AS kept_exactly_one,
+        | TRUE AS many_files,
+        | TRUE AS all_stamped
+        |FROM orders, k WHERE o_orderkey = k.k""".stripMargin,
+
+    // Storage-partitioned join: per-segment join content; the
+    // no-Exchange verdict (co-partitioned scans, shuffle-free join)
+    // pinned TRUE; join_rows = the bare join's cardinality.
+    "conv_table_bucket_join" ->
+      """SELECT c.c_mktsegment AS seg, COUNT(*) AS n,
+        | CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_key,
+        | TRUE AS no_exchange,
+        | (SELECT COUNT(*) FROM orders o2 JOIN customer c2
+        |    ON o2.o_custkey = c2.c_custkey) AS join_rows
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin,
 
     // Delta-path SQL MERGE: content = doubled %103 prices (matched,
     // re-prioritized) UNION the %107 rows re-keyed past the domain
