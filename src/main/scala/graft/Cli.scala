@@ -329,9 +329,39 @@ object Cli {
           val keys = keysCsv.split(',').map(_.trim).filter(_.nonEmpty)
             .toSeq.toDF(keyCol)
           val r = SnapshotTable.deleteByKeys(spark, tableDir, keyCol, keys)
+          // debt-triggered maintenance (VERDICT r15 #4): honor the
+          // table's own graft.maintenance.maxDeleteFiles threshold
+          val maintained = SnapshotTable.maybeCompactByDebt(spark, tableDir)
+            .map(v => s" auto-compacted@v$v").getOrElse("")
           rep(s"${name(tableDir)}@v${r.version} mor-delete " +
-            s"keys=${r.keys} sidecar=${r.sidecarBytes}B",
+            s"keys=${r.keys} sidecar=${r.sidecarBytes}B$maintained",
             r.keys, if (r.keys > 0) 1 else 0)
+        // set-prop <table_dir> <k=v[,k=v...]> — record table properties
+        // as one empty append commit; declarations (update key,
+        // partition spec) VALIDATE before landing
+        case ("set-prop", tableDir :: kvCsv :: Nil) =>
+          val kvs = kvCsv.split(',').map(_.trim).filter(_.nonEmpty)
+            .map { kv =>
+              val i = kv.indexOf('=')
+              require(i > 0, s"expected k=v, got '$kv'")
+              kv.take(i) -> kv.drop(i + 1)
+            }.toMap
+          val v = SnapshotTable.setTableProperties(spark, tableDir, kvs)
+          rep(s"${name(tableDir)}@v$v set-prop ${kvs.keys.toSeq.sorted
+            .mkString(",")}", 0L, 0)
+        // maintain <table_dir> — debt-triggered compaction: compacts
+        // IFF pending MOR delete sidecars exceed the table's own
+        // graft.maintenance.maxDeleteFiles property; no-op otherwise
+        case ("maintain", tableDir :: Nil) =>
+          SnapshotTable.maybeCompactByDebt(spark, tableDir) match {
+            case Some(v) =>
+              val (_, files, rows) =
+                SnapshotTable.commitStats(spark, tableDir, v)
+              rep(s"${name(tableDir)}@v$v maintain compacted", rows, files)
+            case None =>
+              val debt = SnapshotTable.pendingDeletes(spark, tableDir).size
+              rep(s"${name(tableDir)} maintain no-op debt=$debt", 0L, 0)
+          }
         // cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold]
         case ("cluster", tableDir :: zColsCsv :: rest) if rest.length <= 2 =>
           val zCols = zColsCsv.split(',').map(_.trim).filter(_.nonEmpty).toSeq
@@ -531,6 +561,8 @@ object Cli {
               |  table cluster <table_dir> <z_cols_csv> [num_files] [volume_threshold=0.5]
               |  table optimize <table_dir> <z_cols_csv> [target_mb=128] [num_files]   (z-order, sort order recorded)
               |  table describe <table_dir>   (schema + layout + merge-on-read debt)
+              |  table maintain <table_dir>   (compact iff MOR debt exceeds graft.maintenance.maxDeleteFiles)
+              |  table set-prop <table_dir> <k=v[,k=v...]>   (record table properties; declarations validate)
               |  table restore <table_dir> <version|ts_ms>
               |  table expire  <table_dir> <keep_last | --older-than-hours N>
               |  table vacuum  <table_dir> [retention_hours=168] [--dry-run]

@@ -190,7 +190,11 @@ object SparkEntry {
     // transforms (exact tuple pruning) and the storage-partitioned
     // join (co-partitioned scans, shuffle-free join) (VERDICT r15 #1)
     "conv_table_mor_merge", "conv_table_partition_prune",
-    "conv_table_bucket_join")
+    "conv_table_bucket_join",
+    // MOR debt lifecycle: threshold-triggered maintenance drains the
+    // sidecar debt with results identical and time travel intact
+    // (VERDICT r15 #4)
+    "conv_table_compact_mor")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force

@@ -2006,6 +2006,51 @@ object ConverterQueries {
         .withColumn("cdf_deletes", lit(cfRow.getLong(1)))
     },
 
+    // MOR debt lifecycle with THRESHOLD-TRIGGERED maintenance (r16,
+    // VERDICT r15 #4): write -> MOR delete -> MOR upsert -> the table's
+    // own graft.maintenance.maxDeleteFiles property triggers the
+    // compaction (under threshold it declines; over it it drains) ->
+    // verify debt==0, results hash-identical before/after, and time
+    // travel to the PRE-compact version still applies the sidecars.
+    "conv_table_compact_mor" -> { (s, d) =>
+      val base = tmp(d, "snapcompactmor") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.repartitionByRange(8, col("o_orderkey")),
+        base, "overwrite", statsCols = Seq("o_orderkey"),
+        props = Map(SnapshotTable.MaxDeleteFilesProp -> "1"))
+      SnapshotTable.deleteByKeys(s, base, "o_orderkey",
+        orders.filter(col("o_orderkey") % 131 === 0).select("o_orderkey"))
+      // one sidecar pending: under the threshold, maintenance declines
+      val premature = SnapshotTable.maybeCompactByDebt(s, base)
+      SnapshotTable.upsertByKeys(s, base, "o_orderkey",
+        orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2.0))
+      val debtBefore = SnapshotTable.pendingDeletes(s, base).size
+      val vPre = SnapshotTable.currentVersion(s, base).get
+      def contentAgg(df: org.apache.spark.sql.DataFrame) = df
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price")).head()
+      val beforeRow = contentAgg(SnapshotTable.read(s, base))
+      // two sidecars exceed the threshold: maintenance compacts
+      val compacted = SnapshotTable.maybeCompactByDebt(s, base)
+      val debtAfter = SnapshotTable.pendingDeletes(s, base).size
+      val afterRow = contentAgg(SnapshotTable.read(s, base))
+      val ttRow = contentAgg(SnapshotTable.read(s, base, Some(vPre)))
+      s.range(1).select(
+        lit(afterRow.getLong(0)).as("n"),
+        lit(afterRow.getLong(1)).as("sum_key"),
+        lit(afterRow.getDouble(2)).as("sum_price"),
+        lit(premature.isEmpty).as("no_premature_compact"),
+        lit(debtBefore.toLong).as("debt_before"),
+        lit(compacted.nonEmpty).as("auto_compacted"),
+        lit(debtAfter.toLong).as("debt_after"),
+        lit(beforeRow == afterRow).as("same_before_after"),
+        lit(ttRow == afterRow).as("timetravel_applies_sidecars"))
+    },
+
     // MOR lifecycle: delete keys -> re-append HALF of them (sequence
     // rule: rows appended after the delete survive it) -> compact
     // (materializes: pending deletes fold into the data and age out of
@@ -3361,6 +3406,30 @@ object ConverterQueries {
         |   AS cdf_net_rows,
         | (SELECT COUNT(*) FROM orders WHERE o_orderkey % 103 = 0)
         |   AS cdf_deletes
+        |FROM fin""".stripMargin,
+
+    // MOR debt lifecycle: final content = orders minus %131 keys with
+    // %97 prices doubled (the upsert re-inserts %131*97 overlaps); the
+    // threshold verdicts (decline at 1 sidecar, drain at 2), the
+    // before/after identity and the time-travel sidecar application
+    // pinned TRUE; debt counts pinned exactly.
+    "conv_table_compact_mor" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+        |   WHERE o_orderkey % 131 <> 0 AND o_orderkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey AS k, o_totalprice * 2.0 AS p FROM orders
+        |   WHERE o_orderkey % 97 = 0)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(k) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(p AS DECIMAL(18,4))), 2) AS DOUBLE)
+        |   AS sum_price,
+        | TRUE AS no_premature_compact,
+        | CAST(2 AS BIGINT) AS debt_before,
+        | TRUE AS auto_compacted,
+        | CAST(0 AS BIGINT) AS debt_after,
+        | TRUE AS same_before_after,
+        | TRUE AS timetravel_applies_sidecars
         |FROM fin""".stripMargin,
 
     // MOR lifecycle: final content = complement UNION the re-appended

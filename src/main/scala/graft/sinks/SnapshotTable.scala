@@ -1410,6 +1410,36 @@ object SnapshotTable {
     * verification read. Default on. */
   val VerifyUniqueProp = "graft.update.verifyUnique"
 
+  /** Threshold for debt-triggered maintenance (VERDICT r15 #4): when a
+    * table's pending merge-on-read delete SIDECARS exceed this count,
+    * [[maybeCompactByDebt]] (run by the CLI after `delete-keys` and by
+    * `table maintain`) compacts the table, materializing the debt.
+    * Absent = never auto-compact (pure operator control). */
+  val MaxDeleteFilesProp = "graft.maintenance.maxDeleteFiles"
+
+  /** Debt-triggered maintenance: compact IFF the table property
+    * [[MaxDeleteFilesProp]] is set and the pending delete-sidecar count
+    * exceeds it. Returns the compaction's committed version, or None
+    * when under threshold / undeclared. Stats columns carry over from
+    * the manifest (partition-tuple stamps excluded — the partitioned
+    * re-stage recreates those itself). */
+  def maybeCompactByDebt(spark: SparkSession, dir: String,
+                         targetBytes: Long = 128L << 20): Option[Long] = {
+    val props = tablePropertiesCached(spark, dir)
+    props.get(MaxDeleteFilesProp).flatMap(s =>
+      scala.util.Try(s.toInt).toOption).flatMap { maxN =>
+      val dels = pendingDeletes(spark, dir)
+      if (dels.size <= maxN) None
+      else {
+        val statsCols = snapshotFiles(spark, dir, None)
+          .flatMap(_.stats.keys).filterNot(_.startsWith("__part"))
+          .distinct
+        Some(compact(spark, dir, targetBytes, clusterBy = None,
+          statsCols = statsCols))
+      }
+    }
+  }
+
   /** [[tableProperties]] memoized per (dir, currentVersion) — the
     * write-path enforcement consults properties on EVERY publish, and
     * properties change rarely; the cache turns that into one

@@ -295,4 +295,42 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(sel.successes == 1)
     assert(OrcSink.read(spark, s"$outDir/sql").count() === 100)
   }
+
+  test("table set-prop records properties and maintain honors the " +
+    "MOR-debt threshold (no-op under, compact over)") {
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id"))
+    Cli.run(spark, Seq("table", "set-prop", tableDir,
+      s"${SnapshotTable.MaxDeleteFilesProp}=1"))
+    assert(SnapshotTable.tableProperties(spark, tableDir)
+      .get(SnapshotTable.MaxDeleteFilesProp).contains("1"))
+
+    // first MOR delete: debt 1 <= threshold 1 -> maintain no-ops;
+    // the delete-keys leg's auto-trigger also declines
+    Cli.run(spark, Seq("table", "delete-keys", tableDir, "id", "3,5"))
+    val r1 = Cli.run(spark, Seq("table", "maintain", tableDir)).get
+    assert(r1.results.head.table.contains("no-op debt=1"))
+    assert(SnapshotTable.pendingDeletes(spark, tableDir).size === 1)
+
+    // second MOR delete pushes debt to 2 > 1: the delete-keys leg
+    // auto-compacts (maintain would too) and the debt drains
+    val r2 = Cli.run(spark,
+      Seq("table", "delete-keys", tableDir, "id", "7")).get
+    assert(r2.results.head.table.contains("auto-compacted"),
+      r2.results.head.table)
+    assert(SnapshotTable.pendingDeletes(spark, tableDir).isEmpty)
+    assert(SnapshotTable.read(spark, tableDir).count() === 97)
+    // pre-compact versions still apply the sidecars through time travel
+    val vs = SnapshotTable.versions(spark, tableDir)
+    assert(SnapshotTable.read(spark, tableDir, Some(vs.last - 1))
+      .count() === 97)
+
+    // validation: declaring a bogus partition spec through set-prop fails
+    val e = intercept[Exception] {
+      Cli.run(spark, Seq("table", "set-prop", tableDir,
+        s"${graft.sinks.TablePartitioning.Prop}=shuffle(id)"))
+    }
+    assert(e.getMessage != null)
+  }
 }
