@@ -2448,17 +2448,48 @@ object ConverterQueries {
       val fPushed = f.queryExecution.executedPlan.toString
         .contains("aggregate-pushdown")
       val fRow = f.head()
-      // decline: a bound inside the key domain straddles files
-      val dcl = tb.filter(col("o_orderkey") <= 1000)
-        .agg(count(lit(1)).as("n"))
+      // HYBRID (r16, VERDICT r15 #5): on a RANGE-CLUSTERED table a
+      // bound inside the key domain keeps interior files (fully under
+      // the bound — folded from footers) and ONE straddler (read with
+      // the filter applied) — pushdown still answers COMPLETELY, and
+      // the telemetry pins that the residual scan touched ONLY the
+      // straddling set
+      val base2 = tmp(d, "snapagghybrid") + "/t"
+      stageOnce(base2) {
+        SnapshotTable.commit(s,
+          t(s, d, "orders").repartitionByRange(8, col("o_orderkey")),
+          base2, "overwrite", statsCols = Seq("o_orderkey"))
+      }
+      val tb2 = s.read.format("graft-table").load(base2)
+      val maxK = t(s, d, "orders").agg(max(col("o_orderkey")))
+        .head().getLong(0)
+      val bound = maxK * 3L / 10L // inside the 3rd of 8 range files
+      val dcl = tb2.filter(col("o_orderkey") <= bound)
+        .agg(count(lit(1)).as("n"),
+          max(col("o_orderkey")).as("max_key_in"))
       val dclPushed = dcl.queryExecution.executedPlan.toString
         .contains("aggregate-pushdown")
       val dclRow = dcl.head()
+      val hyb = graft.sources.SnapshotTableScan.lastHybridAgg.get(base2)
+      val (hybRead, hybKept) =
+        if (hyb == null) (-1, -1) else (hyb._1, hyb._2)
+      // decline still exercised for the UNPROVABLE shapes: MIN over a
+      // double column (NaN-blind footers) must not push down
+      val dbl = tb2.filter(col("o_orderkey") <= bound)
+        .agg(min(col("o_totalprice")).as("min_price"))
+      val dblPushed = dbl.queryExecution.executedPlan.toString
+        .contains("aggregate-pushdown")
+      val dblRow = dbl.head()
       g.withColumn("group_pushed", lit(gPushed))
         .withColumn("filter_pushed", lit(fPushed))
         .withColumn("n_all", lit(fRow.getLong(0)))
-        .withColumn("n_le1000", lit(dclRow.getLong(0)))
-        .withColumn("straddle_declined", lit(!dclPushed))
+        .withColumn("n_in_bound", lit(dclRow.getLong(0)))
+        .withColumn("max_key_in", lit(dclRow.getLong(1)))
+        .withColumn("straddle_hybrid_pushed", lit(dclPushed))
+        .withColumn("hybrid_reads_straddlers_only",
+          lit(hybRead >= 1 && hybRead < hybKept))
+        .withColumn("min_price_in", lit(dblRow.getDouble(0)))
+        .withColumn("double_min_declined", lit(!dblPushed))
     },
 
     // ALTER TABLE DDL (r14 cont. 3): ADD COLUMNS (empty append commit,
@@ -3472,16 +3503,23 @@ object ConverterQueries {
     // orders; the pushed/declined plan verdicts pinned; filtered counts
     // replayed directly.
     "conv_table_agg_group" ->
-      """SELECT o_orderpriority,
+      """WITH b AS (SELECT (MAX(o_orderkey) * 3) // 10 AS k FROM orders)
+        |SELECT o_orderpriority,
         | COUNT(*) AS n_grp,
         | MIN(o_orderkey) AS min_key,
         | MAX(o_orderkey) AS max_key,
         | TRUE AS group_pushed,
         | TRUE AS filter_pushed,
         | (SELECT COUNT(*) FROM orders WHERE o_orderkey >= 0) AS n_all,
-        | (SELECT COUNT(*) FROM orders WHERE o_orderkey <= 1000)
-        |   AS n_le1000,
-        | TRUE AS straddle_declined
+        | (SELECT COUNT(*) FROM orders, b WHERE o_orderkey <= b.k)
+        |   AS n_in_bound,
+        | (SELECT CAST(MAX(o_orderkey) AS BIGINT) FROM orders, b
+        |   WHERE o_orderkey <= b.k) AS max_key_in,
+        | TRUE AS straddle_hybrid_pushed,
+        | TRUE AS hybrid_reads_straddlers_only,
+        | (SELECT MIN(o_totalprice) FROM orders, b
+        |   WHERE o_orderkey <= b.k) AS min_price_in,
+        | TRUE AS double_min_declined
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // DPP: content = orders self-join on the dim key slice (o_orderkey

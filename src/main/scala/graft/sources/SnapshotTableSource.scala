@@ -389,7 +389,7 @@ private[sources] class SnapshotTableScanBuilder(
     * pinned version, and row-evaluable for streaming tails. */
   private var consumedFilters: Array[Filter] = Array.empty
   private var residualFilters: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, Seq[Array[Any]])] = None
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]], Int)] = None
 
   /** The version every decision in this builder (and the scan it
     * builds) is made against — the exactness proofs would be unsound if
@@ -427,7 +427,7 @@ private[sources] class SnapshotTableScanBuilder(
     * only ever an optimization, never a semantics change. */
   private def planAggregate(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Array[Any]])] = {
+      : Option[(StructType, Seq[Array[Any]], Int)] = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
     if (residualFilters.nonEmpty) return None
@@ -437,9 +437,24 @@ private[sources] class SnapshotTableScanBuilder(
     val (files0, dels) = SnapshotTable.snapshotState(spark, dir,
       pinnedVersion)
     if (dels.nonEmpty) return None
-    // the kept set: consumed conjuncts prune exactly (the consumption
-    // proof), so folds over the survivors ARE the filtered answer
-    val files = ManifestPruning.prune(files0, pruningFilters.toSeq)
+    // the kept set: pruned by boxes and (when a spec is recorded) exact
+    // partition tuples, like the scan's own static path
+    val boxed = ManifestPruning.prune(files0, pruningFilters.toSeq)
+    val files =
+      try graft.sinks.TablePartitioning.specOf(
+        SnapshotTable.tableProperties(spark, dir, pinnedVersion))
+        .map(ts => graft.sinks.TablePartitioning.prunePartitions(boxed,
+          ts, pruningFilters.toSeq, fullSchema))
+        .getOrElse(boxed)
+      catch { case _: Exception => boxed }
+    // HYBRID split (r16, VERDICT r15 #5): consumption is now wider than
+    // the every-row proof, so partition the survivors — files fully
+    // satisfying EVERY consumed conjunct fold from footers ("interior");
+    // the rest ("straddling") must be READ with the filters applied.
+    val consumedConjs = consumedFilters.flatMap(ManifestPruning.conjuncts)
+    val (interior, straddling) = files.partition(e =>
+      consumedConjs.forall(c =>
+        ManifestPruning.fullySatisfies(e, c, fullSchema)))
     def colName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
@@ -534,12 +549,99 @@ private[sources] class SnapshotTableScanBuilder(
       }
       if (out.exists(_.isEmpty)) None else Some(out.toSeq.flatten)
     }
+    // the straddling files' exact filtered aggregate — ONE bounded read
+    // over just those files at plan time, merged with the interior fold
+    // (the hybrid aggregate). Returns (schema, row, straddleCount).
+    def hybridAggregate(): Option[(StructType, Seq[Array[Any]], Int)] = {
+      import org.apache.spark.sql.types._
+      val interiorVals = foldAggs(interior).getOrElse(return None)
+      // the inner read's ORC SARG is Java-ordered: exotic string
+      // literals decline (same guard as the scan's SARG channel)
+      if (!consumedFilters.forall(GraftSargGuard.orderSafe)) return None
+      def litCol(v: Any): Option[org.apache.spark.sql.Column] = v match {
+        case null => None
+        case u: org.apache.spark.unsafe.types.UTF8String =>
+          Some(org.apache.spark.sql.functions.lit(u.toString))
+        case other =>
+          scala.util.Try(org.apache.spark.sql.functions.lit(other)).toOption
+      }
+      def condCol(c: Filter): Option[org.apache.spark.sql.Column] = {
+        val F = org.apache.spark.sql.functions
+        c match {
+          case EqualTo(a, v) => litCol(v).map(F.col(a) === _)
+          case GreaterThan(a, v) => litCol(v).map(F.col(a) > _)
+          case GreaterThanOrEqual(a, v) => litCol(v).map(F.col(a) >= _)
+          case LessThan(a, v) => litCol(v).map(F.col(a) < _)
+          case LessThanOrEqual(a, v) => litCol(v).map(F.col(a) <= _)
+          case org.apache.spark.sql.sources.IsNotNull(a) =>
+            Some(F.col(a).isNotNull)
+          case _ => None
+        }
+      }
+      val conds = consumedConjs.map(c => condCol(c).getOrElse(return None))
+      val F = org.apache.spark.sql.functions
+      val aggCols = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => F.count(F.lit(1))
+        case c: Count if !c.isDistinct =>
+          F.count(F.col(colName(c.column()).getOrElse(return None)))
+        case m: Min => F.min(F.col(colName(m.column()).getOrElse(
+          return None)))
+        case m: Max => F.max(F.col(colName(m.column()).getOrElse(
+          return None)))
+        case _ => return None
+      }
+      val read0 = SnapshotTable.readFilesMor(spark, dir, straddling, Nil,
+        SnapshotTable.snapshotSchema(spark, dir, pinnedVersion))
+      val sRow = conds.foldLeft(read0)(_ where _)
+        .agg(aggCols.head, aggCols.tail: _*).head()
+      def extToInternal(v: Any): Any = v match {
+        case null => null
+        case s: String => org.apache.spark.unsafe.types.UTF8String
+          .fromString(s)
+        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+        case d: java.time.LocalDate => d.toEpochDay.toInt
+        case other => other
+      }
+      def mergeMinMax(dt: DataType, a: Any, b: Any, isMin: Boolean): Any =
+        (a, b) match {
+          case (null, x) => x
+          case (x, null) => x
+          case (x: org.apache.spark.unsafe.types.UTF8String,
+                y: org.apache.spark.unsafe.types.UTF8String) =>
+            if ((x.compareTo(y) <= 0) == isMin) x else y
+          case (x: Number, y: Number) =>
+            if ((x.longValue <= y.longValue) == isMin) a else b
+          case _ => throw new IllegalStateException(
+            s"unmergeable hybrid aggregate channel: $a / $b")
+        }
+      val merged = interiorVals.zipWithIndex.map { case ((sf, iv), i) =>
+        agg.aggregateExpressions()(i) match {
+          case _: CountStar | _: Count =>
+            (sf, (iv.asInstanceOf[Long] + sRow.getLong(i)): Any)
+          case _: Min =>
+            (sf, mergeMinMax(sf.dataType, iv,
+              extToInternal(sRow.get(i)), isMin = true))
+          case _ =>
+            (sf, mergeMinMax(sf.dataType, iv,
+              extToInternal(sRow.get(i)), isMin = false))
+        }
+      }
+      SnapshotTableScan.lastHybridAgg.put(dir,
+        (straddling.size, files.size))
+      Some((StructType(merged.map(_._1)),
+        Seq(merged.map(_._2).toArray), straddling.size))
+    }
     val gcols = agg.groupByExpressions().map(colName)
     if (gcols.exists(_.isEmpty)) return None
     if (gcols.isEmpty) {
-      foldAggs(files).map(vals =>
-        (StructType(vals.map(_._1)), Seq(vals.map(_._2).toArray)))
+      if (straddling.isEmpty)
+        foldAggs(files).map(vals =>
+          (StructType(vals.map(_._1)), Seq(vals.map(_._2).toArray), 0))
+      else hybridAggregate()
     } else {
+      // grouped + straddling: not offered (the plain scan runs; the
+      // reader applies the consumed conjuncts exactly)
+      if (straddling.nonEmpty) return None
       // GROUP BY pushdown: provable only when every non-empty kept file
       // is SINGLE-VALUED and null-free on every group column — then a
       // file belongs wholly to one group and groups fold independently.
@@ -579,7 +681,7 @@ private[sources] class SnapshotTableScanBuilder(
         case s if s.nonEmpty => s
         case _ => files
       }).map(_.map(_._1)).getOrElse(return None)
-      Some((StructType(gFields ++ aggFields), rows.map(_.get)))
+      Some((StructType(gFields ++ aggFields), rows.map(_.get), 0))
     }
   }
 
@@ -614,23 +716,26 @@ private[sources] class SnapshotTableScanBuilder(
     * filter is returned as residual and Spark re-applies it post-scan:
     * correctness never depends on stats.
     *
-    * CONSUMPTION (r15, VERDICT r14 #6): a filter whose every conjunct
-    * is (a) provably satisfied by EVERY ROW of every kept file at the
-    * pinned version ([[ManifestPruning.fullySatisfies]] — dropped files
-    * provably hold no match, so the conjunction is exactly decided) and
-    * (b) row-evaluable ([[ExactFilterEval]]) is NOT returned as
-    * residual. That unlocks filtered aggregate pushdown (Spark offers
-    * aggregates only when nothing is residual) at zero re-filter cost
-    * for batch scans; a STREAMING tail reads files committed after the
-    * proof, where the reader re-applies the consumed conjuncts exactly
-    * row-wise. Change-feed reads never consume (slices span removed
-    * files the proof does not cover). */
+    * CONSUMPTION (r15, VERDICT r14 #6; widened r16 for the hybrid
+    * aggregate, VERDICT r15 #5): a filter whose every conjunct is
+    * row-evaluable ([[ExactFilterEval]] — the evaluation is
+    * semantically identical to Spark's own, so consuming is
+    * transparent) AND either (a) provably satisfied by EVERY ROW of
+    * every kept file at the pinned version
+    * ([[ManifestPruning.fullySatisfies]] — zero re-filter cost, the
+    * reader skips evaluation) or (b) a pruning-usable range/equality
+    * shape (the STRADDLING case — the reader re-applies it exactly
+    * row-wise on the files the proof does not cover) is NOT returned
+    * as residual. That unlocks filtered aggregate pushdown (Spark
+    * offers aggregates only when nothing is residual): fully-proven
+    * bounds answer from footers alone, straddling bounds answer HYBRID
+    * (interior files from footers, only the straddling files scanned).
+    * A STREAMING tail reads files committed after the proof, where the
+    * reader re-applies every consumed conjunct. Change-feed reads
+    * never consume (slices span removed files the proof does not
+    * cover). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    def conjuncts(f: Filter): Seq[Filter] = f match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    pruningFilters = filters.flatMap(conjuncts)
+    pruningFilters = filters.flatMap(ManifestPruning.conjuncts)
       .filter(ManifestPruning.usable(_, fullSchema))
     if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
       residualFilters = filters
@@ -641,11 +746,12 @@ private[sources] class SnapshotTableScanBuilder(
         pinnedVersion)._1,
       pruningFilters.toSeq)
     val (consumed, resid) = filters.partition { f =>
-      val cs = conjuncts(f)
+      val cs = ManifestPruning.conjuncts(f)
       cs.nonEmpty && cs.forall(c =>
         ExactFilterEval.compile(c, fullSchema).isDefined &&
-          kept.forall(e =>
-            ManifestPruning.fullySatisfies(e, c, fullSchema)))
+          (ManifestPruning.usable(c, fullSchema) ||
+            kept.forall(e =>
+              ManifestPruning.fullySatisfies(e, c, fullSchema))))
     }
     consumedFilters = consumed
     residualFilters = resid
@@ -655,7 +761,8 @@ private[sources] class SnapshotTableScanBuilder(
   override def pushedFilters(): Array[Filter] = pruningFilters
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, rows)) => new GraftAggregateScan(dir, schema, rows)
+    case Some((schema, rows, hybridFiles)) =>
+      new GraftAggregateScan(dir, schema, rows, hybridFiles)
     case None =>
       if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
         new GraftChangeFeedScan(required, dir, options)
@@ -666,16 +773,20 @@ private[sources] class SnapshotTableScanBuilder(
 
 /** A completely-pushed aggregate: one row per group (one total row for
   * the ungrouped shape), computed on the driver from the manifest at
-  * plan time — the scan reads zero data bytes. */
+  * plan time — zero data bytes for fully-proven bounds; a HYBRID
+  * answer (interior files folded from footers, only `hybridFiles`
+  * straddling files actually read) for straddling bounds. */
 private[sources] class GraftAggregateScan(dir: String,
-    schema: StructType, rows: Seq[Array[Any]]) extends Scan {
+    schema: StructType, rows: Seq[Array[Any]],
+    hybridFiles: Int = 0) extends Scan {
 
   override def readSchema(): StructType = schema
 
   override def description(): String =
     s"GraftSnapshotTable $dir aggregate-pushdown " +
       s"[${schema.fieldNames.mkString(",")}] groups=${rows.size} " +
-      "(manifest-only, zero I/O)"
+      (if (hybridFiles == 0) "(manifest-only, zero I/O)"
+       else s"(hybrid: $hybridFiles straddling file(s) scanned)")
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
@@ -1079,6 +1190,12 @@ private[graft] object GraftSargGuard {
 
 private[graft] object ManifestPruning {
 
+  /** And-tree -> conjunct list. */
+  def conjuncts(f: Filter): Seq[Filter] = f match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
   private def numeric(v: Any): Option[Double] = v match {
     case n: java.lang.Number => Some(n.doubleValue())
     case d: java.sql.Date => Some(d.toLocalDate.toEpochDay.toDouble)
@@ -1295,6 +1412,18 @@ private[graft] object SnapshotTableScan {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, (Int, Int, Long, Long)])
             : Boolean = size() > 64
+      })
+
+  /** Last HYBRID aggregate pushdown per table dir: (straddling files
+    * actually read, kept files total) — the gate's proof that the
+    * residual scan touched ONLY the straddling set. Bounded like
+    * [[lastPlanned]]. */
+  private[graft] val lastHybridAgg: java.util.Map[String, (Int, Int)] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, (Int, Int)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, (Int, Int)]): Boolean =
+          size() > 64
       })
 
   /** versionAsOf / timestampAsOf option resolution (batch time travel). */
@@ -1611,10 +1740,18 @@ private[sources] class SnapshotTableScan(
             kept.map(_.bytes).sum, staticFiles.map(_.bytes).sum))
       SnapshotTableScan.packMor(dir, kept, dels, fullSchema, targetBytes)
     }
-    override def createReaderFactory(): PartitionReaderFactory =
+    override def createReaderFactory(): PartitionReaderFactory = {
+      // consumed-but-unproven conjuncts (the straddling shapes the r16
+      // widened consumption admits) re-apply EXACTLY in the reader —
+      // Spark no longer filters them; fully-proven ones skip the eval
+      val unproven = exactFilters.filterNot(f =>
+        ManifestPruning.conjuncts(f).forall(c =>
+          staticState._1.forall(e =>
+            ManifestPruning.fullySatisfies(e, c, fullSchema))))
       new GraftTableReaderFactory(required,
         new SerConf(spark.sessionState.newHadoopConf()), pruningFilters,
-        withFileMeta)
+        withFileMeta, exact = unproven, exactSchema = fullSchema)
+    }
   }
 
   override def toMicroBatchStream(checkpointLocation: String)

@@ -110,9 +110,10 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     val dir = freshDir()
     stage(dir)
     val t = spark.read.format("graft-table").load(dir)
-    // a filter blocks the push (residual filters exist)
+    // a straddling filter now pushes HYBRID (r16, VERDICT r15 #5):
+    // interior files fold from footers, only straddlers are read
     val f = t.filter(col("id") < 50).agg(count(lit(1)))
-    assert(!pushed(f))
+    assert(pushed(f))
     assert(f.head().getLong(0) === 50L)
     // DISTINCT aggregates never push
     val d = t.agg(countDistinct(col("name")))
@@ -162,13 +163,20 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     val r = a.head()
     assert(r.getLong(0) === 50L && r.getLong(1) === 0L &&
       r.getLong(2) === 49L && r.getLong(3) === 50L)
-    // a filter STRADDLING a file declines the push; values still exact
+    // a filter STRADDLING a file pushes HYBRID (r16): the lo file is
+    // read with the filter applied, nothing else — values exact, and
+    // the telemetry proves the residual scan touched only the straddler
     val b = t.filter(col("id") <= 30).agg(count(lit(1)).as("n"))
-    assert(!pushed(b))
+    assert(pushed(b))
     assert(b.head().getLong(0) === 31L)
-    // a strict bound touching a file boundary stays conservative
+    val hyb = graft.sources.SnapshotTableScan.lastHybridAgg.get(dir)
+    assert(hyb != null && hyb._1 === 1,
+      s"expected exactly one straddling file read, got $hyb")
+    // a strict bound touching a file boundary: lo is interior (max 49
+    // < 50), hi straddles conservatively (widened box keeps it) and is
+    // read — exact either way
     val c = t.filter(col("id") < 50).agg(count(lit(1)).as("n"))
-    assert(!pushed(c))
+    assert(pushed(c))
     assert(c.head().getLong(0) === 50L)
     // string-channel filter: name >= "s0" covers everything -> pushed
     val s = t.filter(col("name") >= "s0").agg(count(lit(1)).as("n"))
