@@ -1078,10 +1078,24 @@ object SnapshotTable {
       .filter(_.forall(t => df.columns.contains(t.col)))
     spec match {
       case Some(ts) =>
-        val withCols = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
+        val withCols0 = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
           d.withColumn(t.writeCol(i),
             TablePartitioning.transformExpr(t, df.schema))
         }
+        // write distribution (the Iceberg write.distribution-mode=hash
+        // shape): without clustering, EVERY task writes one file per
+        // tuple it holds — an unclustered 32-task batch over 40 tuples
+        // lands 1280 tiny files. `graft.write.distribution=hash`
+        // shuffles the batch by the transform tuple first, so each
+        // tuple's rows land in one task -> one file per tuple. Default
+        // off: callers that pre-cluster (or whose batch is one task)
+        // skip the extra shuffle.
+        val withCols =
+          if (props.get("graft.write.distribution").contains("hash"))
+            withCols0.repartition(
+              ts.indices.map(i =>
+                org.apache.spark.sql.functions.col(ts(i).writeCol(i))): _*)
+          else withCols0
         withCols.write.mode("overwrite")
           .partitionBy(ts.zipWithIndex.map { case (t, i) =>
             t.writeCol(i) }: _*)

@@ -167,6 +167,28 @@ class SnapshotTablePartitionSpec extends AnyFunSuite
       .filter(col("cat") === "c1").count() === 20)
   }
 
+  test("graft.write.distribution=hash clusters by tuple: one file per " +
+    "tuple instead of files-per-task-per-tuple") {
+    val unclustered = freshDir()
+    val clustered = freshDir()
+    val df = spark.range(0, 2000).repartition(16)
+      .select(col("id"), concat(lit("c"), col("id") % 5).as("cat"))
+    SnapshotTable.commit(spark, df, unclustered, "overwrite",
+      props = Map(TablePartitioning.Prop -> "identity(cat)"))
+    SnapshotTable.commit(spark, df, clustered, "overwrite",
+      props = Map(TablePartitioning.Prop -> "identity(cat)",
+        "graft.write.distribution" -> "hash"))
+    val nUnclustered =
+      SnapshotTable.snapshotFiles(spark, unclustered, None).size
+    val nClustered =
+      SnapshotTable.snapshotFiles(spark, clustered, None).size
+    assert(nClustered === 5,
+      s"hash distribution must land one file per tuple, got $nClustered")
+    assert(nUnclustered > nClustered,
+      s"fixture must show the explosion: $nUnclustered vs $nClustered")
+    assert(SnapshotTable.read(spark, clustered).count() === 2000)
+  }
+
   test("null partition values stamp as null tuples and equality prunes " +
     "them; the rows themselves survive") {
     val dir = freshDir()
