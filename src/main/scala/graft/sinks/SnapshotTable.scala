@@ -1457,8 +1457,14 @@ object SnapshotTable {
   /** [[tableProperties]] memoized per (dir, currentVersion) — the
     * write-path enforcement consults properties on EVERY publish, and
     * properties change rarely; the cache turns that into one
-    * currentVersion probe. Bounded LRU (tiny values; the bound guards
-    * long-lived sessions touching many table dirs). */
+    * currentVersion probe. A stale entry refreshes INCREMENTALLY:
+    * properties fold latest-wins over the commit sequence, so only the
+    * version files in (cachedVersion, current] need reading — never a
+    * full checkpoint replay per commit (an ingest loop advances the
+    * version every publish; a full replay here made commit cost grow
+    * with table age, the exact failure the manifest rungs gate).
+    * Bounded LRU (tiny values; the bound guards long-lived sessions
+    * touching many table dirs). */
   private val propsCache =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[String, (Long, Map[String, String])](
@@ -1475,7 +1481,18 @@ object SnapshotTable {
         val hit = propsCache.get(dir)
         if (hit != null && hit._1 == v) hit._2
         else {
-          val p = tableProperties(spark, dir, Some(v))
+          val p =
+            if (hit != null && hit._1 < v) {
+              // incremental fold over just the new commits; anything
+              // unreadable (expired window, torn file) falls back to
+              // the full replay
+              try versions(spark, dir).filter(x => x > hit._1 && x <= v)
+                .foldLeft(hit._2)((acc, x) =>
+                  acc ++ readCommit(spark, dir, x).props)
+              catch { case _: Exception =>
+                tableProperties(spark, dir, Some(v))
+              }
+            } else tableProperties(spark, dir, Some(v))
           propsCache.put(dir, (v, p))
           p
         }
