@@ -1298,20 +1298,22 @@ object ScaleRehearsal {
                 org.apache.spark.sql.types.DoubleType))).json))
         }
       }
-      // read-side metrics are idempotent: take the best of two samples
-      // (the settle policy the ladder probes use) — a single cold
-      // sample at the 10k base lands in JIT/GC noise and poisons the
-      // RATIO far below any real complexity signal. Each sample runs
-      // after an explicit GC (the JMH between-iteration discipline):
-      // at 10^6-entry manifests the PREVIOUS metric's garbage otherwise
-      // lands its collection pause inside this one's window — measured
-      // bimodal 1.1s vs 2.6s for the same pure fold.
+      // read-side metrics are idempotent: take the best of THREE
+      // samples (r16; two were not enough — the same pure fold measures
+      // bimodal 1.1s vs 2.6s depending on whether a collection pause
+      // lands inside the window, and a best-of-2 landed BOTH samples in
+      // the slow mode once per ~3 full runs, tripping the x15 ceiling
+      // on unchanged code). Each sample runs after an explicit GC (the
+      // JMH between-iteration discipline); the minimum is the code's
+      // true cost, the slow mode is the collector's.
       def best2[A](f: => A): (A, Double) = {
         System.gc()
         val (a, t1) = secsOf(f)
         System.gc()
         val (_, t2) = secsOf(f)
-        (a, math.min(t1, t2))
+        System.gc()
+        val (_, t3) = secsOf(f)
+        (a, math.min(t1, math.min(t2, t3)))
       }
       val (files, replaySecs) = best2(
         graft.sinks.SnapshotTable.snapshotFiles(spark, dir).size)
