@@ -503,23 +503,39 @@ object SnapshotTable {
     }
   }
 
+  /** One DEDICATED sidecar-reading session per SparkSession (shared
+    * SparkContext + cache, its own SQLConf): the split-size knob lives
+    * here, never on the caller's session — mutating shared session
+    * conf raced concurrent queries planned during the window (ADVICE
+    * r15). Cloning per CALL is too slow for the manifest hot path
+    * (SessionState clone + lazy re-init cost ~0.25 s per read, tripping
+    * the 1M-manifest rung), so the clone is cached and its conf
+    * mutations serialize under [[sidecarLock]] — the only writers are
+    * the two sidecar readers below, both driver-side planning reads. */
+  private val sidecarSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+  private val sidecarLock = new Object
+
   /** Run `body` with the split size forced to one-split-per-core for
     * the (tiny-on-disk, stripe-splittable) sidecar — the default 128 MB
-    * split would plan ONE task over a 22 MB / 10M-entry file. The knob
-    * is set on a CLONED session (shared SparkContext + cache, copied
-    * conf) handed to `body`, never on the caller's session — mutating
-    * shared session conf raced concurrent queries planned during the
-    * window (ADVICE r15). Both callers fully materialize inside `body`,
-    * so no frame outlives the clone. */
+    * split would plan ONE task over a 22 MB / 10M-entry file. Both
+    * callers fully materialize inside `body`, so no frame outlives the
+    * scoped session. */
   private def withSidecarSplits[A](spark: SparkSession, p: Path)
       (body: SparkSession => A): A = {
     val len = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(p).getLen
     val split = math.max(1L << 20,
       len / math.max(1, spark.sparkContext.defaultParallelism))
-    val scoped = org.apache.spark.sql.GraftOrcBridge.cloneSession(spark)
-    scoped.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
-    body(scoped)
+    sidecarLock.synchronized {
+      var scoped = sidecarSessions.get(spark)
+      if (scoped == null) {
+        scoped = org.apache.spark.sql.GraftOrcBridge.cloneSession(spark)
+        sidecarSessions.put(spark, scoped)
+      }
+      scoped.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
+      body(scoped)
+    }
   }
 
   /** Executor-side pruned-planning over a columnar sidecar: parse each
