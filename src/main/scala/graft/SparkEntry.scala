@@ -322,8 +322,13 @@ object SparkEntry {
     "stream_curate" -> 2,         // r12: 3rd cross-batch dup rule in the
                                   // fixture; bench times ONE
                                   // deployment-sized batch (gate keeps 3)
-    "conv_table_agg_push" -> 2    // r15: double MIN/MAX now correctly
+    "conv_table_agg_push" -> 2,   // r15: double MIN/MAX now correctly
                                   // DECLINES (NaN-blind footers) — the
                                   // gate added a plain-scan probe
+    "conv_table_agg_group" -> 2   // r16: hybrid-aggregate probes added
+                                  // (second range-clustered fixture, a
+                                  // straddling read + a double-MIN
+                                  // decline probe) — the row prices
+                                  // more work by definition
   ).withDefaultValue(1)
 }
