@@ -338,9 +338,19 @@ object Cli {
             r.keys, if (r.keys > 0) 1 else 0)
         // set-prop <table_dir> <k=v[,k=v...]> — record table properties
         // as one empty append commit; declarations (update key,
-        // partition spec) VALIDATE before landing
+        // partition spec) VALIDATE before landing. The CSV splits at
+        // TOP-LEVEL commas only, and a token WITHOUT '=' re-joins the
+        // previous pair's value (ADVICE r16): partition specs carry
+        // commas both inside transforms (`bucket(8,id)`) and between
+        // them (`identity(a),bucket(8,b)`) — the whole spec is ONE
+        // k=v pair.
         case ("set-prop", tableDir :: kvCsv :: Nil) =>
-          val kvs = kvCsv.split(',').map(_.trim).filter(_.nonEmpty)
+          val kvs = graft.sinks.TablePartitioning.splitTopLevel(kvCsv)
+            .foldLeft(Vector.empty[String]) { (acc, tok) =>
+              if (acc.nonEmpty && !tok.contains('='))
+                acc.init :+ s"${acc.last},$tok"
+              else acc :+ tok
+            }
             .map { kv =>
               val i = kv.indexOf('=')
               require(i > 0, s"expected k=v, got '$kv'")

@@ -325,10 +325,14 @@ object SparkEntry {
     "conv_table_agg_push" -> 2,   // r15: double MIN/MAX now correctly
                                   // DECLINES (NaN-blind footers) — the
                                   // gate added a plain-scan probe
-    "conv_table_agg_group" -> 2   // r16: hybrid-aggregate probes added
+    "conv_table_agg_group" -> 3,  // r16: hybrid-aggregate probes added
                                   // (second range-clustered fixture, a
                                   // straddling read + a double-MIN
                                   // decline probe) — the row prices
-                                  // more work by definition
+                                  // more work by definition.
+                                  // r17: grouped-hybrid probes added
+    "conv_table_partition_prune" -> 2 // r17: planted empty-string/null
+                                  // partition-value legs (second staged
+                                  // table — VERDICT r16 bug pin)
   ).withDefaultValue(1)
 }

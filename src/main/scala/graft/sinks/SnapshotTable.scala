@@ -503,39 +503,57 @@ object SnapshotTable {
     }
   }
 
-  /** One DEDICATED sidecar-reading session per SparkSession (shared
-    * SparkContext + cache, its own SQLConf): the split-size knob lives
-    * here, never on the caller's session — mutating shared session
-    * conf raced concurrent queries planned during the window (ADVICE
-    * r15). Cloning per CALL is too slow for the manifest hot path
-    * (SessionState clone + lazy re-init cost ~0.25 s per read, tripping
-    * the 1M-manifest rung), so the clone is cached and its conf
-    * mutations serialize under [[sidecarLock]] — the only writers are
-    * the two sidecar readers below, both driver-side planning reads. */
+  /** DEDICATED sidecar-reading sessions (shared SparkContext + cache,
+    * their own SQLConf): the split-size knob lives here, never on the
+    * caller's session — mutating shared session conf raced concurrent
+    * queries planned during the window (ADVICE r15). Cloning per CALL
+    * is too slow for the manifest hot path (SessionState clone + lazy
+    * re-init cost ~0.25 s per read, tripping the 1M-manifest rung).
+    *
+    * r17 (ADVICE r16): keyed by (parent sessionUUID, POW2-bucketed
+    * split size), with the split conf set ONCE at clone creation and
+    * never mutated again — so the read path takes NO lock and
+    * concurrent sidecar planning across tables/sessions runs in
+    * parallel (the r16 shape held one JVM-global lock across
+    * distributed jobs). The string key never strongly reaches the
+    * parent session, and the cache is LRU-capped at 16 clones JVM-wide
+    * (~8 split buckets x live sessions; a dead parent's clones age out
+    * instead of accumulating — the r16 WeakHashMap's values pinned
+    * their own keys forever). */
   private val sidecarSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
-  private val sidecarLock = new Object
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(String, Long), SparkSession](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(String, Long), SparkSession])
+            : Boolean = size() > 16
+      })
 
-  /** Run `body` with the split size forced to one-split-per-core for
+  /** Run `body` with the split size forced to ~one-split-per-core for
     * the (tiny-on-disk, stripe-splittable) sidecar — the default 128 MB
     * split would plan ONE task over a 22 MB / 10M-entry file. Both
     * callers fully materialize inside `body`, so no frame outlives the
-    * scoped session. */
+    * scoped session. Racing creators of one key may both clone; the
+    * loser's clone is garbage — harmless, a clone is a conf holder. */
   private def withSidecarSplits[A](spark: SparkSession, p: Path)
       (body: SparkSession => A): A = {
     val len = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .getFileStatus(p).getLen
-    val split = math.max(1L << 20,
+    val raw = math.max(1L << 20,
       len / math.max(1, spark.sparkContext.defaultParallelism))
-    sidecarLock.synchronized {
-      var scoped = sidecarSessions.get(spark)
-      if (scoped == null) {
-        scoped = org.apache.spark.sql.GraftOrcBridge.cloneSession(spark)
-        sidecarSessions.put(spark, scoped)
-      }
+    // floor to a power of two: a handful of distinct split values ->
+    // a handful of cached clones (splits only ever shrink vs the raw
+    // target, so parallelism never drops below one-per-core)
+    val split = java.lang.Long.highestOneBit(raw)
+    val key = (org.apache.spark.sql.GraftOrcBridge.sessionUUID(spark),
+      split)
+    var scoped = sidecarSessions.get(key)
+    if (scoped == null) {
+      scoped = org.apache.spark.sql.GraftOrcBridge.cloneSession(spark)
       scoped.conf.set("spark.sql.files.maxPartitionBytes", split.toString)
-      body(scoped)
+      sidecarSessions.put(key, scoped)
     }
+    body(scoped)
   }
 
   /** Executor-side pruned-planning over a columnar sidecar: parse each
@@ -889,7 +907,13 @@ object SnapshotTable {
     // append omitting the column entirely fails too: its rows would
     // null-fill the key.
     val freshEntries = entries.filter(e => e.seq < 0 && e.rows > 0)
-    if (freshEntries.nonEmpty) {
+    // ADVICE r16: run INSIDE the retry loop, not once up front — a
+    // concurrent setTableProperties declaring the key between a lost
+    // race and the winning attempt must not let unproven files land.
+    // tablePropertiesCached is incremental (folds only the commits in
+    // (cachedVersion, current]), so the common single-attempt path
+    // pays one cache probe.
+    def enforceRowIdentityNullFree(): Unit = if (freshEntries.nonEmpty) {
       (tablePropertiesCached(spark, dir) ++ props).get(UpdateKeyProp)
         .foreach { k =>
           val bad = freshEntries.filterNot(
@@ -904,6 +928,7 @@ object SnapshotTable {
     }
     var attempt = 0
     while (attempt <= maxRetries) {
+      enforceRowIdentityNullFree()
       // losing a race re-checks the txn table: the winner may have been
       // this producer's own earlier attempt
       txn.flatMap(t => committedTxn(spark, dir, t._1, t._2))
@@ -1078,10 +1103,19 @@ object SnapshotTable {
     val batch = f"batch-${java.util.UUID.randomUUID().toString.take(12)}"
     val batchDir = new Path(new Path(dir, "data"), batch)
     val props = tablePropertiesCached(spark, dir) ++ extraProps
+    val spec = TablePartitioning.specOf(props)
+      .filter(_.forall(t => df.columns.contains(t.col)))
     // a declared row-identity column always harvests stats: publish's
-    // null-free proof needs them on every fresh file
+    // null-free proof needs them on every fresh file. String-typed
+    // partition source columns harvest too: their null counts are the
+    // ONLY proof that a __HIVE_DEFAULT_PARTITION__ directory holds
+    // genuinely-null rows (vs indistinguishable `""`/marker-literal
+    // values) and may be stamped as a null tuple.
     val all = (statsCols ++ props.get(UpdateKeyProp)
-      .filter(df.columns.contains)).distinct
+      .filter(df.columns.contains) ++
+      spec.toSeq.flatten.map(_.col).filter(c =>
+        df.schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.StringType))).distinct
     // partitioned staging (VERDICT r15 #1): a recorded transform spec
     // routes the batch through partitionBy on computed transform
     // columns — each landed file holds EXACTLY ONE partition tuple,
@@ -1090,13 +1124,11 @@ object SnapshotTable {
     // source columns stay. Frames lacking a transform's source column
     // (schema-evolution appends) stage UNSTAMPED — readers keep
     // unstamped files conservatively.
-    val spec = TablePartitioning.specOf(props)
-      .filter(_.forall(t => df.columns.contains(t.col)))
     spec match {
       case Some(ts) =>
         val withCols0 = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
           d.withColumn(t.writeCol(i),
-            TablePartitioning.transformExpr(t, df.schema))
+            TablePartitioning.writeExpr(t, df.schema))
         }
         // write distribution (the Iceberg write.distribution-mode=hash
         // shape): without clustering, EVERY task writes one file per
@@ -1121,16 +1153,28 @@ object SnapshotTable {
           val rel = relativize(batchDir, new Path(e.path))
           // parse the tuple from the partition-dir components
           val comps = rel.split('/').dropRight(1)
-          val tuple = ts.zipWithIndex.map { case (t, i) =>
+          val tuple = ts.zipWithIndex.flatMap { case (t, i) =>
             val prefix = s"${t.writeCol(i)}="
             val raw = comps.find(_.startsWith(prefix)).map(c =>
               org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
                 .unescapePathName(c.stripPrefix(prefix)))
-            t.statKey(i) -> (raw match {
-              case Some("__HIVE_DEFAULT_PARTITION__") | None =>
-                ColStats(None, None, None, None, e.rows)
-              case Some(v) => ColStats(None, None, Some(v), Some(v), 0)
-            })
+            raw match {
+              case Some(TablePartitioning.DefaultPartitionMarker) | None
+                  if TablePartitioning.stringChannel(t, df.schema) &&
+                    !e.stats.get(t.col).exists(s => s.nulls == e.rows) =>
+                // string channel: the marker dir holds null OR `""` OR
+                // the marker-literal value indistinguishably. Stamp a
+                // null tuple ONLY when footer stats PROVE every row
+                // null on the source column; otherwise leave the file
+                // unstamped (conservative keep — VERDICT r16 bug)
+                None
+              case Some(TablePartitioning.DefaultPartitionMarker) | None =>
+                Some(t.statKey(i) -> ColStats(None, None, None, None,
+                  e.rows))
+              case Some(v) =>
+                Some(t.statKey(i) -> ColStats(None, None, Some(v),
+                  Some(v), 0))
+            }
           }.toMap
           e.copy(path = s"data/$batch/$rel", stats = e.stats ++ tuple)
         }
@@ -1426,6 +1470,12 @@ object SnapshotTable {
     * and keyed by column NAME, so one declaration silently applied to
     * every same-named column in the session — ADVICE r15). */
   val UpdateModeProp = "graft.update.mode"
+  /** Table property declaring MERGE-ON-READ routing for SQL DELETE
+    * ("mor" enables it) — the per-table twin of the session conf
+    * `spark.graft.table.delete.mode`; key-shaped deletes then land as
+    * one equality-delete sidecar instead of a copy-on-write rewrite
+    * (ADVICE r16: was a raw string read nowhere declared or tested). */
+  val DeleteModeProp = "graft.delete.mode"
   /** Table property naming the ROW-IDENTITY column (the Iceberg
     * identifier-field contract): rows sharing the key are one logical
     * row, the column is never null, and MOR equality deletes on it are

@@ -168,7 +168,7 @@ private[sources] class SnapshotTableTable(
       .getOption("spark.graft.table.delete.mode").contains("mor") ||
       (try SnapshotTable
         .tablePropertiesCached(SparkSession.active, dir)
-        .get("graft.delete.mode").contains("mor")
+        .get(SnapshotTable.DeleteModeProp).contains("mor")
       catch { case _: Exception => false })
 
   override def canDeleteWhere(filters: Array[Filter]): Boolean =

@@ -24,6 +24,13 @@ object GraftOrcBridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .cloneSession()
 
+  /** The classic session's stable UUID — an identity KEY that does not
+    * strongly reference the session itself (cache keys built on it
+    * never pin a dead session in memory). */
+  def sessionUUID(spark: SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionUUID
+
   /** Deserializes ORC writable values (one per field of `schema`, in
     * order, null for absent columns) into an InternalRow. The returned
     * row is REUSED across calls — consumers must copy if they buffer. */

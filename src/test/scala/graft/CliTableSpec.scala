@@ -333,4 +333,27 @@ class CliTableSpec extends AnyFunSuite with SparkSessionTestWrapper {
     }
     assert(e.getMessage != null)
   }
+
+  test("table set-prop splits the k=v list at TOP-LEVEL commas only: " +
+    "bucket/multi-transform partition specs land intact (ADVICE r16)") {
+    import graft.sinks.TablePartitioning
+    val tableDir = freshDir() + "/t"
+    Cli.run(spark,
+      Seq("table", "commit", tableDir, stageOrc(0, 100), "overwrite", "id"))
+    // the r16 repro: `graft.partition=bucket(8,id)` used to split into
+    // two tokens and fail the k=v require
+    Cli.run(spark, Seq("table", "set-prop", tableDir,
+      s"${TablePartitioning.Prop}=bucket(8,id)"))
+    assert(SnapshotTable.tableProperties(spark, tableDir)
+      .get(TablePartitioning.Prop).contains("bucket(8,id)"))
+    // multi-transform spec AND a second property in one call: the
+    // '='-less transform tokens merge back into the spec's value
+    Cli.run(spark, Seq("table", "set-prop", tableDir,
+      s"${TablePartitioning.Prop}=identity(name),truncate(4,name)," +
+        s"bucket(16,id),${SnapshotTable.MaxDeleteFilesProp}=3"))
+    val props = SnapshotTable.tableProperties(spark, tableDir)
+    assert(props.get(TablePartitioning.Prop)
+      .contains("identity(name),truncate(4,name),bucket(16,id)"))
+    assert(props.get(SnapshotTable.MaxDeleteFilesProp).contains("3"))
+  }
 }

@@ -209,6 +209,28 @@ class SnapshotTableMorSpec extends AnyFunSuite with SparkSessionTestWrapper {
       SnapshotTable.currentVersion(spark, dir).get)._1 === "overwrite")
   }
 
+  test("the PER-TABLE graft.delete.mode=mor property routes SQL DELETE " +
+    "to a MOR commit without any session conf (ADVICE r16)") {
+    val dir = freshDir()
+    stage(dir)
+    SnapshotTable.setTableProperties(spark, dir,
+      Map(SnapshotTable.DeleteModeProp -> "mor"))
+    val before = dataPaths(dir)
+    assert(!spark.conf.getOption("spark.graft.table.delete.mode")
+      .contains("mor"), "fixture must not rely on the session conf")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id IN (11, 13, 17)")
+    assert(dataPaths(dir) === before) // no data file rewritten
+    val v = SnapshotTable.currentVersion(spark, dir).get
+    assert(SnapshotTable.commitStats(spark, dir, v)._1 === "rowdelete")
+    assert(SnapshotTable.read(spark, dir).count() === 197)
+    // an undeclared sibling table keeps the COW path
+    val cow = freshDir()
+    stage(cow)
+    spark.sql(s"DELETE FROM graft.`$cow` WHERE id IN (11)")
+    assert(SnapshotTable.commitStats(spark, cow,
+      SnapshotTable.currentVersion(spark, cow).get)._1 === "overwrite")
+  }
+
   test("SQL UPDATE with a pending delete does not resurrect deleted " +
     "rows and carries the delete for untouched files") {
     val dir = freshDir()
