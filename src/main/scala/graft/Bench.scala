@@ -82,7 +82,20 @@ object Bench {
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_RUNS"))
       .map(_.toInt).getOrElse(3))
     val errByName = scala.collection.mutable.Map.empty[String, String]
+    // host-load marker (VERDICT r16 #7): the 1-min loadavg before each
+    // pass ships in the JSON, so a uniformly-drifted bench run is
+    // self-diagnosing as a contended host instead of judge archaeology
+    // (the r16 driver run spread 236/294/319 s on identical code).
+    // This JVM's own 32 worker threads contribute once running, so the
+    // PRE-pass sample is the honest external-contention signal;
+    // failures (non-Linux) record -1.
+    def loadavg1: Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val passLoad = scala.collection.mutable.ArrayBuffer.empty[Double]
     val passSamples: Seq[Seq[(String, Double)]] = (0 until passes).map { _ =>
+      passLoad += loadavg1
       names.map { name =>
         val fn = lookup(name)
         val t0 = System.nanoTime()
@@ -146,7 +159,8 @@ object Bench {
     // errors surface in the JSON (not via exit code: the driver still needs
     // the timing line for the queries that DID run)
     val runTotalsJson = runTotals.map(t => f"$t%.2f").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","runs":$passes,"run_totals":$runTotalsJson,"queries":$qs,"errors":$errJson,"n_errors":${errs.size},"regressions":$regJson,"n_regressions":${regressions.size},"gate_def_version":$vers,"sf":"$sfDir"}"""
+    val loadJson = passLoad.map(l => f"$l%.2f").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","stat":"median","runs":$passes,"run_totals":$runTotalsJson,"loadavg_pre_pass":$loadJson,"queries":$qs,"errors":$errJson,"n_errors":${errs.size},"regressions":$regJson,"n_regressions":${regressions.size},"gate_def_version":$vers,"sf":"$sfDir"}"""
     println(line)
     // Also persist the line to a file (ADVICE r7: the shipped bench
     // artifact was a truncated stdout tail and unparseable — the row

@@ -210,6 +210,8 @@ object ScaleRehearsal {
       s"/tmp/graft_scale_dpp/${d.replaceAll("[^A-Za-z0-9]", "_")}/dim"
     def partTableDir(d: String): String =
       s"/tmp/graft_scale_part/${d.replaceAll("[^A-Za-z0-9]", "_")}/table"
+    def aggTableDir(d: String): String =
+      s"/tmp/graft_scale_part/${d.replaceAll("[^A-Za-z0-9]", "_")}/aggtable"
     def bm25IdxDir(d: String): String =
       s"/tmp/graft_scale_bm25/${d.replaceAll("[^A-Za-z0-9]", "_")}/index"
     def ndIdxTbl(d: String): String =
@@ -274,6 +276,21 @@ object ScaleRehearsal {
         val nF = math.max(8, (docs.count() / 5000L).toInt)
         graft.sinks.SnapshotTable.commit(spark,
           docs.repartition(nF, col("doc_id")), partTableDir(d),
+          "overwrite", statsCols = Seq("doc_id"),
+          props = Map(graft.sinks.TablePartitioning.Prop ->
+            "identity(source)"))
+      }
+      // r17: the grouped-hybrid fixture — RANGE-clustered on doc_id
+      // (so a fixed bound box-prunes the tail) AND identity(source)
+      // partitioned (so every file is single-source via partitionBy and
+      // the stamp is the group proof). Staged once, outside any timed
+      // window.
+      if (graft.sinks.SnapshotTable.versions(spark, aggTableDir(d)).isEmpty) {
+        val docs = t(spark, d, "documents").select(
+          col("doc_id"), col("source"), col("text"))
+        val nF = math.max(8, (docs.count() / 5000L).toInt)
+        graft.sinks.SnapshotTable.commit(spark,
+          docs.repartitionByRange(nF, col("doc_id")), aggTableDir(d),
           "overwrite", statsCols = Seq("doc_id"),
           props = Map(graft.sinks.TablePartitioning.Prop ->
             "identity(source)"))
@@ -542,6 +559,25 @@ object ScaleRehearsal {
           f"keptMB=${kept.map(_.bytes).sum / 1e6}%.2f " +
           f"staticMB=${files.map(_.bytes).sum / 1e6}%.2f")
         n
+      }),
+      // r17 (VERDICT r16 #2): GROUPED HYBRID aggregate on the ladder.
+      // GROUP BY the identity-partition column + a FIXED range bound on
+      // the clustered key: interior files fold per group from the tuple
+      // stamps (zero I/O — the data column was never in statsCols, the
+      // identity stamp is the single-valuedness proof), box pruning
+      // drops everything above the bound, and only the straddling
+      // file(s) are read. The bound is constant, so at 10x the table
+      // the probe must stay ~flat — the whole point of pushing GROUP BY
+      // + range filters into the manifest at 100 TB.
+      "table_agg_group" -> (() => {
+        val tbl = aggTableDir(d)
+        val g = spark.read.format("graft-table").load(tbl)
+          .filter(col("doc_id") <= 2500)
+          .groupBy(col("source")).agg(count(lit(1)).as("n"))
+        require(g.queryExecution.executedPlan.toString
+          .contains("aggregate-pushdown"),
+          "table_agg_group: grouped hybrid did not push down")
+        g.collect().map(_.getLong(1)).sum
       }),
       // r15 (VERDICT r14 #1): runtime file-group pruning on the ladder.
       // The fixture table is pre-staged (file size ~constant via the

@@ -194,7 +194,11 @@ object SparkEntry {
     // MOR debt lifecycle: threshold-triggered maintenance drains the
     // sidecar debt with results identical and time travel intact
     // (VERDICT r15 #4)
-    "conv_table_compact_mor")
+    "conv_table_compact_mor",
+    // round-17: partition-spec evolution (mixed epochs -> compact
+    // convergence) and streaming writes into a partition-spec'd table
+    // (tuple-routed epoch files, stamped like batch)
+    "conv_table_partition_evolve", "stream_table_partitioned")
 
   /** Bench-only engine probes — NOT part of the correctness contract.
     * The gated ANN rows time approximate top-k PLUS the brute-force
@@ -331,8 +335,10 @@ object SparkEntry {
                                   // decline probe) — the row prices
                                   // more work by definition.
                                   // r17: grouped-hybrid probes added
-    "conv_table_partition_prune" -> 2 // r17: planted empty-string/null
+    "conv_table_partition_prune" -> 2, // r17: planted empty-string/null
                                   // partition-value legs (second staged
                                   // table — VERDICT r16 bug pin)
+    "conv_table_bucket_join" -> 2 // r17: SPJ-under-MOR-debt leg added
+                                  // (second co-bucketed pair + sidecar)
   ).withDefaultValue(1)
 }

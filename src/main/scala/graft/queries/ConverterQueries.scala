@@ -1515,6 +1515,59 @@ object ConverterQueries {
           lit(head.txnApp.exists(_.startsWith("stream-"))))
     },
 
+    // Streaming writes into a PARTITION-SPEC'D table (r17, VERDICT r16
+    // #8): the bootstrap commit declares identity(lang) + bucket(4,
+    // doc_id); every epoch's batch routes through the shared writeBatch
+    // stager, so streamed files stamp partition tuples exactly like
+    // batch commits — exact pruning and SPJ work on a table that was
+    // NEVER batch-written. Verdicts: every file stamped, identity
+    // equality prunes to one language's files, exactly-once holds.
+    "stream_table_partitioned" -> { (s, d) =>
+      val key = d.replaceAll("[^A-Za-z0-9.]", "_")
+      val root = s"/tmp/graft_stream/$key/table_part"
+      val (tableDir, ckpt, landing) =
+        (s"$root/table", s"$root/ckpt", s"$root/landing")
+      Seq(tableDir, ckpt, landing).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      SnapshotTable.commit(s, docs.limit(0), tableDir, "overwrite",
+        props = Map(graft.sinks.TablePartitioning.Prop ->
+          "identity(lang),bucket(4,doc_id)"))
+      docs.filter(col("doc_id") % 2 === 0).write.parquet(s"$landing/b0")
+      val q = s.readStream.schema(docs.schema).parquet(s"$landing/*")
+        .writeStream.format("graft-table")
+        .option("checkpointLocation", ckpt).option("statsCols", "doc_id")
+        .start(tableDir)
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") % 2 === 1).write.parquet(s"$landing/b1")
+        q.processAllAvailable()
+      } finally q.stop()
+      val spec = graft.sinks.TablePartitioning.parse(
+        "identity(lang),bucket(4,doc_id)")
+      val files = SnapshotTable.snapshotFiles(s, tableDir, None)
+      val allStamped = files.nonEmpty && files.forall(e =>
+        spec.zipWithIndex.forall { case (tt, i) =>
+          e.stats.contains(tt.statKey(i)) })
+      val langKey = spec.head.statKey(0)
+      val kept = graft.sinks.TablePartitioning.prunePartitions(files,
+        spec, Seq(org.apache.spark.sql.sources.EqualTo("lang", "en")),
+        SnapshotTable.read(s, tableDir).schema)
+      val prunesLang = kept.nonEmpty && kept.size < files.size &&
+        kept.forall(e => e.stats.get(langKey).forall(
+          _.minStr.forall(_ == "en")))
+      val got = SnapshotTable.read(s, tableDir)
+      got.agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+        .withColumn("exactly_once",
+          lit(got.select(col("doc_id")).distinct().count() ==
+            got.count()))
+        .withColumn("all_stamped", lit(allStamped))
+        .withColumn("lang_prunes", lit(prunesLang))
+    },
+
     // RESTORE gate (r14): rollback-as-new-commit, the Delta RESTORE
     // shape. v0 = clean orders; v1 = a bad ingest appending a duplicate
     // slice (deterministic: o_orderkey*5 <= n, so DuckDB rederives it);
@@ -1937,6 +1990,79 @@ object ConverterQueries {
         lit(markerUnstamped).as("marker_unstamped"))
     },
 
+    // Partition-spec EVOLUTION (r17, VERDICT r16 #4): even orders land
+    // under identity(o_orderpriority), the spec then changes to
+    // bucket(8,o_orderkey) and the odd orders append under it. Mixed
+    // epochs must read row-exact; under the new spec the old files stay
+    // conservatively kept while new files prune to one bucket; compact
+    // converges the whole layout to the new spec (old stamps gone,
+    // pruning engages everywhere). Staged FRESH each run — the gate
+    // drives a state machine, not a cached fixture.
+    "conv_table_partition_evolve" -> { (s, d) =>
+      import graft.sinks.TablePartitioning
+      val base = tmp(d, "snappartevolve") + "/t"
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(base))
+      val orders = t(s, d, "orders")
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .repartition(col("o_orderpriority")),
+        base, "overwrite", statsCols = Seq("o_orderkey"),
+        props = Map(TablePartitioning.Prop ->
+          "identity(o_orderpriority)"))
+      SnapshotTable.setTableProperties(s, base,
+        Map(TablePartitioning.Prop -> "bucket(8,o_orderkey)"))
+      SnapshotTable.commit(s,
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .repartition(pmod(hash(col("o_orderkey")), lit(8))),
+        base, "append", statsCols = Seq("o_orderkey"))
+      val newT = TablePartitioning.PBucket(8, "o_orderkey")
+      val newKey = newT.statKey(0)
+      val oldKey =
+        TablePartitioning.PIdentity("o_orderpriority").statKey(0)
+      val files = SnapshotTable.snapshotFiles(s, base, None)
+      val (newStamped, oldEpoch) =
+        files.partition(_.stats.contains(newKey))
+      val mixedEpochs = newStamped.nonEmpty && oldEpoch.nonEmpty &&
+        oldEpoch.forall(_.stats.contains(oldKey))
+      val key = orders.filter(col("o_orderkey") % 2 === 1)
+        .agg(max(col("o_orderkey"))).head().getLong(0)
+      val snap = s.read.format("graft-table").load(base)
+      val kept = TablePartitioning.prunePartitions(files, Seq(newT),
+        Seq(org.apache.spark.sql.sources.EqualTo("o_orderkey", key)),
+        snap.schema)
+      val wantBucket = TablePartitioning.bucketOf(key, 8).toString
+      val oldConservative = oldEpoch.forall(kept.contains)
+      val newPruned = kept.filter(_.stats.contains(newKey))
+        .forall(_.stats(newKey).minStr.contains(wantBucket)) &&
+        kept.size < files.size
+      val nKeyMixed = snap.filter(col("o_orderkey") === key).count()
+      // compact: the whole table re-stages under the CURRENT spec
+      SnapshotTable.compact(s, base, targetBytes = 32L << 20,
+        statsCols = Seq("o_orderkey"))
+      val after = SnapshotTable.snapshotFiles(s, base, None)
+      val converged = after.forall(_.stats.contains(newKey)) &&
+        after.forall(!_.stats.contains(oldKey))
+      val kept2 = TablePartitioning.prunePartitions(after, Seq(newT),
+        Seq(org.apache.spark.sql.sources.EqualTo("o_orderkey", key)),
+        snap.schema)
+      val postCompactPrunes = kept2.nonEmpty &&
+        kept2.size < after.size && kept2.forall(
+          _.stats(newKey).minStr.contains(wantBucket))
+      val t2 = s.read.format("graft-table").load(base)
+      t2.agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_key"),
+          dsumr(col("o_totalprice")).as("sum_price"))
+        .withColumn("n_key", lit(nKeyMixed))
+        .withColumn("n_key_post",
+          lit(t2.filter(col("o_orderkey") === key).count()))
+        .withColumn("mixed_epochs", lit(mixedEpochs))
+        .withColumn("old_conservative", lit(oldConservative))
+        .withColumn("new_pruned", lit(newPruned))
+        .withColumn("compact_converges", lit(converged))
+        .withColumn("post_compact_prunes", lit(postCompactPrunes))
+    },
+
     // Storage-partitioned join (r16, VERDICT r15 #1): orders and
     // customer both bucket(8) on the customer key; with the SPJ conf on
     // the two scans report compatible KeyGroupedPartitioning (the
@@ -1982,10 +2108,45 @@ object ConverterQueries {
            |  ON o.o_custkey = c.c_custkey
            |GROUP BY c.c_mktsegment""".stripMargin)
       val rows = joined.collect()
+      // SPJ under MOR debt (r17, VERDICT r16 #3): the same co-bucketed
+      // pair with an UN-compacted equality-delete sidecar pending on
+      // the fact side — the join must still plan shuffle-free AND the
+      // deleted keys must be absent from its output (per-tuple-group
+      // sidecar application inside the key-grouped read).
+      val tOrdersM = tmp(d, "snapspjmor") + "/orders"
+      val tCustM = tmp(d, "snapspjmor") + "/customer"
+      stageOnce(tOrdersM) {
+        SnapshotTable.commit(s,
+          t(s, d, "orders").repartition(
+            pmod(hash(col("o_custkey")), lit(8))),
+          tOrdersM, "overwrite", statsCols = Seq("o_custkey"),
+          props = Map(TablePartitioning.Prop -> "bucket(8,o_custkey)"))
+        SnapshotTable.commit(s,
+          t(s, d, "customer").repartition(
+            pmod(hash(col("c_custkey")), lit(8))),
+          tCustM, "overwrite", statsCols = Seq("c_custkey"),
+          props = Map(TablePartitioning.Prop -> "bucket(8,c_custkey)"))
+        SnapshotTable.deleteByKeys(s, tOrdersM, "o_orderkey",
+          t(s, d, "orders").filter(col("o_orderkey") % 211 === 0)
+            .select(col("o_orderkey")))
+      }
+      val morDebt = SnapshotTable.pendingDeletes(s, tOrdersM).nonEmpty
+      val bareM = s2.sql(
+        s"""SELECT o.o_orderkey, c.c_custkey
+           |FROM graft.`$tOrdersM` o JOIN graft.`$tCustM` c
+           |  ON o.o_custkey = c.c_custkey""".stripMargin)
+      val morAgg = bareM.agg(count(lit(1)), sum(col("o_orderkey")))
+        .head()
+      val morNoExchange =
+        !bareM.queryExecution.executedPlan.toString.contains("Exchange")
       import scala.collection.JavaConverters._
       s.createDataFrame(rows.toSeq.asJava, joined.schema)
         .withColumn("no_exchange", lit(noExchange))
         .withColumn("join_rows", lit(joinRows))
+        .withColumn("mor_join_rows", lit(morAgg.getLong(0)))
+        .withColumn("mor_sum_key", lit(morAgg.getLong(1)))
+        .withColumn("mor_no_exchange", lit(morNoExchange))
+        .withColumn("mor_debt_pending", lit(morDebt))
         .orderBy(col("seg"))
     },
 
@@ -2517,7 +2678,38 @@ object ConverterQueries {
       val dblPushed = dbl.queryExecution.executedPlan.toString
         .contains("aggregate-pushdown")
       val dblRow = dbl.head()
-      g.withColumn("group_pushed", lit(gPushed))
+      // GROUPED hybrid (r17, VERDICT r16 #2): each priority split into
+      // two range files; a bound inside the upper halves folds the
+      // interior halves from footers, reads ONLY the straddlers, and
+      // merges per group — GROUP BY + a range filter, the shape that
+      // previously declined to a full plan whenever any file straddled.
+      val base3 = tmp(d, "snapagghybridgrp") + "/t"
+      stageOnce(base3) {
+        val orders = t(s, d, "orders")
+        prios.zipWithIndex.foreach { case (p, i) =>
+          SnapshotTable.commit(s,
+            orders.filter(col("o_orderpriority") === p)
+              .repartitionByRange(2, col("o_orderkey")),
+            base3, if (i == 0) "overwrite" else "append",
+            statsCols = Seq("o_orderkey", "o_orderpriority"))
+        }
+      }
+      val tb3 = s.read.format("graft-table").load(base3)
+      val bound3 = maxK * 6L / 10L
+      val gh = tb3.filter(col("o_orderkey") <= bound3)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_grp_in"),
+          max(col("o_orderkey")).as("max_key_grp_in"))
+      val ghPushed = gh.queryExecution.executedPlan.toString
+        .contains("aggregate-pushdown")
+      val ghRows = gh.collect()
+      val hyb3 = graft.sources.SnapshotTableScan.lastHybridAgg.get(base3)
+      val (gh1, gh2) = if (hyb3 == null) (-1, -1)
+        else (hyb3._1, hyb3._2)
+      val ghDf = s.createDataFrame(
+        java.util.Arrays.asList(ghRows: _*), gh.schema)
+      g.join(ghDf, Seq("o_orderpriority"), "left")
+        .withColumn("group_pushed", lit(gPushed))
         .withColumn("filter_pushed", lit(fPushed))
         .withColumn("n_all", lit(fRow.getLong(0)))
         .withColumn("n_in_bound", lit(dclRow.getLong(0)))
@@ -2527,6 +2719,9 @@ object ConverterQueries {
           lit(hybRead >= 1 && hybRead < hybKept))
         .withColumn("min_price_in", lit(dblRow.getDouble(0)))
         .withColumn("double_min_declined", lit(!dblPushed))
+        .withColumn("group_hybrid_pushed", lit(ghPushed))
+        .withColumn("group_hybrid_residual_only",
+          lit(gh1 >= 1 && gh1 < gh2))
     },
 
     // ALTER TABLE DDL (r14 cont. 3): ADD COLUMNS (empty append commit,
@@ -3278,6 +3473,20 @@ object ConverterQueries {
         | TRUE AS txn_stamped
         |FROM documents""".stripMargin,
 
+    // stream_table_partitioned: the streamed partition-spec'd table
+    // holds exactly the documents slice once; stamping/pruning verdicts
+    // pinned TRUE.
+    "stream_table_partitioned" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+        | CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        | CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_en,
+        | TRUE AS exactly_once,
+        | TRUE AS all_stamped,
+        | TRUE AS lang_prunes
+        |FROM documents""".stripMargin,
+
     // conv_table_restore: live content after restore = raw orders; the
     // bad version's content = orders + the deterministic duplicate slice.
     "conv_table_restore" ->
@@ -3457,6 +3666,28 @@ object ConverterQueries {
         | TRUE AS marker_unstamped
         |FROM orders, k WHERE o_orderkey = k.k""".stripMargin,
 
+    // Partition-spec evolution: content = full orders totals (both
+    // epochs) plus the keyed row count before AND after compact; the
+    // mixed-epoch, conservative-keep, exact-prune and convergence
+    // verdicts pinned TRUE.
+    "conv_table_partition_evolve" ->
+      """WITH k AS (SELECT MAX(o_orderkey) AS k FROM orders
+        |           WHERE o_orderkey % 2 = 1)
+        |SELECT COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+        |   AS DOUBLE) AS sum_price,
+        | (SELECT COUNT(*) FROM orders, k WHERE o_orderkey = k.k)
+        |   AS n_key,
+        | (SELECT COUNT(*) FROM orders, k WHERE o_orderkey = k.k)
+        |   AS n_key_post,
+        | TRUE AS mixed_epochs,
+        | TRUE AS old_conservative,
+        | TRUE AS new_pruned,
+        | TRUE AS compact_converges,
+        | TRUE AS post_compact_prunes
+        |FROM orders""".stripMargin,
+
     // Storage-partitioned join: per-segment join content; the
     // no-Exchange verdict (co-partitioned scans, shuffle-free join)
     // pinned TRUE; join_rows = the bare join's cardinality.
@@ -3465,7 +3696,15 @@ object ConverterQueries {
         | CAST(SUM(o.o_orderkey) AS BIGINT) AS sum_key,
         | TRUE AS no_exchange,
         | (SELECT COUNT(*) FROM orders o2 JOIN customer c2
-        |    ON o2.o_custkey = c2.c_custkey) AS join_rows
+        |    ON o2.o_custkey = c2.c_custkey) AS join_rows,
+        | (SELECT COUNT(*) FROM orders o3 JOIN customer c3
+        |    ON o3.o_custkey = c3.c_custkey
+        |    WHERE o3.o_orderkey % 211 <> 0) AS mor_join_rows,
+        | (SELECT CAST(SUM(o4.o_orderkey) AS BIGINT) FROM orders o4
+        |    JOIN customer c4 ON o4.o_custkey = c4.c_custkey
+        |    WHERE o4.o_orderkey % 211 <> 0) AS mor_sum_key,
+        | TRUE AS mor_no_exchange,
+        | TRUE AS mor_debt_pending
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY seg""".stripMargin,
 
@@ -3561,11 +3800,17 @@ object ConverterQueries {
     // orders; the pushed/declined plan verdicts pinned; filtered counts
     // replayed directly.
     "conv_table_agg_group" ->
-      """WITH b AS (SELECT (MAX(o_orderkey) * 3) // 10 AS k FROM orders)
-        |SELECT o_orderpriority,
+      """WITH b AS (SELECT (MAX(o_orderkey) * 3) // 10 AS k,
+        |             (MAX(o_orderkey) * 6) // 10 AS k6 FROM orders),
+        |gh AS (SELECT o_orderpriority,
+        |         COUNT(*) AS n_grp_in,
+        |         MAX(o_orderkey) AS max_key_grp_in
+        |       FROM orders, b WHERE o_orderkey <= b.k6
+        |       GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority,
         | COUNT(*) AS n_grp,
-        | MIN(o_orderkey) AS min_key,
-        | MAX(o_orderkey) AS max_key,
+        | MIN(o.o_orderkey) AS min_key,
+        | MAX(o.o_orderkey) AS max_key,
         | TRUE AS group_pushed,
         | TRUE AS filter_pushed,
         | (SELECT COUNT(*) FROM orders WHERE o_orderkey >= 0) AS n_all,
@@ -3577,8 +3822,14 @@ object ConverterQueries {
         | TRUE AS hybrid_reads_straddlers_only,
         | (SELECT MIN(o_totalprice) FROM orders, b
         |   WHERE o_orderkey <= b.k) AS min_price_in,
-        | TRUE AS double_min_declined
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+        | TRUE AS double_min_declined,
+        | ANY_VALUE(gh.n_grp_in) AS n_grp_in,
+        | ANY_VALUE(gh.max_key_grp_in) AS max_key_grp_in,
+        | TRUE AS group_hybrid_pushed,
+        | TRUE AS group_hybrid_residual_only
+        |FROM orders o LEFT JOIN gh
+        |  ON o.o_orderpriority = gh.o_orderpriority
+        |GROUP BY o.o_orderpriority""".stripMargin,
 
     // DPP: content = orders self-join on the dim key slice (o_orderkey
     // is unique, so multiplicity 1); the planned-subquery and observed

@@ -926,6 +926,22 @@ object SnapshotTable {
               "data file")
         }
     }
+    // DECLARED table properties SURVIVE data rewrites (r17): an
+    // overwrite commit resets the props fold (replayCommits clears at
+    // overwrites), so compact / cluster / COW DML / TRUNCATE must
+    // RE-CARRY the table's current declarations — partition spec,
+    // update key/mode, maintenance thresholds — or one maintenance
+    // pass silently strips the table's contracts (pre-r17: a compact
+    // dropped graft.partition, turning exact pruning and SPJ off with
+    // no error). Layout DESCRIPTORS (graft.sortOrder) deliberately do
+    // NOT carry: an unclustered rewrite destroys the described layout;
+    // maintenance ops stamp the layout they establish via `props`,
+    // which always wins the merge. Recomputed per attempt — a lost
+    // race may have changed the declarations.
+    def effProps: Map[String, String] =
+      if (mode != "overwrite") props
+      else (scala.util.Try(tablePropertiesCached(spark, dir))
+        .getOrElse(Map.empty) -- LayoutProps) ++ props
     var attempt = 0
     while (attempt <= maxRetries) {
       enforceRowIdentityNullFree()
@@ -964,7 +980,7 @@ object SnapshotTable {
       val stampedDel = deletes.map(d => if (d.seq < 0) d.copy(seq = v) else d)
       val out = f.create(tmp, false)
       try out.write(commitJson(v, mode, stamped, txn, schemaJson, ts,
-          tmp.getName, stampedDel, props)
+          tmp.getName, stampedDel, effProps)
         .getBytes("UTF-8"))
       finally out.close()
       // put-if-absent IS the commit: exactly one writer wins version v
@@ -1113,7 +1129,8 @@ object SnapshotTable {
     // values) and may be stamped as a null tuple.
     val all = (statsCols ++ props.get(UpdateKeyProp)
       .filter(df.columns.contains) ++
-      spec.toSeq.flatten.map(_.col).filter(c =>
+      (spec.toSeq.flatten.map(_.col) ++ props.get(NdvStatsProp).toSeq
+        .flatMap(_.split(',')).map(_.trim)).filter(c =>
         df.schema.fields.exists(f => f.name == c &&
           f.dataType == org.apache.spark.sql.types.StringType))).distinct
     // partitioned staging (VERDICT r15 #1): a recorded transform spec
@@ -1124,7 +1141,7 @@ object SnapshotTable {
     // source columns stay. Frames lacking a transform's source column
     // (schema-evolution appends) stage UNSTAMPED — readers keep
     // unstamped files conservatively.
-    spec match {
+    val staged = spec match {
       case Some(ts) =>
         val withCols0 = ts.zipWithIndex.foldLeft(df) { case (d, (t, i)) =>
           d.withColumn(t.writeCol(i),
@@ -1185,6 +1202,50 @@ object SnapshotTable {
           .map(_.getPath.toString)
         harvest(spark, parts, all).map(e =>
           e.copy(path = s"data/$batch/${new Path(e.path).getName}"))
+    }
+    withNdvSketches(spark, batchDir, df, props, staged)
+  }
+
+  /** Attach per-file HLL sketch pseudo-stats for the table's declared
+    * [[NdvStatsProp]] string columns: ONE aggregation pass over the
+    * just-staged batch, grouped by file (the batch is fresh — still in
+    * page cache), each file's sketch base64'd into the stats channel.
+    * Undeclared tables pay nothing. Files whose declared column is
+    * entirely null may produce no sketch row group — they simply stay
+    * sketch-less (the read side then declines the NDV fold). */
+  private def withNdvSketches(spark: SparkSession, batchDir: Path,
+      df: DataFrame, props: Map[String, String],
+      entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val cols = props.get(NdvStatsProp).toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).distinct
+      .filter(c => df.schema.fields.exists(fd => fd.name == c &&
+        fd.dataType == org.apache.spark.sql.types.StringType))
+    if (cols.isEmpty || entries.forall(_.rows == 0)) return entries
+    val aggs = cols.map(c => org.apache.spark.sql.functions
+      .hll_sketch_agg(col(c)).as(s"__sk_$c"))
+    val rows = spark.read.orc(batchDir.toString)
+      .groupBy(org.apache.spark.sql.functions.input_file_name()
+        .as("__graft_file"))
+      .agg(aggs.head, aggs.tail: _*).collect()
+    // match on the unique part-file NAME (paths differ by scheme and
+    // partition-dir nesting; names carry a per-file UUID)
+    val byName: Map[String, Seq[(String, Array[Byte])]] = rows.map { r =>
+      new Path(r.getString(0)).getName ->
+        cols.zipWithIndex.flatMap { case (c, i) =>
+          Option(r.get(i + 1)).map(b =>
+            c -> b.asInstanceOf[Array[Byte]])
+        }
+    }.toMap
+    val enc = java.util.Base64.getEncoder
+    entries.map { e =>
+      byName.get(new Path(e.path).getName) match {
+        case Some(sks) if sks.nonEmpty =>
+          e.copy(stats = e.stats ++ sks.map { case (c, b) =>
+            ndvStatKey(c) ->
+              ColStats(None, None, Some(enc.encodeToString(b)), None, 0)
+          })
+        case _ => e
+      }
     }
   }
 
@@ -1452,13 +1513,15 @@ object SnapshotTable {
     StructType(a.fields ++ b.fields.filterNot(f => have.contains(f.name)))
   }
 
-  /** TABLE PROPERTIES at `version` — layout metadata commits record
-    * (the Delta table-properties shape), folded latest-wins over the
-    * replay window (checkpoint base included: checkpoints carry the
-    * fold). The writers are the maintenance ops, which stamp their
-    * layout ON their own overwrite commit, so the property always
-    * describes the CURRENT data layout. Keys: `graft.sortOrder` = the
-    * last maintenance-recorded layout (`zorder(c1,c2)` / `range(c)`). */
+  /** TABLE PROPERTIES at `version` (the Delta table-properties shape),
+    * folded latest-wins over the replay window (checkpoint base
+    * included: checkpoints carry the fold). The replay clears at
+    * overwrite commits, and publish compensates by RE-CARRYING every
+    * declared property onto each overwrite (r17) — so declarations
+    * (partition spec, update key/mode, maintenance thresholds) survive
+    * compact / cluster / COW DML / TRUNCATE, while [[LayoutProps]]
+    * (`graft.sortOrder` = `zorder(c1,c2)` / `range(c)`) reset unless
+    * the maintenance op re-stamps the layout it established. */
   def tableProperties(spark: SparkSession, dir: String,
                       version: Option[Long] = None): Map[String, String] =
     replayCommits(spark, dir, version)
@@ -1489,6 +1552,27 @@ object SnapshotTable {
     * tables whose key is unique by construction can skip the
     * verification read. Default on. */
   val VerifyUniqueProp = "graft.update.verifyUnique"
+
+  /** Properties describing the CURRENT physical layout rather than a
+    * durable declaration: these do NOT carry across overwrite commits
+    * (a rewrite that does not re-establish the layout must not keep
+    * claiming it) — every other property survives data rewrites, the
+    * Delta table-properties contract. */
+  val LayoutProps: Set[String] = Set("graft.sortOrder")
+
+  /** Opt-in per-file NDV sketches (r17, VERDICT r16 #5): a CSV of
+    * STRING columns whose per-file HLL sketch bytes ride the manifest
+    * stats channel (pseudo-key `__ndv__<col>`, base64 in minStr) —
+    * mergeable at plan time, so `estimateStatistics` can hand the
+    * cost-based optimizer a distinct-count for string join keys (the
+    * integral/date channels already derive NDV from span bounds).
+    * Declared columns cost ONE extra aggregation pass over each fresh
+    * batch at write time; stats are estimates by contract, correctness
+    * never depends on them. */
+  val NdvStatsProp = "graft.stats.ndv"
+
+  /** The manifest pseudo-stat key carrying a column's HLL sketch. */
+  private[graft] def ndvStatKey(c: String): String = s"__ndv__$c"
 
   /** Threshold for debt-triggered maintenance (VERDICT r15 #4): when a
     * table's pending merge-on-read delete SIDECARS exceed this count,
@@ -1604,6 +1688,23 @@ object SnapshotTable {
       require(ts.nonEmpty, "empty partition spec")
       snapshotSchema(spark, dir, Some(readVersion))
         .foreach(sch => TablePartitioning.validate(ts, sch))
+    }
+    // declared NDV-sketch columns must exist and be strings; existing
+    // files stay sketch-less (the NDV fold declines) until a rewrite
+    props.get(NdvStatsProp).foreach { s =>
+      val cols = s.split(',').map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty, s"empty $NdvStatsProp declaration")
+      snapshotSchema(spark, dir, Some(readVersion)).foreach { sch =>
+        cols.foreach { c =>
+          val f = sch.fields.find(_.name == c).getOrElse(
+            throw new IllegalArgumentException(
+              s"$NdvStatsProp: no column '$c' in $dir"))
+          require(f.dataType == org.apache.spark.sql.types.StringType,
+            s"$NdvStatsProp: column '$c' is ${f.dataType.simpleString}" +
+              ", only string columns carry HLL sketches (integral/" +
+              "date NDV derives from span bounds)")
+        }
+      }
     }
     publish(spark, dir, "append", Nil, maxRetries = 20,
       schemaJson = snapshotSchema(spark, dir, Some(readVersion))

@@ -244,7 +244,16 @@ object TablePartitioning {
       case PTruncate(n, c) =>
         schema.fields.find(_.name == c).map(_.dataType) match {
           case Some(StringType) =>
-            asStr(v).map(s => if (s.length > n) s.substring(0, n) else s)
+            // count CODE POINTS, not UTF-16 units: the write side is
+            // Spark's substring (UTF8String semantics). Java's
+            // String.substring(0, n) would cut a supplementary char's
+            // surrogate pair differently and compute a prefix the
+            // stamp channel never recorded — silent wrong pruning for
+            // astral-plane strings.
+            asStr(v).map { s =>
+              if (s.codePointCount(0, s.length) <= n) s
+              else s.substring(0, s.offsetByCodePoints(0, n))
+            }
           case _ =>
             asLong(v).map(l => (l - (((l % n) + n) % n)).toString)
         }

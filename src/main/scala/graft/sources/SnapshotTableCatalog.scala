@@ -105,12 +105,67 @@ class SnapshotTableCatalog extends TableCatalog
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
+  /** SQL `CREATE TABLE graft.`/path`` (r17, VERDICT r16 #8 — enabled
+    * now that the property channel is stable): one empty overwrite
+    * commit recording the DDL schema, `PARTITIONED BY` transforms
+    * rendered into the `graft.partition` property (identity / bucket /
+    * truncate — validated against the schema exactly like
+    * `setTableProperties`), and `TBLPROPERTIES` keys in the `graft.`
+    * namespace carried as declarations (anything else is Spark-internal
+    * catalog noise and dropped). CTAS works for free: Spark creates,
+    * then writes through the DSv2 WriteBuilder, whose batches stamp
+    * partition tuples from the recorded spec. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: JMap[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created by the first SnapshotTable.commit / " +
-        "`cli table commit`, not by DDL")
+                           properties: JMap[String, String]): Table = {
+    val spark = SparkSession.active
+    val dir = dirOf(ident)
+    if (SnapshotTable.versions(spark, dir).nonEmpty)
+      throw new IllegalStateException(
+        s"a graft snapshot table already exists at $dir")
+    def singleRef(t: Transform): String = {
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"partition transform ${t.describe()} must reference exactly " +
+          "one top-level column")
+      refs.head.fieldNames().head
+    }
+    def litInt(t: Transform): Int =
+      t.arguments().collectFirst {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+          l.value() match {
+            case i: java.lang.Integer => i.intValue()
+            case l2: java.lang.Long => l2.intValue()
+            case other => throw new IllegalArgumentException(
+              s"unsupported transform argument $other")
+          }
+      }.getOrElse(throw new IllegalArgumentException(
+        s"transform ${t.describe()} carries no numeric argument"))
+    val spec = partitions.toSeq.map { t =>
+      t.name() match {
+        case "identity" => s"identity(${singleRef(t)})"
+        case "bucket" => s"bucket(${litInt(t)},${singleRef(t)})"
+        case "truncate" => s"truncate(${litInt(t)},${singleRef(t)})"
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other' (graft tables " +
+            "support identity, bucket and truncate)")
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala.toMap
+      .filter { case (k, _) => k.startsWith("graft.") } ++
+      (if (spec.nonEmpty)
+        Map(graft.sinks.TablePartitioning.Prop -> spec.mkString(","))
+      else Map.empty)
+    props.get(graft.sinks.TablePartitioning.Prop).foreach(s =>
+      graft.sinks.TablePartitioning.validate(
+        graft.sinks.TablePartitioning.parse(s), schema))
+    SnapshotTable.commit(spark,
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema),
+      dir, "overwrite", props = props)
+    loadTable(ident)
+  }
 
   /** SQL schema DDL, both directions zero-data-I/O log commits:
     *

@@ -440,13 +440,15 @@ private[sources] class SnapshotTableScanBuilder(
     // the kept set: pruned by boxes and (when a spec is recorded) exact
     // partition tuples, like the scan's own static path
     val boxed = ManifestPruning.prune(files0, pruningFilters.toSeq)
-    val files =
+    val specTs: Seq[graft.sinks.TablePartitioning.PTransform] =
       try graft.sinks.TablePartitioning.specOf(
         SnapshotTable.tableProperties(spark, dir, pinnedVersion))
-        .map(ts => graft.sinks.TablePartitioning.prunePartitions(boxed,
-          ts, pruningFilters.toSeq, fullSchema))
-        .getOrElse(boxed)
-      catch { case _: Exception => boxed }
+        .getOrElse(Nil)
+      catch { case _: Exception => Nil }
+    val files =
+      if (specTs.isEmpty) boxed
+      else graft.sinks.TablePartitioning.prunePartitions(boxed, specTs,
+        pruningFilters.toSeq, fullSchema)
     // HYBRID split (r16, VERDICT r15 #5): consumption is now wider than
     // the every-row proof, so partition the survivors — files fully
     // satisfying EVERY consumed conjunct fold from footers ("interior");
@@ -549,6 +551,83 @@ private[sources] class SnapshotTableScanBuilder(
       }
       if (out.exists(_.isEmpty)) None else Some(out.toSeq.flatten)
     }
+    // ---- helpers shared by BOTH hybrid paths (ungrouped r16, grouped
+    // r17): literal/filter -> Column for the bounded straddler read,
+    // external -> internal value normalization, and the per-channel
+    // min/max merge.
+    def litCol(v: Any): Option[org.apache.spark.sql.Column] = v match {
+      case null => None
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(org.apache.spark.sql.functions.lit(u.toString))
+      case other =>
+        scala.util.Try(org.apache.spark.sql.functions.lit(other)).toOption
+    }
+    def condCol(c: Filter): Option[org.apache.spark.sql.Column] = {
+      val F = org.apache.spark.sql.functions
+      c match {
+        case EqualTo(a, v) => litCol(v).map(F.col(a) === _)
+        case GreaterThan(a, v) => litCol(v).map(F.col(a) > _)
+        case GreaterThanOrEqual(a, v) => litCol(v).map(F.col(a) >= _)
+        case LessThan(a, v) => litCol(v).map(F.col(a) < _)
+        case LessThanOrEqual(a, v) => litCol(v).map(F.col(a) <= _)
+        case org.apache.spark.sql.sources.IsNotNull(a) =>
+          Some(F.col(a).isNotNull)
+        case _ => None
+      }
+    }
+    // the aggregate expressions as Columns for the straddler read;
+    // None = an unsupported shape (SUM, DISTINCT, nested column)
+    def aggColsOf(): Option[Seq[org.apache.spark.sql.Column]] = {
+      val F = org.apache.spark.sql.functions
+      val cs = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(F.count(F.lit(1)))
+        case c: Count if !c.isDistinct =>
+          colName(c.column()).map(n => F.count(F.col(n)))
+        case m: Min => colName(m.column()).map(n => F.min(F.col(n)))
+        case m: Max => colName(m.column()).map(n => F.max(F.col(n)))
+        case _ => None
+      }
+      if (cs.exists(_.isEmpty)) None else Some(cs.flatten)
+    }
+    def extToInternal(v: Any): Any = v match {
+      case null => null
+      case s: String => org.apache.spark.unsafe.types.UTF8String
+        .fromString(s)
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case d: java.time.LocalDate => d.toEpochDay.toInt
+      case other => other
+    }
+    // channels whose RESIDUAL-read external value converts losslessly
+    // to the Catalyst-internal representation the pushed rows are
+    // served as (GraftAggregateScan emits raw GenericInternalRows):
+    // integrals/float/double box identically, date/string convert in
+    // extToInternal. Timestamp (micros Long), Decimal, binary etc.
+    // DECLINE — their external objects are not internal values.
+    def internalSafe(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | StringType | BooleanType => true
+      case _ => false
+    }
+    def minMaxChannelsSafe: Boolean =
+      agg.aggregateExpressions().forall {
+        case m: Min =>
+          colName(m.column()).flatMap(colType).exists(internalSafe)
+        case m: Max =>
+          colName(m.column()).flatMap(colType).exists(internalSafe)
+        case _ => true
+      }
+    def mergeMinMax(dt: DataType, a: Any, b: Any, isMin: Boolean): Any =
+      (a, b) match {
+        case (null, x) => x
+        case (x, null) => x
+        case (x: org.apache.spark.unsafe.types.UTF8String,
+              y: org.apache.spark.unsafe.types.UTF8String) =>
+          if ((x.compareTo(y) <= 0) == isMin) x else y
+        case (x: Number, y: Number) =>
+          if ((x.longValue <= y.longValue) == isMin) a else b
+        case _ => throw new IllegalStateException(
+          s"unmergeable hybrid aggregate channel: $a / $b")
+      }
     // the straddling files' exact filtered aggregate — ONE bounded read
     // over just those files at plan time, merged with the interior fold
     // (the hybrid aggregate). Returns (schema, row, straddleCount).
@@ -558,62 +637,13 @@ private[sources] class SnapshotTableScanBuilder(
       // the inner read's ORC SARG is Java-ordered: exotic string
       // literals decline (same guard as the scan's SARG channel)
       if (!consumedFilters.forall(GraftSargGuard.orderSafe)) return None
-      def litCol(v: Any): Option[org.apache.spark.sql.Column] = v match {
-        case null => None
-        case u: org.apache.spark.unsafe.types.UTF8String =>
-          Some(org.apache.spark.sql.functions.lit(u.toString))
-        case other =>
-          scala.util.Try(org.apache.spark.sql.functions.lit(other)).toOption
-      }
-      def condCol(c: Filter): Option[org.apache.spark.sql.Column] = {
-        val F = org.apache.spark.sql.functions
-        c match {
-          case EqualTo(a, v) => litCol(v).map(F.col(a) === _)
-          case GreaterThan(a, v) => litCol(v).map(F.col(a) > _)
-          case GreaterThanOrEqual(a, v) => litCol(v).map(F.col(a) >= _)
-          case LessThan(a, v) => litCol(v).map(F.col(a) < _)
-          case LessThanOrEqual(a, v) => litCol(v).map(F.col(a) <= _)
-          case org.apache.spark.sql.sources.IsNotNull(a) =>
-            Some(F.col(a).isNotNull)
-          case _ => None
-        }
-      }
+      if (!minMaxChannelsSafe) return None
       val conds = consumedConjs.map(c => condCol(c).getOrElse(return None))
-      val F = org.apache.spark.sql.functions
-      val aggCols = agg.aggregateExpressions().toSeq.map {
-        case _: CountStar => F.count(F.lit(1))
-        case c: Count if !c.isDistinct =>
-          F.count(F.col(colName(c.column()).getOrElse(return None)))
-        case m: Min => F.min(F.col(colName(m.column()).getOrElse(
-          return None)))
-        case m: Max => F.max(F.col(colName(m.column()).getOrElse(
-          return None)))
-        case _ => return None
-      }
+      val aggCols = aggColsOf().getOrElse(return None)
       val read0 = SnapshotTable.readFilesMor(spark, dir, straddling, Nil,
         SnapshotTable.snapshotSchema(spark, dir, pinnedVersion))
       val sRow = conds.foldLeft(read0)(_ where _)
         .agg(aggCols.head, aggCols.tail: _*).head()
-      def extToInternal(v: Any): Any = v match {
-        case null => null
-        case s: String => org.apache.spark.unsafe.types.UTF8String
-          .fromString(s)
-        case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
-        case d: java.time.LocalDate => d.toEpochDay.toInt
-        case other => other
-      }
-      def mergeMinMax(dt: DataType, a: Any, b: Any, isMin: Boolean): Any =
-        (a, b) match {
-          case (null, x) => x
-          case (x, null) => x
-          case (x: org.apache.spark.unsafe.types.UTF8String,
-                y: org.apache.spark.unsafe.types.UTF8String) =>
-            if ((x.compareTo(y) <= 0) == isMin) x else y
-          case (x: Number, y: Number) =>
-            if ((x.longValue <= y.longValue) == isMin) a else b
-          case _ => throw new IllegalStateException(
-            s"unmergeable hybrid aggregate channel: $a / $b")
-        }
       val merged = interiorVals.zipWithIndex.map { case ((sf, iv), i) =>
         agg.aggregateExpressions()(i) match {
           case _: CountStar | _: Count =>
@@ -639,17 +669,25 @@ private[sources] class SnapshotTableScanBuilder(
           (StructType(vals.map(_._1)), Seq(vals.map(_._2).toArray), 0))
       else hybridAggregate()
     } else {
-      // grouped + straddling: not offered (the plain scan runs; the
-      // reader applies the consumed conjuncts exactly)
-      if (straddling.nonEmpty) return None
-      // GROUP BY pushdown: provable only when every non-empty kept file
-      // is SINGLE-VALUED and null-free on every group column — then a
-      // file belongs wholly to one group and groups fold independently.
-      // Empty files hold no rows of any group and drop out.
+      // GROUP BY pushdown: a file folds from footers ("interior") when
+      // it is SINGLE-VALUED and null-free on every group column (it
+      // then belongs wholly to one group) AND provably satisfies every
+      // consumed conjunct row-for-row. Everything else — straddlers of
+      // a range bound, files multi-valued on a group column — goes to
+      // ONE bounded residual read with the filters and GROUP BY applied
+      // exactly, merged group-wise with the interior folds (r17,
+      // VERDICT r16 #2: `GROUP BY` + a range filter, the most common
+      // analytics shape, previously declined whenever any file
+      // straddled the bound). Empty files hold no rows of any group
+      // and drop out.
       val names = gcols.flatten
       // a group column outside the data schema (e.g. the `_file`
-      // metadata column) has no stats channel: decline
+      // metadata column) has no stats channel: decline. Group/min-max
+      // channels must convert losslessly to internal values — the
+      // residual read returns externals.
       if (names.exists(n => colType(n).isEmpty)) return None
+      if (!names.forall(n => colType(n).exists(internalSafe))) return None
+      if (!minMaxChannelsSafe) return None
       def groupVal(e: SnapshotTable.FileEntry,
                    n: String): Option[Any] =
         colType(n).flatMap { dt =>
@@ -660,28 +698,121 @@ private[sources] class SnapshotTableScanBuilder(
                 Some(mn), Some(mx), 0))
                 if mn == mx && dt == StringType =>
               Some(org.apache.spark.unsafe.types.UTF8String.fromString(mn))
-            case _ => None
+            case _ =>
+              // identity PARTITION stamps prove single-valuedness by
+              // construction (r17): GROUP BY a partition column folds
+              // from the tuple stamps even when the data column was
+              // never in statsCols — the Hive "group by partition
+              // column is metadata-only" shape. Null tuples and
+              // unstamped files stay residual (read exactly).
+              specTs.zipWithIndex.collectFirst {
+                case (t: graft.sinks.TablePartitioning.PIdentity, i)
+                    if t.col == n => (t, i)
+              }.flatMap { case (t, i) =>
+                graft.sinks.TablePartitioning.stampedValue(e, t, i) match {
+                  case Some(Some(v)) => dt match {
+                    case StringType => Some(org.apache.spark.unsafe
+                      .types.UTF8String.fromString(v))
+                    case LongType => v.toLongOption
+                    case IntegerType => v.toIntOption
+                    case ShortType => scala.util.Try(v.toShort).toOption
+                    case ByteType => scala.util.Try(v.toByte).toOption
+                    case DateType => scala.util.Try(
+                      java.time.LocalDate.parse(v).toEpochDay.toInt)
+                      .toOption
+                    case _ => None
+                  }
+                  case _ => None
+                }
+              }
           }
         }
       val nonEmpty = files.filter(_.rows > 0)
-      val tuples = nonEmpty.map(e => names.map(v => groupVal(e, v)))
-      if (tuples.exists(_.exists(_.isEmpty))) return None
-      val byGroup = nonEmpty.zip(tuples.map(_.flatten))
-        .groupBy(_._2).toSeq
-        .map { case (tuple, pairs) => (tuple, pairs.map(_._1)) }
-      val gFields = names.map(n =>
-        StructField(n, colType(n).get, nullable = true))
-      val rows = byGroup.map { case (tuple, fs) =>
-        foldAggs(fs).map(vals => (tuple ++ vals.map(_._2)).toArray)
-      }
-      if (rows.exists(_.isEmpty)) return None
+      val (gInterior, gResidual) = nonEmpty.partition(e =>
+        consumedConjs.forall(c =>
+          ManifestPruning.fullySatisfies(e, c, fullSchema)) &&
+          names.forall(n => groupVal(e, n).isDefined))
       // field layout: group columns first, then aggregate columns — the
       // SupportsPushDownAggregates output contract
-      val aggFields = foldAggs(nonEmpty.take(1) match {
-        case s if s.nonEmpty => s
-        case _ => files
-      }).map(_.map(_._1)).getOrElse(return None)
-      Some((StructType(gFields ++ aggFields), rows.map(_.get), 0))
+      val gFields = names.map(n =>
+        StructField(n, colType(n).get, nullable = true))
+      val aggFields = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar =>
+          Some(StructField("count_star", LongType, nullable = false))
+        case c: Count if !c.isDistinct => colName(c.column()).map(n =>
+          StructField(s"count_$n", LongType, nullable = false))
+        case m: Min => colName(m.column()).flatMap(n =>
+          colType(n).map(dt => StructField(s"min_$n", dt)))
+        case m: Max => colName(m.column()).flatMap(n =>
+          colType(n).map(dt => StructField(s"max_$n", dt)))
+        case _ => None
+      }
+      if (aggFields.exists(_.isEmpty)) return None
+      // interior folds, one row of aggregate values per group
+      val interiorByGroup: Map[Seq[Any], Seq[Any]] = {
+        val byGroup = gInterior
+          .map(e => (names.toSeq.map(n => groupVal(e, n).get), e))
+          .groupBy(_._1).toSeq
+        val folded = byGroup.map { case (tuple, pairs) =>
+          foldAggs(pairs.map(_._2)).map(vals =>
+            tuple -> vals.map(_._2))
+        }
+        if (folded.exists(_.isEmpty)) return None
+        folded.flatten.toMap
+      }
+      val residualByGroup: Map[Seq[Any], Seq[Any]] =
+        if (gResidual.isEmpty) Map.empty
+        else {
+          // the residual read's ORC SARG is Java-ordered: exotic string
+          // literals decline (same guard as the scan's SARG channel)
+          if (!consumedFilters.forall(GraftSargGuard.orderSafe))
+            return None
+          val conds = consumedConjs.map(c =>
+            condCol(c).getOrElse(return None))
+          val aggCols = aggColsOf().getOrElse(return None)
+          val F = org.apache.spark.sql.functions
+          val read0 = SnapshotTable.readFilesMor(spark, dir, gResidual,
+            Nil, SnapshotTable.snapshotSchema(spark, dir, pinnedVersion))
+          // one bounded job; result height = #groups in the residual
+          // slice — the same order as the pushed result itself
+          val resRows = conds.foldLeft(read0)(_ where _)
+            .groupBy(names.map(F.col): _*)
+            .agg(aggCols.head, aggCols.tail: _*).collect().toSeq
+          resRows.map { r =>
+            val tuple = names.indices.map(i => extToInternal(r.get(i)))
+            val vals = agg.aggregateExpressions().toSeq.zipWithIndex
+              .map { case (ae, i) =>
+                val v = r.get(names.length + i)
+                ae match {
+                  case _: CountStar | _: Count => v.asInstanceOf[Long]
+                  case _ => extToInternal(v)
+                }
+              }
+            (tuple: Seq[Any]) -> (vals: Seq[Any])
+          }.toMap
+        }
+      val rows = (interiorByGroup.keySet ++ residualByGroup.keySet)
+        .toSeq.map { tuple =>
+          val iv = interiorByGroup.get(tuple)
+          val rv = residualByGroup.get(tuple)
+          val vals = aggFields.flatten.zipWithIndex.map { case (sf, i) =>
+            agg.aggregateExpressions()(i) match {
+              case _: CountStar | _: Count =>
+                (iv.map(_(i).asInstanceOf[Long]).getOrElse(0L) +
+                  rv.map(_(i).asInstanceOf[Long]).getOrElse(0L)): Any
+              case _: Min => mergeMinMax(sf.dataType,
+                iv.map(_(i)).orNull, rv.map(_(i)).orNull, isMin = true)
+              case _ => mergeMinMax(sf.dataType,
+                iv.map(_(i)).orNull, rv.map(_(i)).orNull, isMin = false)
+            }
+          }
+          (tuple ++ vals).toArray
+        }
+      if (gResidual.nonEmpty)
+        SnapshotTableScan.lastHybridAgg.put(dir,
+          (gResidual.size, files.size))
+      Some((StructType(gFields ++ aggFields.flatten), rows,
+        gResidual.size))
     }
   }
 
@@ -1547,12 +1678,17 @@ private[sources] class SnapshotTableScan(
     * when reporting [[KeyGroupedPartitioning]] is sound: the SPJ conf
     * is on, the spec is identity/bucket-only (truncate has no catalog
     * function), every transform column survives projection (Spark
-    * resolves the clustering keys against the scan output), EVERY kept
-    * file is stamped under the current spec, and no merge-on-read
-    * deletes are pending (per-tuple partitions cannot carry the
-    * per-file delete obligations packMor encodes). Anything unprovable
-    * reports UnknownPartitioning — the join then shuffles, which is
-    * always correct. */
+    * resolves the clustering keys against the scan output), and EVERY
+    * kept file is stamped under the current spec. Pending merge-on-read
+    * deletes do NOT disable key grouping (r17, VERDICT r16 #3): deletes
+    * only REMOVE rows, so each tuple's partition still holds exactly
+    * its key's rows — planInputPartitions sub-groups each tuple's files
+    * by delete obligation (same-key partitions, Spark's own
+    * key-grouping machinery re-merges them) and the reader anti-applies
+    * the sidecars per sub-group. A steady-state MOR table keeps its
+    * shuffle-free joins between maintenance windows. Anything
+    * unprovable reports UnknownPartitioning — the join then shuffles,
+    * which is always correct. */
   private lazy val keyGrouped: Option[(
       Seq[graft.sinks.TablePartitioning.PTransform],
       Seq[(Seq[Option[String]], Seq[SnapshotTable.FileEntry])])] = {
@@ -1564,7 +1700,7 @@ private[sources] class SnapshotTableScan(
             case _ => false
           } && ts.forall(t => required.fieldNames.contains(t.col)) =>
         val (files, dels) = staticState
-        if (dels.nonEmpty || files.isEmpty) None
+        if (files.isEmpty) None
         else {
           val stamped = files.map(e =>
             ts.zipWithIndex.map { case (t, i) => stampedValue(e, t, i) })
@@ -1732,6 +1868,23 @@ private[sources] class SnapshotTableScan(
               val span = st.flatMap(_.max).max - st.flatMap(_.min).min + 1
               Some(math.min(math.max(0L, rows - nulls),
                 math.max(1.0, span).toLong))
+            case Some(org.apache.spark.sql.types.StringType) =>
+              // r17 (VERDICT r16 #5): per-file HLL sketches (the
+              // opt-in graft.stats.ndv channel) MERGE at plan time —
+              // string join keys get the distinct-count signal the
+              // span-bound trick cannot provide. Offered only when
+              // every non-empty kept file carries a sketch.
+              val key = SnapshotTable.ndvStatKey(c)
+              val sks = nonEmpty.map(_.stats.get(key).flatMap(_.minStr))
+              if (sks.exists(_.isEmpty)) None
+              else scala.util.Try {
+                val u = new org.apache.datasketches.hll.Union(12)
+                val dec = java.util.Base64.getDecoder
+                sks.flatten.foreach(b64 => u.update(
+                  org.apache.datasketches.hll.HllSketch.heapify(
+                    dec.decode(b64))))
+                math.max(1L, math.round(u.getEstimate))
+              }.toOption
             case _ => None
           }
         colStats.put(
@@ -1778,14 +1931,29 @@ private[sources] class SnapshotTableScan(
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      // key-grouped plan: ONE partition per stamped tuple (sorted, the
+      // key-grouped plan: partitions per stamped tuple (sorted, the
       // order outputPartitioning counted), each carrying its partition
-      // key for Spark's storage-partitioned join machinery
+      // key for Spark's storage-partitioned join machinery. Pending
+      // merge-on-read deletes sub-group a tuple's files by obligation
+      // (r17): several same-key partitions, each carrying exactly the
+      // sidecars that outrank its files — Spark's key-grouping merges
+      // same-key partitions back into one task, and the reader
+      // anti-applies each sub-group's sidecars before emitting rows.
       keyGrouped.foreach { case (ts, groups) =>
-        return groups.map { case (tuple, fs) =>
-          GraftTablePartition(
-            fs.map(e => s"$dir/${e.path}").toArray,
-            key = keyRow(ts, tuple)): InputPartition
+        val dels = staticState._2
+        return groups.flatMap { case (tuple, fs) =>
+          SnapshotTable.morGroups(fs, dels).map { case (gfs, ds) =>
+            val morFilters = ds.groupBy(_.keyCol).toSeq.sortBy(_._1)
+              .flatMap { case (kc, group) =>
+                fullSchema.fields.find(_.name == kc).map(f => MorFilter(
+                  group.map(d => s"$dir/${d.path}").toArray, kc,
+                  f.dataType.json))
+              }.toArray
+            GraftTablePartition(
+              gfs.map(e => s"$dir/${e.path}").toArray,
+              morFilters,
+              key = keyRow(ts, tuple)): InputPartition
+          }
         }.toArray
       }
       val (staticFiles, dels) = staticState
@@ -2319,8 +2487,62 @@ private[sources] class SnapshotTableMicroBatchStream(
 
 // ---- streaming write (exactly-once epoch commits) --------------------------
 
-private[sources] case class GraftStreamMsg(rel: String, rows: Long)
+/** One landed file of a task-local writer: its table-relative path,
+  * row count, and (when the writer tuple-routed a partition-spec'd
+  * table) the file's partition tuple — canonical component strings,
+  * null component = the rows' transform value is null, null array =
+  * unrouted file (stamps stay absent -> conservative keep). */
+private[sources] case class GraftStreamFile(rel: String, rows: Long,
+    tuple: Array[String] = null) extends Serializable
+
+private[sources] case class GraftStreamMsg(files: Array[GraftStreamFile])
   extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Shared stamping/spec plumbing for the task-local write paths
+  * (streaming epochs, DML delta/replace writers) — the batch stager
+  * (`writeBatch`) stamps via partitionBy directories; these writers
+  * never relayout, so they route rows per tuple IN the task and carry
+  * the tuple through the commit message instead. Unlike the directory
+  * channel, the in-task tuple DISTINGUISHES null from `""`/marker
+  * strings, so string channels stamp exactly here. */
+private[sources] object StreamTupleStamp {
+  import graft.sinks.TablePartitioning
+
+  /** The table's renderable spec when EVERY transform column is in
+    * `schema` — else "" (writers then stay single-file, files land
+    * unstamped, readers keep them conservatively). */
+  def specRenderFor(spark: SparkSession, dir: String,
+      schema: StructType): String =
+    try TablePartitioning.specOf(
+        SnapshotTable.tablePropertiesCached(spark, dir))
+      .filter(_.forall(t => schema.fieldNames.contains(t.col)))
+      .map(_.map(_.render).mkString(",")).getOrElse("")
+    catch { case _: Exception => "" }
+
+  /** Merge tuple stamps into harvested entries (keyed by rel path). */
+  def stamp(entries: Seq[SnapshotTable.FileEntry],
+      tupleOf: Map[String, Array[String]],
+      specRender: String): Seq[SnapshotTable.FileEntry] = {
+    if (specRender.isEmpty) return entries
+    val ts = scala.util.Try(TablePartitioning.parse(specRender))
+      .getOrElse(return entries)
+    entries.map { e =>
+      tupleOf.get(e.path).filter(t =>
+        t != null && t.length == ts.length) match {
+        case Some(tp) =>
+          e.copy(stats = e.stats ++ ts.zipWithIndex.map { case (t, i) =>
+            t.statKey(i) -> (Option(tp(i)) match {
+              case None =>
+                SnapshotTable.ColStats(None, None, None, None, e.rows)
+              case Some(v) =>
+                SnapshotTable.ColStats(None, None, Some(v), Some(v), 0)
+            })
+          })
+        case None => e
+      }
+    }
+  }
+}
 
 /** Native streaming SINK: `df.writeStream.format("graft-table")
   * .start(dir)`. Executors write each micro-batch's partitions as ORC
@@ -2343,21 +2565,32 @@ private[sources] class GraftStreamingWrite(
 
   private val token = java.util.UUID.randomUUID().toString.take(12)
 
+  /** The table's partition spec, resolved ONCE on the driver — epoch
+    * task writers tuple-route with it and every streamed file lands
+    * stamped, so exact pruning and storage-partitioned joins work on
+    * tables that were never batch-written (r17, VERDICT r16 #8). */
+  private val specRender =
+    StreamTupleStamp.specRenderFor(SparkSession.active, dir, schema)
+
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
     new GraftStreamWriterFactory(dir, schema, token,
-      new SerConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerConf(SparkSession.active.sessionState.newHadoopConf()),
+      specRender)
 
   override def commit(epochId: Long,
                       messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
-    val rels = messages.collect {
-      case GraftStreamMsg(rel, _) if rel != null => rel
-    }.toSeq
+    val files = messages.collect {
+      case GraftStreamMsg(fs) => fs.toSeq
+    }.toSeq.flatten.filter(_.rel != null)
+    val rels = files.map(_.rel)
     val abs = rels.map(r => s"$dir/$r")
     val relOf = abs.zip(rels).toMap
-    val entries = SnapshotTable.harvest(spark, abs, statsCols)
-      .map(e => e.copy(path = relOf(e.path)))
+    val entries = StreamTupleStamp.stamp(
+      SnapshotTable.harvest(spark, abs, statsCols)
+        .map(e => e.copy(path = relOf(e.path))),
+      files.map(f => f.rel -> f.tuple).toMap, specRender)
     // empty epochs still commit (zero entries): the txn high-water must
     // advance or a recovery replay could double-apply a later epoch
     SnapshotTable.publish(spark, dir, "append", entries, maxRetries = 5,
@@ -2371,8 +2604,8 @@ private[sources] class GraftStreamingWrite(
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     messages.foreach {
-      case GraftStreamMsg(rel, _) if rel != null =>
-        scala.util.Try(f.delete(new Path(s"$dir/$rel"), false))
+      case GraftStreamMsg(fs) => fs.filter(_.rel != null).foreach(x =>
+        scala.util.Try(f.delete(new Path(s"$dir/${x.rel}"), false)))
       case _ =>
     }
   }
@@ -2380,35 +2613,143 @@ private[sources] class GraftStreamingWrite(
 
 private[sources] class GraftStreamWriterFactory(
     dir: String, schema: org.apache.spark.sql.types.StructType,
-    token: String, conf: SerConf)
+    token: String, conf: SerConf, specRender: String = "")
   extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftStreamDataWriter(dir,
       f"data/stream-$token/epoch-$epochId%020d/part-$partitionId%05d-$taskId.orc",
-      schema, conf.value)
+      schema, conf.value, specRender)
 }
 
 private[sources] class GraftStreamDataWriter(
     dir: String, rel: String,
-    schema: org.apache.spark.sql.types.StructType, conf: Configuration)
+    schema: org.apache.spark.sql.types.StructType, conf: Configuration,
+    specRender: String = "")
   extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
 
+  import graft.sinks.TablePartitioning
+  import org.apache.spark.sql.types._
+
   private val ser = new GraftOrcBridge.RowSer(schema)
-  private var w: org.apache.orc.mapreduce.OrcMapreduceRecordWriter[OrcStruct] = _
-  private var n = 0L
+
+  // ---- tuple routing (r17): a partition-spec'd table's task writer
+  // opens one file PER TUPLE it sees, so every landed file is
+  // single-tuple and stampable — the in-task twin of the batch
+  // stager's partitionBy. Unsupported shapes deactivate routing
+  // entirely (single unstamped file, conservative read).
+  private val spec: Seq[TablePartitioning.PTransform] =
+    if (specRender.isEmpty) Nil
+    else scala.util.Try(TablePartitioning.parse(specRender)).toOption
+      .filter(_.forall(t => schema.fieldNames.contains(t.col)))
+      .getOrElse(Nil)
+  private val ords = spec.map(t => schema.fieldIndex(t.col)).toArray
+  private val dts = spec.map(t => schema(t.col).dataType).toArray
+  private def evaluable(t: TablePartitioning.PTransform,
+      dt: DataType): Boolean = (t, dt) match {
+    case (_: TablePartitioning.PIdentity, ByteType | ShortType |
+          IntegerType | LongType | StringType | DateType) => true
+    case (_: TablePartitioning.PBucket, ByteType | ShortType |
+          IntegerType | LongType | StringType | DateType) => true
+    case (_: TablePartitioning.PTruncate, ByteType | ShortType |
+          IntegerType | LongType | StringType) => true
+    case _ => false
+  }
+  private val active = spec.nonEmpty &&
+    spec.zip(dts).forall { case (t, dt) => evaluable(t, dt) }
+
+  /** The row's canonical component for transform `i` (null = SQL null;
+    * identical strings to the batch stamp channel / valueOfLiteral). */
+  private def component(row: InternalRow, i: Int): String = {
+    if (row.isNullAt(ords(i))) return null
+    val ord = ords(i)
+    spec(i) match {
+      case TablePartitioning.PIdentity(_) => dts(i) match {
+        case StringType => row.getUTF8String(ord).toString
+        case LongType => row.getLong(ord).toString
+        case IntegerType => row.getInt(ord).toString
+        case ShortType => row.getShort(ord).toString
+        case ByteType => row.getByte(ord).toString
+        case DateType =>
+          java.time.LocalDate.ofEpochDay(row.getInt(ord).toLong).toString
+        case _ => null
+      }
+      case TablePartitioning.PBucket(n, _) =>
+        val b = dts(i) match {
+          case StringType =>
+            TablePartitioning.bucketOf(row.getUTF8String(ord), n)
+          case LongType => TablePartitioning.bucketOf(row.getLong(ord), n)
+          case IntegerType | DateType =>
+            TablePartitioning.bucketOf(row.getInt(ord), n)
+          case ShortType => TablePartitioning.bucketOf(row.getShort(ord), n)
+          case ByteType => TablePartitioning.bucketOf(row.getByte(ord), n)
+          case _ => return null
+        }
+        b.toString
+      case TablePartitioning.PTruncate(n, _) => dts(i) match {
+        case StringType =>
+          val s = row.getUTF8String(ord).toString
+          if (s.codePointCount(0, s.length) <= n) s
+          else s.substring(0, s.offsetByCodePoints(0, n))
+        case _ =>
+          val l = dts(i) match {
+            case LongType => row.getLong(ord)
+            case IntegerType => row.getInt(ord).toLong
+            case ShortType => row.getShort(ord).toLong
+            case _ => row.getByte(ord).toLong
+          }
+          (l - (((l % n) + n) % n)).toString
+      }
+    }
+  }
+
+  private final class Sink(val rel: String, val tuple: Array[String]) {
+    val w = new org.apache.orc.mapreduce
+      .OrcMapreduceRecordWriter[OrcStruct](
+      OrcFile.createWriter(new Path(s"$dir/$rel"),
+        OrcFile.writerOptions(conf)
+          .setSchema(GraftOrcBridge.orcTypeDescription(schema))
+          .overwrite(true)))
+    var n = 0L
+  }
+
+  /** Beyond this many open per-tuple writers the task falls back to
+    * ONE unstamped overflow file (ORC writers buffer per file; an
+    * unbounded tuple fan-out would exhaust task memory). Readers keep
+    * unstamped files conservatively, so the cap never affects
+    * correctness — a high-cardinality stream should pre-partition
+    * upstream (`graft.write.distribution=hash` on the batch path). */
+  private val MaxOpenWriters = 64
+
+  private val base = rel.stripSuffix(".orc")
+  private val sinks =
+    scala.collection.mutable.LinkedHashMap.empty[List[String], Sink]
+  private var plain: Sink = null // unrouted / overflow / inactive
+
+  private def sinkFor(row: InternalRow): Sink = {
+    if (!active) {
+      if (plain == null) plain = new Sink(rel, null)
+      return plain
+    }
+    val tuple = Array.tabulate(spec.length)(component(row, _))
+    val key = tuple.toList
+    sinks.getOrElse(key, {
+      if (sinks.size >= MaxOpenWriters) {
+        if (plain == null) plain = new Sink(s"$base-gx.orc", null)
+        plain
+      } else {
+        val s = new Sink(s"$base-g${sinks.size}.orc", tuple)
+        sinks.put(key, s)
+        s
+      }
+    })
+  }
 
   override def write(row: InternalRow): Unit = {
-    if (w == null) { // empty partitions never create a file
-      w = new org.apache.orc.mapreduce.OrcMapreduceRecordWriter[OrcStruct](
-        OrcFile.createWriter(new Path(s"$dir/$rel"),
-          OrcFile.writerOptions(conf)
-            .setSchema(GraftOrcBridge.orcTypeDescription(schema))
-            .overwrite(true)))
-    }
-    w.write(org.apache.hadoop.io.NullWritable.get(), ser.toOrc(row))
-    n += 1
+    val s = sinkFor(row) // empty partitions never create a file
+    s.w.write(org.apache.hadoop.io.NullWritable.get(), ser.toOrc(row))
+    s.n += 1
   }
 
   /** Row-level (ReplaceData) writes arrive as (metadata, row) pairs —
@@ -2418,20 +2759,31 @@ private[sources] class GraftStreamDataWriter(
   override def write(metadata: InternalRow, row: InternalRow): Unit =
     write(row)
 
+  private def allSinks: Seq[Sink] =
+    sinks.values.toSeq ++ Option(plain).toSeq
+
   override def commit()
       : org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    if (w != null) { w.close(null); w = null }
-    GraftStreamMsg(if (n > 0) rel else null, n)
+    val out = allSinks.map { s =>
+      s.w.close(null)
+      GraftStreamFile(if (s.n > 0) s.rel else null, s.n, s.tuple)
+    }
+    sinks.clear(); plain = null
+    GraftStreamMsg(out.filter(_.rel != null).toArray)
   }
 
   override def abort(): Unit = {
-    if (w != null) { scala.util.Try(w.close(null)); w = null }
     val f = new Path(dir).getFileSystem(conf)
-    scala.util.Try(f.delete(new Path(s"$dir/$rel"), false))
+    allSinks.foreach { s =>
+      scala.util.Try(s.w.close(null))
+      scala.util.Try(f.delete(new Path(s"$dir/${s.rel}"), false))
+    }
+    sinks.clear(); plain = null
   }
 
-  override def close(): Unit =
-    if (w != null) { scala.util.Try(w.close(null)); w = null }
+  override def close(): Unit = {
+    allSinks.foreach(s => scala.util.Try(s.w.close(null)))
+  }
 }
 
 /** One SQL row-level command's lifetime (group-based / copy-on-write —
@@ -2683,17 +3035,26 @@ private[sources] class GraftReplaceDataWrite(
 
   private val token = java.util.UUID.randomUUID().toString.take(12)
 
+  /** COW replacement files tuple-route too (r17): a DML rewrite on a
+    * partition-spec'd table keeps its replacement files stamped, so
+    * exact pruning and SPJ survive row-level commands without waiting
+    * for the next compact. */
+  private val specRender =
+    StreamTupleStamp.specRenderFor(SparkSession.active, dir, schema)
+
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
     new GraftBatchWriterFactory(dir, schema, token,
-      new SerConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerConf(SparkSession.active.sessionState.newHadoopConf()),
+      specRender)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val (readVersion, replaced) = op.pinnedGroups
-    val rels = messages.collect {
-      case GraftStreamMsg(rel, _) if rel != null => rel
-    }.toSeq
+    val msgFiles = messages.collect {
+      case GraftStreamMsg(fs) => fs.toSeq
+    }.toSeq.flatten.filter(_.rel != null)
+    val rels = msgFiles.map(_.rel)
     // nothing scanned and nothing rewritten: a provably-no-op command
     // (condition pruned every file) — skip the version bump entirely
     if (rels.isEmpty && replaced.isEmpty) return
@@ -2702,8 +3063,10 @@ private[sources] class GraftReplaceDataWrite(
     val statsCols = snapshot.flatMap(_.stats.keys).distinct
     val abs = rels.map(r => s"$dir/$r")
     val relOf = abs.zip(rels).toMap
-    val fresh = SnapshotTable.harvest(spark, abs, statsCols)
-      .map(e => e.copy(path = relOf(e.path)))
+    val fresh = StreamTupleStamp.stamp(
+      SnapshotTable.harvest(spark, abs, statsCols)
+        .map(e => e.copy(path = relOf(e.path))),
+      msgFiles.map(f => f.rel -> f.tuple).toMap, specRender)
     val replacedPaths = replaced.map(_.path).toSet
     val carried = snapshot.filterNot(e => replacedPaths.contains(e.path))
     val schema = SnapshotTable.snapshotSchema(spark, dir,
@@ -2733,22 +3096,23 @@ private[sources] class GraftReplaceDataWrite(
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     messages.foreach {
-      case GraftStreamMsg(rel, _) if rel != null =>
-        scala.util.Try(f.delete(new Path(s"$dir/$rel"), false))
+      case GraftStreamMsg(fs) => fs.filter(_.rel != null).foreach(x =>
+        scala.util.Try(f.delete(new Path(s"$dir/${x.rel}"), false)))
       case _ =>
     }
   }
 }
 
 private[sources] class GraftBatchWriterFactory(
-    dir: String, schema: StructType, token: String, conf: SerConf)
+    dir: String, schema: StructType, token: String, conf: SerConf,
+    specRender: String = "")
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
     new GraftStreamDataWriter(dir,
       f"data/dml-$token/part-$partitionId%05d-$taskId.orc",
-      schema, conf.value)
+      schema, conf.value, specRender)
 }
 
 /** Delta-based (merge-on-read) row-level operation: SQL UPDATE planned
@@ -2795,8 +3159,8 @@ private[sources] class GraftDeltaOperation(
 }
 
 private[sources] case class GraftDeltaMsg(
-    rowRel: String, keyRel: String, rows: Long, keys: Long)
-  extends WriterCommitMessage
+    rowFiles: Array[GraftStreamFile], keyRel: String, rows: Long,
+    keys: Long) extends WriterCommitMessage
 
 private[sources] class GraftDeltaBatchWrite(
     dir: String, rowSchema: StructType, keyCol: String,
@@ -2805,15 +3169,23 @@ private[sources] class GraftDeltaBatchWrite(
 
   private val token = java.util.UUID.randomUUID().toString.take(12)
 
+  /** MOR replacement/insert rows tuple-route too (r17): a rowupdate
+    * commit's fresh files land stamped, so storage-partitioned joins
+    * survive MOR UPDATE/MERGE without waiting for a compact. */
+  private val specRender =
+    StreamTupleStamp.specRenderFor(SparkSession.active, dir, rowSchema)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.DeltaWriterFactory =
     new GraftDeltaWriterFactory(dir, token, rowSchema, keyCol, keyType,
-      new SerConf(SparkSession.active.sessionState.newHadoopConf()))
+      new SerConf(SparkSession.active.sessionState.newHadoopConf()),
+      specRender)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
     val msgs = messages.collect { case m: GraftDeltaMsg => m }
-    val rowRels = msgs.collect { case m if m.rowRel != null => m.rowRel }
+    val rowFiles = msgs.flatMap(_.rowFiles).filter(_.rel != null)
+    val rowRels = rowFiles.map(_.rel).toSeq
     val keyRels = msgs.collect { case m if m.keyRel != null => m.keyRel }
     if (rowRels.isEmpty && keyRels.isEmpty) return // no-op command
     val schema = SnapshotTable.snapshotSchema(spark, dir, None)
@@ -2825,7 +3197,9 @@ private[sources] class GraftDeltaBatchWrite(
       SnapshotTable.harvest(spark, abs, cols)
         .map(e => e.copy(path = relOf(e.path)))
     }
-    val rowEntries = entriesOf(rowRels, statsCols)
+    val rowEntries = StreamTupleStamp.stamp(
+      entriesOf(rowRels, statsCols),
+      rowFiles.map(f => f.rel -> f.tuple).toMap, specRender)
     val keyEntries = entriesOf(keyRels, Nil).map(e =>
       SnapshotTable.DeleteEntry(e.path, e.rows, e.bytes, keyCol))
     // Duplicated-key hazard detection (ADVICE r15): the equality delete
@@ -2889,9 +3263,10 @@ private[sources] class GraftDeltaBatchWrite(
     val f = new Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     messages.foreach {
-      case GraftDeltaMsg(rowRel, keyRel, _, _) =>
-        Seq(rowRel, keyRel).filter(_ != null).foreach(r =>
-          scala.util.Try(f.delete(new Path(s"$dir/$r"), false)))
+      case GraftDeltaMsg(rowFiles, keyRel, _, _) =>
+        (Option(rowFiles).toSeq.flatten.map(_.rel) ++ Option(keyRel))
+          .filter(_ != null).foreach(r =>
+            scala.util.Try(f.delete(new Path(s"$dir/$r"), false)))
       case _ =>
     }
   }
@@ -2899,13 +3274,14 @@ private[sources] class GraftDeltaBatchWrite(
 
 private[sources] class GraftDeltaWriterFactory(
     dir: String, token: String, rowSchema: StructType, keyCol: String,
-    keyType: org.apache.spark.sql.types.DataType, conf: SerConf)
+    keyType: org.apache.spark.sql.types.DataType, conf: SerConf,
+    specRender: String = "")
   extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, token, partitionId, taskId, rowSchema,
-      keyCol, keyType, conf.value)
+      keyCol, keyType, conf.value, specRender)
 }
 
 /** Per-task delta writer: matched keys stream into a key sidecar
@@ -2916,14 +3292,16 @@ private[sources] class GraftDeltaWriterFactory(
 private[sources] class GraftDeltaWriter(
     dir: String, token: String, partitionId: Int, taskId: Long,
     rowSchema: StructType, keyCol: String,
-    keyType: org.apache.spark.sql.types.DataType, conf: Configuration)
+    keyType: org.apache.spark.sql.types.DataType, conf: Configuration,
+    specRender: String = "")
   extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
 
   private val rowRel =
     f"data/dml-$token/part-$partitionId%05d-$taskId.orc"
   private val keyRel =
     f"data/dml-$token-del/key-$partitionId%05d-$taskId.orc"
-  private val rowW = new GraftStreamDataWriter(dir, rowRel, rowSchema, conf)
+  private val rowW =
+    new GraftStreamDataWriter(dir, rowRel, rowSchema, conf, specRender)
   private val keySchema = StructType(Seq(
     org.apache.spark.sql.types.StructField(keyCol, keyType)))
   private val keyW = new GraftStreamDataWriter(dir, keyRel, keySchema, conf)
@@ -2957,9 +3335,10 @@ private[sources] class GraftDeltaWriter(
   }
 
   override def commit(): WriterCommitMessage = {
-    rowW.commit(); keyW.commit()
-    GraftDeltaMsg(if (nRows > 0) rowRel else null,
-      if (nKeys > 0) keyRel else null, nRows, nKeys)
+    val rowMsg = rowW.commit().asInstanceOf[GraftStreamMsg]
+    keyW.commit()
+    GraftDeltaMsg(rowMsg.files, if (nKeys > 0) keyRel else null,
+      nRows, nKeys)
   }
 
   override def abort(): Unit = { rowW.abort(); keyW.abort() }

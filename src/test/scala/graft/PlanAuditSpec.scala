@@ -124,7 +124,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkSessionTestWrapper {
     // r14: the DSv2 read path (manifest-planned scan + broadcast 1-row
     // v0 aggregate), the columnar-checkpoint replay scan, and the
     // restored-head scan — all must stay free of cartesians/BNLJ
-    "conv_table_dsv2", "conv_table_ckpt_orc", "conv_table_restore")
+    "conv_table_dsv2", "conv_table_ckpt_orc", "conv_table_restore",
+    // r17 (VERDICT r16 #6): the four r16 table gates join the walkers —
+    // exact tuple pruning, the storage-partitioned join pair (their
+    // in-gate plan verdicts pin no-Exchange; here they additionally
+    // prove no cartesian/BNLJ), MERGE-through-MOR and the MOR debt
+    // lifecycle, plus this round's spec-evolution gate
+    "conv_table_partition_prune", "conv_table_bucket_join",
+    "conv_table_mor_merge", "conv_table_compact_mor",
+    "conv_table_partition_evolve")
 
   /** Plans whose unpartitioned window is over a frame that is bounded BY
     * AGGREGATION rather than by a limit: GlobalIds' offsets prefix-sum

@@ -208,14 +208,20 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     val m = t.groupBy(col("id") % 2 === 0).count() // expression: declines
     assert(!pushed(m))
     assert(m.count() === 2)
-    // append ONE file spanning two cats: group push declines, values exact
+    // append ONE file spanning two cats: that file routes to the
+    // RESIDUAL read (grouped hybrid, r17 — was a full decline) — still
+    // pushed, and only the multi-valued file is scanned
     SnapshotTable.commit(spark,
       Seq((100L, "a"), (101L, "b")).toDF("id", "cat").coalesce(1),
       dir, "append", statsCols = Seq("id", "cat"))
     val t2 = spark.read.format("graft-table").load(dir)
     val g2 = t2.groupBy(col("cat")).agg(count(lit(1)).as("n"))
-    assert(!pushed(g2))
-    assert(g2.filter(col("cat") === "a").head().getLong(1) === 11L)
+    assert(pushed(g2), g2.queryExecution.executedPlan.toString)
+    val g2r = g2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2r === Map("a" -> 11L, "b" -> 11L, "c" -> 10L))
+    val hybG = graft.sources.SnapshotTableScan.lastHybridAgg.get(dir)
+    assert(hybG != null && hybG._1 === 1,
+      s"expected exactly one residual file read, got $hybG")
     // grouped AND filtered, both provable: cat groups under id <= 9
     // (file-aligned: exactly the first file)
     val gf = t.filter(col("id") <= 9).groupBy(col("cat"))
@@ -224,6 +230,96 @@ class SnapshotTableAggPushSpec extends AnyFunSuite
     val gfr = gf.collect()
     assert(gfr.length === 1 && gfr(0).getString(0) === "a" &&
       gfr(0).getLong(1) === 10L)
+  }
+
+  test("GROUP BY + a straddling range filter pushes HYBRID (r17): " +
+    "interior groups fold from footers, straddlers read, merge exact") {
+    val dir = freshDir()
+    // one file per cat with disjoint id ranges: a=[0,10) b=[10,20)
+    // c=[20,30)
+    Seq("a", "b", "c").zipWithIndex.foreach { case (c, i) =>
+      val df = (0L until 10L).map(j => (i * 10L + j, c))
+        .toDF("id", "cat")
+      SnapshotTable.commit(spark, df.coalesce(1), dir,
+        if (i == 0) "overwrite" else "append",
+        statsCols = Seq("id", "cat"))
+    }
+    val t = spark.read.format("graft-table").load(dir)
+    // id <= 14: file a interior (fully satisfied), file b straddles ->
+    // residual read, file c box-pruned entirely
+    val g = t.filter(col("id") <= 14).groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    assert(pushed(g), g.queryExecution.executedPlan.toString)
+    val rows = g.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows === Map("a" -> ((10L, 0L, 9L)), "b" -> ((5L, 10L, 14L))))
+    val hyb = graft.sources.SnapshotTableScan.lastHybridAgg.get(dir)
+    assert(hyb != null && hyb._1 === 1 && hyb._2 === 2,
+      s"expected 1 straddler of 2 kept files, got $hyb")
+    // null group keys ride the residual read: a mixed file with a null
+    // cat row still pushes and groups exactly
+    SnapshotTable.commit(spark,
+      Seq((100L, null: String), (101L, "a")).toDF("id", "cat")
+        .coalesce(1), dir, "append", statsCols = Seq("id", "cat"))
+    val t2 = spark.read.format("graft-table").load(dir)
+    val g2 = t2.groupBy(col("cat")).agg(count(lit(1)).as("n"))
+    assert(pushed(g2), g2.queryExecution.executedPlan.toString)
+    val m2 = g2.collect().map(r =>
+      (if (r.isNullAt(0)) "<null>" else r.getString(0)) -> r.getLong(1))
+      .toMap
+    assert(m2 === Map("a" -> 11L, "b" -> 10L, "c" -> 10L,
+      "<null>" -> 1L))
+    // grouped double MIN answered ONLY by the exact residual read (the
+    // footer channel can never fold doubles): pushes, values exact
+    val dd = freshDir()
+    SnapshotTable.commit(spark,
+      Seq((1L, "a", 2.5), (2L, "a", 1.5), (3L, "b", 7.25))
+        .toDF("id", "cat", "v").coalesce(1),
+      dd, "overwrite", statsCols = Seq("id", "cat", "v"))
+    val gd = spark.read.format("graft-table").load(dd)
+      .groupBy(col("cat")).agg(min(col("v")).as("mv"))
+    assert(pushed(gd), gd.queryExecution.executedPlan.toString)
+    assert(gd.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .toMap === Map("a" -> 1.5, "b" -> 7.25))
+    // grouped TIMESTAMP min/max still declines (external Timestamp is
+    // not an internal value); the plain scan answers
+    val td = freshDir()
+    SnapshotTable.commit(spark,
+      Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (2L, "a", java.sql.Timestamp.valueOf("2024-06-01 00:00:00")),
+        (3L, "b", java.sql.Timestamp.valueOf("2024-03-01 00:00:00")))
+        .toDF("id", "cat", "ts").coalesce(1),
+      td, "overwrite", statsCols = Seq("id", "cat"))
+    val gt = spark.read.format("graft-table").load(td)
+      .groupBy(col("cat")).agg(max(col("ts")).as("mt"))
+    assert(!pushed(gt))
+    assert(gt.filter(col("cat") === "a").head().getTimestamp(1) ===
+      java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+  }
+
+  test("GROUP BY an identity-PARTITION column folds from the tuple " +
+    "stamps alone (column never harvested) — metadata-only, with a " +
+    "straddling bound hybrid (r17)") {
+    val dir = freshDir()
+    val df = (0L until 90L).map(i => (i, s"s${i % 3}"))
+      .toDF("id", "cat")
+    // statsCols deliberately EXCLUDES cat: the identity stamp is the
+    // only single-valuedness proof
+    graft.sinks.SnapshotTable.commit(spark,
+      df.repartitionByRange(3, col("id")), dir, "overwrite",
+      statsCols = Seq("id"),
+      props = Map(graft.sinks.TablePartitioning.Prop -> "identity(cat)"))
+    val t = spark.read.format("graft-table").load(dir)
+    val g = t.groupBy(col("cat")).agg(count(lit(1)).as("n"))
+    assert(pushed(g), g.queryExecution.executedPlan.toString)
+    assert(g.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("s0" -> 30L, "s1" -> 30L, "s2" -> 30L))
+    // + a straddling bound: interior tuples fold, straddler file read
+    val gf = t.filter(col("id") <= 40).groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"))
+    assert(pushed(gf), gf.queryExecution.executedPlan.toString)
+    assert(gf.collect().map(_.getLong(1)).sum === 41L)
   }
 
   test("a consumed filter stays exact on a STREAMING tail: files " +

@@ -128,6 +128,77 @@ class SnapshotTablePartitionSpec extends AnyFunSuite
     }
   }
 
+  test("storage-partitioned join survives PENDING MOR delete debt: no " +
+    "Exchange AND the deleted rows are gone (r17, VERDICT r16 #3)") {
+    val a = freshDir()
+    val b = freshDir()
+    stage(a, "bucket(4,id)")
+    stage(b, "bucket(4,id)", n = 150)
+    // un-compacted equality-delete sidecar on the larger side
+    SnapshotTable.deleteByKeys(spark, a, "id",
+      Seq(3L, 7L, 148L).toDF("id"))
+    assert(SnapshotTable.pendingDeletes(spark, a).nonEmpty,
+      "fixture must hold un-materialized MOR debt")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        s"""SELECT t1.id, t1.v, t2.cat FROM graft.`$a` t1
+           |JOIN graft.`$b` t2 ON t1.id = t2.id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"MOR debt must not cost the storage-partitioned join:\n$plan")
+      // 150-row overlap minus the 3 deleted keys (all within [0,150))
+      assert(df.count() === 147)
+      assert(df.filter(col("id").isin(3L, 7L, 148L)).count() === 0,
+        "sidecar deletes must apply inside the key-grouped read")
+      // single-table read with debt still applies the sidecars too
+      assert(spark.read.format("graft-table").load(a).count() === 197)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("MOR SQL UPDATE tuple-routes its replacement rows: files stay " +
+    "stamped and the storage-partitioned join survives the rowupdate " +
+    "commit (r17)") {
+    val a = freshDir()
+    val b = freshDir()
+    stage(a, "bucket(4,id)")
+    stage(b, "bucket(4,id)", n = 150)
+    SnapshotTable.setTableProperties(spark, a, Map(
+      SnapshotTable.UpdateModeProp -> "mor",
+      SnapshotTable.UpdateKeyProp -> "id"))
+    spark.sql(s"UPDATE graft.`$a` SET v = v + 100 WHERE id IN (3, 7)")
+    val v = SnapshotTable.currentVersion(spark, a).get
+    assert(SnapshotTable.commitStats(spark, a, v)._1 === "rowupdate")
+    val key = TablePartitioning.PBucket(4, "id").statKey(0)
+    val files = SnapshotTable.snapshotFiles(spark, a, None)
+    assert(files.forall(_.stats.contains(key)),
+      "delta-written replacement rows must stamp their tuple")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.sql(
+        s"""SELECT t1.id, t1.v FROM graft.`$a` t1
+           |JOIN graft.`$b` t2 ON t1.id = t2.id""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"rowupdate debt must not cost the SPJ:\n$plan")
+      assert(df.count() === 150)
+      assert(df.filter(col("id") === 3L).head().getDouble(1) ===
+        3 * 1.5 + 100)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("DROP COLUMN of a partition-spec column is refused; the spec " +
     "survives and so does the data") {
     val dir = freshDir()
@@ -165,6 +236,150 @@ class SnapshotTablePartitionSpec extends AnyFunSuite
       "compact must re-stage partitioned (stamped)")
     assert(spark.read.format("graft-table").load(dir)
       .filter(col("cat") === "c1").count() === 20)
+  }
+
+  test("partition-spec EVOLUTION: re-spec on a populated table keeps " +
+    "old-spec stamps invisible (conservative), prunes exactly on the " +
+    "new-spec subset, and compact converges the layout") {
+    val dir = freshDir()
+    // epoch 1: identity(cat) over ids [0,200)
+    stage(dir, "identity(cat)")
+    val oldKey = TablePartitioning.PIdentity("cat").statKey(0)
+    val oldFiles = SnapshotTable.snapshotFiles(spark, dir, None)
+    assert(oldFiles.forall(_.stats.contains(oldKey)))
+    // epoch 2: re-spec to bucket(4,id), append ids [200,400)
+    SnapshotTable.setTableProperties(spark, dir,
+      Map(TablePartitioning.Prop -> "bucket(4,id)"))
+    val df2 = spark.range(200, 400)
+      .select(col("id"), concat(lit("c"), col("id") % 5).as("cat"),
+        (col("id") * lit(1.5)).as("v"))
+    SnapshotTable.commit(spark, df2, dir, "append",
+      statsCols = Seq("id"))
+    val newT = TablePartitioning.PBucket(4, "id")
+    val newKey = newT.statKey(0)
+    val files = SnapshotTable.snapshotFiles(spark, dir, None)
+    val (newStamped, unstamped) = files.partition(_.stats.contains(newKey))
+    assert(newStamped.nonEmpty && unstamped.nonEmpty,
+      "mixed epochs must coexist")
+    // old-spec stamps are INVISIBLE under the new spec (statKey carries
+    // the transform): old files never mis-prune, they stay conservative
+    assert(unstamped.forall(_.stats.contains(oldKey)))
+    val schema = spark.read.format("graft-table").load(dir).schema
+    val kept = TablePartitioning.prunePartitions(files, Seq(newT),
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 300L)), schema)
+    val want = TablePartitioning.bucketOf(300L, 4).toString
+    assert(kept.filter(_.stats.contains(newKey))
+      .forall(_.stats(newKey).minStr.contains(want)),
+      "new-epoch files must prune to the literal's bucket")
+    assert(unstamped.forall(kept.contains),
+      "old-epoch files must be conservatively kept")
+    // reads row-exact across the mixed layout, both epochs
+    val t = spark.read.format("graft-table").load(dir)
+    assert(t.filter(col("id") === 42L).count() === 1)
+    assert(t.filter(col("id") === 300L).count() === 1)
+    assert(t.count() === 400)
+    // compact converges: every file re-stamped under the CURRENT spec
+    SnapshotTable.compact(spark, dir, targetBytes = 64L << 20,
+      statsCols = Seq("id"))
+    val after = SnapshotTable.snapshotFiles(spark, dir, None)
+    assert(after.forall(_.stats.contains(newKey)),
+      "compact must converge the layout to the new spec")
+    assert(after.forall(!_.stats.contains(oldKey)),
+      "old-spec stamps must not survive the re-stage")
+    val kept2 = TablePartitioning.prunePartitions(after, Seq(newT),
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 300L)), schema)
+    assert(kept2.nonEmpty && kept2.size < after.size &&
+      kept2.forall(_.stats(newKey).minStr.contains(want)))
+    assert(spark.read.format("graft-table").load(dir).count() === 400)
+    assert(spark.read.format("graft-table").load(dir)
+      .filter(col("id") === 300L).count() === 1)
+    // the spec DECLARATION survived the compact's overwrite commit
+    // (r17: declarations re-carry; pre-r17 a compact silently stripped
+    // every table property) and its column is now the protected one
+    assert(SnapshotTable.tableProperties(spark, dir)
+      .get(TablePartitioning.Prop).contains("bucket(4,id)"))
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN id")
+    }
+    assert(e.getMessage.contains("partition spec"), e.getMessage)
+  }
+
+  test("SQL CREATE TABLE ... PARTITIONED BY records the spec, INSERT " +
+    "stamps tuples, CTAS inherits the machinery (r17)") {
+    val dir = freshDir() + "/t"
+    spark.sql(
+      s"""CREATE TABLE graft.`$dir` (id BIGINT, cat STRING, v DOUBLE)
+         |PARTITIONED BY (bucket(4, id), identity(cat))
+         |TBLPROPERTIES ('graft.maintenance.maxDeleteFiles'='5',
+         |  'external.noise'='x')""".stripMargin)
+    val props = SnapshotTable.tableProperties(spark, dir)
+    assert(props.get(TablePartitioning.Prop)
+      .contains("bucket(4,id),identity(cat)"))
+    assert(props.get(SnapshotTable.MaxDeleteFilesProp).contains("5"))
+    assert(!props.contains("external.noise"),
+      "non-graft TBLPROPERTIES are catalog noise, not declarations")
+    spark.sql(s"INSERT INTO graft.`$dir` " +
+      "SELECT id, concat('c', id % 3) AS cat, id * 1.5 AS v " +
+      "FROM range(100)")
+    val files = SnapshotTable.snapshotFiles(spark, dir, None)
+    val spec = TablePartitioning.parse(props(TablePartitioning.Prop))
+    assert(files.nonEmpty && files.forall(e =>
+      spec.zipWithIndex.forall { case (tt, i) =>
+        e.stats.contains(tt.statKey(i)) }),
+      "INSERT INTO a DDL-created table must stamp partition tuples")
+    val snap = spark.read.format("graft-table").load(dir)
+    assert(snap.count() === 100)
+    assert(snap.filter(col("id") === 42L).count() === 1)
+    // exact bucket pruning engages on the DDL-declared spec
+    val kept = TablePartitioning.prunePartitions(files, spec,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 42L)), snap.schema)
+    assert(kept.size < files.size)
+    // a second CREATE at the same path is refused
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir` (x INT)")
+    }
+    assert(e.getMessage != null)
+    // CTAS: create-then-write through the same machinery
+    val dir2 = freshDir() + "/t2"
+    spark.sql(s"CREATE TABLE graft.`$dir2` PARTITIONED BY (cat) " +
+      s"AS SELECT * FROM graft.`$dir`")
+    assert(spark.read.format("graft-table").load(dir2).count() === 100)
+    assert(SnapshotTable.tableProperties(spark, dir2)
+      .get(TablePartitioning.Prop).contains("identity(cat)"))
+    val files2 = SnapshotTable.snapshotFiles(spark, dir2, None)
+    val idKey = TablePartitioning.PIdentity("cat").statKey(0)
+    assert(files2.nonEmpty && files2.forall(_.stats.contains(idKey)))
+  }
+
+  test("declared properties survive overwrite commits (compact, COW " +
+    "delete); the sortOrder LAYOUT descriptor resets on a plain " +
+    "compact (r17)") {
+    val dir = freshDir()
+    stage(dir, "identity(cat)")
+    SnapshotTable.setTableProperties(spark, dir,
+      Map(SnapshotTable.MaxDeleteFilesProp -> "7"))
+    // clustered maintenance records its layout
+    SnapshotTable.cluster(spark, dir, Seq("id", "v"))
+    val p1 = SnapshotTable.tableProperties(spark, dir)
+    assert(p1.get("graft.sortOrder").exists(_.contains("id")))
+    assert(p1.get(SnapshotTable.MaxDeleteFilesProp).contains("7"))
+    assert(p1.get(TablePartitioning.Prop).contains("identity(cat)"))
+    // a COW range delete (overwrite commit): declarations survive
+    SnapshotTable.delete(spark, dir, "id", 0L, 4L)
+    val p2 = SnapshotTable.tableProperties(spark, dir)
+    assert(p2.get(SnapshotTable.MaxDeleteFilesProp).contains("7"))
+    assert(p2.get(TablePartitioning.Prop).contains("identity(cat)"))
+    // a PLAIN compact destroys the clustered layout: sortOrder resets,
+    // declarations still survive
+    SnapshotTable.compact(spark, dir, targetBytes = 64L << 20,
+      statsCols = Seq("id"))
+    val p3 = SnapshotTable.tableProperties(spark, dir)
+    assert(!p3.contains("graft.sortOrder"),
+      "a rewrite that does not re-establish the layout must not keep " +
+        "claiming it")
+    assert(p3.get(SnapshotTable.MaxDeleteFilesProp).contains("7"))
+    assert(p3.get(TablePartitioning.Prop).contains("identity(cat)"))
+    assert(SnapshotTable.read(spark, dir).count() === 195)
   }
 
   test("graft.write.distribution=hash clusters by tuple: one file per " +
@@ -254,6 +469,43 @@ class SnapshotTablePartitionSpec extends AnyFunSuite
     assert(kept.forall(_.stats.get(tr.statKey(0))
       .forall(_.minStr.contains("be"))))
     assert(TablePartitioning.valueOfLiteral(tr, "", snap.schema).isEmpty)
+  }
+
+  test("truncate counts CODE POINTS like the write side: astral-plane " +
+    "literals compute the same prefix Spark's substring stamps " +
+    "(surrogate pairs are one char)") {
+    // U+1D11E (musical G clef) is 2 UTF-16 units but ONE character;
+    // Java's String.substring(0, 2) would cut "𝄞X..." differently
+    // from Spark's code-point substring, pruning the file wrongly.
+    // (The end-to-end write of such a dir needs a UTF-8 filesystem
+    // locale the test JVM does not guarantee, so the agreement is
+    // pinned at the stamp/literal level — the exactness proof is
+    // exactly "both sides compute the same canonical string".)
+    val astral = "𝄞X" // 2 code points, 3 UTF-16 units
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("cat",
+        org.apache.spark.sql.types.StringType)))
+    val tr = TablePartitioning.PTruncate(2, "cat")
+    // the write side (Spark substring) keeps both code points for n=2
+    val writeSide = spark.range(1).select(
+      substring(lit(astral + "Y"), 1, 2)).head().getString(0)
+    assert(writeSide === astral, "fixture: Spark substring = code points")
+    assert(TablePartitioning.valueOfLiteral(tr, astral, schema)
+      .contains(astral), "2 code points fit in truncate(2) whole")
+    assert(TablePartitioning.valueOfLiteral(tr, astral + "Y", schema)
+      .contains(astral), "prefix must cut at code-point boundaries")
+    // pruning agreement against a stamp carrying the write-side prefix
+    val e = SnapshotTable.FileEntry("data/x/f.orc", 3, 100,
+      Map(tr.statKey(0) ->
+        SnapshotTable.ColStats(None, None, Some(astral), Some(astral), 0)))
+    val kept = TablePartitioning.prunePartitions(Seq(e), Seq(tr),
+      Seq(org.apache.spark.sql.sources.EqualTo("cat", astral + "Y")),
+      schema)
+    assert(kept === Seq(e),
+      "a matching astral literal must keep its stamped file")
+    val dropped = TablePartitioning.prunePartitions(Seq(e), Seq(tr),
+      Seq(org.apache.spark.sql.sources.EqualTo("cat", "ab")), schema)
+    assert(dropped.isEmpty, "non-matching prefixes still prune")
   }
 
   test("an ALL-NULL marker dir still stamps an honest null tuple " +
