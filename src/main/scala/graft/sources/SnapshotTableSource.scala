@@ -816,14 +816,31 @@ private[sources] class SnapshotTableScanBuilder(
     }
   }
 
+  /** Memoized by Aggregation INSTANCE: Spark calls
+    * supportCompletePushDown then pushAggregation with the same object,
+    * and a hybrid plan runs its bounded residual scan inside
+    * planAggregate — without the cache that scan would execute twice
+    * per query at plan time. */
+  private var aggPlanCache: Option[(AnyRef,
+    Option[(StructType, Seq[Array[Any]], Int)])] = None
+  private def planAggregateCached(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Array[Any]], Int)] = aggPlanCache match {
+    case Some((a, r)) if a eq agg => r
+    case _ =>
+      val r = planAggregate(agg)
+      aggPlanCache = Some((agg, r))
+      r
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = planAggregate(agg).isDefined
+      : Boolean = planAggregateCached(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
-    planAggregate(agg) match {
+    planAggregateCached(agg) match {
       case Some(p) => pushedAgg = Some(p); true
       case None => false
     }
