@@ -159,6 +159,66 @@ class R17AdversarialSpec extends AnyFunSuite with SparkSessionTestWrapper {
     assert(snap.filter(col("cat") === Marker).count() === 1)
   }
 
+  test("NDV sketches survive a COMPACT: the declaration carries, the " +
+    "re-staged files re-sketch, and the merged estimate stays ~true") {
+    val dir = freshDir()
+    val df = spark.range(0, 2000).select(
+      concat(lit("u"), col("id") % 53).as("sk"), col("id").as("v"))
+    SnapshotTable.commit(spark, df.repartition(4), dir, "overwrite",
+      props = Map(SnapshotTable.NdvStatsProp -> "sk"))
+    def ndvOf(): Option[Long] = {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      try {
+        val rel = spark.read.format("graft-table").load(dir)
+          .queryExecution.optimizedPlan.collectLeaves().head
+        rel.stats.attributeStats.find(_._1.name == "sk")
+          .flatMap(_._2.distinctCount).map(_.toLong)
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    }
+    val before = ndvOf().getOrElse(fail("no NDV before compact"))
+    assert(before >= 48 && before <= 58, s"ndv=$before, truth 53")
+    SnapshotTable.compact(spark, dir, targetBytes = 64L << 20)
+    assert(SnapshotTable.tableProperties(spark, dir)
+      .get(SnapshotTable.NdvStatsProp).contains("sk"),
+      "the declaration must survive the compact's overwrite")
+    val after = ndvOf().getOrElse(
+      fail("compact must re-sketch the re-staged files"))
+    assert(after >= 48 && after <= 58, s"post-compact ndv=$after")
+  }
+
+  test("a DDL-created partitioned table fed ONLY by writeStream " +
+    "stamps, prunes and counts exactly (CREATE TABLE + tuple routing)") {
+    val root = freshDir()
+    val (tableDir, ckpt, landing) =
+      (s"$root/table", s"$root/ckpt", s"$root/landing")
+    spark.sql(
+      s"""CREATE TABLE graft.`$tableDir` (id BIGINT, cat STRING)
+         |PARTITIONED BY (identity(cat), bucket(4, id))""".stripMargin)
+    val df = spark.range(0, 120).select(col("id"),
+      concat(lit("c"), col("id") % 3).as("cat"))
+    df.write.parquet(s"$landing/b0")
+    val q = spark.readStream.schema(df.schema).parquet(s"$landing/*")
+      .writeStream.format("graft-table")
+      .option("checkpointLocation", ckpt).option("statsCols", "id")
+      .start(tableDir)
+    try q.processAllAvailable() finally q.stop()
+    val spec = TablePartitioning.parse("identity(cat),bucket(4,id)")
+    val files = SnapshotTable.snapshotFiles(spark, tableDir, None)
+    assert(files.nonEmpty && files.forall(e =>
+      spec.zipWithIndex.forall { case (t, i) =>
+        e.stats.contains(t.statKey(i)) }),
+      "DDL spec must flow into the streamed tuple stamps")
+    val snap = spark.read.format("graft-table").load(tableDir)
+    assert(snap.count() === 120)
+    assert(snap.filter(col("cat") === "c1" && col("id") === 43L)
+      .count() === 1)
+    val kept = TablePartitioning.prunePartitions(files, spec,
+      Seq(org.apache.spark.sql.sources.EqualTo("cat", "c1"),
+        org.apache.spark.sql.sources.EqualTo("id", 43L)), snap.schema)
+    assert(kept.size < files.size && kept.nonEmpty,
+      s"both transforms must prune: ${kept.size}/${files.size}")
+  }
+
   test("grouped hybrid merges an EMPTY-STRING group key across the " +
     "interior/residual boundary (streamed '' stamp + batch residual)") {
     val root = freshDir()
