@@ -51,21 +51,31 @@ object Graph {
     require(iters >= 1 && dampingPct >= 0 && dampingPct <= 100)
     val dir = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    // symmetric closure; repartition by src once — every iteration's rank
-    // join reuses this exchange instead of reshuffling the edge list
+    // Symmetric closure with ONE corpus exchange (r18, guide §2.4): the
+    // union repartitions by src FIRST, so the dedup aggregate and the
+    // outdeg count both run exchange-free on top of it (hash(src)
+    // satisfies their clustering), and outdeg folds into the persisted
+    // edge frame once — pre-r18 every iteration re-joined a separate
+    // outdeg table (5 extra sorts/joins per run) and setup paid a second
+    // (src, dst)-keyed exchange for distinct().
     val und = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(col("src"))
-      .persist()
-    val outdeg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
-    val n = outdeg.count() // node count — symmetric graph: outdeg ≥ 1 ⇔ node
+      .distinct()
+    val outdeg = und.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesW = und.join(outdeg, Seq("src")).persist()
+    // node count — symmetric graph: outdeg ≥ 1 ⇔ node; also materializes
+    // the weighted edge cache in the same job
+    val n = edgesW.select(col("src")).distinct().count()
     require(n > 0, "pageRankFixedPoint: empty edge list")
     val r0 = scale / n
     val teleport = ((100L - dampingPct) * r0) / 100L
-    var ranks = outdeg.select(col("src").as("node"), lit(r0).as("rank_fp"))
+    var ranks = edgesW.select(col("src")).distinct()
+      .select(col("src").as("node"), lit(r0).as("rank_fp"))
     for (_ <- 1 to iters) {
-      val contrib = und
-        .join(outdeg, Seq("src"))
+      // per iteration: one node-sized exchange (ranks to src) + one
+      // partially-aggregated contribution exchange — the edge frame
+      // itself never reshuffles
+      val contrib = edgesW
         .join(ranks.select(col("node").as("src"), col("rank_fp").as("r")), Seq("src"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
       ranks = contrib.groupBy(col("node"))

@@ -709,7 +709,14 @@ object Multimodal {
                  decode: Decoder = imageDecoder): DataFrame = {
     require(maxDist >= 0 && maxDist <= 7,
       s"maxDist=$maxDist outside the 8-block pigeonhole bound [0, 7]")
-    val fh = videoFrameDHash(spark, mm, decode)
+    // localCheckpoint (r18, guide §1.2/§5): the per-frame fingerprint
+    // frame feeds FOUR differently-keyed exchanges below (ok, frame-0
+    // blocks, fa, fb), none of which ReuseExchange can dedupe — without
+    // it the RDD-backed demux + per-frame decode chain (and the caller's
+    // payload source) re-executes once per consumer. The checkpointed
+    // frame is per-frame fingerprints only — tiny relative to the
+    // payload bytes it derives from, the right thing to pin at any scale.
+    val fh = videoFrameDHash(spark, mm, decode).localCheckpoint()
     val ok = fh.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("nf"),
         sum(col("dhash").isNull.cast("long")).as("bad"))

@@ -173,7 +173,14 @@ object NgramLm {
   def minKProb(docs: DataFrame, model: Model, k: Double = 0.2,
                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k > 0.0 && k <= 1.0, s"k in (0, 1], got $k")
-    val lp = instanceLogProbs(docs, model, idCol, textCol)
+    // localCheckpoint (r18, guide §1.2 — same rationale as pplBuckets'
+    // scored frame): lp feeds BOTH the quantile aggregate and the rejoin
+    // below, and their differently-shaped subtrees defeat exchange
+    // reuse, so without the pin the KN scoring DAG (corpus scan, bigram
+    // explode, four model joins) executes twice per call. The pinned
+    // frame is two scalars per bigram instance — far smaller than the
+    // token stream it derives from.
+    val lp = instanceLogProbs(docs, model, idCol, textCol).localCheckpoint()
     // the threshold rounds to the lp grid (6dp) before the tie-inclusive
     // compare: engines interpolate quantiles with algebraically equal but
     // ulp-different formulas (a + f*(b-a) vs (1-f)*a + f*b), and an ulp

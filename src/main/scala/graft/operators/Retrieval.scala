@@ -51,6 +51,31 @@ object Retrieval {
       .trim.replaceAll("\\s+", " ").split(" "))
     .filter(_.nonEmpty).distinct
 
+  /** Plan-audit tap for the EAGER operators here (bm25TopK and friends
+    * execute on call, so `Explain` cannot print their internal plans
+    * lazily): when -Dgraft.explain.out=<file> is set, the formatted plan
+    * of each internal ranking frame is appended there before execution.
+    * Inert in production — the property is only set by plan-audit runs
+    * (GRAFT_EXPLAIN_OUT as the env-var spelling for forked JVMs). */
+  private def explainTap(df: DataFrame): Unit =
+    sys.props.get("graft.explain.out")
+      .orElse(sys.env.get("GRAFT_EXPLAIN_OUT")).foreach { f =>
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f), txt + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+
+  /** Per-query DISTINCT term lists under the same driver-side
+    * tokenization (the per-query view of [[queryVocab]]). */
+  private def queryTermLists(queries: Seq[(Int, String)]): Seq[(Int, Seq[String])] =
+    queries.map { case (i, q) =>
+      i -> q.toLowerCase(java.util.Locale.ROOT)
+        .trim.replaceAll("\\s+", " ").split(" ").toSeq
+        .filter(_.nonEmpty).distinct
+    }
+
   /** Tokenize matching the corpus-wide convention (TextAnalysis.normText
     * + lowercase + whitespace split) — identical to the tf-idf gate so
     * df/dl statistics are comparable across operators. */
@@ -61,54 +86,112 @@ object Retrieval {
 
   /** BM25 top-k: one row per (query_id, doc_id) with rank 1..k and the
     * rounded score. Only documents matching >= 1 query term are
-    * candidates (an inner join against the broadcast query-term list —
-    * structurally, not via a score>0 filter). */
+    * candidates (a structural any-tf>0 filter, not a score>0 filter).
+    *
+    * r18 (guide §2.3/§2.4): the corpus folds map-side into ONE pivoted
+    * per-doc row — (doc, dl, tf per query-vocab term) — so the single
+    * corpus-wide exchange carries one compact row per doc and the whole
+    * statistics family (dl, tf, df, avgdl, n_docs) derives from that one
+    * cached frame with zero further corpus passes. idf/avgdl collapse to
+    * a one-row driver fetch and fold into the scoring expressions as
+    * literals (same IEEE ops as the former column arithmetic — Math.log
+    * and left-assoc double chains are identical either way, and the
+    * per-term 6dp round + exact DECIMAL sum contract is unchanged), so
+    * the former per-statistic joins (dl join, dfreq broadcast, stats
+    * crossJoin) disappear from the plan: 2 exchanges total (pivot +
+    * rank window) instead of 5+. The operator stays EAGER — it executes
+    * on call and returns the <= |Q| x k result locally, the shape of a
+    * retrieval endpoint — so the cache releases before returning. */
   def bm25TopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
-               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bm25FromCounts(
+      tokens(docs, idCol, textCol).withColumn("cnt", lit(1L)),
+      queries, k, k1, b, idCol)._1
 
-    val qVocabSeq = queryVocab(queries)
-    val qTerms = queries.toDF("query_id", "qtext")
-      .select(col("query_id"),
-        explode(split(TextAnalysis.normText(lower(col("qtext"))), " ")).as("term"))
-      .distinct()
+  /** Shared eager BM25 core over a (id, term, cnt) stream (cnt = term
+    * multiplicity; instance streams pass cnt=1). Returns the LOCAL top-k
+    * frame plus n_docs (docs with >= 1 token — the idf/avgdl convention),
+    * which [[bm25PrfTopK]] reuses so expansion mining never recounts the
+    * corpus. */
+  private def bm25FromCounts(tc: DataFrame, queries: Seq[(Int, String)],
+                             k: Int, k1: Double, b: Double,
+                             idCol: String): (DataFrame, Double) = {
+    val spark = tc.sparkSession
+    val termLists = queryTermLists(queries)
+    val vocab = termLists.flatMap(_._2).distinct
+    val idType = tc.schema(idCol).dataType
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(idCol, idType, nullable = true),
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    def emptyResult(nDocs: Double) = (spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema), nDocs)
+    if (vocab.isEmpty) return emptyResult(0.0)
 
-    // ONE corpus scan: every token folds into a (doc, query-term-or-null)
-    // cell — non-query tokens all land in the null cell, so map-side
-    // combine collapses each partition to <= |Q|+1 rows per doc before
-    // the only corpus-wide exchange. dl / tf / df / avgdl all derive
-    // from this compact frame; it is persisted and materialized once
-    // (divergent column pruning would otherwise defeat ReuseExchange and
-    // re-run the scan per statistic), and the operator is EAGER — it
-    // executes on call and returns the <= |Q| x k result locally, the
-    // shape of a retrieval endpoint — so the cache can be released
-    // before returning instead of leaking into the session.
-    val cell = tokens(docs, idCol, textCol)
-      .withColumn("qterm",
-        when(col("term").isin(qVocabSeq: _*), col("term")))
-      .groupBy(col(idCol), col("qterm")).agg(count(lit(1)).as("cnt"))
-    cell.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Pivoted per-doc stats: ONE doc-keyed exchange, fully map-side
+    // combinable (each partition reduces to one 13-long row per doc).
+    val tfCols = vocab.indices.map(i =>
+      sum(when(col("term") === vocab(i), col("cnt")).otherwise(0L)).as(s"tf_$i"))
+    val pd = tc.groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("dl"), tfCols: _*)
+    pd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      cell.count() // materialize: the only pass over the corpus
+      // one tiny row: total length, doc count, df per vocab term
+      val dfCols = vocab.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+      val statCols = count(lit(1)).as("n_docs") +: dfCols
+      val st = pd.agg(sum(col("dl")).as("sum_dl"), statCols: _*).head()
+      val nDocs = st.getLong(1).toDouble
+      if (nDocs == 0) return emptyResult(0.0)
+      // == avg(dl): a double sum of integer-valued terms is exact below
+      // 2^53, so long-sum/count is bit-identical to the former avg()
+      val avgdl = st.getLong(0).toDouble / nDocs
+      val idf: Int => Double = i => {
+        val dfT = st.getLong(2 + i).toDouble
+        math.log(1.0 + (nDocs - dfT + 0.5) / (dfT + 0.5))
+      }
 
-      // Per-doc length over ALL tokens (BM25 normalizes by full doc length,
-      // not just matching terms); avgdl is a 1-row broadcast.
-      val dl = cell.groupBy(col(idCol)).agg(sum(col("cnt")).as("dl"))
-      val stats = dl.agg(avg(col("dl")).as("avgdl"),
-        count(lit(1)).cast("double").as("n_docs"))
-
-      val tf = cell.filter(col("qterm").isNotNull)
-        .select(col(idCol), col("qterm").as("term"), col("cnt").as("tf"))
-      // df per query term = docs containing it (restriction by term does
-      // not change per-term doc counts).
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-
-      val out = scoreAndRank(tf, dl, stats, qTerms, dfreq, k, k1, b, idCol)
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val zero = lit(BigDecimal(0).bigDecimal).cast(dec)
+      def tfNorm(i: Int): Column = {
+        val tf = col(s"tf_$i")
+        tf * (lit(k1) + 1.0) /
+          (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+      }
+      // per-query candidate legs over the cached compact frame: candidate
+      // = any query-term tf > 0 (the structural inner-join equivalent);
+      // per-term contributions round to 6dp then DECIMAL-sum row-wise
+      // (exact, so identical to the former per-row aggregate sum)
+      val legs = termLists.flatMap { case (qid, ts) =>
+        val idx = ts.map(vocab.indexOf).filter(_ >= 0)
+        if (idx.isEmpty) None else Some {
+          val isCand = idx.map(i => col(s"tf_$i") > 0).reduce(_ || _)
+          val scoreDec = idx.map(i =>
+            when(col(s"tf_$i") > 0,
+              round(lit(idf(i)) * tfNorm(i), 6).cast(dec)).otherwise(zero))
+            .reduce(_ + _)
+          pd.filter(isCand)
+            .select(lit(qid.toLong).as("query_id"), col(idCol),
+              round(scoreDec.cast("double"), 4).as("score"))
+        }
+      }
+      if (legs.isEmpty) return emptyResult(nDocs)
+      val scored = legs.reduce(_ unionByName _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col(idCol))
+      val out = scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col(idCol), col("rank"), col("score"))
+      explainTap(out)
       val rows = out.collect().toSeq
-      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
-    } finally cell.unpersist(blocking = false)
+      (spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+        out.schema), nDocs)
+    } finally pd.unpersist(blocking = false)
   }
 
   /** Pseudo-relevance-feedback BM25 (Rocchio-style query expansion —
@@ -123,13 +206,14 @@ object Retrieval {
     * the whole round-2 ranking — is reproducible across engines; the
     * oracle replays both rounds AND the term selection in SQL.
     *
-    * Scale shape: round 1 and round 2 are [[bm25TopK]] (one compact-cell
-    * corpus scan each). Term mining adds two more corpus token scans —
-    * feedback tf (tokens joined against the BROADCAST |Q|×fbDocs
-    * feedback set) and candidate df (tokens semi-joined against the
-    * broadcast candidate vocabulary) — all map-side joins with bounded
-    * aggregates; the only driver-side materialization is the |Q|×fbTerms
-    * expansion list. Two-pass is inherent to PRF, not an artifact. */
+    * Scale shape (r18, guide §2.3/§2.4): the corpus is tokenized ONCE
+    * into a persisted (doc, term, cnt) count frame — the only corpus
+    * scan and the only corpus-wide exchange in the whole operator.
+    * Round 1, the mining phase (feedback tf against the broadcast
+    * |Q|×fbDocs feedback set; candidate df from the already-distinct
+    * (doc, term) rows), and round 2 all derive from that cached frame;
+    * n_docs is carried out of round 1's stats row instead of recounted.
+    * Pre-r18 this operator re-tokenized the corpus three times. */
   def bm25PrfTopK(docs: DataFrame, queries: Seq[(Int, String)], k: Int,
                   fbDocs: Int = 3, fbTerms: Int = 2,
                   k1: Double = 1.2, b: Double = 0.75,
@@ -138,55 +222,56 @@ object Retrieval {
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val round1 = bm25TopK(docs, queries, fbDocs, k1, b, idCol, textCol)
-    val fb = round1.select(col("query_id"), col(idCol)) // local, tiny
-    // the mining phase drives THREE actions over the token frame (n_docs
-    // count, feedback-tf + candidate-df trees under the expansion
-    // collect) — pin it once instead of re-tokenizing the corpus per
-    // action; released before round 2 (which scans via bm25TopK itself)
-    val tok = tokens(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE corpus pass: per-doc term counts, reused by both BM25 rounds
+    // and the expansion mining (already distinct per (doc, term), so
+    // candidate df is a plain count over it)
+    val tokAgg = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("cnt"))
+    tokAgg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (round1, nDocs) =
+        bm25FromCounts(tokAgg, queries, fbDocs, k1, b, idCol)
+      val fb = round1.select(col("query_id"), col(idCol)) // local, tiny
 
-    // per-(query, term) feedback tf: corpus tokens vs broadcast doc set
-    val cand = tok.join(broadcast(fb), idCol)
-      .groupBy(col("query_id"), col("term"))
-      .agg(count(lit(1)).as("ftf"))
-    val candTerms = cand.select(col("term")).distinct()
-    // corpus df for candidate terms only; n_docs matches bm25TopK's
-    // convention (docs with >= 1 token)
-    val cdf = tok.join(broadcast(candTerms), "term")
-      .select(col("term"), col(idCol)).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
-    val nDocs = tok.select(col(idCol)).distinct().count().toDouble
+      // per-(query, term) feedback tf: count over token INSTANCES ==
+      // sum of per-doc counts over the compact frame
+      val cand = tokAgg.join(broadcast(fb), idCol)
+        .groupBy(col("query_id"), col("term"))
+        .agg(sum(col("cnt")).as("ftf"))
+      val candTerms = cand.select(col("term")).distinct()
+      // corpus df for candidate terms only — tokAgg rows are distinct
+      // (doc, term) pairs by construction
+      val cdf = tokAgg.join(broadcast(candTerms), "term")
+        .groupBy(col("term")).agg(count(lit(1)).as("df_t"))
 
-    val qTerms = queries.toDF("query_id", "qtext")
-      .select(col("query_id").cast("long").as("query_id"),
-        explode(split(TextAnalysis.normText(lower(col("qtext"))), " "))
-          .as("term"))
-      .distinct()
-    val esc = cand
-      .join(broadcast(cdf), "term")
-      .join(broadcast(qTerms), Seq("query_id", "term"), "left_anti")
-      .withColumn("escore", round(col("ftf") *
-        log(lit(1.0) + (lit(nDocs) - col("df_t") + lit(0.5)) /
-          (col("df_t") + lit(0.5))), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("escore").desc, col("term"))
-    val expansion: Map[Long, Seq[String]] = try esc
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= fbTerms)
-      .select(col("query_id"), col("term"), col("rn"))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
-      .groupBy(_._1)
-      .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
-    finally tok.unpersist()
+      val qTerms = queries.toDF("query_id", "qtext")
+        .select(col("query_id").cast("long").as("query_id"),
+          explode(split(TextAnalysis.normText(lower(col("qtext"))), " "))
+            .as("term"))
+        .distinct()
+      val esc = cand
+        .join(broadcast(cdf), "term")
+        .join(broadcast(qTerms), Seq("query_id", "term"), "left_anti")
+        .withColumn("escore", round(col("ftf") *
+          log(lit(1.0) + (lit(nDocs) - col("df_t") + lit(0.5)) /
+            (col("df_t") + lit(0.5))), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("escore").desc, col("term"))
+      val expansion: Map[Long, Seq[String]] = esc
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= fbTerms)
+        .select(col("query_id"), col("term"), col("rn"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .groupBy(_._1)
+        .view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
 
-    val expanded = queries.map { case (i, q) =>
-      i -> (q + expansion.getOrElse(i.toLong, Seq.empty)
-        .map(" " + _).mkString)
-    }
-    bm25TopK(docs, expanded, k, k1, b, idCol, textCol)
+      val expanded = queries.map { case (i, q) =>
+        i -> (q + expansion.getOrElse(i.toLong, Seq.empty)
+          .map(" " + _).mkString)
+      }
+      bm25FromCounts(tokAgg, expanded, k, k1, b, idCol)._1
+    } finally tokAgg.unpersist(blocking = false)
   }
 
   /** Persisted inverted index for [[bm25Serve]]: a production search
