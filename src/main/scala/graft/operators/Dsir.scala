@@ -63,12 +63,12 @@ object Dsir {
     * (id, n_feats, logw, rank), rank 1..n by (logw DESC, id).
     *
     * ONE linear pass over the gram stream (r18 — was two): the stream
-    * folds map-side into a (doc, target, bucket, tf) aggregation whose
-    * exchange both consumers share (ReuseExchange); bucket statistics
-    * re-aggregate it to `buckets` rows, and weights join it against the
-    * broadcast log-ratio table and reduce doc-keyed. The exchange
-    * carries per-partition-distinct (doc, bucket) rows — bounded by the
-    * gram stream it replaces a second full scan of. */
+    * folds map-side into a localCheckpointed (doc, target, bucket, tf)
+    * aggregation both consumers read; bucket statistics re-aggregate it
+    * to `buckets` rows, and weights join it against the broadcast
+    * log-ratio table and reduce doc-keyed. The pinned frame carries
+    * per-doc-distinct (doc, bucket) rows — bounded by the gram stream
+    * it replaces a second full scan of. */
   def select(docs: DataFrame, isTarget: Column, n: Int,
              idCol: String = "doc_id", textCol: String = "text",
              buckets: Int = Buckets, alpha: Double = Alpha): DataFrame = {

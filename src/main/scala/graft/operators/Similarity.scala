@@ -609,23 +609,32 @@ object Similarity {
       var books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
         (0 until m).map(j => initRows.map(v => v.slice(j * sub, (j + 1) * sub)))
       for (_ <- 0 until lloydIters) {
-        // ONE native pass computes every subspace's assignment; then each
-        // subspace folds its slice means (ksub buffers across the shuffle)
+        // ONE native pass computes every subspace's assignment, then ONE
+        // job folds ALL m subspaces' slice means in a single (subspace,
+        // cell)-keyed aggregation (r18, guide §1.2 — was a driver loop of
+        // m collect jobs per iteration). Exploded rows carry only the
+        // sub-dim slice, the exchange is m*ksub mean buffers, and per-
+        // group rows arrive in the same partition-then-mapId order as the
+        // former per-subspace jobs, so the double sums — and hence the
+        // codebooks — are bit-identical.
         val assigned = projected.withColumn("codes",
           graft.functions.PqEncode.pqEncode(col("v"),
             books.map(_.map(_.toSeq).toSeq).toSeq).getField("codes"))
+        val means = assigned
+          .select(posexplode(col("codes")).as(Seq("j", "cell")), col("v"))
+          .select(col("j"), col("cell"),
+            slice(col("v"), col("j") * lit(sub) + lit(1), lit(sub)).as("vs"))
+          .groupBy(col("j"), col("cell"))
+          .agg(graft.functions.VecMeanAgg.vecMean(col("vs")).as("mean"))
+          .collect()
+        val byJc = means.iterator
+          .filter(r => !r.isNullAt(r.fieldIndex("mean")))
+          .map(r => (r.getInt(0), r.getAs[Int]("cell")) ->
+            r.getSeq[Double](r.fieldIndex("mean")).toIndexedSeq)
+          .toMap
         books = (0 until m).map { j =>
-          val means = assigned
-            .groupBy(col("codes").getItem(j).as("cell"))
-            .agg(graft.functions.VecMeanAgg.vecMean(
-              slice(col("v"), j * sub + 1, sub)).as("mean"))
-            .collect()
-          val byCell = means.iterator
-            .filter(r => !r.isNullAt(r.fieldIndex("mean")))
-            .map(r => r.getAs[Int]("cell") ->
-              r.getSeq[Double](r.fieldIndex("mean")).toIndexedSeq)
-            .toMap
-          books(j).indices.map(c => byCell.getOrElse(c, books(j)(c))).toIndexedSeq
+          books(j).indices.map(c => byJc.getOrElse((j, c), books(j)(c)))
+            .toIndexedSeq
         }.toIndexedSeq
       }
       books.map(_.map(_.toSeq: Seq[Double]).toSeq: Seq[Seq[Double]]).toSeq
