@@ -65,11 +65,20 @@ object NgramLm {
   final case class Model(bigram: DataFrame, history: DataFrame,
                          continuation: DataFrame, types: DataFrame)
 
-  /** Train on the given slice (typically the curated sources). */
+  /** Train on the given slice (typically the curated sources).
+    *
+    * The bigram-count table is localCheckpointed (r18, guide §1.2): all
+    * four model tables derive from it AND every scoring plan broadcasts
+    * them as four separate subtrees, so without the pin the training
+    * slice is re-scanned and re-aggregated once per table per consumer
+    * (measured: the min-k plan evaluated it 8x). The pinned frame is the
+    * distinct-bigram count table of the CURATED slice — small by
+    * construction (it must broadcast downstream anyway). */
   def train(trainDocs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): Model = {
     val bg = bigramInstances(trainDocs, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     val hist = bg.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
     val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("nc"))

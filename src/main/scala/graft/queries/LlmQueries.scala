@@ -1197,7 +1197,12 @@ object LlmQueries {
       val toks = docs.select(col("doc_id"),
           explode(split(TextAnalysis.normText(lower(col("text"))), " ")).as("term"))
         .filter(length(col("term")) >= 3)
+      // localCheckpoint (r18, guide §1.2): tf feeds both the broadcast
+      // doc-frequency side and the scored join; exchange reuse does not
+      // fire across the broadcast/probe contexts, so without the pin the
+      // tokenize + (doc, term) aggregation runs twice per call
       val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_t"))
       val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
       val scored = tf.join(broadcast(dfreq), "term")

@@ -1723,9 +1723,13 @@ private[sources] class SnapshotTableScan(
             ts.zipWithIndex.map { case (t, i) => stampedValue(e, t, i) })
           if (stamped.exists(_.exists(_.isEmpty))) None
           else {
+            // sort key: NUL stands in for null values and SOH
+            // separates tuple slots (neither can appear in a
+            // partition dir name, so no collision) — written as
+            // unicode escapes so the file stays text to grep/tooling
             val groups = files.zip(stamped.map(_.map(_.get)))
               .groupBy(_._2).toSeq
-              .sortBy(_._1.map(_.getOrElse(" ")).mkString(""))
+              .sortBy(_._1.map(_.getOrElse("\u0000")).mkString("\u0001"))
               .map { case (k, fs) => (k, fs.map(_._1)) }
             Some((ts, groups))
           }
