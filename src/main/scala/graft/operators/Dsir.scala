@@ -62,36 +62,23 @@ object Dsir {
     * the curated slice (evaluated against `docs` columns). Output:
     * (id, n_feats, logw, rank), rank 1..n by (logw DESC, id).
     *
-    * ONE linear pass over the gram stream (r18 — was two): the stream
-    * folds map-side into a localCheckpointed (doc, target, bucket, tf)
-    * aggregation both consumers read; bucket statistics re-aggregate it
-    * to `buckets` rows, and weights join it against the broadcast
-    * log-ratio table and reduce doc-keyed. The pinned frame carries
-    * per-doc-distinct (doc, bucket) rows — bounded by the gram stream
-    * it replaces a second full scan of. */
+    * Two linear passes over the gram stream, neither shuffling at gram
+    * width: (1) bucket statistics collapse map-side to `buckets` rows
+    * per partition before a `buckets`-row exchange; (2) weights join the
+    * gram stream against the broadcast log-ratio table and reduce
+    * doc-keyed (map-side partial). The (doc, bucket) feature matrix is
+    * never materialized or shuffled. */
   def select(docs: DataFrame, isTarget: Column, n: Int,
              idCol: String = "doc_id", textCol: String = "text",
              buckets: Int = Buckets, alpha: Double = Alpha): DataFrame = {
     require(!docs.columns.contains("__graft_t"),
       "input must not already contain the scratch column __graft_t")
-    // r18 (guide §1.2/§2.4): both consumers below — bucket statistics and
-    // per-doc weights — derive from ONE localCheckpointed (doc, target,
-    // bucket, tf) aggregation instead of re-running the md5-per-gram
-    // scan twice (the pplBuckets pattern; exchange-level reuse alone is
-    // not reliable across the broadcast and probe contexts here). The
-    // pinned frame is <= `buckets` rows per doc — far smaller than the
-    // gram stream it replaces a second full scan of. Counting over tf is
-    // exact: instance counts sum to tf, and tf * llr (DECIMAL) equals
-    // adding llr tf times.
     val grams = gramBuckets(docs.withColumn("__graft_t", isTarget),
       idCol, textCol, buckets, Seq("__graft_t"))
-      .groupBy(col(idCol), col("__graft_t"), col("bucket"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
 
     val cnt = grams.groupBy(col("bucket")).agg(
-      sum(col("tf")).as("cr"),
-      sum(when(col("__graft_t"), col("tf")).otherwise(0L)).as("ct"))
+      count(lit(1)).as("cr"),
+      sum(when(col("__graft_t"), 1L).otherwise(0L)).as("ct"))
     val totals = cnt.agg(sum(col("cr")).cast("double").as("crtot"),
       sum(col("ct")).cast("double").as("cttot"))
 
@@ -109,8 +96,8 @@ object Dsir {
 
     val weighted = grams.join(broadcast(llr), "bucket")
       .groupBy(col(idCol))
-      .agg(sum(col("tf")).cast("long").as("n_feats"),
-        round(sum(col("tf") * col("llr")).cast("double"), 4).as("logw"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        round(sum(col("llr")).cast("double"), 4).as("logw"))
 
     import org.apache.spark.sql.expressions.Window
     val top = weighted.orderBy(col("logw").desc, col(idCol)).limit(n)

@@ -67,18 +67,15 @@ object NgramLm {
 
   /** Train on the given slice (typically the curated sources).
     *
-    * The bigram-count table is localCheckpointed (r18, guide §1.2): all
-    * four model tables derive from it AND every scoring plan broadcasts
-    * them as four separate subtrees, so without the pin the training
-    * slice is re-scanned and re-aggregated once per table per consumer
-    * (measured: the min-k plan evaluated it 8x). The pinned frame is the
-    * distinct-bigram count table of the CURATED slice — small by
-    * construction (it must broadcast downstream anyway). */
+    * NOT pinned (r18 measurement): localCheckpointing the bigram-count
+    * table here nudged the kn_bigram SCALE probe's sf1 shuffle over the
+    * 5 MB accounting floor (4.4 -> 5.0 MB) and tripped the gate's
+    * shuffle-ratio ceiling, for a net local win under 0.4 s — the four
+    * broadcast subtrees' shared exchange is already cheap enough. */
   def train(trainDocs: DataFrame, idCol: String = "doc_id",
             textCol: String = "text"): Model = {
     val bg = bigramInstances(trainDocs, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .localCheckpoint()
     val hist = bg.groupBy(col("w1"))
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p"))
     val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("nc"))
